@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Local testing runs `local[N]`; on a real cluster only
+  * master/memory change — the SQL configs below are the ones that
+  * matter for plan quality at scale:
+  *  - AQE on (runtime re-plan, skew-join splitting, shuffle coalescing)
+  *  - shuffle partitions sized to the core count locally (a cluster
+  *    deployment would size to 2-3x total cores; AQE coalesces down)
+  *  - parquet micros timestamps (interop with external readers)
+  *  - UTC session time zone (deterministic date/timestamp semantics,
+  *    matches the reference's BigQuery UTC behavior)
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

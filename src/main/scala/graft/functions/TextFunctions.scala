@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data-pipeline
+  * surface (BASELINE.json north star): tokenization, language ID,
+  * quality scoring, fingerprinting.
+  *
+  * All are pure `org.apache.spark.sql.functions` compositions —
+  * whole-stage-codegen'd, no UDFs — so they run at scan speed and
+  * survive any scale-up: per-row work, no shuffle, no state.
+  */
+object TextFunctions {
+
+  /** Word tokens: lowercased maximal [a-z0-9]+ runs. The "BPE-ish
+    * regex" baseline tokenizer — punctuation splits, case-folded. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Whitespace token count (the cheap estimator). */
+  def whitespaceTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** English stopwords used by the language-ID heuristic. Tiny on
+    * purpose: the heuristic is a ratio test, not a classifier. */
+  val EnglishMarkers: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this")
+
+  /** Fraction of tokens that are English marker words. */
+  def englishScore(toks: Column): Column = {
+    val markers = array(EnglishMarkers.map(lit): _*)
+    val matched = filter(toks, t => array_contains(markers, t))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(matched).cast("double") / size(toks).cast("double"))
+  }
+
+  /** N-gram-marker language ID: 'en' when the marker-token ratio
+    * clears `threshold`, else 'other'. A real deployment swaps the
+    * marker list per language; the Spark shape (filter + ratio over a
+    * token array, fully codegen'd) is the deliverable. */
+  def langId(text: Column, threshold: Double = 0.05): Column =
+    when(englishScore(tokens(text)) >= threshold, lit("en"))
+      .otherwise(lit("other"))
+
+  /** Alphabetic-character ratio: len(strip non [a-z ]) / len. */
+  def alphaRatio(text: Column): Column = {
+    val t = lower(text)
+    when(length(t) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(t, "[^a-z ]", "")).cast("double")
+        / length(t).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val tk = tokens(text)
+    val totalChars =
+      aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(totalChars.cast("double") / size(tk).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: weighted blend of alpha ratio,
+    * token-length sanity (penalize <2 or >12 mean chars), and a
+    * length floor. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val alpha = alphaRatio(text)
+    val mtl = meanTokenLen(text)
+    val lenOk = when(length(text) >= 20, lit(1.0))
+      .otherwise(length(text).cast("double") / 20.0)
+    val tokOk = when(mtl >= 2.0 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.5))
+    alpha * 0.5 + lenOk * 0.3 + tokOk * 0.2
+  }
+
+  /** Content fingerprint: md5 of the canonicalized token stream.
+    * Stable across runs/engines (md5 is engine-independent, unlike
+    * xxhash64 seeds), so it doubles as the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokens(text), " "))
+
+  /** Rolling (polynomial) hash over the token stream — a second,
+    * cheaper fingerprint family: h = Σ tok_hash(t_i) * B^i mod M,
+    * computed with a single array `aggregate`. Engine-portable when
+    * `tokHash` is portable (we use crc32 of the token bytes). */
+  def rollingHash(text: Column, base: Long = 1000003L,
+                  mod: Long = (1L << 61) - 1): Column = {
+    val tk = tokens(text)
+    val acc = aggregate(
+      tk,
+      struct(lit(0L).as("h"), lit(1L).as("p")),
+      (st, t) => struct(
+        pmod(st.getField("h") + pmod(crc32(t.cast("binary")) * st.getField("p"), lit(mod)), lit(mod)).as("h"),
+        pmod(st.getField("p") * lit(base), lit(mod)).as("p")))
+    acc.getField("h")
+  }
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operator family for training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - exactDedup: one hash-partition shuffle on the dedup key. Group
+  *    on a 128-bit md5 of the canonical text (TextFunctions
+  *    .fingerprint), not the text itself, so shuffle rows carry 16
+  *    bytes + id instead of full documents.
+  *  - minHashLsh: signatures are computed scan-side with codegen'd
+  *    higher-order functions (no UDF, no shuffle); the only shuffle is
+  *    the band-bucket exchange whose keys are (band, 64-bit hash).
+  *    Candidate pairs are generated per-bucket with a self-join on the
+  *    bucket key; buckets above `maxBucket` are dropped (degenerate /
+  *    boilerplate content — standard practice — that would otherwise
+  *    produce O(n²) pairs in a single task: the skew bomb).
+  *  - simHash: pure per-row bit arithmetic, then a self-join on 4×16-
+  *    bit band keys of the 64-bit signature (pigeonhole ⇒ full recall
+  *    for Hamming distance ≤ 3).
+  *  - ngramJaccard: exact verifier — run it on candidate pairs (LSH
+  *    output) or within small blocks, never all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min `idCol`) per distinct value
+    * of `key`, with multiplicity. */
+  def exactDedupStats(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping entire representative rows: the row with the
+    * smallest `idCol` per key survives. Single shuffle on the key. */
+  def exactDedup(df: DataFrame, key: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(idCol.asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Distinct word k-shingles of the token stream — the MinHash input
+    * unit. Documents shorter than k tokens yield their whole token
+    * stream as a single shingle. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val tk = TextFunctions.tokens(text)
+    val n = size(tk)
+    val sh = transform(sequence(lit(1), n - lit(k - 1)),
+      i => array_join(slice(tk, i, lit(k)), " "))
+    when(n >= k, array_distinct(sh)).otherwise(array(array_join(tk, " ")))
+  }
+
+  /** MinHash signature: for seed s in 0..numHashes-1, min over
+    * shingles of xxhash64(shingle, s). All codegen'd HOFs — computed
+    * in the scan stage, no shuffle. */
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))
+
+  /** Estimated Jaccard from two equal-length signatures: fraction of
+    * agreeing positions. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA).cast("double")
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b, distinct,
+    *         filtered to est_jaccard >= threshold.
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 64, bands: Int = 16,
+                 shingleK: Int = 3, threshold: Double = 0.5,
+                 maxBucket: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minHashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+
+    // band keys built with a Scala-level loop (band count is static)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+    }
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+
+    // drop degenerate mega-buckets (skew guard) and singletons
+    val keepBuckets = banded.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucket && col("count") > 1)
+      .select("band", "bh")
+    val pruned = banded.join(keepBuckets, Seq("band", "bh"))
+
+    val a = pruned.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  private val BitMasks: Seq[Long] = (0 until 64).map(j => 1L << j)
+
+  /** 64-bit SimHash of the token stream: bit j of the result is the
+    * sign of Σ_tokens (±1 by bit j of xxhash64(token)). Pure per-row
+    * HOF arithmetic — no UDF, no shuffle. */
+  def simHash(text: Column): Column = {
+    val tk = array_distinct(TextFunctions.tokens(text))
+    val hashes = transform(tk, t => xxhash64(t))
+    val masks = array(BitMasks.map(lit): _*)
+    val zeros = array(Seq.fill(64)(lit(0)): _*)
+    val votes = aggregate(hashes, zeros,
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs via 4×16-bit band blocking (any pair with
+    * Hamming ≤ 3 shares at least one of 4 bands). */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
+    }
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+    val a = banded.select(col("band"), col("bh"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bh"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram (word-shingle) Jaccard for all pairs within a
+    * blocking key — the exact verifier for LSH candidates.
+    * Deterministic set arithmetic via array_intersect on distinct
+    * shingle sets. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, k: Int = 1,
+                        threshold: Double = 0.5): DataFrame = {
+    val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    val a = toks.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = toks.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(uni === 0.0, 1.0).otherwise(inter / uni).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact — broadcast the (small) query set
+  *    against the (huge) corpus, score every pair with a codegen'd
+  *    dot-product HOF, keep top-k per query with a window. The
+  *    corpus-side scan is embarrassingly parallel and shuffle-free up
+  *    to the final per-query top-k, whose input is already cut to k
+  *    rows per (query, partition) by `rank-local` pre-filtering —
+  *    at 1000 executors the shuffle carries ≤ queries × k × partitions
+  *    tiny rows, not the corpus.
+  *  - `ivfTopK`: approximate scale path — coarse-quantize the corpus
+  *    to its nearest centroid once (any deterministic centroid set),
+  *    then probe only `nProbe` nearest cells per query: a partition-
+  *    pruned fraction of the corpus instead of all of it. This is the
+  *    standard IVF-flat layout; with the corpus written partitioned by
+  *    `cell`, probing is literal partition pruning on the parquet
+  *    scan.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (accumulated in double,
+    * left-to-right — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) — the big side, scanned once
+    * @param queries (idCol, vecCol) — the small side, broadcast
+    * @param k       neighbors per query (self-matches excluded)
+    * @return (query_id, neighbor_id, cos) — cosine rounded to
+    *         `roundTo` decimals before ranking so ranking is stable
+    *         across summation orders; ties broken by neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     roundTo: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), roundTo).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Assign each corpus vector to its nearest centroid (IVF coarse
+    * quantization). Centroids are broadcast; assignment is a codegen'd
+    * argmax over the centroid array — shuffle-free. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(idCol).as("cell"), col(vecCol).as("cent_vec")))
+    val scored = corpus.join(cents)
+      .select(col(idCol), col(vecCol),
+        col("cell"), cosine(col(vecCol), col("cent_vec")).as("sim"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** IVF top-k: probe the `nProbe` most-similar cells per query, then
+    * exact-score only corpus vectors in those cells. */
+  def ivfTopK(corpusWithCells: DataFrame, centroids: DataFrame,
+              queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(idCol).as("cell"), col(vecCol).as("cent_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    // top-nProbe cells per query (tiny: |queries| × |centroids|)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probes = q.join(cents)
+      .select(col("query_id"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("cent_vec")).as("cell_sim"))
+      .withColumn("_rk", row_number().over(wq))
+      .filter(col("_rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    // scan only probed cells (partition-prunable when stored by cell)
+    val c = corpusWithCells.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), roundTo).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+}

@@ -1,0 +1,533 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Incremental, IntervalExpand, Merge, Multimodal, Similarity}
+import graft.functions.TextFunctions
+
+/** The operator catalog: one named query per SURVEY.md §2 operator
+  * (plus the north-star dedup/similarity/text/multimodal families),
+  * each paired with the ANSI-SQL DuckDB oracle the driver hash-
+  * compares against.
+  *
+  * Determinism rules used throughout (driver compares by value hash
+  * with columns sorted by name):
+  *  - double aggregates are `round(…, n)` in BOTH engines — double
+  *    summation order differs between engines, rounding absorbs the
+  *    ulp-level drift;
+  *  - any top-k ranks on the ROUNDED measure with an id tiebreak, so
+  *    set membership is engine-independent;
+  *  - no current_date()/now() anywhere — date bounds derive from the
+  *    data.
+  */
+case class CatalogQuery(
+    name: String,
+    description: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Catalog {
+
+  private def q(name: String, description: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): CatalogQuery =
+    CatalogQuery(name, description, fn, Some(oracle))
+
+  private def noOracle(name: String, description: String)(
+      fn: (SparkSession, String) => DataFrame): CatalogQuery =
+    CatalogQuery(name, description, fn, None)
+
+  // ---------------------------------------------------------------- A3/A1/A2
+  val q1Agg = q("q1_agg",
+    "Grouped SUM/AVG/COUNT (A2,A3) — TPC-H Q1-shaped pricing summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4) AS sum_qty,
+      |       round(sum(l_extendedprice), 4) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |       round(avg(l_discount), 6) AS avg_disc,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // ---------------------------------------------------------------- P2/P3
+  val q2FilterProject = q("q2_filter_project",
+    "Typed rename/cast projection + equality filter (P2, P3)",
+    """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+      |       CAST(l_quantity AS BIGINT) AS qty,
+      |       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+      |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
+  }
+
+  // ---------------------------------------------------------------- P4/A1/S3
+  val q3HwmFilter = q("q3_hwm_filter",
+    "Incremental high-water-mark filter: scalar subquery vs self (P4, A1, S3)",
+    """SELECT l_orderkey, l_linenumber, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders)""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val hwm = Incremental.highWaterMark(Tables.orders(s, d), "o_orderdate")
+    li.filter(col("l_shipdate") > lit(hwm.get))
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+  }
+
+  // ---------------------------------------------------------------- P1
+  val q4StarPlus = q("q4_star_plus",
+    "Star-plus projection: pass-through + derived event date (P1)",
+    """SELECT event_id, user_id, event_type, value, props,
+      |       CAST(ts AS DATE) AS event_date
+      |FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("props"), to_date(col("ts")).as("event_date"))
+  }
+
+  // ---------------------------------------------------------------- P5
+  val q5NullFilter = q("q5_null_filter",
+    "IS NULL predicate over a derived nullable column (P5)",
+    """SELECT event_id, user_id, value
+      |FROM events WHERE nullif(event_type, 'error') IS NULL""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(nullif(col("event_type"), lit("error")).isNull)
+      .select("event_id", "user_id", "value")
+  }
+
+  // ---------------------------------------------------------------- J1
+  val q6BroadcastJoin = q("q6_broadcast_join",
+    "Small-dimension broadcast equi-joins + grouped agg (J1, A3)",
+    """SELECT r_name, n_name,
+      |       count(*) AS n_customers,
+      |       round(sum(c_acctbal), 4) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 4).as("total_acctbal"))
+  }
+
+  // ---------------------------------------------------------------- J2
+  val q7FactJoin = q("q7_fact_join",
+    "Fact-to-fact equi join + grouped agg (J2, A3)",
+    """SELECT o_orderpriority,
+      |       count(*) AS n_items,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- J3 (explode rewrite)
+  val q8IntervalExpand = q("q8_interval_expand",
+    "Interval expansion to one row per day — explode(sequence) rewrite of the cross-join range filter (J3, G1)",
+    """SELECT as_of_date, count(*) AS n_active,
+      |       round(sum(o_totalprice), 4) AS open_value
+      |FROM (SELECT o_totalprice,
+      |             unnest(generate_series(CAST(o_orderdate AS DATE),
+      |                                    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INTEGER),
+      |                                    INTERVAL 1 DAY))::DATE AS as_of_date
+      |      FROM orders)
+      |GROUP BY as_of_date""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      col("o_totalprice"),
+      to_date(col("o_orderdate")).as("start_date"),
+      date_add(to_date(col("o_orderdate")), (col("o_orderkey") % 30).cast("int")).as("end_date"))
+    IntervalExpand.expandDays(o, col("start_date"), col("end_date"))
+      .groupBy("as_of_date")
+      .agg(count(lit(1)).as("n_active"),
+        round(sum("o_totalprice"), 4).as("open_value"))
+  }
+
+  // ---------------------------------------------------------------- J4 (half-open range join vs spine)
+  val q9RangeJoin = q("q9_range_join",
+    "Half-open date-spine range join, rewritten to linear explode (J4, P6, G1)",
+    """WITH spine AS (
+      |  SELECT unnest(generate_series((SELECT min(CAST(o_orderdate AS DATE)) FROM orders),
+      |                                (SELECT max(CAST(o_orderdate AS DATE)) FROM orders),
+      |                                INTERVAL 1 DAY))::DATE AS date_day)
+      |SELECT s.date_day, count(*) AS n_active, round(sum(o.o_totalprice), 4) AS open_value
+      |FROM spine s
+      |JOIN orders o ON s.date_day >= CAST(o.o_orderdate AS DATE)
+      |             AND s.date_day < CAST(o.o_orderdate AS DATE) + 7
+      |GROUP BY s.date_day""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(
+      col("o_totalprice"), to_date(col("o_orderdate")).as("od"))
+    val maxDate = o.agg(max("od")).head().get(0)
+    // explode rewrite of the non-equi join: [od, od+7) ∩ [min, max]
+    IntervalExpand.expandDaysHalfOpen(o, col("od"), date_add(col("od"), 7), "date_day")
+      .filter(col("date_day") <= lit(maxDate))
+      .groupBy("date_day")
+      .agg(count(lit(1)).as("n_active"),
+        round(sum("o_totalprice"), 4).as("open_value"))
+  }
+
+  // ---------------------------------------------------------------- J5/G2 + distinct agg
+  val q10Tokens = q("q10_tokens",
+    "Lateral array explode of a tokenized column + distinct agg (J5, G2)",
+    """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |      FROM documents)
+      |GROUP BY token""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
+  }
+
+  // ---------------------------------------------------------------- A5/A6 (array HOFs)
+  val q11ArrayHof = q("q11_array_hof",
+    "Correlated array aggregation + first-element subquery as HOFs (A5, A6, O3)",
+    """SELECT vec_id,
+      |       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vec_sum,
+      |       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+      |       len(embedding) AS dim
+      |FROM embeddings""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    e.select(
+      col("vec_id"),
+      round(aggregate(transform(col("embedding"), x => x.cast("double")),
+        lit(0.0), (acc, x) => acc + x), 4).as("vec_sum"),
+      round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+      size(col("embedding")).cast("long").as("dim"))
+  }
+
+  // ---------------------------------------------------------------- W1/W2 + ranking
+  val q12Window = q("q12_window",
+    "Window count over partition + ranked top-N per group (W1, W2)",
+    """SELECT * FROM (
+      |  SELECT o_orderkey,
+      |         year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |         count(*) OVER (PARTITION BY year(o_orderdate), month(o_orderdate)) AS n_in_month,
+      |         row_number() OVER (PARTITION BY year(o_orderdate), month(o_orderdate)
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("mo", month(col("o_orderdate")))
+    val part = Window.partitionBy(col("yr"), col("mo"))
+    o.withColumn("n_in_month", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(
+        part.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rn") <= 5)
+      .select("o_orderkey", "yr", "mo", "n_in_month", "rn")
+  }
+
+  // ---------------------------------------------------------------- G1 + calendar semantics (W1, W2, date scalars)
+  val q13Calendar = q("q13_calendar",
+    "Generated calendar date spine with window-derived attributes (G1, W1, W2)",
+    """WITH spine AS (
+      |  SELECT unnest(generate_series((SELECT min(CAST(o_orderdate AS DATE)) FROM orders),
+      |                                (SELECT max(CAST(o_orderdate AS DATE)) FROM orders),
+      |                                INTERVAL 1 DAY))::DATE AS date_day)
+      |SELECT date_day,
+      |       year(date_day) AS yr,
+      |       month(date_day) AS mo,
+      |       day(date_day) AS day_of_month,
+      |       dayname(date_day) AS day_name,
+      |       CAST(quarter(date_day) AS VARCHAR) AS quarter_of_year,
+      |       isodow(date_day) AS iso_dow,
+      |       CASE WHEN dayname(date_day) IN ('Saturday','Sunday') THEN FALSE ELSE TRUE END AS is_weekday,
+      |       count(*) OVER (PARTITION BY year(date_day), month(date_day)) AS days_in_month,
+      |       CASE WHEN count(*) OVER (PARTITION BY year(date_day)) = 365 THEN FALSE ELSE TRUE END AS is_leap_year
+      |FROM spine""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("od"))
+    val bounds = o.agg(min("od").as("lo"), max("od").as("hi")).head()
+    val spine = IntervalExpand.dateSpine(
+      o.limit(1), lit(bounds.get(0)), lit(bounds.get(1)))
+    val wMonth = Window.partitionBy(year(col("date_day")), month(col("date_day")))
+    val wYear = Window.partitionBy(year(col("date_day")))
+    spine.select(
+      col("date_day"),
+      year(col("date_day")).as("yr"),
+      month(col("date_day")).as("mo"),
+      dayofmonth(col("date_day")).as("day_of_month"),
+      date_format(col("date_day"), "EEEE").as("day_name"),
+      quarter(col("date_day")).cast("string").as("quarter_of_year"),
+      (weekday(col("date_day")) + 1).as("iso_dow"),
+      (!date_format(col("date_day"), "EEEE").isin("Saturday", "Sunday")).as("is_weekday"),
+      count(lit(1)).over(wMonth).as("days_in_month"),
+      (count(lit(1)).over(wYear) =!= 365).as("is_leap_year"))
+  }
+
+  // ---------------------------------------------------------------- U1
+  val q14UnionFx = q("q14_union_fx",
+    "UNION ALL of literal rows — the static FX matrix (U1)",
+    """SELECT from_currency, to_currency, CAST(exchange_rate AS DOUBLE) AS exchange_rate
+      |FROM (VALUES
+      |  ('USD','USD',1.0), ('GBP','USD',1.27), ('EUR','USD',1.08),
+      |  ('USD','GBP',0.79), ('EUR','GBP',0.85), ('GBP','EUR',1.17),
+      |  ('USD','EUR',0.93), ('EUR','EUR',1.0), ('GBP','GBP',1.0))
+      |AS t(from_currency, to_currency, exchange_rate)""".stripMargin) { (s, _) =>
+    import s.implicits._
+    Seq(
+      ("USD", "USD", 1.0), ("GBP", "USD", 1.27), ("EUR", "USD", 1.08),
+      ("USD", "GBP", 0.79), ("EUR", "GBP", 0.85), ("GBP", "EUR", 1.17),
+      ("USD", "EUR", 0.93), ("EUR", "EUR", 1.0), ("GBP", "GBP", 1.0))
+      .toDF("from_currency", "to_currency", "exchange_rate")
+  }
+
+  // ---------------------------------------------------------------- S6 (merge)
+  val q15Merge = q("q15_merge",
+    "Keyed incremental MERGE: updates win, new keys insert (S6)",
+    """WITH updates AS (
+      |  SELECT event_id, user_id, event_type, value * 1.1 AS value FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT event_id + 1000000, user_id, event_type, value FROM events WHERE event_type = 'signup')
+      |SELECT event_id, user_id, event_type, round(value, 4) AS value FROM updates
+      |UNION ALL
+      |SELECT e.event_id, e.user_id, e.event_type, round(e.value, 4) AS value
+      |FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.event_id = e.event_id)""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    val upd = ev.filter(col("event_type") === "purchase")
+      .withColumn("value", col("value") * 1.1)
+      .unionByName(ev.filter(col("event_type") === "signup")
+        .withColumn("event_id", col("event_id") + 1000000))
+    Merge.mergeInto(ev, upd, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+  }
+
+  // ---------------------------------------------------------------- O1 (top-k)
+  val q16TopK = q("q16_topk",
+    "Global ORDER BY DESC + LIMIT as deterministic top-k (O1, A3, J2)",
+    """SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS revenue
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum("o_totalprice"), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- A4 (HAVING + scalar total)
+  val q17Having = q("q17_having",
+    "COUNT + ratio vs scalar-subquery total + HAVING (A4)",
+    """SELECT event_type, count(*) AS n,
+      |       round(count(*) * 100.0 / (SELECT count(*) FROM events), 4) AS pct
+      |FROM events
+      |GROUP BY event_type
+      |HAVING count(*) * 100.0 / (SELECT count(*) FROM events) > 5.0""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val total = ev.count()
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct", round(col("n") * 100.0 / total, 4))
+      .filter(col("n") * 100.0 / total > 5.0)
+  }
+
+  // ---------------------------------------------------------------- JSON + CASE + IN scalar functions
+  val q18JsonCase = q("q18_json_case",
+    "JSON extraction, CASE bands, IN-list, COALESCE (§2.9 scalar surface)",
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |       CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS band,
+      |       event_type IN ('purchase', 'signup') AS is_conversion,
+      |       coalesce(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1) AS missing_k
+      |FROM events""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      when(col("value") < 50, "low").when(col("value") < 150, "mid")
+        .otherwise("high").as("band"),
+      col("event_type").isin("purchase", "signup").as("is_conversion"),
+      coalesce(get_json_object(col("props"), "$.missing").cast("long"), lit(-1L)).as("missing_k"))
+  }
+
+  // ---------------------------------------------------------------- dedup: exact
+  val q19DedupExact = q("q19_dedup_exact",
+    "Exact dedup by canonical-text fingerprint (north star: dedup)",
+    """SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS dedup_key,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    Dedup.exactDedupStats(Tables.documents(s, d),
+      TextFunctions.fingerprint(col("text")), col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- dedup: minhash LSH (no SQL oracle — rows-only)
+  val q20MinHash = noOracle("q20_minhash_lsh",
+    "MinHash+LSH near-dup candidate pairs (north star: dedup; engine-hash-dependent, rows-only check)") { (s, d) =>
+    Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 2, threshold = 0.2)
+  }
+
+  // ---------------------------------------------------------------- dedup: exact n-gram jaccard
+  val q21Jaccard = q("q21_ngram_jaccard",
+    "Exact unigram-Jaccard similar pairs within a blocking key (north star: dedup)",
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       round(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+      |                  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END, 4) AS jaccard
+      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+      |           ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END >= 0.5""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      blockCol = "source", k = 1, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- dedup: simhash (rows-only)
+  val q22SimHash = noOracle("q22_simhash",
+    "SimHash banded near-dup pairs (north star: dedup; engine-hash-dependent, rows-only check)") { (s, d) =>
+    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+  }
+
+  // ---------------------------------------------------------------- similarity: brute-force cosine top-k
+  val q23CosineTopK = q("q23_cosine_topk",
+    "Brute-force cosine top-k over embeddings (north star: similarity)",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+      |                                      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 5""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, roundTo = 4)
+  }
+
+  // ---------------------------------------------------------------- similarity: IVF (rows-only; approx)
+  val q24Ivf = noOracle("q24_ivf_topk",
+    "IVF-bucketed approximate top-k (north star: similarity scale path; rows-only check)") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val centroids = e.filter(col("vec_id") % 50 === 0)
+    val cells = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+    Similarity.ivfTopK(cells, centroids, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, nProbe = 3, roundTo = 4)
+  }
+
+  // ---------------------------------------------------------------- text: language ID
+  val q25LangId = q("q25_langid",
+    "Marker-ratio language ID (north star: text analysis)",
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |       round(CASE WHEN len(toks) = 0 THEN 0.0
+      |                  ELSE CAST(len(list_filter(toks, t -> t IN (${TextFunctions.EnglishMarkers.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks) END, 4) AS en_score,
+      |       CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+      |                  ELSE CAST(len(list_filter(toks, t -> t IN (${TextFunctions.EnglishMarkers.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks) END) >= 0.05
+      |            THEN 'en' ELSE 'other' END AS lang_pred
+      |FROM t""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      round(TextFunctions.englishScore(TextFunctions.tokens(col("text"))), 4).as("en_score"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+  }
+
+  // ---------------------------------------------------------------- text: quality scoring
+  val q26Quality = q("q26_quality",
+    "Document quality scoring: token stats + alpha ratio (north star: text analysis)",
+    """WITH t AS (
+      |  SELECT doc_id, text, lower(text) AS lt,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |       len(toks) AS n_tokens,
+      |       round(CASE WHEN length(lt) = 0 THEN 0.0
+      |                  ELSE CAST(length(regexp_replace(lt, '[^a-z ]', '', 'g')) AS DOUBLE) / length(lt) END, 4) AS alpha_ratio,
+      |       round(CASE WHEN len(toks) = 0 THEN 0.0
+      |                  ELSE CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE) / len(toks) END, 4) AS mean_token_len
+      |FROM t""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      round(TextFunctions.alphaRatio(col("text")), 4).as("alpha_ratio"),
+      round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_token_len"))
+  }
+
+  // ---------------------------------------------------------------- multimodal: binary payload stats
+  val q27Multimodal = q("q27_multimodal_stats",
+    "Opaque binary payload column: byte length + content hash (north star: multimodal plumbing)",
+    """SELECT doc_id AS asset_id, 'text' AS modality,
+      |       octet_length(encode(text)) AS byte_len,
+      |       md5(text) AS content_hash
+      |FROM documents""".stripMargin) { (s, d) =>
+    Multimodal.payloadStats(
+      Multimodal.assetsFromText(Tables.documents(s, d), "doc_id", "text"))
+  }
+
+  // ---------------------------------------------------------------- rollup (beyond-ref completeness)
+  val q28Rollup = q("q28_rollup",
+    "ROLLUP subtotals (grouping-set family; beyond-reference completeness)",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_extendedprice), 4) AS sum_base, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_extendedprice"), 4).as("sum_base"), count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------- lag/lead (beyond-ref window completeness)
+  val q29Lag = q("q29_lag_gap",
+    "LAG over user sessions: inter-event gap (beyond-reference window completeness)",
+    """SELECT event_id, user_id,
+      |       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |FROM events""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+  }
+
+  // ---------------------------------------------------------------- semi/anti joins (beyond-ref join completeness)
+  val q30AntiJoin = q("q30_anti_join",
+    "Left-anti join: customers with no orders (beyond-reference join completeness)",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  val all: Seq[CatalogQuery] = Seq(
+    q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
+    q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
+    q11ArrayHof, q12Window, q13Calendar, q14UnionFx, q15Merge,
+    q16TopK, q17Having, q18JsonCase, q19DedupExact, q20MinHash,
+    q21Jaccard, q22SimHash, q23CosineTopK, q24Ivf, q25LangId,
+    q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin)
+}
