@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{Sketches, TextFunctions}
 
 /** Deduplication operator family for training-data pipelines:
   * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
@@ -53,18 +53,16 @@ object Dedup {
     when(n >= k, array_distinct(sh)).otherwise(array(array_join(tk, " ")))
   }
 
-  /** MinHash signature: for seed s in 0..numHashes-1, min over
-    * shingles of xxhash64(shingle, s). All codegen'd HOFs — computed
-    * in the scan stage, no shuffle. */
+  /** MinHash signature via the custom codegen'd expression
+    * (graft.functions.MinHashSignature) — computed in the scan stage,
+    * no shuffle, tight compiled loop instead of interpreted HOFs. */
   def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))
+    Sketches.minhash_signature(shinglesCol, numHashes)
 
   /** Estimated Jaccard from two equal-length signatures: fraction of
-    * agreeing positions. */
+    * agreeing positions (codegen'd SigAgreement expression). */
   def estimatedJaccard(sigA: Column, sigB: Column): Column =
-    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
-      .cast("double") / size(sigA).cast("double")
+    Sketches.sig_agreement(sigA, sigB)
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
@@ -109,23 +107,11 @@ object Dedup {
       .distinct()
   }
 
-  private val BitMasks: Seq[Long] = (0 until 64).map(j => 1L << j)
-
   /** 64-bit SimHash of the token stream: bit j of the result is the
-    * sign of Σ_tokens (±1 by bit j of xxhash64(token)). Pure per-row
-    * HOF arithmetic — no UDF, no shuffle. */
-  def simHash(text: Column): Column = {
-    val tk = array_distinct(TextFunctions.tokens(text))
-    val hashes = transform(tk, t => xxhash64(t))
-    val masks = array(BitMasks.map(lit): _*)
-    val zeros = array(Seq.fill(64)(lit(0)): _*)
-    val votes = aggregate(hashes, zeros,
-      (acc, h) => zip_with(acc, masks,
-        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * sign of Σ_tokens (±1 by bit j of xxhash64(token)). Codegen'd
+    * SimHash64 expression — no UDF, no shuffle. */
+  def simHash(text: Column): Column =
+    Sketches.simhash64(array_distinct(TextFunctions.tokens(text)))
 
   /** SimHash near-dup pairs via 4×16-bit band blocking (any pair with
     * Hamming ≤ 3 shares at least one of 4 bands). */

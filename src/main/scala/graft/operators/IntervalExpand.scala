@@ -27,15 +27,19 @@ object IntervalExpand {
   /** One output row per day in [start, end] (closed interval — the
     * deferred_revenue.sql:118-122 semantics). Rows where start > end
     * or either bound is null produce no output (matches the inner
-    * range join). */
+    * range join). NB: a bare sequence(a, b) would generate a
+    * DESCENDING range when a > b — the `when` guard nulls those out
+    * and explode drops them. */
   def expandDays(df: DataFrame, start: Column, end: Column,
                  as: String = "as_of_date"): DataFrame =
-    df.withColumn(as, explode(sequence(start, end)))
+    df.withColumn(as, explode(when(start <= end, sequence(start, end))))
 
-  /** Half-open variant [start, end) — recognized_revenue.sql:92-94. */
+  /** Half-open variant [start, end) — recognized_revenue.sql:92-94.
+    * Zero-length periods (start == end) produce no rows. */
   def expandDaysHalfOpen(df: DataFrame, start: Column, end: Column,
                          as: String = "recognition_date"): DataFrame =
-    df.withColumn(as, explode(sequence(start, date_sub(end, 1))))
+    df.withColumn(as,
+      explode(when(start < end, sequence(start, date_sub(end, 1)))))
 
   /** Literal spine range join (BroadcastNestedLoopJoin) — the
     * reference's formulation, kept as a correctness oracle for the

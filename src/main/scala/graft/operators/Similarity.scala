@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Sketches
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -35,8 +36,14 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0.0 when either vector has zero norm.
+    * Codegen'd CosineSimilarityF expression — a tight compiled loop
+    * over the float arrays, accumulated in double. */
+  def cosine(a: Column, b: Column): Column = Sketches.cosine_f(a, b)
+
+  /** HOF reference implementation of cosine (kept as the correctness
+    * oracle for CosineSimilarityF in SimilaritySpec). */
+  def cosineHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column) =
+    spark.range(1).select(c)
+
+  test("tokens lowercases and splits on non-alphanumerics") {
+    val t = one(TextFunctions.tokens(lit("Hello, World! x2")).as("t"))
+      .as[Seq[String]].head()
+    assert(t === Seq("hello", "world", "x2"))
+  }
+
+  test("tokenCount and whitespaceTokenCount") {
+    assert(one(TextFunctions.tokenCount(lit("a b-c d"))).as[Int].head() === 4)
+    assert(one(TextFunctions.whitespaceTokenCount(lit("a b-c d"))).as[Int].head() === 3)
+  }
+
+  test("englishScore and langId classify marker-heavy text as en") {
+    val en = one(TextFunctions.langId(lit("the cat sat on the mat and it was happy")))
+      .as[String].head()
+    assert(en === "en")
+    val other = one(TextFunctions.langId(lit("zzz qqq www rrr ttt yyy")))
+      .as[String].head()
+    assert(other === "other")
+    // empty text → score 0, 'other'
+    assert(one(TextFunctions.englishScore(TextFunctions.tokens(lit(""))))
+      .as[Double].head() === 0.0)
+  }
+
+  test("alphaRatio counts only [a-z ] characters") {
+    val r = one(TextFunctions.alphaRatio(lit("ab12"))).as[Double].head()
+    assert(r === 0.5)
+  }
+
+  test("meanTokenLen averages token character lengths") {
+    val m = one(TextFunctions.meanTokenLen(lit("ab abcd"))).as[Double].head()
+    assert(m === 3.0)
+  }
+
+  test("fingerprint is canonical: case/punctuation-insensitive, content-sensitive") {
+    val fps = Seq("The Quick Fox!", "the quick fox", "the quick cat")
+      .toDF("t").select(TextFunctions.fingerprint($"t")).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("qualityScore stays within [0,1] and favors clean text") {
+    val scores = Seq(
+      "a clean readable sentence with normal words in it",
+      "@@@@ #### $$$$ %%%% ^^^^ &&&&")
+      .toDF("t").select(TextFunctions.qualityScore($"t")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+}

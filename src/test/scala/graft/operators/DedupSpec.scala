@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again"
+  private val docA2 = "The quick brown fox jumps over the lazy dog again and again!"  // near-identical
+  private val docB = "completely different content about spark query engines and shuffles"
+
+  private def docs = Seq(
+    (1L, docA, "s1"), (2L, docA2, "s1"), (3L, docB, "s1"),
+    (4L, docA, "s2")  // exact dup of 1 (after canonicalization)
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDedup keeps the min-id row per fingerprint") {
+    val out = Dedup.exactDedupStats(docs,
+      TextFunctions.fingerprint($"text"), $"doc_id")
+      .orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    // docA (ids 1,4) collapse; docA2 canonicalizes identically to docA
+    // (punctuation/case stripped) so it joins that group too
+    assert(out === Array((1L, 3L), (3L, 1L)))
+    val rows = Dedup.exactDedup(docs, TextFunctions.fingerprint($"text"), $"doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(rows === Array(1L, 3L))
+  }
+
+  test("minHashLsh surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleK = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))  // exact dup: signature identical
+    assert(pairs.contains((1L, 2L)))  // near dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })  // unrelated
+  }
+
+  test("estimatedJaccard is 1.0 for identical signatures") {
+    val sigs = docs.select(
+      Dedup.minHashSignature(Dedup.shingles($"text", 2), 32).as("sig"))
+    val j = sigs.limit(1).crossJoin(sigs.limit(1).select($"sig".as("sig2")))
+      .select(Dedup.estimatedJaccard($"sig", $"sig2")).as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("simHash: identical text → identical signature; hamming 0 pair found") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 === 0L))
+  }
+
+  test("ngramJaccardPairs: identity 1.0, near-dup high, unrelated low") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCol = "source", k = 1, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(out((1L, 2L)) === 1.0)  // same token set after canonicalization
+    assert(out((1L, 3L)) < 0.2)
+    // cross-source pairs are blocked out
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("shingles: shorter-than-k documents collapse to a single shingle") {
+    val out = spark.range(1).select(
+      Dedup.shingles(lit("only two"), 3).as("sh")).as[Seq[String]].head()
+    assert(out === Seq("only two"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+class IntervalExpandSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def facts = Seq(
+    (1L, "2024-01-01", "2024-01-03"),  // 3-day closed interval
+    (2L, "2024-01-05", "2024-01-05"),  // single day
+    (3L, "2024-01-10", "2024-01-08")   // inverted → no rows
+  ).toDF("id", "s", "e")
+    .select($"id", to_date($"s").as("s"), to_date($"e").as("e"))
+
+  test("closed-interval expansion emits one row per day in [s, e]") {
+    val out = IntervalExpand.expandDays(facts, $"s", $"e")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("half-open expansion emits [s, e) — end day excluded") {
+    val out = IntervalExpand.expandDaysHalfOpen(facts, $"s", $"e")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L))  // id 2 has zero-length period, id 3 inverted
+  }
+
+  test("explode rewrite ≡ literal spine range join (the J3/J4 equivalence)") {
+    val spine = IntervalExpand.dateSpine(facts.limit(1),
+      lit(Date.valueOf("2023-12-25")), lit(Date.valueOf("2024-01-20")))
+    val viaJoin = IntervalExpand.rangeJoinSpine(facts, spine, "date_day",
+      $"s", $"e", closedEnd = true)
+      .select($"id", $"date_day".as("as_of_date"))
+    val viaExplode = IntervalExpand.expandDays(facts, $"s", $"e")
+      .select($"id", $"as_of_date")
+    assert(viaExplode.exceptAll(viaJoin).count() === 0)
+    assert(viaJoin.exceptAll(viaExplode).count() === 0)
+
+    val halfJoin = IntervalExpand.rangeJoinSpine(facts, spine, "date_day",
+      $"s", $"e", closedEnd = false)
+      .select($"id", $"date_day".as("recognition_date"))
+    val halfExplode = IntervalExpand.expandDaysHalfOpen(facts, $"s", $"e")
+      .select($"id", $"recognition_date")
+    assert(halfExplode.exceptAll(halfJoin).count() === 0)
+    assert(halfJoin.exceptAll(halfExplode).count() === 0)
+  }
+
+  test("null bounds produce no rows (inner-join semantics)") {
+    val withNull = Seq((9L, Some("2024-01-01"), None: Option[String]))
+      .toDF("id", "s", "e")
+      .select($"id", to_date($"s").as("s"), to_date($"e").as("e"))
+    assert(IntervalExpand.expandDays(withNull, $"s", $"e").count() === 0)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("id", "name", "v")
+
+  private def updates = Seq(
+    (2L, "b2", 99.0),  // update existing key
+    (4L, "d", 40.0)    // brand-new key
+  ).toDF("id", "name", "v")
+
+  test("updates win over target rows; new keys insert; others pass through") {
+    val out = Merge.mergeInto(target, updates, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(out === Array(
+      (1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("merge is idempotent: applying the same updates twice == once") {
+    val once = Merge.mergeInto(target, updates, Seq("id"))
+    val twice = Merge.mergeInto(once, updates, Seq("id"))
+    assert(twice.orderBy("id").collect() === once.orderBy("id").collect())
+  }
+
+  test("composite keys dedupe on the full key tuple") {
+    val t = Seq((1L, "2024-01-01", 1.0), (1L, "2024-01-02", 2.0))
+      .toDF("k", "day", "v")
+    val u = Seq((1L, "2024-01-02", 20.0)).toDF("k", "day", "v")
+    val out = Merge.mergeInto(t, u, Seq("k", "day"))
+      .orderBy("k", "day").as[(Long, String, Double)].collect()
+    assert(out === Array((1L, "2024-01-01", 1.0), (1L, "2024-01-02", 20.0)))
+  }
+
+  test("versionCol: the highest version wins regardless of side") {
+    val t = Seq((1L, 5L, "newer-in-target")).toDF("id", "ver", "tag")
+    val u = Seq((1L, 3L, "older-update")).toDF("id", "ver", "tag")
+    val out = Merge.mergeInto(t, u, Seq("id"), versionCol = Some("ver"))
+      .as[(Long, Long, String)].collect()
+    assert(out === Array((1L, 5L, "newer-in-target")))
+  }
+
+  test("highWaterMark and newerThan implement the incremental filter") {
+    val t = Seq((1L, 10L), (2L, 20L)).toDF("id", "created")
+    val u = Seq((3L, 15L), (4L, 25L)).toDF("id", "created")
+    assert(Incremental.highWaterMark(t, "created").contains(20L))
+    val fresh = Incremental.newerThan(u, t, "created")
+      .as[(Long, Long)].collect()
+    assert(fresh === Array((4L, 25L)))
+    // empty target → everything passes
+    val empty = t.filter(lit(false))
+    assert(Incremental.newerThan(u, empty, "created").count() === 2)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.0f, 0.0f, 0.0f))    // zero vector
+  ).toDF("vec_id", "embedding")
+
+  test("cosine expression matches the HOF reference implementation") {
+    val both = vecs.crossJoin(vecs.select($"embedding".as("e2")))
+      .select(
+        Similarity.cosine($"embedding", $"e2").as("fast"),
+        Similarity.cosineHof($"embedding", $"e2").as("ref"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (fast, ref) =>
+      assert(math.abs(fast - ref) < 1e-12, s"$fast vs $ref")
+    }
+  }
+
+  test("cosine: known geometry (identity 1, orthogonal 0, opposite -1, zero-norm 0)") {
+    val c = (a: Long, b: Long) =>
+      vecs.filter($"vec_id" === a).select($"embedding".as("x"))
+        .crossJoin(vecs.filter($"vec_id" === b).select($"embedding".as("y")))
+        .select(Similarity.cosine($"x", $"y")).as[Double].head()
+    assert(math.abs(c(0L, 0L) - 1.0) < 1e-12)
+    assert(math.abs(c(0L, 2L)) < 1e-12)
+    assert(math.abs(c(0L, 3L) + 1.0) < 1e-12)
+    assert(c(0L, 4L) === 0.0)
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 2)
+      .orderBy(desc("cos")).as[(Long, Long, Double)].collect()
+    assert(out.length === 2)
+    assert(out(0)._2 === 1L)  // nearest neighbor is the 0.9/0.1 vector
+    assert(out.forall(_._2 != 0L))
+  }
+
+  test("ivfTopK with all-centroid probing equals brute force") {
+    val centroids = vecs.filter($"vec_id".isin(0L, 2L))
+    val cells = Similarity.assignCells(vecs, centroids, "vec_id", "embedding")
+    assert(cells.count() === vecs.count())
+    val q = vecs.filter($"vec_id" === 1)
+    val ivf = Similarity.ivfTopK(cells, centroids, q, "vec_id", "embedding",
+      k = 2, nProbe = 2)  // probes every cell → exact
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 2)
+    assert(ivf.orderBy("neighbor_id").collect() === bf.orderBy("neighbor_id").collect())
+  }
+}
