@@ -116,6 +116,77 @@ object Sketches {
     eq.toDouble / n
   }
 
+  /** Exact Jaccard similarity of two string arrays treated as sets.
+    * Hash-set membership on the smaller side — O(n+m), vs the
+    * interpreted O(n·m)-ish array_intersect expression chain. */
+  def jaccardStr(a: ArrayData, b: ArrayData): Double = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    val nl = large.numElements()
+    if (ns == 0 && nl == 0) return 1.0
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    val nSmall = set.size  // distinct count of the small side
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](nl * 2)
+    var inter = 0
+    var nLarge = 0
+    i = 0
+    while (i < nl) {
+      val v = large.getUTF8String(i)
+      if (seen.add(v)) {
+        nLarge += 1
+        if (set.contains(v)) inter += 1
+      }
+      i += 1
+    }
+    val union = nSmall + nLarge - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Jaccard of two SORTED long arrays (each already distinct):
+    * linear merge counting the intersection — no per-element hashing,
+    * the cheapest exact pair verifier. */
+  def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Distinct sorted xxhash64 of each string element — the compact
+    * per-document "token set" fed to jaccardSortedLong. */
+  def hashedTokenSet(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedupe in place
+    var out = 0
+    i = 0
+    while (i < n) {
+      if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
   private[functions] def requireType(actual: DataType, expected: ArrayType,
                                      name: String): TypeCheckResult =
     actual match {
@@ -141,6 +212,14 @@ object Sketches {
   def sig_agreement(a: Column, b: Column): Column =
     Bridge.column(SigAgreement(
       Bridge.expression(a), Bridge.expression(b)))
+  def jaccard_str(a: Column, b: Column): Column =
+    Bridge.column(JaccardStr(
+      Bridge.expression(a), Bridge.expression(b)))
+  def jaccard_sorted_long(a: Column, b: Column): Column =
+    Bridge.column(JaccardSortedLong(
+      Bridge.expression(a), Bridge.expression(b)))
+  def hashed_token_set(c: Column): Column =
+    Bridge.column(HashedTokenSet(Bridge.expression(c)))
 }
 
 /** MinHash signature of an array<string> of shingles → array<bigint>. */
@@ -206,4 +285,51 @@ case class SigAgreement(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreement =
     copy(left = l, right = r)
   override def prettyName: String = "sig_agreement"
+}
+
+/** Exact set-Jaccard of two array<string> columns → double. */
+case class JaccardStr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireTypes(Seq(left, right), ArrayType(StringType), prettyName)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.jaccardStr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Sketches.jaccardStr($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardStr =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_str"
+}
+
+/** Jaccard of two sorted-distinct array<bigint> columns → double. */
+case class JaccardSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireTypes(Seq(left, right), ArrayType(LongType), prettyName)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.jaccardSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Sketches.jaccardSortedLong($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedLong =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted_long"
+}
+
+/** array<string> → sorted distinct array<bigint> of element hashes. */
+case class HashedTokenSet(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireType(child.dataType, ArrayType(StringType), prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sketches.hashedTokenSet(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.hashedTokenSet($c);")
+  override protected def withNewChildInternal(newChild: Expression): HashedTokenSet =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_token_set"
 }

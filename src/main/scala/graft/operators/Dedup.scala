@@ -76,9 +76,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
+    // The repartition is a materialization barrier as much as a
+    // partitioning choice: without an exchange between the signature
+    // projection and the downstream explode/join, CollapseProject
+    // inlines minhash_signature into the pair stage and recomputes it
+    // per banded row / per candidate pair instead of once per doc.
     val sigs = df.select(
       col(idCol).as("id"),
       minHashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+      .repartition(col("id"))
 
     // band keys built with a Scala-level loop (band count is static)
     val bandStructs = (0 until bands).map { b =>
@@ -117,7 +123,10 @@ object Dedup {
     * Hamming ≤ 3 shares at least one of 4 bands). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // exchange barrier: materialize the simhash once per doc (see
+    // minHashLsh for the CollapseProject rationale)
     val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .repartition(col("id"))
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
@@ -138,22 +147,29 @@ object Dedup {
   }
 
   /** Exact n-gram (word-shingle) Jaccard for all pairs within a
-    * blocking key — the exact verifier for LSH candidates.
-    * Deterministic set arithmetic via array_intersect on distinct
-    * shingle sets. */
+    * blocking key — the exact verifier for LSH candidates. Pair
+    * scoring uses the codegen'd JaccardStr expression (hash-set
+    * intersection, O(n+m) per pair) — the interpreted array_intersect
+    * chain was the sf0.1 bench hot spot. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, k: Int = 1,
                         threshold: Double = 0.5): DataFrame = {
+    // hash each shingle set ONCE per document into a sorted long
+    // array: pair scoring is then a linear merge with no hashing and
+    // the join shuffles 8-byte hashes instead of shingle strings.
+    // The repartition on the block key both co-partitions the self-
+    // join (no broadcast of the corpus) and acts as the barrier that
+    // stops CollapseProject from re-tokenizing per PAIR (measured 13s
+    // → sub-second per-doc cost at sf0.1 without it).
     val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), k)).as("sh"))
+      Sketches.hashed_token_set(shingles(col(textCol), k)).as("sh"))
+      .repartition(col("block"))
     val a = toks.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = toks.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        when(uni === 0.0, 1.0).otherwise(inter / uni).as("jaccard"))
+        Sketches.jaccard_sorted_long(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
