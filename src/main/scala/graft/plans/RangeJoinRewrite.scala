@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{ArrayType, DateType}
+
+/** Optimizer rule: rewrite date-spine range joins to linear explode.
+  *
+  * The reference expresses per-day expansion as a calendar cross join
+  * with range bounds (reference: deferred_revenue.sql:112-122) or a
+  * non-equi inner join (recognized_revenue.sql:92-94). Spark has no
+  * range-join strategy, so both plan as BroadcastNestedLoopJoin —
+  * every fact row tested against every spine row: O(|fact|·|spine|)
+  * compares for an output of only O(Σ days-in-range). At 100 TB the
+  * BNLJ is the difference between a job that finishes and one that
+  * doesn't.
+  *
+  * Pattern matched:  fact JOIN spine ON spine.d >= lo AND spine.d <(=) hi
+  * where the spine side outputs exactly one date column and lo/hi are
+  * expressions over the fact side.
+  *
+  * Rewrite:          Generate(explode(sequence(lo, hi')), fact)
+  *                   LEFT SEMI JOIN spine ON d = spine.d
+  * The generated attribute reuses the spine column's exprId, so every
+  * downstream reference resolves unchanged. The semi join keeps the
+  * result identical even when the spine covers less than [lo, hi]
+  * (e.g. a capped calendar): membership is still checked, but against
+  * a hash relation instead of a nested loop — and it broadcasts,
+  * because a date spine is always tiny.
+  *
+  * Semantics note: exact equivalence requires spine dates to be
+  * UNIQUE (true for any calendar dimension; duplicate spine rows
+  * would duplicate join output where the semi join does not).
+  * Disable with spark.graft.rangeJoinRewrite=false.
+  *
+  * Register via `.withExtensions(new GraftExtensions)` or
+  * spark.sql.extensions=graft.plans.GraftExtensions.
+  */
+object RangeJoinToExplodeRule extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.rangeJoinRewrite", "true").toBoolean
+
+  /** Normalized bound: the comparison constrains `attr` against
+    * `bound` (an expression over the fact side). */
+  private case class Bound(attr: Attribute, bound: Expression,
+                           isLower: Boolean, inclusive: Boolean)
+
+  private def asBound(e: Expression, spineAttr: Attribute): Option[Bound] = {
+    def is(a: Expression) = a.references.size == 1 &&
+      a.references.head.semanticEquals(spineAttr) && a.isInstanceOf[Attribute]
+    e match {
+      case GreaterThanOrEqual(a, b) if is(a) => Some(Bound(spineAttr, b, isLower = true, inclusive = true))
+      case GreaterThan(a, b) if is(a)        => Some(Bound(spineAttr, b, isLower = true, inclusive = false))
+      case LessThanOrEqual(a, b) if is(a)    => Some(Bound(spineAttr, b, isLower = false, inclusive = true))
+      case LessThan(a, b) if is(a)           => Some(Bound(spineAttr, b, isLower = false, inclusive = false))
+      case GreaterThanOrEqual(b, a) if is(a) => Some(Bound(spineAttr, b, isLower = false, inclusive = true))
+      case GreaterThan(b, a) if is(a)        => Some(Bound(spineAttr, b, isLower = false, inclusive = false))
+      case LessThanOrEqual(b, a) if is(a)    => Some(Bound(spineAttr, b, isLower = true, inclusive = true))
+      case LessThan(b, a) if is(a)           => Some(Bound(spineAttr, b, isLower = true, inclusive = false))
+      case _ => None
+    }
+  }
+
+  private def spineAttrOf(p: LogicalPlan): Option[Attribute] = p.output match {
+    case Seq(a) if a.dataType == DateType => Some(a)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        val candidates = Seq(
+          (right, left, spineAttrOf(right)), // spine on the right
+          (left, right, spineAttrOf(left)))  // spine on the left
+        candidates.collectFirst {
+          case (spine, fact, Some(dAttr))
+              if splitBounds(cond, dAttr, fact).isDefined =>
+            val (lo, hi) = splitBounds(cond, dAttr, fact).get
+            rewrite(j, fact, spine, dAttr, lo, hi)
+        }.getOrElse(j)
+    }
+  }
+
+  /** Returns (inclusive lower, inclusive upper) date expressions over
+    * the fact side, or None if the condition isn't a plain range. */
+  private def splitBounds(cond: Expression, dAttr: Attribute,
+                          fact: LogicalPlan): Option[(Expression, Expression)] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.size != 2) return None
+    val bounds = conjuncts.flatMap(asBound(_, dAttr))
+    if (bounds.size != 2) return None
+    val factRefsOk = bounds.forall(_.bound.references.subsetOf(fact.outputSet))
+    val datesOk = bounds.forall(_.bound.dataType == DateType)
+    (bounds.find(_.isLower), bounds.find(!_.isLower)) match {
+      case (Some(l), Some(u)) if factRefsOk && datesOk =>
+        val lo = if (l.inclusive) l.bound else DateAdd(l.bound, Literal(1))
+        val hi = if (u.inclusive) u.bound else DateSub(u.bound, Literal(1))
+        Some((lo, hi))
+      case _ => None
+    }
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
+    case other => Seq(other)
+  }
+
+  private def rewrite(orig: Join, fact: LogicalPlan, spine: LogicalPlan,
+                      dAttr: Attribute, lo: Expression, hi: Expression): LogicalPlan = {
+    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    val seq = new Sequence(lo, hi, None, tz)
+    // guard: sequence(a, b) DESCENDS when a > b — null it out instead
+    // (explode drops null arrays, matching inner-join emptiness)
+    val guarded = If(LessThanOrEqual(lo, hi), seq,
+      Literal.create(null, ArrayType(DateType)))
+    val gen = Generate(Explode(guarded), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None,
+      generatorOutput = Seq(dAttr.toAttribute),
+      child = fact)
+    // membership check against the (possibly narrower) spine — tiny
+    // build side, plans as a broadcast semi join
+    val freshOut = dAttr.newInstance()
+    val spineAliased = Project(
+      Seq(Alias(dAttr, dAttr.name + "_spine")(exprId = freshOut.exprId)), spine)
+    val semi = Join(gen, spineAliased, LeftSemi,
+      Some(EqualTo(dAttr.toAttribute, freshOut.withName(dAttr.name + "_spine"))),
+      JoinHint.NONE)
+    // restore the original output order (join output = left ++ right)
+    Project(orig.output, semi)
+  }
+}
+
+/** SparkSessionExtensions entry point for the engine's Catalyst
+  * additions. Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or  --conf spark.sql.extensions=graft.plans.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RangeJoinToExplodeRule)
+  }
+}

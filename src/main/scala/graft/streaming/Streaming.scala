@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Merge
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference has no streaming engine — its real-time posture is a
+  * daily cron snapshot + incremental merge (reference:
+  * extract_stripe_data.py:143, README.md:102-129). That loop is
+  * exactly `readStream → foreachBatch(mergeInto)` with
+  * `Trigger.AvailableNow`: each activation drains whatever arrived,
+  * upserts it by key, and stops — rerun-safe via checkpointing, and
+  * identical semantics to the batch pipeline (SURVEY §2.10).
+  *
+  * On top of that, the two canonical streaming operators a pipeline
+  * at scale needs: watermarked event-time windowed aggregation, and
+  * custom session state via mapGroupsWithState. State stores shard by
+  * grouping key across executors — the same partitioning story as the
+  * batch operators.
+  */
+object Streaming {
+
+  /** File-based streaming source with an explicit schema (never infer
+    * on a stream). `maxFilesPerTrigger` bounds micro-batch size so a
+    * backlog replay cannot OOM an executor. */
+  def fileStream(spark: SparkSession, schema: StructType, path: String,
+                 format: String = "parquet",
+                 maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format)
+      .load(path)
+
+  /** Event-time tumbling-window aggregation with a watermark: counts
+    * and value sums per (window, event_type). Late rows beyond the
+    * watermark are dropped — the *explicit* version of the reference's
+    * silent late-data drop (SURVEY §2.10). */
+  def windowedEventCounts(events: DataFrame,
+                          tsCol: String = "ts",
+                          windowLen: String = "1 hour",
+                          lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(firstTs: Long, lastTs: Long, nEvents: Int)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Gap-based sessionization with explicit state:
+    * mapGroupsWithState keyed by user, emitting a session when the
+    * inactivity gap exceeds `gap`. Demonstrates the
+    * KeyValueGroupedDataset custom-state path (SURVEY §2.10 mapping;
+    * state pruned via ProcessingTimeTimeout in a live stream). */
+  def sessionize(events: Dataset[SessionEvent], gap: Duration): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gap.toMillis
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // batch-demo state handling: fold sorted events into sessions
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sessions = Seq.newBuilder[UserSession]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                sessions += UserSession(user, new java.sql.Timestamp(s.firstTs),
+                  new java.sql.Timestamp(s.lastTs), s.nEvents)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          // close the trailing session in this drain-everything demo
+          cur.foreach { s =>
+            sessions += UserSession(user, new java.sql.Timestamp(s.firstTs),
+              new java.sql.Timestamp(s.lastTs), s.nEvents)
+          }
+          state.remove()
+          sessions.result().iterator
+      }
+  }
+
+  /** The incremental-merge sink: every micro-batch upserts into the
+    * parquet target by key — the reference's universal MERGE
+    * materialization driven by a stream. AvailableNow = "drain the
+    * backlog, then stop": the streaming analog of the daily batch
+    * run, checkpointed so reruns resume instead of reprocessing. */
+  def mergeSink(stream: DataFrame, spark: SparkSession, targetPath: String,
+                keys: Seq[String], checkpoint: String,
+                versionCol: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target =
+          try spark.read.parquet(targetPath)
+          catch { case _: Exception => batch.limit(0) }
+        val merged = Merge.mergeInto(target, batch, keys, versionCol)
+        val tmp = targetPath + "_stage"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+      }
+      .start()
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.time.Duration
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowed counts with watermark aggregate by event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = Streaming.windowedEventCounts(events, "ts", "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.0),
+        (ts("2024-01-01 10:15:00"), "buy", 8.0))
+      query.processAllAvailable()
+      val out = spark.table("win_counts")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(out === Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), "click", 1L, 4.0),
+        (ts("2024-01-01 10:00:00"), "buy", 1L, 8.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize splits on inactivity gaps and counts events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.SessionEvent]
+    val query = Streaming.sessionize(input.toDS(), Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streaming.SessionEvent(1L, 1L, ts("2024-01-01 10:00:00")),
+        Streaming.SessionEvent(1L, 2L, ts("2024-01-01 10:10:00")),
+        Streaming.SessionEvent(1L, 3L, ts("2024-01-01 12:00:00")), // 110-min gap → new session
+        Streaming.SessionEvent(2L, 4L, ts("2024-01-01 09:00:00")))
+      query.processAllAvailable()
+      val out = spark.table("sessions")
+        .as[Streaming.UserSession].collect()
+        .map(s => (s.user_id, s.session_start.toString, s.n_events)).toSet
+      assert(out === Set(
+        (1L, "2024-01-01 10:00:00.0", 2),
+        (1L, "2024-01-01 12:00:00.0", 1),
+        (2L, "2024-01-01 09:00:00.0", 1)))
+    } finally query.stop()
+  }
+
+  test("mergeSink drains a file stream into a keyed parquet target (AvailableNow)") {
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val tgt = Files.createTempDirectory("graft-stream-tgt").toString + "/t"
+    val ckp = Files.createTempDirectory("graft-stream-ckp").toString
+
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")
+      .write.mode("append").parquet(src)
+    val stream = Streaming.fileStream(spark,
+      spark.read.parquet(src).schema, src)
+    val q1 = Streaming.mergeSink(stream, spark, tgt, Seq("id"), ckp)
+    q1.awaitTermination()
+    assert(spark.read.parquet(tgt).count() === 2)
+
+    // second activation: new file with an update + an insert
+    Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "name", "v")
+      .write.mode("append").parquet(src)
+    val q2 = Streaming.mergeSink(Streaming.fileStream(spark,
+      spark.read.parquet(tgt).schema, src), spark, tgt, Seq("id"), ckp)
+    q2.awaitTermination()
+    val out = spark.read.parquet(tgt).orderBy("id")
+      .as[(Long, String, Double)].collect()
+    assert(out === Array((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+  }
+}
