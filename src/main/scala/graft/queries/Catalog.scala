@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Incremental, IntervalExpand, Merge, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Incremental, IntervalExpand, Merge, Multimodal, Similarity}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -523,11 +523,49 @@ object Catalog {
       .select("c_custkey", "c_name")
   }
 
+  // ---------------------------------------------------------------- as-of join
+  val q31Asof = q("q31_asof_join",
+    "As-of (point-in-time) join via single-shuffle union+window — each purchase gets the user's latest prior click",
+    """SELECT p.event_id, p.user_id, p.value, c.value AS last_click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    AsOfJoin.asof(
+      left = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+      right = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value"),
+      keyCols = Seq("user_id"),
+      leftTime = "ts", rightTime = "ts",
+      payload = Map("value" -> "last_click_value"))
+      .select("event_id", "user_id", "value", "last_click_value")
+  }
+
+  // ---------------------------------------------------------------- outer join
+  val q32OuterJoin = q("q32_outer_join",
+    "Left outer join with null-aware aggregation (beyond-reference join completeness)",
+    """SELECT c.c_custkey, c.c_mktsegment,
+      |       count(o.o_orderkey) AS n_f_orders,
+      |       coalesce(round(sum(o.o_totalprice), 4), 0.0) AS f_total
+      |FROM customer c
+      |LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+      |  ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_custkey, c.c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_f_orders"),
+        coalesce(round(sum("o_totalprice"), 4), lit(0.0)).as("f_total"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
     q11ArrayHof, q12Window, q13Calendar, q14UnionFx, q15Merge,
     q16TopK, q17Having, q18JsonCase, q19DedupExact, q20MinHash,
     q21Jaccard, q22SimHash, q23CosineTopK, q24Ivf, q25LangId,
-    q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin)
+    q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin,
+    q31Asof, q32OuterJoin)
 }

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+/** Write-side layout helpers: the reference's `partition_by` +
+  * `cluster_by` storage contract (reference: invoice_line_items.sql:5-6
+  * and every incremental model config; SURVEY §1.4).
+  *
+  * Partitioning gives read-side partition PRUNING (a filter on the
+  * partition column never opens non-matching directories); the
+  * within-partition sort gives data SKIPPING (parquet row-group
+  * min/max stats become selective on the cluster keys — the same
+  * intent as BigQuery clustering / Z-order without needing either).
+  * At 100 TB these two decisions dominate scan cost for the
+  * date-filtered access patterns every mart query uses.
+  */
+object Sinks {
+
+  /** Overwrite `df` at `path` partitioned by `partitionCol`, rows
+    * sorted within each file by `clusterCols`. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       clusterCols: Seq[String] = Nil,
+                       maxRecordsPerFile: Long = 5_000_000L): Unit = {
+    val clustered =
+      if (clusterCols.nonEmpty)
+        df.repartition(col(partitionCol))
+          .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
+      else df
+    clustered.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
+  /** NDJSON snapshot sink — the raw-zone overwrite write (reference:
+    * extract_stripe_data.py:105-116, full overwrite per run,
+    * README.md:102-105). */
+  def writeNdjsonSnapshot(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}
