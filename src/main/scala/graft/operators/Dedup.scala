@@ -95,11 +95,15 @@ object Dedup {
       .select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
 
-    // drop degenerate mega-buckets (skew guard) and singletons
-    val keepBuckets = banded.groupBy("band", "bh").count()
-      .filter(col("count") <= maxBucket && col("count") > 1)
-      .select("band", "bh")
-    val pruned = banded.join(keepBuckets, Seq("band", "bh"))
+    // drop degenerate mega-buckets (skew guard) and singletons.
+    // A window count over the (band, bh) partition does this in the
+    // SAME exchange the pair self-join needs — one shuffle instead of
+    // the aggregate-then-join-back formulation's two.
+    val wBucket = Window.partitionBy("band", "bh")
+    val pruned = banded
+      .withColumn("_bn", count(lit(1)).over(wBucket))
+      .filter(col("_bn") <= maxBucket && col("_bn") > 1)
+      .drop("_bn")
 
     val a = pruned.select(col("band"), col("bh"),
       col("id").as("id_a"), col("sig").as("sig_a"))

@@ -560,6 +560,23 @@ object Catalog {
         coalesce(round(sum("o_totalprice"), 4), lit(0.0)).as("f_total"))
   }
 
+  // ---------------------------------------------------------------- percentiles
+  val q33Percentile = q("q33_percentile",
+    "Exact interpolated percentiles per group (beyond-reference agg completeness)",
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -567,5 +584,5 @@ object Catalog {
     q16TopK, q17Having, q18JsonCase, q19DedupExact, q20MinHash,
     q21Jaccard, q22SimHash, q23CosineTopK, q24Ivf, q25LangId,
     q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin,
-    q31Asof, q32OuterJoin)
+    q31Asof, q32OuterJoin, q33Percentile)
 }
