@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks over randomized inputs (SURVEY §5 item 4):
+  *  - merge(merge(t,u),u) == merge(t,u)  (idempotency contract)
+  *  - merged key sets are exact unions; update rows win
+  *  - interval explode ≡ literal spine range join on random intervals
+  *  - deferred + recognized == amount on every expanded day
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Deterministic sampling: the scalatest-scalacheck bridge is not on
+    * the offline classpath, so drive Gen directly with fixed seeds. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val keyValGen: Gen[List[(Long, Double)]] = for {
+    n <- Gen.choose(0, 25)
+    keys <- Gen.listOfN(n, Gen.choose(0L, 12L))
+    vals <- Gen.listOfN(n, Gen.choose(-1000.0, 1000.0))
+  } yield keys.distinct.zip(vals)
+
+  test("property: merge is idempotent and unions key sets, updates winning") {
+    forAllSeeded(Gen.zip(keyValGen, keyValGen), 10) {
+      case (t: List[(Long, Double)], u: List[(Long, Double)]) =>
+        val target = t.toDF("id", "v")
+        val updates = u.toDF("id", "v")
+        val once = Merge.mergeInto(target, updates, Seq("id"))
+        val twice = Merge.mergeInto(once, updates, Seq("id"))
+        val onceRows = once.as[(Long, Double)].collect().toMap
+        val twiceRows = twice.as[(Long, Double)].collect().toMap
+        assert(onceRows === twiceRows)
+        val expected = t.toMap ++ u.toMap  // updates overwrite target
+        assert(onceRows === expected)
+    }
+  }
+
+  private val intervalGen: Gen[List[(Long, Int, Int)]] = for {
+    n <- Gen.choose(1, 20)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 1000L)
+      s <- Gen.choose(0, 40)       // day offsets from 2024-01-01
+      len <- Gen.choose(-5, 20)    // negative → inverted interval
+    } yield (id, s, s + len))
+  } yield rows.zipWithIndex.map { case ((_, s, e), i) => (i.toLong, s, e) }
+
+  test("property: explode expansion ≡ spine range join for random (incl. inverted) intervals") {
+    forAllSeeded(intervalGen, 6) { rows: List[(Long, Int, Int)] =>
+      val base = java.sql.Date.valueOf("2024-01-01")
+      val df = rows.toDF("id", "so", "eo").select(
+        $"id",
+        date_add(lit(base), $"so").as("s"),
+        date_add(lit(base), $"eo").as("e"))
+      val spine = spark.range(1).select(explode(sequence(
+        date_sub(lit(base), 10), date_add(lit(base), 70))).as("date_day"))
+      val viaExplode = IntervalExpand.expandDays(df, $"s", $"e")
+        .select($"id", $"as_of_date").collect().map(_.toString).sorted
+      val viaJoin = IntervalExpand.rangeJoinSpine(df, spine, "date_day", $"s", $"e")
+        .select($"id", $"date_day").collect().map(_.toString).sorted
+      assert(viaExplode.toSeq === viaJoin.toSeq)
+    }
+  }
+
+  test("property: proration always splits the amount exactly, is monotone, and lands on the total") {
+    forAllSeeded(
+      Gen.listOfN(8, for {
+        amountCents <- Gen.choose(1L, 500000L)
+        periodDays <- Gen.choose(0, 60)
+        leadDays <- Gen.choose(0, 10) // invoice before service start
+      } yield (amountCents, periodDays, leadDays)), 5) {
+      (items: List[(Long, Int, Int)]) =>
+        val base = java.sql.Date.valueOf("2024-02-01")
+        val li = items.zipWithIndex.map { case ((cents, days, lead), i) =>
+          (s"li$i", s"inv$i", s"cus$i", null: String, "USD",
+            new java.sql.Timestamp(base.getTime), base,
+            cents / 100.0, 0.0, false,
+            java.sql.Date.valueOf(base.toLocalDate.plusDays(lead)),
+            java.sql.Date.valueOf(base.toLocalDate.plusDays(lead + days)))
+        }.toDF("line_item_id", "invoice_id", "customer_id", "subscription_id",
+          "currency", "invoice_created_at", "invoice_created_date",
+          "amount", "tax_amount", "is_tax_inclusive",
+          "period_start_date", "period_end_date")
+        val fx = graft.pipeline.Models.exchangeRates(spark, java.time.LocalDate.of(2024, 3, 1))
+        val dr = graft.pipeline.Models.deferredRevenue(li, fx, lit(null).cast("timestamp"))
+        // invariant 1: split is exact on every day
+        assert(dr.filter(
+          abs($"deferred_revenue_usd" + $"recognized_revenue_usd" - $"amount_without_tax_usd") > 1e-6)
+          .count() === 0)
+        // invariant 2: recognized is within [0, amount]
+        assert(dr.filter($"recognized_revenue_usd" < -1e-9 ||
+          $"recognized_revenue_usd" > $"amount_without_tax_usd" + 1e-6).count() === 0)
+        // invariant 3: on the final expanded day everything is recognized
+        val lastDay = dr.withColumn("_rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("line_item_id").orderBy($"as_of_date".desc)))
+          .filter($"_rk" === 1)
+        assert(lastDay.filter(
+          abs($"recognized_revenue_usd" - $"amount_without_tax_usd") > 1e-6).count() === 0)
+    }
+  }
+}
