@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.graftbridge.JsonBridge
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 NDJSON batch source — the engine-level analog of the
+  * reference's Stripe API scan (reference:
+  * extract_stripe_data.py:62-102), where `created >= hwm` and equality
+  * params are pushed INTO the source instead of filtering after the
+  * fact (pushdown wiring `:130-131`, per-endpoint params `:16,24,32`).
+  *
+  * Demonstrated capabilities:
+  *  - SupportsPushDownFilters: EqualTo / GreaterThan[OrEqual] /
+  *    IsNotNull on top-level fields are handed to the JSON parser,
+  *    which drops non-matching records during tokenization — they
+  *    never materialize as rows (the same mechanism Spark's built-in
+  *    JSON source uses). All filters are still re-applied by Spark
+  *    above the scan (we report them as residuals), so correctness
+  *    never depends on the source's filtering.
+  *  - SupportsPushDownRequiredColumns: the scan emits only the pruned
+  *    schema.
+  *  - One InputPartition per file → per-file task parallelism.
+  *
+  * Usage:
+  *   spark.read.format("graft.sources.NdjsonSource")
+  *     .schema(Schemas.invoiceSchema).option("path", dir).load()
+  */
+class NdjsonSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException(
+      "graft NdjsonSource requires an explicit .schema(...) — inference " +
+        "is nondeterministic and a full extra pass at scale (SURVEY §1.3)")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new NdjsonTable(schema, properties.get("path"))
+}
+
+private[sources] class NdjsonTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  require(path != null, "option 'path' is required")
+  override def name(): String = s"ndjson:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NdjsonScanBuilder(schema, path)
+}
+
+private[sources] class NdjsonScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  private def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => fullSchema.fieldNames.contains(a)
+    case GreaterThan(a, _) => fullSchema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
+    case IsNotNull(a) => fullSchema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(pushable)
+    filters // all residual: Spark re-applies everything above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new NdjsonScan(fullSchema, required, path, pushed)
+}
+
+private[sources] class NdjsonScan(fullSchema: StructType, required: StructType,
+                                  path: String, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"NdjsonScan path=$path PushedFilters=${pushed.mkString("[", ", ", "]")}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = new File(path)
+    val files =
+      if (f.isDirectory)
+        f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
+          && !x.getName.startsWith(".")).map(_.getAbsolutePath).sorted
+      else Array(f.getAbsolutePath)
+    files.map(NdjsonPartition(_): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NdjsonReaderFactory(fullSchema, required, pushed)
+}
+
+private[sources] case class NdjsonPartition(file: String) extends InputPartition
+
+private[sources] class NdjsonReaderFactory(fullSchema: StructType,
+                                           required: StructType,
+                                           pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[NdjsonPartition].file
+    new PartitionReader[InternalRow] {
+      private val lines = Files.lines(
+        new File(file).toPath, StandardCharsets.UTF_8)
+      private val it = lines.iterator().asScala.filter(_.nonEmpty)
+      private val parse = JsonBridge.lineParser(fullSchema, pushed.toSeq)
+      // project the full parsed row down to the pruned read schema
+      private val ordinals = required.fieldNames.map(fullSchema.fieldIndex)
+      private val project = UnsafeProjection.create(
+        ordinals.map(i => BoundReference(i, fullSchema(i).dataType,
+          fullSchema(i).nullable)))
+      private var current: InternalRow = _
+      private var parsedIt: Iterator[InternalRow] = Iterator.empty
+
+      override def next(): Boolean = {
+        while (!parsedIt.hasNext && it.hasNext) parsedIt = parse(it.next())
+        if (parsedIt.hasNext) { current = project(parsedIt.next()); true }
+        else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = lines.close()
+    }
+  }
+}
