@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Sketches, TextFunctions}
+import graft.operators.{Similarity => Sim}
 
 /** Deduplication operator family for training-data pipelines:
   * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
@@ -148,6 +149,26 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs within a
+    * blocking key whose cosine similarity clears `threshold`.
+    * Brute force within blocks — the exact verifier; at corpus scale
+    * run it on LSH/IVF candidate cells instead of raw blocks. The
+    * repartition is the same co-partition + materialization barrier
+    * as the other pair generators. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, threshold: Double,
+                       roundTo: Int = 4): DataFrame = {
+    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(vecCol).as("vec")).repartition(col("block"))
+    val a = v.select(col("block"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = v.select(col("block"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Sim.cosine(col("vec_a"), col("vec_b")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Exact n-gram (word-shingle) Jaccard for all pairs within a

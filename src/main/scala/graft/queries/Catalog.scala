@@ -577,6 +577,19 @@ object Catalog {
         count(lit(1)).as("n"))
   }
 
+  // ---------------------------------------------------------------- embedding near-dup
+  val q34EmbDedup = q("q34_embedding_neardup",
+    "Embedding-cosine near-duplicate pairs within label blocks (north star: dedup)",
+    """WITH v AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
+      |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4""".stripMargin) { (s, d) =>
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+      blockCol = "label", threshold = 0.4)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -584,5 +597,5 @@ object Catalog {
     q16TopK, q17Having, q18JsonCase, q19DedupExact, q20MinHash,
     q21Jaccard, q22SimHash, q23CosineTopK, q24Ivf, q25LangId,
     q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin,
-    q31Asof, q32OuterJoin, q33Percentile)
+    q31Asof, q32OuterJoin, q33Percentile, q34EmbDedup)
 }

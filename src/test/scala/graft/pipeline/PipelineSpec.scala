@@ -183,6 +183,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(!row2023.getAs[Boolean]("is_leap_year"))      // full 365-day year
   }
 
+  test("typed Dataset surface binds the mart schemas") {
+    val dr = Rows.deferred(tables("deferred_revenue"))
+    // typed transformations: compile-time field access
+    val perItem = dr.filter(_.deferred_revenue_usd > 0)
+      .groupByKey(_.line_item_id).count().collect().toMap
+    // only li1 has a multi-day unelapsed period; li2's 1-day fallback
+    // period and li3's zero-length period recognize in full on day one
+    assert(perItem.keySet === Set("li1"))
+    val li = Rows.lineItems(tables("invoice_line_items")).collect()
+    assert(li.map(_.line_item_id).sorted === Array("li1", "li2", "li3"))
+    assert(li.count(_.is_tax_inclusive) === 1)
+    val rr = Rows.recognized(tables("recognized_revenue"))
+    assert(rr.map(_.daily_revenue_usd).collect().forall(_ >= 0.0))
+  }
+
   test("rerunning the pipeline is idempotent (merge contract)") {
     // snapshot current state to the driver BEFORE rerunning — the rerun
     // overwrites the parquet files under the open DataFrames
