@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Sketches
+import graft.functions.{Sketches, TopK}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -65,12 +65,19 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), roundTo).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= k)
-      .drop("_rk")
+    topKPerKey(scored, "query_id", k)
   }
+
+  /** Final ranking via the bounded-heap TopKAggregator, NOT a window:
+    * row_number over a per-query partition sorts the entire corpus in
+    * one task at scale, while the aggregator reduces each scan
+    * partition to ≤ k candidates map-side — the shuffle carries
+    * k × partitions rows per query. */
+  private def topKPerKey(scored: DataFrame, keyCol: String, k: Int): DataFrame =
+    scored.groupBy(col(keyCol))
+      .agg(TopK.top_k(k)(col("cos"), col("neighbor_id")).as("top"))
+      .select(col(keyCol), explode(col("top")).as("t"))
+      .select(col(keyCol), col("t._2").as("neighbor_id"), col("t._1").as("cos"))
 
   /** Assign each corpus vector to its nearest centroid (IVF coarse
     * quantization). Centroids are broadcast; assignment is a codegen'd
@@ -112,10 +119,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), roundTo).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= k)
-      .drop("_rk")
+    topKPerKey(scored, "query_id", k)
   }
 }
