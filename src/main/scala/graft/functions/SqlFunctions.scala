@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** SQL-surface registration for the engine's custom expressions, so
+  * `spark.sql` queries can use them directly:
+  *
+  *   SELECT graft_minhash(shingles, 64), graft_simhash(tokens),
+  *          graft_cosine(a, b), graft_jaccard(ta, tb)
+  *
+  * Session-scoped (temp functions). The GraftExtensions entry point
+  * calls this for SQL-first deployments.
+  */
+object SqlFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashSignature(exprs.head, intLit(exprs(1), "numHashes")),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSimilarityF(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sig_agreement",
+      exprs => SigAgreement(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard",
+      exprs => JaccardStr(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_set",
+      exprs => HashedTokenSet(exprs.head), "built-in")
+  }
+}

@@ -47,6 +47,22 @@ class SketchExpressionsSpec extends SparkSpecBase {
     assert(viaEval === 1)
   }
 
+  test("SQL registration exposes the expressions to spark.sql") {
+    SqlFunctions.registerAll(spark)
+    Seq(("a b c d", "a b c x")).toDF("t1", "t2").createOrReplaceTempView("sqlfn_t")
+    val row = spark.sql(
+      """SELECT graft_jaccard(split(t1, ' '), split(t2, ' ')) AS j,
+        |       graft_simhash(split(t1, ' ')) AS sh,
+        |       size(graft_minhash(split(t1, ' '), 8)) AS mh,
+        |       graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos
+        |FROM sqlfn_t""".stripMargin).head()
+    assert(row.getDouble(0) === 0.6)  // |{a,b,c}| / |{a,b,c,d,x}|
+    assert(row.getLong(1) !== 0L)
+    assert(row.getInt(2) === 8)
+    assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
+  }
+
   test("null inputs propagate as null") {
     val df = Seq((Option.empty[Seq[String]], Option.empty[Seq[Float]]))
       .toDF("t", "v")
