@@ -39,11 +39,15 @@ object Multimodal {
   case class AssetFeatures(asset_id: Long, modality: String,
                            byte_len: Long, content_hash: String,
                            feature: Array[Float])
+  case class AssetFrames(asset_id: Long, n_frames: Int,
+                         resized_len: Int, frame_hashes: Seq[String])
 
-  /** STUB decoder: a real build links an image/audio codec here. The
-    * fake is deterministic in the payload bytes so tests are stable:
-    * an 8-dim "feature" derived from byte histogram moments. */
+  /** STUB codec: a real build links an image/audio library here
+    * (none ships in this container). Every op is deterministic in the
+    * payload bytes so the Spark-side plumbing is fully testable; the
+    * signatures are the real contract a codec drops into. */
   object FakeCodec {
+    /** "Feature extraction": dim-sized byte-histogram moments. */
     def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
       if (payload == null || payload.isEmpty) return Array.fill(dim)(0.0f)
       val out = new Array[Float](dim)
@@ -54,6 +58,26 @@ object Multimodal {
       }
       val n = math.max(1, payload.length / dim)
       out.map(_ / n)
+    }
+
+    /** "Resize": deterministic downsample of the payload to at most
+      * `targetBytes` by fixed-stride selection (stands in for image
+      * resampling: same shape — bytes in, smaller bytes out). */
+    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+      if (payload == null || payload.length <= targetBytes) return payload
+      val stride = payload.length.toDouble / targetBytes
+      Array.tabulate(targetBytes)(i => payload((i * stride).toInt))
+    }
+
+    /** "Frame sampling": split the payload into `frameSize` chunks and
+      * keep every `every`-th chunk (stands in for video frame
+      * extraction; returns the kept frames). */
+    def sampleFrames(payload: Array[Byte], frameSize: Int,
+                     every: Int): Seq[Array[Byte]] = {
+      if (payload == null || payload.isEmpty) return Seq.empty
+      payload.grouped(frameSize).zipWithIndex
+        .collect { case (frame, i) if i % every == 0 => frame }
+        .toSeq
     }
   }
 
@@ -87,6 +111,28 @@ object Multimodal {
             content_hash = java.security.MessageDigest.getInstance("MD5")
               .digest(bytes).map("%02x".format(_)).mkString,
             feature = FakeCodec.features(bytes))
+        }
+      }
+  }
+
+  /** Per-partition resize + frame-sample pipeline over video-shaped
+    * payloads — the batch shape (one codec per partition, frames
+    * emitted per asset) is the real deliverable; the codec is the
+    * deterministic stub. */
+  def resizeAndSample(spark: SparkSession, assets: DataFrame,
+                      targetBytes: Int = 256, frameSize: Int = 64,
+                      every: Int = 2): Dataset[AssetFrames] = {
+    import spark.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          val resized = FakeCodec.resize(
+            if (payload == null) Array.empty[Byte] else payload, targetBytes)
+          val frames = FakeCodec.sampleFrames(resized, frameSize, every)
+          AssetFrames(id, frames.size, resized.length,
+            frames.map(f => md.digest(f).map("%02x".format(_)).mkString))
         }
       }
   }
