@@ -37,6 +37,44 @@ object Sketches {
 
   private val GOLDEN = 0x9e3779b97f4a7c15L
 
+  /** MinHash over word k-shingles computed INSIDE the expression:
+    * tokens are hashed once, each shingle hash is a polynomial
+    * combination of its k token hashes (no shingle strings are ever
+    * built, no interpreted HOF in the loop), and the signature is the
+    * per-index min of mix64-derived hashes. Duplicate shingles are
+    * irrelevant to a min, so no dedup pass is needed. Documents
+    * shorter than k tokens hash their whole token stream as one
+    * shingle (matching Dedup.shingles semantics). */
+  def minHashShingled(tokens: ArrayData, k: Int, numHashes: Int): ArrayData = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val P = 0xc2b2ae3d27d4eb4fL
+    val count = if (n < k) 1 else n - k + 1
+    val width = math.min(k, n)
+    var w = 0
+    while (w < count) {
+      var sh = 0L
+      var j = 0
+      while (j < width) { sh = sh * P + th(w + j); j += 1 }
+      sh = mix64(sh)
+      var h = 0
+      while (h < numHashes) {
+        val g = mix64(sh + (h + 1) * GOLDEN)
+        if (g < mins(h)) mins(h) = g
+        h += 1
+      }
+      w += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, mix64(GOLDEN)) // empty doc: fixed sig
+    new GenericArrayData(mins)
+  }
+
   /** MinHash signature: mins(j) = min over elems of mix64(xxh64(elem) + (j+1)*GOLDEN). */
   def minHashSig(arr: ArrayData, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -204,6 +242,8 @@ object Sketches {
   // Column-facing wrappers
   def minhash_signature(c: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(c), numHashes))
+  def minhash_shingled(tokens: Column, k: Int, numHashes: Int): Column =
+    Bridge.column(MinHashShingled(Bridge.expression(tokens), k, numHashes))
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
   def cosine_f(a: Column, b: Column): Column =
@@ -332,4 +372,22 @@ case class HashedTokenSet(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): HashedTokenSet =
     copy(child = newChild)
   override def prettyName: String = "hashed_token_set"
+}
+
+/** MinHash over word k-shingles of an array<string> of tokens →
+  * array<bigint>; shingling happens inside the compiled loop. */
+case class MinHashShingled(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(k > 0 && numHashes > 0, "k and numHashes must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireType(child.dataType, ArrayType(StringType), prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sketches.minHashShingled(input.asInstanceOf[ArrayData], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.minHashShingled($c, $k, $numHashes);")
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingled =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_shingled"
 }

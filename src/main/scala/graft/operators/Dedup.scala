@@ -84,38 +84,47 @@ object Dedup {
     // per banded row / per candidate pair instead of once per doc.
     val sigs = df.select(
       col(idCol).as("id"),
-      minHashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+      Sketches.minhash_shingled(TextFunctions.tokens(col(textCol)),
+        shingleK, numHashes).as("sig"))
       .repartition(col("id"))
 
-    // band keys built with a Scala-level loop (band count is static)
+    // band keys built with a Scala-level loop (band count is static).
+    // Signatures are dropped immediately: every shuffle from here to
+    // pair generation carries only (id, band, bh) — 24-byte rows, not
+    // 8·numHashes-byte signature arrays.
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }
     val banded = sigs
-      .select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
 
-    // drop degenerate mega-buckets (skew guard) and singletons.
-    // A window count over the (band, bh) partition does this in the
-    // SAME exchange the pair self-join needs — one shuffle instead of
-    // the aggregate-then-join-back formulation's two.
-    val wBucket = Window.partitionBy("band", "bh")
-    val pruned = banded
-      .withColumn("_bn", count(lit(1)).over(wBucket))
+    // drop degenerate mega-buckets (skew guard) and singletons
+    val keepBuckets = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucket && col("_bn") > 1)
-      .drop("_bn")
+      .select("band", "bh")
+    val pruned = banded.join(keepBuckets, Seq("band", "bh"))
 
-    val a = pruned.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = pruned.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
+    // candidate pair IDs, deduped across bands BEFORE scoring — each
+    // surviving pair is scored exactly once
+    val pairs = pruned.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bh"), col("id").as("id_b")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // fetch both signatures by id (small enough to auto-broadcast at
+    // bench scale; AQE picks a shuffle join when the corpus outgrows
+    // the broadcast threshold) and score once per pair
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   /** 64-bit SimHash of the token stream: bit j of the result is the
@@ -186,8 +195,13 @@ object Dedup {
     // join (no broadcast of the corpus) and acts as the barrier that
     // stops CollapseProject from re-tokenizing per PAIR (measured 13s
     // → sub-second per-doc cost at sf0.1 without it).
+    // k == 1 shingles ARE the tokens — skip the interpreted
+    // shingle-building HOF on that fast path.
+    val shingleCol =
+      if (k == 1) TextFunctions.tokens(col(textCol))
+      else shingles(col(textCol), k)
     val toks = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      Sketches.hashed_token_set(shingles(col(textCol), k)).as("sh"))
+      Sketches.hashed_token_set(shingleCol).as("sh"))
       .repartition(col("block"))
     val a = toks.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = toks.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
