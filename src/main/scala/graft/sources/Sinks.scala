@@ -39,4 +39,20 @@ object Sinks {
     * README.md:102-105). */
   def writeNdjsonSnapshot(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Bucketed catalog table: pre-hash-partition (and optionally
+    * pre-sort) the data into `numBuckets` files per partition on the
+    * join/aggregation key. Two tables bucketed the same way join with
+    * NO exchange on either side — the shuffle is paid once at write
+    * time and amortized over every subsequent join, the single biggest
+    * lever for repeatedly-joined 100 TB fact tables. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketing requires at least one column")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
 }
