@@ -590,6 +590,109 @@ object Catalog {
       blockCol = "label", threshold = 0.4)
   }
 
+  // ---------------------------------------------------------------- SQL-text surface (E3)
+  val q35Sql = q("q35_sql_surface",
+    "Query expressed as SQL text over registered views — the spark.sql entry path (E3)",
+    """SELECT n_name,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 4) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus <> 'F'
+      |GROUP BY n_name""".stripMargin) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT n_name,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 4) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY n_name""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- set operations
+  val q36SetOps = q("q36_set_ops",
+    "INTERSECT / EXCEPT set operations (beyond-reference completeness)",
+    """SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+      |  WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+      |  WHERE o_orderstatus = 'O'
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    def custWithStatus(st: String) =
+      c.join(o.filter(col("o_orderstatus") === st),
+        col("o_custkey") === col("c_custkey")).select("c_custkey")
+    custWithStatus("F")
+      .intersect(custWithStatus("O"))
+      .except(c.filter(col("c_acctbal") < 0).select("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- batch sessionization
+  val q37Sessionize = q("q37_sessionize",
+    "Gap-based sessionization via lag + cumulative window (training-pipeline op)",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, event_id,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(gapUs > 1800000000L || gapUs.isNull, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  // ---------------------------------------------------------------- pivot
+  val q38Pivot = q("q38_pivot",
+    "Pivot event values into per-type columns (beyond-reference completeness)",
+    """SELECT user_id,
+      |       round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 4) AS purchase_value,
+      |       round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0.0), 4) AS click_value,
+      |       round(coalesce(sum(value) FILTER (WHERE event_type = 'signup'), 0.0), 4) AS signup_value
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("purchase", "click", "signup"))
+      .agg(sum("value"))
+      .select(
+        col("user_id"),
+        round(coalesce(col("purchase"), lit(0.0)), 4).as("purchase_value"),
+        round(coalesce(col("click"), lit(0.0)), 4).as("click_value"),
+        round(coalesce(col("signup"), lit(0.0)), 4).as("signup_value"))
+  }
+
+  // ---------------------------------------------------------------- tumbling event-time windows
+  val q39Tumbling = q("q39_tumbling_window",
+    "Tumbling event-time window aggregation, batch form of the streaming operator",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |       count(*) AS n, round(sum(value), 4) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -597,5 +700,6 @@ object Catalog {
     q16TopK, q17Having, q18JsonCase, q19DedupExact, q20MinHash,
     q21Jaccard, q22SimHash, q23CosineTopK, q24Ivf, q25LangId,
     q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin,
-    q31Asof, q32OuterJoin, q33Percentile, q34EmbDedup)
+    q31Asof, q32OuterJoin, q33Percentile, q34EmbDedup,
+    q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling)
 }
