@@ -137,12 +137,35 @@ object RangeJoinToExplodeRule extends Rule[LogicalPlan] {
 }
 
 /** SparkSessionExtensions entry point for the engine's Catalyst
-  * additions. Usage:
+  * additions: the range-join rewrite rule plus the graft_* SQL
+  * functions. Usage:
   *   SparkSession.builder().withExtensions(new GraftExtensions)
   * or  --conf spark.sql.extensions=graft.plans.GraftExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions._
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinToExplodeRule)
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, numHashes) - MinHash signature"),
+      exprs => MinHashSignature(exprs.head, exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"numHashes literal required, got $other")
+      })))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash"),
+      exprs => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine of float arrays"),
+      exprs => CosineSimilarityF(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_jaccard"),
+      info("graft_jaccard", "graft_jaccard(a, b) - exact set Jaccard of string arrays"),
+      exprs => JaccardStr(exprs.head, exprs(1))))
   }
 }
