@@ -693,6 +693,28 @@ object Catalog {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  // ---------------------------------------------------------------- semi join (EXISTS)
+  val q40SemiJoin = q("q40_semi_join",
+    "Left-semi join: EXISTS subquery form (beyond-reference join completeness)",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------- multimodal feature extraction (rows-only)
+  val q41Features = noOracle("q41_multimodal_features",
+    "Per-partition decode + feature extraction over binary payloads (north star: multimodal; stubbed codec, rows-only check)") { (s, d) =>
+    Multimodal.extractFeatures(s,
+      Multimodal.assetsFromText(Tables.documents(s, d), "doc_id", "text"))
+      .toDF()
+      .select(col("asset_id"), col("byte_len"), col("content_hash"),
+        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -701,5 +723,6 @@ object Catalog {
     q21Jaccard, q22SimHash, q23CosineTopK, q24Ivf, q25LangId,
     q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin,
     q31Asof, q32OuterJoin, q33Percentile, q34EmbDedup,
-    q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling)
+    q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling,
+    q40SemiJoin, q41Features)
 }
