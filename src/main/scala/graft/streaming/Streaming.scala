@@ -56,6 +56,17 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: watermarked dropDuplicates on the key.
+    * State holds one entry per key seen within the watermark horizon;
+    * rows older than the watermark are dropped from state — bounded
+    * memory at any throughput (the streaming twin of
+    * Dedup.exactDedup). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "ts",
+                     lateness: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicates(keyCols :+ tsCol)
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   case class SessionState(firstTs: Long, lastTs: Long, nEvents: Int)
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -60,6 +60,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streamingDedup drops duplicate keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("k", "ts", "v")
+    val query = Streaming.streamingDedup(events, Seq("k"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), "first"),
+        (1L, ts("2024-01-01 10:00:00"), "dup"),
+        (2L, ts("2024-01-01 10:05:00"), "other"))
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:00:00"), "late-dup"))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").select("k").as[Long].collect().sorted
+      assert(out === Array(1L, 2L))
+    } finally query.stop()
+  }
+
   test("mergeSink drains a file stream into a keyed parquet target (AvailableNow)") {
     val src = Files.createTempDirectory("graft-stream-src").toString
     val tgt = Files.createTempDirectory("graft-stream-tgt").toString + "/t"
