@@ -160,6 +160,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair list: the final
+    * dedup stage that turns pairwise matches into clusters with one
+    * representative (the minimum id) per cluster.
+    *
+    * Iterative min-label propagation: each round every vertex takes
+    * the minimum of its own label and its neighbors' labels — two
+    * shuffles per round (join + min-aggregate), converging in
+    * O(component diameter) rounds, which for near-dup clusters
+    * (dense cliques) is 1-2. `localCheckpoint` truncates the plan
+    * each round so lineage doesn't grow with iterations. For graphs
+    * with long chains at extreme scale the alternating large-star/
+    * small-star formulation halves rounds; dedup graphs don't need it.
+    *
+    * @return (id, cluster_id) for every vertex that appears in a pair
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(idA).as("s"), col(idB).as("d"))
+      .unionByName(pairs.select(col(idB).as("s"), col(idA).as("d")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var checksum = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("d"), col("label").as("nl")), Seq("d"))
+        .groupBy(col("s").as("id"))
+        .agg(min("nl").as("nbr_label"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val next = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+      converged = next == checksum // labels only ever decrease
+      checksum = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs within a
     * blocking key whose cosine similarity clears `threshold`.
     * Brute force within blocks — the exact verifier; at corpus scale

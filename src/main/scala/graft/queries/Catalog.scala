@@ -715,6 +715,31 @@ object Catalog {
         round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
   }
 
+  // ---------------------------------------------------------------- dedup clusters
+  val q42DedupClusters = q("q42_dedup_clusters",
+    "Connected components over exact-Jaccard near-dup pairs — cluster id per duplicated doc (north star: dedup)",
+    """WITH RECURSIVE
+      |t AS (SELECT source, doc_id,
+      |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS sh
+      |      FROM documents),
+      |edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |verts AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
+      |undirected AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT reach.id, u.d FROM reach JOIN undirected u ON reach.r = u.s)
+      |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, d) =>
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      blockCol = "source", k = 1, threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -724,5 +749,5 @@ object Catalog {
     q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin,
     q31Asof, q32OuterJoin, q33Percentile, q34EmbDedup,
     q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling,
-    q40SemiJoin, q41Features)
+    q40SemiJoin, q41Features, q42DedupClusters)
 }
