@@ -26,7 +26,8 @@ class Pipeline(
     spark: SparkSession,
     warehouseDir: String,
     asOf: LocalDate,
-    fullRefresh: Boolean = false) {
+    fullRefresh: Boolean = false,
+    onFailure: (String, Throwable) => Unit = (_, _) => ()) {
 
   private val loadedAt = lit(java.sql.Timestamp.valueOf(asOf.atStartOfDay))
 
@@ -36,9 +37,17 @@ class Pipeline(
     try spark.read.parquet(path(name))
     catch { case _: Exception => like.limit(0) }
 
-  /** Merge-materialize `updates` into the named table by `keys`. */
+  /** Merge-materialize `updates` into the named table by `keys`.
+    * Failures invoke the alerting callback (the reference's
+    * on_failure_callback, stripe_update_dag.py:25-37) then propagate —
+    * the DAG stops at the failed layer like Airflow would. */
   private def materialize(name: String, updates: DataFrame,
-                          keys: Seq[String]): DataFrame = {
+                          keys: Seq[String]): DataFrame =
+    try materializeInner(name, updates, keys)
+    catch { case e: Throwable => onFailure(name, e); throw e }
+
+  private def materializeInner(name: String, updates: DataFrame,
+                               keys: Seq[String]): DataFrame = {
     val target = tableOrEmpty(name, updates)
     val merged = Merge.mergeInto(target, updates, keys,
       versionCol = Some("_loaded_at"))
@@ -106,7 +115,7 @@ class Pipeline(
         "recognized_revenue", "invoice_created_at"),
       Seq("line_item_id", "recognition_date"))
 
-    Map(
+    val out = Map(
       "stg_invoices" -> stgInvoices,
       "stg_subscriptions" -> stgSubscriptions,
       "stg_subscription_updates" -> stgSubscriptionUpdates,
@@ -116,6 +125,10 @@ class Pipeline(
       "invoice_line_items" -> lineItems,
       "deferred_revenue" -> deferred,
       "recognized_revenue" -> recognized)
+    // register every table as a view so analysts can spark.sql over
+    // the warehouse by name (the E3 surface)
+    out.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    out
   }
 }
 

@@ -183,6 +183,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(!row2023.getAs[Boolean]("is_leap_year"))      // full 365-day year
   }
 
+  test("marts are queryable by name through spark.sql; failures alert") {
+    // views were registered by the pipeline run
+    val n = spark.sql(
+      "SELECT count(*) FROM deferred_revenue WHERE deferred_revenue_usd > 0").head().getLong(0)
+    assert(n > 0)
+    // failure callback fires and the error propagates
+    var alerted: Option[String] = None
+    // a path UNDER a regular file cannot be created — guaranteed write failure
+    val blocker = Files.createTempFile("graft-blocker", ".dat")
+    val bad = new Pipeline(spark, blocker.toString + "/wh", asOf,
+      onFailure = (t, _) => alerted = Some(t))
+    intercept[Throwable] { bad.run(rawInvoices, emptySubs, emptyUpdates) }
+    assert(alerted.contains("stg_invoices"))
+  }
+
   test("typed Dataset surface binds the mart schemas") {
     val dr = Rows.deferred(tables("deferred_revenue"))
     // typed transformations: compile-time field access
