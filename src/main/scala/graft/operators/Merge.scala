@@ -56,23 +56,49 @@ object Merge {
       .drop(RN, PRIO)
   }
 
-  /** Merge + persist: writes the merged table partitioned by
-    * `partitionCol` (dynamic partition overwrite — only partitions
-    * present in the merged update set are rewritten) and sorted within
-    * partitions by `clusterCols` for data-skipping on read, mirroring
-    * the reference's `partition_by` + `cluster_by` configs
-    * (invoice_line_items.sql:5-6 etc.).
+  /** Partition-pruned merge + persist: the O(delta) daily merge.
+    *
+    * 1. Collect the distinct partition values present in `updates`
+    *    (a handful of dates — driver-side list, not data).
+    * 2. Read ONLY those partitions of the target (directory pruning —
+    *    untouched partitions are never opened).
+    * 3. Merge the slice with the updates, write it to a staging dir
+    *    (never read and overwrite the same path in one job), then
+    *    commit with DYNAMIC partition overwrite — only the touched
+    *    partition directories are replaced; everything else on disk is
+    *    untouched bytes.
+    *
+    * Daily cost is therefore proportional to the updated partitions,
+    * not the table: the property that keeps a 100 TB mart's daily run
+    * constant-time. Rows are sorted within partitions by `clusterCols`
+    * for parquet min/max data skipping (the reference's `cluster_by`,
+    * invoice_line_items.sql:5-6).
+    *
+    * Precondition (same as any partitioned MERGE): a key's partition
+    * value is stable — updates to a key arrive in the partition that
+    * already holds it.
     */
-  def mergeWrite(target: DataFrame, updates: DataFrame, keys: Seq[String],
-                 path: String, partitionCol: String,
+  def mergeWrite(spark: org.apache.spark.sql.SparkSession, path: String,
+                 updates: DataFrame, keys: Seq[String], partitionCol: String,
                  clusterCols: Seq[String] = Nil,
                  versionCol: Option[String] = None): Unit = {
-    val merged = mergeInto(target, updates, keys, versionCol)
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val targetSlice =
+      try spark.read.parquet(path).filter(col(partitionCol).isin(touched: _*))
+      catch { case _: Exception => updates.limit(0) }
+    val merged = mergeInto(targetSlice, updates, keys, versionCol)
     val clustered =
-      if (clusterCols.nonEmpty) merged.sortWithinPartitions(clusterCols.map(col): _*)
+      if (clusterCols.nonEmpty)
+        merged.repartition(col(partitionCol))
+          .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
       else merged
-    clustered.write
+    val stage = path + "_merge_stage"
+    clustered.write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
   }

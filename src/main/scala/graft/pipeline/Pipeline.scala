@@ -37,27 +37,25 @@ class Pipeline(
     try spark.read.parquet(path(name))
     catch { case _: Exception => like.limit(0) }
 
-  /** Merge-materialize `updates` into the named table by `keys`.
-    * Failures invoke the alerting callback (the reference's
+  /** Merge-materialize `updates` into the named table by `keys`,
+    * date-partitioned on `partitionCol` (the reference's partition_by
+    * on every incremental model, §1.4). Merge.mergeWrite prunes the
+    * target read to the touched partitions and dynamic-overwrites only
+    * those directories — daily cost is O(updated partitions), not
+    * O(table). Failures invoke the alerting callback (the reference's
     * on_failure_callback, stripe_update_dag.py:25-37) then propagate —
     * the DAG stops at the failed layer like Airflow would. */
   private def materialize(name: String, updates: DataFrame,
-                          keys: Seq[String]): DataFrame =
-    try materializeInner(name, updates, keys)
-    catch { case e: Throwable => onFailure(name, e); throw e }
-
-  private def materializeInner(name: String, updates: DataFrame,
-                               keys: Seq[String]): DataFrame = {
-    val target = tableOrEmpty(name, updates)
-    val merged = Merge.mergeInto(target, updates, keys,
-      versionCol = Some("_loaded_at"))
-    // two-phase write: the merged plan reads the live table, so write
-    // to a staging location first, then atomically swap via overwrite
-    val tmp = path(s"_stage_$name")
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path(name))
-    spark.read.parquet(path(name))
-  }
+                          keys: Seq[String], partitionCol: String,
+                          clusterCols: Seq[String] = Nil): DataFrame =
+    try {
+      Merge.mergeWrite(spark, path(name), updates, keys, partitionCol,
+        clusterCols, versionCol = Some("_loaded_at"))
+      // empty updates against a missing table write nothing — hand the
+      // (empty, schema-correct) frame downstream instead of a dead path
+      if (new java.io.File(path(name)).exists()) spark.read.parquet(path(name))
+      else updates.limit(0)
+    } catch { case e: Throwable => onFailure(name, e); throw e }
 
   private def withHwm(updates: DataFrame, tableName: String,
                       hwmCol: String): DataFrame =
@@ -79,15 +77,15 @@ class Pipeline(
     val stgInvoices = materialize("stg_invoices",
       withHwm(Models.staged(rawInvoices).withColumn("_loaded_at", loadedAt),
         "stg_invoices", "created_at_date"),
-      Seq("id"))
+      Seq("id"), "created_at_date")
     val stgSubscriptions = materialize("stg_subscriptions",
       withHwm(Models.staged(rawSubscriptions).withColumn("_loaded_at", loadedAt),
         "stg_subscriptions", "created_at_date"),
-      Seq("id"))
+      Seq("id"), "created_at_date")
     val stgSubscriptionUpdates = materialize("stg_subscription_updates",
       withHwm(Models.staged(rawSubscriptionUpdates).withColumn("_loaded_at", loadedAt),
         "stg_subscription_updates", "created_at_date"),
-      Seq("id"))
+      Seq("id"), "created_at_date")
 
     // ---- dims (full rebuild)
     val exchangeRates = Models.exchangeRates(spark, asOf)
@@ -98,22 +96,25 @@ class Pipeline(
     // ---- curated (HWM on created_at_date / invoice_created_date)
     val invoices = materialize("invoices",
       withHwm(Models.invoices(stgInvoices, loadedAt), "invoices", "created_at_date"),
-      Seq("invoice_id"))
+      Seq("invoice_id"), "created_at_date", Seq("customer_id"))
     val lineItems = materialize("invoice_line_items",
       withHwm(Models.invoiceLineItems(stgInvoices, loadedAt),
         "invoice_line_items", "invoice_created_date"),
-      Seq("line_item_id"))
+      Seq("line_item_id"), "invoice_created_date",
+      Seq("invoice_id", "subscription_id"))
 
     // ---- marts (composite keys; HWM on invoice_created_at)
     val fx = spark.read.parquet(path("exchange_rates"))
     val deferred = materialize("deferred_revenue",
       withHwm(Models.deferredRevenue(lineItems, fx, loadedAt),
         "deferred_revenue", "invoice_created_at"),
-      Seq("line_item_id", "as_of_date"))
+      Seq("line_item_id", "as_of_date"), "as_of_date",
+      Seq("customer_id", "subscription_id"))
     val recognized = materialize("recognized_revenue",
       withHwm(Models.recognizedRevenue(lineItems, fx, loadedAt),
         "recognized_revenue", "invoice_created_at"),
-      Seq("line_item_id", "recognition_date"))
+      Seq("line_item_id", "recognition_date"), "recognition_date",
+      Seq("customer_id", "line_item_id"))
 
     val out = Map(
       "stg_invoices" -> stgInvoices,

@@ -56,4 +56,29 @@ class MergeSpec extends SparkSpecBase {
     val empty = t.filter(lit(false))
     assert(Incremental.newerThan(u, empty, "created").count() === 2)
   }
+
+  test("mergeWrite rewrites only touched partitions (O(delta) daily merge)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mergewrite").toString + "/t"
+    val day1 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b")).toDF("id", "day", "v")
+    val day2 = Seq((3L, "2024-01-02", "c")).toDF("id", "day", "v")
+    Merge.mergeWrite(spark, dir, day1.unionByName(day2), Seq("id"), "day")
+
+    def partFiles(day: String): Map[String, Long] =
+      new java.io.File(s"$dir/day=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val day1Before = partFiles("2024-01-01")
+
+    // update only day 2: an upsert + an insert
+    val updates = Seq((3L, "2024-01-02", "c2"), (4L, "2024-01-02", "d"))
+      .toDF("id", "day", "v")
+    Merge.mergeWrite(spark, dir, updates, Seq("id"), "day")
+
+    // day-1 files are byte-for-byte untouched (same names, same mtimes)
+    assert(partFiles("2024-01-01") === day1Before)
+    // day-2 reflects the merge
+    assert(spark.read.parquet(dir).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect() ===
+      Array((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d")))
+  }
 }
