@@ -14,13 +14,14 @@ import graft.operators.{Similarity => Sim}
   *    on a 128-bit md5 of the canonical text (TextFunctions
   *    .fingerprint), not the text itself, so shuffle rows carry 16
   *    bytes + id instead of full documents.
-  *  - minHashLsh: signatures are computed scan-side with codegen'd
-  *    higher-order functions (no UDF, no shuffle); the only shuffle is
-  *    the band-bucket exchange whose keys are (band, 64-bit hash).
-  *    Candidate pairs are generated per-bucket with a self-join on the
-  *    bucket key; buckets above `maxBucket` are dropped (degenerate /
-  *    boilerplate content — standard practice — that would otherwise
-  *    produce O(n²) pairs in a single task: the skew bomb).
+  *  - minHashLsh: signatures are computed scan-side by the native
+  *    MinHashShingled expression (tokens hashed once, shingle hashes
+  *    derived polynomially inside a compiled loop — no UDF, no
+  *    interpreted HOF, no shuffle); banding and candidate generation
+  *    shuffle only 24-byte (id, band, hash) rows. Buckets above
+  *    `maxBucket` are dropped (degenerate / boilerplate content —
+  *    standard practice — that would otherwise produce O(n²) pairs in
+  *    a single task: the skew bomb).
   *  - simHash: pure per-row bit arithmetic, then a self-join on 4×16-
   *    bit band keys of the 64-bit signature (pigeonhole ⇒ full recall
   *    for Hamming distance ≤ 3).
