@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * Strictness: `strict = false` (default) matches right rows with
   * time ≤ left time; `strict = true` matches only time < left time —
   * ordering right rows before left rows at equal timestamps or not.
+  *
+  * Determinism note: if the RIGHT side has several rows with the same
+  * (key, time), which of them wins is unspecified (same as SQL ASOF
+  * implementations). Dedupe the right side on (key, time) first when
+  * that matters.
   */
 object AsOfJoin {
 

@@ -101,15 +101,16 @@ object Multimodal {
     assets.select("asset_id", "modality", "payload")
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition codec init would go here (expensive, amortized)
+        // per-partition codec/digest init (amortized over the batch)
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, modality, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
+          md.reset()
           AssetFeatures(
             asset_id = id,
             modality = modality,
             byte_len = bytes.length.toLong,
-            content_hash = java.security.MessageDigest.getInstance("MD5")
-              .digest(bytes).map("%02x".format(_)).mkString,
+            content_hash = md.digest(bytes).map("%02x".format(_)).mkString,
             feature = FakeCodec.features(bytes))
         }
       }

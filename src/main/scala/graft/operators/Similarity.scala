@@ -80,18 +80,21 @@ object Similarity {
       .select(col(keyCol), col("t._2").as("neighbor_id"), col("t._1").as("cos"))
 
   /** Assign each corpus vector to its nearest centroid (IVF coarse
-    * quantization). Centroids are broadcast; assignment is a codegen'd
-    * argmax over the centroid array — shuffle-free. */
+    * quantization). Centroids broadcast; the per-vector argmax is a
+    * map-side max_by aggregation (partial agg keeps one candidate per
+    * vector per partition) — no window sort of the corpus × centroids
+    * product. Ties break to the smaller cell id. */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   idCol: String, vecCol: String): DataFrame = {
     val cents = broadcast(centroids.select(
       col(idCol).as("cell"), col(vecCol).as("cent_vec")))
-    val scored = corpus.join(cents)
+    corpus.join(cents)
       .select(col(idCol), col(vecCol),
         col("cell"), cosine(col(vecCol), col("cent_vec")).as("sim"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cell").asc)
-    scored.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol),
+        max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
       .select(col(idCol), col(vecCol), col("cell"))
   }
 
