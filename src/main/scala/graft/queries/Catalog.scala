@@ -740,6 +740,23 @@ object Catalog {
       .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  // ---------------------------------------------------------------- map-typed columns
+  val q43MapFns = q("q43_map_functions",
+    "JSON → MapType parsing + map functions (§1.2 metadata mapping)",
+    """SELECT event_id,
+      |       json_keys(props) AS ks,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+      |       len(json_keys(props)) AS n_keys
+      |FROM events""".stripMargin) { (s, d) =>
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    Tables.events(s, d).select(
+      col("event_id"),
+      map_keys(m).as("ks"),
+      element_at(m, "k").cast("long").as("k_value"),
+      size(map_keys(m)).cast("long").as("n_keys"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -749,5 +766,5 @@ object Catalog {
     q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin,
     q31Asof, q32OuterJoin, q33Percentile, q34EmbDedup,
     q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling,
-    q40SemiJoin, q41Features, q42DedupClusters)
+    q40SemiJoin, q41Features, q42DedupClusters, q43MapFns)
 }
