@@ -84,16 +84,20 @@ object TextFunctions {
   /** Rolling (polynomial) hash over the token stream — a second,
     * cheaper fingerprint family: h = Σ tok_hash(t_i) * B^i mod M,
     * computed with a single array `aggregate`. Engine-portable when
-    * `tokHash` is portable (we use crc32 of the token bytes). */
+    * `tokHash` is portable (crc32 of the token bytes). M is the
+    * 31-bit Mersenne prime so every intermediate product stays below
+    * 2^63 — ANSI mode would reject a larger modulus's overflow. */
   def rollingHash(text: Column, base: Long = 1000003L,
-                  mod: Long = (1L << 61) - 1): Column = {
+                  mod: Long = (1L << 31) - 1): Column = {
     val tk = tokens(text)
     val acc = aggregate(
       tk,
       struct(lit(0L).as("h"), lit(1L).as("p")),
       (st, t) => struct(
-        pmod(st.getField("h") + pmod(crc32(t.cast("binary")) * st.getField("p"), lit(mod)), lit(mod)).as("h"),
-        pmod(st.getField("p") * lit(base), lit(mod)).as("p")))
+        pmod(st.getField("h") +
+          pmod(pmod(crc32(t.cast("binary")), lit(mod)) * st.getField("p"), lit(mod)),
+          lit(mod)).as("h"),
+        pmod(st.getField("p") * lit(base % mod), lit(mod)).as("p")))
     acc.getField("h")
   }
 }

@@ -49,6 +49,17 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(fps(0) !== fps(2))
   }
 
+  test("rollingHash: order-sensitive, canonicalization-insensitive, deterministic") {
+    val hs = Seq("the quick fox", "The Quick, Fox!", "fox quick the", "the quick cat")
+      .toDF("t").select(TextFunctions.rollingHash($"t")).as[Long].collect()
+    assert(hs(0) === hs(1))   // case/punctuation canonicalized away
+    assert(hs(0) !== hs(2))   // token ORDER matters (unlike fingerprint sets)
+    assert(hs(0) !== hs(3))   // content matters
+    val again = Seq("the quick fox").toDF("t")
+      .select(TextFunctions.rollingHash($"t")).as[Long].head()
+    assert(again === hs(0))
+  }
+
   test("qualityScore stays within [0,1] and favors clean text") {
     val scores = Seq(
       "a clean readable sentence with normal words in it",
