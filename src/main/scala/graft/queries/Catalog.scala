@@ -757,6 +757,40 @@ object Catalog {
       size(map_keys(m)).cast("long").as("n_keys"))
   }
 
+  // ---------------------------------------------------------------- cube
+  val q44Cube = q("q44_cube",
+    "CUBE over two dimensions (grouping-set family completeness)",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4) AS qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("qty"), count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------- range frame + first/last window
+  val q45RangeFrame = q("q45_range_frame",
+    "RANGE window frame + first/last_value (window completeness)",
+    """SELECT o_orderkey,
+      |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      |                                     RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW), 4) AS trailing_90d,
+      |       round(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS first_order_price,
+      |       round(last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS last_order_price
+      |FROM orders""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).withColumn("ots", unix_micros(col("o_orderdate").cast("timestamp")))
+    val wRange = Window.partitionBy("o_custkey").orderBy("ots")
+      .rangeBetween(-7776000000000L, Window.currentRow) // 90 days in micros
+    val wRows = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+      col("o_orderkey"),
+      round(sum("o_totalprice").over(wRange), 4).as("trailing_90d"),
+      round(first("o_totalprice").over(wRows), 4).as("first_order_price"),
+      round(last("o_totalprice").over(
+        wRows.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 4).as("last_order_price"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -766,5 +800,6 @@ object Catalog {
     q26Quality, q27Multimodal, q28Rollup, q29Lag, q30AntiJoin,
     q31Asof, q32OuterJoin, q33Percentile, q34EmbDedup,
     q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling,
-    q40SemiJoin, q41Features, q42DedupClusters, q43MapFns)
+    q40SemiJoin, q41Features, q42DedupClusters, q43MapFns,
+    q44Cube, q45RangeFrame)
 }
