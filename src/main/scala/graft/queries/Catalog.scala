@@ -426,9 +426,34 @@ object Catalog {
       "vec_id", "embedding", k = 5, roundTo = 4)
   }
 
-  // ---------------------------------------------------------------- similarity: IVF (rows-only; approx)
-  val q24Ivf = noOracle("q24_ivf_topk",
-    "IVF-bucketed approximate top-k (north star: similarity scale path; rows-only check)") { (s, d) =>
+  // ---------------------------------------------------------------- similarity: IVF
+  val q24Ivf = q("q24_ivf_topk",
+    "IVF-bucketed approximate top-k (north star: similarity scale path)",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, ct.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM corpus c CROSS JOIN cents ct) WHERE rk = 1),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT query_id, qvec, cell FROM (
+      |    SELECT q.query_id, q.qvec, ct.cell,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |                              ORDER BY list_cosine_similarity(q.qvec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM q CROSS JOIN cents ct) WHERE rk <= 3),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(p.qvec, a.vec), 4) AS cos
+      |  FROM probes p JOIN assign a ON a.cell = p.cell
+      |  WHERE a.vec_id <> p.query_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      |           FROM scored)
+      |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 5""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val centroids = e.filter(col("vec_id") % 50 === 0)
     val cells = Similarity.assignCells(e, centroids, "vec_id", "embedding")
