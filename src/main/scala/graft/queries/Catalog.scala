@@ -670,8 +670,8 @@ object Catalog {
       |  FROM events),
       |sessions AS (
       |  SELECT user_id, event_id,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged)
       |SELECT user_id, session_seq, count(*) AS n_events
       |FROM sessions GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
@@ -769,15 +769,18 @@ object Catalog {
   val q43MapFns = q("q43_map_functions",
     "JSON → MapType parsing + map functions (§1.2 metadata mapping)",
     """SELECT event_id,
-      |       json_keys(props) AS ks,
+      |       array_to_string(list_sort(json_keys(props)), ',') AS ks,
       |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
       |       len(json_keys(props)) AS n_keys
       |FROM events""".stripMargin) { (s, d) =>
     val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
       org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    // Keys are emitted as a sorted comma-joined scalar (not an array column): the
+    // driver's pandas compare cannot sort rows on array cells, and sorting removes
+    // JSON key-order sensitivity between Spark's from_json and DuckDB's json_keys.
     Tables.events(s, d).select(
       col("event_id"),
-      map_keys(m).as("ks"),
+      array_join(sort_array(map_keys(m)), ",").as("ks"),
       element_at(m, "k").cast("long").as("k_value"),
       size(map_keys(m)).cast("long").as("n_keys"))
   }
