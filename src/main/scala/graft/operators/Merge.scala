@@ -85,9 +85,13 @@ object Merge {
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
+    // Existence is probed explicitly (Hadoop FS — works on HDFS/S3 too);
+    // a read failure on an EXISTING table must propagate, or the merge
+    // would silently replace touched partitions with updates-only.
     val targetSlice =
-      try spark.read.parquet(path).filter(col(partitionCol).isin(touched: _*))
-      catch { case _: Exception => updates.limit(0) }
+      if (graft.sources.Fs.exists(spark, path))
+        spark.read.parquet(path).filter(col(partitionCol).isin(touched: _*))
+      else updates.limit(0)
     val merged = mergeInto(targetSlice, updates, keys, versionCol)
     val clustered =
       if (clusterCols.nonEmpty)

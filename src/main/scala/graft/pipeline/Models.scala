@@ -216,10 +216,13 @@ object Models {
     * shuffle-free, identical output (equivalence asserted in
     * IntervalExpandSpec/PipelineSpec).
     *
-    * Proration (reference CASE :97-110): before the service period
-    * starts nothing is recognized; within it, recognition accrues at
-    * the daily rate counting the start day as a full day; at/after
-    * period end everything is recognized. deferred = amount − recognized.
+    * Proration (reference CASE :97-110, replicated branch-for-branch):
+    * recognized = 0 before the service period, the full amount at/after
+    * period end, otherwise daily_rate × DATE_DIFF(as_of, period_start)
+    * — zero days elapse on the start day itself. deferred is computed
+    * INDEPENDENTLY as daily_rate × DATE_DIFF(period_end, as_of) (the
+    * reference's own CASE :97-102), not as amount − recognized: the two
+    * differ in float ULPs and oracle parity requires the former.
     */
   def deferredRevenue(lineItems: DataFrame, exchangeRates: DataFrame,
                       loadedAt: Column): DataFrame = {
@@ -227,12 +230,16 @@ object Models {
     val expanded = IntervalExpand.expandDays(
       base, col("invoice_created_date"), col("period_end_date"), "as_of_date")
 
-    val daysElapsed = datediff(col("as_of_date"), col("period_start_date")) + 1
     val recognized =
       when(col("as_of_date") < col("period_start_date"), lit(0.0))
-        .when(col("service_period_days") <= 0, col("amount_without_tax_usd"))
-        .when(daysElapsed >= col("service_period_days"), col("amount_without_tax_usd"))
-        .otherwise(col("daily_revenue_usd") * daysElapsed)
+        .when(col("as_of_date") >= col("period_end_date"), col("amount_without_tax_usd"))
+        .otherwise(col("daily_revenue_usd") *
+          datediff(col("as_of_date"), col("period_start_date")))
+    val deferred =
+      when(col("as_of_date") < col("period_start_date"), col("amount_without_tax_usd"))
+        .when(col("as_of_date") >= col("period_end_date"), lit(0.0))
+        .otherwise(col("daily_revenue_usd") *
+          datediff(col("period_end_date"), col("as_of_date")))
 
     expanded.select(
       col("line_item_id"), col("invoice_id"), col("customer_id"),
@@ -243,7 +250,7 @@ object Models {
       col("amount_without_tax_usd"), col("amount_with_tax_usd"),
       col("as_of_date"),
       recognized.as("recognized_revenue_usd"),
-      (col("amount_without_tax_usd") - recognized).as("deferred_revenue_usd"),
+      deferred.as("deferred_revenue_usd"),
       loadedAt.as("_loaded_at"))
   }
 

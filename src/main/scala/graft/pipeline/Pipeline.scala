@@ -33,9 +33,11 @@ class Pipeline(
 
   private def path(name: String) = s"$warehouseDir/$name"
 
+  // only genuine absence reads as empty; IO errors on an existing
+  // table propagate (graft.sources.Fs scaladoc)
   private def tableOrEmpty(name: String, like: DataFrame): DataFrame =
-    try spark.read.parquet(path(name))
-    catch { case _: Exception => like.limit(0) }
+    if (graft.sources.Fs.exists(spark, path(name))) spark.read.parquet(path(name))
+    else like.limit(0)
 
   /** Merge-materialize `updates` into the named table by `keys`,
     * date-partitioned on `partitionCol` (the reference's partition_by
@@ -53,7 +55,7 @@ class Pipeline(
         clusterCols, versionCol = Some("_loaded_at"))
       // empty updates against a missing table write nothing — hand the
       // (empty, schema-correct) frame downstream instead of a dead path
-      if (new java.io.File(path(name)).exists()) spark.read.parquet(path(name))
+      if (graft.sources.Fs.exists(spark, path(name))) spark.read.parquet(path(name))
       else updates.limit(0)
     } catch { case e: Throwable => onFailure(name, e); throw e }
 

@@ -819,6 +819,142 @@ object Catalog {
         wRows.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 4).as("last_order_price"))
   }
 
+  // ---------------------------------------------------------------- the revenue pipeline itself
+  /** Checked-in Stripe-shaped NDJSON fixture (scripts/gen_fixture.py,
+    * FIXTURES.md §A.1) — absolute path because both engines (Spark here,
+    * DuckDB in the driver's oracle run) must read the same bytes. */
+  private val InvoiceFixture = "/root/repo/fixtures/stripe_invoices.ndjson"
+
+  private val invoiceFixtureDuckdbColumns =
+    """columns={id:'VARCHAR', customer:'VARCHAR', subscription:'VARCHAR',
+      |         status:'VARCHAR', currency:'VARCHAR', created:'BIGINT', total:'BIGINT',
+      |         lines:'STRUCT(data STRUCT(id VARCHAR, currency VARCHAR, amount BIGINT,
+      |                subscription VARCHAR, period STRUCT("start" BIGINT, "end" BIGINT),
+      |                taxes STRUCT(amount BIGINT, tax_behavior VARCHAR)[])[])'}""".stripMargin
+
+  /** The reference's whole point, under the oracle end-to-end: raw
+    * invoice NDJSON → staging date → line-item flatten + tax HOFs →
+    * FX → daily-rate proration → the deferred-revenue mart at
+    * (line_item_id, as_of_date) grain (reference:
+    * dbt/stripe/models/marts/deferred_revenue.sql:19-128 compiled into
+    * one chain; analyst surface README.md:176-213). Raw doubles, no
+    * rounding: both engines execute the identical IEEE-754 op sequence
+    * (cents/100 → ×rate → /days → ×days), so values are bit-equal —
+    * which is itself part of the parity claim (SURVEY §1.2: FLOAT64
+    * math, never Decimal). */
+  val q46DeferredMart = q("q46_deferred_mart",
+    "End-to-end revenue pipeline: NDJSON → flatten/tax → FX → proration → deferred mart (E2)",
+    s"""WITH src AS (
+      |  SELECT id, customer, subscription, currency,
+      |         CAST(make_timestamp(created * 1000000) AS DATE) AS created_at_date,
+      |         lines
+      |  FROM read_json('$InvoiceFixture', format='newline_delimited',
+      |                 $invoiceFixtureDuckdbColumns)
+      |  WHERE status = 'paid'),
+      |flattened AS (
+      |  SELECT id AS invoice_id, customer AS customer_id,
+      |         subscription AS invoice_subscription_id,
+      |         currency AS invoice_currency,
+      |         created_at_date AS invoice_created_date,
+      |         unnest(lines.data) AS li
+      |  FROM src),
+      |items AS (
+      |  SELECT li.id AS line_item_id, invoice_id, customer_id,
+      |         coalesce(li.subscription, invoice_subscription_id) AS subscription_id,
+      |         CAST(li.amount AS DOUBLE) / 100 AS amount,
+      |         coalesce(li.currency, invoice_currency) AS currency,
+      |         invoice_created_date,
+      |         CAST(make_timestamp(li.period['start'] * 1000000) AS DATE) AS period_start_date,
+      |         coalesce(list_aggregate(list_transform(li.taxes,
+      |                    t -> CAST(t.amount AS DOUBLE)), 'sum') / 100,
+      |                  CAST(0 AS DOUBLE)) AS tax_amount,
+      |         coalesce(li.taxes[1].tax_behavior = 'inclusive', false) AS is_tax_inclusive,
+      |         CASE WHEN li.period['end'] IS NULL
+      |              THEN CAST(make_timestamp(li.period['start'] * 1000000) AS DATE) + 1
+      |              ELSE CAST(make_timestamp(li.period['end'] * 1000000) AS DATE)
+      |         END AS period_end_date
+      |  FROM flattened),
+      |fx AS (SELECT * FROM (VALUES
+      |         ('USD', CAST(1.0 AS DOUBLE)), ('GBP', CAST(1.27 AS DOUBLE)),
+      |         ('EUR', CAST(1.08 AS DOUBLE))) v(from_currency, exchange_rate)),
+      |rev AS (
+      |  SELECT items.*,
+      |         CASE WHEN is_tax_inclusive THEN amount - tax_amount ELSE amount END AS amount_without_tax,
+      |         CASE WHEN is_tax_inclusive THEN amount ELSE amount + tax_amount END AS amount_with_tax
+      |  FROM items),
+      |usd AS (
+      |  SELECT rev.*,
+      |         amount_without_tax * exchange_rate AS amount_without_tax_usd,
+      |         amount_with_tax * exchange_rate AS amount_with_tax_usd
+      |  FROM rev JOIN fx ON currency = from_currency),
+      |spc AS (
+      |  SELECT usd.*,
+      |         date_diff('day', period_start_date, period_end_date) AS service_period_days,
+      |         CASE WHEN date_diff('day', period_start_date, period_end_date) > 0
+      |              THEN amount_without_tax_usd / date_diff('day', period_start_date, period_end_date)
+      |              ELSE amount_without_tax_usd END AS daily_revenue_usd
+      |  FROM usd),
+      |expanded AS (
+      |  SELECT spc.*,
+      |         CAST(unnest(generate_series(invoice_created_date, period_end_date,
+      |                                     INTERVAL 1 DAY)) AS DATE) AS as_of_date
+      |  FROM spc
+      |  WHERE invoice_created_date <= period_end_date)
+      |SELECT line_item_id, invoice_id, customer_id, subscription_id, currency,
+      |       invoice_created_date, period_start_date, period_end_date,
+      |       CAST(service_period_days AS BIGINT) AS service_period_days,
+      |       daily_revenue_usd, amount_without_tax_usd, amount_with_tax_usd, as_of_date,
+      |       CASE WHEN as_of_date < period_start_date THEN CAST(0 AS DOUBLE)
+      |            WHEN as_of_date >= period_end_date THEN amount_without_tax_usd
+      |            ELSE daily_revenue_usd * date_diff('day', period_start_date, as_of_date)
+      |       END AS recognized_revenue_usd,
+      |       CASE WHEN as_of_date < period_start_date THEN amount_without_tax_usd
+      |            WHEN as_of_date >= period_end_date THEN CAST(0 AS DOUBLE)
+      |            ELSE daily_revenue_usd * date_diff('day', as_of_date, period_end_date)
+      |       END AS deferred_revenue_usd
+      |FROM expanded""".stripMargin) { (s, _) =>
+    val raw = s.read.schema(graft.pipeline.Schemas.invoiceSchema).json(InvoiceFixture)
+    val staged = graft.pipeline.Models.staged(raw)
+    val loadedAt = lit(null).cast("timestamp")
+    val lineItems = graft.pipeline.Models.invoiceLineItems(staged, loadedAt)
+    val fx = graft.pipeline.Models.exchangeRates(s, java.time.LocalDate.of(2024, 8, 12))
+    graft.pipeline.Models.deferredRevenue(lineItems, fx, loadedAt)
+      .select(
+        col("line_item_id"), col("invoice_id"), col("customer_id"),
+        col("subscription_id"), col("currency"),
+        col("invoice_created_date"), col("period_start_date"), col("period_end_date"),
+        col("service_period_days").cast("long").as("service_period_days"),
+        col("daily_revenue_usd"), col("amount_without_tax_usd"),
+        col("amount_with_tax_usd"), col("as_of_date"),
+        col("recognized_revenue_usd"), col("deferred_revenue_usd"))
+  }
+
+  // ---------------------------------------------------------------- DSv2 pushdown scan
+  /** The DSv2 NDJSON source under the oracle: equality + range filters
+    * pushed INTO the scan (the reference's API-side `status:'paid'`,
+    * `created >= hwm` pushdown, extract_stripe_data.py:16,32,130-131),
+    * verified against DuckDB's read_json over the same file. The plan's
+    * scan node reports `PushedFilters=[...]` (asserted in
+    * NdjsonSourceSpec). */
+  val q47NdjsonPushdown = q("q47_ndjson_pushdown",
+    "DSv2 NDJSON scan with filter+column pushdown vs read_json (S1/S5)",
+    s"""SELECT id AS invoice_id, customer AS customer_id, currency, created,
+      |       CAST(make_timestamp(created * 1000000) AS DATE) AS created_at_date,
+      |       CAST(total AS DOUBLE) / 100 AS total_units
+      |FROM read_json('$InvoiceFixture', format='newline_delimited',
+      |               $invoiceFixtureDuckdbColumns)
+      |WHERE status = 'paid' AND created >= 1709251200""".stripMargin) { (s, _) =>
+    s.read.format("graft.sources.NdjsonSource")
+      .schema(graft.pipeline.Schemas.invoiceSchema)
+      .option("path", InvoiceFixture).load()
+      .filter(col("status") === "paid" && col("created") >= 1709251200L) // 2024-03-01
+      .select(
+        col("id").as("invoice_id"), col("customer").as("customer_id"),
+        col("currency"), col("created"),
+        to_date(timestamp_seconds(col("created"))).as("created_at_date"),
+        (col("total").cast("double") / 100).as("total_units"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -829,5 +965,5 @@ object Catalog {
     q31Asof, q32OuterJoin, q33Percentile, q34EmbDedup,
     q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling,
     q40SemiJoin, q41Features, q42DedupClusters, q43MapFns,
-    q44Cube, q45RangeFrame)
+    q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown)
 }

@@ -56,16 +56,17 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
-  /** Streaming exact dedup: watermarked dropDuplicates on the key.
-    * State holds one entry per key seen within the watermark horizon;
-    * rows older than the watermark are dropped from state — bounded
-    * memory at any throughput (the streaming twin of
-    * Dedup.exactDedup). */
+  /** Streaming exact dedup on the KEY ALONE — the streaming twin of
+    * Dedup.exactDedup: one surviving row per key, not per (key, ts).
+    * dropDuplicatesWithinWatermark keeps state only for the watermark
+    * horizon (bounded memory at any throughput) while deduplicating on
+    * exactly the key columns, so two events with the same key at
+    * different timestamps inside the horizon still collapse to one. */
   def streamingDedup(events: DataFrame, keyCols: Seq[String],
                      tsCol: String = "ts",
                      lateness: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, lateness)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   case class SessionState(firstTs: Long, lastTs: Long, nEvents: Int)
@@ -115,21 +116,25 @@ object Streaming {
     * parquet target by key — the reference's universal MERGE
     * materialization driven by a stream. AvailableNow = "drain the
     * backlog, then stop": the streaming analog of the daily batch
-    * run, checkpointed so reruns resume instead of reprocessing. */
+    * run, checkpointed so reruns resume instead of reprocessing.
+    *
+    * Each micro-batch delegates to Merge.mergeWrite, so per-batch cost
+    * is O(updated partitions): only the `partitionCol` directories the
+    * batch touches are read, merged, and dynamic-overwritten —
+    * untouched partitions are never opened, the property that keeps a
+    * 100 TB target's micro-batch constant-time (a full-table
+    * read+rewrite per batch would be quadratic over the stream's
+    * life). */
   def mergeSink(stream: DataFrame, spark: SparkSession, targetPath: String,
-                keys: Seq[String], checkpoint: String,
+                keys: Seq[String], checkpoint: String, partitionCol: String,
+                clusterCols: Seq[String] = Nil,
                 versionCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target =
-          try spark.read.parquet(targetPath)
-          catch { case _: Exception => batch.limit(0) }
-        val merged = Merge.mergeInto(target, batch, keys, versionCol)
-        val tmp = targetPath + "_stage"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+        Merge.mergeWrite(spark, targetPath, batch, keys, partitionCol,
+          clusterCols, versionCol)
       }
       .start()
 }

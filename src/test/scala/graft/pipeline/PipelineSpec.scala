@@ -113,9 +113,11 @@ class PipelineSpec extends SparkSpecBase {
     val bad = dr.filter(
       abs($"deferred_revenue_usd" + $"recognized_revenue_usd" - $"amount_without_tax_usd") > 1e-9)
     assert(bad.count() === 0)
-    // mid-period day: jan15 → 15 elapsed days (start day counts) at 4 USD/day
+    // mid-period day: jan15 → DATE_DIFF(jan15, jan01) = 14 elapsed days
+    // (zero days elapse on the start day — reference CASE :104-110)
+    // at 4 USD/day
     val jan15 = dr.filter($"as_of_date" === lit(java.sql.Date.valueOf("2024-01-15"))).head()
-    assert(math.abs(jan15.getAs[Double]("recognized_revenue_usd") - 60.0) < 1e-9)
+    assert(math.abs(jan15.getAs[Double]("recognized_revenue_usd") - 56.0) < 1e-9)
   }
 
   test("zero-length period recognizes everything immediately") {
@@ -147,9 +149,10 @@ class PipelineSpec extends SparkSpecBase {
     val deferred = tables("deferred_revenue")
     val q1 = AnalystQueries.totalDeferred(deferred, LocalDate.of(2024, 1, 15))
       .head().getDouble(0)
-    // li1: 120-60=60 deferred; li2: window jan10..jan11 passed by jan15 → no row;
-    // li3: fully recognized, 0 but row exists only jan10
-    assert(math.abs(q1 - 60.0) < 1e-9)
+    // li1: 4/day × DATE_DIFF(jan31, jan15) = 64 deferred; li2: window
+    // jan10..jan11 passed by jan15 → no row; li3: fully recognized,
+    // 0 but row exists only jan10
+    assert(math.abs(q1 - 64.0) < 1e-9)
     val q2 = AnalystQueries.deferredByCustomer(deferred, LocalDate.of(2024, 1, 15))
     assert(q2.head().getAs[String]("customer_id") === "cus1")
     val q3 = AnalystQueries.deferredTrend(deferred)
@@ -203,9 +206,10 @@ class PipelineSpec extends SparkSpecBase {
     // typed transformations: compile-time field access
     val perItem = dr.filter(_.deferred_revenue_usd > 0)
       .groupByKey(_.line_item_id).count().collect().toMap
-    // only li1 has a multi-day unelapsed period; li2's 1-day fallback
-    // period and li3's zero-length period recognize in full on day one
-    assert(perItem.keySet === Set("li1"))
+    // li1 defers across its 30-day period; li2's 1-day fallback period
+    // defers in full on its start day (nothing recognized until a day
+    // elapses); li3's zero-length period recognizes in full on day one
+    assert(perItem.keySet === Set("li1", "li2"))
     val li = Rows.lineItems(tables("invoice_line_items")).collect()
     assert(li.map(_.line_item_id).sorted === Array("li1", "li2", "li3"))
     assert(li.count(_.is_tax_inclusive) === 1)

@@ -84,23 +84,67 @@ class StreamingSpec extends SparkSpecBase {
     val src = Files.createTempDirectory("graft-stream-src").toString
     val tgt = Files.createTempDirectory("graft-stream-tgt").toString + "/t"
     val ckp = Files.createTempDirectory("graft-stream-ckp").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
 
-    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")
+    Seq((1L, "a", 1.0, d("2024-01-01")), (2L, "b", 2.0, d("2024-01-02")))
+      .toDF("id", "name", "v", "day")
       .write.mode("append").parquet(src)
     val stream = Streaming.fileStream(spark,
       spark.read.parquet(src).schema, src)
-    val q1 = Streaming.mergeSink(stream, spark, tgt, Seq("id"), ckp)
+    val q1 = Streaming.mergeSink(stream, spark, tgt, Seq("id"), ckp, "day")
     q1.awaitTermination()
     assert(spark.read.parquet(tgt).count() === 2)
 
-    // second activation: new file with an update + an insert
-    Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "name", "v")
+    // snapshot the untouched partition's bytes before the second batch
+    def partFiles(day: String): Map[String, Array[Byte]] = {
+      val dir = new java.io.File(s"$tgt/day=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> Files.readAllBytes(f.toPath)).toMap
+    }
+    val before = partFiles("2024-01-01")
+
+    // second activation: an update + an insert, both on 2024-01-02
+    Seq((2L, "b2", 20.0, d("2024-01-02")), (3L, "c", 3.0, d("2024-01-02")))
+      .toDF("id", "name", "v", "day")
       .write.mode("append").parquet(src)
     val q2 = Streaming.mergeSink(Streaming.fileStream(spark,
-      spark.read.parquet(tgt).schema, src), spark, tgt, Seq("id"), ckp)
+      spark.read.parquet(src).schema, src), spark, tgt, Seq("id"), ckp, "day")
     q2.awaitTermination()
     val out = spark.read.parquet(tgt).orderBy("id")
+      .select("id", "name", "v")
       .as[(Long, String, Double)].collect()
     assert(out === Array((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0)))
+
+    // O(updated partitions) contract: the 2024-01-01 directory was
+    // neither rewritten nor touched — byte-identical files
+    val after = partFiles("2024-01-01")
+    assert(after.keySet === before.keySet)
+    for ((name, bytes) <- before)
+      assert(java.util.Arrays.equals(after(name), bytes),
+        s"untouched partition file $name changed across a micro-batch")
+  }
+
+  test("mergeSink propagates a read failure on an existing corrupt target") {
+    val src = Files.createTempDirectory("graft-stream-src2").toString
+    val tgt = Files.createTempDirectory("graft-stream-tgt2").toString + "/t"
+    val ckp = Files.createTempDirectory("graft-stream-ckp2").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+
+    // existing-but-corrupt target: the path exists yet is not parquet.
+    // Pre-fix behavior silently treated this as "empty table" and
+    // dynamic-overwrote with updates-only — now it must fail loudly.
+    Files.createDirectories(java.nio.file.Paths.get(s"$tgt/day=2024-01-01"))
+    Files.write(java.nio.file.Paths.get(s"$tgt/day=2024-01-01/part-0.parquet"),
+      "not a parquet file".getBytes)
+
+    Seq((1L, "a", 1.0, d("2024-01-01"))).toDF("id", "name", "v", "day")
+      .write.mode("append").parquet(src)
+    val q = Streaming.mergeSink(Streaming.fileStream(spark,
+      spark.read.parquet(src).schema, src), spark, tgt, Seq("id"), ckp, "day")
+    intercept[Throwable] { q.awaitTermination() }
+    // the corrupt bytes were NOT replaced behind our back
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tgt/day=2024-01-01/part-0.parquet")))
+      === "not a parquet file")
   }
 }
