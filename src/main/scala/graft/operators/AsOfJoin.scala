@@ -26,10 +26,20 @@ import org.apache.spark.sql.functions._
   * (key, time), which of them wins is unspecified (same as SQL ASOF
   * implementations). Dedupe the right side on (key, time) first when
   * that matters.
+  *
+  * Row atomicity: all payload columns are carried in ONE struct filled
+  * by a single `last(_, ignoreNulls) `— the match is the whole most
+  * recent right row, exactly as ASOF JOIN semantics demand. Filling
+  * each payload column independently would (a) skip a genuinely NULL
+  * value in the matched row in favor of an older row's value and
+  * (b) let different payload columns come from DIFFERENT right rows.
+  * The struct is non-null for every right row (even one whose payload
+  * values are all null), so genuine nulls survive the fill.
   */
 object AsOfJoin {
 
   private val SIDE = "_asof_side"
+  private val PAY = "_asof_payload"
 
   /** @param left       probe side; all its columns pass through
     * @param right      reference side
@@ -47,23 +57,25 @@ object AsOfJoin {
     val t = "_asof_t"
     val leftCols = left.columns.toSeq
     val payloadSeq = payload.toSeq // (right source col, output name)
+    val payType = org.apache.spark.sql.types.StructType(
+      payloadSeq.map { case (src, dst) =>
+        org.apache.spark.sql.types.StructField(dst, right.schema(src).dataType)
+      })
 
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn(SIDE, lit(1))
       .select((keyCols.map(col) :+ col(t) :+ col(SIDE)) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        payloadSeq.map { case (src, dst) =>
-          lit(null).cast(right.schema(src).dataType).as(dst)
-        }: _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(payType).as(PAY): _*)
 
     val r = right
       .withColumn(t, col(rightTime))
       .withColumn(SIDE, lit(0))
       .select((keyCols.map(col) :+ col(t) :+ col(SIDE)) ++
         leftCols.filterNot(keyCols.contains).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadSeq.map { case (src, dst) => col(src).as(dst) }: _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadSeq.map { case (src, dst) => col(src).as(dst) }: _*).as(PAY): _*)
 
     // at equal time: side 0 (right) sorts first unless strict — so a
     // left row at time T sees a right row at exactly T iff !strict
@@ -72,9 +84,13 @@ object AsOfJoin {
       .orderBy(col(t).asc, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.values.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(SIDE) === 1).drop(SIDE, t)
+    // ONE last() over the whole payload struct: the matched right row
+    // is attached atomically (see scaladoc on row atomicity)
+    l.unionByName(r)
+      .withColumn(PAY, last(col(PAY), ignoreNulls = true).over(w))
+      .filter(col(SIDE) === 1)
+      .select((keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        payloadSeq.map { case (_, dst) => col(s"$PAY.$dst").as(dst) }): _*)
   }
 }

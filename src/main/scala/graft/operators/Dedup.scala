@@ -68,15 +68,31 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
+    * @param blockCol  optional blocking column: when set, the band key
+    *                  includes it, so candidates are same-block BY
+    *                  CONSTRUCTION. When the dedup unit is a block
+    *                  (e.g. per-source), blocking here — not filtering
+    *                  after pair generation — is the scale decision:
+    *                  it keeps cross-block moderate-similarity pairs
+    *                  from ever entering the candidate set.
+    * @param threshold minimum estimated Jaccard. Pass 0.0 to skip
+    *                  signature scoring entirely (est_jaccard comes
+    *                  back null): banding is then the only filter and
+    *                  the caller is expected to verify candidates
+    *                  exactly (ngramJaccardVerify) — two whole join
+    *                  stages cheaper when an exact verifier follows
+    *                  anyway.
     * @return (id_a, id_b, est_jaccard) with id_a < id_b, distinct,
-    *         filtered to est_jaccard >= threshold.
+    *         filtered to est_jaccard >= threshold (when scoring).
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 16,
                  shingleK: Int = 3, threshold: Double = 0.5,
-                 maxBucket: Int = 200): DataFrame = {
+                 maxBucket: Int = 200,
+                 blockCol: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    val blockKey = blockCol.toSeq
 
     // The repartition is a materialization barrier as much as a
     // partitioning choice: without an exchange between the signature
@@ -84,38 +100,54 @@ object Dedup {
     // inlines minhash_signature into the pair stage and recomputes it
     // per banded row / per candidate pair instead of once per doc.
     val sigs = df.select(
-      col(idCol).as("id"),
-      Sketches.minhash_shingled(TextFunctions.tokens(col(textCol)),
-        shingleK, numHashes).as("sig"))
+      col(idCol).as("id") +: Sketches.minhash_shingled(
+        TextFunctions.tokens(col(textCol)), shingleK, numHashes).as("sig") +:
+        blockKey.map(col): _*)
       .repartition(col("id"))
 
     // band keys built with a Scala-level loop (band count is static).
     // Signatures are dropped immediately: every shuffle from here to
-    // pair generation carries only (id, band, bh) — 24-byte rows, not
-    // 8·numHashes-byte signature arrays.
+    // pair generation carries only (id, [block,] band, bh) — small
+    // fixed-width rows, not 8·numHashes-byte signature arrays.
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }
     val banded = sigs
-      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bh"))
+      .select(col("id") +: explode(array(bandStructs: _*)).as("bk") +:
+        blockKey.map(col): _*)
+      .select(col("id") +: col("bk.band") +: col("bk.bh") +:
+        blockKey.map(col): _*)
 
-    // drop degenerate mega-buckets (skew guard) and singletons
-    val keepBuckets = banded.groupBy("band", "bh")
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") <= maxBucket && col("_bn") > 1)
-      .select("band", "bh")
-    val pruned = banded.join(keepBuckets, Seq("band", "bh"))
-
-    // candidate pair IDs, deduped across bands BEFORE scoring — each
-    // surviving pair is scored exactly once
-    val pairs = pruned.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("bh"), col("id").as("id_b")),
-        Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // Bucket membership as a sorted id list (one shuffle), with the
+    // skew guard (degenerate mega-buckets) and singleton drop applied
+    // on list size. Then collapse buckets with IDENTICAL membership
+    // before the quadratic step: near-identical documents agree on
+    // most of their bands, so without this each clique's pair set is
+    // regenerated once per agreeing band — measured ~30× redundant
+    // pre-distinct volume on a near-dup-heavy corpus. distinct() on
+    // (block, ids) costs one shuffle of O(#buckets) list rows instead
+    // of O(Σ bucket²) pair rows.
+    val bucketKey = blockKey ++ Seq("band", "bh")
+    val buckets = banded.groupBy(bucketKey.map(col): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) <= maxBucket && size(col("ids")) > 1)
+      .select(blockKey.map(col) :+ col("ids"): _*)
       .distinct()
+
+    // candidate pair IDs from each distinct bucket (ids sorted ⇒
+    // id_a < id_b by construction), deduped across overlapping
+    // buckets BEFORE scoring — each surviving pair is scored (or
+    // verified) exactly once
+    val pairs = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .distinct()
+
+    if (threshold <= 0.0)
+      return pairs.select(col("id_a"), col("id_b"),
+        lit(null).cast("double").as("est_jaccard"))
 
     // fetch both signatures by id (small enough to auto-broadcast at
     // bench scale; AQE picks a shuffle join when the corpus outgrows
@@ -223,6 +255,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(Sim.cosine(col("vec_a"), col("vec_b")), roundTo).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard over an EXPLICIT candidate pair list — the
+    * scale-safe verifier stage: candidates come from a sub-quadratic
+    * generator (minHashLsh / simHashPairs), never from within-block
+    * brute force. Each document's shingle set is hashed once into a
+    * sorted long array; the two joins then ship 8-byte hash arrays to
+    * the (sparse) candidate pairs, and scoring is a codegen'd linear
+    * merge. Cost: O(docs) prep + O(candidates) scoring — the shape
+    * that survives 100 TB, vs the O(Σ block²) of ngramJaccardPairs.
+    *
+    * @param candidates (id_a, id_b) pairs, id_a < id_b
+    * @return (id_a, id_b, jaccard) filtered to jaccard >= threshold
+    */
+  def ngramJaccardVerify(df: DataFrame, candidates: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 1, threshold: Double = 0.5): DataFrame = {
+    val shingleCol =
+      if (k == 1) TextFunctions.tokens(col(textCol))
+      else shingles(col(textCol), k)
+    // same materialization barrier as the other generators: hash each
+    // doc's shingle set once, not once per candidate pair it appears in
+    val toks = df.select(col(idCol).as("id"),
+      Sketches.hashed_token_set(shingleCol).as("sh"))
+      .repartition(col("id"))
+    candidates.select("id_a", "id_b")
+      .join(toks.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Sketches.jaccard_sorted_long(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram (word-shingle) Jaccard for all pairs within a

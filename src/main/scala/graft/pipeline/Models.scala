@@ -51,8 +51,12 @@ object Models {
     *    output parity, SURVEY §2.9 ⚠);
     *  - `is_leap_year` counts spine days per year, so a partial final
     *    year reads as "leap" (calendar.sql:17 ⚠ — replicated).
-    * `week_of_year` uses ISO weeks (documented delta vs BigQuery's
-    * Sunday-start WEEK; SURVEY §2.9). */
+    * `week_of_year` uses ISO weeks; `week_sunday_start` is BigQuery's
+    * `EXTRACT(WEEK ...)` (calendar.sql:7): weeks begin on Sunday and
+    * days before the year's first Sunday are week 0 — computed as the
+    * count of Sundays elapsed, floor((doy + (dow(jan1)+5) mod 7) / 7),
+    * pure date arithmetic so it stays inside codegen. Both conventions
+    * ship (SURVEY §2.9). */
   def calendar(spark: SparkSession, asOf: LocalDate,
                spineStart: LocalDate = LocalDate.of(2020, 1, 1)): DataFrame = {
     val spine = spark.range(1).select(
@@ -61,10 +65,15 @@ object Models {
         lit(java.sql.Date.valueOf(asOf)))).as("date_day"))
     val wMonth = Window.partitionBy(year(col("date_day")), month(col("date_day")))
     val wYear = Window.partitionBy(year(col("date_day")))
+    val sundayWeek = floor(
+      (dayofyear(col("date_day")) +
+        pmod(dayofweek(trunc(col("date_day"), "year")) + 5, lit(7))) / 7)
+      .cast("int")
     spine.select(
       col("date_day"),
       year(col("date_day")).as("year"),
       weekofyear(col("date_day")).as("week_of_year"),
+      sundayWeek.as("week_sunday_start"),
       month(col("date_day")).as("month_of_year"),
       dayofmonth(col("date_day")).as("day_of_year"), // quirk: actually day-of-month
       quarter(col("date_day")).cast("string").as("quarter_of_year"),

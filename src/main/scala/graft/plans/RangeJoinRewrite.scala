@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -24,17 +24,18 @@ import org.apache.spark.sql.types.{ArrayType, DateType}
   * expressions over the fact side.
   *
   * Rewrite:          Generate(explode(sequence(lo, hi')), fact)
-  *                   LEFT SEMI JOIN spine ON d = spine.d
+  *                   INNER JOIN spine ON d = spine.d
   * The generated attribute reuses the spine column's exprId, so every
-  * downstream reference resolves unchanged. The semi join keeps the
-  * result identical even when the spine covers less than [lo, hi]
-  * (e.g. a capped calendar): membership is still checked, but against
-  * a hash relation instead of a nested loop — and it broadcasts,
-  * because a date spine is always tiny.
+  * downstream reference resolves unchanged. The inner equi join keeps
+  * the result identical in every case the nested loop handled: a
+  * spine narrower than [lo, hi] (capped calendar) still filters, and
+  * a spine with DUPLICATE dates still multiplies output rows exactly
+  * as the original join did — which is why this is an equi join and
+  * not a semi join (a semi join would silently collapse duplicate
+  * spine rows; asserted in RangeJoinRewriteSpec). Membership is
+  * checked against a hash relation instead of a nested loop — and it
+  * broadcasts, because a date spine is always tiny.
   *
-  * Semantics note: exact equivalence requires spine dates to be
-  * UNIQUE (true for any calendar dimension; duplicate spine rows
-  * would duplicate join output where the semi join does not).
   * Disable with spark.graft.rangeJoinRewrite=false.
   *
   * Register via `.withExtensions(new GraftExtensions)` or
@@ -123,16 +124,19 @@ object RangeJoinToExplodeRule extends Rule[LogicalPlan] {
       outer = false, qualifier = None,
       generatorOutput = Seq(dAttr.toAttribute),
       child = fact)
-    // membership check against the (possibly narrower) spine — tiny
-    // build side, plans as a broadcast semi join
+    // membership-and-multiplicity check against the (possibly narrower,
+    // possibly duplicated) spine — tiny build side, plans as a
+    // broadcast hash join. Inner, not semi: duplicate spine dates must
+    // multiply output exactly as the original nested-loop join did.
     val freshOut = dAttr.newInstance()
     val spineAliased = Project(
       Seq(Alias(dAttr, dAttr.name + "_spine")(exprId = freshOut.exprId)), spine)
-    val semi = Join(gen, spineAliased, LeftSemi,
+    val inner = Join(gen, spineAliased, Inner,
       Some(EqualTo(dAttr.toAttribute, freshOut.withName(dAttr.name + "_spine"))),
       JoinHint.NONE)
-    // restore the original output order (join output = left ++ right)
-    Project(orig.output, semi)
+    // restore the original output order (join output = left ++ right);
+    // the aliased spine date is projected away
+    Project(orig.output, inner)
   }
 }
 

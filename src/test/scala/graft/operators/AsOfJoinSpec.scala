@@ -50,4 +50,27 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out.columns.toSet ===
       Set("k", "trade_id", "tts", "p", "matched_at"))
   }
+
+  test("the match is row-atomic: genuine nulls survive, columns never mix rows") {
+    // most recent quote at 11:00 has a NULL price but a real venue; the
+    // older 10:00 row has both. ASOF must attach the 11:00 row whole:
+    // price = null (not 100.0 from the older row), venue = "B".
+    val nullableQuotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), Some("A")),
+      (1L, ts("2024-01-01 11:00:00"), None, Some("B"))
+    ).toDF("k", "qts", "price", "venue")
+    val lateTrade = Seq((1L, 1L, ts("2024-01-01 12:00:00")))
+      .toDF("k", "trade_id", "tts")
+    val row = AsOfJoin.asof(lateTrade, nullableQuotes, Seq("k"), "tts", "qts",
+      Map("price" -> "p", "venue" -> "v"))
+      .select("p", "v").as[(Option[Double], Option[String])].head()
+    assert(row === ((None, Some("B"))))
+    // and a key with no prior right row still yields all-null payload
+    val early = Seq((1L, 2L, ts("2024-01-01 09:00:00")))
+      .toDF("k", "trade_id", "tts")
+    val none = AsOfJoin.asof(early, nullableQuotes, Seq("k"), "tts", "qts",
+      Map("price" -> "p", "venue" -> "v"))
+      .select("p", "v").as[(Option[Double], Option[String])].head()
+    assert(none === ((None, None)))
+  }
 }

@@ -64,6 +64,30 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.contains((1L, 4L)))
   }
 
+  test("ngramJaccardVerify on LSH candidates ≡ within-block all-pairs") {
+    // the scale-safe q42 path: banded candidates + exact verification
+    // must reproduce the brute-force edge set at the same threshold
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCol = "source", k = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // blockCol=source ⇒ candidates are same-source by construction
+    // and threshold=0 skips signature scoring (est_jaccard null)
+    val cands = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
+      maxBucket = 10000, blockCol = Some("source"))
+    assert(cands.filter($"est_jaccard".isNotNull).count() === 0)
+    val verified = Dedup.ngramJaccardVerify(docs, cands, "doc_id", "text",
+      k = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified === brute)
+    // and the verifier reports exact (not estimated) jaccard
+    val j12 = Dedup.ngramJaccardVerify(docs, cands, "doc_id", "text",
+      k = 1, threshold = 0.0)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard").as[Double].head()
+    assert(j12 === 1.0)
+  }
+
   test("shingles: shorter-than-k documents collapse to a single shingle") {
     val out = spark.range(1).select(
       Dedup.shingles(lit("only two"), 3).as("sh")).as[Seq[String]].head()

@@ -186,6 +186,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(!row2023.getAs[Boolean]("is_leap_year"))      // full 365-day year
   }
 
+  test("week_sunday_start matches BigQuery EXTRACT(WEEK) on known dates") {
+    val cal = tables("calendar")
+    def wk(d: String): Int =
+      cal.filter($"date_day" === lit(java.sql.Date.valueOf(d)))
+        .head().getAs[Int]("week_sunday_start")
+    // BigQuery: weeks begin Sunday; days before the first Sunday = week 0
+    assert(wk("2023-01-01") === 1) // Jan 1 IS a Sunday → week 1 immediately
+    assert(wk("2024-01-01") === 0) // Monday, before first Sunday (Jan 7)
+    assert(wk("2024-01-06") === 0) // Saturday, still week 0
+    assert(wk("2024-01-07") === 1) // the first Sunday starts week 1
+    assert(wk("2022-01-01") === 0) // Saturday
+    assert(wk("2022-01-02") === 1) // Sunday
+    assert(wk("2020-02-29") === 8) // 8 Sundays elapsed (Jan 5 … Feb 23)
+    assert(wk("2023-12-31") === 53) // a Sunday → opens week 53
+    // and the ISO column disagrees exactly where it should
+    val isoNewYear = cal.filter($"date_day" === lit(java.sql.Date.valueOf("2023-01-01")))
+      .head().getAs[Int]("week_of_year")
+    assert(isoNewYear === 52) // ISO assigns 2023-01-01 to 2022-W52
+  }
+
   test("marts are queryable by name through spark.sql; failures alert") {
     // views were registered by the pipeline run
     val n = spark.sql(

@@ -38,7 +38,7 @@ class RangeJoinRewriteSpec extends SparkSpecBase {
     (facts, spine)
   }
 
-  test("closed range join rewrites to Generate + semi join, no BNLJ") {
+  test("closed range join rewrites to Generate + hash join, no BNLJ") {
     val (facts, spine) = frames
     val joined = facts.join(spine, col("d") >= col("s") && col("d") <= col("e"))
     val physical = joined.queryExecution.executedPlan.toString
@@ -66,6 +66,29 @@ class RangeJoinRewriteSpec extends SparkSpecBase {
     assert(a2 === b2)
     // spine cap respected: fact 3 only contributes days ≤ jan 31
     assert(!a1.exists(_.contains("2024-02")))
+  }
+
+  test("duplicate spine dates multiply output exactly like the nested loop") {
+    import spark.implicits._
+    val (facts, _) = frames
+    // not a calendar: a date LIST with repeats (jan 2 twice, jan 5 thrice)
+    val dupSpine = Seq("2024-01-01", "2024-01-02", "2024-01-02",
+      "2024-01-05", "2024-01-05", "2024-01-05")
+      .toDF("raw").select(to_date($"raw").as("d"))
+    val cond = col("d") >= col("s") && col("d") <= col("e")
+    val rewritten = facts.join(dupSpine, cond)
+      .select("id", "d").collect().map(_.toString).sorted.toSeq
+    val reference = {
+      spark.conf.set("spark.graft.rangeJoinRewrite", "false")
+      try facts.join(dupSpine, cond).select("id", "d")
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.set("spark.graft.rangeJoinRewrite", "true")
+    }
+    assert(rewritten === reference)
+    // fact 1 spans jan 1-3: jan 1 once + jan 2 twice = 3 rows; fact 2
+    // sits on jan 5 = 3 rows — duplicates preserved, not collapsed
+    assert(rewritten.count(_.startsWith("[1,")) === 3)
+    assert(rewritten.count(_.startsWith("[2,")) === 3)
   }
 
   test("non-range joins are left untouched") {
