@@ -81,6 +81,26 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(text), " "))
 
+  /** Email addresses → `[EMAIL]`. The character-class-only pattern
+    * (no backreferences, no lookaround) behaves identically under
+    * Java regex (Spark) and RE2 (DuckDB/Go) — engine-portable by
+    * construction, which is what makes the op oracle-checkable. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-shaped runs → `[PHONE]`: 8+ digit/space/dash/paren runs
+    * anchored on digits, optional leading +. Same portability
+    * constraint as EmailPattern. */
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing for training corpora: redact emails then phone
+    * runs. Pure regexp_replace chain — scan-speed, codegen'd, no
+    * shuffle; the order matters (emails contain digits that the
+    * phone pattern could otherwise split). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
   /** Rolling (polynomial) hash over the token stream — a second,
     * cheaper fingerprint family: h = Σ tok_hash(t_i) * B^i mod M,
     * computed with a single array `aggregate`. Engine-portable when

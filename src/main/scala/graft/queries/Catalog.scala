@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Dedup, Incremental, IntervalExpand, Merge, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Contamination, Dedup, Incremental, IntervalExpand, Merge, Multimodal, Similarity, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -849,6 +849,84 @@ object Catalog {
         wRows.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 4).as("last_order_price"))
   }
 
+  // ---------------------------------------------------------------- PII redaction
+  /** PII scrubbing under the oracle. The raw corpus carries no PII, so
+    * both engines append an identical synthetic email + phone tail to
+    * every document before redacting — what's verified is that the
+    * engine-portable patterns (TextFunctions.EmailPattern/PhonePattern,
+    * character classes only, valid under both Java regex and RE2)
+    * redact identically. */
+  val q48PiiRedact = q("q48_pii_redact",
+    "PII redaction: email+phone regexp scrubbing at scan speed (north star: text analysis)",
+    """SELECT doc_id,
+      |       regexp_replace(
+      |         regexp_replace(
+      |           text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |                || '@mail.example.com or +1 (555) 010-2345 now',
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |         '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS clean_text
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.redactPii(
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1 (555) 010-2345 now"))).as("clean_text"))
+  }
+
+  // ---------------------------------------------------------------- deterministic splits
+  /** Deterministic hash-based train/val/test assignment (Splits):
+    * bucket = md5(id)[0,8) as int mod 100 — a pure per-row function,
+    * reproducible across engines/runs/retries (the anti-rand()
+    * property that prevents split leakage on reprocessing). The oracle
+    * recomputes the same md5 arithmetic in DuckDB. */
+  val q49HashSplit = q("q49_hash_split",
+    "Deterministic md5-bucket train/val/test split (north star: dataset curation)",
+    """SELECT doc_id,
+      |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+      |       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+      |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Splits.splitBucket(col("doc_id")).as("bucket"),
+      Splits.assignSplit(col("doc_id")).as("split"))
+  }
+
+  // ---------------------------------------------------------------- benchmark contamination
+  /** Contamination.ngramOverlap under the oracle: every ~29th doc
+    * plays the held-out benchmark; the rest are probed for verbatim
+    * 8-gram overlap. n-grams join as strings (portable) — the 100 TB
+    * variant hashes them to 8-byte keys, same plan. */
+  val q50Contamination = q("q50_contamination",
+    "Benchmark n-gram contamination scan: per-doc verbatim overlap ratio (north star: decontamination)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |                     i -> array_to_string(toks[i:i+7], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS ngs
+      |  FROM tk),
+      |bench AS (
+      |  SELECT DISTINCT unnest(ngs) AS ng FROM grams WHERE doc_id % 29 = 0),
+      |probe AS (
+      |  SELECT doc_id, unnest(ngs) AS ng FROM grams WHERE doc_id % 29 <> 0)
+      |SELECT probe.doc_id,
+      |       count(*) AS n_ngrams,
+      |       count(bench.ng) AS n_contaminated,
+      |       CAST(count(bench.ng) AS DOUBLE) / count(*) AS overlap_ratio
+      |FROM probe LEFT JOIN bench ON probe.ng = bench.ng
+      |GROUP BY probe.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Contamination.ngramOverlap(
+      probe = docs.filter(pmod(col("doc_id"), lit(29)) =!= 0),
+      benchmark = docs.filter(pmod(col("doc_id"), lit(29)) === 0),
+      idCol = "doc_id", textCol = "text", n = 8)
+  }
+
   // ---------------------------------------------------------------- the revenue pipeline itself
   /** Checked-in Stripe-shaped NDJSON fixture (scripts/gen_fixture.py,
     * FIXTURES.md §A.1) — absolute path because both engines (Spark here,
@@ -995,5 +1073,6 @@ object Catalog {
     q31Asof, q32OuterJoin, q33Percentile, q34EmbDedup,
     q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling,
     q40SemiJoin, q41Features, q42DedupClusters, q43MapFns,
-    q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown)
+    q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown,
+    q48PiiRedact, q49HashSplit, q50Contamination)
 }

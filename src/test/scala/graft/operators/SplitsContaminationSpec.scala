@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class SplitsContaminationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("splitBucket is deterministic, uniform-ish, and engine-portable") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val a = ids.select(Splits.splitBucket($"id").as("b")).as[Long].collect()
+    val b = ids.select(Splits.splitBucket($"id").as("b")).as[Long].collect()
+    assert(a.toSeq === b.toSeq)                    // deterministic
+    assert(a.forall(x => x >= 0 && x < 100))
+    // every bucket hit, no bucket pathologically hot (10k ids, 100 buckets)
+    val hist = a.groupBy(identity).view.mapValues(_.size)
+    assert(hist.size === 100)
+    assert(hist.values.max < 200)
+    // known value, computed independently (python hashlib):
+    // md5("42") = a1d0c6e8...; 0xa1d0c6e8 = 2714814184; % 100 = 84
+    val v42 = spark.range(42, 43).toDF("id")
+      .select(Splits.splitBucket($"id")).as[Long].head()
+    assert(v42 === 84L)
+  }
+
+  test("assignSplit respects the cumulative cut points and is stable") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val byBucket = ids.select(Splits.splitBucket($"id").as("b"),
+      Splits.assignSplit($"id").as("s")).as[(Long, String)].collect()
+    assert(byBucket.forall { case (b, s) =>
+      s == (if (b < 80) "train" else if (b < 90) "val" else "test") })
+    val frac = byBucket.count(_._2 == "train").toDouble / byBucket.length
+    assert(frac > 0.75 && frac < 0.85)
+  }
+
+  test("redactPii scrubs emails and phone runs, leaves clean text alone") {
+    val out = Seq(
+      "reach me at jane.doe+spam@sub.example.co.uk today",
+      "call +1 (555) 010-2345 or 555-867-5309 now",
+      "no pii here, just 42 words and v2 names").toDF("t")
+      .select(TextFunctions.redactPii($"t").as("r")).as[String].collect()
+    assert(out(0) === "reach me at [EMAIL] today")
+    assert(out(1) === "call [PHONE] or [PHONE] now")
+    assert(out(2) === "no pii here, just 42 words and v2 names")
+  }
+
+  test("ngramOverlap: verbatim inclusion is caught, fresh text is clean") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      // contains the benchmark 8-gram verbatim inside longer text
+      (1L, "intro words alpha beta gamma delta epsilon zeta eta theta outro"),
+      // shares vocabulary but no 8-gram
+      (2L, "alpha beta gamma NOPE delta epsilon zeta eta theta"),
+      (3L, "entirely unrelated content with many distinct words here")
+    ).toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(probe, bench, "doc_id", "text", n = 8)
+      .select("doc_id", "n_contaminated").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 1L)
+    assert(out(2L) === 0L)
+    assert(out(3L) === 0L)
+  }
+
+  test("ngramOverlap ratio: an exact copy of a benchmark doc scores 1.0") {
+    val bench = Seq((100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val copy = Seq((1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val r = Contamination.ngramOverlap(copy, bench, "doc_id", "text", n = 8)
+      .select("overlap_ratio").as[Double].head()
+    assert(r === 1.0)
+  }
+}
