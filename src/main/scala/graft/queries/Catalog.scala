@@ -927,6 +927,43 @@ object Catalog {
       idCol = "doc_id", textCol = "text", n = 8)
   }
 
+  // ---------------------------------------------------------------- within-doc repetition
+  /** Gopher-style repetition quality signals, token-level. The Spark
+    * side is pure per-row HOFs (sorted-run-length, zero shuffle — see
+    * TextFunctions.topFrequencyFraction); the oracle deliberately
+    * computes the same numbers the explode + group-by way, so the two
+    * independent implementations cross-check. Restricted to docs with
+    * ≥ 2 tokens (bigram metrics undefined below that). */
+  val q51Repetition = q("q51_repetition",
+    "Within-document repetition: dup-token/bigram and top-bigram fractions (north star: quality filtering)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, toks,
+      |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+      |  FROM tk),
+      |exploded AS (SELECT doc_id, unnest(bgs) AS g FROM bg),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM exploded GROUP BY 1, 2),
+      |top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY 1)
+      |SELECT bg.doc_id,
+      |       CAST(len(bgs) AS BIGINT) AS n_bigrams,
+      |       CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+      |       CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / len(bgs) AS dup_bigram_frac,
+      |       CAST(top.mx AS DOUBLE) / top.tot AS top_bigram_frac
+      |FROM bg JOIN top ON bg.doc_id = top.doc_id""".stripMargin) { (s, d) =>
+    val tk = TextFunctions.tokens(col("text"))
+    val bg = TextFunctions.bigrams(col("text"))
+    Tables.documents(s, d)
+      .filter(size(tk) >= 2)
+      .select(
+        col("doc_id"),
+        size(bg).cast("long").as("n_bigrams"),
+        TextFunctions.dupFraction(tk).as("dup_token_frac"),
+        TextFunctions.dupFraction(bg).as("dup_bigram_frac"),
+        TextFunctions.topFrequencyFraction(bg).as("top_bigram_frac"))
+  }
+
   // ---------------------------------------------------------------- the revenue pipeline itself
   /** Checked-in Stripe-shaped NDJSON fixture (scripts/gen_fixture.py,
     * FIXTURES.md §A.1) — absolute path because both engines (Spark here,
@@ -1074,5 +1111,5 @@ object Catalog {
     q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling,
     q40SemiJoin, q41Features, q42DedupClusters, q43MapFns,
     q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown,
-    q48PiiRedact, q49HashSplit, q50Contamination)
+    q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition)
 }

@@ -60,6 +60,31 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(again === hs(0))
   }
 
+  test("bigrams, dupFraction, topFrequencyFraction: repetition signals") {
+    // "a b a b a b" → bigrams: [a b, b a, a b, b a, a b] (5 total,
+    // 2 distinct, top "a b" ×3)
+    val row = Seq("a b a b a b").toDF("t").select(
+      TextFunctions.bigrams($"t").as("bg"),
+      TextFunctions.dupFraction(TextFunctions.tokens($"t")).as("dt"),
+      TextFunctions.dupFraction(TextFunctions.bigrams($"t")).as("db"),
+      TextFunctions.topFrequencyFraction(TextFunctions.bigrams($"t")).as("top"))
+      .head()
+    assert(row.getAs[Seq[String]]("bg") === Seq("a b", "b a", "a b", "b a", "a b"))
+    assert(row.getAs[Double]("dt") === 4.0 / 6.0)   // 6 tokens, 2 distinct
+    assert(row.getAs[Double]("db") === 3.0 / 5.0)   // 5 bigrams, 2 distinct
+    assert(row.getAs[Double]("top") === 3.0 / 5.0)  // "a b" appears 3×
+    // no repetition → all zeros; degenerate inputs don't divide by zero
+    val clean = Seq("w x y z", "solo", "").toDF("t").select(
+      TextFunctions.dupFraction(TextFunctions.bigrams($"t")).as("db"),
+      TextFunctions.topFrequencyFraction(TextFunctions.bigrams($"t")).as("top"))
+      .collect()
+    assert(clean(0).getDouble(0) === 0.0)
+    assert(clean(0).getDouble(1) === 1.0 / 3.0)     // 3 bigrams all unique
+    assert(clean(1).getDouble(0) === 0.0)
+    assert(clean(1).getDouble(1) === 0.0)           // no bigrams at all
+    assert(clean(2).getDouble(1) === 0.0)
+  }
+
   test("qualityScore stays within [0,1] and favors clean text") {
     val scores = Seq(
       "a clean readable sentence with normal words in it",
