@@ -105,4 +105,68 @@ class PropertySpec extends SparkSpecBase {
           abs($"recognized_revenue_usd" - $"amount_without_tax_usd") > 1e-6).count() === 0)
     }
   }
+
+  private val wordGen: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    ws <- Gen.listOfN(n, wordGen)
+  } yield ws.mkString(" ")
+
+  test("property: shingles/bigrams/repetition match naive Scala on random texts") {
+    forAllSeeded(Gen.listOfN(8, Gen.zip(textGen, Gen.choose(1, 5))), 5) { cases =>
+      cases.foreach { case (text, k) =>
+        val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toList
+        val naiveShingles =
+          if (toks.size >= k) toks.sliding(k).map(_.mkString(" ")).toList.distinct
+          else List(toks.mkString(" "))
+        val naiveBigrams =
+          if (toks.size >= 2) toks.sliding(2).map(_.mkString(" ")).toList
+          else Nil
+        val row = Seq(text).toDF("t").select(
+          Dedup.shingles($"t", k).as("sh"),
+          graft.functions.TextFunctions.bigrams($"t").as("bg"),
+          graft.functions.TextFunctions.topFrequencyFraction(
+            graft.functions.TextFunctions.bigrams($"t")).as("top")).head()
+        assert(row.getAs[Seq[String]]("sh").toList === naiveShingles, s"k=$k text=$text")
+        assert(row.getAs[Seq[String]]("bg").toList === naiveBigrams, s"text=$text")
+        val naiveTop =
+          if (naiveBigrams.isEmpty) 0.0
+          else naiveBigrams.groupBy(identity).values.map(_.size).max.toDouble / naiveBigrams.size
+        assert(math.abs(row.getAs[Double]("top") - naiveTop) < 1e-12, s"text=$text")
+      }
+    }
+  }
+
+  private val asofGen: Gen[(List[(Long, Int, Double)], List[(Long, Int, Option[Double])])] =
+    for {
+      nl <- Gen.choose(1, 15)
+      nr <- Gen.choose(0, 15)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0, 50); v <- Gen.choose(0.0, 10.0)
+      } yield (k, t, v))
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.choose(0L, 3L); t <- Gen.choose(0, 50)
+        v <- Gen.option(Gen.choose(0.0, 10.0))
+      } yield (k, t, v))
+    } yield (left, right)
+
+  test("property: asof join ≡ naive latest-right-at-or-before, nulls preserved") {
+    forAllSeeded(asofGen, 8) { case (left, right) =>
+      // dedupe right on (key, ts) — which row wins is unspecified otherwise
+      val r = right.groupBy(x => (x._1, x._2)).map(_._2.head).toList
+      def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d")
+      val lidx = left.zipWithIndex.map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+      val ldf = lidx.map { case (i, k, t, v) => (i, k, ts(t), v) }
+        .toDF("row_id", "k", "lts", "lv")
+      val rdf = r.map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "rts", "rv")
+      val out = AsOfJoin.asof(ldf, rdf, Seq("k"), "lts", "rts", Map("rv" -> "m"))
+        .select("row_id", "m").as[(Long, Option[Double])].collect().toMap
+      lidx.foreach { case (i, k, t, _) =>
+        val matched = r.filter(x => x._1 == k && x._2 <= t)
+          .sortBy(_._2).lastOption
+        assert(out(i) === matched.flatMap(_._3),
+          s"row $i key=$k t=$t right=$r")
+      }
+    }
+  }
 }
