@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Contamination, Dedup, Incremental, IntervalExpand, Merge, Multimodal, Similarity, Splits}
+import graft.operators.{AsOfJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Similarity, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -849,6 +849,86 @@ object Catalog {
         wRows.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 4).as("last_order_price"))
   }
 
+  // ---------------------------------------------------------------- grouping sets
+  /** Arbitrary GROUPING SETS + GROUPING() marker — completes the
+    * grouping family beyond ROLLUP (q28) and CUBE (q44). Expressed via
+    * spark.sql on a registered temp view: grouping sets have no
+    * DataFrame-API form, and the SQL surface is itself part of the
+    * engine contract (§2.9). */
+  val q52GroupingSets = q("q52_grouping_sets",
+    "GROUPING SETS with grouping() markers (grouping-set family completeness)",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+      |       round(sum(l_quantity), 4) AS qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |                        (l_returnflag, l_linestatus), ())""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("g52_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+             round(sum(l_quantity), 4) AS qty, count(*) AS n
+      FROM g52_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                              (l_returnflag, l_linestatus), ())""")
+  }
+
+  // ---------------------------------------------------------------- rank-family windows
+  /** The remaining ranking/distribution window functions in one row:
+    * dense_rank, percent_rank, cume_dist, ntile. Completes §2.5 beyond
+    * row_number/rank/lag/first/last. */
+  val q53RankFamily = q("q53_rank_family",
+    "dense_rank / percent_rank / cume_dist / ntile windows (window-family completeness)",
+    """SELECT o_orderkey,
+      |       CAST(dense_rank()   OVER w AS BIGINT) AS drank,
+      |       percent_rank() OVER w AS prank,
+      |       cume_dist()    OVER w AS cdist,
+      |       CAST(ntile(4)  OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      dense_rank().over(w).cast("long").as("drank"),
+      percent_rank().over(w).as("prank"),
+      cume_dist().over(w).as("cdist"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  // ---------------------------------------------------------------- gap filling (LOCF)
+  /** GapFill.ffillDaily under the oracle: per-customer daily spend
+    * carried forward across order-less days — the "balance as of any
+    * day" time-series surface. Oracle uses DuckDB's native
+    * `last_value(... IGNORE NULLS)`; per-column fill ≡ the operator's
+    * atomic struct fill here because observations never carry nulls
+    * (GapFillSpec covers the null-observation distinction). */
+  val q54GapFill = q("q54_gap_fill",
+    "Daily spine + forward-fill (LOCF) per customer (time-series completeness)",
+    """WITH src AS (
+      |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+      |         round(sum(o_totalprice), 4) AS spend, count(*) AS n_orders
+      |  FROM orders WHERE o_custkey < 100 GROUP BY 1, 2),
+      |b AS (SELECT k, min(d) AS lo, max(d) AS hi FROM src GROUP BY 1),
+      |spine AS (
+      |  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM b),
+      |j AS (SELECT spine.k, spine.d, src.spend, src.n_orders
+      |      FROM spine LEFT JOIN src USING (k, d))
+      |SELECT k, d,
+      |       last_value(spend IGNORE NULLS)
+      |         OVER (PARTITION BY k ORDER BY d) AS spend,
+      |       last_value(n_orders IGNORE NULLS)
+      |         OVER (PARTITION BY k ORDER BY d) AS n_orders
+      |FROM j""".stripMargin) { (s, d) =>
+    val src = Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum("o_totalprice"), 4).as("spend"), count(lit(1)).as("n_orders"))
+    GapFill.ffillDaily(src, Seq("k"), "d", Seq("spend", "n_orders"))
+  }
+
   // ---------------------------------------------------------------- PII redaction
   /** PII scrubbing under the oracle. The raw corpus carries no PII, so
     * both engines append an identical synthetic email + phone tail to
@@ -1111,5 +1191,6 @@ object Catalog {
     q35Sql, q36SetOps, q37Sessionize, q38Pivot, q39Tumbling,
     q40SemiJoin, q41Features, q42DedupClusters, q43MapFns,
     q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown,
-    q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition)
+    q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition,
+    q52GroupingSets, q53RankFamily, q54GapFill)
 }
