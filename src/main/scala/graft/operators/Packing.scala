@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training shards: assign documents to
+  * fixed-token-budget bins (context windows) in a deterministic
+  * order, so a 100 TB corpus turns into shuffled, evenly-filled
+  * training sequences without a driver-side pass.
+  *
+  * Design:
+  *  - documents are first sharded by a hash of their id (`Splits`-
+  *    style md5 arithmetic — deterministic, engine-portable, and the
+  *    shard is the unit of parallelism: every window below partitions
+  *    by shard, so no global ordering or single-partition sort ever
+  *    happens;
+  *  - within a shard, docs are ordered by the same hash (a
+  *    deterministic shuffle — training order must not correlate with
+  *    source order) and greedily packed: running token count, bin =
+  *    how many full budgets precede the doc's start. A doc that
+  *    crosses a boundary belongs to the bin where it starts (real
+  *    packers split or pad; the assignment grain is what matters for
+  *    the distributed shape).
+  *
+  * Cost: one shuffle (hash partition by shard) + per-shard sort —
+  * the same plan as any keyed window; shards scale with the corpus.
+  */
+object Packing {
+
+  /** @param df       documents
+    * @param idCol    stable id (hashed for shard + order)
+    * @param tokenCol per-doc token count column name
+    * @param ctxLen   token budget per packed sequence
+    * @param shards   number of independent packing streams
+    * @return doc_id, shard, seq_in_shard, cum_tokens (inclusive), bin
+    */
+  def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
+                 ctxLen: Int, shards: Int = 1024): DataFrame = {
+    val h = Splits.splitBucket(col(idCol), Int.MaxValue)
+    val shard = pmod(h, lit(shards))
+    val w = Window.partitionBy("shard").orderBy(col("_h"), col("doc_id"))
+    df.select(col(idCol).as("doc_id"), col(tokenCol).as("_n"),
+      h.as("_h"), shard.as("shard"))
+      .withColumn("seq_in_shard", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("_n")).over(w))
+      .withColumn("bin", floor((col("cum_tokens") - col("_n")) / ctxLen))
+      .select("doc_id", "shard", "seq_in_shard", "cum_tokens", "bin")
+  }
+}

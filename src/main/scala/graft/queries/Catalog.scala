@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Similarity, Splits}
+import graft.operators.{AsOfJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Similarity, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -929,6 +929,31 @@ object Catalog {
     GapFill.ffillDaily(src, Seq("k"), "d", Seq("spend", "n_orders"))
   }
 
+  // ---------------------------------------------------------------- sequence packing
+  /** Packing.packGreedy under the oracle: deterministic-shuffle order
+    * (md5 hash), shard-parallel greedy fill of 512-token context
+    * windows. Ordering inside the window is (hash, doc_id) — unique,
+    * so the engines' default RANGE frames agree. cum_tokens CAST to
+    * BIGINT oracle-side (DuckDB window sums return HUGEINT). */
+  val q55SeqPacking = q("q55_seq_packing",
+    "Shard-parallel greedy sequence packing into fixed token budgets (north star: training shards)",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2147483647 AS _h
+      |  FROM documents),
+      |s AS (SELECT *, _h % 8 AS shard FROM h)
+      |SELECT doc_id, shard,
+      |       CAST(row_number() OVER w AS BIGINT) AS seq_in_shard,
+      |       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |       CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) / 512.0) AS BIGINT) AS bin
+      |FROM s
+      |WINDOW w AS (PARTITION BY shard ORDER BY _h, doc_id)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Packing.packGreedy(docs, "doc_id", "n_tokens", ctxLen = 512, shards = 8)
+  }
+
   // ---------------------------------------------------------------- PII redaction
   /** PII scrubbing under the oracle. The raw corpus carries no PII, so
     * both engines append an identical synthetic email + phone tail to
@@ -1192,5 +1217,5 @@ object Catalog {
     q40SemiJoin, q41Features, q42DedupClusters, q43MapFns,
     q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown,
     q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition,
-    q52GroupingSets, q53RankFamily, q54GapFill)
+    q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking)
 }
