@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Similarity, Splits}
+import graft.operators.{AsOfJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Similarity, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -954,6 +954,58 @@ object Catalog {
     Packing.packGreedy(docs, "doc_id", "n_tokens", ctxLen = 512, shards = 8)
   }
 
+  // ---------------------------------------------------------------- column profiling
+  /** Profile.summarize under the oracle: exact per-column stats in one
+    * Spark pass (the oracle's per-column subqueries are the N-scan
+    * shape the operator exists to avoid). String/integer/date columns
+    * only — double min/max would hit engine string-formatting deltas. */
+  val q56Profile = q("q56_profile",
+    "One-pass column profiling: nulls, distinct, min/max per column (pipeline observability)",
+    """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+      |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |       count(DISTINCT o_orderkey) AS n_distinct,
+      |       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+      |       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', count(*),
+      |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT o_orderpriority),
+      |       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderdate', count(*),
+      |       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT o_orderdate),
+      |       CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR), CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR)
+      |FROM orders""".stripMargin) { (s, d) =>
+    Profile.summarize(
+      Tables.orders(s, d).withColumn("o_orderdate", to_date(col("o_orderdate"))),
+      Seq("o_orderkey", "o_orderpriority", "o_orderdate"))
+  }
+
+  // ---------------------------------------------------------------- grouped top-k
+  /** Per-group top-k (top 3 highest-value orders per priority class):
+    * the window row_number form — correct when groups are many and
+    * k small; the TopKAggregator (q16/q23) is the map-side-bounded
+    * alternative when a single group would swamp one task. */
+  val q57GroupTopK = q("q57_group_topk",
+    "Group-wise top-k via ranked window (top 3 orders per priority)",
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |         round(o_totalprice, 4) AS price,
+      |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      |  FROM orders) WHERE rk <= 3""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("price"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 3)
+  }
+
   // ---------------------------------------------------------------- PII redaction
   /** PII scrubbing under the oracle. The raw corpus carries no PII, so
     * both engines append an identical synthetic email + phone tail to
@@ -1217,5 +1269,6 @@ object Catalog {
     q40SemiJoin, q41Features, q42DedupClusters, q43MapFns,
     q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown,
     q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition,
-    q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking)
+    q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking,
+    q56Profile, q57GroupTopK)
 }
