@@ -34,6 +34,19 @@ object Merge {
   private val PRIO = "_graft_src_prio"
   private val RN   = "_graft_rn"
 
+  /** Schema-drift policy for mergeInto — the reference's dbt
+    * `on_schema_change` knob (incremental models). */
+  sealed trait SchemaChange
+  /** Updates are conformed to the target's schema: extra update
+    * columns are dropped, missing ones error (dbt's default). */
+  case object IgnoreSchemaChange extends SchemaChange
+  /** Additive evolution: new update columns join the output schema
+    * (null for pre-existing rows); update rows missing a target
+    * column carry null (dbt `on_schema_change='append_new_columns'`,
+    * the policy that lets a 100 TB mart grow a column without a
+    * rebuild). */
+  case object AppendNewColumns extends SchemaChange
+
   /** Upsert `updates` into `target` by `keys`.
     *
     * @param versionCol optional column ordering rows within a key;
@@ -41,16 +54,24 @@ object Merge {
     *                   Updates always beat target rows at equal version.
     */
   def mergeInto(target: DataFrame, updates: DataFrame, keys: Seq[String],
-                versionCol: Option[String] = None): DataFrame = {
+                versionCol: Option[String] = None,
+                onSchemaChange: SchemaChange = IgnoreSchemaChange): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    val cols = target.columns.toSeq
-    val t = target.select(cols.map(col): _*).withColumn(PRIO, lit(0))
-    val u = updates.select(cols.map(col): _*).withColumn(PRIO, lit(1))
+    val unioned = onSchemaChange match {
+      case IgnoreSchemaChange =>
+        val cols = target.columns.toSeq
+        target.select(cols.map(col): _*).withColumn(PRIO, lit(0))
+          .unionByName(updates.select(cols.map(col): _*).withColumn(PRIO, lit(1)))
+      case AppendNewColumns =>
+        target.withColumn(PRIO, lit(0))
+          .unionByName(updates.withColumn(PRIO, lit(1)),
+            allowMissingColumns = true)
+    }
     val ordering: Seq[Column] =
       versionCol.map(v => Seq(col(v).desc_nulls_last, col(PRIO).desc))
         .getOrElse(Seq(col(PRIO).desc))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    t.unionByName(u)
+    unioned
       .withColumn(RN, row_number().over(w))
       .filter(col(RN) === 1)
       .drop(RN, PRIO)

@@ -1,18 +1,18 @@
 package graft.sources
 
-import java.io.File
+import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
 import java.util.{Map => JMap}
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.graftbridge.JsonBridge
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.{JsonBridge, SerializableHadoopConf}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,10 +47,12 @@ class NdjsonSource extends TableProvider {
         "is nondeterministic and a full extra pass at scale (SURVEY §1.3)")
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new NdjsonTable(schema, properties.get("path"))
+    new NdjsonTable(schema, properties.get("path"),
+      "dropmalformed".equalsIgnoreCase(properties.getOrDefault("mode", "failfast")))
 }
 
-private[sources] class NdjsonTable(schema: StructType, path: String)
+private[sources] class NdjsonTable(schema: StructType, path: String,
+                                   dropMalformed: Boolean)
     extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"ndjson:$path"
@@ -58,10 +60,11 @@ private[sources] class NdjsonTable(schema: StructType, path: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NdjsonScanBuilder(schema, path)
+    new NdjsonScanBuilder(schema, path, dropMalformed)
 }
 
-private[sources] class NdjsonScanBuilder(fullSchema: StructType, path: String)
+private[sources] class NdjsonScanBuilder(fullSchema: StructType, path: String,
+                                         dropMalformed: Boolean)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -85,44 +88,59 @@ private[sources] class NdjsonScanBuilder(fullSchema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new NdjsonScan(fullSchema, required, path, pushed)
+  override def build(): Scan =
+    new NdjsonScan(fullSchema, required, path, pushed, dropMalformed)
 }
 
 private[sources] class NdjsonScan(fullSchema: StructType, required: StructType,
-                                  path: String, pushed: Array[Filter])
+                                  path: String, pushed: Array[Filter],
+                                  dropMalformed: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"NdjsonScan path=$path PushedFilters=${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
 
+  // Hadoop FS, not java.io: listing and reads must work on every
+  // storage a cluster mounts (HDFS/S3A/GCS/local) — same rationale as
+  // graft.sources.Fs for table-existence probes
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new File(path)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val stat = fs.getFileStatus(p)
     val files =
-      if (f.isDirectory)
-        f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
-          && !x.getName.startsWith(".")).map(_.getAbsolutePath).sorted
-      else Array(f.getAbsolutePath)
+      if (stat.isDirectory)
+        fs.listStatus(p).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getPath.toString).sorted
+      else Array(path)
     files.map(NdjsonPartition(_): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NdjsonReaderFactory(fullSchema, required, pushed)
+    new NdjsonReaderFactory(fullSchema, required, pushed, dropMalformed,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
 private[sources] case class NdjsonPartition(file: String) extends InputPartition
 
 private[sources] class NdjsonReaderFactory(fullSchema: StructType,
                                            required: StructType,
-                                           pushed: Array[Filter])
+                                           pushed: Array[Filter],
+                                           dropMalformed: Boolean,
+                                           conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[NdjsonPartition].file
     new PartitionReader[InternalRow] {
-      private val lines = Files.lines(
-        new File(file).toPath, StandardCharsets.UTF_8)
-      private val it = lines.iterator().asScala.filter(_.nonEmpty)
-      private val parse = JsonBridge.lineParser(fullSchema, pushed.toSeq)
+      private val fsPath = new Path(file)
+      private val reader = new BufferedReader(new InputStreamReader(
+        fsPath.getFileSystem(conf.value).open(fsPath), StandardCharsets.UTF_8))
+      private val it = Iterator.continually(reader.readLine())
+        .takeWhile(_ != null).filter(_.nonEmpty)
+      private val parse = JsonBridge.lineParser(fullSchema, pushed.toSeq, dropMalformed)
       // project the full parsed row down to the pruned read schema
       private val ordinals = required.fieldNames.map(fullSchema.fieldIndex)
       private val project = UnsafeProjection.create(
@@ -137,7 +155,7 @@ private[sources] class NdjsonReaderFactory(fullSchema: StructType,
         else false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = lines.close()
+      override def close(): Unit = reader.close()
     }
   }
 }

@@ -81,4 +81,24 @@ class MergeSpec extends SparkSpecBase {
       .select("id", "v").as[(Long, String)].collect() ===
       Array((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d")))
   }
+
+  test("schema evolution: AppendNewColumns grows the schema, Ignore conforms") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val updates = Seq((2L, "b2", 20.0), (3L, "c", 30.0)).toDF("id", "v", "extra")
+    // default (Ignore): extra update columns silently dropped — dbt default
+    val ignored = Merge.mergeInto(target, updates, Seq("id"))
+    assert(ignored.columns.toSeq === Seq("id", "v"))
+    // append_new_columns: schema grows; pre-existing rows read null
+    val grown = Merge.mergeInto(target, updates, Seq("id"),
+      onSchemaChange = Merge.AppendNewColumns)
+      .orderBy("id").as[(Long, String, Option[Double])].collect()
+    assert(grown === Array((1L, "a", None), (2L, "b2", Some(20.0)),
+      (3L, "c", Some(30.0))))
+    // and updates MISSING a target column carry null rather than erroring
+    val narrow = Seq((2L, 99.9)).toDF("id", "extra")
+    val filled = Merge.mergeInto(
+      target, narrow, Seq("id"), onSchemaChange = Merge.AppendNewColumns)
+      .orderBy("id").as[(Long, Option[String], Option[Double])].collect()
+    assert(filled === Array((1L, Some("a"), None), (2L, None, Some(99.9))))
+  }
 }

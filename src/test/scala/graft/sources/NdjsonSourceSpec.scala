@@ -71,4 +71,32 @@ class NdjsonSourceSpec extends SparkSpecBase {
     val d = src.filter(col("id") === "d").head()
     assert(d.isNullAt(d.fieldIndex("v")))
   }
+
+  test("malformed lines: failfast by default with the line in the error") {
+    val d = Files.createTempDirectory("graft-ndjson-bad").toString
+    Files.writeString(java.nio.file.Path.of(d, "part-0.json"),
+      """{"id":"a","created":100,"status":"paid","v":1.5}
+        |{not valid json at all
+        |{"id":"b","created":200,"status":"open","v":2.5}
+        |""".stripMargin)
+    val bad = spark.read.format("graft.sources.NdjsonSource")
+      .schema(schema).option("path", d).load()
+    val e = intercept[Exception] { bad.count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("Malformed NDJSON line")), e.toString)
+  }
+
+  test("malformed lines: dropmalformed skips them and keeps the rest") {
+    val d = Files.createTempDirectory("graft-ndjson-drop").toString
+    Files.writeString(java.nio.file.Path.of(d, "part-0.json"),
+      """{"id":"a","created":100,"status":"paid","v":1.5}
+        |{not valid json at all
+        |{"id":"b","created":200,"status":"open","v":2.5}
+        |""".stripMargin)
+    val ok = spark.read.format("graft.sources.NdjsonSource")
+      .schema(schema).option("path", d).option("mode", "dropmalformed").load()
+    assert(ok.select("id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted === Array("a", "b"))
+  }
 }
