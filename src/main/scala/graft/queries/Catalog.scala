@@ -954,6 +954,24 @@ object Catalog {
     Packing.packGreedy(docs, "doc_id", "n_tokens", ctxLen = 512, shards = 8)
   }
 
+  // ---------------------------------------------------------------- approximate aggregates
+  /** The 100 TB versions of count-distinct and percentile: HLL++ and
+    * a quantile sketch, both map-side mergeable partial aggregates
+    * (constant memory per partition; no Expand, no per-group value
+    * collection — contrast q56's exact distinct and q33's exact
+    * percentile). rows-only in the gate: DuckDB's sketches are
+    * different algorithms, so values can't hash-match by design;
+    * ApproxAggSpec bounds the error against exact answers instead. */
+  val q58ApproxAggs = noOracle("q58_approx_aggs",
+    "HLL++ approx distinct + approx percentile per group (the at-scale aggregate path; rows-only, error-bounded in spec)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
+        count(lit(1)).as("n"))
+  }
+
   // ---------------------------------------------------------------- column profiling
   /** Profile.summarize under the oracle: exact per-column stats in one
     * Spark pass (the oracle's per-column subqueries are the N-scan
@@ -1270,5 +1288,5 @@ object Catalog {
     q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown,
     q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition,
     q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking,
-    q56Profile, q57GroupTopK)
+    q56Profile, q57GroupTopK, q58ApproxAggs)
 }
