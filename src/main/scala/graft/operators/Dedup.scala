@@ -17,11 +17,12 @@ import graft.operators.{Similarity => Sim}
   *  - minHashLsh: signatures are computed scan-side by the native
   *    MinHashShingled expression (tokens hashed once, shingle hashes
   *    derived polynomially inside a compiled loop — no UDF, no
-  *    interpreted HOF, no shuffle); banding and candidate generation
-  *    shuffle only 24-byte (id, band, hash) rows. Buckets above
-  *    `maxBucket` are dropped (degenerate / boilerplate content —
-  *    standard practice — that would otherwise produce O(n²) pairs in
-  *    a single task: the skew bomb).
+  *    interpreted HOF, no shuffle); banding shuffles small fixed-width
+  *    (id, [block,] band, hash) rows into per-bucket sorted id lists,
+  *    and identical-membership buckets collapse before any quadratic
+  *    step. Buckets above `maxBucket` are dropped (degenerate /
+  *    boilerplate content — standard practice — that would otherwise
+  *    produce O(n²) pairs in a single task: the skew bomb).
   *  - simHash: pure per-row bit arithmetic, then a self-join on 4×16-
   *    bit band keys of the 64-bit signature (pigeonhole ⇒ full recall
   *    for Hamming distance ≤ 3).

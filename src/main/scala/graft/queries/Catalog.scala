@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Similarity, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Similarity, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -954,6 +954,26 @@ object Catalog {
     Packing.packGreedy(docs, "doc_id", "n_tokens", ctxLen = 512, shards = 8)
   }
 
+  // ---------------------------------------------------------------- numeric band join
+  /** BandJoin under the oracle: supplier↔customer account balances
+    * within ±1.0 — fuzzy entity matching by a numeric band. The
+    * oracle states the naive inequality join; the Spark side buckets
+    * to an equi join (no BroadcastNestedLoopJoin at scale). */
+  val q59BandJoin = q("q59_band_join",
+    "Numeric band join |a-b|<=delta via bucketized equi join (non-equi join completeness)",
+    """SELECT s_suppkey, c_custkey,
+      |       round(s_acctbal, 4) AS s_bal, round(c_acctbal, 4) AS c_bal
+      |FROM supplier JOIN customer
+      |  ON abs(s_acctbal - c_acctbal) <= 1.0""".stripMargin) { (s, d) =>
+    BandJoin.bandJoin(
+      Tables.supplier(s, d).select("s_suppkey", "s_acctbal"),
+      Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+      "s_acctbal", "c_acctbal", delta = 1.0)
+      .select(col("s_suppkey"), col("c_custkey"),
+        round(col("s_acctbal"), 4).as("s_bal"),
+        round(col("c_acctbal"), 4).as("c_bal"))
+  }
+
   // ---------------------------------------------------------------- approximate aggregates
   /** The 100 TB versions of count-distinct and percentile: HLL++ and
     * a quantile sketch, both map-side mergeable partial aggregates
@@ -1288,5 +1308,5 @@ object Catalog {
     q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown,
     q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition,
     q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking,
-    q56Profile, q57GroupTopK, q58ApproxAggs)
+    q56Profile, q57GroupTopK, q58ApproxAggs, q59BandJoin)
 }
