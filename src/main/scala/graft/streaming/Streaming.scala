@@ -56,6 +56,33 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream–stream interval join: attach to each left event the right
+    * events with the same key whose time falls in [left.ts − before,
+    * left.ts + after] — the streaming form of the enrichment the batch
+    * engine does with AsOfJoin/IntervalExpand (impressions ⟕ clicks
+    * within an attribution window).
+    *
+    * Both sides carry watermarks and the join condition bounds the
+    * time skew, which is what lets Spark EVICT state: without the
+    * interval bounds a stream–stream join buffers both streams
+    * forever. State is sharded by the join key like every keyed
+    * operator here. Inner join: unmatched rows drop; use the batch
+    * as-of for point-in-time-latest semantics. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   before: String = "10 minutes", after: String = "10 minutes",
+                   lateness: String = "30 minutes"): DataFrame = {
+    require(Set(leftKey, rightKey, leftTs, rightTs).size == 4,
+      "stream-stream join requires distinct column names per side")
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, expr(
+      s"""$leftKey = $rightKey AND
+         |$rightTs >= $leftTs - INTERVAL $before AND
+         |$rightTs <= $leftTs + INTERVAL $after""".stripMargin))
+  }
+
   /** Streaming exact dedup on the KEY ALONE — the streaming twin of
     * Dedup.exactDedup: one surviving row per key, not per (key, ts).
     * dropDuplicatesWithinWatermark keeps state only for the watermark

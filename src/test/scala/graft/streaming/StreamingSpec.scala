@@ -147,4 +147,35 @@ class StreamingSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$tgt/day=2024-01-01/part-0.parquet")))
       === "not a parquet file")
   }
+
+  test("stream-stream interval join matches clicks to impressions in-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streaming.intervalJoin(
+      imps.toDF().toDF("imp_user", "imp_ts"),
+      clicks.toDF().toDF("clk_user", "clk_ts"),
+      "imp_user", "clk_user", "imp_ts", "clk_ts",
+      before = "0 minutes", after = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00")),   // in window -> match
+        (1L, ts("2024-01-01 10:20:00")),   // past the 10-min window -> no match
+        (2L, ts("2024-01-01 09:55:00")),   // before the impression -> no match
+        (3L, ts("2024-01-01 10:01:00")))   // no impression for user 3
+      q.processAllAvailable()
+      // advance both watermarks so in-window results finalize
+      imps.addData((9L, ts("2024-01-01 12:00:00")))
+      clicks.addData((9L, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val out = spark.table("ss_join")
+        .filter($"imp_user" < 9)
+        .select("imp_user", "clk_ts")
+        .as[(Long, java.sql.Timestamp)].collect().toSet
+      assert(out === Set((1L, ts("2024-01-01 10:05:00"))))
+    } finally q.stop()
+  }
 }
