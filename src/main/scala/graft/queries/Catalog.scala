@@ -954,6 +954,31 @@ object Catalog {
     Packing.packGreedy(docs, "doc_id", "n_tokens", ctxLen = 512, shards = 8)
   }
 
+  // ---------------------------------------------------------------- sliding windows
+  /** Sliding (hopping) event-time windows: 1-hour windows every 15
+    * minutes — each event lands in 4 overlapping windows. Spark's
+    * `window(ts, len, slide)` generates the replicas inside the
+    * aggregation; the oracle spells the same epoch-aligned window
+    * starts out with generate_series. Completes the window-aggregation
+    * family: tumbling (q39), session (q37), sliding (here). */
+  val q60SlidingWindow = q("q60_sliding_window",
+    "Sliding event-time windows (1h every 15min) — hopping aggregation completeness",
+    """SELECT ws AS window_start, event_type,
+      |       count(*) AS n, round(sum(value), 4) AS total_value
+      |FROM (SELECT unnest(generate_series(
+      |               time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+      |               time_bucket(INTERVAL '15 minutes', ts),
+      |               INTERVAL '15 minutes')) AS ws,
+      |             event_type, value
+      |      FROM events)
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
   // ---------------------------------------------------------------- numeric band join
   /** BandJoin under the oracle: supplier↔customer account balances
     * within ±1.0 — fuzzy entity matching by a numeric band. The
@@ -1269,6 +1294,32 @@ object Catalog {
         col("recognized_revenue_usd"), col("deferred_revenue_usd"))
   }
 
+  // ---------------------------------------------------------------- analyst surface
+  /** The reference's end-user query (README.md:195-203, deferred
+    * revenue trend) over the full NDJSON → mart chain — what an
+    * analyst actually runs. The oracle nests q46's verified mart SQL
+    * and aggregates it identically. Sums are rounded to 4dp on BOTH
+    * sides: a float sum's bit pattern depends on addend order, which
+    * the engines don't share (the mart itself — q46 — is compared
+    * unrounded because it never aggregates). */
+  val q61AnalystTrend = q("q61_analyst_trend",
+    "Analyst surface: deferred-revenue trend over the end-to-end mart (E3)",
+    s"""SELECT as_of_date,
+       |       round(sum(deferred_revenue_usd), 4) AS total_deferred_revenue_usd
+       |FROM (
+       |${q46DeferredMart.oracle.get}
+       |) m
+       |GROUP BY as_of_date""".stripMargin) { (s, _) =>
+    val raw = s.read.schema(graft.pipeline.Schemas.invoiceSchema).json(InvoiceFixture)
+    val staged = graft.pipeline.Models.staged(raw)
+    val loadedAt = lit(null).cast("timestamp")
+    val lineItems = graft.pipeline.Models.invoiceLineItems(staged, loadedAt)
+    val fx = graft.pipeline.Models.exchangeRates(s, java.time.LocalDate.of(2024, 8, 12))
+    graft.pipeline.Models.deferredRevenue(lineItems, fx, loadedAt)
+      .groupBy("as_of_date")
+      .agg(round(sum("deferred_revenue_usd"), 4).as("total_deferred_revenue_usd"))
+  }
+
   // ---------------------------------------------------------------- DSv2 pushdown scan
   /** The DSv2 NDJSON source under the oracle: equality + range filters
     * pushed INTO the scan (the reference's API-side `status:'paid'`,
@@ -1308,5 +1359,6 @@ object Catalog {
     q44Cube, q45RangeFrame, q46DeferredMart, q47NdjsonPushdown,
     q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition,
     q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking,
-    q56Profile, q57GroupTopK, q58ApproxAggs, q59BandJoin)
+    q56Profile, q57GroupTopK, q58ApproxAggs, q59BandJoin, q60SlidingWindow,
+    q61AnalystTrend)
 }
