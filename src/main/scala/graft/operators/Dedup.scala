@@ -176,9 +176,14 @@ object Dedup {
     Sketches.simhash64(array_distinct(TextFunctions.tokens(text)))
 
   /** SimHash near-dup pairs via 4×16-bit band blocking (any pair with
-    * Hamming ≤ 3 shares at least one of 4 bands). */
+    * Hamming ≤ 3 shares at least one of 4 bands).
+    *
+    * `maxBucket` is the same degenerate-content skew guard as
+    * minHashLsh's: a constant simhash (e.g. 0 for every empty/
+    * boilerplate document) puts its whole cohort into one (band, bh)
+    * key, whose self-join would emit O(m²) rows in a single task. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 5000): DataFrame = {
     // exchange barrier: materialize the simhash once per doc (see
     // minHashLsh for the CollapseProject rationale)
     val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
@@ -190,9 +195,14 @@ object Dedup {
     val banded = sigs
       .select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
-    val a = banded.select(col("band"), col("bh"),
+    val keepBuckets = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucket && col("_bn") > 1)
+      .select("band", "bh")
+    val pruned = banded.join(keepBuckets, Seq("band", "bh"))
+    val a = pruned.select(col("band"), col("bh"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bh"),
+    val b = pruned.select(col("band"), col("bh"),
       col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -243,6 +253,13 @@ object Dedup {
       checksum = next
       i += 1
     }
+    // returning silently-unconverged labels would hand the caller
+    // SPLIT clusters (several cluster_ids inside one real duplicate
+    // group) with nothing flagging it — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "the graph has components with diameter > maxIter (long near-dup " +
+        "chains); raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

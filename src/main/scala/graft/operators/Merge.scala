@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.sources.Sinks
 
 /** Keyed upsert ("MERGE") — the reference's universal incremental sink.
   *
@@ -106,26 +107,49 @@ object Merge {
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
+    // NULL is a legal partition value (__HIVE_DEFAULT_PARTITION__) but
+    // isin() never matches it — without the explicit isNull branch the
+    // target's null-partition rows would be excluded from the merge
+    // and then dynamic-overwritten away: silent data loss.
+    val nonNull = touched.filter(_ != null)
+    val touchedPred = {
+      val base = if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*) else lit(false)
+      if (touched.contains(null)) base || col(partitionCol).isNull else base
+    }
     // Existence is probed explicitly (Hadoop FS — works on HDFS/S3 too);
     // a read failure on an EXISTING table must propagate, or the merge
     // would silently replace touched partitions with updates-only.
     val targetSlice =
-      if (graft.sources.Fs.exists(spark, path))
-        spark.read.parquet(path).filter(col(partitionCol).isin(touched: _*))
-      else updates.limit(0)
+      if (graft.sources.Fs.exists(spark, path)) {
+        // Partition-directory names re-infer as the WRONG type for
+        // string values that look numeric ('00123' → int 123, which
+        // would rewrite into a different directory and duplicate every
+        // key). Read them uninferred (strings), then cast to the
+        // updates' declared type — deterministic for dates/ints,
+        // identity for strings.
+        val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val saved = spark.conf.get(conf)
+        val raw =
+          try { spark.conf.set(conf, "false"); spark.read.parquet(path) }
+          finally spark.conf.set(conf, saved)
+        raw.withColumn(partitionCol,
+          col(partitionCol).cast(updates.schema(partitionCol).dataType))
+          .filter(touchedPred)
+      } else updates.limit(0)
     val merged = mergeInto(targetSlice, updates, keys, versionCol)
-    val clustered =
-      if (clusterCols.nonEmpty)
-        merged.repartition(col(partitionCol))
-          .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
-      else merged
-    val stage = path + "_merge_stage"
-    clustered.write.mode("overwrite").parquet(stage)
-    spark.read.parquet(stage).write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(path)
+    // Unique staging dir (never read-and-overwrite one path in a job):
+    // concurrent merges into the same target must not share a stage,
+    // and the stage is deleted after the commit — a fixed leftover
+    // sibling would double the touched partitions' storage forever.
+    val stage = path + "_merge_stage_" + java.util.UUID.randomUUID().toString
+    try {
+      Sinks.stagePartitioned(merged, stage, partitionCol, clusterCols)
+      spark.read.parquet(stage).write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+    } finally graft.sources.Fs.deleteRecursively(spark, stage)
   }
 }
 

@@ -18,4 +18,11 @@ object Fs {
     val p = new Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
+
+  /** Recursive delete (staging-dir cleanup); absent paths are a no-op. */
+  def deleteRecursively(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

@@ -46,9 +46,15 @@ class NdjsonSource extends TableProvider {
       "graft NdjsonSource requires an explicit .schema(...) — inference " +
         "is nondeterministic and a full extra pass at scale (SURVEY §1.3)")
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new NdjsonTable(schema, properties.get("path"),
-      "dropmalformed".equalsIgnoreCase(properties.getOrDefault("mode", "failfast")))
+                        properties: JMap[String, String]): Table = {
+    // reject unknown modes loudly: silently running FAILFAST when the
+    // user asked for e.g. PERMISSIVE would be the opposite of the ask
+    val mode = properties.getOrDefault("mode", "failfast").toLowerCase
+    require(mode == "failfast" || mode == "dropmalformed",
+      s"unsupported mode '$mode' — graft NdjsonSource supports " +
+        "'failfast' (default) and 'dropmalformed'")
+    new NdjsonTable(schema, properties.get("path"), mode == "dropmalformed")
+  }
 }
 
 private[sources] class NdjsonTable(schema: StructType, path: String,
@@ -110,12 +116,23 @@ private[sources] class NdjsonScan(fullSchema: StructType, required: StructType,
     val fs = p.getFileSystem(conf)
     val stat = fs.getFileStatus(p)
     val files =
-      if (stat.isDirectory)
-        fs.listStatus(p).filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }.map(_.getPath.toString).sorted
-      else Array(path)
+      if (stat.isDirectory) {
+        // RECURSIVE listing: date-partitioned and Spark-written layouts
+        // nest files in subdirectories — a top-level-only listing would
+        // silently scan zero (or partial) data. Hidden files and files
+        // under hidden directories (_spark_metadata, .staging) skip.
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        val base = p.toUri.getPath
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(base)
+          val hidden = rel.split('/').exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))
+          if (st.isFile && !hidden) buf += st.getPath.toString
+        }
+        buf.sorted.toArray
+      } else Array(path)
     files.map(NdjsonPartition(_): InputPartition)
   }
 

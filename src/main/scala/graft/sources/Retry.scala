@@ -25,7 +25,12 @@ object Retry {
     def loop(attempt: Int): A = Try(op) match {
       case Success(a) => a
       case Failure(e) if attempt < maxRetries && retryOn(e) =>
-        sleep(math.min(baseDelayMs << attempt, maxDelayMs))
+        // cap the shift BEFORE applying it: baseDelayMs << 54 overflows
+        // Long to a negative, and Thread.sleep(negative) throws —
+        // turning attempt ~54 of a 50+-retry contract into a spurious
+        // IllegalArgumentException instead of the op's real failure
+        val exp = math.min(attempt, 20)
+        sleep(math.min(baseDelayMs << exp, maxDelayMs))
         loop(attempt + 1)
       case Failure(e) => throw e
     }

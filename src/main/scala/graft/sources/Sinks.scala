@@ -17,22 +17,41 @@ import org.apache.spark.sql.functions.col
   */
 object Sinks {
 
+  /** The shared partition+cluster layout step: co-locate each
+    * partition value, sort rows by the cluster keys, cap file size.
+    * Both the snapshot write below and Merge.mergeWrite's staging
+    * route through here so the layout policy (including the
+    * maxRecordsPerFile guard against one multi-GB file per hot
+    * partition) lives in exactly one place. */
+  private[graft] def clustered(df: DataFrame, partitionCol: String,
+                               clusterCols: Seq[String]): DataFrame =
+    if (clusterCols.nonEmpty)
+      df.repartition(col(partitionCol))
+        .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
+    else df
+
   /** Overwrite `df` at `path` partitioned by `partitionCol`, rows
     * sorted within each file by `clusterCols`. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
                        clusterCols: Seq[String] = Nil,
-                       maxRecordsPerFile: Long = 5_000_000L): Unit = {
-    val clustered =
-      if (clusterCols.nonEmpty)
-        df.repartition(col(partitionCol))
-          .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
-      else df
-    clustered.write
+                       maxRecordsPerFile: Long = 5_000_000L): Unit =
+    clustered(df, partitionCol, clusterCols).write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(path)
-  }
+
+  /** Stage a merge result: same clustering + file-size policy as
+    * writePartitioned, written flat (the dynamic-overwrite commit
+    * re-partitions on the way into the target). */
+  private[graft] def stagePartitioned(df: DataFrame, stagePath: String,
+                                      partitionCol: String,
+                                      clusterCols: Seq[String],
+                                      maxRecordsPerFile: Long = 5_000_000L): Unit =
+    clustered(df, partitionCol, clusterCols).write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(stagePath)
 
   /** NDJSON snapshot sink — the raw-zone overwrite write (reference:
     * extract_stripe_data.py:105-116, full overwrite per run,

@@ -100,42 +100,55 @@ object Streaming {
   case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Int)
 
-  /** Gap-based sessionization with explicit state:
-    * mapGroupsWithState keyed by user, emitting a session when the
-    * inactivity gap exceeds `gap`. Demonstrates the
-    * KeyValueGroupedDataset custom-state path (SURVEY §2.10 mapping;
-    * state pruned via ProcessingTimeTimeout in a live stream). */
+  /** Gap-based sessionization with explicit state: flatMapGroupsWithState
+    * keyed by user, emitting a session only when its close is OBSERVED —
+    * a later event past the inactivity gap, or a processing-time timeout
+    * with no new events. The open session survives in state across
+    * micro-batches: closing it eagerly at batch end would split every
+    * batch-spanning session in two and double-count sessions (the
+    * KeyValueGroupedDataset custom-state path, SURVEY §2.10). */
   def sessionize(events: Dataset[SessionEvent], gap: Duration): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val gapMs = gap.toMillis
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          // batch-demo state handling: fold sorted events into sessions
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val sessions = Seq.newBuilder[UserSession]
-          var cur: Option[SessionState] = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
-                cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
-              case Some(s) =>
-                sessions += UserSession(user, new java.sql.Timestamp(s.firstTs),
-                  new java.sql.Timestamp(s.lastTs), s.nEvents)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          def close(s: SessionState) = UserSession(user,
+            new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs),
+            s.nEvents)
+          if (state.hasTimedOut) {
+            // no events for a full gap of wall time: the open session is over
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sessions = Seq.newBuilder[UserSession]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(SessionState(math.min(s.firstTs, t),
+                    math.max(s.lastTs, t), s.nEvents + 1))
+                case Some(s) =>
+                  sessions += close(s)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            // the trailing session stays OPEN in state until a later
+            // batch closes it (or the timeout fires)
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutDuration(gapMs)
+              case None => state.remove()
+            }
+            sessions.result().iterator
           }
-          // close the trailing session in this drain-everything demo
-          cur.foreach { s =>
-            sessions += UserSession(user, new java.sql.Timestamp(s.firstTs),
-              new java.sql.Timestamp(s.lastTs), s.nEvents)
-          }
-          state.remove()
-          sessions.result().iterator
       }
   }
 

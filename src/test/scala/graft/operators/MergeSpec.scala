@@ -101,4 +101,42 @@ class MergeSpec extends SparkSpecBase {
       .orderBy("id").as[(Long, Option[String], Option[Double])].collect()
     assert(filled === Array((1L, Some("a"), None), (2L, None, Some(99.9))))
   }
+
+  test("mergeWrite preserves existing rows in the NULL partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-null").toString + "/t"
+    val base = Seq((1L, Some("2024-01-01"), "a"), (2L, None: Option[String], "b"))
+      .toDF("id", "day", "v")
+    Merge.mergeWrite(spark, dir, base, Seq("id"), "day")
+    // second merge touches ONLY the null partition with a new key —
+    // key 2's existing null-partition row must survive the overwrite
+    val upd = Seq((3L, None: Option[String], "c")).toDF("id", "day", "v")
+    Merge.mergeWrite(spark, dir, upd, Seq("id"), "day")
+    val out = spark.read.parquet(dir).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect()
+    assert(out === Array((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("mergeWrite keeps numeric-looking STRING partition values stable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-str").toString + "/t"
+    val base = Seq((1L, "00123", "a")).toDF("id", "pc", "v")
+    Merge.mergeWrite(spark, dir, base, Seq("id"), "pc")
+    // without inference-off + cast, '00123' re-infers as int 123 and the
+    // rewrite lands in a DIFFERENT directory, duplicating the key
+    val upd = Seq((1L, "00123", "a2")).toDF("id", "pc", "v")
+    Merge.mergeWrite(spark, dir, upd, Seq("id"), "pc")
+    val out = spark.read.option("basePath", dir).parquet(dir)
+    assert(out.count() === 1)
+    assert(new java.io.File(s"$dir/pc=00123").exists())
+    assert(!new java.io.File(s"$dir/pc=123").exists())
+  }
+
+  test("mergeWrite leaves no staging directory behind") {
+    val parent = java.nio.file.Files.createTempDirectory("graft-merge-stage").toString
+    val dir = parent + "/t"
+    Merge.mergeWrite(spark, dir,
+      Seq((1L, "2024-01-01", "a")).toDF("id", "day", "v"), Seq("id"), "day")
+    val leftovers = new java.io.File(parent).listFiles()
+      .map(_.getName).filter(_.contains("_merge_stage"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }

@@ -99,4 +99,26 @@ class NdjsonSourceSpec extends SparkSpecBase {
     assert(ok.select("id").as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().sorted === Array("a", "b"))
   }
+
+  test("nested directory layouts are listed recursively; hidden trees skipped") {
+    val d = Files.createTempDirectory("graft-ndjson-nested").toString
+    Files.createDirectories(java.nio.file.Path.of(d, "day=2024-01-01"))
+    Files.createDirectories(java.nio.file.Path.of(d, "_hidden"))
+    Files.writeString(java.nio.file.Path.of(d, "day=2024-01-01", "part-0.json"),
+      """{"id":"a","created":100,"status":"paid","v":1.5}""" + "\n")
+    Files.writeString(java.nio.file.Path.of(d, "_hidden", "part-0.json"),
+      """{"id":"zz","created":1,"status":"paid","v":9.9}""" + "\n")
+    val out = spark.read.format("graft.sources.NdjsonSource")
+      .schema(schema).option("path", d).load()
+    assert(out.select("id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq === Seq("a"))
+  }
+
+  test("unknown mode option is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.NdjsonSource")
+        .schema(schema).option("path", dir).option("mode", "permissive").load()
+    }
+    assert(e.getMessage.contains("unsupported mode"))
+  }
 }

@@ -37,9 +37,13 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
-  test("sessionize splits on inactivity gaps and counts events") {
+  test("sessionize splits on gaps; open sessions survive across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.SessionEvent]
+    // without this, ProcessingTimeTimeout schedules no-data micro-batches
+    // back to back and processAllAvailable never quiesces (the test never
+    // relies on the wall-clock timeout firing — gaps close sessions here)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val query = Streaming.sessionize(input.toDS(), Duration.ofMinutes(30))
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
@@ -47,17 +51,30 @@ class StreamingSpec extends SparkSpecBase {
       input.addData(
         Streaming.SessionEvent(1L, 1L, ts("2024-01-01 10:00:00")),
         Streaming.SessionEvent(1L, 2L, ts("2024-01-01 10:10:00")),
-        Streaming.SessionEvent(1L, 3L, ts("2024-01-01 12:00:00")), // 110-min gap → new session
+        Streaming.SessionEvent(1L, 3L, ts("2024-01-01 12:00:00")), // 110-min gap closes session 1
         Streaming.SessionEvent(2L, 4L, ts("2024-01-01 09:00:00")))
       query.processAllAvailable()
-      val out = spark.table("sessions")
+      def emitted = spark.table("sessions")
         .as[Streaming.UserSession].collect()
         .map(s => (s.user_id, s.session_start.toString, s.n_events)).toSet
-      assert(out === Set(
+      // only the OBSERVED close is emitted — the 12:00 session and user
+      // 2's session are still open in state, not split at batch end
+      assert(emitted === Set((1L, "2024-01-01 10:00:00.0", 2)))
+
+      // batch 2: an event within the gap EXTENDS user 1's open session
+      // (no double-count across batches), then one past the gap closes
+      // it as a single 12:00-12:20 session with events from both batches
+      input.addData(
+        Streaming.SessionEvent(1L, 5L, ts("2024-01-01 12:20:00")),
+        Streaming.SessionEvent(1L, 6L, ts("2024-01-01 15:00:00")))
+      query.processAllAvailable()
+      assert(emitted === Set(
         (1L, "2024-01-01 10:00:00.0", 2),
-        (1L, "2024-01-01 12:00:00.0", 1),
-        (2L, "2024-01-01 09:00:00.0", 1)))
-    } finally query.stop()
+        (1L, "2024-01-01 12:00:00.0", 2)))
+    } finally {
+      query.stop()
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    }
   }
 
   test("streamingDedup drops duplicate keys within the watermark horizon") {
