@@ -40,9 +40,13 @@ class TopKAggregator(k: Int)
                      b2: List[(Double, Long)]): List[(Double, Long)] =
     b2.foldLeft(b1)(insert)
 
-  /** Insert keeping the buffer sorted best-first and capped at k. */
+  /** Insert keeping the buffer sorted best-first and capped at k.
+    * NaN scores are rejected outright: better() is false in BOTH
+    * directions for NaN, so a NaN candidate would otherwise insert at
+    * the head and evict a genuine neighbor. */
   private def insert(buf: List[(Double, Long)],
                      a: (Double, Long)): List[(Double, Long)] = {
+    if (a._1.isNaN) return buf
     val (front, back) = buf.span(better(_, a))
     if (front.length >= k) buf else (front ::: a :: back).take(k)
   }

@@ -29,7 +29,11 @@ class Pipeline(
     fullRefresh: Boolean = false,
     onFailure: (String, Throwable) => Unit = (_, _) => ()) {
 
-  private val loadedAt = lit(java.sql.Timestamp.valueOf(asOf.atStartOfDay))
+  // midnight UTC, not JVM-default-zone midnight: _loaded_at is the merge
+  // versionCol, so a rerun from a host in a different zone would stamp a
+  // LOWER version and silently lose to the rows it should replace
+  private val loadedAt = lit(java.sql.Timestamp.from(
+    asOf.atStartOfDay(java.time.ZoneOffset.UTC).toInstant))
 
   private def path(name: String) = s"$warehouseDir/$name"
 

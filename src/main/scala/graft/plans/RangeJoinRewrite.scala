@@ -171,5 +171,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_jaccard"),
       info("graft_jaccard", "graft_jaccard(a, b) - exact set Jaccard of string arrays"),
       exprs => JaccardStr(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sig_agreement"),
+      info("graft_sig_agreement", "graft_sig_agreement(a, b) - fraction of agreeing signature slots"),
+      exprs => SigAgreement(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_token_set"),
+      info("graft_token_set", "graft_token_set(tokens) - sorted distinct token hashes"),
+      exprs => HashedTokenSet(exprs.head)))
   }
 }

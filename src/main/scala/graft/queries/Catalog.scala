@@ -83,7 +83,10 @@ object Catalog {
       |WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders)""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
     val hwm = Incremental.highWaterMark(Tables.orders(s, d), "o_orderdate")
-    li.filter(col("l_shipdate") > lit(hwm.get))
+    // an absent HWM (empty/all-null orders) means nothing is newer —
+    // return empty like the oracle's NULL comparison, don't crash
+    hwm.map(h => li.filter(col("l_shipdate") > lit(h)))
+      .getOrElse(li.limit(0))
       .select("l_orderkey", "l_linenumber", "l_shipdate")
   }
 
@@ -211,7 +214,9 @@ object Catalog {
       col("vec_id"),
       round(aggregate(transform(col("embedding"), x => x.cast("double")),
         lit(0.0), (acc, x) => acc + x), 4).as("vec_sum"),
-      round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+      // try_element_at: ANSI-mode element_at THROWS on an empty array,
+      // while the oracle's embedding[1] returns NULL
+      round(try_element_at(col("embedding"), lit(1)).cast("double"), 6).as("first_val"),
       size(col("embedding")).cast("long").as("dim"))
   }
 
@@ -294,12 +299,10 @@ object Catalog {
       |  ('USD','GBP',0.79), ('EUR','GBP',0.85), ('GBP','EUR',1.17),
       |  ('USD','EUR',0.93), ('EUR','EUR',1.0), ('GBP','GBP',1.0))
       |AS t(from_currency, to_currency, exchange_rate)""".stripMargin) { (s, _) =>
-    import s.implicits._
-    Seq(
-      ("USD", "USD", 1.0), ("GBP", "USD", 1.27), ("EUR", "USD", 1.08),
-      ("USD", "GBP", 0.79), ("EUR", "GBP", 0.85), ("GBP", "EUR", 1.17),
-      ("USD", "EUR", 0.93), ("EUR", "EUR", 1.0), ("GBP", "GBP", 1.0))
-      .toDF("from_currency", "to_currency", "exchange_rate")
+    // the SAME literal matrix the pipeline uses — not a private copy
+    // that could silently drift from Models.exchangeRates
+    graft.pipeline.Models.exchangeRates(s, java.time.LocalDate.of(2024, 8, 12))
+      .drop("rate_date")
   }
 
   // ---------------------------------------------------------------- S6 (merge)
@@ -308,7 +311,7 @@ object Catalog {
     """WITH updates AS (
       |  SELECT event_id, user_id, event_type, value * 1.1 AS value FROM events WHERE event_type = 'purchase'
       |  UNION ALL
-      |  SELECT event_id + 1000000, user_id, event_type, value FROM events WHERE event_type = 'signup')
+      |  SELECT -event_id - 1, user_id, event_type, value FROM events WHERE event_type = 'signup')
       |SELECT event_id, user_id, event_type, round(value, 4) AS value FROM updates
       |UNION ALL
       |SELECT e.event_id, e.user_id, e.event_type, round(e.value, 4) AS value
@@ -318,7 +321,10 @@ object Catalog {
     val upd = ev.filter(col("event_type") === "purchase")
       .withColumn("value", col("value") * 1.1)
       .unionByName(ev.filter(col("event_type") === "signup")
-        .withColumn("event_id", col("event_id") + 1000000))
+        // negated ids can never collide with the real (non-negative) id
+        // space — a fixed +offset silently collides once ids reach it,
+        // making the merge dedupe keys the oracle's UNION ALL keeps
+        .withColumn("event_id", -col("event_id") - 1))
     Merge.mergeInto(ev, upd, Seq("event_id"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value"), 4).as("value"))
@@ -748,7 +754,7 @@ object Catalog {
       Multimodal.assetsFromText(Tables.documents(s, d), "doc_id", "text"))
       .toDF()
       .select(col("asset_id"), col("byte_len"), col("content_hash"),
-        round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+        round(try_element_at(col("feature"), lit(1)).cast("double"), 4).as("f0"))
   }
 
   // ---------------------------------------------------------------- dedup clusters
@@ -761,8 +767,9 @@ object Catalog {
       |edges AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+      |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END >= 0.5),
       |verts AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
       |undirected AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
       |reach(id, r) AS (
@@ -811,7 +818,9 @@ object Catalog {
     Tables.events(s, d).select(
       col("event_id"),
       array_join(sort_array(map_keys(m)), ",").as("ks"),
-      element_at(m, "k").cast("long").as("k_value"),
+      // try_element_at: ANSI element_at throws MAP_KEY_DOES_NOT_EXIST for
+      // props without 'k'; the oracle's json_extract_string returns NULL
+      try_element_at(m, lit("k")).cast("long").as("k_value"),
       size(map_keys(m)).cast("long").as("n_keys"))
   }
 
@@ -1190,6 +1199,18 @@ object Catalog {
     * DuckDB in the driver's oracle run) must read the same bytes. */
   private val InvoiceFixture = "/root/repo/fixtures/stripe_invoices.ndjson"
 
+  /** The one deferred-revenue mart both q46 and q61 run — a single
+    * construction so the analyst query can never drift from the mart
+    * the oracle verifies. */
+  private def deferredMart(s: SparkSession): DataFrame = {
+    val raw = s.read.schema(graft.pipeline.Schemas.invoiceSchema).json(InvoiceFixture)
+    val staged = graft.pipeline.Models.staged(raw)
+    val loadedAt = lit(null).cast("timestamp")
+    val lineItems = graft.pipeline.Models.invoiceLineItems(staged, loadedAt)
+    val fx = graft.pipeline.Models.exchangeRates(s, java.time.LocalDate.of(2024, 8, 12))
+    graft.pipeline.Models.deferredRevenue(lineItems, fx, loadedAt)
+  }
+
   private val invoiceFixtureDuckdbColumns =
     """columns={id:'VARCHAR', customer:'VARCHAR', subscription:'VARCHAR',
       |         status:'VARCHAR', currency:'VARCHAR', created:'BIGINT', total:'BIGINT',
@@ -1278,12 +1299,7 @@ object Catalog {
       |            ELSE daily_revenue_usd * date_diff('day', as_of_date, period_end_date)
       |       END AS deferred_revenue_usd
       |FROM expanded""".stripMargin) { (s, _) =>
-    val raw = s.read.schema(graft.pipeline.Schemas.invoiceSchema).json(InvoiceFixture)
-    val staged = graft.pipeline.Models.staged(raw)
-    val loadedAt = lit(null).cast("timestamp")
-    val lineItems = graft.pipeline.Models.invoiceLineItems(staged, loadedAt)
-    val fx = graft.pipeline.Models.exchangeRates(s, java.time.LocalDate.of(2024, 8, 12))
-    graft.pipeline.Models.deferredRevenue(lineItems, fx, loadedAt)
+    deferredMart(s)
       .select(
         col("line_item_id"), col("invoice_id"), col("customer_id"),
         col("subscription_id"), col("currency"),
@@ -1310,12 +1326,7 @@ object Catalog {
        |${q46DeferredMart.oracle.get}
        |) m
        |GROUP BY as_of_date""".stripMargin) { (s, _) =>
-    val raw = s.read.schema(graft.pipeline.Schemas.invoiceSchema).json(InvoiceFixture)
-    val staged = graft.pipeline.Models.staged(raw)
-    val loadedAt = lit(null).cast("timestamp")
-    val lineItems = graft.pipeline.Models.invoiceLineItems(staged, loadedAt)
-    val fx = graft.pipeline.Models.exchangeRates(s, java.time.LocalDate.of(2024, 8, 12))
-    graft.pipeline.Models.deferredRevenue(lineItems, fx, loadedAt)
+    deferredMart(s)
       .groupBy("as_of_date")
       .agg(round(sum("deferred_revenue_usd"), 4).as("total_deferred_revenue_usd"))
   }

@@ -61,6 +61,15 @@ class SketchExpressionsSpec extends SparkSpecBase {
     assert(row.getLong(1) !== 0L)
     assert(row.getInt(2) === 8)
     assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
+    // the remaining two registered functions (GraftExtensions mirrors
+    // this same six-function set for SQL-first deployments)
+    val row2 = spark.sql(
+      """SELECT graft_sig_agreement(graft_minhash(split(t1, ' '), 8),
+        |                           graft_minhash(split(t1, ' '), 8)) AS agree,
+        |       size(graft_token_set(split(t1, ' '))) AS ntok
+        |FROM sqlfn_t""".stripMargin).head()
+    assert(row2.getDouble(0) === 1.0)
+    assert(row2.getInt(1) === 4)
   }
 
   test("null inputs propagate as null") {

@@ -55,4 +55,15 @@ class SimilaritySpec extends SparkSpecBase {
     val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 2)
     assert(ivf.orderBy("neighbor_id").collect() === bf.orderBy("neighbor_id").collect())
   }
+
+  test("top-k aggregation rejects NaN-scored candidates instead of ranking them first") {
+    import graft.functions.TopK
+    val scored = Seq(
+      (1L, 0.9), (2L, Double.NaN), (3L, 0.5), (4L, 0.7)
+    ).toDF("id", "score")
+    val top = scored.select(TopK.top_k(2)($"score", $"id").as("t"))
+      .selectExpr("explode(t) AS p").select("p._1", "p._2")
+      .as[(Double, Long)].collect().toSeq
+    assert(top === Seq((0.9, 1L), (0.7, 4L)))
+  }
 }
