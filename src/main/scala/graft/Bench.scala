@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line of per-query wall-clock seconds.
   * A full untimed warmup pass runs first so the timed pass measures
@@ -12,38 +13,43 @@ import org.apache.spark.sql.SparkSession
   * more than a row-count scan with its expression cost never executed.
   * The noop sink materializes every output column through the full
   * plan — the same work Verify pays — while writing nothing.
+  *
+  * Failures are NOT silently timed as ~0s: a failing query is reported
+  * on stderr and in the JSON's "failed" list (fatal errors — OOM,
+  * linkage — propagate; timings from a corrupted JVM are worthless).
   */
 object Bench {
-  private def run(spark: SparkSession, name: String, sfDir: String): Unit =
-    try SparkEntry.queries(name)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+  private def run(spark: SparkSession, name: String, sfDir: String): Boolean =
+    try {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      true
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.getOrCreate()
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup (untimed)
     names.foreach(run(spark, _, sfDir))
     // timed
+    var failed = List.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      run(spark, name, sfDir)
+      if (!run(spark, name, sfDir)) failed ::= name
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Json.str(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.sorted.map(Json.str).mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)}$failedJson}""")
     spark.stop()
   }
 }

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.functions._
 import graft.queries.Catalog
 
 /** Prints the physical plan of selected catalog queries with the
@@ -18,7 +17,9 @@ object PlanAudit {
     for (q <- Catalog.all if interesting.contains(q.name)) {
       val df = q.fn(spark, d)
       val plan = df.queryExecution.executedPlan.toString
-      val exchanges = "Exchange".r.findAllIn(plan).size
+      // negative lookbehind: ReusedExchange is a reuse marker, not a
+      // second shuffle — counting it would overstate the exchange count
+      val exchanges = """(?<!Reused)Exchange""".r.findAllIn(plan).size
       // codegen stages print as "*(n) Op" in the simple plan string
       val wsc = """\*\(\d+\)""".r.findAllIn(plan).map(_.toString).toSet.size
       println(s"=== ${q.name}: exchanges=$exchanges codegenSpans=$wsc")

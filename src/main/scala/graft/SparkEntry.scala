@@ -25,6 +25,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for engine-hash-dependent ops
     * (MinHash/SimHash/IVF) → driver records a rows-only check. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     Catalog.all.collect { case q if q.oracle.isDefined => q.name -> q.oracle.get }.toMap
 }
