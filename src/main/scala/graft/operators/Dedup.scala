@@ -244,10 +244,13 @@ object Dedup {
         .join(labels.select(col("id").as("d"), col("label").as("nl")), Seq("d"))
         .groupBy(col("s").as("id"))
         .agg(min("nl").as("nbr_label"))
+      // LAZY checkpoint: the convergence probe right below is the
+      // action that materializes it — an eager checkpoint would run a
+      // separate job first, doubling driver round-trips per iteration
       labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val next = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
       converged = next == checksum // labels only ever decrease
       checksum = next

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Similarity, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Similarity, Skew, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -963,6 +963,26 @@ object Catalog {
     Packing.packGreedy(docs, "doc_id", "n_tokens", ctxLen = 512, shards = 8)
   }
 
+  // ---------------------------------------------------------------- salted skew join
+  /** Skew.saltedJoin under the oracle: user_id in events is the
+    * classic skewed fact key (hot users), customer is the build side.
+    * The salted plan fans each hot key over saltFactor tasks; the
+    * ORACLE is the plain equi join — stating the operator's contract
+    * (result equals the unsalted join exactly) as the correctness
+    * check itself. */
+  val q62SaltedJoin = q("q62_salted_join",
+    "Salted skewed fact join ≡ plain equi join (skew mitigation correctness)",
+    """SELECT e.event_id, e.user_id, c.c_name, round(e.value, 4) AS value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    Skew.saltedJoin(e, c, Seq("user_id"), saltFactor = 8)
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        round(col("value"), 4).as("value"))
+  }
+
   // ---------------------------------------------------------------- sliding windows
   /** Sliding (hopping) event-time windows: 1-hour windows every 15
     * minutes — each event lands in 4 overlapping windows. Spark's
@@ -1371,5 +1391,5 @@ object Catalog {
     q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition,
     q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking,
     q56Profile, q57GroupTopK, q58ApproxAggs, q59BandJoin, q60SlidingWindow,
-    q61AnalystTrend)
+    q61AnalystTrend, q62SaltedJoin)
 }
