@@ -45,6 +45,22 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Incremental exact dedup — the daily-production shape: keep only
+    * rows of `newDocs` whose canonical fingerprint is absent from the
+    * EXISTING corpus' fingerprint index. Never re-fingerprints the
+    * corpus: at scale `existingFingerprints` is the stored 16-byte-key
+    * index (one column), and the anti join shuffles fingerprints, not
+    * documents. Within-batch duplicates collapse first (min id wins),
+    * mirroring exactDedup. */
+  def incrementalExactDedup(newDocs: DataFrame, textCol: String, idCol: String,
+                            existingFingerprints: DataFrame): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val withFp = newDocs.withColumn("fingerprint", fp)
+    exactDedup(withFp, col("fingerprint"), col(idCol))
+      .join(existingFingerprints.select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+  }
+
   /** Distinct word k-shingles of the token stream — the MinHash input
     * unit. Documents shorter than k tokens yield their whole token
     * stream as a single shingle.

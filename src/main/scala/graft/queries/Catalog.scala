@@ -963,6 +963,55 @@ object Catalog {
     Packing.packGreedy(docs, "doc_id", "n_tokens", ctxLen = 512, shards = 8)
   }
 
+  // ---------------------------------------------------------------- incremental dedup
+  /** Dedup.incrementalExactDedup under the oracle: every 7th doc plays
+    * the incoming batch, deduped within-batch (min doc_id per
+    * fingerprint) and then anti-joined against the REST of the corpus'
+    * fingerprint index — the daily "dedupe incoming against what we
+    * already hold" production shape. */
+  val q64IncrementalDedup = q("q64_incremental_dedup",
+    "Incremental exact dedup: new batch anti-joined on the corpus fingerprint index (north star: dedup)",
+    """WITH fp AS (
+      |  SELECT doc_id, source,
+      |         md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint
+      |  FROM documents),
+      |batch AS (
+      |  SELECT * FROM fp WHERE doc_id % 7 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1)
+      |SELECT b.doc_id, b.source, b.fingerprint
+      |FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM fp e
+      |                  WHERE e.doc_id % 7 <> 0 AND e.fingerprint = b.fingerprint)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val newBatch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select("doc_id", "source", "text")
+    val existing = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    Dedup.incrementalExactDedup(newBatch, "text", "doc_id", existing)
+      .select("doc_id", "source", "fingerprint")
+  }
+
+  // ---------------------------------------------------------------- null-safe join
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    * "unspecified" priority becomes NULL and still joins to its group
+    * row — a plain equi join would silently drop every null-keyed
+    * fact row. Completes the join-predicate surface (§2.3). */
+  val q63NullSafeJoin = q("q63_null_safe_join",
+    "Null-safe equality join: NULL keys match their group (join completeness)",
+    """WITH o AS (
+      |  SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio
+      |  FROM orders),
+      |g AS (SELECT prio, count(*) AS group_n FROM o GROUP BY prio)
+      |SELECT o.o_orderkey, o.prio, g.group_n
+      |FROM o JOIN g ON o.prio IS NOT DISTINCT FROM g.prio""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")).as("prio"))
+    val g = o.groupBy(col("prio").as("gprio"))
+      .agg(count(lit(1)).as("group_n"))
+    o.join(g, col("prio") <=> col("gprio"))
+      .select("o_orderkey", "prio", "group_n")
+  }
+
   // ---------------------------------------------------------------- salted skew join
   /** Skew.saltedJoin under the oracle: user_id in events is the
     * classic skewed fact key (hot users), customer is the build side.
@@ -1391,5 +1440,5 @@ object Catalog {
     q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition,
     q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking,
     q56Profile, q57GroupTopK, q58ApproxAggs, q59BandJoin, q60SlidingWindow,
-    q61AnalystTrend, q62SaltedJoin)
+    q61AnalystTrend, q62SaltedJoin, q63NullSafeJoin, q64IncrementalDedup)
 }

@@ -93,4 +93,18 @@ class DedupSpec extends SparkSpecBase {
       Dedup.shingles(lit("only two"), 3).as("sh")).as[Seq[String]].head()
     assert(out === Seq("only two"))
   }
+
+  test("incrementalExactDedup: new batch dedupes within itself and against the corpus") {
+    val existing = Seq(docA).toDF("text")
+      .select(TextFunctions.fingerprint($"text").as("fingerprint"))
+    val batch = Seq(
+      (10L, docA),   // already in the corpus → dropped
+      (11L, docB),   // genuinely new → kept
+      (12L, docB),   // within-batch duplicate of 11 → dropped (min id wins)
+      (13L, "a third entirely different document about gap filling")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(batch, "text", "doc_id", existing)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(11L, 13L))
+  }
 }
