@@ -233,13 +233,18 @@ object Dedup {
     * representative (the minimum id) per cluster.
     *
     * Iterative min-label propagation: each round every vertex takes
-    * the minimum of its own label and its neighbors' labels — two
-    * shuffles per round (join + min-aggregate), converging in
-    * O(component diameter) rounds, which for near-dup clusters
-    * (dense cliques) is 1-2. `localCheckpoint` truncates the plan
-    * each round so lineage doesn't grow with iterations. For graphs
-    * with long chains at extreme scale the alternating large-star/
-    * small-star formulation halves rounds; dedup graphs don't need it.
+    * the minimum of its own label and its neighbors' labels,
+    * expressed as ONE join (edges ⨝ labels on the destination) fed
+    * into a union + min-aggregate. The edge table is shuffled onto
+    * its join key once, before the loop, and checkpointed — the
+    * per-round join reuses that partitioning, so each round moves
+    * only label-sized rows (two label shuffles: join input +
+    * aggregate), not the edge list. Converges in O(component
+    * diameter) rounds, which for near-dup clusters (dense cliques)
+    * is 1-2. `localCheckpoint` truncates the plan each round so
+    * lineage doesn't grow with iterations. For graphs with long
+    * chains at extreme scale the alternating large-star/small-star
+    * formulation halves rounds; dedup graphs don't need it.
     *
     * @return (id, cluster_id) for every vertex that appears in a pair
     */
@@ -248,6 +253,7 @@ object Dedup {
     val edges = pairs.select(col(idA).as("s"), col(idB).as("d"))
       .unionByName(pairs.select(col(idB).as("s"), col(idA).as("d")))
       .distinct()
+      .repartition(col("d")) // reused by every round's join
       .localCheckpoint(true)
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -256,16 +262,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("d"), col("label").as("nl")), Seq("d"))
-        .groupBy(col("s").as("id"))
-        .agg(min("nl").as("nbr_label"))
+      // min(own label, min over in-neighbors' labels): neighbor labels
+      // flow through the join; the vertex's own label rides the union,
+      // which also keeps vertices whose neighbors all have larger ids
+      val propagated = edges
+        .join(labels.select(col("id").as("d"), col("label")), Seq("d"))
+        .select(col("s").as("id"), col("label"))
       // LAZY checkpoint: the convergence probe right below is the
       // action that materializes it — an eager checkpoint would run a
       // separate job first, doubling driver round-trips per iteration
-      labels = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      labels = labels.unionByName(propagated)
+        .groupBy("id")
+        .agg(min("label").as("label"))
         .localCheckpoint(false)
       val next = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
       converged = next == checksum // labels only ever decrease
