@@ -48,6 +48,34 @@ object Similarity {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
+  /** Symmetric int8 scalar quantization scale for a float vector:
+    * max|x| / 127, so round(x / scale) lands in [-127, 127]. NULL for
+    * an all-zero or empty vector (nothing to quantize). Exact-integer
+    * determinism: max and abs are exact on floats, the division is
+    * one double op — every engine computes the identical scale. */
+  def int8Scale(vec: Column): Column = {
+    val m = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(m.isNull || m === 0.0, lit(null).cast("double"))
+      .otherwise(m / 127.0)
+  }
+
+  /** Int8-quantized codes for a float vector under [[int8Scale]]:
+    * round(x / scale) per element (ties away from zero, matching
+    * standard SQL ROUND). Empty/zero vectors quantize to all-zero
+    * codes.
+    *
+    * The scale is bound through a one-element outer `transform` so it
+    * evaluates ONCE per row: referencing the scale expression directly
+    * inside the inner lambda would re-evaluate the array_max per
+    * element — the HOF re-evaluation trap (see dot/l2Norm, which avoid
+    * it by construction). */
+  def quantizeInt8(vec: Column): Column =
+    element_at(
+      transform(array(int8Scale(vec)), s =>
+        when(s.isNull, transform(vec, _ => lit(0).cast("int")))
+          .otherwise(transform(vec, x => round(x.cast("double") / s).cast("int")))),
+      1)
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param corpus  (idCol, vecCol) — the big side, scanned once

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic train/validation/test assignment for training-data
@@ -32,5 +32,33 @@ object Splits {
     when(b < trainPct, lit("train"))
       .when(b < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
+  }
+
+  /** Deterministic stratified sample: per-stratum keep rates in basis
+    * points (1/10000), e.g. Map("en" -> 2500) keeps 25% of English
+    * rows. The rate table is integer basis points — not a Double — so
+    * the cut point needs no float truncation that another engine
+    * could round differently.
+    *
+    * The keep decision is `md5-bucket(id) < rate_bps`, the stratified
+    * extension of [[splitBucket]]: a pure function of the row, so the
+    * sample is reproducible across runs, retries and engines — the
+    * property rand()-based `sampleBy` lacks. Rows whose stratum has no
+    * configured rate get `defaultBps` (0 = drop). The rate map joins
+    * in as a broadcast dimension: one scan, no shuffle of the fact.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       ratesBps: Map[String, Int],
+                       defaultBps: Int = 0): DataFrame = {
+    require(ratesBps.values.forall(r => r >= 0 && r <= 10000) &&
+      defaultBps >= 0 && defaultBps <= 10000,
+      "rates are basis points in [0, 10000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = ratesBps.toSeq.toDF(strataCol, "_rate_bps")
+    df.join(broadcast(dim), Seq(strataCol), "left")
+      .filter(splitBucket(col(idCol), 10000) <
+        coalesce(col("_rate_bps"), lit(defaultBps)))
+      .drop("_rate_bps")
   }
 }

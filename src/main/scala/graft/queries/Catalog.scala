@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Relevance, Scd, Similarity, Skew, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -1426,6 +1426,113 @@ object Catalog {
         (col("total").cast("double") / 100).as("total_units"))
   }
 
+  // ---------------------------------------------------------------- tf-idf relevance
+  /** Relevance.tfidfTopTerms under the oracle: corpus-level keyword
+    * extraction — tf from one (doc, term) aggregate, df derived from
+    * it, corpus size broadcast in, per-doc top-3 by the ROUNDED score
+    * with a term tiebreak (the catalog's determinism rule for ranks).
+    * ln() is one libm call on an exact rational — both engines emit
+    * the same double, and 6dp rounding absorbs any last-ulp delta. */
+  val q65Tfidf = q("q65_tfidf",
+    "TF-IDF top terms per document (north star: text analysis)",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, term) AS rk
+      |  FROM scored) WHERE rk <= 3""".stripMargin) { (s, d) =>
+    Relevance.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+  }
+
+  // ---------------------------------------------------------------- SCD Type 2
+  /** Scd.scd2FromChangeLog under the oracle: orders as a per-customer
+    * status change log (ts = order date, tiebreak = order key) →
+    * versioned dimension rows with [valid_from, valid_to) intervals.
+    * The dbt-snapshot analog the reference ecosystem provides but the
+    * reference's full-rebuild dims lack. */
+  val q66Scd2 = q("q66_scd2",
+    "SCD Type 2 versioned dimension from a change log (warehouse completeness)",
+    """WITH c AS (
+      |  SELECT o_custkey AS customer_id, o_orderstatus AS status,
+      |         CAST(o_orderdate AS DATE) AS ts, o_orderkey AS seq
+      |  FROM orders),
+      |marked AS (
+      |  SELECT *, lag(status) OVER (PARTITION BY customer_id ORDER BY ts, seq) AS prev
+      |  FROM c),
+      |starts AS (SELECT * FROM marked WHERE prev IS DISTINCT FROM status)
+      |SELECT customer_id, status, ts AS valid_from,
+      |       lead(ts) OVER w AS valid_to,
+      |       lead(ts) OVER w IS NULL AS is_current
+      |FROM starts
+      |WINDOW w AS (PARTITION BY customer_id ORDER BY ts, seq)""".stripMargin) { (s, d) =>
+    val changes = Tables.orders(s, d).select(
+      col("o_custkey").as("customer_id"),
+      col("o_orderstatus").as("status"),
+      to_date(col("o_orderdate")).as("ts"),
+      col("o_orderkey").as("seq"))
+    Scd.scd2FromChangeLog(changes, Seq("customer_id"), "ts", "seq", Seq("status"))
+      .select(col("customer_id"), col("status"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  // ---------------------------------------------------------------- stratified sampling
+  /** Splits.stratifiedSample under the oracle: per-language keep rates
+    * in integer basis points (en 25%, de 50%, fr 100%; unlisted
+    * strata drop), decided by the same engine-portable md5 bucket as
+    * q49 — a reproducible sample, not a rand() one. The oracle states
+    * the identical md5 arithmetic over an inner-joined VALUES rate
+    * table. */
+  val q67StratifiedSample = q("q67_stratified_sample",
+    "Deterministic stratified sample: per-stratum md5-bucket rates (north star: dataset curation)",
+    """WITH r AS (SELECT * FROM (VALUES ('en', 2500), ('de', 5000), ('fr', 10000))
+      |                v(lang, bps))
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r USING (lang)
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+      |      < r.bps""".stripMargin) { (s, d) =>
+    Splits.stratifiedSample(
+      Tables.documents(s, d), strataCol = "lang", idCol = "doc_id",
+      ratesBps = Map("en" -> 2500, "de" -> 5000, "fr" -> 10000))
+      .select("doc_id", "lang")
+  }
+
+  // ---------------------------------------------------------------- embedding quantization
+  /** Similarity.int8Scale/quantizeInt8 under the oracle: symmetric
+    * int8 scalar quantization of the embedding column — the storage/
+    * bandwidth scale path for ANN (4× smaller than float32). Compared
+    * UNROUNDED: scale = max|x|/127 and each code = round(x/scale) are
+    * single IEEE-754 ops on exactly-widened floats, so both engines
+    * produce bit-identical doubles and identical integer codes (codes
+    * travel as a joined string — the driver's compare can't sort array
+    * columns). */
+  val q68QuantizeInt8 = q("q68_quantize_int8",
+    "Int8 scalar quantization of embeddings: scale + codes (north star: similarity storage path)",
+    """SELECT vec_id,
+      |       CASE WHEN m IS NULL OR m = 0 THEN NULL ELSE m / 127.0 END AS scale,
+      |       CASE WHEN m IS NULL OR m = 0
+      |            THEN array_to_string(list_transform(embedding, x -> 0), ',')
+      |            ELSE array_to_string(list_transform(embedding,
+      |                   x -> CAST(round(CAST(x AS DOUBLE) / (m / 127.0)) AS INTEGER)), ',')
+      |       END AS codes
+      |FROM (SELECT vec_id, embedding,
+      |             list_aggregate(list_transform(embedding,
+      |               x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+      |      FROM embeddings)""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      Similarity.int8Scale(col("embedding")).as("scale"),
+      array_join(Similarity.quantizeInt8(col("embedding")).cast("array<string>"), ",")
+        .as("codes"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -1440,5 +1547,6 @@ object Catalog {
     q48PiiRedact, q49HashSplit, q50Contamination, q51Repetition,
     q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking,
     q56Profile, q57GroupTopK, q58ApproxAggs, q59BandJoin, q60SlidingWindow,
-    q61AnalystTrend, q62SaltedJoin, q63NullSafeJoin, q64IncrementalDedup)
+    q61AnalystTrend, q62SaltedJoin, q63NullSafeJoin, q64IncrementalDedup,
+    q65Tfidf, q66Scd2, q67StratifiedSample, q68QuantizeInt8)
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class RelevanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark spark spark common"),
+    (2L, "duck duck common"),
+    (3L, "goose common")
+  ).toDF("doc_id", "text")
+
+  test("tfidfTopTerms ranks rare repeated terms above ubiquitous ones") {
+    val out = Relevance.tfidfTopTerms(corpus, "doc_id", "text", k = 1)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Double)].collect()
+    // 'common' appears in every doc → idf = ln(4/4) = 0; each doc's
+    // distinctive term must win
+    assert(out.map(r => (r._1, r._2)) === Array((1L, "spark"), (2L, "duck"), (3L, "goose")))
+    // doc 1: tf=3, df=1 → score = 3 · ln(4/2) = 3 ln 2
+    assert(out(0)._3 === 3L && out(0)._4 === 1L)
+    assert(math.abs(out(0)._5 - BigDecimal(3 * math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("a term present in every document scores exactly zero") {
+    val scores = Relevance.tfidfTopTerms(corpus, "doc_id", "text", k = 10)
+      .filter(col("term") === "common")
+      .select("score").as[Double].collect()
+    assert(scores.length === 3 && scores.forall(_ === 0.0))
+  }
+
+  test("k bounds the per-document output and ties break by term") {
+    val tied = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Relevance.tfidfTopTerms(tied, "doc_id", "text", k = 2)
+      .orderBy("term").select("term").as[String].collect()
+    // all three terms have identical tf/df → alphabetical tiebreak keeps
+    // the first two
+    assert(out === Array("alpha", "beta"))
+  }
+}

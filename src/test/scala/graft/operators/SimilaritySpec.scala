@@ -66,4 +66,40 @@ class SimilaritySpec extends SparkSpecBase {
       .as[(Double, Long)].collect().toSeq
     assert(top === Seq((0.9, 1L), (0.7, 4L)))
   }
+
+  test("int8 quantization: codes in [-127,127], reconstruction within scale/2 per element") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
+      (2L, Array(-3.0f, 3.0f, 0.0f, 1.5f))
+    ).toDF("vec_id", "embedding")
+    val out = vecs.select(
+      $"vec_id", $"embedding",
+      Similarity.int8Scale($"embedding").as("scale"),
+      Similarity.quantizeInt8($"embedding").as("codes"))
+      .as[(Long, Array[Float], Double, Array[Int])].collect()
+    for ((_, emb, scale, codes) <- out) {
+      assert(scale > 0.0)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      emb.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+          s"x=$x c=$c scale=$scale")
+      }
+      // the max-magnitude element saturates to ±127 exactly
+      assert(codes.map(math.abs).max === 127)
+    }
+  }
+
+  test("int8 quantization of a zero or empty vector: NULL scale, all-zero codes") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array.empty[Float])
+    ).toDF("vec_id", "embedding")
+    val out = vecs.select(
+      $"vec_id",
+      Similarity.int8Scale($"embedding").as("scale"),
+      Similarity.quantizeInt8($"embedding").as("codes"))
+      .as[(Long, Option[Double], Array[Int])].collect().sortBy(_._1)
+    assert(out(0)._2.isEmpty && out(0)._3 === Array(0, 0))
+    assert(out(1)._2.isEmpty && out(1)._3 === Array.empty[Int])
+  }
 }

@@ -71,4 +71,37 @@ class SplitsContaminationSpec extends SparkSpecBase {
       .select("overlap_ratio").as[Double].head()
     assert(r === 1.0)
   }
+
+  test("stratifiedSample: per-stratum rates, unlisted strata use the default, rerun-stable") {
+    val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
+      .toDF("id", "stratum")
+    val sampled = Splits.stratifiedSample(rows, "stratum", "id",
+      ratesBps = Map("en" -> 5000))
+    val byStratum = sampled.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    // zz has no configured rate and the default is 0 → fully dropped
+    assert(!byStratum.contains("zz"))
+    // ~50% of the 200 en rows survive (md5 buckets are uniform-ish)
+    assert(byStratum("en") > 60 && byStratum("en") < 140, s"got $byStratum")
+    // deterministic: the same call yields the identical id set
+    val again = Splits.stratifiedSample(rows, "stratum", "id",
+      ratesBps = Map("en" -> 5000))
+    assert(sampled.select("id").except(again.select("id")).count() === 0)
+    assert(again.select("id").except(sampled.select("id")).count() === 0)
+    // rate 10000 keeps every row of the stratum
+    val full = Splits.stratifiedSample(rows, "stratum", "id",
+      ratesBps = Map("en" -> 10000, "zz" -> 10000))
+    assert(full.count() === 400)
+  }
+
+  test("stratifiedSample is a strict subset decided per row (no shuffle of the fact)") {
+    val rows = (1L to 100L).map(i => (i, "en")).toDF("id", "stratum")
+    val sampled = Splits.stratifiedSample(rows, "stratum", "id",
+      ratesBps = Map("en" -> 2500))
+    // subset property
+    assert(sampled.join(rows, Seq("id", "stratum"), "left_anti").count() === 0)
+    // broadcast rate dim: no exchange of the input side in the plan
+    val plan = sampled.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
 }
