@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Relevance, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Relevance, Scd, Similarity, Skew, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -1533,6 +1533,59 @@ object Catalog {
         .as("codes"))
   }
 
+  // ---------------------------------------------------------------- unpivot
+  /** UNPIVOT — the inverse of q38's pivot, closing the reshaping
+    * family: wide per-row measures become (measure, value) rows via
+    * Spark's native unpivot (an Expand node, zero shuffle). The
+    * oracle states the portable UNION ALL form. */
+  val q69Unpivot = q("q69_unpivot",
+    "UNPIVOT lineitem measures to (measure, value) rows (reshaping completeness)",
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+      |       round(l_quantity, 4) AS value
+      |FROM lineitem WHERE l_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', round(l_extendedprice, 4)
+      |FROM lineitem WHERE l_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 4)
+      |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(pmod(col("l_orderkey"), lit(7)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 4).as("l_quantity"),
+        round(col("l_extendedprice"), 4).as("l_extendedprice"),
+        round(col("l_discount"), 4).as("l_discount"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+  }
+
+  // ---------------------------------------------------------------- document chunking
+  /** Chunking.slidingChunks under the oracle: 50-token windows with a
+    * 10-token overlap (stride 40) — the context-window preparation
+    * step. All integer boundary arithmetic, so the DuckDB oracle
+    * reproduces every chunk byte-for-byte. */
+  val q70Chunks = q("q70_chunks",
+    "Sliding-window document chunking: 50-token chunks, 10-token overlap (north star: training prep)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |counted AS (
+      |  SELECT doc_id, toks,
+      |         CASE WHEN len(toks) <= 50 THEN 1
+      |              ELSE 1 + (len(toks) - 50 + 39) // 40 END AS n_chunks
+      |  FROM tk)
+      |SELECT doc_id,
+      |       CAST(i AS INTEGER) AS chunk_id,
+      |       CAST(len(toks[i*40+1 : i*40+50]) AS INTEGER) AS n_tokens,
+      |       array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk_text
+      |FROM counted, unnest(generate_series(0, n_chunks - 1)) t(i)""".stripMargin) { (s, d) =>
+    Chunking.slidingChunks(Tables.documents(s, d), "doc_id", "text",
+      chunkTokens = 50, overlapTokens = 10)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -1548,5 +1601,6 @@ object Catalog {
     q52GroupingSets, q53RankFamily, q54GapFill, q55SeqPacking,
     q56Profile, q57GroupTopK, q58ApproxAggs, q59BandJoin, q60SlidingWindow,
     q61AnalystTrend, q62SaltedJoin, q63NullSafeJoin, q64IncrementalDedup,
-    q65Tfidf, q66Scd2, q67StratifiedSample, q68QuantizeInt8)
+    q65Tfidf, q66Scd2, q67StratifiedSample, q68QuantizeInt8,
+    q69Unpivot, q70Chunks)
 }
