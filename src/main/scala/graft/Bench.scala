@@ -43,13 +43,21 @@ object Bench {
       if (!run(spark, name, sfDir)) failed ::= name
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => Json.str(k) + ":" + v }
+    // The driver captures only the LAST ~2000 chars of stdout and parses the
+    // metric line from that window: with 70 queries at full double precision
+    // the line overflows the window and the round's perf numbers are lost
+    // (BENCH_r02 "parsed": null). Keep the parsed line compact — qNN prefix
+    // keys, 3-decimal seconds — and put the full-name full-precision map on
+    // stderr for humans.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => Json.str(shortKey(k)) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
-      else s""","failed":${failed.sorted.map(Json.str).mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)}$failedJson}""")
+      else s""","failed":${failed.sorted.map(n => Json.str(shortKey(n))).mkString("[", ",", "]")}"""
+    System.err.println(results.map { case (k, v) => s"[bench] $k $v" }.mkString("\n"))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)}$failedJson}""")
     spark.stop()
   }
 }

@@ -225,6 +225,84 @@ object Sketches {
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
+  /** Word n-grams of a token array as space-joined strings, built in
+    * one compiled pass. The zip_with-over-shifted-slices formulation
+    * this replaces is interpreted per element (lambda evaluation +
+    * per-gram expression-tree walk); for 8-grams over a corpus the
+    * interpretation dominated the scan (q50).
+    *
+    * @param dedup        keep only the first occurrence of each gram
+    *                     (shingle-set semantics)
+    * @param emptyIfShort docs with fewer than n tokens yield an empty
+    *                     array (bigram semantics) instead of one
+    *                     whole-doc gram (shingle semantics)
+    */
+  def wordNgrams(arr: ArrayData, n: Int, dedup: Boolean,
+                 emptyIfShort: Boolean): ArrayData = {
+    val len = arr.numElements()
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    if (len < n) {
+      if (emptyIfShort) return new GenericArrayData(Array.empty[Any])
+      val all = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+      var i = 0
+      while (i < len) { all(i) = arr.getUTF8String(i); i += 1 }
+      return new GenericArrayData(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.concatWs(space, all: _*)))
+    }
+    val count = len - n + 1
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new java.util.ArrayList[Any](count)
+    val seen = if (dedup)
+      new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](count * 2)
+    else null
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var w = 0
+    while (w < count) {
+      var j = 0
+      while (j < n) { window(j) = toks(w + j); j += 1 }
+      val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*)
+      if (seen == null || seen.add(gram)) out.add(gram)
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Fraction of the array taken by its most frequent element, in one
+    * hash-count pass (no per-element interpreted lambda, no sort). */
+  def topFreqFraction(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(arr.getUTF8String(i), 1,
+        (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      if (c > best) best = c
+      i += 1
+    }
+    best.toDouble / n
+  }
+
+  /** Containment |A∩B| / |A| of two sorted-distinct long arrays (the
+    * asymmetric near-dup measure: "how much of A is inside B" — quote
+    * detection, doc-in-doc contamination). Same linear merge as
+    * jaccardSortedLong. Empty A → 0.0 by convention. */
+  def containmentSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / n
+  }
+
   private[functions] def requireType(actual: DataType, expected: ArrayType,
                                      name: String): TypeCheckResult =
     actual match {
@@ -260,6 +338,14 @@ object Sketches {
       Bridge.expression(a), Bridge.expression(b)))
   def hashed_token_set(c: Column): Column =
     Bridge.column(HashedTokenSet(Bridge.expression(c)))
+  def containment_sorted_long(a: Column, b: Column): Column =
+    Bridge.column(ContainmentSortedLong(
+      Bridge.expression(a), Bridge.expression(b)))
+  def word_ngrams(tokens: Column, n: Int, dedup: Boolean,
+                  emptyIfShort: Boolean): Column =
+    Bridge.column(WordNgrams(Bridge.expression(tokens), n, dedup, emptyIfShort))
+  def top_freq_fraction(c: Column): Column =
+    Bridge.column(TopFreqFraction(Bridge.expression(c)))
 }
 
 /** MinHash signature of an array<string> of shingles → array<bigint>. */
@@ -372,6 +458,54 @@ case class HashedTokenSet(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): HashedTokenSet =
     copy(child = newChild)
   override def prettyName: String = "hashed_token_set"
+}
+
+/** Containment |A∩B|/|A| of two sorted-distinct array<bigint> → double. */
+case class ContainmentSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireTypes(Seq(left, right), ArrayType(LongType), prettyName)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.containmentSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Sketches.containmentSortedLong($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ContainmentSortedLong =
+    copy(left = l, right = r)
+  override def prettyName: String = "containment_sorted_long"
+}
+
+/** Word n-grams of an array<string> of tokens → array<string>. */
+case class WordNgrams(child: Expression, n: Int, dedup: Boolean,
+                      emptyIfShort: Boolean) extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireType(child.dataType, ArrayType(StringType), prettyName)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sketches.wordNgrams(input.asInstanceOf[ArrayData], n, dedup, emptyIfShort)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.wordNgrams($c, $n, $dedup, $emptyIfShort);")
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngrams"
+}
+
+/** Most-frequent-element fraction of an array<string> → double. */
+case class TopFreqFraction(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireType(child.dataType, ArrayType(StringType), prettyName)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    Sketches.topFreqFraction(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.topFreqFraction($c);")
+  override protected def withNewChildInternal(newChild: Expression): TopFreqFraction =
+    copy(child = newChild)
+  override def prettyName: String = "top_freq_fraction"
 }
 
 /** MinHash over word k-shingles of an array<string> of tokens →

@@ -82,23 +82,11 @@ object TextFunctions {
     md5(array_join(tokens(text), " "))
 
   /** Adjacent-token bigrams as space-joined strings (empty array for
-    * docs shorter than two tokens).
-    *
-    * Built with zip_with over two shifted slices, NOT
-    * `transform(sequence(...), i => element_at(tk, i))`: HOF lambdas
-    * are interpreted and re-evaluate every subexpression they close
-    * over PER ELEMENT, so referencing the token array (a full
-    * regexp_extract_all) inside the lambda makes construction O(n²)
-    * in regex evaluations. zip_with's slices are arguments — evaluated
-    * once — and the lambda touches only its element variables. */
-  def bigrams(text: Column): Column = {
-    val tk = tokens(text)
-    val n = size(tk)
-    when(n >= 2,
-      zip_with(slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * docs shorter than two tokens). Codegen'd WordNgrams expression —
+    * one compiled pass, duplicates kept (repetition metrics need the
+    * multiset). */
+  def bigrams(text: Column): Column =
+    Sketches.word_ngrams(tokens(text), 2, dedup = false, emptyIfShort = true)
 
   /** Fraction of array elements that are repeats of an earlier
     * element: (n − n_distinct) / n. Zero for empty arrays. */
@@ -108,26 +96,13 @@ object TextFunctions {
         size(arr).cast("double"))
 
   /** Fraction of the array taken by its single most frequent element —
-    * the Gopher-style "top n-gram" repetition signal. Computed per row
-    * with zero shuffle: sort the array, then one aggregate() pass
-    * tracking the longest equal-run. O(n log n) per document at scan
-    * speed, vs the explode + two-shuffle group-by a naive plan pays
-    * (the oracle query deliberately uses THAT shape, so the two
-    * implementations cross-check each other). */
-  def topFrequencyFraction(arr: Column): Column = {
-    val acc = aggregate(
-      sort_array(arr),
-      struct(lit(null).cast("string").as("prev"),
-        lit(0).as("run"), lit(0).as("best")),
-      (st, x) => {
-        val run = when(st.getField("prev").isNotNull &&
-          st.getField("prev") === x, st.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(st.getField("best"), run).as("best"))
-      })
-    when(size(arr) <= 0, lit(0.0))
-      .otherwise(acc.getField("best").cast("double") / size(arr).cast("double"))
-  }
+    * the Gopher-style "top n-gram" repetition signal. One codegen'd
+    * hash-count pass per row, zero shuffle — vs the explode +
+    * two-shuffle group-by a naive plan pays (the oracle query
+    * deliberately uses THAT shape, so the two implementations
+    * cross-check each other). */
+  def topFrequencyFraction(arr: Column): Column =
+    Sketches.top_freq_fraction(arr)
 
   /** Email addresses → `[EMAIL]`. The character-class-only pattern
     * (no backreferences, no lookaround) behaves identically under

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Sketches, TextFunctions}
 import graft.operators.{Similarity => Sim}
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Deduplication operator family for training-data pipelines:
   * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
@@ -65,20 +66,14 @@ object Dedup {
     * unit. Documents shorter than k tokens yield their whole token
     * stream as a single shingle.
     *
-    * Construction is a zip_with fold over k shifted slices rather than
-    * `transform(sequence(...), i => slice(tk, i, k))`: an interpreted
-    * HOF lambda re-evaluates every subexpression it closes over per
-    * element, so the old shape recomputed the token regex once per
-    * SHINGLE — O(n²) regex work per document (measured 2.6× on the
-    * contamination scan at sf0.1). Here the token array is evaluated
-    * only as slice arguments, k times total. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val tk = TextFunctions.tokens(text)
-    val n = size(tk)
-    val parts = (0 until k).map(j => slice(tk, lit(j + 1), n - lit(k - 1)))
-    val sh = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
-    when(n >= k, array_distinct(sh)).otherwise(array(array_join(tk, " ")))
-  }
+    * Built by the codegen'd WordNgrams expression — one compiled pass
+    * over the token array. The earlier zip_with-over-shifted-slices
+    * formulation, while already avoiding the O(n²) trap of closing
+    * over the token regex inside a lambda, still paid an interpreted
+    * lambda evaluation per gram; the compiled loop removes that too. */
+  def shingles(text: Column, k: Int = 3): Column =
+    Sketches.word_ngrams(TextFunctions.tokens(text), k,
+      dedup = true, emptyIfShort = false)
 
   /** MinHash signature via the custom codegen'd expression
     * (graft.functions.MinHashSignature) — computed in the scan stage,
@@ -232,62 +227,85 @@ object Dedup {
     * dedup stage that turns pairwise matches into clusters with one
     * representative (the minimum id) per cluster.
     *
-    * Iterative min-label propagation: each round every vertex takes
-    * the minimum of its own label and its neighbors' labels,
-    * expressed as ONE join (edges ⨝ labels on the destination) fed
-    * into a union + min-aggregate. The edge table is shuffled onto
-    * its join key once, before the loop, and checkpointed — the
-    * per-round join reuses that partitioning, so each round moves
-    * only label-sized rows (two label shuffles: join input +
-    * aggregate), not the edge list. Converges in O(component
-    * diameter) rounds, which for near-dup clusters (dense cliques)
-    * is 1-2. `localCheckpoint` truncates the plan each round so
-    * lineage doesn't grow with iterations. For graphs with long
-    * chains at extreme scale the alternating large-star/small-star
-    * formulation halves rounds; dedup graphs don't need it.
+    * Contraction algorithm: each round every vertex of the CURRENT
+    * graph computes L(v) = min(v, min over neighbors), the vertex→
+    * cluster mapping is composed through L, and the edge list is
+    * contracted to (L(s), L(d)) with self-loops dropped — so round
+    * r+1 runs on the CONTRACTED graph, not the original one. On
+    * near-dup graphs (dense cliques, the shape LSH emits) round one
+    * collapses each clique to its minimum and the surviving edge set
+    * is orders of magnitude smaller; plain min-label propagation —
+    * the previous implementation — re-joined the FULL edge list every
+    * round. A component always contracts to its minimum vertex
+    * (L(min) = min is a fixed point, and contraction preserves
+    * connectedness), so labels are exact min-ids, not approximations.
+    *
+    * One driver action per round (the emptiness probe) materializes
+    * that round's L and contracted edges; the vertex→cluster mapping
+    * is NOT materialized per round — it is composed as a lazy join
+    * chain over the (cached) per-round L tables and executes once at
+    * the caller's action. Checkpointing the mapping each round would
+    * re-execute the whole chain from scratch every time (the lazy
+    * checkpoint is only cached by an action, which never came) —
+    * O(rounds²) join executions; measured as a multi-minute stall on
+    * a 40-round chain graph.
     *
     * @return (id, cluster_id) for every vertex that appears in a pair
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col(idA).as("s"), col(idB).as("d"))
+    // every per-round checkpoint goes through Bridge.freshLeaf: a bare
+    // localCheckpoint leaf inherits the origin plan's size stats, which
+    // compound exponentially across contraction rounds (see freshLeaf)
+    def cp(df: DataFrame, eager: Boolean): DataFrame =
+      Bridge.freshLeaf(df.localCheckpoint(eager))
+    var edges = cp(pairs.select(col(idA).as("s"), col(idB).as("d"))
       .unionByName(pairs.select(col(idB).as("s"), col(idA).as("d")))
+      .distinct(), eager = true)
+    var mapping = cp(edges.select(col("s").as("id"))
       .distinct()
-      .repartition(col("d")) // reused by every round's join
-      .localCheckpoint(true)
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var checksum = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
-    var converged = false
+      .withColumn("label", col("id")), eager = true)
+    var done = edges.isEmpty
     var i = 0
-    while (!converged && i < maxIter) {
-      // min(own label, min over in-neighbors' labels): neighbor labels
-      // flow through the join; the vertex's own label rides the union,
-      // which also keeps vertices whose neighbors all have larger ids
-      val propagated = edges
-        .join(labels.select(col("id").as("d"), col("label")), Seq("d"))
-        .select(col("s").as("id"), col("label"))
-      // LAZY checkpoint: the convergence probe right below is the
-      // action that materializes it — an eager checkpoint would run a
-      // separate job first, doubling driver round-trips per iteration
-      labels = labels.unionByName(propagated)
-        .groupBy("id")
-        .agg(min("label").as("label"))
-        .localCheckpoint(false)
-      val next = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
-      converged = next == checksum // labels only ever decrease
-      checksum = next
+    while (!done && i < maxIter) {
+      // L(v) = min(v, min over neighbors). Every current-graph vertex
+      // appears on the s side (edges are stored in both directions),
+      // so l covers the whole contracted vertex set.
+      val l = cp(edges.groupBy("s")
+        .agg(least(col("s"), min(col("d"))).as("l")), eager = false)
+      // compose the original-id mapping through this round's L (lazy —
+      // l is cached below, so the chain executes once, at the end);
+      // left join: vertices whose component already fully contracted
+      // (label no longer in the current graph) keep their label
+      mapping = mapping.as("m")
+        .join(l.select(col("s").as("v"), col("l")), col("m.label") === col("v"), "left")
+        .select(col("id"), coalesce(col("l"), col("label")).as("label"))
+      // long-chain guard: an unboundedly deep lazy join plan blows up
+      // Catalyst's BigInteger size estimates (sizes multiply per join
+      // level). Dedup graphs converge in 2-4 rounds and never hit
+      // this; pathological chain graphs get an eager truncation — one
+      // O(vertices) job — every 8 rounds.
+      if ((i + 1) % 8 == 0) mapping = cp(mapping, eager = true)
+      // contract: edges between vertices that chose different labels
+      // survive (in both directions — symmetric by construction of
+      // the input), intra-cluster edges become self-loops and drop
+      edges = cp(edges
+        .join(l.select(col("s"), col("l").as("ls")), Seq("s"))
+        .join(l.select(col("s").as("d"), col("l").as("ld")), Seq("d"))
+        .filter(col("ls") =!= col("ld"))
+        .select(col("ls").as("s"), col("ld").as("d"))
+        .distinct(), eager = false)
+      done = edges.isEmpty // the round's single driver action
       i += 1
     }
     // returning silently-unconverged labels would hand the caller
     // SPLIT clusters (several cluster_ids inside one real duplicate
     // group) with nothing flagging it — fail loudly instead
-    if (!converged) throw new IllegalStateException(
+    if (!done) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds — " +
-        "the graph has components with diameter > maxIter (long near-dup " +
-        "chains); raise maxIter")
-    labels.select(col("id"), col("label").as("cluster_id"))
+        "the graph has components whose contraction needs more rounds " +
+        "(long near-dup chains); raise maxIter")
+    mapping.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs within a

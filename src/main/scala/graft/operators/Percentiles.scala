@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact interpolated percentiles (SQL `quantile_cont` / Spark
+  * `percentile` semantics: rank h = (n−1)·p over the ascending
+  * non-null values, linear interpolation between the two bracketing
+  * values) — computed with a distributed sort instead of an
+  * aggregation buffer.
+  *
+  * Why not `percentile()`: Spark's exact percentile is a
+  * TypedImperativeAggregate whose buffer is a value→count map of the
+  * ENTIRE group. Every partial buffer is serialized, shuffled to one
+  * reducer per group, merged, then sorted — for few large groups
+  * that is a single-threaded O(group) merge+sort per group and an
+  * O(group)-memory buffer: the 3-reducer bottleneck at 100 TB, and
+  * already the slowest aggregate in the sf0.1 bench.
+  *
+  * Shape here instead:
+  *   1. range-partition by (group, value) + sort within partitions —
+  *      a distributed sort, every partition bounded by
+  *      `spark.sql.files/shuffle` sizing, no per-group memory;
+  *   2. one tiny pass collects per-(partition, group) row counts to
+  *      the driver — O(partitions × groups), the only driver-side
+  *      data — giving each partition its global rank offset and each
+  *      group its total n;
+  *   3. a second pass over the SAME materialized partitions emits
+  *      only the bracketing rows each percentile needs (≤ 2 rows per
+  *      percentile per group), which a final tiny aggregation
+  *      interpolates.
+  *
+  * The sorted intermediate is localCheckpoint-ed so both passes see
+  * identical partitioning (range-partitioner sampling is not
+  * otherwise stable across executions); a cluster deployment at
+  * extreme scale would persist(DISK_ONLY) instead — same plan.
+  *
+  * Intended for FEW groups × MANY rows (the reference's analyst
+  * shape). For many-group percentiles use a window/row_number form:
+  * there the per-group sort parallelizes across groups naturally.
+  *
+  * @param ps (outputColumn, fraction) pairs, fractions in [0,1]
+  * @return one row per group: groupCols ++ ps columns (double) ++
+  *         n (bigint, count of non-null values)
+  */
+object Percentiles {
+
+  def interpolated(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      "percentile fractions must lie in [0,1]")
+    val spark = df.sparkSession
+    val g = groupCols.size
+
+    val sorted = df
+      .select(groupCols.map(col) :+ col(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .repartitionByRange(groupCols.map(col) :+ col("_v"): _*)
+      .sortWithinPartitions(groupCols.map(col) :+ col("_v"): _*)
+      .localCheckpoint(true)
+
+    // pass 1: per-(partition, group) counts → rank offsets + group totals.
+    // spark_partition_id is nondeterministic so it can't sit in the
+    // groupBy clause directly; projecting it first is equivalent (it is
+    // evaluated on the checkpointed partitions, before the agg shuffle)
+    val counts = sorted
+      .withColumn("_pid", spark_partition_id())
+      .groupBy(("_pid" +: groupCols).map(col): _*)
+      .count()
+      .collect()
+      .map(r => (r.getInt(0), r.toSeq.slice(1, 1 + g), r.getLong(1 + g)))
+      .sortBy(_._1)
+    val totals: Map[Seq[Any], Long] =
+      counts.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val offsets: Map[(Int, Seq[Any]), Long] = {
+      val running = collection.mutable.Map.empty[Seq[Any], Long].withDefaultValue(0L)
+      counts.map { case (pid, key, n) =>
+        val off = running(key); running(key) = off + n; (pid, key) -> off
+      }.toMap
+    }
+    // target ranks (1-based): h = (n−1)p ⇒ contributions
+    // value[⌊h⌋+1]·(1−frac) and value[⌊h⌋+2]·frac
+    val targets: Map[Seq[Any], Map[Long, Seq[(String, Double)]]] =
+      totals.map { case (key, n) =>
+        val m = collection.mutable.Map.empty[Long, List[(String, Double)]]
+          .withDefaultValue(Nil)
+        ps.foreach { case (name, p) =>
+          val h = (n - 1) * p
+          val lo = math.floor(h).toLong + 1
+          val w = h - math.floor(h)
+          m(lo) = (name, 1.0 - w) :: m(lo)
+          if (w > 0.0) m(lo + 1) = (name, w) :: m(lo + 1)
+        }
+        key -> m.toMap.map { case (k, v) => k -> (v: Seq[(String, Double)]) }
+      }
+
+    // pass 2: emit only the bracketing rows, with their weights applied
+    val bTargets = spark.sparkContext.broadcast(targets)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val contribRows = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val offs = bOffsets.value
+      val tgts = bTargets.value
+      var curKey: Seq[Any] = null
+      var rank = 0L
+      var curTargets: Map[Long, Seq[(String, Double)]] = Map.empty
+      rows.flatMap { row =>
+        val key = row.toSeq.take(g)
+        if (key != curKey) {
+          curKey = key
+          rank = offs.getOrElse((pid, key), 0L)
+          curTargets = tgts.getOrElse(key, Map.empty)
+        }
+        rank += 1
+        curTargets.getOrElse(rank, Nil).map { case (name, w) =>
+          Row.fromSeq(key ++ Seq(name, row.getDouble(g) * w))
+        }
+      }
+    }
+    val groupFields = groupCols.map(c => df.schema(c))
+    val contribSchema = StructType(groupFields ++
+      Seq(StructField("_p", StringType), StructField("_contrib", DoubleType)))
+    val contribs = spark.createDataFrame(contribRows, contribSchema)
+
+    val totalRows = totals.toSeq.map { case (key, n) => Row.fromSeq(key :+ n) }
+    val totalsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(totalRows, 1),
+      StructType(groupFields :+ StructField("n", LongType, nullable = false)))
+
+    contribs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        ps.map { case (name, _) =>
+          sum(when(col("_p") === name, col("_contrib"))).as(name)
+        }.head,
+        ps.tail.map { case (name, _) =>
+          sum(when(col("_p") === name, col("_contrib"))).as(name)
+        }: _*)
+      .join(broadcast(totalsDf), groupCols, "right")
+  }
+}

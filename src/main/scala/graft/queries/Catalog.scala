@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Profile, Relevance, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Scd, Similarity, Skew, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -611,12 +611,17 @@ object Catalog {
       |       count(*) AS n
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
-        count(lit(1)).as("n"))
+    // Percentiles.interpolated, not percentile(): the built-in exact
+    // aggregate funnels each group's full value set into one reducer
+    // buffer; the operator's distributed-sort + rank-offset plan keeps
+    // per-partition memory bounded (see Percentiles scaladoc)
+    Percentiles.interpolated(Tables.lineitem(s, d),
+      Seq("l_returnflag"), "l_extendedprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select(col("l_returnflag"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"),
+        col("n"))
   }
 
   // ---------------------------------------------------------------- embedding near-dup
@@ -1467,7 +1472,10 @@ object Catalog {
       |marked AS (
       |  SELECT *, lag(status) OVER (PARTITION BY customer_id ORDER BY ts, seq) AS prev
       |  FROM c),
-      |starts AS (SELECT * FROM marked WHERE prev IS DISTINCT FROM status)
+      |numbered AS (
+      |  SELECT *, row_number() OVER (PARTITION BY customer_id ORDER BY ts, seq) AS rn
+      |  FROM marked),
+      |starts AS (SELECT * FROM numbered WHERE prev IS DISTINCT FROM status OR rn = 1)
       |SELECT customer_id, status, ts AS valid_from,
       |       lead(ts) OVER w AS valid_to,
       |       lead(ts) OVER w IS NULL AS is_current
@@ -1586,6 +1594,230 @@ object Catalog {
       chunkTokens = 50, overlapTokens = 10)
   }
 
+  // ---------------------------------------------------------------- URL normalization
+  /** Web-corpus URL canonicalization (north star: curation). The
+    * corpus tables carry no URL column, so both engines synthesize
+    * the identical messy URL from doc_id (the q48 synthetic-PII
+    * pattern), then normalize with the same engine-portable
+    * character-class regexes: strip fragment, strip utm params, strip
+    * the default :443 port, lowercase scheme+host (path case is
+    * preserved — it is significant in URLs). */
+  val q71UrlNormalize = q("q71_url_normalize",
+    "URL canonicalization: fragment/utm/port strip + case-folded host (north star: web curation)",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+      |         '.COM:443/Path/' || CAST(doc_id AS VARCHAR) ||
+      |         '/?id=' || CAST(doc_id AS VARCHAR) || '&utm_source=feed#sec' ||
+      |         CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id,
+      |         regexp_replace(
+      |           regexp_replace(
+      |             regexp_replace(url, '#[A-Za-z0-9]*$', ''),
+      |             '&utm_[a-z]+=[a-z]*', ''),
+      |           ':443/', '/') AS u
+      |  FROM u)
+      |SELECT doc_id,
+      |       lower(regexp_extract(u, '^[^/]+//[^/]+')) ||
+      |         regexp_replace(u, '^[^/]+//[^/]+', '') AS url_norm,
+      |       regexp_extract(lower(regexp_extract(u, '^[^/]+//[^/]+')),
+      |                      '//([a-z0-9.]+)', 1) AS host
+      |FROM stripped""".stripMargin) { (s, d) =>
+    val url = concat(
+      lit("HTTPS://WWW.Example"), (col("doc_id") % 5).cast("string"),
+      lit(".COM:443/Path/"), col("doc_id").cast("string"),
+      lit("/?id="), col("doc_id").cast("string"),
+      lit("&utm_source=feed#sec"), col("doc_id").cast("string"))
+    val stripped = regexp_replace(
+      regexp_replace(
+        regexp_replace(url, "#[A-Za-z0-9]*$", ""),
+        "&utm_[a-z]+=[a-z]*", ""),
+      ":443/", "/")
+    val prefix = regexp_extract(stripped, "^[^/]+//[^/]+", 0)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(lower(prefix),
+        regexp_replace(stripped, "^[^/]+//[^/]+", "")).as("url_norm"),
+      regexp_extract(lower(prefix), "//([a-z0-9.]+)", 1).as("host"))
+  }
+
+  // ---------------------------------------------------------------- time-decayed aggregation
+  /** Exponentially-decayed engagement score per user — the recency-
+    * weighted aggregate every feed/feature pipeline carries. All
+    * decay arithmetic is integer until the final pow: the decay
+    * exponent is WHOLE half-life periods (integer microsecond
+    * difference DIV the 30-day period), so pow(0.5, k) is a power of
+    * two both engines represent exactly — no libm ulp drift in the
+    * weights. The reference date is max(ts) of the data, not now(). */
+  val q72DecayedAgg = q("q72_decayed_agg",
+    "Time-decayed engagement: pow(1/2, whole 30-day periods) weighted sum per user (feature-pipeline completeness)",
+    """WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+      |SELECT user_id,
+      |       round(sum(value * pow(0.5, (mx - epoch_us(ts)) // 2592000000000)), 4)
+      |         AS decayed_value,
+      |       count(*) AS n_events
+      |FROM events, mx
+      |GROUP BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("mx"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("periods",
+        expr("(mx - unix_micros(ts)) DIV 2592000000000"))
+      .groupBy("user_id")
+      .agg(
+        round(sum(col("value") * pow(lit(0.5), col("periods"))), 4).as("decayed_value"),
+        count(lit(1)).as("n_events"))
+  }
+
+  // ---------------------------------------------------------------- weighted sampling
+  /** Length-weighted deterministic Bernoulli sample: keep probability
+    * proportional to document length, capped at 1 — the "prefer long
+    * documents" curation policy. Same engine-portable md5-bucket
+    * decision as q49/q67 (Splits.splitBucket), threshold in integer
+    * basis points: keep iff bucket < min(10000, n_chars * 5). Pure
+    * integer comparison — reproducible across engines and runs. */
+  val q73WeightedSample = q("q73_weighted_sample",
+    "Deterministic length-weighted document sample via md5 buckets (north star: curation)",
+    """SELECT doc_id, lang, n_chars
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+      |      < least(10000, n_chars * 5)""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(Splits.splitBucket(col("doc_id"), 10000) <
+        least(lit(10000), col("n_chars") * 5))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  // ---------------------------------------------------------------- windowed distinct count
+  /** Rolling distinct-user count per event type over the trailing 100
+    * events — dashboard-style rolling reach. Spark has no
+    * count(DISTINCT) window aggregate; the idiomatic translation is
+    * size(collect_set() OVER ...), which the oracle cross-checks with
+    * DuckDB's native windowed COUNT(DISTINCT). */
+  val q74WindowDistinct = q("q74_window_distinct",
+    "Rolling 100-event distinct-user reach per event type (window-family completeness)",
+    """SELECT event_id,
+      |       CAST(count(DISTINCT user_id) OVER (
+      |         PARTITION BY event_type ORDER BY ts, event_id
+      |         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_users
+      |FROM events""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-99, Window.currentRow)
+    Tables.events(s, d).select(
+      col("event_id"),
+      size(collect_set(col("user_id")).over(w)).cast("long").as("rolling_users"))
+  }
+
+  // ---------------------------------------------------------------- edit distance
+  /** Levenshtein string similarity on adjacent customer names — the
+    * fuzzy-matching primitive (entity resolution, OCR dedup) both
+    * engines ship natively. Pairing is the deterministic
+    * consecutive-key self join, so the pair set — unlike a threshold
+    * join on a similarity score — is engine-independent. */
+  val q75EditDistance = q("q75_edit_distance",
+    "Levenshtein distance + similarity ratio over consecutive customer names (fuzzy matching)",
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
+      |       round(1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+      |             / greatest(length(a.c_name), length(b.c_name)), 4) AS name_sim
+      |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val a = c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = c.select(col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    a.join(b, col("key_b") === col("key_a") + 1)
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("name_a"), col("name_b")).cast("double") /
+          greatest(length(col("name_a")), length(col("name_b"))), 4).as("name_sim"))
+  }
+
+  // ---------------------------------------------------------------- z-score outliers
+  /** Per-type z-score outlier flagging over event values — the
+    * data-quality anomaly gate. Stats come from a groupBy + broadcast
+    * join (not a window): the per-type aggregate is map-side partial
+    * and the dimension re-joins broadcast, so the fact shuffles once
+    * at most — the window form would sort the whole fact inside a
+    * handful of type partitions. */
+  val q76ZscoreOutliers = q("q76_zscore_outliers",
+    "Z-score outliers per event type, |z| >= 2 on the rounded score (data-quality completeness)",
+    """WITH stats AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, round((e.value - s.mu) / s.sigma, 4) AS z
+      |FROM events e JOIN stats s ON e.event_type = s.event_type
+      |WHERE abs(round((e.value - s.mu) / s.sigma, 4)) >= 2.0""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    val z = round((col("value") - col("mu")) / col("sigma"), 4)
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), z.as("z"))
+      .filter(abs(col("z")) >= 2.0)
+  }
+
+  // ---------------------------------------------------------------- length histogram
+  /** Document-length histogram per source: fixed-width 200-char
+    * buckets, capped at bucket 19 — profiling/observability over the
+    * corpus. Pure integer bucket arithmetic (no width_bucket: DuckDB
+    * and Spark disagree on boundary conventions), one partial-agg
+    * shuffle of (source, bucket) pairs. */
+  val q77Histogram = q("q77_histogram",
+    "Fixed-width document-length histogram per source (profiling completeness)",
+    """SELECT source,
+      |       least(19, n_chars // 200) AS bucket,
+      |       count(*) AS n
+      |FROM documents
+      |GROUP BY source, least(19, n_chars // 200)""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bucket", least(lit(19), expr("n_chars DIV 200")))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------- n-gram containment
+  /** Asymmetric containment |A∩B|/|A| on consecutive same-source doc
+    * pairs — "how much of A is inside B", the quote/subset-detection
+    * measure Jaccard (q21) can't express (a short doc fully quoted in
+    * a long one has low Jaccard but containment 1). Token sets are
+    * hashed once per doc (codegen'd HashedTokenSet) and scored by the
+    * linear-merge ContainmentSortedLong expression; pairing is each
+    * doc with its id-successor WITHIN the source (one lead() window —
+    * no join), so the pair set is deterministic in both engines. */
+  val q78Containment = q("q78_containment",
+    "Token-set containment on successive same-source doc pairs (north star: contamination)",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS sh
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id AS id_a, sh AS sh_a,
+      |         lead(doc_id) OVER w AS id_b,
+      |         lead(sh)     OVER w AS sh_b
+      |  FROM t
+      |  WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+      |SELECT id_a, id_b,
+      |       round(CASE WHEN len(sh_a) = 0 THEN 0.0
+      |                  ELSE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      |                       / len(sh_a) END, 4) AS containment
+      |FROM p WHERE id_b IS NOT NULL""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      graft.functions.Sketches.hashed_token_set(
+        TextFunctions.tokens(col("text"))).as("sh"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    toks.select(
+      col("doc_id").as("id_a"), col("sh").as("sh_a"),
+      lead(col("doc_id"), 1).over(w).as("id_b"),
+      lead(col("sh"), 1).over(w).as("sh_b"))
+      .filter(col("id_b").isNotNull)
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.Sketches.containment_sorted_long(col("sh_a"), col("sh_b")), 4)
+          .as("containment"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -1602,5 +1834,7 @@ object Catalog {
     q56Profile, q57GroupTopK, q58ApproxAggs, q59BandJoin, q60SlidingWindow,
     q61AnalystTrend, q62SaltedJoin, q63NullSafeJoin, q64IncrementalDedup,
     q65Tfidf, q66Scd2, q67StratifiedSample, q68QuantizeInt8,
-    q69Unpivot, q70Chunks)
+    q69Unpivot, q70Chunks, q71UrlNormalize, q72DecayedAgg, q73WeightedSample,
+    q74WindowDistinct, q75EditDistance, q76ZscoreOutliers, q77Histogram,
+    q78Containment)
 }

@@ -17,4 +17,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rewrap a DataFrame's physical RDD as a fresh leaf plan with
+    * DEFAULT size statistics.
+    *
+    * `Dataset.localCheckpoint` truncates lineage but the resulting
+    * LogicalRDD INHERITS the origin plan's size estimate. In an
+    * iterative algorithm whose round r plan joins round r−1's
+    * checkpoint several times, the inherited estimate compounds
+    * (size_r ≈ size_{r−1}^k) and the optimizer's BigInteger stats
+    * arithmetic grows doubly exponentially — measured as minutes of
+    * pure BigInteger.multiply on a 40-round graph. Re-wrapping via
+    * `internalCreateDataFrame` (zero-copy: the same InternalRow RDD)
+    * resets the leaf to `spark.sql.defaultSizeInBytes`. */
+  def freshLeaf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema)
+  }
 }

@@ -72,6 +72,48 @@ class SketchExpressionsSpec extends SparkSpecBase {
     assert(row2.getInt(1) === 4)
   }
 
+  test("word_ngrams: shingle semantics (dedup, whole-doc fallback)") {
+    val out = Seq(
+      Seq("a", "b", "a", "b", "c"), // 3-grams: "a b a","b a b","a b c"
+      Seq("a", "b"),                // shorter than n → whole doc
+      Seq.empty[String]             // empty doc → one empty gram
+    ).toDF("t")
+      .select(Sketches.word_ngrams($"t", 3, dedup = true, emptyIfShort = false))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b a", "b a b", "a b c"))
+    assert(out(1) === Seq("a b"))
+    assert(out(2) === Seq(""))
+    // dedup keeps first occurrence only
+    val dup = Seq(Seq("x", "y", "x", "y")).toDF("t")
+      .select(Sketches.word_ngrams($"t", 2, dedup = true, emptyIfShort = false))
+      .as[Seq[String]].head()
+    assert(dup === Seq("x y", "y x"))
+  }
+
+  test("word_ngrams: bigram semantics (multiset, empty-if-short)") {
+    val out = Seq(
+      Seq("a", "b", "a", "b"), // bigrams: a b, b a, a b (duplicates kept)
+      Seq("solo"),
+      Seq.empty[String]
+    ).toDF("t")
+      .select(Sketches.word_ngrams($"t", 2, dedup = false, emptyIfShort = true))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b", "b a", "a b"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("top_freq_fraction: hash-count pass matches expectations incl. ties") {
+    val out = Seq(
+      Seq("a", "b", "a", "a"),     // a: 3/4
+      Seq("x", "y"),               // tie → 1/2
+      Seq.empty[String]            // empty → 0.0
+    ).toDF("t").select(Sketches.top_freq_fraction($"t")).as[Double].collect()
+    assert(out(0) === 0.75)
+    assert(out(1) === 0.5)
+    assert(out(2) === 0.0)
+  }
+
   test("null inputs propagate as null") {
     val df = Seq((Option.empty[Seq[String]], Option.empty[Seq[Float]]))
       .toDF("t", "v")

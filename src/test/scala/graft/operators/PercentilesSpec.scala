@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class PercentilesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def viaBuiltin(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("g")
+      .agg(percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.9)).as("p90"),
+        count(col("v")).as("n"))
+      .as[(String, Double, Double, Long)].collect().toSet
+
+  private def viaOperator(df: org.apache.spark.sql.DataFrame) =
+    Percentiles.interpolated(df, Seq("g"), "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+      .as[(String, Double, Double, Long)].collect().toSet
+
+  test("matches Spark's exact percentile on random grouped data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      (s"g${i % 3}", rnd.nextDouble() * 1000.0)
+    }
+    val df = rows.toDF("g", "v").repartition(8)
+    assert(viaOperator(df) === viaBuiltin(df))
+  }
+
+  test("handles single-value groups, duplicates, and p=0/1 endpoints") {
+    val df = Seq(
+      ("a", 5.0), // n=1
+      ("b", 1.0), ("b", 1.0), ("b", 1.0), // all-duplicate group
+      ("c", 1.0), ("c", 2.0), ("c", 3.0), ("c", 4.0)
+    ).toDF("g", "v")
+    val out = Percentiles.interpolated(df, Seq("g"), "v",
+      Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0))
+      .as[(String, Double, Double, Double, Long)].collect().toSet
+    assert(out === Set(
+      ("a", 5.0, 5.0, 5.0, 1L),
+      ("b", 1.0, 1.0, 1.0, 3L),
+      ("c", 1.0, 2.5, 4.0, 4L)))
+  }
+
+  test("ignores nulls and skips empty groups entirely") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None)
+    ).toDF("g", "v")
+    val out = Percentiles.interpolated(df, Seq("g"), "v", Seq("p50" -> 0.5))
+      .as[(String, Double, Long)].collect().toSet
+    // group b has only nulls -> no percentile row (same as the builtin
+    // returning null; the operator's contract is rows for groups with data)
+    assert(out === Set(("a", 2.0, 2L)))
+  }
+
+  test("empty input yields empty output") {
+    val df = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Percentiles.interpolated(df, Seq("g"), "v", Seq("p50" -> 0.5)).count() === 0)
+  }
+
+  test("multi-column grouping keys") {
+    val df = Seq(
+      ("x", 1, 10.0), ("x", 1, 20.0), ("x", 2, 30.0), ("y", 1, 40.0)
+    ).toDF("g1", "g2", "v")
+    val out = Percentiles.interpolated(df, Seq("g1", "g2"), "v", Seq("p50" -> 0.5))
+      .as[(String, Int, Double, Long)].collect().toSet
+    assert(out === Set(
+      ("x", 1, 15.0, 2L), ("x", 2, 30.0, 1L), ("y", 1, 40.0, 1L)))
+  }
+}
