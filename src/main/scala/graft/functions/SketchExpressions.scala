@@ -269,6 +269,31 @@ object Sketches {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-row term-frequency map of a token array — one hash-count
+    * pass. Turning tf computation into a scan-side expression removes
+    * the corpus-wide (doc, term) aggregation shuffle entirely: the
+    * exploded output is already grouped, because grouping by document
+    * is free inside the row. */
+  def tokenCounts(arr: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      m.merge(arr.getUTF8String(i), 1L,
+        (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next(); keys(j) = e.getKey; vals(j) = e.getValue.longValue(); j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   /** Fraction of the array taken by its most frequent element, in one
     * hash-count pass (no per-element interpreted lambda, no sort). */
   def topFreqFraction(arr: ArrayData): Double = {
@@ -346,6 +371,8 @@ object Sketches {
     Bridge.column(WordNgrams(Bridge.expression(tokens), n, dedup, emptyIfShort))
   def top_freq_fraction(c: Column): Column =
     Bridge.column(TopFreqFraction(Bridge.expression(c)))
+  def token_counts(c: Column): Column =
+    Bridge.column(TokenCounts(Bridge.expression(c)))
 }
 
 /** MinHash signature of an array<string> of shingles → array<bigint>. */
@@ -491,6 +518,22 @@ case class WordNgrams(child: Expression, n: Int, dedup: Boolean,
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
   override def prettyName: String = "word_ngrams"
+}
+
+/** Term-frequency map of an array<string> → map<string,bigint>. */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireType(child.dataType, ArrayType(StringType), prettyName)
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sketches.tokenCounts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.tokenCounts($c);")
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+  override def prettyName: String = "token_counts"
 }
 
 /** Most-frequent-element fraction of an array<string> → double. */

@@ -35,5 +35,14 @@ object SqlFunctions {
       exprs => JaccardStr(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_token_set",
       exprs => HashedTokenSet(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_containment",
+      exprs => ContainmentSortedLong(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ngrams",
+      exprs => WordNgrams(exprs.head, intLit(exprs(1), "n"),
+        dedup = true, emptyIfShort = false), "built-in")
+    reg.createOrReplaceTempFunction("graft_top_freq_fraction",
+      exprs => TopFreqFraction(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_counts",
+      exprs => TokenCounts(exprs.head), "built-in")
   }
 }

@@ -3,17 +3,20 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{Sketches, TextFunctions}
 
 /** Corpus-relative term relevance scoring — the TF-IDF family a
   * training-data pipeline uses for keyword extraction, topic tagging
   * and quality heuristics over the document corpus.
   *
-  * Plan shape at scale: token explode → one (doc, term) aggregation
-  * (map-side combined), document frequencies derived from that same
-  * aggregate (a second small shuffle keyed by term), and the corpus
-  * size joined in as a broadcast single-row aggregate — no driver
-  * action, no collect. The final per-document top-k window partitions
+  * Plan shape at scale: term frequencies are computed INSIDE each row
+  * by the codegen'd TokenCounts expression (grouping by document is
+  * free within the row), so the exploded (doc, term, tf) stream is
+  * already aggregated — the corpus-wide (doc, term) shuffle a
+  * groupBy-after-explode plan pays never happens. Document
+  * frequencies are a small term-keyed aggregate over that stream, and
+  * the corpus size joins in as a broadcast single-row aggregate — no
+  * driver action, no collect. The final per-document top-k window partitions
   * by document, so each window partition is bounded by document
   * length (thousands of terms), never corpus-sized: row_number here
   * is scale-safe, unlike a per-query corpus ranking (see TopK for
@@ -36,9 +39,9 @@ object Relevance {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+      explode(Sketches.token_counts(TextFunctions.tokens(col(textCol))))
+        .as(Seq("term", "tf")))
     // tf is already distinct on (doc, term) — df is a plain count
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))

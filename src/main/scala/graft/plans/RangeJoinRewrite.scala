@@ -177,5 +177,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_token_set"),
       info("graft_token_set", "graft_token_set(tokens) - sorted distinct token hashes"),
       exprs => HashedTokenSet(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_containment"),
+      info("graft_containment", "graft_containment(a, b) - |A∩B|/|A| of sorted hash arrays"),
+      exprs => ContainmentSortedLong(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "graft_ngrams(tokens, n) - distinct word n-grams"),
+      exprs => WordNgrams(exprs.head, exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"n literal required, got $other")
+      }, dedup = true, emptyIfShort = false)))
+    ext.injectFunction((FunctionIdentifier("graft_top_freq_fraction"),
+      info("graft_top_freq_fraction", "graft_top_freq_fraction(arr) - most-frequent-element fraction"),
+      exprs => TopFreqFraction(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_token_counts"),
+      info("graft_token_counts", "graft_token_counts(tokens) - term-frequency map"),
+      exprs => TokenCounts(exprs.head)))
   }
 }

@@ -61,8 +61,8 @@ class SketchExpressionsSpec extends SparkSpecBase {
     assert(row.getLong(1) !== 0L)
     assert(row.getInt(2) === 8)
     assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
-    // the remaining two registered functions (GraftExtensions mirrors
-    // this same six-function set for SQL-first deployments)
+    // more of the registered set (GraftExtensions mirrors the same
+    // functions for SQL-first deployments)
     val row2 = spark.sql(
       """SELECT graft_sig_agreement(graft_minhash(split(t1, ' '), 8),
         |                           graft_minhash(split(t1, ' '), 8)) AS agree,
@@ -70,6 +70,17 @@ class SketchExpressionsSpec extends SparkSpecBase {
         |FROM sqlfn_t""".stripMargin).head()
     assert(row2.getDouble(0) === 1.0)
     assert(row2.getInt(1) === 4)
+    val row3 = spark.sql(
+      """SELECT graft_containment(graft_token_set(split(t1, ' ')),
+        |                         graft_token_set(split(t2, ' '))) AS c,
+        |       size(graft_ngrams(split(t1, ' '), 2)) AS ng,
+        |       graft_top_freq_fraction(split(t1, ' ')) AS tf,
+        |       graft_token_counts(split(t1, ' '))['a'] AS ca
+        |FROM sqlfn_t""".stripMargin).head()
+    assert(row3.getDouble(0) === 0.75) // {a,b,c,d} ∩ {a,b,c,x} / 4
+    assert(row3.getInt(1) === 3)
+    assert(row3.getDouble(2) === 0.25)
+    assert(row3.getLong(3) === 1L)
   }
 
   test("word_ngrams: shingle semantics (dedup, whole-doc fallback)") {
@@ -112,6 +123,14 @@ class SketchExpressionsSpec extends SparkSpecBase {
     assert(out(0) === 0.75)
     assert(out(1) === 0.5)
     assert(out(2) === 0.0)
+  }
+
+  test("token_counts: per-row term-frequency map") {
+    val out = Seq(Seq("a", "b", "a", "c", "a"), Seq.empty[String]).toDF("t")
+      .select(Sketches.token_counts($"t"))
+      .as[Map[String, Long]].collect()
+    assert(out(0) === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(out(1) === Map.empty)
   }
 
   test("null inputs propagate as null") {
