@@ -269,6 +269,33 @@ object Sketches {
     new GenericArrayData(out.toArray)
   }
 
+  /** 64-bit signed-random-projection (SRP) signature of a float
+    * vector: bit b is the sign of the dot product with a fixed
+    * Rademacher (±1) hyperplane whose components derive from mix64 —
+    * deterministic, no stored projection matrix, no randomness. Two
+    * vectors' signature Hamming distance estimates their angle
+    * (P[bit differs] = θ/π), so Hamming-banded blocking over SRP
+    * signatures is the embedding-space analog of SimHash blocking. */
+  def srpSignature(vec: ArrayData): Long = {
+    val dim = vec.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      var dot = 0.0
+      val base = (b + 1L) * GOLDEN
+      var j = 0
+      while (j < dim) {
+        // sign bit of a full-avalanche mix → ±1 component
+        val r = if (mix64(base + j) < 0) -1.0 else 1.0
+        dot += r * vec.getFloat(j)
+        j += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /** Per-row term-frequency map of a token array — one hash-count
     * pass. Turning tf computation into a scan-side expression removes
     * the corpus-wide (doc, term) aggregation shuffle entirely: the
@@ -373,6 +400,8 @@ object Sketches {
     Bridge.column(TopFreqFraction(Bridge.expression(c)))
   def token_counts(c: Column): Column =
     Bridge.column(TokenCounts(Bridge.expression(c)))
+  def srp_signature(c: Column): Column =
+    Bridge.column(SrpSignature(Bridge.expression(c)))
 }
 
 /** MinHash signature of an array<string> of shingles → array<bigint>. */
@@ -518,6 +547,21 @@ case class WordNgrams(child: Expression, n: Int, dedup: Boolean,
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
   override def prettyName: String = "word_ngrams"
+}
+
+/** SRP signature of an array<float> vector → bigint. */
+case class SrpSignature(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    Sketches.requireType(child.dataType, ArrayType(FloatType), prettyName)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sketches.srpSignature(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sketches.srpSignature($c);")
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+  override def prettyName: String = "srp_signature"
 }
 
 /** Term-frequency map of an array<string> → map<string,bigint>. */

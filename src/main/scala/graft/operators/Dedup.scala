@@ -206,19 +206,23 @@ object Dedup {
     val banded = sigs
       .select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
-    val keepBuckets = banded.groupBy("band", "bh")
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") <= maxBucket && col("_bn") > 1)
-      .select("band", "bh")
-    val pruned = banded.join(keepBuckets, Seq("band", "bh"))
-    val a = pruned.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = pruned.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    // bucket membership as a sorted (id, sig) list — one shuffle, same
+    // shape as minHashLsh: the skew guard applies on list size,
+    // identical-membership buckets collapse before the quadratic step
+    // (near-identical docs agree on most bands), and pair generation
+    // emits id_a < id_b by construction instead of filtering half of a
+    // self-join's output away
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+      .select(col("xs"))
+      .distinct()
+    buckets
+      .select(posexplode(col("xs")).as(Seq("i", "x")), col("xs"))
+      .select(col("x.id").as("id_a"), col("x.sig").as("sig_a"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("y"))
+      .select(col("id_a"), col("y.id").as("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -326,6 +330,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(Sim.cosine(col("vec_a"), col("vec_b")), roundTo).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs via SRP-LSH — the sub-quadratic
+    * scale path embeddingNearDup's block-local brute force documents
+    * as missing: 64-bit signed-random-projection signatures (codegen'd
+    * SrpSignature, deterministic hyperplanes — no stored matrix),
+    * Hamming-banded into 4×16-bit buckets exactly like simHashPairs,
+    * then candidates are verified with EXACT cosine — the estimate
+    * never decides, only blocks. Shuffle volume per doc is 4 rows of
+    * (band key, id, vector); pair scoring touches only same-bucket
+    * candidates. Recall: a pair survives iff its signatures agree on
+    * one 16-bit band; for near-dups (angle → 0) band-agreement
+    * probability approaches 1 (spec-bounded on planted duplicates).
+    *
+    * @return (id_a, id_b, cos) with id_a < id_b, cos >= threshold
+    */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, maxBucket: Int = 5000,
+                        roundTo: Int = 4): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Sketches.srp_signature(col(vecCol)).as("sig"))
+      .repartition(col("id")) // materialization barrier (see minHashLsh)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
+    }
+    val banded = sigs
+      .select(col("id"), col("vec"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))
+    val buckets = banded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("xs"))
+      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+      .select(col("xs"))
+      .distinct()
+    buckets
+      .select(posexplode(col("xs")).as(Seq("i", "x")), col("xs"))
+      .select(col("x.id").as("id_a"), col("x.vec").as("vec_a"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs")))).as("y"))
+      .select(col("id_a"), col("y.id").as("id_b"),
+        round(Sim.cosine(col("vec_a"), col("y.vec")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard over an EXPLICIT candidate pair list — the

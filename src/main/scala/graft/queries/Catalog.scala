@@ -1818,6 +1818,120 @@ object Catalog {
           .as("containment"))
   }
 
+  // ---------------------------------------------------------------- per-group deterministic sample
+  /** Uniform k-per-stratum sample ordered by md5(id) — the
+    * deterministic "reservoir": every engine, run and retry draws the
+    * SAME k docs per language because the order key is a hash of the
+    * row id, not rand(). Window partitions by stratum, so each
+    * partition is one stratum — bounded and parallel across strata. */
+  val q79GroupSample = q("q79_group_sample",
+    "Deterministic k-per-group sample via md5-ordered ranking (north star: curation)",
+    """SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) WHERE rk <= 5""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 5)
+  }
+
+  // ---------------------------------------------------------------- winsorization
+  /** Per-group winsorization at [p05, p95] — outlier clamping for
+    * feature pipelines, composed from Percentiles.interpolated (the
+    * distributed exact-percentile operator) + a broadcast bounds join
+    * + a pure clamp projection. The fact table shuffles zero times:
+    * bounds come back as a 3-row broadcast dimension. */
+  val q80Winsorize = q("q80_winsorize",
+    "Winsorize prices at per-group [p05, p95] via the distributed percentile operator",
+    """WITH b AS (
+      |  SELECT l_returnflag AS f,
+      |         quantile_cont(l_extendedprice, 0.05) AS p05,
+      |         quantile_cont(l_extendedprice, 0.95) AS p95
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l_returnflag,
+      |       round(least(greatest(l_extendedprice, p05), p95), 4) AS clipped
+      |FROM lineitem JOIN b ON l_returnflag = f""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val bounds = Percentiles.interpolated(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq("p05" -> 0.05, "p95" -> 0.95))
+      .select(col("l_returnflag"), col("p05"), col("p95"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(least(greatest(col("l_extendedprice"), col("p05")), col("p95")), 4)
+          .as("clipped"))
+  }
+
+  // ---------------------------------------------------------------- data-quality checks
+  /** The dbt-tests analog as one query: named assertion → violation
+    * count (not-null, PK-unique, FK-orphan, domain, non-empty text,
+    * exact-dup fingerprints). Each check is a filter + count or an
+    * anti join — map-side partial aggregation everywhere; the union
+    * is of 6 single-row aggregates. A pipeline gates promotion on
+    * violations = 0 (the dup-fingerprint row is deliberately > 0
+    * here: the synthetic corpus plants exact duplicates). */
+  val q81QualityChecks = q("q81_quality_checks",
+    "Suite of data-quality assertions with violation counts (§2.12 quality gates)",
+    """SELECT 'orders_custkey_not_null' AS check_name, count(*) AS violations
+      |FROM orders WHERE o_custkey IS NULL
+      |UNION ALL
+      |SELECT 'orders_pk_unique', count(*) FROM (
+      |  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'lineitem_fk_orders', count(*) FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem_qty_positive', count(*) FROM lineitem WHERE l_quantity <= 0
+      |UNION ALL
+      |SELECT 'documents_nonempty', count(*) FROM documents
+      |WHERE length(trim(text)) = 0
+      |UNION ALL
+      |SELECT 'documents_exact_dupes', count(*) FROM (
+      |  SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+      |  FROM documents GROUP BY 1 HAVING count(*) > 1)""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val docs = Tables.documents(s, d)
+    def check(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    check("orders_custkey_not_null", orders.filter(col("o_custkey").isNull))
+      .unionByName(check("orders_pk_unique",
+        orders.groupBy("o_orderkey").agg(count(lit(1)).as("n")).filter(col("n") > 1)))
+      .unionByName(check("lineitem_fk_orders",
+        li.join(orders.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")))
+      .unionByName(check("lineitem_qty_positive", li.filter(col("l_quantity") <= 0)))
+      .unionByName(check("documents_nonempty",
+        docs.filter(length(trim(col("text"))) === 0)))
+      .unionByName(check("documents_exact_dupes",
+        docs.groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)))
+  }
+
+  // ---------------------------------------------------------------- SRP embedding LSH
+  /** Dedup.embeddingLshPairs — the sub-quadratic embedding near-dup
+    * path (SRP signatures + Hamming banding + exact-cosine verify).
+    * The synthetic embeddings carry no true near-duplicates (SRP
+    * banding targets cosine ≈ 1), so the query injects an exact copy
+    * of every 10th vector under a shifted id — the q48 synthetic-
+    * input pattern — and the operator must recover exactly those
+    * planted pairs. Engine-seeded signatures are not reproducible in
+    * DuckDB SQL, so the harness records rows-only; recall on planted
+    * near-duplicates and agreement with block-local brute force are
+    * spec-asserted (SimilaritySpec). */
+  val q82SrpNearDup = noOracle("q82_srp_neardup",
+    "Embedding near-dup via SRP-LSH banding + exact cosine verify (north star: similarity; rows-only)") { (s, d) =>
+    val base = Tables.embeddings(s, d)
+    val planted = base.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Dedup.embeddingLshPairs(
+      base.select(col("vec_id"), col("embedding")).unionByName(planted),
+      "vec_id", "embedding", threshold = 0.99)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -1836,5 +1950,6 @@ object Catalog {
     q65Tfidf, q66Scd2, q67StratifiedSample, q68QuantizeInt8,
     q69Unpivot, q70Chunks, q71UrlNormalize, q72DecayedAgg, q73WeightedSample,
     q74WindowDistinct, q75EditDistance, q76ZscoreOutliers, q77Histogram,
-    q78Containment)
+    q78Containment, q79GroupSample, q80Winsorize, q81QualityChecks,
+    q82SrpNearDup)
 }

@@ -89,6 +89,33 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("SRP-LSH near-dup: planted near-duplicates recalled, verified cosine exact") {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 40).map(i => (i.toLong * 2, vec()))
+    // plant a near-duplicate (tiny perturbation → cosine ≈ 1) per base
+    val dups = bases.map { case (id, v) =>
+      (id + 1, v.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val df = (bases ++ dups).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingLshPairs(df, "vec_id", "embedding", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // every planted (2i, 2i+1) pair must surface: at cosine ≈ 1 the
+    // signatures agree on (nearly) all bits, so some 16-bit band matches
+    val found = pairs.collect { case (a, b, _) if b == a + 1 && a % 2 == 0 => a }.toSet
+    assert(found.size >= 38, s"recall too low: ${found.size}/40")
+    // and the reported cosine is the exact one (verify stage), not an estimate
+    val brute = Dedup.embeddingNearDup(
+      df.withColumn("block", lit(1)), "vec_id", "embedding", "block", 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    pairs.foreach { case (a, b, c) =>
+      assert(brute.contains((a, b)), s"pair ($a,$b) not in brute-force set")
+      assert(math.abs(brute((a, b)) - c) < 1e-9)
+    }
+  }
+
   test("int8 quantization of a zero or empty vector: NULL scale, all-zero codes") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f)),
