@@ -34,6 +34,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // a prefix collision would silently overwrite per-query timings in
+    // the parsed map — fail loudly before spending bench time
+    require(names.map(shortKey).distinct.size == names.size,
+      s"duplicate qNN prefixes: ${names.groupBy(shortKey).filter(_._2.size > 1)}")
     // warmup (untimed)
     names.foreach(run(spark, _, sfDir))
     // timed: two passes, min per query — single-pass numbers carry ±2s
@@ -47,21 +51,35 @@ object Bench {
     val p1 = timedPass()
     val p2 = timedPass()
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
-    // The driver captures only the LAST ~2000 chars of stdout and parses the
-    // metric line from that window: with 70 queries at full double precision
-    // the line overflows the window and the round's perf numbers are lost
-    // (BENCH_r02 "parsed": null). Keep the parsed line compact — qNN prefix
-    // keys, 3-decimal seconds — and put the full-name full-precision map on
-    // stderr for humans.
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    // The driver captures only the LAST ~2000 chars of output and parses the
+    // metric line from that window. Rounds 1-3 all came back "parsed": null:
+    // r1/r2 because the line itself overflowed the window, r3 because the
+    // per-query stderr dump (~3.3 KB) flushed AFTER stdout under sbt's
+    // logger interleaving and pushed the metric line out of the tail. So:
+    // the full-name full-precision map goes to a FILE (target/), never a
+    // console stream, and the compact metric JSON (qNN prefix keys,
+    // 3-decimal seconds) is the LAST line this process emits — printed to
+    // both stdout and stderr after spark.stop(), so no shutdown logging can
+    // land after it on either stream.
     val qs = results.map { case (k, v) => Json.str(shortKey(k)) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":${failed.distinct.sorted.map(n => Json.str(shortKey(n))).mkString("[", ",", "]")}"""
-    System.err.println(results.map { case (k, v) => s"[bench] $k $v" }.mkString("\n"))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)}$failedJson}""")
+    val detailPath = java.nio.file.Paths.get("target", "bench_details.txt")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath,
+      results.map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val metricLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)}$failedJson}"""
     spark.stop()
+    System.out.println(metricLine)
+    System.out.flush()
+    System.err.println(metricLine)
+    System.err.flush()
   }
+
+  private def shortKey(name: String): String = name.takeWhile(_ != '_')
 }

@@ -1276,13 +1276,24 @@ object Catalog {
   /** The one deferred-revenue mart both q46 and q61 run — a single
     * construction so the analyst query can never drift from the mart
     * the oracle verifies. */
-  private def deferredMart(s: SparkSession): DataFrame = {
+  private def martInputs(s: SparkSession)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
     val raw = s.read.schema(graft.pipeline.Schemas.invoiceSchema).json(InvoiceFixture)
     val staged = graft.pipeline.Models.staged(raw)
     val loadedAt = lit(null).cast("timestamp")
     val lineItems = graft.pipeline.Models.invoiceLineItems(staged, loadedAt)
     val fx = graft.pipeline.Models.exchangeRates(s, java.time.LocalDate.of(2024, 8, 12))
+    (lineItems, fx, loadedAt)
+  }
+
+  private def deferredMart(s: SparkSession): DataFrame = {
+    val (lineItems, fx, loadedAt) = martInputs(s)
     graft.pipeline.Models.deferredRevenue(lineItems, fx, loadedAt)
+  }
+
+  private def recognizedMart(s: SparkSession): DataFrame = {
+    val (lineItems, fx, loadedAt) = martInputs(s)
+    graft.pipeline.Models.recognizedRevenue(lineItems, fx, loadedAt)
   }
 
   private val invoiceFixtureDuckdbColumns =
@@ -1292,18 +1303,12 @@ object Catalog {
       |                subscription VARCHAR, period STRUCT("start" BIGINT, "end" BIGINT),
       |                taxes STRUCT(amount BIGINT, tax_behavior VARCHAR)[])[])'}""".stripMargin
 
-  /** The reference's whole point, under the oracle end-to-end: raw
-    * invoice NDJSON → staging date → line-item flatten + tax HOFs →
-    * FX → daily-rate proration → the deferred-revenue mart at
-    * (line_item_id, as_of_date) grain (reference:
-    * dbt/stripe/models/marts/deferred_revenue.sql:19-128 compiled into
-    * one chain; analyst surface README.md:176-213). Raw doubles, no
-    * rounding: both engines execute the identical IEEE-754 op sequence
-    * (cents/100 → ×rate → /days → ×days), so values are bit-equal —
-    * which is itself part of the parity claim (SURVEY §1.2: FLOAT64
-    * math, never Decimal). */
-  val q46DeferredMart = q("q46_deferred_mart",
-    "End-to-end revenue pipeline: NDJSON → flatten/tax → FX → proration → deferred mart (E2)",
+  /** Shared oracle CTE chain for both marts (mirrors
+    * Models.revenueBase): NDJSON scan → paid filter → line-item
+    * flatten → tax split → FX → daily rate. q46 appends the closed
+    * [created, period_end] expansion (deferred), q83 the half-open
+    * [period_start, period_end) one (recognized). */
+  private val revenueBaseSql =
     s"""WITH src AS (
       |  SELECT id, customer, subscription, currency,
       |         CAST(make_timestamp(created * 1000000) AS DATE) AS created_at_date,
@@ -1353,7 +1358,21 @@ object Catalog {
       |         CASE WHEN date_diff('day', period_start_date, period_end_date) > 0
       |              THEN amount_without_tax_usd / date_diff('day', period_start_date, period_end_date)
       |              ELSE amount_without_tax_usd END AS daily_revenue_usd
-      |  FROM usd),
+      |  FROM usd)""".stripMargin
+
+  /** The reference's whole point, under the oracle end-to-end: raw
+    * invoice NDJSON → staging date → line-item flatten + tax HOFs →
+    * FX → daily-rate proration → the deferred-revenue mart at
+    * (line_item_id, as_of_date) grain (reference:
+    * dbt/stripe/models/marts/deferred_revenue.sql:19-128 compiled into
+    * one chain; analyst surface README.md:176-213). Raw doubles, no
+    * rounding: both engines execute the identical IEEE-754 op sequence
+    * (cents/100 → ×rate → /days → ×days), so values are bit-equal —
+    * which is itself part of the parity claim (SURVEY §1.2: FLOAT64
+    * math, never Decimal). */
+  val q46DeferredMart = q("q46_deferred_mart",
+    "End-to-end revenue pipeline: NDJSON → flatten/tax → FX → proration → deferred mart (E2)",
+    s"""$revenueBaseSql,
       |expanded AS (
       |  SELECT spc.*,
       |         CAST(unnest(generate_series(invoice_created_date, period_end_date,
@@ -1384,6 +1403,39 @@ object Catalog {
         col("recognized_revenue_usd"), col("deferred_revenue_usd"))
   }
 
+  /** The reference's second mart under the oracle: recognized revenue
+    * at (line_item_id, recognition_date) grain over the half-open
+    * service window [period_start_date, period_end_date), carrying
+    * daily_revenue_usd (reference intent:
+    * recognized_revenue.sql:70-97 — the committed SQL is
+    * syntactically broken, SURVEY §7.4 risk 7; semantics are the
+    * deferred chain restricted to the half-open window). Unrounded
+    * doubles for the same bit-parity reason as q46. */
+  val q83RecognizedMart = q("q83_recognized_mart",
+    "End-to-end revenue pipeline: half-open service-window expansion → recognized mart (E2)",
+    s"""$revenueBaseSql,
+      |expanded AS (
+      |  SELECT spc.*,
+      |         CAST(unnest(generate_series(period_start_date,
+      |                                     period_end_date - INTERVAL 1 DAY,
+      |                                     INTERVAL 1 DAY)) AS DATE) AS recognition_date
+      |  FROM spc
+      |  WHERE period_start_date < period_end_date)
+      |SELECT line_item_id, invoice_id, customer_id, subscription_id, currency,
+      |       invoice_created_date, period_start_date, period_end_date,
+      |       CAST(service_period_days AS BIGINT) AS service_period_days,
+      |       recognition_date, daily_revenue_usd, amount_without_tax_usd
+      |FROM expanded""".stripMargin) { (s, _) =>
+    recognizedMart(s)
+      .select(
+        col("line_item_id"), col("invoice_id"), col("customer_id"),
+        col("subscription_id"), col("currency"),
+        col("invoice_created_date"), col("period_start_date"), col("period_end_date"),
+        col("service_period_days").cast("long").as("service_period_days"),
+        col("recognition_date"), col("daily_revenue_usd"),
+        col("amount_without_tax_usd"))
+  }
+
   // ---------------------------------------------------------------- analyst surface
   /** The reference's end-user query (README.md:195-203, deferred
     * revenue trend) over the full NDJSON → mart chain — what an
@@ -1403,6 +1455,66 @@ object Catalog {
     deferredMart(s)
       .groupBy("as_of_date")
       .agg(round(sum("deferred_revenue_usd"), 4).as("total_deferred_revenue_usd"))
+  }
+
+  /** README.md:176-182 Q1 — total deferred revenue as of a day — run
+    * through the actual `AnalystQueries.totalDeferred` API (not a
+    * reimplementation), over the full NDJSON → mart chain. Rounded at
+    * the outermost sum only (q61's rationale). */
+  val q84TotalDeferred = q("q84_total_deferred",
+    "Analyst surface: total deferred revenue as of a date via AnalystQueries (E3)",
+    s"""SELECT round(sum(deferred_revenue_usd), 4) AS total_deferred_revenue_usd
+       |FROM (
+       |${q46DeferredMart.oracle.get}
+       |) m
+       |WHERE as_of_date = DATE '2024-06-15'""".stripMargin) { (s, _) =>
+    graft.pipeline.AnalystQueries
+      .totalDeferred(deferredMart(s), java.time.LocalDate.of(2024, 6, 15))
+      .select(round(col("total_deferred_revenue_usd"), 4)
+        .as("total_deferred_revenue_usd"))
+  }
+
+  /** README.md:184-193 Q2 — deferred revenue by customer, largest
+    * first, via `AnalystQueries.deferredByCustomer`. No LIMIT, so set
+    * membership is engine-independent and the ORDER BY is cosmetic —
+    * the oracle omits it (driver hashing is row-order-insensitive,
+    * q61 precedent). */
+  val q85DeferredByCustomer = q("q85_deferred_by_customer",
+    "Analyst surface: deferred revenue by customer via AnalystQueries (E3)",
+    s"""SELECT customer_id,
+       |       round(sum(deferred_revenue_usd), 4) AS total_deferred_revenue_usd
+       |FROM (
+       |${q46DeferredMart.oracle.get}
+       |) m
+       |WHERE as_of_date = DATE '2024-06-15'
+       |GROUP BY customer_id""".stripMargin) { (s, _) =>
+    graft.pipeline.AnalystQueries
+      .deferredByCustomer(deferredMart(s), java.time.LocalDate.of(2024, 6, 15))
+      .select(col("customer_id"),
+        round(col("total_deferred_revenue_usd"), 4)
+          .as("total_deferred_revenue_usd"))
+  }
+
+  /** README.md:206-213 Q4 — revenue recognized in a quarter via the
+    * calendar join (`AnalystQueries.recognizedInQuarter`), the one
+    * analyst query that exercises the J2 calendar join end-to-end.
+    * Quarter is compared as a STRING (the FORMAT_DATE('%Q') artifact,
+    * SURVEY §2.9). The oracle filters on year/quarter of
+    * recognition_date directly — equivalent because the calendar
+    * spine (2020-01-01..2024-12-31) covers every 2024-Q2 date, so the
+    * inner join drops nothing the filter keeps. */
+  val q86RecognizedQuarter = q("q86_recognized_quarter",
+    "Analyst surface: revenue recognized in 2024-Q2 via the calendar join (E3/J2)",
+    s"""SELECT round(sum(daily_revenue_usd), 4) AS recognized_revenue_usd
+       |FROM (
+       |${q83RecognizedMart.oracle.get}
+       |) m
+       |WHERE year(recognition_date) = 2024
+       |  AND CAST(quarter(recognition_date) AS VARCHAR) = '2'""".stripMargin) { (s, _) =>
+    val cal = graft.pipeline.Models.calendar(s, java.time.LocalDate.of(2024, 12, 31))
+    graft.pipeline.AnalystQueries
+      .recognizedInQuarter(recognizedMart(s), cal, 2024, "2")
+      .select(round(col("recognized_revenue_usd"), 4).as("recognized_revenue_usd"))
   }
 
   // ---------------------------------------------------------------- DSv2 pushdown scan
@@ -1951,5 +2063,6 @@ object Catalog {
     q69Unpivot, q70Chunks, q71UrlNormalize, q72DecayedAgg, q73WeightedSample,
     q74WindowDistinct, q75EditDistance, q76ZscoreOutliers, q77Histogram,
     q78Containment, q79GroupSample, q80Winsorize, q81QualityChecks,
-    q82SrpNearDup)
+    q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
+    q85DeferredByCustomer, q86RecognizedQuarter)
 }
