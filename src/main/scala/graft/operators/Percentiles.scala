@@ -50,6 +50,20 @@ object Percentiles {
                    ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       "percentile fractions must lie in [0,1]")
+    // group keys are used as Scala map keys (offset/target lookups) and
+    // for run detection in the partition scan; binary/array/struct
+    // values compare by reference there, which would silently resolve
+    // every offset to 0 — reject them up front
+    groupCols.foreach { c =>
+      val bad = df.schema(c).dataType match {
+        case _: BinaryType | _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      }
+      require(!bad,
+        s"group column $c has type ${df.schema(c).dataType.simpleString}, " +
+          "which compares by reference on the JVM; percentile grouping " +
+          "requires value-comparable atomic keys")
+    }
     val spark = df.sparkSession
     val g = groupCols.size
 
@@ -79,20 +93,24 @@ object Percentiles {
         val off = running(key); running(key) = off + n; (pid, key) -> off
       }.toMap
     }
-    // target ranks (1-based): h = (n−1)p ⇒ contributions
-    // value[⌊h⌋+1]·(1−frac) and value[⌊h⌋+2]·frac
-    val targets: Map[Seq[Any], Map[Long, Seq[(String, Double)]]] =
+    // target ranks (1-based): h = (n−1)p ⇒ bracketing rows
+    // value[⌊h⌋+1] (role "lo") and value[⌊h⌋+2] (role "hi"), combined
+    // at the end as lo + (hi−lo)·w — the exact op sequence Spark's
+    // percentile and DuckDB's quantile_cont use, so results are
+    // bit-identical to theirs (a lo·(1−w)+hi·w weighted sum can differ
+    // in the last ULP)
+    val targets: Map[Seq[Any], Map[Long, Seq[(String, String, Double)]]] =
       totals.map { case (key, n) =>
-        val m = collection.mutable.Map.empty[Long, List[(String, Double)]]
+        val m = collection.mutable.Map.empty[Long, List[(String, String, Double)]]
           .withDefaultValue(Nil)
         ps.foreach { case (name, p) =>
           val h = (n - 1) * p
           val lo = math.floor(h).toLong + 1
           val w = h - math.floor(h)
-          m(lo) = (name, 1.0 - w) :: m(lo)
-          if (w > 0.0) m(lo + 1) = (name, w) :: m(lo + 1)
+          m(lo) = (name, "lo", w) :: m(lo)
+          if (w > 0.0) m(lo + 1) = (name, "hi", w) :: m(lo + 1)
         }
-        key -> m.toMap.map { case (k, v) => k -> (v: Seq[(String, Double)]) }
+        key -> m.toMap.map { case (k, v) => k -> (v: Seq[(String, String, Double)]) }
       }
 
     // pass 2: emit only the bracketing rows, with their weights applied
@@ -103,7 +121,7 @@ object Percentiles {
       val tgts = bTargets.value
       var curKey: Seq[Any] = null
       var rank = 0L
-      var curTargets: Map[Long, Seq[(String, Double)]] = Map.empty
+      var curTargets: Map[Long, Seq[(String, String, Double)]] = Map.empty
       rows.flatMap { row =>
         val key = row.toSeq.take(g)
         if (key != curKey) {
@@ -112,14 +130,15 @@ object Percentiles {
           curTargets = tgts.getOrElse(key, Map.empty)
         }
         rank += 1
-        curTargets.getOrElse(rank, Nil).map { case (name, w) =>
-          Row.fromSeq(key ++ Seq(name, row.getDouble(g) * w))
+        curTargets.getOrElse(rank, Nil).map { case (name, role, w) =>
+          Row.fromSeq(key ++ Seq(name, role, row.getDouble(g), w))
         }
       }
     }
     val groupFields = groupCols.map(c => df.schema(c))
     val contribSchema = StructType(groupFields ++
-      Seq(StructField("_p", StringType), StructField("_contrib", DoubleType)))
+      Seq(StructField("_p", StringType), StructField("_role", StringType),
+        StructField("_bv", DoubleType), StructField("_w", DoubleType)))
     val contribs = spark.createDataFrame(contribRows, contribSchema)
 
     val totalRows = totals.toSeq.map { case (key, n) => Row.fromSeq(key :+ n) }
@@ -127,15 +146,28 @@ object Percentiles {
       spark.sparkContext.parallelize(totalRows, 1),
       StructType(groupFields :+ StructField("n", LongType, nullable = false)))
 
+    // per percentile: pick the lo/hi bracketing values + weight out of
+    // the (≤ 2·|ps|-row-per-group) contributions, then combine as
+    // lo + (hi−lo)·w; a missing hi row (w == 0, exact rank hit) falls
+    // back to lo, making the result exactly value[⌊h⌋+1]
+    def pick(name: String, role: String) =
+      first(when(col("_p") === name && col("_role") === role, col("_bv")),
+        ignoreNulls = true)
+    val aggCols = ps.flatMap { case (name, _) => Seq(
+      pick(name, "lo").as(s"_lo_$name"),
+      pick(name, "hi").as(s"_hi_$name"),
+      first(when(col("_p") === name, col("_w")), ignoreNulls = true)
+        .as(s"_w_$name"))
+    }
+    val finalCols = groupCols.map(col) ++ ps.map { case (name, _) =>
+      (col(s"_lo_$name") +
+        (coalesce(col(s"_hi_$name"), col(s"_lo_$name")) - col(s"_lo_$name")) *
+          col(s"_w_$name")).as(name)
+    }
     contribs
       .groupBy(groupCols.map(col): _*)
-      .agg(
-        ps.map { case (name, _) =>
-          sum(when(col("_p") === name, col("_contrib"))).as(name)
-        }.head,
-        ps.tail.map { case (name, _) =>
-          sum(when(col("_p") === name, col("_contrib"))).as(name)
-        }: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(finalCols: _*)
       .join(broadcast(totalsDf), groupCols, "right")
   }
 }

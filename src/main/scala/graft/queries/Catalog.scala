@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -355,11 +355,16 @@ object Catalog {
       |GROUP BY event_type
       |HAVING count(*) * 100.0 / (SELECT count(*) FROM events) > 5.0""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
-    val total = ev.count()
+    // scalar total via crossJoin(broadcast(agg)) — one lazy plan; a
+    // driver-side ev.count() would be an extra eager full scan per
+    // invocation (the q65/q72 pattern)
+    val total = ev.agg(count(lit(1)).as("_total"))
     ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"))
-      .withColumn("pct", round(col("n") * 100.0 / total, 4))
-      .filter(col("n") * 100.0 / total > 5.0)
+      .crossJoin(broadcast(total))
+      .withColumn("pct", round(col("n") * 100.0 / col("_total"), 4))
+      .filter(col("n") * 100.0 / col("_total") > 5.0)
+      .drop("_total")
   }
 
   // ---------------------------------------------------------------- JSON + CASE + IN scalar functions
@@ -1727,13 +1732,13 @@ object Catalog {
       |  SELECT doc_id,
       |         regexp_replace(
       |           regexp_replace(
-      |             regexp_replace(url, '#[A-Za-z0-9]*$', ''),
-      |             '&utm_[a-z]+=[a-z]*', ''),
-      |           ':443/', '/') AS u
+      |             regexp_replace(url, '#[A-Za-z0-9]*$', '', 'g'),
+      |             '&utm_[a-z]+=[a-z]*', '', 'g'),
+      |           ':443/', '/', 'g') AS u
       |  FROM u)
       |SELECT doc_id,
       |       lower(regexp_extract(u, '^[^/]+//[^/]+')) ||
-      |         regexp_replace(u, '^[^/]+//[^/]+', '') AS url_norm,
+      |         regexp_replace(u, '^[^/]+//[^/]+', '', 'g') AS url_norm,
       |       regexp_extract(lower(regexp_extract(u, '^[^/]+//[^/]+')),
       |                      '//([a-z0-9.]+)', 1) AS host
       |FROM stripped""".stripMargin) { (s, d) =>
@@ -1806,21 +1811,31 @@ object Catalog {
   /** Rolling distinct-user count per event type over the trailing 100
     * events — dashboard-style rolling reach. Spark has no
     * count(DISTINCT) window aggregate; the idiomatic translation is
-    * size(collect_set() OVER ...), which the oracle cross-checks with
-    * DuckDB's native windowed COUNT(DISTINCT). */
+    * size(collect_set() OVER ...), but a window partitioned by
+    * event_type ALONE sorts the whole fact table into ≤ |event_types|
+    * tasks — a single-task-per-hot-key sort at 100 TB. The engine
+    * form is `Rolling.rollingDistinct`: day-bucketed two-phase global
+    * sequence + chunked trailing window with a 99-row overlap carry,
+    * so every sort partition is bounded by chunkSize + 99 regardless
+    * of key cardinality. The oracle cross-checks with DuckDB's native
+    * windowed COUNT(DISTINCT) over the unchunked formulation —
+    * exact-equality proof that the chunk/carry rewrite preserves the
+    * frame semantics. */
   val q74WindowDistinct = q("q74_window_distinct",
-    "Rolling 100-event distinct-user reach per event type (window-family completeness)",
+    "Rolling 100-event distinct-user reach per event type, chunk+carry scale form (window-family completeness)",
     """SELECT event_id,
       |       CAST(count(DISTINCT user_id) OVER (
       |         PARTITION BY event_type ORDER BY ts, event_id
       |         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_users
       |FROM events""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-99, Window.currentRow)
-    Tables.events(s, d).select(
-      col("event_id"),
-      size(collect_set(col("user_id")).over(w)).cast("long").as("rolling_users"))
+    Rolling.rollingDistinct(
+      Tables.events(s, d),
+      keyCols = Seq("event_type"),
+      orderCols = Seq(col("ts"), col("event_id")),
+      bucket = date_trunc("day", col("ts")),
+      valueCol = "user_id", n = 100, as = "rolling_users",
+      chunkSize = 1000)
+      .select(col("event_id"), col("rolling_users"))
   }
 
   // ---------------------------------------------------------------- edit distance
@@ -1852,7 +1867,13 @@ object Catalog {
     * join (not a window): the per-type aggregate is map-side partial
     * and the dimension re-joins broadcast, so the fact shuffles once
     * at most — the window form would sort the whole fact inside a
-    * handful of type partitions. */
+    * handful of type partitions.
+    *
+    * Known FP-boundary risk (accepted): the |z| >= 2.0 cut is applied
+    * to the 4dp-ROUNDED score in both engines, so divergence needs a
+    * row whose unrounded z differs between engines ACROSS a 0.00005
+    * rounding boundary that also straddles 2.0 — none exists in the
+    * synthetic data (nearest z gap to the cut ≫ double agg drift). */
   val q76ZscoreOutliers = q("q76_zscore_outliers",
     "Z-score outliers per event type, |z| >= 2 on the rounded score (data-quality completeness)",
     """WITH stats AS (

@@ -107,4 +107,26 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().sorted
     assert(out === Array(11L, 13L))
   }
+
+  // Bounds the q42 banding configuration (32 bands × 2 rows, k=1
+  // shingles, blockCol=source) against exact token-Jaccard ground
+  // truth on the real sf0.01 corpus: a true pair at similarity s is
+  // missed with probability (1−s²)^32 ≤ 4e-5 at s = 0.5, so observed
+  // candidate recall over the ~4k true pairs must be ≥ 99%. Fails if
+  // the banding math (band slicing, bucket collapse, skew guard)
+  // regresses — the spec backing q20/q42's rows-only oracle rows.
+  test("minHashLsh candidate recall >= 99% vs exact Jaccard at 0.5 on sf0.01") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCol = "source", k = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val candidates = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
+      maxBucket = 10000, blockCol = Some("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size > 1000, s"ground truth unexpectedly small: ${exact.size}")
+    val recall = exact.count(candidates.contains).toDouble / exact.size
+    assert(recall >= 0.99,
+      f"LSH candidate recall $recall%.4f over ${exact.size} true pairs")
+  }
 }

@@ -18,13 +18,26 @@ class PercentilesSpec extends SparkSpecBase {
       Seq("p50" -> 0.5, "p90" -> 0.9))
       .as[(String, Double, Double, Long)].collect().toSet
 
+  // The operator interpolates as lo + (hi-lo)*w — DuckDB quantile_cont's
+  // exact op sequence, since the DuckDB oracle is the hash-equality gate.
+  // Spark's builtin percentile computes lo*(1-w) + hi*w, which can differ
+  // in the last ULP, so agreement with the builtin is asserted to 1e-9
+  // relative rather than bit-exact.
   test("matches Spark's exact percentile on random grouped data") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 5000).map { i =>
       (s"g${i % 3}", rnd.nextDouble() * 1000.0)
     }
     val df = rows.toDF("g", "v").repartition(8)
-    assert(viaOperator(df) === viaBuiltin(df))
+    val got = viaOperator(df).map(r => r._1 -> r).toMap
+    val expected = viaBuiltin(df).map(r => r._1 -> r).toMap
+    assert(got.keySet === expected.keySet)
+    for ((k, (_, p50, p90, n)) <- expected) {
+      val (_, g50, g90, gn) = got(k)
+      assert(gn === n)
+      assert(math.abs(g50 - p50) <= 1e-9 * math.abs(p50), s"p50 for $k")
+      assert(math.abs(g90 - p90) <= 1e-9 * math.abs(p90), s"p90 for $k")
+    }
   }
 
   test("handles single-value groups, duplicates, and p=0/1 endpoints") {
