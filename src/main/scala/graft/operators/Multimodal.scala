@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   *                             duration_ms long))
   * Decode / feature-extraction runs per-partition (one codec init per
   * partition, not per row — the same batching rationale as
-  * mapInPandas on the Python side). The actual codec is STUBBED here
-  * (`FakeCodec`): the container has no image/audio libraries, so the
-  * decode step is a deterministic fake keyed on the payload bytes;
-  * everything around it — schema, encoders, partition batching,
-  * column pruning — is real and tested.
+  * mapInPandas on the Python side). Image HEADER decode (`ImageCodec`:
+  * PNG/JPEG/GIF dimensions from the container bytes) is REAL —
+  * implemented against the container specs in pure JVM and verified
+  * by q41's oracle against planted dimensions. Pixel-level decode /
+  * resampling is STUBBED (`FakeCodec`): the container has no
+  * image/audio libraries, so those steps are a deterministic fake
+  * keyed on the payload bytes; everything around them — schema,
+  * encoders, partition batching, column pruning — is real and tested.
   */
 object Multimodal {
 
@@ -38,9 +41,60 @@ object Multimodal {
                    payload: Array[Byte], meta: Option[AssetMeta])
   case class AssetFeatures(asset_id: Long, modality: String,
                            byte_len: Long, content_hash: String,
+                           image_format: Option[String],
+                           width: Option[Int], height: Option[Int],
                            feature: Array[Float])
   case class AssetFrames(asset_id: Long, n_frames: Int,
                          resized_len: Int, frame_hashes: Seq[String])
+
+  /** REAL codec path: image container headers parsed byte-by-byte in
+    * pure JVM — no library needed, because PNG/JPEG/GIF all carry
+    * their pixel dimensions in fixed, documented header positions
+    * (PNG IHDR: bytes 16-23 big-endian; JPEG: the SOFn segment; GIF:
+    * the logical screen descriptor, little-endian). This is the
+    * decode step that is NOT stubbed: `extractFeatures` runs it on
+    * every payload, and q41's oracle checks the recovered dimensions
+    * against planted values. */
+  object ImageCodec {
+    /** (format, width, height) from container magic + header, or None
+      * for non-image / truncated / corrupt payloads. Never throws —
+      * a malformed byte stream is data, not an error. */
+    def imageDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b == null) return None
+      def u8(i: Int): Int = b(i) & 0xFF
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      // PNG: 8-byte signature, then the IHDR chunk is REQUIRED first
+      // (RFC 2083 §4.1.1) — width/height at fixed offsets 16/20
+      if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+          b(3) == 'G' && u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A &&
+          u8(7) == 0x0A && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' &&
+          b(15) == 'R')
+        return Some(("png", be32(16), be32(20)))
+      // GIF87a/89a: logical screen descriptor, little-endian 16-bit
+      if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        return Some(("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+      // JPEG: SOI then a marker walk to the first frame header (SOFn,
+      // n != 4/8/12 which are huffman/arithmetic tables): dimensions
+      // sit at fixed offsets inside that segment (ITU T.81 §B.2.2)
+      if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+        var p = 2
+        while (p + 9 <= b.length) {
+          if (u8(p) != 0xFF) return None // desynced: not a marker
+          val m = u8(p + 1)
+          if (m == 0xFF) p += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) p += 2 // standalone
+          else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+            return Some(("jpeg", be16(p + 7), be16(p + 5)))
+          else if (m == 0xD9 || m == 0xDA) return None // EOI/scan data: no SOF seen
+          else p += 2 + be16(p + 2) // skip variable-length segment
+        }
+      }
+      None
+    }
+  }
 
   /** STUB codec: a real build links an image/audio library here
     * (none ships in this container). Every op is deterministic in the
@@ -106,11 +160,15 @@ object Multimodal {
         it.map { case (id, modality, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
           md.reset()
+          val dims = ImageCodec.imageDims(bytes)
           AssetFeatures(
             asset_id = id,
             modality = modality,
             byte_len = bytes.length.toLong,
             content_hash = md.digest(bytes).map("%02x".format(_)).mkString,
+            image_format = dims.map(_._1),
+            width = dims.map(_._2),
+            height = dims.map(_._3),
             feature = FakeCodec.features(bytes))
         }
       }

@@ -757,14 +757,58 @@ object Catalog {
       .select("c_custkey", "c_name", "c_mktsegment")
   }
 
-  // ---------------------------------------------------------------- multimodal feature extraction (rows-only)
-  val q41Features = noOracle("q41_multimodal_features",
-    "Per-partition decode + feature extraction over binary payloads (north star: multimodal; stubbed codec, rows-only check)") { (s, d) =>
-    Multimodal.extractFeatures(s,
-      Multimodal.assetsFromText(Tables.documents(s, d), "doc_id", "text"))
-      .toDF()
-      .select(col("asset_id"), col("byte_len"), col("content_hash"),
-        round(try_element_at(col("feature"), lit(1)).cast("double"), 4).as("f0"))
+  // ---------------------------------------------------------------- multimodal decode (oracled)
+  /** The per-partition decode path with a REAL codec under the
+    * oracle: every doc becomes a payload — a well-formed PNG header
+    * (even ids), a well-formed JPEG SOI+SOF0 (odd ids), or raw text
+    * bytes (every 7th id, the non-image fallback) — with pixel
+    * dimensions PLANTED from doc_id arithmetic. `extractFeatures`
+    * parses format/width/height back out of the bytes with
+    * `Multimodal.ImageCodec` (pure-JVM header parsing, no stub), and
+    * the oracle recomputes the planted values arithmetically: any
+    * parsing error (endianness, offset, marker walk) breaks the hash
+    * match. Payload construction itself is codegen'd binary concat —
+    * unhex/lpad/hex — so the corpus is built scan-side at scale. */
+  val q41Features = q("q41_multimodal_features",
+    "Per-partition image-header decode (real PNG/JPEG codec) over planted payloads (north star: multimodal)",
+    """SELECT doc_id AS asset_id,
+      |       CASE WHEN doc_id % 7 = 0 THEN 'text' ELSE 'image' END AS modality,
+      |       CASE WHEN doc_id % 7 = 0 THEN octet_length(encode(text))
+      |            WHEN doc_id % 2 = 0 THEN CAST(29 AS BIGINT)
+      |            ELSE CAST(15 AS BIGINT) END AS byte_len,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS image_format,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST(16 + doc_id % 1024 AS INTEGER) END AS width,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST(16 + (doc_id * 7) % 768 AS INTEGER) END AS height
+      |FROM documents""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val wPix = (lit(16) + pmod(col("doc_id"), lit(1024))).cast("int")
+    val hPix = (lit(16) + pmod(col("doc_id") * 7, lit(768))).cast("int")
+    // PNG signature + IHDR(len=13) + planted 32-bit BE dims + tail
+    // (bit depth 8, color 6, no compression/filter/interlace) = 29 B
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      unhex(lpad(hex(wPix), 8, "0")), unhex(lpad(hex(hPix), 8, "0")),
+      unhex(lit("0806000000")))
+    // JPEG SOI + SOF0(len=11): precision 8, planted 16-bit BE
+    // height/width, 1 component (id 1, 1x1 sampling, qtable 0) = 15 B
+    val jpeg = concat(
+      unhex(lit("FFD8FFC0000B08")),
+      unhex(lpad(hex(hPix), 4, "0")), unhex(lpad(hex(wPix), 4, "0")),
+      unhex(lit("01011100")))
+    val sevMod = pmod(col("doc_id"), lit(7))
+    val assets = docs.select(
+      col("doc_id").as("asset_id"),
+      when(sevMod === 0, lit("text")).otherwise(lit("image")).as("modality"),
+      when(sevMod === 0, col("text").cast("binary"))
+        .when(pmod(col("doc_id"), lit(2)) === 0, png)
+        .otherwise(jpeg).as("payload"),
+      lit(null).cast(Multimodal.assetSchema("meta").dataType).as("meta"))
+    Multimodal.extractFeatures(s, assets).toDF()
+      .select(col("asset_id"), col("modality"), col("byte_len"),
+        col("image_format"), col("width"), col("height"))
   }
 
   // ---------------------------------------------------------------- dedup clusters

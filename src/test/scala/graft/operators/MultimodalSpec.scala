@@ -48,6 +48,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.forall(r => r.frame_hashes.length == r.n_frames))
   }
 
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("ImageCodec parses PNG/GIF dimensions from container headers") {
+    // PNG 640x480: signature + IHDR with BE dims
+    val png = hexBytes(
+      "89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0806000000")
+    assert(Multimodal.ImageCodec.imageDims(png) === Some(("png", 640, 480)))
+    // GIF89a 320x200: LE dims in the logical screen descriptor
+    val gif = "GIF89a".getBytes("ASCII") ++ hexBytes("4001 C800 F70000")
+    assert(Multimodal.ImageCodec.imageDims(gif) === Some(("gif", 320, 200)))
+  }
+
+  test("ImageCodec walks JPEG markers past APP/quant segments to SOF") {
+    // SOI + APP0(len 16) + DQT(len 4) + SOF0 with 100x50 dims
+    val jpeg = hexBytes(
+      "FFD8" + "FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+        "FFDB 0004 0000" + "FFC0 000B 08 0032 0064 01 011100")
+    assert(Multimodal.ImageCodec.imageDims(jpeg) === Some(("jpeg", 100, 50)))
+  }
+
+  test("ImageCodec returns None for non-image, truncated, and scan-only payloads") {
+    assert(Multimodal.ImageCodec.imageDims(null).isEmpty)
+    assert(Multimodal.ImageCodec.imageDims("plain text".getBytes).isEmpty)
+    // PNG signature but truncated before IHDR dims
+    assert(Multimodal.ImageCodec.imageDims(
+      hexBytes("89504E470D0A1A0A 0000000D 4948")).isEmpty)
+    // JPEG that hits start-of-scan without any SOF
+    assert(Multimodal.ImageCodec.imageDims(
+      hexBytes("FFD8 FFDA 0002 0000")).isEmpty)
+  }
+
+  test("extractFeatures surfaces parsed dims; text payloads stay None") {
+    val feats = Multimodal.extractFeatures(spark, assets).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.image_format.isEmpty &&
+      f.width.isEmpty && f.height.isEmpty))
+  }
+
   test("short payloads pass through resize untouched") {
     val tiny = Multimodal.assetsFromText(
       Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
