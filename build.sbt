@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench metric from the LAST ~2000 chars of output,
+// expecting a bare JSON line at the end. sbt's default LoggedOutput wraps
+// the forked child's stdout as "[info] {...}" and then prints its own
+// "[success] Total time: ..." after it — both defeat the parse (BENCH_r01-r04
+// all came back "parsed": null). StdoutOutput passes the child's streams
+// through unprefixed; showSuccess := false drops the trailing success line,
+// leaving the metric JSON as the true final line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
