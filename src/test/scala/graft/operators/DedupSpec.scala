@@ -108,6 +108,32 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Array(11L, 13L))
   }
 
+  // Pins q22's 4×16-bit pigeonhole banding against brute-force ground
+  // truth on the real sf0.01 corpus. Unlike MinHash (probabilistic
+  // recall), SimHash banding is DETERMINISTIC for maxHamming = 3: at
+  // most 3 differing bits can touch at most 3 of the 4 bands, so every
+  // true pair shares at least one intact band and recall is exactly
+  // 100%; and since simHashPairs re-filters candidates on the true
+  // 64-bit Hamming distance, precision is exact too. The spec therefore
+  // asserts full set equality with the all-pairs form — it fails if the
+  // band slicing (shift/mask offsets), bucket collapse, pair
+  // generation, or the Hamming filter regresses in either direction.
+  // (maxBucket = 5000 cannot drop anything here: no bucket can exceed
+  // the sf0.01 doc count.)
+  test("simHashPairs ≡ brute-force 64-bit Hamming pairs on sf0.01 (pigeonhole recall 100%)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val sigs = docs.select(col("doc_id").as("id"), Dedup.simHash(col("text")).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val banded = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size > 1000, s"ground truth unexpectedly small: ${brute.size}")
+    assert(banded === brute,
+      s"banded ${banded.size} pairs vs brute ${brute.size}: " +
+        s"missed=${(brute -- banded).take(5)} spurious=${(banded -- brute).take(5)}")
+  }
+
   // Bounds the q42 banding configuration (32 bands × 2 rows, k=1
   // shingles, blockCol=source) against exact token-Jaccard ground
   // truth on the real sf0.01 corpus: a true pair at similarity s is
