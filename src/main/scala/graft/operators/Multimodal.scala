@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   *                             duration_ms long))
   * Decode / feature-extraction runs per-partition (one codec init per
   * partition, not per row — the same batching rationale as
-  * mapInPandas on the Python side). Image HEADER decode (`ImageCodec`:
-  * PNG/JPEG/GIF dimensions from the container bytes) is REAL —
-  * implemented against the container specs in pure JVM and verified
-  * by q41's oracle against planted dimensions. Pixel-level decode /
-  * resampling is STUBBED (`FakeCodec`): the container has no
+  * mapInPandas on the Python side). HEADER decode is REAL for both
+  * modalities — `ImageCodec` (PNG/JPEG/GIF dimensions) and
+  * `AudioCodec` (WAV sample rate / channels / bit depth / duration
+  * from the RIFF chunk walk), implemented against the container
+  * specs in pure JVM and verified by q41/q87's oracles against
+  * planted values. Only pixel/frame-level decode and resampling are
+  * STUBBED (`FakeCodec`): the container has no
   * image/audio libraries, so those steps are a deterministic fake
   * keyed on the payload bytes; everything around them — schema,
   * encoders, partition batching, column pruning — is real and tested.
@@ -46,6 +48,13 @@ object Multimodal {
                            feature: Array[Float])
   case class AssetFrames(asset_id: Long, n_frames: Int,
                          resized_len: Int, frame_hashes: Seq[String])
+  case class AssetAudioMeta(asset_id: Long, modality: String,
+                            byte_len: Long,
+                            audio_format: Option[String],
+                            sample_rate: Option[Int],
+                            channels: Option[Int],
+                            bits_per_sample: Option[Int],
+                            duration_ms: Option[Long])
 
   /** REAL codec path: image container headers parsed byte-by-byte in
     * pure JVM — no library needed, because PNG/JPEG/GIF all carry
@@ -94,6 +103,82 @@ object Multimodal {
       }
       None
     }
+  }
+
+  /** REAL audio codec path: WAV (RIFF) container headers parsed in
+    * pure JVM — like `ImageCodec`, no library needed, because the
+    * RIFF container (RIFF1991 / WAVE spec) puts everything a metadata
+    * probe wants in the `fmt ` chunk (PCM format tag, channel count,
+    * sample rate, byte rate, bits per sample; all little-endian) and
+    * the `data` chunk header declares the payload size, from which
+    * duration follows as dataSize·1000/byteRate. */
+  object AudioCodec {
+    /** (sample_rate, channels, bits_per_sample, duration_ms) from the
+      * RIFF/WAVE chunk walk, or None for non-WAV / truncated /
+      * corrupt payloads. Never throws — malformed bytes are data, not
+      * an error. The declared `data` chunk size is trusted even when
+      * the payload is truncated after the header: a metadata probe
+      * over a byte-range read sees exactly that shape at scale. */
+    def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (b == null || b.length < 12) return None
+      def u8(i: Int): Int = b(i) & 0xFF
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+        return None
+      var p = 12
+      var sampleRate, channels, bits = 0
+      var byteRate = 0L
+      var dataSize = -1L
+      var fmtSeen = false
+      while (p + 8 <= b.length && (!fmtSeen || dataSize < 0)) {
+        val size = le32(p + 4)
+        if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+          if (size < 16 || p + 8 + 16 > b.length) return None // fmt must carry the PCM block
+          channels = le16(p + 10)
+          sampleRate = le32(p + 12).toInt
+          byteRate = le32(p + 16)
+          bits = le16(p + 22)
+          fmtSeen = true
+        } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a') {
+          dataSize = size
+        }
+        // chunks are word-aligned: odd sizes carry a pad byte (RIFF spec)
+        p += 8 + (size + (size & 1L)).min(Int.MaxValue).toInt
+        if (p < 0) return None // chunk-size overflow: corrupt
+      }
+      if (fmtSeen && dataSize >= 0 && byteRate > 0 && sampleRate > 0)
+        Some((sampleRate, channels, bits, dataSize * 1000L / byteRate))
+      else None
+    }
+  }
+
+  /** Per-partition WAV-header decode over audio-shaped payloads — the
+    * audio twin of `extractFeatures`'s image path, REAL end-to-end
+    * (no stub): `AudioCodec.wavMeta` recovers sample rate / channels /
+    * bit depth / duration from the container bytes; non-WAV payloads
+    * surface as nulls, never errors. */
+  def extractAudioMeta(spark: SparkSession, assets: DataFrame): Dataset[AssetAudioMeta] = {
+    import spark.implicits._
+    assets.select("asset_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          val meta = AudioCodec.wavMeta(bytes)
+          AssetAudioMeta(
+            asset_id = id,
+            modality = modality,
+            byte_len = bytes.length.toLong,
+            audio_format = meta.map(_ => "wav"),
+            sample_rate = meta.map(_._1),
+            channels = meta.map(_._2),
+            bits_per_sample = meta.map(_._3),
+            duration_ms = meta.map(_._4))
+        }
+      }
   }
 
   /** STUB codec: a real build links an image/audio library here

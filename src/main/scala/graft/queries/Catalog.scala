@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -2109,6 +2109,63 @@ object Catalog {
       "vec_id", "embedding", threshold = 0.99)
   }
 
+  // ---------------------------------------------------------------- multimodal audio decode (oracled)
+  /** The audio twin of q41: every doc becomes either a well-formed
+    * 44-byte WAV header (RIFF + fmt + data chunk declaration, no
+    * sample bytes — the byte-range-probe shape) with sample rate /
+    * channels / sample count PLANTED from doc_id arithmetic, or raw
+    * text bytes (every 7th id, the non-audio fallback).
+    * `Multimodal.AudioCodec.wavMeta` parses the RIFF chunk walk back
+    * out in pure JVM, and the oracle recomputes the planted values —
+    * any endianness/offset/chunk-walk error, or a wrong
+    * duration = dataSize·1000/byteRate floor division, breaks the
+    * hash match. Payload construction is codegen'd binary concat
+    * (unhex/lpad/hex), so the corpus is built scan-side at scale. */
+  val q87WavMeta = q("q87_wav_meta",
+    "Per-partition WAV-header decode (real RIFF codec) over planted payloads (north star: multimodal audio)",
+    """SELECT doc_id AS asset_id,
+      |       CASE WHEN doc_id % 7 = 0 THEN 'text' ELSE 'audio' END AS modality,
+      |       CASE WHEN doc_id % 7 = 0 THEN octet_length(encode(text))
+      |            ELSE CAST(44 AS BIGINT) END AS byte_len,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'wav' END AS audio_format,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST(8000 + (doc_id % 8) * 4000 AS INTEGER) END AS sample_rate,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST(16 AS INTEGER) END AS bits_per_sample,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST(((1000 + (doc_id * 37) % 50000) * 1000)
+      |                      // (8000 + (doc_id % 8) * 4000) AS BIGINT) END AS duration_ms
+      |FROM documents""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // little-endian byte encoding via codegen'd hex round-trip
+    def le(v: Column, nBytes: Int): Column = concat((0 until nBytes).map(i =>
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
+    val sr = (lit(8000L) + pmod(col("doc_id"), lit(8)) * 4000L)
+    val ch = (lit(1L) + pmod(col("doc_id"), lit(2)))
+    val nSamples = (lit(1000L) + pmod(col("doc_id") * 37L, lit(50000L)))
+    val blockAlign = ch * 2L
+    val byteRate = sr * blockAlign
+    val dataSize = nSamples * blockAlign
+    val wav = concat(
+      unhex(lit("52494646")),                 // "RIFF"
+      le(lit(36L) + dataSize, 4),             // RIFF chunk size
+      unhex(lit("57415645666D7420")),         // "WAVE" + "fmt "
+      le(lit(16L), 4),                        // fmt chunk size (PCM block)
+      le(lit(1L), 2),                         // audio format 1 = PCM
+      le(ch, 2), le(sr, 4), le(byteRate, 4), le(blockAlign, 2),
+      le(lit(16L), 2),                        // bits per sample
+      unhex(lit("64617461")),                 // "data"
+      le(dataSize, 4))                        // declared sample bytes (none follow)
+    val sevMod = pmod(col("doc_id"), lit(7))
+    val assets = docs.select(
+      col("doc_id").as("asset_id"),
+      when(sevMod === 0, lit("text")).otherwise(lit("audio")).as("modality"),
+      when(sevMod === 0, col("text").cast("binary")).otherwise(wav).as("payload"))
+    Multimodal.extractAudioMeta(s, assets).toDF()
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2129,5 +2186,5 @@ object Catalog {
     q74WindowDistinct, q75EditDistance, q76ZscoreOutliers, q77Histogram,
     q78Containment, q79GroupSample, q80Winsorize, q81QualityChecks,
     q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
-    q85DeferredByCustomer, q86RecognizedQuarter)
+    q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta)
 }

@@ -95,4 +95,58 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r.resized_len === 3)
     assert(r.n_frames === 1)
   }
+
+  // 8 kHz mono 16-bit PCM declaring 16000 sample bytes → 1000 ms
+  private val wavMono8k = hexBytes(
+    "52494646 A43E0000 57415645" +        // RIFF(36+16000) WAVE
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 803E0000")                // data(16000), no sample bytes
+
+  test("AudioCodec parses the WAV fmt/data chunks (LE fields, floor-div duration)") {
+    assert(Multimodal.AudioCodec.wavMeta(wavMono8k) === Some((8000, 1, 16, 1000L)))
+    // 44100 Hz stereo: byteRate 176400, 44100 data bytes → 250 ms
+    val stereo = hexBytes(
+      "52494646 00000000 57415645" +
+        "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
+        "64617461 44AC0000")
+    assert(Multimodal.AudioCodec.wavMeta(stereo) === Some((44100, 2, 16, 250L)))
+  }
+
+  test("AudioCodec walks past odd-sized non-fmt chunks (word-aligned pad byte)") {
+    // LIST chunk of declared size 5 → occupies 6 bytes before fmt
+    val withList = hexBytes(
+      "52494646 00000000 57415645" +
+        "4C495354 05000000 494E464F 41 00" + // "LIST"(5): INFO A + pad
+        "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+        "64617461 803E0000")
+    assert(Multimodal.AudioCodec.wavMeta(withList) === Some((8000, 1, 16, 1000L)))
+  }
+
+  test("AudioCodec returns None for non-WAV, truncated, and fmt-less payloads") {
+    assert(Multimodal.AudioCodec.wavMeta(null).isEmpty)
+    assert(Multimodal.AudioCodec.wavMeta("plain text bytes".getBytes).isEmpty)
+    // RIFF/WAVE magic but truncated before any chunk completes
+    assert(Multimodal.AudioCodec.wavMeta(
+      hexBytes("52494646 00000000 57415645 666D7420")).isEmpty)
+    // data chunk but no fmt → no byteRate to derive duration from
+    assert(Multimodal.AudioCodec.wavMeta(
+      hexBytes("52494646 00000000 57415645 64617461 04000000 00000000")).isEmpty)
+  }
+
+  test("extractAudioMeta: WAV payloads decode, non-audio rows surface nulls") {
+    val rows = Seq(
+      (1L, "audio", wavMono8k),
+      (2L, "text", "not a riff container".getBytes)
+    ).toDF("asset_id", "modality", "payload")
+    val out = Multimodal.extractAudioMeta(spark, rows).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(out(1L).audio_format === Some("wav"))
+    assert(out(1L).sample_rate === Some(8000))
+    assert(out(1L).channels === Some(1))
+    assert(out(1L).bits_per_sample === Some(16))
+    assert(out(1L).duration_ms === Some(1000L))
+    assert(out(1L).byte_len === wavMono8k.length.toLong)
+    assert(out(2L).audio_format.isEmpty && out(2L).sample_rate.isEmpty &&
+      out(2L).duration_ms.isEmpty)
+  }
 }
