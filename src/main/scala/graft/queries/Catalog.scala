@@ -1918,6 +1918,13 @@ object Catalog {
     * row whose unrounded z differs between engines ACROSS a 0.00005
     * rounding boundary that also straddles 2.0 — none exists in the
     * synthetic data (nearest z gap to the cut ≫ double agg drift). */
+  /** Known, accepted FP-boundary risk (same class as every rounded
+    * double in the catalog): membership is decided on round(z, 4), so
+    * a row whose unrounded z sits within the engines' aggregation-
+    * order drift (~1e-12 relative) of a 0.00005 rounding edge at
+    * |z| ≈ 2 could diverge. Moving to an epsilon-shifted unrounded
+    * threshold only relocates the boundary; with the deterministic
+    * driver corpus the current form is stable (green since r3). */
   val q76ZscoreOutliers = q("q76_zscore_outliers",
     "Z-score outliers per event type, |z| >= 2 on the rounded score (data-quality completeness)",
     """WITH stats AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -149,6 +150,53 @@ class PropertySpec extends SparkSpecBase {
         v <- Gen.option(Gen.choose(0.0, 10.0))
       } yield (k, t, v))
     } yield (left, right)
+
+  private val rollingGen: Gen[(List[(String, Int, String)], Int, Int)] = for {
+    n <- Gen.choose(1, 120)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      day <- Gen.choose(0, 9)
+      v <- Gen.choose(0, 5)
+    } yield (k, day, s"v$v"))
+    frame <- Gen.choose(1, 20)
+    extra <- Gen.choose(0, 20)
+  } yield (rows, frame, frame + extra)
+
+  /** The chunk/carry invariant behind q74, beyond the one oracle
+    * instance it exercises: for random keyed data with skewed day
+    * buckets and random frame/chunk sizes (chunks often smaller than
+    * a bucket, frames often spanning several chunks), the two-phase
+    * global sequence must equal a single-window row_number and the
+    * chunked rolling distinct must equal the naive unbounded-window
+    * form. Ordering is (day, id) with id unique — tie-free, as the
+    * operator's contract requires. */
+  test("property: sequenceByKey ≡ row_number and rollingDistinct ≡ naive window") {
+    forAllSeeded(rollingGen, 8) { case (rows, n, chunkSize) =>
+      val base = java.sql.Date.valueOf("2024-03-01")
+      val df = rows.zipWithIndex
+        .map { case ((k, day, v), i) => (k, day, i.toLong, v) }
+        .toDF("key", "day_off", "id", "v")
+        .select($"key", date_add(lit(base), $"day_off").as("d"), $"id", $"v")
+      val wNaive = Window.partitionBy("key").orderBy(col("d"), col("id"))
+      val expectedRn = df
+        .withColumn("rn", row_number().over(wNaive))
+        .select("key", "id", "rn").as[(String, Long, Int)].collect().toSet
+      val gotRn = Rolling.sequenceByKey(df, Seq("key"),
+        Seq(col("d"), col("id")), col("d"))
+        .select(col("key"), col("id"), col("rn").cast("int"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(gotRn === expectedRn, s"n=$n chunkSize=$chunkSize")
+      val expectedRoll = df
+        .withColumn("rd", size(collect_set(col("v"))
+          .over(wNaive.rowsBetween(-(n - 1), Window.currentRow))).cast("long"))
+        .select("key", "id", "rd").as[(String, Long, Long)].collect().toSet
+      val gotRoll = Rolling.rollingDistinct(df, Seq("key"),
+        Seq(col("d"), col("id")), col("d"), "v", n = n, chunkSize = chunkSize)
+        .select(col("key"), col("id"), col("rolling_distinct"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(gotRoll === expectedRoll, s"n=$n chunkSize=$chunkSize")
+    }
+  }
 
   test("property: asof join ≡ naive latest-right-at-or-before, nulls preserved") {
     forAllSeeded(asofGen, 8) { case (left, right) =>
