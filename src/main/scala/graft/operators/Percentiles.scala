@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -169,5 +170,66 @@ object Percentiles {
       .agg(aggCols.head, aggCols.tail: _*)
       .select(finalCols: _*)
       .join(broadcast(totalsDf), groupCols, "right")
+  }
+
+  /** The MANY-groups counterpart of [[interpolated]]: same semantics
+    * (SQL `quantile_cont` rank h = (n−1)·p, bracketing rows combined
+    * as lo + (hi−lo)·w — bit-identical to Spark's `percentile` and
+    * DuckDB), same output schema (groupCols ++ ps ++ n), different
+    * physical shape.
+    *
+    * Where [[interpolated]] range-sorts the whole table and collects
+    * O(partitions × groups) boundary counts to the driver — ideal for
+    * FEW groups × MANY rows, untenable when groups number 10⁵+ —
+    * this variant hash-partitions by group and ranks each group with
+    * a window: `row_number()` + partition `count()` over the SAME
+    * single exchange, a rank filter that keeps only the ≤ 2·|ps|
+    * bracketing rows per group, and a final aggregate that Catalyst
+    * places on the existing partitioning (no second shuffle). Nothing
+    * touches the driver; per-group sort parallelizes across groups.
+    *
+    * The trade: per-partition memory is the sum of its groups' rows
+    * during the window sort (spillable), and a single giant group
+    * lands on one task — the exact shape [[interpolated]] exists for.
+    * Pick by cardinality: few groups → interpolated, many → this.
+    */
+  def interpolatedManyGroups(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                             ps: Seq[(String, Double)]): DataFrame = {
+    require(groupCols.nonEmpty, "interpolatedManyGroups requires group columns " +
+      "(for the ungrouped case use interpolated — one group is the few-group shape)")
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      "percentile fractions must lie in [0,1]")
+    val gCols = groupCols.map(col)
+    val ranked = df
+      .select(gCols :+ col(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(gCols: _*).orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(gCols: _*)))
+    // h = (n−1)·p in double, identical op order to interpolated's
+    // driver-side `(n - 1) * p`, so both paths interpolate bit-equally
+    def h(n: Column, p: Double): Column = (n - 1).cast("double") * lit(p)
+    def loRank(n: Column, p: Double): Column = floor(h(n, p)) + 1
+    // ties in _v make row_number nondeterministic BETWEEN equal values,
+    // but any rank in a tie run carries the same _v — bracketing values
+    // are well-defined regardless of which duplicate gets which rank
+    val keep = ps.map { case (_, p) =>
+      col("_rn") === loRank(col("_n"), p) ||
+        col("_rn") === loRank(col("_n"), p) + 1
+    }.reduce(_ || _)
+    val aggCols = ps.flatMap { case (name, p) => Seq(
+      max(when(col("_rn") === loRank(col("_n"), p), col("_v"))).as(s"_lo_$name"),
+      max(when(col("_rn") === loRank(col("_n"), p) + 1, col("_v"))).as(s"_hi_$name"))
+    } :+ max(col("_n")).as("n")
+    val finalCols = gCols ++ ps.map { case (name, p) =>
+      val w = h(col("n"), p) - floor(h(col("n"), p)).cast("double")
+      (col(s"_lo_$name") +
+        (coalesce(col(s"_hi_$name"), col(s"_lo_$name")) - col(s"_lo_$name")) * w)
+        .as(name)
+    } :+ col("n")
+    ranked.filter(keep)
+      .groupBy(gCols: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(finalCols: _*)
   }
 }

@@ -2173,6 +2173,30 @@ object Catalog {
     Multimodal.extractAudioMeta(s, assets).toDF()
   }
 
+  // ---------------------------------------------------------------- many-group percentiles
+  /** q33's few-groups sibling: the same exact-interpolation contract
+    * over a HIGH-cardinality key (l_partkey — 2k groups at sf0.01,
+    * 20k at sf0.1, ~20M at SF100). `Percentiles.interpolatedManyGroups`
+    * hash-partitions by group and rank-filters inside one exchange —
+    * no driver-side offsets, no range sort — the shape that survives
+    * millions of groups where q33's collect(partitions×groups) cannot. */
+  val q88ManyGroupPercentile = q("q88_manygroup_percentile",
+    "Exact interpolated percentiles over a high-cardinality group key (many-groups path)",
+    """SELECT l_partkey,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_partkey""".stripMargin) { (s, d) =>
+    Percentiles.interpolatedManyGroups(Tables.lineitem(s, d),
+      Seq("l_partkey"), "l_extendedprice",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select(col("l_partkey"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"),
+        col("n"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2193,5 +2217,6 @@ object Catalog {
     q74WindowDistinct, q75EditDistance, q76ZscoreOutliers, q77Histogram,
     q78Containment, q79GroupSample, q80Winsorize, q81QualityChecks,
     q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
-    q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta)
+    q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
+    q88ManyGroupPercentile)
 }

@@ -81,4 +81,65 @@ class PercentilesSpec extends SparkSpecBase {
     assert(out === Set(
       ("x", 1, 15.0, 2L), ("x", 2, 30.0, 1L), ("y", 1, 40.0, 1L)))
   }
+
+  // ---- interpolatedManyGroups: the hash-partitioned high-cardinality path
+
+  test("manyGroups path is bit-equal to the range-sort path on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map(i => (s"g${i % 7}", rnd.nextDouble() * 1000.0))
+    val df = rows.toDF("g", "v").repartition(8)
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val few = Percentiles.interpolated(df, Seq("g"), "v", ps)
+      .as[(String, Double, Double, Double, Double, Long)].collect().toSet
+    val many = Percentiles.interpolatedManyGroups(df, Seq("g"), "v", ps)
+      .as[(String, Double, Double, Double, Double, Long)].collect().toSet
+    // both interpolate as lo + (hi−lo)·w over the same bracketing rows,
+    // so agreement is exact, not approximate
+    assert(many === few)
+  }
+
+  test("manyGroups handles 2×10⁴ groups, matching a naive per-group oracle") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 20000).flatMap { gid =>
+      (0 until 1 + rnd.nextInt(12)).map(_ => (gid, rnd.nextDouble() * 100.0))
+    }
+    val df = rows.toDF("g", "v").repartition(32)
+    val got = Percentiles.interpolatedManyGroups(df, Seq("g"), "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+      .as[(Int, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def naive(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val h = (s.size - 1) * p
+      val lo = s(math.floor(h).toInt)
+      val hi = s(math.min(math.ceil(h).toInt, s.size - 1))
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> (naive(vs.map(_._2), 0.5), naive(vs.map(_._2), 0.9), vs.size.toLong)
+    }
+    assert(got.size === expected.size)
+    for ((g, (e50, e90, en)) <- expected) {
+      val (_, g50, g90, gn) = got(g)
+      assert(gn === en, s"n for $g")
+      assert(g50 === e50, s"p50 for $g")
+      assert(g90 === e90, s"p90 for $g")
+    }
+  }
+
+  test("manyGroups edge cases: single-value, duplicates, endpoints, nulls") {
+    val df = Seq(
+      ("a", Some(5.0)),
+      ("b", Some(1.0)), ("b", Some(1.0)), ("b", Some(1.0)),
+      ("c", Some(1.0)), ("c", Some(2.0)), ("c", Some(3.0)), ("c", Some(4.0)),
+      ("d", None)
+    ).toDF("g", "v")
+    val out = Percentiles.interpolatedManyGroups(df, Seq("g"), "v",
+      Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0))
+      .as[(String, Double, Double, Double, Long)].collect().toSet
+    assert(out === Set(
+      ("a", 5.0, 5.0, 5.0, 1L),
+      ("b", 1.0, 1.0, 1.0, 3L),
+      ("c", 1.0, 2.5, 4.0, 4L)))
+  }
 }

@@ -198,6 +198,28 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  private val percentileGen: Gen[(List[(Int, Double)], List[Double])] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 8), Gen.choose(-500.0, 500.0)))
+    nps <- Gen.choose(1, 4)
+    ps <- Gen.listOfN(nps, Gen.choose(0.0, 1.0))
+  } yield (rows, ps)
+
+  /** The two percentile paths (range-sort + rank offsets vs hash-window
+    * rank filter) share one contract: identical output for any input.
+    * Both combine as lo + (hi−lo)·w, so equality is exact. */
+  test("property: interpolatedManyGroups ≡ interpolated for random data and fractions") {
+    forAllSeeded(percentileGen, 8) { case (rows, ps) =>
+      val df = rows.toDF("g", "v").repartition(4)
+      val named = ps.zipWithIndex.map { case (p, i) => s"p$i" -> p }
+      val few = Percentiles.interpolated(df, Seq("g"), "v", named)
+        .collect().map(_.toSeq).toSet
+      val many = Percentiles.interpolatedManyGroups(df, Seq("g"), "v", named)
+        .collect().map(_.toSeq).toSet
+      assert(many === few, s"ps=$named")
+    }
+  }
+
   test("property: asof join ≡ naive latest-right-at-or-before, nulls preserved") {
     forAllSeeded(asofGen, 8) { case (left, right) =>
       // dedupe right on (key, ts) — which row wins is unspecified otherwise
