@@ -195,4 +195,54 @@ class StreamingSpec extends SparkSpecBase {
       assert(out === Set((1L, ts("2024-01-01 10:05:00"))))
     } finally q.stop()
   }
+
+  /** SURVEY §2.10's central claim — the daily batch mart and a
+    * streaming-incremental run of the SAME transform converge to the
+    * same table — asserted on the real revenue chain, not a toy: raw
+    * invoice NDJSON → staged → line-item flatten → FX → proration →
+    * deferred mart, streamed in two activations whose batches OVERLAP
+    * (at-least-once redelivery: 50 invoices arrive twice), merged by
+    * the mart's (line_item_id, as_of_date) grain. */
+  test("streaming foreachBatch merge of the deferred mart ≡ the batch mart") {
+    import graft.pipeline.{Models, Schemas}
+    import scala.jdk.CollectionConverters._
+    val fixture = java.nio.file.Paths.get("fixtures/stripe_invoices.ndjson")
+    val src = Files.createTempDirectory("graft-mart-src").toString
+    val tgt = Files.createTempDirectory("graft-mart-tgt").toString + "/mart"
+    val ckp = Files.createTempDirectory("graft-mart-ckp").toString
+
+    val loadedAt = lit(null).cast("timestamp")
+    val fx = Models.exchangeRates(spark, java.time.LocalDate.of(2024, 8, 12))
+    // the one transform, applied identically to the stream and the batch;
+    // every op is per-row or stream-static (broadcast FX join, interval
+    // explode), so the chain streams as-is — no stateful operator needed
+    def mart(raw: org.apache.spark.sql.DataFrame) =
+      Models.deferredRevenue(
+        Models.invoiceLineItems(Models.staged(raw), loadedAt), fx, loadedAt)
+
+    val lines = Files.readAllLines(fixture).asScala.toVector
+    def deliver(name: String, ls: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(src, name), ls.asJava)
+    def drainOnce(): Unit = {
+      val stream = mart(Streaming.fileStream(spark, Schemas.invoiceSchema,
+          src, format = "json"))
+        .withColumn("as_of_month", trunc(col("as_of_date"), "month"))
+      Streaming.mergeSink(stream, spark, tgt,
+        Seq("line_item_id", "as_of_date"), ckp, "as_of_month")
+        .awaitTermination()
+    }
+    deliver("batch1.ndjson", lines.take(250)); drainOnce()
+    deliver("batch2.ndjson", lines.drop(200)); drainOnce()
+
+    val expected = mart(spark.read.schema(Schemas.invoiceSchema)
+      .json(fixture.toString))
+    val cols = expected.columns.toSeq
+    val got = spark.read.parquet(tgt).select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    val exp = expected.collect().map(_.toSeq).toSet
+    // doubles are bit-equal: stream and batch run the identical plan,
+    // so set equality is exact — the q46 frame, no tolerance
+    assert(got.size === exp.size)
+    assert(got === exp)
+  }
 }
