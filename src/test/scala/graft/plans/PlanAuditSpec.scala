@@ -105,4 +105,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(shuffles(plan) === 1, plan)
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("q88 many-group percentiles: window, filter, and agg share ONE exchange") {
+    val plan = planOf("q88_manygroup_percentile")
+    // the variant's reason to exist: rank (Window), bracket filter, and
+    // final aggregate all sit on the same hash partitioning — a second
+    // exchange would mean Catalyst stopped recognizing the co-partitioning
+    assert(shuffles(plan) === 1, plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
