@@ -2173,6 +2173,71 @@ object Catalog {
     Multimodal.extractAudioMeta(s, assets).toDF()
   }
 
+  // ---------------------------------------------------------------- multimodal: video metadata
+  /** The third modality's q41/q87: minimal-but-valid MP4 payloads
+    * (ftyp + moov[mvhd + trak[tkhd]], ISO/IEC 14496-12 box layout)
+    * planted scan-side with per-row timescale/duration/dimensions;
+    * `Multimodal.VideoCodec.mp4Meta` walks the box tree back out in
+    * pure JVM and the oracle recomputes the planted values — any
+    * box-size accounting, version-offset, or 16.16 fixed-point error,
+    * or a wrong duration = dur·1000/timescale floor division, breaks
+    * the hash match. */
+  val q89Mp4Meta = q("q89_mp4_meta",
+    "Per-partition MP4 box-walk decode (real ISO-BMFF codec) over planted payloads (north star: multimodal video)",
+    """SELECT doc_id AS asset_id,
+      |       CASE WHEN doc_id % 7 = 0 THEN 'text' ELSE 'video' END AS modality,
+      |       CASE WHEN doc_id % 7 = 0 THEN octet_length(encode(text))
+      |            ELSE CAST(232 AS BIGINT) END AS byte_len,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'mp4' END AS video_format,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST((500 + (doc_id * 53) % 100000) * 1000
+      |                      // (1000 * (1 + doc_id % 3)) AS BIGINT) END AS duration_ms,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST(160 * (1 + doc_id % 8) AS INTEGER) END AS width,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST(90 * (1 + doc_id % 8) AS INTEGER) END AS height
+      |FROM documents""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // big-endian byte encoding via codegen'd hex round-trip (the BE
+    // twin of q87's `le`)
+    def be(v: Column, nBytes: Int): Column = concat((nBytes - 1 to 0 by -1).map(i =>
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
+    val ts = lit(1000L) * (lit(1L) + pmod(col("doc_id"), lit(3)))
+    val dur = lit(500L) + pmod(col("doc_id") * 53L, lit(100000L))
+    val w = lit(160L) * (lit(1L) + pmod(col("doc_id"), lit(8)))
+    val h = lit(90L) * (lit(1L) + pmod(col("doc_id"), lit(8)))
+    val unityMatrix = "000100000000000000000000" +
+      "000000000001000000000000" + "000000000000000040000000"
+    val mvhd = concat(
+      be(lit(108L), 4), unhex(lit("6D766864")),      // size + "mvhd"
+      unhex(lit("00000000")),                         // version 0 + flags
+      be(lit(0L), 4), be(lit(0L), 4),                 // creation/modification
+      be(ts, 4), be(dur, 4),                          // timescale + duration
+      unhex(lit("00010000")), unhex(lit("0100")),     // rate 1.0, volume 1.0
+      unhex(lit(("00" * 10) + unityMatrix + ("00" * 24))), // reserved+matrix+predefined
+      be(lit(2L), 4))                                 // next_track_ID
+    val tkhd = concat(
+      be(lit(92L), 4), unhex(lit("746B6864")),        // size + "tkhd"
+      unhex(lit("00000007")),                         // version 0 + enabled flags
+      be(lit(0L), 4), be(lit(0L), 4),                 // creation/modification
+      be(lit(1L), 4), be(lit(0L), 4),                 // track_ID + reserved
+      be(dur, 4),                                     // duration
+      unhex(lit(("00" * 16) + unityMatrix)),          // reserved(8)+layer+alt+vol+reserved+matrix
+      be(shiftleft(w, 16), 4), be(shiftleft(h, 16), 4)) // 16.16 fixed dims
+    val mp4 = concat(
+      unhex(lit("000000106674797069736F6D00000000")), // 16-byte ftyp "isom"
+      be(lit(216L), 4), unhex(lit("6D6F6F76")),       // moov = 8 + 108 + 100
+      mvhd,
+      be(lit(100L), 4), unhex(lit("7472616B")),       // trak = 8 + 92
+      tkhd)
+    val sevMod = pmod(col("doc_id"), lit(7))
+    val assets = docs.select(
+      col("doc_id").as("asset_id"),
+      when(sevMod === 0, lit("text")).otherwise(lit("video")).as("modality"),
+      when(sevMod === 0, col("text").cast("binary")).otherwise(mp4).as("payload"))
+    Multimodal.extractVideoMeta(s, assets).toDF()
+  }
+
   // ---------------------------------------------------------------- many-group percentiles
   /** q33's few-groups sibling: the same exact-interpolation contract
     * over a HIGH-cardinality key (l_partkey — 2k groups at sf0.01,
@@ -2218,5 +2283,5 @@ object Catalog {
     q78Containment, q79GroupSample, q80Winsorize, q81QualityChecks,
     q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
-    q88ManyGroupPercentile)
+    q88ManyGroupPercentile, q89Mp4Meta)
 }

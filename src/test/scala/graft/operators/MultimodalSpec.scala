@@ -149,4 +149,76 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(2L).audio_format.isEmpty && out(2L).sample_rate.isEmpty &&
       out(2L).duration_ms.isEmpty)
   }
+
+  // --- VideoCodec (MP4 / ISO-BMFF) ---
+
+  /** Minimal valid MP4: ftyp + moov[mvhd(v0) + trak[tkhd(v0)]].
+    * timescale 1000, duration 2500 → 2500 ms; 320×240. */
+  private val mp4v0 = hexBytes(
+    "00000010 66747970 69736F6D 00000000" + // ftyp "isom"
+      "000000D8 6D6F6F76" +                 // moov (216)
+      "0000006C 6D766864 00000000 00000000 00000000" + // mvhd v0
+      "000003E8 000009C4" +                 // timescale 1000, duration 2500
+      "00010000 0100" + "00" * 10 +         // rate, volume, reserved
+      "00010000 00000000 00000000 00000000 00010000 00000000" +
+      "00000000 00000000 40000000" +        // unity matrix
+      "00" * 24 + "00000002" +              // predefined + next_track_ID
+      "00000064 7472616B" +                 // trak (100)
+      "0000005C 746B6864 00000007 00000000 00000000" + // tkhd v0
+      "00000001 00000000 000009C4" +        // track 1, reserved, duration
+      "00" * 16 +                           // reserved+layer+alt+vol+reserved
+      "00010000 00000000 00000000 00000000 00010000 00000000" +
+      "00000000 00000000 40000000" +        // unity matrix
+      "01400000 00F00000")                  // 320.0 x 240.0 as 16.16
+
+  test("VideoCodec walks ftyp/moov/mvhd/tkhd and derives duration + 16.16 dims") {
+    assert(Multimodal.VideoCodec.mp4Meta(mp4v0) === Some((2500L, 320, 240)))
+  }
+
+  test("VideoCodec handles v1 mvhd (64-bit duration) and skips audio tkhd (0x0)") {
+    // moov[mvhd(v1: ts 600, dur 1234567) + trak[tkhd audio 0x0] + trak[tkhd 64x32]]
+    val mvhdV1 =
+      "00000078 6D766864 01000000" +                 // mvhd v1 (120 bytes)
+        "0000000000000000 0000000000000000" +        // creation/mod (64-bit)
+        "00000258 000000000012D687" +                // ts 600, dur 1234567 (64-bit)
+        "00010000 0100" + "00" * 10 + "00" * 36 + "00" * 24 + "00000002"
+    def tkhdV0(wh: String) =
+      "0000005C 746B6864 00000007 00000000 00000000" +
+        "00000001 00000000 00000000" + "00" * 16 + "00" * 36 + wh
+    val moovBody = mvhdV1 +
+      "00000064 7472616B" + tkhdV0("00000000 00000000") + // audio track: 0x0
+      "00000064 7472616B" + tkhdV0("00400000 00200000")   // video: 64x32
+    val bytes = hexBytes(
+      "00000010 66747970 69736F6D 00000000" +
+        "00000148 6D6F6F76" + moovBody)                   // moov = 8+120+100+100 = 328
+    // 1234567 * 1000 / 600 = 2057611 (floor)
+    assert(Multimodal.VideoCodec.mp4Meta(bytes) === Some((2057611L, 64, 32)))
+  }
+
+  test("VideoCodec returns None for non-MP4, truncated, and corrupt-size payloads") {
+    assert(Multimodal.VideoCodec.mp4Meta(null).isEmpty)
+    assert(Multimodal.VideoCodec.mp4Meta("just some text bytes".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.mp4Meta(wavMono8k).isEmpty) // wrong container
+    // valid ftyp but moov truncated mid-mvhd
+    assert(Multimodal.VideoCodec.mp4Meta(mp4v0.take(40)).isEmpty)
+    // a child box whose declared size escapes its parent: walk stops clean
+    val corrupt = mp4v0.clone()
+    corrupt(16 + 8) = 0x7F.toByte // mvhd size hi-byte → escapes moov
+    assert(Multimodal.VideoCodec.mp4Meta(corrupt).isEmpty)
+  }
+
+  test("extractVideoMeta: MP4 payloads decode, non-video rows surface nulls") {
+    val rows = Seq(
+      (1L, "video", mp4v0),
+      (2L, "text", "not an iso-bmff container".getBytes)
+    ).toDF("asset_id", "modality", "payload")
+    val out = Multimodal.extractVideoMeta(spark, rows).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(out(1L).video_format === Some("mp4"))
+    assert(out(1L).duration_ms === Some(2500L))
+    assert(out(1L).width === Some(320))
+    assert(out(1L).height === Some(240))
+    assert(out(1L).byte_len === mp4v0.length.toLong)
+    assert(out(2L).video_format.isEmpty && out(2L).duration_ms.isEmpty)
+  }
 }
