@@ -402,6 +402,39 @@ object Sketches {
     Bridge.column(TokenCounts(Bridge.expression(c)))
   def srp_signature(c: Column): Column =
     Bridge.column(SrpSignature(Bridge.expression(c)))
+
+  // Spark's own runtime-filter bloom expressions (the machinery behind
+  // spark.sql.optimizer.runtimeFilter.bloomFilter.enabled), exposed as
+  // column functions so operators can build/probe filters EXPLICITLY —
+  // the optimizer only injects them into equi-join shapes it recognizes,
+  // and an incremental-dedup prefilter is not one of them. Values are
+  // keyed by xxhash64 (seed 42), matching InjectRuntimeFilter; a 64-bit
+  // hash collision can only produce a false POSITIVE, which the exact
+  // verification path absorbs.
+
+  /** Aggregate: serialized bloom filter (binary) over xxhash64(c).
+    * numBits per the standard sizing m = n·ln(1/p)/ln²2. */
+  def bloom_agg(c: Column, expectedItems: Long, fpp: Double): Column = {
+    require(expectedItems > 0 && fpp > 0.0 && fpp < 1.0,
+      "bloom_agg needs expectedItems > 0 and fpp in (0,1)")
+    val numBits = math.ceil(
+      expectedItems * math.log(1.0 / fpp) / (math.log(2.0) * math.log(2.0))).toLong
+    Bridge.column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(Bridge.expression(c))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Probe: might xxhash64(c) be in the serialized filter? False ⇒
+    * definitely absent; true ⇒ verify exactly. */
+  def bloom_might_contain(bloom: Column, c: Column): Column =
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      Bridge.expression(bloom),
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(Bridge.expression(c)))))
 }
 
 /** MinHash signature of an array<string> of shingles → array<bigint>. */

@@ -62,6 +62,56 @@ object Dedup {
         Seq("fingerprint"), "left_anti")
   }
 
+  /** Bloom-prefiltered incremental exact dedup — identical result to
+    * [[incrementalExactDedup]], different 100 TB shape. The plain
+    * form's anti join shuffles BOTH sides on fingerprint: the new
+    * batch (small) and the corpus index (at scale, billions of rows —
+    * the dominant cost, repaid in full every daily batch). Here the
+    * corpus index is folded ONCE into a broadcast bloom filter (one
+    * map-side-combined aggregate; only the ~n·ln(1/p)/ln²2-bit filter
+    * crosses the wire), the batch probes it at scan speed, and rows
+    * the filter rejects are DEFINITIVELY new — they skip the join
+    * entirely. Only the "maybe" rows (true dups + the fpp share of
+    * false positives) reach the exact anti join, so the corpus-side
+    * shuffle still happens but the batch side shrinks to the dup
+    * rate, and with AQE the join often degrades gracefully further.
+    * Exactness is preserved by construction: the bloom can only err
+    * toward sending a row to the verifying join, never toward
+    * dropping one.
+    *
+    * This is Spark's own runtime-filter machinery applied where the
+    * optimizer can't see it (`InjectRuntimeFilter` only rewrites
+    * equi-join shapes, not anti-join-as-dedup pipelines).
+    *
+    * @param expectedItems corpus index cardinality (at scale: the
+    *                      stored table's row-count stat, not a count())
+    * @param fpp           target false-positive rate; sizes the filter
+    */
+  def bloomIncrementalExactDedup(newDocs: DataFrame, textCol: String, idCol: String,
+                                 existingFingerprints: DataFrame,
+                                 expectedItems: Long,
+                                 fpp: Double = 0.01): DataFrame = {
+    import graft.functions.Sketches
+    import org.apache.spark.sql.graftbridge.Bridge
+    // might_contain requires its filter operand to be a constant or a
+    // scalar subquery (a joined column fails analysis) — the same
+    // attachment InjectRuntimeFilter uses; ReuseSubquery executes the
+    // build once even though both branches below reference it
+    val bloomCol = Bridge.scalarSubquery(existingFingerprints
+      .agg(Sketches.bloom_agg(col("fingerprint"), expectedItems, fpp).as("_bloom")))
+    val withFp = newDocs.withColumn("fingerprint",
+      TextFunctions.fingerprint(col(textCol)))
+    val probed = exactDedup(withFp, col("fingerprint"), col(idCol))
+    val mightHit = Sketches.bloom_might_contain(bloomCol, col("fingerprint"))
+    // two branches over one subtree: the dedup window's exchange is
+    // physically reused, so the batch is scanned, not recomputed
+    val definitelyNew = probed.filter(!mightHit)
+    val verified = probed.filter(mightHit)
+      .join(existingFingerprints.select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+    definitelyNew.unionByName(verified)
+  }
+
   /** Distinct word k-shingles of the token stream — the MinHash input
     * unit. Documents shorter than k tokens yield their whole token
     * stream as a single shingle.

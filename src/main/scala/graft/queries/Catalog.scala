@@ -1045,6 +1045,38 @@ object Catalog {
       .select("doc_id", "source", "fingerprint")
   }
 
+  // ---------------------------------------------------------------- bloom-prefiltered dedup
+  /** q64's 100 TB sibling: same incremental-dedup semantics, but the
+    * corpus index is folded into a broadcast bloom filter and only
+    * the filter's "maybe" rows reach the exact anti join — batch rows
+    * the bloom rejects skip the shuffle entirely. The bloom can only
+    * err toward extra verification, so the oracle is the SAME exact
+    * anti-join SQL: the prefilter must be output-invisible. */
+  val q90BloomDedup = q("q90_bloom_dedup",
+    "Incremental exact dedup behind a broadcast bloom prefilter (north star: dedup at scale)",
+    """WITH fp AS (
+      |  SELECT doc_id, source,
+      |         md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint
+      |  FROM documents),
+      |batch AS (
+      |  SELECT * FROM fp WHERE doc_id % 5 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1)
+      |SELECT b.doc_id, b.source, b.fingerprint
+      |FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM fp e
+      |                  WHERE e.doc_id % 5 <> 0 AND e.fingerprint = b.fingerprint)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val newBatch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("doc_id", "source", "text")
+    val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    // expectedItems: at scale this is the index table's row-count stat;
+    // a generous constant keeps the filter deterministic across SFs
+    Dedup.bloomIncrementalExactDedup(newBatch, "text", "doc_id", existing,
+      expectedItems = 1000000L, fpp = 0.01)
+      .select("doc_id", "source", "fingerprint")
+  }
+
   // ---------------------------------------------------------------- null-safe join
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
     * "unspecified" priority becomes NULL and still joins to its group
@@ -2283,5 +2315,5 @@ object Catalog {
     q78Containment, q79GroupSample, q80Winsorize, q81QualityChecks,
     q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
-    q88ManyGroupPercentile, q89Mp4Meta)
+    q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup)
 }

@@ -34,4 +34,17 @@ object Bridge {
     val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema)
   }
+
+  /** A 1-row/1-column DataFrame as a scalar-subquery Column — the form
+    * expressions like `BloomFilterMightContain` require their filter
+    * operand to take (constant or scalar subquery; a join-produced
+    * column is rejected at analysis). This is exactly how Spark's own
+    * InjectRuntimeFilter attaches a bloom build to a probe side. The
+    * subquery body executes once per query (ReuseSubquery dedupes
+    * canonically-equal instances across plan branches). */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column = {
+    val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      c.queryExecution.analyzed))
+  }
 }

@@ -108,6 +108,36 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Array(11L, 13L))
   }
 
+  test("bloomIncrementalExactDedup ≡ incrementalExactDedup on the sf0.001 corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter($"doc_id" % 3 === 0).select("doc_id", "source", "text")
+    val existing = docs.filter($"doc_id" % 3 =!= 0)
+      .select(TextFunctions.fingerprint($"text").as("fingerprint"))
+    val plain = Dedup.incrementalExactDedup(batch, "text", "doc_id", existing)
+      .select("doc_id").as[Long].collect().sorted
+    // the prefilter must be output-invisible at any sizing — including
+    // a deliberately tiny, collision-heavy filter (every row "maybe")
+    for (items <- Seq(1000000L, 10L)) {
+      val bloomed = Dedup.bloomIncrementalExactDedup(
+        batch, "text", "doc_id", existing, expectedItems = items, fpp = 0.01)
+        .select("doc_id").as[Long].collect().sorted
+      assert(bloomed === plain, s"expectedItems=$items")
+    }
+    assert(plain.nonEmpty) // the equivalence must not be vacuous
+  }
+
+  test("bloom prefilter: all-new batch bypasses the join, all-dup batch verifies") {
+    val existing = Seq(docA).toDF("text")
+      .select(TextFunctions.fingerprint($"text").as("fingerprint"))
+    val allNew = Seq((1L, docB), (2L, "another novel doc entirely"))
+      .toDF("doc_id", "text")
+    assert(Dedup.bloomIncrementalExactDedup(allNew, "text", "doc_id", existing, 100L)
+      .select("doc_id").as[Long].collect().sorted === Array(1L, 2L))
+    val allDup = Seq((3L, docA)).toDF("doc_id", "text")
+    assert(Dedup.bloomIncrementalExactDedup(allDup, "text", "doc_id", existing, 100L)
+      .count() === 0L)
+  }
+
   // Pins q22's 4×16-bit pigeonhole banding against brute-force ground
   // truth on the real sf0.01 corpus. Unlike MinHash (probabilistic
   // recall), SimHash banding is DETERMINISTIC for maxHamming = 3: at
