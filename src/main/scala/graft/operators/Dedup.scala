@@ -102,7 +102,13 @@ object Dedup {
     val withFp = newDocs.withColumn("fingerprint",
       TextFunctions.fingerprint(col(textCol)))
     val probed = exactDedup(withFp, col("fingerprint"), col(idCol))
-    val mightHit = Sketches.bloom_might_contain(bloomCol, col("fingerprint"))
+    // An empty corpus builds a zero-cardinality bloom that evaluates to
+    // null; might_contain null-propagates and a null predicate is dropped
+    // by BOTH branches below, which would silently lose the whole first
+    // batch. coalesce to true so "unknown" routes rows through the exact
+    // anti join, which is always correct.
+    val mightHit = coalesce(
+      Sketches.bloom_might_contain(bloomCol, col("fingerprint")), lit(true))
     // two branches over one subtree: the dedup window's exchange is
     // physically reused, so the batch is scanned, not recomputed
     val definitelyNew = probed.filter(!mightHit)

@@ -396,11 +396,40 @@ object Catalog {
       TextFunctions.fingerprint(col("text")), col("doc_id"))
   }
 
-  // ---------------------------------------------------------------- dedup: minhash LSH (no SQL oracle — rows-only)
-  val q20MinHash = noOracle("q20_minhash_lsh",
-    "MinHash+LSH near-dup candidate pairs (north star: dedup; engine-hash-dependent, rows-only check)") { (s, d) =>
-    Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
-      numHashes = 64, bands = 16, shingleK = 2, threshold = 0.2)
+  // ---------------------------------------------------------------- dedup: minhash LSH (recall pinned by the oracle)
+  /** The LSH candidate set itself is engine-hash-dependent, so instead
+    * of emitting pairs the query emits the BOUND CHECK as data: the
+    * exact-Jaccard ground-truth pair count (which DuckDB recomputes
+    * independently, the q21 formulation) and a recall ≥ 99% boolean
+    * computed in-engine against that ground truth. The (1−s²)^32
+    * banding math (64 hashes × 32 bands) bounds the miss probability
+    * at 4e-5 per true pair at s = 0.5, so recall_ok must be true; a
+    * regression in band slicing, bucket collapse, or the skew guard
+    * flips it to false and breaks the hash match. Both sides are
+    * sub-quadratic-shape operators (blocked exact scorer, banded LSH);
+    * the single-row agg attach is a broadcast, not a cartesian. */
+  val q20MinHash = q("q20_minhash_lsh",
+    "MinHash+LSH candidate recall >= 99% vs exact-Jaccard ground truth the oracle recomputes (north star: dedup)",
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS sh
+      |  FROM documents)
+      |SELECT count(*) AS n_true_pairs, TRUE AS recall_ok
+      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+      |           ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END >= 0.5""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCol = "source", k = 1, threshold = 0.5).select("id_a", "id_b")
+    val candidates = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
+      maxBucket = 10000, blockCol = Some("source")).select("id_a", "id_b")
+    val recalled = exact.join(candidates, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(broadcast(recalled.agg(count(lit(1)).as("n_recalled"))))
+      .select(col("n_true_pairs"),
+        (col("n_recalled") >= col("n_true_pairs") * 0.99).as("recall_ok"))
   }
 
   // ---------------------------------------------------------------- dedup: exact n-gram jaccard
@@ -423,10 +452,57 @@ object Catalog {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  // ---------------------------------------------------------------- dedup: simhash (rows-only)
-  val q22SimHash = noOracle("q22_simhash",
-    "SimHash banded near-dup pairs (north star: dedup; engine-hash-dependent, rows-only check)") { (s, d) =>
-    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+  // ---------------------------------------------------------------- dedup: simhash (pinned by planted dups + blocked brute force)
+  /** SimHash signatures are engine-seeded, so the query emits what the
+    * oracle CAN pin: every 10th document is planted back as an exact
+    * copy under a shifted id (identical text ⇒ identical signature ⇒
+    * Hamming 0 ⇒ the 4×16-bit pigeonhole banding finds it
+    * DETERMINISTICALLY), and DuckDB recomputes the planted count from
+    * the table. The banding path is additionally checked in-engine
+    * against a source-blocked brute-force Hamming scan (an equi join,
+    * not a cartesian) — set equality both directions, emitted as a
+    * boolean the oracle expects to be true. maxHamming = 3 makes the
+    * pigeonhole argument exact: ≤3 differing bits touch ≤3 of 4 bands. */
+  val q22SimHash = q("q22_simhash",
+    "SimHash banding recovers all planted exact dups and equals blocked brute-force Hamming (north star: dedup)",
+    """SELECT count(*) AS n_planted, count(*) AS n_planted_recovered,
+      |       TRUE AS matches_blocked_brute
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text"))
+    val corpus = docs.unionByName(planted)
+    val banded = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b")
+    val sigs = corpus.select(col("doc_id").as("id"), col("source"),
+      Dedup.simHash(col("text")).as("sig"))
+    // blocked ground truth: same-source pairs only — an equi join on
+    // the block key (q21's shape), never an all-pairs cartesian
+    val bruteBlocked = sigs.as("a").join(sigs.as("b"),
+        col("a.source") === col("b.source") && col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val bandedBlocked = banded
+      .join(sigs.select(col("id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+      .filter(col("src_a") === col("src_b"))
+      .select("id_a", "id_b")
+    val plantedPairs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+    val nPlanted = plantedPairs.agg(count(lit(1)).as("n_planted"))
+    val nRecovered = plantedPairs
+      .join(banded, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_planted_recovered"))
+    val missed = bruteBlocked.join(bandedBlocked, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val spurious = bandedBlocked.join(bruteBlocked, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_spurious"))
+    nPlanted
+      .crossJoin(broadcast(nRecovered))
+      .crossJoin(broadcast(missed))
+      .crossJoin(broadcast(spurious))
+      .select(col("n_planted"), col("n_planted_recovered"),
+        (col("n_missed") === 0 && col("n_spurious") === 0).as("matches_blocked_brute"))
   }
 
   // ---------------------------------------------------------------- similarity: brute-force cosine top-k
@@ -1168,17 +1244,33 @@ object Catalog {
     * a quantile sketch, both map-side mergeable partial aggregates
     * (constant memory per partition; no Expand, no per-group value
     * collection — contrast q56's exact distinct and q33's exact
-    * percentile). rows-only in the gate: DuckDB's sketches are
-    * different algorithms, so values can't hash-match by design;
-    * ApproxAggSpec bounds the error against exact answers instead. */
-  val q58ApproxAggs = noOracle("q58_approx_aggs",
-    "HLL++ approx distinct + approx percentile per group (the at-scale aggregate path; rows-only, error-bounded in spec)") { (s, d) =>
+    * percentile). DuckDB's sketches are different algorithms, so the
+    * sketch VALUES can't hash-match by design — instead the query
+    * emits the error-bound checks as data: the exact sides (n, exact
+    * distinct) the oracle recomputes independently, plus booleans
+    * asserting |HLL − exact| ≤ 3·rsd·exact and approx-p50 within the
+    * exact [p49, p51] bracket (QuantileSummaries guarantees rank
+    * error ≤ n/accuracy = n/10000 ≪ 0.01·n). The exact columns exist
+    * only to carry the oracle; the sketch path is the operator. */
+  val q58ApproxAggs = q("q58_approx_aggs",
+    "HLL++ approx distinct + approx percentile per group, error bounds oracle-pinned against exact recomputes",
+    """SELECT l_returnflag, count(*) AS n,
+      |       count(DISTINCT l_orderkey) AS exact_distinct,
+      |       TRUE AS distinct_err_ok, TRUE AS p50_err_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("l_orderkey")).as("exact_distinct"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
-        count(lit(1)).as("n"))
+        expr("percentile(l_extendedprice, array(0.49, 0.51))").as("bracket"))
+      .select(col("l_returnflag"), col("n"), col("exact_distinct"),
+        (abs(col("approx_orders") - col("exact_distinct"))
+          <= col("exact_distinct") * 0.06).as("distinct_err_ok"),
+        (col("approx_p50") >= col("bracket")(0)
+          && col("approx_p50") <= col("bracket")(1)).as("p50_err_ok"))
   }
 
   // ---------------------------------------------------------------- column profiling
@@ -2133,13 +2225,21 @@ object Catalog {
     * The synthetic embeddings carry no true near-duplicates (SRP
     * banding targets cosine ≈ 1), so the query injects an exact copy
     * of every 10th vector under a shifted id — the q48 synthetic-
-    * input pattern — and the operator must recover exactly those
-    * planted pairs. Engine-seeded signatures are not reproducible in
-    * DuckDB SQL, so the harness records rows-only; recall on planted
-    * near-duplicates and agreement with block-local brute force are
-    * spec-asserted (SimilaritySpec). */
-  val q82SrpNearDup = noOracle("q82_srp_neardup",
-    "Embedding near-dup via SRP-LSH banding + exact cosine verify (north star: similarity; rows-only)") { (s, d) =>
+    * input pattern — and the operator must recover EXACTLY those
+    * planted pairs, which makes the output fully oracle-expressible:
+    * identical vectors produce identical SRP signatures (Hamming 0 —
+    * banding recall on exact copies is deterministic, not
+    * probabilistic), the exact-cosine verify scores them 1.0, and the
+    * synthetic corpus carries no natural pairs at cosine ≥ 0.99
+    * (random high-d vectors are near-orthogonal; a natural pair
+    * appearing would break the hash match loudly, which is the
+    * point). DuckDB reconstructs the planted pair list directly from
+    * the table. */
+  val q82SrpNearDup = q("q82_srp_neardup",
+    "Embedding near-dup via SRP-LSH banding + exact cosine verify recovers exactly the planted copies (north star: similarity)",
+    """SELECT vec_id AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+      |       CAST(1.0 AS DOUBLE) AS cos
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin) { (s, d) =>
     val base = Tables.embeddings(s, d)
     val planted = base.filter(pmod(col("vec_id"), lit(10)) === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))

@@ -126,6 +126,19 @@ class DedupSpec extends SparkSpecBase {
     assert(plain.nonEmpty) // the equivalence must not be vacuous
   }
 
+  test("bloom prefilter: empty corpus keeps the whole first batch") {
+    // A zero-cardinality bloom build evaluates to null; without the
+    // coalesce-to-true guard, the null predicate would be dropped by
+    // both branches and the first batch of an incremental pipeline
+    // would vanish entirely.
+    val existing = Seq.empty[String].toDF("text")
+      .select(TextFunctions.fingerprint($"text").as("fingerprint"))
+    val batch = Seq((1L, docA), (2L, docB), (3L, docA)).toDF("doc_id", "text")
+    val out = Dedup.bloomIncrementalExactDedup(batch, "text", "doc_id", existing, 100L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 2L)) // within-batch dedup still applies
+  }
+
   test("bloom prefilter: all-new batch bypasses the join, all-dup batch verifies") {
     val existing = Seq(docA).toDF("text")
       .select(TextFunctions.fingerprint($"text").as("fingerprint"))

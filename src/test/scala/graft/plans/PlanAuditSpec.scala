@@ -33,9 +33,15 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   /** Shuffle exchanges only — BroadcastExchange is the cheap kind the
-    * audit WANTS to see, and ReusedExchange is a reuse marker. */
+    * audit WANTS to see, and ReusedExchange is a reuse marker. Counts
+    * every `Exchange <partitioning>` spelling (hash, range, single,
+    * round-robin, any future one) rather than an allowlist, so a stray
+    * repartition(n) can't slip under the shuffle-count gates. */
   private def shuffles(plan: String): Int =
-    """Exchange (hash|range|SinglePartition|rounds)""".r.findAllIn(plan).size
+    plan.linesIterator.count { l =>
+      l.contains("Exchange ") &&
+        !l.contains("BroadcastExchange") && !l.contains("ReusedExchange")
+    }
 
   test("no CartesianProduct anywhere in the catalog") {
     withStaticPlans {
