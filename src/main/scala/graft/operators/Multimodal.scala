@@ -281,10 +281,250 @@ object Multimodal {
       }
   }
 
+  /** REAL pixel-level PNG decode in pure JVM: IDAT chunk concat →
+    * zlib inflate (`java.util.zip.Inflater` ships in the JDK) →
+    * per-scanline unfilter (the five filter types of RFC 2083 §6.3:
+    * None/Sub/Up/Average/Paeth). Supports the 8-bit-depth,
+    * non-interlaced color types (grayscale, gray+alpha, RGB, RGBA) —
+    * the shapes a training-data pipeline actually stores. Verified
+    * two independent ways: q91's oracle recomputes planted-gradient
+    * pixel stats in closed form, and MultimodalSpec round-trips
+    * random images through the JDK's own ImageIO PNG *encoder*
+    * (adaptive filter choice, real deflate) and compares every
+    * sample. Never throws — malformed bytes are data, not an error. */
+  object PngCodec {
+    /** Decoded 8-bit samples, row-major, `channels` per pixel. */
+    case class Pixels(width: Int, height: Int, channels: Int, data: Array[Byte])
+
+    def decode(b: Array[Byte]): Option[Pixels] = {
+      if (b == null || b.length < 45) return None
+      def u8(i: Int): Int = b(i) & 0xFF
+      def be32(i: Int): Long =
+        ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
+      if (!(u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+            u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
+            b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
+        return None
+      val width = be32(16)
+      val height = be32(20)
+      val bitDepth = u8(24)
+      val colorType = u8(25)
+      val interlace = u8(28)
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case _ => return None // palette (3) needs a PLTE lookup — out of scope
+      }
+      if (bitDepth != 8 || interlace != 0) return None
+      // size guard: a hostile header must not allocate unbounded memory
+      if (width <= 0 || height <= 0 || width * height * channels > (1L << 28))
+        return None
+      val w = width.toInt; val h = height.toInt
+      val rowBytes = w * channels
+      val stride = rowBytes + 1 // + filter-type byte
+
+      // chunk walk: concatenate every IDAT payload (the zlib stream may
+      // be split across chunks at arbitrary byte boundaries)
+      val idat = new java.io.ByteArrayOutputStream()
+      var p = 8
+      var walking = true
+      while (walking && p + 8 <= b.length) {
+        val len = be32(p)
+        if (len > Int.MaxValue - 12 || p + 12 + len.toInt > b.length) walking = false
+        else {
+          if (b(p + 4) == 'I' && b(p + 5) == 'D' && b(p + 6) == 'A' && b(p + 7) == 'T')
+            idat.write(b, p + 8, len.toInt)
+          p += 12 + len.toInt // len + type(4) + crc(4)
+        }
+      }
+      if (idat.size == 0) return None
+
+      val raw = new Array[Byte](h * stride)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        while (got < raw.length && !inf.finished) {
+          val k = inf.inflate(raw, got, raw.length - got)
+          if (k == 0 && (inf.needsInput || inf.needsDictionary)) return None
+          got += k
+        }
+        if (got < raw.length) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+
+      // per-scanline unfilter (RFC 2083 §6.3); predictors reference the
+      // RECONSTRUCTED left/up/upper-left samples, bpp = channels at depth 8
+      val out = new Array[Byte](h * rowBytes)
+      var r = 0
+      while (r < h) {
+        val ft = raw(r * stride) & 0xFF
+        if (ft > 4) return None
+        val in = r * stride + 1
+        val o = r * rowBytes
+        var c = 0
+        while (c < rowBytes) {
+          val x = raw(in + c) & 0xFF
+          val left = if (c >= channels) out(o + c - channels) & 0xFF else 0
+          val up = if (r > 0) out(o - rowBytes + c) & 0xFF else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + ((left + up) >> 1)
+            case 4 =>
+              val ul = if (r > 0 && c >= channels) out(o - rowBytes + c - channels) & 0xFF else 0
+              val pr = left + up - ul
+              val pa = math.abs(pr - left); val pb = math.abs(pr - up); val pc = math.abs(pr - ul)
+              x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          }
+          out(o + c) = v.toByte
+          c += 1
+        }
+        r += 1
+      }
+      Some(Pixels(w, h, channels, out))
+    }
+
+    /** Per-channel sample means over the decoded image. */
+    def channelMeans(px: Pixels): Array[Double] = {
+      val sums = new Array[Long](px.channels)
+      var i = 0
+      while (i < px.data.length) {
+        sums(i % px.channels) += px.data(i) & 0xFF
+        i += 1
+      }
+      val n = px.width.toLong * px.height
+      sums.map(_.toDouble / n)
+    }
+  }
+
+  case class AssetPixelStats(asset_id: Long, modality: String,
+                             byte_len: Long,
+                             is_png: Boolean,
+                             width: Option[Int], height: Option[Int],
+                             n_pixels: Option[Long],
+                             channel_means: Option[Seq[Double]])
+
+  /** Per-partition full PNG pixel decode → per-channel stats — the
+    * image path REAL end-to-end from container bytes to samples (no
+    * stub). Non-PNG payloads surface as nulls, never errors. */
+  def extractPixelStats(spark: SparkSession, assets: DataFrame): Dataset[AssetPixelStats] = {
+    import spark.implicits._
+    assets.select("asset_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          val px = PngCodec.decode(bytes)
+          AssetPixelStats(
+            asset_id = id,
+            modality = modality,
+            byte_len = bytes.length.toLong,
+            is_png = px.isDefined,
+            width = px.map(_.width),
+            height = px.map(_.height),
+            n_pixels = px.map(p => p.width.toLong * p.height),
+            channel_means = px.map(p => PngCodec.channelMeans(p).toSeq))
+        }
+      }
+  }
+
+  case class AssetAudioStats(asset_id: Long, modality: String,
+                             byte_len: Long,
+                             is_wav: Boolean,
+                             n_samples: Option[Long],
+                             rms: Option[Double],
+                             peak: Option[Int],
+                             zero_crossings: Option[Long])
+
+  /** REAL audio sample path: little-endian 16-bit PCM frames read
+    * straight after the `data` chunk header `AudioCodec.wavMeta`
+    * already locates — RMS / peak / zero-crossing stats per asset,
+    * the audio twin of `extractPixelStats`. Mono 16-bit PCM only (the
+    * planted-oracle shape); anything else surfaces as nulls. */
+  object PcmCodec {
+    /** (n_samples, rms, peak, zero_crossings) over the int16 samples,
+      * or None for non-WAV / non-16-bit / truncated payloads. A
+      * crossing is a strict sign change (s_i·s_{i−1} < 0). */
+    def pcmStats(b: Array[Byte]): Option[(Long, Double, Int, Long)] = {
+      if (b == null || b.length < 44) return None
+      def u8(i: Int): Int = b(i) & 0xFF
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+            b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+        return None
+      // find the data chunk; require a 16-bit fmt (bits at fmt+22)
+      var p = 12
+      var bits = 0
+      var dataOff = -1
+      var dataLen = 0L
+      while (p + 8 <= b.length && dataOff < 0) {
+        val size = le32(p + 4)
+        if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+          if (size < 16 || p + 8 + 16 > b.length) return None
+          bits = u8(p + 22) | (u8(p + 23) << 8)
+        } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a') {
+          dataOff = p + 8
+          dataLen = size
+        }
+        p += 8 + (size + (size & 1L)).min(Int.MaxValue).toInt
+        if (p < 0) return None
+      }
+      if (dataOff < 0 || bits != 16) return None
+      // clamp to what's actually present (byte-range probes truncate)
+      val avail = math.min(dataLen, (b.length - dataOff).toLong)
+      val n = avail / 2
+      if (n == 0) return Some((0L, 0.0, 0, 0L))
+      var sumSq = 0.0
+      var peak = 0
+      var crossings = 0L
+      var prev = 0
+      var i = 0L
+      while (i < n) {
+        val off = dataOff + (i * 2).toInt
+        val s = ((b(off) & 0xFF) | (b(off + 1) << 8)).toShort.toInt
+        sumSq += s.toDouble * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (i > 0 && s.toLong * prev < 0) crossings += 1
+        prev = s
+        i += 1
+      }
+      Some((n, math.sqrt(sumSq / n), peak, crossings))
+    }
+  }
+
+  /** Per-partition PCM sample stats over audio payloads. */
+  def extractAudioStats(spark: SparkSession, assets: DataFrame): Dataset[AssetAudioStats] = {
+    import spark.implicits._
+    assets.select("asset_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          val st = PcmCodec.pcmStats(bytes)
+          AssetAudioStats(
+            asset_id = id,
+            modality = modality,
+            byte_len = bytes.length.toLong,
+            is_wav = st.isDefined,
+            n_samples = st.map(_._1),
+            rms = st.map(_._2),
+            peak = st.map(_._3),
+            zero_crossings = st.map(_._4))
+        }
+      }
+  }
+
   /** STUB codec: a real build links an image/audio library here
     * (none ships in this container). Every op is deterministic in the
     * payload bytes so the Spark-side plumbing is fully testable; the
-    * signatures are the real contract a codec drops into. */
+    * signatures are the real contract a codec drops into. Since round
+    * 6 this stub covers only video FRAME ops (resize/sample): image
+    * pixel decode is real (`PngCodec`), audio sample decode is real
+    * (`PcmCodec`), and `extractFeatures` prefers real PNG channel
+    * stats over the byte-histogram fake when the payload decodes. */
   object FakeCodec {
     /** "Feature extraction": dim-sized byte-histogram moments. */
     def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
@@ -346,6 +586,14 @@ object Multimodal {
           val bytes = if (payload == null) Array.empty[Byte] else payload
           md.reset()
           val dims = ImageCodec.imageDims(bytes)
+          // real pixel features when the payload fully decodes as PNG
+          // (per-channel means, normalized like the fake's 0..1 range);
+          // the byte-histogram fake only for payloads no JVM-pure codec
+          // covers (JPEG entropy decode needs a DCT library)
+          val feature = PngCodec.decode(bytes) match {
+            case Some(px) => PngCodec.channelMeans(px).map(m => (m / 255.0).toFloat)
+            case None     => FakeCodec.features(bytes)
+          }
           AssetFeatures(
             asset_id = id,
             modality = modality,
@@ -354,7 +602,7 @@ object Multimodal {
             image_format = dims.map(_._1),
             width = dims.map(_._2),
             height = dims.map(_._3),
-            feature = FakeCodec.features(bytes))
+            feature = feature)
         }
       }
   }

@@ -2394,6 +2394,157 @@ object Catalog {
         col("n"))
   }
 
+  // ---------------------------------------------------------------- multimodal: PNG pixel decode (real inflate + unfilter)
+  /** q41 proved the header walk; this proves the PIXELS. Every non-text
+    * doc becomes a complete, VALID grayscale PNG built scan-side:
+    * planted gradient pixel (k + doc_id) % 256 at index k, rows
+    * cycling through filter types None/Sub/Up (the filtered bytes are
+    * planted pre-filtered — gradient rows Sub-filter to constant 1 and
+    * Up-filter to constant W), wrapped in a stored-block zlib stream
+    * with a true Adler-32 (computed scan-side via aggregate() HOFs)
+    * and true CRC-32s (Spark's codegen'd crc32 IS the PNG CRC).
+    * `Multimodal.PngCodec` inflates with the JDK Inflater, unfilters
+    * per RFC 2083 §6.3, and the oracle recomputes the per-pixel mean
+    * in closed form — any inflate framing, unfilter, or channel
+    * accounting error breaks the hash match. (Average/Paeth filters
+    * are exercised by MultimodalSpec's ImageIO round-trip, which uses
+    * the JDK encoder's own adaptive filter choice.) */
+  val q91PngPixels = q("q91_png_pixels",
+    "Full PNG pixel decode (JDK inflate + scanline unfilter) over planted gradient images (north star: multimodal)",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h, doc_id % 256 AS a
+      |  FROM documents),
+      |t2 AS (SELECT *, w * h AS n FROM t)
+      |SELECT doc_id AS asset_id,
+      |       CASE WHEN doc_id % 7 = 0 THEN 'text' ELSE 'image' END AS modality,
+      |       CASE WHEN doc_id % 7 = 0 THEN octet_length(encode(text))
+      |            ELSE CAST(68 + h * (w + 1) AS BIGINT) END AS byte_len,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(n AS BIGINT) END AS n_pixels,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE round((n * a + (n * (n - 1)) // 2
+      |                        - 256 * greatest(0, a + n - 256))
+      |                       / CAST(n AS DOUBLE), 4) END AS mean_gray
+      |FROM t2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val did = col("doc_id")
+    val w = lit(8L) + pmod(did, lit(8))
+    val h = lit(4L) + pmod(did, lit(4))
+    val stride = w + lit(1L)
+    val rawLen = h * stride
+    // the filtered scanline bytes: per row r the filter type is r % 3,
+    // and the pre-filtered values of the (k + doc_id) % 256 gradient
+    // are closed-form (Sub ⇒ 1 after the first pixel, Up ⇒ W)
+    val bytesArr = transform(sequence(lit(0L), rawLen - 1L), i => {
+      val o = pmod(i, stride)
+      val r = floor((i - o) / stride).cast("long")
+      val c = o - 1L
+      val t = pmod(r, lit(3L))
+      when(o === 0L, t)
+        .when(t === 0L, pmod(r * w + c + did, lit(256L)))
+        .when(t === 1L, when(c === 0L, pmod(r * w + did, lit(256L))).otherwise(lit(1L)))
+        .otherwise(w)
+    })
+    val rawHex = concat_ws("", transform(bytesArr, v => lpad(hex(v), 2, "0")))
+    // Adler-32 over the raw stream: s1 = 1 + Σb, s2 = n·1 + Σ(n−k)·b_k
+    val sumB = aggregate(bytesArr, lit(0L), (acc, x) => acc + x)
+    val sumW = aggregate(
+      zip_with(bytesArr, sequence(lit(1L), rawLen), (b, j) => (rawLen - j + 1L) * b),
+      lit(0L), (acc, x) => acc + x)
+    val s1 = pmod(lit(1L) + sumB, lit(65521L))
+    val s2 = pmod(rawLen + sumW, lit(65521L))
+    def le16hex(v: Column): Column = concat(
+      lpad(hex(pmod(v, lit(256L))), 2, "0"),
+      lpad(hex(floor(v / 256).cast("long")), 2, "0"))
+    // one final stored deflate block: 78 01 (zlib CMF/FLG), 01 (BFINAL,
+    // BTYPE=00), LEN/NLEN little-endian, raw bytes, Adler-32 big-endian
+    val zlibHex = concat(lit("780101"), le16hex(rawLen),
+      le16hex(lit(65535L) - rawLen), rawHex,
+      lpad(hex(s2 * 65536L + s1), 8, "0"))
+    val ihdrDataHex = concat(lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("0800000000")) // bit depth 8, grayscale, default comp/filter/interlace
+    val pngHex = concat(
+      lit("89504E470D0A1A0A0000000D49484452"), ihdrDataHex,
+      lpad(hex(crc32(unhex(concat(lit("49484452"), ihdrDataHex)))), 8, "0"),
+      lpad(hex(rawLen + 11L), 8, "0"), lit("49444154"), zlibHex,
+      lpad(hex(crc32(unhex(concat(lit("49444154"), zlibHex)))), 8, "0"),
+      lit("0000000049454E44AE426082"))
+    val sevMod = pmod(did, lit(7))
+    val assets = docs.select(
+      did.as("asset_id"),
+      when(sevMod === 0, lit("text")).otherwise(lit("image")).as("modality"),
+      when(sevMod === 0, col("text").cast("binary")).otherwise(unhex(pngHex)).as("payload"))
+    Multimodal.extractPixelStats(s, assets).toDF()
+      .select(col("asset_id"), col("modality"), col("byte_len"),
+        col("width"), col("height"), col("n_pixels"),
+        round(element_at(col("channel_means"), 1), 4).as("mean_gray"))
+  }
+
+  // ---------------------------------------------------------------- multimodal: WAV PCM sample stats (real sample decode)
+  /** q87 proved the RIFF header walk; this proves the SAMPLES. Every
+    * non-text doc becomes a complete mono 16-bit PCM WAV whose sample
+    * values are planted from doc_id arithmetic
+    * (v_i = ((doc_id·31 + i·7919) mod 65536) − 32768, little-endian
+    * two's complement built scan-side), and `Multimodal.PcmCodec`
+    * reads them back to RMS / peak / strict zero-crossings. The
+    * oracle regenerates the exact same sample stream with a lateral
+    * range() and recomputes all three — integer-valued doubles sum
+    * exactly in any order, so RMS matches bit-for-bit after round(4). */
+  val q92WavPcm = q("q92_wav_pcm",
+    "WAV PCM sample decode to RMS/peak/zero-crossings over planted waveforms (north star: multimodal audio)",
+    """WITH t AS (SELECT doc_id, text, 50 + doc_id % 50 AS n FROM documents),
+      |s AS (SELECT doc_id, i, ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
+      |      FROM t, range(100) r(i) WHERE i < t.n),
+      |lagged AS (SELECT doc_id, v,
+      |                  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |           FROM s),
+      |agg AS (SELECT doc_id,
+      |               round(sqrt(avg(CAST(v * v AS DOUBLE))), 4) AS rms,
+      |               CAST(max(abs(v)) AS INTEGER) AS peak,
+      |               CAST(count(*) FILTER (WHERE pv IS NOT NULL AND v * pv < 0) AS BIGINT) AS zc
+      |        FROM lagged GROUP BY doc_id)
+      |SELECT t.doc_id AS asset_id,
+      |       CASE WHEN t.doc_id % 7 = 0 THEN 'text' ELSE 'audio' END AS modality,
+      |       CASE WHEN t.doc_id % 7 = 0 THEN octet_length(encode(text))
+      |            ELSE CAST(44 + 2 * n AS BIGINT) END AS byte_len,
+      |       CASE WHEN t.doc_id % 7 = 0 THEN NULL ELSE CAST(n AS BIGINT) END AS n_samples,
+      |       CASE WHEN t.doc_id % 7 = 0 THEN NULL ELSE agg.rms END AS rms,
+      |       CASE WHEN t.doc_id % 7 = 0 THEN NULL ELSE agg.peak END AS peak,
+      |       CASE WHEN t.doc_id % 7 = 0 THEN NULL ELSE agg.zc END AS zero_crossings
+      |FROM t JOIN agg ON t.doc_id = agg.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val did = col("doc_id")
+    def le(v: Column, nBytes: Int): Column = concat((0 until nBytes).map(i =>
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
+    val n = lit(50L) + pmod(did, lit(50))
+    val dataSize = n * 2L
+    // planted int16 stream, little-endian two's complement:
+    // enc_i = (v_i + 32768) mod 65536 = (d·31 + i·7919 + 32768) mod 65536
+    val sampleHex = concat_ws("", transform(sequence(lit(0L), n - 1L), i => {
+      val hx = lpad(hex(pmod(did * 31L + i * 7919L + 32768L, lit(65536L))), 4, "0")
+      concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    }))
+    val wav = concat(
+      unhex(lit("52494646")), le(lit(36L) + dataSize, 4),
+      unhex(lit("57415645666D7420")), le(lit(16L), 4),
+      le(lit(1L), 2), le(lit(1L), 2),          // PCM, mono
+      le(lit(8000L), 4), le(lit(16000L), 4),   // sample rate, byte rate
+      le(lit(2L), 2), le(lit(16L), 2),         // block align, bits
+      unhex(lit("64617461")), le(dataSize, 4),
+      unhex(sampleHex))
+    val sevMod = pmod(did, lit(7))
+    val assets = docs.select(
+      did.as("asset_id"),
+      when(sevMod === 0, lit("text")).otherwise(lit("audio")).as("modality"),
+      when(sevMod === 0, col("text").cast("binary")).otherwise(wav).as("payload"))
+    Multimodal.extractAudioStats(s, assets).toDF()
+      .select(col("asset_id"), col("modality"), col("byte_len"),
+        col("n_samples"), round(col("rms"), 4).as("rms"),
+        col("peak"), col("zero_crossings"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2415,5 +2566,6 @@ object Catalog {
     q78Containment, q79GroupSample, q80Winsorize, q81QualityChecks,
     q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
-    q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup)
+    q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
+    q91PngPixels, q92WavPcm)
 }

@@ -207,6 +207,84 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.VideoCodec.mp4Meta(corrupt).isEmpty)
   }
 
+  // PngCodec ground truth: round-trip through the JDK's OWN PNG
+  // encoder (javax.imageio) — an independent implementation with real
+  // deflate compression and the encoder's adaptive per-row filter
+  // choice (exercising Sub/Up/Average/Paeth unfiltering, which the
+  // q91 planted payloads only partially cover). Every sample of every
+  // image must reconstruct exactly.
+  test("PngCodec decodes ImageIO-encoded images sample-exactly (gray, RGB, RGBA)") {
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (BufferedImage.TYPE_BYTE_GRAY, 1, 37, 23),
+      (BufferedImage.TYPE_3BYTE_BGR, 3, 64, 48),
+      (BufferedImage.TYPE_4BYTE_ABGR, 4, 31, 17))
+    for ((imgType, channels, w, h) <- cases) {
+      val img = new BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        val a = if (channels == 4) rnd.nextInt(256) else 255
+        val rgb = (a << 24) | (rnd.nextInt(256) << 16) | (rnd.nextInt(256) << 8) | rnd.nextInt(256)
+        img.setRGB(x, y, rgb)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val px = Multimodal.PngCodec.decode(bos.toByteArray)
+        .getOrElse(fail(s"decode failed for type $imgType"))
+      assert((px.width, px.height, px.channels) === ((w, h, channels)))
+      // compare against the RASTER samples (band order = PNG sample
+      // order: gray / RGB / RGBA), not getRGB — getRGB round-trips
+      // TYPE_BYTE_GRAY through a colorspace conversion
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = (0 until channels).map(b => raster.getSample(x, y, b))
+        val off = (y * w + x) * channels
+        val got = (0 until channels).map(i => px.data(off + i) & 0xFF)
+        assert(got === expected, s"pixel ($x,$y) type $imgType")
+      }
+    }
+  }
+
+  test("PngCodec returns None for non-PNG, truncated, and unsupported payloads") {
+    assert(Multimodal.PngCodec.decode(null).isEmpty)
+    assert(Multimodal.PngCodec.decode("plain text, no signature".getBytes).isEmpty)
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val full = bos.toByteArray
+    assert(Multimodal.PngCodec.decode(full).isDefined)
+    // truncated mid-IDAT: the inflate can't fill the raster → None, no throw
+    assert(Multimodal.PngCodec.decode(full.take(full.length - 20)).isEmpty)
+    // hostile header: 2^24 × 2^24 dims must not allocate
+    val hostile = full.clone()
+    hostile(16) = 0x7F.toByte // width hi byte
+    assert(Multimodal.PngCodec.decode(hostile).isEmpty)
+  }
+
+  test("PcmCodec: RMS/peak/zero-crossings over a hand-built PCM stream") {
+    // mono 16-bit WAV, 4 samples: +100, -200, +300, 0
+    def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val samples = Seq(100, -200, 300, 0)
+    val data = samples.flatMap(le16)
+    val wav = ("RIFF".getBytes.toSeq ++ le32(36 + data.size) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.size) ++ data).toArray
+    val Some((n, rms, peak, zc)) = Multimodal.PcmCodec.pcmStats(wav)
+    assert(n === 4L)
+    assert(peak === 300)
+    assert(zc === 2L) // +100→-200 and -200→+300; →0 is not a strict crossing
+    val expectedRms = math.sqrt((100.0 * 100 + 200 * 200 + 300 * 300 + 0) / 4)
+    assert(math.abs(rms - expectedRms) < 1e-12)
+    // truncated data: stats over what's present (byte-range probe shape)
+    val Some((n2, _, _, _)) = Multimodal.PcmCodec.pcmStats(wav.take(wav.length - 4))
+    assert(n2 === 2L)
+    assert(Multimodal.PcmCodec.pcmStats("not riff at all".getBytes).isEmpty)
+  }
+
   test("extractVideoMeta: MP4 payloads decode, non-video rows surface nulls") {
     val rows = Seq(
       (1L, "video", mp4v0),
