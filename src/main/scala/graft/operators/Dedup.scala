@@ -236,6 +236,96 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** The persisted corpus-side state for INCREMENTAL MinHash-LSH:
+    * one row per (block?, band, bh, id) bucket membership, with
+    * degenerate mega-buckets (boilerplate content) dropped at BUILD
+    * time so every later probe inherits the skew guard. At 100 TB
+    * this is the band table a daily pipeline writes once per corpus
+    * rebuild and range-reads per batch — the index is O(docs · bands)
+    * fixed-width rows, and probing it never re-tokenizes, re-hashes,
+    * or re-shuffles the corpus itself.
+    *
+    * Hash seeds are deterministic (the MinHashSignature expression is
+    * seed-stable), so signatures computed in a LATER job line up with
+    * the persisted index — the property incrementality depends on. */
+  def minHashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleK: Int = 3, maxBucket: Int = 200,
+                       blockCol: Option[String] = None): DataFrame = {
+    val banded = bandedKeys(df, idCol, textCol, numHashes, bands, shingleK, blockCol)
+    val blockKey = blockCol.toSeq
+    val bucketKey = blockKey ++ Seq("band", "bh")
+    banded.groupBy(bucketKey.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select((bucketKey.map(col) :+ explode(col("ids")).as("id")): _*)
+  }
+
+  /** Near-dup candidate pairs for a NEW batch against an already-
+    * indexed corpus — the incremental sibling of [[minHashLsh]] (and
+    * the MinHash twin of [[bloomIncrementalExactDedup]]'s shape):
+    * batch-internal pairs come from LSH over the batch alone,
+    * batch-vs-corpus pairs from an equi join of the batch's band keys
+    * against the persisted index. The corpus pays nothing per batch.
+    *
+    * With a shared `maxBucket` comfortably above the largest real
+    * clique, the output equals the full-corpus [[minHashLsh]]
+    * candidate set restricted to pairs touching the batch (q93 pins
+    * this in-engine; DedupSpec proves it on real data) — near the
+    * guard boundary the two can differ, because the full run sees
+    * combined bucket sizes while the incremental run guards each side
+    * separately.
+    *
+    * @param bandIndex output of [[minHashBandIndex]] built with the
+    *                  SAME numHashes/bands/shingleK/blockCol
+    */
+  def incrementalMinHashLsh(newDocs: DataFrame, idCol: String, textCol: String,
+                            bandIndex: DataFrame,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleK: Int = 3, maxBucket: Int = 200,
+                            blockCol: Option[String] = None): DataFrame = {
+    val blockKey = blockCol.toSeq
+    val joinKey = blockKey ++ Seq("band", "bh")
+    val internal = minHashLsh(newDocs, idCol, textCol, numHashes, bands,
+      shingleK, threshold = 0.0, maxBucket, blockCol)
+      .select(col("id_a"), col("id_b"))
+    val batchBanded = bandedKeys(newDocs, idCol, textCol, numHashes, bands,
+      shingleK, blockCol)
+    val cross = batchBanded
+      .join(bandIndex.withColumnRenamed("id", "corpus_id"), joinKey)
+      .filter(col("id") =!= col("corpus_id"))
+      .select(least(col("id"), col("corpus_id")).as("id_a"),
+        greatest(col("id"), col("corpus_id")).as("id_b"))
+      .distinct()
+    internal.unionByName(cross).distinct()
+  }
+
+  /** Shared banding front end: (id, [block,] band, bh) keys from the
+    * codegen'd scan-side signatures — the construction [[minHashLsh]]
+    * uses internally, factored out so the index build and the batch
+    * probe produce byte-identical band keys. */
+  private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int, bands: Int, shingleK: Int,
+                         blockCol: Option[String]): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val blockKey = blockCol.toSeq
+    val sigs = df.select(
+      col(idCol).as("id") +: Sketches.minhash_shingled(
+        TextFunctions.tokens(col(textCol)), shingleK, numHashes).as("sig") +:
+        blockKey.map(col): _*)
+      .repartition(col("id")) // materialization barrier (see minHashLsh)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+    }
+    sigs
+      .select(col("id") +: explode(array(bandStructs: _*)).as("bk") +:
+        blockKey.map(col): _*)
+      .select(col("id") +: col("bk.band") +: col("bk.bh") +:
+        blockKey.map(col): _*)
+  }
+
   /** 64-bit SimHash of the token stream: bit j of the result is the
     * sign of Σ_tokens (±1 by bit j of xxhash64(token)). Codegen'd
     * SimHash64 expression — no UDF, no shuffle. */

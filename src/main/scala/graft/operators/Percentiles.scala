@@ -193,8 +193,43 @@ object Percentiles {
     * lands on one task — the exact shape [[interpolated]] exists for.
     * Pick by cardinality: few groups → interpolated, many → this.
     */
+  /** Single entry point that PICKS the physical path from group
+    * cardinality, closing the wrong-regime footgun: a caller who
+    * guesses wrong otherwise gets either a driver-side
+    * O(partitions × groups) collect ([[interpolated]] under millions
+    * of groups) or a one-task giant group ([[interpolatedManyGroups]]
+    * under 3 groups). The probe is one HLL aggregate over the group
+    * key — a scan, not a shuffle of the data; at warehouse scale pass
+    * `groupCountHint` from table statistics and skip even that.
+    *
+    * `maxGroupRows` is forwarded to the many-groups path as its loud
+    * guard (see there); 0 disables.
+    */
+  def auto(df: DataFrame, groupCols: Seq[String], valueCol: String,
+           ps: Seq[(String, Double)],
+           groupCountHint: Option[Long] = None,
+           manyGroupsThreshold: Long = 1024,
+           maxGroupRows: Long = 200L * 1000 * 1000): DataFrame = {
+    // ungrouped = the one-group few-group shape by definition
+    if (groupCols.isEmpty) return interpolated(df, groupCols, valueCol, ps)
+    val nGroups = groupCountHint.getOrElse {
+      df.agg(approx_count_distinct(struct(groupCols.map(col): _*)).as("c"))
+        .head().getLong(0)
+    }
+    if (nGroups > manyGroupsThreshold)
+      interpolatedManyGroups(df, groupCols, valueCol, ps, maxGroupRows)
+    else
+      interpolated(df, groupCols, valueCol, ps)
+  }
+
+  /** @param maxGroupRows loud-failure guard: if any group's non-null
+    *        row count exceeds this, the query FAILS (raise_error) —
+    *        a group that large belongs on the [[interpolated]] range-
+    *        sort path, and a silent one-task sort at 100 TB is a
+    *        worse outcome than a diagnostic. 0 disables the check. */
   def interpolatedManyGroups(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                             ps: Seq[(String, Double)]): DataFrame = {
+                             ps: Seq[(String, Double)],
+                             maxGroupRows: Long = 0L): DataFrame = {
     require(groupCols.nonEmpty, "interpolatedManyGroups requires group columns " +
       "(for the ungrouped case use interpolated — one group is the few-group shape)")
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
@@ -227,9 +262,18 @@ object Percentiles {
         (coalesce(col(s"_hi_$name"), col(s"_lo_$name")) - col(s"_lo_$name")) * w)
         .as(name)
     } :+ col("n")
-    ranked.filter(keep)
+    val agged = ranked.filter(keep)
       .groupBy(gCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
-      .select(finalCols: _*)
+    val guarded =
+      if (maxGroupRows <= 0L) agged
+      else agged.filter(
+        when(col("n") > maxGroupRows,
+          raise_error(concat(
+            lit(s"percentile group exceeds maxGroupRows=$maxGroupRows (n="),
+            col("n").cast("string"),
+            lit(s"); route groups this large through Percentiles.interpolated"))).cast("boolean"))
+          .otherwise(lit(true)))
+    guarded.select(finalCols: _*)
   }
 }

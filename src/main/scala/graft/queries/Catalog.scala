@@ -1247,30 +1247,42 @@ object Catalog {
     * percentile). DuckDB's sketches are different algorithms, so the
     * sketch VALUES can't hash-match by design — instead the query
     * emits the error-bound checks as data: the exact sides (n, exact
-    * distinct) the oracle recomputes independently, plus booleans
-    * asserting |HLL − exact| ≤ 3·rsd·exact and approx-p50 within the
-    * exact [p49, p51] bracket (QuantileSummaries guarantees rank
-    * error ≤ n/accuracy = n/10000 ≪ 0.01·n). The exact columns exist
-    * only to carry the oracle; the sketch path is the operator. */
+    * distinct, exact p49/p51 bracket) the oracle recomputes
+    * independently, plus booleans asserting |HLL − exact| ≤ 3·rsd·
+    * exact and approx-p50 within the bracket (QuantileSummaries
+    * guarantees rank error ≤ n/accuracy = n/10000 ≪ 0.01·n). The
+    * exact bracket comes from Percentiles.interpolated — the engine's
+    * own range-sort path — NOT the builtin percentile() aggregate,
+    * whose whole-group value-map buffer is both the 100 TB anti-
+    * pattern and a measured 20s at sf0.1 next to the sketches' 0.6s;
+    * the three exact/sketch legs join broadcast on the 3-row key. */
   val q58ApproxAggs = q("q58_approx_aggs",
     "HLL++ approx distinct + approx percentile per group, error bounds oracle-pinned against exact recomputes",
     """SELECT l_returnflag, count(*) AS n,
       |       count(DISTINCT l_orderkey) AS exact_distinct,
+      |       round(quantile_cont(l_extendedprice, 0.49), 4) AS p49,
+      |       round(quantile_cont(l_extendedprice, 0.51), 4) AS p51,
       |       TRUE AS distinct_err_ok, TRUE AS p50_err_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("n"),
-        count_distinct(col("l_orderkey")).as("exact_distinct"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
-        expr("percentile(l_extendedprice, array(0.49, 0.51))").as("bracket"))
+    val li = Tables.lineitem(s, d)
+    val sketches = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"))
+    val exactDistinct = li.groupBy("l_returnflag")
+      .agg(count_distinct(col("l_orderkey")).as("exact_distinct"))
+    val brackets = Percentiles.interpolated(li, Seq("l_returnflag"),
+      "l_extendedprice", Seq("p49" -> 0.49, "p51" -> 0.51))
+      .select("l_returnflag", "p49", "p51")
+    sketches
+      .join(broadcast(exactDistinct), Seq("l_returnflag"))
+      .join(broadcast(brackets), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n"), col("exact_distinct"),
+        round(col("p49"), 4).as("p49"), round(col("p51"), 4).as("p51"),
         (abs(col("approx_orders") - col("exact_distinct"))
           <= col("exact_distinct") * 0.06).as("distinct_err_ok"),
-        (col("approx_p50") >= col("bracket")(0)
-          && col("approx_p50") <= col("bracket")(1)).as("p50_err_ok"))
+        (col("approx_p50") >= col("p49")
+          && col("approx_p50") <= col("p51")).as("p50_err_ok"))
   }
 
   // ---------------------------------------------------------------- column profiling
@@ -2545,6 +2557,52 @@ object Catalog {
         col("peak"), col("zero_crossings"))
   }
 
+  // ---------------------------------------------------------------- dedup: incremental MinHash-LSH vs persisted band index
+  /** The near-dup sibling of q90's exact bloom dedup: a daily batch is
+    * probed against the corpus's PERSISTED band index
+    * (`Dedup.minHashBandIndex` — the table a 100 TB pipeline writes at
+    * corpus build and only range-reads per batch), so the corpus is
+    * never re-tokenized or re-signatured. Correctness contract: with
+    * the skew guard above the largest real clique, the incremental
+    * candidate set equals the FULL-corpus LSH run restricted to pairs
+    * touching the batch — computed in-engine both ways and emitted as
+    * a boolean the oracle pins, alongside the batch size DuckDB
+    * recomputes from the table. */
+  val q93IncrementalLsh = q("q93_incremental_lsh",
+    "Incremental MinHash-LSH: batch vs persisted band index equals full-corpus LSH restricted to the batch (north star: dedup)",
+    """SELECT count(*) AS n_batch_docs, TRUE AS sets_match
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val index = Dedup.minHashBandIndex(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1,
+      maxBucket = 10000, blockCol = Some("source"))
+    val incremental = Dedup.incrementalMinHashLsh(batch, "doc_id", "text", index,
+      numHashes = 64, bands = 32, shingleK = 1,
+      maxBucket = 10000, blockCol = Some("source"))
+    val batchIds = batch.select(col("doc_id").as("id_a"))
+    val full = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
+      maxBucket = 10000, blockCol = Some("source"))
+      .select("id_a", "id_b")
+    // full-corpus pairs touching the batch: either endpoint is a batch id
+    val touching = full
+      .join(batchIds.select(col("id_a")), Seq("id_a"), "left_semi")
+      .unionByName(full.join(batchIds.select(col("id_a").as("id_b")),
+        Seq("id_b"), "left_semi"))
+      .distinct()
+    val missed = touching.join(incremental, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val spurious = incremental.join(touching, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_spurious"))
+    batch.agg(count(lit(1)).as("n_batch_docs"))
+      .crossJoin(broadcast(missed))
+      .crossJoin(broadcast(spurious))
+      .select(col("n_batch_docs"),
+        (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2567,5 +2625,5 @@ object Catalog {
     q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
     q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
-    q91PngPixels, q92WavPcm)
+    q91PngPixels, q92WavPcm, q93IncrementalLsh)
 }

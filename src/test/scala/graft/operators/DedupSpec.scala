@@ -151,6 +151,44 @@ class DedupSpec extends SparkSpecBase {
       .count() === 0L)
   }
 
+  test("incrementalMinHashLsh ≡ full-corpus LSH restricted to the batch (sf0.001)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val index = Dedup.minHashBandIndex(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, maxBucket = 10000,
+      blockCol = Some("source"))
+    val incr = Dedup.incrementalMinHashLsh(batch, "doc_id", "text", index,
+      numHashes = 64, bands = 32, shingleK = 1, maxBucket = 10000,
+      blockCol = Some("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
+      maxBucket = 10000, blockCol = Some("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val touching = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(touching.nonEmpty, "equivalence must not be vacuous")
+    assert(incr === touching,
+      s"missed=${(touching -- incr).take(5)} spurious=${(incr -- touching).take(5)}")
+
+    // empty batch → empty output; empty corpus index → batch-internal only
+    val emptyBatch = batch.limit(0)
+    assert(Dedup.incrementalMinHashLsh(emptyBatch, "doc_id", "text", index,
+      numHashes = 64, bands = 32, shingleK = 1, maxBucket = 10000,
+      blockCol = Some("source")).count() === 0L)
+    val emptyIndex = index.limit(0)
+    val internalOnly = Dedup.incrementalMinHashLsh(batch, "doc_id", "text", emptyIndex,
+      numHashes = 64, bands = 32, shingleK = 1, maxBucket = 10000,
+      blockCol = Some("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchOnly = Dedup.minHashLsh(batch, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
+      maxBucket = 10000, blockCol = Some("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(internalOnly === batchOnly)
+  }
+
   // Pins q22's 4×16-bit pigeonhole banding against brute-force ground
   // truth on the real sf0.01 corpus. Unlike MinHash (probabilistic
   // recall), SimHash banding is DETERMINISTIC for maxHamming = 3: at

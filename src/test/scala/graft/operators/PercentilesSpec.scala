@@ -142,4 +142,48 @@ class PercentilesSpec extends SparkSpecBase {
       ("b", 1.0, 1.0, 1.0, 3L),
       ("c", 1.0, 2.5, 4.0, 4L)))
   }
+
+  // The two paths plan differently: interpolated round-trips through an
+  // RDD (ExistingRDD scan), manyGroups is pure Catalyst with a Window.
+  private def usesWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Window")
+
+  test("auto dispatches on group cardinality and both routes stay bit-equal") {
+    val rnd = new scala.util.Random(11)
+    val few = (1 to 2000).map(i => (s"g${i % 3}", rnd.nextDouble() * 100)).toDF("g", "v")
+    val many = (1 to 5000).map(i => (s"g${i % 2000}", rnd.nextDouble() * 100)).toDF("g", "v")
+    val ps = Seq("p50" -> 0.5, "p90" -> 0.9)
+
+    val fewAuto = Percentiles.auto(few, Seq("g"), "v", ps, manyGroupsThreshold = 100)
+    assert(!usesWindow(fewAuto), "3 groups must route to the range-sort path")
+    assert(fewAuto.collect().toSet ===
+      Percentiles.interpolated(few, Seq("g"), "v", ps).collect().toSet)
+
+    val manyAuto = Percentiles.auto(many, Seq("g"), "v", ps, manyGroupsThreshold = 100)
+    assert(usesWindow(manyAuto), "2000 groups must route to the window path")
+    assert(manyAuto.collect().toSet ===
+      Percentiles.interpolatedManyGroups(many, Seq("g"), "v", ps).collect().toSet)
+
+    // a hint overrides the probe entirely
+    val hinted = Percentiles.auto(few, Seq("g"), "v", ps,
+      groupCountHint = Some(1000000), manyGroupsThreshold = 100)
+    assert(usesWindow(hinted))
+  }
+
+  test("manyGroups guard fails loud on a group above maxGroupRows") {
+    val df = (1 to 100).map(i => (s"g${i % 10}", i.toDouble)).toDF("g", "v")
+    // 10 rows per group; a 5-row cap must raise, and the message must
+    // point at the right fix
+    val ex = intercept[Exception] {
+      Percentiles.interpolatedManyGroups(df, Seq("g"), "v",
+        Seq("p50" -> 0.5), maxGroupRows = 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxGroupRows")), ex.toString)
+    // under the cap: normal results
+    val ok = Percentiles.interpolatedManyGroups(df, Seq("g"), "v",
+      Seq("p50" -> 0.5), maxGroupRows = 10)
+    assert(ok.count() === 10L)
+  }
 }
