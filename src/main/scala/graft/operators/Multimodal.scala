@@ -18,11 +18,14 @@ import org.apache.spark.sql.types._
   * `AudioCodec` (WAV sample rate / channels / bit depth / duration
   * from the RIFF chunk walk), implemented against the container
   * specs in pure JVM and verified by q41/q87's oracles against
-  * planted values. Only pixel/frame-level decode and resampling are
-  * STUBBED (`FakeCodec`): the container has no
-  * image/audio libraries, so those steps are a deterministic fake
-  * keyed on the payload bytes; everything around them — schema,
-  * encoders, partition batching, column pruning — is real and tested.
+  * planted values. Sample-level decode is ALSO real for all three
+  * modalities: `PngCodec` (zlib inflate + scanline unfilter → pixels,
+  * q91), `PcmCodec` (int16 PCM → RMS/peak/crossings, q92), and
+  * `AviCodec` (AVI container walk → raw-DIB/MJPEG frames →
+  * sample/resize, q94). The only payloads without a sample-level
+  * path are codecs that genuinely need an external library (H.264,
+  * Vorbis, standalone JPEG entropy decode) — those fall back to the
+  * honest `ByteFeatures` content descriptor, never a fake decode.
   */
 object Multimodal {
 
@@ -517,17 +520,15 @@ object Multimodal {
       }
   }
 
-  /** STUB codec: a real build links an image/audio library here
-    * (none ships in this container). Every op is deterministic in the
-    * payload bytes so the Spark-side plumbing is fully testable; the
-    * signatures are the real contract a codec drops into. Since round
-    * 6 this stub covers only video FRAME ops (resize/sample): image
-    * pixel decode is real (`PngCodec`), audio sample decode is real
-    * (`PcmCodec`), and `extractFeatures` prefers real PNG channel
-    * stats over the byte-histogram fake when the payload decodes. */
-  object FakeCodec {
-    /** "Feature extraction": dim-sized byte-histogram moments. */
-    def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+  /** Content-level byte features for payloads no pure-JVM codec
+    * covers (e.g. H.264 video: entropy decode needs a codec library).
+    * NOT a codec stand-in — an honest, deterministic content
+    * descriptor (dim-sized byte-histogram moments) of the kind dedup
+    * pipelines key on when pixel decode is unavailable. Payloads a
+    * real codec CAN decode never reach this path (`extractFeatures`
+    * prefers `PngCodec` channel stats). */
+  object ByteFeatures {
+    def histogram(payload: Array[Byte], dim: Int = 8): Array[Float] = {
       if (payload == null || payload.isEmpty) return Array.fill(dim)(0.0f)
       val out = new Array[Float](dim)
       var i = 0
@@ -538,25 +539,194 @@ object Multimodal {
       val n = math.max(1, payload.length / dim)
       out.map(_ / n)
     }
+  }
 
-    /** "Resize": deterministic downsample of the payload to at most
-      * `targetBytes` by fixed-stride selection (stands in for image
-      * resampling: same shape — bytes in, smaller bytes out). */
-    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
-      if (payload == null || payload.length <= targetBytes) return payload
-      val stride = payload.length.toDouble / targetBytes
-      Array.tabulate(targetBytes)(i => payload((i * stride).toInt))
+  /** REAL video frame path: AVI (RIFF) container walk to per-frame
+    * pixel data, in pure JVM. Two in-scope frame codecs:
+    *   - `..db` raw-DIB frames — uncompressed BGR24, bottom-up rows,
+    *     stride padded to 4 bytes: exactly what
+    *     `ffmpeg -c:v rawvideo -pix_fmt bgr24 out.avi` writes. A
+    *     negative `biHeight` convention (top-down rows) is honored.
+    *   - `..dc` MJPEG frames — each frame is a complete JPEG, decoded
+    *     with the JDK's own `javax.imageio` (ships in the JDK; no
+    *     external library).
+    * Dimensions come from the `avih` MainAVIHeader (dwWidth/dwHeight
+    * at offsets 32/36, little-endian); frames live in the `movi`
+    * LIST, possibly nested inside `rec ` LISTs. Frames decode to RGB
+    * top-down row-major, 3 bytes/pixel. Never throws — malformed
+    * bytes are data, not an error. Verified two independent ways:
+    * q94's oracle recomputes planted-gradient frame stats in closed
+    * form, and MultimodalSpec round-trips random frames through an
+    * independently-written test-side AVI muxer (and ImageIO's own
+    * JPEG encoder for the MJPEG path). */
+  object AviCodec {
+    /** Decoded frames: RGB top-down row-major, 3 bytes per pixel. */
+    case class Video(width: Int, height: Int, frames: Vector[Array[Byte]])
+
+    private val MaxFrames = 4096
+    private val MaxPixels = 1L << 26 // per frame: 64 Mpx * 3 B bounded below
+
+    def decode(b: Array[Byte]): Option[Video] = {
+      if (b == null || b.length < 24) return None
+      def u8(i: Int): Int = b(i) & 0xFF
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+      def fourCC(i: Int, t: String): Boolean =
+        b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
+      if (!(fourCC(0, "RIFF") && fourCC(8, "AVI "))) return None
+
+      var width = 0
+      var height = 0 // signed: negative ⇒ top-down row order
+      val frames = Vector.newBuilder[Array[Byte]]
+      var nFrames = 0
+
+      /** Decode one raw-DIB frame chunk to RGB top-down. */
+      def dibFrame(off: Int, len: Int): Option[Array[Byte]] = {
+        val w = width; val h = math.abs(height)
+        if (w <= 0 || h == 0 || w.toLong * h > MaxPixels) return None
+        val stride = (w * 3 + 3) & ~3
+        if (len < stride * h) return None
+        val out = new Array[Byte](w * h * 3)
+        val topDown = height < 0
+        var r = 0
+        while (r < h) {
+          val y = if (topDown) r else h - 1 - r // stored row r → image row y
+          val in = off + r * stride
+          val o = y * w * 3
+          var x = 0
+          while (x < w) {
+            out(o + x * 3) = b(in + x * 3 + 2)     // R ← stored B,G,R order
+            out(o + x * 3 + 1) = b(in + x * 3 + 1) // G
+            out(o + x * 3 + 2) = b(in + x * 3)     // B
+            x += 1
+          }
+          r += 1
+        }
+        Some(out)
+      }
+
+      /** Decode one MJPEG frame chunk via the JDK's ImageIO. */
+      def jpegFrame(off: Int, len: Int): Option[Array[Byte]] = {
+        if (len < 4 || u8(off) != 0xFF || u8(off + 1) != 0xD8) return None
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b, off, len))
+          if (img == null) return None
+          val w = img.getWidth; val h = img.getHeight
+          if (w.toLong * h > MaxPixels) return None
+          if (width == 0) { width = w; height = h }
+          if (w != width || h != math.abs(height)) return None
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              out(o) = ((rgb >> 16) & 0xFF).toByte
+              out(o + 1) = ((rgb >> 8) & 0xFF).toByte
+              out(o + 2) = (rgb & 0xFF).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(out)
+        } catch { case _: Exception => None }
+      }
+
+      def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+
+      /** Walk `movi` content (frame chunks, possibly in `rec ` LISTs). */
+      def walkMovi(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end && nFrames < MaxFrames) {
+          val size = le32(p + 4)
+          if (size > Int.MaxValue - 12 || p + 8 + size > end + 0L) return
+          val len = size.toInt
+          if (fourCC(p, "LIST") && len >= 4 && fourCC(p + 8, "rec "))
+            walkMovi(p + 12, p + 8 + len)
+          else if (isDigit(b(p)) && isDigit(b(p + 1)) &&
+                   b(p + 2) == 'd' && (b(p + 3) == 'b' || b(p + 3) == 'c')) {
+            val f = if (b(p + 3) == 'b') dibFrame(p + 8, len) else jpegFrame(p + 8, len)
+            f.foreach { fr => frames += fr; nFrames += 1 }
+          }
+          p += 8 + len + (len & 1) // chunks are word-aligned
+        }
+      }
+
+      /** Walk `hdrl` content for the `avih` MainAVIHeader. */
+      def walkHdrl(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val size = le32(p + 4)
+          if (size > Int.MaxValue - 12 || p + 8 + size > end + 0L) return
+          val len = size.toInt
+          if (fourCC(p, "avih") && len >= 40) {
+            width = le32(p + 8 + 32).toInt
+            height = le32(p + 8 + 36).toInt
+          }
+          p += 8 + len + (len & 1)
+        }
+      }
+
+      // top-level chunk walk inside the RIFF body
+      var p = 12
+      while (p + 8 <= b.length) {
+        val size = le32(p + 4)
+        if (size > Int.MaxValue - 12 || p + 8 + size > b.length) return None
+        val len = size.toInt
+        if (fourCC(p, "LIST") && len >= 4) {
+          if (fourCC(p + 8, "hdrl")) walkHdrl(p + 12, p + 8 + len)
+          else if (fourCC(p + 8, "movi")) walkMovi(p + 12, p + 8 + len)
+        }
+        p += 8 + len + (len & 1)
+      }
+      val fs = frames.result()
+      if (width <= 0 || height == 0 || fs.isEmpty) None
+      else Some(Video(width, math.abs(height), fs))
     }
 
-    /** "Frame sampling": split the payload into `frameSize` chunks and
-      * keep every `every`-th chunk (stands in for video frame
-      * extraction; returns the kept frames). */
-    def sampleFrames(payload: Array[Byte], frameSize: Int,
-                     every: Int): Seq[Array[Byte]] = {
-      if (payload == null || payload.isEmpty) return Seq.empty
-      payload.grouped(frameSize).zipWithIndex
-        .collect { case (frame, i) if i % every == 0 => frame }
-        .toSeq
+    /** Keep every `every`-th frame (0, every, 2·every, …) — real frame
+      * sampling over decoded frames. */
+    def sampleEvery(frames: Vector[Array[Byte]], every: Int): Vector[Array[Byte]] =
+      frames.zipWithIndex.collect { case (f, i) if i % math.max(1, every) == 0 => f }
+
+    /** Nearest-neighbor resize of one RGB frame: source index
+      * sx = ⌊x·w/tw⌋, sy = ⌊y·h/th⌋ — deterministic, closed-form for
+      * planted gradients (the oracle recomputes it in SQL). */
+    def resizeNearest(frame: Array[Byte], w: Int, h: Int,
+                      tw: Int, th: Int): Array[Byte] = {
+      val out = new Array[Byte](tw * th * 3)
+      var y = 0
+      while (y < th) {
+        val sy = y * h / th
+        var x = 0
+        while (x < tw) {
+          val sx = x * w / tw
+          val in = (sy * w + sx) * 3
+          val o = (y * tw + x) * 3
+          out(o) = frame(in); out(o + 1) = frame(in + 1); out(o + 2) = frame(in + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Per-channel (R,G,B) sample means over a set of equal-size
+      * RGB frames. */
+    def channelMeans(frames: Seq[Array[Byte]]): Array[Double] = {
+      val sums = new Array[Long](3)
+      var n = 0L
+      frames.foreach { f =>
+        var i = 0
+        while (i < f.length) {
+          sums(i % 3) += f(i) & 0xFF
+          i += 1
+        }
+        n += f.length / 3
+      }
+      if (n == 0) Array(0.0, 0.0, 0.0) else sums.map(_.toDouble / n)
     }
   }
 
@@ -587,12 +757,13 @@ object Multimodal {
           md.reset()
           val dims = ImageCodec.imageDims(bytes)
           // real pixel features when the payload fully decodes as PNG
-          // (per-channel means, normalized like the fake's 0..1 range);
-          // the byte-histogram fake only for payloads no JVM-pure codec
-          // covers (JPEG entropy decode needs a DCT library)
+          // (per-channel means, normalized to the same 0..1 range);
+          // the byte-histogram descriptor only for payloads no
+          // JVM-pure codec covers (e.g. standalone JPEG entropy
+          // decode outside a container)
           val feature = PngCodec.decode(bytes) match {
             case Some(px) => PngCodec.channelMeans(px).map(m => (m / 255.0).toFloat)
-            case None     => FakeCodec.features(bytes)
+            case None     => ByteFeatures.histogram(bytes)
           }
           AssetFeatures(
             asset_id = id,
@@ -607,24 +778,66 @@ object Multimodal {
       }
   }
 
-  /** Per-partition resize + frame-sample pipeline over video-shaped
-    * payloads — the batch shape (one codec per partition, frames
-    * emitted per asset) is the real deliverable; the codec is the
-    * deterministic stub. */
+  /** REAL per-partition video frame pipeline: decode (AVI raw-DIB or
+    * MJPEG via `AviCodec`) → keep every `every`-th frame → nearest-
+    * neighbor resize to `targetW`×`targetH` → md5 per resized frame.
+    * Non-video payloads surface as zero frames, never errors.
+    * `n_frames` counts KEPT frames; `resized_len` is the per-frame
+    * RGB byte size after resize (tw·th·3). */
   def resizeAndSample(spark: SparkSession, assets: DataFrame,
-                      targetBytes: Int = 256, frameSize: Int = 64,
-                      every: Int = 2): Dataset[AssetFrames] = {
+                      every: Int = 2, targetW: Int = 8,
+                      targetH: Int = 8): Dataset[AssetFrames] = {
     import spark.implicits._
     assets.select("asset_id", "payload")
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, payload) =>
-          val resized = FakeCodec.resize(
-            if (payload == null) Array.empty[Byte] else payload, targetBytes)
-          val frames = FakeCodec.sampleFrames(resized, frameSize, every)
-          AssetFrames(id, frames.size, resized.length,
-            frames.map(f => md.digest(f).map("%02x".format(_)).mkString))
+          AviCodec.decode(payload) match {
+            case Some(v) =>
+              val kept = AviCodec.sampleEvery(v.frames, every)
+                .map(AviCodec.resizeNearest(_, v.width, v.height, targetW, targetH))
+              AssetFrames(id, kept.size, targetW * targetH * 3,
+                kept.map(f => md.digest(f).map("%02x".format(_)).mkString))
+            case None =>
+              AssetFrames(id, 0, 0, Seq.empty)
+          }
+        }
+      }
+  }
+
+  case class AssetFrameStats(asset_id: Long, modality: String,
+                             byte_len: Long, is_video: Boolean,
+                             width: Option[Int], height: Option[Int],
+                             n_frames: Option[Int], n_kept: Option[Int],
+                             mean_r: Option[Double], mean_g: Option[Double],
+                             mean_b: Option[Double])
+
+  /** Frame-level stats under the oracle: decode → sample every
+    * `every`-th frame → nearest-neighbor resize → per-channel means
+    * over the kept resized frames. The video twin of
+    * `extractPixelStats` (image) / `extractAudioStats` (audio). */
+  def extractFrameStats(spark: SparkSession, assets: DataFrame,
+                        every: Int = 2, targetW: Int = 2,
+                        targetH: Int = 2): Dataset[AssetFrameStats] = {
+    import spark.implicits._
+    assets.select("asset_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          AviCodec.decode(bytes) match {
+            case Some(v) =>
+              val kept = AviCodec.sampleEvery(v.frames, every)
+                .map(AviCodec.resizeNearest(_, v.width, v.height, targetW, targetH))
+              val m = AviCodec.channelMeans(kept)
+              AssetFrameStats(id, modality, bytes.length.toLong, is_video = true,
+                Some(v.width), Some(v.height), Some(v.frames.size),
+                Some(kept.size), Some(m(0)), Some(m(1)), Some(m(2)))
+            case None =>
+              AssetFrameStats(id, modality, bytes.length.toLong, is_video = false,
+                None, None, None, None, None, None, None)
+          }
         }
       }
   }

@@ -2603,6 +2603,103 @@ object Catalog {
         (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
   }
 
+  // ---------------------------------------------------------------- multimodal: AVI frame decode + sample + resize (real frame-level video)
+  /** The video twin of q91 (PNG pixels) and q92 (WAV samples): every
+    * non-text doc becomes a complete AVI whose raw-DIB frames carry a
+    * planted gradient v(ch,f,y,x) = (7·doc_id + 31f + 13y + 5x +
+    * 17·ch) mod 256, muxed scan-side exactly as the container
+    * demands (BGR byte order, bottom-up rows, stride padded to 4).
+    * `Multimodal.AviCodec` walks RIFF→hdrl/avih→movi, flips rows
+    * back, samples every 2nd frame, nearest-neighbor-resizes to 2×2,
+    * and reduces to per-channel means; the oracle regenerates the
+    * SAME sampled/resized pixel set directly from the gradient
+    * formula (sx = ⌊x·w/2⌋, sy = ⌊y·h/2⌋) — any muxing, stride,
+    * row-flip, channel-order, sampling, or resize error breaks the
+    * hash match. Widths 3..7 force both padded and unpadded strides. */
+  val q94AviFrames = q("q94_avi_frames",
+    "AVI raw-DIB frame decode + every-2nd sample + 2x2 nearest resize over planted gradients (north star: multimodal video)",
+    """WITH t AS (SELECT doc_id, text,
+      |                  3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+      |                  2 + doc_id % 5 AS nf
+      |           FROM documents),
+      |t2 AS (SELECT *, ((3 * w + 3) // 4) * 4 * h AS fb FROM t),
+      |px AS (SELECT doc_id,
+      |              (doc_id * 7 + f.f * 31 + ((y.y * h) // 2) * 13
+      |               + ((x.x * w) // 2) * 5 + c.c * 17) % 256 AS v,
+      |              c.c AS ch
+      |       FROM t2, range(6) f(f), range(2) y(y), range(2) x(x), range(3) c(c)
+      |       WHERE f.f < nf AND f.f % 2 = 0),
+      |agg AS (SELECT doc_id,
+      |               round(avg(CASE WHEN ch = 0 THEN CAST(v AS DOUBLE) END), 4) AS mr,
+      |               round(avg(CASE WHEN ch = 1 THEN CAST(v AS DOUBLE) END), 4) AS mg,
+      |               round(avg(CASE WHEN ch = 2 THEN CAST(v AS DOUBLE) END), 4) AS mb
+      |        FROM px GROUP BY doc_id)
+      |SELECT t2.doc_id AS asset_id,
+      |       CASE WHEN t2.doc_id % 7 = 0 THEN 'text' ELSE 'video' END AS modality,
+      |       CASE WHEN t2.doc_id % 7 = 0 THEN octet_length(encode(text))
+      |            ELSE CAST(100 + nf * (8 + fb) AS BIGINT) END AS byte_len,
+      |       CASE WHEN t2.doc_id % 7 = 0 THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+      |       CASE WHEN t2.doc_id % 7 = 0 THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+      |       CASE WHEN t2.doc_id % 7 = 0 THEN NULL ELSE CAST(nf AS INTEGER) END AS n_frames,
+      |       CASE WHEN t2.doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST((nf + 1) // 2 AS INTEGER) END AS n_kept,
+      |       CASE WHEN t2.doc_id % 7 = 0 THEN NULL ELSE agg.mr END AS mean_r,
+      |       CASE WHEN t2.doc_id % 7 = 0 THEN NULL ELSE agg.mg END AS mean_g,
+      |       CASE WHEN t2.doc_id % 7 = 0 THEN NULL ELSE agg.mb END AS mean_b
+      |FROM t2 JOIN agg ON t2.doc_id = agg.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val did = col("doc_id")
+    // 4-byte little-endian hex of a non-negative long column
+    def le32hex(v: Column): Column = concat((0 until 4).map(i =>
+      lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val w = lit(3L) + pmod(did, lit(5))
+    val h = lit(2L) + pmod(did, lit(4))
+    val nf = lit(2L) + pmod(did, lit(5))
+    val stride = floor((w * 3L + 3L) / 4).cast("long") * 4L
+    val fb = stride * h
+    // one raw-DIB frame chunk: '00db' + LE size + stored bytes, where
+    // stored row r is image row h-1-r (bottom-up), byte order B,G,R,
+    // and bytes past 3w are stride padding zeros
+    val frameHex = transform(sequence(lit(0L), nf - 1L), f =>
+      concat(lit("30306462"), le32hex(fb),
+        concat_ws("", transform(sequence(lit(0L), fb - 1L), i => {
+          val o = pmod(i, stride)
+          val r = floor((i - o) / stride).cast("long")
+          val x = floor(o / 3).cast("long")
+          val c = o - x * 3L // 0=B,1=G,2=R as stored
+          val y = h - 1L - r
+          val ch = lit(2L) - c
+          when(o >= w * 3L, lit("00"))
+            .otherwise(lpad(hex(pmod(
+              did * 7L + f * 31L + y * 13L + x * 5L + ch * 17L, lit(256L))), 2, "0"))
+        }))))
+    val moviHex = concat(lit("4C495354"), // 'LIST'
+      le32hex(lit(4L) + nf * (fb + 8L)), lit("6D6F7669"), // 'movi'
+      concat_ws("", frameHex))
+    // avih MainAVIHeader (56 B): usec/frame, 3×0, totalFrames, 0,
+    // streams=1, 0, width, height, 16 reserved zero bytes
+    val avihHex = concat(le32hex(lit(33333L)), lit("00" * 12),
+      le32hex(nf), lit("00" * 4), le32hex(lit(1L)), lit("00" * 4),
+      le32hex(w), le32hex(h), lit("00" * 16))
+    val hdrlHex = concat(lit("4C495354"), le32hex(lit(68L)),
+      lit("6864726C61766968"), le32hex(lit(56L)), avihHex) // 'hdrl'+'avih'
+    val totalLen = lit(100L) + nf * (fb + 8L)
+    val aviHex = concat(lit("52494646"), le32hex(totalLen - 8L),
+      lit("41564920"), hdrlHex, moviHex) // 'RIFF' … 'AVI '
+    val sevMod = pmod(did, lit(7))
+    val assets = docs.select(
+      did.as("asset_id"),
+      when(sevMod === 0, lit("text")).otherwise(lit("video")).as("modality"),
+      when(sevMod === 0, col("text").cast("binary")).otherwise(unhex(aviHex)).as("payload"))
+    Multimodal.extractFrameStats(s, assets, every = 2, targetW = 2, targetH = 2)
+      .toDF()
+      .select(col("asset_id"), col("modality"), col("byte_len"),
+        col("width"), col("height"), col("n_frames"), col("n_kept"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2625,5 +2722,5 @@ object Catalog {
     q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
     q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
-    q91PngPixels, q92WavPcm, q93IncrementalLsh)
+    q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames)
 }

@@ -36,16 +36,159 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a.head.length === 8)
   }
 
-  test("resizeAndSample: bounded output, stride frame selection") {
-    val frames = Multimodal.resizeAndSample(spark, assets,
-      targetBytes = 128, frameSize = 32, every = 2)
-    val rows = frames.collect()
-    assert(rows.length === assets.count())
-    // resize bound holds for every asset
-    assert(rows.forall(_.resized_len <= 128))
-    // 128 bytes / 32-byte frames = 4 chunks, every 2nd kept → 2 frames
-    assert(rows.filter(_.resized_len == 128).forall(_.n_frames == 2))
-    assert(rows.forall(r => r.frame_hashes.length == r.n_frames))
+  // ---- independent test-side AVI muxer (ByteBuffer; a separate code
+  // path from both the codec under test and the Catalog's SQL-side
+  // payload planting) ----------------------------------------------
+  private def leInt(v: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(v); bb.array()
+  }
+
+  /** Frames are RGB top-down (image order); the muxer stores them as
+    * the container demands: BGR, bottom-up unless `topDown` (then the
+    * avih height goes negative), rows padded to 4 bytes. */
+  private def buildAvi(w: Int, h: Int, rgbFrames: Seq[Array[Byte]],
+                       topDown: Boolean = false,
+                       recWrap: Boolean = false): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    def dib(rgb: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](stride * h)
+      for (r <- 0 until h; x <- 0 until w) {
+        val y = if (topDown) r else h - 1 - r
+        val in = (y * w + x) * 3
+        out(r * stride + x * 3) = rgb(in + 2)     // B
+        out(r * stride + x * 3 + 1) = rgb(in + 1) // G
+        out(r * stride + x * 3 + 2) = rgb(in)     // R
+      }
+      out
+    }
+    val avih = leInt(33333) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++
+      leInt(rgbFrames.size) ++ leInt(0) ++ leInt(1) ++ leInt(0) ++
+      leInt(w) ++ leInt(if (topDown) -h else h) ++ Array.fill(16)(0.toByte)
+    val hdrl = "hdrl".getBytes("ASCII") ++
+      "avih".getBytes("ASCII") ++ leInt(avih.length) ++ avih
+    val chunks = rgbFrames.map { f =>
+      val d = dib(f)
+      "00db".getBytes("ASCII") ++ leInt(d.length) ++ d
+    }
+    val inner = chunks.flatten.toArray
+    val moviBody =
+      if (recWrap) "rec ".getBytes("ASCII").++(inner) match {
+        case rec => "LIST".getBytes("ASCII") ++ leInt(rec.length) ++ rec
+      }
+      else inner
+    val movi = "movi".getBytes("ASCII") ++ moviBody
+    val body = "AVI ".getBytes("ASCII") ++
+      "LIST".getBytes("ASCII") ++ leInt(hdrl.length) ++ hdrl ++
+      "LIST".getBytes("ASCII") ++ leInt(movi.length) ++ movi
+    "RIFF".getBytes("ASCII") ++ leInt(body.length) ++ body
+  }
+
+  private def rndFrames(w: Int, h: Int, n: Int, seed: Long): Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+  }
+
+  test("AviCodec decodes muxed raw-DIB frames sample-exactly (incl. stride padding)") {
+    // w=5 forces row padding (15 → 16); w=4 has none
+    for ((w, h) <- Seq((5, 3), (4, 2), (7, 4))) {
+      val frames = rndFrames(w, h, 3, seed = w * 100 + h)
+      val v = Multimodal.AviCodec.decode(buildAvi(w, h, frames)).get
+      assert(v.width === w && v.height === h)
+      assert(v.frames.size === 3)
+      v.frames.zip(frames).foreach { case (got, want) =>
+        assert(got.toSeq === want.toSeq)
+      }
+    }
+  }
+
+  test("AviCodec honors negative-height top-down DIBs and rec-LIST nesting") {
+    val frames = rndFrames(6, 4, 2, seed = 42)
+    val td = Multimodal.AviCodec.decode(
+      buildAvi(6, 4, frames, topDown = true)).get
+    td.frames.zip(frames).foreach { case (g, wnt) => assert(g.toSeq === wnt.toSeq) }
+    val rec = Multimodal.AviCodec.decode(
+      buildAvi(6, 4, frames, recWrap = true)).get
+    assert(rec.frames.size === 2)
+    rec.frames.zip(frames).foreach { case (g, wnt) => assert(g.toSeq === wnt.toSeq) }
+  }
+
+  test("AviCodec decodes MJPEG frames via ImageIO (exact dims, close means)") {
+    val w = 16; val h = 12
+    val rnd = new scala.util.Random(7)
+    // smooth-ish frame so JPEG loss stays small
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = 64 + 8 * (x % 4) + 4 * (y % 4)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val jpg = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jpg)
+    val chunk = "00dc".getBytes("ASCII") ++ leInt(jpg.size) ++ jpg.toByteArray ++
+      (if (jpg.size % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val avih = leInt(33333) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++
+      leInt(1) ++ leInt(0) ++ leInt(1) ++ leInt(0) ++
+      leInt(w) ++ leInt(h) ++ Array.fill(16)(0.toByte)
+    val hdrl = "hdrl".getBytes("ASCII") ++
+      "avih".getBytes("ASCII") ++ leInt(avih.length) ++ avih
+    val movi = "movi".getBytes("ASCII") ++ chunk
+    val body = "AVI ".getBytes("ASCII") ++
+      "LIST".getBytes("ASCII") ++ leInt(hdrl.length) ++ hdrl ++
+      "LIST".getBytes("ASCII") ++ leInt(movi.length) ++ movi
+    val avi = "RIFF".getBytes("ASCII") ++ leInt(body.length) ++ body
+    val v = Multimodal.AviCodec.decode(avi).get
+    assert(v.width === w && v.height === h && v.frames.size === 1)
+    val wantMean = (for (y <- 0 until h; x <- 0 until w)
+      yield 64 + 8 * (x % 4) + 4 * (y % 4)).sum.toDouble / (w * h)
+    val gotMeans = Multimodal.AviCodec.channelMeans(v.frames)
+    gotMeans.foreach(m => assert(math.abs(m - wantMean) < 3.0,
+      s"JPEG mean drifted: $m vs $wantMean"))
+  }
+
+  test("AviCodec.resizeNearest matches the naive reference; sampleEvery strides") {
+    val w = 7; val h = 5; val tw = 3; val th = 2
+    val frame = rndFrames(w, h, 1, seed = 9).head
+    val got = Multimodal.AviCodec.resizeNearest(frame, w, h, tw, th)
+    for (y <- 0 until th; x <- 0 until tw; c <- 0 until 3) {
+      val sx = x * w / tw; val sy = y * h / th
+      assert(got((y * tw + x) * 3 + c) === frame((sy * w + sx) * 3 + c))
+    }
+    val fs = rndFrames(2, 2, 7, seed = 3).toVector
+    val kept = Multimodal.AviCodec.sampleEvery(fs, 3)
+    assert(kept.size === 3) // frames 0, 3, 6
+    assert(kept(1).toSeq === fs(3).toSeq)
+  }
+
+  test("AviCodec returns None for non-AVI, truncated, and undersized-frame payloads") {
+    assert(Multimodal.AviCodec.decode(null).isEmpty)
+    assert(Multimodal.AviCodec.decode("not a riff at all".getBytes).isEmpty)
+    val good = buildAvi(4, 2, rndFrames(4, 2, 2, seed = 1))
+    assert(Multimodal.AviCodec.decode(good.take(40)).isEmpty)
+    // corrupt a frame chunk's size field to overrun the buffer
+    val bad = good.clone()
+    bad(bad.length - 1) = 0x7F
+    // truncating mid-frame must not throw
+    Multimodal.AviCodec.decode(good.dropRight(3))
+  }
+
+  test("resizeAndSample: real AVI decode, frame stride + hash per kept frame") {
+    val frames = rndFrames(6, 4, 5, seed = 11)
+    val avi = buildAvi(6, 4, frames)
+    val df = Seq((1L, avi), (2L, "not video".getBytes)).toDF("asset_id", "payload")
+    val rows = Multimodal.resizeAndSample(spark, df, every = 2,
+      targetW = 4, targetH = 2).collect().sortBy(_.asset_id)
+    assert(rows(0).n_frames === 3) // frames 0, 2, 4 of 5
+    assert(rows(0).resized_len === 4 * 2 * 3)
+    assert(rows(0).frame_hashes.length === 3)
+    assert(rows(0).frame_hashes.distinct.length === 3) // random frames differ
+    // hash must equal md5 of the independently-computed resize
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(Multimodal.AviCodec.resizeNearest(frames.head, 6, 4, 4, 2))
+      .map("%02x".format(_)).mkString
+    assert(rows(0).frame_hashes.head === want)
+    assert(rows(1).n_frames === 0 && rows(1).frame_hashes.isEmpty)
   }
 
   private def hexBytes(h: String): Array[Byte] =
@@ -87,13 +230,37 @@ class MultimodalSpec extends SparkSpecBase {
       f.width.isEmpty && f.height.isEmpty))
   }
 
-  test("short payloads pass through resize untouched") {
+  test("non-video payloads surface as zero frames, never errors") {
     val tiny = Multimodal.assetsFromText(
       Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
-    val r = Multimodal.resizeAndSample(spark, tiny, targetBytes = 128,
-      frameSize = 32, every = 2).head()
-    assert(r.resized_len === 3)
-    assert(r.n_frames === 1)
+    val r = Multimodal.resizeAndSample(spark, tiny, every = 2).head()
+    assert(r.resized_len === 0)
+    assert(r.n_frames === 0)
+  }
+
+  test("extractFrameStats: decode → sample → resize → channel means, oracle-style") {
+    val w = 4; val h = 3
+    // planted gradient: v(ch,f,y,x) = (f*31 + y*13 + x*5 + ch*17) % 256
+    def px(f: Int, y: Int, x: Int, ch: Int): Int = (f * 31 + y * 13 + x * 5 + ch * 17) % 256
+    val frames = (0 until 4).map { f =>
+      val a = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        a((y * w + x) * 3 + c) = px(f, y, x, c).toByte
+      a
+    }
+    val df = Seq((1L, "video", buildAvi(w, h, frames)),
+                 (2L, "text", "hello".getBytes)).toDF("asset_id", "modality", "payload")
+    val rows = Multimodal.extractFrameStats(spark, df, every = 2,
+      targetW = 2, targetH = 2).collect().sortBy(_.asset_id)
+    val r = rows(0)
+    assert(r.is_video && r.width === Some(w) && r.height === Some(h))
+    assert(r.n_frames === Some(4) && r.n_kept === Some(2))
+    // closed-form: kept f∈{0,2}, resized samples sy∈{0,1}, sx∈{0,2}
+    def mean(ch: Int): Double = (for (f <- Seq(0, 2); y <- 0 to 1; x <- 0 to 1)
+      yield px(f, y * h / 2, x * w / 2, ch)).sum / 8.0
+    assert(r.mean_r === Some(mean(0)) && r.mean_g === Some(mean(1)) &&
+      r.mean_b === Some(mean(2)))
+    assert(!rows(1).is_video && rows(1).mean_r.isEmpty)
   }
 
   // 8 kHz mono 16-bit PCM declaring 16000 sample bytes → 1000 ms
