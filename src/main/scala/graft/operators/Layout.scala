@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton space-filling curve) data layout — the 100 TB
+  * data-skipping workhorse: cluster a table on the bit-interleaving
+  * of k range-bucketed columns so that parquet row-group / file
+  * min-max statistics prune scans on ANY of the k dimensions, not
+  * just the leading sort column. A lexicographic sort on (a, b)
+  * skips nothing for a predicate on b alone; a z-order sort bounds
+  * every file to a small hyper-rectangle of the key space, so a
+  * narrow predicate on either column intersects only a fraction of
+  * the files (LayoutSpec proves the pruning ratio on real writes).
+  *
+  * Reference semantics: the reference engine stores append-only
+  * snapshots with no clustering (extract_stripe_data.py:105-116 —
+  * plain NDJSON overwrite); this is the layout layer a lake-scale
+  * deployment adds under the same tables.
+  *
+  * Scale design: bucket scaling needs only per-column min/max — ONE
+  * aggregate job collecting 2k longs to the driver (bounded, like
+  * Percentiles' boundary collect) — and the interleave itself is a
+  * static composition of shift/mask built-ins, fully codegen'd,
+  * zero shuffle beyond the final repartitionByRange. Shift-aligned
+  * min/max bucketing is integer-exact at any magnitude and pinned
+  * bit-for-bit by q95's DuckDB oracle; for heavily skewed dimensions
+  * compose with a rank/percentile pre-transform so buckets equalize
+  * mass — the interleave is agnostic to how buckets were produced.
+  */
+object Layout {
+
+  /** Morton-interleave k already-bucketed non-negative columns, each
+    * in [0, 2^bits): output bit (i·k + j) is bit i of column j. With
+    * k·bits ≤ 62 the key fits a long. Pure shift/mask built-ins —
+    * whole-stage-codegen'd, no UDF. */
+  def interleave(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.nonEmpty && buckets.size * bits <= 62,
+      s"k*bits must fit a long: ${buckets.size} * $bits")
+    val k = buckets.size
+    buckets.zipWithIndex.flatMap { case (b, j) =>
+      (0 until bits).map(i =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * k + j))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Shift-aligned range bucket: offset to (v − min), then align the
+    * column's significant width to exactly `bits` bits — right-shift
+    * a wide column, left-shift a narrow one — so every dimension
+    * contributes equally to the curve regardless of its natural
+    * span. Pure integer shifts: exact and overflow-safe at ANY long
+    * magnitude (a multiply-then-divide scaling overflows 64 bits for
+    * nanosecond-timestamp spans; shifts never do), and expressible
+    * bit-for-bit in the DuckDB oracle (q95). Degenerate min = max
+    * collapses to bucket 0. */
+  def bucketize(v: Column, min: Long, max: Long, bits: Int): Column = {
+    if (max <= min) lit(0L)
+    else {
+      // binary digit count of the largest offset (max − min ≥ 1)
+      val width = 64 - java.lang.Long.numberOfLeadingZeros(max - min)
+      val off = v.cast("long") - min
+      if (width >= bits) shiftright(off, width - bits)
+      else shiftleft(off, bits - width)
+    }
+  }
+
+  /** Append a `zkey` column: per-column min/max via one aggregate
+    * (2k longs to the driver), then bucketize + interleave. */
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      bucketize(col(c), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
+    }
+    df.withColumn("zkey", interleave(buckets, bits))
+  }
+
+  /** Range-partition and sort by the z-key — each output file covers
+    * one contiguous curve segment (a bounded hyper-rectangle union),
+    * which is what makes min/max pruning effective on every
+    * dimension. The zkey column is dropped before the write; parquet
+    * column stats on the ORIGINAL columns do the pruning. */
+  def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
+               bits: Int = 16): DataFrame =
+    zorderKey(df, cols, bits)
+      .repartitionByRange(numPartitions, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .drop("zkey")
+
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+                  numPartitions: Int, bits: Int = 16): Unit =
+    zorderBy(df, cols, numPartitions, bits)
+      .write.mode("overwrite").parquet(path)
+}

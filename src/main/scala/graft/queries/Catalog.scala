@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
 import graft.functions.TextFunctions
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -2700,6 +2700,44 @@ object Catalog {
         round(col("mean_b"), 4).as("mean_b"))
   }
 
+  // ---------------------------------------------------------------- layout: z-order clustering key (data skipping at 100 TB)
+  /** `Layout.zorderKey` under the oracle: the Morton key that
+    * `zorderWrite` clusters files by (LayoutSpec proves the actual
+    * min/max file pruning on real writes; this query pins the KEY
+    * ARITHMETIC — shift-aligned bucketing of each dimension to 16
+    * bits, then 3-way bit interleave — exactly in DuckDB, including
+    * the dynamic min/max and the binary-width computation
+    * (`length(printf('%b', span))` ≡ 64 − numberOfLeadingZeros).
+    * Any drift in bucket alignment or bit placement breaks the hash
+    * match on all 60k keys. */
+  val q95Zorder = {
+    val dims = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val bits = 16
+    val bucketSql = dims.zipWithIndex.map { case (c, j) =>
+      val w = s"length(printf('%b', mx$j - mn$j))"
+      s"""CASE WHEN mx$j <= mn$j THEN 0
+         |     WHEN $w >= $bits THEN ($c - mn$j) >> ($w - $bits)
+         |     ELSE ($c - mn$j) << ($bits - $w) END AS b$j""".stripMargin
+    }.mkString(",\n")
+    val terms = (for (j <- dims.indices; i <- 0 until bits)
+      yield s"(((b$j >> $i) & 1) << ${i * dims.size + j})").mkString(" | ")
+    q("q95_zorder_key",
+      "Z-order (Morton) clustering key: shift-aligned buckets + bit interleave, the zorderWrite sort key (layout/data skipping)",
+      s"""WITH m AS (SELECT ${dims.zipWithIndex.map { case (c, j) =>
+            s"min($c) AS mn$j, max($c) AS mx$j" }.mkString(", ")}
+         |           FROM lineitem),
+         |z AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         |$bucketSql
+         |      FROM lineitem, m)
+         |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         |       ($terms) AS zkey
+         |FROM z""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      Layout.zorderKey(li, dims, bits)
+    }
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2722,5 +2760,5 @@ object Catalog {
     q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
     q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
-    q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames)
+    q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder)
 }
