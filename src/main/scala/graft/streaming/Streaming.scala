@@ -5,9 +5,9 @@ import java.time.Duration
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-import graft.operators.Merge
+import graft.operators.{Dedup, Merge}
 
 /** Structured Streaming surface of the engine.
   *
@@ -175,6 +175,50 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Merge.mergeWrite(spark, targetPath, batch, keys, partitionCol,
           clusterCols, versionCol)
+      }
+      .start()
+
+  /** Streaming corpus ingest with cross-batch exact dedup — the
+    * continuous form of the daily `Dedup.incrementalExactDedup` run:
+    * each micro-batch keeps only documents whose canonical
+    * fingerprint is new, appends the survivors to the corpus, and
+    * appends their fingerprints to the stored index the NEXT batch
+    * dedups against.
+    *
+    * The dedup state lives in the fingerprint TABLE, not in the
+    * streaming state store — the scale-correct design:
+    * `dropDuplicatesWithinWatermark` keeps per-key state in executor
+    * memory and must evict by watermark, so a document seen again
+    * after the horizon is re-admitted; a 100 TB corpus' identity is
+    * permanent, unbounded, and shared with the batch path, which is
+    * exactly what a parquet index gives (and why the batch and
+    * streaming paths here provably produce the same corpus —
+    * StreamingSpec). With `bloomExpectedItems` set, each batch folds
+    * the index into a broadcast bloom prefilter
+    * ([[graft.operators.Dedup.bloomIncrementalExactDedup]]) so
+    * definitely-new rows skip the anti-join shuffle entirely. */
+  def dedupIngestSink(stream: DataFrame, spark: SparkSession,
+                      corpusPath: String, indexPath: String,
+                      textCol: String, idCol: String, checkpoint: String,
+                      bloomExpectedItems: Option[Long] = None): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val index =
+          if (new java.io.File(indexPath).exists) spark.read.parquet(indexPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("fingerprint", StringType))))
+        val accepted = (bloomExpectedItems match {
+          case Some(n) if index.limit(1).count() > 0 =>
+            Dedup.bloomIncrementalExactDedup(batch, textCol, idCol, index, n)
+          case _ => Dedup.incrementalExactDedup(batch, textCol, idCol, index)
+        }).persist()
+        try {
+          accepted.drop("fingerprint").write.mode("append").parquet(corpusPath)
+          accepted.select("fingerprint").write.mode("append").parquet(indexPath)
+        } finally { accepted.unpersist(); () }
       }
       .start()
 }

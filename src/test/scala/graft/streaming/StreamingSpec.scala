@@ -245,4 +245,66 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.size === exp.size)
     assert(got === exp)
   }
+
+  /** dedupIngestSink ≡ batch incremental dedup: state lives in the
+    * fingerprint table, so a duplicate arriving a whole ACTIVATION
+    * later (far past any watermark horizon) is still rejected, and
+    * the final corpus equals Dedup.exactDedup over everything ever
+    * delivered. */
+  test("streaming dedup ingest ≡ batch dedup; cross-activation dups rejected") {
+    import graft.operators.Dedup
+    val src = Files.createTempDirectory("graft-ingest-src").toString
+    val corpus = Files.createTempDirectory("graft-ingest-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-ingest-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-ingest-ckp").toString
+
+    val batch1 = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "alpha beta"), (4L, "epsilon"))           // 3 within-batch survivors
+    val batch2 = Seq((5L, "Alpha  BETA!"), (6L, "zeta"),  // 5 = canonical dup of 1
+      (7L, "gamma delta"))                           // 7 = dup of 2
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
+    def drainOnce(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.dedupIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "text", "doc_id", ckp)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drainOnce()
+    assert(spark.read.parquet(corpus).count() === 3)
+    deliver("b2", batch2); drainOnce()
+
+    val got = spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted
+    // batch ground truth over everything delivered, min doc_id wins
+    val want = Dedup.exactDedup(
+        (batch1 ++ batch2).toDF("doc_id", "text"),
+        graft.functions.TextFunctions.fingerprint(col("text")), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === want)
+    assert(got === Array(1L, 2L, 4L, 6L))
+    // the index holds exactly the accepted fingerprints, no dups
+    val idx = spark.read.parquet(index).as[String].collect()
+    assert(idx.length === idx.distinct.length && idx.length === 4)
+
+    // bloom-prefiltered variant on a fresh state: same corpus
+    val corpus2 = Files.createTempDirectory("graft-ingest-c2").toString + "/c"
+    val index2 = Files.createTempDirectory("graft-ingest-i2").toString + "/i"
+    val ckp2 = Files.createTempDirectory("graft-ingest-k2").toString
+    val src2 = Files.createTempDirectory("graft-ingest-s2").toString
+    def drain2(): Unit = {
+      val schema = spark.read.parquet(s"$src2/b1").schema
+      Streaming.dedupIngestSink(
+        Streaming.fileStream(spark, schema, s"$src2/*"),
+        spark, corpus2, index2, "text", "doc_id", ckp2,
+        bloomExpectedItems = Some(1000L))
+        .awaitTermination()
+    }
+    batch1.toDF("doc_id", "text").write.parquet(s"$src2/b1"); drain2()
+    batch2.toDF("doc_id", "text").write.parquet(s"$src2/b2"); drain2()
+    val got2 = spark.read.parquet(corpus2).select("doc_id").as[Long]
+      .collect().sorted
+    assert(got2 === want)
+  }
 }
