@@ -763,7 +763,11 @@ object Multimodal {
           // decode outside a container)
           val feature = PngCodec.decode(bytes) match {
             case Some(px) => PngCodec.channelMeans(px).map(m => (m / 255.0).toFloat)
-            case None     => ByteFeatures.histogram(bytes)
+            case None => AviCodec.decode(bytes) match {
+              case Some(v) =>
+                AviCodec.channelMeans(v.frames).map(m => (m / 255.0).toFloat)
+              case None => ByteFeatures.histogram(bytes)
+            }
           }
           AssetFeatures(
             asset_id = id,

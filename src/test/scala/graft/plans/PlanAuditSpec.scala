@@ -122,4 +122,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q95 z-order keys: pure scan+project, codegen'd, zero shuffles") {
+    val plan = planOf("q95_zorder_key")
+    // min/max run as a separate bounded agg job at build time; the
+    // keyed output itself must stay a narrow codegen'd projection —
+    // a shuffle here would mean the interleave stopped being a
+    // per-row expression
+    assert(shuffles(plan) === 0, plan)
+    // "*(1) Project" = inside a whole-stage-codegen stage in
+    // executedPlan.toString (the literal "WholeStageCodegen" label
+    // only appears in formatted explain)
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
