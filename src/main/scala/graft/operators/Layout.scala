@@ -91,4 +91,57 @@ object Layout {
                   numPartitions: Int, bits: Int = 16): Unit =
     zorderBy(df, cols, numPartitions, bits)
       .write.mode("overwrite").parquet(path)
+
+  case class CompactionStats(filesBefore: Int, filesAfter: Int,
+                             bytesBefore: Long, rows: Long)
+
+  /** Small-file compaction — the operational counterpart of the
+    * layout writers: streaming ingest (dedupIngestSink, mergeSink)
+    * and frequent incremental batches each append a handful of rows
+    * per activation, and a 100 TB table quietly accretes millions of
+    * kilobyte files whose per-file open/footer cost dominates every
+    * subsequent scan. Rewrites the directory into
+    * ⌈bytes / targetFileBytes⌉ files (optionally re-sorted so
+    * clustering survives compaction), verifies the row count on the
+    * rewritten copy BEFORE touching the original, then swaps.
+    *
+    * The swap is rename-based: not atomic for readers the way a
+    * manifest-pointer flip would be (concurrent readers of `path` can
+    * glimpse the gap on stores without atomic dir rename), but never
+    * lossy — the verified rewrite exists on disk from before the
+    * original is removed, and a crash between the two leaves the
+    * `.compact-tmp` copy to recover from. Run it in the maintenance
+    * window the same way the reference runs its daily snapshot. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): CompactionStats = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+
+    val df = spark.read.parquet(path)
+    val expected = df.count()
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    val tmp = new Path(p.getParent, p.getName + ".compact-tmp")
+    arranged.write.mode("overwrite").parquet(tmp.toString)
+
+    val actual = spark.read.parquet(tmp.toString).count()
+    require(actual == expected,
+      s"compaction row-count mismatch for $path: $expected -> $actual; " +
+        s"original left untouched, rewrite at $tmp")
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(s"could not remove $path for swap")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(
+        s"rename $tmp -> $path failed; recover from $tmp")
+    CompactionStats(files.length, nOut, bytes, expected)
+  }
 }

@@ -107,4 +107,40 @@ class LayoutSpec extends SparkSpecBase {
     // and the rewrite lost no rows
     assert(spark.read.parquet(s"$base/zorder").count() === li.count())
   }
+
+  test("compact collapses an append-accreted directory, preserving rows and sort") {
+    val base = new java.io.File("target/tmp/layout-compact").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, base)
+    // simulate 30 tiny streaming appends
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    (0 until 30).foreach { i =>
+      li.filter(pmod(col("l_orderkey"), lit(30)) === i)
+        .coalesce(1).write.mode("append").parquet(base)
+    }
+    val before = spark.read.parquet(base)
+    val beforeRows = before.collect().map(_.toSeq).toSeq
+    val beforeFiles = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(beforeFiles >= 30)
+
+    val stats = Layout.compact(spark, base,
+      targetFileBytes = Long.MaxValue, sortCols = Seq("l_orderkey"))
+    assert(stats.filesBefore === beforeFiles)
+    assert(stats.filesAfter === 1)
+    assert(stats.rows === beforeRows.size)
+    val afterFiles = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(afterFiles === 1)
+    // same multiset of rows
+    val afterRows = spark.read.parquet(base).collect().map(_.toSeq).toSeq
+    assert(afterRows.groupBy(identity).view.mapValues(_.size).toMap ===
+      beforeRows.groupBy(identity).view.mapValues(_.size).toMap)
+    // clustering survived: the single file is sorted by l_orderkey
+    val keys = spark.read.parquet(base).select("l_orderkey")
+      .as[Long].collect()
+    assert(keys.toSeq === keys.sorted.toSeq)
+    // no leftover tmp directory
+    assert(!new java.io.File(base + ".compact-tmp").exists)
+  }
 }
