@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * zero shuffle beyond the final repartitionByRange. Shift-aligned
   * min/max bucketing is integer-exact at any magnitude and pinned
   * bit-for-bit by q95's DuckDB oracle; for heavily skewed dimensions
-  * compose with a rank/percentile pre-transform so buckets equalize
-  * mass — the interleave is agnostic to how buckets were produced.
+  * [[zorderKeyEqualDepth]] buckets by the column's own exact
+  * quantiles instead (q96's oracle) so buckets equalize ROW mass —
+  * the interleave is agnostic to how buckets were produced.
   */
 object Layout {
 
@@ -75,21 +76,55 @@ object Layout {
     df.withColumn("zkey", interleave(buckets, bits))
   }
 
+  /** Equal-depth (rank-based) z-order key — the skew-robust variant.
+    * Min/max bucketing wastes the curve on a skewed dimension: a
+    * timestamp column where 99 % of rows land in the newest month
+    * puts 99 % of the data into a sliver of buckets, and every file
+    * still spans that sliver — no pruning where the mass is. Here
+    * each dimension's bucket boundaries are its own exact quantiles
+    * (the engine's `Percentiles`, bit-identical to DuckDB's
+    * `quantile_cont` — q96 pins the whole key), so every bucket holds
+    * ~1/2^bits of the ROWS regardless of the value distribution.
+    *
+    * Cost: one `Percentiles` pass per dimension at build time
+    * (2^bits − 1 doubles per column to the driver — bounded), and the
+    * per-row bucket is a fold over that broadcast-literal boundary
+    * array: count of boundaries ≤ v. Ties among boundaries (a value
+    * so hot it spans quantiles) collapse adjacent buckets on BOTH
+    * engines identically, because the definition is a pure count. */
+  def zorderKeyEqualDepth(df: DataFrame, cols: Seq[String],
+                          bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 12,
+      s"equal-depth boundaries are driver-held literals: 2^$bits is too many")
+    val nb = (1 << bits) - 1
+    val ps = (1 to nb).map(i => (s"q$i", i.toDouble / (1 << bits)))
+    val buckets = cols.map { c =>
+      val row = Percentiles.interpolated(df.select(col(c)), Nil, c, ps).head()
+      val bs = (0 until nb).map(row.getDouble)
+      aggregate(array(bs.map(lit): _*), lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+    }
+    df.withColumn("zkey", interleave(buckets, bits))
+  }
+
   /** Range-partition and sort by the z-key — each output file covers
     * one contiguous curve segment (a bounded hyper-rectangle union),
     * which is what makes min/max pruning effective on every
     * dimension. The zkey column is dropped before the write; parquet
     * column stats on the ORIGINAL columns do the pruning. */
   def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
-               bits: Int = 16): DataFrame =
-    zorderKey(df, cols, bits)
-      .repartitionByRange(numPartitions, col("zkey"))
+               bits: Int = 16, equalDepth: Boolean = false): DataFrame = {
+    val keyed = if (equalDepth) zorderKeyEqualDepth(df, cols, math.min(bits, 8))
+                else zorderKey(df, cols, bits)
+    keyed.repartitionByRange(numPartitions, col("zkey"))
       .sortWithinPartitions("zkey")
       .drop("zkey")
+  }
 
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
-                  numPartitions: Int, bits: Int = 16): Unit =
-    zorderBy(df, cols, numPartitions, bits)
+                  numPartitions: Int, bits: Int = 16,
+                  equalDepth: Boolean = false): Unit =
+    zorderBy(df, cols, numPartitions, bits, equalDepth)
       .write.mode("overwrite").parquet(path)
 
   case class CompactionStats(filesBefore: Int, filesAfter: Int,

@@ -2738,6 +2738,40 @@ object Catalog {
     }
   }
 
+  // ---------------------------------------------------------------- layout: equal-depth z-order key (skew-robust data skipping)
+  /** `Layout.zorderKeyEqualDepth` under the oracle: bucket boundaries
+    * are each dimension's own exact quantiles (the engine's
+    * `Percentiles`, bit-identical to DuckDB `quantile_cont` — q33's
+    * proven interpolation), the per-row bucket is a pure
+    * count-of-boundaries-≤-v (so boundary TIES collapse identically
+    * on both engines — l_quantity has 50 distinct values under 255
+    * boundaries, a deliberate tie stress), and the Morton interleave
+    * is the same bit placement as q95. 60k keys hash-matched. */
+  val q96ZorderEqualDepth = {
+    val bits = 8
+    val nb = (1 << bits) - 1
+    val fracs = (1 to nb).map(i => s"$i/256.0").mkString(", ")
+    val terms = (for (j <- 0 until 2; i <- 0 until bits)
+      yield s"(((b$j >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+    q("q96_zorder_equal_depth",
+      "Equal-depth (quantile-bucketed) z-order key: skew-robust clustering, boundary ties collapse identically (layout/data skipping)",
+      s"""WITH bs AS (
+         |  SELECT quantile_cont(l_extendedprice, [$fracs]) AS q0,
+         |         quantile_cont(l_quantity, [$fracs]) AS q1
+         |  FROM lineitem),
+         |z AS (SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+         |             len(list_filter(bs.q0, b -> l_extendedprice >= b)) AS b0,
+         |             len(list_filter(bs.q1, b -> l_quantity >= b)) AS b1
+         |      FROM lineitem, bs)
+         |SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+         |       ($terms) AS zkey
+         |FROM z""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      Layout.zorderKeyEqualDepth(li, Seq("l_extendedprice", "l_quantity"), bits)
+    }
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2760,5 +2794,6 @@ object Catalog {
     q82SrpNearDup, q83RecognizedMart, q84TotalDeferred,
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
     q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
-    q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder)
+    q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder,
+    q96ZorderEqualDepth)
 }

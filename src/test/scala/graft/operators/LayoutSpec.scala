@@ -108,6 +108,34 @@ class LayoutSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/zorder").count() === li.count())
   }
 
+  test("equal-depth buckets equalize row mass on skewed data; linear buckets don't") {
+    // quadratic skew: mass concentrates at the low end
+    val skewed = (1 to 4000).map(i => (i.toLong, (i.toLong * i) / 4000))
+      .toDF("id", "v")
+    val bits = 4 // 16 buckets
+    def occupancy(keyed: org.apache.spark.sql.DataFrame, k: Int): Double = {
+      val counts = keyed
+        .select((col("zkey") % (1L << bits)).as("b")) // dim 0 bits of a 1-dim key
+        .groupBy("b").count().select("count").as[Long].collect()
+      counts.max.toDouble / counts.sum
+    }
+    val eq = Layout.zorderKeyEqualDepth(skewed, Seq("v"), bits)
+    val lin = Layout.zorderKey(skewed, Seq("v"), bits)
+      .withColumn("zkey", col("zkey")) // same shape
+    val eqShare = occupancy(eq, bits)
+    val linShare = occupancy(lin, bits)
+    // 16 equal-depth buckets → ideal share 1/16 ≈ 0.0625; allow 2x for
+    // boundary ties. The linear split puts ~quarter of all rows in the
+    // first bucket of a quadratic distribution (sqrt(1/16) = 1/4).
+    assert(eqShare < 0.13, s"equal-depth max bucket share $eqShare")
+    assert(linShare > 0.2, s"expected linear skew, got $linShare")
+    // deterministic across runs
+    val again = Layout.zorderKeyEqualDepth(skewed, Seq("v"), bits)
+      .select("id", "zkey").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === eq.select("id", "zkey").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq)
+  }
+
   test("compact collapses an append-accreted directory, preserving rows and sort") {
     val base = new java.io.File("target/tmp/layout-compact").getAbsolutePath
     graft.sources.Fs.deleteRecursively(spark, base)
