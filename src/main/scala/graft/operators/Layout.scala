@@ -97,14 +97,39 @@ object Layout {
     require(bits >= 1 && bits <= 12,
       s"equal-depth boundaries are driver-held literals: 2^$bits is too many")
     val nb = (1 << bits) - 1
-    val ps = (1 to nb).map(i => (s"q$i", i.toDouble / (1 << bits)))
+    val fracs = (1 to nb).map(i => i.toDouble / (1 << bits))
     val buckets = cols.map { c =>
-      val row = Percentiles.interpolated(df.select(col(c)), Nil, c, ps).head()
-      val bs = (0 until nb).map(row.getDouble)
-      aggregate(array(bs.map(lit): _*), lit(0L),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+      val bs = Percentiles.values(df.select(col(c)), c, fracs)
+      bucketOfSorted(col(c).cast("double"), bs)
     }
-    df.withColumn("zkey", interleave(buckets, bits))
+    // materialize each bucket ONCE before interleaving: interleave
+    // references its inputs `bits` times each, and inlining the
+    // comparison tree 8× per dimension makes the zkey expression
+    // thousands of nodes (measured 14 s vs sub-second at sf0.1)
+    val tmp = cols.indices.map(j => s"_zb$j")
+    val bucketed = buckets.zip(tmp).foldLeft(df) { case (d, (b, n)) =>
+      d.withColumn(n, b)
+    }
+    bucketed
+      .withColumn("zkey", interleave(tmp.map(col), bits))
+      .drop(tmp: _*)
+  }
+
+  /** Count of sorted boundaries ≤ v, as a balanced comparison TREE of
+    * nested CASE expressions — log₂(n) codegen'd comparisons per row
+    * instead of a linear interpreted fold (an `aggregate` HOF over a
+    * 255-literal array measured 26 s for 60k rows × 2 dims; this tree
+    * is sub-second). Identical result to the fold: `v ≥ bs(i)` is
+    * monotone non-increasing over a sorted (ties included) boundary
+    * array, which is exactly the predicate binary search needs. */
+  private def bucketOfSorted(v: Column, bs: IndexedSeq[Double]): Column = {
+    def go(lo: Int, hi: Int): Column = // the count, known to lie in [lo, hi]
+      if (lo == hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2 // v ≥ bs(mid) ⇒ at least mid+1 boundaries ≤ v
+        when(v >= bs(mid), go(mid + 1, hi)).otherwise(go(lo, mid))
+      }
+    go(0, bs.length)
   }
 
   /** Range-partition and sort by the z-key — each output file covers

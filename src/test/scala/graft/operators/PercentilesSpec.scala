@@ -40,6 +40,28 @@ class PercentilesSpec extends SparkSpecBase {
     }
   }
 
+  test("values (driver form) is bit-equal to interpolated for wide fraction lists") {
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 4001).map(_ => rnd.nextDouble() * 1e6 - 5e5).toDF("v")
+      .repartition(7)
+    val fracs = (1 to 255).map(_ / 256.0)
+    val viaValues = Percentiles.values(df, "v", fracs)
+    val ps = fracs.zipWithIndex.map { case (p, i) => (s"q$i", p) }
+    val row = Percentiles.interpolated(df, Nil, "v", ps).head()
+    val viaDf = fracs.indices.map(row.getDouble)
+    assert(viaValues.length === 255)
+    // BIT equality — same op order, so no tolerance
+    fracs.indices.foreach(i => assert(
+      java.lang.Double.doubleToLongBits(viaValues(i)) ===
+        java.lang.Double.doubleToLongBits(viaDf(i)), s"fraction index $i"))
+    // endpoints + duplicates + tiny input
+    val tiny = Seq(3.0, 1.0, 2.0, 2.0).toDF("v")
+    assert(Percentiles.values(tiny, "v", Seq(0.0, 0.5, 1.0)) ===
+      IndexedSeq(1.0, 2.0, 3.0))
+    assert(Percentiles.values(Seq(42.0).toDF("v"), "v", Seq(0.0, 0.3, 1.0)) ===
+      IndexedSeq(42.0, 42.0, 42.0))
+  }
+
   test("handles single-value groups, duplicates, and p=0/1 endpoints") {
     val df = Seq(
       ("a", 5.0), // n=1
