@@ -178,8 +178,19 @@ object Layout {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.listStatus(p).filter(s =>
+    val entries = fs.listStatus(p)
+    val files = entries.filter(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // a hive-partitioned table (day=.../ subdirectories) must be
+    // compacted per partition directory: rewriting the root would
+    // silently flatten the partition columns into the data files and
+    // lose directory pruning for every downstream reader
+    require(files.nonEmpty, {
+      val dirs = entries.filter(_.isDirectory).map(_.getPath.getName).take(3)
+      s"no parquet files directly under $path" +
+        (if (dirs.nonEmpty) s" (partition directories found: ${dirs.mkString(", ")}" +
+          " — compact each partition directory individually)" else "")
+    })
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 

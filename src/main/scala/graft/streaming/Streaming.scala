@@ -205,8 +205,13 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Hadoop-FS probe, not java.io.File: the index lives wherever
+        // the cluster's storage is (HDFS/S3A/GCS), where a local-file
+        // check is always false and would silently re-admit the whole
+        // corpus every batch (graft.sources.Fs's loud-failure rationale)
         val index =
-          if (new java.io.File(indexPath).exists) spark.read.parquet(indexPath)
+          if (graft.sources.Fs.exists(spark, indexPath))
+            spark.read.parquet(indexPath)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("fingerprint", StringType))))

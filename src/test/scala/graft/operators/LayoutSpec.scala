@@ -171,4 +171,18 @@ class LayoutSpec extends SparkSpecBase {
     // no leftover tmp directory
     assert(!new java.io.File(base + ".compact-tmp").exists)
   }
+
+  test("compact refuses a hive-partitioned root instead of flattening it") {
+    val base = new java.io.File("target/tmp/layout-compact-part").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, base)
+    Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("id", "v", "day")
+      .write.partitionBy("day").parquet(base)
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, base)
+    }
+    assert(e.getMessage.contains("partition directories found"))
+    // the table is untouched
+    assert(spark.read.parquet(base).count() === 2)
+  }
 }
