@@ -341,17 +341,7 @@ object Dedup {
     * key, whose self-join would emit O(m²) rows in a single task. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 5000): DataFrame = {
-    // exchange barrier: materialize the simhash once per doc (see
-    // minHashLsh for the CollapseProject rationale)
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-      .repartition(col("id"))
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
-    }
-    val banded = sigs
-      .select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+    val banded = simHashBanded(df, idCol, textCol)
     // bucket membership as a sorted (id, sig) list — one shuffle, same
     // shape as minHashLsh: the skew guard applies on list size,
     // identical-membership buckets collapse before the quadratic step
@@ -371,6 +361,63 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("y.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Persisted SimHash band index — the SimHash twin of
+    * [[minHashBandIndex]]: one (band, bh, id, sig) row per document ×
+    * 4 bands, written once at corpus build. The signature rides along
+    * so the probe can Hamming-verify without touching corpus text.
+    * Build-time skew guard: a degenerate constant-signature cohort
+    * (empty/boilerplate docs) would otherwise hand every future batch
+    * an O(cohort) join fan-out on its bucket. */
+  def simHashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       maxBucket: Int = 5000): DataFrame = {
+    val banded = simHashBanded(df, idCol, textCol)
+    banded.groupBy("band", "bh")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .filter(size(col("xs")) <= maxBucket)
+      .select(col("band"), col("bh"), explode(col("xs")).as("x"))
+      .select(col("band"), col("bh"), col("x.id").as("id"), col("x.sig").as("sig"))
+  }
+
+  /** Probe a new batch against a persisted [[simHashBandIndex]] —
+    * within-batch pairs plus batch×corpus pairs, the corpus never
+    * re-tokenized or re-signatured. Same contract as
+    * [[incrementalMinHashLsh]]: with the skew guard above the largest
+    * real clique, equals the full-corpus [[simHashPairs]] run
+    * restricted to pairs touching the batch (q97 pins it). */
+  def incrementalSimHash(newDocs: DataFrame, idCol: String, textCol: String,
+                         bandIndex: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = 5000): DataFrame = {
+    val internal = simHashPairs(newDocs, idCol, textCol, maxHamming, maxBucket)
+      .select("id_a", "id_b")
+    val cross = simHashBanded(newDocs, idCol, textCol)
+      .join(bandIndex
+          .withColumnRenamed("id", "corpus_id")
+          .withColumnRenamed("sig", "corpus_sig"),
+        Seq("band", "bh"))
+      .filter(col("id") =!= col("corpus_id") &&
+        bit_count(col("sig").bitwiseXOR(col("corpus_sig"))) <= maxHamming)
+      .select(least(col("id"), col("corpus_id")).as("id_a"),
+        greatest(col("id"), col("corpus_id")).as("id_b"))
+      .distinct()
+    internal.unionByName(cross).distinct()
+  }
+
+  /** Shared SimHash banding front end (4×16-bit bands), factored so
+    * the index build and the batch probe produce byte-identical band
+    * keys — the [[bandedKeys]] pattern. */
+  private def simHashBanded(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .repartition(col("id")) // materialization barrier (see minHashLsh)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
+    }
+    sigs
+      .select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
   }
 
   /** Connected components over a near-duplicate pair list: the final

@@ -2772,6 +2772,44 @@ object Catalog {
     }
   }
 
+  // ---------------------------------------------------------------- dedup: incremental SimHash vs persisted band index
+  /** q93's SimHash twin: the daily batch probes the corpus's
+    * PERSISTED (band, bh, id, sig) index — signatures ride in the
+    * index so the probe Hamming-verifies without corpus text — and
+    * the result must equal the full-corpus `simHashPairs` run
+    * restricted to pairs touching the batch. Computed both ways
+    * in-engine, emitted as a boolean the oracle pins alongside the
+    * batch size DuckDB recomputes. */
+  val q97IncrementalSimHash = q("q97_incremental_simhash",
+    "Incremental SimHash: batch vs persisted band index equals full-corpus banding restricted to the batch (north star: dedup)",
+    """SELECT count(*) AS n_batch_docs, TRUE AS sets_match
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val index = Dedup.simHashBandIndex(corpus, "doc_id", "text",
+      maxBucket = 10000)
+    val incremental = Dedup.incrementalSimHash(batch, "doc_id", "text", index,
+      maxHamming = 3, maxBucket = 10000)
+    val full = Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 10000).select("id_a", "id_b")
+    val batchIds = batch.select(col("doc_id").as("id_a"))
+    val touching = full
+      .join(batchIds, Seq("id_a"), "left_semi")
+      .unionByName(full.join(batchIds.select(col("id_a").as("id_b")),
+        Seq("id_b"), "left_semi"))
+      .distinct()
+    val missed = touching.join(incremental, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val spurious = incremental.join(touching, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_spurious"))
+    batch.agg(count(lit(1)).as("n_batch_docs"))
+      .crossJoin(broadcast(missed))
+      .crossJoin(broadcast(spurious))
+      .select(col("n_batch_docs"),
+        (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2795,5 +2833,5 @@ object Catalog {
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
     q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
     q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder,
-    q96ZorderEqualDepth)
+    q96ZorderEqualDepth, q97IncrementalSimHash)
 }

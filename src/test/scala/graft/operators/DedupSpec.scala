@@ -189,6 +189,36 @@ class DedupSpec extends SparkSpecBase {
     assert(internalOnly === batchOnly)
   }
 
+  test("incrementalSimHash ≡ full-corpus banding restricted to the batch (sf0.001)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val index = Dedup.simHashBandIndex(corpus, "doc_id", "text", maxBucket = 10000)
+    val incr = Dedup.incrementalSimHash(batch, "doc_id", "text", index,
+      maxHamming = 3, maxBucket = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val touching = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(touching.nonEmpty, "equivalence must not be vacuous")
+    assert(incr === touching,
+      s"missed=${(touching -- incr).take(5)} spurious=${(incr -- touching).take(5)}")
+
+    // empty batch → empty; empty index → batch-internal pairs only
+    assert(Dedup.incrementalSimHash(batch.limit(0), "doc_id", "text", index)
+      .count() === 0L)
+    val internalOnly = Dedup.incrementalSimHash(batch, "doc_id", "text",
+      index.limit(0), maxHamming = 3, maxBucket = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchOnly = Dedup.simHashPairs(batch, "doc_id", "text",
+      maxHamming = 3, maxBucket = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(internalOnly === batchOnly)
+  }
+
   // Pins q22's 4×16-bit pigeonhole banding against brute-force ground
   // truth on the real sf0.01 corpus. Unlike MinHash (probabilistic
   // recall), SimHash banding is DETERMINISTIC for maxHamming = 3: at
