@@ -542,16 +542,7 @@ object Dedup {
   def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, maxBucket: Int = 5000,
                         roundTo: Int = 4): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Sketches.srp_signature(col(vecCol)).as("sig"))
-      .repartition(col("id")) // materialization barrier (see minHashLsh)
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
-    }
-    val banded = sigs
-      .select(col("id"), col("vec"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))
+    val banded = srpBanded(df, idCol, vecCol)
     val buckets = banded.groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("xs"))
       .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
@@ -565,6 +556,62 @@ object Dedup {
         round(Sim.cosine(col("vec_a"), col("y.vec")), roundTo).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
+  }
+
+  /** Persisted SRP band index — the embedding-family twin of
+    * [[simHashBandIndex]]: (band, bh, id, vec) per vector × 4 bands
+    * of its 64-bit signed-random-projection signature, written once
+    * at corpus build. Vectors ride in the index (what a real ANN
+    * index stores) so the probe cosine-verifies without re-reading
+    * the corpus table. */
+  def srpBandIndex(df: DataFrame, idCol: String, vecCol: String,
+                   maxBucket: Int = 5000): DataFrame = {
+    val banded = srpBanded(df, idCol, vecCol)
+    banded.groupBy("band", "bh")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("xs"))
+      .filter(size(col("xs")) <= maxBucket)
+      .select(col("band"), col("bh"), explode(col("xs")).as("x"))
+      .select(col("band"), col("bh"), col("x.id").as("id"), col("x.vec").as("vec"))
+  }
+
+  /** Probe new vectors against a persisted [[srpBandIndex]]:
+    * within-batch pairs plus batch×corpus pairs cosine-verified at
+    * `threshold`, corpus vectors never re-read. Same contract as the
+    * other two families (q98 pins the full-run equivalence). */
+  def incrementalEmbeddingLsh(newDocs: DataFrame, idCol: String, vecCol: String,
+                              bandIndex: DataFrame, threshold: Double,
+                              maxBucket: Int = 5000,
+                              roundTo: Int = 4): DataFrame = {
+    val internal = embeddingLshPairs(newDocs, idCol, vecCol, threshold,
+      maxBucket, roundTo).select("id_a", "id_b", "cos")
+    val cross = srpBanded(newDocs, idCol, vecCol)
+      .join(bandIndex
+          .withColumnRenamed("id", "corpus_id")
+          .withColumnRenamed("vec", "corpus_vec"),
+        Seq("band", "bh"))
+      .filter(col("id") =!= col("corpus_id"))
+      .select(least(col("id"), col("corpus_id")).as("id_a"),
+        greatest(col("id"), col("corpus_id")).as("id_b"),
+        round(Sim.cosine(col("vec"), col("corpus_vec")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+    internal.unionByName(cross).distinct()
+  }
+
+  /** Shared SRP banding front end, factored so the index build and
+    * the batch probe produce byte-identical band keys. */
+  private def srpBanded(df: DataFrame, idCol: String,
+                        vecCol: String): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Sketches.srp_signature(col(vecCol)).as("sig"))
+      .repartition(col("id")) // materialization barrier (see minHashLsh)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
+    }
+    sigs
+      .select(col("id"), col("vec"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))
   }
 
   /** Exact n-gram Jaccard over an EXPLICIT candidate pair list — the

@@ -2810,6 +2810,58 @@ object Catalog {
         (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
   }
 
+  // ---------------------------------------------------------------- dedup: incremental embedding (SRP) vs persisted band index
+  /** The third and last family of q93/q97's incremental contract:
+    * new EMBEDDINGS probe the corpus's persisted SRP band index
+    * (vectors ride in the index, as a real ANN index stores them)
+    * and the cosine-verified result must equal the full-corpus
+    * `embeddingLshPairs` run restricted to pairs touching the batch.
+    * With this, every near-dup family — token MinHash, bitwise
+    * SimHash, embedding SRP — has the same daily-batch shape: probe
+    * a stored index, never re-process the corpus. */
+  val q98IncrementalSrp = q("q98_incremental_srp",
+    "Incremental embedding near-dup: batch vs persisted SRP index equals full-corpus banding restricted to the batch (north star: dedup)",
+    """SELECT count(*) FILTER (WHERE vec_id % 3 = 0)
+      |     + count(*) FILTER (WHERE vec_id % 10 = 0) AS n_batch_vecs,
+      |       TRUE AS sets_match
+      |FROM embeddings""".stripMargin) { (s, d) =>
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // synthetic embeddings are near-orthogonal, so near-dups are
+    // PLANTED (the q82 pattern): every 10th vector re-arrives in the
+    // daily batch as an exact copy under a shifted id — cross pairs
+    // against corpus originals, internal pairs when the original is
+    // also batch-side
+    val planted = vecs.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val batch = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .unionByName(planted)
+    val corpus = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val threshold = 0.99
+    val index = Dedup.srpBandIndex(corpus, "vec_id", "embedding",
+      maxBucket = 10000)
+    val incremental = Dedup.incrementalEmbeddingLsh(batch, "vec_id", "embedding",
+      index, threshold, maxBucket = 10000)
+      .select("id_a", "id_b")
+    val full = Dedup.embeddingLshPairs(vecs.unionByName(planted),
+      "vec_id", "embedding", threshold, maxBucket = 10000)
+      .select("id_a", "id_b")
+    val batchIds = batch.select(col("vec_id").as("id_a"))
+    val touching = full
+      .join(batchIds, Seq("id_a"), "left_semi")
+      .unionByName(full.join(batchIds.select(col("id_a").as("id_b")),
+        Seq("id_b"), "left_semi"))
+      .distinct()
+    val missed = touching.join(incremental, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val spurious = incremental.join(touching, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_spurious"))
+    batch.agg(count(lit(1)).as("n_batch_vecs"))
+      .crossJoin(broadcast(missed))
+      .crossJoin(broadcast(spurious))
+      .select(col("n_batch_vecs"),
+        (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2833,5 +2885,5 @@ object Catalog {
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
     q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
     q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder,
-    q96ZorderEqualDepth, q97IncrementalSimHash)
+    q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp)
 }

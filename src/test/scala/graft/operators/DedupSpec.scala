@@ -219,6 +219,39 @@ class DedupSpec extends SparkSpecBase {
     assert(internalOnly === batchOnly)
   }
 
+  test("incrementalEmbeddingLsh ≡ full-corpus banding restricted to the batch (sf0.001)") {
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // synthetic embeddings are near-orthogonal: plant copies (q82
+    // pattern) so the equivalence isn't vacuous
+    val planted = vecs.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val batch = vecs.filter($"vec_id" % 3 === 0).unionByName(planted)
+    val corpus = vecs.filter($"vec_id" % 3 =!= 0)
+    val index = Dedup.srpBandIndex(corpus, "vec_id", "embedding", maxBucket = 10000)
+    val incr = Dedup.incrementalEmbeddingLsh(batch, "vec_id", "embedding",
+      index, threshold = 0.99, maxBucket = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    val full = Dedup.embeddingLshPairs(vecs.unionByName(planted),
+      "vec_id", "embedding", threshold = 0.99, maxBucket = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val touching = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(touching.nonEmpty, "equivalence must not be vacuous")
+    assert(incr === touching,
+      s"missed=${(touching -- incr).take(5)} spurious=${(incr -- touching).take(5)}")
+    // empty edges
+    assert(Dedup.incrementalEmbeddingLsh(batch.limit(0), "vec_id", "embedding",
+      index, threshold = 0.99).count() === 0L)
+    val internalOnly = Dedup.incrementalEmbeddingLsh(batch, "vec_id", "embedding",
+      index.limit(0), threshold = 0.99, maxBucket = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchOnly = Dedup.embeddingLshPairs(batch, "vec_id", "embedding",
+      threshold = 0.99, maxBucket = 10000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(internalOnly === batchOnly)
+  }
+
   // Pins q22's 4×16-bit pigeonhole banding against brute-force ground
   // truth on the real sf0.01 corpus. Unlike MinHash (probabilistic
   // recall), SimHash banding is DETERMINISTIC for maxHamming = 3: at
