@@ -122,7 +122,7 @@ object Layout {
     * is sub-second). Identical result to the fold: `v ≥ bs(i)` is
     * monotone non-increasing over a sorted (ties included) boundary
     * array, which is exactly the predicate binary search needs. */
-  private def bucketOfSorted(v: Column, bs: IndexedSeq[Double]): Column = {
+  private[operators] def bucketOfSorted(v: Column, bs: IndexedSeq[Double]): Column = {
     def go(lo: Int, hi: Int): Column = // the count, known to lie in [lo, hi]
       if (lo == hi) lit(lo.toLong)
       else {

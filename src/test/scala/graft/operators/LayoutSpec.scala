@@ -108,6 +108,20 @@ class LayoutSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/zorder").count() === li.count())
   }
 
+  test("equal-depth bucket tree equals the naive linear count, ties included") {
+    val rnd = new scala.util.Random(101)
+    // boundaries with deliberate duplicates (hot-value ties)
+    val raw = Seq.fill(31)(rnd.nextInt(10).toDouble)
+    val bs = (raw ++ raw.take(7)).sorted.toIndexedSeq // 38 sorted, many ties
+    val probes = (-1 to 11).map(_.toDouble) ++ Seq.fill(50)(rnd.nextDouble() * 12 - 1)
+    val df = probes.toDF("v")
+    val got = df.select(col("v"), Layout.bucketOfSorted(col("v"), bs).as("b"))
+      .as[(Double, Long)].collect()
+    got.foreach { case (v, b) =>
+      assert(b === bs.count(_ <= v).toLong, s"v=$v")
+    }
+  }
+
   test("equal-depth buckets equalize row mass on skewed data; linear buckets don't") {
     // quadratic skew: mass concentrates at the low end
     val skewed = (1 to 4000).map(i => (i.toLong, (i.toLong * i) / 4000))

@@ -135,4 +135,13 @@ class PlanAuditSpec extends SparkSpecBase {
     // only appears in formatted explain)
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("q96 equal-depth keys: boundary trees stay a zero-shuffle codegen'd projection") {
+    val plan = planOf("q96_zorder_equal_depth")
+    // the quantile boundary passes run eagerly at build time; the
+    // keyed output is scan + comparison-tree projections — a shuffle
+    // or a codegen fallback here is the 26 s regression coming back
+    assert(shuffles(plan) === 0, plan)
+    assert(plan.contains("*(1) Project"), plan)
+  }
 }
