@@ -150,6 +150,43 @@ class LayoutSpec extends SparkSpecBase {
       .collect().sortBy(_._1).toSeq)
   }
 
+  test("on skewed data, equal-depth writes prune the dense region; linear writes can't") {
+    val rnd = new scala.util.Random(5)
+    // x: quadratic skew — ~97% of the mass below 1e4 of a 1e6 domain;
+    // y: uniform companion dimension
+    val rows = (1 to 20000).map { _ =>
+      val u = rnd.nextDouble()
+      ((u * u * u * 1e6).toLong, rnd.nextInt(1000).toLong)
+    } :+ ((1000000L, 999L)) // pin the domain max
+    val df = rows.toDF("x", "y")
+    val base = new java.io.File("target/tmp/layout-skew").getAbsolutePath
+    val nFiles = 8
+    Layout.zorderWrite(df, Seq("x", "y"), s"$base/linear", nFiles)
+    Layout.zorderWrite(df, Seq("x", "y"), s"$base/eqdepth", nFiles,
+      equalDepth = true)
+
+    def touched(path: String, lo: Long, hi: Long): Int =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("x").as("xmin"), max("x").as("xmax"))
+        .select("xmin", "xmax").as[(Long, Long)].collect()
+        .count { case (xmin, xmax) => xmax >= lo && xmin <= hi }
+
+    // a narrow slice INSIDE the dense region (~the hot tenant / the
+    // current day in a skewed timestamp): linear bucketing puts the
+    // whole dense mass in bucket 0, so every file holding dense rows
+    // spans it — no pruning where the queries actually land
+    val linearTouched = touched(s"$base/linear", 2000, 4000)
+    val eqTouched = touched(s"$base/eqdepth", 2000, 4000)
+    assert(linearTouched > nFiles / 2,
+      s"expected linear to span most dense-mass files, touched $linearTouched")
+    assert(eqTouched <= nFiles / 2,
+      s"equal-depth should prune the dense region, touched $eqTouched")
+    assert(eqTouched < linearTouched,
+      s"equal-depth ($eqTouched) must beat linear ($linearTouched) on skew")
+    assert(spark.read.parquet(s"$base/eqdepth").count() === rows.size)
+  }
+
   test("compact collapses an append-accreted directory, preserving rows and sort") {
     val base = new java.io.File("target/tmp/layout-compact").getAbsolutePath
     graft.sources.Fs.deleteRecursively(spark, base)
