@@ -402,6 +402,42 @@ object Multimodal {
     }
   }
 
+  /** ImageIO-backed pixel decode for the image containers the JDK
+    * itself ships decoders for — standalone JPEG (the JDK carries a
+    * full baseline+progressive DCT decoder), GIF, BMP. PNG goes
+    * through the hand-rolled [[PngCodec]] first (oracle-exact and
+    * covers the common shapes); this path catches what it declines
+    * (palette PNG, 16-bit, interlaced) plus the lossy formats whose
+    * pixel values aren't closed-form oracle-able but are still REAL
+    * decodes (spec-verified against ImageIO's own encoders). Output
+    * normalizes to 3-channel RGB. Never throws. */
+  object ImageIoCodec {
+    def decode(b: Array[Byte]): Option[PngCodec.Pixels] = {
+      if (b == null || b.length < 8) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) return None
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 28)) return None
+        val out = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val o = (y * w + x) * 3
+            out(o) = ((rgb >> 16) & 0xFF).toByte
+            out(o + 1) = ((rgb >> 8) & 0xFF).toByte
+            out(o + 2) = (rgb & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(PngCodec.Pixels(w, h, 3, out))
+      } catch { case _: Exception => None }
+    }
+  }
+
   case class AssetPixelStats(asset_id: Long, modality: String,
                              byte_len: Long,
                              is_png: Boolean,
@@ -756,19 +792,18 @@ object Multimodal {
           val bytes = if (payload == null) Array.empty[Byte] else payload
           md.reset()
           val dims = ImageCodec.imageDims(bytes)
-          // real pixel features when the payload fully decodes as PNG
-          // (per-channel means, normalized to the same 0..1 range);
-          // the byte-histogram descriptor only for payloads no
-          // JVM-pure codec covers (e.g. standalone JPEG entropy
-          // decode outside a container)
-          val feature = PngCodec.decode(bytes) match {
-            case Some(px) => PngCodec.channelMeans(px).map(m => (m / 255.0).toFloat)
-            case None => AviCodec.decode(bytes) match {
-              case Some(v) =>
-                AviCodec.channelMeans(v.frames).map(m => (m / 255.0).toFloat)
-              case None => ByteFeatures.histogram(bytes)
-            }
-          }
+          // real pixel features wherever a real decoder exists:
+          // hand-rolled PNG first (oracle-exact), then the JDK's own
+          // ImageIO decoders (JPEG/GIF/BMP + the PNG shapes PngCodec
+          // declines), then AVI frame means; the byte-histogram
+          // descriptor only for genuinely library-requiring codecs
+          // (H.264, Vorbis, ...)
+          val feature = PngCodec.decode(bytes)
+            .orElse(ImageIoCodec.decode(bytes))
+            .map(px => PngCodec.channelMeans(px).map(m => (m / 255.0).toFloat))
+            .orElse(AviCodec.decode(bytes)
+              .map(v => AviCodec.channelMeans(v.frames).map(m => (m / 255.0).toFloat)))
+            .getOrElse(ByteFeatures.histogram(bytes))
           AssetFeatures(
             asset_id = id,
             modality = modality,

@@ -21,6 +21,7 @@ class CodecFuzzSpec extends SparkSpecBase {
     Multimodal.PngCodec.decode(b)
     Multimodal.PcmCodec.pcmStats(b)
     Multimodal.AviCodec.decode(b)
+    Multimodal.ImageIoCodec.decode(b)
   }
 
   /** A valid payload per container family, built with JDK/test-side

@@ -230,6 +230,39 @@ class MultimodalSpec extends SparkSpecBase {
       f.width.isEmpty && f.height.isEmpty))
   }
 
+  test("ImageIoCodec decodes JDK-native containers: BMP/GIF exact, JPEG close") {
+    val w = 12; val h = 9
+    def gradient(ch: Int, y: Int, x: Int): Int = (40 + 6 * (x % 5) + 4 * (y % 3) + 10 * ch) % 256
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (gradient(0, y, x) << 16) | (gradient(1, y, x) << 8) | gradient(2, y, x))
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // BMP: raw RGB — sample-exact
+    val bmp = Multimodal.ImageIoCodec.decode(encode("bmp")).get
+    assert(bmp.width === w && bmp.height === h && bmp.channels === 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((bmp.data((y * w + x) * 3 + c) & 0xFF) === gradient(c, y, x))
+    // GIF: lossless for ≤256 distinct colors — sample-exact
+    val gif = Multimodal.ImageIoCodec.decode(encode("gif")).get
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((gif.data((y * w + x) * 3 + c) & 0xFF) === gradient(c, y, x))
+    // JPEG: lossy DCT — means stay close
+    val jpg = Multimodal.ImageIoCodec.decode(encode("jpg")).get
+    val wantMeans = (0 until 3).map(c =>
+      (for (y <- 0 until h; x <- 0 until w) yield gradient(c, y, x)).sum.toDouble / (w * h))
+    val gotMeans = Multimodal.PngCodec.channelMeans(jpg)
+    (0 until 3).foreach(c => assert(math.abs(gotMeans(c) - wantMeans(c)) < 4.0,
+      s"channel $c drifted: ${gotMeans(c)} vs ${wantMeans(c)}"))
+    // non-images decline quietly
+    assert(Multimodal.ImageIoCodec.decode("plain text".getBytes).isEmpty)
+    assert(Multimodal.ImageIoCodec.decode(null).isEmpty)
+  }
+
   test("non-video payloads surface as zero frames, never errors") {
     val tiny = Multimodal.assetsFromText(
       Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
