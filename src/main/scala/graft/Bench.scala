@@ -93,17 +93,19 @@ object Bench {
       if (sibling != sfDir && new java.io.File(sibling).isDirectory) Some(sibling)
       else None
     }
+    // a query that FAILS at the second SF must not be summed as a
+    // ~0s timing (it would read as a massive scaling speedup); track
+    // failures and mark them in the details file instead
+    var failedSf2 = Set.empty[String]
     val results2: Seq[(String, Double)] = sf2Dir.toSeq.flatMap { d2 =>
       names.foreach(run(spark, _, d2)) // warmup (plans recompile per path)
-      val q1 = names.map { n =>
-        val t0 = System.nanoTime(); run(spark, n, d2)
+      def pass(): Map[String, Double] = names.map { n =>
+        val t0 = System.nanoTime()
+        if (!run(spark, n, d2)) failedSf2 += n
         n -> (System.nanoTime() - t0) / 1e9
       }.toMap
-      val q2 = names.map { n =>
-        val t0 = System.nanoTime(); run(spark, n, d2)
-        n -> (System.nanoTime() - t0) / 1e9
-      }.toMap
-      names.map(n => n -> math.min(q1(n), q2(n)))
+      val q1 = pass(); val q2 = pass()
+      names.filterNot(failedSf2).map(n => n -> math.min(q1(n), q2(n)))
     }
     // The driver captures only the LAST ~2000 chars of output and parses the
     // metric line from that window. Rounds 1-3 all came back "parsed": null:
@@ -127,7 +129,8 @@ object Bench {
       results.map { case (k, v) => s"$k $v" } ++
         q42Stages.map { case (k, v) => f"$k $v%.3f" } ++
         sf2Dir.toSeq.map(d2 => s"sf2 $d2") ++
-        results2.map { case (k, v) => s"$k@sf2 $v" }
+        results2.map { case (k, v) => s"$k@sf2 $v" } ++
+        failedSf2.toSeq.sorted.map(n => s"$n@sf2 FAILED")
     java.nio.file.Files.write(detailPath,
       detailLines.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

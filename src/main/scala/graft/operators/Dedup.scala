@@ -167,33 +167,16 @@ object Dedup {
                  maxBucket: Int = 200,
                  blockCol: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val blockKey = blockCol.toSeq
 
-    // The repartition is a materialization barrier as much as a
-    // partitioning choice: without an exchange between the signature
-    // projection and the downstream explode/join, CollapseProject
-    // inlines minhash_signature into the pair stage and recomputes it
-    // per banded row / per candidate pair instead of once per doc.
-    val sigs = df.select(
-      col(idCol).as("id") +: Sketches.minhash_shingled(
-        TextFunctions.tokens(col(textCol)), shingleK, numHashes).as("sig") +:
-        blockKey.map(col): _*)
-      .repartition(col("id"))
-
-    // band keys built with a Scala-level loop (band count is static).
-    // Signatures are dropped immediately: every shuffle from here to
-    // pair generation carries only (id, [block,] band, bh) — small
-    // fixed-width rows, not 8·numHashes-byte signature arrays.
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
-    }
-    val banded = sigs
-      .select(col("id") +: explode(array(bandStructs: _*)).as("bk") +:
-        blockKey.map(col): _*)
-      .select(col("id") +: col("bk.band") +: col("bk.bh") +:
-        blockKey.map(col): _*)
+    // Signatures and band keys come from the SAME helpers the
+    // persisted index build and the incremental probe use
+    // ([[minHashSigs]]/[[bandKeysOf]]) — byte-identical band keys
+    // across all three paths is what the q93 incremental-equals-full
+    // contract rests on; sigs are kept separately here because the
+    // threshold > 0 tail re-joins them for scoring.
+    val sigs = minHashSigs(df, idCol, textCol, numHashes, shingleK, blockCol)
+    val banded = bandKeysOf(sigs, numHashes, bands, blockCol)
 
     // Bucket membership as a sorted id list (one shuffle), with the
     // skew guard (degenerate mega-buckets) and singleton drop applied
@@ -301,20 +284,38 @@ object Dedup {
   }
 
   /** Shared banding front end: (id, [block,] band, bh) keys from the
-    * codegen'd scan-side signatures — the construction [[minHashLsh]]
-    * uses internally, factored out so the index build and the batch
-    * probe produce byte-identical band keys. */
+    * codegen'd scan-side signatures — used by [[minHashLsh]], the
+    * index build, and the batch probe, so all three produce
+    * byte-identical band keys by construction. */
   private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int, bands: Int, shingleK: Int,
+                         blockCol: Option[String]): DataFrame =
+    bandKeysOf(minHashSigs(df, idCol, textCol, numHashes, shingleK, blockCol),
+      numHashes, bands, blockCol)
+
+  /** (id, sig, [block]) MinHash signatures behind an exchange: the
+    * repartition is a materialization barrier as much as a
+    * partitioning choice — without it CollapseProject inlines the
+    * signature expression into the pair stage and recomputes it per
+    * banded row / per candidate pair instead of once per doc. */
+  private def minHashSigs(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int, shingleK: Int,
+                          blockCol: Option[String]): DataFrame =
+    df.select(
+      col(idCol).as("id") +: Sketches.minhash_shingled(
+        TextFunctions.tokens(col(textCol)), shingleK, numHashes).as("sig") +:
+        blockCol.toSeq.map(col): _*)
+      .repartition(col("id"))
+
+  /** Band keys from materialized signatures. Signatures are dropped
+    * immediately: every shuffle from here to pair generation carries
+    * only (id, [block,] band, bh) — small fixed-width rows, not
+    * 8·numHashes-byte signature arrays. */
+  private def bandKeysOf(sigs: DataFrame, numHashes: Int, bands: Int,
                          blockCol: Option[String]): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val blockKey = blockCol.toSeq
-    val sigs = df.select(
-      col(idCol).as("id") +: Sketches.minhash_shingled(
-        TextFunctions.tokens(col(textCol)), shingleK, numHashes).as("sig") +:
-        blockKey.map(col): _*)
-      .repartition(col("id")) // materialization barrier (see minHashLsh)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))

@@ -71,6 +71,10 @@ object Layout {
     val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = cols.zipWithIndex.map { case (c, i) =>
+      // loud failure over a bare NPE: min/max are null iff the column
+      // has no non-null rows (empty table or all-null dimension)
+      require(!row.isNullAt(2 * i),
+        s"z-order dimension $c has no non-null rows — nothing to bucket")
       bucketize(col(c), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
     }
     df.withColumn("zkey", interleave(buckets, bits))

@@ -20,14 +20,22 @@ import org.apache.spark.sql.types._
   * specs in pure JVM and verified by q41/q87's oracles against
   * planted values. Sample-level decode is ALSO real for all three
   * modalities: `PngCodec` (zlib inflate + scanline unfilter → pixels,
-  * q91), `PcmCodec` (int16 PCM → RMS/peak/crossings, q92), and
+  * q91), `PcmCodec` (int16 PCM → RMS/peak/crossings, q92),
   * `AviCodec` (AVI container walk → raw-DIB/MJPEG frames →
-  * sample/resize, q94). The only payloads without a sample-level
+  * sample/resize, q94), and `ImageIoCodec` (the JDK's own
+  * JPEG/GIF/BMP decoders). The only payloads without a sample-level
   * path are codecs that genuinely need an external library (H.264,
-  * Vorbis, standalone JPEG entropy decode) — those fall back to the
-  * honest `ByteFeatures` content descriptor, never a fake decode.
+  * Vorbis, MP3/AAC) — those fall back to the honest `ByteFeatures`
+  * content descriptor, never a fake decode.
   */
 object Multimodal {
+
+  // payloads are already in-memory byte arrays: without this, every
+  // ImageIO.read (ImageIoCodec AND AviCodec's MJPEG frames) wraps its
+  // stream in a FileCacheImageInputStream — one executor-disk
+  // temp-file create/write/delete PER ASSET. JVM-global, set once at
+  // object init (this object loads before any codec call).
+  javax.imageio.ImageIO.setUseCache(false)
 
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -332,7 +340,9 @@ object Multimodal {
       var walking = true
       while (walking && p + 8 <= b.length) {
         val len = be32(p)
-        if (len > Int.MaxValue - 12 || p + 12 + len.toInt > b.length) walking = false
+        // Long arithmetic: a crafted len near Int.MaxValue must not
+        // wrap the bounds check negative and walk out of the buffer
+        if (len > Int.MaxValue - 12 || p + 12L + len > b.length) walking = false
         else {
           if (b(p + 4) == 'I' && b(p + 5) == 'D' && b(p + 6) == 'A' && b(p + 7) == 'T')
             idat.write(b, p + 8, len.toInt)
@@ -494,8 +504,13 @@ object Multimodal {
       if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
             b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
         return None
-      // find the data chunk; require a 16-bit fmt (bits at fmt+22)
+      // find the data chunk; require PCM (wFormatTag 1), MONO, 16-bit —
+      // the documented contract: a stereo stream read as one channel
+      // would report 2x the frames and bogus crossings, and a
+      // compressed format declaring 16 bits would decode garbage
       var p = 12
+      var tag = 0
+      var channels = 0
       var bits = 0
       var dataOff = -1
       var dataLen = 0L
@@ -503,6 +518,8 @@ object Multimodal {
         val size = le32(p + 4)
         if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
           if (size < 16 || p + 8 + 16 > b.length) return None
+          tag = u8(p + 8) | (u8(p + 9) << 8)
+          channels = u8(p + 10) | (u8(p + 11) << 8)
           bits = u8(p + 22) | (u8(p + 23) << 8)
         } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a') {
           dataOff = p + 8
@@ -511,7 +528,7 @@ object Multimodal {
         p += 8 + (size + (size & 1L)).min(Int.MaxValue).toInt
         if (p < 0) return None
       }
-      if (dataOff < 0 || bits != 16) return None
+      if (dataOff < 0 || tag != 1 || channels != 1 || bits != 16) return None
       // clamp to what's actually present (byte-range probes truncate)
       val avail = math.min(dataLen, (b.length - dataOff).toLong)
       val n = avail / 2
@@ -673,14 +690,17 @@ object Multimodal {
       def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
 
       /** Walk `movi` content (frame chunks, possibly in `rec ` LISTs). */
-      def walkMovi(start: Int, end: Int): Unit = {
+      // depth-capped: real AVIs nest `rec ` one level; an adversarial
+      // 100k-deep nest must exhaust the cap, not the JVM stack
+      def walkMovi(start: Int, end: Int, depth: Int = 0): Unit = {
+        if (depth > 16) return
         var p = start
         while (p + 8 <= end && nFrames < MaxFrames) {
           val size = le32(p + 4)
           if (size > Int.MaxValue - 12 || p + 8 + size > end + 0L) return
           val len = size.toInt
           if (fourCC(p, "LIST") && len >= 4 && fourCC(p + 8, "rec "))
-            walkMovi(p + 12, p + 8 + len)
+            walkMovi(p + 12, p + 8 + len, depth + 1)
           else if (isDigit(b(p)) && isDigit(b(p + 1)) &&
                    b(p + 2) == 'd' && (b(p + 3) == 'b' || b(p + 3) == 'c')) {
             val f = if (b(p + 3) == 'b') dibFrame(p + 8, len) else jpegFrame(p + 8, len)

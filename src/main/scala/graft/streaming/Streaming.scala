@@ -196,7 +196,12 @@ object Streaming {
     * StreamingSpec). With `bloomExpectedItems` set, each batch folds
     * the index into a broadcast bloom prefilter
     * ([[graft.operators.Dedup.bloomIncrementalExactDedup]]) so
-    * definitely-new rows skip the anti-join shuffle entirely. */
+    * definitely-new rows skip the anti-join shuffle entirely.
+    *
+    * Both tables carry an `_epoch` partition column (the micro-batch
+    * id): writes are epoch-partitioned dynamic overwrites, which is
+    * what makes an at-least-once replay idempotent instead of a
+    * double-append. */
   def dedupIngestSink(stream: DataFrame, spark: SparkSession,
                       corpusPath: String, indexPath: String,
                       textCol: String, idCol: String, checkpoint: String,
@@ -204,14 +209,14 @@ object Streaming {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // Hadoop-FS probe, not java.io.File: the index lives wherever
         // the cluster's storage is (HDFS/S3A/GCS), where a local-file
         // check is always false and would silently re-admit the whole
         // corpus every batch (graft.sources.Fs's loud-failure rationale)
         val index =
           if (graft.sources.Fs.exists(spark, indexPath))
-            spark.read.parquet(indexPath)
+            spark.read.parquet(indexPath).select("fingerprint")
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("fingerprint", StringType))))
@@ -221,8 +226,22 @@ object Streaming {
           case _ => Dedup.incrementalExactDedup(batch, textCol, idCol, index)
         }).persist()
         try {
-          accepted.drop("fingerprint").write.mode("append").parquet(corpusPath)
-          accepted.select("fingerprint").write.mode("append").parquet(indexPath)
+          // epoch-partitioned dynamic overwrite, NOT a plain append:
+          // foreachBatch is at-least-once, and a retry of epoch N
+          // after a partial failure must overwrite its own partition
+          // instead of double-appending the batch. Either failure
+          // point replays safely: before the index write, the retry
+          // recomputes the same accepted set (index unchanged) and
+          // rewrites _epoch=N; after it, the retry's accepted set is
+          // empty (fingerprints already indexed) and dynamic
+          // overwrite with zero rows touches nothing.
+          def epochWrite(df: DataFrame, path: String): Unit =
+            df.withColumn("_epoch", lit(epochId))
+              .write.partitionBy("_epoch")
+              .option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite").parquet(path)
+          epochWrite(accepted.drop("fingerprint"), corpusPath)
+          epochWrite(accepted.select("fingerprint"), indexPath)
         } finally { accepted.unpersist(); () }
       }
       .start()

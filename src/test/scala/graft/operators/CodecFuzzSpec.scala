@@ -88,6 +88,61 @@ class CodecFuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("PNG chunk length near Int.MaxValue cannot wrap the bounds check") {
+    // valid signature + IHDR claiming 4x4 gray, then a chunk whose
+    // length field is 0x7FFFFFE0: p + 12 + len overflows Int — the
+    // walk must stop, not read out of bounds
+    val hdr = ("89504E470D0A1A0A" + "0000000D49484452" +
+      "00000004" + "00000004" + "0800000000" + "00000000").replaceAll(" ", "")
+    val evil = hdr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray ++
+      Array[Byte](0x7F, 0xFF.toByte, 0xFF.toByte, 0xE0.toByte) ++
+      "IDAT".getBytes ++ Array.fill(16)(0.toByte)
+    assert(Multimodal.PngCodec.decode(evil).isEmpty) // and must not throw
+  }
+
+  test("deeply nested rec-LIST AVIs exhaust the depth cap, not the JVM stack") {
+    def leInt(v: Int) = { val b = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN); b.putInt(v); b.array() }
+    val depth = 100000
+    val innermost = Array.empty[Byte]
+    // sizes must be internally consistent: level i wraps level i+1
+    // size of level k (counting from innermost 0) = 12*k bytes of payload
+    val nested = (1 to depth).foldLeft(innermost) { (inner, _) =>
+      "LIST".getBytes ++ leInt(4 + inner.length) ++ "rec ".getBytes ++ inner
+    }
+    val avih = leInt(33333) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++
+      leInt(1) ++ leInt(0) ++ leInt(1) ++ leInt(0) ++
+      leInt(4) ++ leInt(2) ++ Array.fill(16)(0.toByte)
+    val hdrl = "hdrl".getBytes ++ "avih".getBytes ++ leInt(avih.length) ++ avih
+    val movi = "movi".getBytes ++ nested
+    val body = "AVI ".getBytes ++
+      "LIST".getBytes ++ leInt(hdrl.length) ++ hdrl ++
+      "LIST".getBytes ++ leInt(movi.length) ++ movi
+    val avi = "RIFF".getBytes ++ leInt(body.length) ++ body
+    // no frames and, critically, no StackOverflowError
+    assert(Multimodal.AviCodec.decode(avi).isEmpty)
+  }
+
+  test("PcmCodec rejects stereo and non-PCM formats per its mono contract") {
+    def wav(tag: Int, channels: Int): Array[Byte] = {
+      val n = 8
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + 2 * n); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(tag.toShort); bb.putShort(channels.toShort)
+      bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(2 * n)
+      (0 until n).foreach(i => bb.putShort((if (i % 2 == 0) 100 else -100).toShort))
+      bb.array()
+    }
+    assert(Multimodal.PcmCodec.pcmStats(wav(tag = 1, channels = 1)).isDefined)
+    assert(Multimodal.PcmCodec.pcmStats(wav(tag = 1, channels = 2)).isEmpty,
+      "stereo must be rejected, not decoded as one interleaved stream")
+    assert(Multimodal.PcmCodec.pcmStats(wav(tag = 3, channels = 1)).isEmpty,
+      "non-PCM format tags must be rejected")
+  }
+
   test("magic-bytes-only payloads (header claims, no body) never throw") {
     val magics = Seq(
       "89504E470D0A1A0A", // PNG signature alone

@@ -285,8 +285,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
     assert(got === Array(1L, 2L, 4L, 6L))
     // the index holds exactly the accepted fingerprints, no dups
-    val idx = spark.read.parquet(index).as[String].collect()
+    val idx = spark.read.parquet(index).select("fingerprint")
+      .as[String].collect()
     assert(idx.length === idx.distinct.length && idx.length === 4)
+
+    // at-least-once replay: re-running an epoch's writes must be a
+    // no-op, not a double-append — replay epoch 0's accepted set
+    // against the CURRENT index (fingerprints already present →
+    // accepted empty → dynamic overwrite touches nothing)
+    val replayAccepted = graft.operators.Dedup.incrementalExactDedup(
+      batch1.toDF("doc_id", "text"), "text", "doc_id",
+      spark.read.parquet(index).select("fingerprint"))
+    assert(replayAccepted.count() === 0)
 
     // bloom-prefiltered variant on a fresh state: same corpus
     val corpus2 = Files.createTempDirectory("graft-ingest-c2").toString + "/c"
