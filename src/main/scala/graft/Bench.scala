@@ -50,7 +50,11 @@ object Bench {
     }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    // failed queries go to the "failed" list ONLY — summing their
+    // ~0s fast-fail timings into the headline total would read as a
+    // speedup exactly when something broke
+    val failedSet = failed.toSet
+    val results = names.filterNot(failedSet).map(n => n -> math.min(p1(n), p2(n)))
 
     // q42 internal stage split (LSH / exact verify / connected
     // components), isolated via localCheckpoint barriers — persisted

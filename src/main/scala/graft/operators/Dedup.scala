@@ -166,7 +166,6 @@ object Dedup {
                  shingleK: Int = 3, threshold: Double = 0.5,
                  maxBucket: Int = 200,
                  blockCol: Option[String] = None): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     val blockKey = blockCol.toSeq
 
     // Signatures and band keys come from the SAME helpers the

@@ -422,30 +422,52 @@ object Multimodal {
     * decodes (spec-verified against ImageIO's own encoders). Output
     * normalizes to 3-channel RGB. Never throws. */
   object ImageIoCodec {
-    def decode(b: Array[Byte]): Option[PngCodec.Pixels] = {
-      if (b == null || b.length < 8) return None
+    /** Header-probed, size-capped ImageIO decode: dimensions come
+      * from the reader's HEADER parse before any pixel allocation —
+      * a few-hundred-byte bomb declaring 60000×60000 must be
+      * rejected up front, not after ImageIO allocates the ~14 GB
+      * raster (an OutOfMemoryError no Exception handler catches). */
+    private[operators] def readCapped(b: Array[Byte], off: Int,
+                                      len: Int): Option[java.awt.image.BufferedImage] = {
+      if (b == null || len < 8) return None
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-        if (img == null) return None
-        val w = img.getWidth; val h = img.getHeight
-        if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 28)) return None
-        val out = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val o = (y * w + x) * 3
-            out(o) = ((rgb >> 16) & 0xFF).toByte
-            out(o + 1) = ((rgb >> 8) & 0xFF).toByte
-            out(o + 2) = (rgb & 0xFF).toByte
-            x += 1
-          }
-          y += 1
-        }
-        Some(PngCodec.Pixels(w, h, 3, out))
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b, off, len))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0); val h = r.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 28)) return None
+            Option(r.read(0))
+          } finally r.dispose()
+        } finally iis.close()
       } catch { case _: Exception => None }
     }
+
+    /** Bulk-raster RGB extraction (one getRGB call per image, not per
+      * pixel — the per-pixel form re-enters ColorModel conversion per
+      * sample). */
+    private[operators] def toRgb(img: java.awt.image.BufferedImage): PngCodec.Pixels = {
+      val w = img.getWidth; val h = img.getHeight
+      val buf = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val rgb = buf(i)
+        out(i * 3) = ((rgb >> 16) & 0xFF).toByte
+        out(i * 3 + 1) = ((rgb >> 8) & 0xFF).toByte
+        out(i * 3 + 2) = (rgb & 0xFF).toByte
+        i += 1
+      }
+      PngCodec.Pixels(w, h, 3, out)
+    }
+
+    def decode(b: Array[Byte]): Option[PngCodec.Pixels] =
+      if (b == null) None
+      else readCapped(b, 0, b.length).map(toRgb)
   }
 
   case class AssetPixelStats(asset_id: Long, modality: String,
@@ -521,6 +543,11 @@ object Multimodal {
           tag = u8(p + 8) | (u8(p + 9) << 8)
           channels = u8(p + 10) | (u8(p + 11) << 8)
           bits = u8(p + 22) | (u8(p + 23) << 8)
+          // WAVE_FORMAT_EXTENSIBLE wrapping plain PCM (what several
+          // pro-audio writers emit): sub-format GUID's leading dword
+          // at fmt+24 is 1 ⇒ treat as PCM
+          if (tag == 0xFFFE && size >= 40 && p + 8 + 28 <= b.length &&
+              le32(p + 8 + 24) == 1L) tag = 1
         } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a') {
           dataOff = p + 8
           dataLen = size
@@ -658,33 +685,20 @@ object Multimodal {
         Some(out)
       }
 
-      /** Decode one MJPEG frame chunk via the JDK's ImageIO. */
+      /** Decode one MJPEG frame chunk via the JDK's ImageIO —
+        * header-probed and size-capped ([[ImageIoCodec.readCapped]])
+        * so a bomb frame is rejected before raster allocation. */
       def jpegFrame(off: Int, len: Int): Option[Array[Byte]] = {
         if (len < 4 || u8(off) != 0xFF || u8(off + 1) != 0xD8) return None
-        try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(b, off, len))
-          if (img == null) return None
+        ImageIoCodec.readCapped(b, off, len).flatMap { img =>
           val w = img.getWidth; val h = img.getHeight
-          if (w.toLong * h > MaxPixels) return None
-          if (width == 0) { width = w; height = h }
-          if (w != width || h != math.abs(height)) return None
-          val out = new Array[Byte](w * h * 3)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val o = (y * w + x) * 3
-              out(o) = ((rgb >> 16) & 0xFF).toByte
-              out(o + 1) = ((rgb >> 8) & 0xFF).toByte
-              out(o + 2) = (rgb & 0xFF).toByte
-              x += 1
-            }
-            y += 1
+          if (w.toLong * h > MaxPixels) None
+          else {
+            if (width == 0) { width = w; height = h }
+            if (w != width || h != math.abs(height)) None
+            else Some(ImageIoCodec.toRgb(img).data)
           }
-          Some(out)
-        } catch { case _: Exception => None }
+        }
       }
 
       def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'

@@ -205,7 +205,32 @@ object Streaming {
   def dedupIngestSink(stream: DataFrame, spark: SparkSession,
                       corpusPath: String, indexPath: String,
                       textCol: String, idCol: String, checkpoint: String,
-                      bloomExpectedItems: Option[Long] = None): StreamingQuery =
+                      bloomExpectedItems: Option[Long] = None): StreamingQuery = {
+    // Epoch ids are only unique PER CHECKPOINT: if the checkpoint is
+    // reset while the corpus/index tables are kept (the tables are
+    // the permanent state — that recovery is the design), a fresh
+    // run's epoch 0 would dynamic-overwrite the old run's epoch-0
+    // partition and silently delete documents. A run token persisted
+    // IN the checkpoint dir scopes the partition key: restarts of the
+    // same checkpoint reuse it (replay stays idempotent), a reset
+    // checkpoint mints a new one (old partitions become permanent
+    // data, and the still-read index keeps rejecting their
+    // fingerprints).
+    val runToken = {
+      import org.apache.hadoop.fs.Path
+      val marker = new Path(checkpoint, "graft-run-id")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      } else {
+        val id = java.util.UUID.randomUUID().toString
+        val out = fs.create(marker, false)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+        id
+      }
+    }
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -236,7 +261,7 @@ object Streaming {
           // empty (fingerprints already indexed) and dynamic
           // overwrite with zero rows touches nothing.
           def epochWrite(df: DataFrame, path: String): Unit =
-            df.withColumn("_epoch", lit(epochId))
+            df.withColumn("_epoch", lit(s"$runToken-$epochId"))
               .write.partitionBy("_epoch")
               .option("partitionOverwriteMode", "dynamic")
               .mode("overwrite").parquet(path)
@@ -245,4 +270,5 @@ object Streaming {
         } finally { accepted.unpersist(); () }
       }
       .start()
+  }
 }

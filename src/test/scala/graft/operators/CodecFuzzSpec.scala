@@ -104,11 +104,14 @@ class CodecFuzzSpec extends SparkSpecBase {
     def leInt(v: Int) = { val b = java.nio.ByteBuffer.allocate(4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN); b.putInt(v); b.array() }
     val depth = 100000
-    val innermost = Array.empty[Byte]
-    // sizes must be internally consistent: level i wraps level i+1
-    // size of level k (counting from innermost 0) = 12*k bytes of payload
-    val nested = (1 to depth).foldLeft(innermost) { (inner, _) =>
-      "LIST".getBytes ++ leInt(4 + inner.length) ++ "rec ".getBytes ++ inner
+    // build the nest in ONE pass (a foldLeft of array concats is
+    // O(depth²) — ~60 GB of cumulative copying): level i from the
+    // outside wraps 12·(depth−1−i) + 4 inner bytes
+    val nested = new Array[Byte](12 * depth)
+    for (i <- 0 until depth) {
+      System.arraycopy("LIST".getBytes, 0, nested, i * 12, 4)
+      System.arraycopy(leInt(4 + 12 * (depth - 1 - i)), 0, nested, i * 12 + 4, 4)
+      System.arraycopy("rec ".getBytes, 0, nested, i * 12 + 8, 4)
     }
     val avih = leInt(33333) ++ leInt(0) ++ leInt(0) ++ leInt(0) ++
       leInt(1) ++ leInt(0) ++ leInt(1) ++ leInt(0) ++
@@ -121,6 +124,43 @@ class CodecFuzzSpec extends SparkSpecBase {
     val avi = "RIFF".getBytes ++ leInt(body.length) ++ body
     // no frames and, critically, no StackOverflowError
     assert(Multimodal.AviCodec.decode(avi).isEmpty)
+  }
+
+  test("decompression-bomb headers are rejected before raster allocation") {
+    // 58-byte BMP claiming 60000x60000 (a ~14 GB raster if decoded):
+    // the header probe must reject it without allocating
+    val w = 60000; val h = 60000
+    val bb = java.nio.ByteBuffer.allocate(58)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte)
+    bb.putInt(58); bb.putInt(0); bb.putInt(54)       // size, reserved, data offset
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)        // BITMAPINFOHEADER
+    bb.putShort(1); bb.putShort(24); bb.putInt(0)    // planes, bpp, compression
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    val before = Runtime.getRuntime.totalMemory()
+    assert(Multimodal.ImageIoCodec.decode(bb.array()).isEmpty)
+    // no multi-GB allocation happened (heap growth far under raster size)
+    val grown = Runtime.getRuntime.totalMemory() - before
+    assert(grown < (1L << 30), s"suspicious allocation during bomb probe: $grown")
+  }
+
+  test("PcmCodec accepts WAVE_FORMAT_EXTENSIBLE wrapping plain PCM") {
+    val n = 8
+    val bb = java.nio.ByteBuffer.allocate(68 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(60 + 2 * n); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(40)
+    bb.putShort(0xFFFE.toShort); bb.putShort(1)      // EXTENSIBLE, mono
+    bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.putShort(22); bb.putShort(16)                 // cbSize, validBits
+    bb.putInt(1)                                     // channel mask
+    bb.putInt(1); bb.putShort(0); bb.putShort(0x10)  // PCM sub-format GUID head
+    bb.put(Array[Byte](0x80.toByte, 0, 0, 0xAA.toByte, 0, 0x38, 0x9B.toByte, 0x71))
+    bb.put("data".getBytes); bb.putInt(2 * n)
+    (0 until n).foreach(i => bb.putShort((i * 100).toShort))
+    val st = Multimodal.PcmCodec.pcmStats(bb.array())
+    assert(st.isDefined, "EXTENSIBLE+PCM-GUID mono must decode")
+    assert(st.get._1 === n)
   }
 
   test("PcmCodec rejects stereo and non-PCM formats per its mono contract") {

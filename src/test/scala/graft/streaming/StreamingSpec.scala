@@ -289,14 +289,21 @@ class StreamingSpec extends SparkSpecBase {
       .as[String].collect()
     assert(idx.length === idx.distinct.length && idx.length === 4)
 
-    // at-least-once replay: re-running an epoch's writes must be a
-    // no-op, not a double-append — replay epoch 0's accepted set
-    // against the CURRENT index (fingerprints already present →
-    // accepted empty → dynamic overwrite touches nothing)
-    val replayAccepted = graft.operators.Dedup.incrementalExactDedup(
-      batch1.toDF("doc_id", "text"), "text", "doc_id",
-      spark.read.parquet(index).select("fingerprint"))
-    assert(replayAccepted.count() === 0)
+    // checkpoint reset with tables kept — the ops-recovery scenario
+    // the epoch run-token exists for: a FRESH checkpoint re-delivers
+    // every source file as epoch 0 again; the index must reject all
+    // of it, and epoch partitions from the old run must survive (an
+    // unscoped epoch key would dynamic-overwrite old epoch 0 and
+    // silently delete documents)
+    val ckpReset = Files.createTempDirectory("graft-ingest-ckp-reset").toString
+    val schema = spark.read.parquet(s"$src/b1").schema
+    Streaming.dedupIngestSink(
+      Streaming.fileStream(spark, schema, s"$src/*"),
+      spark, corpus, index, "text", "doc_id", ckpReset)
+      .awaitTermination()
+    val afterReset = spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted
+    assert(afterReset === want, "checkpoint reset must not lose or duplicate docs")
 
     // bloom-prefiltered variant on a fresh state: same corpus
     val corpus2 = Files.createTempDirectory("graft-ingest-c2").toString + "/c"
