@@ -404,21 +404,28 @@ object Dedup {
     internal.unionByName(cross).distinct()
   }
 
-  /** Shared SimHash banding front end (4×16-bit bands), factored so
-    * the index build and the batch probe produce byte-identical band
-    * keys — the [[bandedKeys]] pattern. */
-  private def simHashBanded(df: DataFrame, idCol: String,
-                            textCol: String): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-      .repartition(col("id")) // materialization barrier (see minHashLsh)
+  /** 4×16-bit banding of a materialized 64-bit `sig` column — the ONE
+    * implementation behind SimHash and SRP banding, so the
+    * index-build/probe/full-run byte-identical-band-keys contracts
+    * (q97, q98) hold by construction instead of by parallel edits.
+    * Output: (id, sig, carry…, band, bh). */
+  private def band64(sigs: DataFrame, carry: Seq[String]): DataFrame = {
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
     }
+    val keep = col("id") +: col("sig") +: carry.map(col)
     sigs
-      .select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+      .select(keep :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(keep :+ col("bk.band") :+ col("bk.bh"): _*)
   }
+
+  /** Shared SimHash banding front end ([[band64]] over the codegen'd
+    * signature, behind a materialization barrier). */
+  private def simHashBanded(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    band64(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .repartition(col("id")), carry = Nil)
 
   /** Connected components over a near-duplicate pair list: the final
     * dedup stage that turns pairwise matches into clusters with one
@@ -598,21 +605,13 @@ object Dedup {
     internal.unionByName(cross).distinct()
   }
 
-  /** Shared SRP banding front end, factored so the index build and
-    * the batch probe produce byte-identical band keys. */
+  /** Shared SRP banding front end ([[band64]] carrying the vector for
+    * downstream cosine verification). */
   private def srpBanded(df: DataFrame, idCol: String,
-                        vecCol: String): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+                        vecCol: String): DataFrame =
+    band64(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Sketches.srp_signature(col(vecCol)).as("sig"))
-      .repartition(col("id")) // materialization barrier (see minHashLsh)
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bh"))
-    }
-    sigs
-      .select(col("id"), col("vec"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))
-  }
+      .repartition(col("id")), carry = Seq("vec"))
 
   /** Exact n-gram Jaccard over an EXPLICIT candidate pair list — the
     * scale-safe verifier stage: candidates come from a sub-quadratic

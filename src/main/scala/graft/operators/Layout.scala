@@ -57,6 +57,13 @@ object Layout {
   def bucketize(v: Column, min: Long, max: Long, bits: Int): Column = {
     if (max <= min) lit(0L)
     else {
+      // a span wider than 2^63 − 1 (e.g. a full-range signed hash
+      // column) wraps max − min negative here and overflows v − min
+      // per row under ANSI mode — fail loudly; pre-hash to a
+      // narrower domain or split the column instead
+      require(max - min >= 0,
+        s"z-order dimension span [$min, $max] exceeds the signed-long " +
+          "range — pre-map the column into a narrower domain")
       // binary digit count of the largest offset (max − min ≥ 1)
       val width = 64 - java.lang.Long.numberOfLeadingZeros(max - min)
       val off = v.cast("long") - min
@@ -143,8 +150,13 @@ object Layout {
     * column stats on the ORIGINAL columns do the pruning. */
   def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
                bits: Int = 16, equalDepth: Boolean = false): DataFrame = {
-    val keyed = if (equalDepth) zorderKeyEqualDepth(df, cols, math.min(bits, 8))
-                else zorderKey(df, cols, bits)
+    // no silent clamp: equal-depth callers asking for more boundary
+    // bits than the driver-held-literal cap get the callee's loud
+    // require, not 16x coarser buckets than requested. The linear
+    // default (16) maps to the equal-depth default (8).
+    val keyed = if (equalDepth)
+      zorderKeyEqualDepth(df, cols, if (bits == 16) 8 else bits)
+    else zorderKey(df, cols, bits)
     keyed.repartitionByRange(numPartitions, col("zkey"))
       .sortWithinPartitions("zkey")
       .drop("zkey")

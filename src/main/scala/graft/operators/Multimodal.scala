@@ -56,7 +56,8 @@ object Multimodal {
                            byte_len: Long, content_hash: String,
                            image_format: Option[String],
                            width: Option[Int], height: Option[Int],
-                           feature: Array[Float])
+                           feature: Array[Float],
+                           feature_kind: String)
   case class AssetFrames(asset_id: Long, n_frames: Int,
                          resized_len: Int, frame_hashes: Seq[String])
   case class AssetAudioMeta(asset_id: Long, modality: String,
@@ -640,13 +641,24 @@ object Multimodal {
     * independently-written test-side AVI muxer (and ImageIO's own
     * JPEG encoder for the MJPEG path). */
   object AviCodec {
-    /** Decoded frames: RGB top-down row-major, 3 bytes per pixel. */
-    case class Video(width: Int, height: Int, frames: Vector[Array[Byte]])
+    /** Decoded frames: RGB top-down row-major, 3 bytes per pixel.
+      * `totalFrames` counts every frame chunk in the container;
+      * `frames` holds only the DECODED ones (every `keepEvery`-th). */
+    case class Video(width: Int, height: Int, totalFrames: Int,
+                     frames: Vector[Array[Byte]])
 
     private val MaxFrames = 4096
     private val MaxPixels = 1L << 26 // per frame: 64 Mpx * 3 B bounded below
+    // cumulative decoded-bytes cap: per-frame caps alone let a ~64 MB
+    // MJPEG payload of highly-compressed large frames amplify to
+    // gigabytes of retained RGB inside one task
+    private val MaxDecodedBytes = 1L << 28
 
-    def decode(b: Array[Byte]): Option[Video] = {
+    /** Decode every `keepEvery`-th frame (0, keepEvery, 2·keepEvery…);
+      * skipped frames are COUNTED but never decoded, so sampling
+      * callers pay only for kept frames. */
+    def decode(b: Array[Byte], keepEvery: Int = 1): Option[Video] = {
+      val every = math.max(1, keepEvery)
       if (b == null || b.length < 24) return None
       def u8(i: Int): Int = b(i) & 0xFF
       def le32(i: Int): Long =
@@ -658,7 +670,8 @@ object Multimodal {
       var width = 0
       var height = 0 // signed: negative ⇒ top-down row order
       val frames = Vector.newBuilder[Array[Byte]]
-      var nFrames = 0
+      var nFrames = 0 // every frame chunk seen, decoded or skipped
+      var decodedBytes = 0L
 
       /** Decode one raw-DIB frame chunk to RGB top-down. */
       def dibFrame(off: Int, len: Int): Option[Array[Byte]] = {
@@ -717,8 +730,14 @@ object Multimodal {
             walkMovi(p + 12, p + 8 + len, depth + 1)
           else if (isDigit(b(p)) && isDigit(b(p + 1)) &&
                    b(p + 2) == 'd' && (b(p + 3) == 'b' || b(p + 3) == 'c')) {
-            val f = if (b(p + 3) == 'b') dibFrame(p + 8, len) else jpegFrame(p + 8, len)
-            f.foreach { fr => frames += fr; nFrames += 1 }
+            if (nFrames % every == 0 && decodedBytes < MaxDecodedBytes) {
+              val f = if (b(p + 3) == 'b') dibFrame(p + 8, len) else jpegFrame(p + 8, len)
+              f.foreach { fr =>
+                frames += fr
+                decodedBytes += fr.length
+              }
+            }
+            nFrames += 1
           }
           p += 8 + len + (len & 1) // chunks are word-aligned
         }
@@ -753,7 +772,7 @@ object Multimodal {
       }
       val fs = frames.result()
       if (width <= 0 || height == 0 || fs.isEmpty) None
-      else Some(Video(width, math.abs(height), fs))
+      else Some(Video(width, math.abs(height), nFrames, fs))
     }
 
     /** Keep every `every`-th frame (0, every, 2·every, …) — real frame
@@ -831,13 +850,24 @@ object Multimodal {
           // ImageIO decoders (JPEG/GIF/BMP + the PNG shapes PngCodec
           // declines), then AVI frame means; the byte-histogram
           // descriptor only for genuinely library-requiring codecs
-          // (H.264, Vorbis, ...)
-          val feature = PngCodec.decode(bytes)
+          // (H.264, Vorbis, ...). Decoded features are ALWAYS 3
+          // channels (gray replicated, alpha dropped) so consumers
+          // never mix vector lengths within a kind; feature_kind
+          // tells them which contract each row carries.
+          def rgb3(means: Array[Double]): Array[Float] = {
+            val m = means.length match {
+              case 1 => Array(means(0), means(0), means(0))           // gray
+              case 2 => Array(means(0), means(0), means(0))           // gray+alpha
+              case _ => means.take(3)                                 // RGB(A)
+            }
+            m.map(v => (v / 255.0).toFloat)
+          }
+          val (feature, featureKind) = PngCodec.decode(bytes)
             .orElse(ImageIoCodec.decode(bytes))
-            .map(px => PngCodec.channelMeans(px).map(m => (m / 255.0).toFloat))
+            .map(px => (rgb3(PngCodec.channelMeans(px)), "pixel_means"))
             .orElse(AviCodec.decode(bytes)
-              .map(v => AviCodec.channelMeans(v.frames).map(m => (m / 255.0).toFloat)))
-            .getOrElse(ByteFeatures.histogram(bytes))
+              .map(v => (rgb3(AviCodec.channelMeans(v.frames)), "frame_means")))
+            .getOrElse((ByteFeatures.histogram(bytes), "byte_histogram"))
           AssetFeatures(
             asset_id = id,
             modality = modality,
@@ -846,7 +876,8 @@ object Multimodal {
             image_format = dims.map(_._1),
             width = dims.map(_._2),
             height = dims.map(_._3),
-            feature = feature)
+            feature = feature,
+            feature_kind = featureKind)
         }
       }
   }
@@ -866,9 +897,12 @@ object Multimodal {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, payload) =>
-          AviCodec.decode(payload) match {
+          // keepEvery pushes the sampling INTO the walk: skipped
+          // frames are counted, never decoded — kept-frames-only
+          // decode cost and peak memory
+          AviCodec.decode(payload, keepEvery = every) match {
             case Some(v) =>
-              val kept = AviCodec.sampleEvery(v.frames, every)
+              val kept = v.frames
                 .map(AviCodec.resizeNearest(_, v.width, v.height, targetW, targetH))
               AssetFrames(id, kept.size, targetW * targetH * 3,
                 kept.map(f => md.digest(f).map("%02x".format(_)).mkString))
@@ -899,13 +933,13 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, modality, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
-          AviCodec.decode(bytes) match {
+          AviCodec.decode(bytes, keepEvery = every) match {
             case Some(v) =>
-              val kept = AviCodec.sampleEvery(v.frames, every)
+              val kept = v.frames
                 .map(AviCodec.resizeNearest(_, v.width, v.height, targetW, targetH))
               val m = AviCodec.channelMeans(kept)
               AssetFrameStats(id, modality, bytes.length.toLong, is_video = true,
-                Some(v.width), Some(v.height), Some(v.frames.size),
+                Some(v.width), Some(v.height), Some(v.totalFrames),
                 Some(kept.size), Some(m(0)), Some(m(1)), Some(m(2)))
             case None =>
               AssetFrameStats(id, modality, bytes.length.toLong, is_video = false,

@@ -38,6 +38,30 @@ object Catalog {
       fn: (SparkSession, String) => DataFrame): CatalogQuery =
     CatalogQuery(name, description, fn, None)
 
+  /** Shared incremental-equals-full scaffold for q93/q97/q98: the
+    * full-corpus pair set restricted to pairs touching the batch must
+    * equal the incremental probe's output — emitted as (batch size,
+    * sets_match) for the oracle to pin. `batchIds` carries one column
+    * named id_a. */
+  private def restrictedEquivalence(batch: DataFrame, batchIds: DataFrame,
+                                    full: DataFrame, incremental: DataFrame,
+                                    countName: String): DataFrame = {
+    val touching = full
+      .join(batchIds, Seq("id_a"), "left_semi")
+      .unionByName(full.join(batchIds.select(col("id_a").as("id_b")),
+        Seq("id_b"), "left_semi"))
+      .distinct()
+    val missed = touching.join(incremental, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val spurious = incremental.join(touching, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_spurious"))
+    batch.agg(count(lit(1)).as(countName))
+      .crossJoin(broadcast(missed))
+      .crossJoin(broadcast(spurious))
+      .select(col(countName),
+        (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
+  }
+
   // ---------------------------------------------------------------- A3/A1/A2
   val q1Agg = q("q1_agg",
     "Grouped SUM/AVG/COUNT (A2,A3) — TPC-H Q1-shaped pricing summary",
@@ -2581,26 +2605,12 @@ object Catalog {
     val incremental = Dedup.incrementalMinHashLsh(batch, "doc_id", "text", index,
       numHashes = 64, bands = 32, shingleK = 1,
       maxBucket = 10000, blockCol = Some("source"))
-    val batchIds = batch.select(col("doc_id").as("id_a"))
     val full = Dedup.minHashLsh(docs, "doc_id", "text",
       numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
       maxBucket = 10000, blockCol = Some("source"))
       .select("id_a", "id_b")
-    // full-corpus pairs touching the batch: either endpoint is a batch id
-    val touching = full
-      .join(batchIds.select(col("id_a")), Seq("id_a"), "left_semi")
-      .unionByName(full.join(batchIds.select(col("id_a").as("id_b")),
-        Seq("id_b"), "left_semi"))
-      .distinct()
-    val missed = touching.join(incremental, Seq("id_a", "id_b"), "left_anti")
-      .agg(count(lit(1)).as("n_missed"))
-    val spurious = incremental.join(touching, Seq("id_a", "id_b"), "left_anti")
-      .agg(count(lit(1)).as("n_spurious"))
-    batch.agg(count(lit(1)).as("n_batch_docs"))
-      .crossJoin(broadcast(missed))
-      .crossJoin(broadcast(spurious))
-      .select(col("n_batch_docs"),
-        (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
+    restrictedEquivalence(batch, batch.select(col("doc_id").as("id_a")),
+      full, incremental.select("id_a", "id_b"), "n_batch_docs")
   }
 
   // ---------------------------------------------------------------- multimodal: AVI frame decode + sample + resize (real frame-level video)
@@ -2793,21 +2803,8 @@ object Catalog {
       maxHamming = 3, maxBucket = 10000)
     val full = Dedup.simHashPairs(docs, "doc_id", "text",
       maxHamming = 3, maxBucket = 10000).select("id_a", "id_b")
-    val batchIds = batch.select(col("doc_id").as("id_a"))
-    val touching = full
-      .join(batchIds, Seq("id_a"), "left_semi")
-      .unionByName(full.join(batchIds.select(col("id_a").as("id_b")),
-        Seq("id_b"), "left_semi"))
-      .distinct()
-    val missed = touching.join(incremental, Seq("id_a", "id_b"), "left_anti")
-      .agg(count(lit(1)).as("n_missed"))
-    val spurious = incremental.join(touching, Seq("id_a", "id_b"), "left_anti")
-      .agg(count(lit(1)).as("n_spurious"))
-    batch.agg(count(lit(1)).as("n_batch_docs"))
-      .crossJoin(broadcast(missed))
-      .crossJoin(broadcast(spurious))
-      .select(col("n_batch_docs"),
-        (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
+    restrictedEquivalence(batch, batch.select(col("doc_id").as("id_a")),
+      full, incremental.select("id_a", "id_b"), "n_batch_docs")
   }
 
   // ---------------------------------------------------------------- dedup: incremental embedding (SRP) vs persisted band index
@@ -2845,21 +2842,8 @@ object Catalog {
     val full = Dedup.embeddingLshPairs(vecs.unionByName(planted),
       "vec_id", "embedding", threshold, maxBucket = 10000)
       .select("id_a", "id_b")
-    val batchIds = batch.select(col("vec_id").as("id_a"))
-    val touching = full
-      .join(batchIds, Seq("id_a"), "left_semi")
-      .unionByName(full.join(batchIds.select(col("id_a").as("id_b")),
-        Seq("id_b"), "left_semi"))
-      .distinct()
-    val missed = touching.join(incremental, Seq("id_a", "id_b"), "left_anti")
-      .agg(count(lit(1)).as("n_missed"))
-    val spurious = incremental.join(touching, Seq("id_a", "id_b"), "left_anti")
-      .agg(count(lit(1)).as("n_spurious"))
-    batch.agg(count(lit(1)).as("n_batch_vecs"))
-      .crossJoin(broadcast(missed))
-      .crossJoin(broadcast(spurious))
-      .select(col("n_batch_vecs"),
-        (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
+    restrictedEquivalence(batch, batch.select(col("vec_id").as("id_a")),
+      full, incremental.select("id_a", "id_b"), "n_batch_vecs")
   }
 
   val all: Seq[CatalogQuery] = Seq(

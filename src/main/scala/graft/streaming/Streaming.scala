@@ -245,11 +245,17 @@ object Streaming {
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("fingerprint", StringType))))
+        // localCheckpoint, not persist: accepted's lineage READS
+        // indexPath, and the second write below OVERWRITES indexPath.
+        // A cache-evicted recompute mid-write would re-scan the
+        // directory while it is being replaced; the eager checkpoint
+        // severs the lineage so a lost block fails loudly instead of
+        // recomputing from a mutating source.
         val accepted = (bloomExpectedItems match {
           case Some(n) if index.limit(1).count() > 0 =>
             Dedup.bloomIncrementalExactDedup(batch, textCol, idCol, index, n)
           case _ => Dedup.incrementalExactDedup(batch, textCol, idCol, index)
-        }).persist()
+        }).localCheckpoint(true)
         try {
           // epoch-partitioned dynamic overwrite, NOT a plain append:
           // foreachBatch is at-least-once, and a retry of epoch N
