@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line of per-query wall-clock seconds.
-  * A full untimed warmup pass runs first so the timed pass measures
+  * A full untimed warmup pass runs first so the timed passes measure
   * steady-state execution (codegen compiled, parquet footers cached)
   * rather than JVM cold start.
   *
@@ -13,6 +13,18 @@ import scala.util.control.NonFatal
   * more than a row-count scan with its expression cost never executed.
   * The noop sink materializes every output column through the full
   * plan — the same work Verify pays — while writing nothing.
+  *
+  * Statistics: k=3 INTERLEAVED timed passes (pass over all queries,
+  * then again — not back-to-back repeats of one query, so a transient
+  * host stall hits at most one sample per query). Per-query
+  * {min, median, spread, rel_spread} plus the sf-slope from a second
+  * scale factor go to target/bench_stats.json (full precision); the
+  * metric line carries the per-query MIN map (round-over-round
+  * comparable, least-noise estimator) plus an aggregate noise_band so
+  * a reader can test any apparent regression against this run's own
+  * measured spread instead of prose. Observed same-code drift is
+  * ±30%/query (docs/BENCH_NOTES.md), which min-of-3 suppresses far
+  * better than min-of-2.
   *
   * Failures are NOT silently timed as ~0s: a failing query is reported
   * on stderr and in the JSON's "failed" list (fatal errors — OOM,
@@ -30,6 +42,14 @@ object Bench {
         false
     }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n == 0) 0.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
@@ -40,26 +60,35 @@ object Bench {
       s"duplicate qNN prefixes: ${names.groupBy(shortKey).filter(_._2.size > 1)}")
     // warmup (untimed)
     names.foreach(run(spark, _, sfDir))
-    // timed: two passes, min per query — single-pass numbers carry ±2s
-    // host-noise spikes (GC, page cache) that read as false regressions
     var failed = List.empty[String]
-    def timedPass(): Map[String, Double] = names.map { name =>
-      val t0 = System.nanoTime()
-      if (!run(spark, name, sfDir)) failed ::= name
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val p1 = timedPass()
-    val p2 = timedPass()
+    def timedPass(dir: String, onFail: String => Unit): Map[String, Double] =
+      names.map { name =>
+        val t0 = System.nanoTime()
+        if (!run(spark, name, dir)) onFail(name)
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val Passes = 3
+    val passes = (1 to Passes).map(_ => timedPass(sfDir, failed ::= _))
     // failed queries go to the "failed" list ONLY — summing their
     // ~0s fast-fail timings into the headline total would read as a
     // speedup exactly when something broke
     val failedSet = failed.toSet
-    val results = names.filterNot(failedSet).map(n => n -> math.min(p1(n), p2(n)))
+    val ok = names.filterNot(failedSet)
+    case class Stat(samples: Seq[Double]) {
+      val min: Double = samples.min
+      val med: Double = median(samples)
+      val spread: Double = samples.max - samples.min
+      // relative to the median: a 0-median query would blow up a
+      // min-denominator; median is the stable center
+      val rel: Double = if (med > 0) spread / med else 0.0
+    }
+    val stats: Map[String, Stat] = ok.map(n => n -> Stat(passes.map(_(n)))).toMap
+    val results = ok.map(n => n -> stats(n).min)
 
     // q42 internal stage split (LSH / exact verify / connected
     // components), isolated via localCheckpoint barriers — persisted
     // every run so the largest bench line item's internal drift is
-    // visible round-over-round without a Scratch rerun
+    // visible round-over-round without a scratch rerun
     val q42Stages: Seq[(String, Double)] = try {
       import graft.operators.Dedup
       val docs = graft.sources.Tables.documents(spark, sfDir)
@@ -89,7 +118,7 @@ object Bench {
     // secondary scale factor: the same catalog timed at a second SF
     // gives the per-query scaling slope — the closest local[32] proxy
     // for "would this survive 100×" that numbers (not plans) provide.
-    // Per-query results go to the details FILE; only the total rides
+    // Per-query results go to the stats FILE; only the total rides
     // the metric line (a second 90-entry map would overflow the
     // driver's ~2000-char tail parse window).
     val sf2Dir = sys.env.get("SPARK_GRAFT_SF2_DIR").orElse {
@@ -99,50 +128,100 @@ object Bench {
     }
     // a query that FAILS at the second SF must not be summed as a
     // ~0s timing (it would read as a massive scaling speedup); track
-    // failures and mark them in the details file instead
+    // failures and mark them in the stats file instead
     var failedSf2 = Set.empty[String]
-    val results2: Seq[(String, Double)] = sf2Dir.toSeq.flatMap { d2 =>
+    val results2: Map[String, Double] = sf2Dir.map { d2 =>
       names.foreach(run(spark, _, d2)) // warmup (plans recompile per path)
-      def pass(): Map[String, Double] = names.map { n =>
-        val t0 = System.nanoTime()
-        if (!run(spark, n, d2)) failedSf2 += n
-        n -> (System.nanoTime() - t0) / 1e9
-      }.toMap
-      val q1 = pass(); val q2 = pass()
-      names.filterNot(failedSf2).map(n => n -> math.min(q1(n), q2(n)))
-    }
+      val q1 = timedPass(d2, failedSf2 += _)
+      val q2 = timedPass(d2, failedSf2 += _)
+      names.filterNot(failedSf2).map(n => n -> math.min(q1(n), q2(n))).toMap
+    }.getOrElse(Map.empty)
+
+    // cross-query noise aggregates: with what relative spread did THIS
+    // run's queries repeat? A round-over-round per-query delta smaller
+    // than ~p90 of this distribution is indistinguishable from host
+    // noise; one clearly above max deserves a plan diff.
+    val rels = ok.map(n => stats(n).rel).sorted
+    def pct(p: Double): Double =
+      if (rels.isEmpty) 0.0 else rels(math.min(rels.size - 1, (p * rels.size).toInt))
+    val noiseMed = pct(0.50); val noiseP90 = pct(0.90)
+    val noiseMax = if (rels.isEmpty) 0.0 else rels.last
+    val totalMin = results.map(_._2).sum
+    val totalMed = ok.map(n => stats(n).med).sum
+
+    // full-precision per-query statistics — machine-readable, one JSON
+    // object per query: 3 samples, min/median/spread, and the SF slope
+    // (min@sfPrimary / min@sfSecondary; ~1 means fixed overhead
+    // dominates, ~10 at a 10× SF ratio means linear scaling).
+    val statsPath = java.nio.file.Paths.get("target", "bench_stats.json")
+    java.nio.file.Files.createDirectories(statsPath.getParent)
+    val perQueryJson = ok.map { n =>
+      val s = stats(n)
+      val slope = results2.get(n)
+        .filter(_ > 0).map(t2 => f""","sf2_min":${results2(n)}%.4f,"slope":${s.min / t2}%.3f""")
+        .getOrElse(if (failedSf2(n)) ""","sf2":"FAILED"""" else "")
+      Json.str(n) + ":" +
+        f"""{"samples":[${s.samples.map(v => f"$v%.4f").mkString(",")}],""" +
+        f""""min":${s.min}%.4f,"median":${s.med}%.4f,"spread":${s.spread}%.4f,""" +
+        f""""rel_spread":${s.rel}%.4f$slope}"""
+    }.mkString(",")
+    val stageJson = q42Stages
+      .map { case (k, v) => Json.str(k) + ":" + f"$v%.4f" }.mkString(",")
+    val statsJson =
+      f"""{"sf":${Json.str(sfDir)},"passes":$Passes,""" +
+        sf2Dir.map(d => s""""sf2":${Json.str(d)},""").getOrElse("") +
+        f""""total_min":$totalMin%.3f,"total_median":$totalMed%.3f,""" +
+        f""""noise_band":{"median_rel_spread":$noiseMed%.3f,"p90_rel_spread":$noiseP90%.3f,"max_rel_spread":$noiseMax%.3f},""" +
+        s""""queries":{$perQueryJson},"q42_stages":{$stageJson}}"""
+    java.nio.file.Files.write(statsPath,
+      statsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // human-oriented details file kept for continuity with prior rounds
+    val detailPath = java.nio.file.Paths.get("target", "bench_details.txt")
+    val detailLines =
+      ok.map { n =>
+        val s = stats(n)
+        f"$n min=${s.min}%.4f med=${s.med}%.4f spread=${s.spread}%.4f rel=${s.rel}%.3f"
+      } ++
+        q42Stages.map { case (k, v) => f"$k $v%.3f" } ++
+        sf2Dir.toSeq.map(d2 => s"sf2 $d2") ++
+        results2.toSeq.sortBy(_._1).map { case (k, v) => s"$k@sf2 $v" } ++
+        failedSf2.toSeq.sorted.map(n => s"$n@sf2 FAILED")
+    java.nio.file.Files.write(detailPath,
+      detailLines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
     // The driver captures only the LAST ~2000 chars of output and parses the
     // metric line from that window. Rounds 1-3 all came back "parsed": null:
     // r1/r2 because the line itself overflowed the window, r3 because the
     // per-query stderr dump (~3.3 KB) flushed AFTER stdout under sbt's
     // logger interleaving and pushed the metric line out of the tail. So:
-    // the full-name full-precision map goes to a FILE (target/), never a
+    // the full-name full-precision stats go to FILES (target/), never a
     // console stream, and the compact metric JSON (qNN prefix keys,
     // 3-decimal seconds) is the LAST line this process emits — printed to
     // both stdout and stderr after spark.stop(), so no shutdown logging can
-    // land after it on either stream.
+    // land after it on either stream. Line budget: the per-query min map is
+    // ~1.3 KB at 100 queries; the scalar stats fields add ~200 bytes; total
+    // must stay under the 2000-char window or "parsed" comes back null.
     val qs = results.map { case (k, v) => Json.str(shortKey(k)) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":${failed.distinct.sorted.map(n => Json.str(shortKey(n))).mkString("[", ",", "]")}"""
-    val detailPath = java.nio.file.Paths.get("target", "bench_details.txt")
-    java.nio.file.Files.createDirectories(detailPath.getParent)
-    val detailLines =
-      results.map { case (k, v) => s"$k $v" } ++
-        q42Stages.map { case (k, v) => f"$k $v%.3f" } ++
-        sf2Dir.toSeq.map(d2 => s"sf2 $d2") ++
-        results2.map { case (k, v) => s"$k@sf2 $v" } ++
-        failedSf2.toSeq.sorted.map(n => s"$n@sf2 FAILED")
-    java.nio.file.Files.write(detailPath,
-      detailLines.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sf2Json = sf2Dir
-      .map(d2 => f""","sf2":${Json.str(d2)},"value_sf2":${results2.map(_._2).sum}%.3f""")
+      .map(d2 => f""","sf2":${Json.str(d2)},"value_sf2":${results2.values.sum}%.3f""")
       .getOrElse("")
+    val fullLine =
+      f"""{"metric":"total","value":$totalMin%.3f,"unit":"sec","passes":$Passes,""" +
+        f""""value_median":$totalMed%.3f,""" +
+        f""""noise_band":{"med":$noiseMed%.3f,"p90":$noiseP90%.3f,"max":$noiseMax%.3f},""" +
+        s""""stats":"target/bench_stats.json",""" +
+        s""""queries":$qs,"sf":${Json.str(sfDir)}$failedJson$sf2Json}"""
+    // if the catalog ever grows the line past the window, shed the scalar
+    // stats fields (they live in bench_stats.json anyway) rather than
+    // letting the driver's parse come back null
     val metricLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)}$failedJson$sf2Json}"""
+      if (fullLine.length <= 1950) fullLine
+      else f"""{"metric":"total","value":$totalMin%.3f,"unit":"sec","queries":$qs,"sf":${Json.str(sfDir)}$failedJson$sf2Json}"""
     spark.stop()
     System.out.println(metricLine)
     System.out.flush()

@@ -32,6 +32,54 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object Dedup {
 
+  /** Unique observed-metric suffixes: one query plan may hold several
+    * guarded bucket stages (q93 runs the full LSH, the index build,
+    * and the batch probe in a single query) and Spark requires
+    * distinct CollectMetrics names within a plan. */
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The mega-bucket skew guard, with its drop count OBSERVED: every
+    * banded family (MinHash, SimHash, SRP — full runs and index
+    * builds alike) funnels its `size(list) <= maxBucket` filter
+    * through here, so the count of dropped buckets lands in the
+    * executed query's observed metrics as
+    * `<family>_dropped_buckets_<n>`. That makes the one documented
+    * divergence window of the incremental paths — near the guard
+    * boundary the full run sees combined bucket sizes while each
+    * incremental side guards alone — measurable in production
+    * ([[droppedBuckets]]) instead of only documented in scaladoc. */
+  private def guardBuckets(df: DataFrame, listCol: String, maxBucket: Int,
+                           family: String,
+                           dropSingletons: Boolean): DataFrame = {
+    val sz = size(col(listCol))
+    val observed = df.observe(
+      s"${family}_dropped_buckets_${metricSeq.incrementAndGet()}",
+      count(when(sz > maxBucket, lit(1))).as("dropped_buckets"))
+    observed.filter(if (dropSingletons) sz <= maxBucket && sz > 1
+                    else sz <= maxBucket)
+  }
+
+  /** Total buckets dropped by every skew guard that executed in `df`'s
+    * plan, summed across families and stages. Observed metrics exist
+    * only post-execution and attach to the QueryExecution that RAN:
+    * call this after an action that executes `df`'s own plan
+    * (`collect`/`foreach`/`toLocalIterator`). Actions that wrap the
+    * plan in a new one (`count`, `write`) accumulate onto their own
+    * QueryExecution — capture those through a QueryExecutionListener
+    * matching `*_dropped_buckets_*` instead. Zero both means "no
+    * degenerate content" and "the incremental ≡ full equivalence
+    * contract is airtight here" — a nonzero count near a tight
+    * `maxBucket` is the signal to raise the guard. */
+  def droppedBuckets(df: DataFrame): Long =
+    // Bridge.observedMetrics, not queryExecution.observedMetrics: the
+    // stock accessor loses metrics whose stage AQE replaced with an
+    // empty relation after it ran — i.e. exactly the all-buckets-
+    // dropped case this counter exists to expose
+    Bridge.observedMetrics(df).collect {
+      case (name, row) if name.contains("_dropped_buckets_") =>
+        row.getAs[Long]("dropped_buckets")
+    }.sum
+
   /** Exact dedup: one representative (min `idCol`) per distinct value
     * of `key`, with multiplicity. */
   def exactDedupStats(df: DataFrame, key: Column, idCol: Column): DataFrame =
@@ -187,9 +235,10 @@ object Dedup {
     // (block, ids) costs one shuffle of O(#buckets) list rows instead
     // of O(Σ bucket²) pair rows.
     val bucketKey = blockKey ++ Seq("band", "bh")
-    val buckets = banded.groupBy(bucketKey.map(col): _*)
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) <= maxBucket && size(col("ids")) > 1)
+    val buckets = guardBuckets(
+      banded.groupBy(bucketKey.map(col): _*)
+        .agg(sort_array(collect_list(col("id"))).as("ids")),
+      "ids", maxBucket, "minhash_lsh", dropSingletons = true)
       .select(blockKey.map(col) :+ col("ids"): _*)
       .distinct()
 
@@ -237,9 +286,10 @@ object Dedup {
     val banded = bandedKeys(df, idCol, textCol, numHashes, bands, shingleK, blockCol)
     val blockKey = blockCol.toSeq
     val bucketKey = blockKey ++ Seq("band", "bh")
-    banded.groupBy(bucketKey.map(col): _*)
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) <= maxBucket)
+    guardBuckets(
+      banded.groupBy(bucketKey.map(col): _*)
+        .agg(collect_list(col("id")).as("ids")),
+      "ids", maxBucket, "minhash_index", dropSingletons = false)
       .select((bucketKey.map(col) :+ explode(col("ids")).as("id")): _*)
   }
 
@@ -256,7 +306,11 @@ object Dedup {
     * this in-engine; DedupSpec proves it on real data) — near the
     * guard boundary the two can differ, because the full run sees
     * combined bucket sizes while the incremental run guards each side
-    * separately.
+    * separately. That divergence is OBSERVABLE, not just documented:
+    * every guard stage (batch-internal, index build, full run) emits a
+    * dropped-bucket counter into the executed query's observed metrics
+    * — read the total with [[droppedBuckets]]; nonzero on either side
+    * near a tight `maxBucket` means candidates were lost asymmetrically.
     *
     * @param bandIndex output of [[minHashBandIndex]] built with the
     *                  SAME numHashes/bands/shingleK/blockCol
@@ -348,9 +402,10 @@ object Dedup {
     // (near-identical docs agree on most bands), and pair generation
     // emits id_a < id_b by construction instead of filtering half of a
     // self-join's output away
-    val buckets = banded.groupBy("band", "bh")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+    val buckets = guardBuckets(
+      banded.groupBy("band", "bh")
+        .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs")),
+      "xs", maxBucket, "simhash", dropSingletons = true)
       .select(col("xs"))
       .distinct()
     buckets
@@ -373,9 +428,10 @@ object Dedup {
   def simHashBandIndex(df: DataFrame, idCol: String, textCol: String,
                        maxBucket: Int = 5000): DataFrame = {
     val banded = simHashBanded(df, idCol, textCol)
-    banded.groupBy("band", "bh")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
-      .filter(size(col("xs")) <= maxBucket)
+    guardBuckets(
+      banded.groupBy("band", "bh")
+        .agg(collect_list(struct(col("id"), col("sig"))).as("xs")),
+      "xs", maxBucket, "simhash_index", dropSingletons = false)
       .select(col("band"), col("bh"), explode(col("xs")).as("x"))
       .select(col("band"), col("bh"), col("x.id").as("id"), col("x.sig").as("sig"))
   }
@@ -550,9 +606,10 @@ object Dedup {
                         threshold: Double, maxBucket: Int = 5000,
                         roundTo: Int = 4): DataFrame = {
     val banded = srpBanded(df, idCol, vecCol)
-    val buckets = banded.groupBy("band", "bh")
-      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("xs"))
-      .filter(size(col("xs")) > 1 && size(col("xs")) <= maxBucket)
+    val buckets = guardBuckets(
+      banded.groupBy("band", "bh")
+        .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("xs")),
+      "xs", maxBucket, "srp", dropSingletons = true)
       .select(col("xs"))
       .distinct()
     buckets
@@ -574,9 +631,10 @@ object Dedup {
   def srpBandIndex(df: DataFrame, idCol: String, vecCol: String,
                    maxBucket: Int = 5000): DataFrame = {
     val banded = srpBanded(df, idCol, vecCol)
-    banded.groupBy("band", "bh")
-      .agg(collect_list(struct(col("id"), col("vec"))).as("xs"))
-      .filter(size(col("xs")) <= maxBucket)
+    guardBuckets(
+      banded.groupBy("band", "bh")
+        .agg(collect_list(struct(col("id"), col("vec"))).as("xs")),
+      "xs", maxBucket, "srp_index", dropSingletons = false)
       .select(col("band"), col("bh"), explode(col("xs")).as("x"))
       .select(col("band"), col("bh"), col("x.id").as("id"), col("x.vec").as("vec"))
   }

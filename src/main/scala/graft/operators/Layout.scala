@@ -149,86 +149,272 @@ object Layout {
     * dimension. The zkey column is dropped before the write; parquet
     * column stats on the ORIGINAL columns do the pruning. */
   def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
-               bits: Int = 16, equalDepth: Boolean = false): DataFrame = {
-    // no silent clamp: equal-depth callers asking for more boundary
-    // bits than the driver-held-literal cap get the callee's loud
-    // require, not 16x coarser buckets than requested. The linear
-    // default (16) maps to the equal-depth default (8).
+               bits: Option[Int] = None, equalDepth: Boolean = false): DataFrame = {
+    // per-mode defaults, resolved only when the caller left bits
+    // unset: an EXPLICIT bits always reaches the callee verbatim
+    // (over-budget equal-depth values hit zorderKeyEqualDepth's loud
+    // require, never a silent remap to a coarser key)
     val keyed = if (equalDepth)
-      zorderKeyEqualDepth(df, cols, if (bits == 16) 8 else bits)
-    else zorderKey(df, cols, bits)
+      zorderKeyEqualDepth(df, cols, bits.getOrElse(8))
+    else zorderKey(df, cols, bits.getOrElse(16))
     keyed.repartitionByRange(numPartitions, col("zkey"))
       .sortWithinPartitions("zkey")
       .drop("zkey")
   }
 
   def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
-                  numPartitions: Int, bits: Int = 16,
+                  numPartitions: Int, bits: Option[Int] = None,
                   equalDepth: Boolean = false): Unit =
     zorderBy(df, cols, numPartitions, bits, equalDepth)
       .write.mode("overwrite").parquet(path)
 
   case class CompactionStats(filesBefore: Int, filesAfter: Int,
-                             bytesBefore: Long, rows: Long)
+                             bytesBefore: Long, rows: Long) {
+    def +(o: CompactionStats): CompactionStats =
+      CompactionStats(filesBefore + o.filesBefore, filesAfter + o.filesAfter,
+        bytesBefore + o.bytesBefore, rows + o.rows)
+  }
 
   /** Small-file compaction — the operational counterpart of the
     * layout writers: streaming ingest (dedupIngestSink, mergeSink)
     * and frequent incremental batches each append a handful of rows
     * per activation, and a 100 TB table quietly accretes millions of
     * kilobyte files whose per-file open/footer cost dominates every
-    * subsequent scan. Rewrites the directory into
+    * subsequent scan. Rewrites each data directory into
     * ⌈bytes / targetFileBytes⌉ files (optionally re-sorted so
     * clustering survives compaction), verifies the row count on the
     * rewritten copy BEFORE touching the original, then swaps.
+    *
+    * A hive-partitioned root (day=…/ subdirectories, nested or not)
+    * is compacted PER PARTITION DIRECTORY — each leaf gets its own
+    * verify+swap, partition values stay encoded in the directory
+    * names, and directory pruning is untouched for every downstream
+    * reader. Stats aggregate across partitions. This is the
+    * maintenance companion of the streaming ingest, whose sinks write
+    * exactly this layout.
+    *
+    * The source is scanned ONCE per leaf: the expected row count
+    * rides the rewrite job itself as an observed metric instead of a
+    * separate count() pass; the independent verification count runs
+    * against the (small, freshly written) rewrite only.
     *
     * The swap is rename-based: not atomic for readers the way a
     * manifest-pointer flip would be (concurrent readers of `path` can
     * glimpse the gap on stores without atomic dir rename), but never
     * lossy — the verified rewrite exists on disk from before the
     * original is removed, and a crash between the two leaves the
-    * `.compact-tmp` copy to recover from. Run it in the maintenance
-    * window the same way the reference runs its daily snapshot. */
+    * `.compact-tmp` copy to recover from. For concurrent readers, put
+    * the table behind a versioned root and use [[compactVersioned]]:
+    * its publish is one atomic pointer flip. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil): CompactionStats = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileSystem, Path}
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val entries = fs.listStatus(p)
-    val files = entries.filter(s =>
+    // every directory holding .parquet files directly — the root for a
+    // flat table, each (possibly nested) partition dir otherwise.
+    // Hidden/metadata entries (_SUCCESS, _CURRENT, .compact-tmp
+    // leftovers) are skipped, matching Spark's own file-index rules.
+    def leaves(dir: Path): Seq[Path] = {
+      val entries = fs.listStatus(dir).filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      val here =
+        if (entries.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+          Seq(dir)
+        else Seq.empty
+      here ++ entries.filter(_.isDirectory).flatMap(s => leaves(s.getPath))
+    }
+    val dataDirs = leaves(p)
+    require(dataDirs.nonEmpty, s"no parquet files under $path — nothing to compact")
+    dataDirs.map(d => compactLeaf(spark, fs, d, targetFileBytes, sortCols))
+      .reduce(_ + _)
+  }
+
+  private def compactLeaf(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path,
+                          targetFileBytes: Long,
+                          sortCols: Seq[String]): CompactionStats = {
+    import org.apache.hadoop.fs.Path
+    val files = fs.listStatus(p).filter(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
-    // a hive-partitioned table (day=.../ subdirectories) must be
-    // compacted per partition directory: rewriting the root would
-    // silently flatten the partition columns into the data files and
-    // lose directory pruning for every downstream reader
-    require(files.nonEmpty, {
-      val dirs = entries.filter(_.isDirectory).map(_.getPath.getName).take(3)
-      s"no parquet files directly under $path" +
-        (if (dirs.nonEmpty) s" (partition directories found: ${dirs.mkString(", ")}" +
-          " — compact each partition directory individually)" else "")
-    })
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 
-    val df = spark.read.parquet(path)
-    val expected = df.count()
+    // read the leaf directly (partition values live in the directory
+    // name, not the files — the rewrite must not flatten them in)
+    val df = spark.read.parquet(p.toString)
+    val obs = org.apache.spark.sql.Observation()
+    val arranged0 = df.observe(obs, count(lit(1)).as("rows"))
     val arranged =
       if (sortCols.nonEmpty)
-        df.repartitionByRange(nOut, sortCols.map(col): _*)
+        arranged0.repartitionByRange(nOut, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
-      else df.repartition(nOut)
+      else arranged0.repartition(nOut)
     val tmp = new Path(p.getParent, p.getName + ".compact-tmp")
     arranged.write.mode("overwrite").parquet(tmp.toString)
+    val expected = obs.get("rows").asInstanceOf[Long]
 
     val actual = spark.read.parquet(tmp.toString).count()
     require(actual == expected,
-      s"compaction row-count mismatch for $path: $expected -> $actual; " +
+      s"compaction row-count mismatch for $p: $expected -> $actual; " +
         s"original left untouched, rewrite at $tmp")
     if (!fs.delete(p, true))
-      throw new java.io.IOException(s"could not remove $path for swap")
+      throw new java.io.IOException(s"could not remove $p for swap")
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(
-        s"rename $tmp -> $path failed; recover from $tmp")
+        s"rename $tmp -> $p failed; recover from $tmp")
+    CompactionStats(files.length, nOut, bytes, expected)
+  }
+
+  // ------------------------------------------------------ versioned publish
+
+  /** Versioned table root — the atomic-visibility layer under
+    * [[compactVersioned]] and [[zorderPublish]]:
+    *
+    * {{{
+    * root/_CURRENT        <- one line: the live version dir ("v00000003")
+    * root/v00000002/…parquet
+    * root/v00000003/…parquet
+    * }}}
+    *
+    * Writers produce a complete new version directory, then flip
+    * `_CURRENT` with ONE atomic rename (FileContext OVERWRITE rename —
+    * atomic on HDFS and on local file systems). A reader resolving
+    * through [[readVersioned]] therefore sees the old version or the
+    * new one, never an empty window — the lakehouse-manifest pattern,
+    * minus the formats this container doesn't ship. Old versions are
+    * retained (`keepVersions`) so in-flight readers of a just-replaced
+    * version finish against intact files; retention is the caveat a
+    * reader slower than `keepVersions` publishes must size for. */
+  private val Pointer = "_CURRENT"
+
+  private def pointerOf(fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path): Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(root, Pointer)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim)
+          .filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+
+  /** Resolve the live version directory of a versioned root. */
+  def currentVersionPath(spark: org.apache.spark.sql.SparkSession,
+                         root: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = pointerOf(fs, p).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"$root/$Pointer missing — not a versioned root (publish first)"))
+    new org.apache.hadoop.fs.Path(p, v).toString
+  }
+
+  /** Read the live version of a versioned root. */
+  def readVersioned(spark: org.apache.spark.sql.SparkSession,
+                    root: String): DataFrame =
+    spark.read.parquet(currentVersionPath(spark, root))
+
+  /** Write a new version via `write(dir)`, flip the pointer
+    * atomically, GC versions beyond `keepVersions`. Returns the new
+    * version name. `write` must produce a complete, readable directory
+    * — it runs entirely before the flip, so a failed write leaves the
+    * table untouched on its old version. */
+  def publishVersion(spark: org.apache.spark.sql.SparkSession, root: String,
+                     keepVersions: Int = 2)(write: String => Unit): String = {
+    import org.apache.hadoop.fs.{Options, Path}
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    val cur = pointerOf(fs, p)
+    // next = max(existing)+1, scanning dirs rather than trusting the
+    // pointer alone: a crashed previous publish may have left an
+    // unpointed vN+1 directory behind — never reuse its name
+    val existing = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}")).map(_.drop(1).toLong)
+    val next = f"v${(existing.maxOption.getOrElse(0L)) + 1}%08d"
+    write(new Path(p, next).toString)
+
+    // atomic flip: write the pointer beside itself, then OVERWRITE-
+    // rename onto _CURRENT in one FileContext op
+    val tmp = new Path(p, s".$Pointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, new Path(p, Pointer), Options.Rename.OVERWRITE)
+
+    // GC: newest `keepVersions` survive (the new live one included);
+    // the previous live version is deliberately inside the horizon
+    // when keepVersions >= 2 (the default), so readers mid-scan on it
+    // finish cleanly
+    val survivors = (existing :+ next.drop(1).toLong).sorted.reverse
+      .take(keepVersions).toSet
+    existing.filterNot(survivors).foreach { v =>
+      fs.delete(new Path(p, f"v$v%08d"), true)
+    }
+    cur.foreach(c => require(c != next, s"version collision on $next"))
+    next
+  }
+
+  /** Z-order write behind a versioned root: same layout as
+    * [[zorderWrite]], published with an atomic pointer flip. */
+  def zorderPublish(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                    cols: Seq[String], root: String, numPartitions: Int,
+                    bits: Option[Int] = None, equalDepth: Boolean = false,
+                    keepVersions: Int = 2): String =
+    publishVersion(spark, root, keepVersions) { dir =>
+      zorderWrite(df, cols, dir, numPartitions, bits, equalDepth)
+    }
+
+  /** Compaction for a VERSIONED root: rewrite the live version into a
+    * new one (single source scan, observed row count), verify the
+    * rewrite, then atomically flip the pointer — concurrent readers
+    * resolving through `_CURRENT` see old or new, never nothing, and
+    * the old version stays on disk inside the retention horizon for
+    * readers already mid-scan. */
+  def compactVersioned(spark: org.apache.spark.sql.SparkSession, root: String,
+                       targetFileBytes: Long = 128L << 20,
+                       sortCols: Seq[String] = Nil,
+                       keepVersions: Int = 2): CompactionStats = {
+    import org.apache.hadoop.fs.Path
+    val cur = new Path(currentVersionPath(spark, root))
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(cur).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under live version $cur")
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+
+    val df = spark.read.parquet(cur.toString)
+    val obs = org.apache.spark.sql.Observation()
+    val arranged0 = df.observe(obs, count(lit(1)).as("rows"))
+    val arranged =
+      if (sortCols.nonEmpty)
+        arranged0.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else arranged0.repartition(nOut)
+    var expected = -1L
+    publishVersion(spark, root, keepVersions) { dir =>
+      arranged.write.mode("overwrite").parquet(dir)
+      expected = obs.get("rows").asInstanceOf[Long]
+      val actual = spark.read.parquet(dir).count()
+      // throwing here aborts the publish BEFORE the pointer flip: the
+      // table stays on its old version, the bad rewrite is unpointed
+      require(actual == expected,
+        s"compaction row-count mismatch for $root: $expected -> $actual; " +
+          s"pointer not flipped, table still on $cur")
+    }
     CompactionStats(files.length, nOut, bytes, expected)
   }
 }

@@ -642,12 +642,16 @@ object Multimodal {
     * JPEG encoder for the MJPEG path). */
   object AviCodec {
     /** Decoded frames: RGB top-down row-major, 3 bytes per pixel.
-      * `totalFrames` counts every frame chunk in the container;
-      * `frames` holds only the DECODED ones (every `keepEvery`-th). */
+      * `totalFrames` counts EVERY frame chunk in the container — the
+      * count never truncates, however long the video. `frames` holds
+      * only the DECODED ones (every `keepEvery`-th, up to the retained-
+      * frames/bytes caps); `truncated` is true iff an eligible frame
+      * was left undecoded because a cap was hit — the no-silent-caps
+      * contract: a capped decode SAYS so. */
     case class Video(width: Int, height: Int, totalFrames: Int,
-                     frames: Vector[Array[Byte]])
+                     frames: Vector[Array[Byte]], truncated: Boolean = false)
 
-    private val MaxFrames = 4096
+    private val MaxFrames = 4096 // retained (decoded) frames per video
     private val MaxPixels = 1L << 26 // per frame: 64 Mpx * 3 B bounded below
     // cumulative decoded-bytes cap: per-frame caps alone let a ~64 MB
     // MJPEG payload of highly-compressed large frames amplify to
@@ -658,6 +662,54 @@ object Multimodal {
       * skipped frames are COUNTED but never decoded, so sampling
       * callers pay only for kept frames. */
     def decode(b: Array[Byte], keepEvery: Int = 1): Option[Video] = {
+      val frames = Vector.newBuilder[Array[Byte]]
+      var kept = 0
+      var decodedBytes = 0L
+      scan(b, keepEvery) { fr =>
+        frames += fr
+        kept += 1
+        decodedBytes += fr.length
+        kept < MaxFrames && decodedBytes < MaxDecodedBytes
+      }.flatMap { m =>
+        val fs = frames.result()
+        if (fs.isEmpty) None
+        else Some(Video(m.width, m.height, m.totalFrames, fs, m.truncated))
+      }
+    }
+
+    /** Per-channel (R,G,B) means over every `keepEvery`-th frame,
+      * accumulated DURING the container walk: nothing is retained
+      * beyond three longs and the current frame, so the feature-
+      * extraction path never materializes a frame vector (the
+      * retained-memory caps don't apply — there is nothing retained —
+      * and the means cover every sampled frame, not a truncated
+      * prefix). */
+    def streamChannelMeans(b: Array[Byte], keepEvery: Int = 1): Option[Array[Double]] = {
+      val sums = new Array[Long](3)
+      var n = 0L
+      scan(b, keepEvery) { f =>
+        var i = 0
+        while (i < f.length) {
+          sums(i % 3) += f(i) & 0xFF
+          i += 1
+        }
+        n += f.length / 3
+        true
+      }.flatMap { _ =>
+        if (n == 0) None else Some(sums.map(_.toDouble / n))
+      }
+    }
+
+    private case class Meta(width: Int, height: Int, totalFrames: Int,
+                            truncated: Boolean)
+
+    /** Container walk shared by [[decode]] and [[streamChannelMeans]]:
+      * parses headers, COUNTS every frame chunk, decodes each
+      * `keepEvery`-th one and hands it to `onFrame`, which returns
+      * whether to keep decoding (false ⇒ later eligible frames are
+      * counted, flagged truncated, and never decoded). */
+    private def scan(b: Array[Byte], keepEvery: Int)
+                    (onFrame: Array[Byte] => Boolean): Option[Meta] = {
       val every = math.max(1, keepEvery)
       if (b == null || b.length < 24) return None
       def u8(i: Int): Int = b(i) & 0xFF
@@ -669,9 +721,10 @@ object Multimodal {
 
       var width = 0
       var height = 0 // signed: negative ⇒ top-down row order
-      val frames = Vector.newBuilder[Array[Byte]]
       var nFrames = 0 // every frame chunk seen, decoded or skipped
-      var decodedBytes = 0L
+      var anyDecoded = false
+      var decoding = true // false once onFrame asks to stop
+      var truncated = false
 
       /** Decode one raw-DIB frame chunk to RGB top-down. */
       def dibFrame(off: Int, len: Int): Option[Array[Byte]] = {
@@ -722,7 +775,7 @@ object Multimodal {
       def walkMovi(start: Int, end: Int, depth: Int = 0): Unit = {
         if (depth > 16) return
         var p = start
-        while (p + 8 <= end && nFrames < MaxFrames) {
+        while (p + 8 <= end) { // counting never stops — only decoding caps
           val size = le32(p + 4)
           if (size > Int.MaxValue - 12 || p + 8 + size > end + 0L) return
           val len = size.toInt
@@ -730,12 +783,14 @@ object Multimodal {
             walkMovi(p + 12, p + 8 + len, depth + 1)
           else if (isDigit(b(p)) && isDigit(b(p + 1)) &&
                    b(p + 2) == 'd' && (b(p + 3) == 'b' || b(p + 3) == 'c')) {
-            if (nFrames % every == 0 && decodedBytes < MaxDecodedBytes) {
-              val f = if (b(p + 3) == 'b') dibFrame(p + 8, len) else jpegFrame(p + 8, len)
-              f.foreach { fr =>
-                frames += fr
-                decodedBytes += fr.length
-              }
+            if (nFrames % every == 0) {
+              if (decoding) {
+                val f = if (b(p + 3) == 'b') dibFrame(p + 8, len) else jpegFrame(p + 8, len)
+                f.foreach { fr =>
+                  anyDecoded = true
+                  decoding = onFrame(fr)
+                }
+              } else truncated = true // eligible frame left undecoded
             }
             nFrames += 1
           }
@@ -770,9 +825,8 @@ object Multimodal {
         }
         p += 8 + len + (len & 1)
       }
-      val fs = frames.result()
-      if (width <= 0 || height == 0 || fs.isEmpty) None
-      else Some(Video(width, math.abs(height), nFrames, fs))
+      if (width <= 0 || height == 0 || !anyDecoded) None
+      else Some(Meta(width, math.abs(height), nFrames, truncated))
     }
 
     /** Keep every `every`-th frame (0, every, 2·every, …) — real frame
@@ -862,11 +916,14 @@ object Multimodal {
             }
             m.map(v => (v / 255.0).toFloat)
           }
+          // video means accumulate during the container walk
+          // (streamChannelMeans) — feature extraction never holds a
+          // frame vector, whatever the video length
           val (feature, featureKind) = PngCodec.decode(bytes)
             .orElse(ImageIoCodec.decode(bytes))
             .map(px => (rgb3(PngCodec.channelMeans(px)), "pixel_means"))
-            .orElse(AviCodec.decode(bytes)
-              .map(v => (rgb3(AviCodec.channelMeans(v.frames)), "frame_means")))
+            .orElse(AviCodec.streamChannelMeans(bytes)
+              .map(ms => (rgb3(ms), "frame_means")))
             .getOrElse((ByteFeatures.histogram(bytes), "byte_histogram"))
           AssetFeatures(
             asset_id = id,

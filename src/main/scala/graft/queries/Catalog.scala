@@ -2846,6 +2846,211 @@ object Catalog {
       full, incremental.select("id_a", "id_b"), "n_batch_vecs")
   }
 
+  // ---------------------------------------------------------------- similarity: incremental IVF vs persisted index
+  /** The fourth and last probe-a-stored-index family: IVF. q93/q97/q98
+    * gave MinHash/SimHash/SRP near-dup the daily-batch shape; this
+    * gives it to ANN top-k. The corpus's cell assignments are built
+    * once (`Similarity.ivfIndex` — at 100 TB, the cell-partitioned
+    * table `ivfIndexWrite` persists); a new batch is APPENDED by
+    * assigning only its own vectors, then probed. Because assignment
+    * is a pure deterministic function of (vector, centroids), probe-
+    * after-append must equal a from-scratch IVF over corpus ∪ batch
+    * with the same centroids — compared here on the full
+    * (query, neighbor, cos) result set, and emitted as a boolean the
+    * oracle pins alongside the batch size DuckDB recomputes. Planted
+    * exact copies (the q98 pattern) guarantee cos=1 neighbors exist,
+    * so the top-k sets are non-trivial. */
+  val q99IncrementalIvf = q("q99_incremental_ivf",
+    "Incremental IVF: append-assign batch + probe equals from-scratch IVF over corpus+batch (north star: similarity)",
+    """SELECT count(*) FILTER (WHERE vec_id % 4 = 1)
+      |     + count(*) FILTER (WHERE vec_id % 10 = 0) AS n_batch_vecs,
+      |       TRUE AS sets_match
+      |FROM embeddings""".stripMargin) { (s, d) =>
+    val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val planted = vecs.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val batch = vecs.filter(pmod(col("vec_id"), lit(4)) === 1)
+      .unionByName(planted)
+    val corpus = vecs.filter(pmod(col("vec_id"), lit(4)) =!= 1)
+    val centroids = Similarity.pickCentroids(corpus, "vec_id", "embedding", 16)
+    val index = Similarity.ivfIndex(corpus, centroids, "vec_id", "embedding")
+    val appended = Similarity.ivfAppend(index, batch, "vec_id", "embedding")
+    val incremental = Similarity.ivfProbe(batch, appended,
+      "vec_id", "embedding", k = 5, nProbe = 3, roundTo = 4)
+    val fromScratch = Similarity.ivfIndex(corpus.unionByName(batch), centroids,
+      "vec_id", "embedding")
+    val full = Similarity.ivfProbe(batch, fromScratch,
+      "vec_id", "embedding", k = 5, nProbe = 3, roundTo = 4)
+    // exact result-set equality including the cosine scores (both
+    // sides run the identical codegen'd scorer, so doubles are
+    // bit-equal); exceptAll also catches multiplicity differences
+    val missed = full.exceptAll(incremental)
+      .agg(count(lit(1)).as("n_missed"))
+    val spurious = incremental.exceptAll(full)
+      .agg(count(lit(1)).as("n_spurious"))
+    batch.agg(count(lit(1)).as("n_batch_vecs"))
+      .crossJoin(broadcast(missed))
+      .crossJoin(broadcast(spurious))
+      .select(col("n_batch_vecs"),
+        (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"))
+  }
+
+  // ---------------------------------------------------------------- end-to-end curation pipeline
+  /** The composition proof: every north-star operator is proven alone
+    * (q19/q21/q50/q26/q49/q55) — this query chains them as one real
+    * training-data curation flow and pins the per-stage survivor
+    * counts, which the oracle recomputes through the identical chain:
+    *
+    *   ingest → exact dedup (fingerprint, keep min id)
+    *          → near dedup (exact unigram Jaccard ≥ 0.5 within source,
+    *            drop the larger id of every pair — greedy keep-earliest)
+    *          → decontaminate (drop held-out docs + probes with > 10 %
+    *            verbatim 8-gram overlap against the benchmark)
+    *          → quality filter (≥ 10 tokens, alpha ratio ≥ 0.6)
+    *          → deterministic split (md5 bucket, train < 80)
+    *          → pack (greedy 512-token bins over 8 shards)
+    *
+    * Every stage keeps the scale shape of its standalone operator
+    * (hash-partitioned dedup, blocked pair scoring, broadcast bench
+    * grams, per-row quality exprs, arithmetic packing); the chain adds
+    * only semi/anti joins on ids between stages. A drift in ANY stage
+    * shifts every downstream count — the hash match is a seven-way
+    * integration test. */
+  val q100CurationPipeline = q("q100_curation_pipeline",
+    "End-to-end curation: ingest -> exact dedup -> near dedup -> decontaminate -> quality -> split -> pack, per-stage counts (north star: the pipeline)",
+    """WITH ingest AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 10 = 0),
+      |fp AS (
+      |  SELECT doc_id, source, text,
+      |         md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint
+      |  FROM ingest),
+      |exact AS (
+      |  SELECT doc_id, source, text FROM fp
+      |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+      |t AS (SELECT source, doc_id,
+      |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS sh
+      |      FROM exact),
+      |near_drop AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+      |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END >= 0.5),
+      |near AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+      |tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |       FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |                     i -> array_to_string(toks[i:i+7], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS ngs
+      |  FROM tk),
+      |bench AS (
+      |  SELECT DISTINCT unnest(ngs) AS ng FROM grams WHERE doc_id % 29 = 0),
+      |probe AS (
+      |  SELECT g.doc_id, unnest(g.ngs) AS ng FROM grams g
+      |  JOIN near ON near.doc_id = g.doc_id WHERE g.doc_id % 29 <> 0),
+      |overlap AS (
+      |  SELECT probe.doc_id,
+      |         CAST(count(bench.ng) AS DOUBLE) / count(*) AS overlap_ratio
+      |  FROM probe LEFT JOIN bench ON probe.ng = bench.ng
+      |  GROUP BY probe.doc_id),
+      |clean AS (
+      |  SELECT near.* FROM near JOIN overlap ON near.doc_id = overlap.doc_id
+      |  WHERE overlap.overlap_ratio <= 0.1),
+      |quality AS (
+      |  SELECT doc_id, text FROM clean
+      |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 25
+      |    AND CASE WHEN length(lower(text)) = 0 THEN 0.0
+      |             ELSE CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+      |                  / length(lower(text)) END >= 0.6),
+      |train AS (
+      |  SELECT doc_id, text FROM quality
+      |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80),
+      |h AS (SELECT doc_id,
+      |             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2147483647 AS _h
+      |      FROM train),
+      |s AS (SELECT *, _h % 8 AS shard FROM h),
+      |packed AS (
+      |  SELECT shard,
+      |         CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) / 512.0) AS BIGINT) AS bin
+      |  FROM s WINDOW w AS (PARTITION BY shard ORDER BY _h, doc_id))
+      |SELECT (SELECT count(*) FROM ingest) AS n_ingested,
+      |       (SELECT count(*) FROM exact) AS n_exact,
+      |       (SELECT count(*) FROM near) AS n_near,
+      |       (SELECT count(*) FROM clean) AS n_clean,
+      |       (SELECT count(*) FROM quality) AS n_quality,
+      |       (SELECT count(*) FROM train) AS n_train,
+      |       (SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM packed)) AS n_packs""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("doc_id", "source", "text")
+    // planted exact copies (the q22/q98 pattern): every 10th doc
+    // re-arrives under a shifted id, so the exact-dedup stage has
+    // real work the oracle can count
+    val docs = base.unionByName(
+      base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
+
+    // stage 2: exact dedup — keep the min-id representative per
+    // canonical-text fingerprint (one hash shuffle on the fingerprint)
+    val keepIds = Dedup.exactDedupStats(docs,
+      TextFunctions.fingerprint(col("text")), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val exact = docs.join(keepIds, Seq("doc_id"), "left_semi")
+
+    // stage 3: near dedup — exact unigram Jaccard within source
+    // (blocked pair scoring, q21's operator), greedy keep-earliest:
+    // the larger id of every ≥ 0.5 pair is dropped
+    val nearDrop = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
+      blockCol = "source", k = 1, threshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val near = exact.join(nearDrop, Seq("doc_id"), "left_anti")
+
+    // stage 4: decontaminate — held-out docs (doc_id % 29 = 0) never
+    // pass; surviving probes with > 10 % verbatim 8-gram overlap
+    // against the benchmark's gram set are dropped (broadcast bench)
+    // the held-out benchmark is defined over the RAW table (planted
+    // copies are dedup fodder, not benchmark members — their shifted
+    // ids would otherwise leak extra docs into the bench set)
+    val probe = near.filter(pmod(col("doc_id"), lit(29)) =!= 0)
+    val overlap = Contamination.ngramOverlap(
+      probe = probe, benchmark = base.filter(pmod(col("doc_id"), lit(29)) === 0),
+      idCol = "doc_id", textCol = "text", n = 8)
+    val clean = near.join(
+      overlap.filter(col("overlap_ratio") <= 0.1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // stage 5: quality — per-row codegen'd exprs, zero shuffle
+    // (token floor at the corpus's ~10th percentile so the stage
+    // actually filters; the alpha-ratio guard is the real-corpus
+    // shape even though this synthetic text is pure alpha)
+    val quality = clean.filter(
+      TextFunctions.tokenCount(col("text")) >= 25 &&
+        TextFunctions.alphaRatio(col("text")) >= 0.6)
+
+    // stage 6: deterministic split — md5-bucket, no rand()
+    val train = quality.filter(Splits.assignSplit(col("doc_id")) === "train")
+
+    // stage 7: pack — greedy 512-token bins over 8 hash shards
+    val packs = Packing.packGreedy(
+      train.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", ctxLen = 512, shards = 8)
+      .select("shard", "bin").distinct()
+
+    def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    n(docs, "n_ingested")
+      .crossJoin(broadcast(n(exact, "n_exact")))
+      .crossJoin(broadcast(n(near, "n_near")))
+      .crossJoin(broadcast(n(clean, "n_clean")))
+      .crossJoin(broadcast(n(quality, "n_quality")))
+      .crossJoin(broadcast(n(train, "n_train")))
+      .crossJoin(broadcast(n(packs, "n_packs")))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -2869,5 +3074,6 @@ object Catalog {
     q85DeferredByCustomer, q86RecognizedQuarter, q87WavMeta,
     q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
     q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder,
-    q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp)
+    q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp,
+    q99IncrementalIvf, q100CurationPipeline)
 }

@@ -35,6 +35,53 @@ object Bridge {
     c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema)
   }
 
+  /** Observed metrics (`df.observe`) collected from the EXECUTED plan,
+    * surviving the adaptive-execution shapes `QueryExecution
+    * .observedMetrics` loses:
+    *
+    *  - metrics inside materialized query stages (descends
+    *    `QueryStageExec.plan`), and
+    *  - metrics inside stages that AQE's empty-relation propagation
+    *    replaced AFTER they ran: `EmptyRelationExec` retains its
+    *    originating logical plan, whose `LogicalQueryStage` nodes still
+    *    reference the executed physical stage — and therefore the
+    *    accumulator that already aggregated the metric. Without this, a
+    *    guard counter that observed "I dropped every row" vanishes
+    *    precisely when everything was dropped (measured: Map() from
+    *    `observedMetrics` while the metric's stage had run).
+    *
+    * Call after an action executed the DataFrame's own QueryExecution
+    * (`collect`/`foreach`/`toLocalIterator`). */
+  def observedMetrics(df: org.apache.spark.sql.DataFrame): Map[String, org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.{CollectMetricsExec, EmptyRelationExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, LogicalQueryStage, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def goP(p: SparkPlan): Seq[(String, Row)] = {
+      val here = p match {
+        case c: CollectMetricsExec => Seq(c.name -> c.collectedMetrics)
+        case _ => Seq.empty
+      }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => goP(a.executedPlan)
+        case q: QueryStageExec => goP(q.plan)
+        case r: ReusedExchangeExec => goP(r.child)
+        case e: EmptyRelationExec => goL(e.logical)
+        case i: InMemoryTableScanExec => goP(i.relation.cachedPlan)
+        case _ => Seq.empty
+      }
+      here ++ nested ++ p.children.flatMap(goP) ++
+        p.subqueries.flatMap(goP)
+    }
+    def goL(lp: LogicalPlan): Seq[(String, Row)] = lp.collect {
+      case lqs: LogicalQueryStage => goP(lqs.physicalPlan)
+    }.flatten
+    val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    goP(c.queryExecution.executedPlan).toMap
+  }
+
   /** A 1-row/1-column DataFrame as a scalar-subquery Column — the form
     * expressions like `BloomFilterMightContain` require their filter
     * operand to take (constant or scalar subquery; a join-produced

@@ -285,6 +285,42 @@ class DedupSpec extends SparkSpecBase {
   // candidate recall over the ~4k true pairs must be ≥ 99%. Fails if
   // the banding math (band slicing, bucket collapse, skew guard)
   // regresses — the spec backing q20/q42's rows-only oracle rows.
+  test("dropped-bucket counters surface the maxBucket boundary on every guard side") {
+    // 12 identical docs form one mega-clique: every band's bucket holds
+    // all 12 ids. With maxBucket = 8 the full run drops every bucket
+    // (combined size 12 > 8) and finds nothing…
+    val clones = (0L until 12L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val docs = clones.toDF("doc_id", "text")
+    val full = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, shingleK = 1, threshold = 0.0, maxBucket = 8)
+    // collect(), not count(): observed metrics attach to the
+    // QueryExecution that ran, and only collect/foreach run df's own
+    assert(full.collect().isEmpty)
+    assert(Dedup.droppedBuckets(full) > 0,
+      "full run dropped its mega-buckets silently")
+
+    // …while the incremental split (6 corpus + 6 batch) guards each
+    // side at 6 ≤ 8 and KEEPS them: the documented asymmetric-loss
+    // window. The counters make the divergence visible: full counted
+    // drops, neither incremental side did.
+    val corpus = docs.filter($"doc_id" < 6)
+    val batch = docs.filter($"doc_id" >= 6)
+    val index = Dedup.minHashBandIndex(corpus, "doc_id", "text",
+      numHashes = 16, bands = 4, shingleK = 1, maxBucket = 8)
+    val inc = Dedup.incrementalMinHashLsh(batch, "doc_id", "text", index,
+      numHashes = 16, bands = 4, shingleK = 1, maxBucket = 8)
+    assert(inc.collect().nonEmpty)
+    assert(Dedup.droppedBuckets(inc) === 0,
+      "incremental sides under the guard must not count drops")
+
+    // and far from the boundary (guard above the clique) nobody drops:
+    // the equivalence contract's precondition is checkable, not assumed
+    val fullWide = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, shingleK = 1, threshold = 0.0, maxBucket = 100)
+    assert(fullWide.collect().length === 12 * 11 / 2)
+    assert(Dedup.droppedBuckets(fullWide) === 0)
+  }
+
   test("minHashLsh candidate recall >= 99% vs exact Jaccard at 0.5 on sf0.01") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",

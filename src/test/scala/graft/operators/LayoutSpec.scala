@@ -226,17 +226,92 @@ class LayoutSpec extends SparkSpecBase {
     assert(!new java.io.File(base + ".compact-tmp").exists)
   }
 
-  test("compact refuses a hive-partitioned root instead of flattening it") {
+  test("compact recurses a hive-partitioned root per partition, preserving values and pruning") {
     val base = new java.io.File("target/tmp/layout-compact-part").getAbsolutePath
     graft.sources.Fs.deleteRecursively(spark, base)
-    Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
-      .toDF("id", "v", "day")
-      .write.partitionBy("day").parquet(base)
-    val e = intercept[IllegalArgumentException] {
-      Layout.compact(spark, base)
+    // streaming-ingest shape: many tiny appends into a date-partitioned
+    // table (what dedupIngestSink writes per micro-batch)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (pmod(col("l_orderkey"), lit(3))).cast("string").as("day"))
+    (0 until 10).foreach { i =>
+      li.filter(pmod(col("l_partkey"), lit(10)) === i)
+        .coalesce(1).write.partitionBy("day").mode("append").parquet(base)
     }
-    assert(e.getMessage.contains("partition directories found"))
-    // the table is untouched
-    assert(spark.read.parquet(base).count() === 2)
+    val before = spark.read.parquet(base)
+    val beforeCount = before.count()
+    val beforeByDay = before.groupBy("day").count()
+      .as[(String, Long)].collect().toMap
+    def filesIn(dir: String) = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesIn(s"$base/day=0") >= 10)
+
+    val stats = Layout.compact(spark, base, targetFileBytes = Long.MaxValue)
+    assert(stats.rows === beforeCount)
+    assert(stats.filesAfter === 3) // one file per partition directory
+    (0 to 2).foreach(d => assert(filesIn(s"$base/day=$d") === 1))
+    // partition column survives in directory form: values intact,
+    // directory pruning still works (scan of one day reads one dir)
+    val after = spark.read.parquet(base)
+    assert(after.groupBy("day").count().as[(String, Long)].collect().toMap
+      === beforeByDay)
+    val oneDay = after.filter($"day" === "1")
+    assert(oneDay.count() === beforeByDay("1"))
+    val readFiles = oneDay.select(input_file_name()).distinct().as[String].collect()
+    assert(readFiles.forall(_.contains("day=1")), readFiles.mkString(", "))
+  }
+
+  test("versioned publish: pointer flips atomically, readers see old or new, never nothing") {
+    val root = new java.io.File("target/tmp/layout-versioned").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, root)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+
+    val v1 = Layout.zorderPublish(spark, li, Seq("l_partkey", "l_quantity"),
+      root, numPartitions = 4)
+    assert(v1 === "v00000001")
+    val firstRead = Layout.readVersioned(spark, root)
+    assert(firstRead.count() === li.count())
+    // a reader resolves the version path BEFORE a new publish…
+    val staleResolved = Layout.currentVersionPath(spark, root)
+
+    val stats = Layout.compactVersioned(spark, root,
+      targetFileBytes = Long.MaxValue, sortCols = Seq("l_orderkey"))
+    assert(stats.rows === li.count())
+    assert(stats.filesAfter === 1)
+    // …and still reads intact files after it (retention horizon ≥ 2)
+    assert(spark.read.parquet(staleResolved).count() === li.count())
+    // a fresh resolve sees the new version
+    val cur = Layout.currentVersionPath(spark, root)
+    assert(cur != staleResolved && cur.endsWith("v00000002"))
+    assert(Layout.readVersioned(spark, root).count() === li.count())
+    // the pointer file is never absent mid-publish: the flip is one
+    // OVERWRITE rename, so _CURRENT exists and is non-empty now
+    assert(new java.io.File(root, "_CURRENT").exists)
+
+    // third publish GCs v1 (keepVersions=2): v2+v3 remain
+    Layout.compactVersioned(spark, root, targetFileBytes = Long.MaxValue)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(dirs === Seq("v00000002", "v00000003"))
+    assert(Layout.readVersioned(spark, root).count() === li.count())
+  }
+
+  test("versioned compaction aborts before the flip on a bad rewrite, table stays live") {
+    val root = new java.io.File("target/tmp/layout-versioned-abort").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, root)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    Layout.publishVersion(spark, root) { dir =>
+      df.write.parquet(dir)
+    }
+    // a publish whose writer throws must leave the pointer untouched
+    val before = Layout.currentVersionPath(spark, root)
+    intercept[RuntimeException] {
+      Layout.publishVersion(spark, root) { _ =>
+        throw new RuntimeException("writer exploded")
+      }
+    }
+    assert(Layout.currentVersionPath(spark, root) === before)
+    assert(Layout.readVersioned(spark, root).count() === 3)
   }
 }

@@ -103,6 +103,36 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("AviCodec counts frames past the decode cap and says so (truncated flag)") {
+    // 4100 tiny frames: decoding caps at MaxFrames=4096 retained, but
+    // totalFrames still counts every chunk and the cap is flagged
+    val n = 4100
+    val frames = (0 until n).map(i =>
+      Array.tabulate(2 * 2 * 3)(j => ((i + j) % 256).toByte))
+    val avi = buildAvi(2, 2, frames)
+    val v = Multimodal.AviCodec.decode(avi).get
+    assert(v.totalFrames === n, "totalFrames must never truncate")
+    assert(v.frames.size === 4096)
+    assert(v.truncated, "a capped decode must say it was capped")
+    // an uncapped decode is not flagged
+    val small = Multimodal.AviCodec.decode(buildAvi(2, 2, frames.take(3))).get
+    assert(small.totalFrames === 3 && !small.truncated)
+
+    // streaming means cover ALL frames (no retention, no cap) and
+    // equal the retained-path means where no cap hits
+    val sm = Multimodal.AviCodec.streamChannelMeans(
+      buildAvi(2, 2, frames.take(7))).get
+    val dm = Multimodal.AviCodec.channelMeans(
+      Multimodal.AviCodec.decode(buildAvi(2, 2, frames.take(7))).get.frames)
+    assert(sm.toSeq === dm.toSeq)
+    // sampling stride matches the decode path's kept set
+    val sm2 = Multimodal.AviCodec.streamChannelMeans(
+      buildAvi(2, 2, frames.take(7)), keepEvery = 2).get
+    val dm2 = Multimodal.AviCodec.channelMeans(
+      Multimodal.AviCodec.decode(buildAvi(2, 2, frames.take(7)), keepEvery = 2).get.frames)
+    assert(sm2.toSeq === dm2.toSeq)
+  }
+
   test("AviCodec honors negative-height top-down DIBs and rec-LIST nesting") {
     val frames = rndFrames(6, 4, 2, seed = 42)
     val td = Multimodal.AviCodec.decode(

@@ -116,6 +116,91 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  private def gaussianVecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  test("pickCentroids: deterministic, dense cell ids 0..n-1") {
+    val df = gaussianVecs(60, 8, 7).toDF("vec_id", "embedding")
+    val a = Similarity.pickCentroids(df, "vec_id", "embedding", 6)
+      .orderBy("cell").as[(Long, Array[Float])].collect()
+    val b = Similarity.pickCentroids(df, "vec_id", "embedding", 6)
+      .orderBy("cell").as[(Long, Array[Float])].collect()
+    assert(a.map(_._1).toSeq === (0L until 6L))
+    assert(a.map(_._2.toSeq) === b.map(_._2.toSeq))
+  }
+
+  test("ivfAppend + ivfProbe equals from-scratch index over corpus ∪ batch") {
+    val all = gaussianVecs(80, 16, 13)
+    val (corpusRows, batchRows) = all.partition(_._1 % 4 != 1)
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    // batch includes exact copies of corpus vectors under shifted ids
+    val batch = (batchRows ++ corpusRows.take(5).map { case (id, v) => (id + 1000L, v) })
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.pickCentroids(corpus, "vec_id", "embedding", 5)
+    val idx = Similarity.ivfIndex(corpus, cents, "vec_id", "embedding")
+    val appended = Similarity.ivfAppend(idx, batch, "vec_id", "embedding")
+    val scratch = Similarity.ivfIndex(corpus.unionByName(batch), cents,
+      "vec_id", "embedding")
+    val inc = Similarity.ivfProbe(batch, appended, "vec_id", "embedding",
+      k = 3, nProbe = 2).orderBy("query_id", "neighbor_id").collect()
+    val full = Similarity.ivfProbe(batch, scratch, "vec_id", "embedding",
+      k = 3, nProbe = 2).orderBy("query_id", "neighbor_id").collect()
+    assert(inc.nonEmpty && inc === full)
+  }
+
+  test("stored index: write/read/probe round-trip matches in-memory, scan pruned to probed cells") {
+    val corpus = gaussianVecs(90, 12, 29).toDF("vec_id", "embedding")
+    val cents = Similarity.pickCentroids(corpus, "vec_id", "embedding", 9)
+    val idx = Similarity.ivfIndex(corpus, cents, "vec_id", "embedding")
+    val path = new java.io.File("target/tmp/ivf-index-spec").getAbsolutePath
+    Similarity.ivfIndexWrite(idx, path)
+    val queries = corpus.filter($"vec_id" < 3)
+    val stored = Similarity.ivfProbeStored(spark, path, queries,
+      "vec_id", "embedding", k = 4, nProbe = 2)
+    val inMem = Similarity.ivfProbe(queries, idx, "vec_id", "embedding",
+      k = 4, nProbe = 2).orderBy("query_id", "neighbor_id").collect()
+    assert(stored.orderBy("query_id", "neighbor_id").collect() === inMem)
+    // the assignments scan must touch only probed cell partitions:
+    // ≤ queries × nProbe = 6 of the 9 cell directories. Inspect the
+    // static plan (AQE wraps scans in opaque query stages — the
+    // PlanAuditSpec convention) and evaluate its partition filters.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val staticProbe = Similarity.ivfProbeStored(spark, path, queries,
+        "vec_id", "embedding", k = 4, nProbe = 2)
+      val scans = staticProbe.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("assignments")) => s
+      }
+      assert(scans.nonEmpty, "no file scan over assignments found in the plan")
+      val partsRead = scans.map(s =>
+        s.relation.location.listFiles(s.partitionFilters, Nil).size).max
+      assert(partsRead <= 6, s"probe scanned $partsRead cell partitions, expected ≤ 6")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("stored probe recall: exact-copy batch always finds its original with cos 1") {
+    val corpus = gaussianVecs(100, 16, 41).toDF("vec_id", "embedding")
+    val cents = Similarity.pickCentroids(corpus, "vec_id", "embedding", 8)
+    val idx = Similarity.ivfIndex(corpus, cents, "vec_id", "embedding")
+    // every 10th vector re-arrives as an exact copy under a shifted id:
+    // an identical vector lands in the identical cell (deterministic
+    // argmax), so even nProbe=1 must recall the original at cos=1
+    val copies = corpus.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding")
+    val hits = Similarity.ivfProbe(copies, idx, "vec_id", "embedding",
+      k = 1, nProbe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.length === 10)
+    hits.foreach { case (q, n, c) =>
+      assert(n === q - 5000L, s"query $q recalled $n, expected ${q - 5000L}")
+      assert(math.abs(c - 1.0) < 1e-9)
+    }
+  }
+
   test("int8 quantization of a zero or empty vector: NULL scale, all-zero codes") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f)),
