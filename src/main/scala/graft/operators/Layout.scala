@@ -214,18 +214,26 @@ object Layout {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     // every directory holding .parquet files directly — the root for a
     // flat table, each (possibly nested) partition dir otherwise.
-    // Hidden/metadata entries (_SUCCESS, _CURRENT, .compact-tmp
+    // Hidden/metadata entries (_SUCCESS, _CURRENT, .…compact-tmp
     // leftovers) are skipped, matching Spark's own file-index rules.
+    // A directory holding BOTH data files and subdirectories is not a
+    // layout this operator can rewrite safely (compacting the parent
+    // would swallow the children, then the child visit would read a
+    // deleted path) — refuse loudly, like the old flat-only guard did.
     def leaves(dir: Path): Seq[Path] = {
       val entries = fs.listStatus(dir).filterNot { s =>
         val n = s.getPath.getName
         n.startsWith("_") || n.startsWith(".")
       }
-      val here =
-        if (entries.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
-          Seq(dir)
-        else Seq.empty
-      here ++ entries.filter(_.isDirectory).flatMap(s => leaves(s.getPath))
+      val hasFiles = entries.exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val subdirs = entries.filter(_.isDirectory)
+      require(!(hasFiles && subdirs.nonEmpty),
+        s"$dir mixes parquet files with subdirectories " +
+          s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}) — " +
+          "not a flat or hive-partitioned layout; compact cannot rewrite it safely")
+      if (hasFiles) Seq(dir)
+      else subdirs.flatMap(s => leaves(s.getPath))
     }
     val dataDirs = leaves(p)
     require(dataDirs.nonEmpty, s"no parquet files under $path — nothing to compact")
@@ -254,9 +262,13 @@ object Layout {
         arranged0.repartitionByRange(nOut, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else arranged0.repartition(nOut)
-    val tmp = new Path(p.getParent, p.getName + ".compact-tmp")
+    // dot-prefixed: HIDDEN to partition discovery and to leaves(), so
+    // a crash between write and swap leaves a recoverable tmp that no
+    // reader mistakes for a partition and no later compact() re-eats
+    // (the pre-dot name inside a partitioned root did both)
+    val tmp = new Path(p.getParent, "." + p.getName + ".compact-tmp")
     arranged.write.mode("overwrite").parquet(tmp.toString)
-    val expected = obs.get("rows").asInstanceOf[Long]
+    val expected = observedRows(obs, df)
 
     val actual = spark.read.parquet(tmp.toString).count()
     require(actual == expected,
@@ -269,6 +281,20 @@ object Layout {
         s"rename $tmp -> $p failed; recover from $tmp")
     CompactionStats(files.length, nOut, bytes, expected)
   }
+
+  /** The observed source-row count, with a fallback for the one case
+    * the metric can vanish: a 0-row source lets AQE replace the
+    * observed stage with an empty relation AFTER it ran, and the
+    * Observation never completes (`get` would hang forever — the same
+    * loss mode Bridge.observedMetrics documents). `getOrEmpty` bounds
+    * the wait; the fallback count() touches only footers of a source
+    * that is empty (or nearly) exactly when the fallback fires. */
+  private def observedRows(obs: org.apache.spark.sql.Observation,
+                           df: DataFrame): Long =
+    org.apache.spark.sql.graftbridge.Bridge.observationRow(obs) match {
+      case Some(row) => row.getAs[Long]("rows")
+      case None => df.count()
+    }
 
   // ------------------------------------------------------ versioned publish
 
@@ -335,14 +361,42 @@ object Layout {
     val p = new Path(root)
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p)
-    val cur = pointerOf(fs, p)
-    // next = max(existing)+1, scanning dirs rather than trusting the
-    // pointer alone: a crashed previous publish may have left an
-    // unpointed vN+1 directory behind — never reuse its name
+    // next = max(existing)+1, scanning version dirs AND claim markers
+    // rather than trusting the pointer alone: a crashed previous
+    // publish may have left an unpointed (or claimed-but-unwritten)
+    // vN+1 behind — never reuse its name
+    def taken(): Seq[Long] = fs.listStatus(p).map(_.getPath.getName).toSeq
+      .collect {
+        case d if d.matches("v\\d{8}") => d.drop(1).toLong
+        case c if c.matches("\\.claim-v\\d{8}") => c.drop(8).toLong
+      }
     val existing = fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.matches("v\\d{8}")).map(_.drop(1).toLong)
-    val next = f"v${(existing.maxOption.getOrElse(0L)) + 1}%08d"
+    // claim the version name EXCLUSIVELY before writing: an atomic
+    // create(overwrite = false) of a dot-hidden SIBLING marker loses
+    // to at most one concurrent publisher, so two writers can never
+    // interleave into the same version directory (the marker must not
+    // live inside the directory — overwrite-mode writers delete it);
+    // the loser walks to the next free number
+    var n = taken().maxOption.getOrElse(0L) + 1
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      try {
+        fs.create(new Path(p, f".claim-v$n%08d"), false).close()
+        claimed = true
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          // distinguish "slot taken" from a genuinely failing store:
+          // a taken slot means a marker exists; anything else rethrows
+          if (attempts > 1000 || !fs.exists(new Path(p, f".claim-v$n%08d")))
+            throw e
+          n += 1
+      }
+    }
+    val next = f"v$n%08d"
     write(new Path(p, next).toString)
 
     // atomic flip: write the pointer beside itself, then OVERWRITE-
@@ -358,12 +412,14 @@ object Layout {
     // the previous live version is deliberately inside the horizon
     // when keepVersions >= 2 (the default), so readers mid-scan on it
     // finish cleanly
-    val survivors = (existing :+ next.drop(1).toLong).sorted.reverse
+    val survivors = (existing :+ n).sorted.reverse
       .take(keepVersions).toSet
     existing.filterNot(survivors).foreach { v =>
       fs.delete(new Path(p, f"v$v%08d"), true)
+      // the claim marker goes with its version: a GC'd version sits
+      // below the surviving max, so its number can never be re-issued
+      fs.delete(new Path(p, f".claim-v$v%08d"), false)
     }
-    cur.foreach(c => require(c != next, s"version collision on $next"))
     next
   }
 

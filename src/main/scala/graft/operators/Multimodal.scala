@@ -680,13 +680,17 @@ object Multimodal {
     /** Per-channel (R,G,B) means over every `keepEvery`-th frame,
       * accumulated DURING the container walk: nothing is retained
       * beyond three longs and the current frame, so the feature-
-      * extraction path never materializes a frame vector (the
-      * retained-memory caps don't apply — there is nothing retained —
-      * and the means cover every sampled frame, not a truncated
-      * prefix). */
+      * extraction path never materializes a frame vector. Decode WORK
+      * stays bounded by the same `MaxDecodedBytes` budget as
+      * [[decode]] — these are untrusted payload bytes, and a few-MB
+      * MJPEG of thousands of large compressed frames would otherwise
+      * buy unbounded ImageIO CPU in one task. Means past the budget
+      * cover the processed prefix (identical to the retained path's
+      * coverage at the same budget). */
     def streamChannelMeans(b: Array[Byte], keepEvery: Int = 1): Option[Array[Double]] = {
       val sums = new Array[Long](3)
       var n = 0L
+      var processed = 0L
       scan(b, keepEvery) { f =>
         var i = 0
         while (i < f.length) {
@@ -694,7 +698,8 @@ object Multimodal {
           i += 1
         }
         n += f.length / 3
-        true
+        processed += f.length
+        processed < MaxDecodedBytes
       }.flatMap { _ =>
         if (n == 0) None else Some(sums.map(_.toDouble / n))
       }

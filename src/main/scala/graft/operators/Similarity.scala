@@ -137,18 +137,9 @@ object Similarity {
   def ivfTopK(corpusWithCells: DataFrame, centroids: DataFrame,
               queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
-    val cents = broadcast(centroids.select(
-      col(idCol).as("cell"), col(vecCol).as("cent_vec")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    // top-nProbe cells per query (tiny: |queries| × |centroids|)
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_sim").desc, col("cell").asc)
-    val probes = q.join(cents)
-      .select(col("query_id"), col("qvec"), col("cell"),
-        cosine(col("qvec"), col("cent_vec")).as("cell_sim"))
-      .withColumn("_rk", row_number().over(wq))
-      .filter(col("_rk") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+    val probes = probeCells(queries,
+      centroids.select(col(idCol).as("cell"), col(vecCol).as("cent_vec")),
+      idCol, vecCol, nProbe)
     // scan only probed cells (partition-prunable when stored by cell)
     val c = corpusWithCells.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
@@ -157,6 +148,25 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qvec"), col("cvec")), roundTo).as("cos"))
     topKPerKey(scored, "query_id", k)
+  }
+
+  /** Top-nProbe (query_id, qvec, cell) probe assignments against a
+    * (cell, cent_vec) centroid table — the ONE probe-selection
+    * definition, shared by [[ivfTopK]] and [[ivfProbeStored]] so the
+    * in-memory and stored paths cannot diverge (their equivalence is
+    * spec-pinned). Tiny input: |queries| × |centroids|. */
+  private def probeCells(queries: DataFrame, cents: DataFrame,
+                         idCol: String, vecCol: String,
+                         nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    q.join(broadcast(cents))
+      .select(col("query_id"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("cent_vec")).as("cell_sim"))
+      .withColumn("_rk", row_number().over(wq))
+      .filter(col("_rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
   }
 
   // ------------------------------------------------------- persisted IVF index
@@ -240,6 +250,22 @@ object Similarity {
         assignCells(newVecs, cents, idCol, vecCol)))
   }
 
+  /** Incremental append to a STORED index: assign only the new
+    * vectors against the stored centroids and append their rows to
+    * the cell-partitioned assignments table — the daily-batch write
+    * path (`dynamic partition append`: only the touched cell
+    * directories gain files; the corpus's existing files are never
+    * rewritten). Equivalent to [[ivfAppend]] + [[ivfIndexWrite]]
+    * without rewriting the corpus. */
+  def ivfAppendWrite(spark: org.apache.spark.sql.SparkSession, path: String,
+                     newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val index = ivfIndexRead(spark, path)
+    val cents = index.centroids.select(col("cell").as(idCol), col(vecCol))
+    assignCells(newVecs, cents, idCol, vecCol)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/assignments")
+  }
+
   /** Probe a persisted index: identical semantics to [[ivfTopK]] over
     * (index.assignments, index.centroids) — the point is what it does
     * NOT do: no corpus re-assignment, no centroid re-fit, and (on a
@@ -264,17 +290,12 @@ object Similarity {
                      k: Int, nProbe: Int = 4, roundTo: Int = 6,
                      maxCells: Int = 1 << 20): DataFrame = {
     val index = ivfIndexRead(spark, path)
-    val cents = broadcast(index.centroids.select(
-      col("cell"), col(vecCol).as("cent_vec")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_sim").desc, col("cell").asc)
-    val probes = q.join(cents)
-      .select(col("query_id"), col("qvec"), col("cell"),
-        cosine(col("qvec"), col("cent_vec")).as("cell_sim"))
-      .withColumn("_rk", row_number().over(wq))
-      .filter(col("_rk") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+    // the probes subtree runs twice (once collected for the pruning
+    // literal, once joined below) — the price of GUARANTEED static
+    // pruning, and it is the tiny side of the query
+    val probes = probeCells(queries,
+      index.centroids.select(col("cell"), col(vecCol).as("cent_vec")),
+      idCol, vecCol, nProbe)
     val probedCells = probes.select(col("cell")).distinct()
       .limit(maxCells + 1).collect().map(_.getLong(0))
     require(probedCells.length <= maxCells,

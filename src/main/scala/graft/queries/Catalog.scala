@@ -2906,7 +2906,7 @@ object Catalog {
     *            drop the larger id of every pair — greedy keep-earliest)
     *          → decontaminate (drop held-out docs + probes with > 10 %
     *            verbatim 8-gram overlap against the benchmark)
-    *          → quality filter (≥ 10 tokens, alpha ratio ≥ 0.6)
+    *          → quality filter (≥ 25 tokens, alpha ratio ≥ 0.6)
     *          → deterministic split (md5 bucket, train < 80)
     *          → pack (greedy 512-token bins over 8 shards)
     *

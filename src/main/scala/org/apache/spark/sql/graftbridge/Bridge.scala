@@ -82,6 +82,23 @@ object Bridge {
     goP(c.queryExecution.executedPlan).toMap
   }
 
+  /** Bounded Observation read (`getRowOrEmpty` is `private[sql]`):
+    * None when the observed stage's metric never arrives — e.g. AQE
+    * replaced the stage with an empty relation after it ran — where
+    * `Observation.get` would wait forever. The short poll covers the
+    * async listener-bus delivery gap in the normal case; callers keep
+    * an exact fallback for None. */
+  def observationRow(obs: org.apache.spark.sql.Observation,
+                     timeoutMs: Long = 2000): Option[org.apache.spark.sql.Row] = {
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    var r = obs.getRowOrEmpty
+    while (r.isEmpty && System.nanoTime < deadline) {
+      Thread.sleep(25)
+      r = obs.getRowOrEmpty
+    }
+    r
+  }
+
   /** A 1-row/1-column DataFrame as a scalar-subquery Column — the form
     * expressions like `BloomFilterMightContain` require their filter
     * operand to take (constant or scalar subquery; a join-produced

@@ -222,8 +222,33 @@ class LayoutSpec extends SparkSpecBase {
     val keys = spark.read.parquet(base).select("l_orderkey")
       .as[Long].collect()
     assert(keys.toSeq === keys.sorted.toSeq)
-    // no leftover tmp directory
-    assert(!new java.io.File(base + ".compact-tmp").exists)
+    // no leftover tmp directory (dot-prefixed — hidden from readers)
+    val parent = new java.io.File(base).getParentFile
+    assert(!new java.io.File(parent,
+      "." + new java.io.File(base).getName + ".compact-tmp").exists)
+  }
+
+  test("compact refuses a root that mixes data files with subdirectories") {
+    val base = new java.io.File("target/tmp/layout-compact-mixed").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, base)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.coalesce(1).write.parquet(base) // direct files…
+    df.coalesce(1).write.parquet(s"$base/sub") // …plus a nested data dir
+    val e = intercept[IllegalArgumentException](Layout.compact(spark, base))
+    assert(e.getMessage.contains("mixes parquet files with subdirectories"))
+    // nothing was rewritten or deleted
+    assert(spark.read.parquet(s"$base/sub").count() === 2)
+  }
+
+  test("compact survives a 0-row leaf (observed metric lost to AQE empty propagation)") {
+    val base = new java.io.File("target/tmp/layout-compact-empty").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, base)
+    val df = Seq((1L, "a")).toDF("id", "v").filter($"id" < 0) // 0 rows, real schema
+    df.coalesce(1).write.parquet(base)
+    // must terminate (no obs.get hang) and verify 0 == 0
+    val stats = Layout.compact(spark, base, targetFileBytes = Long.MaxValue)
+    assert(stats.rows === 0L)
+    assert(spark.read.parquet(base).count() === 0L)
   }
 
   test("compact recurses a hive-partitioned root per partition, preserving values and pruning") {

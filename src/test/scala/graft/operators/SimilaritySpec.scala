@@ -182,6 +182,34 @@ class SimilaritySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("ivfAppendWrite: stored append equals rebuilt index, existing cell files untouched") {
+    val all = gaussianVecs(70, 12, 53)
+    val (corpusRows, batchRows) = all.partition(_._1 % 5 != 2)
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val batch = batchRows.toDF("vec_id", "embedding")
+    val cents = Similarity.pickCentroids(corpus, "vec_id", "embedding", 6)
+    val path = new java.io.File("target/tmp/ivf-append-spec").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, path)
+    Similarity.ivfIndexWrite(
+      Similarity.ivfIndex(corpus, cents, "vec_id", "embedding"), path)
+    val beforeFiles = spark.read.parquet(s"$path/assignments")
+      .select(input_file_name()).distinct().as[String].collect().toSet
+
+    Similarity.ivfAppendWrite(spark, path, batch, "vec_id", "embedding")
+
+    // append-only: every pre-existing file survives byte-identically
+    val afterFiles = spark.read.parquet(s"$path/assignments")
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(beforeFiles.subsetOf(afterFiles), "append rewrote existing corpus files")
+    // and the stored table now equals a from-scratch rebuild
+    val stored = Similarity.ivfIndexRead(spark, path).assignments
+      .select("vec_id", "cell").orderBy("vec_id").as[(Long, Long)].collect()
+    val rebuilt = Similarity.ivfIndex(corpus.unionByName(batch), cents,
+      "vec_id", "embedding").assignments
+      .select("vec_id", "cell").orderBy("vec_id").as[(Long, Long)].collect()
+    assert(stored === rebuilt)
+  }
+
   test("stored probe recall: exact-copy batch always finds its original with cos 1") {
     val corpus = gaussianVecs(100, 16, 41).toDF("vec_id", "embedding")
     val cents = Similarity.pickCentroids(corpus, "vec_id", "embedding", 8)
