@@ -2994,12 +2994,24 @@ object Catalog {
       base.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
 
+    // checkpoint barrier between stages (the q42/connectedComponents
+    // pattern): the seven count branches below each reference their
+    // stage's survivor set, and without a barrier Catalyst inlines
+    // the whole upstream chain into every branch — measured 406
+    // parquet scans / 440 exchanges in the static plan, with the
+    // near-dedup pair scoring recomputed per branch. Each stage is
+    // small (survivor rows of a small table), so materializing it
+    // once is the scale-correct shape a real pipeline would have
+    // anyway: every stage output IS a table between jobs.
+    def stage(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
+
     // stage 2: exact dedup — keep the min-id representative per
     // canonical-text fingerprint (one hash shuffle on the fingerprint)
     val keepIds = Dedup.exactDedupStats(docs,
       TextFunctions.fingerprint(col("text")), col("doc_id"))
       .select(col("keep_id").as("doc_id"))
-    val exact = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    val exact = stage(docs.join(keepIds, Seq("doc_id"), "left_semi"))
 
     // stage 3: near dedup — exact unigram Jaccard within source
     // (blocked pair scoring, q21's operator), greedy keep-earliest:
@@ -3007,7 +3019,7 @@ object Catalog {
     val nearDrop = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
       blockCol = "source", k = 1, threshold = 0.5)
       .select(col("id_b").as("doc_id")).distinct()
-    val near = exact.join(nearDrop, Seq("doc_id"), "left_anti")
+    val near = stage(exact.join(nearDrop, Seq("doc_id"), "left_anti"))
 
     // stage 4: decontaminate — held-out docs (doc_id % 29 = 0) never
     // pass; surviving probes with > 10 % verbatim 8-gram overlap
@@ -3019,20 +3031,20 @@ object Catalog {
     val overlap = Contamination.ngramOverlap(
       probe = probe, benchmark = base.filter(pmod(col("doc_id"), lit(29)) === 0),
       idCol = "doc_id", textCol = "text", n = 8)
-    val clean = near.join(
+    val clean = stage(near.join(
       overlap.filter(col("overlap_ratio") <= 0.1).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"))
 
     // stage 5: quality — per-row codegen'd exprs, zero shuffle
     // (token floor at the corpus's ~10th percentile so the stage
     // actually filters; the alpha-ratio guard is the real-corpus
     // shape even though this synthetic text is pure alpha)
-    val quality = clean.filter(
+    val quality = stage(clean.filter(
       TextFunctions.tokenCount(col("text")) >= 25 &&
-        TextFunctions.alphaRatio(col("text")) >= 0.6)
+        TextFunctions.alphaRatio(col("text")) >= 0.6))
 
     // stage 6: deterministic split — md5-bucket, no rand()
-    val train = quality.filter(Splits.assignSplit(col("doc_id")) === "train")
+    val train = stage(quality.filter(Splits.assignSplit(col("doc_id")) === "train"))
 
     // stage 7: pack — greedy 512-token bins over 8 hash shards
     val packs = Packing.packGreedy(
