@@ -2872,13 +2872,21 @@ object Catalog {
     val batch = vecs.filter(pmod(col("vec_id"), lit(4)) === 1)
       .unionByName(planted)
     val corpus = vecs.filter(pmod(col("vec_id"), lit(4)) =!= 1)
-    val centroids = Similarity.pickCentroids(corpus, "vec_id", "embedding", 16)
+    // checkpoint barriers (the q100/q42 pattern): centroids feed five
+    // downstream subtrees and each index feeds two — without barriers
+    // every reference re-runs the pick/assignment from the scan
+    def stage(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
+    val centroids = stage(
+      Similarity.pickCentroids(corpus, "vec_id", "embedding", 16))
     val index = Similarity.ivfIndex(corpus, centroids, "vec_id", "embedding")
-    val appended = Similarity.ivfAppend(index, batch, "vec_id", "embedding")
+    val appended = Similarity.IvfIndex(centroids, stage(
+      Similarity.ivfAppend(index, batch, "vec_id", "embedding").assignments))
     val incremental = Similarity.ivfProbe(batch, appended,
       "vec_id", "embedding", k = 5, nProbe = 3, roundTo = 4)
-    val fromScratch = Similarity.ivfIndex(corpus.unionByName(batch), centroids,
-      "vec_id", "embedding")
+    val fromScratch = Similarity.IvfIndex(centroids, stage(
+      Similarity.ivfIndex(corpus.unionByName(batch), centroids,
+        "vec_id", "embedding").assignments))
     val full = Similarity.ivfProbe(batch, fromScratch,
       "vec_id", "embedding", k = 5, nProbe = 3, roundTo = 4)
     // exact result-set equality including the cosine scores (both

@@ -144,4 +144,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(shuffles(plan) === 0, plan)
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("q100 stage barriers hold: the count assembly reads checkpoints, not the chain") {
+    val plan = planOf("q100_curation_pipeline")
+    // each of the seven count branches must read its stage's
+    // materialized survivor set; without the barriers Catalyst
+    // inlines the full dedup/decontamination chain into every branch
+    // (measured: 406 parquet scans in the static plan, 4.7 s -> 2.7 s
+    // at sf0.1 when fixed)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 6, s"q100 count assembly re-derives its stages: $scans parquet scans")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 4,
+      s"expected checkpointed stage leaves in:\n$plan")
+  }
+
+  test("q99 incremental-IVF barriers hold: one centroid pick, staged assignments") {
+    val plan = planOf("q99_incremental_ivf")
+    // centroids feed five subtrees and each index feeds two — the
+    // barriers keep the full-corpus assignment from re-running per
+    // reference. TakeOrdered in the plan would mean pickCentroids is
+    // being re-derived instead of read from its checkpoint.
+    assert(!plan.contains("TakeOrdered"),
+      s"pickCentroids re-derived inside the assembled plan:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2,
+      s"expected checkpointed index leaves in:\n$plan")
+  }
 }
