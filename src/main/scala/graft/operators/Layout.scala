@@ -215,7 +215,10 @@ object Layout {
     // every directory holding .parquet files directly — the root for a
     // flat table, each (possibly nested) partition dir otherwise.
     // Hidden/metadata entries (_SUCCESS, _CURRENT, .…compact-tmp
-    // leftovers) are skipped, matching Spark's own file-index rules.
+    // leftovers) are skipped with Spark's own file-index rule: an
+    // underscore prefix hides a name UNLESS it contains '=' — an
+    // underscore-named partition column (`_epoch=…`, what the
+    // streaming dedup ingest writes) is data, not metadata.
     // A directory holding BOTH data files and subdirectories is not a
     // layout this operator can rewrite safely (compacting the parent
     // would swallow the children, then the child visit would read a
@@ -223,7 +226,7 @@ object Layout {
     def leaves(dir: Path): Seq[Path] = {
       val entries = fs.listStatus(dir).filterNot { s =>
         val n = s.getPath.getName
-        n.startsWith("_") || n.startsWith(".")
+        n.startsWith(".") || (n.startsWith("_") && !n.contains("="))
       }
       val hasFiles = entries.exists(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet"))

@@ -216,12 +216,17 @@ object Similarity {
   }
 
   /** Write the index: `path/centroids` plain parquet, `path/assignments`
-    * partitioned by `cell` — the layout that turns every probe's cell
-    * set into parquet partition pruning (no full-corpus scan, ever). */
+    * partitioned by `(cell, _epoch)` — the cell level turns every
+    * probe's cell set into parquet partition pruning (no full-corpus
+    * scan, ever), and the `_epoch` level gives incremental writers
+    * ([[ivfAppendWrite]], `Streaming.ivfIngestSink`) an idempotent
+    * dynamic-overwrite unit without changing the directory depth the
+    * readers expect. The bootstrap corpus lands as `_epoch=base`. */
   def ivfIndexWrite(index: IvfIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    index.assignments.write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$path/assignments")
+    index.assignments.withColumn("_epoch", lit("base"))
+      .write.mode("overwrite")
+      .partitionBy("cell", "_epoch").parquet(s"$path/assignments")
   }
 
   def ivfIndexRead(spark: org.apache.spark.sql.SparkSession,
@@ -230,10 +235,12 @@ object Similarity {
     // read; normalize to long so probes/appends line up with the
     // build-side type. A cast over a partition attribute still prunes:
     // partition filters are any predicates referencing only partition
-    // columns, casts included.
+    // columns, casts included. `_epoch` is a writer-side bookkeeping
+    // column — readers never see it.
     IvfIndex(spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assignments")
-        .withColumn("cell", col("cell").cast("long")))
+        .withColumn("cell", col("cell").cast("long"))
+        .drop("_epoch"))
 
   /** Incremental append: assign ONLY the new vectors to the existing
     * centroids — the corpus pays nothing. Returns the appended-to
@@ -258,11 +265,13 @@ object Similarity {
     * rewritten). Equivalent to [[ivfAppend]] + [[ivfIndexWrite]]
     * without rewriting the corpus. */
   def ivfAppendWrite(spark: org.apache.spark.sql.SparkSession, path: String,
-                     newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+                     newVecs: DataFrame, idCol: String, vecCol: String,
+                     epochLabel: String = "append"): Unit = {
     val index = ivfIndexRead(spark, path)
     val cents = index.centroids.select(col("cell").as(idCol), col(vecCol))
     assignCells(newVecs, cents, idCol, vecCol)
-      .write.mode("append").partitionBy("cell")
+      .withColumn("_epoch", lit(epochLabel))
+      .write.mode("append").partitionBy("cell", "_epoch")
       .parquet(s"$path/assignments")
   }
 

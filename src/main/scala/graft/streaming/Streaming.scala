@@ -216,21 +216,7 @@ object Streaming {
     // checkpoint mints a new one (old partitions become permanent
     // data, and the still-read index keeps rejecting their
     // fingerprints).
-    val runToken = {
-      import org.apache.hadoop.fs.Path
-      val marker = new Path(checkpoint, "graft-run-id")
-      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(marker)) {
-        val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-      } else {
-        val id = java.util.UUID.randomUUID().toString
-        val out = fs.create(marker, false)
-        try out.write(id.getBytes("UTF-8")) finally out.close()
-        id
-      }
-    }
+    val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -267,13 +253,64 @@ object Streaming {
           // empty (fingerprints already indexed) and dynamic
           // overwrite with zero rows touches nothing.
           def epochWrite(df: DataFrame, path: String): Unit =
-            df.withColumn("_epoch", lit(s"$runToken-$epochId"))
+            df.withColumn("_epoch", lit(s"$token-$epochId"))
               .write.partitionBy("_epoch")
               .option("partitionOverwriteMode", "dynamic")
               .mode("overwrite").parquet(path)
           epochWrite(accepted.drop("fingerprint"), corpusPath)
           epochWrite(accepted.select("fingerprint"), indexPath)
         } finally { accepted.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** The ingest run token: epoch ids are only unique per checkpoint,
+    * so a reset checkpoint re-delivering epoch 0 must not dynamic-
+    * overwrite a kept table's old epoch-0 partition. The token lives
+    * IN the checkpoint dir: restarts reuse it (replay idempotent), a
+    * reset mints a fresh one (old partitions become permanent data). */
+  private def runToken(spark: SparkSession, checkpoint: String): String = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(checkpoint, "graft-run-id")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      val out = fs.create(marker, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      id
+    }
+  }
+
+  /** Streaming ANN-index ingest — the IVF twin of [[dedupIngestSink]],
+    * closing the last index family's streaming path: each micro-batch
+    * of new vectors is assigned to the STORED centroids (the corpus
+    * pays nothing) and written into the cell-partitioned assignments
+    * table under a `(cell, _epoch)` dynamic overwrite, so an
+    * at-least-once replay of epoch N rewrites its own partitions
+    * instead of double-appending. Centroids must already exist at
+    * `indexPath` (bootstrap via `Similarity.ivfIndexWrite` — its
+    * `_epoch=base` layout is depth-compatible with these writes).
+    * Probes against the table (`Similarity.ivfProbeStored`) see every
+    * ingested epoch immediately. */
+  def ivfIngestSink(stream: DataFrame, spark: SparkSession,
+                    indexPath: String, idCol: String, vecCol: String,
+                    checkpoint: String): StreamingQuery = {
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val cents = spark.read.parquet(s"$indexPath/centroids")
+          .select(col("cell").as(idCol), col(vecCol))
+        graft.operators.Similarity.assignCells(batch, cents, idCol, vecCol)
+          .withColumn("_epoch", lit(s"$token-$epochId"))
+          .write.partitionBy("cell", "_epoch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(s"$indexPath/assignments")
       }
       .start()
   }

@@ -324,4 +324,95 @@ class StreamingSpec extends SparkSpecBase {
       .collect().sorted
     assert(got2 === want)
   }
+
+  /** The maintenance loop the ingest needs at scale: tiny per-epoch
+    * files accrete, `Layout.compact` rewrites them per `_epoch=`
+    * partition (the underscore-named partition column must read as
+    * DATA, Spark's own hidden-name rule), and ingest continues into
+    * the compacted table unchanged. */
+  test("streaming dedup ingest output compacts per epoch partition, then keeps ingesting") {
+    import graft.operators.{Dedup, Layout}
+    val src = Files.createTempDirectory("graft-cmp-src").toString
+    val corpus = Files.createTempDirectory("graft-cmp-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-cmp-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-cmp-ckp").toString
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.dedupIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "text", "doc_id", ckp)
+        .awaitTermination()
+    }
+    Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b1"); drain()
+    Seq((3L, "epsilon zeta"), (4L, "alpha beta"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b2"); drain()
+    val before = spark.read.parquet(corpus)
+      .select("doc_id", "_epoch").as[(Long, String)].collect().sorted
+    assert(before.map(_._1).toSeq === Seq(1L, 2L, 3L))
+
+    val stats = Layout.compact(spark, corpus, targetFileBytes = Long.MaxValue)
+    assert(stats.rows === 3)
+    // partition values, epoch scoping, and row content all survive
+    val after = spark.read.parquet(corpus)
+      .select("doc_id", "_epoch").as[(Long, String)].collect().sorted
+    assert(after === before)
+
+    // ingest keeps working into the compacted table: a new batch with
+    // one cross-activation dup still dedupes against the index
+    Seq((5L, "eta theta"), (6L, "gamma delta"))
+      .toDF("doc_id", "text").write.parquet(s"$src/b3"); drain()
+    val finalIds = spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().sorted
+    assert(finalIds === Array(1L, 2L, 3L, 5L))
+  }
+
+  /** ivfIngestSink ≡ batch index build: vectors arriving over two
+    * activations assign to the stored centroids exactly as a
+    * from-scratch build over everything delivered, probes see every
+    * epoch, and re-draining with no new data changes nothing. */
+  test("streaming IVF ingest ≡ batch index build; probe sees all epochs") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(67)
+    def vec() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val corpusRows = (0L until 40L).map(i => (i, vec()))
+    val b1 = (100L until 110L).map(i => (i, vec()))
+    val b2 = (200L until 210L).map(i => (i, vec()))
+
+    val src = Files.createTempDirectory("graft-ivf-src").toString
+    val path = Files.createTempDirectory("graft-ivf-idx").toString + "/ivf"
+    val ckp = Files.createTempDirectory("graft-ivf-ckp").toString
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val cents = Similarity.pickCentroids(corpus, "vec_id", "embedding", 5)
+    Similarity.ivfIndexWrite(
+      Similarity.ivfIndex(corpus, cents, "vec_id", "embedding"), path)
+
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.ivfIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, path, "vec_id", "embedding", ckp)
+        .awaitTermination()
+    }
+    b1.toDF("vec_id", "embedding").write.parquet(s"$src/b1"); drain()
+    b2.toDF("vec_id", "embedding").write.parquet(s"$src/b2"); drain()
+    drain() // no new files — must be a no-op, not a double-append
+
+    val stored = Similarity.ivfIndexRead(spark, path).assignments
+      .select("vec_id", "cell").as[(Long, Long)].collect().sorted
+    val rebuilt = Similarity.ivfIndex(
+      (corpusRows ++ b1 ++ b2).toDF("vec_id", "embedding"), cents,
+      "vec_id", "embedding").assignments
+      .select("vec_id", "cell").as[(Long, Long)].collect().sorted
+    assert(stored === rebuilt)
+
+    // a probe against the stored index finds a streamed-in exact copy
+    val q = b2.take(1).map { case (id, v) => (id + 9000L, v) }
+      .toDF("vec_id", "embedding")
+    val hit = Similarity.ivfProbeStored(spark, path, q,
+      "vec_id", "embedding", k = 1, nProbe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(hit.length === 1 && hit.head._2 === b2.head._1)
+    assert(math.abs(hit.head._3 - 1.0) < 1e-9)
+  }
 }
