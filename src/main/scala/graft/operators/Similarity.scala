@@ -176,8 +176,10 @@ object Similarity {
     * of `Dedup.minHashBandIndex` (the persisted band table the
     * incremental near-dup probes use). `centroids` is tiny
     * (cell, [[vecColName]]); `assignments` is one fixed-width row per
-    * corpus vector (id, vec, cell), stored partitioned by `cell` so a
-    * probe's cell filter becomes literal parquet partition pruning.
+    * corpus vector (id, vec, cell), stored partitioned by
+    * `(cell, _epoch)` so a probe's cell filter becomes literal parquet
+    * partition pruning and incremental writers get an idempotent
+    * overwrite unit.
     * Centroid choice is the caller's (any DETERMINISTIC set — e.g.
     * [[pickCentroids]]); determinism is what lets a later job's
     * probes and appends line up with the persisted assignments. */
@@ -244,8 +246,10 @@ object Similarity {
 
   /** Incremental append: assign ONLY the new vectors to the existing
     * centroids — the corpus pays nothing. Returns the appended-to
-    * index; with a stored index, write the new assignments with
-    * `.write.mode("append").partitionBy("cell")` on the same path.
+    * index; for a STORED index use [[ivfAppendWrite]] (a hand-rolled
+    * append must match its `(cell, _epoch)` partitioning — writing
+    * `partitionBy("cell")` alone puts files at a different directory
+    * depth and breaks partition discovery for every later reader).
     * Because assignment is a pure deterministic function of
     * (vector, centroids), the result equals rebuilding the index over
     * corpus ∪ batch from scratch (q99 pins this in-engine). */

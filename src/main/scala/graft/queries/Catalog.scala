@@ -38,6 +38,16 @@ object Catalog {
       fn: (SparkSession, String) => DataFrame): CatalogQuery =
     CatalogQuery(name, description, fn, None)
 
+  /** Stage checkpoint barrier for multi-reference query builders
+    * (q99/q100 — the same primitive Dedup.connectedComponents uses
+    * per round): materialize a subtree ONCE so the branches that
+    * reference it read the checkpoint instead of re-deriving the
+    * chain, with `freshLeaf` resetting the inherited size stats
+    * (see Bridge.freshLeaf for why a bare localCheckpoint compounds
+    * them). PlanAuditSpec pins the resulting plan shapes. */
+  private def stageBarrier(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
+
   /** Shared incremental-equals-full scaffold for q93/q97/q98: the
     * full-corpus pair set restricted to pairs touching the batch must
     * equal the incremental probe's output — emitted as (batch size,
@@ -2875,16 +2885,14 @@ object Catalog {
     // checkpoint barriers (the q100/q42 pattern): centroids feed five
     // downstream subtrees and each index feeds two — without barriers
     // every reference re-runs the pick/assignment from the scan
-    def stage(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
-    val centroids = stage(
+    val centroids = stageBarrier(
       Similarity.pickCentroids(corpus, "vec_id", "embedding", 16))
     val index = Similarity.ivfIndex(corpus, centroids, "vec_id", "embedding")
-    val appended = Similarity.IvfIndex(centroids, stage(
+    val appended = Similarity.IvfIndex(centroids, stageBarrier(
       Similarity.ivfAppend(index, batch, "vec_id", "embedding").assignments))
     val incremental = Similarity.ivfProbe(batch, appended,
       "vec_id", "embedding", k = 5, nProbe = 3, roundTo = 4)
-    val fromScratch = Similarity.IvfIndex(centroids, stage(
+    val fromScratch = Similarity.IvfIndex(centroids, stageBarrier(
       Similarity.ivfIndex(corpus.unionByName(batch), centroids,
         "vec_id", "embedding").assignments))
     val full = Similarity.ivfProbe(batch, fromScratch,
@@ -3002,24 +3010,22 @@ object Catalog {
       base.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
 
-    // checkpoint barrier between stages (the q42/connectedComponents
-    // pattern): the seven count branches below each reference their
-    // stage's survivor set, and without a barrier Catalyst inlines
-    // the whole upstream chain into every branch — measured 406
-    // parquet scans / 440 exchanges in the static plan, with the
-    // near-dedup pair scoring recomputed per branch. Each stage is
-    // small (survivor rows of a small table), so materializing it
-    // once is the scale-correct shape a real pipeline would have
-    // anyway: every stage output IS a table between jobs.
-    def stage(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
+    // stageBarrier between stages: the seven count branches below
+    // each reference their stage's survivor set, and without a
+    // barrier Catalyst inlines the whole upstream chain into every
+    // branch — measured 406 parquet scans / 440 exchanges in the
+    // static plan, with the near-dedup pair scoring recomputed per
+    // branch. Each stage is small (survivor rows of a small table),
+    // so materializing it once is the scale-correct shape a real
+    // pipeline would have anyway: every stage output IS a table
+    // between jobs.
 
     // stage 2: exact dedup — keep the min-id representative per
     // canonical-text fingerprint (one hash shuffle on the fingerprint)
     val keepIds = Dedup.exactDedupStats(docs,
       TextFunctions.fingerprint(col("text")), col("doc_id"))
       .select(col("keep_id").as("doc_id"))
-    val exact = stage(docs.join(keepIds, Seq("doc_id"), "left_semi"))
+    val exact = stageBarrier(docs.join(keepIds, Seq("doc_id"), "left_semi"))
 
     // stage 3: near dedup — exact unigram Jaccard within source
     // (blocked pair scoring, q21's operator), greedy keep-earliest:
@@ -3027,7 +3033,7 @@ object Catalog {
     val nearDrop = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
       blockCol = "source", k = 1, threshold = 0.5)
       .select(col("id_b").as("doc_id")).distinct()
-    val near = stage(exact.join(nearDrop, Seq("doc_id"), "left_anti"))
+    val near = stageBarrier(exact.join(nearDrop, Seq("doc_id"), "left_anti"))
 
     // stage 4: decontaminate — held-out docs (doc_id % 29 = 0) never
     // pass; surviving probes with > 10 % verbatim 8-gram overlap
@@ -3039,7 +3045,7 @@ object Catalog {
     val overlap = Contamination.ngramOverlap(
       probe = probe, benchmark = base.filter(pmod(col("doc_id"), lit(29)) === 0),
       idCol = "doc_id", textCol = "text", n = 8)
-    val clean = stage(near.join(
+    val clean = stageBarrier(near.join(
       overlap.filter(col("overlap_ratio") <= 0.1).select("doc_id"),
       Seq("doc_id"), "left_semi"))
 
@@ -3047,12 +3053,12 @@ object Catalog {
     // (token floor at the corpus's ~10th percentile so the stage
     // actually filters; the alpha-ratio guard is the real-corpus
     // shape even though this synthetic text is pure alpha)
-    val quality = stage(clean.filter(
+    val quality = stageBarrier(clean.filter(
       TextFunctions.tokenCount(col("text")) >= 25 &&
         TextFunctions.alphaRatio(col("text")) >= 0.6))
 
     // stage 6: deterministic split — md5-bucket, no rand()
-    val train = stage(quality.filter(Splits.assignSplit(col("doc_id")) === "train"))
+    val train = stageBarrier(quality.filter(Splits.assignSplit(col("doc_id")) === "train"))
 
     // stage 7: pack — greedy 512-token bins over 8 hash shards
     val packs = Packing.packGreedy(

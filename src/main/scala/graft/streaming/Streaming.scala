@@ -252,13 +252,8 @@ object Streaming {
           // rewrites _epoch=N; after it, the retry's accepted set is
           // empty (fingerprints already indexed) and dynamic
           // overwrite with zero rows touches nothing.
-          def epochWrite(df: DataFrame, path: String): Unit =
-            df.withColumn("_epoch", lit(s"$token-$epochId"))
-              .write.partitionBy("_epoch")
-              .option("partitionOverwriteMode", "dynamic")
-              .mode("overwrite").parquet(path)
-          epochWrite(accepted.drop("fingerprint"), corpusPath)
-          epochWrite(accepted.select("fingerprint"), indexPath)
+          epochWrite(accepted.drop("fingerprint"), corpusPath, token, epochId)
+          epochWrite(accepted.select("fingerprint"), indexPath, token, epochId)
         } finally { accepted.unpersist(); () }
       }
       .start()
@@ -275,15 +270,40 @@ object Streaming {
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(marker)) {
       val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
+      val token =
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      // an empty marker means a crash landed between create and write
+      // — two such runs would mint the SAME (empty) token and the
+      // later one's epoch-0 overwrite would delete the earlier one's
+      // data, the exact loss the token prevents. Fail loudly.
+      require(token.nonEmpty,
+        s"$marker exists but is empty (crashed mint?) — delete it to mint a fresh run token")
+      token
     } else {
+      // write-to-temp + rename so the marker only ever exists complete
       val id = java.util.UUID.randomUUID().toString
-      val out = fs.create(marker, false)
+      val tmp = new Path(checkpoint, ".graft-run-id.tmp")
+      val out = fs.create(tmp, true)
       try out.write(id.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        // lost a race to a concurrent first activation: use the winner's
+        fs.delete(tmp, false)
+        return runToken(spark, checkpoint)
+      }
       id
     }
   }
+
+  /** Epoch-scoped dynamic partition overwrite — THE replay-idempotency
+    * contract both ingest sinks share: a retry of epoch N rewrites its
+    * own `_epoch=token-N` partitions instead of double-appending. */
+  private def epochWrite(df: DataFrame, path: String, token: String,
+                         epochId: Long, partCols: Seq[String] = Nil): Unit =
+    df.withColumn("_epoch", lit(s"$token-$epochId"))
+      .write.partitionBy(partCols :+ "_epoch": _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
 
   /** Streaming ANN-index ingest — the IVF twin of [[dedupIngestSink]],
     * closing the last index family's streaming path: each micro-batch
@@ -306,11 +326,9 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val cents = spark.read.parquet(s"$indexPath/centroids")
           .select(col("cell").as(idCol), col(vecCol))
-        graft.operators.Similarity.assignCells(batch, cents, idCol, vecCol)
-          .withColumn("_epoch", lit(s"$token-$epochId"))
-          .write.partitionBy("cell", "_epoch")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(s"$indexPath/assignments")
+        epochWrite(
+          graft.operators.Similarity.assignCells(batch, cents, idCol, vecCol),
+          s"$indexPath/assignments", token, epochId, partCols = Seq("cell"))
       }
       .start()
   }

@@ -12,9 +12,12 @@ import graft.queries.Catalog
   * Plans are built with AQE off: executed stages under AQE print as
   * opaque QueryStage references that hide join/codegen internals, and
   * the static plan is what the cost-based choices below are made on.
-  * Building `executedPlan` only plans — nothing executes (the few
-  * operators with bounded driver-side preprocessing, e.g. exact
-  * percentiles, run it at sf0.001 where it is milliseconds).
+  * Building `executedPlan` mostly only plans. Exceptions, all bounded
+  * at this spec's sf0.001: operators with driver-side preprocessing
+  * (exact percentiles' boundary collect, z-order min/max) run it at
+  * build time, and the stage-barrier queries (q99/q100) run their
+  * eager localCheckpoint stages during construction — milliseconds
+  * here, but a new gate over a checkpointed query is not free.
   */
 class PlanAuditSpec extends SparkSpecBase {
   private val sfDir = "/root/testdata/sf0.001"
