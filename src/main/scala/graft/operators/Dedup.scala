@@ -588,6 +588,51 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by nearest centroid
+    * ([[graft.operators.Similarity.assignCells]] — the IVF coarse
+    * quantizer, so a pipeline that already built an IVF index reuses
+    * its cells for free), then inside each cluster greedily drop
+    * every vector that has an EARLIER-id clustermate with cosine
+    * ≥ `tau` — the same deterministic keep-earliest rule the text
+    * near-dup stages use (no rand(), replayable).
+    *
+    * Scale shape: pair scoring is block-local brute force, but the
+    * blocks are the IVF cells — |cell| ≈ corpus/nCells by
+    * construction, so cost is Σ|cell|² ≈ n²/nCells, and a denser
+    * centroid set buys the quadratic down linearly. Degenerate cells
+    * (mass collapse onto one centroid) hit the same observed skew
+    * guard as the banded LSH families: cells over `maxCell` rows are
+    * excluded from pair scoring — their rows all SURVIVE, never a
+    * silent drop — and the count lands in [[droppedBuckets]].
+    *
+    * @return one row per surviving vector: (idCol, cell)
+    */
+  def semanticDedup(df: DataFrame, centroids: DataFrame, idCol: String,
+                    vecCol: String, tau: Double, roundTo: Int = 4,
+                    maxCell: Int = 100000): DataFrame = {
+    val cells = Sim.assignCells(df, centroids, idCol, vecCol)
+    // cell-size skew guard: |sizes| = |centroids| (small), broadcast
+    // back onto the rows so every lineage below carries its cell's
+    // size. The drop counter must ride the FINAL output lineage, not
+    // the guard's filter branch: when every cell is oversized the
+    // scoring branch collapses to empty and AQE's empty-relation
+    // propagation discards any metric observed there (the exact loss
+    // mode Bridge.observedMetrics documents). Oversized cells keep
+    // all their rows, so counting their distinct cells among the
+    // SURVIVORS — a subtree that always executes — is exact.
+    val sized = broadcast(cells.groupBy(col("cell")).agg(count(lit(1)).as("_n")))
+    val flagged = cells.join(sized, Seq("cell"))
+    val drops = embeddingNearDup(flagged.filter(col("_n") <= maxCell),
+      idCol, vecCol, "cell", tau, roundTo)
+      .select(col("id_b").as(idCol)).distinct()
+    flagged.join(drops, Seq(idCol), "left_anti")
+      .observe(s"semdedup_dropped_buckets_${metricSeq.incrementAndGet()}",
+        size(collect_set(when(col("_n") > maxCell, col("cell"))))
+          .cast("long").as("dropped_buckets"))
+      .select(col(idCol), col("cell"))
+  }
+
   /** Embedding near-duplicate pairs via SRP-LSH — the sub-quadratic
     * scale path embeddingNearDup's block-local brute force documents
     * as missing: 64-bit signed-random-projection signatures (codegen'd

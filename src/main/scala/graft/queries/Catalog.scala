@@ -3077,6 +3077,30 @@ object Catalog {
       .crossJoin(broadcast(n(packs, "n_packs")))
   }
 
+  // ------------------------------------------------- semantic dedup (SemDeDup)
+  val q101SemanticDedup = q("q101_semantic_dedup",
+    "SemDeDup: IVF-cell clustering + within-cell cosine keep-earliest (north star: dedup)",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, ct.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM corpus c CROSS JOIN cents ct) WHERE rk = 1),
+      |drops AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4)
+      |SELECT s.vec_id, s.cell FROM assign s
+      |WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Dedup.semanticDedup(e, e.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", tau = 0.4)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3101,5 +3125,5 @@ object Catalog {
     q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
     q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder,
     q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp,
-    q99IncrementalIvf, q100CurationPipeline)
+    q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup)
 }

@@ -335,4 +335,57 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.99,
       f"LSH candidate recall $recall%.4f over ${exact.size} true pairs")
   }
+
+  // ------------------------------------------------ semantic dedup (SemDeDup)
+
+  private val semDim = 8
+  private def semAxis(j: Int) = Array.tabulate(semDim)(i => if (i == j) 1f else 0f)
+  private def semCentroids = Seq(
+    (0L, semAxis(0)), (1L, semAxis(1)), (2L, semAxis(2)))
+    .toDF("vec_id", "embedding")
+  /** Three orthogonal clusters: per cluster j, members j*10+{1,2,3}
+    * are tiny perturbations of axis j (pairwise cosine ≈ 1) and
+    * j*10+5 leans 0.8·axis(j) + 0.6·axis(j+1) — nearest to centroid
+    * j but cosine ≈ 0.8 to its clustermates, under tau = 0.9. */
+  private def semCorpus = (0 until 3).flatMap { j =>
+    val near = (1 to 3).map { k =>
+      val v = semAxis(j)
+      v((j + 1) % semDim) = 0.01f * k // tiny angle: near-identical trio
+      (j * 10L + k, v)
+    }
+    val distant = {
+      val v = new Array[Float](semDim)
+      v(j) = 0.8f; v((j + 1) % 3) = 0.6f
+      (j * 10L + 5, v)
+    }
+    near :+ distant
+  }.toDF("vec_id", "embedding")
+
+  test("semanticDedup: keep-earliest per cosine ball inside IVF cells; distant clustermates survive") {
+    val out = Dedup.semanticDedup(semCorpus, semCentroids,
+      "vec_id", "embedding", tau = 0.9)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // per cluster: the near-identical trio collapses to its earliest
+    // id; the sub-tau member survives alongside it, in the same cell
+    assert(out === Array(
+      (1L, 0L), (5L, 0L), (11L, 1L), (15L, 1L), (21L, 2L), (25L, 2L)),
+      s"got ${out.mkString(", ")}")
+    val again = Dedup.semanticDedup(semCorpus, semCentroids,
+      "vec_id", "embedding", tau = 0.9)
+    again.collect()
+    assert(Dedup.droppedBuckets(again) === 0)
+  }
+
+  test("semanticDedup skew guard: oversized cells are excluded from scoring, rows survive, drop observed") {
+    // maxCell = 2: cluster cells hold 4 vectors each → every cell is
+    // over the guard, nobody is scored, ALL rows survive (never a
+    // silent drop), and the counter says three buckets were skipped
+    val out = Dedup.semanticDedup(semCorpus, semCentroids,
+      "vec_id", "embedding", tau = 0.9, maxCell = 2)
+    // collect() on out ITSELF: metrics attach to the QueryExecution
+    // that ran, and .as[...] would mint a new one (droppedBuckets doc)
+    val survivors = out.collect()
+    assert(survivors.length === 12, s"expected all 12, got ${survivors.length}")
+    assert(Dedup.droppedBuckets(out) === 3)
+  }
 }
