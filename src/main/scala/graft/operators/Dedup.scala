@@ -94,6 +94,45 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Corpus-level boilerplate line removal (the RefinedWeb / CCNet
+    * cleaning stage): split every document into lines on the literal
+    * `sep`, drop each line that occurs VERBATIM in at least `minDocs`
+    * distinct documents (headers, footers, nav chrome, license
+    * banners), and reassemble the survivors in original order —
+    * all-boilerplate documents come back with empty text, never
+    * silently dropped.
+    *
+    * Scale shape: lines are keyed by md5 fingerprint, so the
+    * frequency count and the boilerplate join shuffle 16-byte keys +
+    * line payloads once each — never whole documents — and the
+    * reassembly is one hash aggregation on the doc id
+    * (order restored via array_sort on (pos, line), no window sort).
+    *
+    * @return (idCol, clean_text, n_removed) — one row per input doc
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             sep: String, minDocs: Int): DataFrame = {
+    val segs = df
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
+      .withColumn("fp", md5(col("seg")))
+    val boiler = segs.groupBy(col("fp"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("fp"), lit(true).as("_boiler"))
+    segs.join(boiler, Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            // collect_list skips nulls: only non-boilerplate survives
+            array_sort(collect_list(when(col("_boiler").isNull,
+              struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")),
+          sep).as("clean_text"),
+        count(col("_boiler")).as("n_removed"))
+  }
+
   /** Incremental exact dedup — the daily-production shape: keep only
     * rows of `newDocs` whose canonical fingerprint is absent from the
     * EXISTING corpus' fingerprint index. Never re-fingerprints the

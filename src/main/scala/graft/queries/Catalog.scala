@@ -3101,6 +3101,28 @@ object Catalog {
       "vec_id", "embedding", tau = 0.4)
   }
 
+  // -------------------------------------------- boilerplate line removal
+  // The synthetic corpus has no newlines, so the catalog entry
+  // segments on a literal separator that DOES recur (' the ') — the
+  // operator itself takes any literal sep (production: "\n").
+  val q102Boilerplate = q("q102_boilerplate_lines",
+    "Corpus-frequency boilerplate line removal, order-preserving reassembly (north star: text cleaning)",
+    """WITH seg AS (
+      |  SELECT doc_id, l[i] AS seg, i AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS t(i)),
+      |boiler AS (
+      |  SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT s.doc_id,
+      |       coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+      |                           ' the ' ORDER BY s.pos), '') AS clean_text,
+      |       count(b.seg) AS n_removed
+      |FROM seg s LEFT JOIN boiler b ON s.seg = b.seg
+      |GROUP BY s.doc_id""".stripMargin) { (s, d) =>
+    Dedup.removeBoilerplateLines(Tables.documents(s, d)
+      .select("doc_id", "text"), "doc_id", "text", sep = " the ", minDocs = 2)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3125,5 +3147,6 @@ object Catalog {
     q88ManyGroupPercentile, q89Mp4Meta, q90BloomDedup,
     q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder,
     q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp,
-    q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup)
+    q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup,
+    q102Boilerplate)
 }

@@ -336,6 +336,38 @@ class DedupSpec extends SparkSpecBase {
       f"LSH candidate recall $recall%.4f over ${exact.size} true pairs")
   }
 
+  test("removeBoilerplateLines: corpus-frequent lines drop, order survives, empty docs persist") {
+    val footer = "(c) 2024 example corp - all rights reserved"
+    val nav = "home | about | contact"
+    val docs = Seq(
+      (1L, s"unique alpha\n$footer\nunique beta\n$nav"),
+      (2L, s"$nav\nsolo gamma\n$footer"),
+      (3L, s"$footer\n$nav"), // pure boilerplate → empty, NOT dropped
+      (4L, "only original content here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text",
+      sep = "\n", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out === Array(
+      // nav appears in 3 docs ≥ 3 → dropped; footer too
+      (1L, "unique alpha\nunique beta", 2L),
+      (2L, "solo gamma", 2L),
+      (3L, "", 2L),
+      (4L, "only original content here", 0L)),
+      s"got ${out.mkString("; ")}")
+  }
+
+  test("removeBoilerplateLines: below-threshold lines are untouched") {
+    val docs = Seq(
+      (1L, "shared line\nown one"), (2L, "shared line\nown two"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text",
+      sep = "\n", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out === Array(
+      (1L, "shared line\nown one", 0L), (2L, "shared line\nown two", 0L)))
+  }
+
   // ------------------------------------------------ semantic dedup (SemDeDup)
 
   private val semDim = 8
