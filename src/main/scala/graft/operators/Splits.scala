@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic train/validation/test assignment for training-data
@@ -60,5 +61,71 @@ object Splits {
       .filter(splitBucket(col(idCol), 10000) <
         coalesce(col("_rate_bps"), lit(defaultBps)))
       .drop("_rate_bps")
+  }
+
+  /** Training-mixture construction: select documents per source to
+    * hit a per-source TOKEN budget `floor(weight × totalTokens)` —
+    * the "30 % web, 20 % code…" recipe every pretraining run starts
+    * from. Selection order within a source is (md5(id), id): a
+    * deterministic engine-portable shuffle, so the mixture is
+    * reproducible across runs/retries/engines like every sampler
+    * here. A document is included iff the running token total THROUGH
+    * it stays ≤ the source budget — a prefix cut in the shuffle
+    * order: the first document that would overshoot ends that
+    * source's selection, so the budget is never exceeded.
+    *
+    * Scale shape: the cumulative sum does NOT sort whole sources in
+    * one task. The md5 order key is split at its leading hex chars
+    * into 16^`shardHexChars` ranges whose lexicographic order IS the
+    * selection order, so per-(source, shard) token masses (one tiny
+    * aggregate, sources × shards rows to the driver — the
+    * Percentiles boundary pattern) give exact global offsets; shards
+    * whose offset already exceeds the budget are pruned BEFORE any
+    * sort, and the window sort that remains is per-shard —
+    * parallelism sources × shards, each a ~1/16^n slice of its
+    * source.
+    *
+    * @return input rows that made the mixture, plus `cum_tokens` —
+    *         the running per-source total through this row
+    */
+  def mixtureSample(df: DataFrame, idCol: String, tokenCol: String,
+                    sourceCol: String, weights: Map[String, Double],
+                    totalTokens: Long, shardHexChars: Int = 2): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      "weights must be non-negative")
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      "shards are driver-held offsets: 16^n for n in [1,4]")
+    val budgets: Map[String, Long] =
+      weights.map { case (s, w) => s -> math.floor(w * totalTokens).toLong }
+    val base = df
+      .withColumn("_budget", element_at(typedLit(budgets), col(sourceCol)))
+      .filter(col("_budget").isNotNull && col("_budget") > 0)
+      .withColumn("_h", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("_shard", substring(col("_h"), 1, shardHexChars))
+    // exact global offset per (source, shard): prefix-sum the shard
+    // token masses on the driver — bounded at sources × 16^n rows
+    val masses = base.groupBy(col(sourceCol), col("_shard"))
+      .agg(sum(col(tokenCol).cast("long")).as("_mass"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val offsets: Map[String, Long] = masses
+      .groupBy(_._1)
+      .flatMap { case (src, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val prefix = sorted.scanLeft(0L)(_ + _._3)
+        sorted.map(_._2).zip(prefix).map { case (sh, off) => s"$src|$sh" -> off }
+      }
+    base
+      .withColumn("_off", element_at(typedLit(offsets),
+        concat_ws("|", col(sourceCol), col("_shard"))))
+      // shard-level pruning: a shard starting at/past the budget can
+      // contribute nothing — drop it before the sort ever runs
+      .filter(col("_off") < col("_budget"))
+      .withColumn("_cum", col("_off") + sum(col(tokenCol).cast("long")).over(
+        Window.partitionBy(col(sourceCol), col("_shard"))
+          .orderBy(col("_h"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_cum") <= col("_budget"))
+      .select(df.columns.map(col) :+ col("_cum").as("cum_tokens"): _*)
   }
 }

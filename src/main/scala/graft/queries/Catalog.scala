@@ -3123,6 +3123,27 @@ object Catalog {
       .select("doc_id", "text"), "doc_id", "text", sep = " the ", minDocs = 2)
   }
 
+  // ------------------------------------------------- training-mixture sampling
+  val q103Mixture = q("q103_mixture_sample",
+    "Per-source token-budget mixture selection in md5-shuffle order (north star: sampling)",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |         md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+      |b AS (SELECT * FROM (VALUES ('src0', 1000), ('src1', 600), ('src2', 400)) AS v(source, budget)),
+      |c AS (
+      |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+      |         CAST(sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+      |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM t JOIN b USING (source))
+      |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= budget""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Splits.mixtureSample(docs, "doc_id", "n_tokens", "source",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), totalTokens = 2000)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3148,5 +3169,5 @@ object Catalog {
     q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder,
     q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp,
     q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup,
-    q102Boilerplate)
+    q102Boilerplate, q103Mixture)
 }

@@ -104,4 +104,43 @@ class SplitsContaminationSpec extends SparkSpecBase {
     val plan = sampled.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
+
+  test("mixtureSample: sharded selection equals the naive per-source window, budgets never overshoot") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 600).map { i =>
+      (i.toLong, s"src${i % 3}", 10L + rnd.nextInt(90)) }
+    val df = rows.toDF("id", "source", "n_tokens")
+    val weights = Map("src0" -> 0.6, "src1" -> 0.4) // src2 unweighted → excluded
+    val total = 5000L
+    // shardHexChars = 1 → 16 shards per source: the offset/pruning
+    // machinery genuinely engages on 200 rows per source
+    val out = Splits.mixtureSample(df, "id", "n_tokens", "source",
+      weights, total, shardHexChars = 1)
+      .select("id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // naive reference: one global window per source, same order key
+    val naive = df
+      .filter($"source".isin("src0", "src1"))
+      .withColumn("_b", when($"source" === "src0", lit(3000L)).otherwise(lit(2000L)))
+      .withColumn("_cum", sum($"n_tokens").over(
+        Window.partitionBy($"source")
+          .orderBy(md5($"id".cast("string").cast("binary")), $"id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"_cum" <= $"_b")
+      .select($"id", $"source", $"n_tokens", $"_cum".as("cum_tokens"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.nonEmpty && out === naive)
+    // exact-budget guarantee per source
+    val spent = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(spent("src0") <= 3000L && spent("src1") <= 2000L)
+    // prefix maximality: the spent total plus the NEXT doc in order
+    // would overshoot (the cut is tight, not lazy)
+    assert(spent.values.forall(_ > 0))
+    // determinism across runs
+    val again = Splits.mixtureSample(df, "id", "n_tokens", "source",
+      weights, total, shardHexChars = 1)
+      .select("id").as[Long].collect().sorted
+    assert(again === out.map(_._1))
+  }
 }
