@@ -126,6 +126,17 @@ class PlanAuditSpec extends SparkSpecBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q103 mixture sampling: every window is per-(source, shard), never whole-source") {
+    val plan = planOf("q103_mixture_sample")
+    // the operator's reason to exist vs a naive per-source window: the
+    // cumulative sort must be sharded so no task sorts a whole source
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, plan)
+    windows.foreach(w => assert(w.contains("_shard"),
+      s"whole-source window sort (no _shard in partition spec): $w"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q95 z-order keys: pure scan+project, codegen'd, zero shuffles") {
     val plan = planOf("q95_zorder_key")
     // min/max run as a separate bounded agg job at build time; the
