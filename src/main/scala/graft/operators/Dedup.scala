@@ -99,8 +99,12 @@ object Dedup {
     * `sep`, drop each line that occurs VERBATIM in at least `minDocs`
     * distinct documents (headers, footers, nav chrome, license
     * banners), and reassemble the survivors in original order —
-    * all-boilerplate documents come back with empty text, never
-    * silently dropped.
+    * all-boilerplate and NULL-text documents come back with empty
+    * text, never silently dropped. Lines shorter than `minLineLen`
+    * characters are EXEMPT from detection and always kept: with the
+    * default 1, blank lines (paragraph breaks, which recur in every
+    * real corpus) are never stripped — the same floor CCNet-style
+    * line dedup applies.
     *
     * Scale shape: lines are keyed by md5 fingerprint, so the
     * frequency count and the boilerplate join shuffle 16-byte keys +
@@ -111,12 +115,18 @@ object Dedup {
     * @return (idCol, clean_text, n_removed) — one row per input doc
     */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-                             sep: String, minDocs: Int): DataFrame = {
+                             sep: String, minDocs: Int,
+                             minLineLen: Int = 1): DataFrame = {
     val segs = df
       .select(col(idCol), posexplode(
-        split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
+        // NULL text reads as empty: the doc still yields its one
+        // (empty) segment, so it survives to the output row contract
+        split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
       .withColumn("fp", md5(col("seg")))
-    val boiler = segs.groupBy(col("fp"))
+    val boiler = segs
+      .filter(length(col("seg")) >= minLineLen)
+      .groupBy(col("fp"))
       .agg(count_distinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("fp"), lit(true).as("_boiler"))
@@ -649,8 +659,25 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, centroids: DataFrame, idCol: String,
                     vecCol: String, tau: Double, roundTo: Int = 4,
-                    maxCell: Int = 100000): DataFrame = {
-    val cells = Sim.assignCells(df, centroids, idCol, vecCol)
+                    maxCell: Int = 100000): DataFrame =
+    // the assignment feeds three lineages below (size aggregate, pair
+    // scoring, final anti join) — checkpoint it so the corpus-×-
+    // centroids pass runs ONCE, not three times (eager, so the job
+    // runs at construction; the connectedComponents/q99 pattern)
+    semanticDedupAssigned(
+      Bridge.freshLeaf(
+        Sim.assignCells(df, centroids, idCol, vecCol).localCheckpoint(true)),
+      idCol, vecCol, tau, roundTo, maxCell)
+
+  /** [[semanticDedup]] over PRE-ASSIGNED cells — the 100 TB entry
+    * point: a corpus with a stored IVF index
+    * ([[graft.operators.Similarity.ivfIndexRead]]) already holds
+    * (id, vec, cell) assignments on disk; pass them here and the
+    * corpus is never re-assigned at all. `cells` must carry `idCol`,
+    * `vecCol` and a `cell` column. */
+  def semanticDedupAssigned(cells: DataFrame, idCol: String,
+                            vecCol: String, tau: Double, roundTo: Int = 4,
+                            maxCell: Int = 100000): DataFrame = {
     // cell-size skew guard: |sizes| = |centroids| (small), broadcast
     // back onto the rows so every lineage below carries its cell's
     // size. The drop counter must ride the FINAL output lineage, not

@@ -97,15 +97,25 @@ object Splits {
       "shards are driver-held offsets: 16^n for n in [1,4]")
     val budgets: Map[String, Long] =
       weights.map { case (s, w) => s -> math.floor(w * totalTokens).toLong }
-    val base = df
+    val base = org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df
       .withColumn("_budget", element_at(typedLit(budgets), col(sourceCol)))
       .filter(col("_budget").isNotNull && col("_budget") > 0)
-      .withColumn("_h", md5(col(idCol).cast("string").cast("binary")))
+      // a NULL id has no defined place in the selection order — fail
+      // loudly rather than silently dropping or reordering the row
+      .withColumn("_h", when(col(idCol).isNull, raise_error(lit(
+          "mixtureSample: NULL id — the deterministic selection order needs every id")))
+        .otherwise(md5(col(idCol).cast("string").cast("binary"))))
       .withColumn("_shard", substring(col("_h"), 1, shardHexChars))
+      // checkpoint BEFORE the driver offset collect (the Percentiles
+      // boundary pattern): the offsets and the window pass below must
+      // read the SAME materialized rows, and the input scan runs once
+      .localCheckpoint(true))
     // exact global offset per (source, shard): prefix-sum the shard
     // token masses on the driver — bounded at sources × 16^n rows
     val masses = base.groupBy(col(sourceCol), col("_shard"))
-      .agg(sum(col(tokenCol).cast("long")).as("_mass"))
+      // NULL tokens count zero (matching what sum() skips), so the
+      // driver read below can never hit a NULL group sum
+      .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_mass"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val offsets: Map[String, Long] = masses
@@ -118,10 +128,13 @@ object Splits {
     base
       .withColumn("_off", element_at(typedLit(offsets),
         concat_ws("|", col(sourceCol), col("_shard"))))
-      // shard-level pruning: a shard starting at/past the budget can
-      // contribute nothing — drop it before the sort ever runs
-      .filter(col("_off") < col("_budget"))
-      .withColumn("_cum", col("_off") + sum(col(tokenCol).cast("long")).over(
+      // shard-level pruning: a shard starting PAST the budget can
+      // contribute nothing — drop it before the sort ever runs.
+      // <= not <: at _off == _budget a zero-token row at the shard
+      // head still satisfies cum <= budget and must be selected
+      .filter(col("_off") <= col("_budget"))
+      .withColumn("_cum", col("_off") + sum(coalesce(
+        col(tokenCol).cast("long"), lit(0L))).over(
         Window.partitionBy(col(sourceCol), col("_shard"))
           .orderBy(col("_h"), col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -3112,7 +3112,8 @@ object Catalog {
       |  FROM (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
       |       UNNEST(generate_series(1, len(l))) AS t(i)),
       |boiler AS (
-      |  SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+      |  SELECT seg FROM seg WHERE len(seg) >= 1
+      |  GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
       |SELECT s.doc_id,
       |       coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
       |                           ' the ' ORDER BY s.pos), '') AS clean_text,

@@ -357,6 +357,23 @@ class DedupSpec extends SparkSpecBase {
       s"got ${out.mkString("; ")}")
   }
 
+  test("removeBoilerplateLines: NULL text persists as empty; blank lines are exempt from detection") {
+    val docs = Seq(
+      (1L, "para one\n\nfooter"), (2L, "para two\n\nfooter"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text",
+      sep = "\n", minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out === Array(
+      // the blank line recurs in both docs but is under the
+      // minLineLen floor → the paragraph break survives; footer drops
+      (1L, "para one\n", 1L),
+      (2L, "para two\n", 1L),
+      // NULL text: the doc comes back empty, not vanished
+      (3L, "", 0L)), s"got ${out.mkString("; ")}")
+  }
+
   test("removeBoilerplateLines: below-threshold lines are untouched") {
     val docs = Seq(
       (1L, "shared line\nown one"), (2L, "shared line\nown two"))

@@ -131,16 +131,34 @@ class SplitsContaminationSpec extends SparkSpecBase {
       .select($"id", $"source", $"n_tokens", $"_cum".as("cum_tokens"))
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(out.nonEmpty && out === naive)
-    // exact-budget guarantee per source
+    // exact-budget guarantee per source, and the budget genuinely
+    // BINDS: each source carries more token mass than its budget, so
+    // the selection is a strict prefix (not everything) — with
+    // out === naive above, that pins the cut as tight, not lazy
     val spent = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
-    assert(spent("src0") <= 3000L && spent("src1") <= 2000L)
-    // prefix maximality: the spent total plus the NEXT doc in order
-    // would overshoot (the cut is tight, not lazy)
-    assert(spent.values.forall(_ > 0))
+    val mass = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(spent("src0") <= 3000L && mass("src0") > 3000L)
+    assert(spent("src1") <= 2000L && mass("src1") > 2000L)
+    val selected = out.map(_._1).toSet
+    assert(rows.exists(r => r._2 == "src0" && !selected(r._1)) &&
+      rows.exists(r => r._2 == "src1" && !selected(r._1)),
+      "budgets admitted every doc — the cut never engaged")
     // determinism across runs
     val again = Splits.mixtureSample(df, "id", "n_tokens", "source",
       weights, total, shardHexChars = 1)
       .select("id").as[Long].collect().sorted
     assert(again === out.map(_._1))
+  }
+
+  test("mixtureSample: NULL token counts weigh zero and stay selectable") {
+    // md5("1") < md5("2") < md5("3") lexicographically → order 1,2,3
+    val df = Seq((1L, "s", Option(10L)), (2L, "s", Option.empty[Long]),
+      (3L, "s", Option(10L))).toDF("id", "source", "n_tokens")
+    val out = Splits.mixtureSample(df, "id", "n_tokens", "source",
+      Map("s" -> 1.0), totalTokens = 15L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    // budget 15: doc1 (cum 10), doc2 NULL→+0 (cum 10) selected;
+    // doc3 would reach 20 and is cut
+    assert(out === Array((1L, 10L), (2L, 10L)), s"got ${out.mkString(", ")}")
   }
 }

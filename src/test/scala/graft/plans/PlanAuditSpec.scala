@@ -14,10 +14,12 @@ import graft.queries.Catalog
   * the static plan is what the cost-based choices below are made on.
   * Building `executedPlan` mostly only plans. Exceptions, all bounded
   * at this spec's sf0.001: operators with driver-side preprocessing
-  * (exact percentiles' boundary collect, z-order min/max) run it at
-  * build time, and the stage-barrier queries (q99/q100) run their
-  * eager localCheckpoint stages during construction — milliseconds
-  * here, but a new gate over a checkpointed query is not free.
+  * (exact percentiles' boundary collect, z-order min/max, mixture
+  * sampling's shard offsets) run it at build time, and the
+  * stage-barrier queries (q99/q100, plus the operator-internal
+  * checkpoints in q101/q103) run their eager localCheckpoint stages
+  * during construction — milliseconds here, but a new gate over a
+  * checkpointed query is not free.
   */
 class PlanAuditSpec extends SparkSpecBase {
   private val sfDir = "/root/testdata/sf0.001"
