@@ -143,4 +143,24 @@ object TextFunctions {
         pmod(st.getField("p") * lit(base % mod), lit(mod)).as("p")))
     acc.getField("h")
   }
+
+  /** Intra-document repeated-line removal (the Gopher/RefinedWeb
+    * within-doc cleanup): keep each line's FIRST occurrence, drop
+    * later verbatim repeats, preserve order. A pure per-row
+    * projection — zero shuffle, corpus-size-independent — via the
+    * indexed filter HOF: position i survives iff the array's first
+    * occurrence of that line IS i. Quadratic in the LINE count of a
+    * single document (array_position scans per element), which is
+    * bounded per row — the right trade against shuffling the corpus
+    * by (doc, line).
+    * NULL text reads as empty. Returns struct(clean_text, n_removed). */
+  def dedupLinesInDoc(text: Column, sep: String): Column = {
+    val segs = split(coalesce(text, lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val kept = filter(segs, (s, i) =>
+      array_position(segs, s) === (i.cast("long") + lit(1L)))
+    struct(
+      array_join(kept, sep).as("clean_text"),
+      (size(segs) - size(kept)).cast("long").as("n_removed"))
+  }
 }

@@ -141,4 +141,37 @@ object Splits {
       .filter(col("_cum") <= col("_budget"))
       .select(df.columns.map(col) :+ col("_cum").as("cum_tokens"): _*)
   }
+
+  /** Temperature-scaled source weights: w_s ∝ mass_s^alpha,
+    * normalized — the standard recipe for boosting low-resource
+    * sources in a multilingual/multi-domain mixture (alpha = 1 is
+    * proportional sampling, alpha → 0 approaches uniform). Masses
+    * aggregate to one row per source (bounded driver collect, summed
+    * in sorted-source order for determinism); weights round
+    * HALF_UP at `roundTo` decimals so another engine computing the
+    * same formula lands on the identical budgets. */
+  def temperatureWeights(df: DataFrame, sourceCol: String, tokenCol: String,
+                         alpha: Double, roundTo: Int = 6): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1]: $alpha")
+    val masses = df.groupBy(col(sourceCol))
+      .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_m"))
+      .collect()
+      .map(r => (r.getString(0), math.pow(r.getLong(1).toDouble, alpha)))
+      .sortBy(_._1)
+    val tot = masses.map(_._2).sum
+    masses.map { case (s, p) =>
+      s -> BigDecimal(p / tot)
+        .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  /** [[mixtureSample]] with [[temperatureWeights]] computed from the
+    * corpus itself — one extra bounded aggregate, then the same
+    * sharded prefix cut. */
+  def temperatureMixture(df: DataFrame, idCol: String, tokenCol: String,
+                         sourceCol: String, alpha: Double, totalTokens: Long,
+                         shardHexChars: Int = 2): DataFrame =
+    mixtureSample(df, idCol, tokenCol, sourceCol,
+      temperatureWeights(df, sourceCol, tokenCol, alpha),
+      totalTokens, shardHexChars)
 }

@@ -3145,6 +3145,56 @@ object Catalog {
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), totalTokens = 2000)
   }
 
+  // ------------------------------------------- temperature-scaled mixture
+  val q104Temperature = q("q104_temperature_mixture",
+    "Temperature-weighted (mass^alpha) token-budget mixture over all sources (north star: sampling)",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |         md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |m AS (SELECT source, CAST(sum(n_tokens) AS DOUBLE) AS mass FROM t GROUP BY source),
+      |b AS (
+      |  SELECT source,
+      |         CAST(floor(round(pow(mass, 0.5) / sum(pow(mass, 0.5)) OVER (), 6) * 8000) AS BIGINT) AS budget
+      |  FROM m),
+      |c AS (
+      |  SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+      |         CAST(sum(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.h, t.doc_id
+      |                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM t JOIN b USING (source))
+      |SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= budget""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Splits.temperatureMixture(docs, "doc_id", "n_tokens", "source",
+      alpha = 0.5, totalTokens = 8000)
+  }
+
+  // --------------------------------------------- intra-document line dedup
+  // No natural intra-doc repeats in the synthetic corpus, so even-id
+  // docs are doubled in-query (text + sep + text) — the op must
+  // restore exactly the original; odd ids must pass through unchanged.
+  val q105IntraDocDedup = q("q105_intradoc_line_dedup",
+    "Within-document repeated-line removal, first occurrence wins (north star: text cleaning)",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 2 = 0 THEN text || ' the ' || text ELSE text END AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split(text, ' the ') AS l FROM src)
+      |SELECT doc_id,
+      |       array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), ' the ') AS clean_text,
+      |       CAST(len(l) - len(list_filter(l, (x, i) -> list_position(l, x) = i)) AS BIGINT) AS n_removed
+      |FROM t""".stripMargin) { (s, d) =>
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(col("text"), lit(" the "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val r = TextFunctions.dedupLinesInDoc(col("text"), " the ")
+    planted.select(col("doc_id"),
+      r.getField("clean_text").as("clean_text"),
+      r.getField("n_removed").as("n_removed"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3170,5 +3220,5 @@ object Catalog {
     q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder,
     q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp,
     q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup,
-    q102Boilerplate, q103Mixture)
+    q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup)
 }

@@ -93,4 +93,30 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
     assert(scores(0) > scores(1))
   }
+
+  test("dedupLinesInDoc: first occurrence wins, order preserved, null-safe") {
+    val r = TextFunctions.dedupLinesInDoc($"t", "\n")
+    val out = Seq(
+      "a\nb\na\nc\nb",          // repeats of a and b drop
+      "x\nx\nx",                 // collapses to one line
+      "only",                    // identity
+      null.asInstanceOf[String], // null → empty, nothing removed
+      "a\n\nb\n\na"              // blank lines dedup like any line
+    ).toDF("t")
+      .select(r.getField("clean_text"), r.getField("n_removed"))
+      .as[(String, Long)].collect()
+    assert(out === Array(
+      ("a\nb\nc", 2L), ("x", 2L), ("only", 0L), ("", 0L),
+      // [a, '', b, '', a]: the second blank and second a both repeat
+      ("a\n\nb", 2L)), s"got ${out.mkString("; ")}")
+  }
+
+  test("dedupLinesInDoc: doubling a repeat-free doc restores it exactly") {
+    val docs = Seq("alpha\nbeta\ngamma").toDF("t")
+      .select(concat($"t", lit("\n"), $"t").as("t"))
+    val r = TextFunctions.dedupLinesInDoc($"t", "\n")
+    val out = docs.select(r.getField("clean_text"), r.getField("n_removed"))
+      .as[(String, Long)].collect()
+    assert(out === Array(("alpha\nbeta\ngamma", 3L)))
+  }
 }

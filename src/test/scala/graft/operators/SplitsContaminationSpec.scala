@@ -161,4 +161,26 @@ class SplitsContaminationSpec extends SparkSpecBase {
     // doc3 would reach 20 and is cut
     assert(out === Array((1L, 10L), (2L, 10L)), s"got ${out.mkString(", ")}")
   }
+
+  test("temperatureWeights: alpha=1 is proportional, lower alpha flattens toward uniform") {
+    // 90/10 skew between two sources
+    val df = ((1 to 90).map(i => (i.toLong, "big", 10L)) ++
+      (1 to 10).map(i => (100L + i, "small", 10L)))
+      .toDF("id", "source", "n_tokens")
+    val w1 = Splits.temperatureWeights(df, "source", "n_tokens", alpha = 1.0)
+    assert(math.abs(w1("big") - 0.9) < 1e-9 && math.abs(w1("small") - 0.1) < 1e-9)
+    val w5 = Splits.temperatureWeights(df, "source", "n_tokens", alpha = 0.5)
+    // sqrt scaling: 0.75 / 0.25 — low-resource source boosted 2.5x
+    assert(math.abs(w5("big") - 0.75) < 1e-9 && math.abs(w5("small") - 0.25) < 1e-9)
+    assert(math.abs(w1.values.sum - 1.0) < 1e-6 &&
+      math.abs(w5.values.sum - 1.0) < 1e-6)
+    // end to end: budgets bind per source under the boosted weights
+    val out = Splits.temperatureMixture(df, "id", "n_tokens", "source",
+      alpha = 0.5, totalTokens = 200L)
+      .select("id", "source", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    val spent = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // budgets: floor(0.75*200)=150, floor(0.25*200)=50 → 15 and 5 docs
+    assert(spent("big") === 150L && spent("small") === 50L)
+  }
 }

@@ -139,6 +139,12 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q105 intra-doc line dedup: pure per-row projection, zero shuffles") {
+    val plan = planOf("q105_intradoc_line_dedup")
+    assert(shuffles(plan) === 0, plan)
+    assert(!plan.contains("Window "), plan)
+  }
+
   test("q95 z-order keys: pure scan+project, codegen'd, zero shuffles") {
     val plan = planOf("q95_zorder_key")
     // min/max run as a separate bounded agg job at build time; the
