@@ -54,4 +54,43 @@ object Relevance {
       .filter(col("rk") <= k)
       .select("doc_id", "term", "tf", "df", "score")
   }
+
+  /** Corpus vocabulary coverage — the tokenizer-prep probe: build the
+    * top-`vocabSize` vocabulary by corpus token frequency
+    * (count-desc, token-asc tiebreak — deterministic membership) and
+    * score every document's out-of-vocabulary token ratio. High-OOV
+    * documents are what a fixed-vocab tokenizer shreds into bytes;
+    * this is the standard pre-training screen for them.
+    *
+    * Scale shape: per-row TokenCounts keeps the (doc, token, tf)
+    * stream pre-aggregated exactly like [[tfidfTopTerms]]; the
+    * vocabulary is a token-keyed aggregate cut by a bounded
+    * TakeOrdered (vocabSize rows, never a global sort) and joins back
+    * as a BROADCAST — the corpus never shuffles for the lookup.
+    * Zero-token documents surface with n_tokens 0 / oov_ratio 0,
+    * never dropped.
+    *
+    * @return (idCol, n_tokens, oov_ratio) — one row per input doc
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int, roundTo: Int = 4): DataFrame = {
+    val tf = docs.select(col(idCol),
+      explode(Sketches.token_counts(TextFunctions.tokens(col(textCol))))
+        .as(Seq("tok", "tf")))
+    val vocab = tf.groupBy(col("tok"))
+      .agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("_in_vocab"))
+    val perDoc = tf.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(sum(when(col("_in_vocab").isNull, col("tf")).otherwise(lit(0L)))
+          .cast("double") / sum(col("tf")), roundTo).as("oov_ratio"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_ratio"), lit(0.0)).as("oov_ratio"))
+  }
 }

@@ -3195,6 +3195,26 @@ object Catalog {
       r.getField("n_removed").as("n_removed"))
   }
 
+  // ----------------------------------------------- vocabulary / OOV coverage
+  val q106VocabCoverage = q("q106_vocab_coverage",
+    "Top-V corpus vocabulary + per-doc out-of-vocabulary ratio (north star: tokenizer prep)",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+      |                   ORDER BY cnt DESC, tok ASC LIMIT 20)),
+      |agg AS (
+      |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         round(CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS DOUBLE) / count(*), 4) AS oov_ratio
+      |  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id)
+      |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |       coalesce(a.oov_ratio, 0.0) AS oov_ratio
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, d) =>
+    Relevance.vocabCoverage(Tables.documents(s, d).select("doc_id", "text"),
+      "doc_id", "text", vocabSize = 20)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3220,5 +3240,6 @@ object Catalog {
     q91PngPixels, q92WavPcm, q93IncrementalLsh, q94AviFrames, q95Zorder,
     q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp,
     q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup,
-    q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup)
+    q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup,
+    q106VocabCoverage)
 }

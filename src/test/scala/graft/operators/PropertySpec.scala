@@ -239,4 +239,39 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  private val lineDocsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(3, 8)
+    docs <- Gen.listOfN(n, Gen.listOf(
+      Gen.oneOf("header", "footer", "alpha", "beta", "gamma", ""))
+      .map(_.mkString("\n")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("property: the corpus cleaning ops are idempotent (clean(clean(x)) == clean(x))") {
+    forAllSeeded(lineDocsGen, 6) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      // boilerplate removal: a second pass over already-cleaned text
+      // finds the same frequent lines already gone → fixpoint
+      val once = Dedup.removeBoilerplateLines(df, "doc_id", "text",
+        sep = "\n", minDocs = 2)
+        .select($"doc_id", $"clean_text".as("text"))
+      val twice = Dedup.removeBoilerplateLines(once, "doc_id", "text",
+        sep = "\n", minDocs = 2)
+      val a = once.as[(Long, String)].collect().sortBy(_._1)
+      val b = twice.select($"doc_id", $"clean_text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(a === b, s"boilerplate not idempotent on $docs")
+      // intra-doc line dedup: no repeats remain after one pass
+      val r1 = graft.functions.TextFunctions.dedupLinesInDoc($"text", "\n")
+      val c1 = df.select($"doc_id", r1.getField("clean_text").as("text"))
+      val r2 = graft.functions.TextFunctions.dedupLinesInDoc($"text", "\n")
+      val c2 = c1.select($"doc_id", r2.getField("clean_text").as("text"),
+        r2.getField("n_removed").as("n_removed"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val c1rows = c1.as[(Long, String)].collect().sortBy(_._1)
+      assert(c2.map(x => (x._1, x._2)) === c1rows,
+        s"line dedup not idempotent on $docs")
+      assert(c2.forall(_._3 === 0L), "second pass removed lines")
+    }
+  }
 }

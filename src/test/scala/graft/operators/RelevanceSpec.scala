@@ -40,4 +40,29 @@ class RelevanceSpec extends SparkSpecBase {
     // the first two
     assert(out === Array("alpha", "beta"))
   }
+
+  test("vocabCoverage: top-V membership, OOV ratios, zero-token docs persist") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),   // cat(3)+dog: both in vocab of 2
+      (2L, "cat bird"),          // bird is OOV → 0.5
+      (3L, "emu bird emu bird"), // all OOV → 1.0
+      (4L, "")                   // zero tokens → 0 / 0.0, kept
+    ).toDF("doc_id", "text")
+    // corpus counts: cat 4, bird 3, emu 2, dog 1 → vocab(2) = {bird, cat}
+    val out = Relevance.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out === Array(
+      (1L, 4L, 0.25),  // dog OOV
+      (2L, 2L, 0.0),
+      (3L, 4L, 0.5),   // emu OOV, bird covered
+      (4L, 0L, 0.0)), s"got ${out.mkString("; ")}")
+  }
+
+  test("vocabCoverage: vocab tie at the cut breaks by token, deterministically") {
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "zz")).toDF("doc_id", "text")
+    // counts: aa 2, bb 2, zz 1 → vocab(1) must pick aa (count desc, token asc)
+    val out = Relevance.vocabCoverage(docs, "doc_id", "text", vocabSize = 1)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out === Array((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 1L, 1.0)))
+  }
 }

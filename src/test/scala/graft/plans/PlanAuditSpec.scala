@@ -139,6 +139,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q106 vocab coverage: bounded top-V cut, vocabulary joins back as broadcast") {
+    val plan = planOf("q106_vocab_coverage")
+    // the vocabulary cut must be a bounded TakeOrdered (vocabSize
+    // rows), never a global Sort, and the lookup must broadcast —
+    // a shuffled join here would re-shuffle the whole token stream
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q105 intra-doc line dedup: pure per-row projection, zero shuffles") {
     val plan = planOf("q105_intradoc_line_dedup")
     assert(shuffles(plan) === 0, plan)
