@@ -117,21 +117,39 @@ object Dedup {
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              sep: String, minDocs: Int,
                              minLineLen: Int = 1): DataFrame = {
-    val segs = df
-      .select(col(idCol), posexplode(
-        // NULL text reads as empty: the doc still yields its one
-        // (empty) segment, so it survives to the output row contract
+    val segs = lineSegs(df, idCol, textCol, sep)
+    val boiler = lineCounts(segs, idCol, minLineLen)
+      .filter(col("n_docs") >= minDocs)
+      .select(col("fp"), lit(true).as("_boiler"))
+    reassembleLines(segs.join(boiler, Seq("fp"), "left"), idCol, sep)
+  }
+
+  /** One (idCol, pos, seg, fp) row per line of every document — THE
+    * segmentation all boilerplate paths share, so full, index-build
+    * and incremental runs fingerprint byte-identically (the same
+    * single-definition rule the MinHash band keys follow). NULL text
+    * reads as empty: the doc still yields its one (empty) segment, so
+    * it survives to the output row contract. */
+  private def lineSegs(df: DataFrame, idCol: String, textCol: String,
+                       sep: String): DataFrame =
+    df.select(col(idCol), posexplode(
         split(coalesce(col(textCol), lit("")),
           java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
       .withColumn("fp", md5(col("seg")))
-    val boiler = segs
-      .filter(length(col("seg")) >= minLineLen)
+
+  /** Distinct-document frequency per line fingerprint (lines under
+    * `minLineLen` excluded — they are exempt from detection). */
+  private def lineCounts(segs: DataFrame, idCol: String,
+                         minLineLen: Int): DataFrame =
+    segs.filter(length(col("seg")) >= minLineLen)
       .groupBy(col("fp"))
-      .agg(count_distinct(col(idCol)).as("_nd"))
-      .filter(col("_nd") >= minDocs)
-      .select(col("fp"), lit(true).as("_boiler"))
-    segs.join(boiler, Seq("fp"), "left")
-      .groupBy(col(idCol))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+
+  /** Reassemble marked segments: `_boiler` NULL survives, in original
+    * order, one hash aggregation on the doc id. */
+  private def reassembleLines(marked: DataFrame, idCol: String,
+                              sep: String): DataFrame =
+    marked.groupBy(col(idCol))
       .agg(
         array_join(
           transform(
@@ -141,6 +159,45 @@ object Dedup {
             x => x.getField("seg")),
           sep).as("clean_text"),
         count(col("_boiler")).as("n_removed"))
+
+  /** Persisted line-frequency index for boilerplate removal — the
+    * table a 100 TB pipeline writes once at corpus-build time:
+    * (fp, n_docs), one fixed-width row per DISTINCT line, never the
+    * corpus text. [[incrementalRemoveBoilerplate]] probes it;
+    * [[boilerplateIndexMerge]] folds a new batch's counts in. */
+  def boilerplateIndex(df: DataFrame, idCol: String, textCol: String,
+                       sep: String, minLineLen: Int = 1): DataFrame =
+    lineCounts(lineSegs(df, idCol, textCol, sep), idCol, minLineLen)
+
+  /** Fold a (disjoint-doc) batch's line counts into an existing
+    * index: frequencies ADD because no document is counted twice.
+    * Associative — building per-shard indexes and merging equals one
+    * corpus-wide build (spec-pinned). */
+  def boilerplateIndexMerge(index: DataFrame, batchIndex: DataFrame): DataFrame =
+    index.unionByName(batchIndex)
+      .groupBy(col("fp"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Incremental boilerplate removal — the daily-batch shape
+    * completing the same persisted-index family as the near-dup
+    * probes (q93/q97/q98/q99): clean ONLY the batch, against
+    * corpus-wide line frequencies = stored index counts + the
+    * batch's own counts (document sets disjoint, so the sum IS the
+    * union's frequency). The corpus text is never touched — the join
+    * ships 16-byte fingerprints against the index. Equals
+    * [[removeBoilerplateLines]] over corpus ∪ batch restricted to the
+    * batch's documents (spec-pinned). */
+  def incrementalRemoveBoilerplate(batch: DataFrame, idCol: String,
+                                   textCol: String, index: DataFrame,
+                                   sep: String, minDocs: Int,
+                                   minLineLen: Int = 1): DataFrame = {
+    val segs = lineSegs(batch, idCol, textCol, sep)
+    val boiler = lineCounts(segs, idCol, minLineLen)
+      .join(index.select(col("fp"), col("n_docs").as("_stored")),
+        Seq("fp"), "left")
+      .filter(col("n_docs") + coalesce(col("_stored"), lit(0L)) >= minDocs)
+      .select(col("fp"), lit(true).as("_boiler"))
+    reassembleLines(segs.join(boiler, Seq("fp"), "left"), idCol, sep)
   }
 
   /** Incremental exact dedup — the daily-production shape: keep only

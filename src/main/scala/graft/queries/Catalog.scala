@@ -3215,6 +3215,40 @@ object Catalog {
       "doc_id", "text", vocabSize = 20)
   }
 
+  // --------------------------------------- incremental boilerplate removal
+  // Batch = doc_id % 3 = 0 cleaned against a line-frequency index
+  // built from the REST of the corpus — the daily-batch shape; the
+  // oracle recomputes merged old+new line frequencies directly.
+  val q107IncrementalBoilerplate = q("q107_incremental_boilerplate",
+    "Batch boilerplate removal against a persisted line-frequency index (north star: incremental cleaning)",
+    """WITH seg AS (
+      |  SELECT doc_id, l[i] AS seg, i AS pos
+      |  FROM (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS t(i)),
+      |old_counts AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS nd FROM seg
+      |  WHERE doc_id % 3 <> 0 AND len(seg) >= 1 GROUP BY seg),
+      |new_counts AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS nd FROM seg
+      |  WHERE doc_id % 3 = 0 AND len(seg) >= 1 GROUP BY seg),
+      |boiler AS (
+      |  SELECT n.seg FROM new_counts n LEFT JOIN old_counts o USING (seg)
+      |  WHERE n.nd + coalesce(o.nd, 0) >= 2)
+      |SELECT s.doc_id,
+      |       coalesce(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+      |                           ' the ' ORDER BY s.pos), '') AS clean_text,
+      |       count(b.seg) AS n_removed
+      |FROM seg s LEFT JOIN boiler b ON s.seg = b.seg
+      |WHERE s.doc_id % 3 = 0
+      |GROUP BY s.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val index = Dedup.boilerplateIndex(
+      docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text", " the ")
+    Dedup.incrementalRemoveBoilerplate(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
+      index, " the ", minDocs = 2)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3241,5 +3275,5 @@ object Catalog {
     q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp,
     q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup,
     q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup,
-    q106VocabCoverage)
+    q106VocabCoverage, q107IncrementalBoilerplate)
 }

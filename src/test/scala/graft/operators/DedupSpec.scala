@@ -385,6 +385,42 @@ class DedupSpec extends SparkSpecBase {
       (1L, "shared line\nown one", 0L), (2L, "shared line\nown two", 0L)))
   }
 
+  test("incrementalRemoveBoilerplate ≡ full-corpus run restricted to the batch (sf0.01)") {
+    // the q93-style contract for the boilerplate family: cleaning a
+    // batch against the stored line-frequency index of the REST of
+    // the corpus must equal the full run over everything, restricted
+    // to the batch's documents
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val index = Dedup.boilerplateIndex(corpus, "doc_id", "text", " the ")
+    val inc = Dedup.incrementalRemoveBoilerplate(batch, "doc_id", "text",
+      index, " the ", minDocs = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val full = Dedup.removeBoilerplateLines(docs, "doc_id", "text",
+      " the ", minDocs = 2)
+      .filter($"doc_id" % 3 === 0)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(inc.nonEmpty && inc === full)
+    // and the threshold genuinely engaged somewhere in the batch
+    assert(inc.exists(_._3 > 0L), "no boilerplate removed — vacuous")
+  }
+
+  test("boilerplateIndexMerge: per-shard builds merge to the corpus-wide index") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val a = Dedup.boilerplateIndex(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", " the ")
+    val b = Dedup.boilerplateIndex(docs.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", " the ")
+    val merged = Dedup.boilerplateIndexMerge(a, b)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val whole = Dedup.boilerplateIndex(docs, "doc_id", "text", " the ")
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(merged === whole && whole.nonEmpty)
+  }
+
   // ------------------------------------------------ semantic dedup (SemDeDup)
 
   private val semDim = 8
