@@ -153,12 +153,18 @@ object TextFunctions {
     * single document (array_position scans per element), which is
     * bounded per row — the right trade against shuffling the corpus
     * by (doc, line).
+    * Lines shorter than `minLineLen` characters are EXEMPT and always
+    * kept — with the default 1, repeated blank lines (paragraph
+    * breaks) survive, the same floor [[graft.operators.Dedup
+    * .removeBoilerplateLines]] applies and for the same reason.
     * NULL text reads as empty. Returns struct(clean_text, n_removed). */
-  def dedupLinesInDoc(text: Column, sep: String): Column = {
+  def dedupLinesInDoc(text: Column, sep: String,
+                      minLineLen: Int = 1): Column = {
     val segs = split(coalesce(text, lit("")),
       java.util.regex.Pattern.quote(sep))
     val kept = filter(segs, (s, i) =>
-      array_position(segs, s) === (i.cast("long") + lit(1L)))
+      length(s) < lit(minLineLen) ||
+        array_position(segs, s) === (i.cast("long") + lit(1L)))
     struct(
       array_join(kept, sep).as("clean_text"),
       (size(segs) - size(kept)).cast("long").as("n_removed"))

@@ -186,7 +186,11 @@ object Dedup {
     * union's frequency). The corpus text is never touched — the join
     * ships 16-byte fingerprints against the index. Equals
     * [[removeBoilerplateLines]] over corpus ∪ batch restricted to the
-    * batch's documents (spec-pinned). */
+    * batch's documents (spec-pinned) — PROVIDED `sep` and
+    * `minLineLen` match the index build's: the (fp, n_docs) schema
+    * records neither (exactly like numHashes/bands for the MinHash
+    * band index), so a mismatched probe silently under- or
+    * over-removes. Persist them next to the index path. */
   def incrementalRemoveBoilerplate(batch: DataFrame, idCol: String,
                                    textCol: String, index: DataFrame,
                                    sep: String, minDocs: Int,

@@ -153,12 +153,18 @@ object Splits {
   def temperatureWeights(df: DataFrame, sourceCol: String, tokenCol: String,
                          alpha: Double, roundTo: Int = 6): Map[String, Double] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1]: $alpha")
+    // zero-mass sources get NO entry (not weight 0.0): they cannot
+    // contribute tokens, and an explicit 0 would read as "requested
+    // but empty" downstream — mixtureSample drops unweighted sources
     val masses = df.groupBy(col(sourceCol))
       .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_m"))
       .collect()
       .map(r => (r.getString(0), math.pow(r.getLong(1).toDouble, alpha)))
+      .filter(_._2 > 0.0)
       .sortBy(_._1)
     val tot = masses.map(_._2).sum
+    require(tot > 0.0,
+      "temperatureWeights: the corpus has no token mass — every source sums to zero")
     masses.map { case (s, p) =>
       s -> BigDecimal(p / tot)
         .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble

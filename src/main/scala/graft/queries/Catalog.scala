@@ -3109,7 +3109,7 @@ object Catalog {
     "Corpus-frequency boilerplate line removal, order-preserving reassembly (north star: text cleaning)",
     """WITH seg AS (
       |  SELECT doc_id, l[i] AS seg, i AS pos
-      |  FROM (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
+      |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' the ') AS l FROM documents),
       |       UNNEST(generate_series(1, len(l))) AS t(i)),
       |boiler AS (
       |  SELECT seg FROM seg WHERE len(seg) >= 1
@@ -3178,12 +3178,12 @@ object Catalog {
     "Within-document repeated-line removal, first occurrence wins (north star: text cleaning)",
     """WITH src AS (
       |  SELECT doc_id,
-      |         CASE WHEN doc_id % 2 = 0 THEN text || ' the ' || text ELSE text END AS text
+      |         CASE WHEN doc_id % 2 = 0 THEN coalesce(text, '') || ' the ' || coalesce(text, '') ELSE coalesce(text, '') END AS text
       |  FROM documents),
-      |t AS (SELECT doc_id, string_split(text, ' the ') AS l FROM src)
+      |t AS (SELECT doc_id, string_split(coalesce(text, ''), ' the ') AS l FROM src)
       |SELECT doc_id,
-      |       array_to_string(list_filter(l, (x, i) -> list_position(l, x) = i), ' the ') AS clean_text,
-      |       CAST(len(l) - len(list_filter(l, (x, i) -> list_position(l, x) = i)) AS BIGINT) AS n_removed
+      |       array_to_string(list_filter(l, (x, i) -> len(x) < 1 OR list_position(l, x) = i), ' the ') AS clean_text,
+      |       CAST(len(l) - len(list_filter(l, (x, i) -> len(x) < 1 OR list_position(l, x) = i)) AS BIGINT) AS n_removed
       |FROM t""".stripMargin) { (s, d) =>
     val planted = Tables.documents(s, d).select(col("doc_id"),
       when(pmod(col("doc_id"), lit(2)) === 0,
@@ -3223,7 +3223,7 @@ object Catalog {
     "Batch boilerplate removal against a persisted line-frequency index (north star: incremental cleaning)",
     """WITH seg AS (
       |  SELECT doc_id, l[i] AS seg, i AS pos
-      |  FROM (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
+      |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' the ') AS l FROM documents),
       |       UNNEST(generate_series(1, len(l))) AS t(i)),
       |old_counts AS (
       |  SELECT seg, count(DISTINCT doc_id) AS nd FROM seg

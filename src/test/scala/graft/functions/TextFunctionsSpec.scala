@@ -101,14 +101,15 @@ class TextFunctionsSpec extends SparkSpecBase {
       "x\nx\nx",                 // collapses to one line
       "only",                    // identity
       null.asInstanceOf[String], // null → empty, nothing removed
-      "a\n\nb\n\na"              // blank lines dedup like any line
+      "a\n\nb\n\na"              // blank lines are EXEMPT (paragraph breaks)
     ).toDF("t")
       .select(r.getField("clean_text"), r.getField("n_removed"))
       .as[(String, Long)].collect()
     assert(out === Array(
       ("a\nb\nc", 2L), ("x", 2L), ("only", 0L), ("", 0L),
-      // [a, '', b, '', a]: the second blank and second a both repeat
-      ("a\n\nb", 2L)), s"got ${out.mkString("; ")}")
+      // [a, '', b, '', a]: both blanks kept (under minLineLen),
+      // only the second a drops — paragraph structure survives
+      ("a\n\nb\n", 1L)), s"got ${out.mkString("; ")}")
   }
 
   test("dedupLinesInDoc: doubling a repeat-free doc restores it exactly") {
