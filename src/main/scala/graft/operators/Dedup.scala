@@ -178,6 +178,28 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(sum(col("n_docs")).as("n_docs"))
 
+  /** Read a LOG-STRUCTURED stored line-frequency index: epoch
+    * partitions each hold a (fp, n_docs) partial
+    * (`Streaming.boilerplateIngestSink` writes them); summing per
+    * fingerprint yields the corpus-wide counts. `excludeEpoch` drops
+    * one epoch's partial before aggregating — the replay-idempotency
+    * hook the streaming sink needs (its scaladoc explains why).
+    * A flat index written directly from [[boilerplateIndex]] (no
+    * `_epoch` column) reads through the same call. */
+  def boilerplateIndexRead(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           excludeEpoch: Option[String] = None): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val scoped = excludeEpoch match {
+      case Some(e) =>
+        require(raw.columns.contains("_epoch"),
+          s"excludeEpoch set but $path has no _epoch partition column")
+        raw.filter(col("_epoch") =!= lit(e))
+      case None => raw
+    }
+    scoped.groupBy(col("fp")).agg(sum(col("n_docs")).as("n_docs"))
+  }
+
   /** Incremental boilerplate removal — the daily-batch shape
     * completing the same persisted-index family as the near-dup
     * probes (q93/q97/q98/q99): clean ONLY the batch, against

@@ -5,7 +5,7 @@ import java.time.Duration
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.operators.{Dedup, Merge}
 
@@ -329,6 +329,64 @@ object Streaming {
         epochWrite(
           graft.operators.Similarity.assignCells(batch, cents, idCol, vecCol),
           s"$indexPath/assignments", token, epochId, partCols = Seq("cell"))
+      }
+      .start()
+  }
+
+  /** Streaming boilerplate-cleaning ingest — the continuous form of
+    * `Dedup.incrementalRemoveBoilerplate`, completing the streaming
+    * path for the line-frequency index family: each micro-batch is
+    * cleaned against corpus-wide line frequencies (prior epochs'
+    * stored counts + the batch's own), the cleaned documents land in
+    * the corpus, and the batch's line-count PARTIAL joins the index
+    * the next batch reads.
+    *
+    * The index is LOG-STRUCTURED — one (fp, n_docs) partial per
+    * epoch partition, readers sum per fingerprint
+    * ([[graft.operators.Dedup.boilerplateIndexRead]]). Counts are
+    * additive over disjoint doc sets, so per-epoch partials + the
+    * `_epoch` dynamic overwrite compose into replay idempotency; a
+    * merged-in-place count could not tell a retry from new data.
+    *
+    * One subtlety the dedup sink does NOT have: the index read must
+    * EXCLUDE the current epoch's own partial. The dedup sink is
+    * naturally self-healing (a replay that re-sees its own
+    * fingerprints accepts nothing, and a zero-row dynamic overwrite
+    * touches nothing); here every batch doc reaches the corpus, so a
+    * replay that re-read its own failed-commit partial would count
+    * each batch line twice, clean differently, and overwrite epoch N
+    * with DIFFERENT rows. Filtering out `_epoch = token-N` makes the
+    * retry see exactly what the original saw. */
+  def boilerplateIngestSink(stream: DataFrame, spark: SparkSession,
+                            corpusPath: String, indexPath: String,
+                            idCol: String, textCol: String,
+                            checkpoint: String, sep: String, minDocs: Int,
+                            minLineLen: Int = 1): StreamingQuery = {
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val index =
+          if (graft.sources.Fs.exists(spark, indexPath))
+            Dedup.boilerplateIndexRead(spark, indexPath,
+              excludeEpoch = Some(s"$token-$epochId"))
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("fp", StringType),
+              StructField("n_docs", LongType))))
+        // same lineage-sever rationale as dedupIngestSink: `cleaned`
+        // reads indexPath, and the partial write below replaces
+        // epoch partitions under it
+        val cleaned = Dedup.incrementalRemoveBoilerplate(
+          batch, idCol, textCol, index, sep, minDocs, minLineLen)
+          .localCheckpoint(true)
+        try {
+          epochWrite(cleaned, corpusPath, token, epochId)
+          epochWrite(
+            Dedup.boilerplateIndex(batch, idCol, textCol, sep, minLineLen),
+            indexPath, token, epochId)
+        } finally { cleaned.unpersist(); () }
       }
       .start()
   }

@@ -415,4 +415,77 @@ class StreamingSpec extends SparkSpecBase {
     assert(hit.length === 1 && hit.head._2 === b2.head._1)
     assert(math.abs(hit.head._3 - 1.0) < 1e-9)
   }
+
+  test("streaming boilerplate ingest ≡ sequential batch incremental cleaning") {
+    import graft.operators.Dedup
+    val src = Files.createTempDirectory("graft-bp-src").toString
+    val corpus = Files.createTempDirectory("graft-bp-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-bp-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-bp-ckp").toString
+    val footer = "all rights reserved"
+    val b1 = Seq((1L, s"alpha\n$footer"), (2L, s"beta\n$footer"))
+    val b2 = Seq( // footer already has corpus count 2: removed at once
+      (3L, s"gamma\n$footer"),
+      // "beta" has corpus count 1 → with 4's own it reaches 2? no:
+      // line counts are per DISTINCT doc; beta appears in docs 2 and 4
+      // → merged count 2 ≥ 2 → removed from doc 4 (cross-epoch bind)
+      (4L, "beta\ndelta"))
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.boilerplateIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", ckp,
+        sep = "\n", minDocs = 2)
+        .awaitTermination()
+    }
+    b1.toDF("doc_id", "text").write.parquet(s"$src/b1"); drain()
+    // epoch 1 cleans against nothing stored: footer count 2 within
+    // the batch itself → removed from both docs immediately
+    val after1 = spark.read.parquet(corpus)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().sortBy(_._1)
+    assert(after1 === Array((1L, "alpha"), (2L, "beta")))
+
+    b2.toDF("doc_id", "text").write.parquet(s"$src/b2"); drain()
+    drain() // no new files — must be a no-op
+
+    val got = spark.read.parquet(corpus)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // ground truth: the batch path run sequentially over the same
+    // epochs with boilerplateIndex/Merge — the stream must equal it
+    val idx1 = Dedup.boilerplateIndex(b1.toDF("doc_id", "text"),
+      "doc_id", "text", "\n")
+    val inc2 = Dedup.incrementalRemoveBoilerplate(b2.toDF("doc_id", "text"),
+      "doc_id", "text", idx1, "\n", minDocs = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.take(2).map(r => (r._1, r._2)) === Array((1L, "alpha"), (2L, "beta")))
+    assert(got.drop(2) === inc2)
+    // the cross-epoch bind actually happened: doc 4 lost "beta"
+    assert(got.find(_._1 == 4L).get === ((4L, "delta", 1L)))
+    // and the stored index aggregates to the batch-side merge
+    val storedIdx = Dedup.boilerplateIndexRead(spark, index)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val mergedIdx = Dedup.boilerplateIndexMerge(idx1,
+      Dedup.boilerplateIndex(b2.toDF("doc_id", "text"), "doc_id", "text", "\n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(storedIdx === mergedIdx)
+
+    // the replay-idempotency hook: a retry of an epoch must see the
+    // index WITHOUT that epoch's own (failed-commit) partial — else
+    // its batch lines double-count and the rewrite diverges from the
+    // original (sink scaladoc). Excluding the LAST epoch here must
+    // reproduce exactly what epoch 2 read when it ran.
+    val epochs = spark.read.parquet(index).select("_epoch").distinct()
+      .as[String].collect().sorted
+    assert(epochs.length === 2)
+    val replayView = Dedup.boilerplateIndexRead(spark, index,
+      excludeEpoch = Some(epochs.last))
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(replayView === idx1.as[(String, Long)].collect().sortBy(_._1))
+    // and excluding an unknown epoch is the full view, not an error
+    val fullView = Dedup.boilerplateIndexRead(spark, index,
+      excludeEpoch = Some("no-such-epoch"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(fullView === storedIdx)
+  }
 }
