@@ -193,12 +193,25 @@ object Dedup {
     val scoped = excludeEpoch match {
       case Some(e) =>
         require(raw.columns.contains("_epoch"),
-          s"excludeEpoch set but $path has no _epoch partition column")
+          s"excludeEpoch set but $path has no _epoch partition column — " +
+            "a flat index cannot back the streaming sink (mixed flat + " +
+            "partitioned layouts break discovery); bootstrap it with " +
+            "boilerplateIndexWrite, which writes the _epoch=base layout")
         raw.filter(col("_epoch") =!= lit(e))
       case None => raw
     }
     scoped.groupBy(col("fp")).agg(sum(col("n_docs")).as("n_docs"))
   }
+
+  /** Bootstrap a STORED line-frequency index from a batch-built one
+    * ([[boilerplateIndex]]) in the layout the streaming sink appends
+    * to — an `_epoch=base` partition, the same convention as
+    * `Similarity.ivfIndexWrite`, so later epoch-scoped dynamic
+    * overwrites coexist with the seed instead of corrupting partition
+    * discovery. */
+  def boilerplateIndexWrite(index: DataFrame, path: String): Unit =
+    index.withColumn("_epoch", lit("base"))
+      .write.partitionBy("_epoch").mode("overwrite").parquet(path)
 
   /** Incremental boilerplate removal — the daily-batch shape
     * completing the same persisted-index family as the near-dup
@@ -213,12 +226,18 @@ object Dedup {
     * records neither (exactly like numHashes/bands for the MinHash
     * band index), so a mismatched probe silently under- or
     * over-removes. Persist them next to the index path. */
+  /** @param batchCounts the batch's own line counts, if the caller
+    *        already built them (MUST be `boilerplateIndex(batch)`
+    *        under the same sep/minLineLen) — the streaming sink
+    *        passes its checkpointed index partial here so the batch
+    *        is line-exploded and count-aggregated once, not twice */
   def incrementalRemoveBoilerplate(batch: DataFrame, idCol: String,
                                    textCol: String, index: DataFrame,
                                    sep: String, minDocs: Int,
-                                   minLineLen: Int = 1): DataFrame = {
+                                   minLineLen: Int = 1,
+                                   batchCounts: Option[DataFrame] = None): DataFrame = {
     val segs = lineSegs(batch, idCol, textCol, sep)
-    val boiler = lineCounts(segs, idCol, minLineLen)
+    val boiler = batchCounts.getOrElse(lineCounts(segs, idCol, minLineLen))
       .join(index.select(col("fp"), col("n_docs").as("_stored")),
         Seq("fp"), "left")
       .filter(col("n_docs") + coalesce(col("_stored"), lit(0L)) >= minDocs)

@@ -228,8 +228,7 @@ object Streaming {
         val index =
           if (graft.sources.Fs.exists(spark, indexPath))
             spark.read.parquet(indexPath).select("fingerprint")
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          else emptyFrame(spark,
             StructType(Seq(StructField("fingerprint", StringType))))
         // localCheckpoint, not persist: accepted's lineage READS
         // indexPath, and the second write below OVERWRITES indexPath.
@@ -299,11 +298,25 @@ object Streaming {
     * contract both ingest sinks share: a retry of epoch N rewrites its
     * own `_epoch=token-N` partitions instead of double-appending. */
   private def epochWrite(df: DataFrame, path: String, token: String,
-                         epochId: Long, partCols: Seq[String] = Nil): Unit =
+                         epochId: Long, partCols: Seq[String] = Nil): Unit = {
+    // a zero-row dynamic overwrite is semantically a no-op (the
+    // replay contracts above rely on that) — but physically it would
+    // CREATE the target directory with _SUCCESS and no files on a
+    // first-ever write, and schema inference on that directory fails
+    // every later read (an all-duplicates or all-short-lines first
+    // batch would brick its sink permanently). Skip the side effect.
+    if (df.isEmpty) return
     df.withColumn("_epoch", lit(s"$token-$epochId"))
       .write.partitionBy(partCols :+ "_epoch": _*)
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(path)
+  }
+
+  /** Zero-row frame with an explicit schema — the "no stored index
+    * yet" read result the ingest sinks share. */
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Streaming ANN-index ingest — the IVF twin of [[dedupIngestSink]],
     * closing the last index family's streaming path: each micro-batch
@@ -359,34 +372,54 @@ object Streaming {
     * retry see exactly what the original saw. */
   def boilerplateIngestSink(stream: DataFrame, spark: SparkSession,
                             corpusPath: String, indexPath: String,
-                            idCol: String, textCol: String,
+                            textCol: String, idCol: String,
                             checkpoint: String, sep: String, minDocs: Int,
-                            minLineLen: Int = 1): StreamingQuery = {
+                            minLineLen: Int = 1,
+                            allowForeignEpochs: Boolean = false): StreamingQuery = {
+    // checkpoint-reset-with-kept-tables is NOT a supported recovery
+    // here, unlike the dedup sink (whose content-keyed index makes a
+    // re-delivered source self-healing): line counts are keyed by
+    // doc id, so re-ingesting the same documents under a fresh token
+    // silently doubles every count and over-removes forever after.
+    // Refuse the ambiguous shape loudly; a caller whose new run
+    // genuinely ingests only NEW documents may override.
+    val marker = s"$checkpoint/graft-run-id"
+    require(graft.sources.Fs.exists(spark, marker) ||
+        !graft.sources.Fs.exists(spark, indexPath) || allowForeignEpochs,
+      s"boilerplateIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+        "already holds count partials. If the source re-delivers ingested " +
+        "documents, their line counts would double silently. Restore the " +
+        "original checkpoint, rebuild corpus+index from raw sources, or — " +
+        "only if this run ingests strictly new documents — pass " +
+        "allowForeignEpochs = true")
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val index =
-          if (graft.sources.Fs.exists(spark, indexPath))
-            Dedup.boilerplateIndexRead(spark, indexPath,
-              excludeEpoch = Some(s"$token-$epochId"))
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(Seq(StructField("fp", StringType),
-              StructField("n_docs", LongType))))
-        // same lineage-sever rationale as dedupIngestSink: `cleaned`
-        // reads indexPath, and the partial write below replaces
-        // epoch partitions under it
-        val cleaned = Dedup.incrementalRemoveBoilerplate(
-          batch, idCol, textCol, index, sep, minDocs, minLineLen)
-          .localCheckpoint(true)
+        // the batch's count partial is built ONCE (checkpointed):
+        // it marks the boiler join inside the clean AND is the index
+        // write below — and the checkpoint severs the clean's read
+        // of indexPath from the write that replaces partitions in it
+        val partial = Dedup.boilerplateIndex(
+          batch, idCol, textCol, sep, minLineLen).localCheckpoint(true)
         try {
-          epochWrite(cleaned, corpusPath, token, epochId)
-          epochWrite(
-            Dedup.boilerplateIndex(batch, idCol, textCol, sep, minLineLen),
-            indexPath, token, epochId)
-        } finally { cleaned.unpersist(); () }
+          val index =
+            if (graft.sources.Fs.exists(spark, indexPath))
+              Dedup.boilerplateIndexRead(spark, indexPath,
+                excludeEpoch = Some(s"$token-$epochId"))
+            else emptyFrame(spark,
+              StructType(Seq(StructField("fp", StringType),
+                StructField("n_docs", LongType))))
+          val cleaned = Dedup.incrementalRemoveBoilerplate(
+            batch, idCol, textCol, index, sep, minDocs, minLineLen,
+            batchCounts = Some(partial))
+            .localCheckpoint(true)
+          try {
+            epochWrite(cleaned, corpusPath, token, epochId)
+            epochWrite(partial, indexPath, token, epochId)
+          } finally { cleaned.unpersist(); () }
+        } finally { partial.unpersist(); () }
       }
       .start()
   }

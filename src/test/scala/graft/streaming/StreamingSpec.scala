@@ -434,7 +434,7 @@ class StreamingSpec extends SparkSpecBase {
       val schema = spark.read.parquet(s"$src/b1").schema
       Streaming.boilerplateIngestSink(
         Streaming.fileStream(spark, schema, s"$src/*"),
-        spark, corpus, index, "doc_id", "text", ckp,
+        spark, corpus, index, "text", "doc_id", ckp,
         sep = "\n", minDocs = 2)
         .awaitTermination()
     }
@@ -487,5 +487,59 @@ class StreamingSpec extends SparkSpecBase {
       excludeEpoch = Some("no-such-epoch"))
       .as[(String, Long)].collect().sortBy(_._1)
     assert(fullView === storedIdx)
+
+    // checkpoint reset with kept tables must REFUSE loudly (counts
+    // would double on a re-delivered source), unless overridden
+    val ckpReset = Files.createTempDirectory("graft-bp-ckp-reset").toString
+    val schema = spark.read.parquet(s"$src/b1").schema
+    val e = intercept[IllegalArgumentException] {
+      Streaming.boilerplateIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "text", "doc_id", ckpReset,
+        sep = "\n", minDocs = 2)
+    }
+    assert(e.getMessage.contains("count partials"))
+  }
+
+  test("boilerplate ingest: all-short-lines first batch does not brick the index; flat bootstrap works") {
+    import graft.operators.Dedup
+    val src = Files.createTempDirectory("graft-bp2-src").toString
+    val corpus = Files.createTempDirectory("graft-bp2-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-bp2-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-bp2-ckp").toString
+    // bootstrap the index from a batch-built one (_epoch=base layout)
+    val seed = Seq((100L, "seeded\nfooter"), (101L, "other\nfooter"))
+    Dedup.boilerplateIndexWrite(
+      Dedup.boilerplateIndex(seed.toDF("doc_id", "text"), "doc_id", "text", "\n"),
+      index)
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.boilerplateIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "text", "doc_id", ckp,
+        sep = "\n", minDocs = 2, allowForeignEpochs = true)
+        .awaitTermination()
+    }
+    // first batch: every line under the default minLineLen floor →
+    // the count partial is EMPTY; the write must be skipped, not
+    // create an unreadable fileless epoch under the index
+    Seq((1L, ""), (2L, "\n\n")).toDF("doc_id", "text")
+      .write.parquet(s"$src/b1")
+    drain()
+    // docs still reach the corpus (cleaning never drops docs)
+    assert(spark.read.parquet(corpus).count() === 2)
+    // second batch: reads the seeded counts fine and binds against
+    // them — "footer" has base count 2, so it is removed immediately
+    Seq((3L, "fresh\nfooter")).toDF("doc_id", "text")
+      .write.parquet(s"$src/b2")
+    drain()
+    val doc3 = spark.read.parquet(corpus)
+      .filter($"doc_id" === 3L)
+      .select("clean_text", "n_removed").as[(String, Long)].collect()
+    assert(doc3 === Array(("fresh", 1L)))
+    // the stored index = base seed + epoch partials, readable
+    val idx = Dedup.boilerplateIndexRead(spark, index)
+      .as[(String, Long)].collect()
+    assert(idx.nonEmpty)
   }
 }
