@@ -47,4 +47,38 @@ object Packing {
       .withColumn("bin", floor((col("cum_tokens") - col("_n")) / ctxLen))
       .select("doc_id", "shard", "seq_in_shard", "cum_tokens", "bin")
   }
+
+  /** Length-bucketed batch assignment — the padding-minimization
+    * counterpart of [[packGreedy]]: sort the corpus by token count
+    * (id tiebreak), cut consecutive runs of `batchSize` documents
+    * into batches, and report each document's padding cost
+    * (`max(batch) − own`). Similar-length docs land together, so
+    * pad-to-longest waste collapses versus random batching — the
+    * standard dynamic-batching prep for variable-length training.
+    *
+    * Scale shape: the global length rank is
+    * [[graft.operators.Rolling.sequenceByKey]] — per-length-bucket
+    * local windows plus broadcast prefix offsets — so NO task ever
+    * sorts the whole corpus; the pad window partitions by batch_id
+    * (≤ batchSize rows each).
+    *
+    * @return (idCol, batch_id, n_tokens, pad_tokens) — one row per doc
+    */
+  def lengthBatches(df: DataFrame, idCol: String, tokenCol: String,
+                    batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize >= 1: $batchSize")
+    val t = coalesce(col(tokenCol).cast("long"), lit(0L))
+    val ranked = Rolling.sequenceByKey(
+      df.withColumn("_t", t), Seq.empty,
+      orderCols = Seq(col("_t"), col(idCol)),
+      // the length itself is the rank bucket: bucket order IS a
+      // prefix of the (length, id) order, which sequenceByKey needs
+      bucket = col("_t"), as = "_rn")
+    ranked
+      .withColumn("batch_id", ((col("_rn") - 1) / lit(batchSize)).cast("long"))
+      .withColumn("pad_tokens",
+        max(col("_t")).over(Window.partitionBy(col("batch_id"))) - col("_t"))
+      .select(col(idCol), col("batch_id"), col("_t").as("n_tokens"),
+        col("pad_tokens"))
+  }
 }

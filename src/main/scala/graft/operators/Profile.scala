@@ -34,4 +34,46 @@ object Profile {
     }
     one.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * data-quality monitor a production ingest runs per batch: compare
+    * each snapshot's token relative frequencies and report the
+    * per-token total-variation contribution (|p_old − p_new| / 2; the
+    * contributions sum to the TV distance in [0, 1]). A drifting
+    * source — new language, new boilerplate, a broken upstream
+    * extractor — shows up as mass concentrating on new tokens.
+    *
+    * Scale shape: one token-keyed count aggregate per side (scan-side
+    * partial counts), a full outer join on the token, and scalar
+    * totals attached as broadcast single-row aggregates — never a
+    * driver collect, never a corpus-sized shuffle beyond the two
+    * token aggregations.
+    *
+    * @return (tok, n_old, n_new, p_old, p_new, tv_contrib) — one row
+    *         per token present in either snapshot; probabilities and
+    *         contribution rounded at `roundTo` for engine-stable
+    *         comparison
+    */
+  def tokenDistributionDrift(oldDf: DataFrame, newDf: DataFrame,
+                             textCol: String,
+                             roundTo: Int = 6): DataFrame = {
+    import graft.functions.TextFunctions
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(as))
+    val o = counts(oldDf, "n_old")
+    val n = counts(newDf, "n_new")
+    val joined = o.join(n, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = broadcast(joined.agg(
+      sum(col("n_old")).as("_to"), sum(col("n_new")).as("_tn")))
+    joined.crossJoin(totals)
+      .select(col("tok"), col("n_old"), col("n_new"),
+        round(col("n_old") / col("_to"), roundTo).as("p_old"),
+        round(col("n_new") / col("_tn"), roundTo).as("p_new"),
+        round(abs(col("n_old") / col("_to") - col("n_new") / col("_tn")) / 2,
+          roundTo).as("tv_contrib"))
+  }
 }

@@ -3249,6 +3249,52 @@ object Catalog {
       index, " the ", minDocs = 2)
   }
 
+  // ------------------------------------------- length-bucketed batching
+  val q108LengthBatches = q("q108_length_batches",
+    "Length-bucketed batch assignment + per-doc padding cost (north star: batching prep)",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |             row_number() OVER (ORDER BY n_tokens, doc_id) AS rn FROM t),
+      |b AS (SELECT doc_id, n_tokens, CAST((rn - 1) // 16 AS BIGINT) AS batch_id FROM r)
+      |SELECT doc_id, batch_id, n_tokens,
+      |       CAST(max(n_tokens) OVER (PARTITION BY batch_id) - n_tokens AS BIGINT) AS pad_tokens
+      |FROM b""".stripMargin) { (s, d) =>
+    Packing.lengthBatches(
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", batchSize = 16)
+  }
+
+  // ------------------------------------------- token-distribution drift
+  val q109TokenDrift = q("q109_token_drift",
+    "Token-distribution drift between snapshots: per-token TV contribution (north star: data-quality monitoring)",
+    """WITH oc AS (
+      |  SELECT tok, count(*) AS n_old FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |    FROM documents WHERE doc_id % 2 = 0) GROUP BY tok),
+      |nc AS (
+      |  SELECT tok, count(*) AS n_new FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |    FROM documents WHERE doc_id % 2 = 1) GROUP BY tok),
+      |j AS (
+      |  SELECT coalesce(oc.tok, nc.tok) AS tok,
+      |         coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      |  FROM oc FULL OUTER JOIN nc ON oc.tok = nc.tok),
+      |tt AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM j)
+      |SELECT tok, n_old, n_new,
+      |       round(n_old / t_o, 6) AS p_old,
+      |       round(n_new / t_n, 6) AS p_new,
+      |       round(abs(n_old / t_o - n_new / t_n) / 2, 6) AS tv_contrib
+      |FROM j, tt""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Profile.tokenDistributionDrift(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3275,5 +3321,6 @@ object Catalog {
     q96ZorderEqualDepth, q97IncrementalSimHash, q98IncrementalSrp,
     q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup,
     q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup,
-    q106VocabCoverage, q107IncrementalBoilerplate)
+    q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
+    q109TokenDrift)
 }

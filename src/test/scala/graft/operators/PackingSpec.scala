@@ -40,4 +40,35 @@ class PackingSpec extends SparkSpecBase {
     val one = Packing.packGreedy(docs, "id", "n_tok", ctxLen = 1 << 20, shards = 2)
     assert(one.filter($"bin" =!= 0).count() === 0)
   }
+
+  test("lengthBatches ≡ naive global row_number batching; pads correct; batches full") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(9)
+    val docs = (0L until 137L).map(i => (i, 1L + rnd.nextInt(200)))
+      .toDF("id", "n_tok")
+    val out = Packing.lengthBatches(docs, "id", "n_tok", batchSize = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val naive = docs
+      .withColumn("rn", row_number().over(Window.orderBy($"n_tok", $"id")))
+      .withColumn("batch_id", (($"rn" - 1) / 8).cast("long"))
+      .withColumn("pad",
+        max($"n_tok").over(Window.partitionBy($"batch_id")) - $"n_tok")
+      .select($"id", $"batch_id", $"n_tok", $"pad")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === naive)
+    // every batch except the last is exactly full; pad ≥ 0 everywhere
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    val lastBatch = sizes.keys.max
+    assert(sizes.forall { case (b, n) => if (b == lastBatch) n <= 8 else n == 8 })
+    assert(out.forall(_._4 >= 0L))
+    // length bucketing beats random batching on padding waste (the
+    // operator's reason to exist) — id-order batches as the baseline
+    val randomPad = docs
+      .withColumn("batch_id", (($"id") / 8).cast("long"))
+      .withColumn("pad",
+        max($"n_tok").over(Window.partitionBy($"batch_id")) - $"n_tok")
+      .agg(sum($"pad")).as[Long].head()
+    assert(out.map(_._4).sum < randomPad,
+      s"sorted padding ${out.map(_._4).sum} not below random $randomPad")
+  }
 }

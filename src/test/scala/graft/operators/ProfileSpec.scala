@@ -18,4 +18,27 @@ class ProfileSpec extends SparkSpecBase {
     // exactly one row per profiled column, nothing else
     assert(out.keySet === Set("k", "s"))
   }
+
+  test("tokenDistributionDrift: hand-checked TV contributions, tokens on one side only") {
+    val oldDf = Seq("a a b").toDF("text")
+    val newDf = Seq("a b b c").toDF("text")
+    val out = Profile.tokenDistributionDrift(oldDf, newDf, "text")
+      .orderBy("tok")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(out === Array(
+      // old: a 2/3, b 1/3; new: a 1/4, b 2/4, c 1/4
+      ("a", 2L, 1L, 0.666667, 0.25, 0.208333),
+      ("b", 1L, 2L, 0.333333, 0.5, 0.083333),
+      ("c", 0L, 1L, 0.0, 0.25, 0.125)), s"got ${out.mkString("; ")}")
+    // contributions sum to the TV distance, bounded by 1
+    val tv = out.map(_._6).sum
+    assert(tv > 0.0 && tv <= 1.0)
+  }
+
+  test("tokenDistributionDrift: identical snapshots drift zero") {
+    val df = Seq("x y z", "x x").toDF("text")
+    val out = Profile.tokenDistributionDrift(df, df, "text")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(out.forall(r => r._6 === 0.0 && r._4 === r._5))
+  }
 }
