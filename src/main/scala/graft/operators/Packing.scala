@@ -49,18 +49,24 @@ object Packing {
   }
 
   /** Length-bucketed batch assignment — the padding-minimization
-    * counterpart of [[packGreedy]]: sort the corpus by token count
-    * (id tiebreak), cut consecutive runs of `batchSize` documents
-    * into batches, and report each document's padding cost
+    * counterpart of [[packGreedy]]: sort the corpus by
+    * (token count, md5(id), id), cut consecutive runs of `batchSize`
+    * documents into batches, and report each document's padding cost
     * (`max(batch) − own`). Similar-length docs land together, so
     * pad-to-longest waste collapses versus random batching — the
     * standard dynamic-batching prep for variable-length training.
+    * Within a length, the md5 order is a deterministic shuffle, so
+    * same-length batches do not correlate with ingest order.
     *
-    * Scale shape: the global length rank is
-    * [[graft.operators.Rolling.sequenceByKey]] — per-length-bucket
-    * local windows plus broadcast prefix offsets — so NO task ever
-    * sorts the whole corpus; the pad window partitions by batch_id
-    * (≤ batchSize rows each).
+    * Scale shape: the global rank is
+    * [[graft.operators.Rolling.sequenceByKey]] — bucket-local windows
+    * plus broadcast prefix offsets — with the rank bucket
+    * (length, leading md5 hex char): a prefix of the sort order, as
+    * sequenceByKey requires, AND a 16-way split of every equal-length
+    * run, so a truncation-capped corpus (millions of docs at exactly
+    * the cap — the common training shape) does not collapse into one
+    * sort task. The pad window partitions by batch_id (≤ batchSize
+    * rows each).
     *
     * @return (idCol, batch_id, n_tokens, pad_tokens) — one row per doc
     */
@@ -68,12 +74,11 @@ object Packing {
                     batchSize: Int): DataFrame = {
     require(batchSize >= 1, s"batchSize >= 1: $batchSize")
     val t = coalesce(col(tokenCol).cast("long"), lit(0L))
+    val h = md5(col(idCol).cast("string").cast("binary"))
     val ranked = Rolling.sequenceByKey(
-      df.withColumn("_t", t), Seq.empty,
-      orderCols = Seq(col("_t"), col(idCol)),
-      // the length itself is the rank bucket: bucket order IS a
-      // prefix of the (length, id) order, which sequenceByKey needs
-      bucket = col("_t"), as = "_rn")
+      df.withColumn("_t", t).withColumn("_h", h), Seq.empty,
+      orderCols = Seq(col("_t"), col("_h"), col(idCol)),
+      bucket = struct(col("_t"), substring(col("_h"), 1, 1)), as = "_rn")
     ranked
       .withColumn("batch_id", ((col("_rn") - 1) / lit(batchSize)).cast("long"))
       .withColumn("pad_tokens",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling: row count, null count, exact distinct
@@ -67,13 +67,22 @@ object Profile {
       .select(col("tok"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-    val totals = broadcast(joined.agg(
-      sum(col("n_old")).as("_to"), sum(col("n_new")).as("_tn")))
+    // totals from the two aggregates directly (the q17 pattern), NOT
+    // from `joined` — summing the join's subtree would execute the
+    // full outer join twice. Coalesced zeros add nothing, so the sums
+    // are identical.
+    val totals = broadcast(
+      o.agg(sum(col("n_old")).as("_to"))
+        .crossJoin(n.agg(sum(col("n_new")).as("_tn"))))
+    // a token-free snapshot reads as the zero distribution (p = 0
+    // everywhere, drift vs a non-empty snapshot = 0.5), not as NULLs
+    def p(cnt: Column, tot: Column) =
+      when(tot > 0, cnt / tot).otherwise(lit(0.0))
     joined.crossJoin(totals)
       .select(col("tok"), col("n_old"), col("n_new"),
-        round(col("n_old") / col("_to"), roundTo).as("p_old"),
-        round(col("n_new") / col("_tn"), roundTo).as("p_new"),
-        round(abs(col("n_old") / col("_to") - col("n_new") / col("_tn")) / 2,
+        round(p(col("n_old"), col("_to")), roundTo).as("p_old"),
+        round(p(col("n_new"), col("_tn")), roundTo).as("p_new"),
+        round(abs(p(col("n_old"), col("_to")) - p(col("n_new"), col("_tn"))) / 2,
           roundTo).as("tv_contrib"))
   }
 }

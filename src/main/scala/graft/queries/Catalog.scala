@@ -3257,7 +3257,7 @@ object Catalog {
       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |r AS (SELECT doc_id, n_tokens,
-      |             row_number() OVER (ORDER BY n_tokens, doc_id) AS rn FROM t),
+      |             row_number() OVER (ORDER BY n_tokens, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM t),
       |b AS (SELECT doc_id, n_tokens, CAST((rn - 1) // 16 AS BIGINT) AS batch_id FROM r)
       |SELECT doc_id, batch_id, n_tokens,
       |       CAST(max(n_tokens) OVER (PARTITION BY batch_id) - n_tokens AS BIGINT) AS pad_tokens

@@ -49,7 +49,8 @@ class PackingSpec extends SparkSpecBase {
     val out = Packing.lengthBatches(docs, "id", "n_tok", batchSize = 8)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     val naive = docs
-      .withColumn("rn", row_number().over(Window.orderBy($"n_tok", $"id")))
+      .withColumn("rn", row_number().over(Window.orderBy(
+        $"n_tok", md5($"id".cast("string").cast("binary")), $"id")))
       .withColumn("batch_id", (($"rn" - 1) / 8).cast("long"))
       .withColumn("pad",
         max($"n_tok").over(Window.partitionBy($"batch_id")) - $"n_tok")

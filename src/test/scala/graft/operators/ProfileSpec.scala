@@ -35,6 +35,19 @@ class ProfileSpec extends SparkSpecBase {
     assert(tv > 0.0 && tv <= 1.0)
   }
 
+  test("tokenDistributionDrift: an empty baseline is the zero distribution, drift 0.5 — never NULL") {
+    val empty = Seq.empty[String].toDF("text")
+    val now = Seq("a b", "a c").toDF("text")
+    val out = Profile.tokenDistributionDrift(empty, now, "text")
+      .orderBy("tok")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(out === Array(
+      ("a", 0L, 2L, 0.0, 0.5, 0.25),
+      ("b", 0L, 1L, 0.0, 0.25, 0.125),
+      ("c", 0L, 1L, 0.0, 0.25, 0.125)), s"got ${out.mkString("; ")}")
+    assert(math.abs(out.map(_._6).sum - 0.5) < 1e-9)
+  }
+
   test("tokenDistributionDrift: identical snapshots drift zero") {
     val df = Seq("x y z", "x x").toDF("text")
     val out = Profile.tokenDistributionDrift(df, df, "text")
