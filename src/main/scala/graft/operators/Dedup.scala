@@ -245,6 +245,55 @@ object Dedup {
     reassembleLines(segs.join(boiler, Seq("fp"), "left"), idCol, sep)
   }
 
+  /** Exact-substring repeated-span detection (the Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data" technique, at the
+    * token-window grain): every `k`-token window whose token sequence
+    * occurs at least `minCount` times in the corpus — any document,
+    * any offset, self-repeats included — is flagged, and overlapping
+    * flagged windows merge into MAXIMAL repeated spans per document.
+    * The caller excises or down-weights the spans; this operator
+    * reports them.
+    *
+    * Scale shape: windows are fingerprinted (md5) in the scan stage
+    * and the global occurrence count shuffles 16-byte keys with
+    * map-side partial counts — never the window text twice. The span
+    * merge is two windows + an aggregate all partitioned by document,
+    * so partition sizes are bounded by document length. Documents
+    * shorter than `k` tokens yield no windows (not an error).
+    *
+    * @return (idCol, span_start, span_end, n_windows) — token
+    *         offsets, [start, end) — one row per maximal span
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, minCount: Int = 2): DataFrame = {
+    require(k >= 2 && minCount >= 2, s"k >= 2, minCount >= 2: $k, $minCount")
+    val toks = TextFunctions.tokens(col(textCol))
+    val windows = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(col(idCol),
+      posexplode(windows).as(Seq("pos", "fp")))
+    val rep = grams.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minCount)
+      .select("fp")
+    val flagged = grams.join(rep, Seq("fp"), "left_semi")
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("_prev_end", max(col("pos") + k)
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_island", sum(
+        when(col("_prev_end").isNull || col("pos") > col("_prev_end"), 1)
+          .otherwise(0)).over(wDoc))
+      .groupBy(col(idCol), col("_island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("_island")
+  }
+
   /** Incremental exact dedup — the daily-production shape: keep only
     * rows of `newDocs` whose canonical fingerprint is absent from the
     * EXISTING corpus' fingerprint index. Never re-fingerprints the

@@ -3295,6 +3295,42 @@ object Catalog {
       docs.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
   }
 
+  // --------------------------------------- exact-substring repeated spans
+  // Planted full-document copies (id+1e6 for id % 10 = 0) guarantee
+  // whole-doc spans; natural 8-gram repeats in the corpus surface too.
+  val q110RepeatedSpans = q("q110_repeated_spans",
+    "Exact-substring repeated k-gram spans, maximal per doc (north star: dedup, Lee et al. 2022)",
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM base),
+      |w AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+7], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS t(i)),
+      |rep AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+      |f AS (SELECT w.doc_id, w.pos FROM w JOIN rep USING (gram)),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM f),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM m)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+      |       CAST(count(*) AS BIGINT) AS n_windows
+      |FROM isl GROUP BY doc_id, island""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val base = docs.unionByName(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.repeatedSpans(base, "doc_id", "text", k = 8)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3322,5 +3358,5 @@ object Catalog {
     q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup,
     q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup,
     q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
-    q109TokenDrift)
+    q109TokenDrift, q110RepeatedSpans)
 }

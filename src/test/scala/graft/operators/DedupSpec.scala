@@ -385,6 +385,33 @@ class DedupSpec extends SparkSpecBase {
       (1L, "shared line\nown one", 0L), (2L, "shared line\nown two", 0L)))
   }
 
+  test("repeatedSpans: cross-doc repeats merge to maximal spans; unique and short docs yield none") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $run t1 t2"),       // the run sits at tokens 3..12
+      (2L, s"$run v1 v2 v3 v4 v5"),       // same run at tokens 0..9
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // unique content — no spans
+      (4L, "short doc")                   // under k tokens — no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    // repeated 8-windows are exactly those inside the shared run:
+    // doc1 positions 3,4,5 → one maximal span [3, 13); doc2 0,1,2
+    assert(out === Array((1L, 3L, 13L, 3L), (2L, 0L, 10L, 3L)),
+      s"got ${out.mkString("; ")}")
+  }
+
+  test("repeatedSpans: within-doc self repeat counts; disjoint islands stay separate spans") {
+    val eight = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = Seq((1L, s"$eight x1 $eight")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("span_start").as[(Long, Long, Long, Long)].collect()
+    // the 8-gram occurs at positions 0 and 9 of the SAME doc: both
+    // flagged (self repeats count), gap 9 > 0+8 → two maximal spans
+    assert(out === Array((1L, 0L, 8L, 1L), (1L, 9L, 17L, 1L)),
+      s"got ${out.mkString("; ")}")
+  }
+
   test("incrementalRemoveBoilerplate ≡ full-corpus run restricted to the batch (sf0.01)") {
     // the q93-style contract for the boilerplate family: cleaning a
     // batch against the stored line-frequency index of the REST of
