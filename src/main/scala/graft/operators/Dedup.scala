@@ -249,10 +249,11 @@ object Dedup {
     * arXiv:2107.06499 "Deduplicating Training Data" technique, at the
     * token-window grain): every `k`-token window whose token sequence
     * occurs at least `minCount` times in the corpus — any document,
-    * any offset, self-repeats included — is flagged, and overlapping
-    * flagged windows merge into MAXIMAL repeated spans per document.
-    * The caller excises or down-weights the spans; this operator
-    * reports them.
+    * any offset, self-repeats included — is flagged, and flagged
+    * windows that overlap OR touch end-to-start merge into MAXIMAL
+    * repeated regions per document (a span can therefore be the
+    * union of several independent repeats that abut). The caller
+    * excises or down-weights the spans; this operator reports them.
     *
     * Scale shape: windows are fingerprinted (md5) in the scan stage
     * and the global occurrence count shuffles 16-byte keys with
@@ -268,30 +269,35 @@ object Dedup {
                     k: Int, minCount: Int = 2): DataFrame = {
     require(k >= 2 && minCount >= 2, s"k >= 2, minCount >= 2: $k, $minCount")
     val toks = TextFunctions.tokens(col(textCol))
-    val windows = when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => md5(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-    val grams = df.select(col(idCol),
-      posexplode(windows).as(Seq("pos", "fp")))
-    val rep = grams.groupBy(col("fp"))
+    // codegen'd WordNgrams, NOT a transform() lambda closing over the
+    // tokenizer: ArrayTransform interprets its body per element and
+    // would re-tokenize the whole document once per window — the
+    // O(n²) trap word_ngrams exists to kill (its scaladoc, q50).
+    // dedup=false keeps one gram per position (the array index IS the
+    // window offset); emptyIfShort covers docs under k tokens.
+    val grams = df.select(col(idCol).as("_doc"),
+      posexplode(Sketches.word_ngrams(toks, k, dedup = false,
+        emptyIfShort = true)).as(Seq("_pos", "_gram")))
+      .select(col("_doc"), col("_pos"), md5(col("_gram")).as("_fp"))
+    val rep = grams.groupBy(col("_fp"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= minCount)
-      .select("fp")
-    val flagged = grams.join(rep, Seq("fp"), "left_semi")
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .select("_fp")
+    val flagged = grams.join(rep, Seq("_fp"), "left_semi")
+    val wDoc = Window.partitionBy(col("_doc")).orderBy(col("_pos"))
     flagged
-      .withColumn("_prev_end", max(col("pos") + k)
+      .withColumn("_prev_end", max(col("_pos") + k)
         .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("_island", sum(
-        when(col("_prev_end").isNull || col("pos") > col("_prev_end"), 1)
+        when(col("_prev_end").isNull || col("_pos") > col("_prev_end"), 1)
           .otherwise(0)).over(wDoc))
-      .groupBy(col(idCol), col("_island"))
+      .groupBy(col("_doc"), col("_island"))
       .agg(
-        min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + k).cast("long").as("span_end"),
+        min(col("_pos")).cast("long").as("span_start"),
+        (max(col("_pos")) + k).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
-      .drop("_island")
+      .select(col("_doc").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
   }
 
   /** Incremental exact dedup — the daily-production shape: keep only
