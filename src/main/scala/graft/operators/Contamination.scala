@@ -48,4 +48,52 @@ object Contamination {
       .withColumn("overlap_ratio",
         col("n_contaminated").cast("double") / col("n_ngrams").cast("double"))
   }
+
+  // --------------------------------------- persisted benchmark gram index
+
+  /** Distinct benchmark n-grams as md5 FINGERPRINTS — the persisted
+    * form of the benchmark side, built ONCE at benchmark-registration
+    * time and only probed per training batch (the decontamination twin
+    * of `Dedup.minHashBandIndex` / `boilerplateIndex`). Fingerprints,
+    * not strings: the stored table carries fixed-width 32-hex-char
+    * keys however long the grams are, and the eval text itself never
+    * leaves the build job — a held-out benchmark's CONTENT staying out
+    * of the shared index is a real leakage concern, not just a size
+    * win. */
+  def benchmarkGramIndex(benchmark: DataFrame, textCol: String,
+                         n: Int = 8): DataFrame =
+    benchmark
+      .select(explode(ngrams(textCol, n)).as("_ng"))
+      .select(md5(col("_ng").cast("binary")).as("gram_fp"))
+      .distinct()
+
+  def benchmarkGramIndexWrite(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def benchmarkGramIndexRead(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe a persisted benchmark index: identical output contract to
+    * [[ngramOverlap]] (ContaminationSpec pins the equivalence), but
+    * the benchmark corpus is never re-tokenized — the daily-batch
+    * shape. The index broadcasts (eval suites are thousands of docs —
+    * millions of grams at most — against a corpus of billions), so
+    * the probe side never shuffles: per-doc counts are map-side
+    * partial over the scan. */
+  def incrementalNgramOverlap(probe: DataFrame, index: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 8): DataFrame = {
+    val probeGrams = probe
+      .select(col(idCol).as("doc_id"), explode(ngrams(textCol, n)).as("_ng"))
+      .select(col("doc_id"), md5(col("_ng").cast("binary")).as("gram_fp"))
+    probeGrams
+      .join(broadcast(index.select(col("gram_fp")).withColumn("_hit", lit(1))),
+        Seq("gram_fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(col("_hit")).as("n_contaminated"))
+      .withColumn("overlap_ratio",
+        col("n_contaminated").cast("double") / col("n_ngrams").cast("double"))
+  }
 }

@@ -3331,6 +3331,42 @@ object Catalog {
     Dedup.repeatedSpans(base, "doc_id", "text", k = 8)
   }
 
+  // --------------------------------------- incremental decontamination
+  // The daily-batch shape of q50: the benchmark gram set is a stored
+  // fingerprint index (built once from doc_id % 13 = 0), and only the
+  // batch is tokenized at probe time. The oracle recomputes the whole
+  // overlap from raw text — the fp-keyed probe must land on identical
+  // counts.
+  val q111IncrementalContamination = q("q111_incremental_contamination",
+    "Batch contamination probe against a persisted benchmark gram index (north star: incremental decontamination)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |                     i -> array_to_string(toks[i:i+7], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS ngs
+      |  FROM tk),
+      |bench AS (
+      |  SELECT DISTINCT unnest(ngs) AS ng FROM grams WHERE doc_id % 13 = 0),
+      |probe AS (
+      |  SELECT doc_id, unnest(ngs) AS ng FROM grams WHERE doc_id % 13 <> 0)
+      |SELECT probe.doc_id,
+      |       count(*) AS n_ngrams,
+      |       count(bench.ng) AS n_contaminated,
+      |       CAST(count(bench.ng) AS DOUBLE) / count(*) AS overlap_ratio
+      |FROM probe LEFT JOIN bench ON probe.ng = bench.ng
+      |GROUP BY probe.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val index = Contamination.benchmarkGramIndex(
+      docs.filter(pmod(col("doc_id"), lit(13)) === 0), "text", n = 8)
+    Contamination.incrementalNgramOverlap(
+      docs.filter(pmod(col("doc_id"), lit(13)) =!= 0), index,
+      idCol = "doc_id", textCol = "text", n = 8)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3358,5 +3394,5 @@ object Catalog {
     q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup,
     q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup,
     q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
-    q109TokenDrift, q110RepeatedSpans)
+    q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination)
 }

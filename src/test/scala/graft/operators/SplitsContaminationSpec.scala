@@ -72,6 +72,38 @@ class SplitsContaminationSpec extends SparkSpecBase {
     assert(r === 1.0)
   }
 
+  test("incrementalNgramOverlap against a persisted index equals ngramOverlap") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "intro words alpha beta gamma delta epsilon zeta eta theta outro"),
+      (2L, "alpha beta gamma NOPE delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "entirely unrelated content with many distinct words here"),
+      (5L, "short doc")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gram_index_").toString
+    try {
+      Contamination.benchmarkGramIndexWrite(
+        Contamination.benchmarkGramIndex(bench, "text", n = 8), s"$dir/idx")
+      val stored = Contamination.benchmarkGramIndexRead(spark, s"$dir/idx")
+      // the stored index holds fingerprints only — no benchmark text
+      assert(stored.columns.toSeq === Seq("gram_fp"))
+      val inc = Contamination.incrementalNgramOverlap(
+        probe, stored, "doc_id", "text", n = 8)
+        .select("doc_id", "n_ngrams", "n_contaminated", "overlap_ratio")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      val full = Contamination.ngramOverlap(probe, bench, "doc_id", "text", n = 8)
+        .select("doc_id", "n_ngrams", "n_contaminated", "overlap_ratio")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      assert(inc === full)
+      assert(inc.find(_._1 == 3L).get._4 === 1.0) // exact copy fully flagged
+    } finally {
+      graft.sources.Fs.deleteRecursively(spark, dir)
+    }
+  }
+
   test("stratifiedSample: per-stratum rates, unlisted strata use the default, rerun-stable") {
     val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
       .toDF("id", "stratum")
