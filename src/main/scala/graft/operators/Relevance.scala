@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Sketches, TextFunctions}
@@ -92,5 +92,69 @@ object Relevance {
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("oov_ratio"), lit(0.0)).as("oov_ratio"))
+  }
+
+  /** Bigram language-model fluency scoring — the KenLM-shaped quality
+    * screen: train add-α-smoothed bigram statistics on a reference
+    * corpus, score every candidate document by its mean token-level
+    * log-probability. Gibberish, boilerplate and wrong-language text
+    * score far below corpus-typical prose, which is why an n-gram LM
+    * trained on a trusted corpus is the classic cheap perplexity
+    * filter (CCNet / Gopher style) before any neural scoring.
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V)
+    *
+    * with c(w₁·) the count of bigrams whose HISTORY is w₁ and V the
+    * training vocabulary size — so unseen bigrams back off to
+    * α/(c(w₁·)+αV), never to zero, and rows never hit ln(0).
+    *
+    * Scale shape: bigrams come from the codegen'd WordNgrams pass
+    * (never a lambda re-tokenizing per gram); the model is two
+    * token-keyed count aggregates (map-side partial) and V one scalar
+    * that rides in as a broadcast single-row aggregate. Scoring
+    * shuffles the candidate bigram stream twice (once keyed by bigram,
+    * once by history) — both joins are key-to-key equi joins that AQE
+    * can skew-split; at 100 TB the model tables are the small-but-not-
+    * broadcastable side and the stream never materializes per-doc
+    * state outside the final per-doc average. Swap the string keys for
+    * xxhash64 fingerprints at extreme scale — same plan, 8-byte keys.
+    *
+    * Documents with fewer than two tokens have no bigrams: they
+    * surface with n_bigrams = 0 and a NULL score (unknowable, not
+    * perfect — a 0.0 would rank them above real prose).
+    *
+    * @return (idCol, n_bigrams, avg_logprob) — one row per `score` doc
+    */
+  def bigramLmScore(train: DataFrame, score: DataFrame,
+                    idCol: String, textCol: String,
+                    alpha: Double = 0.1, roundTo: Int = 6): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (zero re-opens ln(0)): $alpha")
+    def bigrams(df: DataFrame, cols: Column*) = df.select(
+      cols :+ explode(Sketches.word_ngrams(TextFunctions.tokens(col(textCol)),
+        2, dedup = false, emptyIfShort = true)).as("bigram"): _*)
+    val trainBi = bigrams(train)
+    val c2 = trainBi.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    // history = first token of the bigram (tokens never contain spaces)
+    val c1 = trainBi
+      .select(substring_index(col("bigram"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val scored = bigrams(score, col(idCol))
+      .join(c2, Seq("bigram"), "left")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((coalesce(col("c2"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))).as("lp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), roundTo).as("avg_logprob"))
+    score.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
   }
 }

@@ -3367,6 +3367,46 @@ object Catalog {
       idCol = "doc_id", textCol = "text", n = 8)
   }
 
+  // --------------------------------------------- bigram LM fluency scoring
+  // Train on doc_id % 3 != 0, score the rest — the CCNet-style cheap
+  // perplexity filter. Both engines compute identical smoothed
+  // probabilities; round(avg, 6) absorbs summation-order ulp drift.
+  val q112BigramLm = q("q112_bigram_lm",
+    "Bigram LM fluency score: add-alpha smoothed mean log-prob per doc (north star: quality filtering)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |trb AS (
+      |  SELECT toks[i] AS w1, toks[i+1] AS w2
+      |  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      |  WHERE doc_id % 3 <> 0),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM trb GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM trb GROUP BY w1),
+      |v AS (
+      |  SELECT count(DISTINCT tok) AS v FROM (
+      |    SELECT unnest(toks) AS tok FROM tk WHERE doc_id % 3 <> 0)),
+      |scb AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      |  WHERE doc_id % 3 = 0),
+      |scored AS (
+      |  SELECT s.doc_id,
+      |         ln((coalesce(c2.c2, 0) + 0.1) / (coalesce(c1.c1, 0) + 0.1 * v.v)) AS lp
+      |  FROM scb s LEFT JOIN c2 ON s.w1 = c2.w1 AND s.w2 = c2.w2
+      |             LEFT JOIN c1 ON s.w1 = c1.w1, v),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+      |  FROM scored GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logprob
+      |FROM tk t LEFT JOIN agg a USING (doc_id)
+      |WHERE t.doc_id % 3 = 0""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Relevance.bigramLmScore(
+      train = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+      score = docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      idCol = "doc_id", textCol = "text", alpha = 0.1)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3394,5 +3434,6 @@ object Catalog {
     q99IncrementalIvf, q100CurationPipeline, q101SemanticDedup,
     q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup,
     q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
-    q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination)
+    q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
+    q112BigramLm)
 }

@@ -65,4 +65,34 @@ class RelevanceSpec extends SparkSpecBase {
       .orderBy("doc_id").as[(Long, Long, Double)].collect()
     assert(out === Array((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 1L, 1.0)))
   }
+
+  test("bigramLmScore: closed-form smoothed probabilities, short docs score NULL") {
+    val train = Seq(
+      (10L, "the cat sat"),       // bigrams: "the cat", "cat sat"
+      (11L, "the cat ran")        // bigrams: "the cat", "cat ran"
+    ).toDF("doc_id", "text")
+    // model: c2("the cat")=2, c2("cat sat")=1, c2("cat ran")=1
+    //        c1("the")=2, c1("cat")=2; V = |{the,cat,sat,ran}| = 4
+    val score = Seq(
+      (1L, "the cat sat"),        // seen bigrams
+      (2L, "the dog"),            // unseen bigram, seen history "the"
+      (3L, "dog emu"),            // unseen bigram, unseen history
+      (4L, "one"),                // 1 token → no bigrams
+      (5L, "")                    // 0 tokens → no bigrams
+    ).toDF("doc_id", "text")
+    val a = 0.1
+    val v = 4.0
+    def p(c2: Long, c1: Long) = (c2 + a) / (c1 + a * v)
+    val out = Relevance.bigramLmScore(train, score, "doc_id", "text", alpha = a)
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) === ((1L, 2L,
+      Some(r6((math.log(p(2, 2)) + math.log(p(1, 2))) / 2)))))
+    assert(out(1) === ((2L, 1L, Some(r6(math.log(p(0, 2)))))))
+    assert(out(2) === ((3L, 1L, Some(r6(math.log(p(0, 0)))))))
+    assert(out(3) === ((4L, 0L, None)))
+    assert(out(4) === ((5L, 0L, None)))
+    // the fluent doc outranks the unseen-vocab doc
+    assert(out(0)._3.get > out(2)._3.get)
+  }
 }
