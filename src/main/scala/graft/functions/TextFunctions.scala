@@ -124,6 +124,35 @@ object TextFunctions {
       regexp_replace(text, EmailPattern, "[EMAIL]"),
       PhonePattern, "[PHONE]")
 
+  /** `<script>`/`<style>` elements WITH their content (alternation,
+    * not a backreference — RE2-safe), then bare tags. `(?s)` because
+    * real script/style blocks span lines. */
+  val ScriptStylePattern =
+    "(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>"
+  val TagPattern = "<[^>]*>"
+
+  /** HTML → text for web-curation pipelines: drop script/style
+    * elements wholly (their CONTENT is code, not prose — the one case
+    * where tag-stripping alone poisons the corpus), strip remaining
+    * tags, decode the six entities that dominate real web text
+    * (`&lt; &gt; &quot; &#39; &nbsp; &amp;` — `&amp;` LAST, so
+    * `&amp;lt;` single-decodes to `&lt;` instead of double-decoding
+    * to `<`), collapse whitespace runs, trim. Pure codegen'd
+    * regexp/replace chain — scan-speed, zero shuffle, and every step
+    * is engine-portable (no backreferences, no lookaround, explicit
+    * `[ \t\n\r]` whitespace class — Java's `\s` and RE2's disagree on
+    * vertical tab). Lowercase-tag HTML only, matching the dominant
+    * web convention; a case-insensitive variant is `(?i)` away. */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(text, ScriptStylePattern, " ")
+    val noTags = regexp_replace(noBlocks, TagPattern, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
   /** Rolling (polynomial) hash over the token stream — a second,
     * cheaper fingerprint family: h = Σ tok_hash(t_i) * B^i mod M,
     * computed with a single array `aggregate`. Engine-portable when

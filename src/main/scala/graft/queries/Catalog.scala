@@ -3407,6 +3407,47 @@ object Catalog {
       idCol = "doc_id", textCol = "text", alpha = 0.1)
   }
 
+  // ----------------------------------------------------- HTML stripping
+  // No HTML in the synthetic corpus, so even-id docs are wrapped in a
+  // realistic page shell in-query (script + style + tags + entities);
+  // odd ids pass through bare. Both engines run the identical
+  // RE2-safe regex/replace chain — clean_text must match char-for-char.
+  val q113HtmlStrip = q("q113_html_strip",
+    "HTML/markup stripping + entity decode + whitespace collapse (north star: web curation)",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 2 = 0
+      |              THEN '<html><head><title>T</title><style type="text/css">p { color: #fff; }</style><script>if (a < b) { alert("x&y"); }</script></head><body><h1>Heading</h1><p>'
+      |                   || coalesce(text, '') ||
+      |                   '</p><div class="foo">&quot;quoted&quot; &amp; &lt;escaped&gt; &#39;s&#39;&nbsp;tail</div></body></html>'
+      |              ELSE coalesce(text, '') END AS raw
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, raw,
+      |         trim(regexp_replace(
+      |           replace(replace(replace(replace(replace(replace(
+      |             regexp_replace(
+      |               regexp_replace(raw, '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+      |               '<[^>]*>', ' ', 'g'),
+      |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |           '[ \t\n\r]+', ' ', 'g')) AS clean_text
+      |  FROM src)
+      |SELECT doc_id, clean_text,
+      |       CAST(length(raw) - length(clean_text) AS BIGINT) AS removed_len
+      |FROM c""".stripMargin) { (s, d) =>
+    val shellHead = "<html><head><title>T</title><style type=\"text/css\">p { color: #fff; }</style><script>if (a < b) { alert(\"x&y\"); }</script></head><body><h1>Heading</h1><p>"
+    val shellTail = "</p><div class=\"foo\">&quot;quoted&quot; &amp; &lt;escaped&gt; &#39;s&#39;&nbsp;tail</div></body></html>"
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit(shellHead), coalesce(col("text"), lit("")), lit(shellTail)))
+        .otherwise(coalesce(col("text"), lit(""))).as("raw"))
+    planted
+      .withColumn("clean_text", TextFunctions.stripHtml(col("raw")))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("raw")) - length(col("clean_text"))).cast("long")
+          .as("removed_len"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3435,5 +3476,5 @@ object Catalog {
     q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup,
     q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
-    q112BigramLm)
+    q112BigramLm, q113HtmlStrip)
 }

@@ -112,6 +112,28 @@ class TextFunctionsSpec extends SparkSpecBase {
       ("a\n\nb\n", 1L)), s"got ${out.mkString("; ")}")
   }
 
+  test("stripHtml: tags stripped, script/style content dropped, entities decoded once") {
+    val cases = Seq(
+      // tags go, text survives, whitespace collapses
+      ("<p>hello <b>bold</b>\n  world</p>", "hello bold world"),
+      // script/style CONTENT is removed, not just the tags
+      ("<style>p{color:red}</style>keep<script>var x = 1 < 2;</script>me",
+        "keep me"),
+      // multi-line script block ((?s) engaged)
+      ("a<script>\nline1\nline2\n</script>b", "a b"),
+      // entities decode exactly once: &amp;lt; → &lt;, never <
+      ("&quot;q&quot; &amp; &lt;tag&gt; &#39;s&#39;&nbsp;end &amp;lt;",
+        "\"q\" & <tag> 's' end &lt;"),
+      // decoded angle brackets are NOT re-stripped as tags
+      ("&lt;notatag&gt;", "<notatag>"),
+      ("plain text stays", "plain text stays"),
+      ("", ""))
+    val out = cases.map(_._1).toDF("t")
+      .select(TextFunctions.stripHtml($"t").as("c")).as[String].collect()
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got === want, s"input: $in") }
+  }
+
   test("dedupLinesInDoc: doubling a repeat-free doc restores it exactly") {
     val docs = Seq("alpha\nbeta\ngamma").toDF("t")
       .select(concat($"t", lit("\n"), $"t").as("t"))
