@@ -268,22 +268,37 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int, minCount: Int = 2): DataFrame = {
     require(k >= 2 && minCount >= 2, s"k >= 2, minCount >= 2: $k, $minCount")
-    val toks = TextFunctions.tokens(col(textCol))
-    // codegen'd WordNgrams, NOT a transform() lambda closing over the
-    // tokenizer: ArrayTransform interprets its body per element and
-    // would re-tokenize the whole document once per window — the
-    // O(n²) trap word_ngrams exists to kill (its scaladoc, q50).
-    // dedup=false keeps one gram per position (the array index IS the
-    // window offset); emptyIfShort covers docs under k tokens.
-    val grams = df.select(col(idCol).as("_doc"),
-      posexplode(Sketches.word_ngrams(toks, k, dedup = false,
-        emptyIfShort = true)).as(Seq("_pos", "_gram")))
-      .select(col("_doc"), col("_pos"), md5(col("_gram")).as("_fp"))
+    val grams = positionedGramFps(df, idCol, textCol, k)
     val rep = grams.groupBy(col("_fp"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= minCount)
       .select("_fp")
     val flagged = grams.join(rep, Seq("_fp"), "left_semi")
+    mergeWindowIslands(flagged, k)
+      .select(col("_doc").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** (_doc, _pos, _fp): every positional k-token window of every doc,
+    * fingerprinted. Codegen'd WordNgrams, NOT a transform() lambda
+    * closing over the tokenizer: ArrayTransform interprets its body
+    * per element and would re-tokenize the whole document once per
+    * window — the O(n²) trap word_ngrams exists to kill (its
+    * scaladoc, q50). dedup=false keeps one gram per position (the
+    * array index IS the window offset); emptyIfShort covers docs
+    * under k tokens. */
+  private def positionedGramFps(df: DataFrame, idCol: String,
+                                textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("_doc"),
+      posexplode(Sketches.word_ngrams(TextFunctions.tokens(col(textCol)),
+        k, dedup = false, emptyIfShort = true)).as(Seq("_pos", "_gram")))
+      .select(col("_doc"), col("_pos"), md5(col("_gram")).as("_fp"))
+
+  /** Merge flagged (_doc, _pos) windows of width k that overlap or
+    * abut into maximal [span_start, span_end) islands per document.
+    * Two windows + an aggregate, all partitioned by document —
+    * partition sizes bounded by document length. */
+  private def mergeWindowIslands(flagged: DataFrame, k: Int): DataFrame = {
     val wDoc = Window.partitionBy(col("_doc")).orderBy(col("_pos"))
     flagged
       .withColumn("_prev_end", max(col("_pos") + k)
@@ -296,8 +311,59 @@ object Dedup {
         min(col("_pos")).cast("long").as("span_start"),
         (max(col("_pos")) + k).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
-      .select(col("_doc").as(idCol), col("span_start"), col("span_end"),
-        col("n_windows"))
+      .select(col("_doc"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Exact-substring repeated-span REMOVAL — [[repeatedSpans]]'s
+    * excision counterpart (the apply step of Lee et al. 2022): every
+    * occurrence of a ≥`minCount`-times-repeated k-token window is cut
+    * from its document EXCEPT the globally first occurrence (minimal
+    * (doc, pos) — so exactly one copy of every duplicated passage
+    * survives the corpus, deterministically), and surviving tokens
+    * reassemble in order. Output text is at the token grain (the
+    * tokenizer's lowercase alphanumeric stream — the same contract as
+    * chunking/packing), since that is the grain the windows are
+    * defined on.
+    *
+    * Scale shape: the keep-first decision is a count + min(struct)
+    * aggregate per fingerprint — map-side partial, skew-safe (a
+    * million-fold-repeated gram never lands in one window-sort task,
+    * unlike a row_number-per-gram plan). Removed windows then merge
+    * into maximal disjoint spans per document BEFORE reassembly, so
+    * the per-token kept/cut test is `exists` over a handful of merged
+    * spans (a fully-duplicated document is ONE span), not per bad
+    * window; the document table joins the span lists once and rebuilds
+    * text row-local — the corpus token stream itself never shuffles.
+    *
+    * @return (idCol, clean_text, n_removed) — every input doc, removed
+    *         token count at the window-union grain
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, minCount: Int = 2): DataFrame = {
+    require(k >= 2 && minCount >= 2, s"k >= 2, minCount >= 2: $k, $minCount")
+    val grams = positionedGramFps(df, idCol, textCol, k)
+    val stats = grams.groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col("_doc"), col("_pos"))).as("_first"))
+    val bad = grams
+      .join(stats.filter(col("_n") >= minCount).select("_fp", "_first"),
+        Seq("_fp"))
+      .filter(struct(col("_doc"), col("_pos")) =!= col("_first"))
+      .select(col("_doc"), col("_pos"))
+    val perDoc = mergeWindowIslands(bad, k)
+      .groupBy(col("_doc"))
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("_spans"))
+    val toks = TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    val spans = coalesce(col("_spans"),
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    val kept = filter(toks, (_, i) =>
+      !exists(spans, s =>
+        i >= s.getField("span_start") && i < s.getField("span_end")))
+    df.join(perDoc, col(idCol) === col("_doc"), "left")
+      .select(col(idCol),
+        concat_ws(" ", kept).as("clean_text"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"))
   }
 
   /** Incremental exact dedup — the daily-production shape: keep only

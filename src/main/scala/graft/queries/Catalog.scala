@@ -3448,6 +3448,51 @@ object Catalog {
           .as("removed_len"))
   }
 
+  // --------------------------------------- repeated-span removal (excision)
+  // q110's apply step: same planted whole-doc copies; every repeated
+  // 8-gram window is cut except its globally-first occurrence, tokens
+  // reassemble in order. The oracle recomputes the keep-first rule
+  // with a per-gram window over string grams — the fp-keyed
+  // min-struct aggregate must land on identical text.
+  val q114SpanRemoval = q("q114_span_removal",
+    "Exact-substring repeated-span removal, keep first occurrence (north star: dedup, Lee et al. 2022)",
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM base),
+      |w AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+7], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS t(i)),
+      |o AS (
+      |  SELECT doc_id, pos,
+      |         count(*) OVER (PARTITION BY gram) AS cnt,
+      |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+      |  FROM w),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos + j AS tp
+      |  FROM o, UNNEST(generate_series(0, 7)) AS t(j)
+      |  WHERE cnt >= 2 AND rk >= 2),
+      |tok AS (
+      |  SELECT doc_id, i - 1 AS tp, l[i] AS tok
+      |  FROM toks, UNNEST(generate_series(1, len(l))) AS t(i)),
+      |agg AS (
+      |  SELECT t.doc_id,
+      |         coalesce(string_agg(CASE WHEN c.tp IS NULL THEN t.tok END,
+      |                             ' ' ORDER BY t.tp), '') AS clean_text,
+      |         count(c.tp) AS n_removed
+      |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp
+      |  GROUP BY t.doc_id)
+      |SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |       coalesce(a.n_removed, 0) AS n_removed
+      |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val base = docs.unionByName(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.removeRepeatedSpans(base, "doc_id", "text", k = 8)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3476,5 +3521,5 @@ object Catalog {
     q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup,
     q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
-    q112BigramLm, q113HtmlStrip)
+    q112BigramLm, q113HtmlStrip, q114SpanRemoval)
 }

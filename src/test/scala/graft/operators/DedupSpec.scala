@@ -412,6 +412,42 @@ class DedupSpec extends SparkSpecBase {
       s"got ${out.mkString("; ")}")
   }
 
+  test("removeRepeatedSpans: first occurrence survives, later ones are excised") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $run t1 t2"),       // first occurrence (doc order)
+      (2L, s"$run v1 v2 v3 v4 v5"),       // later occurrence → cut
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // unique — untouched
+      (4L, "short doc")                   // under k tokens — untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out === Array(
+      (1L, s"u1 u2 u3 $run t1 t2", 0L),
+      (2L, "v1 v2 v3 v4 v5", 10L),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", 0L),
+      (4L, "short doc", 0L)), s"got ${out.mkString("; ")}")
+  }
+
+  test("removeRepeatedSpans: an exact whole-doc copy empties; self-repeat keeps the first island") {
+    val eight = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$eight x1 $eight"), // self repeat: pos 0 kept, pos 9 cut
+      (2L, s"$eight x1 $eight")  // whole-doc copy of doc 1 → fully cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    // doc1: gram at 0 is the global first (kept); its repeat at 9 is
+    // cut. The "x1"-straddling windows repeat across docs too: doc1
+    // holds their first occurrences, so doc1 keeps everything up to
+    // pos 9's island... pos 1..9 windows all first-occur in doc1.
+    // doc2: every window is a second-or-later occurrence → all cut.
+    assert(out(1) === ((2L, "", 17L)), s"got ${out.mkString("; ")}")
+    assert(out(0)._1 === 1L && out(0)._3 > 0L)
+    // between them, exactly one copy of the repeated material survives
+    assert(out(0)._2.startsWith(eight))
+  }
+
   test("incrementalRemoveBoilerplate ≡ full-corpus run restricted to the batch (sf0.01)") {
     // the q93-style contract for the boilerplate family: cleaning a
     // batch against the stored line-frequency index of the REST of
