@@ -290,6 +290,106 @@ object Similarity {
     ivfTopK(index.assignments, cents, queries, idCol, vecCol, k, nProbe, roundTo)
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Rounded squared-L2 distance between two double-array columns —
+    * the PQ assignment metric. Rounding BEFORE the argmin is what
+    * makes nearest-code choice engine-portable: the raw sum differs
+    * between engines at ulp level (summation order), the rounded
+    * value doesn't, and ties on the rounded value break by code id. */
+  private def sqDistRounded(a: Column, b: Column, roundTo: Int): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), roundTo)
+
+  /** Per-(vector, subspace) slices: (idCol, sub, sv) with sv the
+    * `sub`-th of `m` equal slices, cast to double. The vector dim
+    * must be divisible by m (PQ's structural precondition — slices of
+    * uneven length would zip against shorter centroids and
+    * null-poison every distance). */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int): DataFrame = {
+    val vec = transform(col(vecCol), _.cast("double"))
+    df.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+      vec.as("_vec"))
+      .select(col(idCol), col("sub"),
+        slice(col("_vec"), col("sub") * (size(col("_vec")) / lit(m)) + 1,
+          size(col("_vec")) / lit(m)).as("sv"))
+  }
+
+  /** Product-quantization codebooks: split each vector into `m`
+    * subspaces, learn `k` centroids per subspace — deterministic
+    * md5-ordered seeds (the [[pickCentroids]] contract: no `rand()`,
+    * any engine picks the same seeds) refined by `iters` Lloyd
+    * iterations whose means are ROUNDED to `roundTo` decimals, so the
+    * learned codebooks are bit-identical across engines and runs.
+    *
+    * PQ is the memory side of the ANN story the IVF index leaves
+    * open: k ≤ 256 makes each subspace code one byte — an m-byte
+    * compressed vector (m·8 bytes here as oracle-checkable longs),
+    * a 64-float embedding compressed 32× while distances stay
+    * approximable per subspace (ADC lookup tables at query time).
+    *
+    * Scale shape: seeds are a bounded TakeOrdered (k full vectors);
+    * each Lloyd pass is one broadcast join of the (id, sub) slice
+    * stream against m·k centroids, an argmin as a map-side
+    * min_by partial aggregate (never a per-group window sort), and a
+    * (sub, code, pos) mean aggregate of bounded width m·k·dsub — the
+    * corpus shuffles nothing; only slice streams flow.
+    *
+    * Empty clusters (a seed that attracts no vectors) drop out of the
+    * codebook — deterministic on both engines, standard k-means
+    * behavior at tiny k; real deployments re-seed, which would break
+    * oracle determinism here for no test value.
+    *
+    * @return (sub, code, cvec: Array[Double]) — ≤ m·k rows
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int, iters: Int = 1,
+                  roundTo: Int = 6): DataFrame = {
+    require(m >= 1 && k >= 2 && iters >= 0, s"bad PQ params: m=$m k=$k iters=$iters")
+    val sv = subVectors(corpus, idCol, vecCol, m)
+    val seeds = subVectors(
+      pickCentroids(corpus, idCol, vecCol, k)
+        .select(col("cell").as("code"), col(vecCol)),
+      "code", vecCol, m)
+      .select(col("sub"), col("code"), col("sv").as("cvec"))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = sv.join(broadcast(cents), Seq("sub"))
+        .withColumn("_rd", sqDistRounded(col("sv"), col("cvec"), roundTo))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min_by(col("code"), struct(col("_rd"), col("code"))).as("code"),
+          first(col("sv")).as("sv"))
+      assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(round(avg(col("v")), roundTo).as("mv"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("mv")))),
+          _.getField("mv")).as("cvec"))
+    }
+  }
+
+  /** Encode every vector against PQ codebooks: nearest centroid per
+    * subspace on the ROUNDED squared-L2 distance (ties to the smaller
+    * code — the same portable argmin as training), with the
+    * subspace reconstruction error exposed. One broadcast join + one
+    * map-side min_by aggregate; the corpus never shuffles.
+    *
+    * @return (idCol, sub, code, err) — m rows per vector
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+               idCol: String, vecCol: String, m: Int,
+               roundTo: Int = 6): DataFrame =
+    subVectors(corpus, idCol, vecCol, m)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("_rd", sqDistRounded(col("sv"), col("cvec"), roundTo))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(struct(col("code"), col("_rd")),
+        struct(col("_rd"), col("code"))).as("_best"))
+      .select(col(idCol), col("sub").cast("long").as("sub"),
+        col("_best").getField("code").as("code"),
+        col("_best").getField("_rd").as("err"))
+
   /** Probe a STORED index directly from its path, pruning the
     * assignments scan to the probed cells with a static `isin` filter:
     * the distinct probed-cell set is at most min(|queries|·nProbe,

@@ -3493,6 +3493,57 @@ object Catalog {
     Dedup.removeRepeatedSpans(base, "doc_id", "text", k = 8)
   }
 
+  // ------------------------------------------------ product quantization
+  // m=4 subspaces × 16 dims, k=4 codes, deterministic md5-ordered
+  // seeds + ONE Lloyd iteration with means and distances rounded to
+  // 6dp — both engines learn bit-identical codebooks and land every
+  // (vector, subspace) on the same code. err is the rounded
+  // squared-L2 reconstruction distance the argmin ranked on.
+  val q115ProductQuantization = q("q115_product_quantization",
+    "Product quantization: deterministic codebooks + per-subspace codes and reconstruction error (north star: similarity storage)",
+    """WITH corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |sr AS (
+      |  SELECT vec, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      |  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |subs AS (SELECT s AS sub FROM (VALUES (0),(1),(2),(3)) t(s)),
+      |sv AS (
+      |  SELECT c.vec_id, s.sub, c.vec[s.sub*16+1 : s.sub*16+16] AS sv
+      |  FROM corpus c, subs s),
+      |seed AS (
+      |  SELECT s.sub, r.code, r.vec[s.sub*16+1 : s.sub*16+16] AS cv
+      |  FROM sr r, subs s),
+      |d1 AS (
+      |  SELECT v.vec_id, v.sub, se.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - se.cv[j]) * (v.sv[j] - se.cv[j]))), 6) AS rd
+      |  FROM sv v JOIN seed se USING (sub)),
+      |a1 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd, code) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |cent AS (
+      |  SELECT sub, code, list(mv ORDER BY pos) AS cv FROM (
+      |    SELECT a.sub, a.code, j AS pos, round(avg(v.sv[j]), 6) AS mv
+      |    FROM a1 a JOIN sv v ON a.vec_id = v.vec_id AND a.sub = v.sub,
+      |         UNNEST(generate_series(1, 16)) AS t(j)
+      |    GROUP BY a.sub, a.code, j)
+      |  GROUP BY sub, code),
+      |d2 AS (
+      |  SELECT v.vec_id, v.sub, c.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))), 6) AS rd
+      |  FROM sv v JOIN cent c USING (sub))
+      |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code, rd AS err FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd, code) AS rk
+      |  FROM d2) WHERE rk = 1""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1)
+    Similarity.pqEncode(e, books, "vec_id", "embedding", m = 4)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3521,5 +3572,6 @@ object Catalog {
     q102Boilerplate, q103Mixture, q104Temperature, q105IntraDocDedup,
     q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
-    q112BigramLm, q113HtmlStrip, q114SpanRemoval)
+    q112BigramLm, q113HtmlStrip, q114SpanRemoval,
+    q115ProductQuantization)
 }

@@ -229,6 +229,69 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("pq: codebooks are deterministic, codes recover planted clusters, errors shrink to ~0 on centroids") {
+    // four well-separated planted clusters in 8 dims (m=2 → dsub=4):
+    // cluster c puts mass at coordinate c in BOTH subspaces. The 4
+    // md5-order seed ids are placed in 4 DISTINCT clusters (one Lloyd
+    // iteration refines good seeds; it cannot rescue two seeds
+    // landing in one cluster — standard k-means, not a defect)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(i.toString.getBytes)
+      .map("%02x".format(_)).mkString
+    val seedIds = (0L until 80L).sortBy(i => (h(i), i)).take(4)
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 80L).map { i =>
+      val c = seedIds.indexOf(i) match {
+        case -1 => (i % 4).toInt
+        case r  => r
+      }
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat * 0.01f)
+      v(c) += 10f; v(4 + c) += 10f
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, k = 4)
+    val b1 = books.orderBy("sub", "code")
+      .as[(Int, Long, Array[Double])].collect()
+    val b2 = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, k = 4)
+      .orderBy("sub", "code").as[(Int, Long, Array[Double])].collect()
+    assert(b1.map(t => (t._1, t._2, t._3.toSeq)).toSeq ===
+      b2.map(t => (t._1, t._2, t._3.toSeq)).toSeq) // rerun-stable
+    val codes = Similarity.pqEncode(df, books, "vec_id", "embedding", m = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(codes.length === 160) // m rows per vector
+    val clusterOf = rows.map { case (i, _) =>
+      i -> (seedIds.indexOf(i) match { case -1 => (i % 4).toInt; case r => r })
+    }.toMap
+    // every vector of one planted cluster gets the same code per subspace
+    val bySub = codes.groupBy(_._2)
+    for ((_, rs) <- bySub) {
+      val byCluster = rs.groupBy(r => clusterOf(r._1)).view.mapValues(_.map(_._3).toSet)
+      byCluster.foreach { case (cl, cs) =>
+        assert(cs.size === 1, s"cluster $cl split across codes $cs") }
+      // distinct clusters land on distinct codes (separation >> noise)
+      assert(byCluster.values.map(_.head).toSet.size === 4)
+    }
+    // reconstruction error ≈ within-cluster noise, far below the
+    // cluster separation (100 in squared distance)
+    assert(codes.map(_._4).max < 1.0)
+  }
+
+  test("pq: a centroid-coincident vector encodes with zero error; ties break to the smaller code") {
+    // two identical seed candidates force a distance tie at encode time
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), // duplicate content
+      (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 1, k = 3)
+    val out = Similarity.pqEncode(df, books, "vec_id", "embedding", m = 1)
+      .orderBy("vec_id").as[(Long, Long, Long, Double)].collect()
+    // duplicates tie between their two coincident centroids → both
+    // take the smaller code, and their error is exactly 0
+    assert(out(0)._3 === out(1)._3)
+    assert(out(0)._4 === 0.0 && out(1)._4 === 0.0 && out(2)._4 === 0.0)
+  }
+
   test("int8 quantization of a zero or empty vector: NULL scale, all-zero codes") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f)),
