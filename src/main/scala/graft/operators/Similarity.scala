@@ -390,6 +390,50 @@ object Similarity {
         col("_best").getField("code").as("code"),
         col("_best").getField("_rd").as("err"))
 
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * query side of product quantization: the query stays a full
+    * vector, the corpus is only its m-byte codes, and each
+    * (query, neighbor) distance is a sum of m table lookups
+    *
+    *   d(q, x) ≈ Σ_sub lut[q][sub][code(x, sub)]
+    *
+    * where the LUT holds the query-to-centroid squared distances per
+    * subspace. This is how a 100 TB corpus gets scanned for neighbors
+    * WITHOUT touching a single corpus float: the |queries|·m·k LUT
+    * broadcasts, the code table (8 bytes of codes per vector here,
+    * m bytes in a packed layout) streams map-side through one
+    * broadcast join, the per-(query, neighbor) sum is a partial
+    * aggregate, and the final top-k is the bounded-heap
+    * TopKAggregator — never a corpus sort, never the embedding
+    * column. Smallest-distance ranking rides the max-heap via score
+    * negation (exact for doubles); ties break to the smaller
+    * neighbor id, matching the catalog's deterministic-rank contract.
+    *
+    * @param codes (idCol, sub, code) as produced by [[pqEncode]]
+    * @return (query_id, neighbor_id, adist) — k rows per query,
+    *         self-matches excluded, adist = rounded ADC distance
+    */
+  def pqAdcTopK(queries: DataFrame, codebooks: DataFrame, codes: DataFrame,
+                idCol: String, vecCol: String, m: Int, k: Int,
+                roundTo: Int = 6): DataFrame = {
+    val lut = subVectors(
+      queries.select(col(idCol).as("query_id"), col(vecCol)),
+      "query_id", vecCol, m)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        sqDistRounded(col("sv"), col("cvec"), roundTo).as("_lut"))
+    val scored = codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("_lut")), roundTo).as("adist"))
+    scored.groupBy(col("query_id"))
+      .agg(TopK.top_k(k)(-col("adist"), col(idCol)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t").getField("_2").as("neighbor_id"),
+        (-col("t").getField("_1")).as("adist"))
+  }
+
   /** Probe a STORED index directly from its path, pruning the
     * assignments scan to the probed cells with a static `isin` filter:
     * the distinct probed-cell set is at most min(|queries|·nProbe,

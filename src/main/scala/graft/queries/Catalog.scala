@@ -3544,6 +3544,74 @@ object Catalog {
     Similarity.pqEncode(e, books, "vec_id", "embedding", m = 4)
   }
 
+  // ------------------------------------------------ PQ ADC neighbor search
+  // The query side of q115: full-vector queries against the CODES-only
+  // corpus — every distance is m LUT lookups, no corpus floats. The
+  // oracle re-derives the identical deterministic codebooks and codes
+  // (q115's CTE chain) and recomputes every ADC distance directly.
+  val q116PqAdcSearch = q("q116_pq_adc_search",
+    "PQ asymmetric-distance top-k: LUT scan over codes, corpus floats untouched (north star: similarity at scale)",
+    """WITH corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |sr AS (
+      |  SELECT vec, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      |  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |subs AS (SELECT s AS sub FROM (VALUES (0),(1),(2),(3)) t(s)),
+      |sv AS (
+      |  SELECT c.vec_id, s.sub, c.vec[s.sub*16+1 : s.sub*16+16] AS sv
+      |  FROM corpus c, subs s),
+      |seed AS (
+      |  SELECT s.sub, r.code, r.vec[s.sub*16+1 : s.sub*16+16] AS cv
+      |  FROM sr r, subs s),
+      |d1 AS (
+      |  SELECT v.vec_id, v.sub, se.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - se.cv[j]) * (v.sv[j] - se.cv[j]))), 6) AS rd
+      |  FROM sv v JOIN seed se USING (sub)),
+      |a1 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd, code) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |cent AS (
+      |  SELECT sub, code, list(mv ORDER BY pos) AS cv FROM (
+      |    SELECT a.sub, a.code, j AS pos, round(avg(v.sv[j]), 6) AS mv
+      |    FROM a1 a JOIN sv v ON a.vec_id = v.vec_id AND a.sub = v.sub,
+      |         UNNEST(generate_series(1, 16)) AS t(j)
+      |    GROUP BY a.sub, a.code, j)
+      |  GROUP BY sub, code),
+      |d2 AS (
+      |  SELECT v.vec_id, v.sub, c.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))), 6) AS rd
+      |  FROM sv v JOIN cent c USING (sub)),
+      |a2 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd, code) AS rk
+      |    FROM d2) WHERE rk = 1),
+      |lut AS (
+      |  SELECT v.vec_id AS query_id, c.sub, c.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))), 6) AS l
+      |  FROM sv v JOIN cent c USING (sub)
+      |  WHERE v.vec_id < 5),
+      |scored AS (
+      |  SELECT l.query_id, a.vec_id AS neighbor_id, round(sum(l.l), 6) AS adist
+      |  FROM a2 a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+      |  WHERE l.query_id <> a.vec_id
+      |  GROUP BY l.query_id, a.vec_id)
+      |SELECT query_id, neighbor_id, adist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+      |  FROM scored) WHERE rk <= 5""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1)
+    val codes = Similarity.pqEncode(e, books, "vec_id", "embedding", m = 4)
+      .select("vec_id", "sub", "code")
+    Similarity.pqAdcTopK(e.filter(col("vec_id") < 5), books, codes,
+      "vec_id", "embedding", m = 4, k = 5)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3573,5 +3641,5 @@ object Catalog {
     q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
-    q115ProductQuantization)
+    q115ProductQuantization, q116PqAdcSearch)
 }

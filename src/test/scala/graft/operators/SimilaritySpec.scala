@@ -292,6 +292,44 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(0)._4 === 0.0 && out(1)._4 === 0.0 && out(2)._4 === 0.0)
   }
 
+  test("pqAdcTopK equals a naive driver-side ADC recomputation") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val m = 2; val dsub = 4
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding", m = m, k = 4)
+    val codes = Similarity.pqEncode(df, books, "vec_id", "embedding", m = m)
+      .select("vec_id", "sub", "code")
+    val queries = df.filter($"vec_id" < 3)
+    val out = Similarity.pqAdcTopK(queries, books, codes,
+      "vec_id", "embedding", m = m, k = 4)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2)).toList).toMap
+
+    // naive reference from collected artifacts
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cb = books.as[(Int, Long, Array[Double])].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val cd = codes.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2.toInt -> r._3).toMap).toMap
+    val vecs = df.as[(Long, Array[Float])].collect().toMap
+    val want = (0L until 3L).map { q =>
+      val qv = vecs(q).map(_.toDouble)
+      val scored = cd.keys.filter(_ != q).map { x =>
+        // r6 applied per-subspace AND on the total — exactly the
+        // operator's round(sum(rounded lut), 6)
+        val d = r6((0 until m).map { s =>
+          val cv = cb((s, cd(x)(s)))
+          r6((0 until dsub).map { j =>
+            val diff = qv(s * dsub + j) - cv(j); diff * diff }.sum)
+        }.sum)
+        (x, d)
+      }.toList.sortBy(t => (t._2, t._1)).take(4)
+      q -> scored.map { case (id, d) => (q, id, d) }
+    }.toMap
+    assert(out === want)
+  }
+
   test("int8 quantization of a zero or empty vector: NULL scale, all-zero codes") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f)),
