@@ -416,22 +416,66 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, codebooks: DataFrame, codes: DataFrame,
                 idCol: String, vecCol: String, m: Int, k: Int,
                 roundTo: Int = 6): DataFrame = {
-    val lut = subVectors(
-      queries.select(col(idCol).as("query_id"), col(vecCol)),
+    val scored = codes
+      .join(broadcast(pqLut(queries, codebooks, idCol, vecCol, m, roundTo)),
+        Seq("sub", "code"))
+      .filter(col("query_id") =!= col(idCol))
+    adcAggregateTopK(scored, idCol, k, roundTo)
+  }
+
+  /** Query-to-centroid LUT: one row per (query, sub, code) holding the
+    * rounded partial squared distance — the |queries|·m·k table every
+    * ADC scan broadcasts. */
+  private def pqLut(queries: DataFrame, codebooks: DataFrame,
+                    idCol: String, vecCol: String, m: Int,
+                    roundTo: Int): DataFrame =
+    subVectors(queries.select(col(idCol).as("query_id"), col(vecCol)),
       "query_id", vecCol, m)
       .join(broadcast(codebooks), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         sqDistRounded(col("sv"), col("cvec"), roundTo).as("_lut"))
-    val scored = codes
-      .join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("query_id") =!= col(idCol))
+
+  /** Sum the m per-subspace LUT rows per (query, neighbor), then keep
+    * the k SMALLEST distances via the bounded-heap aggregator (score
+    * negation — exact for doubles; ties to the smaller id). */
+  private def adcAggregateTopK(scored: DataFrame, idCol: String,
+                               k: Int, roundTo: Int): DataFrame =
+    scored
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum(col("_lut")), roundTo).as("adist"))
-    scored.groupBy(col("query_id"))
+      .groupBy(col("query_id"))
       .agg(TopK.top_k(k)(-col("adist"), col(idCol)).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t").getField("_2").as("neighbor_id"),
         (-col("t").getField("_1")).as("adist"))
+
+  /** IVF + PQ — the standard two-level ANN layout (FAISS IVFPQ shape):
+    * coarse IVF cells bound WHERE to look (`nProbe` cells per query →
+    * partition pruning on a cell-partitioned store), PQ codes bound
+    * WHAT is read there (m small ints per vector, no corpus floats).
+    * Probe selection reuses [[ivfTopK]]'s cosine rule verbatim;
+    * scoring is [[pqAdcTopK]]'s LUT sum restricted to probed cells.
+    * Both metrics' determinism contracts carry over unchanged
+    * (rounded scores, id tiebreaks).
+    *
+    * @param codesWithCells (idCol, cell, sub, code) — [[pqEncode]]
+    *                       output joined to its IVF cell assignment
+    * @return (query_id, neighbor_id, adist) — ≤ k rows per query
+    */
+  def ivfPqTopK(queries: DataFrame, centroids: DataFrame,
+                codebooks: DataFrame, codesWithCells: DataFrame,
+                idCol: String, vecCol: String, m: Int, k: Int,
+                nProbe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val probes = probeCells(queries,
+      centroids.select(col("cell"), col(vecCol).as("cent_vec")),
+      idCol, vecCol, nProbe)
+      .select(col("query_id"), col("cell"))
+    val scored = codesWithCells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .join(broadcast(pqLut(queries, codebooks, idCol, vecCol, m, roundTo)),
+        Seq("query_id", "sub", "code"))
+    adcAggregateTopK(scored, idCol, k, roundTo)
   }
 
   /** Probe a STORED index directly from its path, pruning the

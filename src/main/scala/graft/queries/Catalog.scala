@@ -3612,6 +3612,99 @@ object Catalog {
       "vec_id", "embedding", m = 4, k = 5)
   }
 
+  // ---------------------------------------------------------- IVF + PQ
+  // The two-level ANN capstone: q24's cosine cell assignment bounds
+  // WHERE to look (nProbe=3 of 10 cells), q115's PQ codes bound WHAT
+  // is read there. The oracle re-derives cells, codebooks, codes,
+  // probes and every ADC distance from scratch.
+  val q117IvfPq = q("q117_ivf_pq",
+    "IVF+PQ two-level ANN: probed cells scanned via ADC lookup tables (north star: similarity at scale)",
+    """WITH corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cell, vec AS cvec FROM corpus WHERE vec_id % 50 = 0),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT c.vec_id, ct.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM corpus c CROSS JOIN cents ct) WHERE rk = 1),
+      |sr AS (
+      |  SELECT vec, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+      |  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |subs AS (SELECT s AS sub FROM (VALUES (0),(1),(2),(3)) t(s)),
+      |sv AS (
+      |  SELECT c.vec_id, s.sub, c.vec[s.sub*16+1 : s.sub*16+16] AS sv
+      |  FROM corpus c, subs s),
+      |seed AS (
+      |  SELECT s.sub, r.code, r.vec[s.sub*16+1 : s.sub*16+16] AS cv
+      |  FROM sr r, subs s),
+      |d1 AS (
+      |  SELECT v.vec_id, v.sub, se.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - se.cv[j]) * (v.sv[j] - se.cv[j]))), 6) AS rd
+      |  FROM sv v JOIN seed se USING (sub)),
+      |a1 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd, code) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |cent AS (
+      |  SELECT sub, code, list(mv ORDER BY pos) AS cv FROM (
+      |    SELECT a.sub, a.code, j AS pos, round(avg(v.sv[j]), 6) AS mv
+      |    FROM a1 a JOIN sv v ON a.vec_id = v.vec_id AND a.sub = v.sub,
+      |         UNNEST(generate_series(1, 16)) AS t(j)
+      |    GROUP BY a.sub, a.code, j)
+      |  GROUP BY sub, code),
+      |d2 AS (
+      |  SELECT v.vec_id, v.sub, c.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))), 6) AS rd
+      |  FROM sv v JOIN cent c USING (sub)),
+      |a2 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd, code) AS rk
+      |    FROM d2) WHERE rk = 1),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.query_id, ct.cell,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |                              ORDER BY list_cosine_similarity(q.qvec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM q CROSS JOIN cents ct) WHERE rk <= 3),
+      |lut AS (
+      |  SELECT v.vec_id AS query_id, c.sub, c.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))), 6) AS l
+      |  FROM sv v JOIN cent c USING (sub)
+      |  WHERE v.vec_id < 5),
+      |scored AS (
+      |  SELECT l.query_id, a.vec_id AS neighbor_id, round(sum(l.l), 6) AS adist
+      |  FROM a2 a
+      |  JOIN assign asg ON a.vec_id = asg.vec_id
+      |  JOIN probes p ON asg.cell = p.cell
+      |  JOIN lut l ON a.sub = l.sub AND a.code = l.code AND l.query_id = p.query_id
+      |  WHERE l.query_id <> a.vec_id
+      |  GROUP BY l.query_id, a.vec_id)
+      |SELECT query_id, neighbor_id, adist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+      |  FROM scored) WHERE rk <= 5""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val centroids = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell"), col("embedding"))
+    val cells = Similarity.assignCells(e,
+      centroids.select(col("cell").as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+      .select("vec_id", "cell")
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1)
+    val codesWithCells = Similarity.pqEncode(e, books, "vec_id", "embedding", m = 4)
+      .select("vec_id", "sub", "code")
+      .join(cells, Seq("vec_id"))
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), centroids, books,
+      codesWithCells, "vec_id", "embedding", m = 4, k = 5, nProbe = 3)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3641,5 +3734,5 @@ object Catalog {
     q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
-    q115ProductQuantization, q116PqAdcSearch)
+    q115ProductQuantization, q116PqAdcSearch, q117IvfPq)
 }

@@ -330,6 +330,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out === want)
   }
 
+  test("ivfPqTopK with nProbe = nCells equals unrestricted pqAdcTopK") {
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.pickCentroids(df, "vec_id", "embedding", 5)
+    val cells = Similarity.assignCells(df,
+      cents.select($"cell".as("vec_id"), $"embedding"), "vec_id", "embedding")
+      .select("vec_id", "cell")
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, k = 4)
+    val codes = Similarity.pqEncode(df, books, "vec_id", "embedding", m = 2)
+      .select("vec_id", "sub", "code")
+    val queries = df.filter($"vec_id" < 4)
+    val full = Similarity.pqAdcTopK(queries, books, codes,
+      "vec_id", "embedding", m = 2, k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._3, r._2))
+    val ivfpq = Similarity.ivfPqTopK(queries, cents, books,
+      codes.join(cells, Seq("vec_id")), "vec_id", "embedding",
+      m = 2, k = 3, nProbe = 5)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._3, r._2))
+    assert(ivfpq === full)
+    // and a genuinely pruned probe returns a subset of cells' members
+    val pruned = Similarity.ivfPqTopK(queries, cents, books,
+      codes.join(cells, Seq("vec_id")), "vec_id", "embedding",
+      m = 2, k = 3, nProbe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(pruned.nonEmpty && pruned.length <= full.length)
+  }
+
   test("int8 quantization of a zero or empty vector: NULL scale, all-zero codes") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f)),
