@@ -478,6 +478,79 @@ object Similarity {
     adcAggregateTopK(scored, idCol, k, roundTo)
   }
 
+  // ------------------------------------------------- persisted IVF+PQ index
+
+  /** The persisted two-level ANN store: tiny `centroids` (cell, vec)
+    * and `codebooks` (sub, code, cvec) tables plus the `codes` table —
+    * one (id, sub, code) row per vector per subspace, partitioned by
+    * `(cell, _epoch)` like [[IvfIndex]]'s assignments so a probe's
+    * cell set becomes parquet partition pruning and incremental
+    * writers get an idempotent overwrite unit. The corpus FLOATS are
+    * not in the store at all — this is the layout where 100 TB of
+    * embeddings serve ANN queries from m bytes per vector. */
+  case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                        codes: DataFrame)
+
+  /** Build in-memory: assign cells, learn PQ codebooks, encode. */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame,
+                 idCol: String, vecCol: String, m: Int, k: Int,
+                 iters: Int = 1): IvfPqIndex = {
+    val cells = assignCells(corpus,
+      centroids.select(col("cell").as(idCol), col(vecCol)), idCol, vecCol)
+      .select(col(idCol), col("cell"))
+    val books = pqCodebooks(corpus, idCol, vecCol, m, k, iters)
+    IvfPqIndex(centroids, books,
+      pqEncode(corpus, books, idCol, vecCol, m)
+        .select(col(idCol), col("sub"), col("code"))
+        .join(cells, Seq(idCol)))
+  }
+
+  def ivfPqIndexWrite(index: IvfPqIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    index.codes.withColumn("_epoch", lit("base"))
+      .write.mode("overwrite")
+      .partitionBy("cell", "_epoch").parquet(s"$path/codes")
+  }
+
+  def ivfPqIndexRead(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqIndex =
+    // same partition-column normalization as ivfIndexRead: `cell`
+    // re-widens to long, `_epoch` never reaches readers
+    IvfPqIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes")
+        .withColumn("cell", col("cell").cast("long"))
+        .drop("_epoch"))
+
+  /** Probe a stored IVF+PQ index: [[ivfPqTopK]] semantics with the
+    * probed-cell set collected (bounded — ≤ |queries|·nProbe) into a
+    * literal `isin` filter for GUARANTEED static partition pruning on
+    * the cell-partitioned codes table, exactly the [[ivfProbeStored]]
+    * contract. The scan that follows reads codes only — no corpus
+    * floats exist anywhere in the store. */
+  def ivfPqProbeStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, nProbe: Int = 4, roundTo: Int = 6,
+                       maxCells: Int = 1 << 20): DataFrame = {
+    val index = ivfPqIndexRead(spark, path)
+    val probes = probeCells(queries,
+      index.centroids.select(col("cell"), col(vecCol).as("cent_vec")),
+      idCol, vecCol, nProbe)
+      .select(col("query_id"), col("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .limit(maxCells + 1).collect().map(_.getLong(0))
+    require(probedCells.length <= maxCells,
+      s"probed cell set exceeds maxCells=$maxCells — not a bounded driver read")
+    val scored = index.codes
+      .filter(col("cell").isin(probedCells.map(Long.box): _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .join(broadcast(pqLut(queries, index.codebooks, idCol, vecCol, m, roundTo)),
+        Seq("query_id", "sub", "code"))
+    adcAggregateTopK(scored, idCol, k, roundTo)
+  }
+
   /** Probe a STORED index directly from its path, pruning the
     * assignments scan to the probed cells with a static `isin` filter:
     * the distinct probed-cell set is at most min(|queries|·nProbe,

@@ -358,6 +358,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pruned.nonEmpty && pruned.length <= full.length)
   }
 
+  test("stored IVF+PQ probe equals the in-memory ivfPqTopK; store holds no corpus floats") {
+    val rnd = new scala.util.Random(17)
+    val df = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.pickCentroids(df, "vec_id", "embedding", 4)
+    val idx = Similarity.ivfPqIndex(df, cents, "vec_id", "embedding", m = 2, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_").toString
+    try {
+      Similarity.ivfPqIndexWrite(idx, s"$dir/idx")
+      val queries = df.filter($"vec_id" < 3)
+      val stored = Similarity.ivfPqProbeStored(spark, s"$dir/idx", queries,
+        "vec_id", "embedding", m = 2, k = 3, nProbe = 2)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._3, r._2))
+      val mem = Similarity.ivfPqTopK(queries, cents, idx.codebooks, idx.codes,
+        "vec_id", "embedding", m = 2, k = 3, nProbe = 2)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._3, r._2))
+      assert(stored.nonEmpty && stored === mem)
+      // the codes table carries no embedding column — the store never
+      // materializes corpus floats outside centroids/codebooks
+      val codeCols = spark.read.parquet(s"$dir/idx/codes").columns.toSet
+      assert(!codeCols.contains("embedding"), s"got $codeCols")
+    } finally {
+      graft.sources.Fs.deleteRecursively(spark, dir)
+    }
+  }
+
   test("int8 quantization of a zero or empty vector: NULL scale, all-zero codes") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f)),
