@@ -190,6 +190,57 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected checkpointed stage leaves in:\n$plan")
   }
 
+  test("q113 HTML strip: pure codegen'd projection, zero shuffles") {
+    val plan = planOf("q113_html_strip")
+    // the whole op is a regexp/replace chain — any exchange means a
+    // shuffle crept into what must stay scan-speed row-local work
+    assert(shuffles(plan) === 0, plan)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("q111 incremental contamination: index probes as broadcast, stream never re-shuffles") {
+    val plan = planOf("q111_incremental_contamination")
+    // the gram-fp index must broadcast against the probe stream; a
+    // SortMergeJoin would shuffle the full probe gram stream by key
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // index-build distinct + final per-doc agg — nothing else
+    assert(shuffles(plan) <= 2, plan)
+  }
+
+  test("q115/q116/q117 PQ family: codebooks and LUTs broadcast, heap top-k, no corpus sort") {
+    for (name <- Seq("q115_product_quantization", "q116_pq_adc_search", "q117_ivf_pq")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      // q117 assembles codesWithCells in-query: ONE corpus-id
+      // SortMergeJoin zipping codes to cells (a stored IVFPQ index has
+      // it precomputed — see ivfPqIndexWrite). Codebook/LUT joins must
+      // still broadcast everywhere: any second SMJ is a degradation.
+      val smjBudget = if (name == "q117_ivf_pq") 1 else 0
+      val smjs = plan.linesIterator.count(_.contains("SortMergeJoin"))
+      assert(smjs <= smjBudget,
+        s"$name: codebook/LUT join degraded to SMJ ($smjs > $smjBudget):\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+    // the ADC searches must rank via the bounded-heap aggregator (a
+    // map-side partial ObjectHashAggregate), never a per-query window
+    // sort of the corpus
+    for (name <- Seq("q116_pq_adc_search", "q117_ivf_pq")) {
+      val plan = planOf(name)
+      assert(plan.contains("ObjectHashAggregate"), s"$name:\n$plan")
+    }
+  }
+
+  test("q114 span removal: equi joins only, reassembly never shuffles token arrays") {
+    val plan = planOf("q114_span_removal")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // fingerprint stats, flagged join, island windows, span collect,
+    // final doc join — each a bounded key-partitioned exchange; the
+    // corpus token stream itself must not add a posexplode/regroup pair
+    assert(shuffles(plan) <= 7, plan)
+  }
+
   test("q99 incremental-IVF barriers hold: one centroid pick, staged assignments") {
     val plan = planOf("q99_incremental_ivf")
     // centroids feed five subtrees and each index feeds two — the
