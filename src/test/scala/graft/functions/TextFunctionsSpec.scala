@@ -134,6 +134,29 @@ class TextFunctionsSpec extends SparkSpecBase {
       assert(got === want, s"input: $in") }
   }
 
+  test("stripHtml: adversarial inputs never throw, output whitespace is always collapsed") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "<>&;/abq\"' \t\n=#xscript style".toCharArray
+    val adversarial = Seq(
+      "<script>" + ("a" * 10000),                  // unclosed script block
+      "<" * 5000,                                   // tag-open spam
+      "&amp;" * 3000,                               // entity runs
+      "<script><script></script>",                  // nested open
+      "<style>a</script></style>",                  // mismatched close
+      "< p >loose<  /p >",                          // spaced brackets
+      "&#39;&#39;&nbsp;&nbsp;",                     // entity-only doc
+      ("<p>x</p>\n" * 2000)                         // many small tags
+    ) ++ (1 to 50).map(_ =>
+      (1 to 500).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val out = adversarial.toDF("t")
+      .select(TextFunctions.stripHtml($"t").as("c")).as[String].collect()
+    out.foreach { s =>
+      assert(!s.exists(c => c == '\n' || c == '\t'), s"raw whitespace survived: $s")
+      assert(!s.contains("  "), s"uncollapsed spaces: $s")
+      assert(s == s.trim, s"untrimmed: '$s'")
+    }
+  }
+
   test("dedupLinesInDoc: doubling a repeat-free doc restores it exactly") {
     val docs = Seq("alpha\nbeta\ngamma").toDF("t")
       .select(concat($"t", lit("\n"), $"t").as("t"))
