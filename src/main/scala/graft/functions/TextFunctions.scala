@@ -24,6 +24,26 @@ object TextFunctions {
   def whitespaceTokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** GPT-2-style pre-tokenizer, RE2-portable subset: contraction
+    * suffixes split off first (`don't` → `don`, `'t`), then letter
+    * runs, digit runs, and non-alnum punctuation runs — the unit
+    * sequence a byte-pair tokenizer merges from, and the unit real
+    * token-budget estimates should count (whitespace counting
+    * under-counts punctuation-heavy text; alnum counting drops
+    * punctuation entirely). Lookahead-free by construction: the
+    * upstream GPT-2 pattern's ` ?` prefixes and `\s+(?!\S)` branch
+    * need lookahead RE2 lacks, and dropping them only changes
+    * whether whitespace rides attached to tokens, not the count. */
+  val PretokenPattern = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s']+|'"
+
+  /** Pre-token stream of `text` (lowercased). Apostrophes not
+    * starting a known contraction surface as their own token, exactly
+    * how a byte-level BPE sees them. */
+  def pretokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(PretokenPattern), lit(0))
+
+  def pretokenCount(text: Column): Column = size(pretokens(text))
+
   /** English stopwords used by the language-ID heuristic. Tiny on
     * purpose: the heuristic is a ratio test, not a classifier. */
   val EnglishMarkers: Seq[String] = Seq(

@@ -157,4 +157,71 @@ object Relevance {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_logprob"))
   }
+
+  /** The composite pre-training quality filter (CCNet/Gopher shape):
+    * every document gets its five screening signals, a keep/drop
+    * verdict, and the NAMED list of failed checks — because a filter
+    * that only says "dropped" is undebuggable at corpus scale; the
+    * per-reason counts are what a curation run actually reports.
+    *
+    * Checks, in fixed report order:
+    *  - `length`:     minTokens ≤ n_tokens ≤ maxTokens
+    *  - `alpha`:      alphaRatio ≥ minAlpha (markup/number soup)
+    *  - `repetition`: topFrequencyFraction over bigrams ≤
+    *                  maxTopBigramFrac (the Gopher "top 2-gram"
+    *                  signal — loops, spam, boilerplate stutter).
+    *                  Token-level (n−distinct)/n is NOT used: natural
+    *                  prose crosses any fixed distinct-ratio floor as
+    *                  docs grow, so it only measures length. Docs
+    *                  under the length floor get no repetition
+    *                  verdict (one bigram is "100% repeated" only
+    *                  vacuously; `length` already names them).
+    *  - `lang`:       englishScore ≥ minEnScore (marker-ratio langID)
+    *  - `lm`:         bigram-LM avg_logprob ≥ minAvgLogprob, trained
+    *                  on `train` ([[bigramLmScore]]); a doc too short
+    *                  to have bigrams FAILS this check (unknowable
+    *                  fluency must not pass a fluency screen)
+    *
+    * All thresholds compare against the ROUNDED emitted signals, so
+    * the verdicts are engine-portable exactly like the signals.
+    * Scale shape: four of five signals are per-row codegen'd
+    * expressions; the LM join is [[bigramLmScore]]'s two keyed
+    * aggregates — nothing else shuffles.
+    *
+    * @return (idCol, n_tokens, alpha_ratio, top_bigram_frac, en_score,
+    *         avg_logprob, keep, reasons) — one row per doc; `reasons`
+    *         is the comma-joined failed-check names, '' when kept
+    */
+  def qualityFilter(docs: DataFrame, train: DataFrame,
+                    idCol: String, textCol: String,
+                    minTokens: Long = 25, maxTokens: Long = 100000,
+                    minAlpha: Double = 0.6, maxTopBigramFrac: Double = 0.2,
+                    minEnScore: Double = 0.05, minAvgLogprob: Double = -7.0,
+                    lmAlpha: Double = 0.1): DataFrame = {
+    val lm = bigramLmScore(train, docs, idCol, textCol, lmAlpha)
+      .select(col(idCol), col("avg_logprob"))
+    val t = coalesce(col(textCol), lit(""))
+    val base = docs.select(col(idCol), t.as("_t"))
+      .select(col(idCol),
+        TextFunctions.tokenCount(col("_t")).cast("long").as("n_tokens"),
+        round(TextFunctions.alphaRatio(col("_t")), 4).as("alpha_ratio"),
+        round(TextFunctions.topFrequencyFraction(
+          TextFunctions.bigrams(col("_t"))), 4).as("top_bigram_frac"),
+        round(TextFunctions.englishScore(TextFunctions.tokens(col("_t"))), 4)
+          .as("en_score"))
+      .join(lm, Seq(idCol), "left")
+    val checks: Seq[(String, Column)] = Seq(
+      "length" -> (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens),
+      "alpha" -> (col("alpha_ratio") >= minAlpha),
+      "repetition" -> (col("n_tokens") < minTokens ||
+        col("top_bigram_frac") <= maxTopBigramFrac),
+      "lang" -> (col("en_score") >= minEnScore),
+      "lm" -> (col("avg_logprob").isNotNull && col("avg_logprob") >= minAvgLogprob))
+    // concat_ws skips nulls: passed checks vanish from the report
+    val reasons = concat_ws(",",
+      checks.map { case (n, ok) => when(!ok, lit(n)) }: _*)
+    base.select(col(idCol), col("n_tokens"), col("alpha_ratio"),
+      col("top_bigram_frac"), col("en_score"), col("avg_logprob"),
+      (reasons === "").as("keep"), reasons.as("reasons"))
+  }
 }

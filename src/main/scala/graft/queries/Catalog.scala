@@ -3705,6 +3705,94 @@ object Catalog {
       codesWithCells, "vec_id", "embedding", m = 4, k = 5, nProbe = 3)
   }
 
+  // ------------------------------------------------ BPE-ish pretokenization
+  // The token-budget estimator at the unit a byte-level BPE actually
+  // merges from: contraction splits + letter/digit/punct runs.
+  // chars_per_pretoken is the classic compression-ratio quality signal
+  // (low = punctuation soup, high = long prose words).
+  val q118Pretokenize = q("q118_pretokenize",
+    "GPT-2-style pretokenizer counts + chars-per-token ratio (north star: token counting)",
+    s"""SELECT doc_id,
+      |       CAST(len(regexp_extract_all(lower(coalesce(text, '')), '${TextFunctions.PretokenPattern.replace("'", "''")}', 0)) AS BIGINT) AS n_pretokens,
+      |       CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+', 0)) AS BIGINT) AS n_alnum_tokens,
+      |       round(CASE WHEN len(regexp_extract_all(lower(coalesce(text, '')), '${TextFunctions.PretokenPattern.replace("'", "''")}', 0)) = 0 THEN 0.0
+      |                  ELSE CAST(length(coalesce(text, '')) AS DOUBLE)
+      |                       / len(regexp_extract_all(lower(coalesce(text, '')), '${TextFunctions.PretokenPattern.replace("'", "''")}', 0)) END, 4) AS chars_per_pretoken
+      |FROM documents""".stripMargin) { (s, d) =>
+    val txt = coalesce(col("text"), lit(""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), txt.as("_t"))
+      .withColumn("_n", TextFunctions.pretokenCount(col("_t")))
+      .select(col("doc_id"),
+        col("_n").cast("long").as("n_pretokens"),
+        TextFunctions.tokenCount(col("_t")).cast("long").as("n_alnum_tokens"),
+        round(when(col("_n") === 0, lit(0.0))
+          .otherwise(length(col("_t")).cast("double") / col("_n")), 4)
+          .as("chars_per_pretoken"))
+  }
+
+  // --------------------------------------------- composite quality filter
+  // The filter users actually run: five screening signals, a keep
+  // verdict, and NAMED failure reasons per doc. LM trained on
+  // doc_id % 3 != 0 (q112's model), every doc scored.
+  val q119QualityFilter = q("q119_quality_filter",
+    "Composite CCNet/Gopher-style quality filter: five signals, keep verdict, named reasons (north star: quality filtering)",
+    s"""WITH tk AS (
+      |  SELECT doc_id, lower(coalesce(text, '')) AS lt,
+      |         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |trb AS (
+      |  SELECT toks[i] AS w1, toks[i+1] AS w2
+      |  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      |  WHERE doc_id % 3 <> 0),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM trb GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM trb GROUP BY w1),
+      |v AS (
+      |  SELECT count(DISTINCT tok) AS v FROM (
+      |    SELECT unnest(toks) AS tok FROM tk WHERE doc_id % 3 <> 0)),
+      |scb AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)),
+      |lmx AS (
+      |  SELECT s.doc_id, round(avg(
+      |           ln((coalesce(c2.c2, 0) + 0.1) / (coalesce(c1.c1, 0) + 0.1 * v.v))), 6) AS avg_logprob
+      |  FROM scb s LEFT JOIN c2 ON s.w1 = c2.w1 AND s.w2 = c2.w2
+      |             LEFT JOIN c1 ON s.w1 = c1.w1, v
+      |  GROUP BY s.doc_id),
+      |bge AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM tk),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bge GROUP BY 1, 2),
+      |bgt AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1),
+      |sig AS (
+      |  SELECT tk.doc_id,
+      |         CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         round(CASE WHEN length(lt) = 0 THEN 0.0
+      |                    ELSE CAST(length(regexp_replace(lt, '[^a-z ]', '', 'g')) AS DOUBLE) / length(lt) END, 4) AS alpha_ratio,
+      |         round(coalesce(CAST(bgt.mx AS DOUBLE) / bgt.tot, 0.0), 4) AS top_bigram_frac,
+      |         round(CASE WHEN len(toks) = 0 THEN 0.0
+      |                    ELSE CAST(len(list_filter(toks, t -> t IN (${TextFunctions.EnglishMarkers.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks) END, 4) AS en_score
+      |  FROM tk LEFT JOIN bgt ON tk.doc_id = bgt.doc_id),
+      |j AS (SELECT s.*, l.avg_logprob FROM sig s LEFT JOIN lmx l USING (doc_id)),
+      |r AS (
+      |  SELECT *, coalesce(array_to_string(list_filter([
+      |           CASE WHEN NOT (n_tokens >= 25 AND n_tokens <= 100000) THEN 'length' END,
+      |           CASE WHEN NOT (alpha_ratio >= 0.6) THEN 'alpha' END,
+      |           CASE WHEN NOT (n_tokens < 25 OR top_bigram_frac <= 0.2) THEN 'repetition' END,
+      |           CASE WHEN NOT (en_score >= 0.05) THEN 'lang' END,
+      |           CASE WHEN avg_logprob IS NULL OR avg_logprob < -7.0 THEN 'lm' END
+      |         ], x -> x IS NOT NULL), ','), '') AS reasons
+      |  FROM j)
+      |SELECT doc_id, n_tokens, alpha_ratio, top_bigram_frac, en_score, avg_logprob,
+      |       reasons = '' AS keep, reasons
+      |FROM r""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Relevance.qualityFilter(docs,
+      train = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+      idCol = "doc_id", textCol = "text")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3734,5 +3822,6 @@ object Catalog {
     q106VocabCoverage, q107IncrementalBoilerplate, q108LengthBatches,
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
-    q115ProductQuantization, q116PqAdcSearch, q117IvfPq)
+    q115ProductQuantization, q116PqAdcSearch, q117IvfPq, q118Pretokenize,
+    q119QualityFilter)
 }

@@ -157,6 +157,27 @@ class TextFunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("pretokens: contractions split, punctuation runs survive as tokens") {
+    val cases = Seq(
+      ("Don't stop", Seq("don", "'t", "stop")),
+      ("hello, world!!", Seq("hello", ",", "world", "!!")),
+      ("x2 3.14", Seq("x", "2", "3", ".", "14")),
+      ("'quoted'", Seq("'", "quoted", "'")),
+      ("I'll we've they'd", Seq("i", "'ll", "we", "'ve", "they", "'d")),
+      ("", Seq.empty[String]))
+    val out = cases.map(_._1).toDF("t")
+      .select(TextFunctions.pretokens($"t").as("p")).as[Seq[String]].collect()
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got === want, s"input: $in") }
+    // the three counters order sensibly on punctuation-heavy text
+    val (np, na, nw) = Seq("a,b,c d").toDF("t").select(
+      TextFunctions.pretokenCount($"t"),
+      TextFunctions.tokenCount($"t"),
+      TextFunctions.whitespaceTokenCount($"t"))
+      .as[(Int, Int, Int)].head()
+    assert(np === 6 && na === 4 && nw === 2) // a , b , c d
+  }
+
   test("dedupLinesInDoc: doubling a repeat-free doc restores it exactly") {
     val docs = Seq("alpha\nbeta\ngamma").toDF("t")
       .select(concat($"t", lit("\n"), $"t").as("t"))

@@ -66,6 +66,33 @@ class RelevanceSpec extends SparkSpecBase {
     assert(out === Array((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 1L, 1.0)))
   }
 
+  test("qualityFilter: each check fails for the doc built to fail it, reasons are named") {
+    val sentence = "the cat sat on the mat and the dog ran to the park "
+    // c1("the") = 160 in the trained model, so an unseen the-bigram
+    // scores ln(0.1/161) ≈ -7.38 — just past the -7.0 lm floor
+    val train = Seq((100L, (sentence * 40).trim)).toDF("doc_id", "text")
+    val fluent = (sentence * 3).trim // 39 tokens, all bigrams in-model
+    val docs = Seq(
+      (1L, fluent),                                   // passes everything
+      (2L, "too short"),                              // length (repetition is length-gated)
+      (3L, fluent + " " + ("!@#$%^&*()" * 40)),       // alpha
+      (4L, ("the the the the the " * 8).trim),        // repetition + lm ("the the" unseen)
+      (5L, ("zq wx kj vb mn pq rs tu vw xy " * 3).trim) // lang; lm SURVIVES smoothing:
+        // unseen history backs off to ln(1/V) ≈ -2.3, far above the floor
+    ).toDF("doc_id", "text")
+    val out = Relevance.qualityFilter(docs, train, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "keep", "reasons")
+      .as[(Long, Boolean, String)].collect()
+    assert(out(0) === ((1L, true, "")), s"got ${out.mkString("; ")}")
+    assert(!out(1)._2 && out(1)._3.contains("length"))
+    assert(!out(1)._3.contains("repetition")) // one-bigram doc: no verdict
+    assert(!out(2)._2 && out(2)._3 === "alpha")
+    // fixed report order: reasons list follows check order, not alphabetical
+    assert(!out(3)._2 && out(3)._3 === "repetition,lm")
+    assert(!out(4)._2 && out(4)._3 === "lang")
+  }
+
   test("bigramLmScore: closed-form smoothed probabilities, short docs score NULL") {
     val train = Seq(
       (10L, "the cat sat"),       // bigrams: "the cat", "cat sat"
