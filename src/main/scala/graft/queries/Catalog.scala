@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
-import graft.functions.TextFunctions
+import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
   * (plus the north-star dedup/similarity/text/multimodal families),
@@ -3793,6 +3793,64 @@ object Catalog {
       idCol = "doc_id", textCol = "text")
   }
 
+  // ------------------------------------------------------ real BPE encoding
+  /** One merge application under the positional BPE contract: replace
+    * the FIRST occurrence of the lowest-rank pair present (rank order
+    * = CASE branch order; regexp_replace without 'g' is
+    * first-occurrence in DuckDB). Symbols ride space-separated with
+    * sentinel spaces at both ends, so ' l r ' matches exactly one
+    * adjacent symbol pair. */
+  private def bpeStepSql(v: String): String =
+    Bpe.DemoMerges.map { case (l, r) =>
+      s"WHEN contains($v, ' $l $r ') THEN regexp_replace($v, ' $l $r ', ' $l$r ')"
+    }.mkString("CASE ", " ", s" ELSE $v END")
+
+  /** Real byte-pair encoding — not a regex approximation. The Spark
+    * side runs the codegen'd [[graft.functions.BpeEncode]] greedy
+    * loop; the oracle replays the SAME positional contract (merge the
+    * leftmost occurrence of the lowest-rank pair, repeat to fixpoint)
+    * as a recursive CTE over the DISTINCT words of the corpus — two
+    * independent implementations sharing only the merge table.
+    * The trained-table path (Bpe.train) is pinned by BpeSpec's
+    * hand-computed merge sequence; this query pins the corpus-scale
+    * apply path. */
+  val q120Bpe = q("q120_bpe_encode",
+    "Real BPE apply: greedy lowest-rank merges vs recursive-CTE oracle (north star: token counting)",
+    s"""WITH RECURSIVE tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |words AS (SELECT DISTINCT unnest(toks) AS w FROM tk),
+      |enc AS (
+      |  SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s FROM words
+      |  UNION ALL
+      |  SELECT w, s2 FROM (SELECT w, ${bpeStepSql("s")} AS s2, s FROM enc) st WHERE s2 <> s
+      |),
+      |fin AS (SELECT w, s FROM (SELECT w, s, ${bpeStepSql("s")} AS s2 FROM enc) f WHERE s2 = s),
+      |wn AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym,
+      |              CAST(length(w) AS BIGINT) AS n_chars FROM fin),
+      |ex AS (SELECT doc_id, unnest(toks) AS w FROM tk),
+      |agg AS (SELECT ex.doc_id, sum(wn.n_sym) AS n_bpe, sum(wn.n_chars) AS n_chars
+      |        FROM ex JOIN wn ON ex.w = wn.w GROUP BY ex.doc_id)
+      |SELECT tk.doc_id,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+      |       round(CASE WHEN coalesce(agg.n_bpe, 0) = 0 THEN 0.0
+      |                  ELSE CAST(agg.n_chars AS DOUBLE) / agg.n_bpe END, 4) AS chars_per_bpe_token
+      |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin) { (s, d) =>
+    val txt = coalesce(col("text"), lit(""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(txt).as("_toks"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        Bpe.encode(col("_toks"), Bpe.DemoMerges).as("_bpe"),
+        length(array_join(col("_toks"), "")).cast("long").as("_chars"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("_bpe")).cast("long").as("n_bpe_tokens"),
+        round(when(size(col("_bpe")) === 0, lit(0.0))
+          .otherwise(col("_chars").cast("double") / size(col("_bpe"))), 4)
+          .as("chars_per_bpe_token"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3823,5 +3881,5 @@ object Catalog {
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
     q115ProductQuantization, q116PqAdcSearch, q117IvfPq, q118Pretokenize,
-    q119QualityFilter)
+    q119QualityFilter, q120Bpe)
 }
