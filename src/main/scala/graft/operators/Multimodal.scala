@@ -516,10 +516,10 @@ object Multimodal {
     * the audio twin of `extractPixelStats`. Mono 16-bit PCM only (the
     * planted-oracle shape); anything else surfaces as nulls. */
   object PcmCodec {
-    /** (n_samples, rms, peak, zero_crossings) over the int16 samples,
-      * or None for non-WAV / non-16-bit / truncated payloads. A
-      * crossing is a strict sign change (s_i·s_{i−1} < 0). */
-    def pcmStats(b: Array[Byte]): Option[(Long, Double, Int, Long)] = {
+    /** Located mono-16-bit PCM stream: (data offset, sample count,
+      * sample rate). The shared chunk walk under [[pcmStats]] and
+      * [[dominantTone]]. */
+    private[Multimodal] def pcmInfo(b: Array[Byte]): Option[(Int, Long, Int)] = {
       if (b == null || b.length < 44) return None
       def u8(i: Int): Int = b(i) & 0xFF
       def le32(i: Int): Long =
@@ -535,6 +535,7 @@ object Multimodal {
       var tag = 0
       var channels = 0
       var bits = 0
+      var rate = 0
       var dataOff = -1
       var dataLen = 0L
       while (p + 8 <= b.length && dataOff < 0) {
@@ -543,6 +544,7 @@ object Multimodal {
           if (size < 16 || p + 8 + 16 > b.length) return None
           tag = u8(p + 8) | (u8(p + 9) << 8)
           channels = u8(p + 10) | (u8(p + 11) << 8)
+          rate = le32(p + 12).toInt
           bits = u8(p + 22) | (u8(p + 23) << 8)
           // WAVE_FORMAT_EXTENSIBLE wrapping plain PCM (what several
           // pro-audio writers emit): sub-format GUID's leading dword
@@ -556,27 +558,93 @@ object Multimodal {
         p += 8 + (size + (size & 1L)).min(Int.MaxValue).toInt
         if (p < 0) return None
       }
-      if (dataOff < 0 || tag != 1 || channels != 1 || bits != 16) return None
+      if (dataOff < 0 || tag != 1 || channels != 1 || bits != 16 || rate <= 0)
+        return None
       // clamp to what's actually present (byte-range probes truncate)
       val avail = math.min(dataLen, (b.length - dataOff).toLong)
-      val n = avail / 2
-      if (n == 0) return Some((0L, 0.0, 0, 0L))
-      var sumSq = 0.0
-      var peak = 0
-      var crossings = 0L
-      var prev = 0
-      var i = 0L
-      while (i < n) {
-        val off = dataOff + (i * 2).toInt
-        val s = ((b(off) & 0xFF) | (b(off + 1) << 8)).toShort.toInt
-        sumSq += s.toDouble * s
-        if (math.abs(s) > peak) peak = math.abs(s)
-        if (i > 0 && s.toLong * prev < 0) crossings += 1
-        prev = s
-        i += 1
-      }
-      Some((n, math.sqrt(sumSq / n), peak, crossings))
+      Some((dataOff, avail / 2, rate))
     }
+
+    @inline private def sample(b: Array[Byte], dataOff: Int, i: Long): Int =
+      ((b(dataOff + (i * 2).toInt) & 0xFF) |
+        (b(dataOff + (i * 2).toInt + 1) << 8)).toShort.toInt
+
+    /** (n_samples, rms, peak, zero_crossings) over the int16 samples,
+      * or None for non-WAV / non-16-bit / truncated payloads. A
+      * crossing is a strict sign change (s_i·s_{i−1} < 0). */
+    def pcmStats(b: Array[Byte]): Option[(Long, Double, Int, Long)] =
+      pcmInfo(b).map { case (dataOff, n, _) =>
+        if (n == 0) (0L, 0.0, 0, 0L)
+        else {
+          var sumSq = 0.0
+          var peak = 0
+          var crossings = 0L
+          var prev = 0
+          var i = 0L
+          while (i < n) {
+            val s = sample(b, dataOff, i)
+            sumSq += s.toDouble * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && s.toLong * prev < 0) crossings += 1
+            prev = s
+            i += 1
+          }
+          (n, math.sqrt(sumSq / n), peak, crossings)
+        }
+      }
+
+    /** Dominant tone via a Goertzel filter bank — the classic
+      * single-bin DFT: per probe frequency f, run
+      * s_i = x_i + 2cos(2πf/sr)·s_{i−1} − s_{i−2} over the samples
+      * and read bin power s₁² + s₂² − 2cos(2πf/sr)·s₁·s₂. One pass
+      * over the PCM stream whatever the bank size; no FFT library,
+      * no O(N log N), and probes need not be FFT bins.
+      *
+      * Returns (n_samples, sample_rate, dominant probe frequency,
+      * dominant bin power / Σ bank power). Ties break toward the
+      * EARLIEST bank entry (the lower frequency, for the ascending
+      * banks callers pass), deterministically. None when the payload
+      * isn't mono-16-bit PCM, the stream is empty, or the bank is.
+      * Probes at/above Nyquist are rejected loudly — a silently
+      * aliased probe would report a fake dominant. */
+    def dominantTone(b: Array[Byte], probeFreqs: Array[Double]): Option[(Long, Int, Double, Double)] =
+      pcmInfo(b).flatMap { case (dataOff, n, rate) =>
+        if (n == 0 || probeFreqs.isEmpty) None
+        else {
+          require(probeFreqs.forall(f => f > 0 && 2 * f < rate),
+            s"probe bank must lie strictly inside (0, Nyquist=${rate / 2.0}) Hz")
+          val k = probeFreqs.length
+          val coef = Array.tabulate(k)(j => 2.0 * math.cos(2.0 * math.Pi * probeFreqs(j) / rate))
+          val s1 = new Array[Double](k)
+          val s2 = new Array[Double](k)
+          var i = 0L
+          while (i < n) {
+            val x = sample(b, dataOff, i).toDouble
+            var j = 0
+            while (j < k) {
+              val s0 = x + coef(j) * s1(j) - s2(j)
+              s2(j) = s1(j)
+              s1(j) = s0
+              j += 1
+            }
+            i += 1
+          }
+          var best = 0
+          var total = 0.0
+          val power = Array.tabulate(k) { j =>
+            val p = s1(j) * s1(j) + s2(j) * s2(j) - coef(j) * s1(j) * s2(j)
+            total += p
+            p
+          }
+          var j = 1
+          while (j < k) { // strict > keeps the earliest-entry tie
+            if (power(j) > power(best)) best = j
+            j += 1
+          }
+          Some((n, rate, probeFreqs(best),
+            if (total > 0) power(best) / total else 0.0))
+        }
+      }
   }
 
   /** Per-partition PCM sample stats over audio payloads. */
@@ -597,6 +665,41 @@ object Multimodal {
             rms = st.map(_._2),
             peak = st.map(_._3),
             zero_crossings = st.map(_._4))
+        }
+      }
+  }
+
+  case class AssetTone(asset_id: Long, modality: String,
+                       is_wav: Boolean,
+                       n_samples: Option[Long],
+                       sample_rate: Option[Int],
+                       dominant_freq: Option[Double],
+                       power_ratio: Option[Double])
+
+  /** Per-partition Goertzel tone detection over audio payloads — the
+    * frequency-domain sibling of [[extractAudioStats]] (time-domain
+    * RMS/peak/crossings). The probe bank is fixed per call, so the
+    * whole scan is one pass per asset with k running biquads; nothing
+    * shuffles and nothing holds more than 2k doubles per row. */
+  def extractDominantTone(spark: SparkSession, assets: DataFrame,
+                          probeFreqs: Seq[Double]): Dataset[AssetTone] = {
+    import spark.implicits._
+    require(probeFreqs.nonEmpty, "empty probe bank")
+    val bank = probeFreqs.toArray
+    assets.select("asset_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          val tone = PcmCodec.dominantTone(bytes, bank)
+          AssetTone(
+            asset_id = id,
+            modality = modality,
+            is_wav = tone.isDefined,
+            n_samples = tone.map(_._1),
+            sample_rate = tone.map(_._2),
+            dominant_freq = tone.map(_._3),
+            power_ratio = tone.map(_._4))
         }
       }
   }

@@ -3851,6 +3851,62 @@ object Catalog {
           .as("chars_per_bpe_token"))
   }
 
+  // ---------------------------------------------- multimodal: tone detection
+  /** Frequency-domain audio: every non-text doc becomes a mono 16-bit
+    * PCM WAV carrying a planted pure tone at
+    * f = 400 + 200·(doc_id % 8) Hz (sr 8000, N = 160 — every probe an
+    * exact 50 Hz bin, so bank bins are orthogonal and the planted bin
+    * dominates by ~11 orders of magnitude over int-rounding noise),
+    * and `Multimodal.PcmCodec.dominantTone` must recover exactly that
+    * frequency through the real WAV bytes with a Goertzel filter
+    * bank. The oracle knows the answer closed-form from doc_id — the
+    * engine only matches if mux, chunk walk, sample decode and the
+    * Goertzel recurrence are ALL right. power_ratio stays out of the
+    * hashed output (cross-engine float replay isn't possible without
+    * replaying the DSP); MultimodalSpec pins it near 1 on pure tones. */
+  val q121Tone = q("q121_dominant_tone",
+    "Goertzel filter-bank dominant-frequency detection over planted tones (north star: multimodal audio)",
+    """SELECT doc_id AS asset_id,
+      |       CASE WHEN doc_id % 7 = 0 THEN 'text' ELSE 'audio' END AS modality,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(160 AS BIGINT) END AS n_samples,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 8000 END AS sample_rate,
+      |       CASE WHEN doc_id % 7 = 0 THEN NULL
+      |            ELSE CAST(400 + 200 * (doc_id % 8) AS DOUBLE) END AS dominant_freq
+      |FROM documents""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val did = col("doc_id")
+    def le(v: Column, nBytes: Int): Column = concat((0 until nBytes).map(i =>
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
+    val n = lit(160L)
+    val dataSize = n * 2L
+    val freq = (lit(400L) + lit(200L) * pmod(did, lit(8))).cast("double")
+    // planted tone, int16 LE: v_i = round(10000·sin(2π·f·i/8000))
+    val sampleHex = concat_ws("", transform(sequence(lit(0L), n - 1L), i => {
+      val v = round(lit(10000.0) *
+        sin(lit(2.0 * math.Pi) * freq * i.cast("double") / lit(8000.0)), 0)
+        .cast("long")
+      val hx = lpad(hex(pmod(v + 32768L, lit(65536L))), 4, "0")
+      concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    }))
+    val wav = concat(
+      unhex(lit("52494646")), le(lit(36L) + dataSize, 4),
+      unhex(lit("57415645666D7420")), le(lit(16L), 4),
+      le(lit(1L), 2), le(lit(1L), 2),          // PCM, mono
+      le(lit(8000L), 4), le(lit(16000L), 4),   // sample rate, byte rate
+      le(lit(2L), 2), le(lit(16L), 2),         // block align, bits
+      unhex(lit("64617461")), le(dataSize, 4),
+      unhex(sampleHex))
+    val sevMod = pmod(did, lit(7))
+    val assets = docs.select(
+      did.as("asset_id"),
+      when(sevMod === 0, lit("text")).otherwise(lit("audio")).as("modality"),
+      when(sevMod === 0, col("text").cast("binary")).otherwise(wav).as("payload"))
+    Multimodal.extractDominantTone(s, assets,
+      probeFreqs = (0 to 7).map(k => 400.0 + 200.0 * k)).toDF()
+      .select(col("asset_id"), col("modality"), col("n_samples"),
+        col("sample_rate"), col("dominant_freq"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3881,5 +3937,5 @@ object Catalog {
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
     q115ProductQuantization, q116PqAdcSearch, q117IvfPq, q118Pretokenize,
-    q119QualityFilter, q120Bpe)
+    q119QualityFilter, q120Bpe, q121Tone)
 }

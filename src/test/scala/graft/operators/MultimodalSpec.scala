@@ -515,6 +515,73 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.PcmCodec.pcmStats("not riff at all".getBytes).isEmpty)
   }
 
+  private def toneWav(freq: Double, sr: Int, n: Int, amp: Double = 10000): Array[Byte] = {
+    def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val data = (0 until n).flatMap(i =>
+      le16(math.round(amp * math.sin(2 * math.Pi * freq * i / sr)).toInt))
+    ("RIFF".getBytes.toSeq ++ le32(36 + data.size) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(sr) ++
+      le32(2 * sr) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.size) ++ data).toArray
+  }
+
+  test("PcmCodec.dominantTone: Goertzel bank recovers planted pure tones") {
+    val bank = Array(400.0, 600.0, 800.0, 1000.0)
+    for (f <- bank) {
+      val Some((n, sr, dom, ratio)) =
+        Multimodal.PcmCodec.dominantTone(toneWav(f, 8000, 160), bank)
+      assert(n === 160L && sr === 8000)
+      assert(dom === f, s"planted $f")
+      // exact-bin tone vs orthogonal bins: everything lands in one bin
+      assert(ratio > 0.999, s"ratio $ratio at $f")
+    }
+    // off-bin tone (770 Hz, bins every 50 Hz): leaks, but the nearest
+    // probe still wins and the ratio drops below the pure-tone regime
+    val Some((_, _, dom770, r770)) =
+      Multimodal.PcmCodec.dominantTone(toneWav(770, 8000, 160), bank)
+    assert(dom770 === 800.0)
+    assert(r770 < 0.999 && r770 > 0.5)
+    // two-tone mix: the larger component wins
+    val mix = {
+      val a = toneWav(600, 8000, 160, amp = 9000)
+      val b = toneWav(1000, 8000, 160, amp = 4000)
+      // mix by adding int16 streams of the two data sections
+      val out = a.clone()
+      var i = 44
+      while (i < out.length) {
+        val sa = ((a(i) & 0xFF) | (a(i + 1) << 8)).toShort.toInt
+        val sb = ((b(i) & 0xFF) | (b(i + 1) << 8)).toShort.toInt
+        val s = sa + sb
+        out(i) = (s & 0xFF).toByte; out(i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 2
+      }
+      out
+    }
+    val Some((_, _, domMix, _)) = Multimodal.PcmCodec.dominantTone(mix, bank)
+    assert(domMix === 600.0)
+    // non-WAV and empty banks are None; an aliased probe is loud
+    assert(Multimodal.PcmCodec.dominantTone("nope".getBytes, bank).isEmpty)
+    assert(Multimodal.PcmCodec.dominantTone(toneWav(600, 8000, 160), Array.empty[Double]).isEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.PcmCodec.dominantTone(toneWav(600, 8000, 160), Array(4000.0))
+    }
+  }
+
+  test("extractDominantTone: audio rows detect, text rows surface nulls") {
+    val rows = Seq(
+      (1L, "audio", toneWav(800, 8000, 160)),
+      (2L, "text", "not a wav".getBytes)
+    ).toDF("asset_id", "modality", "payload")
+    val out = Multimodal.extractDominantTone(spark, rows,
+      Seq(400.0, 800.0, 1200.0)).collect().map(t => t.asset_id -> t).toMap
+    assert(out(1L).is_wav && out(1L).dominant_freq === Some(800.0))
+    assert(out(1L).sample_rate === Some(8000) && out(1L).n_samples === Some(160L))
+    assert(out(1L).power_ratio.exists(_ > 0.999))
+    assert(!out(2L).is_wav && out(2L).dominant_freq.isEmpty)
+  }
+
   test("extractVideoMeta: MP4 payloads decode, non-video rows surface nulls") {
     val rows = Seq(
       (1L, "video", mp4v0),
