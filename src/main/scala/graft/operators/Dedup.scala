@@ -666,8 +666,29 @@ object Dedup {
     * boilerplate document) puts its whole cohort into one (band, bh)
     * key, whose self-join would emit O(m²) rows in a single task. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 5000): DataFrame = {
-    val banded = simHashBanded(df, idCol, textCol)
+                   maxHamming: Int = 3, maxBucket: Int = 5000): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+        .repartition(col("id")),
+      maxHamming, maxBucket, family = "simhash")
+
+  /** Near-dup pairs over PRE-COMPUTED 64-bit signatures (id, sig) —
+    * the banding/bucketing engine under [[simHashPairs]], exposed so
+    * any 64-bit Hamming signature (SimHash, perceptual image hashes,
+    * SRP) reuses the same single-shuffle plan. With `maxHamming` ≤ 3
+    * the output is EXACTLY every pair at Hamming ≤ maxHamming
+    * (4×16-bit pigeonhole: ≤3 flipped bits leave ≥1 band intact), so
+    * a brute-force oracle can pin it; beyond 3 it is recall-bounded
+    * like any banded LSH.
+    *
+    * `maxBucket` is the same degenerate-content skew guard as
+    * minHashLsh's: a constant signature (e.g. 0 for every empty/
+    * boilerplate document) puts its whole cohort into one (band, bh)
+    * key, whose self-join would emit O(m²) rows in a single task. */
+  def hammingPairs64(sigs: DataFrame, maxHamming: Int = 3,
+                     maxBucket: Int = 5000,
+                     family: String = "hamming64"): DataFrame = {
+    val banded = band64(sigs, carry = Nil)
     // bucket membership as a sorted (id, sig) list — one shuffle, same
     // shape as minHashLsh: the skew guard applies on list size,
     // identical-membership buckets collapse before the quadratic step
@@ -677,7 +698,7 @@ object Dedup {
     val buckets = guardBuckets(
       banded.groupBy("band", "bh")
         .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs")),
-      "xs", maxBucket, "simhash", dropSingletons = true)
+      "xs", maxBucket, family, dropSingletons = true)
       .select(col("xs"))
       .distinct()
     buckets

@@ -669,6 +669,104 @@ object Multimodal {
       }
   }
 
+  /** Perceptual image hashing for image near-dup pipelines: dHash
+    * (difference hash) — grayscale, box-resize to a 9×8 grid, one bit
+    * per horizontal neighbor comparison. Robust to re-encoding,
+    * resizing and small edits; 64 bits, so the SimHash Hamming
+    * machinery ([[Dedup.hammingPairs64]]) clusters image near-dups
+    * with zero new shuffle shapes.
+    *
+    * All arithmetic is EXACT integer math (luma in 1/1000ths,
+    * floor-div cell means) so an independent engine can replay the
+    * hash from the same pixels — which is precisely what the q122
+    * oracle does from the planted-pixel formula. */
+  object ImageHash {
+    private val GridW = 9
+    private val GridH = 8
+
+    /** Integer grayscale of pixel p: identity for gray(+alpha),
+      * Rec.601 luma in integer thousandths for RGB(A). */
+    @inline private def gray(px: PngCodec.Pixels, x: Int, y: Int): Long = {
+      val o = (y * px.width + x) * px.channels
+      if (px.channels <= 2) (px.data(o) & 0xFF).toLong * 1000L
+      else 299L * (px.data(o) & 0xFF) + 587L * (px.data(o + 1) & 0xFF) +
+        114L * (px.data(o + 2) & 0xFF)
+    }
+
+    /** dHash of decoded pixels, or None when the image is smaller
+      * than the 9×8 grid (an upscale would hash interpolation
+      * artifacts, not content). Bit (cy·8 + cx) is set iff
+      * cell(cx, cy) < cell(cx+1, cy). */
+    def dHash(px: PngCodec.Pixels): Option[Long] = {
+      if (px.width < GridW || px.height < GridH) return None
+      // box means over [floor(c·W/9), floor((c+1)·W/9)) — exact
+      // integer cell bounds, floor-div means
+      val cells = Array.ofDim[Long](GridH, GridW)
+      var cy = 0
+      while (cy < GridH) {
+        val y0 = cy * px.height / GridH
+        val y1 = (cy + 1) * px.height / GridH
+        var cx = 0
+        while (cx < GridW) {
+          val x0 = cx * px.width / GridW
+          val x1 = (cx + 1) * px.width / GridW
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += gray(px, x, y); x += 1 }
+            y += 1
+          }
+          cells(cy)(cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+          cx += 1
+        }
+        cy += 1
+      }
+      var h = 0L
+      cy = 0
+      while (cy < GridH) {
+        var cx = 0
+        while (cx < GridW - 1) {
+          if (cells(cy)(cx) < cells(cy)(cx + 1)) h |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(h)
+    }
+
+    /** Decode (hand-rolled PNG first, then ImageIO) and hash. */
+    def dHashBytes(b: Array[Byte]): Option[Long] =
+      PngCodec.decode(b).orElse(ImageIoCodec.decode(b)).flatMap(dHash)
+  }
+
+  case class AssetImageHash(asset_id: Long, modality: String,
+                            is_image: Boolean,
+                            width: Option[Int], height: Option[Int],
+                            dhash: Option[Long])
+
+  /** Per-partition perceptual-hash extraction — the front half of the
+    * image near-dup pipeline (back half: [[Dedup.hammingPairs64]] on
+    * the emitted signatures). */
+  def extractImageHash(spark: SparkSession, assets: DataFrame): Dataset[AssetImageHash] = {
+    import spark.implicits._
+    assets.select("asset_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          val px = PngCodec.decode(bytes).orElse(ImageIoCodec.decode(bytes))
+          AssetImageHash(
+            asset_id = id,
+            modality = modality,
+            is_image = px.isDefined,
+            width = px.map(_.width),
+            height = px.map(_.height),
+            dhash = px.flatMap(ImageHash.dHash))
+        }
+      }
+  }
+
   case class AssetTone(asset_id: Long, modality: String,
                        is_wav: Boolean,
                        n_samples: Option[Long],

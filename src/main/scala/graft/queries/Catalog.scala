@@ -3907,6 +3907,131 @@ object Catalog {
         col("sample_rate"), col("dominant_freq"))
   }
 
+  // ------------------------------------- multimodal: perceptual image hashing
+  /** Planted 18×16 grayscale PNG for the dHash queries: pixel (x,y) of
+    * doc_id is md5-derived from the GROUP seed (doc_id − doc_id%4) so
+    * four consecutive ids share a base image, and variant v = doc_id%4
+    * adds +64 to one pixel in each of cells (cx=0, cy<v). Cell (0,cy)
+    * joins exactly ONE neighbor comparison, so any two variants differ
+    * by ≤ 3 dHash bits — inside the 4×16-band pigeonhole guarantee.
+    * Same stored-deflate scan-side mux as q91, filter-0 rows. */
+  private def plantedDhashPng(did: Column): Column = {
+    val w = lit(18L); val h = lit(16L); val stride = lit(19L)
+    val rawLen = lit(304L) // 16 rows × (1 filter byte + 18 pixels)
+    val seed = did - pmod(did, lit(4L))
+    val variant = pmod(did, lit(4L))
+    def px(x: Column, y: Column): Column = {
+      val key = concat(seed.cast("string"), lit("_"),
+        x.cast("string"), lit("_"), y.cast("string"))
+      val base = conv(substring(md5(key.cast("binary")), 1, 2), 16, 10).cast("long")
+      val delta = when(x === 0L && pmod(y, lit(2L)) === 0L &&
+        floor(y / 2).cast("long") < variant, lit(64L)).otherwise(lit(0L))
+      pmod(base + delta, lit(256L))
+    }
+    val bytesArr = transform(sequence(lit(0L), rawLen - 1L), i => {
+      val o = pmod(i, stride)
+      val r = floor((i - o) / stride).cast("long")
+      when(o === 0L, lit(0L)).otherwise(px(o - 1L, r))
+    })
+    val rawHex = concat_ws("", transform(bytesArr, v => lpad(hex(v), 2, "0")))
+    val sumB = aggregate(bytesArr, lit(0L), (acc, x) => acc + x)
+    val sumW = aggregate(
+      zip_with(bytesArr, sequence(lit(1L), rawLen), (b, j) => (rawLen - j + 1L) * b),
+      lit(0L), (acc, x) => acc + x)
+    val s1 = pmod(lit(1L) + sumB, lit(65521L))
+    val s2 = pmod(rawLen + sumW, lit(65521L))
+    def le16hex(v: Column): Column = concat(
+      lpad(hex(pmod(v, lit(256L))), 2, "0"),
+      lpad(hex(floor(v / 256).cast("long")), 2, "0"))
+    val zlibHex = concat(lit("780101"), le16hex(rawLen),
+      le16hex(lit(65535L) - rawLen), rawHex,
+      lpad(hex(s2 * 65536L + s1), 8, "0"))
+    val ihdrDataHex = concat(lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("0800000000")) // bit depth 8, grayscale
+    unhex(concat(
+      lit("89504E470D0A1A0A0000000D49484452"), ihdrDataHex,
+      lpad(hex(crc32(unhex(concat(lit("49484452"), ihdrDataHex)))), 8, "0"),
+      lpad(hex(rawLen + 11L), 8, "0"), lit("49444154"), zlibHex,
+      lpad(hex(crc32(unhex(concat(lit("49444154"), zlibHex)))), 8, "0"),
+      lit("0000000049454E44AE426082")))
+  }
+
+  private def plantedDhashAssets(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id")
+    val sevMod = pmod(did, lit(7))
+    Tables.documents(s, d).select(
+      did.as("asset_id"),
+      when(sevMod === 0, lit("text")).otherwise(lit("image")).as("modality"),
+      when(sevMod === 0, col("text").cast("binary"))
+        .otherwise(plantedDhashPng(did)).as("payload"))
+  }
+
+  /** The dHash oracle CTEs: replay pixel formula → 2×2 cell sums →
+    * neighbor-comparison bits → signed-64 wrap (DuckDB's BIGINT shift
+    * overflows at bit 63; HUGEINT + wrap reproduces Java's long). */
+  private val dhashOracleCtes =
+    """t AS (SELECT doc_id, doc_id - doc_id % 4 AS seed, doc_id % 4 AS v
+      |      FROM documents WHERE doc_id % 7 <> 0),
+      |px AS (
+      |  SELECT t.doc_id, x.range AS x, y.range AS y,
+      |         ((('0x' || substr(md5(t.seed || '_' || x.range || '_' || y.range), 1, 2))::BIGINT
+      |           + CASE WHEN x.range = 0 AND y.range % 2 = 0 AND y.range // 2 < t.v
+      |                  THEN 64 ELSE 0 END) % 256) AS g
+      |  FROM t, range(18) x, range(16) y),
+      |cells AS (
+      |  SELECT doc_id, x // 2 AS cx, y // 2 AS cy, sum(g) AS m
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT l.doc_id,
+      |         CASE WHEN l.m < r.m THEN (1::HUGEINT << CAST(l.cy * 8 + l.cx AS INTEGER))
+      |              ELSE 0::HUGEINT END AS bit
+      |  FROM cells l JOIN cells r
+      |    ON l.doc_id = r.doc_id AND l.cy = r.cy AND l.cx + 1 = r.cx),
+      |hv AS (
+      |  SELECT doc_id, CAST(CASE WHEN sum(bit) >= (1::HUGEINT << 63)
+      |                           THEN sum(bit) - (1::HUGEINT << 64)
+      |                           ELSE sum(bit) END AS BIGINT) AS dhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Perceptual hashing end-to-end: the engine muxes real PNG bytes,
+    * inflates them back, box-resizes, and hashes — and must land on
+    * the EXACT 64-bit value the oracle derives from the planted pixel
+    * formula without ever seeing a PNG. Integer-exact by construction
+    * (2×2 cells ⇒ the ×1000 luma scaling divides out). */
+  val q122ImageDhash = q("q122_image_dhash",
+    "dHash perceptual image hashes over planted PNGs, bit-exact vs closed-form oracle (north star: multimodal dedup)",
+    s"""WITH $dhashOracleCtes
+      |SELECT d.doc_id AS asset_id,
+      |       CASE WHEN d.doc_id % 7 = 0 THEN 'text' ELSE 'image' END AS modality,
+      |       CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE 18 END AS width,
+      |       CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE 16 END AS height,
+      |       hv.dhash
+      |FROM documents d LEFT JOIN hv ON d.doc_id = hv.doc_id""".stripMargin) { (s, d) =>
+    Multimodal.extractImageHash(s, plantedDhashAssets(s, d)).toDF()
+      .select(col("asset_id"), col("modality"), col("width"), col("height"),
+        col("dhash"))
+  }
+
+  /** Image near-dup pairs: [[Dedup.hammingPairs64]] over the q122
+    * hashes. At maxHamming = 3 the banded output is EXACTLY the
+    * Hamming-≤3 pair set (pigeonhole over 4×16-bit bands), so the
+    * oracle pins it with a brute-force all-pairs scan over the
+    * closed-form hashes — planted variants guarantee the set is
+    * non-trivial (each id group of 4 differs by ≤ 3 bits). */
+  val q123ImageNearDup = q("q123_image_neardup",
+    "Image near-duplicate pairs via banded Hamming join over dHash (north star: multimodal dedup)",
+    s"""WITH $dhashOracleCtes
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+      |FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin) { (s, d) =>
+    val sigs = Multimodal.extractImageHash(s, plantedDhashAssets(s, d)).toDF()
+      .filter(col("is_image"))
+      .select(col("asset_id").as("id"), col("dhash").as("sig"))
+    Dedup.hammingPairs64(sigs, maxHamming = 3, family = "image_dhash")
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -3937,5 +4062,5 @@ object Catalog {
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
     q115ProductQuantization, q116PqAdcSearch, q117IvfPq, q118Pretokenize,
-    q119QualityFilter, q120Bpe, q121Tone)
+    q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup)
 }

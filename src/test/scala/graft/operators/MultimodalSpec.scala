@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpecBase
 import graft.sources.Tables
+import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpecBase {
@@ -580,6 +581,101 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1L).sample_rate === Some(8000) && out(1L).n_samples === Some(160L))
     assert(out(1L).power_ratio.exists(_ > 0.999))
     assert(!out(2L).is_wav && out(2L).dominant_freq.isEmpty)
+  }
+
+  private def grayPixels(w: Int, h: Int)(f: (Int, Int) => Int) =
+    Multimodal.PngCodec.Pixels(w, h, 1,
+      Array.tabulate(w * h)(i => f(i % w, i / w).toByte))
+
+  test("ImageHash.dHash: bits follow horizontal gradients, exact integer math") {
+    // 9×8 image = one pixel per cell: bit (cy*8+cx) = px(cx,cy) < px(cx+1,cy)
+    val ramp = grayPixels(9, 8)((x, _) => x * 10) // strictly increasing rows
+    assert(Multimodal.ImageHash.dHash(ramp) === Some(-1L)) // all 64 comparisons true
+    val flat = grayPixels(9, 8)((_, _) => 7)
+    assert(Multimodal.ImageHash.dHash(flat) === Some(0L))
+    // bit 63 (cy=7, cx=7) alone: the sign-bit corner must not wrap
+    val corner = grayPixels(9, 8)((x, y) => if (x == 8 && y == 7) 200 else 0)
+    assert(Multimodal.ImageHash.dHash(corner) === Some(Long.MinValue))
+    // under-grid images refuse rather than hash upscale artifacts
+    assert(Multimodal.ImageHash.dHash(grayPixels(8, 8)((_, _) => 0)).isEmpty)
+    assert(Multimodal.ImageHash.dHash(grayPixels(9, 7)((_, _) => 0)).isEmpty)
+  }
+
+  test("ImageHash.dHash: invariant under exact pixel-doubling, ~stable under edits") {
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(9 * 8)(rnd.nextInt(256))
+    val small = grayPixels(9, 8)((x, y) => base(y * 9 + x))
+    val doubled = grayPixels(18, 16)((x, y) => base((y / 2) * 9 + x / 2))
+    val Some(h1) = Multimodal.ImageHash.dHash(small)
+    assert(Multimodal.ImageHash.dHash(doubled) === Some(h1)) // box means identical
+    // one edited cell flips at most 2 bits (it joins 2 comparisons)
+    val edited = grayPixels(18, 16)((x, y) =>
+      if (x / 2 == 4 && y / 2 == 3) 255 else base((y / 2) * 9 + x / 2))
+    val Some(h2) = Multimodal.ImageHash.dHash(edited)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 2)
+  }
+
+  test("ImageHash: RGB luma path and end-to-end PNG decode round-trip") {
+    // encode an RGB image via ImageIO, hash through dHashBytes
+    val img = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rnd = new scala.util.Random(7)
+    val g = Array.fill(9 * 8)(rnd.nextInt(256))
+    for (y <- 0 until 16; x <- 0 until 18) {
+      val v = g((y / 2) * 9 + x / 2)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v) // gray via equal RGB
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val viaBytes = Multimodal.ImageHash.dHashBytes(baos.toByteArray)
+    // equal-RGB luma = 1000·v, gray path = 1000·v — identical bits
+    val direct = Multimodal.ImageHash.dHash(grayPixels(9, 8)((x, y) => g(y * 9 + x)))
+    assert(viaBytes === direct && viaBytes.isDefined)
+    assert(Multimodal.ImageHash.dHashBytes("not an image".getBytes).isEmpty)
+  }
+
+  test("extractImageHash + hammingPairs64: planted image near-dups cluster") {
+    // four variants of one base image, variant v perturbing cells
+    // (cx=0, cy<v) — cell (0,cy) joins exactly one comparison, so any
+    // two variants differ by ≤ 3 bits and banding finds every pair
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(9 * 8)(rnd.nextInt(200))
+    def variantPng(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val p = base(y * 9 + x) + (if (x == 0 && y < v) 55 else 0)
+        img.getRaster.setSample(x, y, 0, p)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val far = grayPixels(9, 8)((x, y) => (x * 37 + y * 91) % 256)
+    val assets = (0 to 3).map(v => (v.toLong, "image", variantPng(v))) :+
+      ((9L, "image", {
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until 8; x <- 0 until 9)
+          img.getRaster.setSample(x, y, 0, far.data(y * 9 + x) & 0xFF)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        baos.toByteArray
+      }))
+    val hashes = Multimodal.extractImageHash(spark,
+      assets.toDF("asset_id", "modality", "payload")).collect()
+      .map(h => h.asset_id -> h.dhash.get).toMap
+    // ground truth by brute force over the extracted hashes
+    val ids = hashes.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val sigs = hashes.toSeq.toDF("id", "sig")
+    val got = Dedup.hammingPairs64(sigs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(expected.nonEmpty) // the planted variants really are near
   }
 
   test("extractVideoMeta: MP4 payloads decode, non-video rows surface nulls") {
