@@ -667,9 +667,7 @@ object Dedup {
     * key, whose self-join would emit O(m²) rows in a single task. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 5000): DataFrame =
-    hammingPairs64(
-      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-        .repartition(col("id")),
+    hammingPairs64(textSigs(df, idCol, textCol),
       maxHamming, maxBucket, family = "simhash")
 
   /** Near-dup pairs over PRE-COMPUTED 64-bit signatures (id, sig) —
@@ -714,20 +712,11 @@ object Dedup {
   /** Persisted SimHash band index — the SimHash twin of
     * [[minHashBandIndex]]: one (band, bh, id, sig) row per document ×
     * 4 bands, written once at corpus build. The signature rides along
-    * so the probe can Hamming-verify without touching corpus text.
-    * Build-time skew guard: a degenerate constant-signature cohort
-    * (empty/boilerplate docs) would otherwise hand every future batch
-    * an O(cohort) join fan-out on its bucket. */
+    * so the probe can Hamming-verify without touching corpus text. */
   def simHashBandIndex(df: DataFrame, idCol: String, textCol: String,
-                       maxBucket: Int = 5000): DataFrame = {
-    val banded = simHashBanded(df, idCol, textCol)
-    guardBuckets(
-      banded.groupBy("band", "bh")
-        .agg(collect_list(struct(col("id"), col("sig"))).as("xs")),
-      "xs", maxBucket, "simhash_index", dropSingletons = false)
-      .select(col("band"), col("bh"), explode(col("xs")).as("x"))
-      .select(col("band"), col("bh"), col("x.id").as("id"), col("x.sig").as("sig"))
-  }
+                       maxBucket: Int = 5000): DataFrame =
+    hamming64BandIndex(textSigs(df, idCol, textCol), maxBucket,
+      family = "simhash_index")
 
   /** Probe a new batch against a persisted [[simHashBandIndex]] —
     * within-batch pairs plus batch×corpus pairs, the corpus never
@@ -737,10 +726,41 @@ object Dedup {
     * restricted to pairs touching the batch (q97 pins it). */
   def incrementalSimHash(newDocs: DataFrame, idCol: String, textCol: String,
                          bandIndex: DataFrame, maxHamming: Int = 3,
-                         maxBucket: Int = 5000): DataFrame = {
-    val internal = simHashPairs(newDocs, idCol, textCol, maxHamming, maxBucket)
+                         maxBucket: Int = 5000): DataFrame =
+    incrementalHamming64(textSigs(newDocs, idCol, textCol), bandIndex,
+      maxHamming, maxBucket, family = "simhash")
+
+  /** Persisted band index over PRE-COMPUTED 64-bit signatures — the
+    * signature-level engine under [[simHashBandIndex]], exposed so
+    * every Hamming family (SimHash text, dHash images, SRP
+    * embeddings) gets the same probe-a-stored-index incremental
+    * shape. One (band, bh, id, sig) row per item × 4 bands.
+    * Build-time skew guard: a degenerate constant-signature cohort
+    * (empty/boilerplate content) would otherwise hand every future
+    * batch an O(cohort) join fan-out on its bucket. */
+  def hamming64BandIndex(sigs: DataFrame, maxBucket: Int = 5000,
+                         family: String = "hamming64_index"): DataFrame = {
+    val banded = band64(sigs, carry = Nil)
+    guardBuckets(
+      banded.groupBy("band", "bh")
+        .agg(collect_list(struct(col("id"), col("sig"))).as("xs")),
+      "xs", maxBucket, family, dropSingletons = false)
+      .select(col("band"), col("bh"), explode(col("xs")).as("x"))
+      .select(col("band"), col("bh"), col("x.id").as("id"), col("x.sig").as("sig"))
+  }
+
+  /** Probe batch signatures against a persisted [[hamming64BandIndex]]
+    * — within-batch pairs plus batch×corpus pairs; corpus items are
+    * touched only through the index's bounded band buckets. With the
+    * skew guard above the largest real clique, equals the full-corpus
+    * [[hammingPairs64]] run restricted to pairs touching the batch
+    * (q97 pins the text family, q124 the image family). */
+  def incrementalHamming64(batchSigs: DataFrame, bandIndex: DataFrame,
+                           maxHamming: Int = 3, maxBucket: Int = 5000,
+                           family: String = "hamming64"): DataFrame = {
+    val internal = hammingPairs64(batchSigs, maxHamming, maxBucket, family)
       .select("id_a", "id_b")
-    val cross = simHashBanded(newDocs, idCol, textCol)
+    val cross = band64(batchSigs, carry = Nil)
       .join(bandIndex
           .withColumnRenamed("id", "corpus_id")
           .withColumnRenamed("sig", "corpus_sig"),
@@ -769,12 +789,13 @@ object Dedup {
       .select(keep :+ col("bk.band") :+ col("bk.bh"): _*)
   }
 
-  /** Shared SimHash banding front end ([[band64]] over the codegen'd
-    * signature, behind a materialization barrier). */
-  private def simHashBanded(df: DataFrame, idCol: String,
-                            textCol: String): DataFrame =
-    band64(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-      .repartition(col("id")), carry = Nil)
+  /** Shared SimHash signature front end: codegen'd signature behind a
+    * materialization barrier, in the (id, sig) shape the signature-
+    * level Hamming engine consumes. */
+  private def textSigs(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+      .repartition(col("id"))
 
   /** Connected components over a near-duplicate pair list: the final
     * dedup stage that turns pairwise matches into clusters with one

@@ -4032,6 +4032,33 @@ object Catalog {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
+  /** Incremental image near-dup — the q93/q97/q98 daily-batch shape
+    * for the IMAGE family: a batch of new images probes the corpus's
+    * persisted dHash band index ([[Dedup.hamming64BandIndex]]); the
+    * corpus is never re-decoded or re-hashed. Proof in-engine, pinned
+    * by the oracle: probe output ≡ full-corpus [[Dedup.hammingPairs64]]
+    * restricted to pairs touching the batch. Groups of 4 planted
+    * variants span the batch/corpus split (doc_id % 3), so cross
+    * pairs genuinely exercise the index join. */
+  val q124IncrementalImage = q("q124_incremental_image_neardup",
+    "Incremental image near-dup: batch vs persisted dHash band index equals full run restricted to batch (north star: multimodal dedup)",
+    """SELECT count(*) AS n_batch_images, TRUE AS sets_match
+      |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0""".stripMargin) { (s, d) =>
+    val sigs = Multimodal.extractImageHash(s, plantedDhashAssets(s, d)).toDF()
+      .filter(col("is_image"))
+      .select(col("asset_id").as("id"), col("dhash").as("sig"))
+      .localCheckpoint() // hash once; index build, probe and full run reuse it
+    val batch = sigs.filter(pmod(col("id"), lit(3)) === 0)
+    val corpus = sigs.filter(pmod(col("id"), lit(3)) =!= 0)
+    val index = Dedup.hamming64BandIndex(corpus, family = "image_dhash_index")
+    val incremental = Dedup.incrementalHamming64(batch, index,
+      maxHamming = 3, family = "image_dhash")
+    val full = Dedup.hammingPairs64(sigs, maxHamming = 3,
+      family = "image_dhash").select("id_a", "id_b")
+    restrictedEquivalence(batch, batch.select(col("id").as("id_a")),
+      full, incremental.select("id_a", "id_b"), "n_batch_images")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4062,5 +4089,6 @@ object Catalog {
     q109TokenDrift, q110RepeatedSpans, q111IncrementalContamination,
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
     q115ProductQuantization, q116PqAdcSearch, q117IvfPq, q118Pretokenize,
-    q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup)
+    q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup,
+    q124IncrementalImage)
 }
