@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -4059,6 +4059,44 @@ object Catalog {
       full, incremental.select("id_a", "id_b"), "n_batch_images")
   }
 
+  // ------------------------------------------------- count-min heavy hitters
+  /** Mergeable-sketch heavy hitters: exact top-30 corpus tokens next
+    * to their count-min estimates from a 4×2048 sketch of the same
+    * stream. Bucket hashes are md5-derived so the oracle REBUILDS the
+    * identical sketch in DuckDB and the estimates hash-match
+    * bit-for-bit — an implementation check, strictly stronger than
+    * asserting the distribution-level ε-bound (q58's style). The
+    * CMS one-sided-error law (never under-counts) rides along as
+    * est_ge_exact, pinned TRUE for every row by construction. */
+  val q125CountMin = q("q125_countmin_heavy_hitters",
+    "Count-min heavy hitters: exact top-k vs md5-replayed sketch estimates (north star: corpus profiling)",
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS token
+      |  FROM documents),
+      |exact AS (
+      |  SELECT token, count(*) AS exact_c FROM tok GROUP BY token
+      |  ORDER BY exact_c DESC, token ASC LIMIT 30),
+      |keys AS (
+      |  SELECT token, r.range AS r,
+      |         ('0x' || substr(md5(r.range || '_' || token), 1, 8))::BIGINT % 2048 AS b
+      |  FROM tok, range(4) r),
+      |sketch AS (SELECT r, b, count(*) AS c FROM keys GROUP BY r, b),
+      |probe AS (
+      |  SELECT e.token, e.exact_c, min(coalesce(s.c, 0)) AS cms_est
+      |  FROM (exact e CROSS JOIN range(4) r)
+      |  LEFT JOIN sketch s
+      |    ON s.r = r.range
+      |   AND s.b = ('0x' || substr(md5(r.range || '_' || e.token), 1, 8))::BIGINT % 2048
+      |  GROUP BY e.token, e.exact_c)
+      |SELECT token, exact_c, cms_est, cms_est >= exact_c AS est_ge_exact
+      |FROM probe""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+        .as("token"))
+    HeavyHitters.topKWithEstimates(toks, "token", k = 30,
+      depth = 4, width = 2048)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4090,5 +4128,5 @@ object Catalog {
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
     q115ProductQuantization, q116PqAdcSearch, q117IvfPq, q118Pretokenize,
     q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup,
-    q124IncrementalImage)
+    q124IncrementalImage, q125CountMin)
 }
