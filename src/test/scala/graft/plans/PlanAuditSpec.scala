@@ -241,6 +241,58 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(shuffles(plan) <= 7, plan)
   }
 
+  test("q118/q120/q121/q122 scan-speed projections: zero shuffles, codegen'd or per-partition") {
+    // pretokenize and BPE are pure per-row expression work; tone
+    // detection and image hashing are per-partition codec walks — a
+    // shuffle in any of them means the scan path regressed
+    for (name <- Seq("q118_pretokenize", "q120_bpe_encode",
+        "q121_dominant_tone", "q122_image_dhash")) {
+      val plan = planOf(name)
+      assert(shuffles(plan) === 0, s"$name grew a shuffle:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
+  }
+
+  test("q119 quality filter: only the LM model aggregates/joins shuffle") {
+    val plan = planOf("q119_quality_filter")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly ONE BroadcastNestedLoopJoin is expected: the single-row
+    // vocab scalar attaching via crossJoin(broadcast(...)) — the
+    // broadcast-scalar idiom, not an all-pairs join. A second one
+    // would be a real degradation.
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      plan)
+    // c2/c1 model aggregates, vocab scalar, bigram-keyed and
+    // history-keyed scoring joins, per-doc average, final doc join —
+    // keyed exchanges only, bounded
+    assert(shuffles(plan) <= 8, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q123 image near-dup: one banding shuffle family, no all-pairs") {
+    val plan = planOf("q123_image_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"bucket self-pairing must stay explode-over-lists, not a join:\n$plan")
+    // sig repartition barrier, band groupBy, bucket distinct, pair
+    // distinct — each keyed, none corpus-quadratic
+    assert(shuffles(plan) <= 5, plan)
+  }
+
+  test("q125 count-min: sketch builds as map-side-combined aggregation") {
+    val plan = planOf("q125_countmin_heavy_hitters")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // partial aggregation before the exchange is what bounds the
+    // shuffle to d·w rows per partition at any corpus size
+    val firstAgg = plan.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(firstAgg >= 0, plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"exact top-k must be a bounded TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q99 incremental-IVF barriers hold: one centroid pick, staged assignments") {
     val plan = planOf("q99_incremental_ivf")
     // centroids feed five subtrees and each index feeds two — the
