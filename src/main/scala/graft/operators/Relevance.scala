@@ -55,6 +55,61 @@ object Relevance {
       .select("doc_id", "term", "tf", "df", "score")
   }
 
+  /** BM25 retrieval scoring against a FIXED query-term list — the
+    * ranking function actual search/retrieval-augmentation pipelines
+    * run over a corpus (Robertson-Spärck Jones, the k1/b form):
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    *                         (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))   (always ≥ 0)
+    *
+    * Because the query list is literal, term frequencies come from
+    * per-row map lookups on the codegen'd TokenCounts expression and
+    * the per-term scores SUM IN LIST ORDER as plain column addition —
+    * no explode, no per-term shuffle, and (crucially for the oracle)
+    * no aggregation-order float drift: an independent engine summing
+    * the same literal order reproduces the double bit-for-bit. The
+    * corpus statistics (N, avgdl, per-term df) ride in as ONE
+    * broadcast scalar row.
+    *
+    * @return (idCol, n_matched, score) for documents matching ≥ 1
+    *         query term, the top `k` by (score desc, id asc) on the
+    *         ROUNDED score — engine-independent membership
+    */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], k: Int = 50,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  roundTo: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      "query terms must be non-empty and distinct")
+    val base = docs.select(col(idCol),
+      Sketches.token_counts(TextFunctions.tokens(col(textCol))).as("_tc"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("_dl"))
+    def tf(t: String): Column = coalesce(element_at(col("_tc"), t), lit(0L))
+    val aggCols = count(lit(1)).cast("double").as("n") +:
+      sum(col("_dl")).cast("double").as("sumdl") +:
+      queryTerms.map(t =>
+        sum(when(tf(t) > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+    val stats = base.agg(aggCols.head, aggCols.tail: _*)
+    val withStats = base.crossJoin(broadcast(stats))
+    val avgdl = col("sumdl") / col("n")
+    val perTerm = queryTerms.map { t =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      val denom = tf(t).cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / avgdl)
+      idf * (tf(t).cast("double") * lit(k1 + 1.0)) / denom
+    }
+    val nMatched = queryTerms.map(t => when(tf(t) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    withStats
+      .select(col(idCol), nMatched.as("n_matched"),
+        round(perTerm.reduce(_ + _), roundTo).as("score"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Corpus vocabulary coverage — the tokenizer-prep probe: build the
     * top-`vocabSize` vocabulary by corpus token frequency
     * (count-desc, token-asc tiebreak — deterministic membership) and

@@ -4097,6 +4097,49 @@ object Catalog {
       depth = 4, width = 2048)
   }
 
+  // ------------------------------------------------------------ BM25 retrieval
+  /** BM25 top-docs for a literal query. Literal terms ⇒ per-row map
+    * lookups on TokenCounts, per-term scores summed in LIST ORDER as
+    * column addition — no explode, no aggregation-order float drift,
+    * so the oracle reproduces the double bit-for-bit (k1+1 is written
+    * as arithmetic in BOTH engines: a decimal literal 2.2 and the
+    * IEEE sum 1.2+1.0 are different doubles). */
+  val q126Bm25 = q("q126_bm25",
+    "BM25 top-50 retrieval for a fixed query over the corpus (north star: relevance/retrieval)",
+    """WITH base AS (
+      |  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |         len(list_filter(toks, t -> t = 'join')) AS tf1,
+      |         len(list_filter(toks, t -> t = 'merge')) AS tf2,
+      |         len(list_filter(toks, t -> t = 'window')) AS tf3
+      |  FROM base),
+      |st AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+      |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+      |         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+      |  FROM tf),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END
+      |          + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS n_matched,
+      |         round(
+      |           ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+      |             / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+      |             / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |           + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1.0))
+      |             / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))), 6) AS score
+      |  FROM tf, st)
+      |SELECT doc_id, n_matched, score FROM sc
+      |WHERE n_matched > 0
+      |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin) { (s, d) =>
+    Relevance.bm25TopDocs(Tables.documents(s, d), "doc_id", "text",
+      queryTerms = Seq("join", "merge", "window"), k = 50)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4128,5 +4171,5 @@ object Catalog {
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
     q115ProductQuantization, q116PqAdcSearch, q117IvfPq, q118Pretokenize,
     q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup,
-    q124IncrementalImage, q125CountMin)
+    q124IncrementalImage, q125CountMin, q126Bm25)
 }
