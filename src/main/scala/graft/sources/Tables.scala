@@ -25,19 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark only reads as a nanosecond Long (with
-    * spark.sql.legacy.parquet.nanosAsLong=true — set in GraftSession /
-    * Verify / Bench). Normalize to TimestampType by truncating to
-    * micros, the same truncation DuckDB applies, so both engines see
-    * identical values. */
+  /** The events table's `ts` physical type has varied across harness
+    * testdata generations — TIMESTAMP(NANOS) (which Spark reads as a
+    * nanosecond Long under spark.sql.legacy.parquet.nanosAsLong=true,
+    * set in GraftSession / Verify / Bench) and TIMESTAMP(MICROS)
+    * without a timezone flag (which Spark 4 reads as TIMESTAMP_NTZ).
+    * Normalize both to session-zone TimestampType: the session zone is
+    * pinned UTC (build.sbt), so the NTZ→TZ cast preserves the wall-
+    * clock reading — exactly the naive-timestamp value DuckDB sees
+    * reading the same parquet — and nanos truncate to micros, the
+    * same truncation DuckDB applies. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
