@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TopK
+
+/** Web-curation operators: URL host / registered-domain extraction
+  * and deterministic per-domain document caps — the RefinedWeb /
+  * CCNet-style "no single site dominates the corpus" stage that runs
+  * right after URL-level dedup in a web-scale training-data pipeline.
+  *
+  * Reference scope: the reference pipeline has no web-curation stage —
+  * this is north-star surface (training-data curation) beyond parity.
+  *
+  * Scale shape: the cap is NOT a `row_number() OVER (PARTITION BY
+  * domain)` — that window sorts each domain's rows in one task, and at
+  * 100 TB a mega-domain (e.g. a blog platform contributing 1% of the
+  * corpus) becomes a single straggler task holding billions of rows.
+  * Instead the kept set is a bounded-heap aggregation ([[TopK]]):
+  * every scan partition reduces each domain to ≤ cap candidates
+  * map-side, the shuffle carries ≤ cap × partitions tiny rows per
+  * domain, and the merge is O(cap log cap). Same deterministic result,
+  * no corpus-sized sort, no skew task.
+  */
+object Curation {
+
+  /** Hostname of a URL: the authority with scheme, userinfo, port,
+    * path, query and fragment stripped, lowercased. Bracketed IPv6
+    * hosts come back without the brackets. Strings without a
+    * `scheme://` prefix yield ''. Pure regexp — codegen'd, scan-speed,
+    * and replayable verbatim by any engine with RE2-class regex. */
+  def urlHost(url: Column): Column = {
+    // bracketed (IPv6) authority first: the host contains ':', which
+    // the plain pattern treats as the port delimiter
+    val bracketed = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?\\[([^\\]]*)\\]", 1)
+    val plain = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    lower(when(length(bracketed) > 0, bracketed).otherwise(plain))
+  }
+
+  /** Multi-part public suffixes recognized by [[registeredDomain]].
+    * A deliberately small, documented subset of the public-suffix
+    * list — the full PSL is a versioned external artifact; callers
+    * with one ship it through the `extraSuffixes` parameter. */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "com.au", "com.br",
+    "co.in", "com.cn", "co.kr", "com.mx", "com.tr", "co.za")
+
+  /** Registered domain ("site") of a hostname: the last two labels,
+    * or the last three when the last two form a known multi-part
+    * public suffix (`bbc.co.uk`, not `co.uk`). Hosts with fewer
+    * labels (bare TLDs, IPv4/IPv6 literals, localhost) pass through
+    * unchanged — a cap keyed on them groups exact-host. */
+  def registeredDomain(host: Column,
+                       extraSuffixes: Seq[String] = Nil): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val lastTwo = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val suffixes = (MultiPartSuffixes ++ extraSuffixes).map(lit(_))
+    when(n >= 3 && lastTwo.isin(suffixes: _*),
+      concat_ws(".", element_at(parts, -3), element_at(parts, -2),
+        element_at(parts, -1)))
+      .when(n >= 2, lastTwo)
+      .otherwise(host)
+  }
+
+  /** Planted host/URL mix for the oracle-pinned catalog query (q127):
+    * exercises scheme case, userinfo, ports, query/fragment suffixes,
+    * multi-part public suffixes, a single-label host and an IPv6
+    * literal — every branch of [[urlHost]] + [[registeredDomain]]. */
+  val DemoHosts: Seq[String] = Seq(
+    "https://News.Example.co.uk:443/front",
+    "http://blog.example.co.uk/posts?page=2",
+    "https://www.sample.com/x?q=1",
+    "http://media.sample.com/y#frag",
+    "https://api.sample.com:8443/v1",
+    "http://user:pw@shop.example.com.au:8080/cart",
+    "https://cdn.net/assets",
+    "http://[2001:db8::1]:8443/api")
+
+  /** 52-bit order key from md5 of the id: the first 13 hex chars as a
+    * long. 52 bits fit a Double EXACTLY (IEEE mantissa), so the key
+    * survives the TopK aggregator's Double score unchanged, and the
+    * ordering is replayable in any engine as
+    * `('0x' || substr(md5(id), 1, 13))::BIGINT`. */
+  private[operators] def hashOrderKey(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+
+  /** Deterministic per-key cap: keep at most `maxPerKey` rows per key,
+    * chosen by smallest md5-derived order key (id tiebreak) — an
+    * unbiased, reproducible "which N docs from this domain survive"
+    * that every run, retry and engine answers identically (a rand()
+    * cap reshuffles survivors per run — silent train/test leakage).
+    *
+    * Output: one row per KEPT (key, id) with `rk` (1 = first kept).
+    * Callers keep the winners with a semi join on the id, which stays
+    * skew-free: the kept set is ≤ cap rows per domain by construction.
+    *
+    * @param key  grouping column (typically [[registeredDomain]])
+    * @param id   unique row id (long); ordering hashes THIS
+    */
+  def capPerKey(df: DataFrame, key: Column, id: Column,
+                maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be > 0")
+    // TopK keeps the HIGHEST scores: negate the 52-bit hash key so
+    // "smallest hash" wins; integers ≤ 2^52 negate exactly in a Double
+    val score = -hashOrderKey(id).cast("double")
+    df.select(key.as("_key"), score.as("_s"), id.cast("long").as("_id"))
+      .groupBy(col("_key"))
+      .agg(TopK.top_k(maxPerKey)(col("_s"), col("_id")).as("kept"))
+      .select(col("_key").as("key"),
+        posexplode(col("kept")).as(Seq("_pos", "_ki")))
+      .select(col("key"), col("_ki._2").as("id"),
+        (col("_pos") + 1).cast("long").as("rk"))
+  }
+}

@@ -160,6 +160,41 @@ object Dedup {
           sep).as("clean_text"),
         count(col("_boiler")).as("n_removed"))
 
+  /** Cross-corpus line/paragraph dedup (the MassiveText "exact
+    * paragraph dedup" stage): every line that occurred EARLIER in the
+    * corpus — in a lower (doc_id, pos) — is removed; the globally
+    * first occurrence survives. Distinct from
+    * [[removeBoilerplateLines]] (threshold frequency: ALL copies of a
+    * boilerplate line go) — here exactly one copy of every repeated
+    * line survives, so no content is lost corpus-wide. Lines shorter
+    * than `minLineLen` are exempt (blank paragraph breaks survive in
+    * every doc), same floor as the boilerplate family.
+    *
+    * Scale shape: "first occurrence" is a MIN aggregation per line
+    * fingerprint — partial (map-side) aggregated, so a line repeated
+    * in a billion documents shuffles one candidate per scan partition,
+    * never a window partition holding all copies. The keep decision
+    * joins the 16-byte fingerprint + (doc_id, pos) winner back to the
+    * segments; reassembly is the shared one-aggregation path.
+    *
+    * @return (idCol, clean_text, n_removed) — one row per input doc
+    */
+  def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+                             sep: String, minLineLen: Int = 1): DataFrame = {
+    val segs = lineSegs(df, idCol, textCol, sep)
+    val firstOcc = segs.filter(length(col("seg")) >= minLineLen)
+      .groupBy(col("fp"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col("fp"), col(s"w.$idCol").as("_wid"), col("w.pos").as("_wpos"))
+    val marked = segs.join(firstOcc, Seq("fp"), "left")
+      .withColumn("_boiler", when(
+        col("_wid").isNotNull &&
+          (col("_wid") =!= col(idCol) || col("_wpos") =!= col("pos")),
+        lit(true)))
+      .drop("_wid", "_wpos")
+    reassembleLines(marked, idCol, sep)
+  }
+
   /** Persisted line-frequency index for boilerplate removal — the
     * table a 100 TB pipeline writes once at corpus-build time:
     * (fp, n_docs), one fixed-width row per DISTINCT line, never the

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def hostOf(url: String): String =
+    Seq(url).toDF("u").select(Curation.urlHost(col("u"))).as[String].head()
+
+  private def domainOf(host: String): String =
+    Seq(host).toDF("h").select(Curation.registeredDomain(col("h")))
+      .as[String].head()
+
+  test("urlHost: scheme/userinfo/port/path/query/fragment all strip; case folds") {
+    assert(hostOf("https://News.Example.co.uk:443/front") === "news.example.co.uk")
+    assert(hostOf("http://user:pw@shop.example.com.au:8080/cart") ===
+      "shop.example.com.au")
+    assert(hostOf("https://www.sample.com/x?q=1") === "www.sample.com")
+    assert(hostOf("http://media.sample.com/y#frag") === "media.sample.com")
+    assert(hostOf("ftp://files.example.org") === "files.example.org")
+    assert(hostOf("http://[2001:db8::1]:8443/api") === "2001:db8::1")
+    assert(hostOf("not a url") === "")
+    assert(hostOf("relative/path.html") === "")
+  }
+
+  test("registeredDomain: multi-part suffixes take three labels, plain two, short pass through") {
+    assert(domainOf("news.example.co.uk") === "example.co.uk")
+    assert(domainOf("a.b.shop.example.com.au") === "example.com.au")
+    assert(domainOf("www.sample.com") === "sample.com")
+    assert(domainOf("sample.com") === "sample.com")
+    assert(domainOf("localhost") === "localhost")
+    assert(domainOf("2001:db8::1") === "2001:db8::1")
+    // a host that IS a bare multi-part suffix has only two labels —
+    // the three-label branch cannot fire, so it passes through as-is
+    assert(domainOf("co.uk") === "co.uk")
+  }
+
+  test("capPerKey: keeps exactly maxPerKey per key, ranked by md5 order with id ties") {
+    val df = (1L to 200L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("dom", "id")
+    val kept = Curation.capPerKey(df, col("dom"), col("id"), maxPerKey = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(kept.length === 14)
+    assert(kept.count(_._1 == "a") === 7)
+    // replay the contract: rank by (first-13-hex-of-md5 as long, id)
+    def key52(i: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
+    val expectA = (1L to 200L).filter(_ % 2 == 0)
+      .sortBy(i => (key52(i), i)).take(7)
+    val gotA = kept.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq
+    assert(gotA === expectA, s"kept-set/order mismatch: $gotA vs $expectA")
+  }
+
+  test("capPerKey: under-cap keys keep everything; rk is 1-based and dense") {
+    val df = Seq(("x", 10L), ("x", 11L), ("y", 20L)).toDF("dom", "id")
+    val kept = Curation.capPerKey(df, col("dom"), col("id"), maxPerKey = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(kept.length === 3)
+    assert(kept.filter(_._1 == "x").map(_._3).sorted.toSeq === Seq(1L, 2L))
+    assert(kept.filter(_._1 == "y").map(_._3).toSeq === Seq(1L))
+  }
+
+  test("dedupLinesAcrossCorpus: globally-first copy survives, later copies drop, order preserved") {
+    val docs = Seq(
+      (1L, "alpha\nshared para\nbeta"),
+      (2L, "shared para\nown two\nshared para"), // both copies are later
+      (3L, "own three\nshared para"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossCorpus(docs, "doc_id", "text", sep = "\n")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out === Array(
+      (1L, "alpha\nshared para\nbeta", 0L),
+      (2L, "own two", 2L),
+      (3L, "own three", 1L),
+      (4L, "", 0L)), s"got ${out.mkString("; ")}")
+  }
+
+  test("dedupLinesAcrossCorpus: minLineLen exempts short lines (blank breaks recur untouched)") {
+    val docs = Seq(
+      (1L, "para one\n\nshared tail"),
+      (2L, "para two\n\nshared tail")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossCorpus(docs, "doc_id", "text",
+      sep = "\n", minLineLen = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out === Array(
+      (1L, "para one\n\nshared tail", 0L),
+      (2L, "para two\n", 1L)), s"got ${out.mkString("; ")}")
+  }
+}
