@@ -476,4 +476,56 @@ object Layout {
     }
     CompactionStats(files.length, nOut, bytes, expected)
   }
+
+  // ------------------------------------------------------------- zone maps
+  /** Per-file min/max manifest ("zone map") for a parquet table —
+    * the scan-side payoff of the z-order/compaction layout work
+    * above: ONE table-wide pass builds (file, n_rows, c_min, c_max
+    * per column), and every later point/range query consults the
+    * manifest FIRST, reading only files whose interval overlaps the
+    * predicate. This is the external-manifest half of what parquet
+    * row-group stats give within a file — at 100 TB "which of the
+    * 100k files can contain n_chars ∈ [400, 600]" must be answered
+    * without opening 100k footers, which is precisely the table this
+    * builds (and what Delta/Iceberg record per `add` action).
+    *
+    * Build cost: one scan, one partial-agg shuffle keyed by file
+    * path — at most one row per (file × map partition) in flight.
+    * NULL handling: min/max ignore NULLs, so an all-NULL file gets
+    * NULL bounds and [[pruneFiles]] drops it — sound for the
+    * range predicates the reader serves (NULL never matches). */
+  def zoneMap(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMap needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose [min, max] interval intersects [lo, hi] on `c`.
+    * The manifest is one bounded row per FILE (a 100 TB table is
+    * ~10⁵ files), so the collect is driver-safe by construction —
+    * same bounded-collect contract as the percentile boundaries. */
+  def pruneFiles(manifest: DataFrame, c: String,
+                 lo: Column, hi: Column): Seq[String] =
+    manifest.filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Range read through the zone map: scan only overlapping files,
+    * then apply the exact predicate (the manifest prunes at file
+    * granularity; the residual filter restores row semantics).
+    * Equals the full-scan filter bit-for-bit — q130's oracle — while
+    * LayoutSpec pins that it READS strictly fewer files on a
+    * range-laid-out table. An empty overlap set degenerates to a
+    * never-true filter over the table root (Catalyst folds it to an
+    * empty scan — no file content is read). */
+  def zoneMapRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  manifest: DataFrame, c: String,
+                  lo: Column, hi: Column): DataFrame = {
+    val files = pruneFiles(manifest, c, lo, hi)
+    val base = if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.parquet(files: _*)
+    base.filter(col(c) >= lo && col(c) <= hi)
+  }
 }

@@ -339,4 +339,42 @@ class LayoutSpec extends SparkSpecBase {
     assert(Layout.currentVersionPath(spark, root) === before)
     assert(Layout.readVersioned(spark, root).count() === 3)
   }
+
+  test("zone map prunes files on a range layout; pruned read equals the full filter") {
+    val dir = new java.io.File("target/tmp/layout-zonemap").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, dir)
+    // 8 range files over id 0..799: each file spans ~100 ids
+    val df = spark.range(0, 800).select(col("id"),
+      (col("id") * 3).as("v"))
+    df.repartitionByRange(8, col("id")).write.parquet(dir)
+    val table = spark.read.parquet(dir)
+    val manifest = Layout.zoneMap(table, Seq("id"))
+    val allFiles = manifest.count()
+    assert(allFiles === 8L, s"expected 8 files, got $allFiles")
+
+    // a narrow range intersects 1-2 of the 8 file intervals
+    val hit = Layout.pruneFiles(manifest, "id", lit(150L), lit(170L))
+    assert(hit.nonEmpty && hit.size <= 2,
+      s"narrow range should prune to <=2 files, got ${hit.size}")
+
+    val pruned = Layout.zoneMapRead(spark, dir, manifest, "id",
+      lit(150L), lit(170L)).select("id", "v")
+    val full = table.filter(col("id") >= 150 && col("id") <= 170)
+      .select("id", "v")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "pruned read diverges from full filter")
+    // the scan underneath really is file-pruned
+    assert(pruned.inputFiles.length === hit.size)
+  }
+
+  test("zone map: empty overlap yields an empty result, not an error") {
+    val dir = new java.io.File("target/tmp/layout-zonemap-empty").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, dir)
+    spark.range(0, 100).toDF("id")
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    val manifest = Layout.zoneMap(spark.read.parquet(dir), Seq("id"))
+    assert(Layout.pruneFiles(manifest, "id", lit(5000L), lit(6000L)).isEmpty)
+    assert(Layout.zoneMapRead(spark, dir, manifest, "id",
+      lit(5000L), lit(6000L)).count() === 0L)
+  }
 }
