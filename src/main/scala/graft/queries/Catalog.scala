@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Curation, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -4140,6 +4140,144 @@ object Catalog {
       queryTerms = Seq("join", "merge", "window"), k = 50)
   }
 
+  // ------------------------------------------------------------ domain caps
+  /** Per-domain document caps (RefinedWeb-style "no site dominates").
+    * URLs are planted deterministically (md5-bucketed host choice —
+    * the same planted-payload pattern as the multimodal codecs), then
+    * host extraction, registered-domain grouping and the md5-ranked
+    * cap all replay verbatim in the oracle. The kept set is a
+    * bounded-heap aggregation, never a per-domain window sort —
+    * Curation.capPerKey's scaladoc carries the skew story. */
+  val q127DomainCaps = q("q127_domain_caps",
+    "URL host/registered-domain extraction + deterministic per-domain cap (north star: web curation)",
+    s"""WITH u AS (
+      |  SELECT doc_id,
+      |         (list_value(${Curation.DemoHosts.map(h => s"'$h'").mkString(", ")}))[
+      |           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |                % ${Curation.DemoHosts.size} AS INT) + 1] AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |         lower(CASE WHEN regexp_extract(url,
+      |                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?\\[([^\\]]*)\\]', 1) <> ''
+      |               THEN regexp_extract(url,
+      |                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?\\[([^\\]]*)\\]', 1)
+      |               ELSE regexp_extract(url,
+      |                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1) END) AS host
+      |  FROM u),
+      |d AS (
+      |  SELECT doc_id, CASE
+      |      WHEN len(string_split(host, '.')) >= 3
+      |           AND string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+      |               IN (${Curation.MultiPartSuffixes.map(x => s"'$x'").mkString(", ")})
+      |      THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+      |           || '.' || string_split(host, '.')[-1]
+      |      WHEN len(string_split(host, '.')) >= 2
+      |      THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+      |      ELSE host END AS domain
+      |  FROM h),
+      |r AS (
+      |  SELECT domain, doc_id,
+      |         row_number() OVER (PARTITION BY domain
+      |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT,
+      |                    doc_id) AS rk
+      |  FROM d)
+      |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10""".stripMargin) { (s, d) =>
+    val hostArr = array(Curation.DemoHosts.map(lit): _*)
+    val url = element_at(hostArr,
+      (Splits.splitBucket(col("doc_id"), Curation.DemoHosts.size) + 1).cast("int"))
+    val dom = Curation.registeredDomain(Curation.urlHost(url))
+    Curation.capPerKey(
+      Tables.documents(s, d).select(col("doc_id"), dom.as("domain")),
+      col("domain"), col("doc_id"), maxPerKey = 10)
+      .select(col("key").as("domain"), col("id").as("doc_id"), col("rk"))
+  }
+
+  // --------------------------------------- cross-corpus paragraph dedup
+  /** MassiveText-style exact paragraph dedup: one copy of every
+    * repeated line survives corpus-wide (globally-first occurrence),
+    * unlike q102's threshold removal which drops ALL copies of
+    * boilerplate. Same synthetic-corpus segmentation note as q102
+    * (sep = ' the '). */
+  val q128ParagraphDedup = q("q128_paragraph_dedup",
+    "Cross-corpus keep-first line dedup, order-preserving reassembly (north star: dedup)",
+    """WITH seg AS (
+      |  SELECT doc_id, l[i] AS seg, i AS pos
+      |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' the ') AS l FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS t(i)),
+      |first_occ AS (
+      |  SELECT seg, doc_id AS wid, pos AS wpos FROM (
+      |    SELECT seg, doc_id, pos,
+      |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      |    FROM seg WHERE len(seg) >= 1) WHERE rn = 1)
+      |SELECT s.doc_id,
+      |       coalesce(string_agg(CASE WHEN f.seg IS NULL
+      |                    OR (s.doc_id = f.wid AND s.pos = f.wpos)
+      |                  THEN s.seg END, ' the ' ORDER BY s.pos), '') AS clean_text,
+      |       count(CASE WHEN f.seg IS NOT NULL
+      |                    AND NOT (s.doc_id = f.wid AND s.pos = f.wpos)
+      |                  THEN 1 END) AS n_removed
+      |FROM seg s LEFT JOIN first_occ f ON s.seg = f.seg
+      |GROUP BY s.doc_id""".stripMargin) { (s, d) =>
+    Dedup.dedupLinesAcrossCorpus(Tables.documents(s, d)
+      .select("doc_id", "text"), "doc_id", "text", sep = " the ")
+  }
+
+  // ------------------------------------------------------------ blocklist
+  /** One-pass multi-phrase screening. The oracle counts each phrase
+    * with regexp_extract_all (non-overlapping, left-to-right) — equal
+    * to the automaton's every-end-position count because none of the
+    * demo phrases has a proper border (prefix = suffix), so
+    * occurrences of the same phrase can never overlap. */
+  val q129Blocklist = q("q129_blocklist",
+    "Aho-Corasick blocklist screening: per-phrase counts in one text pass (north star: safety filtering)",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(coalesce(text, '')), 'spark')) AS BIGINT) AS n_spark,
+      |         CAST(len(regexp_extract_all(lower(coalesce(text, '')), 'merge')) AS BIGINT) AS n_merge,
+      |         CAST(len(regexp_extract_all(lower(coalesce(text, '')), 'scan')) AS BIGINT) AS n_scan,
+      |         CAST(len(regexp_extract_all(lower(coalesce(text, '')), 'big query')) AS BIGINT) AS n_bigquery,
+      |         CAST(len(regexp_extract_all(lower(coalesce(text, '')), 'the row')) AS BIGINT) AS n_therow
+      |  FROM documents)
+      |SELECT doc_id, n_spark, n_merge, n_scan, n_bigquery, n_therow,
+      |       n_spark + n_merge + n_scan + n_bigquery + n_therow AS n_total,
+      |       n_spark + n_merge + n_scan + n_bigquery + n_therow >= 8 AS blocked
+      |FROM c""".stripMargin) { (s, d) =>
+    val pats = Seq("spark", "merge", "scan", "big query", "the row")
+    val names = Seq("n_spark", "n_merge", "n_scan", "n_bigquery", "n_therow")
+    val withCounts = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.Blocklist.matchCounts(
+        lower(coalesce(col("text"), lit(""))), pats).as("c"))
+      .select(col("doc_id") +:
+        names.zipWithIndex.map { case (n, i) =>
+          element_at(col("c"), i + 1).as(n) }: _*)
+    withCounts
+      .withColumn("n_total", names.map(col).reduce(_ + _))
+      .withColumn("blocked", col("n_total") >= 8)
+  }
+
+  // ------------------------------------------------------------- zone map
+  /** The file-pruned read path must return exactly the full-scan
+    * filter rows whatever the file layout — so the oracle is the
+    * plain filter; LayoutSpec separately pins that the manifest
+    * prunes files on a range-laid-out table. The query writes a
+    * range-partitioned copy, builds the manifest, and reads through
+    * it. */
+  val q130ZoneMap = q("q130_zone_map",
+    "Zone-map manifest: per-file min/max stats + file-pruned range read (layout/data skipping)",
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE n_chars >= 400 AND n_chars <= 600""".stripMargin) { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zonemap_")
+    tmp.toFile.deleteOnExit()
+    val dir = s"$tmp/docs"
+    Tables.documents(s, d).select("doc_id", "n_chars")
+      .repartitionByRange(8, col("n_chars"))
+      .write.mode("overwrite").parquet(dir)
+    val manifest = Layout.zoneMap(s.read.parquet(dir), Seq("n_chars"))
+    Layout.zoneMapRead(s, dir, manifest, "n_chars", lit(400L), lit(600L))
+      .select("doc_id", "n_chars")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4171,5 +4309,6 @@ object Catalog {
     q112BigramLm, q113HtmlStrip, q114SpanRemoval,
     q115ProductQuantization, q116PqAdcSearch, q117IvfPq, q118Pretokenize,
     q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup,
-    q124IncrementalImage, q125CountMin, q126Bm25)
+    q124IncrementalImage, q125CountMin, q126Bm25, q127DomainCaps,
+    q128ParagraphDedup, q129Blocklist, q130ZoneMap)
 }
