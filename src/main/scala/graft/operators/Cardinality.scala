@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TopK
+
+/** KMV (k-minimum-values / bottom-k) distinct-count sketch — the
+  * mergeable cardinality estimator (Bar-Yossef et al. 2002) for
+  * "how many distinct users/tokens/docs per group" when the exact
+  * distinct set is too large to hold: the sketch is the k smallest
+  * distinct hash values per group, and D ≈ (k−1) / h₍k₎ where h₍k₎
+  * is the k-th smallest hash as a fraction of the hash space. Under
+  * k distinct values the sketch IS the distinct set — the estimate
+  * is exact by construction.
+  *
+  * Like the count-min sketch (q125), the hash is md5-derived ON
+  * PURPOSE — engine-portable, so the q131 oracle rebuilds the
+  * identical bottom-k set in DuckDB and the ESTIMATES match
+  * bit-for-bit, checking the implementation rather than only the
+  * distribution-level error bound.
+  *
+  * Scale shape: one partial-agg distinct on (group, hash) — 8-byte
+  * hashes, never the values — then the bounded-heap [[TopK]] merge:
+  * every scan partition reduces each group to ≤ k candidates
+  * map-side, so a billion-distinct group shuffles k × partitions
+  * tiny rows, and the result is k longs per group however large the
+  * group. `approx_count_distinct` (HLL) is the built-in alternative;
+  * KMV's bottom-k set is what it adds — mergeable ACROSS ENGINES and
+  * auditable (the sketch contents are plain hashes any system can
+  * recompute).
+  */
+object Cardinality {
+
+  /** 2^52 — the hash-space size of the 52-bit md5-prefix key
+    * ([[Curation.hashOrderKey]]); 52-bit values are exact in a
+    * Double, so the fraction h/2^52 is reproducible anywhere. */
+  val HashSpace: Double = 4503599627370496.0
+
+  /** Per-group bottom-k sketch: `sketch` = ascending array of the k
+    * smallest distinct 52-bit hashes of `value`. Merge two sketches
+    * by concatenating, deduping and re-taking the k smallest —
+    * associativity the spec pins. */
+  def kmvSketch(df: DataFrame, group: Column, value: Column,
+                k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val h = df.select(group.as("group"),
+      Curation.hashOrderKey(value).as("h52")).distinct()
+    h.groupBy(col("group"))
+      .agg(TopK.top_k(k)(-col("h52").cast("double"), col("h52")).as("mins"))
+      .select(col("group"),
+        transform(col("mins"), m => m.getField("_2")).as("sketch"))
+  }
+
+  /** Distinct-count estimate from a bottom-k sketch array: exact
+    * size when the group held fewer than k distinct hashes, else
+    * (k−1) / (h₍k₎ / 2^52). The arithmetic shape (divide by the
+    * fraction, not multiply by the reciprocal) is part of the
+    * cross-engine contract — replay it exactly. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (element_at(sketch, k).cast("double") / lit(HashSpace)))
+
+  /** Report: per-group exact distinct count (the ground truth a
+    * grouped report can afford) next to the KMV estimate — the q131
+    * shape, mirroring q125's exact-vs-sketch contract. */
+  def distinctWithEstimates(df: DataFrame, group: Column, value: Column,
+                            k: Int): DataFrame = {
+    val exact = df.groupBy(group.as("group"))
+      .agg(count_distinct(value).as("n_exact"))
+    val est = kmvSketch(df, group, value, k)
+      .select(col("group"),
+        round(kmvEstimate(col("sketch"), k), 4).as("kmv_est"))
+    exact.join(est, Seq("group"))
+  }
+}

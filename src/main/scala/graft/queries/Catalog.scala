@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Chunking, Contamination, Curation, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Cardinality, Chunking, Contamination, Curation, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -4278,6 +4278,171 @@ object Catalog {
       .select("doc_id", "n_chars")
   }
 
+  // ----------------------------------------------------------- KMV sketch
+  /** Exact distinct vs the engine-portable bottom-k estimate — the
+    * q125 contract applied to cardinality. k = 32; every event type
+    * holds ≥ 32 distinct hashes at every SF, so the estimator branch
+    * (not the exact-under-k fallback) is what the oracle pins; the
+    * under-k branch is spec-pinned in CardinalitySpec. */
+  val q131Kmv = q("q131_kmv_distinct",
+    "KMV bottom-k distinct sketch vs exact per-group cardinality (north star: corpus profiling)",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h52,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h52) AS rn
+      |  FROM h),
+      |s AS (
+      |  SELECT event_type, count(*) AS n_kept,
+      |         max(CASE WHEN rn = 32 THEN h52 END) AS h_k
+      |  FROM r WHERE rn <= 32 GROUP BY event_type),
+      |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      |      FROM events GROUP BY event_type)
+      |SELECT x.event_type, x.n_exact,
+      |       round(CASE WHEN s.n_kept < 32 THEN CAST(s.n_kept AS DOUBLE)
+      |             ELSE 31.0 / (CAST(s.h_k AS DOUBLE) / 4503599627370496.0)
+      |             END, 4) AS kmv_est
+      |FROM x JOIN s ON x.event_type = s.event_type""".stripMargin) { (s, d) =>
+    Cardinality.distinctWithEstimates(Tables.events(s, d),
+      col("event_type"), col("user_id"), k = 32)
+      .select(col("group").as("event_type"), col("n_exact"), col("kmv_est"))
+  }
+
+  // ------------------------------------------------------ PMI collocations
+  /** Top adjacent-bigram collocations by pointwise mutual
+    * information. Bigrams come from a zero-shuffle array zip at scan
+    * time (no window); unigram/total scalars attach as aggregates.
+    * Ranking is on the ROUNDED pmi with a (w1, w2) tiebreak, per the
+    * catalog determinism rules. */
+  val q132Pmi = q("q132_pmi_collocations",
+    "Top-20 adjacent-bigram collocations by PMI, min-count floored (north star: corpus analysis)",
+    """WITH base AS (
+      |  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS l
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, l[i] AS w, i
+      |  FROM base, UNNEST(generate_series(1, len(l))) AS t(i)),
+      |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+      |n1 AS (SELECT count(*) AS n1 FROM tok),
+      |pairs AS (
+      |  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      |  FROM tok),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM pairs
+      |        WHERE w2 IS NOT NULL GROUP BY w1, w2),
+      |n2 AS (SELECT sum(c12) AS n2 FROM big),
+      |sc AS (
+      |  SELECT w1, w2, c12,
+      |         round(ln((CAST(c12 AS DOUBLE) / CAST(n2.n2 AS DOUBLE))
+      |           / ((CAST(u1.c1 AS DOUBLE) / CAST(n1.n1 AS DOUBLE))
+      |              * (CAST(u2.c1 AS DOUBLE) / CAST(n1.n1 AS DOUBLE)))), 4) AS pmi
+      |  FROM big JOIN uni u1 ON big.w1 = u1.w
+      |           JOIN uni u2 ON big.w2 = u2.w, n1, n2)
+      |SELECT w1, w2, c12, pmi FROM sc WHERE c12 >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(TextFunctions.tokens(coalesce(col("text"), lit(""))).as("t"))
+    val len = greatest(size(col("t")) - 1, lit(0))
+    val pairs = toks
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), len), slice(col("t"), lit(2), len),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val n1 = uni.agg(sum("c1").as("n1"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val n2 = big.agg(sum("c12").as("n2"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c1").cast("double").as("c1a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").cast("double").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(n1.select(col("n1").cast("double").as("n1Tot"))))
+      .crossJoin(broadcast(n2.select(col("n2").cast("double").as("n2Tot"))))
+      .filter(col("c12") >= 5)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("n2Tot")) /
+          ((col("c1a") / col("n1Tot")) * (col("c1b") / col("n1Tot")))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  // ------------------------------------------------------------ funnel
+  /** Strictly-ordered three-step funnel with a 7-day step window:
+    * first view, first click after it, first purchase after that.
+    * Min-timestamp aggregations + equi joins on the user key — no
+    * window over the event stream, so the shape is two partial-agg
+    * shuffles however many events a user has. */
+  val q133Funnel = q("q133_funnel",
+    "Three-step ordered funnel (view -> click -> purchase, 7-day windows) with conversion rates (analytics)",
+    """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t1
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t0
+      |        AND e.ts <= v.t0 + INTERVAL 7 DAY
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      |        AND e.ts <= c.t1 + INTERVAL 7 DAY
+      |      GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase,
+      |       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+      |             / CAST((SELECT count(*) FROM v) AS DOUBLE), 4) AS r_click,
+      |       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+      |             / CAST((SELECT count(*) FROM c) AS DOUBLE), 4) AS r_purchase""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def firstAfter(step: String, prev: DataFrame, prevT: String,
+                   outT: String): DataFrame =
+      ev.filter(col("event_type") === step).join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevT) &&
+          col("ts") <= col(prevT) + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min("ts").as(outT))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val c = firstAfter("click", v, "t0", "t1")
+    val p = firstAfter("purchase", c, "t1", "t2")
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view").cast("double"), 4)
+          .as("r_click"),
+        round(col("n_purchase").cast("double") / col("n_click").cast("double"), 4)
+          .as("r_purchase"))
+  }
+
+  // ------------------------------------------------------ cohort retention
+  /** Weekly first-touch cohort retention matrix: cohort = ISO week of
+    * the user's first event, offset = whole weeks later the user was
+    * active. Two aggregations and one equi join on the user key. */
+  val q134Cohort = q("q134_cohort_retention",
+    "Weekly first-touch cohort retention matrix over the event stream (analytics)",
+    """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+      |r AS (SELECT f.user_id, CAST(f.cw AS DATE) AS cohort_week,
+      |             CAST(CAST(a.w AS DATE) - CAST(f.cw AS DATE) AS BIGINT) // 7
+      |               AS offset_weeks
+      |      FROM a JOIN f ON a.user_id = f.user_id)
+      |SELECT cohort_week, offset_weeks, count(*) AS n_users
+      |FROM r GROUP BY cohort_week, offset_weeks""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val f = ev.groupBy("user_id").agg(date_trunc("week", min("ts")).as("cw"))
+    val a = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    a.join(f, Seq("user_id"))
+      .select(to_date(col("cw")).as("cohort_week"),
+        expr("CAST(datediff(CAST(w AS DATE), CAST(cw AS DATE)) AS BIGINT) DIV 7")
+          .as("offset_weeks"))
+      .groupBy("cohort_week", "offset_weeks")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4310,5 +4475,6 @@ object Catalog {
     q115ProductQuantization, q116PqAdcSearch, q117IvfPq, q118Pretokenize,
     q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup,
     q124IncrementalImage, q125CountMin, q126Bm25, q127DomainCaps,
-    q128ParagraphDedup, q129Blocklist, q130ZoneMap)
+    q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
+    q133Funnel, q134Cohort)
 }
