@@ -4443,6 +4443,44 @@ object Catalog {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  // ------------------------------------------------- unicode normalization
+  /** NFC + control strip, pinned against DuckDB's nfc_normalize on
+    * planted decomposed/composed/jamo/control suffixes (md5-bucketed,
+    * q127-style) — two independent UAX #15 implementations must
+    * produce byte-identical text over the whole corpus. */
+  val q135UnicodeNorm = q("q135_unicode_normalize",
+    "NFC normalization + control strip vs DuckDB nfc_normalize on planted payloads (north star: web curation)",
+    s"""WITH v AS (
+      |  SELECT doc_id, coalesce(text, '') || ' ' ||
+      |         (list_value(${graft.functions.Unicode.DemoVariants.map(x => s"'$x'").mkString(", ")}))[
+      |           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |                % ${graft.functions.Unicode.DemoVariants.size} AS INT) + 1] AS t2
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, t2,
+      |         nfc_normalize(regexp_replace(t2,
+      |           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) AS norm
+      |  FROM v)
+      |SELECT doc_id, norm AS norm_text,
+      |       length(t2) AS n_orig, length(norm) AS n_norm,
+      |       norm <> t2 AS changed
+      |FROM n""".stripMargin) { (s, d) =>
+    import graft.functions.Unicode
+    val variants = array(Unicode.DemoVariants.map(lit): _*)
+    val t2 = concat(coalesce(col("text"), lit("")), lit(" "),
+      element_at(variants,
+        (Splits.splitBucket(col("doc_id"), Unicode.DemoVariants.size) + 1)
+          .cast("int")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), t2.as("t2"))
+      .select(col("doc_id"), col("t2"),
+        Unicode.normalize(col("t2")).as("norm"))
+      .select(col("doc_id"), col("norm").as("norm_text"),
+        length(col("t2")).cast("long").as("n_orig"),
+        length(col("norm")).cast("long").as("n_norm"),
+        (col("norm") =!= col("t2")).as("changed"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4476,5 +4514,5 @@ object Catalog {
     q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup,
     q124IncrementalImage, q125CountMin, q126Bm25, q127DomainCaps,
     q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
-    q133Funnel, q134Cohort)
+    q133Funnel, q134Cohort, q135UnicodeNorm)
 }
