@@ -96,9 +96,7 @@ object Blocklist {
         c += 1
       }
     }
-    new Automaton(pats.length,
-      java.util.Arrays.copyOf(delta, nStates * 256),
-      ends.take(nStates).map(_.toArray.sorted))
+    new Automaton(pats.length, delta, ends.take(nStates).map(_.toArray.sorted))
   }
 
   /** Hot-loop entry the generated code calls: per-pattern occurrence

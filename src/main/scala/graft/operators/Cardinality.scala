@@ -43,8 +43,12 @@ object Cardinality {
   def kmvSketch(df: DataFrame, group: Column, value: Column,
                 k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
+    // NULL values never reach the heap: the exact side (count_distinct)
+    // ignores NULLs, and a NULL h52 would crash the typed aggregator's
+    // non-nullable (Double, Long) encoder at runtime
     val h = df.select(group.as("group"),
-      Curation.hashOrderKey(value).as("h52")).distinct()
+      Curation.hashOrderKey(value).as("h52"))
+      .filter(col("h52").isNotNull).distinct()
     h.groupBy(col("group"))
       .agg(TopK.top_k(k)(-col("h52").cast("double"), col("h52")).as("mins"))
       .select(col("group"),

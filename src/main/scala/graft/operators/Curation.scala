@@ -108,6 +108,9 @@ object Curation {
     // "smallest hash" wins; integers ≤ 2^52 negate exactly in a Double
     val score = -hashOrderKey(id).cast("double")
     df.select(key.as("_key"), score.as("_s"), id.cast("long").as("_id"))
+      // a NULL id would crash the typed aggregator's non-nullable
+      // (Double, Long) encoder; rows without an id can't be ranked
+      .filter(col("_id").isNotNull)
       .groupBy(col("_key"))
       .agg(TopK.top_k(maxPerKey)(col("_s"), col("_id")).as("kept"))
       .select(col("_key").as("key"),

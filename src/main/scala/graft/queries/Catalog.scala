@@ -4267,9 +4267,11 @@ object Catalog {
     "Zone-map manifest: per-file min/max stats + file-pruned range read (layout/data skipping)",
     """SELECT doc_id, n_chars FROM documents
       |WHERE n_chars >= 400 AND n_chars <= 600""".stripMargin) { (s, d) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_zonemap_")
-    tmp.toFile.deleteOnExit()
-    val dir = s"$tmp/docs"
+    // fixed scratch root, cleared per invocation (deleteOnExit never
+    // removes a non-empty dir — a fresh tempdir per run would accrete
+    // a corpus copy per bench pass)
+    val dir = new java.io.File("target/tmp/q130_zonemap/docs").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(s, dir)
     Tables.documents(s, d).select("doc_id", "n_chars")
       .repartitionByRange(8, col("n_chars"))
       .write.mode("overwrite").parquet(dir)
@@ -4280,10 +4282,12 @@ object Catalog {
 
   // ----------------------------------------------------------- KMV sketch
   /** Exact distinct vs the engine-portable bottom-k estimate — the
-    * q125 contract applied to cardinality. k = 32; every event type
-    * holds ≥ 32 distinct hashes at every SF, so the estimator branch
-    * (not the exact-under-k fallback) is what the oracle pins; the
-    * under-k branch is spec-pinned in CardinalitySpec. */
+    * q125 contract applied to cardinality. k = 32; at sf0.01+ every
+    * event type holds ≥ 32 distinct hashes, so the driver's verify SF
+    * pins the ESTIMATOR branch (at sf0.001 each type has ~15 distinct
+    * users and only the exact-under-k fallback runs — both branches
+    * are additionally spec-pinned in CardinalitySpec, which is the
+    * gate a smoke-SF-only run would need). */
   val q131Kmv = q("q131_kmv_distinct",
     "KMV bottom-k distinct sketch vs exact per-group cardinality (north star: corpus profiling)",
     """WITH h AS (

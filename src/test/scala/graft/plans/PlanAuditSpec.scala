@@ -304,4 +304,56 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2,
       s"expected checkpointed index leaves in:\n$plan")
   }
+
+  test("q127/q131 bounded-heap caps and sketches: ObjectHashAggregate, never a window sort") {
+    // capPerKey and kmvSketch exist BECAUSE row_number()-over-key
+    // sorts a mega-key in one task; a Window in either plan means the
+    // operator regressed to exactly what it replaces
+    for (name <- Seq("q127_domain_caps", "q131_kmv_distinct")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Window"), s"$name regressed to a window sort:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost the typed bounded-heap aggregation:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
+
+  test("q128 cross-corpus line dedup: first-occurrence is an aggregation, not a window") {
+    val plan = planOf("q128_paragraph_dedup")
+    assert(!plan.contains("Window"),
+      s"first-occurrence must stay a MIN aggregate (window = all copies " +
+        s"of a hyper-common line in one task):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // line explode + fp count agg + marker join + reassembly agg
+    assert(shuffles(plan) <= 4, plan)
+  }
+
+  test("q129 blocklist and q135 unicode normalize: zero-shuffle codegen'd projections") {
+    for (name <- Seq("q129_blocklist", "q135_unicode_normalize")) {
+      val plan = planOf(name)
+      assert(shuffles(plan) === 0, s"$name grew a shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"$name grew a join:\n$plan")
+    }
+  }
+
+  test("q132 PMI: bigrams extracted scan-side, ranked by bounded TakeOrdered") {
+    val plan = planOf("q132_pmi_collocations")
+    assert(!plan.contains("Window"),
+      s"bigram pairing must stay an array zip, not a lead() window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q133/q134 event analytics: keyed aggregations and equi joins only") {
+    for (name <- Seq("q133_funnel", "q134_cohort_retention")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Window"), s"$name grew an event-stream window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name user-key joins should stay hash joins at any scale " +
+          s"(shuffled hash or broadcast):\n$plan")
+    }
+  }
 }
