@@ -565,7 +565,7 @@ object Multimodal {
       Some((dataOff, avail / 2, rate))
     }
 
-    @inline private def sample(b: Array[Byte], dataOff: Int, i: Long): Int =
+    @inline private[Multimodal] def sample(b: Array[Byte], dataOff: Int, i: Long): Int =
       ((b(dataOff + (i * 2).toInt) & 0xFF) |
         (b(dataOff + (i * 2).toInt + 1) << 8)).toShort.toInt
 
@@ -643,6 +643,99 @@ object Multimodal {
           }
           Some((n, rate, probeFreqs(best),
             if (total > 0) power(best) / total else 0.0))
+        }
+      }
+  }
+
+  /** Windowed dominant-bin sequence — the audio fingerprint core.
+    * The stream is cut into consecutive FULL windows of
+    * `windowSamples`; each window runs the same k Goertzel biquads as
+    * [[PcmCodec.dominantTone]] and contributes the argmax bin INDEX
+    * (strict >, earliest-entry tie — [[extractDominantTone]]'s rule).
+    * A trailing partial window is dropped: its bin would depend on
+    * how much tail happened to remain, which breaks the
+    * same-content ⇒ same-fingerprint contract. The bin sequence is
+    * GAIN-INVARIANT: scaling every sample by c scales every window's
+    * power by c², leaving each argmax unchanged — so re-encoded
+    * copies at different volume fingerprint identically (spec-pinned),
+    * which is what makes this a perceptual fingerprint rather than a
+    * byte hash. None when the payload isn't mono-16-bit PCM. */
+  private[operators] def windowedBins(b: Array[Byte], probeFreqs: Array[Double],
+                                      windowSamples: Int): Option[(Long, Int, Array[Int])] =
+    PcmCodec.pcmInfo(b).map { case (dataOff, n, rate) =>
+      require(windowSamples > 0, "windowSamples must be > 0")
+      require(probeFreqs.nonEmpty &&
+        probeFreqs.forall(f => f > 0 && 2 * f < rate),
+        s"probe bank must lie strictly inside (0, Nyquist=${rate / 2.0}) Hz")
+      val k = probeFreqs.length
+      val coef = Array.tabulate(k)(j =>
+        2.0 * math.cos(2.0 * math.Pi * probeFreqs(j) / rate))
+      val nWin = (n / windowSamples).toInt
+      val bins = new Array[Int](nWin)
+      var w = 0
+      while (w < nWin) {
+        val s1 = new Array[Double](k)
+        val s2 = new Array[Double](k)
+        val base = w.toLong * windowSamples
+        var i = 0
+        while (i < windowSamples) {
+          val x = PcmCodec.sample(b, dataOff, base + i).toDouble
+          var j = 0
+          while (j < k) {
+            val s0 = x + coef(j) * s1(j) - s2(j)
+            s2(j) = s1(j)
+            s1(j) = s0
+            j += 1
+          }
+          i += 1
+        }
+        var best = 0
+        var j = 1
+        while (j < k) {
+          val p = s1(j) * s1(j) + s2(j) * s2(j) - coef(j) * s1(j) * s2(j)
+          val pb = s1(best) * s1(best) + s2(best) * s2(best) -
+            coef(best) * s1(best) * s2(best)
+          if (p > pb) best = j
+          j += 1
+        }
+        bins(w) = best
+        w += 1
+      }
+      (n, rate, bins)
+    }
+
+  case class AssetAudioFp(asset_id: Long, modality: String,
+                          is_wav: Boolean,
+                          n_windows: Option[Int],
+                          bins: Option[Seq[Int]],
+                          fp: Option[String])
+
+  /** Per-partition audio fingerprint extraction: the windowed
+    * dominant-bin sequence plus its joined string form `fp`
+    * ("3-1-4-1"), the content key near-dup audio matching groups on —
+    * one scan, no shuffle, O(samples × bank) per asset. Downstream
+    * matching is a plain groupBy on `fp` (bounded by content
+    * duplication, the LSH-bucket shape), never pairwise audio
+    * comparison. */
+  def extractAudioFingerprint(spark: SparkSession, assets: DataFrame,
+                              probeFreqs: Seq[Double],
+                              windowSamples: Int): Dataset[AssetAudioFp] = {
+    import spark.implicits._
+    require(probeFreqs.nonEmpty, "empty probe bank")
+    val bank = probeFreqs.toArray
+    assets.select("asset_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          val r = windowedBins(bytes, bank, windowSamples)
+          AssetAudioFp(
+            asset_id = id,
+            modality = modality,
+            is_wav = r.isDefined,
+            n_windows = r.map(_._3.length),
+            bins = r.map(_._3.toSeq),
+            fp = r.map(_._3.mkString("-")))
         }
       }
   }

@@ -4485,6 +4485,69 @@ object Catalog {
         (col("norm") =!= col("t2")).as("changed"))
   }
 
+  // ------------------------------------------------- audio fingerprinting
+  /** Content-based audio near-dup: planted 4-segment tone sequences
+    * (sequence chosen by doc_id % 8, AMPLITUDE varied per doc) must
+    * group by their windowed dominant-bin fingerprint regardless of
+    * gain — the oracle recomputes each group in closed form from the
+    * plant parameters. Every probe has an integer number of cycles
+    * per 80-sample window, so the per-window argmax is exact. */
+  val q136AudioFp = q("q136_audio_fingerprint",
+    "Gain-invariant windowed-Goertzel audio fingerprint groups over planted tone sequences (north star: multimodal dedup)",
+    """WITH audio AS (
+      |  SELECT doc_id, doc_id % 8 AS k FROM documents WHERE doc_id % 7 <> 0),
+      |g AS (
+      |  SELECT CAST(k AS VARCHAR) || '-' || CAST((k + 1) % 8 AS VARCHAR)
+      |           || '-' || CAST((k + 2) % 8 AS VARCHAR)
+      |           || '-' || CAST((k + 3) % 8 AS VARCHAR) AS fp,
+      |         count(*) AS n_assets, min(doc_id) AS min_asset,
+      |         max(doc_id) AS max_asset
+      |  FROM audio GROUP BY k)
+      |SELECT fp, n_assets, min_asset, max_asset,
+      |       CAST(n_assets * (n_assets - 1) // 2 AS BIGINT) AS n_pairs
+      |FROM g""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val did = col("doc_id")
+    def le(v: Column, nBytes: Int): Column = concat((0 until nBytes).map(i =>
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
+    val n = lit(320L) // 4 windows x 80 samples
+    val dataSize = n * 2L
+    val k = pmod(did, lit(8))
+    val amp = (lit(6000L) + lit(400L) * pmod(did, lit(5))).cast("double")
+    val sampleHex = concat_ws("", transform(sequence(lit(0L), n - 1L), i => {
+      val freq = (lit(400L) + lit(200L) *
+        pmod(k + (i / lit(80L)).cast("long"), lit(8))).cast("double")
+      val v = round(amp *
+        sin(lit(2.0 * math.Pi) * freq * i.cast("double") / lit(8000.0)), 0)
+        .cast("long")
+      val hx = lpad(hex(pmod(v + 32768L, lit(65536L))), 4, "0")
+      concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    }))
+    val wav = concat(
+      unhex(lit("52494646")), le(lit(36L) + dataSize, 4),
+      unhex(lit("57415645666D7420")), le(lit(16L), 4),
+      le(lit(1L), 2), le(lit(1L), 2),
+      le(lit(8000L), 4), le(lit(16000L), 4),
+      le(lit(2L), 2), le(lit(16L), 2),
+      unhex(lit("64617461")), le(dataSize, 4),
+      unhex(sampleHex))
+    val sevMod = pmod(did, lit(7))
+    val assets = docs.select(
+      did.as("asset_id"),
+      when(sevMod === 0, lit("text")).otherwise(lit("audio")).as("modality"),
+      when(sevMod === 0, col("text").cast("binary")).otherwise(wav).as("payload"))
+    Multimodal.extractAudioFingerprint(s, assets,
+      probeFreqs = (0 to 7).map(j => 400.0 + 200.0 * j),
+      windowSamples = 80).toDF()
+      .filter(col("is_wav"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("asset_id")).as("min_asset"),
+        max(col("asset_id")).as("max_asset"))
+      .withColumn("n_pairs",
+        expr("CAST(n_assets * (n_assets - 1) DIV 2 AS BIGINT)"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4518,5 +4581,5 @@ object Catalog {
     q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup,
     q124IncrementalImage, q125CountMin, q126Bm25, q127DomainCaps,
     q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
-    q133Funnel, q134Cohort, q135UnicodeNorm)
+    q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp)
 }

@@ -528,6 +528,52 @@ class MultimodalSpec extends SparkSpecBase {
       "data".getBytes ++ le32(data.size) ++ data).toArray
   }
 
+  private def seqToneWav(freqs: Seq[Double], sr: Int, perSeg: Int,
+                         amp: Double = 10000): Array[Byte] = {
+    def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val data = (0 until freqs.size * perSeg).flatMap { i =>
+      val f = freqs(i / perSeg)
+      le16(math.round(amp * math.sin(2 * math.Pi * f * i / sr)).toInt)
+    }
+    ("RIFF".getBytes.toSeq ++ le32(36 + data.size) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(sr) ++
+      le32(2 * sr) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.size) ++ data).toArray
+  }
+
+  test("windowedBins: recovers the planted tone sequence per window") {
+    val bank = (0 to 7).map(j => 400.0 + 200.0 * j).toArray
+    val freqs = Seq(3, 1, 4, 1).map(bank(_))
+    val Some((n, sr, bins)) =
+      Multimodal.windowedBins(seqToneWav(freqs, 8000, 80), bank, 80)
+    assert(n === 320L && sr === 8000)
+    assert(bins.toSeq === Seq(3, 1, 4, 1))
+  }
+
+  test("windowedBins: fingerprint is gain-invariant and drops the trailing partial window") {
+    val bank = (0 to 7).map(j => 400.0 + 200.0 * j).toArray
+    val freqs = Seq(2, 7, 5).map(bank(_))
+    val loud = Multimodal.windowedBins(seqToneWav(freqs, 8000, 80, amp = 12000), bank, 80)
+    val quiet = Multimodal.windowedBins(seqToneWav(freqs, 8000, 80, amp = 900), bank, 80)
+    assert(loud.get._3.toSeq === quiet.get._3.toSeq,
+      "volume change altered the fingerprint")
+    // 200 samples at window 80 → 2 full windows, 40-sample tail dropped
+    val Some((_, _, bins)) =
+      Multimodal.windowedBins(seqToneWav(Seq(bank(6)), 8000, 200), bank, 80)
+    assert(bins.length === 2)
+    assert(bins.toSeq === Seq(6, 6))
+  }
+
+  test("windowedBins: non-PCM payloads and empty audio are None/empty, not errors") {
+    val bank = Array(400.0, 800.0)
+    assert(Multimodal.windowedBins("not riff".getBytes, bank, 80).isEmpty)
+    val Some((n0, _, bins0)) =
+      Multimodal.windowedBins(seqToneWav(Seq(400.0), 8000, 10), bank, 80)
+    assert(n0 === 10L && bins0.isEmpty) // under one window: empty fingerprint
+  }
+
   test("PcmCodec.dominantTone: Goertzel bank recovers planted pure tones") {
     val bank = Array(400.0, 600.0, 800.0, 1000.0)
     for (f <- bank) {
