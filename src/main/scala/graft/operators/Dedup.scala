@@ -861,6 +861,39 @@ object Dedup {
     *
     * @return (id, cluster_id) for every vertex that appears in a pair
     */
+  /** Canonical-copy selection per near-dup cluster — the keep policy
+    * that follows clustering: real pipelines keep the BEST member of
+    * each duplicate cluster (longest, highest-quality), not the
+    * arbitrary first. `clusters` is [[connectedComponents]] output
+    * (id, cluster_id); `scored` carries (idCol, scoreCol). The winner
+    * is max score with ties to the SMALLER id, computed as one MAX
+    * aggregate over (score, −id) structs — partial-aggregated and
+    * skew-safe, never a per-cluster window sort (a viral duplicate
+    * cluster holds millions of members at corpus scale). Ids must be
+    * non-negative (the −id tiebreak trick; a loud require, not a
+    * silent wrong winner).
+    *
+    * @return (cluster_id, keep_id, keep_score, n_members, n_dropped)
+    */
+  def selectRepresentatives(clusters: DataFrame, scored: DataFrame,
+                            idCol: String, scoreCol: String): DataFrame = {
+    val j = clusters.select(col("id"), col("cluster_id"))
+      .join(scored.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).as("_score")), Seq("id"))
+      .withColumn("_nid",
+        when(col("id") < 0, raise_error(lit(
+          "selectRepresentatives requires non-negative ids")))
+          .otherwise(-col("id")))
+    j.groupBy(col("cluster_id"))
+      .agg(max(struct(col("_score").as("s"), col("_nid").as("ni"))).as("_best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        (-col("_best.ni")).as("keep_id"),
+        col("_best.s").as("keep_score"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+  }
+
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 30): DataFrame = {
     // every per-round checkpoint goes through Bridge.freshLeaf: a bare

@@ -4548,6 +4548,54 @@ object Catalog {
         expr("CAST(n_assets * (n_assets - 1) DIV 2 AS BIGINT)"))
   }
 
+  // --------------------------------------------- cluster canonicalization
+  /** q42's cluster pipeline plus the keep policy: the highest-token
+    * member represents each near-dup cluster (ties to the smaller
+    * id), computed as a MAX aggregate over (score, −id) — never a
+    * per-cluster window (a viral duplicate cluster is millions of
+    * rows at corpus scale). */
+  val q137ClusterReps = q("q137_cluster_representatives",
+    "Near-dup cluster canonicalization: keep the highest-token member per cluster (north star: dedup)",
+    """WITH RECURSIVE
+      |t AS (SELECT source, doc_id,
+      |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS sh,
+      |             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ntok
+      |      FROM documents),
+      |edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+      |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END >= 0.5),
+      |verts AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
+      |undirected AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT reach.id, u.d FROM reach JOIN undirected u ON reach.r = u.s),
+      |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |sel AS (
+      |  SELECT cl.cluster_id, cl.doc_id, t.ntok,
+      |         row_number() OVER (PARTITION BY cl.cluster_id
+      |           ORDER BY t.ntok DESC, cl.doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+      |  FROM cl JOIN t ON cl.doc_id = t.doc_id)
+      |SELECT cluster_id, doc_id AS keep_id, CAST(ntok AS BIGINT) AS keep_score,
+      |       CAST(n_members AS BIGINT) AS n_members,
+      |       CAST(n_members - 1 AS BIGINT) AS n_dropped
+      |FROM sel WHERE rk = 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cands = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
+      maxBucket = 10000, blockCol = Some("source"))
+    val pairs = Dedup.ngramJaccardVerify(docs, cands, "doc_id", "text",
+      k = 1, threshold = 0.5)
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+    Dedup.selectRepresentatives(Dedup.connectedComponents(pairs),
+      scored, "doc_id", "ntok")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4581,5 +4629,5 @@ object Catalog {
     q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup,
     q124IncrementalImage, q125CountMin, q126Bm25, q127DomainCaps,
     q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
-    q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp)
+    q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps)
 }

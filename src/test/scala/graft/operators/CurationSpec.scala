@@ -81,6 +81,29 @@ class CurationSpec extends SparkSpecBase {
       (4L, "", 0L)), s"got ${out.mkString("; ")}")
   }
 
+  test("selectRepresentatives: max score wins, ties to the smaller id, counts per cluster") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster_id")
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 5L))
+      .toDF("doc_id", "ntok")
+    val out = Dedup.selectRepresentatives(clusters, scored, "doc_id", "ntok")
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      (1L, 2L, 30L, 3L, 2L), // 2 and 3 tie at 30 — smaller id wins
+      (7L, 7L, 5L, 2L, 1L)))
+  }
+
+  test("selectRepresentatives: negative ids are refused loudly") {
+    val clusters = Seq((-1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val scored = Seq((-1L, 10L), (2L, 3L)).toDF("doc_id", "ntok")
+    val e = intercept[Exception] {
+      Dedup.selectRepresentatives(clusters, scored, "doc_id", "ntok").collect()
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
+
   test("dedupLinesAcrossCorpus: minLineLen exempts short lines (blank breaks recur untouched)") {
     val docs = Seq(
       (1L, "para one\n\nshared tail"),
