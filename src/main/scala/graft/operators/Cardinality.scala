@@ -65,6 +65,33 @@ object Cardinality {
       .otherwise(lit((k - 1).toDouble) /
         (element_at(sketch, k).cast("double") / lit(HashSpace)))
 
+  /** Union of two bottom-k sketches: the k smallest of the merged
+    * hash sets — itself a valid KMV sketch of A ∪ B (the closure
+    * property that makes bottom-k a sketch ALGEBRA, not just a
+    * counter: sketches of shards compose without touching data). */
+  def kmvUnionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Jaccard estimate from two bottom-k sketches (Beyer et al. 2007):
+    * the union sketch K is a uniform sample of A ∪ B, so the fraction
+    * of K present in BOTH input sketches estimates |A∩B| / |A∪B|.
+    * Denominator is |K| (= min(k, |A∪B|)): under k distinct hashes
+    * the sketches ARE the sets and the estimate is exact. */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnionSketch(a, b, k)
+    when(size(u) === 0, lit(0.0))
+      .otherwise(
+        size(array_intersect(array_intersect(u, a), b)).cast("double") /
+          size(u).cast("double"))
+  }
+
+  /** Intersection-size estimate: Ĵ · D̂(A ∪ B) — how two 100 TB
+    * streams' distinct-key overlap (join cardinality, audience
+    * overlap) is estimated from two k-long arrays without scanning
+    * either stream again. */
+  def kmvIntersection(a: Column, b: Column, k: Int): Column =
+    kmvJaccard(a, b, k) * kmvEstimate(kmvUnionSketch(a, b, k), k)
+
   /** Report: per-group exact distinct count (the ground truth a
     * grouped report can afford) next to the KMV estimate — the q131
     * shape, mirroring q125's exact-vs-sketch contract. */

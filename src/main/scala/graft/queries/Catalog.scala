@@ -4596,6 +4596,77 @@ object Catalog {
       scored, "doc_id", "ntok")
   }
 
+  // -------------------------------------------------- KMV sketch algebra
+  /** Audience-overlap / join-cardinality estimation from sketches
+    * alone: per-event-type bottom-64 user sketches compose into
+    * union/Jaccard/intersection estimates for every type pair without
+    * rescanning the stream — next to the exact overlap ground truth.
+    * The 5-row sketch self-join broadcasts; the exact side is one
+    * distinct + one user-keyed equi join. */
+  val q138KmvOverlap = q("q138_kmv_overlap",
+    "Pairwise distinct-user overlap: exact vs KMV sketch-algebra estimates (north star: corpus profiling)",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events),
+      |sk AS (SELECT event_type, (list_sort(list(h52)))[1:64] AS sk
+      |       FROM h GROUP BY event_type),
+      |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |nd AS (SELECT event_type, count(*) AS nd FROM tu GROUP BY event_type),
+      |inter AS (
+      |  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_exact_inter
+      |  FROM tu x JOIN tu y ON x.user_id = y.user_id
+      |                     AND x.event_type < y.event_type
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, a.sk AS ska, b.sk AS skb,
+      |         (list_sort(list_distinct(a.sk || b.sk)))[1:64] AS u
+      |  FROM sk a JOIN sk b ON a.event_type < b.event_type)
+      |SELECT c.ta, c.tb, coalesce(i.n_exact_inter, 0) AS n_exact_inter,
+      |       round(CAST(coalesce(i.n_exact_inter, 0) AS DOUBLE)
+      |             / CAST(na.nd + nb.nd - coalesce(i.n_exact_inter, 0) AS DOUBLE), 4)
+      |         AS jac_exact,
+      |       round(CASE WHEN len(u) = 0 THEN 0.0
+      |             ELSE CAST(len(list_intersect(list_intersect(u, ska), skb)) AS DOUBLE)
+      |                  / CAST(len(u) AS DOUBLE) END, 4) AS kmv_jaccard,
+      |       round((CASE WHEN len(u) = 0 THEN 0.0
+      |              ELSE CAST(len(list_intersect(list_intersect(u, ska), skb)) AS DOUBLE)
+      |                   / CAST(len(u) AS DOUBLE) END)
+      |             * (CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+      |                ELSE 63.0 / (CAST(u[64] AS DOUBLE) / 4503599627370496.0) END),
+      |             4) AS kmv_inter
+      |FROM c LEFT JOIN inter i ON c.ta = i.ta AND c.tb = i.tb
+      |JOIN nd na ON na.event_type = c.ta
+      |JOIN nd nb ON nb.event_type = c.tb""".stripMargin) { (s, d) =>
+    val k = 64
+    val ev = Tables.events(s, d)
+    val sk = Cardinality.kmvSketch(ev, col("event_type"), col("user_id"), k)
+    val pairsSk = sk.select(col("group").as("ta"), col("sketch").as("ska"))
+      .join(broadcast(sk.select(col("group").as("tb"), col("sketch").as("skb"))),
+        col("ta") < col("tb"))
+    val tu = ev.select("event_type", "user_id").distinct()
+    val perType = tu.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+    val inter = tu.as("x")
+      .join(tu.as("y"), col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    val nInter = coalesce(col("n_exact_inter"), lit(0L))
+    pairsSk
+      .join(inter, Seq("ta", "tb"), "left")
+      .join(broadcast(perType.select(col("event_type").as("ta"),
+        col("nd").as("na"))), Seq("ta"))
+      .join(broadcast(perType.select(col("event_type").as("tb"),
+        col("nd").as("nb"))), Seq("tb"))
+      .select(col("ta"), col("tb"), nInter.as("n_exact_inter"),
+        round(nInter.cast("double") /
+          (col("na") + col("nb") - nInter).cast("double"), 4).as("jac_exact"),
+        round(Cardinality.kmvJaccard(col("ska"), col("skb"), k), 4)
+          .as("kmv_jaccard"),
+        round(Cardinality.kmvIntersection(col("ska"), col("skb"), k), 4)
+          .as("kmv_inter"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4629,5 +4700,6 @@ object Catalog {
     q119QualityFilter, q120Bpe, q121Tone, q122ImageDhash, q123ImageNearDup,
     q124IncrementalImage, q125CountMin, q126Bm25, q127DomainCaps,
     q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
-    q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps)
+    q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps,
+    q138KmvOverlap)
 }

@@ -41,6 +41,37 @@ class CardinalitySpec extends SparkSpecBase {
     assert(merged === sAll.toList, "merged shard sketches diverge from whole-corpus sketch")
   }
 
+  test("sketch algebra: under-k sketches give EXACT jaccard and intersection") {
+    val k = 64
+    // A = {0..49}, B = {30..79}: |A∩B| = 20, |A∪B| = 80 — over k? no: 80 > 64.
+    // use smaller: A = {0..19}, B = {10..29}: inter 10, union 30 < 64 → exact
+    val df = spark.range(0, 20).select(lit("A").as("g"), col("id").as("v"))
+      .union(spark.range(10, 30).select(lit("B").as("g"), col("id").as("v")))
+    val sk = Cardinality.kmvSketch(df, col("g"), col("v"), k)
+    val row = sk.groupBy().pivot("group").agg(first("sketch"))
+      .select(
+        Cardinality.kmvJaccard(col("A"), col("B"), k).as("j"),
+        Cardinality.kmvIntersection(col("A"), col("B"), k).as("i"))
+      .as[(Double, Double)].head()
+    assert(math.abs(row._1 - 10.0 / 30.0) < 1e-12, s"jaccard ${row._1}")
+    assert(math.abs(row._2 - 10.0) < 1e-9, s"intersection ${row._2}")
+  }
+
+  test("sketch algebra: estimates land near truth on large overlapping sets") {
+    val k = 256
+    // A = {0..9999}, B = {5000..14999}: jaccard = 5000/15000 = 1/3
+    val df = spark.range(0, 10000).select(lit("A").as("g"), col("id").as("v"))
+      .union(spark.range(5000, 15000).select(lit("B").as("g"), col("id").as("v")))
+    val sk = Cardinality.kmvSketch(df, col("g"), col("v"), k)
+    val (j, i) = sk.groupBy().pivot("group").agg(first("sketch"))
+      .select(
+        Cardinality.kmvJaccard(col("A"), col("B"), k).as("j"),
+        Cardinality.kmvIntersection(col("A"), col("B"), k).as("i"))
+      .as[(Double, Double)].head()
+    assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard est $j vs 0.333")
+    assert(math.abs(i / 5000.0 - 1.0) < 0.35, s"intersection est $i vs 5000")
+  }
+
   test("duplicates never occupy sketch slots") {
     val df = spark.range(0, 1000)
       .select(lit("g").as("g"), (col("id") % 5).as("v")) // 5 distinct, massively repeated
