@@ -370,6 +370,48 @@ object Streaming {
     * each batch line twice, clean differently, and overwrite epoch N
     * with DIFFERENT rows. Filtering out `_epoch = token-N` makes the
     * retry see exactly what the original saw. */
+  /** Streaming zone-map maintenance — the manifest twin of the ingest
+    * sinks: every micro-batch lands in the corpus under the epoch-
+    * scoped dynamic overwrite, then per-file min/max stats are built
+    * from ONLY that epoch's partition directory (the freshly written
+    * files — the table is never re-scanned) and written into an
+    * epoch-partitioned manifest under the SAME (token, epoch) key.
+    * An at-least-once replay of epoch N rewrites both its corpus
+    * partition and its manifest partition — stats never double, and
+    * stale file paths from the replaced write disappear with the
+    * partition. Readers union the manifest epochs
+    * ([[zoneMapManifestRead]]) and prune with `Layout.pruneFiles` —
+    * scan pruning over a GROWING table whose manifest cost is one
+    * pass per batch over that batch's files only. */
+  def zoneMapIngestSink(stream: DataFrame, spark: SparkSession,
+                        corpusPath: String, manifestPath: String,
+                        statCols: Seq[String],
+                        checkpoint: String): StreamingQuery = {
+    require(statCols.nonEmpty, "zoneMapIngestSink needs stat columns")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        epochWrite(batch, corpusPath, token, epochId)
+        val epochDir = s"$corpusPath/_epoch=$token-$epochId"
+        // empty batches write nothing (epochWrite's no-op contract) —
+        // and must add no manifest partition either
+        if (graft.sources.Fs.exists(spark, epochDir)) {
+          val stats = graft.operators.Layout.zoneMap(
+            spark.read.parquet(epochDir), statCols)
+          epochWrite(stats, manifestPath, token, epochId)
+        }
+      }
+      .start()
+  }
+
+  /** Resolve the live manifest of a [[zoneMapIngestSink]] table:
+    * union of every epoch's file stats (file paths are absolute —
+    * they point into the corpus epoch partitions directly). */
+  def zoneMapManifestRead(spark: SparkSession, manifestPath: String): DataFrame =
+    spark.read.parquet(manifestPath).drop("_epoch")
+
   def boilerplateIngestSink(stream: DataFrame, spark: SparkSession,
                             corpusPath: String, indexPath: String,
                             textCol: String, idCol: String,

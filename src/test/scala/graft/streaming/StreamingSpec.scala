@@ -542,4 +542,45 @@ class StreamingSpec extends SparkSpecBase {
       .as[(String, Long)].collect()
     assert(idx.nonEmpty)
   }
+
+  test("streaming zone-map ingest: manifest tracks each epoch's files, pruned read equals full filter") {
+    import graft.operators.Layout
+    val src = Files.createTempDirectory("graft-zm-src").toString
+    val corpus = Files.createTempDirectory("graft-zm-corpus").toString + "/c"
+    val manifest = Files.createTempDirectory("graft-zm-man").toString + "/m"
+    val ckp = Files.createTempDirectory("graft-zm-ckp").toString
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.zoneMapIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, manifest, Seq("v"), ckp)
+        .awaitTermination()
+    }
+    (0L until 100L).map(i => (i, i * 10)).toDF("id", "v")
+      .repartition(2).write.parquet(s"$src/b1")
+    drain()
+    (100L until 200L).map(i => (i, i * 10)).toDF("id", "v")
+      .repartition(2).write.parquet(s"$src/b2")
+    drain()
+
+    val man = Streaming.zoneMapManifestRead(spark, manifest)
+    val table = spark.read.parquet(corpus)
+    // every corpus data file is tracked exactly once
+    val tracked = man.select("file").as[String].collect().sorted
+    assert(tracked.distinct.length === tracked.length)
+    assert(tracked.toSet === table.inputFiles.toSet,
+      s"manifest files diverge from table files")
+    assert(man.agg(sum("n_rows")).as[Long].head() === 200L)
+    // pruning: a second-epoch range must read only second-epoch files
+    val hit = Layout.pruneFiles(man, "v", lit(1500L), lit(1600L))
+    assert(hit.nonEmpty && hit.forall(_.contains("_epoch=")),
+      s"unexpected pruned set: $hit")
+    val pruned = spark.read.parquet(hit: _*)
+      .filter(col("v") >= 1500L && col("v") <= 1600L).select("id", "v")
+    val full = table.filter(col("v") >= 1500L && col("v") <= 1600L)
+      .select("id", "v")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    assert(pruned.count() === 11L)
+    assert(hit.size < tracked.length, "no files were pruned")
+  }
 }
