@@ -3914,47 +3914,14 @@ object Catalog {
     * adds +64 to one pixel in each of cells (cx=0, cy<v). Cell (0,cy)
     * joins exactly ONE neighbor comparison, so any two variants differ
     * by ≤ 3 dHash bits — inside the 4×16-band pigeonhole guarantee.
-    * Same stored-deflate scan-side mux as q91, filter-0 rows. */
-  private def plantedDhashPng(did: Column): Column = {
-    val w = lit(18L); val h = lit(16L); val stride = lit(19L)
-    val rawLen = lit(304L) // 16 rows × (1 filter byte + 18 pixels)
-    val seed = did - pmod(did, lit(4L))
-    val variant = pmod(did, lit(4L))
-    def px(x: Column, y: Column): Column = {
-      val key = concat(seed.cast("string"), lit("_"),
-        x.cast("string"), lit("_"), y.cast("string"))
-      val base = conv(substring(md5(key.cast("binary")), 1, 2), 16, 10).cast("long")
-      val delta = when(x === 0L && pmod(y, lit(2L)) === 0L &&
-        floor(y / 2).cast("long") < variant, lit(64L)).otherwise(lit(0L))
-      pmod(base + delta, lit(256L))
-    }
-    val bytesArr = transform(sequence(lit(0L), rawLen - 1L), i => {
-      val o = pmod(i, stride)
-      val r = floor((i - o) / stride).cast("long")
-      when(o === 0L, lit(0L)).otherwise(px(o - 1L, r))
-    })
-    val rawHex = concat_ws("", transform(bytesArr, v => lpad(hex(v), 2, "0")))
-    val sumB = aggregate(bytesArr, lit(0L), (acc, x) => acc + x)
-    val sumW = aggregate(
-      zip_with(bytesArr, sequence(lit(1L), rawLen), (b, j) => (rawLen - j + 1L) * b),
-      lit(0L), (acc, x) => acc + x)
-    val s1 = pmod(lit(1L) + sumB, lit(65521L))
-    val s2 = pmod(rawLen + sumW, lit(65521L))
-    def le16hex(v: Column): Column = concat(
-      lpad(hex(pmod(v, lit(256L))), 2, "0"),
-      lpad(hex(floor(v / 256).cast("long")), 2, "0"))
-    val zlibHex = concat(lit("780101"), le16hex(rawLen),
-      le16hex(lit(65535L) - rawLen), rawHex,
-      lpad(hex(s2 * 65536L + s1), 8, "0"))
-    val ihdrDataHex = concat(lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
-      lit("0800000000")) // bit depth 8, grayscale
-    unhex(concat(
-      lit("89504E470D0A1A0A0000000D49484452"), ihdrDataHex,
-      lpad(hex(crc32(unhex(concat(lit("49484452"), ihdrDataHex)))), 8, "0"),
-      lpad(hex(rawLen + 11L), 8, "0"), lit("49444154"), zlibHex,
-      lpad(hex(crc32(unhex(concat(lit("49444154"), zlibHex)))), 8, "0"),
-      lit("0000000049454E44AE426082")))
-  }
+    * Muxed by the compiled PlantedGrayPng expression (byte-identical
+    * to the original column mux, MultimodalSpec-pinned): the
+    * interpreted transform/zip_with construction evaluated ~288
+    * expression-tree md5s per row and put each image query at ~12 s
+    * of the sf0.1 bench — 10× the arithmetic-formula q91 mux. */
+  private def plantedDhashPng(did: Column): Column =
+    graft.functions.PlantedPng.planted_gray_png(
+      did - pmod(did, lit(4L)), pmod(did, lit(4L)))
 
   private def plantedDhashAssets(s: SparkSession, d: String): DataFrame = {
     val did = col("doc_id")

@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkSpecBase
 import graft.sources.Tables
 import graft.operators.Dedup
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpecBase {
@@ -526,6 +527,69 @@ class MultimodalSpec extends SparkSpecBase {
       "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(sr) ++
       le32(2 * sr) ++ le16(2) ++ le16(16) ++
       "data".getBytes ++ le32(data.size) ++ data).toArray
+  }
+
+  test("PlantedGrayPng: byte-identical to the frozen column mux it replaced") {
+    import graft.functions.PlantedPng
+    // the ORIGINAL q122 column-expression mux, frozen here as the
+    // byte-level reference (the oracles pin the hashes end-to-end;
+    // this pins the exact PNG bytes across the codegen rewrite)
+    def frozenMux(did: Column): Column = {
+      val w = lit(18L); val h = lit(16L); val stride = lit(19L)
+      val rawLen = lit(304L)
+      val seed = did - pmod(did, lit(4L))
+      val variant = pmod(did, lit(4L))
+      def px(x: Column, y: Column): Column = {
+        val key = concat(seed.cast("string"), lit("_"),
+          x.cast("string"), lit("_"), y.cast("string"))
+        val base = conv(substring(md5(key.cast("binary")), 1, 2), 16, 10).cast("long")
+        val delta = when(x === 0L && pmod(y, lit(2L)) === 0L &&
+          floor(y / 2).cast("long") < variant, lit(64L)).otherwise(lit(0L))
+        pmod(base + delta, lit(256L))
+      }
+      val bytesArr = transform(sequence(lit(0L), rawLen - 1L), i => {
+        val o = pmod(i, stride)
+        val r = floor((i - o) / stride).cast("long")
+        when(o === 0L, lit(0L)).otherwise(px(o - 1L, r))
+      })
+      val rawHex = concat_ws("", transform(bytesArr, v => lpad(hex(v), 2, "0")))
+      val sumB = aggregate(bytesArr, lit(0L), (acc, x) => acc + x)
+      val sumW = aggregate(
+        zip_with(bytesArr, sequence(lit(1L), rawLen), (b, j) => (rawLen - j + 1L) * b),
+        lit(0L), (acc, x) => acc + x)
+      val s1 = pmod(lit(1L) + sumB, lit(65521L))
+      val s2 = pmod(rawLen + sumW, lit(65521L))
+      def le16hex(v: Column): Column = concat(
+        lpad(hex(pmod(v, lit(256L))), 2, "0"),
+        lpad(hex(floor(v / 256).cast("long")), 2, "0"))
+      val zlibHex = concat(lit("780101"), le16hex(rawLen),
+        le16hex(lit(65535L) - rawLen), rawHex,
+        lpad(hex(s2 * 65536L + s1), 8, "0"))
+      val ihdrDataHex = concat(lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0800000000"))
+      unhex(concat(
+        lit("89504E470D0A1A0A0000000D49484452"), ihdrDataHex,
+        lpad(hex(crc32(unhex(concat(lit("49484452"), ihdrDataHex)))), 8, "0"),
+        lpad(hex(rawLen + 11L), 8, "0"), lit("49444154"), zlibHex,
+        lpad(hex(crc32(unhex(concat(lit("49444154"), zlibHex)))), 8, "0"),
+        lit("0000000049454E44AE426082")))
+    }
+    val ids = (1L to 25L) ++ Seq(1000L, 99999L, 123456789L)
+    val rows = ids.toDF("doc_id").select(
+      frozenMux(col("doc_id")).as("old"),
+      PlantedPng.planted_gray_png(
+        col("doc_id") - pmod(col("doc_id"), lit(4L)),
+        pmod(col("doc_id"), lit(4L))).as("nw"))
+      .as[(Array[Byte], Array[Byte])].collect()
+    rows.zip(ids).foreach { case ((o, n), id) =>
+      assert(java.util.Arrays.equals(o, n), s"byte divergence for doc_id $id")
+    }
+    // and both JVM decoders agree the compiled bytes are a valid PNG
+    val sample = rows.head._2
+    val viaPng = Multimodal.PngCodec.decode(sample)
+    val viaIio = Multimodal.ImageIoCodec.decode(sample)
+    assert(viaPng.isDefined && viaIio.isDefined)
+    assert(viaPng.get.width === 18 && viaPng.get.height === 16)
   }
 
   private def seqToneWav(freqs: Seq[Double], sr: Int, perSeg: Int,
