@@ -109,6 +109,53 @@ object PlantedPng {
   def planted_gray_png(seed: Column, variant: Column): Column =
     Bridge.column(PlantedGrayPng(
       Bridge.expression(seed), Bridge.expression(variant)))
+
+  /** Planted tone-sequence WAV (mono 16-bit PCM @ 8000 Hz): segment
+    * j of `perSeg` samples carries freqs[j]; sample i is
+    * round(amp·sin(2π·f·i/8000)) with Spark's own HALF_UP double
+    * rounding (BigDecimal.valueOf) and the identical left-assoc float
+    * order, so the bytes match the original column mux exactly
+    * (MultimodalSpec-pinned). Same interpreted-HOF motivation as
+    * [[grayPng]] — q121/q136 evaluated a sin+round expression tree
+    * per sample per row. */
+  def toneWav(freqs: org.apache.spark.sql.catalyst.util.ArrayData,
+              amp: Double, perSeg: Int): Array[Byte] = {
+    val nSeg = freqs.numElements()
+    val n = nSeg * perSeg
+    val dataSize = 2 * n
+    val out = new Array[Byte](44 + dataSize)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + dataSize); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
+    ascii(36, "data"); le32(40, dataSize)
+    var i = 0
+    while (i < n) {
+      val f = freqs.getDouble(i / perSeg)
+      val x = 2.0 * math.Pi * f * i.toDouble / 8000.0
+      val v = java.math.BigDecimal.valueOf(amp * Math.sin(x))
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      val enc = (((v + 32768L) % 65536L) + 65536L) % 65536L
+      out(44 + 2 * i) = (enc & 0xFF).toByte
+      out(44 + 2 * i + 1) = ((enc >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** (freqs array<double>, amp double) → planted WAV bytes. */
+  def planted_tone_wav(freqs: Column, amp: Column, perSeg: Int): Column =
+    Bridge.column(PlantedToneWav(
+      Bridge.expression(freqs), Bridge.expression(amp), perSeg))
 }
 
 case class PlantedGrayPng(left: Expression, right: Expression)
@@ -129,4 +176,34 @@ case class PlantedGrayPng(left: Expression, right: Expression)
                                                  newRight: Expression): PlantedGrayPng =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "planted_gray_png"
+}
+
+/** (freqs array<double>, amp double) → planted tone-sequence WAV via
+  * [[PlantedPng.toneWav]]. `perSeg` is a structural literal. */
+case class PlantedToneWav(left: Expression, right: Expression, perSeg: Int)
+    extends BinaryExpression {
+  require(perSeg > 0, "perSeg must be > 0")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, false) ||
+      left.dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, true)) {
+      if (right.dataType == org.apache.spark.sql.types.DoubleType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName amp must be DOUBLE, got ${right.dataType.sql}")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName freqs must be ARRAY<DOUBLE>, got ${left.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(freqs: Any, amp: Any): Any =
+    PlantedPng.toneWav(
+      freqs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      amp.asInstanceOf[Double], perSeg)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (f, a) =>
+      s"${ev.value} = graft.functions.PlantedPng.toneWav($f, $a, $perSeg);")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PlantedToneWav =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "planted_tone_wav"
 }

@@ -3875,27 +3875,12 @@ object Catalog {
       |FROM documents""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val did = col("doc_id")
-    def le(v: Column, nBytes: Int): Column = concat((0 until nBytes).map(i =>
-      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
-    val n = lit(160L)
-    val dataSize = n * 2L
     val freq = (lit(400L) + lit(200L) * pmod(did, lit(8))).cast("double")
-    // planted tone, int16 LE: v_i = round(10000·sin(2π·f·i/8000))
-    val sampleHex = concat_ws("", transform(sequence(lit(0L), n - 1L), i => {
-      val v = round(lit(10000.0) *
-        sin(lit(2.0 * math.Pi) * freq * i.cast("double") / lit(8000.0)), 0)
-        .cast("long")
-      val hx = lpad(hex(pmod(v + 32768L, lit(65536L))), 4, "0")
-      concat(substring(hx, 3, 2), substring(hx, 1, 2))
-    }))
-    val wav = concat(
-      unhex(lit("52494646")), le(lit(36L) + dataSize, 4),
-      unhex(lit("57415645666D7420")), le(lit(16L), 4),
-      le(lit(1L), 2), le(lit(1L), 2),          // PCM, mono
-      le(lit(8000L), 4), le(lit(16000L), 4),   // sample rate, byte rate
-      le(lit(2L), 2), le(lit(16L), 2),         // block align, bits
-      unhex(lit("64617461")), le(dataSize, 4),
-      unhex(sampleHex))
+    // planted tone, int16 LE: v_i = round(10000·sin(2π·f·i/8000)) —
+    // compiled mux (byte-identical to the original column transform,
+    // MultimodalSpec-pinned; the interpreted version cost ~1.9 s here)
+    val wav = graft.functions.PlantedPng.planted_tone_wav(
+      array(freq), lit(10000.0), perSeg = 160)
     val sevMod = pmod(did, lit(7))
     val assets = docs.select(
       did.as("asset_id"),
@@ -4475,29 +4460,16 @@ object Catalog {
       |FROM g""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val did = col("doc_id")
-    def le(v: Column, nBytes: Int): Column = concat((0 until nBytes).map(i =>
-      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
-    val n = lit(320L) // 4 windows x 80 samples
-    val dataSize = n * 2L
     val k = pmod(did, lit(8))
     val amp = (lit(6000L) + lit(400L) * pmod(did, lit(5))).cast("double")
-    val sampleHex = concat_ws("", transform(sequence(lit(0L), n - 1L), i => {
-      val freq = (lit(400L) + lit(200L) *
-        pmod(k + (i / lit(80L)).cast("long"), lit(8))).cast("double")
-      val v = round(amp *
-        sin(lit(2.0 * math.Pi) * freq * i.cast("double") / lit(8000.0)), 0)
-        .cast("long")
-      val hx = lpad(hex(pmod(v + 32768L, lit(65536L))), 4, "0")
-      concat(substring(hx, 3, 2), substring(hx, 1, 2))
-    }))
-    val wav = concat(
-      unhex(lit("52494646")), le(lit(36L) + dataSize, 4),
-      unhex(lit("57415645666D7420")), le(lit(16L), 4),
-      le(lit(1L), 2), le(lit(1L), 2),
-      le(lit(8000L), 4), le(lit(16000L), 4),
-      le(lit(2L), 2), le(lit(16L), 2),
-      unhex(lit("64617461")), le(dataSize, 4),
-      unhex(sampleHex))
+    // 4 segments × 80 samples, tone j = 400+200·((k+j) mod 8) —
+    // compiled mux (byte-identical to the column transform it
+    // replaced, MultimodalSpec-pinned)
+    val freqs = array((0 until 4).map(j =>
+      (lit(400L) + lit(200L) * pmod(k + lit(j.toLong), lit(8)))
+        .cast("double")): _*)
+    val wav = graft.functions.PlantedPng.planted_tone_wav(
+      freqs, amp, perSeg = 80)
     val sevMod = pmod(did, lit(7))
     val assets = docs.select(
       did.as("asset_id"),

@@ -592,6 +592,52 @@ class MultimodalSpec extends SparkSpecBase {
     assert(viaPng.get.width === 18 && viaPng.get.height === 16)
   }
 
+  test("PlantedToneWav: byte-identical to the frozen column mux it replaced") {
+    import graft.functions.PlantedPng
+    // the ORIGINAL q121/q136 column-expression mux, frozen as the
+    // byte-level reference (parameterized over the per-sample freq)
+    def frozenWav(n: Long, amp: Column, freqOf: Column => Column): Column = {
+      def le(v: Column, nBytes: Int): Column = concat((0 until nBytes).map(i =>
+        unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))): _*)
+      val dataSize = lit(n) * 2L
+      val sampleHex = concat_ws("", transform(sequence(lit(0L), lit(n) - 1L), i => {
+        val v = round(amp *
+          sin(lit(2.0 * math.Pi) * freqOf(i) * i.cast("double") / lit(8000.0)), 0)
+          .cast("long")
+        val hx = lpad(hex(pmod(v + 32768L, lit(65536L))), 4, "0")
+        concat(substring(hx, 3, 2), substring(hx, 1, 2))
+      }))
+      concat(
+        unhex(lit("52494646")), le(lit(36L) + dataSize, 4),
+        unhex(lit("57415645666D7420")), le(lit(16L), 4),
+        le(lit(1L), 2), le(lit(1L), 2),
+        le(lit(8000L), 4), le(lit(16000L), 4),
+        le(lit(2L), 2), le(lit(16L), 2),
+        unhex(lit("64617461")), le(dataSize, 4),
+        unhex(sampleHex))
+    }
+    val did = col("doc_id")
+    val k = pmod(did, lit(8))
+    val singleFreq = (lit(400L) + lit(200L) * k).cast("double")
+    val amp136 = (lit(6000L) + lit(400L) * pmod(did, lit(5))).cast("double")
+    def seqFreq(i: Column): Column =
+      (lit(400L) + lit(200L) * pmod(k + (i / lit(80L)).cast("long"), lit(8)))
+        .cast("double")
+    val rows = (1L to 20L).toDF("doc_id").select(
+      frozenWav(160L, lit(10000.0), _ => singleFreq).as("o1"),
+      PlantedPng.planted_tone_wav(array(singleFreq), lit(10000.0), 160).as("n1"),
+      frozenWav(320L, amp136, seqFreq).as("o2"),
+      PlantedPng.planted_tone_wav(
+        array((0 until 4).map(j => (lit(400L) + lit(200L) *
+          pmod(k + lit(j.toLong), lit(8))).cast("double")): _*),
+        amp136, 80).as("n2"))
+      .as[(Array[Byte], Array[Byte], Array[Byte], Array[Byte])].collect()
+    rows.zipWithIndex.foreach { case ((o1, n1, o2, n2), i) =>
+      assert(java.util.Arrays.equals(o1, n1), s"single-tone divergence at row $i")
+      assert(java.util.Arrays.equals(o2, n2), s"tone-sequence divergence at row $i")
+    }
+  }
+
   private def seqToneWav(freqs: Seq[Double], sr: Int, perSeg: Int,
                          amp: Double = 10000): Array[Byte] = {
     def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
