@@ -101,6 +101,28 @@ object Similarity {
     * one task at scale, while the aggregator reduces each scan
     * partition to ≤ k candidates map-side — the shuffle carries
     * k × partitions rows per query. */
+  /** Hard-negative mining for metric/contrastive training: per query
+    * vector, the k MOST similar corpus vectors carrying a DIFFERENT
+    * label — the near-miss negatives that make embedding training
+    * data hard. The label predicate lives in the JOIN (before
+    * scoring/ranking), not as a post-filter on a top-k — filtering
+    * after rank silently under-fills exactly when negatives crowd the
+    * neighborhood, the case hard-negative mining exists for. Same
+    * bounded-heap shape as [[bruteForceTopK]]. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    roundTo: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cvec"), col(labelCol).as("_nl"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qvec"), col(labelCol).as("_ql"))
+    val scored = c.join(broadcast(q),
+      col("query_id") =!= col("neighbor_id") && col("_nl") =!= col("_ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("cvec")), roundTo).as("cos"))
+    topKPerKey(scored, "query_id", k)
+  }
+
   private def topKPerKey(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     scored.groupBy(col(keyCol))
       .agg(TopK.top_k(k)(col("cos"), col("neighbor_id")).as("top"))

@@ -180,4 +180,55 @@ object Splits {
     mixtureSample(df, idCol, tokenCol, sourceCol,
       temperatureWeights(df, sourceCol, tokenCol, alpha),
       totalTokens, shardHexChars)
+
+  /** DSIR-style importance log-weights (Xie et al. 2023): score every
+    * raw document by how target-domain-like its hashed n-gram feature
+    * distribution is,
+    *
+    *   logw(doc) = Σ_{features f of doc} ln(p_target(f) / q_raw(f))
+    *
+    * with add-one-smoothed bucket probabilities over `buckets` hashed
+    * bigram buckets. High-logw docs "look like" the target domain;
+    * data selection keeps the top mass. The hash is the engine-
+    * portable md5 bucket ([[splitBucket]] on the bigram string), so
+    * the q139 oracle replays weights bit-for-bit — the smoothed ratio
+    * is computed as ln((ct+1)·(Nr+B) / ((cr+1)·(Nt+B))), one division
+    * and one log, the exact shape the oracle mirrors.
+    *
+    * Scale shape: two bounded (≤ `buckets`-row) count aggregates —
+    * target and raw — broadcast back onto the per-document feature
+    * stream; the per-doc score is one map-side-combined sum keyed by
+    * the doc id. The corpus text never shuffles; only (doc, bucket)
+    * pairs flow. `targetFilter` marks the in-domain subset (rows
+    * where it is true contribute to p_target; ALL rows contribute to
+    * q_raw and get scored).
+    *
+    * @return (idCol, n_feats, logw) — one row per input doc;
+    *         feature-less docs score 0.0 with n_feats 0
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     targetFilter: Column, buckets: Int = 1024,
+                     roundTo: Int = 4): DataFrame = {
+    require(buckets > 0, "buckets must be > 0")
+    val feats = df.select(col(idCol), targetFilter.as("_tgt"),
+        explode_outer(graft.functions.TextFunctions.bigrams(col(textCol)))
+          .as("_f"))
+      .withColumn("_b", when(col("_f").isNotNull,
+        splitBucket(col("_f"), buckets)))
+    val counts = feats.filter(col("_b").isNotNull)
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val b = lit(buckets.toLong)
+    val contrib = log(
+      ((col("ct") + 1L) * (col("nr") + b)).cast("double") /
+        ((col("cr") + 1L) * (col("nt") + b)).cast("double"))
+    feats
+      .join(broadcast(counts), Seq("_b"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(col("_b")).as("n_feats"),
+        round(coalesce(sum(contrib), lit(0.0)), roundTo).as("logw"))
+  }
 }

@@ -4606,6 +4606,71 @@ object Catalog {
           .as("kmv_inter"))
   }
 
+  // -------------------------------------------------- DSIR importance weights
+  /** Importance-resampling scores for target-domain selection (DSIR,
+    * Xie et al. 2023): hashed-bigram bucket distributions of the
+    * target subset (lang = 'en') vs the whole corpus, per-doc
+    * Σ ln(p/q) with add-one smoothing — md5 buckets, so the oracle
+    * replays every weight. Two bounded bucket aggregates broadcast
+    * onto the feature stream; text never shuffles. */
+  val q139Dsir = q("q139_dsir_weights",
+    "DSIR-style importance log-weights vs a target domain over hashed bigrams (north star: data selection)",
+    """WITH base AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS l
+      |  FROM documents),
+      |tok AS (SELECT doc_id, tgt, l[i] AS w, i
+      |        FROM base, UNNEST(generate_series(1, len(l))) AS t(i)),
+      |big AS (
+      |  SELECT doc_id, tgt,
+      |         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS f
+      |  FROM tok),
+      |feats AS (
+      |  SELECT doc_id, tgt,
+      |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+      |  FROM big WHERE f IS NOT NULL),
+      |counts AS (
+      |  SELECT b, count(*) AS cr,
+      |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+      |  FROM feats GROUP BY b),
+      |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+      |scores AS (
+      |  SELECT f.doc_id, count(*) AS n_feats,
+      |         round(sum(ln(CAST((c.ct + 1) * (t.nr + 1024) AS DOUBLE)
+      |                      / CAST((c.cr + 1) * (t.nt + 1024) AS DOUBLE))), 4) AS logw
+      |  FROM feats f JOIN counts c ON f.b = c.b, tot t
+      |  GROUP BY f.doc_id)
+      |SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+      |       coalesce(s.logw, 0.0) AS logw
+      |FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id""".stripMargin) { (s, d) =>
+    Splits.dsirLogWeights(Tables.documents(s, d), "doc_id", "text",
+      targetFilter = col("lang") === "en", buckets = 1024)
+  }
+
+  // --------------------------------------------------- hard-negative mining
+  /** Contrastive-training prep: per query embedding, the top-5 most
+    * similar vectors with a DIFFERENT label. The label predicate
+    * rides the join, before ranking — post-filtering a generic top-k
+    * under-fills exactly where negatives crowd the neighborhood. */
+  val q140HardNegatives = q("q140_hard_negatives",
+    "Hard-negative mining: most-similar different-label neighbors per query (north star: training data)",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS ql
+      |           FROM embeddings WHERE vec_id % 25 = 0),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+      |                                      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 5""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.hardNegatives(e, e.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", "label", k = 5, roundTo = 4)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4640,5 +4705,5 @@ object Catalog {
     q124IncrementalImage, q125CountMin, q126Bm25, q127DomainCaps,
     q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
     q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps,
-    q138KmvOverlap)
+    q138KmvOverlap, q139Dsir, q140HardNegatives)
 }

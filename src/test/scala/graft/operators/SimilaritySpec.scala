@@ -397,4 +397,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(0)._2.isEmpty && out(0)._3 === Array(0, 0))
     assert(out(1)._2.isEmpty && out(1)._3 === Array.empty[Int])
   }
+
+  test("hardNegatives: only different-label neighbors, nearest first, fills k when possible") {
+    // label 0 cluster around (1,0); label 1 around (0,1); one label-0
+    // vector sits INSIDE the label-1 cluster — the hardest negative
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.05f, 1.0f), 0),  // label-0 planted inside cluster 1
+      (10L, Array(0.0f, 1.0f), 1),
+      (11L, Array(0.1f, 0.9f), 1),
+      (12L, Array(1.0f, 0.05f), 1)  // label-1 planted inside cluster 0
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(rows,
+      rows.filter($"vec_id" === 1L), "vec_id", "embedding", "label",
+      k = 2, roundTo = 4)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(out.length === 2)
+    // the planted inside-cluster negative is the hardest
+    assert(out(0)._2 === 12L, s"expected 12 first, got ${out.toSeq}")
+    assert(out.forall(_._2 >= 10L), s"same-label leak: ${out.toSeq}")
+    assert(out(0)._3 > out(1)._3)
+  }
 }

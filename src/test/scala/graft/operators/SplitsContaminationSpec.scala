@@ -215,4 +215,28 @@ class SplitsContaminationSpec extends SparkSpecBase {
     // budgets: floor(0.75*200)=150, floor(0.25*200)=50 → 15 and 5 docs
     assert(spent("big") === 150L && spent("small") === 50L)
   }
+
+  test("dsirLogWeights: target-like docs outrank off-target; featureless docs score 0") {
+    // target domain speaks in (alpha beta) bigrams; off-target in (zeta eta)
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", true),
+      (2L, "alpha beta alpha beta gamma", true),
+      (3L, "zeta eta zeta eta zeta eta", false),
+      (4L, "alpha beta alpha beta alpha", false), // raw doc that LOOKS in-domain
+      (5L, "zeta eta zeta eta", false),
+      (6L, "solo", false),                        // one token → no bigrams
+      (7L, null.asInstanceOf[String], false)
+    ).toDF("doc_id", "text", "tgt")
+    val out = Splits.dsirLogWeights(docs, "doc_id", "text",
+      targetFilter = col("tgt"), buckets = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // in-domain-looking docs score strictly above off-target ones
+    assert(out(4L)._2 > out(3L)._2,
+      s"target-like ${out(4L)} should outrank off-target ${out(3L)}")
+    assert(out(1L)._2 > out(5L)._2)
+    // featureless docs survive with zero features and zero weight
+    assert(out(6L) === ((0L, 0.0)) && out(7L) === ((0L, 0.0)))
+    // every doc comes back exactly once
+    assert(out.size === 7)
+  }
 }
