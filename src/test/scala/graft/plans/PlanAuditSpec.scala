@@ -356,4 +356,37 @@ class PlanAuditSpec extends SparkSpecBase {
           s"(shuffled hash or broadcast):\n$plan")
     }
   }
+
+  test("q136 audio fingerprint: per-partition decode, one grouping shuffle") {
+    val plan = planOf("q136_audio_fingerprint")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+    assert(shuffles(plan) <= 2, s"fingerprint grouping grew shuffles:\n$plan")
+  }
+
+  test("q137 cluster representatives: keep-best is an aggregation, not a window") {
+    val plan = planOf("q137_cluster_representatives")
+    assert(!plan.contains("Window"),
+      s"keep-best must stay a MAX aggregate (window = a viral cluster " +
+        s"in one task):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q138/q140 sketch overlap and hard negatives: bounded heaps, no windows") {
+    for (name <- Seq("q138_kmv_overlap", "q140_hard_negatives")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Window"), s"$name:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost the typed bounded-heap aggregation:\n$plan")
+    }
+  }
+
+  test("q139 DSIR: scan-side features, keyed aggregates, broadcast stats") {
+    val plan = planOf("q139_dsir_weights")
+    assert(!plan.contains("Window"),
+      s"bigram features must stay the codegen'd WordNgrams pass:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // feature counts, totals, per-doc score — keyed exchanges only
+    assert(shuffles(plan) <= 5, plan)
+  }
 }
