@@ -121,6 +121,11 @@ object PlantedPng {
   def toneWav(freqs: org.apache.spark.sql.catalyst.util.ArrayData,
               amp: Double, perSeg: Int): Array[Byte] = {
     val nSeg = freqs.numElements()
+    // null-propagate like the column mux this replaced: a null freq
+    // element must yield NULL bytes, never a silent silence segment
+    // (getDouble on a null slot would read 0.0)
+    var j = 0
+    while (j < nSeg) { if (freqs.isNullAt(j)) return null; j += 1 }
     val n = nSeg * perSeg
     val dataSize = 2 * n
     val out = new Array[Byte](44 + dataSize)
@@ -201,7 +206,8 @@ case class PlantedToneWav(left: Expression, right: Expression, perSeg: Int)
       amp.asInstanceOf[Double], perSeg)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (f, a) =>
-      s"${ev.value} = graft.functions.PlantedPng.toneWav($f, $a, $perSeg);")
+      s"""${ev.value} = graft.functions.PlantedPng.toneWav($f, $a, $perSeg);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): PlantedToneWav =
     copy(left = newLeft, right = newRight)

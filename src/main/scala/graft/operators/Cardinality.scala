@@ -77,20 +77,24 @@ object Cardinality {
     * of K present in BOTH input sketches estimates |A∩B| / |A∪B|.
     * Denominator is |K| (= min(k, |A∪B|)): under k distinct hashes
     * the sketches ARE the sets and the estimate is exact. */
-  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
-    val u = kmvUnionSketch(a, b, k)
+  def kmvJaccard(a: Column, b: Column, k: Int): Column =
+    jaccardOfUnion(kmvUnionSketch(a, b, k), a, b)
+
+  private def jaccardOfUnion(u: Column, a: Column, b: Column): Column =
     when(size(u) === 0, lit(0.0))
       .otherwise(
         size(array_intersect(array_intersect(u, a), b)).cast("double") /
           size(u).cast("double"))
-  }
 
   /** Intersection-size estimate: Ĵ · D̂(A ∪ B) — how two 100 TB
     * streams' distinct-key overlap (join cardinality, audience
     * overlap) is estimated from two k-long arrays without scanning
-    * either stream again. */
-  def kmvIntersection(a: Column, b: Column, k: Int): Column =
-    kmvJaccard(a, b, k) * kmvEstimate(kmvUnionSketch(a, b, k), k)
+    * either stream again. The union sketch is built once and shared
+    * by both factors. */
+  def kmvIntersection(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnionSketch(a, b, k)
+    jaccardOfUnion(u, a, b) * kmvEstimate(u, k)
+  }
 
   /** Report: per-group exact distinct count (the ground truth a
     * grouped report can afford) next to the KMV estimate — the q131

@@ -508,9 +508,20 @@ object Layout {
     * ~10⁵ files), so the collect is driver-safe by construction —
     * same bounded-collect contract as the percentile boundaries. */
   def pruneFiles(manifest: DataFrame, c: String,
-                 lo: Column, hi: Column): Seq[String] =
+                 lo: Column, hi: Column): Seq[String] = {
+    // a not-yet-materialized manifest (streaming sink before its first
+    // non-empty batch) has no stat columns — that is "no files", not
+    // an unresolved-column error; a NON-empty manifest missing the
+    // stat columns is a caller bug and stays loud
+    if (!manifest.columns.contains(s"${c}_min")) {
+      require(manifest.isEmpty,
+        s"manifest has rows but no ${c}_min/${c}_max stats — built for " +
+          s"different columns?")
+      return Nil
+    }
     manifest.filter(col(s"${c}_max") >= lo && col(s"${c}_min") <= hi)
       .select(col("file")).collect().map(_.getString(0)).toSeq
+  }
 
   /** Incremental zone-map maintenance: stats for a batch of NEWLY
     * written files union into the manifest — appended files never

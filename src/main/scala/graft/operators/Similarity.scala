@@ -96,11 +96,6 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
-  /** Final ranking via the bounded-heap TopKAggregator, NOT a window:
-    * row_number over a per-query partition sorts the entire corpus in
-    * one task at scale, while the aggregator reduces each scan
-    * partition to ≤ k candidates map-side — the shuffle carries
-    * k × partitions rows per query. */
   /** Hard-negative mining for metric/contrastive training: per query
     * vector, the k MOST similar corpus vectors carrying a DIFFERENT
     * label — the near-miss negatives that make embedding training
@@ -123,6 +118,11 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** Final ranking via the bounded-heap TopKAggregator, NOT a window:
+    * row_number over a per-query partition sorts the entire corpus in
+    * one task at scale, while the aggregator reduces each scan
+    * partition to ≤ k candidates map-side — the shuffle carries
+    * k × partitions rows per query. */
   private def topKPerKey(scored: DataFrame, keyCol: String, k: Int): DataFrame =
     scored.groupBy(col(keyCol))
       .agg(TopK.top_k(k)(col("cos"), col("neighbor_id")).as("top"))

@@ -408,9 +408,17 @@ object Streaming {
 
   /** Resolve the live manifest of a [[zoneMapIngestSink]] table:
     * union of every epoch's file stats (file paths are absolute —
-    * they point into the corpus epoch partitions directly). */
+    * they point into the corpus epoch partitions directly). A
+    * manifest that does not exist yet — a sink whose batches were all
+    * empty so far — reads as an EMPTY manifest (the same guard the
+    * boilerplate/IVF readers apply), carrying only the stat-less
+    * (file, n_rows) columns; `Layout.pruneFiles` resolves that to
+    * "no files" rather than failing. */
   def zoneMapManifestRead(spark: SparkSession, manifestPath: String): DataFrame =
-    spark.read.parquet(manifestPath).drop("_epoch")
+    if (graft.sources.Fs.exists(spark, manifestPath))
+      spark.read.parquet(manifestPath).drop("_epoch")
+    else emptyFrame(spark, StructType(Seq(
+      StructField("file", StringType), StructField("n_rows", LongType))))
 
   def boilerplateIngestSink(stream: DataFrame, spark: SparkSession,
                             corpusPath: String, indexPath: String,
