@@ -208,22 +208,67 @@ object Splits {
     */
   def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
                      targetFilter: Column, buckets: Int = 1024,
-                     roundTo: Int = 4): DataFrame = {
+                     roundTo: Int = 4): DataFrame =
+    dsirScore(dsirFeats(df, idCol, textCol, targetFilter, buckets),
+      dsirIndex(df, idCol, textCol, targetFilter, buckets),
+      idCol, buckets, roundTo)
+
+  /** One (idCol, _tgt, _b) row per hashed bigram occurrence —
+    * THE feature extraction all DSIR paths share (the same
+    * single-definition rule the boilerplate segmentation follows), so
+    * full and incremental runs bucket byte-identically. Feature-less
+    * docs keep their one null-bucket row (explode_outer) and survive
+    * to the output contract. */
+  private def dsirFeats(df: DataFrame, idCol: String, textCol: String,
+                        targetFilter: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be > 0")
-    val feats = df.select(col(idCol), targetFilter.as("_tgt"),
+    df.select(col(idCol), targetFilter.as("_tgt"),
         explode_outer(graft.functions.TextFunctions.bigrams(col(textCol)))
           .as("_f"))
       .withColumn("_b", when(col("_f").isNotNull,
         splitBucket(col("_f"), buckets)))
-    val counts = feats.filter(col("_b").isNotNull)
+  }
+
+  /** Persisted DSIR feature index: per-bucket raw and target
+    * occurrence counts — ≤ `buckets` fixed-width rows whatever the
+    * corpus size, the table a 100 TB pipeline writes once at
+    * corpus-build time and every later batch scores against. Like
+    * the other persisted indexes (band keys, line counts, benchmark
+    * grams), the schema records neither `buckets` nor the bigram
+    * definition — persist them next to the index path; a mismatched
+    * probe silently mis-buckets. */
+  def dsirIndex(df: DataFrame, idCol: String, textCol: String,
+                targetFilter: Column, buckets: Int = 1024): DataFrame =
+    dsirFeats(df, idCol, textCol, targetFilter, buckets)
+      .filter(col("_b").isNotNull)
       .groupBy(col("_b"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"))
-    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+
+  /** Score a NEW batch against a stored index — the daily-batch shape
+    * of the persisted-index family: the reference corpora are never
+    * re-read; the batch's feature stream joins ≤ `buckets` broadcast
+    * count rows. Equals [[dsirLogWeights]] over the index's own
+    * corpus bit-for-bit when scoring that corpus (spec-pinned). */
+  def dsirScoreWithIndex(batch: DataFrame, idCol: String, textCol: String,
+                         index: DataFrame, buckets: Int = 1024,
+                         roundTo: Int = 4): DataFrame =
+    dsirScore(dsirFeats(batch, idCol, textCol, lit(false), buckets),
+      index, idCol, buckets, roundTo)
+
+  private def dsirScore(feats: DataFrame, counts: DataFrame, idCol: String,
+                        buckets: Int, roundTo: Int): DataFrame = {
+    val totals = counts.agg(
+      coalesce(sum(col("cr")), lit(0L)).as("nr"),
+      coalesce(sum(col("ct")), lit(0L)).as("nt"))
     val b = lit(buckets.toLong)
-    val contrib = log(
-      ((col("ct") + 1L) * (col("nr") + b)).cast("double") /
-        ((col("cr") + 1L) * (col("nt") + b)).cast("double"))
+    // buckets the index never saw (a batch bigram absent from the
+    // corpus) smooth as ct = cr = 0, exactly like add-one smoothing
+    // says — NOT silently dropped from the sum; the when() keeps the
+    // explode_outer null-feature row contribution-free
+    val contrib = when(col("_b").isNotNull, log(
+      ((coalesce(col("ct"), lit(0L)) + 1L) * (col("nr") + b)).cast("double") /
+        ((coalesce(col("cr"), lit(0L)) + 1L) * (col("nt") + b)).cast("double")))
     feats
       .join(broadcast(counts), Seq("_b"), "left")
       .crossJoin(broadcast(totals))

@@ -4671,6 +4671,54 @@ object Catalog {
       "vec_id", "embedding", "label", k = 5, roundTo = 4)
   }
 
+  // --------------------------------------------- incremental DSIR scoring
+  /** The daily-batch shape for data selection: bucket counts from the
+    * corpus persist as a ≤1024-row index; a new batch scores against
+    * it without the corpus ever being re-read. Unseen buckets smooth
+    * as zero counts (add-one), not silent drops — the oracle's LEFT
+    * JOIN replays exactly that. */
+  val q141IncrementalDsir = q("q141_incremental_dsir",
+    "Batch DSIR scoring against a persisted bucket-count index (north star: incremental data selection)",
+    """WITH base AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS l
+      |  FROM documents),
+      |tok AS (SELECT doc_id, tgt, l[i] AS w, i
+      |        FROM base, UNNEST(generate_series(1, len(l))) AS t(i)),
+      |big AS (
+      |  SELECT doc_id, tgt,
+      |         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS f
+      |  FROM tok),
+      |feats AS (
+      |  SELECT doc_id, tgt,
+      |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+      |  FROM big WHERE f IS NOT NULL),
+      |counts AS (
+      |  SELECT b, count(*) AS cr,
+      |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+      |  FROM feats WHERE doc_id % 3 <> 0 GROUP BY b),
+      |tot AS (SELECT coalesce(sum(cr), 0) AS nr, coalesce(sum(ct), 0) AS nt
+      |        FROM counts),
+      |scores AS (
+      |  SELECT f.doc_id, count(*) AS n_feats,
+      |         round(sum(ln(CAST((coalesce(c.ct, 0) + 1) * (t.nr + 1024) AS DOUBLE)
+      |                      / CAST((coalesce(c.cr, 0) + 1) * (t.nt + 1024) AS DOUBLE))), 4)
+      |           AS logw
+      |  FROM feats f LEFT JOIN counts c ON f.b = c.b, tot t
+      |  WHERE f.doc_id % 3 = 0
+      |  GROUP BY f.doc_id)
+      |SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+      |       coalesce(s.logw, 0.0) AS logw
+      |FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+      |WHERE d.doc_id % 3 = 0""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val index = Splits.dsirIndex(corpus, "doc_id", "text",
+      targetFilter = col("lang") === "en", buckets = 1024)
+    Splits.dsirScoreWithIndex(batch, "doc_id", "text", index, buckets = 1024)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4705,5 +4753,5 @@ object Catalog {
     q124IncrementalImage, q125CountMin, q126Bm25, q127DomainCaps,
     q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
     q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps,
-    q138KmvOverlap, q139Dsir, q140HardNegatives)
+    q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir)
 }

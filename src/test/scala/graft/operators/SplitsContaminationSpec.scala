@@ -239,4 +239,59 @@ class SplitsContaminationSpec extends SparkSpecBase {
     // every doc comes back exactly once
     assert(out.size === 7)
   }
+
+  test("dsirScoreWithIndex over the index's own corpus equals the full run bit-for-bit") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "gamma delta gamma", true),
+      (3L, "zeta eta zeta eta", false),
+      (4L, "alpha beta gamma delta", false),
+      (5L, "solo", false)
+    ).toDF("doc_id", "text", "tgt")
+    val full = Splits.dsirLogWeights(docs, "doc_id", "text",
+      col("tgt"), buckets = 64)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val viaIndex = Splits.dsirScoreWithIndex(docs, "doc_id", "text",
+      Splits.dsirIndex(docs, "doc_id", "text", col("tgt"), 64), buckets = 64)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(viaIndex === full)
+  }
+
+  test("dsirScoreWithIndex: buckets the index never saw smooth as zero counts, not drops") {
+    val corpus = Seq((1L, "alpha beta alpha beta", true),
+      (2L, "gamma delta", false)).toDF("doc_id", "text", "tgt")
+    val idx = Splits.dsirIndex(corpus, "doc_id", "text", col("tgt"), 64)
+    val batch = Seq((10L, "never seen bigrams here")).toDF("doc_id", "text")
+      .withColumn("tgt", lit(false))
+    val Array((_, nFeats, logw)) =
+      Splits.dsirScoreWithIndex(batch, "doc_id", "text", idx, buckets = 64)
+        .as[(Long, Long, Double)].collect()
+    assert(nFeats === 3L)
+    // replicate the contract in plain Scala: md5-bucket every bigram,
+    // count the corpus, smooth unseen buckets as zero
+    def bucket(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def bigramsOf(t: String): Seq[String] =
+      t.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val corpusFeats = Seq(("alpha beta alpha beta", true),
+      ("gamma delta", false)).flatMap { case (t, tgt) =>
+      bigramsOf(t).map(f => (bucket(f), tgt)) }
+    val cr = corpusFeats.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = corpusFeats.filter(_._2).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val nr = corpusFeats.size.toLong
+    val nt = corpusFeats.count(_._2).toLong
+    val raw = bigramsOf("never seen bigrams here").map { f =>
+      val b = bucket(f)
+      math.log(((ct.getOrElse(b, 0L) + 1) * (nr + 64)).toDouble /
+        ((cr.getOrElse(b, 0L) + 1) * (nt + 64)).toDouble)
+    }.sum
+    val expected = BigDecimal(raw)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(logw - expected) < 2e-4,
+      s"unseen-bucket smoothing: got $logw expected ~$expected")
+  }
 }
