@@ -195,6 +195,65 @@ object Dedup {
     reassembleLines(marked, idCol, sep)
   }
 
+  /** Persisted first-occurrence index for [[dedupLinesAcrossCorpus]]
+    * — (fp, wid, wpos): the earliest (doc, pos) each distinct line was
+    * seen at, one fixed-width row per DISTINCT line, never the text.
+    * The incremental probe and the streaming shape both resolve
+    * keep/drop against this table without re-reading the corpus. */
+  def lineFirstOccIndex(df: DataFrame, idCol: String, textCol: String,
+                        sep: String, minLineLen: Int = 1): DataFrame =
+    lineSegs(df, idCol, textCol, sep)
+      .filter(length(col("seg")) >= minLineLen)
+      .groupBy(col("fp"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col("fp"), col(s"w.$idCol").as("wid"), col("w.pos").as("wpos"))
+
+  /** Incremental keep-first line dedup — the daily-batch shape for
+    * [[dedupLinesAcrossCorpus]]: clean ONLY the batch against the
+    * stored corpus index + the batch's own first occurrences. A batch
+    * line drops iff the corpus already holds its line (any corpus
+    * occurrence precedes the whole batch) or an earlier batch
+    * position holds it. Equals the full run over corpus ∪ batch
+    * restricted to the batch's documents — PROVIDED every corpus id
+    * precedes every batch id (the append-only contract; ingest order
+    * IS the id order in this family) and sep/minLineLen match the
+    * index build (the schema records neither — persist them next to
+    * the index path). Spec-pinned.
+    *
+    * @return (idCol, clean_text, n_removed) — one row per batch doc
+    */
+  def incrementalDedupLines(batch: DataFrame, idCol: String, textCol: String,
+                            index: DataFrame, sep: String,
+                            minLineLen: Int = 1): DataFrame = {
+    val segs = lineSegs(batch, idCol, textCol, sep)
+    val batchFirst = segs.filter(length(col("seg")) >= minLineLen)
+      .groupBy(col("fp"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col("fp"), col(s"w.$idCol").as("_bwid"), col("w.pos").as("_bwpos"))
+    val marked = segs
+      .join(index.select(col("fp"), lit(true).as("_inCorpus")), Seq("fp"), "left")
+      .join(batchFirst, Seq("fp"), "left")
+      .withColumn("_boiler", when(
+        col("_inCorpus").isNotNull ||
+          (col("_bwid").isNotNull &&
+            (col("_bwid") =!= col(idCol) || col("_bwpos") =!= col("pos"))),
+        lit(true)))
+      .drop("_inCorpus", "_bwid", "_bwpos")
+    reassembleLines(marked, idCol, sep)
+  }
+
+  /** Fold a LATER batch's first occurrences into an existing index:
+    * the stored (earlier) occurrence wins every collision — under the
+    * append-only id contract the stored side is always earlier, so
+    * this equals rebuilding over the union (spec-pinned). */
+  def lineFirstOccIndexMerge(index: DataFrame, batchIndex: DataFrame): DataFrame =
+    index.select(col("fp"), col("wid"), col("wpos"), lit(0).as("_src"))
+      .unionByName(batchIndex.select(col("fp"), col("wid"), col("wpos"),
+        lit(1).as("_src")))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("_src"), col("wid"), col("wpos"))).as("w"))
+      .select(col("fp"), col("w.wid").as("wid"), col("w.wpos").as("wpos"))
+
   /** Persisted line-frequency index for boilerplate removal — the
     * table a 100 TB pipeline writes once at corpus-build time:
     * (fp, n_docs), one fixed-width row per DISTINCT line, never the

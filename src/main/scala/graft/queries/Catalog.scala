@@ -4719,6 +4719,45 @@ object Catalog {
     Splits.dsirScoreWithIndex(batch, "doc_id", "text", index, buckets = 1024)
   }
 
+  // ------------------------------------------ incremental line dedup
+  /** q128's daily-batch shape: the corpus persists a first-occurrence
+    * index; the batch dedups against it without the corpus being
+    * re-read. The oracle IS the equivalence contract — the FULL
+    * keep-first run over everything, restricted to the batch's
+    * documents (valid because the id threshold puts every corpus id
+    * before every batch id — the append-only ingest-order contract
+    * the operator documents). */
+  val q142IncrementalLineDedup = q("q142_incremental_line_dedup",
+    "Incremental keep-first line dedup against a persisted first-occurrence index (north star: incremental dedup)",
+    """WITH t AS (SELECT max(doc_id) * 7 // 10 AS cut FROM documents),
+      |seg AS (
+      |  SELECT doc_id, l[i] AS seg, i AS pos
+      |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' the ') AS l FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS t(i)),
+      |first_occ AS (
+      |  SELECT seg, doc_id AS wid, pos AS wpos FROM (
+      |    SELECT seg, doc_id, pos,
+      |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      |    FROM seg WHERE len(seg) >= 1) WHERE rn = 1)
+      |SELECT s.doc_id,
+      |       coalesce(string_agg(CASE WHEN f.seg IS NULL
+      |                    OR (s.doc_id = f.wid AND s.pos = f.wpos)
+      |                  THEN s.seg END, ' the ' ORDER BY s.pos), '') AS clean_text,
+      |       count(CASE WHEN f.seg IS NOT NULL
+      |                    AND NOT (s.doc_id = f.wid AND s.pos = f.wpos)
+      |                  THEN 1 END) AS n_removed
+      |FROM seg s LEFT JOIN first_occ f ON s.seg = f.seg, t
+      |WHERE s.doc_id > t.cut
+      |GROUP BY s.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val cut = docs.agg(max("doc_id")).head.getLong(0) * 7 / 10
+    val corpus = docs.filter(col("doc_id") <= cut)
+    val batch = docs.filter(col("doc_id") > cut)
+    Dedup.incrementalDedupLines(batch, "doc_id", "text",
+      Dedup.lineFirstOccIndex(corpus, "doc_id", "text", sep = " the "),
+      sep = " the ")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4753,5 +4792,6 @@ object Catalog {
     q124IncrementalImage, q125CountMin, q126Bm25, q127DomainCaps,
     q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
     q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps,
-    q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir)
+    q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir,
+    q142IncrementalLineDedup)
 }

@@ -104,6 +104,38 @@ class CurationSpec extends SparkSpecBase {
     assert(e.getMessage.contains("non-negative"), e.getMessage)
   }
 
+  test("incrementalDedupLines ≡ full keep-first run restricted to the batch; index merge rebuilds") {
+    val corpus = Seq(
+      (1L, "alpha\nshared para\nbeta"),
+      (2L, "own two\nshared para")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "shared para\nnew line\nnew line"), // corpus dup + batch-internal dup
+      (11L, "new line\nfresh"),
+      (12L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val idx = Dedup.lineFirstOccIndex(corpus, "doc_id", "text", "\n")
+    val inc = Dedup.incrementalDedupLines(batch, "doc_id", "text", idx, "\n")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val full = Dedup.dedupLinesAcrossCorpus(
+      corpus.unionByName(batch), "doc_id", "text", "\n")
+      .filter(col("doc_id") >= 10L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(inc === full, s"incremental ${inc.mkString(";")} vs full ${full.mkString(";")}")
+    assert(inc === Array(
+      (10L, "new line", 2L),
+      (11L, "fresh", 1L),
+      (12L, "", 0L)))
+    // folding the batch's own index in equals a rebuild over the union
+    val merged = Dedup.lineFirstOccIndexMerge(idx,
+      Dedup.lineFirstOccIndex(batch, "doc_id", "text", "\n"))
+    val rebuilt = Dedup.lineFirstOccIndex(
+      corpus.unionByName(batch), "doc_id", "text", "\n")
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty,
+      "merged index diverges from whole-corpus rebuild")
+  }
+
   test("dedupLinesAcrossCorpus: minLineLen exempts short lines (blank breaks recur untouched)") {
     val docs = Seq(
       (1L, "para one\n\nshared tail"),

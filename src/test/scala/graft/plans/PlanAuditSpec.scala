@@ -381,12 +381,22 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
-  test("q139 DSIR: scan-side features, keyed aggregates, broadcast stats") {
-    val plan = planOf("q139_dsir_weights")
+  test("q139/q141 DSIR: scan-side features, keyed aggregates, broadcast stats") {
+    for (name <- Seq("q139_dsir_weights", "q141_incremental_dsir")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Window"),
+        s"$name bigram features must stay the codegen'd WordNgrams pass:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      // feature counts, totals, per-doc score — keyed exchanges only
+      assert(shuffles(plan) <= 5, s"$name:\n$plan")
+    }
+  }
+
+  test("q142 incremental line dedup: first-occurrence stays an aggregation, not a window") {
+    val plan = planOf("q142_incremental_line_dedup")
     assert(!plan.contains("Window"),
-      s"bigram features must stay the codegen'd WordNgrams pass:\n$plan")
-    assert(!plan.contains("CartesianProduct"), plan)
-    // feature counts, totals, per-doc score — keyed exchanges only
-    assert(shuffles(plan) <= 5, plan)
+      s"first-occurrence must stay a MIN aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }
