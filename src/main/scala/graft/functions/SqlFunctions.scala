@@ -44,5 +44,18 @@ object SqlFunctions {
       exprs => TopFreqFraction(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_token_counts",
       exprs => TokenCounts(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs.head), "built-in")
+    // the blocklist compiles per CALL SITE from string literals —
+    // the automaton builds once at plan time and rides codegen, so
+    // SQL users get the same one-pass scan as the Scala API
+    reg.createOrReplaceTempFunction("graft_blocklist_counts",
+      exprs => BlocklistCounts(exprs.head, Blocklist.compile(
+        exprs.tail.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"blocklist patterns must be string literals, got $other")
+        })), "built-in")
   }
 }

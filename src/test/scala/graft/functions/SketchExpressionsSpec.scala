@@ -81,6 +81,12 @@ class SketchExpressionsSpec extends SparkSpecBase {
     assert(row3.getInt(1) === 3)
     assert(row3.getDouble(2) === 0.25)
     assert(row3.getLong(3) === 1L)
+    val row4 = spark.sql(
+      """SELECT graft_nfc('café') AS n,
+        |       graft_blocklist_counts('he said hello', 'he', 'hello') AS bc
+        |FROM sqlfn_t""".stripMargin).head()
+    assert(row4.getString(0) === "café")
+    assert(row4.getSeq[Long](1) === Seq(2L, 1L))
   }
 
   test("word_ngrams: shingle semantics (dedup, whole-doc fallback)") {
