@@ -222,14 +222,19 @@ object Dedup {
     *
     * @return (idCol, clean_text, n_removed) — one row per batch doc
     */
+  /** @param batchIndex the batch's own first occurrences, if the
+    *        caller already built them (MUST be
+    *        `lineFirstOccIndex(batch)` under the same sep/minLineLen)
+    *        — the streaming sink passes its checkpointed index
+    *        partial so the batch is line-exploded once, not twice */
   def incrementalDedupLines(batch: DataFrame, idCol: String, textCol: String,
                             index: DataFrame, sep: String,
-                            minLineLen: Int = 1): DataFrame = {
+                            minLineLen: Int = 1,
+                            batchIndex: Option[DataFrame] = None): DataFrame = {
     val segs = lineSegs(batch, idCol, textCol, sep)
-    val batchFirst = segs.filter(length(col("seg")) >= minLineLen)
-      .groupBy(col("fp"))
-      .agg(min(struct(col(idCol), col("pos"))).as("w"))
-      .select(col("fp"), col(s"w.$idCol").as("_bwid"), col("w.pos").as("_bwpos"))
+    val batchFirst = batchIndex
+      .getOrElse(lineFirstOccIndex(batch, idCol, textCol, sep, minLineLen))
+      .select(col("fp"), col("wid").as("_bwid"), col("wpos").as("_bwpos"))
     val marked = segs
       .join(index.select(col("fp"), lit(true).as("_inCorpus")), Seq("fp"), "left")
       .join(batchFirst, Seq("fp"), "left")
@@ -253,6 +258,40 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(struct(col("_src"), col("wid"), col("wpos"))).as("w"))
       .select(col("fp"), col("w.wid").as("wid"), col("w.wpos").as("wpos"))
+
+  /** Read a LOG-STRUCTURED stored first-occurrence index: epoch
+    * partitions each hold one batch's (fp, wid, wpos) partial; the
+    * min (wid, wpos) per fingerprint is the corpus-wide first
+    * occurrence (exact under the append-only id-order contract — ids
+    * never interleave across epochs). `excludeEpoch` drops one
+    * epoch's partial before aggregating — the replay-idempotency hook
+    * the streaming sink needs. A flat index written directly from
+    * [[lineFirstOccIndex]] (no `_epoch` column) reads through the
+    * same call. */
+  def lineFirstOccIndexRead(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            excludeEpoch: Option[String] = None): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val scoped = excludeEpoch match {
+      case Some(e) =>
+        require(raw.columns.contains("_epoch"),
+          s"excludeEpoch set but $path has no _epoch partition column — " +
+            "bootstrap it with lineFirstOccIndexWrite (the _epoch=base " +
+            "layout) so epoch-scoped overwrites don't corrupt discovery")
+        raw.filter(col("_epoch") =!= lit(e))
+      case None => raw
+    }
+    scoped.groupBy(col("fp"))
+      .agg(min(struct(col("wid"), col("wpos"))).as("w"))
+      .select(col("fp"), col("w.wid").as("wid"), col("w.wpos").as("wpos"))
+  }
+
+  /** Bootstrap a STORED first-occurrence index in the layout the
+    * streaming sink appends to (an `_epoch=base` partition — same
+    * convention as the boilerplate/IVF index writers). */
+  def lineFirstOccIndexWrite(index: DataFrame, path: String): Unit =
+    index.withColumn("_epoch", lit("base"))
+      .write.partitionBy("_epoch").mode("overwrite").parquet(path)
 
   /** Persisted line-frequency index for boilerplate removal — the
     * table a 100 TB pipeline writes once at corpus-build time:

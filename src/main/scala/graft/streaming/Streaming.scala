@@ -5,7 +5,7 @@ import java.time.Duration
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.operators.{Dedup, Merge}
 
@@ -419,6 +419,59 @@ object Streaming {
       spark.read.parquet(manifestPath).drop("_epoch")
     else emptyFrame(spark, StructType(Seq(
       StructField("file", StringType), StructField("n_rows", LongType))))
+
+  /** Streaming keep-first line-dedup ingest — the streaming shape of
+    * `Dedup.incrementalDedupLines` (q142's family): each micro-batch
+    * is cleaned against the stored first-occurrence index + its own
+    * first occurrences, lands in the corpus, and appends its index
+    * partial — all under the shared epoch-scoped replay contract.
+    * The append-only id-order contract (corpus ids precede batch ids)
+    * is the caller's: ingest order IS the id order in this family.
+    * Same fresh-checkpoint refusal as the boilerplate sink: a reset
+    * checkpoint re-delivering ingested documents would find their own
+    * lines in the index and blank every re-delivered doc. */
+  def lineDedupIngestSink(stream: DataFrame, spark: SparkSession,
+                          corpusPath: String, indexPath: String,
+                          textCol: String, idCol: String,
+                          checkpoint: String, sep: String,
+                          minLineLen: Int = 1,
+                          allowForeignEpochs: Boolean = false): StreamingQuery = {
+    val marker = s"$checkpoint/graft-run-id"
+    require(graft.sources.Fs.exists(spark, marker) ||
+        !graft.sources.Fs.exists(spark, indexPath) || allowForeignEpochs,
+      s"lineDedupIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+        "already holds first-occurrence partials. If the source re-delivers " +
+        "ingested documents, their own lines would dedup them to empty. " +
+        "Restore the original checkpoint, rebuild corpus+index from raw " +
+        "sources, or — only if this run ingests strictly new documents — " +
+        "pass allowForeignEpochs = true")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val partial = Dedup.lineFirstOccIndex(
+          batch, idCol, textCol, sep, minLineLen).localCheckpoint(true)
+        try {
+          val index =
+            if (graft.sources.Fs.exists(spark, indexPath))
+              Dedup.lineFirstOccIndexRead(spark, indexPath,
+                excludeEpoch = Some(s"$token-$epochId"))
+            else emptyFrame(spark,
+              StructType(Seq(StructField("fp", StringType),
+                StructField("wid", LongType), StructField("wpos", IntegerType))))
+          val cleaned = Dedup.incrementalDedupLines(
+            batch, idCol, textCol, index, sep, minLineLen,
+            batchIndex = Some(partial))
+            .localCheckpoint(true)
+          try {
+            epochWrite(cleaned, corpusPath, token, epochId)
+            epochWrite(partial, indexPath, token, epochId)
+          } finally { cleaned.unpersist(); () }
+        } finally { partial.unpersist(); () }
+      }
+      .start()
+  }
 
   def boilerplateIngestSink(stream: DataFrame, spark: SparkSession,
                             corpusPath: String, indexPath: String,

@@ -543,6 +543,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(idx.nonEmpty)
   }
 
+  test("streaming line-dedup ingest ≡ full keep-first run over everything delivered") {
+    import graft.operators.Dedup
+    val src = Files.createTempDirectory("graft-ld-src").toString
+    val corpus = Files.createTempDirectory("graft-ld-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-ld-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-ld-ckp").toString
+    val batch1 = Seq((1L, "alpha\nshared para\nbeta"), (2L, "shared para\nown two"))
+    val batch2 = Seq((10L, "shared para\nnew line"), (11L, "new line\nfresh"))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.lineDedupIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "text", "doc_id", ckp, sep = "\n")
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val got = spark.read.parquet(corpus)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val want = Dedup.dedupLinesAcrossCorpus(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", "\n")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got === want, s"stream ${got.mkString(";")} vs batch ${want.mkString(";")}")
+    assert(got.map(r => r._1 -> r._2).toMap === Map(
+      1L -> "alpha\nshared para\nbeta", 2L -> "own two",
+      10L -> "new line", 11L -> "fresh"))
+    // a reset checkpoint against the kept index is refused loudly
+    val freshCkp = Files.createTempDirectory("graft-ld-ckp2").toString
+    val e = intercept[IllegalArgumentException] {
+      Streaming.lineDedupIngestSink(
+        Streaming.fileStream(spark,
+          spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+        spark, corpus, index, "text", "doc_id", freshCkp, sep = "\n")
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
+
   test("streaming zone-map ingest: manifest tracks each epoch's files, pruned read equals full filter") {
     import graft.operators.Layout
     val src = Files.createTempDirectory("graft-zm-src").toString
