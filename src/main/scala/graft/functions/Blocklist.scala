@@ -38,11 +38,24 @@ object Blocklist {
 
   /** Compiled automaton. `delta` is the dense transition table
     * (numStates × 256, fail links pre-applied); `outputs(s)` lists the
-    * pattern ids whose occurrence ends when state `s` is reached. */
+    * pattern ids whose occurrence ends when state `s` is reached.
+    * Equality is BY PATTERN LIST (the automaton is a pure function of
+    * it): expressions embedding an automaton must compare semantically
+    * equal across two compilations of the same literal list, or
+    * Catalyst rejects valid GROUP BY usage and loses subexpression
+    * elimination for repeated calls. */
   final class Automaton private[Blocklist] (
+      private[Blocklist] val patterns: Seq[String],
       val numPatterns: Int,
       private[Blocklist] val delta: Array[Int],
-      private[Blocklist] val outputs: Array[Array[Int]]) extends Serializable
+      private[Blocklist] val outputs: Array[Array[Int]]) extends Serializable {
+    override def equals(o: Any): Boolean = o match {
+      case a: Automaton => a.patterns == patterns
+      case _ => false
+    }
+    override def hashCode(): Int = patterns.hashCode()
+    override def toString: String = s"Automaton(${patterns.mkString(",")})"
+  }
 
   /** Build the deterministic Aho-Corasick automaton for `patterns`
     * (UTF-8 byte patterns; order defines the output count indexes). */
@@ -96,7 +109,8 @@ object Blocklist {
         c += 1
       }
     }
-    new Automaton(pats.length, delta, ends.take(nStates).map(_.toArray.sorted))
+    new Automaton(patterns.toList, pats.length, delta,
+      ends.take(nStates).map(_.toArray.sorted))
   }
 
   /** Hot-loop entry the generated code calls: per-pattern occurrence

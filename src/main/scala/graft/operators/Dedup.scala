@@ -182,10 +182,8 @@ object Dedup {
   def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
                              sep: String, minLineLen: Int = 1): DataFrame = {
     val segs = lineSegs(df, idCol, textCol, sep)
-    val firstOcc = segs.filter(length(col("seg")) >= minLineLen)
-      .groupBy(col("fp"))
-      .agg(min(struct(col(idCol), col("pos"))).as("w"))
-      .select(col("fp"), col(s"w.$idCol").as("_wid"), col("w.pos").as("_wpos"))
+    val firstOcc = segsFirstOcc(segs, idCol, minLineLen)
+      .select(col("fp"), col("wid").as("_wid"), col("wpos").as("_wpos"))
     val marked = segs.join(firstOcc, Seq("fp"), "left")
       .withColumn("_boiler", when(
         col("_wid").isNotNull &&
@@ -195,6 +193,19 @@ object Dedup {
     reassembleLines(marked, idCol, sep)
   }
 
+  /** Earliest (doc, pos) per line fingerprint over a [[lineSegs]]
+    * stream — THE first-occurrence definition the full run, the
+    * persisted index and the incremental probe all share (the same
+    * single-definition rule as [[lineSegs]]: a tie-break or filter
+    * drift between copies would silently diverge full vs incremental
+    * results). Lines under `minLineLen` are exempt and never appear. */
+  private def segsFirstOcc(segs: DataFrame, idCol: String,
+                           minLineLen: Int): DataFrame =
+    segs.filter(length(col("seg")) >= minLineLen)
+      .groupBy(col("fp"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col("fp"), col(s"w.$idCol").as("wid"), col("w.pos").as("wpos"))
+
   /** Persisted first-occurrence index for [[dedupLinesAcrossCorpus]]
     * — (fp, wid, wpos): the earliest (doc, pos) each distinct line was
     * seen at, one fixed-width row per DISTINCT line, never the text.
@@ -202,11 +213,7 @@ object Dedup {
     * keep/drop against this table without re-reading the corpus. */
   def lineFirstOccIndex(df: DataFrame, idCol: String, textCol: String,
                         sep: String, minLineLen: Int = 1): DataFrame =
-    lineSegs(df, idCol, textCol, sep)
-      .filter(length(col("seg")) >= minLineLen)
-      .groupBy(col("fp"))
-      .agg(min(struct(col(idCol), col("pos"))).as("w"))
-      .select(col("fp"), col(s"w.$idCol").as("wid"), col("w.pos").as("wpos"))
+    segsFirstOcc(lineSegs(df, idCol, textCol, sep), idCol, minLineLen)
 
   /** Incremental keep-first line dedup — the daily-batch shape for
     * [[dedupLinesAcrossCorpus]]: clean ONLY the batch against the
@@ -220,13 +227,13 @@ object Dedup {
     * index build (the schema records neither — persist them next to
     * the index path). Spec-pinned.
     *
-    * @return (idCol, clean_text, n_removed) — one row per batch doc
-    */
-  /** @param batchIndex the batch's own first occurrences, if the
+    * @param batchIndex the batch's own first occurrences, if the
     *        caller already built them (MUST be
     *        `lineFirstOccIndex(batch)` under the same sep/minLineLen)
     *        — the streaming sink passes its checkpointed index
-    *        partial so the batch is line-exploded once, not twice */
+    *        partial so the batch is line-exploded once, not twice
+    * @return (idCol, clean_text, n_removed) — one row per batch doc
+    */
   def incrementalDedupLines(batch: DataFrame, idCol: String, textCol: String,
                             index: DataFrame, sep: String,
                             minLineLen: Int = 1,
@@ -270,28 +277,40 @@ object Dedup {
     * same call. */
   def lineFirstOccIndexRead(spark: org.apache.spark.sql.SparkSession,
                             path: String,
-                            excludeEpoch: Option[String] = None): DataFrame = {
-    val raw = spark.read.parquet(path)
-    val scoped = excludeEpoch match {
-      case Some(e) =>
-        require(raw.columns.contains("_epoch"),
-          s"excludeEpoch set but $path has no _epoch partition column — " +
-            "bootstrap it with lineFirstOccIndexWrite (the _epoch=base " +
-            "layout) so epoch-scoped overwrites don't corrupt discovery")
-        raw.filter(col("_epoch") =!= lit(e))
-      case None => raw
-    }
-    scoped.groupBy(col("fp"))
+                            excludeEpoch: Option[String] = None): DataFrame =
+    epochScopedIndex(spark, path, excludeEpoch, "lineFirstOccIndexWrite")
+      .groupBy(col("fp"))
       .agg(min(struct(col("wid"), col("wpos"))).as("w"))
       .select(col("fp"), col("w.wid").as("wid"), col("w.wpos").as("wpos"))
-  }
 
   /** Bootstrap a STORED first-occurrence index in the layout the
     * streaming sink appends to (an `_epoch=base` partition — same
     * convention as the boilerplate/IVF index writers). */
   def lineFirstOccIndexWrite(index: DataFrame, path: String): Unit =
+    epochBaseWrite(index, path)
+
+  /** THE epoch-layout conventions every log-structured index family
+    * shares — one copy of the bootstrap write and the epoch-scoped
+    * read filter, so a layout change lands everywhere at once. */
+  private def epochBaseWrite(index: DataFrame, path: String): Unit =
     index.withColumn("_epoch", lit("base"))
       .write.partitionBy("_epoch").mode("overwrite").parquet(path)
+
+  private def epochScopedIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, excludeEpoch: Option[String],
+                               bootstrapName: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    excludeEpoch match {
+      case Some(e) =>
+        require(raw.columns.contains("_epoch"),
+          s"excludeEpoch set but $path has no _epoch partition column — " +
+            s"a flat index cannot back the streaming sink (mixed flat + " +
+            s"partitioned layouts break discovery); bootstrap it with " +
+            s"$bootstrapName, which writes the _epoch=base layout")
+        raw.filter(col("_epoch") =!= lit(e))
+      case None => raw
+    }
+  }
 
   /** Persisted line-frequency index for boilerplate removal — the
     * table a 100 TB pipeline writes once at corpus-build time:
@@ -321,20 +340,9 @@ object Dedup {
     * `_epoch` column) reads through the same call. */
   def boilerplateIndexRead(spark: org.apache.spark.sql.SparkSession,
                            path: String,
-                           excludeEpoch: Option[String] = None): DataFrame = {
-    val raw = spark.read.parquet(path)
-    val scoped = excludeEpoch match {
-      case Some(e) =>
-        require(raw.columns.contains("_epoch"),
-          s"excludeEpoch set but $path has no _epoch partition column — " +
-            "a flat index cannot back the streaming sink (mixed flat + " +
-            "partitioned layouts break discovery); bootstrap it with " +
-            "boilerplateIndexWrite, which writes the _epoch=base layout")
-        raw.filter(col("_epoch") =!= lit(e))
-      case None => raw
-    }
-    scoped.groupBy(col("fp")).agg(sum(col("n_docs")).as("n_docs"))
-  }
+                           excludeEpoch: Option[String] = None): DataFrame =
+    epochScopedIndex(spark, path, excludeEpoch, "boilerplateIndexWrite")
+      .groupBy(col("fp")).agg(sum(col("n_docs")).as("n_docs"))
 
   /** Bootstrap a STORED line-frequency index from a batch-built one
     * ([[boilerplateIndex]]) in the layout the streaming sink appends
@@ -343,8 +351,7 @@ object Dedup {
     * overwrites coexist with the seed instead of corrupting partition
     * discovery. */
   def boilerplateIndexWrite(index: DataFrame, path: String): Unit =
-    index.withColumn("_epoch", lit("base"))
-      .write.partitionBy("_epoch").mode("overwrite").parquet(path)
+    epochBaseWrite(index, path)
 
   /** Incremental boilerplate removal — the daily-batch shape
     * completing the same persisted-index family as the near-dup
@@ -358,8 +365,9 @@ object Dedup {
     * `minLineLen` match the index build's: the (fp, n_docs) schema
     * records neither (exactly like numHashes/bands for the MinHash
     * band index), so a mismatched probe silently under- or
-    * over-removes. Persist them next to the index path. */
-  /** @param batchCounts the batch's own line counts, if the caller
+    * over-removes. Persist them next to the index path.
+    *
+    * @param batchCounts the batch's own line counts, if the caller
     *        already built them (MUST be `boilerplateIndex(batch)`
     *        under the same sep/minLineLen) — the streaming sink
     *        passes its checkpointed index partial here so the batch

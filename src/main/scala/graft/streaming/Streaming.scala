@@ -436,41 +436,23 @@ object Streaming {
                           checkpoint: String, sep: String,
                           minLineLen: Int = 1,
                           allowForeignEpochs: Boolean = false): StreamingQuery = {
-    val marker = s"$checkpoint/graft-run-id"
-    require(graft.sources.Fs.exists(spark, marker) ||
-        !graft.sources.Fs.exists(spark, indexPath) || allowForeignEpochs,
-      s"lineDedupIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
-        "already holds first-occurrence partials. If the source re-delivers " +
-        "ingested documents, their own lines would dedup them to empty. " +
-        "Restore the original checkpoint, rebuild corpus+index from raw " +
-        "sources, or — only if this run ingests strictly new documents — " +
-        "pass allowForeignEpochs = true")
-    val token = runToken(spark, checkpoint)
-    stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val partial = Dedup.lineFirstOccIndex(
-          batch, idCol, textCol, sep, minLineLen).localCheckpoint(true)
-        try {
-          val index =
-            if (graft.sources.Fs.exists(spark, indexPath))
-              Dedup.lineFirstOccIndexRead(spark, indexPath,
-                excludeEpoch = Some(s"$token-$epochId"))
-            else emptyFrame(spark,
-              StructType(Seq(StructField("fp", StringType),
-                StructField("wid", LongType), StructField("wpos", IntegerType))))
-          val cleaned = Dedup.incrementalDedupLines(
-            batch, idCol, textCol, index, sep, minLineLen,
-            batchIndex = Some(partial))
-            .localCheckpoint(true)
-          try {
-            epochWrite(cleaned, corpusPath, token, epochId)
-            epochWrite(partial, indexPath, token, epochId)
-          } finally { cleaned.unpersist(); () }
-        } finally { partial.unpersist(); () }
-      }
-      .start()
+    indexedCleaningSink(stream, spark, corpusPath, indexPath, checkpoint,
+      allowForeignEpochs,
+      refusal = s"lineDedupIngestSink: fresh checkpoint ($checkpoint) but " +
+        s"$indexPath already holds first-occurrence partials. If the source " +
+        "re-delivers ingested documents, their own lines would dedup them " +
+        "to empty. Restore the original checkpoint, rebuild corpus+index " +
+        "from raw sources, or — only if this run ingests strictly new " +
+        "documents — pass allowForeignEpochs = true",
+      emptyIndexSchema = StructType(Seq(StructField("fp", StringType),
+        StructField("wid", LongType), StructField("wpos", IntegerType))))(
+      buildPartial = batch =>
+        Dedup.lineFirstOccIndex(batch, idCol, textCol, sep, minLineLen),
+      readIndex = excludeEpoch =>
+        Dedup.lineFirstOccIndexRead(spark, indexPath, Some(excludeEpoch)),
+      clean = (batch, index, partial) =>
+        Dedup.incrementalDedupLines(batch, idCol, textCol, index,
+          sep, minLineLen, batchIndex = Some(partial)))
   }
 
   def boilerplateIngestSink(stream: DataFrame, spark: SparkSession,
@@ -486,38 +468,67 @@ object Streaming {
     // silently doubles every count and over-removes forever after.
     // Refuse the ambiguous shape loudly; a caller whose new run
     // genuinely ingests only NEW documents may override.
+    indexedCleaningSink(stream, spark, corpusPath, indexPath, checkpoint,
+      allowForeignEpochs,
+      refusal = s"boilerplateIngestSink: fresh checkpoint ($checkpoint) but " +
+        s"$indexPath already holds count partials. If the source re-delivers " +
+        "ingested documents, their line counts would double silently. " +
+        "Restore the original checkpoint, rebuild corpus+index from raw " +
+        "sources, or — only if this run ingests strictly new documents — " +
+        "pass allowForeignEpochs = true",
+      emptyIndexSchema = StructType(Seq(StructField("fp", StringType),
+        StructField("n_docs", LongType))))(
+      buildPartial = batch =>
+        Dedup.boilerplateIndex(batch, idCol, textCol, sep, minLineLen),
+      readIndex = excludeEpoch =>
+        Dedup.boilerplateIndexRead(spark, indexPath, Some(excludeEpoch)),
+      clean = (batch, index, partial) =>
+        Dedup.incrementalRemoveBoilerplate(batch, idCol, textCol, index,
+          sep, minDocs, minLineLen, batchCounts = Some(partial)))
+  }
+
+  /** THE shared scaffold of the index-backed cleaning sinks
+    * (boilerplate, line dedup): one copy of the replay-idempotency
+    * machinery so a fix lands in every family at once.
+    *
+    *  - The fresh-checkpoint-vs-kept-index refusal guards the shape
+    *    where a reset source re-delivers ingested documents into an
+    *    index that already contains them.
+    *  - The batch's index partial is built ONCE (checkpointed): it
+    *    feeds the clean AND is the index write below — and the
+    *    checkpoint severs the clean's read of `indexPath` from the
+    *    write that replaces partitions in it.
+    *  - `readIndex` receives this epoch's `token-epochId` to EXCLUDE:
+    *    an at-least-once replay must not dedup/count the batch
+    *    against its own previous partial.
+    *  - Both writes are epoch-scoped dynamic overwrites (epochWrite):
+    *    a replay rewrites its own partitions, never double-appends;
+    *    corpus before index, so a crash between them re-runs the
+    *    epoch with the index still excluding it. */
+  private def indexedCleaningSink(stream: DataFrame, spark: SparkSession,
+                                  corpusPath: String, indexPath: String,
+                                  checkpoint: String,
+                                  allowForeignEpochs: Boolean,
+                                  refusal: String,
+                                  emptyIndexSchema: StructType)(
+      buildPartial: DataFrame => DataFrame,
+      readIndex: String => DataFrame,
+      clean: (DataFrame, DataFrame, DataFrame) => DataFrame): StreamingQuery = {
     val marker = s"$checkpoint/graft-run-id"
     require(graft.sources.Fs.exists(spark, marker) ||
-        !graft.sources.Fs.exists(spark, indexPath) || allowForeignEpochs,
-      s"boilerplateIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
-        "already holds count partials. If the source re-delivers ingested " +
-        "documents, their line counts would double silently. Restore the " +
-        "original checkpoint, rebuild corpus+index from raw sources, or — " +
-        "only if this run ingests strictly new documents — pass " +
-        "allowForeignEpochs = true")
+      !graft.sources.Fs.exists(spark, indexPath) || allowForeignEpochs, refusal)
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        // the batch's count partial is built ONCE (checkpointed):
-        // it marks the boiler join inside the clean AND is the index
-        // write below — and the checkpoint severs the clean's read
-        // of indexPath from the write that replaces partitions in it
-        val partial = Dedup.boilerplateIndex(
-          batch, idCol, textCol, sep, minLineLen).localCheckpoint(true)
+        val partial = buildPartial(batch).localCheckpoint(true)
         try {
           val index =
             if (graft.sources.Fs.exists(spark, indexPath))
-              Dedup.boilerplateIndexRead(spark, indexPath,
-                excludeEpoch = Some(s"$token-$epochId"))
-            else emptyFrame(spark,
-              StructType(Seq(StructField("fp", StringType),
-                StructField("n_docs", LongType))))
-          val cleaned = Dedup.incrementalRemoveBoilerplate(
-            batch, idCol, textCol, index, sep, minDocs, minLineLen,
-            batchCounts = Some(partial))
-            .localCheckpoint(true)
+              readIndex(s"$token-$epochId")
+            else emptyFrame(spark, emptyIndexSchema)
+          val cleaned = clean(batch, index, partial).localCheckpoint(true)
           try {
             epochWrite(cleaned, corpusPath, token, epochId)
             epochWrite(partial, indexPath, token, epochId)

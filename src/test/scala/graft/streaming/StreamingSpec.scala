@@ -583,6 +583,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
   }
 
+  test("line-dedup ingest: flat bootstrap works; all-short-lines first batch does not brick the index") {
+    import graft.operators.Dedup
+    val src = Files.createTempDirectory("graft-ld2-src").toString
+    val corpus = Files.createTempDirectory("graft-ld2-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-ld2-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-ld2-ckp").toString
+    // bootstrap from a batch-built index (_epoch=base layout)
+    val seed = Seq((100L, "seeded line\nfooter line"))
+    Dedup.lineFirstOccIndexWrite(
+      Dedup.lineFirstOccIndex(seed.toDF("doc_id", "text"), "doc_id", "text",
+        "\n", minLineLen = 2), index)
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.lineDedupIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "text", "doc_id", ckp,
+        sep = "\n", minLineLen = 2, allowForeignEpochs = true)
+        .awaitTermination()
+    }
+    // first batch: every line under the minLineLen floor → the index
+    // partial is EMPTY; the write must be skipped, not create an
+    // unreadable fileless epoch under the index
+    Seq((201L, "a\nb"), (202L, "")).toDF("doc_id", "text")
+      .write.parquet(s"$src/b1")
+    drain()
+    assert(spark.read.parquet(corpus).count() === 2) // docs still land
+    // second batch: dedups against the SEEDED index immediately
+    Seq((301L, "fresh line\nfooter line")).toDF("doc_id", "text")
+      .write.parquet(s"$src/b2")
+    drain()
+    val doc301 = spark.read.parquet(corpus)
+      .filter($"doc_id" === 301L)
+      .select("clean_text", "n_removed").as[(String, Long)].collect()
+    assert(doc301 === Array(("fresh line", 1L)))
+    // the stored index reads fine: base seed + epoch partials
+    assert(Dedup.lineFirstOccIndexRead(spark, index).count() >= 2)
+  }
+
   test("streaming zone-map ingest: manifest tracks each epoch's files, pruned read equals full filter") {
     import graft.operators.Layout
     val src = Files.createTempDirectory("graft-zm-src").toString
