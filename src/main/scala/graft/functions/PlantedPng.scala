@@ -188,6 +188,15 @@ case class PlantedGrayPng(left: Expression, right: Expression)
 case class PlantedToneWav(left: Expression, right: Expression, perSeg: Int)
     extends BinaryExpression {
   require(perSeg > 0, "perSeg must be > 0")
+  /** Nullable even over non-null children: a null freqs ELEMENT yields
+    * NULL bytes ([[PlantedPng.toneWav]]'s null-propagation contract).
+    * Without this override, non-null children put nullSafeCodeGen on
+    * its non-nullable branch, which never declares `ev.isNull` — the
+    * doGenCode below then references an undeclared variable, janino
+    * rejects the generated class, and the whole stage silently falls
+    * back to interpreted eval (the exact cost compiling this mux was
+    * meant to remove). */
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType, false) ||

@@ -638,6 +638,32 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("PlantedToneWav: codegen compiles over NON-nullable children") {
+    // Regression: with non-null children, BinaryExpression.nullSafeCodeGen
+    // takes its non-nullable branch and declares no `isNull` variable —
+    // doGenCode's `ev.isNull` assignment then referenced an undeclared
+    // name, janino rejected the class, and every q121/q136 stage fell
+    // back to interpreted eval (ERROR CodeGenerator in the Verify log,
+    // results still correct). The nullable=true override keeps the
+    // declaring branch; this pins compilation directly — no fallback.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.functions.PlantedToneWav
+    val freqs = Literal.create(Seq(600.0), ArrayType(DoubleType, false))
+    val expr = PlantedToneWav(freqs, Literal(10000.0), 160)
+    assert(!freqs.nullable && expr.nullable,
+      "tone mux must stay nullable: a null freqs element yields NULL bytes")
+    // throws CompileException (no interpreted fallback at this layer)
+    // if the generated code references an undeclared variable
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val row = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val interpreted = expr.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Array[Byte]]
+    assert(java.util.Arrays.equals(row.getBinary(0), interpreted),
+      "compiled projection must match interpreted eval byte-for-byte")
+  }
+
   private def seqToneWav(freqs: Seq[Double], sr: Int, perSeg: Int,
                          amp: Double = 10000): Array[Byte] = {
     def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
