@@ -206,6 +206,48 @@ object Dedup {
       .agg(min(struct(col(idCol), col("pos"))).as("w"))
       .select(col("fp"), col(s"w.$idCol").as("wid"), col("w.pos").as("wpos"))
 
+  /** Proof-carrying batch partial for the incremental line cleaners:
+    * only [[lineFirstOccPartial]] / [[boilerplateCountsPartial]] mint
+    * one, so a partial handed to [[incrementalDedupLines]] /
+    * [[incrementalRemoveBoilerplate]] is guaranteed to be THE same-
+    * definition build — and the cleaners verify family/sep/minLineLen
+    * against their own parameters, refusing loudly instead of
+    * silently mis-cleaning (the in-memory sibling of the
+    * `_GRAFT_META` manifest check on stored indexes). */
+  final class LinePartial private[operators] (
+      val frame: DataFrame,
+      private[operators] val family: String,
+      private[operators] val sep: String,
+      private[operators] val minLineLen: Int) {
+    private[graft] def localCheckpoint(eager: Boolean): LinePartial =
+      new LinePartial(frame.localCheckpoint(eager), family, sep, minLineLen)
+    private[graft] def unpersist(): Unit = { frame.unpersist(); () }
+    private[operators] def requireMatches(expFamily: String, expSep: String,
+                                          expMinLineLen: Int): Unit =
+      require(family == expFamily && sep == expSep &&
+        minLineLen == expMinLineLen,
+        s"batch partial was built as $family(sep='$sep', " +
+          s"minLineLen=$minLineLen) but this run cleans with " +
+          s"$expFamily(sep='$expSep', minLineLen=$expMinLineLen) — it " +
+          "would silently mis-clean; mint it with the matching builder " +
+          "under the SAME parameters")
+  }
+
+  /** Mint a batch's first-occurrence partial (see [[LinePartial]]). */
+  def lineFirstOccPartial(batch: DataFrame, idCol: String, textCol: String,
+                          sep: String, minLineLen: Int = 1): LinePartial =
+    new LinePartial(
+      lineFirstOccIndex(batch, idCol, textCol, sep, minLineLen),
+      LineFamily, sep, minLineLen)
+
+  /** Mint a batch's line-count partial (see [[LinePartial]]). */
+  def boilerplateCountsPartial(batch: DataFrame, idCol: String,
+                               textCol: String, sep: String,
+                               minLineLen: Int = 1): LinePartial =
+    new LinePartial(
+      boilerplateIndex(batch, idCol, textCol, sep, minLineLen),
+      BoilerFamily, sep, minLineLen)
+
   /** Persisted first-occurrence index for [[dedupLinesAcrossCorpus]]
     * — (fp, wid, wpos): the earliest (doc, pos) each distinct line was
     * seen at, one fixed-width row per DISTINCT line, never the text.
@@ -224,22 +266,27 @@ object Dedup {
     * restricted to the batch's documents — PROVIDED every corpus id
     * precedes every batch id (the append-only contract; ingest order
     * IS the id order in this family) and sep/minLineLen match the
-    * index build (the schema records neither — persist them next to
-    * the index path). Spec-pinned.
+    * index build — stored indexes record them in the `_GRAFT_META`
+    * manifest (checked by the path-taking read), and an in-memory
+    * batch partial carries them in its [[LinePartial]] token.
+    * Spec-pinned.
     *
     * @param batchIndex the batch's own first occurrences, if the
-    *        caller already built them (MUST be
-    *        `lineFirstOccIndex(batch)` under the same sep/minLineLen)
-    *        — the streaming sink passes its checkpointed index
-    *        partial so the batch is line-exploded once, not twice
+    *        caller already built them — a [[LinePartial]] minted by
+    *        [[lineFirstOccPartial]], whose recorded parameters are
+    *        verified against this call's (a mismatched partial would
+    *        silently mis-dedup). The streaming sink passes its
+    *        checkpointed partial so the batch is line-exploded once,
+    *        not twice.
     * @return (idCol, clean_text, n_removed) — one row per batch doc
     */
   def incrementalDedupLines(batch: DataFrame, idCol: String, textCol: String,
                             index: DataFrame, sep: String,
                             minLineLen: Int = 1,
-                            batchIndex: Option[DataFrame] = None): DataFrame = {
+                            batchIndex: Option[LinePartial] = None): DataFrame = {
+    batchIndex.foreach(_.requireMatches(LineFamily, sep, minLineLen))
     val segs = lineSegs(batch, idCol, textCol, sep)
-    val batchFirst = batchIndex
+    val batchFirst = batchIndex.map(_.frame)
       .getOrElse(lineFirstOccIndex(batch, idCol, textCol, sep, minLineLen))
       .select(col("fp"), col("wid").as("_bwid"), col("wpos").as("_bwpos"))
     val marked = segs
@@ -266,50 +313,80 @@ object Dedup {
       .agg(min(struct(col("_src"), col("wid"), col("wpos"))).as("w"))
       .select(col("fp"), col("w.wid").as("wid"), col("w.wpos").as("wpos"))
 
-  /** Read a LOG-STRUCTURED stored first-occurrence index: epoch
-    * partitions each hold one batch's (fp, wid, wpos) partial; the
-    * min (wid, wpos) per fingerprint is the corpus-wide first
-    * occurrence (exact under the append-only id-order contract — ids
-    * never interleave across epochs). `excludeEpoch` drops one
-    * epoch's partial before aggregating — the replay-idempotency hook
-    * the streaming sink needs. A flat index written directly from
-    * [[lineFirstOccIndex]] (no `_epoch` column) reads through the
-    * same call. */
-  def lineFirstOccIndexRead(spark: org.apache.spark.sql.SparkSession,
-                            path: String,
-                            excludeEpoch: Option[String] = None): DataFrame =
-    epochScopedIndex(spark, path, excludeEpoch, "lineFirstOccIndexWrite")
-      .groupBy(col("fp"))
+  /** THE first-occurrence fold — min (wid, wpos) per fingerprint over
+    * any union of partials. Shared by the epoch-scoped read AND
+    * [[lineFirstOccIndexCompact]] (associative, so a compacted base
+    * re-entering this fold next to later epochs gives exactly the
+    * all-epochs answer — the equivalence q143 oracle-pins). */
+  private def firstOccFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("fp"))
       .agg(min(struct(col("wid"), col("wpos"))).as("w"))
       .select(col("fp"), col("w.wid").as("wid"), col("w.wpos").as("wpos"))
 
+  private val LineFamily = "line_first_occ"
+  private[graft] def lineIndexMeta(sep: String, minLineLen: Int): IndexMeta =
+    IndexMeta(LineFamily, "sep" -> sep, "minLineLen" -> minLineLen)
+
+  /** Read a LOG-STRUCTURED stored first-occurrence index: epoch
+    * partitions (plus the compacted base, if [[lineFirstOccIndexCompact]]
+    * has run) each hold a (fp, wid, wpos) partial; the min (wid, wpos)
+    * per fingerprint is the corpus-wide first occurrence (exact under
+    * the append-only id-order contract — ids never interleave across
+    * epochs). `excludeEpoch` drops one epoch's partial before
+    * aggregating — the replay-idempotency hook the streaming sink
+    * needs. A flat index written directly from [[lineFirstOccIndex]]
+    * (no `_epoch` column) reads through the same call. */
+  def lineFirstOccIndexRead(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            excludeEpoch: Option[String] = None): DataFrame =
+    firstOccFold(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "lineFirstOccIndexWrite"))
+
+  /** Checked read: refuses loudly (via the `_GRAFT_META` manifest)
+    * if the stored index was built under a different sep/minLineLen —
+    * the silent-divergence class [[incrementalDedupLines]]'s contract
+    * used to delegate to the caller. */
+  def lineFirstOccIndexRead(spark: org.apache.spark.sql.SparkSession,
+                            path: String, excludeEpoch: Option[String],
+                            sep: String, minLineLen: Int): DataFrame = {
+    IndexMeta.check(spark, path, lineIndexMeta(sep, minLineLen))
+    lineFirstOccIndexRead(spark, path, excludeEpoch)
+  }
+
   /** Bootstrap a STORED first-occurrence index in the layout the
     * streaming sink appends to (an `_epoch=base` partition — same
-    * convention as the boilerplate/IVF index writers). */
-  def lineFirstOccIndexWrite(index: DataFrame, path: String): Unit =
-    epochBaseWrite(index, path)
+    * convention as the boilerplate/IVF index writers), recording the
+    * build parameters in the `_GRAFT_META` manifest every checked
+    * read verifies. */
+  def lineFirstOccIndexWrite(index: DataFrame, path: String,
+                             sep: String, minLineLen: Int = 1): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path, lineIndexMeta(sep, minLineLen))
+  }
 
-  /** THE epoch-layout conventions every log-structured index family
-    * shares — one copy of the bootstrap write and the epoch-scoped
-    * read filter, so a layout change lands everywhere at once. */
-  private def epochBaseWrite(index: DataFrame, path: String): Unit =
-    index.withColumn("_epoch", lit("base"))
-      .write.partitionBy("_epoch").mode("overwrite").parquet(path)
+  /** Append one batch's first-occurrence partial as a new epoch —
+    * the batch-job sibling of the streaming sink's index write
+    * (idempotent: a retry under the same epoch name replaces its own
+    * partition). Parameters are manifest-checked: appending a
+    * different-sep partial would poison every later read. */
+  def lineFirstOccIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                              path: String, partial: DataFrame,
+                              epoch: String, sep: String,
+                              minLineLen: Int = 1): Unit = {
+    IndexMeta.check(spark, path, lineIndexMeta(sep, minLineLen))
+    EpochIndex.append(partial, path, epoch)
+  }
 
-  private def epochScopedIndex(spark: org.apache.spark.sql.SparkSession,
-                               path: String, excludeEpoch: Option[String],
-                               bootstrapName: String): DataFrame = {
-    val raw = spark.read.parquet(path)
-    excludeEpoch match {
-      case Some(e) =>
-        require(raw.columns.contains("_epoch"),
-          s"excludeEpoch set but $path has no _epoch partition column — " +
-            s"a flat index cannot back the streaming sink (mixed flat + " +
-            s"partitioned layouts break discovery); bootstrap it with " +
-            s"$bootstrapName, which writes the _epoch=base layout")
-        raw.filter(col("_epoch") =!= lit(e))
-      case None => raw
-    }
+  /** Fold accumulated epochs into a compacted base published with the
+    * atomic `_CURRENT` pointer flip — bounds the probe-side scan of a
+    * store that would otherwise grow one partial per batch forever
+    * (see [[EpochIndex.compact]] for the snapshot/GC contract; q143
+    * oracle-pins probe-after ≡ probe-before). */
+  def lineFirstOccIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, LineFamily)
+    EpochIndex.compact(spark, path, firstOccFold, keepVersions = keepVersions)
   }
 
   /** Persisted line-frequency index for boilerplate removal — the
@@ -330,8 +407,19 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(sum(col("n_docs")).as("n_docs"))
 
+  /** THE line-count fold — counts ADD across partials (disjoint doc
+    * sets). Shared by the epoch-scoped read and
+    * [[boilerplateIndexCompact]]. */
+  private def countsFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("fp")).agg(sum(col("n_docs")).as("n_docs"))
+
+  private val BoilerFamily = "boilerplate_counts"
+  private[graft] def boilerplateIndexMeta(sep: String, minLineLen: Int): IndexMeta =
+    IndexMeta(BoilerFamily, "sep" -> sep, "minLineLen" -> minLineLen)
+
   /** Read a LOG-STRUCTURED stored line-frequency index: epoch
-    * partitions each hold a (fp, n_docs) partial
+    * partitions (plus the compacted base, if [[boilerplateIndexCompact]]
+    * has run) each hold a (fp, n_docs) partial
     * (`Streaming.boilerplateIngestSink` writes them); summing per
     * fingerprint yields the corpus-wide counts. `excludeEpoch` drops
     * one epoch's partial before aggregating — the replay-idempotency
@@ -341,17 +429,48 @@ object Dedup {
   def boilerplateIndexRead(spark: org.apache.spark.sql.SparkSession,
                            path: String,
                            excludeEpoch: Option[String] = None): DataFrame =
-    epochScopedIndex(spark, path, excludeEpoch, "boilerplateIndexWrite")
-      .groupBy(col("fp")).agg(sum(col("n_docs")).as("n_docs"))
+    countsFold(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "boilerplateIndexWrite"))
+
+  /** Checked read: manifest-verifies sep/minLineLen before probing
+    * (a mismatched probe silently under- or over-removes). */
+  def boilerplateIndexRead(spark: org.apache.spark.sql.SparkSession,
+                           path: String, excludeEpoch: Option[String],
+                           sep: String, minLineLen: Int): DataFrame = {
+    IndexMeta.check(spark, path, boilerplateIndexMeta(sep, minLineLen))
+    boilerplateIndexRead(spark, path, excludeEpoch)
+  }
 
   /** Bootstrap a STORED line-frequency index from a batch-built one
     * ([[boilerplateIndex]]) in the layout the streaming sink appends
     * to — an `_epoch=base` partition, the same convention as
     * `Similarity.ivfIndexWrite`, so later epoch-scoped dynamic
     * overwrites coexist with the seed instead of corrupting partition
-    * discovery. */
-  def boilerplateIndexWrite(index: DataFrame, path: String): Unit =
-    epochBaseWrite(index, path)
+    * discovery. Records sep/minLineLen in the `_GRAFT_META` manifest. */
+  def boilerplateIndexWrite(index: DataFrame, path: String,
+                            sep: String, minLineLen: Int = 1): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path, boilerplateIndexMeta(sep, minLineLen))
+  }
+
+  /** Append one disjoint batch's count partial as a new epoch
+    * (manifest-checked; idempotent under a repeated epoch name). */
+  def boilerplateIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                             path: String, partial: DataFrame,
+                             epoch: String, sep: String,
+                             minLineLen: Int = 1): Unit = {
+    IndexMeta.check(spark, path, boilerplateIndexMeta(sep, minLineLen))
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  /** Fold accumulated count epochs into a compacted base (atomic
+    * `_CURRENT` publish — see [[EpochIndex.compact]]). */
+  def boilerplateIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, BoilerFamily)
+    EpochIndex.compact(spark, path, countsFold, keepVersions = keepVersions)
+  }
 
   /** Incremental boilerplate removal — the daily-batch shape
     * completing the same persisted-index family as the near-dup
@@ -362,23 +481,26 @@ object Dedup {
     * ships 16-byte fingerprints against the index. Equals
     * [[removeBoilerplateLines]] over corpus ∪ batch restricted to the
     * batch's documents (spec-pinned) — PROVIDED `sep` and
-    * `minLineLen` match the index build's: the (fp, n_docs) schema
-    * records neither (exactly like numHashes/bands for the MinHash
-    * band index), so a mismatched probe silently under- or
-    * over-removes. Persist them next to the index path.
+    * `minLineLen` match the index build's: a mismatched probe
+    * silently under- or over-removes, which is why stored indexes
+    * record them in `_GRAFT_META` (the path-taking read checks it)
+    * and in-memory partials carry them in the [[LinePartial]] token.
     *
     * @param batchCounts the batch's own line counts, if the caller
-    *        already built them (MUST be `boilerplateIndex(batch)`
-    *        under the same sep/minLineLen) — the streaming sink
-    *        passes its checkpointed index partial here so the batch
-    *        is line-exploded and count-aggregated once, not twice */
+    *        already built them — a [[LinePartial]] minted by
+    *        [[boilerplateCountsPartial]], parameter-verified against
+    *        this call's. The streaming sink passes its checkpointed
+    *        partial here so the batch is line-exploded and
+    *        count-aggregated once, not twice. */
   def incrementalRemoveBoilerplate(batch: DataFrame, idCol: String,
                                    textCol: String, index: DataFrame,
                                    sep: String, minDocs: Int,
                                    minLineLen: Int = 1,
-                                   batchCounts: Option[DataFrame] = None): DataFrame = {
+                                   batchCounts: Option[LinePartial] = None): DataFrame = {
+    batchCounts.foreach(_.requireMatches(BoilerFamily, sep, minLineLen))
     val segs = lineSegs(batch, idCol, textCol, sep)
-    val boiler = batchCounts.getOrElse(lineCounts(segs, idCol, minLineLen))
+    val boiler = batchCounts.map(_.frame)
+      .getOrElse(lineCounts(segs, idCol, minLineLen))
       .join(index.select(col("fp"), col("n_docs").as("_stored")),
         Seq("fp"), "left")
       .filter(col("n_docs") + coalesce(col("_stored"), lit(0L)) >= minDocs)
@@ -913,6 +1035,46 @@ object Dedup {
       .distinct()
     internal.unionByName(cross).distinct()
   }
+
+  // --------------------------------------------- persisted band stores
+  /** Persisted, epoch-structured store for the banding families'
+    * indexes ([[minHashBandIndex]], [[simHashBandIndex]],
+    * [[srpBandIndex]], [[hamming64BandIndex]]): band-key rows are
+    * DISJOINT across append-only batches, so the epoch fold is
+    * identity — compaction's value here is file count and partition-
+    * listing latency, not row reduction (an identity fold can never
+    * corrupt, so no family gate is needed on compact). The caller
+    * supplies the family manifest with the banding geometry
+    * (`IndexMeta("minhash_bands", "numHashes" -> 64, "bands" -> 16,
+    * "shingleK" -> 3, "maxBucket" -> 200)`, …): reads and appends
+    * check it, so a probe banded differently refuses loudly instead
+    * of silently missing candidates — the persisted-level enforcement
+    * of the byte-identical-band-keys contracts (q93/q97/q98). */
+  def bandIndexStoreWrite(index: DataFrame, path: String,
+                          meta: IndexMeta): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path, meta)
+  }
+
+  def bandIndexStoreRead(spark: org.apache.spark.sql.SparkSession,
+                         path: String, meta: IndexMeta,
+                         excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, meta)
+    EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "bandIndexStoreWrite").drop(EpochIndex.EpochCol)
+  }
+
+  def bandIndexStoreAppend(spark: org.apache.spark.sql.SparkSession,
+                           path: String, partial: DataFrame, epoch: String,
+                           meta: IndexMeta): Unit = {
+    IndexMeta.check(spark, path, meta)
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  def bandIndexStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            keepVersions: Int = 2): EpochIndex.CompactionStats =
+    EpochIndex.compact(spark, path, identity, keepVersions = keepVersions)
 
   /** 4×16-bit banding of a materialized 64-bit `sig` column — the ONE
     * implementation behind SimHash and SRP banding, so the

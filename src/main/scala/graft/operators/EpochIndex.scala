@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** THE log-structured index store every persisted-index family shares
+  * (line first-occurrence, boilerplate counts, IVF/IVF-PQ cells, band
+  * keys, DSIR buckets): one copy of the epoch layout, the epoch-scoped
+  * read, the append, and — the piece that bounds index growth — the
+  * epoch COMPACTION that folds accumulated partials into a versioned
+  * base published with `Layout.publishVersion`'s atomic `_CURRENT`
+  * pointer flip.
+  *
+  * Layout of a store root (all bookkeeping names are `_`/`.`-prefixed,
+  * so parquet partition discovery over the root sees only epoch data):
+  *
+  * {{{
+  * root/_epoch=base/…             bootstrap partial (family writers)
+  * root/_epoch=<token>-<n>/…      one appended partial per batch
+  * root/_base/_CURRENT            live compacted-base version pointer
+  * root/_base/v00000001/…parquet  folded rows (no _epoch column)
+  * root/_base/v00000001/_FOLDED   epoch names folded into this base
+  * }}}
+  *
+  * Without compaction every batch appends one `_epoch=` partition
+  * forever and every probe re-aggregates across ALL of them — after a
+  * year of daily batches the probe-side scan is 365× the base index.
+  * [[compact]] folds the current base (if any) plus a SNAPSHOT of the
+  * live epochs into a new base version; because the fold output is one
+  * partial of the same schema and every family's fold (min / sum /
+  * union) is associative, reading base ∪ later epochs through the
+  * family aggregation is exactly equivalent to reading the raw epochs.
+  *
+  * Concurrency contract, provable because the pointer flip is atomic:
+  *  - An epoch appended AFTER the compaction snapshot is neither
+  *    folded nor listed in `_FOLDED`, so readers of the new base still
+  *    union it — a sink writing during compaction never loses an epoch
+  *    (EpochIndexSpec pins this).
+  *  - Folded epoch directories are NOT deleted by the compaction that
+  *    folds them: readers holding the PREVIOUS version still need
+  *    them. They are garbage-collected one compaction later, when
+  *    every retained version's `_FOLDED` excludes them.
+  *  - What compaction cannot defend against is an epoch write MID-
+  *    COMMIT at snapshot time (a filesystem listing cannot tell a
+  *    committed epoch from a half-written one — the gap a transaction
+  *    log would close). Run compaction from the ingest owner between
+  *    batches, never concurrently with an in-flight epoch write to
+  *    the same root.
+  *  - A replay that asks to EXCLUDE an epoch already folded into the
+  *    base refuses loudly (the partial can no longer be subtracted) —
+  *    the silent double-count a replay-across-compaction would cause
+  *    becomes an explicit error.
+  */
+object EpochIndex {
+
+  val EpochCol = "_epoch"
+  /** Synthetic `_epoch` label of compacted-base rows in [[read]]
+    * output. Starts with `_` so it can never collide with a real
+    * epoch name (`base` or `<uuid-token>-<n>`). */
+  val CompactedLabel = "_compacted"
+  private val BaseDir = "_base"
+  private val FoldedFile = "_FOLDED"
+
+  private def fsOf(spark: SparkSession, path: Path): FileSystem =
+    path.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // ------------------------------------------------------------- listing
+
+  /** Distinct live epoch names under `root` — directory names
+    * `_epoch=X`, one partition-tree level per inner partition column
+    * (e.g. IVF assignments are `cell=…/_epoch=…`, so
+    * `innerPartCols = Seq("cell")`). Epoch names are written verbatim
+    * (`base`, `<uuid>-<n>`) — no partition-value escaping applies. */
+  def liveEpochNames(spark: SparkSession, root: String,
+                     innerPartCols: Seq[String] = Nil): Seq[String] = {
+    val p = new Path(root)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Nil
+    def walk(dir: Path, depth: Int): Seq[String] =
+      fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        if (depth == 0) {
+          if (name.startsWith(s"$EpochCol="))
+            Seq(name.drop(EpochCol.length + 1))
+          else Nil
+        } else if (name.contains("=") && !name.startsWith(s"$EpochCol="))
+          walk(st.getPath, depth - 1)
+        else Nil
+      }
+    walk(p, innerPartCols.size).distinct.sorted
+  }
+
+  private def currentBase(spark: SparkSession,
+                          root: String): Option[(String, Set[String])] = {
+    val pointer = new Path(s"$root/$BaseDir", "_CURRENT")
+    val fs = fsOf(spark, pointer)
+    if (!fs.exists(pointer)) None
+    else {
+      val vdir = Layout.currentVersionPath(spark, s"$root/$BaseDir")
+      Some((vdir, readFolded(fs, new Path(vdir, FoldedFile))))
+    }
+  }
+
+  private def readFolded(fs: FileSystem, f: Path): Set[String] = {
+    require(fs.exists(f),
+      s"compacted base ${f.getParent} has no $FoldedFile manifest — " +
+        "not a base written by EpochIndex.compact; refusing to guess " +
+        "which epochs it contains")
+    val in = fs.open(f)
+    val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  private def writeTextFile(fs: FileSystem, f: Path, text: String): Unit = {
+    val out = fs.create(f, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Does the store hold any data — a live epoch or a compacted base?
+    * (A root holding only bookkeeping files — `_GRAFT_META` written
+    * ahead of a first batch — is NOT a stored index; reading it would
+    * fail schema inference, and the sinks' fresh-checkpoint refusal
+    * must not fire on it.) */
+  def nonEmpty(spark: SparkSession, root: String,
+               innerPartCols: Seq[String] = Nil): Boolean =
+    liveEpochNames(spark, root, innerPartCols).nonEmpty ||
+      currentBase(spark, root).nonEmpty
+
+  // ------------------------------------------------------------- append
+
+  /** Bootstrap a store from a batch-built index: one `_epoch=base`
+    * partition, the layout every later epoch append and compaction
+    * composes with. Overwrites the whole root (a bootstrap IS a fresh
+    * index — any previous base versions go with it). */
+  def bootstrap(df: DataFrame, root: String,
+                innerPartCols: Seq[String] = Nil): Unit =
+    df.withColumn(EpochCol, lit("base"))
+      .write.partitionBy(innerPartCols :+ EpochCol: _*)
+      .mode("overwrite").parquet(root)
+
+  /** Epoch-scoped dynamic partition overwrite — THE idempotent append
+    * unit (one partial per epoch name): a retry of the same epoch
+    * rewrites its own `_epoch=<name>` partitions instead of double-
+    * appending. A zero-row append is a no-op (it must not create an
+    * empty directory whose schema inference bricks later reads — the
+    * guard the streaming sinks rely on). */
+  def append(df: DataFrame, root: String, epoch: String,
+             innerPartCols: Seq[String] = Nil): Unit = {
+    if (df.isEmpty) return
+    df.withColumn(EpochCol, lit(epoch))
+      .write.partitionBy(innerPartCols :+ EpochCol: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(root)
+  }
+
+  // --------------------------------------------------------------- read
+
+  /** Read a store as one frame of partial rows carrying `_epoch`
+    * (base rows labeled [[CompactedLabel]]); the caller applies its
+    * family aggregation (min / sum / identity). `excludeEpoch` drops
+    * one live epoch's partial — the replay-idempotency hook of the
+    * streaming sinks — and refuses loudly if that epoch was already
+    * folded into the base (its rows can no longer be subtracted; a
+    * silent read would double-count the replay). A store never
+    * compacted reads exactly like the flat layout the family writers
+    * bootstrap (`bootstrapName` names the writer in that error). */
+  def read(spark: SparkSession, root: String,
+           excludeEpoch: Option[String] = None,
+           innerPartCols: Seq[String] = Nil,
+           bootstrapName: String = "the family index writer"): DataFrame =
+    currentBase(spark, root) match {
+      case None =>
+        val raw = spark.read.parquet(root)
+        excludeEpoch match {
+          case Some(e) =>
+            require(raw.columns.contains(EpochCol),
+              s"excludeEpoch set but $root has no $EpochCol partition " +
+                s"column — a flat index cannot back the streaming sink " +
+                s"(mixed flat + partitioned layouts break discovery); " +
+                s"bootstrap it with $bootstrapName, which writes the " +
+                s"$EpochCol=base layout")
+            raw.filter(col(EpochCol) =!= lit(e))
+          case None => raw
+        }
+      case Some((vdir, folded)) =>
+        excludeEpoch.foreach { e =>
+          require(!folded.contains(e),
+            s"epoch $e of $root was already compacted into $vdir — its " +
+              "partial is merged into the base and cannot be excluded; " +
+              "a replay across a compaction boundary would double-count. " +
+              "Run compaction only between committed batches (from the " +
+              "ingest owner), or rebuild the store from raw sources")
+        }
+        val base = spark.read.parquet(vdir)
+          .withColumn(EpochCol, lit(CompactedLabel))
+        val live = liveEpochNames(spark, root, innerPartCols)
+          .filterNot(folded)
+        val all =
+          if (live.isEmpty) base
+          else base.unionByName(
+            spark.read.parquet(root)
+              .filter(col(EpochCol).isin(live: _*))
+              .select(base.columns.map(col).toIndexedSeq: _*))
+        excludeEpoch.fold(all)(e => all.filter(col(EpochCol) =!= lit(e)))
+    }
+
+  // ------------------------------------------------------------ compact
+
+  /** What one [[compact]] run did: the published base version, the
+    * epochs folded into it, the previously-folded epochs carried in
+    * its `_FOLDED` manifest awaiting GC, and the ones GC'd now. */
+  case class CompactionStats(version: String, folded: Seq[String],
+                             carried: Seq[String], gcd: Seq[String])
+
+  /** Fold the current base plus a snapshot of the live epochs into a
+    * new base version and flip `_CURRENT` atomically. `fold` receives
+    * the unioned partial rows WITHOUT `_epoch` and must return one
+    * partial of the same schema (the family merge: min for first-
+    * occurrence, sum for counts, identity for disjoint-row families)
+    * — associativity is what makes base-as-one-partial equivalent to
+    * the raw epochs under the family read aggregation.
+    *
+    * Epochs folded by a PREVIOUS compaction are excluded from the
+    * fold (their rows are in the inherited base) and deleted here —
+    * one generation late, so every retained version's `_FOLDED`
+    * already excludes them and no retained reader can be holding
+    * them. Crash-safe at every step: a crash before the pointer flip
+    * leaves the store on its old base; a crash before GC leaves
+    * duplicate-but-excluded directories the next run deletes. */
+  def compact(spark: SparkSession, root: String,
+              fold: DataFrame => DataFrame,
+              innerPartCols: Seq[String] = Nil,
+              keepVersions: Int = 2): CompactionStats = {
+    val prev = currentBase(spark, root)
+    val prevFolded = prev.map(_._2).getOrElse(Set.empty[String])
+    val liveAll = liveEpochNames(spark, root, innerPartCols)
+    val snapshot = liveAll.filterNot(prevFolded)
+    val carried = liveAll.filter(prevFolded)
+    require(prev.nonEmpty || snapshot.nonEmpty,
+      s"nothing to compact at $root: no live epochs and no existing base")
+    val liveDf =
+      if (snapshot.isEmpty) None
+      else Some(spark.read.parquet(root)
+        .filter(col(EpochCol).isin(snapshot: _*)).drop(EpochCol))
+    val baseDf = prev.map { case (vdir, _) => spark.read.parquet(vdir) }
+    val input = (baseDf, liveDf) match {
+      case (Some(b), Some(l)) =>
+        b.unionByName(l.select(b.columns.map(col).toIndexedSeq: _*))
+      case (Some(b), None) => b
+      case (None, Some(l)) => l
+      case (None, None) => sys.error("unreachable: guarded above")
+    }
+    val foldedDf = fold(input)
+    val manifest = (carried ++ snapshot).sorted
+    val version = Layout.publishVersion(spark, s"$root/$BaseDir",
+      keepVersions) { dir =>
+      val w = foldedDf.write.mode("overwrite")
+      (if (innerPartCols.nonEmpty) w.partitionBy(innerPartCols: _*) else w)
+        .parquet(dir)
+      writeTextFile(fsOf(spark, new Path(dir)), new Path(dir, FoldedFile),
+        manifest.mkString("\n"))
+    }
+    val gcd = carried.filter(deleteEpochDirs(spark, root, _, innerPartCols))
+    CompactionStats(version, snapshot, carried, gcd)
+  }
+
+  /** Delete every `_epoch=name` directory of one epoch (one per inner
+    * partition branch). Best-effort: false when nothing was deleted. */
+  private def deleteEpochDirs(spark: SparkSession, root: String,
+                              name: String,
+                              innerPartCols: Seq[String]): Boolean = {
+    val p = new Path(root)
+    val fs = fsOf(spark, p)
+    def walk(dir: Path, depth: Int): Seq[Path] =
+      fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        if (depth == 0) {
+          if (n == s"$EpochCol=$name") Seq(st.getPath) else Nil
+        } else if (n.contains("=") && !n.startsWith(s"$EpochCol="))
+          walk(st.getPath, depth - 1)
+        else Nil
+      }
+    walk(p, innerPartCols.size).map(fs.delete(_, true))
+      .foldLeft(false)(_ || _)
+  }
+}

@@ -246,25 +246,48 @@ object Similarity {
     * ([[ivfAppendWrite]], `Streaming.ivfIngestSink`) an idempotent
     * dynamic-overwrite unit without changing the directory depth the
     * readers expect. The bootstrap corpus lands as `_epoch=base`. */
+  private val IvfFamily = "ivf"
+  private def ivfMeta(idCol: String, vecCol: String): IndexMeta =
+    IndexMeta(IvfFamily, "cols" -> s"$idCol,$vecCol")
+
   def ivfIndexWrite(index: IvfIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    index.assignments.withColumn("_epoch", lit("base"))
-      .write.mode("overwrite")
-      .partitionBy("cell", "_epoch").parquet(s"$path/assignments")
+    EpochIndex.bootstrap(index.assignments, s"$path/assignments",
+      innerPartCols = Seq("cell"))
+    val cols = index.assignments.columns.filterNot(_ == "cell")
+    IndexMeta.write(index.assignments.sparkSession, path,
+      IndexMeta(IvfFamily, "cols" -> cols.mkString(",")))
   }
 
   def ivfIndexRead(spark: org.apache.spark.sql.SparkSession,
-                   path: String): IvfIndex =
+                   path: String): IvfIndex = {
     // partition-column type inference can narrow `cell` to int on
     // read; normalize to long so probes/appends line up with the
     // build-side type. A cast over a partition attribute still prunes:
     // partition filters are any predicates referencing only partition
     // columns, casts included. `_epoch` is a writer-side bookkeeping
-    // column — readers never see it.
+    // column — readers never see it (the epoch-aware read also folds
+    // in the compacted base, if [[ivfIndexCompact]] has run).
+    IndexMeta.requireFamily(spark, path, IvfFamily)
     IvfIndex(spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/assignments")
+      EpochIndex.read(spark, s"$path/assignments",
+        innerPartCols = Seq("cell"), bootstrapName = "ivfIndexWrite")
         .withColumn("cell", col("cell").cast("long"))
-        .drop("_epoch"))
+        .drop(EpochIndex.EpochCol))
+  }
+
+  /** Rewrite accumulated assignment epochs into a compacted base
+    * behind the atomic `_CURRENT` flip. Assignment rows are disjoint
+    * across epochs, so the fold is identity — compaction bounds the
+    * per-cell FILE count (one file per cell per epoch forever,
+    * otherwise) rather than the row count. */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, IvfFamily)
+    EpochIndex.compact(spark, s"$path/assignments", identity,
+      innerPartCols = Seq("cell"), keepVersions = keepVersions)
+  }
 
   /** Incremental append: assign ONLY the new vectors to the existing
     * centroids — the corpus pays nothing. Returns the appended-to
@@ -293,6 +316,7 @@ object Similarity {
   def ivfAppendWrite(spark: org.apache.spark.sql.SparkSession, path: String,
                      newVecs: DataFrame, idCol: String, vecCol: String,
                      epochLabel: String = "append"): Unit = {
+    IndexMeta.check(spark, path, ivfMeta(idCol, vecCol))
     val index = ivfIndexRead(spark, path)
     val cents = index.centroids.select(col("cell").as(idCol), col(vecCol))
     assignCells(newVecs, cents, idCol, vecCol)
@@ -527,23 +551,40 @@ object Similarity {
         .join(cells, Seq(idCol)))
   }
 
+  private val IvfPqFamily = "ivf_pq"
+
   def ivfPqIndexWrite(index: IvfPqIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-    index.codes.withColumn("_epoch", lit("base"))
-      .write.mode("overwrite")
-      .partitionBy("cell", "_epoch").parquet(s"$path/codes")
+    EpochIndex.bootstrap(index.codes, s"$path/codes",
+      innerPartCols = Seq("cell"))
+    val cols = index.codes.columns.filterNot(_ == "cell")
+    IndexMeta.write(index.codes.sparkSession, path,
+      IndexMeta(IvfPqFamily, "cols" -> cols.mkString(",")))
   }
 
   def ivfPqIndexRead(spark: org.apache.spark.sql.SparkSession,
-                     path: String): IvfPqIndex =
+                     path: String): IvfPqIndex = {
     // same partition-column normalization as ivfIndexRead: `cell`
     // re-widens to long, `_epoch` never reaches readers
+    IndexMeta.requireFamily(spark, path, IvfPqFamily)
     IvfPqIndex(spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),
-      spark.read.parquet(s"$path/codes")
+      EpochIndex.read(spark, s"$path/codes",
+        innerPartCols = Seq("cell"), bootstrapName = "ivfPqIndexWrite")
         .withColumn("cell", col("cell").cast("long"))
-        .drop("_epoch"))
+        .drop(EpochIndex.EpochCol))
+  }
+
+  /** Identity-fold compaction of the codes epochs (see
+    * [[ivfIndexCompact]] — same disjoint-rows rationale). */
+  def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, IvfPqFamily)
+    EpochIndex.compact(spark, s"$path/codes", identity,
+      innerPartCols = Seq("cell"), keepVersions = keepVersions)
+  }
 
   /** Probe a stored IVF+PQ index: [[ivfPqTopK]] semantics with the
     * probed-cell set collected (bounded — ≤ |queries|·nProbe) into a
@@ -555,6 +596,8 @@ object Similarity {
                        queries: DataFrame, idCol: String, vecCol: String,
                        m: Int, k: Int, nProbe: Int = 4, roundTo: Int = 6,
                        maxCells: Int = 1 << 20): DataFrame = {
+    IndexMeta.check(spark, path,
+      IndexMeta(IvfPqFamily, "cols" -> s"$idCol,sub,code"))
     val index = ivfPqIndexRead(spark, path)
     val probes = probeCells(queries,
       index.centroids.select(col("cell"), col(vecCol).as("cent_vec")),
@@ -585,6 +628,11 @@ object Similarity {
                      queries: DataFrame, idCol: String, vecCol: String,
                      k: Int, nProbe: Int = 4, roundTo: Int = 6,
                      maxCells: Int = 1 << 20): DataFrame = {
+    // manifest-verify the probe's (id, vec) columns against the
+    // build's before touching data — probing an index stored under
+    // different column names would resolve to the wrong attributes
+    // or miss silently, the class _GRAFT_META exists to catch
+    IndexMeta.check(spark, path, ivfMeta(idCol, vecCol))
     val index = ivfIndexRead(spark, path)
     // the probes subtree runs twice (once collected for the pruning
     // literal, once joined below) — the price of GUARANTEED static

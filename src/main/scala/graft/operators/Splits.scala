@@ -256,6 +256,57 @@ object Splits {
     dsirScore(dsirFeats(batch, idCol, textCol, lit(false), buckets),
       index, idCol, buckets, roundTo)
 
+  // ------------------------------------------ persisted DSIR store
+  private val DsirFamily = "dsir_buckets"
+  private def dsirMeta(buckets: Int): IndexMeta =
+    IndexMeta(DsirFamily, "buckets" -> buckets)
+
+  /** THE bucket-count fold — per-bucket (cr, ct) ADD across disjoint
+    * batches. Shared by the epoch-scoped read and
+    * [[dsirIndexCompact]]. */
+  private def dsirFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("_b"))
+      .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
+
+  /** Persist a [[dsirIndex]] as an epoch-structured store (the
+    * `_epoch=base` layout the other index families share), recording
+    * `buckets` in the `_GRAFT_META` manifest — a probe bucketed
+    * differently silently mis-buckets, so every read checks it. */
+  def dsirIndexWrite(index: DataFrame, path: String, buckets: Int): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path, dsirMeta(buckets))
+  }
+
+  /** Manifest-checked epoch-scoped read: corpus-wide bucket counts =
+    * per-epoch partials summed (≤ `buckets` rows whatever the epoch
+    * count — this family's probe cost never grows with history, but
+    * its FILE count does, which is what [[dsirIndexCompact]] bounds). */
+  def dsirIndexRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                    buckets: Int,
+                    excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, dsirMeta(buckets))
+    dsirFold(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "dsirIndexWrite"))
+  }
+
+  /** Append one disjoint batch's bucket counts as a new epoch
+    * (manifest-checked; idempotent under a repeated epoch name). */
+  def dsirIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                      partial: DataFrame, epoch: String,
+                      buckets: Int): Unit = {
+    IndexMeta.check(spark, path, dsirMeta(buckets))
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  /** Fold accumulated count epochs into a compacted base (atomic
+    * `_CURRENT` publish — see [[EpochIndex.compact]]). */
+  def dsirIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, DsirFamily)
+    EpochIndex.compact(spark, path, dsirFold, keepVersions = keepVersions)
+  }
+
   private def dsirScore(feats: DataFrame, counts: DataFrame, idCol: String,
                         buckets: Int, roundTo: Int): DataFrame = {
     val totals = counts.agg(

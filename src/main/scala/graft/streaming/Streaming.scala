@@ -298,19 +298,13 @@ object Streaming {
     * contract both ingest sinks share: a retry of epoch N rewrites its
     * own `_epoch=token-N` partitions instead of double-appending. */
   private def epochWrite(df: DataFrame, path: String, token: String,
-                         epochId: Long, partCols: Seq[String] = Nil): Unit = {
-    // a zero-row dynamic overwrite is semantically a no-op (the
-    // replay contracts above rely on that) — but physically it would
-    // CREATE the target directory with _SUCCESS and no files on a
-    // first-ever write, and schema inference on that directory fails
-    // every later read (an all-duplicates or all-short-lines first
-    // batch would brick its sink permanently). Skip the side effect.
-    if (df.isEmpty) return
-    df.withColumn("_epoch", lit(s"$token-$epochId"))
-      .write.partitionBy(partCols :+ "_epoch": _*)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(path)
-  }
+                         epochId: Long, partCols: Seq[String] = Nil): Unit =
+    // EpochIndex.append IS the epoch-scoped dynamic overwrite (and
+    // carries the zero-row no-op guard: an empty first write would
+    // create a file-less directory whose schema inference bricks
+    // every later read); this wrapper only supplies the
+    // `<runToken>-<epochId>` naming convention the sinks share.
+    graft.operators.EpochIndex.append(df, path, s"$token-$epochId", partCols)
 
   /** Zero-row frame with an explicit schema — the "no stored index
     * yet" read result the ingest sinks share. */
@@ -445,11 +439,13 @@ object Streaming {
         "from raw sources, or — only if this run ingests strictly new " +
         "documents — pass allowForeignEpochs = true",
       emptyIndexSchema = StructType(Seq(StructField("fp", StringType),
-        StructField("wid", LongType), StructField("wpos", IntegerType))))(
+        StructField("wid", LongType), StructField("wpos", IntegerType))),
+      meta = Dedup.lineIndexMeta(sep, minLineLen))(
       buildPartial = batch =>
-        Dedup.lineFirstOccIndex(batch, idCol, textCol, sep, minLineLen),
+        Dedup.lineFirstOccPartial(batch, idCol, textCol, sep, minLineLen),
       readIndex = excludeEpoch =>
-        Dedup.lineFirstOccIndexRead(spark, indexPath, Some(excludeEpoch)),
+        Dedup.lineFirstOccIndexRead(spark, indexPath, Some(excludeEpoch),
+          sep, minLineLen),
       clean = (batch, index, partial) =>
         Dedup.incrementalDedupLines(batch, idCol, textCol, index,
           sep, minLineLen, batchIndex = Some(partial)))
@@ -477,11 +473,13 @@ object Streaming {
         "sources, or — only if this run ingests strictly new documents — " +
         "pass allowForeignEpochs = true",
       emptyIndexSchema = StructType(Seq(StructField("fp", StringType),
-        StructField("n_docs", LongType))))(
+        StructField("n_docs", LongType))),
+      meta = Dedup.boilerplateIndexMeta(sep, minLineLen))(
       buildPartial = batch =>
-        Dedup.boilerplateIndex(batch, idCol, textCol, sep, minLineLen),
+        Dedup.boilerplateCountsPartial(batch, idCol, textCol, sep, minLineLen),
       readIndex = excludeEpoch =>
-        Dedup.boilerplateIndexRead(spark, indexPath, Some(excludeEpoch)),
+        Dedup.boilerplateIndexRead(spark, indexPath, Some(excludeEpoch),
+          sep, minLineLen),
       clean = (batch, index, partial) =>
         Dedup.incrementalRemoveBoilerplate(batch, idCol, textCol, index,
           sep, minDocs, minLineLen, batchCounts = Some(partial)))
@@ -510,13 +508,18 @@ object Streaming {
                                   checkpoint: String,
                                   allowForeignEpochs: Boolean,
                                   refusal: String,
-                                  emptyIndexSchema: StructType)(
-      buildPartial: DataFrame => DataFrame,
+                                  emptyIndexSchema: StructType,
+                                  meta: graft.operators.IndexMeta)(
+      buildPartial: DataFrame => Dedup.LinePartial,
       readIndex: String => DataFrame,
-      clean: (DataFrame, DataFrame, DataFrame) => DataFrame): StreamingQuery = {
+      clean: (DataFrame, DataFrame, Dedup.LinePartial) => DataFrame): StreamingQuery = {
+    import graft.operators.{EpochIndex, IndexMeta}
     val marker = s"$checkpoint/graft-run-id"
+    // "index already exists" means stored PARTIALS (live epochs or a
+    // compacted base) — a root holding only the `_GRAFT_META` written
+    // ahead of a crashed first batch is not one
     require(graft.sources.Fs.exists(spark, marker) ||
-      !graft.sources.Fs.exists(spark, indexPath) || allowForeignEpochs, refusal)
+      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs, refusal)
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -524,14 +527,19 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val partial = buildPartial(batch).localCheckpoint(true)
         try {
+          // manifest-first: record build parameters BEFORE any partial
+          // lands, so a crash mid-epoch can never leave checkable data
+          // behind an uncheckable (manifest-less) store; an existing
+          // manifest is verified by readIndex below, never clobbered
+          IndexMeta.writeIfAbsent(spark, indexPath, meta)
           val index =
-            if (graft.sources.Fs.exists(spark, indexPath))
+            if (EpochIndex.nonEmpty(spark, indexPath))
               readIndex(s"$token-$epochId")
             else emptyFrame(spark, emptyIndexSchema)
           val cleaned = clean(batch, index, partial).localCheckpoint(true)
           try {
             epochWrite(cleaned, corpusPath, token, epochId)
-            epochWrite(partial, indexPath, token, epochId)
+            epochWrite(partial.frame, indexPath, token, epochId)
           } finally { cleaned.unpersist(); () }
         } finally { partial.unpersist(); () }
       }

@@ -1,0 +1,299 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The epoch-store contracts: compaction equivalence (probe-after ≡
+  * probe-before), the never-lose-an-epoch snapshot guarantee, the
+  * one-generation-late GC, the replay-across-compaction refusal, and
+  * the `_GRAFT_META` parameter-manifest guards. */
+class EpochIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // Three disjoint "daily batches" sharing lines across epochs, so the
+  // first-occurrence fold has real cross-epoch work to do.
+  private val b1 = docs(1L -> "alpha\nshared one\nbeta", 2L -> "shared one\ngamma")
+  private val b2 = docs(10L -> "shared one\nshared two", 11L -> "delta\nshared two")
+  private val b3 = docs(20L -> "shared two\nepsilon", 21L -> "zeta")
+
+  private def buildThreeEpochStore(path: String): Unit = {
+    Dedup.lineFirstOccIndexWrite(
+      Dedup.lineFirstOccIndex(b1, "doc_id", "text", "\n"), path, sep = "\n")
+    Dedup.lineFirstOccIndexAppend(spark, path,
+      Dedup.lineFirstOccIndex(b2, "doc_id", "text", "\n"), "day-2", sep = "\n")
+    Dedup.lineFirstOccIndexAppend(spark, path,
+      Dedup.lineFirstOccIndex(b3, "doc_id", "text", "\n"), "day-3", sep = "\n")
+  }
+
+  private def snap(df: DataFrame): Set[(String, Long, Int)] =
+    df.select("fp", "wid", "wpos").as[(String, Long, Int)].collect().toSet
+
+  test("compaction: probe-after equals probe-before, across repeated compactions") {
+    val path = tmp("graft-ei-eq")
+    buildThreeEpochStore(path)
+    val before = snap(Dedup.lineFirstOccIndexRead(spark, path))
+    // sanity: equals a single-shot build over the union
+    assert(before === snap(Dedup.lineFirstOccIndex(
+      b1.union(b2).union(b3), "doc_id", "text", "\n")))
+
+    val s1 = Dedup.lineFirstOccIndexCompact(spark, path)
+    assert(s1.folded.toSet === Set("base", "day-2", "day-3"))
+    assert(s1.carried.isEmpty && s1.gcd.isEmpty)
+    assert(snap(Dedup.lineFirstOccIndexRead(spark, path)) === before)
+
+    // append after compaction, read sees base + new epoch
+    Dedup.lineFirstOccIndexAppend(spark, path,
+      Dedup.lineFirstOccIndex(docs(30L -> "shared two\nnew day"),
+        "doc_id", "text", "\n"), "day-4", sep = "\n")
+    val withDay4 = snap(Dedup.lineFirstOccIndexRead(spark, path))
+    assert(withDay4 === snap(Dedup.lineFirstOccIndex(
+      b1.union(b2).union(b3).union(docs(30L -> "shared two\nnew day")),
+      "doc_id", "text", "\n")))
+
+    // second compaction folds only the new epoch; the first
+    // generation's folded directories are GC'd now (one generation
+    // late — no retained version lists them as live)
+    val s2 = Dedup.lineFirstOccIndexCompact(spark, path)
+    assert(s2.folded === Seq("day-4"))
+    assert(s2.carried.toSet === Set("base", "day-2", "day-3"))
+    assert(s2.gcd.toSet === Set("base", "day-2", "day-3"))
+    assert(!new java.io.File(s"$path/_epoch=base").exists())
+    assert(!new java.io.File(s"$path/_epoch=day-2").exists())
+    assert(snap(Dedup.lineFirstOccIndexRead(spark, path)) === withDay4)
+
+    // compacting with nothing new is a harmless no-op rewrite
+    val s3 = Dedup.lineFirstOccIndexCompact(spark, path)
+    assert(s3.folded.isEmpty)
+    assert(snap(Dedup.lineFirstOccIndexRead(spark, path)) === withDay4)
+  }
+
+  test("an epoch appended DURING compaction is never lost") {
+    val path = tmp("graft-ei-race")
+    buildThreeEpochStore(path)
+    val late = Dedup.lineFirstOccIndex(
+      docs(40L -> "landed mid-compaction"), "doc_id", "text", "\n")
+    // the fold callback runs after the snapshot listing and before the
+    // pointer flip — appending from inside it IS a write concurrent
+    // with compaction
+    var appended = false
+    EpochIndex.compact(spark, path, { input =>
+      EpochIndex.append(late, path, "late-epoch")
+      appended = true
+      input.groupBy(col("fp"))
+        .agg(min(struct(col("wid"), col("wpos"))).as("w"))
+        .select(col("fp"), col("w.wid").as("wid"), col("w.wpos").as("wpos"))
+    })
+    assert(appended)
+    // the late epoch is not in the folded manifest, so the read unions
+    // it on top of the compacted base — nothing lost
+    val got = snap(Dedup.lineFirstOccIndexRead(spark, path))
+    assert(got === snap(Dedup.lineFirstOccIndex(
+      b1.union(b2).union(b3).union(docs(40L -> "landed mid-compaction")),
+      "doc_id", "text", "\n")))
+  }
+
+  test("replay exclusion of an already-folded epoch refuses loudly") {
+    val path = tmp("graft-ei-replay")
+    buildThreeEpochStore(path)
+    // pre-compaction: excluding a live epoch works
+    val without2 = snap(Dedup.lineFirstOccIndexRead(spark, path, Some("day-2")))
+    assert(without2 === snap(Dedup.lineFirstOccIndex(
+      b1.union(b3), "doc_id", "text", "\n")))
+    Dedup.lineFirstOccIndexCompact(spark, path)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lineFirstOccIndexRead(spark, path, Some("day-2")).collect()
+    }
+    assert(e.getMessage.contains("already compacted"), e.getMessage)
+  }
+
+  test("family gate: compacting a store with another family's fold refuses") {
+    val path = tmp("graft-ei-family")
+    Dedup.boilerplateIndexWrite(
+      Dedup.boilerplateIndex(b1, "doc_id", "text", "\n"), path, sep = "\n")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lineFirstOccIndexCompact(spark, path)
+    }
+    assert(e.getMessage.contains("family"), e.getMessage)
+  }
+
+  test("boilerplate counts: compaction preserves summed frequencies") {
+    val path = tmp("graft-ei-bp")
+    Dedup.boilerplateIndexWrite(
+      Dedup.boilerplateIndex(b1, "doc_id", "text", "\n"), path, sep = "\n")
+    Dedup.boilerplateIndexAppend(spark, path,
+      Dedup.boilerplateIndex(b2, "doc_id", "text", "\n"), "day-2", sep = "\n")
+    val before = Dedup.boilerplateIndexRead(spark, path)
+      .as[(String, Long)].collect().toSet
+    Dedup.boilerplateIndexCompact(spark, path)
+    val after = Dedup.boilerplateIndexRead(spark, path)
+      .as[(String, Long)].collect().toSet
+    assert(after === before)
+    assert(before === Dedup.boilerplateIndex(
+      b1.union(b2), "doc_id", "text", "\n")
+      .as[(String, Long)].collect().toSet)
+  }
+
+  test("_GRAFT_META: mismatched parameters refuse; matched read clean; missing refuses") {
+    val path = tmp("graft-ei-meta")
+    buildThreeEpochStore(path)
+    // matched: reads clean
+    assert(Dedup.lineFirstOccIndexRead(spark, path, None, "\n", 1).count() > 0)
+    // wrong sep: refuses with the stored-vs-probe diff
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.lineFirstOccIndexRead(spark, path, None, " the ", 1)
+    }
+    assert(e1.getMessage.contains("sep"), e1.getMessage)
+    // wrong family (a boilerplate probe over a line store): refuses
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.boilerplateIndexRead(spark, path, None, "\n", 1)
+    }
+    assert(e2.getMessage.contains("family"), e2.getMessage)
+    // appends are guarded the same way
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.lineFirstOccIndexAppend(spark, path,
+        Dedup.lineFirstOccIndex(b2, "doc_id", "text", " the "), "dayX",
+        sep = " the ")
+    }
+    assert(e3.getMessage.contains("sep"), e3.getMessage)
+    // a manifest-less store refuses a checked read (probe on faith)
+    val bare = tmp("graft-ei-bare")
+    EpochIndex.bootstrap(
+      Dedup.lineFirstOccIndex(b1, "doc_id", "text", "\n"), bare)
+    val e4 = intercept[IllegalStateException] {
+      Dedup.lineFirstOccIndexRead(spark, bare, None, "\n", 1)
+    }
+    assert(e4.getMessage.contains("_GRAFT_META"), e4.getMessage)
+    // ... while the unchecked read still serves it (legacy layout)
+    assert(Dedup.lineFirstOccIndexRead(spark, bare).count() > 0)
+  }
+
+  test("writeIfAbsent records once and never clobbers; nonEmpty ignores bookkeeping") {
+    val path = tmp("graft-ei-wia")
+    val meta = IndexMeta("line_first_occ", "sep" -> "\n", "minLineLen" -> 1)
+    IndexMeta.writeIfAbsent(spark, path, meta)
+    assert(IndexMeta.read(spark, path) === Some(
+      IndexMeta("line_first_occ", Map("sep" -> "\n", "minLineLen" -> "1"))))
+    // meta-only root: no stored index yet
+    assert(!EpochIndex.nonEmpty(spark, path))
+    IndexMeta.writeIfAbsent(spark, path,
+      IndexMeta("line_first_occ", "sep" -> "ZZZ", "minLineLen" -> 9))
+    assert(IndexMeta.read(spark, path).get.params("sep") === "\n")
+    EpochIndex.append(
+      Dedup.lineFirstOccIndex(b1, "doc_id", "text", "\n"), path, "e1")
+    assert(EpochIndex.nonEmpty(spark, path))
+  }
+
+  test("LinePartial token: a mismatched batch partial refuses instead of mis-cleaning") {
+    val index = Dedup.lineFirstOccIndex(b1, "doc_id", "text", "\n")
+    val wrongSep = Dedup.lineFirstOccPartial(b2, "doc_id", "text", " the ")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupLines(b2, "doc_id", "text", index, "\n",
+        batchIndex = Some(wrongSep))
+    }
+    assert(e.getMessage.contains("sep"), e.getMessage)
+    // wrong family: a counts partial handed to the dedup cleaner
+    val wrongFam = Dedup.boilerplateCountsPartial(b2, "doc_id", "text", "\n")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupLines(b2, "doc_id", "text", index, "\n",
+        batchIndex = Some(wrongFam))
+    }
+    assert(e2.getMessage.contains("boilerplate"), e2.getMessage)
+    // matched: equals the build-it-yourself path
+    val ok = Dedup.lineFirstOccPartial(b2, "doc_id", "text", "\n")
+    val got = Dedup.incrementalDedupLines(b2, "doc_id", "text", index, "\n",
+      batchIndex = Some(ok))
+      .as[(Long, String, Long)].collect().toSet
+    val want = Dedup.incrementalDedupLines(b2, "doc_id", "text", index, "\n")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("IVF store: probe-after-compaction equals probe-before (cell-partitioned inner layout)") {
+    val root = tmp("graft-ei-ivf")
+    val dim = 4
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(i => (((seed * 31 + i * 7) % 13) - 6).toFloat / 6f)
+    val corpus = (1L to 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val batch = (41L to 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = Seq((1000L, vec(1000L)), (1001L, vec(1001L)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.pickCentroids(corpus, "vec_id", "embedding", 4)
+    Similarity.ivfIndexWrite(
+      Similarity.ivfIndex(corpus, cents, "vec_id", "embedding"), root)
+    Similarity.ivfAppendWrite(spark, root, batch, "vec_id", "embedding",
+      epochLabel = "day-2")
+    def probe(): Set[(Long, Long, Double)] =
+      Similarity.ivfProbeStored(spark, root, queries, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "cos")
+        .as[(Long, Long, Double)].collect().toSet
+    val before = probe()
+    assert(before.nonEmpty)
+    val stats = Similarity.ivfIndexCompact(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2"))
+    assert(probe() === before)
+    // probing under the wrong columns refuses via the manifest
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfProbeStored(spark, root,
+        queries.withColumnRenamed("embedding", "emb"), "vec_id", "emb", k = 5)
+    }
+    assert(e.getMessage.toLowerCase.contains("cols"), e.getMessage)
+  }
+
+  test("DSIR store: append + compaction preserve scores; bucket mismatch refuses") {
+    val root = tmp("graft-ei-dsir")
+    val c1 = docs(1L -> "alpha beta gamma alpha beta", 2L -> "beta gamma delta")
+    val c2 = docs(10L -> "alpha beta epsilon", 11L -> "zeta eta theta")
+    val batch = docs(20L -> "alpha beta gamma", 21L -> "unseen words here")
+    val tgt = col("doc_id") % 2 === 0
+    Splits.dsirIndexWrite(
+      Splits.dsirIndex(c1, "doc_id", "text", tgt, 64), root, 64)
+    Splits.dsirIndexAppend(spark, root,
+      Splits.dsirIndex(c2, "doc_id", "text", tgt, 64), "day-2", 64)
+    val stored = Splits.dsirIndexRead(spark, root, 64)
+    val direct = Splits.dsirIndex(c1.union(c2), "doc_id", "text", tgt, 64)
+    def score(index: DataFrame): Set[(Long, Long, Double)] =
+      Splits.dsirScoreWithIndex(batch, "doc_id", "text", index, 64)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(score(stored) === score(direct))
+    Splits.dsirIndexCompact(spark, root)
+    assert(score(Splits.dsirIndexRead(spark, root, 64)) === score(direct))
+    val e = intercept[IllegalArgumentException] {
+      Splits.dsirIndexRead(spark, root, 128)
+    }
+    assert(e.getMessage.contains("buckets"), e.getMessage)
+  }
+
+  test("band store: write/append/read round-trips under a checked manifest; identity compaction") {
+    val root = tmp("graft-ei-band")
+    val meta = IndexMeta("minhash_bands",
+      "numHashes" -> 8, "bands" -> 4, "shingleK" -> 3, "maxBucket" -> 200)
+    val idx1 = Dedup.minHashBandIndex(b1, "doc_id", "text",
+      numHashes = 8, bands = 4)
+    val idx2 = Dedup.minHashBandIndex(b2, "doc_id", "text",
+      numHashes = 8, bands = 4)
+    Dedup.bandIndexStoreWrite(idx1, root, meta)
+    Dedup.bandIndexStoreAppend(spark, root, idx2, "day-2", meta)
+    def rows(): Set[(Int, Long, Long)] =
+      Dedup.bandIndexStoreRead(spark, root, meta)
+        .select("band", "bh", "id").as[(Int, Long, Long)].collect().toSet
+    val before = rows()
+    assert(before === (idx1.union(idx2)
+      .select("band", "bh", "id").as[(Int, Long, Long)].collect().toSet))
+    Dedup.bandIndexStoreCompact(spark, root)
+    assert(rows() === before)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bandIndexStoreRead(spark, root,
+        IndexMeta("minhash_bands", "numHashes" -> 16, "bands" -> 4,
+          "shingleK" -> 3, "maxBucket" -> 200))
+    }
+    assert(e.getMessage.contains("numHashes"), e.getMessage)
+  }
+}

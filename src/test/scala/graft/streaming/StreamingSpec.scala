@@ -511,7 +511,7 @@ class StreamingSpec extends SparkSpecBase {
     val seed = Seq((100L, "seeded\nfooter"), (101L, "other\nfooter"))
     Dedup.boilerplateIndexWrite(
       Dedup.boilerplateIndex(seed.toDF("doc_id", "text"), "doc_id", "text", "\n"),
-      index)
+      index, sep = "\n")
     def drain(): Unit = {
       val schema = spark.read.parquet(s"$src/b1").schema
       Streaming.boilerplateIngestSink(
@@ -593,7 +593,7 @@ class StreamingSpec extends SparkSpecBase {
     val seed = Seq((100L, "seeded line\nfooter line"))
     Dedup.lineFirstOccIndexWrite(
       Dedup.lineFirstOccIndex(seed.toDF("doc_id", "text"), "doc_id", "text",
-        "\n", minLineLen = 2), index)
+        "\n", minLineLen = 2), index, sep = "\n", minLineLen = 2)
     def drain(): Unit = {
       val schema = spark.read.parquet(s"$src/b1").schema
       Streaming.lineDedupIngestSink(
