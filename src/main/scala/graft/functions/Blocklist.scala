@@ -58,7 +58,18 @@ object Blocklist {
   }
 
   /** Build the deterministic Aho-Corasick automaton for `patterns`
-    * (UTF-8 byte patterns; order defines the output count indexes). */
+    * (UTF-8 byte patterns; order defines the output count indexes).
+    *
+    * Memory shape: the tables are DENSE — `delta` is numStates × 256
+    * ints in the compiled automaton (4 KiB per trie state, task-
+    * serialized with the plan) and the transient build allocates
+    * maxStates × 256. That is the right trade for literal-list call
+    * sites (hundreds of phrases ⇒ single-digit MiB, and the dense
+    * row turns each input byte into one array load). A 10⁴–10⁵-state
+    * external blocklist would mean tens-to-hundreds of MiB per
+    * serialized automaton — at that size switch to byte-indexed
+    * sparse rows or a double-array trie before shipping it into a
+    * plan. */
   def compile(patterns: Seq[String]): Automaton = {
     require(patterns.nonEmpty, "empty blocklist: nothing to match")
     require(patterns.forall(_.nonEmpty), "empty pattern in blocklist")

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion, CaseWhen, Cast, Divide, ElementAt, EqualTo, Expression, LessThan, Literal, Multiply, Size, Slice, SortArray}
 
 /** SQL-surface registration for the engine's custom expressions, so
   * `spark.sql` queries can use them directly:
@@ -19,6 +19,31 @@ object SqlFunctions {
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+
+  // Catalyst mirrors of Cardinality.kmvEstimate / kmvUnionSketch /
+  // jaccardOfUnion — identical arithmetic shape (divide by the
+  // fraction, exact-under-k branch first), which is the cross-engine
+  // replay contract the q131/q138/q144 oracles check bit-for-bit.
+  private def dbl(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.DoubleType)
+
+  private def kmvEstimate(sketch: Expression, k: Int): Expression =
+    CaseWhen(
+      Seq((LessThan(Size(sketch), Literal(k)), dbl(Size(sketch)))),
+      Some(Divide(Literal((k - 1).toDouble),
+        Divide(dbl(ElementAt(sketch, Literal(k))),
+          Literal(graft.operators.Cardinality.HashSpace)))))
+
+  private def kmvUnion(a: Expression, b: Expression, k: Int): Expression =
+    Slice(SortArray(ArrayUnion(a, b), Literal(true)),
+      Literal(1), Literal(k))
+
+  private def kmvJaccardOfUnion(u: Expression, a: Expression,
+                                b: Expression): Expression =
+    CaseWhen(
+      Seq((EqualTo(Size(u), Literal(0)), Literal(0.0))),
+      Some(Divide(dbl(Size(ArrayIntersect(ArrayIntersect(u, a), b))),
+        dbl(Size(u)))))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -49,6 +74,30 @@ object SqlFunctions {
     // the blocklist compiles per CALL SITE from string literals —
     // the automaton builds once at plan time and rides codegen, so
     // SQL users get the same one-pass scan as the Scala API
+    // KMV bottom-k sketch algebra over STORED sketch arrays — the
+    // SQL-composable form of Cardinality.kmv* (sketches persisted by
+    // one job compose in plain spark.sql in another, the cross-shard
+    // cardinality story q131/q138 pin). k must be an integer literal:
+    // it is sketch geometry, not data. Built as catalyst trees (a
+    // registry builder must return Expressions; the public Column
+    // combinators produce ColumnNodes that never reach the analyzer
+    // from here) — mirrors of the Column definitions in
+    // graft.operators.Cardinality, q144's oracle pinning the pair.
+    reg.createOrReplaceTempFunction("graft_kmv_estimate",
+      exprs => kmvEstimate(exprs.head, intLit(exprs(1), "k")), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_union",
+      exprs => kmvUnion(exprs.head, exprs(1), intLit(exprs(2), "k")),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_jaccard",
+      exprs => kmvJaccardOfUnion(kmvUnion(exprs.head, exprs(1),
+        intLit(exprs(2), "k")), exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_intersection",
+      exprs => {
+        val k = intLit(exprs(2), "k")
+        val u = kmvUnion(exprs.head, exprs(1), k)
+        Multiply(kmvJaccardOfUnion(u, exprs.head, exprs(1)),
+          kmvEstimate(u, k))
+      }, "built-in")
     reg.createOrReplaceTempFunction("graft_blocklist_counts",
       exprs => BlocklistCounts(exprs.head, Blocklist.compile(
         exprs.tail.map {

@@ -98,7 +98,11 @@ object Cardinality {
 
   /** Report: per-group exact distinct count (the ground truth a
     * grouped report can afford) next to the KMV estimate — the q131
-    * shape, mirroring q125's exact-vs-sketch contract. */
+    * shape, mirroring q125's exact-vs-sketch contract. At 100 TB the
+    * exact side is the half you drop: count_distinct shuffles the
+    * full distinct key set per group, while the sketch side shuffles
+    * k longs — the whole point of the algebra. Keep the exact
+    * companion for audits at report scale, never at corpus scale. */
   def distinctWithEstimates(df: DataFrame, group: Column, value: Column,
                             k: Int): DataFrame = {
     val exact = df.groupBy(group.as("group"))

@@ -48,6 +48,18 @@ object Catalog {
   private def stageBarrier(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df.localCheckpoint(true))
 
+  /** Session-scoped scratch root for queries whose SUBJECT is a
+    * materialized store (q130's zone-mapped copy, q143's epoch
+    * index): under the JVM temp dir, suffixed with the Spark
+    * application id so two drivers running the catalog concurrently
+    * never race on each other's scratch tables. Callers clear it per
+    * invocation — a fresh tempdir per run would accrete one corpus
+    * copy per bench pass, and deleteOnExit never removes non-empty
+    * dirs. */
+  private def scratchDir(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-scratch-" +
+      s"${s.sparkContext.applicationId}/$name"
+
   /** Shared incremental-equals-full scaffold for q93/q97/q98: the
     * full-corpus pair set restricted to pairs touching the batch must
     * equal the incremental probe's output — emitted as (batch size,
@@ -4219,10 +4231,7 @@ object Catalog {
     "Zone-map manifest: per-file min/max stats + file-pruned range read (layout/data skipping)",
     """SELECT doc_id, n_chars FROM documents
       |WHERE n_chars >= 400 AND n_chars <= 600""".stripMargin) { (s, d) =>
-    // fixed scratch root, cleared per invocation (deleteOnExit never
-    // removes a non-empty dir — a fresh tempdir per run would accrete
-    // a corpus copy per bench pass)
-    val dir = new java.io.File("target/tmp/q130_zonemap/docs").getAbsolutePath
+    val dir = scratchDir(s, "q130_zonemap/docs")
     graft.sources.Fs.deleteRecursively(s, dir)
     Tables.documents(s, d).select("doc_id", "n_chars")
       .repartitionByRange(8, col("n_chars"))
@@ -4245,7 +4254,7 @@ object Catalog {
     """WITH h AS (
       |  SELECT DISTINCT event_type,
       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |r AS (
       |  SELECT event_type, h52,
       |         row_number() OVER (PARTITION BY event_type ORDER BY h52) AS rn
@@ -4492,7 +4501,18 @@ object Catalog {
     * member represents each near-dup cluster (ties to the smaller
     * id), computed as a MAX aggregate over (score, −id) — never a
     * per-cluster window (a viral duplicate cluster is millions of
-    * rows at corpus scale). */
+    * rows at corpus scale).
+    *
+    * Determinism note (same exposure as q42): the engine side's LSH
+    * candidates (32 bands × r = 2) are compared against an exhaustive
+    * O(n²) oracle join, so a probabilistically missed pair AT the 0.5
+    * threshold would change the clustering. Per-pair recall at J=0.5
+    * is 1−(1−0.5²)³² ≈ 0.9999, and the generator's planted near-dups
+    * sit well above the threshold while unrelated docs sit far below
+    * — the band-boundary region the bound worries about is unpopulated
+    * by construction. If the data generator ever changes, raise
+    * bands/numHashes on the verify path rather than loosening the
+    * oracle. */
   val q137ClusterReps = q("q137_cluster_representatives",
     "Near-dup cluster canonicalization: keep the highest-token member per cluster (north star: dedup)",
     """WITH RECURSIVE
@@ -4541,13 +4561,20 @@ object Catalog {
     * union/Jaccard/intersection estimates for every type pair without
     * rescanning the stream — next to the exact overlap ground truth.
     * The 5-row sketch self-join broadcasts; the exact side is one
-    * distinct + one user-keyed equi join. */
+    * distinct + one user-keyed equi join.
+    *
+    * Scale caveat: the EXACT companion is the part you drop at
+    * 100 TB — its (user, type) self-join on user_id is quadratic in
+    * types-per-user (bounded here: 5 event types ⇒ ≤ 10 pairs per
+    * user) and its count_distinct holds the full key set. It exists
+    * as the ground-truth side of the demo; the sketch path — k longs
+    * per group, composable without rescanning — is the product. */
   val q138KmvOverlap = q("q138_kmv_overlap",
-    "Pairwise distinct-user overlap: exact vs KMV sketch-algebra estimates (north star: corpus profiling)",
+    "Pairwise distinct-user overlap: exact vs KMV sketch-algebra estimates; the exact companion is the side you drop at corpus scale (north star: corpus profiling)",
     """WITH h AS (
       |  SELECT DISTINCT event_type,
       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |sk AS (SELECT event_type, (list_sort(list(h52)))[1:64] AS sk
       |       FROM h GROUP BY event_type),
       |tu AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -4750,12 +4777,124 @@ object Catalog {
       |WHERE s.doc_id > t.cut
       |GROUP BY s.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val cut = docs.agg(max("doc_id")).head.getLong(0) * 7 / 10
-    val corpus = docs.filter(col("doc_id") <= cut)
-    val batch = docs.filter(col("doc_id") > cut)
+    // the id cut rides the plan as a broadcast scalar (q17's pattern):
+    // the previous agg().head here ran a Spark job at query-
+    // CONSTRUCTION time, so merely enumerating the catalog paid it
+    val withCut = docs.crossJoin(
+      broadcast(docs.agg(expr("max(doc_id) * 7 div 10").as("_cut"))))
+    val corpus = withCut.filter(col("doc_id") <= col("_cut")).drop("_cut")
+    val batch = withCut.filter(col("doc_id") > col("_cut")).drop("_cut")
     Dedup.incrementalDedupLines(batch, "doc_id", "text",
       Dedup.lineFirstOccIndex(corpus, "doc_id", "text", sep = " the "),
       sep = " the ")
+  }
+
+  // --------------------------------------- epoch-index compaction
+  /** The operational closure of the persisted-index story (q142's
+    * family, one step further): the corpus index is built as THREE
+    * epoch partials, compacted into a versioned base behind the
+    * atomic `_CURRENT` pointer flip, and only then probed. The probe
+    * against the compacted store must equal the probe against the
+    * raw epochs (EpochIndexSpec pins that equivalence directly, plus
+    * the mid-compaction-append and GC contracts); the DuckDB oracle
+    * pins the end result — the full keep-first run over everything,
+    * restricted to the batch (valid under the same append-only
+    * id-order contract as q142; epoch membership inside the corpus
+    * is arbitrary because the fold is a min over ALL partials).
+    * Store writes go to the app-scoped scratch root, rebuilt per
+    * invocation — the build+compact cost IS this query's subject. */
+  val q143EpochCompaction = q("q143_epoch_compaction",
+    "Three-epoch first-occurrence index compacted behind the atomic _CURRENT flip, then probed (north star: bounded index growth)",
+    """WITH t AS (SELECT max(doc_id) // 2 AS cut FROM documents),
+      |seg AS (
+      |  SELECT doc_id, l[i] AS seg, i AS pos
+      |  FROM (SELECT doc_id, string_split(coalesce(text, ''), ' the ') AS l FROM documents),
+      |       UNNEST(generate_series(1, len(l))) AS t(i)),
+      |first_occ AS (
+      |  SELECT seg, doc_id AS wid, pos AS wpos FROM (
+      |    SELECT seg, doc_id, pos,
+      |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      |    FROM seg WHERE len(seg) >= 1) WHERE rn = 1)
+      |SELECT s.doc_id,
+      |       coalesce(string_agg(CASE WHEN f.seg IS NULL
+      |                    OR (s.doc_id = f.wid AND s.pos = f.wpos)
+      |                  THEN s.seg END, ' the ' ORDER BY s.pos), '') AS clean_text,
+      |       count(CASE WHEN f.seg IS NOT NULL
+      |                    AND NOT (s.doc_id = f.wid AND s.pos = f.wpos)
+      |                  THEN 1 END) AS n_removed
+      |FROM seg s LEFT JOIN first_occ f ON s.seg = f.seg, t
+      |WHERE s.doc_id > t.cut
+      |GROUP BY s.doc_id""".stripMargin) { (s, d) =>
+    val sep = " the "
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val withCut = docs.crossJoin(
+      broadcast(docs.agg(expr("max(doc_id) div 2").as("_cut"))))
+    val corpus = withCut.filter(col("doc_id") <= col("_cut")).drop("_cut")
+    val batch = withCut.filter(col("doc_id") > col("_cut")).drop("_cut")
+    val root = scratchDir(s, "q143_lineidx")
+    graft.sources.Fs.deleteRecursively(s, root)
+    def epoch(r: Int): DataFrame = Dedup.lineFirstOccIndex(
+      corpus.filter(pmod(col("doc_id"), lit(3)) === r), "doc_id", "text", sep)
+    Dedup.lineFirstOccIndexWrite(epoch(0), root, sep)
+    Dedup.lineFirstOccIndexAppend(s, root, epoch(1), "day-2", sep)
+    Dedup.lineFirstOccIndexAppend(s, root, epoch(2), "day-3", sep)
+    val stats = Dedup.lineFirstOccIndexCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q143: compaction folded nothing at $root — store build failed")
+    Dedup.incrementalDedupLines(batch, "doc_id", "text",
+      Dedup.lineFirstOccIndexRead(s, root, None, sep, 1), sep)
+  }
+
+  // --------------------------------------- KMV algebra on the SQL surface
+  /** The q138 sketch algebra composed from `spark.sql` alone: per-type
+    * sketches (built once, stored — here a temp view standing in for
+    * the sketch table a pipeline persists) combine via the registered
+    * graft_kmv_* functions. The oracle replays estimate, union-
+    * estimate, Jaccard and intersection from the same md5 bottom-k
+    * construction — bit-for-bit, the q131/q138 contract. */
+  val q144KmvSql = q("q144_kmv_sql_surface",
+    "KMV sketch algebra from spark.sql via registered graft_kmv_* functions (north star: SQL-first profiling)",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events WHERE user_id IS NOT NULL),
+      |sk AS (SELECT event_type, (list_sort(list(h52)))[1:64] AS sk
+      |       FROM h GROUP BY event_type),
+      |c AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, a.sk AS ska, b.sk AS skb,
+      |         (list_sort(list_distinct(a.sk || b.sk)))[1:64] AS u
+      |  FROM sk a JOIN sk b ON a.event_type < b.event_type)
+      |SELECT ta, tb,
+      |       round(CASE WHEN len(ska) < 64 THEN CAST(len(ska) AS DOUBLE)
+      |             ELSE 63.0 / (CAST(ska[64] AS DOUBLE) / 4503599627370496.0) END, 4) AS est_a,
+      |       round(CASE WHEN len(skb) < 64 THEN CAST(len(skb) AS DOUBLE)
+      |             ELSE 63.0 / (CAST(skb[64] AS DOUBLE) / 4503599627370496.0) END, 4) AS est_b,
+      |       round(CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+      |             ELSE 63.0 / (CAST(u[64] AS DOUBLE) / 4503599627370496.0) END, 4) AS est_union,
+      |       round(CASE WHEN len(u) = 0 THEN 0.0
+      |             ELSE CAST(len(list_intersect(list_intersect(u, ska), skb)) AS DOUBLE)
+      |                  / CAST(len(u) AS DOUBLE) END, 4) AS kmv_jaccard,
+      |       round((CASE WHEN len(u) = 0 THEN 0.0
+      |              ELSE CAST(len(list_intersect(list_intersect(u, ska), skb)) AS DOUBLE)
+      |                   / CAST(len(u) AS DOUBLE) END)
+      |             * (CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+      |                ELSE 63.0 / (CAST(u[64] AS DOUBLE) / 4503599627370496.0) END),
+      |             4) AS kmv_inter
+      |FROM c""".stripMargin) { (s, d) =>
+    graft.functions.SqlFunctions.registerAll(s)
+    Cardinality.kmvSketch(Tables.events(s, d),
+      col("event_type"), col("user_id"), k = 64)
+      .select(col("group").as("etype"), col("sketch"))
+      .createOrReplaceTempView("q144_sketches")
+    s.sql("""
+      SELECT a.etype AS ta, b.etype AS tb,
+             round(graft_kmv_estimate(a.sketch, 64), 4) AS est_a,
+             round(graft_kmv_estimate(b.sketch, 64), 4) AS est_b,
+             round(graft_kmv_estimate(graft_kmv_union(a.sketch, b.sketch, 64), 64), 4) AS est_union,
+             round(graft_kmv_jaccard(a.sketch, b.sketch, 64), 4) AS kmv_jaccard,
+             round(graft_kmv_intersection(a.sketch, b.sketch, 64), 4) AS kmv_inter
+      FROM q144_sketches a JOIN q144_sketches b ON a.etype < b.etype
+    """)
   }
 
   val all: Seq[CatalogQuery] = Seq(
@@ -4793,5 +4932,5 @@ object Catalog {
     q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
     q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps,
     q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir,
-    q142IncrementalLineDedup)
+    q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql)
 }

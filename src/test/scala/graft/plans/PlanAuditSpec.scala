@@ -396,7 +396,37 @@ class PlanAuditSpec extends SparkSpecBase {
     val plan = planOf("q142_incremental_line_dedup")
     assert(!plan.contains("Window"),
       s"first-occurrence must stay a MIN aggregate:\n$plan")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the id cut rides the plan as a ONE-ROW broadcast scalar (the
+    // q17 pattern — replaced the construction-time agg().head): its
+    // inequality attach is a BroadcastNestedLoopJoin over an
+    // IdentityBroadcastMode exchange, which is a scalar bind, not a
+    // join of data; any OTHER nested-loop join stays banned
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("IdentityBroadcastMode"),
+        s"non-scalar nested-loop join crept in:\n$plan")
+  }
+
+  test("q143 epoch compaction: probe plan mirrors q142 over the compacted store") {
+    val plan = planOf("q143_epoch_compaction")
+    assert(!plan.contains("Window"),
+      s"first-occurrence must stay a MIN aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("IdentityBroadcastMode"),
+        s"non-scalar nested-loop join crept in:\n$plan")
+  }
+
+  test("q144 KMV SQL surface: sketch algebra over a broadcast pair join, no windows") {
+    val plan = planOf("q144_kmv_sql_surface")
+    assert(!plan.contains("Window"), s"q144:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q144:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q144 lost the typed bounded-heap sketch aggregation:\n$plan")
+    // the < pair join of two ≤|event types|-row sketch tables must
+    // build on a broadcast, never shuffle both sides
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"q144 pair join lost its broadcast:\n$plan")
   }
 }
