@@ -98,6 +98,12 @@ object SqlFunctions {
         Multiply(kmvJaccardOfUnion(u, exprs.head, exprs(1)),
           kmvEstimate(u, k))
       }, "built-in")
+    // PSL registered domain: rules live in the jar resource (parsed
+    // once per JVM), so the SQL surface gets the same O(labels)
+    // codegen'd lookup as the Scala API with nothing but the host
+    // expression in the plan
+    reg.createOrReplaceTempFunction("graft_registered_domain",
+      exprs => graft.operators.PslRegisteredDomain(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_blocklist_counts",
       exprs => BlocklistCounts(exprs.head, Blocklist.compile(
         exprs.tail.map {

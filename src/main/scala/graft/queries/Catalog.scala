@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Cardinality, Chunking, Contamination, Curation, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Relevance, Rolling, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Cardinality, Chunking, Contamination, Curation, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, Scd, Similarity, Skew, Splits}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -4897,6 +4897,96 @@ object Catalog {
     """)
   }
 
+  // --------------------------------------- PSL registered-domain caps
+  /** Full public-suffix-list semantics under the per-site cap: planted
+    * hosts exercise every rule class of [[Psl]] — private platform
+    * suffixes (`*.github.io` / `*.blogspot.com` sites must each be
+    * their OWN cap bucket, the collapse q127's 13-suffix subset would
+    * cause), multi-label ccTLD registrations with extra subdomains,
+    * a 4-label wildcard suffix (`*.compute.amazonaws.com`), the
+    * `!www.ck` exception inside the `*.ck` wildcard, longest-match
+    * (`k12.ca.us` over `ca.us`), the implicit `*` default on an
+    * unknown TLD, and a deep subdomain under a plain `.com`.
+    *
+    * The oracle replays the REAL PSL algorithm (candidate suffixes of
+    * every length, exception-prevails, longest-match, default 1) over
+    * the rule subset that can match these hosts — equivalent to the
+    * full snapshot here because no other snapshot rule matches any
+    * candidate suffix of the planted host families (all families end
+    * in io/com/uk/ck/zz/us with fixed label tails). Caps replay via
+    * the same md5-rank window as q127. */
+  val q145PslDomainCaps = q("q145_psl_domain_caps",
+    "PSL registered domain (snapshot rules: wildcard/exception/longest-match) + per-site caps (north star: web curation)",
+    """WITH hosts AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS b,
+      |         CAST(doc_id % 40 AS VARCHAR) AS j
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CASE b
+      |      WHEN 0 THEN 'site' || j || '.github.io'
+      |      WHEN 1 THEN 'author' || j || '.blogspot.com'
+      |      WHEN 2 THEN 'sub.site' || j || '.co.uk'
+      |      WHEN 3 THEN 'vm' || j || '.eu-west-1.compute.amazonaws.com'
+      |      WHEN 4 THEN 'deep.a.b.site' || j || '.com'
+      |      WHEN 5 THEN CASE WHEN doc_id % 2 = 0 THEN 'www.ck'
+      |                       ELSE 'shop' || j || '.biz.ck' END
+      |      WHEN 6 THEN 'host' || j || '.example.zz'
+      |      ELSE 'school' || j || '.k12.ca.us' END AS host
+      |  FROM hosts),
+      |rules(rule, typ) AS (VALUES
+      |  ('github.io', 'x'), ('blogspot.com', 'x'), ('co.uk', 'x'),
+      |  ('ca.us', 'x'), ('k12.ca.us', 'x'),
+      |  ('ck', 'w'), ('compute.amazonaws.com', 'w'),
+      |  ('www.ck', 'e')),
+      |labs AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+      |cand AS (
+      |  SELECT doc_id, host, len(ls) AS nl, i,
+      |         array_to_string(ls[len(ls)-i+1:len(ls)], '.') AS cand,
+      |         CASE WHEN i >= 2
+      |              THEN array_to_string(ls[len(ls)-i+2:len(ls)], '.') END AS parent
+      |  FROM labs, UNNEST(generate_series(1, len(ls))) AS t(i)),
+      |m AS (
+      |  SELECT c.doc_id, c.host, c.nl,
+      |         max(CASE WHEN r.typ = 'e' THEN c.i - 1 END) AS exc_ps,
+      |         max(CASE WHEN r.typ IN ('x', 'w') THEN c.i END) AS rule_ps
+      |  FROM cand c LEFT JOIN rules r
+      |    ON (r.typ IN ('x', 'e') AND r.rule = c.cand)
+      |    OR (r.typ = 'w' AND r.rule = c.parent)
+      |  GROUP BY c.doc_id, c.host, c.nl),
+      |d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN nl <= ps THEN host
+      |              ELSE array_to_string(string_split(host, '.')[nl-ps:nl], '.') END AS domain
+      |  FROM (SELECT doc_id, host, nl,
+      |               coalesce(exc_ps, greatest(coalesce(rule_ps, 1), 1)) AS ps
+      |        FROM m)),
+      |r2 AS (
+      |  SELECT domain, doc_id,
+      |         row_number() OVER (PARTITION BY domain
+      |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT,
+      |                    doc_id) AS rk
+      |  FROM d)
+      |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk FROM r2 WHERE rk <= 3""".stripMargin) { (s, d) =>
+    val j = pmod(col("doc_id"), lit(40)).cast("string")
+    val b = Splits.splitBucket(col("doc_id"), 8)
+    val host =
+      when(b === 0, concat(lit("site"), j, lit(".github.io")))
+        .when(b === 1, concat(lit("author"), j, lit(".blogspot.com")))
+        .when(b === 2, concat(lit("sub.site"), j, lit(".co.uk")))
+        .when(b === 3, concat(lit("vm"), j, lit(".eu-west-1.compute.amazonaws.com")))
+        .when(b === 4, concat(lit("deep.a.b.site"), j, lit(".com")))
+        .when(b === 5, when(pmod(col("doc_id"), lit(2)) === 0, lit("www.ck"))
+          .otherwise(concat(lit("shop"), j, lit(".biz.ck"))))
+        .when(b === 6, concat(lit("host"), j, lit(".example.zz")))
+        .otherwise(concat(lit("school"), j, lit(".k12.ca.us")))
+    val dom = Psl.registeredDomain(host)
+    Curation.capPerKey(
+      Tables.documents(s, d).select(col("doc_id"), dom.as("domain")),
+      col("domain"), col("doc_id"), maxPerKey = 3)
+      .select(col("key").as("domain"), col("id").as("doc_id"), col("rk"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -4932,5 +5022,6 @@ object Catalog {
     q128ParagraphDedup, q129Blocklist, q130ZoneMap, q131Kmv, q132Pmi,
     q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps,
     q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir,
-    q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql)
+    q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql,
+    q145PslDomainCaps)
 }

@@ -429,4 +429,17 @@ class PlanAuditSpec extends SparkSpecBase {
       plan.contains("BroadcastNestedLoopJoin"),
       s"q144 pair join lost its broadcast:\n$plan")
   }
+
+  test("q145 PSL domain caps: codegen'd scan-side lookup, bounded-heap cap, one shuffle") {
+    val plan = planOf("q145_psl_domain_caps")
+    // the PSL table lives in the jar, so the plan is host-expr →
+    // registered-domain lookup → capPerKey; a Window or a second
+    // exchange means either the cap or the lookup regressed
+    assert(!plan.contains("Window"), s"q145 regressed to a window sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q145 lost the typed bounded-heap cap aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"q145 grew a join (the rules must ride the jar, not the plan):\n$plan")
+    assert(shuffles(plan) <= 1, s"q145 needs only the cap's key exchange:\n$plan")
+  }
 }
