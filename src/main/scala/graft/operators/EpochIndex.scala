@@ -159,6 +159,53 @@ object EpochIndex {
 
   // --------------------------------------------------------------- read
 
+  /** What one store read aggregated, captured from the executed
+    * query's observed metrics via [[probeStats]]: the partial rows
+    * the probe had to re-aggregate (`rowsAggregated`, of which
+    * `baseRows` came from the compacted base) and the live epoch
+    * partitions unioned on top (`epochsScanned` — 0 for a flat
+    * never-epoch layout). A climbing `epochsScanned` / shrinking
+    * base share is THE "compaction due" signal: it makes index
+    * growth a production metric instead of a scaladoc warning. */
+  case class ProbeStats(store: String, rowsAggregated: Long,
+                        baseRows: Long, epochsScanned: Long)
+
+  /** Unique observed-metric suffixes (one plan may probe several
+    * stores — q143 reads the store it just compacted; Spark requires
+    * distinct CollectMetrics names per plan). */
+  private val probeSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Every [[read]] observes its own scan. `nLiveEpochs` is known
+    * driver-side at plan time (the epoch listing), so only the row
+    * counts aggregate executor-side; `max(lit(…))` carries the
+    * constants through the metric row. */
+  private def observeProbe(df: DataFrame, root: String,
+                           nLiveEpochs: Int, hasEpochCol: Boolean): DataFrame =
+    df.observe(s"epoch_probe_${probeSeq.incrementAndGet()}",
+      count(lit(1)).as("rows_aggregated"),
+      (if (hasEpochCol)
+        sum(when(col(EpochCol) === lit(CompactedLabel), 1L).otherwise(0L))
+      else max(lit(0L))).as("base_rows"),
+      max(lit(root)).as("store"),
+      max(lit(nLiveEpochs.toLong)).as("epochs_scanned"))
+
+  private def longOr0(row: org.apache.spark.sql.Row, name: String): Long =
+    Option(row.getAs[Any](name)).fold(0L)(_.asInstanceOf[Long])
+
+  /** Probe metrics of every store read that executed in `df`'s plan.
+    * Same capture contract as Dedup.droppedBuckets: metrics attach to
+    * the QueryExecution that RAN — call after `collect`/`foreach` on
+    * `df` itself, or capture `epoch_probe_*` through a
+    * QueryExecutionListener for `count`/`write` actions. */
+  def probeStats(df: DataFrame): Seq[ProbeStats] =
+    org.apache.spark.sql.graftbridge.Bridge.observedMetrics(df).toSeq
+      .collect {
+        case (name, row) if name.startsWith("epoch_probe_") =>
+          ProbeStats(Option(row.getAs[String]("store")).getOrElse(""),
+            longOr0(row, "rows_aggregated"), longOr0(row, "base_rows"),
+            longOr0(row, "epochs_scanned"))
+      }
+
   /** Read a store as one frame of partial rows carrying `_epoch`
     * (base rows labeled [[CompactedLabel]]); the caller applies its
     * family aggregation (min / sum / identity). `excludeEpoch` drops
@@ -167,7 +214,9 @@ object EpochIndex {
     * folded into the base (its rows can no longer be subtracted; a
     * silent read would double-count the replay). A store never
     * compacted reads exactly like the flat layout the family writers
-    * bootstrap (`bootstrapName` names the writer in that error). */
+    * bootstrap (`bootstrapName` names the writer in that error).
+    * Every read carries an `epoch_probe_*` observation
+    * ([[probeStats]]). */
   def read(spark: SparkSession, root: String,
            excludeEpoch: Option[String] = None,
            innerPartCols: Seq[String] = Nil,
@@ -175,7 +224,8 @@ object EpochIndex {
     currentBase(spark, root) match {
       case None =>
         val raw = spark.read.parquet(root)
-        excludeEpoch match {
+        val live = liveEpochNames(spark, root, innerPartCols)
+        val out = excludeEpoch match {
           case Some(e) =>
             require(raw.columns.contains(EpochCol),
               s"excludeEpoch set but $root has no $EpochCol partition " +
@@ -186,6 +236,8 @@ object EpochIndex {
             raw.filter(col(EpochCol) =!= lit(e))
           case None => raw
         }
+        val nLive = live.count(n => !excludeEpoch.contains(n))
+        observeProbe(out, root, nLive, raw.columns.contains(EpochCol))
       case Some((vdir, folded)) =>
         excludeEpoch.foreach { e =>
           require(!folded.contains(e),
@@ -205,7 +257,10 @@ object EpochIndex {
             spark.read.parquet(root)
               .filter(col(EpochCol).isin(live: _*))
               .select(base.columns.map(col).toIndexedSeq: _*))
-        excludeEpoch.fold(all)(e => all.filter(col(EpochCol) =!= lit(e)))
+        val out = excludeEpoch.fold(all)(e =>
+          all.filter(col(EpochCol) =!= lit(e)))
+        val nLive = live.count(n => !excludeEpoch.contains(n))
+        observeProbe(out, root, nLive, hasEpochCol = true)
     }
 
   // ------------------------------------------------------------ compact

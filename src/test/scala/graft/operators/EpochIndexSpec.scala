@@ -296,4 +296,38 @@ class EpochIndexSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("numHashes"), e.getMessage)
   }
+
+  test("probe stats: epochs scanned, base share, and growth are observable per read") {
+    val path = tmp("graft-ei-obs")
+    buildThreeEpochStore(path)
+    val pre = Dedup.lineFirstOccIndexRead(spark, path)
+    pre.collect()
+    val st1 = EpochIndex.probeStats(pre)
+    assert(st1.size === 1, st1)
+    assert(st1.head.store === path)
+    assert(st1.head.epochsScanned === 3L) // base + day-2 + day-3, no compacted base yet
+    assert(st1.head.baseRows === 0L)
+    assert(st1.head.rowsAggregated > 0L)
+
+    Dedup.lineFirstOccIndexCompact(spark, path)
+    val post = Dedup.lineFirstOccIndexRead(spark, path)
+    post.collect()
+    val st2 = EpochIndex.probeStats(post)
+    assert(st2.head.epochsScanned === 0L) // every epoch folded into the base
+    assert(st2.head.baseRows === st2.head.rowsAggregated)
+    // the fold dedups cross-epoch repeats: the probe re-aggregates FEWER rows
+    assert(st2.head.rowsAggregated <= st1.head.rowsAggregated)
+
+    // append after compaction: the climbing live-epoch count IS the
+    // "compaction due" signal the metric exists to expose
+    Dedup.lineFirstOccIndexAppend(spark, path,
+      Dedup.lineFirstOccIndex(docs(40L -> "shared two\nobserved day"),
+        "doc_id", "text", "\n"), "day-5", sep = "\n")
+    val p3 = Dedup.lineFirstOccIndexRead(spark, path)
+    p3.collect()
+    val st3 = EpochIndex.probeStats(p3)
+    assert(st3.head.epochsScanned === 1L)
+    assert(st3.head.baseRows > 0L &&
+      st3.head.rowsAggregated > st3.head.baseRows)
+  }
 }
