@@ -106,7 +106,26 @@ object Curation {
     require(maxPerKey > 0, "maxPerKey must be > 0")
     // TopK keeps the HIGHEST scores: negate the 52-bit hash key so
     // "smallest hash" wins; integers ≤ 2^52 negate exactly in a Double
-    val score = -hashOrderKey(id).cast("double")
+    capBy(df, key, id, maxPerKey, -hashOrderKey(id).cast("double"))
+  }
+
+  /** Arrival-order cap: keep the FIRST `maxPerKey` rows per key by
+    * ascending id (monotonic ingest ids = arrival order — the same
+    * append-only contract the incremental dedup families document).
+    * This is the cap shape that COMPOSES across batches: a later
+    * batch's keep decision needs only how many rows each key has
+    * already seen ([[incrementalCapPerKey]]), where [[capPerKey]]'s
+    * hash rank would let a later arrival displace an already-
+    * published survivor. Same bounded-heap scale shape. */
+  def capPerKeyArrival(df: DataFrame, key: Column, id: Column,
+                       maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be > 0")
+    // ids ≤ 2^52 negate exactly in a Double (hashOrderKey contract)
+    capBy(df, key, id, maxPerKey, -id.cast("double"))
+  }
+
+  private def capBy(df: DataFrame, key: Column, id: Column,
+                    maxPerKey: Int, score: Column): DataFrame =
     df.select(key.as("_key"), score.as("_s"), id.cast("long").as("_id"))
       // a NULL id would crash the typed aggregator's non-nullable
       // (Double, Long) encoder; rows without an id can't be ranked
@@ -117,5 +136,90 @@ object Curation {
         posexplode(col("kept")).as(Seq("_pos", "_ki")))
       .select(col("key"), col("_ki._2").as("id"),
         (col("_pos") + 1).cast("long").as("rk"))
+
+  // ----------------------- incremental caps vs persisted count index
+
+  /** Per-key TOTAL row counts — the persisted state incremental caps
+    * probe. Deliberately raw totals, not kept counts: a batch row's
+    * global arrival rank is (prior total) + (rank within the batch),
+    * so raw counts make the fold a plain associative SUM — epoch
+    * partials compose in any order, kept counts would not (each
+    * epoch's keeps depend on every earlier epoch). One fixed-width
+    * row per key, never the documents: the 100 TB corpus persists
+    * megabytes. */
+  def capCountIndex(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.select(key.as("key"), id.cast("long").as("_id"))
+      .filter(col("_id").isNotNull)
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+
+  private def capCountFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("key")).agg(sum(col("n")).as("n"))
+
+  private val CapFamily = "domain_cap_counts"
+  private def capIndexMeta(keyName: String): IndexMeta =
+    IndexMeta(CapFamily, "keyName" -> keyName)
+
+  /** Bootstrap a stored count index (epoch layout + `_GRAFT_META`).
+    * `keyName` names the key derivation (e.g. "psl_registered_domain")
+    * — the manifest guard against probing with a DIFFERENT domain
+    * definition than the index was built under, the one parameter a
+    * count table cannot reveal about itself. The cap itself is NOT
+    * index state: any cap probes the same counts. */
+  def capCountIndexWrite(index: DataFrame, path: String,
+                         keyName: String): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path, capIndexMeta(keyName))
+  }
+
+  /** Append one batch's per-key counts as a new epoch (idempotent
+    * per epoch name; manifest-checked). */
+  def capCountIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                          path: String, partial: DataFrame,
+                          epoch: String, keyName: String): Unit = {
+    IndexMeta.check(spark, path, capIndexMeta(keyName))
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  /** Checked read: per-key totals summed across the compacted base
+    * and live epochs. */
+  def capCountIndexRead(spark: org.apache.spark.sql.SparkSession,
+                        path: String, keyName: String,
+                        excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, capIndexMeta(keyName))
+    capCountFold(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "capCountIndexWrite"))
+  }
+
+  /** Fold accumulated epochs behind the atomic `_CURRENT` flip —
+    * same growth bound as every other index family. */
+  def capCountIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, CapFamily)
+    EpochIndex.compact(spark, path, capCountFold, keepVersions = keepVersions)
+  }
+
+  /** Batch arrival-order cap against persisted history:
+    * `incrementalCapPerKey(batch, …, priorCounts)` ≡
+    * [[capPerKeyArrival]] over (history ∪ batch) restricted to the
+    * batch — EXACT under the append-only contract (every history id
+    * precedes every batch id), because a batch row's global rank is
+    * prior + its batch rank. The batch reduces to ≤ `maxPerKey`
+    * candidates per key map-side before the prior counts (one row
+    * per key) join on — the corpus is never re-read, and the join's
+    * both sides are already tiny. Output ranks are GLOBAL
+    * (`rk` = prior + batch rank), so survivors publish with their
+    * final quota positions. */
+  def incrementalCapPerKey(batch: DataFrame, key: Column, id: Column,
+                           maxPerKey: Int,
+                           priorCounts: DataFrame): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be > 0")
+    capPerKeyArrival(batch, key, id, maxPerKey)
+      .join(priorCounts.select(col("key"), col("n").as("_prior")),
+        Seq("key"), "left")
+      .withColumn("_prior", coalesce(col("_prior"), lit(0L)))
+      .filter(col("_prior") + col("rk") <= maxPerKey)
+      .select(col("key"), col("id"),
+        (col("_prior") + col("rk")).as("rk"))
   }
 }

@@ -4898,29 +4898,32 @@ object Catalog {
   }
 
   // --------------------------------------- PSL registered-domain caps
-  /** Full public-suffix-list semantics under the per-site cap: planted
-    * hosts exercise every rule class of [[Psl]] — private platform
-    * suffixes (`*.github.io` / `*.blogspot.com` sites must each be
-    * their OWN cap bucket, the collapse q127's 13-suffix subset would
-    * cause), multi-label ccTLD registrations with extra subdomains,
-    * a 4-label wildcard suffix (`*.compute.amazonaws.com`), the
-    * `!www.ck` exception inside the `*.ck` wildcard, longest-match
-    * (`k12.ca.us` over `ca.us`), the implicit `*` default on an
-    * unknown TLD, and a deep subdomain under a plain `.com`.
-    *
-    * The oracle replays the REAL PSL algorithm (candidate suffixes of
-    * every length, exception-prevails, longest-match, default 1) over
-    * the rule subset that can match these hosts — equivalent to the
-    * full snapshot here because no other snapshot rule matches any
-    * candidate suffix of the planted host families (all families end
-    * in io/com/uk/ck/zz/us with fixed label tails). Caps replay via
-    * the same md5-rank window as q127. */
-  val q145PslDomainCaps = q("q145_psl_domain_caps",
-    "PSL registered domain (snapshot rules: wildcard/exception/longest-match) + per-site caps (north star: web curation)",
-    """WITH hosts AS (
+
+  /** Shared planted-host derivation for q145/q146 (site index
+    * j = doc_id % modulus; family = md5 bucket of 8): every rule
+    * class of [[Psl]] in one column. The SQL twin is
+    * [[pslHostSql]]. */
+  private def pslDemoHost(modulus: Int): Column = {
+    val j = pmod(col("doc_id"), lit(modulus)).cast("string")
+    val b = Splits.splitBucket(col("doc_id"), 8)
+    when(b === 0, concat(lit("site"), j, lit(".github.io")))
+      .when(b === 1, concat(lit("author"), j, lit(".blogspot.com")))
+      .when(b === 2, concat(lit("sub.site"), j, lit(".co.uk")))
+      .when(b === 3, concat(lit("vm"), j, lit(".eu-west-1.compute.amazonaws.com")))
+      .when(b === 4, concat(lit("deep.a.b.site"), j, lit(".com")))
+      .when(b === 5, when(pmod(col("doc_id"), lit(2)) === 0, lit("www.ck"))
+        .otherwise(concat(lit("shop"), j, lit(".biz.ck"))))
+      .when(b === 6, concat(lit("host"), j, lit(".example.zz")))
+      .otherwise(concat(lit("school"), j, lit(".k12.ca.us")))
+  }
+
+  /** DuckDB CTEs `hosts`/`h`: the planted-host twin of
+    * [[pslDemoHost]]. */
+  private def pslHostSql(modulus: Int): String =
+    s"""hosts AS (
       |  SELECT doc_id,
       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS b,
-      |         CAST(doc_id % 40 AS VARCHAR) AS j
+      |         CAST(doc_id % $modulus AS VARCHAR) AS j
       |  FROM documents),
       |h AS (
       |  SELECT doc_id, CASE b
@@ -4933,8 +4936,16 @@ object Catalog {
       |                       ELSE 'shop' || j || '.biz.ck' END
       |      WHEN 6 THEN 'host' || j || '.example.zz'
       |      ELSE 'school' || j || '.k12.ca.us' END AS host
-      |  FROM hosts),
-      |rules(rule, typ) AS (VALUES
+      |  FROM hosts)""".stripMargin
+
+  /** DuckDB CTEs `rules`…`d`: the REAL PSL algorithm (candidate
+    * suffixes of every length, exception-prevails, longest-match,
+    * implicit `*` default) over the rule subset that can match the
+    * planted hosts — equivalent to the full snapshot on them because
+    * no other snapshot rule matches any candidate suffix of these
+    * host families. Yields `d(doc_id, domain)` from `h`. */
+  private val pslDomainSql: String =
+    """rules(rule, typ) AS (VALUES
       |  ('github.io', 'x'), ('blogspot.com', 'x'), ('co.uk', 'x'),
       |  ('ca.us', 'x'), ('k12.ca.us', 'x'),
       |  ('ck', 'w'), ('compute.amazonaws.com', 'w'),
@@ -4960,7 +4971,28 @@ object Catalog {
       |              ELSE array_to_string(string_split(host, '.')[nl-ps:nl], '.') END AS domain
       |  FROM (SELECT doc_id, host, nl,
       |               coalesce(exc_ps, greatest(coalesce(rule_ps, 1), 1)) AS ps
-      |        FROM m)),
+      |        FROM m))""".stripMargin
+  /** Full public-suffix-list semantics under the per-site cap: planted
+    * hosts exercise every rule class of [[Psl]] — private platform
+    * suffixes (`*.github.io` / `*.blogspot.com` sites must each be
+    * their OWN cap bucket, the collapse q127's 13-suffix subset would
+    * cause), multi-label ccTLD registrations with extra subdomains,
+    * a 4-label wildcard suffix (`*.compute.amazonaws.com`), the
+    * `!www.ck` exception inside the `*.ck` wildcard, longest-match
+    * (`k12.ca.us` over `ca.us`), the implicit `*` default on an
+    * unknown TLD, and a deep subdomain under a plain `.com`.
+    *
+    * The oracle replays the REAL PSL algorithm (candidate suffixes of
+    * every length, exception-prevails, longest-match, default 1) over
+    * the rule subset that can match these hosts — equivalent to the
+    * full snapshot here because no other snapshot rule matches any
+    * candidate suffix of the planted host families (all families end
+    * in io/com/uk/ck/zz/us with fixed label tails). Caps replay via
+    * the same md5-rank window as q127. */
+  val q145PslDomainCaps = q("q145_psl_domain_caps",
+    "PSL registered domain (snapshot rules: wildcard/exception/longest-match) + per-site caps (north star: web curation)",
+    s"""WITH ${pslHostSql(40)},
+      |$pslDomainSql,
       |r2 AS (
       |  SELECT domain, doc_id,
       |         row_number() OVER (PARTITION BY domain
@@ -4968,22 +5000,57 @@ object Catalog {
       |                    doc_id) AS rk
       |  FROM d)
       |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk FROM r2 WHERE rk <= 3""".stripMargin) { (s, d) =>
-    val j = pmod(col("doc_id"), lit(40)).cast("string")
-    val b = Splits.splitBucket(col("doc_id"), 8)
-    val host =
-      when(b === 0, concat(lit("site"), j, lit(".github.io")))
-        .when(b === 1, concat(lit("author"), j, lit(".blogspot.com")))
-        .when(b === 2, concat(lit("sub.site"), j, lit(".co.uk")))
-        .when(b === 3, concat(lit("vm"), j, lit(".eu-west-1.compute.amazonaws.com")))
-        .when(b === 4, concat(lit("deep.a.b.site"), j, lit(".com")))
-        .when(b === 5, when(pmod(col("doc_id"), lit(2)) === 0, lit("www.ck"))
-          .otherwise(concat(lit("shop"), j, lit(".biz.ck"))))
-        .when(b === 6, concat(lit("host"), j, lit(".example.zz")))
-        .otherwise(concat(lit("school"), j, lit(".k12.ca.us")))
-    val dom = Psl.registeredDomain(host)
+    val dom = Psl.registeredDomain(pslDemoHost(40))
     Curation.capPerKey(
       Tables.documents(s, d).select(col("doc_id"), dom.as("domain")),
       col("domain"), col("doc_id"), maxPerKey = 3)
+      .select(col("key").as("domain"), col("id").as("doc_id"), col("rk"))
+  }
+
+  // ------------------------ incremental domain caps vs count index
+  /** The caps family's daily-batch shape (every dedup family has one;
+    * now curation does too): history persists per-domain TOTAL counts
+    * (raw totals, so the epoch fold is an associative SUM), a new
+    * batch caps against them without history being re-read. The
+    * arrival-order cap is the variant that composes across batches —
+    * a batch row's global quota position is (prior total) + (rank in
+    * batch) under the append-only id contract — where q145's hash
+    * cap would let a later arrival displace a published survivor.
+    * The store is exercised for real: two epoch partials, compacted
+    * behind the atomic `_CURRENT` flip, then probed through the
+    * checked manifest read. Oracle = the FULL arrival cap over
+    * everything, restricted to batch ids — the same restricted-
+    * equivalence contract as q142/q143. */
+  val q146IncrementalCaps = q("q146_incremental_domain_caps",
+    "Batch domain caps against a persisted per-domain count index, compacted then probed (north star: incremental curation)",
+    s"""WITH t AS (SELECT max(doc_id) * 7 // 10 AS cut FROM documents),
+      |${pslHostSql(10)},
+      |$pslDomainSql,
+      |r2 AS (
+      |  SELECT domain, doc_id,
+      |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      |  FROM d)
+      |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk
+      |FROM r2, t WHERE doc_id > t.cut AND rk <= 5""".stripMargin) { (s, d) =>
+    val keyName = "psl_registered_domain_mod10"
+    val dom = Psl.registeredDomain(pslDemoHost(10))
+    val docs = Tables.documents(s, d).select(col("doc_id"), dom.as("domain"))
+    val withCut = docs.crossJoin(
+      broadcast(docs.agg(expr("max(doc_id) * 7 div 10").as("_cut"))))
+    val history = withCut.filter(col("doc_id") <= col("_cut")).drop("_cut")
+    val batch = withCut.filter(col("doc_id") > col("_cut")).drop("_cut")
+    val root = scratchDir(s, "q146_capidx")
+    graft.sources.Fs.deleteRecursively(s, root)
+    def partial(r: Int): DataFrame = Curation.capCountIndex(
+      history.filter(pmod(col("doc_id"), lit(2)) === r),
+      col("domain"), col("doc_id"))
+    Curation.capCountIndexWrite(partial(0), root, keyName)
+    Curation.capCountIndexAppend(s, root, partial(1), "day-2", keyName)
+    val stats = Curation.capCountIndexCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q146: compaction folded nothing at $root — store build failed")
+    Curation.incrementalCapPerKey(batch, col("domain"), col("doc_id"),
+      maxPerKey = 5, Curation.capCountIndexRead(s, root, keyName))
       .select(col("key").as("domain"), col("id").as("doc_id"), col("rk"))
   }
 
@@ -5023,5 +5090,5 @@ object Catalog {
     q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps,
     q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir,
     q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql,
-    q145PslDomainCaps)
+    q145PslDomainCaps, q146IncrementalCaps)
 }

@@ -64,6 +64,54 @@ class CurationSpec extends SparkSpecBase {
     assert(kept.filter(_._1 == "y").map(_._3).toSeq === Seq(1L))
   }
 
+  test("capPerKeyArrival: first maxPerKey ids per key survive, in id order") {
+    val df = (1L to 20L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("dom", "id")
+    val kept = Curation.capPerKeyArrival(df, col("dom"), col("id"), maxPerKey = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(kept.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq ===
+      Seq(2L, 4L, 6L))
+    assert(kept.filter(_._1 == "b").sortBy(_._3).map(_._2).toSeq ===
+      Seq(1L, 3L, 5L))
+  }
+
+  test("incrementalCapPerKey ≡ full arrival cap restricted to the batch; store lifecycle; keyName guard") {
+    val history = (1L to 30L).map(i => (s"d${i % 3}", i)).toDF("dom", "id")
+    val batch = (31L to 60L).map(i => (s"d${i % 5}", i)).toDF("dom", "id")
+    val cap = 12
+    val full = Curation.capPerKeyArrival(
+      history.unionByName(batch), col("dom"), col("id"), cap)
+      .filter(col("id") > 30L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-capidx").toString + "/store"
+    Curation.capCountIndexWrite(
+      Curation.capCountIndex(history.filter(col("id") <= 15L),
+        col("dom"), col("id")), root, "dom")
+    Curation.capCountIndexAppend(spark, root,
+      Curation.capCountIndex(history.filter(col("id") > 15L),
+        col("dom"), col("id")), "day-2", "dom")
+    val inc = Curation.incrementalCapPerKey(batch, col("dom"), col("id"),
+      cap, Curation.capCountIndexRead(spark, root, "dom"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full, s"incremental $inc vs full-restricted $full")
+
+    // compaction: probe-after ≡ probe-before; counts survive the fold
+    val before = Curation.capCountIndexRead(spark, root, "dom")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val stats = Curation.capCountIndexCompact(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2"))
+    assert(Curation.capCountIndexRead(spark, root, "dom")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet === before)
+
+    // probing under a different key derivation refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Curation.capCountIndexRead(spark, root, "url_host")
+    }
+    assert(e.getMessage.contains("keyName"), e.getMessage)
+  }
+
   test("dedupLinesAcrossCorpus: globally-first copy survives, later copies drop, order preserved") {
     val docs = Seq(
       (1L, "alpha\nshared para\nbeta"),

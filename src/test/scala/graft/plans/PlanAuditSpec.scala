@@ -442,4 +442,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q145 grew a join (the rules must ride the jar, not the plan):\n$plan")
     assert(shuffles(plan) <= 1, s"q145 needs only the cap's key exchange:\n$plan")
   }
+
+  test("q146 incremental caps: bounded-heap batch cap, no window, scalar cut broadcast") {
+    val plan = planOf("q146_incremental_domain_caps")
+    assert(!plan.contains("Window"), s"q146 regressed to a window sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q146 lost the typed bounded-heap cap aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q146:\n$plan")
+    // the id cut rides the plan as a one-row broadcast scalar (q142's
+    // pattern); any OTHER nested-loop join stays banned
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("IdentityBroadcastMode"),
+        s"non-scalar nested-loop join crept in:\n$plan")
+  }
 }
