@@ -156,7 +156,7 @@ object Curation {
     partials.groupBy(col("key")).agg(sum(col("n")).as("n"))
 
   private val CapFamily = "domain_cap_counts"
-  private def capIndexMeta(keyName: String): IndexMeta =
+  private[graft] def capIndexMeta(keyName: String): IndexMeta =
     IndexMeta(CapFamily, "keyName" -> keyName)
 
   /** Bootstrap a stored count index (epoch layout + `_GRAFT_META`).

@@ -485,6 +485,72 @@ object Streaming {
           sep, minDocs, minLineLen, batchCounts = Some(partial)))
   }
 
+  /** Streaming per-domain cap ingest — the caps family's streaming
+    * shape (q146's incremental contract applied per micro-batch):
+    * each batch keeps rows while the key's global arrival quota
+    * lasts, lands survivors in the corpus, and appends the batch's
+    * per-key TOTAL counts (kept AND dropped — the raw-totals
+    * contract that makes the index fold an associative SUM) as one
+    * epoch partial. The kept set ≡ `capPerKeyArrival` over
+    * everything delivered, under the family's append-only contract
+    * (ids arrive in order across batches — ingest order IS id order
+    * here). Replay-idempotent like its siblings: the prior-count
+    * read EXCLUDES this epoch's own partial, and both writes are
+    * epoch-scoped dynamic overwrites. Fresh-checkpoint refusal: a
+    * reset source re-delivering ingested rows would double every
+    * count and starve later arrivals of quota — counts are id-blind,
+    * so this shape cannot self-heal. */
+  def domainCapIngestSink(stream: DataFrame, spark: SparkSession,
+                          corpusPath: String, indexPath: String,
+                          keyCol: String, idCol: String,
+                          checkpoint: String, maxPerKey: Int,
+                          keyName: String,
+                          allowForeignEpochs: Boolean = false): StreamingQuery = {
+    import graft.operators.{Curation, EpochIndex, IndexMeta}
+    val marker = s"$checkpoint/graft-run-id"
+    require(graft.sources.Fs.exists(spark, marker) ||
+      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs,
+      s"domainCapIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+        "already holds count partials. If the source re-delivers ingested " +
+        "rows, every count doubles and later arrivals are starved of " +
+        "quota. Restore the original checkpoint, rebuild corpus+index " +
+        "from raw sources, or — only if this run ingests strictly new " +
+        "rows — pass allowForeignEpochs = true")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // built ONCE (checkpointed): feeds the keep decision AND is
+        // the index write; the checkpoint severs the prior-count
+        // read of indexPath from the write that replaces partitions
+        val partial = Curation.capCountIndex(batch,
+          col(keyCol), col(idCol)).localCheckpoint(true)
+        try {
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            Curation.capIndexMeta(keyName))
+          val prior =
+            if (EpochIndex.nonEmpty(spark, indexPath))
+              Curation.capCountIndexRead(spark, indexPath, keyName,
+                Some(s"$token-$epochId"))
+            else emptyFrame(spark, StructType(Seq(
+              StructField("key", StringType), StructField("n", LongType))))
+          val keptIds = Curation.incrementalCapPerKey(batch,
+            col(keyCol), col(idCol), maxPerKey, prior)
+          val kept = batch.join(
+            keptIds.select(col("id").cast("long").as(idCol)),
+            Seq(idCol), "left_semi").localCheckpoint(true)
+          try {
+            // corpus before index: a crash between them re-runs the
+            // epoch with the index still excluding it
+            epochWrite(kept, corpusPath, token, epochId)
+            epochWrite(partial, indexPath, token, epochId)
+          } finally { kept.unpersist(); () }
+        } finally { partial.unpersist(); () }
+      }
+      .start()
+  }
+
   /** THE shared scaffold of the index-backed cleaning sinks
     * (boilerplate, line dedup): one copy of the replay-idempotency
     * machinery so a fix lands in every family at once.

@@ -621,6 +621,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(Dedup.lineFirstOccIndexRead(spark, index).count() >= 2)
   }
 
+  test("streaming domain-cap ingest ≡ full arrival cap over everything delivered") {
+    import graft.operators.Curation
+    val src = Files.createTempDirectory("graft-cap-src").toString
+    val corpus = Files.createTempDirectory("graft-cap-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-cap-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-cap-ckp").toString
+    // domain a: 4 rows in batch1 + 2 in batch2 (cap 5 → one b2 drop);
+    // domain b: under cap throughout; domain c: appears only in batch2
+    val batch1 = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "a"))
+    val batch2 = Seq((10L, "a"), (11L, "a"), (12L, "b"), (13L, "c"))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "dom").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.domainCapIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "dom", "id", ckp,
+        maxPerKey = 5, keyName = "dom")
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val got = spark.read.parquet(corpus).select("id")
+      .as[Long].collect().toSet
+    val want = Curation.capPerKeyArrival(
+      (batch1 ++ batch2).toDF("id", "dom"), $"dom", $"id", maxPerKey = 5)
+      .select("id").as[Long].collect().toSet
+    assert(got === want, s"stream $got vs batch $want")
+    assert(got === Set(1L, 2L, 3L, 4L, 5L, 10L, 12L, 13L)) // 11 starved: a is full
+    // the persisted counts saw EVERY row, kept or dropped
+    assert(Curation.capCountIndexRead(spark, index, "dom")
+      .as[(String, Long)].collect().toMap ===
+      Map("a" -> 6L, "b" -> 2L, "c" -> 1L))
+    // a reset checkpoint against the kept index is refused loudly
+    val freshCkp = Files.createTempDirectory("graft-cap-ckp2").toString
+    val e = intercept[IllegalArgumentException] {
+      Streaming.domainCapIngestSink(
+        Streaming.fileStream(spark,
+          spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+        spark, corpus, index, "dom", "id", freshCkp,
+        maxPerKey = 5, keyName = "dom")
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+    // probing under a different key derivation refuses too
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.capCountIndexRead(spark, index, "registered_domain")
+    }
+    assert(e2.getMessage.contains("keyName"), e2.getMessage)
+  }
+
   test("streaming zone-map ingest: manifest tracks each epoch's files, pruned read equals full filter") {
     import graft.operators.Layout
     val src = Files.createTempDirectory("graft-zm-src").toString
