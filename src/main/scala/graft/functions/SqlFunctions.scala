@@ -105,7 +105,7 @@ object SqlFunctions {
     reg.createOrReplaceTempFunction("graft_registered_domain",
       exprs => graft.operators.PslRegisteredDomain(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_blocklist_counts",
-      exprs => BlocklistCounts(exprs.head, Blocklist.compile(
+      exprs => BlocklistCounts(exprs.head, Blocklist.compileAuto(
         exprs.tail.map {
           case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
             s.toString
