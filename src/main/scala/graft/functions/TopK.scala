@@ -59,9 +59,54 @@ class TopKAggregator(k: Int)
     ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** [[TopKAggregator]] with a double payload riding each (score, id)
+  * pair — for bounded selections that must CARRY a measure with the
+  * winner (the hash-reservoir sample sketch keeps the sampled VALUE
+  * next to the selecting hash). Same partial-aggregation scale shape
+  * and the same score-DESC/id-ASC determinism; the payload never
+  * influences ranking. */
+class TopKVAggregator(k: Int)
+    extends Aggregator[(Double, Long, Double), List[(Double, Long, Double)],
+      Seq[(Double, Long, Double)]] {
+  require(k > 0, "k must be positive")
+
+  private def better(x: (Double, Long, Double),
+                     y: (Double, Long, Double)): Boolean =
+    x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
+
+  override def zero: List[(Double, Long, Double)] = Nil
+
+  override def reduce(buf: List[(Double, Long, Double)],
+                      a: (Double, Long, Double)): List[(Double, Long, Double)] =
+    insert(buf, a)
+
+  override def merge(b1: List[(Double, Long, Double)],
+                     b2: List[(Double, Long, Double)]): List[(Double, Long, Double)] =
+    b2.foldLeft(b1)(insert)
+
+  private def insert(buf: List[(Double, Long, Double)],
+                     a: (Double, Long, Double)): List[(Double, Long, Double)] = {
+    if (a._1.isNaN) return buf
+    val (front, back) = buf.span(better(_, a))
+    if (front.length >= k) buf else (front ::: a :: back).take(k)
+  }
+
+  override def finish(buf: List[(Double, Long, Double)]): Seq[(Double, Long, Double)] = buf
+
+  override def bufferEncoder: Encoder[List[(Double, Long, Double)]] =
+    ExpressionEncoder[List[(Double, Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long, Double)]] =
+    ExpressionEncoder[Seq[(Double, Long, Double)]]()
+}
+
 object TopK {
   /** Column aggregate: top_k(score, id) → array<struct<_1 double, _2 bigint>>
     * sorted best-first. */
   def top_k(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAggregator(k)).apply(score, id)
+
+  /** Column aggregate: top_kv(score, id, payload) →
+    * array<struct<_1 double, _2 bigint, _3 double>> sorted best-first. */
+  def top_kv(k: Int)(score: Column, id: Column, payload: Column): Column =
+    udaf(new TopKVAggregator(k)).apply(score, id, payload)
 }

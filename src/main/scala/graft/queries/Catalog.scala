@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Cardinality, Chunking, Contamination, Curation, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Cardinality, Chunking, Contamination, Curation, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -5054,6 +5054,66 @@ object Catalog {
       .select(col("key").as("domain"), col("id").as("doc_id"), col("rk"))
   }
 
+  // ------------------------------- mergeable quantile sketch (profiling)
+  /** The sketch algebra extended from cardinality to QUANTILES: per
+    * event type, a hash-reservoir sample sketch (the k rows with
+    * smallest md5 id hash, each carrying its value) yields p50/p90 as
+    * actual data values plus a KMV row-count estimate — and the 'ALL'
+    * row is computed from the per-type SKETCHES alone (bottom-k of
+    * their concatenation; group samples are disjoint rows), never a
+    * rescan: the cross-shard/cross-epoch composition story. The
+    * oracle rebuilds the identical sample in DuckDB (row_number by
+    * (h52, id) ≤ k) and replays the same lower-index quantile rule,
+    * so quantiles match bit-for-bit — the q125/q131 auditability
+    * contract, now for distributions. The exact-percentile companion
+    * this replaces at scale is q88's subject (per-group sorts); the
+    * collect_list here gathers ≤ n_types arrays of ≤ k structs —
+    * bounded by construction. */
+  val q147QuantileSketch = q("q147_quantile_sketch",
+    "Mergeable hash-reservoir quantile sketch per event type + sketch-only ALL row (north star: corpus profiling)",
+    """WITH h AS (
+      |  SELECT event_type, event_id, value,
+      |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |                                    ORDER BY h52, event_id) AS rn FROM h),
+      |ra AS (SELECT *, row_number() OVER (ORDER BY h52, event_id) AS rn FROM h),
+      |per AS (
+      |  SELECT event_type AS etype, count(*) AS n_sample,
+      |         (list_sort(list(value)))[CAST(floor((count(*)-1)*0.5) AS INT)+1] AS p50,
+      |         (list_sort(list(value)))[CAST(floor((count(*)-1)*0.9) AS INT)+1] AS p90,
+      |         round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+      |               ELSE 63.0 / (CAST(max(h52) AS DOUBLE) / 4503599627370496.0) END,
+      |               4) AS n_est
+      |  FROM rk WHERE rn <= 64 GROUP BY event_type),
+      |allq AS (
+      |  SELECT 'ALL' AS etype, count(*) AS n_sample,
+      |         (list_sort(list(value)))[CAST(floor((count(*)-1)*0.5) AS INT)+1] AS p50,
+      |         (list_sort(list(value)))[CAST(floor((count(*)-1)*0.9) AS INT)+1] AS p90,
+      |         round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+      |               ELSE 63.0 / (CAST(max(h52) AS DOUBLE) / 4503599627370496.0) END,
+      |               4) AS n_est
+      |  FROM ra WHERE rn <= 64)
+      |SELECT etype, CAST(n_sample AS BIGINT) AS n_sample, p50, p90, n_est
+      |FROM per UNION ALL SELECT * FROM allq""".stripMargin) { (s, d) =>
+    val k = 64
+    val sk = SampleSketch.sampleSketch(Tables.events(s, d),
+      col("event_type"), col("event_id"), col("value"), k)
+    def report(df: DataFrame, label: Column): DataFrame =
+      df.select(label.as("etype"),
+        size(col("sketch")).cast("long").as("n_sample"),
+        SampleSketch.sketchQuantile(col("sketch"), 0.5).as("p50"),
+        SampleSketch.sketchQuantile(col("sketch"), 0.9).as("p90"),
+        round(SampleSketch.sketchRowEstimate(col("sketch"), k), 4).as("n_est"))
+    val per = report(sk, col("group"))
+    val overall = report(
+      sk.agg(flatten(collect_list(col("sketch"))).as("m"))
+        .select(slice(array_sort(col("m")), 1, k).as("sketch")),
+      lit("ALL"))
+    per.unionByName(overall)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5090,5 +5150,5 @@ object Catalog {
     q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps,
     q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir,
     q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql,
-    q145PslDomainCaps, q146IncrementalCaps)
+    q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch)
 }

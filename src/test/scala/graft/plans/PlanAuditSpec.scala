@@ -455,4 +455,15 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(plan.contains("IdentityBroadcastMode"),
         s"non-scalar nested-loop join crept in:\n$plan")
   }
+
+  test("q147 quantile sketch: bounded-heap sampling, no window, no rescan joins") {
+    val plan = planOf("q147_quantile_sketch")
+    // quantiles come from the k-row sample arrays, never a per-group
+    // sort; the ALL row composes from the per-type sketches
+    assert(!plan.contains("Window"), s"q147 regressed to a sort-based percentile:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q147 lost the typed bounded-heap sample aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"q147 grew a join:\n$plan")
+  }
 }
