@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion, CaseWhen, Cast, Divide, ElementAt, EqualTo, Expression, LessThan, Literal, Multiply, Size, Slice, SortArray}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayIntersect, ArrayUnion, CaseWhen, Cast, Divide, ElementAt, EqualTo, Expression, Floor, LessThan, Literal, Multiply, Size, Slice, SortArray, Subtract}
 
 /** SQL-surface registration for the engine's custom expressions, so
   * `spark.sql` queries can use them directly:
@@ -44,6 +45,41 @@ object SqlFunctions {
       Seq((EqualTo(Size(u), Literal(0)), Literal(0.0))),
       Some(Divide(dbl(Size(ArrayIntersect(ArrayIntersect(u, a), b))),
         dbl(Size(u)))))
+
+  private def dblLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  // Catalyst mirrors of SampleSketch.sketchQuantile / mergeSketch /
+  // sketchRowEstimate — the same lower-index quantile rule and KMV
+  // arithmetic, so stored sample sketches compose from plain
+  // spark.sql (the q147 contract on the SQL surface). Field access
+  // goes through UnresolvedExtractValue: a registry builder sees
+  // pre-analysis children, so the analyzer resolves the struct
+  // fields once the sketch column's schema is known.
+  private def sampleQuantile(sketch: Expression, p: Double): Expression = {
+    val vals = SortArray(UnresolvedExtractValue(sketch, Literal("v")),
+      Literal(true))
+    val idx = Add(Cast(Floor(Multiply(
+      dbl(Subtract(Size(sketch), Literal(1))), Literal(p))),
+      org.apache.spark.sql.types.IntegerType), Literal(1))
+    CaseWhen(
+      Seq((EqualTo(Size(sketch), Literal(0)),
+        Literal(null, org.apache.spark.sql.types.DoubleType))),
+      Some(ElementAt(vals, idx)))
+  }
+
+  private def sampleEstimate(sketch: Expression, k: Int): Expression =
+    CaseWhen(
+      Seq((LessThan(Size(sketch), Literal(k)), dbl(Size(sketch)))),
+      Some(Divide(Literal((k - 1).toDouble),
+        Divide(dbl(UnresolvedExtractValue(
+          ElementAt(sketch, Literal(k)), Literal("h52"))),
+          Literal(graft.operators.Cardinality.HashSpace)))))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -98,6 +134,17 @@ object SqlFunctions {
         Multiply(kmvJaccardOfUnion(u, exprs.head, exprs(1)),
           kmvEstimate(u, k))
       }, "built-in")
+    // hash-reservoir sample-sketch algebra over STORED sketch arrays
+    // (array<struct<h52,id,v>>): quantiles, merges and row estimates
+    // compose from plain spark.sql — q148 oracle-pins the surface
+    reg.createOrReplaceTempFunction("graft_sample_quantile",
+      exprs => sampleQuantile(exprs.head, dblLit(exprs(1), "p")), "built-in")
+    reg.createOrReplaceTempFunction("graft_sample_merge",
+      exprs => Slice(SortArray(ArrayUnion(exprs.head, exprs(1)),
+        Literal(true)), Literal(1), Literal(intLit(exprs(2), "k"))),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_sample_estimate",
+      exprs => sampleEstimate(exprs.head, intLit(exprs(1), "k")), "built-in")
     // PSL registered domain: rules live in the jar resource (parsed
     // once per JVM), so the SQL surface gets the same O(labels)
     // codegen'd lookup as the Scala API with nothing but the host

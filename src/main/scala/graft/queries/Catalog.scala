@@ -5114,6 +5114,56 @@ object Catalog {
     per.unionByName(overall)
   }
 
+  // --------------------------- sample-sketch algebra on the SQL surface
+  /** q147's sketch algebra composed from `spark.sql` alone (the q144
+    * pattern, for distributions): per-type sample sketches persist as
+    * a table (a temp view here), and pairwise MERGED p50 + row
+    * estimates come from the registered graft_sample_* functions —
+    * no rescan of events. The oracle rebuilds each pair's merged
+    * sample directly from events (bottom-k of the pair's union by
+    * (h52, id) — bottom-k closure makes that identical to merging
+    * the per-type sketches) and replays the same lower-index
+    * quantile rule; the merged p50 is an actual data value, so it
+    * matches bit-for-bit. */
+  val q148SampleSketchSql = q("q148_sample_sketch_sql",
+    "Sample-sketch algebra from spark.sql via graft_sample_* functions: pairwise merged quantiles (north star: SQL-first profiling)",
+    """WITH h AS (
+      |  SELECT event_type, event_id, value,
+      |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |                                    ORDER BY h52, event_id) AS rn FROM h),
+      |samp AS (SELECT * FROM rk WHERE rn <= 32),
+      |pairs AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb
+      |  FROM (SELECT DISTINCT event_type FROM samp) a
+      |  JOIN (SELECT DISTINCT event_type FROM samp) b ON a.event_type < b.event_type),
+      |pooled AS (
+      |  SELECT p.ta, p.tb, s.h52, s.event_id, s.value,
+      |         row_number() OVER (PARTITION BY p.ta, p.tb
+      |                            ORDER BY s.h52, s.event_id) AS prn
+      |  FROM pairs p JOIN samp s ON s.event_type IN (p.ta, p.tb))
+      |SELECT ta, tb,
+      |       (list_sort(list(value)))[CAST(floor((count(*)-1)*0.5) AS INT)+1] AS p50_merged,
+      |       round(CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+      |             ELSE 31.0 / (CAST(max(h52) AS DOUBLE) / 4503599627370496.0) END,
+      |             4) AS n_est_merged
+      |FROM pooled WHERE prn <= 32
+      |GROUP BY ta, tb""".stripMargin) { (s, d) =>
+    graft.functions.SqlFunctions.registerAll(s)
+    SampleSketch.sampleSketch(Tables.events(s, d),
+      col("event_type"), col("event_id"), col("value"), k = 32)
+      .select(col("group").as("etype"), col("sketch"))
+      .createOrReplaceTempView("q148_sketches")
+    s.sql("""
+      SELECT a.etype AS ta, b.etype AS tb,
+             graft_sample_quantile(graft_sample_merge(a.sketch, b.sketch, 32), 0.5) AS p50_merged,
+             round(graft_sample_estimate(graft_sample_merge(a.sketch, b.sketch, 32), 32), 4) AS n_est_merged
+      FROM q148_sketches a JOIN q148_sketches b ON a.etype < b.etype
+    """)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5150,5 +5200,6 @@ object Catalog {
     q133Funnel, q134Cohort, q135UnicodeNorm, q136AudioFp, q137ClusterReps,
     q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir,
     q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql,
-    q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch)
+    q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
+    q148SampleSketchSql)
 }

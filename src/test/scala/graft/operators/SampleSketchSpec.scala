@@ -73,6 +73,26 @@ class SampleSketchSpec extends SparkSpecBase {
       s"KMV row estimate $est implausible for n=20000, k=64")
   }
 
+  test("SQL surface mirrors the Column API: quantile, merge, estimate") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    val a = (1L to 40L).map(i => ("x", i, i.toDouble))
+    val b = (41L to 80L).map(i => ("x", i, i.toDouble))
+    val k = 10
+    sketchOf(a, k).select(col("sketch").as("sa"))
+      .crossJoin(sketchOf(b, k).select(col("sketch").as("sb")))
+      .createOrReplaceTempView("sk_pair")
+    val sql = spark.sql(
+      s"""SELECT graft_sample_quantile(graft_sample_merge(sa, sb, $k), 0.5) AS p50,
+         |       graft_sample_estimate(graft_sample_merge(sa, sb, $k), $k) AS est
+         |FROM sk_pair""".stripMargin).collect().head
+    val colApi = sketchOf(a ++ b, k)
+      .select(SampleSketch.sketchQuantile(col("sketch"), 0.5).as("p50"),
+        SampleSketch.sketchRowEstimate(col("sketch"), k).as("est"))
+      .collect().head
+    assert(sql.getDouble(0) === colApi.getDouble(0))
+    assert(sql.getDouble(1) === colApi.getDouble(1))
+  }
+
   test("NULL ids, NULL values and NaN values are excluded, not crashed on") {
     val rows = Seq[(String, Option[Long], Option[Double])](
       ("g", Some(1L), Some(2.0)), ("g", None, Some(3.0)),

@@ -466,4 +466,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
       s"q147 grew a join:\n$plan")
   }
+
+  test("q148 sample-sketch SQL surface: algebra over a broadcast pair join, no windows") {
+    val plan = planOf("q148_sample_sketch_sql")
+    assert(!plan.contains("Window"), s"q148:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q148:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q148 lost the typed bounded-heap sample aggregation:\n$plan")
+    // the < pair join of two ≤|event types|-row sketch tables must
+    // build on a broadcast, never shuffle both sides
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"q148 pair join lost its broadcast:\n$plan")
+  }
 }
