@@ -102,9 +102,85 @@ object SampleSketch {
                      value: Column, k: Int,
                      ps: Seq[Double]): DataFrame = {
     val sk = sampleSketch(df, group, id, value, k)
+    reportFromSketches(sk, k, ps)
+  }
+
+  /** The same report from ALREADY-BUILT sketches (a stored profile
+    * table or [[sampleSketchIndexRead]] output). */
+  def reportFromSketches(sketches: DataFrame, k: Int,
+                         ps: Seq[Double]): DataFrame = {
     val qCols = ps.map(p => sketchQuantile(col("sketch"), p)
       .as(s"p${(p * 100).round}"))
-    sk.select(Seq(col("group"), size(col("sketch")).cast("long").as("n_sample")) ++
+    sketches.select(Seq(col("group"),
+      size(col("sketch")).cast("long").as("n_sample")) ++
       qCols :+ round(sketchRowEstimate(col("sketch"), k), 4).as("n_est"): _*)
+  }
+
+  // --------------------- persisted profile store (incremental shape)
+
+  /** Epoch fold: per group, merge the epoch partials' sketches —
+    * bottom-k of the deduped concatenation, the array form of
+    * [[mergeSketch]] over N partials (associative and
+    * order-independent, because bottom-k of a union only depends on
+    * the union; `array_distinct` keeps an overlapping replayed
+    * partial from double-sampling a row, mirroring `array_union`). */
+  private def sketchFold(k: Int)(partials: DataFrame): DataFrame =
+    partials.groupBy(col("group"))
+      .agg(slice(array_sort(array_distinct(flatten(
+        collect_list(col("sketch"))))), 1, k).as("sketch"))
+
+  private val Family = "sample_sketch"
+  private[graft] def indexMeta(k: Int, keyName: String,
+                               valueName: String): IndexMeta =
+    IndexMeta(Family, "k" -> k, "keyName" -> keyName,
+      "valueName" -> valueName)
+
+  /** Bootstrap a stored profile: one (group, sketch) row per group in
+    * the epoch layout, with `k` and the key/value derivations
+    * recorded in the `_GRAFT_META` manifest — probing with a
+    * different k (or a different metric) is the silent-divergence
+    * class the manifest refuses. The corpus is profiled ONCE; every
+    * later batch appends its own k-sample and the store answers
+    * quantiles over the whole history without any rescan. */
+  def sampleSketchIndexWrite(index: DataFrame, path: String, k: Int,
+                             keyName: String, valueName: String): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path,
+      indexMeta(k, keyName, valueName))
+  }
+
+  /** Append one batch's per-group sketch as a new epoch (idempotent
+    * per epoch name; manifest-checked). */
+  def sampleSketchIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                              path: String, partial: DataFrame,
+                              epoch: String, k: Int, keyName: String,
+                              valueName: String): Unit = {
+    IndexMeta.check(spark, path, indexMeta(k, keyName, valueName))
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  /** Checked read: one merged sketch per group across the compacted
+    * base and live epochs — ≡ [[sampleSketch]] over the union of the
+    * profiled row sets (bottom-k closure). */
+  def sampleSketchIndexRead(spark: org.apache.spark.sql.SparkSession,
+                            path: String, k: Int, keyName: String,
+                            valueName: String,
+                            excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, indexMeta(k, keyName, valueName))
+    sketchFold(k)(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "sampleSketchIndexWrite"))
+  }
+
+  /** Fold accumulated epochs behind the atomic `_CURRENT` flip. */
+  def sampleSketchIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, Family)
+    val k = IndexMeta.read(spark, path) match {
+      case Some(m) => m.params.get("k").map(_.toInt).getOrElse(
+        sys.error(s"sample sketch store $path manifest lacks k"))
+      case None => sys.error(s"sample sketch store $path has no manifest")
+    }
+    EpochIndex.compact(spark, path, sketchFold(k), keepVersions = keepVersions)
   }
 }

@@ -5164,6 +5164,55 @@ object Catalog {
     """)
   }
 
+  // --------------------------- persisted profile store (incremental)
+  /** The profiling family's daily-batch shape: the corpus profile
+    * persists as one k-sample sketch row per group; each batch
+    * appends its own sketch as an epoch partial, compaction folds
+    * them behind the atomic `_CURRENT` flip, and quantiles come from
+    * the stored sketches — events are never rescanned. Bottom-k
+    * closure is the equivalence contract: the store's merged sketch
+    * IS the direct sketch over every profiled row (epochs partition
+    * events by id parity here), so the oracle replays the one-shot
+    * construction over all events. k and the key/value derivations
+    * ride the `_GRAFT_META` manifest; the spec pins the wrong-k
+    * refusal and probe-after ≡ probe-before. */
+  val q149SketchStore = q("q149_sketch_store",
+    "Quantiles from a persisted two-epoch sample-sketch store, compacted then probed (north star: incremental profiling)",
+    """WITH h AS (
+      |  SELECT event_type, event_id, value,
+      |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events
+      |  WHERE event_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |                                    ORDER BY h52, event_id) AS rn FROM h)
+      |SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n_sample,
+      |       (list_sort(list(value)))[CAST(floor((count(*)-1)*0.5) AS INT)+1] AS p50,
+      |       (list_sort(list(value)))[CAST(floor((count(*)-1)*0.9) AS INT)+1] AS p90,
+      |       round(CASE WHEN count(*) < 48 THEN CAST(count(*) AS DOUBLE)
+      |             ELSE 47.0 / (CAST(max(h52) AS DOUBLE) / 4503599627370496.0) END,
+      |             4) AS n_est
+      |FROM rk WHERE rn <= 48 GROUP BY event_type""".stripMargin) { (s, d) =>
+    val k = 48
+    val ev = Tables.events(s, d)
+    val root = scratchDir(s, "q149_skstore")
+    graft.sources.Fs.deleteRecursively(s, root)
+    def epochSketch(r: Int): DataFrame = SampleSketch.sampleSketch(
+      ev.filter(pmod(col("event_id"), lit(2)) === r),
+      col("event_type"), col("event_id"), col("value"), k)
+    SampleSketch.sampleSketchIndexWrite(epochSketch(0), root, k,
+      "event_type", "value")
+    SampleSketch.sampleSketchIndexAppend(s, root, epochSketch(1), "day-2",
+      k, "event_type", "value")
+    val stats = SampleSketch.sampleSketchIndexCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q149: compaction folded nothing at $root — store build failed")
+    SampleSketch.reportFromSketches(
+      SampleSketch.sampleSketchIndexRead(s, root, k, "event_type", "value"),
+      k, ps = Seq(0.5, 0.9))
+      .select(col("group").as("etype"), col("n_sample"),
+        col("p50"), col("p90"), col("n_est"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5201,5 +5250,5 @@ object Catalog {
     q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir,
     q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql,
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
-    q148SampleSketchSql)
+    q148SampleSketchSql, q149SketchStore)
 }

@@ -93,6 +93,32 @@ class SampleSketchSpec extends SparkSpecBase {
     assert(sql.getDouble(1) === colApi.getDouble(1))
   }
 
+  test("persisted profile store: epochs merge to the direct sketch; compaction preserves; k guard") {
+    val a = (1L to 60L).map(i => (s"g${i % 2}", i, i.toDouble))
+    val b = (61L to 120L).map(i => (s"g${i % 2}", i, i.toDouble))
+    val k = 12
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sksk").toString + "/store"
+    SampleSketch.sampleSketchIndexWrite(sketchOf(a, k), root, k, "g", "v")
+    SampleSketch.sampleSketchIndexAppend(spark, root, sketchOf(b, k),
+      "day-2", k, "g", "v")
+    def stored(): Map[String, Seq[(Long, Long, Double)]] =
+      SampleSketch.sampleSketchIndexRead(spark, root, k, "g", "v")
+        .select(col("group"), col("sketch"))
+        .as[(String, Seq[(Long, Long, Double)])].collect().toMap
+    val direct = sketchOf(a ++ b, k)
+      .select(col("group"), col("sketch"))
+      .as[(String, Seq[(Long, Long, Double)])].collect().toMap
+    assert(stored() === direct)
+    val stats = SampleSketch.sampleSketchIndexCompact(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2"))
+    assert(stored() === direct) // probe-after ≡ probe-before
+    val e = intercept[IllegalArgumentException] {
+      SampleSketch.sampleSketchIndexRead(spark, root, k + 1, "g", "v")
+    }
+    assert(e.getMessage.contains("k:"), e.getMessage)
+  }
+
   test("NULL ids, NULL values and NaN values are excluded, not crashed on") {
     val rows = Seq[(String, Option[Long], Option[Double])](
       ("g", Some(1L), Some(2.0)), ("g", None, Some(3.0)),

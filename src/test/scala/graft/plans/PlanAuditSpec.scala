@@ -479,4 +479,11 @@ class PlanAuditSpec extends SparkSpecBase {
       plan.contains("BroadcastNestedLoopJoin"),
       s"q148 pair join lost its broadcast:\n$plan")
   }
+
+  test("q149 sketch store probe: merged-sketch report, no window, no joins") {
+    val plan = planOf("q149_sketch_store")
+    assert(!plan.contains("Window"), s"q149:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"q149 probe grew a join:\n$plan")
+  }
 }
