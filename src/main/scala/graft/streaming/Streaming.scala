@@ -551,6 +551,54 @@ object Streaming {
       .start()
   }
 
+  /** Streaming profile-maintenance ingest — the sample-sketch
+    * family's streaming shape: every micro-batch lands raw in the
+    * corpus and appends its per-group k-sample sketch as one epoch
+    * partial, so the profile store answers quantiles over everything
+    * ever delivered (bottom-k closure across epoch folds) without a
+    * rescan. Profiling is pure observation — no keep/drop decision
+    * reads the store — so unlike the cleaning sinks there is no
+    * index-vs-redelivery hazard beyond double-sampling, and even
+    * that self-heals: sketch triples are content-keyed by (h52, id,
+    * v), and the fold's dedup drops an identical resample. The
+    * fresh-checkpoint refusal therefore stays, but only to stop the
+    * CORPUS from double-landing re-delivered rows. */
+  def sampleSketchIngestSink(stream: DataFrame, spark: SparkSession,
+                             corpusPath: String, indexPath: String,
+                             groupCol: String, idCol: String,
+                             valueCol: String, k: Int,
+                             checkpoint: String,
+                             allowForeignEpochs: Boolean = false): StreamingQuery = {
+    import graft.operators.{EpochIndex, IndexMeta, SampleSketch}
+    val marker = s"$checkpoint/graft-run-id"
+    require(graft.sources.Fs.exists(spark, marker) ||
+      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs,
+      s"sampleSketchIngestSink: fresh checkpoint ($checkpoint) but " +
+        s"$indexPath already holds sketch partials. A reset source would " +
+        "re-land its rows in the corpus (the profile store itself " +
+        "self-heals — identical resampled triples dedup in the fold). " +
+        "Restore the original checkpoint, rebuild corpus+store from raw " +
+        "sources, or — only if this run ingests strictly new rows — " +
+        "pass allowForeignEpochs = true")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val partial = SampleSketch.sampleSketch(batch, col(groupCol),
+          col(idCol), col(valueCol), k).localCheckpoint(true)
+        try {
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            SampleSketch.indexMeta(k, groupCol, valueCol))
+          // corpus before store: a crash between them re-runs the
+          // epoch; the dynamic overwrite rewrites both idempotently
+          epochWrite(batch, corpusPath, token, epochId)
+          epochWrite(partial, indexPath, token, epochId)
+        } finally { partial.unpersist(); () }
+      }
+      .start()
+  }
+
   /** THE shared scaffold of the index-backed cleaning sinks
     * (boilerplate, line dedup): one copy of the replay-idempotency
     * machinery so a fix lands in every family at once.

@@ -671,6 +671,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("keyName"), e2.getMessage)
   }
 
+  test("streaming sample-sketch ingest: stored profile ≡ direct sketch over everything delivered") {
+    import graft.operators.SampleSketch
+    val src = Files.createTempDirectory("graft-sk-src").toString
+    val corpus = Files.createTempDirectory("graft-sk-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-sk-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-sk-ckp").toString
+    val k = 8
+    val batch1 = (1L to 30L).map(i => (s"g${i % 2}", i, i * 1.5))
+    val batch2 = (31L to 60L).map(i => (s"g${i % 2}", i, i * 1.5))
+    def deliver(name: String, rows: Seq[(String, Long, Double)]): Unit =
+      rows.toDF("grp", "id", "v").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.sampleSketchIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "grp", "id", "v", k, ckp)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val stored = SampleSketch.sampleSketchIndexRead(spark, index, k, "grp", "v")
+      .select(col("group"), col("sketch"))
+      .as[(String, Seq[(Long, Long, Double)])].collect().toMap
+    val direct = SampleSketch.sampleSketch(
+      (batch1 ++ batch2).toDF("grp", "id", "v"),
+      col("grp"), col("id"), col("v"), k)
+      .select(col("group"), col("sketch"))
+      .as[(String, Seq[(Long, Long, Double)])].collect().toMap
+    assert(stored === direct, s"stream $stored vs direct $direct")
+    // the corpus landed every row
+    assert(spark.read.parquet(corpus).count() === 60L)
+    // wrong-k probe refuses via the manifest
+    val e = intercept[IllegalArgumentException] {
+      SampleSketch.sampleSketchIndexRead(spark, index, k + 1, "grp", "v")
+    }
+    assert(e.getMessage.contains("k:"), e.getMessage)
+  }
+
   test("streaming zone-map ingest: manifest tracks each epoch's files, pruned read equals full filter") {
     import graft.operators.Layout
     val src = Files.createTempDirectory("graft-zm-src").toString
