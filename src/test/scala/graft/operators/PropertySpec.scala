@@ -274,4 +274,29 @@ class PropertySpec extends SparkSpecBase {
       assert(c2.forall(_._3 === 0L), "second pass removed lines")
     }
   }
+
+  private val hostGen: Gen[String] = for {
+    nLabels <- Gen.choose(1, 6)
+    labels <- Gen.listOfN(nLabels, Gen.oneOf(
+      "www", "a", "blog", "x9", "sub", "shop", "k12", "cc", "site",
+      "github", "blogspot", "compute", "amazonaws", "eu-west-1",
+      "io", "com", "uk", "co", "ck", "us", "ca", "zz", "np", "jp"))
+  } yield labels.mkString(".")
+
+  test("property: PSL registeredDomain is total, a suffix, and idempotent on random hosts") {
+    forAllSeeded(Gen.listOfN(60, hostGen), 5) { hosts =>
+      val rules = Psl.snapshot
+      hosts.foreach { h =>
+        val rd = Psl.registeredDomainImpl(h, rules)      // never throws
+        assert(h == rd || h.endsWith("." + rd),
+          s"'$rd' is not a label suffix of '$h'")
+        assert(Psl.registeredDomainImpl(rd, rules) === rd,
+          s"not idempotent: rd('$h') = '$rd' but rd('$rd') differs")
+        // the expression agrees with the direct implementation
+        val viaExpr = Seq(h).toDF("h")
+          .select(Psl.registeredDomain(col("h"))).as[String].head()
+        assert(viaExpr === rd, s"expression diverges on '$h'")
+      }
+    }
+  }
 }
