@@ -28,7 +28,7 @@ case class IndexMeta(family: String, params: Map[String, String]) {
 }
 
 object IndexMeta {
-  private val FileName = "_GRAFT_META"
+  private[graft] val FileName = "_GRAFT_META"
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** One maintenance entry point for every persisted index family —
+  * the operational closure over the engine's log-structured stores.
+  * Each family ships its own `*IndexCompact`, but a real deployment
+  * runs maintenance from ONE scheduled job over a storage tree it
+  * does not hand-enumerate; this discovers stores by their
+  * `_GRAFT_META` manifests and dispatches each to its family's fold
+  * (the manifest's `family` field is the dispatch key — the same
+  * single-definition contract that makes probes refuse wrong
+  * parameters now routes compaction).
+  *
+  * Failure posture: maintenance keeps going past a failing store
+  * (one poisoned root must not starve every other index of
+  * compaction) but FINISHES loudly — after the sweep, any failure or
+  * unknown family raises with the full list. Silent skips are the
+  * forbidden failure class; partial progress plus a thrown summary
+  * is the operational compromise.
+  *
+  * Reference scope: the reference schedules one daily dbt build; a
+  * 100 TB pipeline schedules THIS between ingest batches — the
+  * probe-side scan of every store stays O(base + recent epochs)
+  * instead of O(all epochs ever) ([[EpochIndex]]).
+  */
+object Maintenance {
+
+  /** One store's maintenance outcome. `stats` is None when the store
+    * held nothing to compact (fresh manifest, no partials) — counted
+    * as skipped, not failed. */
+  final case class StoreResult(root: String, family: String,
+                               stats: Option[EpochIndex.CompactionStats],
+                               error: Option[String]) {
+    def failed: Boolean = error.isDefined
+  }
+
+  /** Compact ONE store, dispatching on its manifest's family. IVF /
+    * IVF-PQ roots hold their epochs under `assignments`/`codes`
+    * subdirectories — the family compactors know; this dispatcher
+    * only needs the root the manifest sits at. */
+  def compactStore(spark: SparkSession, root: String,
+                   keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    val meta = IndexMeta.read(spark, root).getOrElse(sys.error(
+      s"no _GRAFT_META manifest at $root — not a graft index store " +
+        "(every index writer records one); refusing to guess a fold"))
+    meta.family match {
+      case "line_first_occ" =>
+        Dedup.lineFirstOccIndexCompact(spark, root, keepVersions)
+      case "boilerplate_counts" =>
+        Dedup.boilerplateIndexCompact(spark, root, keepVersions)
+      case "domain_cap_counts" =>
+        Curation.capCountIndexCompact(spark, root, keepVersions)
+      case "sample_sketch" =>
+        SampleSketch.sampleSketchIndexCompact(spark, root, keepVersions)
+      case "dsir_buckets" =>
+        Splits.dsirIndexCompact(spark, root, keepVersions)
+      case "ivf" =>
+        Similarity.ivfIndexCompact(spark, root, keepVersions)
+      case "ivf_pq" =>
+        Similarity.ivfPqIndexCompact(spark, root, keepVersions)
+      case f if f.endsWith("_bands") =>
+        // banding families (minhash/simhash/srp/hamming64) share the
+        // identity fold — disjoint rows, compaction bounds file count
+        Dedup.bandIndexStoreCompact(spark, root, keepVersions)
+      case other => sys.error(
+        s"unknown index family '$other' at $root — a store this engine " +
+          "did not write, or a family added without a Maintenance " +
+          "dispatch arm; add the arm rather than skipping the store")
+    }
+  }
+
+  /** Discover every store under `treeRoot` (a directory whose
+    * descendants hold `_GRAFT_META` manifests, up to `maxDepth`
+    * levels down) and compact each. Descent stops at a manifest: a
+    * store's INTERNALS (epoch partitions, `_base` versions, IVF
+    * `assignments`/`codes` subdirs) are the family compactor's
+    * business, never independently discovered stores. */
+  def discoverStores(spark: SparkSession, treeRoot: String,
+                     maxDepth: Int = 4): Seq[String] = {
+    val p = new Path(treeRoot)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    def walk(dir: Path, depth: Int): Seq[String] =
+      if (fs.exists(new Path(dir, IndexMeta.FileName))) Seq(dir.toString)
+      else if (depth == 0) Nil
+      else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .flatMap(st => walk(st.getPath, depth - 1))
+    walk(p, maxDepth).sorted
+  }
+
+  /** Sweep: compact every discovered store; return per-store results
+    * and THROW a summary if any failed (after the rest compacted).
+    * Stores with nothing to compact are reported, not failed. */
+  def compactAll(spark: SparkSession, treeRoot: String,
+                 keepVersions: Int = 2,
+                 maxDepth: Int = 4): Seq[StoreResult] = {
+    val results = discoverStores(spark, treeRoot, maxDepth).map { root =>
+      val family = IndexMeta.read(spark, root).map(_.family).getOrElse("?")
+      try StoreResult(root, family,
+        Some(compactStore(spark, root, keepVersions)), None)
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("nothing to compact") =>
+          StoreResult(root, family, None, None) // fresh store: skip, not fail
+        case scala.util.control.NonFatal(e) =>
+          StoreResult(root, family, None, Some(e.getMessage))
+      }
+    }
+    val failed = results.filter(_.failed)
+    if (failed.nonEmpty) sys.error(
+      s"maintenance sweep over $treeRoot: ${failed.size} of " +
+        s"${results.size} stores FAILED — " +
+        failed.map(r => s"${r.root} (${r.family}): ${r.error.get}")
+          .mkString("; "))
+    results
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class MaintenanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tree(): String =
+    java.nio.file.Files.createTempDirectory("graft-maint").toString
+
+  test("sweep discovers mixed families under one root and compacts each with its own fold") {
+    val root = tree()
+    // line first-occurrence store, two epochs
+    val docsA = Seq((1L, "alpha\nshared"), (2L, "shared\nbeta")).toDF("doc_id", "text")
+    val docsB = Seq((10L, "shared\nnew")).toDF("doc_id", "text")
+    Dedup.lineFirstOccIndexWrite(
+      Dedup.lineFirstOccIndex(docsA, "doc_id", "text", "\n"),
+      s"$root/indexes/lines", sep = "\n")
+    Dedup.lineFirstOccIndexAppend(spark, s"$root/indexes/lines",
+      Dedup.lineFirstOccIndex(docsB, "doc_id", "text", "\n"), "day-2", "\n")
+    // domain-cap count store, two epochs
+    val capsA = (1L to 20L).map(i => (s"d${i % 3}", i)).toDF("dom", "id")
+    val capsB = (21L to 40L).map(i => (s"d${i % 3}", i)).toDF("dom", "id")
+    Curation.capCountIndexWrite(
+      Curation.capCountIndex(capsA, col("dom"), col("id")),
+      s"$root/indexes/caps", "dom")
+    Curation.capCountIndexAppend(spark, s"$root/indexes/caps",
+      Curation.capCountIndex(capsB, col("dom"), col("id")), "day-2", "dom")
+    // sample-sketch store, one epoch (bootstrap only)
+    val prof = (1L to 30L).map(i => ("g", i, i.toDouble)).toDF("g", "id", "v")
+    SampleSketch.sampleSketchIndexWrite(
+      SampleSketch.sampleSketch(prof, col("g"), col("id"), col("v"), 8),
+      s"$root/indexes/profile", 8, "g", "v")
+
+    val lineBefore = Dedup.lineFirstOccIndexRead(spark, s"$root/indexes/lines")
+      .as[(String, Long, Int)].collect().toSet
+    val capsBefore = Curation.capCountIndexRead(spark, s"$root/indexes/caps", "dom")
+      .as[(String, Long)].collect().toSet
+    val profBefore = SampleSketch
+      .sampleSketchIndexRead(spark, s"$root/indexes/profile", 8, "g", "v")
+      .as[(String, Seq[(Long, Long, Double)])].collect().toSet
+
+    val results = Maintenance.compactAll(spark, root)
+    assert(results.map(_.root).size === 3)
+    assert(results.map(_.family).sorted ===
+      Seq("domain_cap_counts", "line_first_occ", "sample_sketch"))
+    assert(results.forall(r => !r.failed && r.stats.isDefined), results)
+
+    // probe-after ≡ probe-before, per family fold
+    assert(Dedup.lineFirstOccIndexRead(spark, s"$root/indexes/lines")
+      .as[(String, Long, Int)].collect().toSet === lineBefore)
+    assert(Curation.capCountIndexRead(spark, s"$root/indexes/caps", "dom")
+      .as[(String, Long)].collect().toSet === capsBefore)
+    assert(SampleSketch
+      .sampleSketchIndexRead(spark, s"$root/indexes/profile", 8, "g", "v")
+      .as[(String, Seq[(Long, Long, Double)])].collect().toSet === profBefore)
+  }
+
+  test("discovery stops at a manifest: store internals are never separate stores") {
+    val root = tree()
+    val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    Dedup.lineFirstOccIndexWrite(
+      Dedup.lineFirstOccIndex(docs, "doc_id", "text", "\n"),
+      s"$root/deep/nest/lines", sep = "\n")
+    def found(): Seq[String] =
+      Maintenance.discoverStores(spark, root)
+        .map(_.stripPrefix("file:")) // local FS echoes the scheme
+    assert(found() === Seq(s"$root/deep/nest/lines"))
+    // compacting writes _base under the store; a rediscovery still
+    // sees ONE store, not the version directories
+    Maintenance.compactAll(spark, root)
+    assert(found() === Seq(s"$root/deep/nest/lines"))
+  }
+
+  test("unknown family fails the sweep LOUDLY, after other stores compacted") {
+    val root = tree()
+    val docs = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    Dedup.lineFirstOccIndexWrite(
+      Dedup.lineFirstOccIndex(docs, "doc_id", "text", "\n"),
+      s"$root/good", sep = "\n")
+    // hand-plant an alien manifest
+    IndexMeta.write(spark, s"$root/alien",
+      IndexMeta("martian_index", "x" -> 1))
+    Seq(("k", 1L)).toDF("key", "n").withColumn("_epoch", lit("base"))
+      .write.partitionBy("_epoch").mode("overwrite").parquet(s"$root/alien")
+    IndexMeta.write(spark, s"$root/alien",
+      IndexMeta("martian_index", "x" -> 1)) // rewrite after overwrite
+    val e = intercept[RuntimeException] {
+      Maintenance.compactAll(spark, root)
+    }
+    assert(e.getMessage.contains("martian_index"), e.getMessage)
+    assert(e.getMessage.contains("1 of 2"), e.getMessage)
+    // the good store DID compact before the sweep raised
+    assert(Dedup.lineFirstOccIndexRead(spark, s"$root/good").count() > 0)
+    assert(graft.sources.Fs.exists(spark, s"$root/good/_base/_CURRENT"))
+  }
+
+  test("fresh manifest-only store is skipped, not failed") {
+    val root = tree()
+    IndexMeta.write(spark, s"$root/fresh",
+      IndexMeta("line_first_occ", "sep" -> "\n", "minLineLen" -> 1))
+    val results = Maintenance.compactAll(spark, root)
+    assert(results.size === 1)
+    assert(!results.head.failed && results.head.stats.isEmpty)
+  }
+}
