@@ -5213,6 +5213,61 @@ object Catalog {
         col("p50"), col("p90"), col("n_est"))
   }
 
+  // ---------------------- web-curation pipeline v2 (round-8 composition)
+  /** q100's composition discipline over this round's components: PSL
+    * registered-domain extraction → one-pass Aho-Corasick blocklist
+    * screening → deterministic arrival-order per-site caps, with
+    * per-stage counts emitted as data (the funnel every curation run
+    * reports). Every stage's scalar count rides the plan as a
+    * broadcast one-row aggregate — no construction-time actions. The
+    * oracle replays all three stages (the q145 PSL replay, the q129
+    * regex counts, the arrival-cap window) and pins the funnel. */
+  val q150CurationV2 = q("q150_curation_v2",
+    "PSL domains -> blocklist screen -> arrival caps, per-stage funnel counts (north star: web curation, composed)",
+    s"""WITH ${pslHostSql(10)},
+      |$pslDomainSql,
+      |scr AS (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(lower(coalesce(text, '')), 'spark'))
+      |       + len(regexp_extract_all(lower(coalesce(text, '')), 'merge'))
+      |       + len(regexp_extract_all(lower(coalesce(text, '')), 'scan'))
+      |       + len(regexp_extract_all(lower(coalesce(text, '')), 'big query'))
+      |       + len(regexp_extract_all(lower(coalesce(text, '')), 'the row')) AS ntot
+      |  FROM documents),
+      |clean AS (
+      |  SELECT d.doc_id, d.domain FROM d JOIN scr ON d.doc_id = scr.doc_id
+      |  WHERE scr.ntot < 8),
+      |r AS (
+      |  SELECT domain, doc_id,
+      |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      |  FROM clean),
+      |kept AS (SELECT * FROM r WHERE rk <= 5)
+      |SELECT (SELECT count(*) FROM documents) AS n_input,
+      |       (SELECT count(*) FROM clean) AS n_after_blocklist,
+      |       (SELECT count(*) FROM kept) AS n_kept,
+      |       (SELECT count(DISTINCT domain) FROM kept) AS n_domains_kept""".stripMargin) { (s, d) =>
+    val pats = Seq("spark", "merge", "scan", "big query", "the row")
+    val docs = Tables.documents(s, d)
+    val withDom = docs.select(col("doc_id"),
+      Psl.registeredDomain(pslDemoHost(10)).as("domain"),
+      graft.functions.Blocklist.matchCounts(
+        lower(coalesce(col("text"), lit(""))), pats).as("c"))
+    val clean = withDom
+      .withColumn("ntot", (1 to pats.size).map(i =>
+        element_at(col("c"), i)).reduce(_ + _))
+      .filter(col("ntot") < 8)
+      .select(col("doc_id"), col("domain"))
+    val keptIds = Curation.capPerKeyArrival(clean, col("domain"),
+      col("doc_id"), maxPerKey = 5)
+    val kept = clean.join(keptIds.select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(broadcast(clean.agg(count(lit(1)).as("n_after_blocklist"))))
+      .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
+      .crossJoin(broadcast(
+        kept.agg(count_distinct(col("domain")).as("n_domains_kept"))))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5250,5 +5305,5 @@ object Catalog {
     q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir,
     q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql,
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
-    q148SampleSketchSql, q149SketchStore)
+    q148SampleSketchSql, q149SketchStore, q150CurationV2)
 }

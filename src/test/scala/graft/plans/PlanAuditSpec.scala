@@ -486,4 +486,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
       s"q149 probe grew a join:\n$plan")
   }
+
+  test("q150 curation v2: scan-side screen, bounded-heap cap, scalar-broadcast funnel") {
+    val plan = planOf("q150_curation_v2")
+    assert(!plan.contains("Window"), s"q150 regressed to a window sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q150 lost the typed bounded-heap cap aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q150:\n$plan")
+    // the funnel counts attach as one-row broadcast scalars
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("IdentityBroadcastMode"),
+        s"non-scalar nested-loop join crept in:\n$plan")
+  }
 }
