@@ -215,12 +215,20 @@ object EpochIndex {
     * silent read would double-count the replay). A store never
     * compacted reads exactly like the flat layout the family writers
     * bootstrap (`bootstrapName` names the writer in that error).
-    * Every read carries an `epoch_probe_*` observation
-    * ([[probeStats]]). */
+    * By default every read carries an `epoch_probe_*` observation
+    * ([[probeStats]]) — but CollectMetrics is a Catalyst pushdown
+    * BARRIER: no filter (static or dynamic-partition-pruning) can
+    * cross it to reach the scan, because pushing one would change
+    * what the metrics count. Reads whose whole point is a pruned
+    * scan (the IVF cell probe, the postings term probe) must pass
+    * `observed = false` or they silently regress to full-store
+    * scans — SimilaritySpec pins the pruning, EpochIndexSpec the
+    * metrics. */
   def read(spark: SparkSession, root: String,
            excludeEpoch: Option[String] = None,
            innerPartCols: Seq[String] = Nil,
-           bootstrapName: String = "the family index writer"): DataFrame =
+           bootstrapName: String = "the family index writer",
+           observed: Boolean = true): DataFrame =
     currentBase(spark, root) match {
       case None =>
         val raw = spark.read.parquet(root)
@@ -237,7 +245,9 @@ object EpochIndex {
           case None => raw
         }
         val nLive = live.count(n => !excludeEpoch.contains(n))
-        observeProbe(out, root, nLive, raw.columns.contains(EpochCol))
+        if (observed) observeProbe(out, root, nLive,
+          raw.columns.contains(EpochCol))
+        else out
       case Some((vdir, folded)) =>
         excludeEpoch.foreach { e =>
           require(!folded.contains(e),
@@ -260,7 +270,8 @@ object EpochIndex {
         val out = excludeEpoch.fold(all)(e =>
           all.filter(col(EpochCol) =!= lit(e)))
         val nLive = live.count(n => !excludeEpoch.contains(n))
-        observeProbe(out, root, nLive, hasEpochCol = true)
+        if (observed) observeProbe(out, root, nLive, hasEpochCol = true)
+        else out
     }
 
   // ------------------------------------------------------------ compact

@@ -270,8 +270,14 @@ object Similarity {
     // in the compacted base, if [[ivfIndexCompact]] has run).
     IndexMeta.requireFamily(spark, path, IvfFamily)
     IvfIndex(spark.read.parquet(s"$path/centroids"),
+      // observed = false: the probe's whole value is the cell-pruned
+      // scan (dynamic partition pruning from the probe join), and a
+      // CollectMetrics barrier would block that pruning — see
+      // EpochIndex.read's scaladoc. SimilaritySpec pins ≤ nProbe×|q|
+      // partitions read.
       EpochIndex.read(spark, s"$path/assignments",
-        innerPartCols = Seq("cell"), bootstrapName = "ivfIndexWrite")
+        innerPartCols = Seq("cell"), bootstrapName = "ivfIndexWrite",
+        observed = false)
         .withColumn("cell", col("cell").cast("long"))
         .drop(EpochIndex.EpochCol))
   }
@@ -570,8 +576,11 @@ object Similarity {
     IndexMeta.requireFamily(spark, path, IvfPqFamily)
     IvfPqIndex(spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),
+      // observed = false for the same cell-pruning reason as
+      // ivfIndexRead (CollectMetrics blocks DPP)
       EpochIndex.read(spark, s"$path/codes",
-        innerPartCols = Seq("cell"), bootstrapName = "ivfPqIndexWrite")
+        innerPartCols = Seq("cell"), bootstrapName = "ivfPqIndexWrite",
+        observed = false)
         .withColumn("cell", col("cell").cast("long"))
         .drop(EpochIndex.EpochCol))
   }
