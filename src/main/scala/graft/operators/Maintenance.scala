@@ -56,6 +56,8 @@ object Maintenance {
         SampleSketch.sampleSketchIndexCompact(spark, root, keepVersions)
       case "dsir_buckets" =>
         Splits.dsirIndexCompact(spark, root, keepVersions)
+      case "bm25_postings" =>
+        Relevance.bm25IndexCompact(spark, root, keepVersions)
       case "ivf" =>
         Similarity.ivfIndexCompact(spark, root, keepVersions)
       case "ivf_pq" =>

@@ -213,6 +213,208 @@ object Relevance {
         col("avg_logprob"))
   }
 
+  // --------------- persisted postings store (the retrieval index shape)
+
+  /** Build the BM25 postings partials for one document set: the
+    * inverted index rows `(term, doc_id, tf, dl)` plus a ONE-ROW
+    * corpus-statistics partial `(n_docs, sumdl)`.
+    *
+    * The document length rides ON every posting row (denormalized —
+    * one extra long per posting) so a probe never joins a doc-length
+    * table: the whole probe is a pruned postings scan. Postings are
+    * range-partitioned and sorted by term before the write, so each
+    * parquet file covers a contiguous term range and a probe's
+    * `term IN (…)` predicate prunes at the file/row-group level —
+    * the probe cost is O(postings of the queried terms), independent
+    * of corpus size.
+    *
+    * Corpus statistics are NOT derivable from postings alone (docs
+    * whose every term is unqueried still count toward N and avgdl),
+    * so each epoch records its exact `(n_docs, sumdl)` long partial;
+    * reads sum them — #epochs rows, never a corpus-sized scan.
+    */
+  def bm25Postings(docs: DataFrame, idCol: String,
+                   textCol: String): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      Sketches.token_counts(TextFunctions.tokens(col(textCol))).as("_tc"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
+    val postings = base
+      .select(explode(col("_tc")).as(Seq("term", "tf")),
+        col("doc_id"), col("dl"))
+      .select("term", "doc_id", "tf", "dl")
+      .repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sumdl"))
+    (postings, stats)
+  }
+
+  private val PostingsFamily = "bm25_postings"
+  private[graft] def postingsMeta(idCol: String, textCol: String): IndexMeta =
+    IndexMeta(PostingsFamily, "cols" -> s"$idCol,$textCol")
+
+  /** Bootstrap a stored retrieval index at `path` (`postings/` and
+    * `stats/` epoch stores under one `_GRAFT_META` manifest, the IVF
+    * multi-subdir layout). The corpus is tokenized ONCE; every later
+    * query is a pruned index probe, and every later batch appends its
+    * own partials ([[bm25IndexAppend]]) — the corpus is never
+    * re-scanned. Contract (shared with every append-only store —
+    * line dedup, IVF): a document id lands in EXACTLY ONE epoch;
+    * re-ingesting a doc double-counts it in the statistics. */
+  def bm25IndexWrite(docs: DataFrame, path: String, idCol: String,
+                     textCol: String): Unit = {
+    val (postings, stats) = bm25Postings(docs, idCol, textCol)
+    EpochIndex.bootstrap(postings, s"$path/postings")
+    EpochIndex.bootstrap(stats, s"$path/stats")
+    IndexMeta.write(docs.sparkSession, path, postingsMeta(idCol, textCol))
+  }
+
+  /** Append one batch's postings + statistics partial as a new epoch
+    * (idempotent per epoch name; manifest-checked). Only the batch is
+    * tokenized. */
+  def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession,
+                      path: String, batch: DataFrame, idCol: String,
+                      textCol: String, epoch: String): Unit = {
+    IndexMeta.check(spark, path, postingsMeta(idCol, textCol))
+    val (postings, stats) = bm25Postings(batch, idCol, textCol)
+    EpochIndex.append(postings, s"$path/postings", epoch)
+    EpochIndex.append(stats, s"$path/stats", epoch)
+  }
+
+  /** Fold accumulated epochs behind the atomic `_CURRENT` flip:
+    * postings rows are disjoint across epochs (append-only doc ids)
+    * so their fold is identity — compaction bounds the FILE count;
+    * statistics partials sum into one row. */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, PostingsFamily)
+    val stats = EpochIndex.compact(spark, s"$path/stats",
+      p => p.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("sumdl")), lit(0L)).as("sumdl")),
+      keepVersions = keepVersions)
+    EpochIndex.compact(spark, s"$path/postings", identity,
+      keepVersions = keepVersions)
+    stats
+  }
+
+  /** BM25 top-k from the STORED index — bit-identical to
+    * [[bm25TopDocs]] over the union of the indexed document sets,
+    * without touching a single document:
+    *
+    *  - `term IN (…)` prunes the postings scan to the queried terms
+    *    (file-level via the term-sorted layout);
+    *  - the per-doc term pivot is a conditional aggregation over ≤ 1
+    *    posting per (doc, term) — exact longs, no float-order drift;
+    *  - N / avgdl come from the summed statistics partials and the
+    *    per-term document frequencies from the pruned postings, all
+    *    riding in as ONE broadcast scalar row;
+    *  - per-term scores then sum in literal list order as plain
+    *    column addition — the identical double arithmetic
+    *    [[bm25TopDocs]] emits, which is what lets the q151 oracle
+    *    pin the probe against the full-corpus formulation.
+    *
+    * The final top-k is an `orderBy().limit()` — TakeOrderedAndProject,
+    * bounded per partition, never a global sort. */
+  def bm25IndexProbe(spark: org.apache.spark.sql.SparkSession,
+                     path: String, idCol: String, textCol: String,
+                     queryTerms: Seq[String], k: Int = 50,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     roundTo: Int = 6,
+                     excludeEpoch: Option[String] = None): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct.size == queryTerms.size,
+      "query terms must be non-empty and distinct")
+    IndexMeta.check(spark, path, postingsMeta(idCol, textCol))
+    // observed = false: the term predicate must REACH the postings
+    // scan (file/row-group pruning over the term-sorted layout); a
+    // CollectMetrics barrier would force a full-store read — see
+    // EpochIndex.read's scaladoc. The stats read below stays observed
+    // (it aggregates everything by design — that IS its metric).
+    val post = EpochIndex.read(spark, s"$path/postings", excludeEpoch,
+      bootstrapName = "bm25IndexWrite", observed = false)
+      .drop(EpochIndex.EpochCol)
+      .filter(col("term").isin(queryTerms: _*))
+    val statPartials = EpochIndex.read(spark, s"$path/stats", excludeEpoch,
+      bootstrapName = "bm25IndexWrite")
+    val corpusStats = statPartials
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("double").as("n"),
+        coalesce(sum(col("sumdl")), lit(0L)).cast("double").as("sumdl"))
+    val dfCols = queryTerms.map(t => coalesce(
+      sum(when(col("term") === t, 1L).otherwise(0L)), lit(0L))
+      .cast("double").as(s"df_$t"))
+    val dfStats = post.agg(dfCols.head, dfCols.tail: _*)
+    val perDoc = post.groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("_dl"),
+        queryTerms.map(t =>
+          sum(when(col("term") === t, col("tf"))).as(s"tf_$t")): _*)
+    def tf(t: String): Column = coalesce(col(s"tf_$t"), lit(0L))
+    val withStats = perDoc
+      .crossJoin(broadcast(corpusStats))
+      .crossJoin(broadcast(dfStats))
+    val avgdl = col("sumdl") / col("n")
+    val perTerm = queryTerms.map { t =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      val denom = tf(t).cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / avgdl)
+      idf * (tf(t).cast("double") * lit(k1 + 1.0)) / denom
+    }
+    val nMatched = queryTerms.map(t => when(tf(t) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    withStats
+      .select(col("doc_id").as(idCol), nMatched.as("n_matched"),
+        round(perTerm.reduce(_ + _), roundTo).as("score"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al.): each input ranking contributes
+    * `1/(rrfK + rank)` for every id it ranked, missing ids contribute
+    * nothing, and the fused ordering is by the summed score. RRF is
+    * how a pipeline combines BM25's lexical ranking with an embedding
+    * ANN ranking without comparing their incomparable score scales —
+    * only RANKS enter the formula.
+    *
+    * Inputs are the bounded top-n lists the retrieval operators
+    * already emit ([[bm25TopDocs]], [[bm25IndexProbe]],
+    * `Similarity.bruteForceTopK` / `ivfProbe`), each with a 1-based
+    * `rank` column. Because every input is ≤ n rows, the fuse is a
+    * chain of tiny full-outer joins Spark broadcasts under AQE —
+    * the heavy lifting stays in the rankers, which never materialize
+    * more than their top-n.
+    *
+    * Determinism: contributions add in INPUT-LIST ORDER as plain
+    * column addition (no aggregation-order float drift — the
+    * [[bm25TopDocs]] discipline), the fused score rounds, and ties
+    * break by id — the q153 oracle replays the exact arithmetic.
+    *
+    * @param rankings bounded ranked lists, each `(idCol, rank)`;
+    *                 ranks are 1-based, unique per list
+    * @return top `k` of (idCol, n_lists, rrf_score)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+              rrfK: Int = 60, roundTo: Int = 9): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse wants at least two rankings")
+    rankings.foreach(r => require(r.columns.contains("rank"),
+      s"each ranking needs a 'rank' column, got ${r.columns.mkString(",")}"))
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col("rank").cast("long").as(s"_rk_$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val contribs = rankings.indices.map(i => coalesce(
+      lit(1.0) / (lit(rrfK.toDouble) + col(s"_rk_$i").cast("double")),
+      lit(0.0)))
+    val nLists = rankings.indices
+      .map(i => when(col(s"_rk_$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    joined.select(col(idCol), nLists.as("n_lists"),
+      round(contribs.reduce(_ + _), roundTo).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** The composite pre-training quality filter (CCNet/Gopher shape):
     * every document gets its five screening signals, a keep/drop
     * verdict, and the NAMED list of failed checks — because a filter

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Cardinality, Chunking, Contamination, Curation, Dedup, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Cardinality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -5268,6 +5268,186 @@ object Catalog {
         kept.agg(count_distinct(col("domain")).as("n_domains_kept"))))
   }
 
+  // ------------------------------------------- persisted retrieval index
+  /** The retrieval family's incremental shape (the q99/q142/q149
+    * discipline applied to BM25): tokenize the corpus ONCE into a
+    * stored postings index (term-sorted for scan pruning, statistics
+    * as one-row epoch partials), append a batch as its own epoch,
+    * compact behind the atomic `_CURRENT` flip, then answer the query
+    * from the STORE — and prove the answer bit-identical to the
+    * full-corpus q126 formulation by having the oracle recompute
+    * exactly that. The corpus is never rescanned at probe time: the
+    * probe plan is a term-pruned postings read, one doc-keyed pivot
+    * aggregation, a broadcast stats row and a bounded top-k. */
+  val q151Bm25Store = q("q151_bm25_store",
+    "BM25 top-40 from a persisted two-epoch postings store, compacted then probed (north star: incremental retrieval)",
+    """WITH base AS (
+      |  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |         len(list_filter(toks, t -> t = 'filter')) AS tf1,
+      |         len(list_filter(toks, t -> t = 'scan')) AS tf2,
+      |         len(list_filter(toks, t -> t = 'vector')) AS tf3
+      |  FROM base),
+      |st AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+      |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+      |         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+      |  FROM tf),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END
+      |          + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS n_matched,
+      |         round(
+      |           ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+      |             / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+      |             / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |           + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1.0))
+      |             / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))), 6) AS score
+      |  FROM tf, st)
+      |SELECT doc_id, n_matched, score FROM sc
+      |WHERE n_matched > 0
+      |ORDER BY score DESC, doc_id ASC LIMIT 40""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val root = scratchDir(s, "q151_bm25")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Relevance.bm25IndexWrite(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      root, "doc_id", "text")
+    Relevance.bm25IndexAppend(s, root,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+      "day-2")
+    val stats = Relevance.bm25IndexCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q151: compaction folded nothing at $root — store build failed")
+    Relevance.bm25IndexProbe(s, root, "doc_id", "text",
+      queryTerms = Seq("filter", "scan", "vector"), k = 40)
+  }
+
+  // ------------------------------------------------------ snapshot diff
+  /** CDC over re-landed snapshots ([[Diff.snapshotDiff]]): two
+    * deterministic snapshots derive from `orders` (17-multiples
+    * missing from the old extract, 13-multiples dropped from the new,
+    * 5-multiples repriced, 7-multiples re-prioritized), and the diff
+    * must name every add/remove and the exact changed columns. One
+    * full-outer sort-merge join; the oracle replays the same FULL
+    * JOIN + IS DISTINCT FROM per column. */
+  val q152SnapshotDiff = q("q152_snapshot_diff",
+    "Keyed snapshot diff: adds, removes, per-column changes from one full-outer join (north star: CDC/incremental)",
+    """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 17 <> 0),
+      |n AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS o_totalprice,
+      |         o_orderdate,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN 'RUSH'
+      |              ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 13 <> 0),
+      |j AS (
+      |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |         o.o_orderkey IS NOT NULL AS op, n.o_orderkey IS NOT NULL AS np,
+      |         concat_ws(',',
+      |           CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey THEN 'o_custkey' END,
+      |           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+      |           CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END,
+      |           CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate THEN 'o_orderdate' END,
+      |           CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'o_orderpriority' END) AS chg
+      |  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+      |SELECT o_orderkey,
+      |       CASE WHEN NOT op THEN 'added' WHEN NOT np THEN 'removed'
+      |            ELSE 'changed' END AS change,
+      |       CASE WHEN op AND np THEN chg ELSE '' END AS changed_cols
+      |FROM j WHERE NOT (op AND np AND chg = '')""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val oldSnap = ord.filter(pmod(col("o_orderkey"), lit(17)) =!= 0)
+    val newSnap = ord.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0,
+          col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("RUSH"))
+          .otherwise(col("o_orderpriority")))
+    Diff.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+  }
+
+  // ----------------------------------------------------- hybrid retrieval
+  /** Hybrid retrieval ([[Relevance.rrfFuse]]): BM25's lexical top-20
+    * fused with the dense cosine top-20 for query vector 0 by
+    * reciprocal-rank fusion — only RANKS cross the score-scale
+    * boundary. The rankers are the already-pinned q126/q23 shapes;
+    * the fuse is a broadcast-sized full-outer join of two 20-row
+    * lists. The oracle replays both rankings and the exact
+    * 1/(60+rank) arithmetic. */
+  val q153HybridRrf = q("q153_hybrid_rrf",
+    "Reciprocal-rank fusion of BM25 and dense cosine rankings (north star: hybrid retrieval)",
+    """WITH base AS (
+      |  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |         len(list_filter(toks, t -> t = 'hash')) AS tf1,
+      |         len(list_filter(toks, t -> t = 'row')) AS tf2,
+      |         len(list_filter(toks, t -> t = 'batch')) AS tf3
+      |  FROM base),
+      |st AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+      |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+      |         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+      |  FROM tf),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |         (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END
+      |          + CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS n_matched,
+      |         round(
+      |           ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))
+      |             / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))
+      |             / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+      |           + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1.0))
+      |             / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))), 6) AS score
+      |  FROM tf, st),
+      |lex0 AS (SELECT doc_id, score FROM sc WHERE n_matched > 0
+      |         ORDER BY score DESC, doc_id LIMIT 20),
+      |lex AS (SELECT doc_id,
+      |               row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+      |        FROM lex0),
+      |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings WHERE vec_id = 0),
+      |den0 AS (
+      |  SELECT e.vec_id AS doc_id,
+      |         round(list_cosine_similarity(
+      |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v), 4) AS cos
+      |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+      |  ORDER BY cos DESC, doc_id LIMIT 20),
+      |den AS (SELECT doc_id,
+      |               row_number() OVER (ORDER BY cos DESC, doc_id) AS dr
+      |        FROM den0),
+      |f AS (
+      |  SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+      |         (CASE WHEN lr IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN dr IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
+      |         round(coalesce(1.0 / (60.0 + lr), 0.0)
+      |               + coalesce(1.0 / (60.0 + dr), 0.0), 9) AS rrf_score
+      |  FROM lex FULL JOIN den ON lex.doc_id = den.doc_id)
+      |SELECT doc_id, n_lists, rrf_score FROM f
+      |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val lex = Relevance.bm25TopDocs(docs, "doc_id", "text",
+      queryTerms = Seq("hash", "row", "batch"), k = 20)
+    val lexRanked = lex.select(col("doc_id"), row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+    val den = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 20, roundTo = 4)
+    val denRanked = den.select(col("neighbor_id").as("doc_id"),
+      row_number().over(
+        Window.orderBy(col("cos").desc, col("neighbor_id").asc)).as("rank"))
+    Relevance.rrfFuse(Seq(lexRanked, denRanked), "doc_id", k = 15)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5305,5 +5485,6 @@ object Catalog {
     q138KmvOverlap, q139Dsir, q140HardNegatives, q141IncrementalDsir,
     q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql,
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
-    q148SampleSketchSql, q149SketchStore, q150CurationV2)
+    q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
+    q152SnapshotDiff, q153HybridRrf)
 }

@@ -599,6 +599,55 @@ object Streaming {
       .start()
   }
 
+  /** Streaming retrieval-index ingest — the continuous form of
+    * `Relevance.bm25IndexAppend`, completing the postings family's
+    * shapes (batch build / incremental append / streaming): each
+    * micro-batch of documents lands in the corpus, its postings
+    * partial and its one-row `(n_docs, sumdl)` statistics partial
+    * land in the store, and every later `bm25IndexProbe` answers over
+    * everything ingested — the corpus is tokenized exactly once, at
+    * ingest. All three writes share the `(token, epochId)` dynamic-
+    * overwrite unit: an at-least-once replay rewrites its own
+    * partitions (postings and the stats row are pure functions of the
+    * batch), never double-counts. Fresh-checkpoint refusal mirrors
+    * the sample-sketch sink: statistics are ADDITIVE over disjoint
+    * doc sets, so a reset source re-landing ingested documents would
+    * silently double N/avgdl and skew every later score. */
+  def bm25IngestSink(stream: DataFrame, spark: SparkSession,
+                     corpusPath: String, indexPath: String,
+                     idCol: String, textCol: String,
+                     checkpoint: String,
+                     allowForeignEpochs: Boolean = false): StreamingQuery = {
+    import graft.operators.{EpochIndex, IndexMeta, Relevance}
+    val marker = s"$checkpoint/graft-run-id"
+    require(graft.sources.Fs.exists(spark, marker) ||
+      !(EpochIndex.nonEmpty(spark, s"$indexPath/postings") ||
+        EpochIndex.nonEmpty(spark, s"$indexPath/stats")) || allowForeignEpochs,
+      s"bm25IngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+        "already holds postings partials. A reset source would re-land " +
+        "its documents and double-count the corpus statistics (N, avgdl) " +
+        "every score depends on. Restore the original checkpoint, " +
+        "rebuild corpus+store from raw sources, or — only if this run " +
+        "ingests strictly new documents — pass allowForeignEpochs = true")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val (postings, stats) = Relevance.bm25Postings(batch, idCol, textCol)
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            Relevance.postingsMeta(idCol, textCol))
+          // corpus before store: a crash between them re-runs the
+          // epoch; the dynamic overwrite rewrites all three idempotently
+          epochWrite(batch, corpusPath, token, epochId)
+          epochWrite(postings, s"$indexPath/postings", token, epochId)
+          epochWrite(stats, s"$indexPath/stats", token, epochId)
+        }
+      }
+      .start()
+  }
+
   /** THE shared scaffold of the index-backed cleaning sinks
     * (boilerplate, line dedup): one copy of the replay-idempotency
     * machinery so a fix lands in every family at once.

@@ -122,4 +122,78 @@ class RelevanceSpec extends SparkSpecBase {
     // the fluent doc outranks the unseen-vocab doc
     assert(out(0)._3.get > out(2)._3.get)
   }
+
+  // --------------------------------------------------- postings store
+
+  private val retrievalCorpus = Seq(
+    (1L, "spark join join merge window"),
+    (2L, "join merge merge duck pond"),
+    (3L, "window window spark goose"),
+    (4L, "pond goose duck duck"),
+    (5L, "join window merge spark spark"),
+    (6L, ""),                         // zero tokens: stats-only doc
+    (7L, "merge join")
+  ).toDF("doc_id", "text")
+
+  private def probeVsDirect(path: String, terms: Seq[String],
+                            full: org.apache.spark.sql.DataFrame): Unit = {
+    val direct = Relevance.bm25TopDocs(full, "doc_id", "text", terms, k = 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    val probe = Relevance.bm25IndexProbe(spark, path, "doc_id", "text",
+      terms, k = 10).as[(Long, Int, Double)].collect().toSeq
+    assert(probe === direct,
+      s"probe $probe != direct $direct for terms $terms")
+  }
+
+  test("bm25 store: probe over base+epoch is bit-identical to the full-corpus scan") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25").toString + "/store"
+    val base = retrievalCorpus.filter(col("doc_id") % 2 === 0)
+    val batch = retrievalCorpus.filter(col("doc_id") % 2 === 1)
+    Relevance.bm25IndexWrite(base, root, "doc_id", "text")
+    Relevance.bm25IndexAppend(spark, root, batch, "doc_id", "text", "day-2")
+    probeVsDirect(root, Seq("join", "window"), retrievalCorpus)
+    // a term absent from the corpus contributes zero, never crashes
+    probeVsDirect(root, Seq("join", "zebra"), retrievalCorpus)
+  }
+
+  test("bm25 store: compaction preserves the probe; Maintenance dispatches the fold") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25c").toString + "/store"
+    Relevance.bm25IndexWrite(
+      retrievalCorpus.filter(col("doc_id") <= 3), root, "doc_id", "text")
+    Relevance.bm25IndexAppend(spark, root,
+      retrievalCorpus.filter(col("doc_id") > 3), "doc_id", "text", "day-2")
+    val before = Relevance.bm25IndexProbe(spark, root, "doc_id", "text",
+      Seq("merge", "spark"), k = 10).as[(Long, Int, Double)].collect().toSeq
+    val stats = Maintenance.compactStore(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2"))
+    val after = Relevance.bm25IndexProbe(spark, root, "doc_id", "text",
+      Seq("merge", "spark"), k = 10).as[(Long, Int, Double)].collect().toSeq
+    assert(after === before)
+    probeVsDirect(root, Seq("merge", "spark"), retrievalCorpus)
+  }
+
+  test("rrfFuse: closed-form contributions, missing ids score one-sided, ties break by id") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Relevance.rrfFuse(Seq(a, b), "doc_id", k = 10, rrfK = 60)
+      .as[(Long, Int, Double)].collect().toSeq
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20 ranked by both lists must fuse highest
+    assert(got.head === ((20L, 2, r9(1.0 / 62 + 1.0 / 61))))
+    assert(got.map(_._1) === Seq(20L, 10L, 40L, 30L))
+    assert(got.find(_._1 == 10L).get._3 === r9(1.0 / 61))
+    assert(got.forall(r => if (r._1 == 20L) r._2 == 2 else r._2 == 1))
+  }
+
+  test("bm25 store: mismatched build columns refuse loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25m").toString + "/store"
+    Relevance.bm25IndexWrite(retrievalCorpus, root, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Relevance.bm25IndexProbe(spark, root, "doc_id", "body", Seq("join"))
+    }
+    assert(e.getMessage.contains("cols"), e.getMessage)
+  }
 }

@@ -42,6 +42,9 @@ class PlanAuditSpec extends SparkSpecBase {
     * every `Exchange <partitioning>` spelling (hash, range, single,
     * round-robin, any future one) rather than an allowlist, so a stray
     * repartition(n) can't slip under the shuffle-count gates. */
+  private def occurrences(plan: String, token: String): Int =
+    plan.linesIterator.count(_.contains(token))
+
   private def shuffles(plan: String): Int =
     plan.linesIterator.count { l =>
       l.contains("Exchange ") &&
@@ -485,6 +488,42 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"q149:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
       s"q149 probe grew a join:\n$plan")
+  }
+
+  test("q151 bm25 store probe: term-pruned scan, scalar-broadcast stats, bounded top-k") {
+    val plan = planOf("q151_bm25_store")
+    assert(!plan.contains("Window"), s"q151 regressed to a window rank:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q151:\n$plan")
+    // the probe never rescans documents: its only scans are the store's
+    // parquet (postings/stats), and the term filter reaches them
+    assert(!plan.contains("documents.parquet"),
+      s"q151 probe rescanned the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q151 top-k lost its bounded TakeOrdered:\n$plan")
+    // corpus stats + per-term dfs ride in as one-row broadcast scalars
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("IdentityBroadcastMode"),
+        s"non-scalar nested-loop join crept in:\n$plan")
+  }
+
+  test("q152 snapshot diff: one full-outer key join, no window, per-column compare in projection") {
+    val plan = planOf("q152_snapshot_diff")
+    assert(!plan.contains("Window"), s"q152 grew a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"q152:\n$plan")
+    assert(occurrences(plan, "SortMergeJoin") == 1,
+      s"q152 must diff with exactly ONE full-outer sort-merge join:\n$plan")
+    assert(plan.contains("FullOuter"), s"q152 lost the full-outer semantics:\n$plan")
+  }
+
+  test("q153 hybrid RRF: heavy lifting in the rankers, fuse joins broadcast-sized lists") {
+    val plan = planOf("q153_hybrid_rrf")
+    assert(!plan.contains("CartesianProduct"), s"q153:\n$plan")
+    // the two 20-row ranked lists fuse via broadcast, never a shuffle join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"q153 fuse lost its broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q153 final top-k lost its bounded TakeOrdered:\n$plan")
   }
 
   test("q150 curation v2: scan-side screen, bounded-heap cap, scalar-broadcast funnel") {

@@ -709,6 +709,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("k:"), e.getMessage)
   }
 
+  test("streaming bm25 ingest: stored probe ≡ full-corpus scoring over everything delivered") {
+    import graft.operators.Relevance
+    val src = Files.createTempDirectory("graft-bm-src").toString
+    val corpus = Files.createTempDirectory("graft-bm-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-bm-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-bm-ckp").toString
+    val batch1 = Seq((1L, "spark join join merge"), (2L, "join duck pond"),
+      (3L, "window window spark"))
+    val batch2 = Seq((4L, "pond goose duck duck"), (5L, "join window merge"),
+      (6L, ""))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.bm25IngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", ckp)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val terms = Seq("join", "window")
+    val stored = Relevance.bm25IndexProbe(spark, index, "doc_id", "text",
+      terms, k = 10).as[(Long, Int, Double)].collect().toSeq
+    val direct = Relevance.bm25TopDocs(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+      terms, k = 10).as[(Long, Int, Double)].collect().toSeq
+    assert(stored === direct, s"stream $stored vs direct $direct")
+    assert(spark.read.parquet(corpus).count() === 6L)
+    // a fresh checkpoint against the kept store refuses loudly
+    val freshCkp = Files.createTempDirectory("graft-bm-ckp2").toString
+    val e = intercept[IllegalArgumentException] {
+      Streaming.bm25IngestSink(
+        Streaming.fileStream(spark,
+          spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", freshCkp)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
+
   test("streaming zone-map ingest: manifest tracks each epoch's files, pruned read equals full filter") {
     import graft.operators.Layout
     val src = Files.createTempDirectory("graft-zm-src").toString
