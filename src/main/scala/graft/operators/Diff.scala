@@ -43,14 +43,14 @@ object Diff {
     *         is the comma-joined changed column names in
     *         `compareCols` order, '' for added/removed rows
     */
-  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-                   keyCols: Seq[String],
-                   compareCols: Seq[String] = Nil,
-                   includeUnchanged: Boolean = false): DataFrame = {
-    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
-    val cmp =
-      if (compareCols.nonEmpty) compareCols
-      else newSnap.columns.filterNot(keyCols.contains).toSeq
+  /** Shared core: the one full-outer join plus the change
+    * classification both surfaces read from. Returns the joined frame
+    * (keys + `_old_*`/`_new_*` payloads + presence markers) with
+    * `change` and `changed_cols` attached. */
+  private def diffCore(oldSnap: DataFrame, newSnap: DataFrame,
+                       keyCols: Seq[String],
+                       cmp: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshot diff needs at least one key column")
     val missing = (keyCols ++ cmp).filterNot(newSnap.columns.contains) ++
       (keyCols ++ cmp).filterNot(oldSnap.columns.contains)
     require(missing.isEmpty,
@@ -75,11 +75,60 @@ object Diff {
       .when(col("_new_present").isNull, lit("removed"))
       .when(changedList =!= "", lit("changed"))
       .otherwise(lit("unchanged"))
-    val out = joined.select(
-      keyCols.map(col) :+ change.as("change") :+
+    joined.withColumn("change", change)
+      .withColumn("changed_cols",
         when(col("_old_present").isNotNull && col("_new_present").isNotNull,
-          changedList).otherwise(lit("")).as("changed_cols"): _*)
+          changedList).otherwise(lit("")))
+  }
+
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String],
+                   compareCols: Seq[String] = Nil,
+                   includeUnchanged: Boolean = false): DataFrame = {
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else newSnap.columns.filterNot(keyCols.contains).toSeq
+    val out = diffCore(oldSnap, newSnap, keyCols, cmp)
+      .select(keyCols.map(col) :+ col("change") :+ col("changed_cols"): _*)
     if (includeUnchanged) out else out.filter(col("change") =!= "unchanged")
+  }
+
+  /** The snapshot diff as an APPLYABLE changefeed: one `upsert` row
+    * per added-or-changed key carrying the NEW payload, one `delete`
+    * row per removed key (payload NULL) — the delta a downstream
+    * incremental consumer replays instead of re-reading the snapshot.
+    * Same single full-outer join as [[snapshotDiff]]; unchanged rows
+    * never leave the join.
+    *
+    * @return (keyCols…, op, payloadCols…) with op ∈ upsert | delete
+    */
+  def cdcDelta(oldSnap: DataFrame, newSnap: DataFrame,
+               keyCols: Seq[String]): DataFrame = {
+    val payload = newSnap.columns.filterNot(keyCols.contains).toSeq
+    diffCore(oldSnap, newSnap, keyCols, payload)
+      .filter(col("change") =!= "unchanged")
+      .select((keyCols.map(col) :+
+        when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("upsert")).as("op")) ++
+        payload.map(c => col(s"_new_$c").as(c)): _*)
+  }
+
+  /** Apply a [[cdcDelta]] changefeed to a base snapshot:
+    * `base ⊖ delta-keys ∪ upsert-payloads`. One anti join (narrow:
+    * only delta keys broadcast/shuffle against the base) plus a
+    * union — cost O(base-scan + delta), never a re-land of the new
+    * snapshot. The contract, pinned by q154's oracle:
+    * `cdcApply(old, cdcDelta(old, new)) ≡ new` — unchanged rows ride
+    * through untouched from the base. */
+  def cdcApply(base: DataFrame, delta: DataFrame,
+               keyCols: Seq[String]): DataFrame = {
+    val payload = base.columns.filterNot(keyCols.contains).toSeq
+    val kept = base.join(delta.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+    kept.unionByName(
+      delta.filter(col("op") === "upsert")
+        .select(keyCols.map(col) ++ payload.map(col): _*)
+        .select(base.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Narrow-shuffle change detection for wide tables: compare

@@ -5372,6 +5372,37 @@ object Catalog {
     Diff.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
   }
 
+  /** The CDC contract end-to-end ([[Diff.cdcDelta]]/[[Diff.cdcApply]]):
+    * applying the changefeed extracted from (old, new) onto the old
+    * snapshot must reproduce the new snapshot EXACTLY — every column,
+    * every row, unchanged rows riding through untouched. The oracle is
+    * simply the new snapshot; the Spark side earns it through
+    * delta-extraction + O(delta) apply (one full-outer diff join, one
+    * anti join, one union — never a re-land). Same planted snapshots
+    * as q152. */
+  val q154CdcApply = q("q154_cdc_apply",
+    "CDC apply: old snapshot + extracted changefeed == new snapshot, bit-exact (north star: incremental maintenance)",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+      |            ELSE o_totalprice END AS o_totalprice,
+      |       o_orderdate,
+      |       CASE WHEN o_orderkey % 7 = 0 THEN 'RUSH'
+      |            ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val oldSnap = ord.filter(pmod(col("o_orderkey"), lit(17)) =!= 0)
+    val newSnap = ord.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(5)) === 0,
+          col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("RUSH"))
+          .otherwise(col("o_orderpriority")))
+    Diff.cdcApply(oldSnap,
+      Diff.cdcDelta(oldSnap, newSnap, Seq("o_orderkey")),
+      Seq("o_orderkey"))
+  }
+
   // ----------------------------------------------------- hybrid retrieval
   /** Hybrid retrieval ([[Relevance.rrfFuse]]): BM25's lexical top-20
     * fused with the dense cosine top-20 for query vector 0 by
@@ -5486,5 +5517,5 @@ object Catalog {
     q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql,
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
-    q152SnapshotDiff, q153HybridRrf)
+    q152SnapshotDiff, q153HybridRrf, q154CdcApply)
 }

@@ -69,6 +69,30 @@ class DiffSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toSeq === Seq((1L, "changed")))
   }
 
+  test("cdcDelta emits upserts with NEW payloads and deletes with null payloads") {
+    val got = Diff.cdcDelta(oldSnap, newSnap, Seq("k"))
+      .orderBy("k").as[(Long, String, Option[String], Option[Double])]
+      .collect().toSeq
+    assert(got === Seq(
+      (2L, "upsert", Some("B"), Some(20.0)),
+      (3L, "upsert", Some("c"), Some(31.0)),
+      (4L, "delete", None, None),
+      (5L, "upsert", Some("e"), Some(50.0))))
+  }
+
+  test("cdcApply round-trip: base + delta reproduces the new snapshot exactly") {
+    val delta = Diff.cdcDelta(oldSnap, newSnap, Seq("k"))
+    val applied = Diff.cdcApply(oldSnap, delta, Seq("k"))
+      .as[(Long, String, Double)].collect().toSet
+    val want = newSnap.as[(Long, String, Double)].collect().toSet
+    assert(applied === want)
+    // empty delta: apply is the identity
+    val idApplied = Diff.cdcApply(oldSnap,
+      Diff.cdcDelta(oldSnap, oldSnap, Seq("k")), Seq("k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(idApplied === oldSnap.as[(Long, String, Double)].collect().toSet)
+  }
+
   test("missing compared columns refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       Diff.snapshotDiff(oldSnap.drop("v"), newSnap, Seq("k"))

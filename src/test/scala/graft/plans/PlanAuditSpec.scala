@@ -516,6 +516,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("FullOuter"), s"q152 lost the full-outer semantics:\n$plan")
   }
 
+  test("q154 cdc apply: O(delta) maintenance — diff join + anti join + union, no window") {
+    val plan = planOf("q154_cdc_apply")
+    assert(!plan.contains("Window"), s"q154:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"q154:\n$plan")
+    assert(plan.contains("FullOuter"), s"q154 lost the diff's full-outer join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"q154 lost the O(delta) anti-join apply:\n$plan")
+  }
+
   test("q153 hybrid RRF: heavy lifting in the rankers, fuse joins broadcast-sized lists") {
     val plan = planOf("q153_hybrid_rrf")
     assert(!plan.contains("CartesianProduct"), s"q153:\n$plan")
