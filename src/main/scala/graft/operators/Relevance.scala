@@ -369,6 +369,75 @@ object Relevance {
       .limit(k)
   }
 
+  /** Multi-query BM25 from the STORED index — the batch-serving shape
+    * ([[bm25IndexProbe]] answers ONE literal query; a search/RAG
+    * pipeline scores thousands at once). Queries arrive as DATA
+    * (`query_id`, `terms` array), so per-term scores can no longer
+    * sum as literal column addition — they must aggregate, and
+    * double aggregation order is engine-dependent. The portability
+    * trick: each per-(query, doc, term) contribution is rounded and
+    * cast to DECIMAL(28,9) BEFORE the sum — decimal addition is
+    * exact and order-independent, so the grouped sum replays
+    * bit-for-bit in any engine (the q155 oracle does), and the final
+    * score converts back to a rounded double.
+    *
+    * Plan shape: the query-term set broadcasts as a semi-join onto
+    * the term-sorted postings scan; matched postings join the
+    * exploded query list (broadcast — queries are the small side) and
+    * the per-term document frequencies (broadcast — ≤ |distinct query
+    * terms| rows); corpus statistics ride in as ONE broadcast row;
+    * the (query, doc) partial-aggregated sum is the only shuffle and
+    * the per-query top-k is the bounded-heap aggregator, never a
+    * window over the corpus.
+    *
+    * @param queries (`query_id` long, `terms` array<string>) — terms
+    *                distinct within a query
+    * @return (query_id, doc_id-named-idCol, n_matched, score), top
+    *         `k` rows per query by (score desc, doc asc)
+    */
+  def bm25IndexProbeMulti(spark: org.apache.spark.sql.SparkSession,
+                          path: String, idCol: String, textCol: String,
+                          queries: DataFrame, k: Int = 50,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          roundTo: Int = 6): DataFrame = {
+    IndexMeta.check(spark, path, postingsMeta(idCol, textCol))
+    val qterms = queries.select(col("query_id"),
+      explode(col("terms")).as("term"))
+    val post = EpochIndex.read(spark, s"$path/postings", None,
+      bootstrapName = "bm25IndexWrite", observed = false)
+      .drop(EpochIndex.EpochCol)
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+    val statPartials = EpochIndex.read(spark, s"$path/stats", None,
+      bootstrapName = "bm25IndexWrite")
+    val corpusStats = statPartials
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).cast("double").as("n"),
+        coalesce(sum(col("sumdl")), lit(0L)).cast("double").as("sumdl"))
+    val dfT = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val avgdl = col("sumdl") / col("n")
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) / denom
+    val scored = post
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(corpusStats))
+      .select(col("query_id"), col("doc_id"),
+        round(contrib, 9).cast("decimal(28,9)").as("c"))
+    val grouped = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_matched"),
+        round(sum(col("c")).cast("double"), roundTo).as("score"))
+    grouped.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_kv(k)(col("score"), col("doc_id"),
+        col("n_matched").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("_pos", "t")))
+      .select(col("query_id"), col("t._2").as(idCol),
+        col("t._3").cast("int").as("n_matched"), col("t._1").as("score"))
+  }
+
   /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
     * (Cormack et al.): each input ranking contributes
     * `1/(rrfK + rank)` for every id it ranked, missing ids contribute
@@ -413,6 +482,47 @@ object Relevance {
       round(contribs.reduce(_ + _), roundTo).as("rrf_score"))
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Grouped reciprocal-rank fusion — [[rrfFuse]] for MANY queries at
+    * once: every input ranking carries (`queryCol`, idCol, rank), the
+    * fuse joins on (query, id), and the per-query top-k comes from
+    * the bounded-heap aggregator — never a per-query window over the
+    * fused set (bounded per query, but a window would still sort
+    * queries × n rows in one pass; the heap partial-aggregates
+    * map-side). Contributions add in input-list order, exactly like
+    * the single-query form.
+    *
+    * @return top `k` per query of (queryCol, idCol, n_lists,
+    *         rrf_score), membership by (score desc, id asc)
+    */
+  def rrfFuseGrouped(rankings: Seq[DataFrame], queryCol: String,
+                     idCol: String, k: Int, rrfK: Int = 60,
+                     roundTo: Int = 9): DataFrame = {
+    require(rankings.size >= 2, "rrfFuseGrouped wants at least two rankings")
+    rankings.foreach(r => require(r.columns.contains("rank"),
+      s"each ranking needs a 'rank' column, got ${r.columns.mkString(",")}"))
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(queryCol), col(idCol),
+        col("rank").cast("long").as(s"_rk_$i"))
+    }
+    val joined = tagged.reduce((a, b) =>
+      a.join(b, Seq(queryCol, idCol), "full_outer"))
+    val contribs = rankings.indices.map(i => coalesce(
+      lit(1.0) / (lit(rrfK.toDouble) + col(s"_rk_$i").cast("double")),
+      lit(0.0)))
+    val nLists = rankings.indices
+      .map(i => when(col(s"_rk_$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    joined
+      .select(col(queryCol), col(idCol), nLists.as("n_lists"),
+        round(contribs.reduce(_ + _), roundTo).as("rrf_score"))
+      .groupBy(col(queryCol))
+      .agg(graft.functions.TopK.top_kv(k)(col("rrf_score"),
+        col(idCol).cast("long"), col("n_lists").cast("double")).as("top"))
+      .select(col(queryCol), posexplode(col("top")).as(Seq("_pos", "t")))
+      .select(col(queryCol), col("t._2").as(idCol),
+        col("t._3").cast("int").as("n_lists"), col("t._1").as("rrf_score"))
   }
 
   /** The composite pre-training quality filter (CCNet/Gopher shape):

@@ -5479,6 +5479,158 @@ object Catalog {
     Relevance.rrfFuse(Seq(lexRanked, denRanked), "doc_id", k = 15)
   }
 
+  /** Batch-serving retrieval ([[Relevance.bm25IndexProbeMulti]]):
+    * three queries scored AT ONCE against the stored postings index.
+    * Because queries are data, per-term scores must aggregate — the
+    * decimal trick (round each contribution to 9dp, cast
+    * DECIMAL(28,9), exact order-independent sum, convert back) is
+    * what lets the DuckDB oracle replay a GROUPED float computation
+    * bit-for-bit, where a double sum would drift with aggregation
+    * order. Top-k per query is the bounded-heap aggregator. */
+  val q155Bm25Multi = q("q155_bm25_multi",
+    "Multi-query BM25 from the postings store, decimal-exact grouped scoring (north star: batch retrieval serving)",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |q(query_id, term) AS (VALUES
+      |  (0, 'join'), (0, 'filter'),
+      |  (1, 'scan'), (1, 'merge'),
+      |  (2, 'window'), (2, 'vector'), (2, 'batch')),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |       FROM toks GROUP BY doc_id),
+      |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |              CAST(coalesce(sum(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))), 0) AS DOUBLE) AS sumdl
+      |       FROM documents),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         CAST(round(
+      |           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+      |             * (tf * (1.2 + 1.0))
+      |             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))), 9)
+      |           AS DECIMAL(28,9)) AS c
+      |  FROM q JOIN tf USING (term) JOIN dft USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id
+      |       CROSS JOIN st),
+      |g AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_matched,
+      |             round(CAST(sum(c) AS DOUBLE), 6) AS score
+      |      FROM sc GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                   ORDER BY score DESC, doc_id) AS rk
+      |      FROM g)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_matched, score
+      |FROM r WHERE rk <= 10""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val root = scratchDir(s, "q155_bm25mq")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Relevance.bm25IndexWrite(docs, root, "doc_id", "text")
+    val queries = Seq(
+      (0L, Seq("join", "filter")),
+      (1L, Seq("scan", "merge")),
+      (2L, Seq("window", "vector", "batch"))).toDF("query_id", "terms")
+    Relevance.bm25IndexProbeMulti(s, root, "doc_id", "text", queries, k = 10)
+  }
+
+  /** Grouped hybrid retrieval, composed end-to-end: three queries run
+    * the stored-postings multi-BM25 (q155's machinery) AND the dense
+    * cosine ranking (q23's), then fuse per query with
+    * [[Relevance.rrfFuseGrouped]]'s bounded-heap top-k. The ranked
+    * lists are ≤ 20 rows per query, so the rank windows partition over
+    * bounded lists — never the corpus. The oracle replays the whole
+    * composition: decimal-summed BM25, cosine ranking, 1/(60+rank)
+    * fusion. */
+  val q156HybridMulti = q("q156_hybrid_multi",
+    "Grouped hybrid retrieval: stored-postings multi-BM25 x dense cosine, RRF-fused per query (north star: retrieval serving)",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |q(query_id, term) AS (VALUES
+      |  (0, 'join'), (0, 'filter'),
+      |  (1, 'scan'), (1, 'merge'),
+      |  (2, 'window'), (2, 'vector'), (2, 'batch')),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |       FROM toks GROUP BY doc_id),
+      |dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      |        WHERE term IN (SELECT term FROM q) GROUP BY term),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |              CAST(coalesce(sum(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))), 0) AS DOUBLE) AS sumdl
+      |       FROM documents),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         CAST(round(
+      |           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+      |             * (tf * (1.2 + 1.0))
+      |             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))), 9)
+      |           AS DECIMAL(28,9)) AS c
+      |  FROM q JOIN tf USING (term) JOIN dft USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id
+      |       CROSS JOIN st),
+      |g AS (SELECT query_id, doc_id,
+      |             round(CAST(sum(c) AS DOUBLE), 6) AS score
+      |      FROM sc GROUP BY query_id, doc_id),
+      |lexr AS (SELECT query_id, doc_id, lr FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY score DESC, doc_id) AS lr
+      |  FROM g) WHERE lr <= 20),
+      |qv AS (SELECT vec_id AS query_id,
+      |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+      |den0 AS (
+      |  SELECT qv.query_id, e.vec_id AS doc_id,
+      |         round(list_cosine_similarity(
+      |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv.v), 4) AS cos
+      |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+      |denr AS (SELECT query_id, doc_id, dr FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, doc_id) AS dr
+      |  FROM den0) WHERE dr <= 20),
+      |f AS (
+      |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+      |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+      |         (CASE WHEN lr IS NOT NULL THEN 1 ELSE 0 END
+      |          + CASE WHEN dr IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
+      |         round(coalesce(1.0 / (60.0 + lr), 0.0)
+      |               + coalesce(1.0 / (60.0 + dr), 0.0), 9) AS rrf_score
+      |  FROM lexr l FULL JOIN denr d
+      |       ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                    ORDER BY rrf_score DESC, doc_id) AS rk
+      |       FROM f)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_lists, rrf_score
+      |FROM r2 WHERE rk <= 10""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val root = scratchDir(s, "q156_hybrid")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Relevance.bm25IndexWrite(docs, root, "doc_id", "text")
+    val queries = Seq(
+      (0L, Seq("join", "filter")),
+      (1L, Seq("scan", "merge")),
+      (2L, Seq("window", "vector", "batch"))).toDF("query_id", "terms")
+    val lex = Relevance.bm25IndexProbeMulti(s, root, "doc_id", "text",
+      queries, k = 20)
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lexRanked = lex.select(col("query_id"), col("doc_id"),
+      row_number().over(wLex).as("rank"))
+    val den = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id").isin(0L, 1L, 2L)),
+      "vec_id", "embedding", k = 20, roundTo = 4)
+    val wDen = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val denRanked = den.select(col("query_id"),
+      col("neighbor_id").as("doc_id"), row_number().over(wDen).as("rank"))
+    Relevance.rrfFuseGrouped(Seq(lexRanked, denRanked), "query_id",
+      "doc_id", k = 10)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5517,5 +5669,6 @@ object Catalog {
     q142IncrementalLineDedup, q143EpochCompaction, q144KmvSql,
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
-    q152SnapshotDiff, q153HybridRrf, q154CdcApply)
+    q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
+    q156HybridMulti)
 }

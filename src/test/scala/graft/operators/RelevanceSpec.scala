@@ -187,6 +187,66 @@ class RelevanceSpec extends SparkSpecBase {
     assert(got.forall(r => if (r._1 == 20L) r._2 == 2 else r._2 == 1))
   }
 
+  test("bm25IndexProbeMulti: decimal-summed scores match a closed-form replay") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bm25mq").toString + "/store"
+    Relevance.bm25IndexWrite(retrievalCorpus, root, "doc_id", "text")
+    val queries = Seq((0L, Seq("join", "window")), (1L, Seq("merge")))
+      .toDF("query_id", "terms")
+    val got = Relevance.bm25IndexProbeMulti(spark, root, "doc_id", "text",
+      queries, k = 3).as[(Long, Long, Int, Double)].collect().toSeq
+      .sortBy(t => (t._1, -t._4, t._2))
+
+    // closed-form replay of the engine's arithmetic
+    def toks(s: String) = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val corpus = Seq(1L -> "spark join join merge window",
+      2L -> "join merge merge duck pond", 3L -> "window window spark goose",
+      4L -> "pond goose duck duck", 5L -> "join window merge spark spark",
+      6L -> "", 7L -> "merge join")
+    val n = corpus.size.toDouble
+    val dl = corpus.map { case (d, t) => d -> toks(t).length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / n
+    def tf(d: Long, t: String) = toks(corpus.find(_._1 == d).get._2)
+      .count(_ == t).toLong
+    def df(t: String) = corpus.count { case (d, _) => tf(d, t) > 0 }.toDouble
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    def contrib(d: Long, t: String): BigDecimal = {
+      val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+      r(idf * (tf(d, t) * 2.2) /
+        (tf(d, t) + 1.2 * (1.0 - 0.75 + 0.75 * dl(d) / avgdl)), 9)
+    }
+    val want = Seq(0L -> Seq("join", "window"), 1L -> Seq("merge")).flatMap {
+      case (qid, ts) =>
+        corpus.map(_._1)
+          .map(d => (d, ts.filter(t => tf(d, t) > 0)))
+          .filter(_._2.nonEmpty)
+          .map { case (d, matched) =>
+            (qid, d, matched.size,
+              r(matched.map(t => contrib(d, t)).sum.toDouble, 6).toDouble)
+          }
+          .sortBy(t => (-t._4, t._2)).take(3)
+    }
+    assert(got === want, s"got $got want $want")
+  }
+
+  test("rrfFuseGrouped: per-query fusion, bounded top-k, closed-form scores") {
+    val a = Seq((0L, 10L, 1L), (0L, 20L, 2L), (1L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 20L, 1L), (1L, 40L, 1L), (1L, 30L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Relevance.rrfFuseGrouped(Seq(a, b), "query_id", "doc_id",
+      k = 2).as[(Long, Long, Int, Double)].collect().toSeq
+      .sortBy(t => (t._1, -t._4, t._2))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (0L, 20L, 2, r9(1.0 / 62 + 1.0 / 61)),
+      (0L, 10L, 1, r9(1.0 / 61)),
+      (1L, 30L, 2, r9(1.0 / 61 + 1.0 / 62)),
+      (1L, 40L, 1, r9(1.0 / 61))))
+  }
+
   test("bm25 store: mismatched build columns refuse loudly") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-bm25m").toString + "/store"

@@ -525,6 +525,25 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("LeftAnti"), s"q154 lost the O(delta) anti-join apply:\n$plan")
   }
 
+  test("q155 multi-query BM25: store-only probe, bounded-heap per-query top-k, no window") {
+    val plan = planOf("q155_bm25_multi")
+    assert(!plan.contains("Window"), s"q155 regressed to a window rank:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"q155 probe rescanned the corpus:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q155 lost the typed bounded-heap top-k aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q155:\n$plan")
+  }
+
+  test("q156 grouped hybrid: store-fed lexical side, bounded rank windows, heap-fused top-k") {
+    val plan = planOf("q156_hybrid_multi")
+    assert(!plan.contains("documents.parquet"),
+      s"q156 lexical side rescanned the corpus:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q156 lost the typed bounded-heap aggregations:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q156:\n$plan")
+  }
+
   test("q153 hybrid RRF: heavy lifting in the rankers, fuse joins broadcast-sized lists") {
     val plan = planOf("q153_hybrid_rrf")
     assert(!plan.contains("CartesianProduct"), s"q153:\n$plan")
