@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality — the PageRank-style domain/page authority
+  * prior web-curation pipelines attach to crawled documents (the
+  * CommonCrawl/RefinedWeb ranking signal: spam farms score low,
+  * linked-to reference pages high).
+  *
+  * The engine's portability problem with PageRank is FLOATS: each
+  * iteration sums fan-in contributions, and double addition is
+  * aggregation-order-dependent — two engines (or two runs) disagree
+  * in the low bits, and after k iterations the drift is structural.
+  * This implementation runs entirely in FIXED-POINT LONGS: ranks are
+  * scaled integers (`scale` = 10¹²), every division is integral
+  * (`div`, truncating — floor for the non-negative values here), and
+  * every sum is exact. Any engine replaying the same integer
+  * arithmetic reproduces every rank bit-for-bit after any number of
+  * iterations — the q157 oracle unrolls the same iterations in SQL
+  * and hash-matches the raw longs. Truncation loses < 1 unit of
+  * 10⁻¹² rank mass per division — noise for ranking, determinism for
+  * auditing.
+  *
+  * Semantics per iteration (standard damped PageRank with dangling
+  * redistribution, all ops integral):
+  * {{{
+  *   base       = scale div N
+  *   contrib(u) = pr(u) div out(u)          u with out-edges
+  *   dangShare  = (Σ pr of dangling nodes) div N
+  *   pr'(v)     = (15·base) div 100 + (85·(Σ contrib(u→v) + dangShare)) div 100
+  * }}}
+  *
+  * Scale shape: one edges⋈ranks equi join (shuffle on src) plus one
+  * dst-keyed partial-aggregated sum per iteration — the Pregel shape;
+  * the dangling mass and N ride as one-row broadcast scalars. Ranks
+  * checkpoint per iteration (`freshLeaf`, the connectedComponents
+  * discipline) so plan depth and inherited size stats stay bounded
+  * across iterations. Edges must be distinct (dup edges double
+  * contributions — assert upstream); vertices with no edges at all
+  * still receive the base + dangling share every iteration.
+  */
+object Centrality {
+
+  /** @param vertices one `id` column, distinct
+    * @param edges    (`src`, `dst`) columns, distinct pairs
+    * @return (id, pr) — pr is the SCALED long rank (divide by
+    *         `scale` for the probability) */
+  def pageRankFixedPoint(vertices: DataFrame, edges: DataFrame,
+                         iterations: Int,
+                         scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
+    val spark = vertices.sparkSession
+    val v = vertices.select(col("id"))
+    val e = edges.select(col("src"), col("dst"))
+    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val n = v.agg(count(lit(1)).as("n"))
+    // base = scale div N, attached as a broadcast scalar
+    val withBase = v.crossJoin(broadcast(n))
+      .select(col("id"), expr(s"${scale}L div n").as("base"), col("n"))
+    var pr = withBase.select(col("id"), col("base").as("pr"))
+      .localCheckpoint(true)
+    val fresh = org.apache.spark.sql.graftbridge.Bridge.freshLeaf _
+    var i = 0
+    while (i < iterations) {
+      val ranked = pr.join(outd, pr("id") === outd("src"), "left")
+        .select(col("id"), col("pr"), col("outd"))
+      // dangling mass: ranks of vertices with no out-edges
+      val dang = ranked.agg(coalesce(
+        sum(when(col("outd").isNull, col("pr"))), lit(0L)).as("dang"))
+      val contribs = e
+        .join(ranked.filter(col("outd").isNotNull)
+          .select(col("id").as("src"), expr("pr div outd").as("c")),
+          Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
+      val next = withBase
+        .join(contribs, withBase("id") === contribs("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (expr("(15L * base) div 100") +
+            expr("(85L * (coalesce(insum, 0L) + (dang div n))) div 100"))
+            .as("pr"))
+      pr = fresh(next.localCheckpoint(true))
+      i += 1
+    }
+    pr
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Cardinality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -5631,6 +5631,73 @@ object Catalog {
       "doc_id", k = 10)
   }
 
+  /** Link-graph authority ([[Centrality.pageRankFixedPoint]]): a
+    * deterministic planted link graph over the documents (every
+    * non-10-multiple links to three arithmetic targets; 10-multiples
+    * dangle) ranked by three damped PageRank iterations — ENTIRELY in
+    * scaled integer arithmetic, so the oracle unrolls the identical
+    * three iterations in SQL and hash-matches the raw longs. This is
+    * the float-free answer to "PageRank never replays across
+    * engines": truncating integral division loses < 10⁻¹² of rank
+    * mass per op and buys bit-exact auditability. */
+  val q157PageRank = q("q157_pagerank",
+    "Fixed-point integer PageRank over a planted link graph, 3 iterations, bit-exact (north star: web curation authority)",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |v AS (SELECT doc_id FROM documents),
+      |e AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |      FROM documents CROSS JOIN n
+      |           CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |      WHERE doc_id % 10 <> 0),
+      |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+      |pr0 AS (SELECT doc_id, 1000000000000 // nn AS pr FROM v CROSS JOIN n),
+      |dang1 AS (SELECT coalesce(sum(pr), 0) AS dg FROM pr0
+      |          LEFT JOIN outd ON pr0.doc_id = outd.src WHERE od IS NULL),
+      |in1 AS (SELECT e.dst AS doc_id, sum(pr0.pr // outd.od) AS s
+      |        FROM e JOIN pr0 ON e.src = pr0.doc_id
+      |             JOIN outd ON e.src = outd.src
+      |        GROUP BY e.dst),
+      |pr1 AS (SELECT v.doc_id,
+      |               (15 * (1000000000000 // nn)) // 100
+      |               + (85 * (coalesce(s, 0) + dg // nn)) // 100 AS pr
+      |        FROM v CROSS JOIN n CROSS JOIN dang1
+      |        LEFT JOIN in1 ON v.doc_id = in1.doc_id),
+      |dang2 AS (SELECT coalesce(sum(pr), 0) AS dg FROM pr1
+      |          LEFT JOIN outd ON pr1.doc_id = outd.src WHERE od IS NULL),
+      |in2 AS (SELECT e.dst AS doc_id, sum(pr1.pr // outd.od) AS s
+      |        FROM e JOIN pr1 ON e.src = pr1.doc_id
+      |             JOIN outd ON e.src = outd.src
+      |        GROUP BY e.dst),
+      |pr2 AS (SELECT v.doc_id,
+      |               (15 * (1000000000000 // nn)) // 100
+      |               + (85 * (coalesce(s, 0) + dg // nn)) // 100 AS pr
+      |        FROM v CROSS JOIN n CROSS JOIN dang2
+      |        LEFT JOIN in2 ON v.doc_id = in2.doc_id),
+      |dang3 AS (SELECT coalesce(sum(pr), 0) AS dg FROM pr2
+      |          LEFT JOIN outd ON pr2.doc_id = outd.src WHERE od IS NULL),
+      |in3 AS (SELECT e.dst AS doc_id, sum(pr2.pr // outd.od) AS s
+      |        FROM e JOIN pr2 ON e.src = pr2.doc_id
+      |             JOIN outd ON e.src = outd.src
+      |        GROUP BY e.dst),
+      |pr3 AS (SELECT v.doc_id,
+      |               (15 * (1000000000000 // nn)) // 100
+      |               + (85 * (coalesce(s, 0) + dg // nn)) // 100 AS pr
+      |        FROM v CROSS JOIN n CROSS JOIN dang3
+      |        LEFT JOIN in3 ON v.doc_id = in3.doc_id)
+      |SELECT doc_id, pr FROM pr3""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("nn"))
+    val e = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"), col("nn"))
+      .select(col("src"),
+        pmod(col("src") * lit(31L) + col("j") * lit(17L) + lit(7L),
+          col("nn")).as("dst"))
+    Centrality.pageRankFixedPoint(docs.select(col("doc_id").as("id")), e,
+      iterations = 3)
+      .select(col("id").as("doc_id"), col("pr"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5670,5 +5737,5 @@ object Catalog {
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
-    q156HybridMulti)
+    q156HybridMulti, q157PageRank)
 }

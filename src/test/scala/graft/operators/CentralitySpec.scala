@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CentralitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 1→2→3→1 ring, 4 fans into 1 and 2, 5 dangles
+  private val vs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+  private val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 2L))
+    .toDF("src", "dst")
+
+  /** The operator's exact integer arithmetic, replayed in plain Scala. */
+  private def replay(iters: Int, scale: Long): Map[Long, Long] = {
+    val n = 5L
+    val out = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L)
+    val in: Map[Long, Seq[Long]] =
+      Map(1L -> Seq(3L, 4L), 2L -> Seq(1L, 4L), 3L -> Seq(2L))
+    val base = scale / n
+    var pr = (1L to 5L).map(_ -> base).toMap
+    (1 to iters).foreach { _ =>
+      val dang = pr.collect { case (v, p) if !out.contains(v) => p }.sum
+      val contrib = pr.collect { case (v, p) if out.contains(v) => v -> p / out(v) }
+      pr = (1L to 5L).map { v =>
+        val insum = in.getOrElse(v, Nil).map(contrib).sum
+        v -> ((15L * base) / 100L + (85L * (insum + dang / n)) / 100L)
+      }.toMap
+    }
+    pr
+  }
+
+  test("fixed-point ranks match the closed-form integer replay exactly") {
+    for (iters <- Seq(1, 3)) {
+      val got = Centrality.pageRankFixedPoint(vs, es, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === replay(iters, 1000000000000L),
+        s"iters=$iters: got $got")
+    }
+  }
+
+  test("rank mass is conserved up to truncation loss; the fan-in hub outranks the dangler") {
+    val scale = 1000000000000L
+    val got = Centrality.pageRankFixedPoint(vs, es, 4)
+      .as[(Long, Long)].collect().toMap
+    val total = got.values.sum
+    // each division truncates < 1 unit; a handful of divisions per
+    // vertex per iteration keeps the loss tiny relative to scale
+    assert(total <= scale && total > scale - 1000L,
+      s"mass $total drifted from $scale")
+    // 1 and 2 have two in-edges each; 5 has none — but still holds
+    // base + dangling share, never zero
+    assert(got(1L) > got(5L) && got(2L) > got(5L))
+    assert(got(5L) > 0L)
+  }
+
+  test("every vertex appears in the output, including isolated ones") {
+    val lonely = Seq(1L, 2L, 9L).toDF("id")
+    val e1 = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Centrality.pageRankFixedPoint(lonely, e1, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 9L))
+    assert(got.values.forall(_ > 0))
+  }
+}

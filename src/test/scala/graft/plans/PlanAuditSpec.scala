@@ -544,6 +544,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"q156:\n$plan")
   }
 
+  test("q157 fixed-point pagerank: keyed equi joins + broadcast scalars, no window") {
+    val plan = planOf("q157_pagerank")
+    assert(!plan.contains("Window"), s"q157:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q157:\n$plan")
+    // N and the dangling mass attach as one-row broadcast scalars
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("IdentityBroadcastMode"),
+        s"non-scalar nested-loop join crept in:\n$plan")
+  }
+
   test("q153 hybrid RRF: heavy lifting in the rankers, fuse joins broadcast-sized lists") {
     val plan = planOf("q153_hybrid_rrf")
     assert(!plan.contains("CartesianProduct"), s"q153:\n$plan")
