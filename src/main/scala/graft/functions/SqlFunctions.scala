@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayIntersect, ArrayUnion, CaseWhen, Cast, Divide, ElementAt, EqualTo, Expression, Floor, LessThan, Literal, Multiply, Size, Slice, SortArray, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayIntersect, ArrayUnion, CaseWhen, Cast, CreateArray, Divide, ElementAt, EqualTo, Expression, Floor, Greatest, GreaterThan, LambdaFunction, LessThan, LessThanOrEqual, Literal, Log, Multiply, Size, Slice, SortArray, Subtract, UnresolvedNamedLambdaVariable, ZipWith}
 
 /** SQL-surface registration for the engine's custom expressions, so
   * `spark.sql` queries can use them directly:
@@ -81,6 +81,41 @@ object SqlFunctions {
           ElementAt(sketch, Literal(k)), Literal("h52"))),
           Literal(graft.operators.Cardinality.HashSpace)))))
 
+  // Catalyst mirrors of Cardinality.hllUnion / hllEstimate — the HLL
+  // register algebra on the SQL surface (q158's arithmetic verbatim:
+  // exact integer-scaled harmonic sum, linear-counting branch).
+  private def hllMerge(a: Expression, b: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val y = UnresolvedNamedLambdaVariable(Seq("y"))
+    ZipWith(a, b, LambdaFunction(Greatest(Seq(x, y)), Seq(x, y)))
+  }
+
+  private def hllEstimate(regs: Expression, p: Int): Expression = {
+    require(p >= 4 && p <= 14, s"HLL precision p must be in [4,14]: $p")
+    val m = 1 << p
+    val remBits = 52 - p
+    val pows = CreateArray((0 to remBits + 1).map(r => Literal(1L << (52 - r))))
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("s"))
+    val sumScaled = ArrayAggregate(regs, Literal(0L),
+      LambdaFunction(Add(acc, Cast(ElementAt(pows, Add(x, Literal(1))),
+        org.apache.spark.sql.types.LongType)), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+    val c = Literal(0.7213 / (1.0 + 1.079 / m) * m * m *
+      graft.operators.Cardinality.HashSpace)
+    val raw = Divide(c, dbl(sumScaled))
+    val z = UnresolvedNamedLambdaVariable(Seq("r"))
+    val zeros = Size(ArrayFilter(regs,
+      LambdaFunction(EqualTo(z, Literal(0)), Seq(z))))
+    CaseWhen(
+      Seq((And(LessThanOrEqual(raw, Literal(2.5 * m)),
+        GreaterThan(zeros, Literal(0))),
+        Multiply(Literal(m.toDouble),
+          Log(Divide(Literal(m.toDouble), dbl(zeros)))))),
+      Some(raw))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash",
@@ -149,6 +184,12 @@ object SqlFunctions {
     // once per JVM), so the SQL surface gets the same O(labels)
     // codegen'd lookup as the Scala API with nothing but the host
     // expression in the plan
+    // HLL register algebra over STORED register arrays — merge is
+    // element-wise max (closure), estimate replays q158's arithmetic
+    reg.createOrReplaceTempFunction("graft_hll_merge",
+      exprs => hllMerge(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hll_estimate",
+      exprs => hllEstimate(exprs.head, intLit(exprs(1), "p")), "built-in")
     reg.createOrReplaceTempFunction("graft_registered_domain",
       exprs => graft.operators.PslRegisteredDomain(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_blocklist_counts",

@@ -96,6 +96,81 @@ object Cardinality {
     jaccardOfUnion(u, a, b) * kmvEstimate(u, k)
   }
 
+  // ----------------------------------------------------- HyperLogLog
+
+  /** Engine-portable HyperLogLog (Flajolet et al. 2007) — the
+    * FIXED-SIZE companion to the bottom-k sketch: 2^p integer
+    * registers per group however many distincts, mergeable by
+    * element-wise max. Spark's own `approx_count_distinct` IS an HLL,
+    * but its binary state is engine-internal; this one's registers
+    * derive from the same md5 52-bit key as every other sketch here,
+    * and the estimate arithmetic is arranged so another engine
+    * replays it BIT-FOR-BIT (the q158 oracle does):
+    *
+    *  - register index = top p bits of the key, rho = leading-zero
+    *    run of the remaining 52−p bits + 1 — all integer ops
+    *    (`bin()` length, never floating log2, whose boundary rounding
+    *    differs per libm);
+    *  - the harmonic sum Σ 2^−rho is kept EXACT by scaling to
+    *    2^52: Σ 2^(52−rho) sums longs (≤ m·2^52 < 2^63), so the one
+    *    double division at the end sees identical operands anywhere —
+    *    a double Σ 2^−rho would round in aggregation order;
+    *  - the small-range linear-counting branch (E ≤ 2.5m, zero
+    *    registers present) uses the same integer zero-count.
+    *
+    * Scale shape: one (group, idx)-keyed max aggregation (map-side
+    * partial) then one group-keyed densify — 8-byte rows in, m ints
+    * per group out. KMV remains the choice when the sketch must stay
+    * auditable as a SAMPLE (its hashes are data); HLL when groups are
+    * many and the fixed 2^p footprint matters.
+    */
+  def hllSketch(df: DataFrame, group: Column, value: Column,
+                p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 14, s"HLL precision p must be in [4,14]: $p")
+    val m = 1 << p
+    val remBits = 52 - p
+    val twoRem = 1L << remBits
+    val h = df.select(group.as("group"),
+      Curation.hashOrderKey(value).as("h52"))
+      .filter(col("h52").isNotNull)
+    val rr = h.select(col("group"),
+      expr(s"h52 div ${twoRem}L").cast("int").as("idx"),
+      (col("h52") % lit(twoRem)).as("rem"))
+    val rho = when(col("rem") === 0, lit(remBits + 1))
+      .otherwise(lit(remBits + 1) - length(bin(col("rem"))))
+    val regRows = rr.select(col("group"), col("idx"), rho.cast("int").as("rho"))
+      .groupBy(col("group"), col("idx")).agg(max(col("rho")).as("r"))
+    regRows.groupBy(col("group"))
+      .agg(map_from_arrays(collect_list(col("idx")),
+        collect_list(col("r"))).as("_m"))
+      .select(col("group"),
+        transform(sequence(lit(0), lit(m - 1)),
+          i => coalesce(element_at(col("_m"), i), lit(0))).as("regs"))
+  }
+
+  /** Merge two register arrays: element-wise max — the HLL union. */
+  def hllUnion(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Cardinality estimate from a register array. The constant
+    * α_m·m²·2^52 folds to ONE double literal at plan time from the
+    * textbook expression — an oracle writing the same expression gets
+    * the same double. */
+  def hllEstimate(regs: Column, p: Int): Column = {
+    val m = 1 << p
+    val remBits = 52 - p
+    // element_at(pows, rho+1) = 2^(52-rho), exact longs; rho ∈ [0, remBits+1]
+    val pows = array((0 to remBits + 1).map(r => lit(1L << (52 - r))): _*)
+    val sumScaled = aggregate(regs, lit(0L),
+      (acc, r) => acc + element_at(pows, r + lit(1)))
+    val c = 0.7213 / (1.0 + 1.079 / m) * m * m * HashSpace
+    val rawEst = lit(c) / sumScaled.cast("double")
+    val zeros = size(filter(regs, r => r === 0))
+    when(rawEst <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(rawEst)
+  }
+
   /** Report: per-group exact distinct count (the ground truth a
     * grouped report can afford) next to the KMV estimate — the q131
     * shape, mirroring q125's exact-vs-sketch contract. At 100 TB the

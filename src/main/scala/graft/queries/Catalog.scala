@@ -5698,6 +5698,80 @@ object Catalog {
       .select(col("id").as("doc_id"), col("pr"))
   }
 
+  /** Engine-portable HyperLogLog ([[Cardinality.hllSketch]]): per
+    * event type, exact distinct users next to the HLL estimate, plus
+    * an ALL row whose registers come from MERGING the five per-type
+    * sketches (element-wise max) — the fixed-size cardinality
+    * algebra. The md5 register derivation, the integer-scaled
+    * harmonic sum and the α·m²·2^52 constant (inlined below from the
+    * same Scala value the engine folds) replay verbatim in the
+    * oracle, so the estimates hash-match, not just land in-band. */
+  private val HllP = 9
+  private val HllC: Double = {
+    val m = 1 << HllP
+    0.7213 / (1.0 + 1.079 / m) * m * m * Cardinality.HashSpace
+  }
+  val q158Hll = q("q158_hll",
+    "HyperLogLog distinct-user registers, estimates and sketch-merge ALL row, replayed exactly (north star: corpus profiling)",
+    s"""WITH h AS (
+      |  SELECT event_type, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events WHERE user_id IS NOT NULL),
+      |rr AS (SELECT event_type, h52 // 8796093022208 AS idx,
+      |              h52 % 8796093022208 AS rem FROM h),
+      |rho AS (SELECT event_type, idx,
+      |        CASE WHEN rem = 0 THEN 44
+      |             ELSE 44 - length(printf('%b', rem)) END AS rho FROM rr),
+      |regs AS (SELECT event_type, idx, max(rho) AS r FROM rho GROUP BY 1, 2),
+      |sums AS (SELECT event_type,
+      |         sum(1::BIGINT << (52 - r))
+      |           + (512 - count(*)) * (1::BIGINT << 52) AS sumsc,
+      |         512 - count(*) AS zeros
+      |         FROM regs GROUP BY event_type),
+      |merged AS (SELECT idx, max(r) AS r FROM regs GROUP BY idx),
+      |msums AS (SELECT sum(1::BIGINT << (52 - r))
+      |            + (512 - count(*)) * (1::BIGINT << 52) AS sumsc,
+      |          512 - count(*) AS zeros FROM merged),
+      |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      |       FROM events WHERE user_id IS NOT NULL GROUP BY event_type),
+      |eall AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      |         FROM events WHERE user_id IS NOT NULL),
+      |est AS (SELECT s.event_type AS etype, ex.n_exact,
+      |        round(CASE WHEN (CAST($HllC AS DOUBLE) / CAST(sumsc AS DOUBLE))
+      |                        <= CAST(1280 AS DOUBLE) AND zeros > 0
+      |          THEN CAST(512 AS DOUBLE)
+      |               * ln(CAST(512 AS DOUBLE) / CAST(zeros AS DOUBLE))
+      |          ELSE CAST($HllC AS DOUBLE) / CAST(sumsc AS DOUBLE) END, 4) AS hll_est
+      |        FROM sums s JOIN ex ON s.event_type = ex.event_type),
+      |mest AS (SELECT 'ALL' AS etype, eall.n_exact,
+      |         round(CASE WHEN (CAST($HllC AS DOUBLE) / CAST(sumsc AS DOUBLE))
+      |                         <= CAST(1280 AS DOUBLE) AND zeros > 0
+      |           THEN CAST(512 AS DOUBLE)
+      |                * ln(CAST(512 AS DOUBLE) / CAST(zeros AS DOUBLE))
+      |           ELSE CAST($HllC AS DOUBLE) / CAST(sumsc AS DOUBLE) END, 4) AS hll_est
+      |         FROM msums CROSS JOIN eall)
+      |SELECT * FROM est UNION ALL SELECT * FROM mest""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val sketches = Cardinality.hllSketch(ev, col("event_type"),
+      col("user_id"), HllP)
+    val exact = ev.groupBy(col("event_type").as("group"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    val perType = sketches.join(exact, Seq("group"))
+      .select(col("group").as("etype"), col("n_exact"),
+        round(Cardinality.hllEstimate(col("regs"), HllP), 4).as("hll_est"))
+    // ALL row: element-wise-max MERGE of the per-type register arrays
+    val mergedRegs = sketches
+      .agg(expr(
+        "aggregate(collect_list(regs), array_repeat(0, 512), " +
+          "(acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))")
+        .as("regs"))
+    val allRow = mergedRegs
+      .crossJoin(broadcast(
+        ev.agg(count_distinct(col("user_id")).as("n_exact"))))
+      .select(lit("ALL").as("etype"), col("n_exact"),
+        round(Cardinality.hllEstimate(col("regs"), HllP), 4).as("hll_est"))
+    perType.unionByName(allRow)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5737,5 +5811,5 @@ object Catalog {
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
-    q156HybridMulti, q157PageRank)
+    q156HybridMulti, q157PageRank, q158Hll)
 }

@@ -81,4 +81,91 @@ class CardinalitySpec extends SparkSpecBase {
     assert(s.distinct.size === 5)
     assert(s === s.sorted)
   }
+
+  // ------------------------------------------------------------- HLL
+
+  private def key52(v: Long): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(v.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(13), 16)
+
+  /** The operator's exact arithmetic in plain Scala. */
+  private def hllReplay(values: Seq[Long], p: Int): (Seq[Int], Double) = {
+    val m = 1 << p
+    val remBits = 52 - p
+    val regs = Array.fill(m)(0)
+    values.map(key52).foreach { h =>
+      val idx = (h >> remBits).toInt
+      val rem = h & ((1L << remBits) - 1)
+      val rho =
+        if (rem == 0) remBits + 1
+        else remBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      regs(idx) = math.max(regs(idx), rho)
+    }
+    val sumScaled = regs.map(r => 1L << (52 - r)).sum
+    val c = 0.7213 / (1.0 + 1.079 / m) * m * m * Cardinality.HashSpace
+    val raw = c / sumScaled.toDouble
+    val zeros = regs.count(_ == 0)
+    // Spark's Log expression evaluates via StrictMath.log, not Math.log
+    val e = if (raw <= 2.5 * m && zeros > 0)
+      m.toDouble * StrictMath.log(m.toDouble / zeros) else raw
+    (regs.toSeq, e)
+  }
+
+  test("HLL registers and estimate match the closed-form integer replay exactly") {
+    for (p <- Seq(4, 9)) {
+      val vals = (1L to 300L)
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val got = Cardinality.hllSketch(df, col("g"), col("v"), p)
+        .select(col("regs"),
+          Cardinality.hllEstimate(col("regs"), p).as("e"))
+        .as[(Seq[Int], Double)].head()
+      val (regs, e) = hllReplay(vals, p)
+      assert(got._1 === regs, s"p=$p register mismatch")
+      assert(got._2 === e, s"p=$p estimate mismatch: ${got._2} vs $e")
+    }
+  }
+
+  test("HLL union of shard sketches equals the whole-corpus sketch") {
+    val p = 9
+    val a = (1L to 500L).map(("x", _))
+    val b = (400L to 900L).map(("x", _)) // overlapping shard
+    def sk(rows: Seq[(String, Long)]) =
+      Cardinality.hllSketch(rows.toDF("g", "v"), col("g"), col("v"), p)
+    val merged = sk(a).select(col("regs").as("ra"))
+      .crossJoin(sk(b).select(col("regs").as("rb")))
+      .select(Cardinality.hllUnion(col("ra"), col("rb")).as("regs"))
+      .as[Seq[Int]].head()
+    val whole = sk(a ++ b).select(col("regs")).as[Seq[Int]].head()
+    assert(merged === whole)
+  }
+
+  test("HLL SQL surface mirrors the Column API: merge + estimate") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    val p = 9
+    val a = (1L to 400L).map(("x", _))
+    val b = (300L to 700L).map(("x", _))
+    def sk(rows: Seq[(String, Long)]) =
+      Cardinality.hllSketch(rows.toDF("g", "v"), col("g"), col("v"), p)
+    sk(a).select(col("regs").as("ra"))
+      .crossJoin(sk(b).select(col("regs").as("rb")))
+      .createOrReplaceTempView("hll_pair")
+    val sql = spark.sql(
+      s"SELECT graft_hll_estimate(graft_hll_merge(ra, rb), $p) AS e " +
+        "FROM hll_pair").as[Double].head()
+    val colApi = sk(a ++ b)
+      .select(Cardinality.hllEstimate(col("regs"), p)).as[Double].head()
+    assert(sql === colApi)
+  }
+
+  test("HLL estimate lands near truth at p=9 on 20k distincts") {
+    val n = 20000L
+    val df = spark.range(n).select(lit("g").as("g"), col("id").as("v"))
+    val est = Cardinality.hllSketch(df, col("g"), col("v"), 9)
+      .select(Cardinality.hllEstimate(col("regs"), 9))
+      .as[Double].head()
+    // HLL relative sd ~ 1.04/sqrt(m) = 4.6% at m=512; allow 3 sigma
+    val rel = math.abs(est / n - 1.0)
+    assert(rel < 0.14, f"HLL estimate $est vs $n (rel err $rel%.3f)")
+  }
 }

@@ -544,6 +544,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), s"q156:\n$plan")
   }
 
+  test("q158 hll: keyed register aggregates, scalar-broadcast ALL row, no window") {
+    val plan = planOf("q158_hll")
+    assert(!plan.contains("Window"), s"q158:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q158:\n$plan")
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("IdentityBroadcastMode"),
+        s"non-scalar nested-loop join crept in:\n$plan")
+  }
+
   test("q157 fixed-point pagerank: keyed equi joins + broadcast scalars, no window") {
     val plan = planOf("q157_pagerank")
     assert(!plan.contains("Window"), s"q157:\n$plan")
