@@ -171,6 +171,69 @@ object Cardinality {
       .otherwise(rawEst)
   }
 
+  // ------------------- persisted HLL store (the incremental shape)
+
+  /** Epoch fold: per group, element-wise max across the partials'
+    * register arrays — the N-ary [[hllUnion]] (associative,
+    * commutative, idempotent: a replayed identical partial merges to
+    * itself, so overlapping epochs never inflate the estimate). */
+  private def hllFold(m: Int)(partials: DataFrame): DataFrame =
+    partials.groupBy(col("group"))
+      .agg(expr(
+        s"aggregate(collect_list(regs), array_repeat(0, $m), " +
+          "(acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))")
+        .as("regs"))
+
+  private val HllFamily = "hll_registers"
+  private[graft] def hllMeta(p: Int, keyName: String): IndexMeta =
+    IndexMeta(HllFamily, "p" -> p, "keyName" -> keyName)
+
+  /** Bootstrap a stored cardinality profile: one (group, regs) row
+    * per group, `p` and the counted-key derivation in the manifest
+    * (estimating a p=9 store as p=12 is the silent-divergence class
+    * the manifest refuses). The corpus is counted ONCE; each batch
+    * appends its own registers; the store answers distinct counts
+    * over the whole history by register max — no rescan, ever. */
+  def hllIndexWrite(index: DataFrame, path: String, p: Int,
+                    keyName: String): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path, hllMeta(p, keyName))
+  }
+
+  /** Append one batch's per-group registers as a new epoch
+    * (idempotent per epoch name; manifest-checked). */
+  def hllIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                     path: String, partial: DataFrame, epoch: String,
+                     p: Int, keyName: String): Unit = {
+    IndexMeta.check(spark, path, hllMeta(p, keyName))
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  /** Checked read: one merged register array per group across the
+    * compacted base and live epochs — ≡ [[hllSketch]] over the union
+    * of the counted row sets (max-merge closure). */
+  def hllIndexRead(spark: org.apache.spark.sql.SparkSession,
+                   path: String, p: Int, keyName: String,
+                   excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, hllMeta(p, keyName))
+    hllFold(1 << p)(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "hllIndexWrite"))
+  }
+
+  /** Fold accumulated epochs behind the atomic `_CURRENT` flip. */
+  def hllIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, HllFamily)
+    val p = IndexMeta.read(spark, path) match {
+      case Some(m) => m.params.get("p").map(_.toInt).getOrElse(
+        sys.error(s"HLL store $path manifest lacks p"))
+      case None => sys.error(s"HLL store $path has no manifest")
+    }
+    EpochIndex.compact(spark, path, hllFold(1 << p),
+      keepVersions = keepVersions)
+  }
+
   /** Report: per-group exact distinct count (the ground truth a
     * grouped report can afford) next to the KMV estimate — the q131
     * shape, mirroring q125's exact-vs-sketch contract. At 100 TB the

@@ -54,6 +54,8 @@ object Maintenance {
         Curation.capCountIndexCompact(spark, root, keepVersions)
       case "sample_sketch" =>
         SampleSketch.sampleSketchIndexCompact(spark, root, keepVersions)
+      case "hll_registers" =>
+        Cardinality.hllIndexCompact(spark, root, keepVersions)
       case "dsir_buckets" =>
         Splits.dsirIndexCompact(spark, root, keepVersions)
       case "bm25_postings" =>

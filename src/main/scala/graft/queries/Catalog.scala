@@ -5772,6 +5772,58 @@ object Catalog {
     perType.unionByName(allRow)
   }
 
+  /** The HLL family's incremental shape (q149's discipline for
+    * registers): profile two disjoint event batches into a persisted
+    * register store, compact behind the atomic `_CURRENT` flip, and
+    * answer per-type distinct-user estimates from the STORE — the
+    * max-merge closure makes the merged registers equal the
+    * whole-corpus sketch, so the oracle replays the same q158
+    * arithmetic against the raw events. */
+  val q159HllStore = q("q159_hll_store",
+    "Distinct-user estimates from a persisted two-epoch HLL register store, compacted then probed (north star: incremental profiling)",
+    s"""WITH h AS (
+      |  SELECT event_type, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events WHERE user_id IS NOT NULL),
+      |rr AS (SELECT event_type, h52 // 8796093022208 AS idx,
+      |              h52 % 8796093022208 AS rem FROM h),
+      |rho AS (SELECT event_type, idx,
+      |        CASE WHEN rem = 0 THEN 44
+      |             ELSE 44 - length(printf('%b', rem)) END AS rho FROM rr),
+      |regs AS (SELECT event_type, idx, max(rho) AS r FROM rho GROUP BY 1, 2),
+      |sums AS (SELECT event_type,
+      |         sum(1::BIGINT << (52 - r))
+      |           + (512 - count(*)) * (1::BIGINT << 52) AS sumsc,
+      |         512 - count(*) AS zeros
+      |         FROM regs GROUP BY event_type),
+      |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      |       FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+      |SELECT s.event_type AS etype, ex.n_exact,
+      |       round(CASE WHEN (CAST($HllC AS DOUBLE) / CAST(sumsc AS DOUBLE))
+      |                       <= CAST(1280 AS DOUBLE) AND zeros > 0
+      |         THEN CAST(512 AS DOUBLE)
+      |              * ln(CAST(512 AS DOUBLE) / CAST(zeros AS DOUBLE))
+      |         ELSE CAST($HllC AS DOUBLE) / CAST(sumsc AS DOUBLE) END, 4) AS hll_est
+      |FROM sums s JOIN ex ON s.event_type = ex.event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val root = scratchDir(s, "q159_hll")
+    graft.sources.Fs.deleteRecursively(s, root)
+    def epochSketch(r: Int) = Cardinality.hllSketch(
+      ev.filter(pmod(col("user_id"), lit(2)) === r),
+      col("event_type"), col("user_id"), HllP)
+    Cardinality.hllIndexWrite(epochSketch(0), root, HllP, "user_id")
+    Cardinality.hllIndexAppend(s, root, epochSketch(1), "day-2", HllP,
+      "user_id")
+    val stats = Cardinality.hllIndexCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q159: compaction folded nothing at $root — store build failed")
+    val exact = ev.groupBy(col("event_type").as("group"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    Cardinality.hllIndexRead(s, root, HllP, "user_id")
+      .join(exact, Seq("group"))
+      .select(col("group").as("etype"), col("n_exact"),
+        round(Cardinality.hllEstimate(col("regs"), HllP), 4).as("hll_est"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5811,5 +5863,5 @@ object Catalog {
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
-    q156HybridMulti, q157PageRank, q158Hll)
+    q156HybridMulti, q157PageRank, q158Hll, q159HllStore)
 }

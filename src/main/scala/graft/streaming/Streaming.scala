@@ -599,6 +599,38 @@ object Streaming {
       .start()
   }
 
+  /** Streaming HLL-profile ingest — the register twin of
+    * [[sampleSketchIngestSink]], completing the HLL family's shapes:
+    * each micro-batch lands in the corpus and appends its per-group
+    * register partial; reads max-merge across epochs
+    * (`Cardinality.hllIndexRead`), and because max-merge is
+    * IDEMPOTENT a replayed identical partial can never inflate an
+    * estimate — the register store is self-healing under at-least-
+    * once delivery, so no fresh-checkpoint refusal is needed for the
+    * STORE (the corpus write still relies on the epoch-scoped
+    * dynamic overwrite). */
+  def hllIngestSink(stream: DataFrame, spark: SparkSession,
+                    corpusPath: String, indexPath: String,
+                    groupCol: String, valueCol: String, p: Int,
+                    checkpoint: String): StreamingQuery = {
+    import graft.operators.{Cardinality, IndexMeta}
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val partial = Cardinality.hllSketch(batch, col(groupCol),
+          col(valueCol), p).localCheckpoint(true)
+        try {
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            Cardinality.hllMeta(p, valueCol))
+          epochWrite(batch, corpusPath, token, epochId)
+          epochWrite(partial, indexPath, token, epochId)
+        } finally { partial.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Streaming retrieval-index ingest — the continuous form of
     * `Relevance.bm25IndexAppend`, completing the postings family's
     * shapes (batch build / incremental append / streaming): each

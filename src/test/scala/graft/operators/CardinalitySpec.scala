@@ -158,6 +158,30 @@ class CardinalitySpec extends SparkSpecBase {
     assert(sql === colApi)
   }
 
+  test("persisted HLL store: epochs merge to the direct sketch; compaction preserves; p guard") {
+    val p = 9
+    val a = (1L to 300L).map(i => (s"g${i % 2}", i))
+    val b = (250L to 600L).map(i => (s"g${i % 2}", i)) // overlapping batch
+    def sk(rows: Seq[(String, Long)]) =
+      Cardinality.hllSketch(rows.toDF("g", "v"), col("g"), col("v"), p)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hllstore").toString + "/store"
+    Cardinality.hllIndexWrite(sk(a), root, p, "v")
+    Cardinality.hllIndexAppend(spark, root, sk(b), "day-2", p, "v")
+    def stored(): Map[String, Seq[Int]] =
+      Cardinality.hllIndexRead(spark, root, p, "v")
+        .as[(String, Seq[Int])].collect().toMap
+    val direct = sk(a ++ b).as[(String, Seq[Int])].collect().toMap
+    assert(stored() === direct)
+    val stats = Maintenance.compactStore(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2"))
+    assert(stored() === direct) // probe-after ≡ probe-before
+    val e = intercept[IllegalArgumentException] {
+      Cardinality.hllIndexRead(spark, root, p + 1, "v")
+    }
+    assert(e.getMessage.contains("p:"), e.getMessage)
+  }
+
   test("HLL estimate lands near truth at p=9 on 20k distincts") {
     val n = 20000L
     val df = spark.range(n).select(lit("g").as("g"), col("id").as("v"))

@@ -553,6 +553,12 @@ class PlanAuditSpec extends SparkSpecBase {
         s"non-scalar nested-loop join crept in:\n$plan")
   }
 
+  test("q159 hll store probe: merged-register read + exact join, no window") {
+    val plan = planOf("q159_hll_store")
+    assert(!plan.contains("Window"), s"q159:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q159:\n$plan")
+  }
+
   test("q157 fixed-point pagerank: keyed equi joins + broadcast scalars, no window") {
     val plan = planOf("q157_pagerank")
     assert(!plan.contains("Window"), s"q157:\n$plan")

@@ -709,6 +709,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("k:"), e.getMessage)
   }
 
+  test("streaming hll ingest: stored registers ≡ direct sketch over everything delivered") {
+    import graft.operators.Cardinality
+    val src = Files.createTempDirectory("graft-hll-src").toString
+    val corpus = Files.createTempDirectory("graft-hll-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-hll-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-hll-ckp").toString
+    val p = 9
+    val batch1 = (1L to 200L).map(i => (s"g${i % 2}", i))
+    val batch2 = (150L to 400L).map(i => (s"g${i % 2}", i))
+    def deliver(name: String, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("grp", "v").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.hllIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "grp", "v", p, ckp)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val stored = Cardinality.hllIndexRead(spark, index, p, "v")
+      .as[(String, Seq[Int])].collect().toMap
+    val direct = Cardinality.hllSketch(
+      (batch1 ++ batch2).toDF("grp", "v"), col("grp"), col("v"), p)
+      .as[(String, Seq[Int])].collect().toMap
+    assert(stored === direct)
+    assert(spark.read.parquet(corpus).count() === (batch1.size + batch2.size))
+    // wrong-p probe refuses via the manifest
+    val e = intercept[IllegalArgumentException] {
+      Cardinality.hllIndexRead(spark, index, p + 1, "v")
+    }
+    assert(e.getMessage.contains("p:"), e.getMessage)
+  }
+
   test("streaming bm25 ingest: stored probe ≡ full-corpus scoring over everything delivered") {
     import graft.operators.Relevance
     val src = Files.createTempDirectory("graft-bm-src").toString
