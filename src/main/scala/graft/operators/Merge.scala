@@ -151,6 +151,86 @@ object Merge {
         .parquet(path)
     } finally graft.sources.Fs.deleteRecursively(spark, stage)
   }
+
+  /** One [[deleteWrite]] run's outcome: partitions rewritten (still
+    * holding survivors), partition directories removed outright
+    * (every row deleted), and partitions never touched. */
+  final case class DeleteStats(rewritten: Seq[String], removed: Seq[String],
+                               untouched: Long)
+
+  /** Targeted key deletion over a partitioned table — the
+    * right-to-be-forgotten primitive (GDPR/CCPA erasure, takedown
+    * propagation): remove every row matching `deleteKeys` and rewrite
+    * ONLY the partitions that held matches. The reference's answer is
+    * a full rebuild; at 100 TB the difference is rewriting the 3 date
+    * partitions a user touched versus the whole table.
+    *
+    * Shape: one columnar probe scan (key + partition columns only —
+    * column pruning makes this cheap) finds the affected partitions;
+    * those partitions re-read, anti-join the key set (broadcast — an
+    * erasure batch is small; for bulk deletes run several batches),
+    * and land via the staged dynamic overwrite [[mergeWrite]] uses.
+    * Dynamic overwrite only replaces partitions PRESENT in the
+    * written data, so a partition whose every row died would silently
+    * SURVIVE — exactly the failure an erasure tool cannot have; those
+    * directories are deleted explicitly (Hive-escaped names, NULL →
+    * `__HIVE_DEFAULT_PARTITION__`), and the stats report them.
+    *
+    * Idempotent: re-running with the same keys finds no matches and
+    * touches nothing. */
+  def deleteWrite(spark: org.apache.spark.sql.SparkSession, path: String,
+                  deleteKeys: DataFrame, keyCols: Seq[String],
+                  partitionCol: String,
+                  clusterCols: Seq[String] = Nil): DeleteStats = {
+    require(keyCols.nonEmpty, "deleteWrite needs at least one key column")
+    val keys = deleteKeys.select(keyCols.map(col): _*).distinct()
+    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.get(conf)
+    val target =
+      try { spark.conf.set(conf, "false"); spark.read.parquet(path) }
+      finally spark.conf.set(conf, saved)
+    val touched = target
+      .join(broadcast(keys), keyCols, "left_semi")
+      .select(col(partitionCol)).distinct()
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull).toSeq
+    val nParts = target.select(col(partitionCol)).distinct().count()
+    if (touched.isEmpty) return DeleteStats(Nil, Nil, nParts)
+    val nonNull = touched.filter(_ != null)
+    val touchedPred = {
+      val base =
+        if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*)
+        else lit(false)
+      if (touched.contains(null)) base || col(partitionCol).isNull else base
+    }
+    val kept = target.filter(touchedPred)
+      .join(broadcast(keys), keyCols, "left_anti")
+    val keptParts = kept.select(col(partitionCol)).distinct()
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull).toSet
+    if (keptParts.nonEmpty) {
+      val stage = path + "_delete_stage_" + java.util.UUID.randomUUID().toString
+      try {
+        Sinks.stagePartitioned(kept, stage, partitionCol, clusterCols)
+        spark.read.parquet(stage).write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .parquet(path)
+      } finally graft.sources.Fs.deleteRecursively(spark, stage)
+    }
+    // partitions whose every row died: dynamic overwrite never saw
+    // them — remove their directories explicitly
+    val emptied = touched.filterNot(keptParts)
+    val hive = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    emptied.foreach { v =>
+      val dirName =
+        if (v == null) s"$partitionCol=__HIVE_DEFAULT_PARTITION__"
+        else s"$partitionCol=${hive.escapePathName(v)}"
+      graft.sources.Fs.deleteRecursively(spark, s"$path/$dirName")
+    }
+    def nsort(xs: Seq[String]) = xs.sortBy(Option(_).getOrElse(""))
+    DeleteStats(nsort(touched.filter(keptParts)), nsort(emptied),
+      nParts - touched.size)
+  }
 }
 
 /** High-water-mark incremental pattern (reference: the

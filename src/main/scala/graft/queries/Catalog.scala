@@ -5824,6 +5824,27 @@ object Catalog {
         round(Cardinality.hllEstimate(col("regs"), HllP), 4).as("hll_est"))
   }
 
+  /** Right-to-be-forgotten erasure ([[Merge.deleteWrite]]): events
+    * materialize partitioned by type, then every event of the
+    * 37-multiple users is erased — rewriting ONLY partitions that
+    * held matches (the stats prove it), with fully-emptied partition
+    * directories removed outright (the silent-survivor failure an
+    * erasure tool cannot have). The oracle is simply the surviving
+    * rows; the Spark side earns them through the targeted rewrite. */
+  val q160Erasure = q("q160_erasure",
+    "Targeted key deletion over a partitioned table: rewrite only matched partitions (north star: GDPR erasure)",
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE user_id % 37 <> 0""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val root = scratchDir(s, "q160_erase")
+    graft.sources.Fs.deleteRecursively(s, root)
+    ev.write.partitionBy("event_type").parquet(root)
+    val victims = ev.filter(pmod(col("user_id"), lit(37)) === 0)
+      .select(col("user_id")).distinct()
+    Merge.deleteWrite(s, root, victims, Seq("user_id"), "event_type")
+    s.read.parquet(root).select("event_id", "user_id", "event_type")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5863,5 +5884,5 @@ object Catalog {
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
-    q156HybridMulti, q157PageRank, q158Hll, q159HllStore)
+    q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure)
 }

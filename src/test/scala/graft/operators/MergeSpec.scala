@@ -130,6 +130,54 @@ class MergeSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$dir/pc=123").exists())
   }
 
+  test("deleteWrite: rewrites only matched partitions, removes emptied ones, idempotent") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-del").toString + "/t"
+    val rows = Seq(
+      (1L, "d1", "a"), (2L, "d1", "b"), (3L, "d1", "c"),
+      (4L, "d2", "d"), (5L, "d2", "e"),
+      (6L, "d3", "f"), (7L, "d3", "g"))
+    rows.toDF("id", "day", "v").write.partitionBy("day").parquet(dir)
+    def files(p: String): Map[String, Long] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val d3Before = files(s"$dir/day=d3")
+    assert(d3Before.nonEmpty)
+    // delete 2 of 3 rows in d1, ALL of d2, none of d3
+    val stats = Merge.deleteWrite(spark, dir,
+      Seq(1L, 2L, 4L, 5L).toDF("id"), Seq("id"), "day")
+    assert(stats.rewritten === Seq("d1"))
+    assert(stats.removed === Seq("d2"))
+    assert(stats.untouched === 1L)
+    val got = spark.read.parquet(dir).select("id", "day", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(got === Set((3L, "d1", "c"), (6L, "d3", "f"), (7L, "d3", "g")))
+    // untouched partition's files are bit-for-bit the same files
+    assert(files(s"$dir/day=d3") === d3Before)
+    // emptied partition directory is GONE, not an empty husk
+    assert(!new java.io.File(s"$dir/day=d2").exists())
+    // idempotent: same keys again touch nothing
+    val again = Merge.deleteWrite(spark, dir,
+      Seq(1L, 2L, 4L, 5L).toDF("id"), Seq("id"), "day")
+    assert(again.rewritten.isEmpty && again.removed.isEmpty)
+    assert(spark.read.parquet(dir).count() === 3L)
+  }
+
+  test("deleteWrite: no matches anywhere is a clean no-op") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-del2").toString + "/t"
+    Seq((1L, "d1", "a")).toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    val stats = Merge.deleteWrite(spark, dir,
+      Seq(99L).toDF("id"), Seq("id"), "day")
+    assert(stats.rewritten.isEmpty && stats.removed.isEmpty &&
+      stats.untouched === 1L)
+    assert(spark.read.parquet(dir).count() === 1L)
+  }
+
   test("mergeWrite leaves no staging directory behind") {
     val parent = java.nio.file.Files.createTempDirectory("graft-merge-stage").toString
     val dir = parent + "/t"

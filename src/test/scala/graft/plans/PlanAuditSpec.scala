@@ -553,6 +553,16 @@ class PlanAuditSpec extends SparkSpecBase {
         s"non-scalar nested-loop join crept in:\n$plan")
   }
 
+  test("q160 erasure: post-delete read is a plain pruned scan, no window, no joins") {
+    val plan = planOf("q160_erasure")
+    assert(!plan.contains("Window"), s"q160:\n$plan")
+    assert(!plan.contains("Join"), s"q160 read-back grew a join:\n$plan")
+    // the erased copy is read back directly — the original events
+    // table is not rescanned by the RETURNED plan
+    assert(!plan.contains("events.parquet"),
+      s"q160 read-back rescanned the source table:\n$plan")
+  }
+
   test("q159 hll store probe: merged-register read + exact join, no window") {
     val plan = planOf("q159_hll_store")
     assert(!plan.contains("Window"), s"q159:\n$plan")
