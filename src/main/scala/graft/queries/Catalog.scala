@@ -5845,6 +5845,100 @@ object Catalog {
     s.read.parquet(root).select("event_id", "user_id", "event_type")
   }
 
+  /** Gaps-and-islands ([[IntervalExpand.mergeIntervals]]): each order
+    * opens a deterministic entitlement window (1–20 days from its
+    * key), per-customer windows merge into disjoint islands, and the
+    * report is island count + exact covered days — in O(intervals)
+    * with ONE per-key sort, where the q8-style explode pays one row
+    * per covered DAY. Integer day arithmetic end to end; the oracle
+    * replays the identical two-window algorithm. */
+  val q161Islands = q("q161_interval_islands",
+    "Gaps-and-islands: merge per-customer entitlement windows, exact covered days (north star: coverage analytics)",
+    """WITH iv AS (
+      |  SELECT o_custkey AS k,
+      |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+      |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |           + o_orderkey % 20 + 1 AS e
+      |  FROM orders),
+      |m AS (SELECT k, s, e,
+      |      max(e) OVER (PARTITION BY k ORDER BY s, e
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM iv),
+      |fl AS (SELECT k, s, e,
+      |       CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS f FROM m),
+      |isl AS (SELECT k, s, e,
+      |        sum(f) OVER (PARTITION BY k ORDER BY s, e
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+      |        FROM fl),
+      |g AS (SELECT k, isle, min(s) AS st, max(e) AS en FROM isl GROUP BY k, isle)
+      |SELECT k AS o_custkey, CAST(count(*) AS BIGINT) AS n_islands,
+      |       CAST(sum(en - st) AS BIGINT) AS covered
+      |FROM g GROUP BY k""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val ivs = ord.select(col("o_custkey"),
+      datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long").as("s"),
+      (datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long")
+        + pmod(col("o_orderkey"), lit(20)) + lit(1L)).as("e"))
+    IntervalExpand.intervalCoverage(ivs, "o_custkey", col("s"), col("e"))
+      .select(col("o_custkey"), col("n_islands"),
+        col("covered").cast("long").as("covered"))
+  }
+
+  /** Entity resolution, composed from the engine's pieces: a dirty
+    * roster (every 7th customer gains a 1-edit variant record),
+    * prefix blocking, within-block Levenshtein matching (≤ 2), and
+    * connected-components clustering — the blocked-pairwise ER shape
+    * (block sizes bound the quadratic step, exactly like q42's LSH
+    * buckets). Names are md5-derived so matching is non-degenerate
+    * AND deterministic; the oracle replays blocking, the q75-pinned
+    * levenshtein, and a recursive-CTE closure (q137's pattern). */
+  val q162EntityRes = q("q162_entity_resolution",
+    "Blocked fuzzy-match entity resolution: block -> levenshtein edges -> connected components (north star: record dedup)",
+    """WITH RECURSIVE
+      |roster AS (
+      |  SELECT c_custkey AS id,
+      |         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS nm
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) || 'x'
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |blk AS (SELECT id, nm, substr(nm, 1, 4) AS b FROM roster),
+      |edges AS (SELECT a.id AS id_a, b.id AS id_b
+      |  FROM blk a JOIN blk b ON a.b = b.b AND a.id < b.id
+      |  WHERE levenshtein(a.nm, b.nm) <= 2),
+      |verts AS (SELECT DISTINCT id FROM
+      |  (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
+      |undirected AS (SELECT id_a AS s2, id_b AS d FROM edges
+      |               UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT reach.id, u.d FROM reach JOIN undirected u ON reach.r = u.s2),
+      |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(sum(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_variants
+      |FROM cl GROUP BY cluster_id""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    def nameOf(k: Column) = substring(md5(k.cast("string").cast("binary")), 1, 10)
+    val base = c.select(col("c_custkey").cast("long").as("id"),
+      nameOf(col("c_custkey")).as("nm"))
+    val variants = c.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select((col("c_custkey") + lit(1000000L)).as("id"),
+        concat(substring(nameOf(col("c_custkey")), 1, 9), lit("x")).as("nm"))
+    val roster = base.unionByName(variants)
+      .withColumn("blk", substring(col("nm"), 1, 4))
+    val edges = roster.alias("a").join(roster.alias("b"),
+      col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+        levenshtein(col("a.nm"), col("b.nm")) <= 2)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    Dedup.connectedComponents(edges)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("id") >= 1000000L, 1L).otherwise(0L)).as("n_variants"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5884,5 +5978,6 @@ object Catalog {
     q145PslDomainCaps, q146IncrementalCaps, q147QuantileSketch,
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
-    q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure)
+    q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
+    q161Islands, q162EntityRes)
 }

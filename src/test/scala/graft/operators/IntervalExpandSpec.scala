@@ -52,4 +52,40 @@ class IntervalExpandSpec extends SparkSpecBase {
       .select($"id", to_date($"s").as("s"), to_date($"e").as("e"))
     assert(IntervalExpand.expandDays(withNull, $"s", $"e").count() === 0)
   }
+
+  test("mergeIntervals: overlaps and touching intervals chain; gaps split islands") {
+    val ivs = Seq(
+      ("a", 1L, 5L), ("a", 3L, 7L),   // overlap → [1,7)
+      ("a", 7L, 9L),                  // touches → chains to [1,9)
+      ("a", 12L, 14L),                // gap → own island
+      ("b", 0L, 1L),                  // isolated
+      ("b", 5L, 5L),                  // zero-length, swallowed by [4,6)
+      ("b", 4L, 6L)
+    ).toDF("k", "s", "e")
+    val islands = IntervalExpand.mergeIntervals(ivs, "k", $"s", $"e")
+      .as[(String, Long, Long)].collect().toSet
+    assert(islands === Set(
+      ("a", 1L, 9L), ("a", 12L, 14L),
+      ("b", 0L, 1L), ("b", 4L, 6L)))
+    val cov = IntervalExpand.intervalCoverage(ivs, "k", $"s", $"e")
+      .as[(String, Long, Long)].collect().toSet
+    assert(cov === Set(("a", 2L, 10L), ("b", 2L, 3L)))
+  }
+
+  test("mergeIntervals: coverage equals the exploded-days ground truth") {
+    val ivs = (1 to 60).map { i =>
+      val k = s"k${i % 4}"
+      val s = (i * 37) % 50
+      (k, s.toLong, (s + i % 7).toLong)
+    }.toDF("k", "s", "e")
+    val viaIslands = IntervalExpand.intervalCoverage(ivs, "k", $"s", $"e")
+      .as[(String, Long, Long)]
+      .collect().map(t => t._1 -> t._3).toMap
+    val viaDays = ivs.as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        k -> rows.flatMap(r => r._2 until r._3).distinct.length.toLong
+      }
+    assert(viaIslands === viaDays)
+  }
 }

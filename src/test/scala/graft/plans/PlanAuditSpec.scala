@@ -563,6 +563,24 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q160 read-back rescanned the source table:\n$plan")
   }
 
+  test("q161 islands: the two windows share ONE per-key sort and shuffle") {
+    val plan = planOf("q161_interval_islands")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"q161 grew a join:\n$plan")
+    // running-max + island-id windows must reuse one partition+sort
+    assert(occurrences(plan, "Sort ") <= 1,
+      s"q161's windows stopped sharing their sort:\n$plan")
+    assert(shuffles(plan) <= 3, s"q161 shuffle count grew:\n$plan")
+  }
+
+  test("q162 entity resolution: blocked equi-join edges, no cartesian pairing") {
+    val plan = planOf("q162_entity_resolution")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q162 pairing regressed to an unblocked product:\n$plan")
+    assert(!plan.contains("Window"), s"q162:\n$plan")
+  }
+
   test("q159 hll store probe: merged-register read + exact join, no window") {
     val plan = planOf("q159_hll_store")
     assert(!plan.contains("Window"), s"q159:\n$plan")
