@@ -69,6 +69,60 @@ object HeavyHitters {
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
 
+  // ------------------- persisted CMS store (the incremental shape)
+
+  /** Epoch fold: counts are ADDITIVE over disjoint item streams —
+    * per (r, b), sum the partials (associative, commutative; the
+    * [[mergeSketches]] algebra as the store fold). */
+  private def cmsFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+
+  private val CmsFamily = "cms_counts"
+  private[graft] def cmsMeta(depth: Int, width: Int,
+                             itemName: String): IndexMeta =
+    IndexMeta(CmsFamily, "depth" -> depth, "width" -> width,
+      "itemName" -> itemName)
+
+  /** Bootstrap a stored frequency sketch: d·w count cells in the
+    * epoch layout, geometry + item derivation in the manifest
+    * (probing a (4,1024) store as (4,2048) re-buckets every hash —
+    * the silent-divergence class the manifest refuses). The stream is
+    * counted ONCE; each batch appends its own cell partial; point
+    * estimates need only the ≤ d·w merged cells — never the stream. */
+  def cmsIndexWrite(sketch: DataFrame, path: String, depth: Int,
+                    width: Int, itemName: String): Unit = {
+    EpochIndex.bootstrap(sketch, path)
+    IndexMeta.write(sketch.sparkSession, path,
+      cmsMeta(depth, width, itemName))
+  }
+
+  /** Append one batch's cell partial as a new epoch (idempotent per
+    * epoch name; manifest-checked). */
+  def cmsIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                     path: String, partial: DataFrame, epoch: String,
+                     depth: Int, width: Int, itemName: String): Unit = {
+    IndexMeta.check(spark, path, cmsMeta(depth, width, itemName))
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  /** Checked read: the summed cells across base and live epochs —
+    * ≡ [[countMinSketch]] over the concatenated streams. */
+  def cmsIndexRead(spark: org.apache.spark.sql.SparkSession,
+                   path: String, depth: Int, width: Int, itemName: String,
+                   excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, cmsMeta(depth, width, itemName))
+    cmsFold(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "cmsIndexWrite"))
+  }
+
+  /** Fold accumulated epochs behind the atomic `_CURRENT` flip. */
+  def cmsIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, CmsFamily)
+    EpochIndex.compact(spark, path, cmsFold, keepVersions = keepVersions)
+  }
+
   /** End-to-end heavy-hitter report: exact top-k tokens (count desc,
     * token asc — deterministic under ties) alongside their count-min
     * estimates from a (depth × width) sketch of the same stream, plus

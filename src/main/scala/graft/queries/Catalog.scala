@@ -5939,6 +5939,64 @@ object Catalog {
         sum(when(col("id") >= 1000000L, 1L).otherwise(0L)).as("n_variants"))
   }
 
+  /** The CMS family's incremental shape (q149/q159's discipline for
+    * counts): two disjoint document batches append their d×w cell
+    * partials to a persisted store, compaction folds them behind the
+    * `_CURRENT` flip, and the probe answers heavy-hitter estimates
+    * from ≤ d·w summed cells — additivity makes the merged store
+    * equal the whole-stream sketch, so the oracle replays q125's
+    * arithmetic against the raw corpus. */
+  val q163CmsStore = q("q163_cms_store",
+    "Heavy-hitter estimates from a persisted two-epoch count-min store, compacted then probed (north star: incremental profiling)",
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS token
+      |  FROM documents),
+      |exact AS (
+      |  SELECT token, count(*) AS exact_c FROM tok GROUP BY token
+      |  ORDER BY exact_c DESC, token ASC LIMIT 20),
+      |keys AS (
+      |  SELECT token, r.range AS r,
+      |         ('0x' || substr(md5(r.range || '_' || token), 1, 8))::BIGINT % 2048 AS b
+      |  FROM tok, range(4) r),
+      |sketch AS (SELECT r, b, count(*) AS c FROM keys GROUP BY r, b),
+      |probe AS (
+      |  SELECT e.token, e.exact_c, min(coalesce(s.c, 0)) AS cms_est
+      |  FROM (exact e CROSS JOIN range(4) r)
+      |  LEFT JOIN sketch s
+      |    ON s.r = r.range
+      |   AND s.b = ('0x' || substr(md5(r.range || '_' || e.token), 1, 8))::BIGINT % 2048
+      |  GROUP BY e.token, e.exact_c)
+      |SELECT token, exact_c, cms_est, cms_est >= exact_c AS est_ge_exact
+      |FROM probe""".stripMargin) { (s, d) =>
+    val (depth, width) = (4, 2048)
+    val docs = Tables.documents(s, d)
+    def toks(r: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === r)
+      .select(explode(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+        .as("token"))
+    val root = scratchDir(s, "q163_cms")
+    graft.sources.Fs.deleteRecursively(s, root)
+    HeavyHitters.cmsIndexWrite(
+      HeavyHitters.countMinSketch(toks(0), "token", depth, width),
+      root, depth, width, "token")
+    HeavyHitters.cmsIndexAppend(s, root,
+      HeavyHitters.countMinSketch(toks(1), "token", depth, width),
+      "day-2", depth, width, "token")
+    val stats = HeavyHitters.cmsIndexCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q163: compaction folded nothing at $root — store build failed")
+    val sketch = HeavyHitters.cmsIndexRead(s, root, depth, width, "token")
+    val allToks = docs
+      .select(explode(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+        .as("token"))
+    val exact = allToks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("token").asc)
+      .limit(20)
+    HeavyHitters.probe(exact, sketch, "token", depth, width)
+      .select(col("token"), col("exact_c"), col("cms_est"),
+        (col("cms_est") >= col("exact_c")).as("est_ge_exact"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -5979,5 +6037,5 @@ object Catalog {
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
-    q161Islands, q162EntityRes)
+    q161Islands, q162EntityRes, q163CmsStore)
 }

@@ -631,6 +631,47 @@ object Streaming {
       .start()
   }
 
+  /** Streaming count-min ingest — the frequency twin of
+    * [[hllIngestSink]]: each micro-batch lands in the corpus and
+    * appends its d×w cell-count partial; reads SUM across epochs
+    * (`HeavyHitters.cmsIndexRead`). Counts are additive — NOT
+    * idempotent — so replay safety leans entirely on the epoch-scoped
+    * dynamic overwrite (a retry rewrites its own partial), and a
+    * reset source re-landing counted rows would silently double every
+    * estimate: hence the sample-sketch-style fresh-checkpoint
+    * refusal. */
+  def cmsIngestSink(stream: DataFrame, spark: SparkSession,
+                    corpusPath: String, indexPath: String,
+                    itemCol: String, depth: Int, width: Int,
+                    checkpoint: String,
+                    allowForeignEpochs: Boolean = false): StreamingQuery = {
+    import graft.operators.{EpochIndex, HeavyHitters, IndexMeta}
+    val marker = s"$checkpoint/graft-run-id"
+    require(graft.sources.Fs.exists(spark, marker) ||
+      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs,
+      s"cmsIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+        "already holds count partials. Counts are additive: a reset " +
+        "source re-landing its rows would double every estimate. " +
+        "Restore the original checkpoint, rebuild corpus+store from " +
+        "raw sources, or — only if this run ingests strictly new " +
+        "rows — pass allowForeignEpochs = true")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val partial = HeavyHitters.countMinSketch(batch, itemCol,
+          depth, width).localCheckpoint(true)
+        try {
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            HeavyHitters.cmsMeta(depth, width, itemCol))
+          epochWrite(batch, corpusPath, token, epochId)
+          epochWrite(partial, indexPath, token, epochId)
+        } finally { partial.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Streaming retrieval-index ingest — the continuous form of
     * `Relevance.bm25IndexAppend`, completing the postings family's
     * shapes (batch build / incremental append / streaming): each

@@ -56,4 +56,31 @@ class HeavyHittersSpec extends SparkSpecBase {
       .select("cms_est").as[Long].head()
     assert(est >= 0L && est <= 3L)
   }
+
+  test("persisted CMS store: epoch partials sum to the whole-stream sketch; compaction preserves; geometry guard") {
+    val (d, w) = (4, 1024)
+    val a = items("x x y z q r s")
+    val b = items("x y y t u v w")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cms").toString + "/store"
+    HeavyHitters.cmsIndexWrite(
+      HeavyHitters.countMinSketch(a, "w", d, w), root, d, w, "w")
+    HeavyHitters.cmsIndexAppend(spark, root,
+      HeavyHitters.countMinSketch(b, "w", d, w), "day-2", d, w, "w")
+    def stored(): Map[(Int, Long), Long] =
+      HeavyHitters.cmsIndexRead(spark, root, d, w, "w")
+        .as[(Int, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val direct = HeavyHitters.countMinSketch(a.unionByName(b), "w", d, w)
+      .as[(Int, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(stored() === direct)
+    val stats = Maintenance.compactStore(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2"))
+    assert(stored() === direct) // probe-after ≡ probe-before
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.cmsIndexRead(spark, root, d, w * 2, "w")
+    }
+    assert(e.getMessage.contains("width"), e.getMessage)
+  }
 }

@@ -581,6 +581,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"q162:\n$plan")
   }
 
+  test("q163 cms store probe: summed-cell read + bounded exact top-k, no window") {
+    val plan = planOf("q163_cms_store")
+    assert(!plan.contains("Window"), s"q163:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q163:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q163 exact top-k lost its bounded TakeOrdered:\n$plan")
+  }
+
   test("q159 hll store probe: merged-register read + exact join, no window") {
     val plan = planOf("q159_hll_store")
     assert(!plan.contains("Window"), s"q159:\n$plan")

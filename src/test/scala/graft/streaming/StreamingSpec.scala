@@ -743,6 +743,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("p:"), e.getMessage)
   }
 
+  test("streaming cms ingest: stored cells ≡ whole-stream sketch; fresh checkpoint refuses") {
+    import graft.operators.HeavyHitters
+    val src = Files.createTempDirectory("graft-cms-src").toString
+    val corpus = Files.createTempDirectory("graft-cms-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-cms-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-cms-ckp").toString
+    val (d, w) = (4, 1024)
+    val batch1 = Seq("x", "x", "y", "z")
+    val batch2 = Seq("x", "y", "y", "t")
+    def deliver(name: String, rows: Seq[String]): Unit =
+      rows.toDF("item").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.cmsIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "item", d, w, ckp)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val stored = HeavyHitters.cmsIndexRead(spark, index, d, w, "item")
+      .as[(Int, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val direct = HeavyHitters.countMinSketch(
+      (batch1 ++ batch2).toDF("item"), "item", d, w)
+      .as[(Int, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(stored === direct)
+    assert(spark.read.parquet(corpus).count() === 8L)
+    val freshCkp = Files.createTempDirectory("graft-cms-ckp2").toString
+    val e = intercept[IllegalArgumentException] {
+      Streaming.cmsIngestSink(
+        Streaming.fileStream(spark,
+          spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+        spark, corpus, index, "item", d, w, freshCkp)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
+
   test("streaming bm25 ingest: stored probe ≡ full-corpus scoring over everything delivered") {
     import graft.operators.Relevance
     val src = Files.createTempDirectory("graft-bm-src").toString
