@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine table digests — the audit primitive behind "did the
+  * migration/replication/rewrite preserve every row": an
+  * ORDER-INDEPENDENT checksum any engine can recompute from the same
+  * rows, compared as one number instead of sorting two 100 TB tables
+  * side by side. This is the engine's own oracle philosophy
+  * (hash-compare, don't trust) packaged as an operator — the q164
+  * oracle recomputes the digest in DuckDB and must match it exactly.
+  *
+  * Construction:
+  *  - each row canonicalizes to a byte string: per column, `N` for
+  *    NULL else `V<len>:<value>` — the length prefix kills
+  *    field-shift collisions (('a|b','c') vs ('a','b|c')) and the N/V
+  *    tag keeps NULL distinct from any value including '';
+  *  - the row hash is the engine-portable 52-bit md5 prefix (the same
+  *    key every sketch here uses);
+  *  - the digest is the EXACT sum of row hashes (DECIMAL(38,0) — a
+  *    long sum would overflow silently in Spark and loudly in DuckDB)
+  *    reduced mod 2^61−1. Addition is commutative/associative, so the
+  *    digest is independent of row order, partitioning and
+  *    aggregation order — the property that makes it comparable
+  *    across engines, file layouts and cluster sizes.
+  *
+  * What it detects: any changed/missing/extra row (up to md5
+  *  collisions and the vanishing chance of colliding SUMS).
+  * What it does NOT canonicalize: floating-point columns — engines
+  *  format doubles differently, so the caller must cast them to a
+  *  fixed-scale decimal/string first (the q164 pattern:
+  *  `round(x, 2)` cast to DECIMAL string); timestamps likewise cast
+  *  to an explicit string form.
+  *
+  * Scale shape: one scan + one (optionally grouped) partial-agg sum —
+  * no sort, no shuffle beyond the aggregation's.
+  */
+object Audit {
+
+  private val Mod = 2305843009213693951L // 2^61 - 1
+
+  /** Canonical per-column encoding: N | V<len>:<utf8 value>. */
+  private def canon(c: Column): Column = {
+    val s = c.cast("string")
+    when(c.isNull, lit("N"))
+      .otherwise(concat(lit("V"), length(s).cast("string"), lit(":"), s))
+  }
+
+  /** 52-bit md5 row hash of the canonicalized columns. */
+  def rowHash(cols: Seq[Column]): Column =
+    conv(substring(md5(concat(cols.map(canon): _*).cast("binary")), 1, 13),
+      16, 10).cast("long")
+
+  /** Digest one table (or each group): (groupCols…, n_rows, digest).
+    * Columns are digested in the given order — order is part of the
+    * digest definition, record it next to stored digests. */
+  def tableDigest(df: DataFrame, cols: Seq[String],
+                  groupCols: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty, "tableDigest needs at least one column")
+    val hashed = df.select(
+      (groupCols.map(col) :+ rowHash(cols.map(col)).as("_h")): _*)
+    val agg = Seq(count(lit(1)).as("n_rows"),
+      pmod(sum(col("_h").cast("decimal(38,0)")), lit(Mod).cast("decimal(38,0)"))
+        .cast("long").as("digest"))
+    if (groupCols.isEmpty) hashed.agg(agg.head, agg.tail: _*)
+    else hashed.groupBy(groupCols.map(col): _*).agg(agg.head, agg.tail: _*)
+  }
+}

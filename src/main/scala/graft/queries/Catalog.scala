@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, Audit, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -5997,6 +5997,46 @@ object Catalog {
         (col("cms_est") >= col("exact_c")).as("est_ge_exact"))
   }
 
+  /** Cross-engine table digest ([[Audit.tableDigest]]): per-flag
+    * order-independent checksums of lineitem — the "did the
+    * migration preserve every row" audit, comparable across engines
+    * because the row canonicalization (N / V<len>:<value>), the
+    * 52-bit md5 row hash and the exact mod-2^61−1 hash sum all
+    * replay verbatim (floats enter as BIGINT casts, the documented
+    * canonicalization duty). The oracle recomputing the same digest
+    * IS the use case. */
+  val q164Digest = q("q164_table_digest",
+    "Order-independent per-group table digests, recomputed exactly by the oracle (north star: migration auditing)",
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    ('0x' || substr(md5(
+      |      CASE WHEN l_orderkey IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(l_orderkey AS VARCHAR)) || ':'
+      |                || CAST(l_orderkey AS VARCHAR) END ||
+      |      CASE WHEN l_linenumber IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(l_linenumber AS VARCHAR)) || ':'
+      |                || CAST(l_linenumber AS VARCHAR) END ||
+      |      CASE WHEN l_linestatus IS NULL THEN 'N'
+      |           ELSE 'V' || length(l_linestatus) || ':' || l_linestatus END ||
+      |      CASE WHEN l_quantity IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))
+      |                || ':' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) END ||
+      |      CASE WHEN l_shipdate IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(CAST(l_shipdate AS DATE) AS VARCHAR))
+      |                || ':' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR) END
+      |    ), 1, 13))::BIGINT AS h
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693951 AS BIGINT) AS digest
+      |FROM c GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .withColumn("qty_b", col("l_quantity").cast("bigint"))
+      .withColumn("ship_d", col("l_shipdate").cast("date"))
+    Audit.tableDigest(li,
+      Seq("l_orderkey", "l_linenumber", "l_linestatus", "qty_b", "ship_d"),
+      groupCols = Seq("l_returnflag"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6037,5 +6077,5 @@ object Catalog {
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
-    q161Islands, q162EntityRes, q163CmsStore)
+    q161Islands, q162EntityRes, q163CmsStore, q164Digest)
 }

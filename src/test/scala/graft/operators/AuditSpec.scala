@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class AuditSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def md52(s: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(13), 16)
+
+  private def canon(v: Option[String]): String =
+    v.fold("N")(x => s"V${x.length}:$x")
+
+  test("digest matches the closed-form replay; order-independent") {
+    val rows = Seq((1L, Some("a")), (2L, Some("bb")), (3L, None))
+    val df = rows.toDF("k", "s")
+    val got = Audit.tableDigest(df, Seq("k", "s"))
+      .as[(Long, Long)].head()
+    val want = rows.map { case (k, s) =>
+      md52(canon(Some(k.toString)) + canon(s))
+    }.map(BigInt(_)).sum.mod(BigInt(2305843009213693951L)).toLong
+    assert(got === ((3L, want)))
+    // any row order / partitioning digests identically
+    val shuffled = rows.reverse.toDF("k", "s").repartition(7)
+    assert(Audit.tableDigest(shuffled, Seq("k", "s"))
+      .as[(Long, Long)].head() === got)
+  }
+
+  test("a single changed row changes the digest; NULL, empty and shifts stay distinct") {
+    def dg(rows: Seq[(Option[String], Option[String])]): Long =
+      Audit.tableDigest(rows.toDF("a", "b"), Seq("a", "b"))
+        .as[(Long, Long)].head()._2
+    val base = dg(Seq((Some("a|b"), Some("c"))))
+    assert(base !== dg(Seq((Some("a"), Some("b|c")))), "field-shift collision")
+    assert(dg(Seq((None, Some("x")))) !== dg(Seq((Some(""), Some("x")))),
+      "NULL vs empty collision")
+    assert(dg(Seq((Some("a"), Some("c")))) !== base, "change not detected")
+  }
+
+  test("grouped digests: per-group rows and checksums") {
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L)).toDF("g", "v")
+    val got = Audit.tableDigest(df, Seq("v"), groupCols = Seq("g"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, d) => g -> ((n, d)) }.toMap
+    assert(got("g1")._1 === 2L && got("g2")._1 === 1L)
+    val g2want = BigInt(md52(canon(Some("3")))).mod(
+      BigInt(2305843009213693951L)).toLong
+    assert(got("g2")._2 === g2want)
+  }
+}

@@ -581,6 +581,14 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"q162:\n$plan")
   }
 
+  test("q164 table digest: one scan + one grouped aggregation, no sort, no join") {
+    val plan = planOf("q164_table_digest")
+    assert(!plan.contains("Window") && !plan.contains("Join") &&
+      !plan.contains("Sort "), s"q164 digest must be sort/join-free:\n$plan")
+    assert(shuffles(plan) <= 1,
+      s"q164 needs only the grouped aggregation's exchange:\n$plan")
+  }
+
   test("q163 cms store probe: summed-cell read + bounded exact top-k, no window") {
     val plan = planOf("q163_cms_store")
     assert(!plan.contains("Window"), s"q163:\n$plan")
