@@ -66,4 +66,34 @@ object Audit {
     if (groupCols.isEmpty) hashed.agg(agg.head, agg.tail: _*)
     else hashed.groupBy(groupCols.map(col): _*).agg(agg.head, agg.tail: _*)
   }
+
+  /** Digest-driven divergence localization — the two-pass shape for
+    * comparing 100 TB tables: pass one digests each side PER GROUP
+    * (partition key, date, shard) and compares checksums; only the
+    * groups that disagree ever get a row-level [[Diff.snapshotDiff]].
+    * Emits every group from either side with its verdict:
+    * `ok` (both present, equal), `mismatch` (both present, different
+    * digest or count), `only_a` / `only_b`. A full outer join of two
+    * (groups × 3-column) digest tables — trivially broadcastable
+    * however large the underlying data. */
+  def diffByDigest(a: DataFrame, b: DataFrame, cols: Seq[String],
+                   groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "diffByDigest needs group columns (the drill-down unit)")
+    val da = tableDigest(a, cols, groupCols)
+      .withColumnRenamed("n_rows", "n_rows_a")
+      .withColumnRenamed("digest", "digest_a")
+    val db = tableDigest(b, cols, groupCols)
+      .withColumnRenamed("n_rows", "n_rows_b")
+      .withColumnRenamed("digest", "digest_b")
+    da.join(db, groupCols, "full_outer")
+      .select(groupCols.map(col) :+
+        when(col("digest_a").isNull, lit("only_b"))
+          .when(col("digest_b").isNull, lit("only_a"))
+          .when(col("digest_a") === col("digest_b") &&
+            col("n_rows_a") === col("n_rows_b"), lit("ok"))
+          .otherwise(lit("mismatch")).as("status") :+
+        coalesce(col("n_rows_a"), lit(0L)).as("n_rows_a") :+
+        coalesce(col("n_rows_b"), lit(0L)).as("n_rows_b"): _*)
+  }
 }

@@ -6037,6 +6037,70 @@ object Catalog {
       groupCols = Seq("l_returnflag"))
   }
 
+  /** Two-pass table comparison ([[Audit.diffByDigest]]): replica `b`
+    * diverges from `a` in exactly one flag/status group (repriced
+    * quantities) and drops another; the per-group digest compare must
+    * localize both WITHOUT any row-level work — the groups that
+    * disagree are the only ones a 100 TB drill-down would ever
+    * re-read. The oracle recomputes both sides' digests and the
+    * verdicts. */
+  val q165DigestDiff = q("q165_digest_diff",
+    "Digest-driven divergence localization between two table variants (north star: replication auditing)",
+    """WITH canon AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CASE WHEN l_orderkey IS NULL THEN 'N'
+      |         ELSE 'V' || length(CAST(l_orderkey AS VARCHAR)) || ':'
+      |              || CAST(l_orderkey AS VARCHAR) END ||
+      |    CASE WHEN l_linenumber IS NULL THEN 'N'
+      |         ELSE 'V' || length(CAST(l_linenumber AS VARCHAR)) || ':'
+      |              || CAST(l_linenumber AS VARCHAR) END AS pre,
+      |    CAST(l_quantity AS BIGINT) AS qb
+      |  FROM lineitem),
+      |ha AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    ('0x' || substr(md5(pre ||
+      |      'V' || length(CAST(qb AS VARCHAR)) || ':' || CAST(qb AS VARCHAR)
+      |    ), 1, 13))::BIGINT AS h
+      |  FROM canon),
+      |hb AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    ('0x' || substr(md5(pre ||
+      |      'V' || length(CAST(qb2 AS VARCHAR)) || ':' || CAST(qb2 AS VARCHAR)
+      |    ), 1, 13))::BIGINT AS h
+      |  FROM (SELECT *, CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+      |                       THEN qb + 1 ELSE qb END AS qb2 FROM canon)
+      |  WHERE NOT (l_returnflag = 'N' AND l_linestatus = 'O')),
+      |da AS (SELECT l_returnflag, l_linestatus,
+      |              CAST(count(*) AS BIGINT) AS n_rows_a,
+      |              CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693951 AS BIGINT) AS dg
+      |       FROM ha GROUP BY 1, 2),
+      |db AS (SELECT l_returnflag, l_linestatus,
+      |              CAST(count(*) AS BIGINT) AS n_rows_b,
+      |              CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693951 AS BIGINT) AS dg
+      |       FROM hb GROUP BY 1, 2)
+      |SELECT coalesce(da.l_returnflag, db.l_returnflag) AS l_returnflag,
+      |       coalesce(da.l_linestatus, db.l_linestatus) AS l_linestatus,
+      |       CASE WHEN da.dg IS NULL THEN 'only_b'
+      |            WHEN db.dg IS NULL THEN 'only_a'
+      |            WHEN da.dg = db.dg AND da.n_rows_a = db.n_rows_b THEN 'ok'
+      |            ELSE 'mismatch' END AS status,
+      |       coalesce(n_rows_a, 0) AS n_rows_a,
+      |       coalesce(n_rows_b, 0) AS n_rows_b
+      |FROM da FULL JOIN db
+      |  ON da.l_returnflag = db.l_returnflag
+      | AND da.l_linestatus = db.l_linestatus""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .withColumn("qb", col("l_quantity").cast("bigint"))
+    val replica = li
+      .withColumn("qb",
+        when(col("l_returnflag") === "R" && col("l_linestatus") === "F",
+          col("qb") + 1).otherwise(col("qb")))
+      .filter(!(col("l_returnflag") === "N" && col("l_linestatus") === "O"))
+    Audit.diffByDigest(li, replica,
+      Seq("l_orderkey", "l_linenumber", "qb"),
+      Seq("l_returnflag", "l_linestatus"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6077,5 +6141,5 @@ object Catalog {
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
-    q161Islands, q162EntityRes, q163CmsStore, q164Digest)
+    q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff)
 }

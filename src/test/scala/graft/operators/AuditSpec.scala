@@ -40,6 +40,21 @@ class AuditSpec extends SparkSpecBase {
     assert(dg(Seq((Some("a"), Some("c")))) !== base, "change not detected")
   }
 
+  test("diffByDigest localizes divergence to the changed group only") {
+    val a = Seq(("d1", 1L, "x"), ("d1", 2L, "y"), ("d2", 3L, "z"),
+      ("d3", 4L, "w")).toDF("day", "k", "v")
+    val b = Seq(("d1", 1L, "x"), ("d1", 2L, "y"), ("d2", 3L, "Z"), // changed
+      ("d4", 5L, "n")).toDF("day", "k", "v")               // d3 gone, d4 new
+    val got = Audit.diffByDigest(a, b, Seq("k", "v"), Seq("day"))
+      .as[(String, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got === Map(
+      "d1" -> (("ok", 2L, 2L)),
+      "d2" -> (("mismatch", 1L, 1L)),
+      "d3" -> (("only_a", 1L, 0L)),
+      "d4" -> (("only_b", 0L, 1L))))
+  }
+
   test("grouped digests: per-group rows and checksums") {
     val df = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L)).toDF("g", "v")
     val got = Audit.tableDigest(df, Seq("v"), groupCols = Seq("g"))

@@ -589,6 +589,18 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q165 digest diff: two grouped digests + one tiny full-outer join, no row-level compare") {
+    val plan = planOf("q165_digest_diff")
+    // the only Sort allowed is the verdict join's, over the ≤|groups|-row
+    // digest tables — row-level data must never sort or join
+    assert(!plan.contains("Window"), s"q165:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q165:\n$plan")
+    assert(plan.contains("FullOuter"), s"q165 lost the verdict join:\n$plan")
+    assert(occurrences(plan, "Join") == 1,
+      s"q165 must join ONLY the digest tables:\n$plan")
+    assert(shuffles(plan) <= 4, s"q165 shuffle count grew:\n$plan")
+  }
+
   test("q163 cms store probe: summed-cell read + bounded exact top-k, no window") {
     val plan = planOf("q163_cms_store")
     assert(!plan.contains("Window"), s"q163:\n$plan")
