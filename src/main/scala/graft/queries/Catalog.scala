@@ -6101,6 +6101,46 @@ object Catalog {
       Seq("l_returnflag", "l_linestatus"))
   }
 
+  /** Schema-evolution-tolerant ingest ([[graft.sources.Evolve]]): an
+    * old batch (int keys, no amount column) and a new batch (long
+    * keys, amount added) land in one directory tree; the evolved read
+    * aligns both to the canonical schema — int WIDENS to long,
+    * missing amount reads as typed NULL, undeclared columns drop —
+    * and the aggregate over the union must equal deriving the same
+    * report from the source table directly (the oracle). */
+  val q166SchemaEvolution = q("q166_schema_evolution",
+    "Evolved parquet read: widening casts + missing-as-NULL across batch generations (north star: long-lived ingest)",
+    """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_amount,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types._
+    val ord = Tables.orders(s, d)
+    val root = scratchDir(s, "q166_evolve")
+    graft.sources.Fs.deleteRecursively(s, root)
+    // generation 1: int keys, no amount, plus an undeclared column
+    ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_orderpriority").as("prio"),
+        lit("legacy").as("undeclared"))
+      .write.parquet(s"$root/b1")
+    // generation 2: long keys, amount added
+    ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("amount"))
+      .write.parquet(s"$root/b2")
+    val canonical = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("prio", StringType),
+      StructField("amount", DoubleType)))
+    graft.sources.Evolve.readEvolved(s, Seq(s"$root/b1", s"$root/b2"),
+      canonical)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("amount").isNotNull, 1L).otherwise(0L)).as("n_with_amount"),
+        sum(col("o_orderkey")).as("sum_key"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6141,5 +6181,6 @@ object Catalog {
     q148SampleSketchSql, q149SketchStore, q150CurationV2, q151Bm25Store,
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
-    q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff)
+    q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
+    q166SchemaEvolution)
 }

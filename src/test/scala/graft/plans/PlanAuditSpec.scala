@@ -589,6 +589,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q166 schema evolution: aligned union of per-generation scans, one aggregation") {
+    val plan = planOf("q166_schema_evolution")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"q166:\n$plan")
+    assert(shuffles(plan) <= 1,
+      s"q166 needs only the aggregation's exchange:\n$plan")
+    // the original orders table is never rescanned by the returned plan
+    assert(!plan.contains("orders.parquet"),
+      s"q166 read-back rescanned the source table:\n$plan")
+  }
+
   test("q165 digest diff: two grouped digests + one tiny full-outer join, no row-level compare") {
     val plan = planOf("q165_digest_diff")
     // the only Sort allowed is the verdict join's, over the ≤|groups|-row
