@@ -6141,6 +6141,91 @@ object Catalog {
         sum(col("o_orderkey")).as("sum_key"))
   }
 
+  /** The release-manifest capstone: one row that AUDITS a curated
+    * release end-to-end, composing this round's components — PSL
+    * per-site arrival caps choose the released set, the released doc
+    * ids get an order-independent [[Audit.tableDigest]], the released
+    * domains an HLL distinct estimate, the released text a CMS
+    * top-token estimate next to its exact count. Every number
+    * replays in the oracle — a release whose manifest another engine
+    * can recompute is a release a consumer can trust. All scalar
+    * stages ride the plan as broadcast one-row aggregates. */
+  val q167ReleaseManifest = q("q167_release_manifest",
+    "Curated-release manifest: caps -> id digest + HLL domains + CMS top token, all oracle-replayed (north star: release auditing)",
+    s"""WITH ${pslHostSql(10)},
+      |$pslDomainSql,
+      |r AS (SELECT domain, doc_id,
+      |             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      |      FROM d),
+      |kept AS (SELECT doc_id, domain FROM r WHERE rk <= 20),
+      |rel AS (SELECT doc.doc_id, doc.text, kept.domain
+      |        FROM documents doc JOIN kept ON doc.doc_id = kept.doc_id),
+      |dg AS (SELECT CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693951 AS BIGINT) AS release_digest
+      |       FROM (SELECT ('0x' || substr(md5(
+      |               'V' || length(CAST(doc_id AS VARCHAR)) || ':'
+      |               || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      |             FROM rel)),
+      |hh AS (SELECT ('0x' || substr(md5(domain), 1, 13))::BIGINT AS h52 FROM rel),
+      |rr AS (SELECT h52 // 8796093022208 AS idx, h52 % 8796093022208 AS rem FROM hh),
+      |rho AS (SELECT idx, CASE WHEN rem = 0 THEN 44
+      |                         ELSE 44 - length(printf('%b', rem)) END AS rho FROM rr),
+      |regs AS (SELECT idx, max(rho) AS rg FROM rho GROUP BY idx),
+      |sums AS (SELECT sum(1::BIGINT << (52 - rg))
+      |                + (512 - count(*)) * (1::BIGINT << 52) AS sumsc,
+      |               512 - count(*) AS zeros FROM regs),
+      |hll AS (SELECT round(CASE WHEN (CAST($HllC AS DOUBLE) / CAST(sumsc AS DOUBLE))
+      |                               <= CAST(1280 AS DOUBLE) AND zeros > 0
+      |          THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE) / CAST(zeros AS DOUBLE))
+      |          ELSE CAST($HllC AS DOUBLE) / CAST(sumsc AS DOUBLE) END, 4) AS hll_domains_est
+      |        FROM sums),
+      |tok AS (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS token
+      |        FROM rel),
+      |top1 AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+      |         GROUP BY token ORDER BY c DESC, token LIMIT 1),
+      |keys AS (SELECT token, r2.range AS r2r,
+      |                ('0x' || substr(md5(r2.range || '_' || token), 1, 8))::BIGINT % 2048 AS b
+      |         FROM tok, range(4) r2),
+      |cms AS (SELECT r2r, b, count(*) AS c FROM keys GROUP BY r2r, b),
+      |pe AS (SELECT t.token AS top_token, t.c AS top_token_exact,
+      |              min(coalesce(s.c, 0)) AS top_token_est
+      |       FROM (top1 t CROSS JOIN range(4) r3)
+      |       LEFT JOIN cms s ON s.r2r = r3.range
+      |        AND s.b = ('0x' || substr(md5(r3.range || '_' || t.token), 1, 8))::BIGINT % 2048
+      |       GROUP BY t.token, t.c)
+      |SELECT (SELECT count(*) FROM documents) AS n_input,
+      |       (SELECT count(*) FROM rel) AS n_released,
+      |       dg.release_digest, hll.hll_domains_est,
+      |       pe.top_token, pe.top_token_exact, pe.top_token_est
+      |FROM dg CROSS JOIN hll CROSS JOIN pe""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val withDom = docs.select(col("doc_id"), col("text"),
+      Psl.registeredDomain(pslDemoHost(10)).as("domain"))
+    val keptIds = Curation.capPerKeyArrival(withDom, col("domain"),
+      col("doc_id"), maxPerKey = 20)
+    val rel = withDom.join(keptIds.select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val digest = Audit.tableDigest(rel, Seq("doc_id"))
+      .select(col("digest").as("release_digest"))
+    val hll = Cardinality.hllSketch(rel, lit("all"), col("domain"), HllP)
+      .select(round(Cardinality.hllEstimate(col("regs"), HllP), 4)
+        .as("hll_domains_est"))
+    val toks = rel.select(
+      explode(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+        .as("token"))
+    val top1 = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("top_token_exact"))
+      .orderBy(col("top_token_exact").desc, col("token").asc).limit(1)
+    val sketch = HeavyHitters.countMinSketch(toks, "token", 4, 2048)
+    val probed = HeavyHitters.probe(top1, sketch, "token", 4, 2048)
+      .select(col("token").as("top_token"), col("top_token_exact"),
+        col("cms_est").as("top_token_est"))
+    docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_released"))))
+      .crossJoin(broadcast(digest))
+      .crossJoin(broadcast(hll))
+      .crossJoin(broadcast(probed))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6182,5 +6267,5 @@ object Catalog {
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
-    q166SchemaEvolution)
+    q166SchemaEvolution, q167ReleaseManifest)
 }

@@ -589,6 +589,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q167 release manifest: bounded-heap cap, scalar-broadcast manifest row, no window") {
+    val plan = planOf("q167_release_manifest")
+    assert(!plan.contains("Window"), s"q167 regressed to a window sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q167 lost the typed bounded-heap cap aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q167:\n$plan")
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("IdentityBroadcastMode"),
+        s"non-scalar nested-loop join crept in:\n$plan")
+  }
+
   test("q166 schema evolution: aligned union of per-generation scans, one aggregation") {
     val plan = planOf("q166_schema_evolution")
     assert(!plan.contains("Window") && !plan.contains("Join"),
