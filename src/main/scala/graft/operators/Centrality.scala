@@ -62,8 +62,8 @@ object Centrality {
     var pr = withBase.select(col("id"), col("base").as("pr"))
       .localCheckpoint(true)
     val fresh = org.apache.spark.sql.graftbridge.Bridge.freshLeaf _
-    var i = 0
-    while (i < iterations) {
+    var iterNo = 0
+    while (iterNo < iterations) {
       val ranked = pr.join(outd, pr("id") === outd("src"), "left")
         .select(col("id"), col("pr"), col("outd"))
       // dangling mass: ranks of vertices with no out-edges
@@ -82,8 +82,57 @@ object Centrality {
             expr("(85L * (coalesce(insum, 0L) + (dang div n))) div 100"))
             .as("pr"))
       pr = fresh(next.localCheckpoint(true))
-      i += 1
+      iterNo += 1
     }
     pr
+  }
+
+  /** Exact triangle count over an undirected graph — the clustering
+    * signal (spam farms and scraped mirror rings are triangle-dense;
+    * organic link neighborhoods are not). Counting is exact integer
+    * work, so the q168 oracle recomputes the same number from the
+    * same planted graph.
+    *
+    * Scale shape — the degree-ordered orientation trick: every
+    * undirected edge orients from its lower-(degree, id) endpoint, so
+    * each triangle is counted EXACTLY ONCE at its lowest-degree
+    * vertex and, crucially, wedge enumeration fans out only over
+    * out-neighborhoods bounded by graph arboricity (a celebrity node
+    * with 10⁸ followers has out-degree ~0 after orientation — the
+    * naive u-centered wedge join would square the 10⁸). One
+    * self-join on the oriented source + one edge-close join, all
+    * keyed equi joins; AQE splits residual skew.
+    *
+    * Input edges may be directed/duplicated — they canonicalize to
+    * distinct undirected pairs first; self-loops drop.
+    *
+    * @return one row: (n_vertices, n_edges, n_triangles)
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("w")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+      col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(least(col("e1.w"), col("e2.w")).as("a"),
+        greatest(col("e1.w"), col("e2.w")).as("b"))
+    val tri = wedges.join(und, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(tri))
   }
 }

@@ -6226,6 +6226,43 @@ object Catalog {
       .crossJoin(broadcast(probed))
   }
 
+  /** Triangle census over q157's planted link graph
+    * ([[Centrality.triangleCount]]): degree-ordered orientation makes
+    * each triangle count exactly once at its lowest-degree vertex and
+    * bounds wedge fan-out by arboricity (the celebrity-node guard).
+    * The count is exact integer work; the oracle recomputes it with
+    * the canonical three-join over undirected pairs — same number,
+    * naive shape. */
+  val q168Triangles = q("q168_triangles",
+    "Exact triangle count over the planted link graph via degree-ordered wedges (north star: graph analytics)",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |e0 AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |       FROM documents CROSS JOIN n
+      |            CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |       WHERE doc_id % 10 <> 0),
+      |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM e0 WHERE src <> dst),
+      |verts AS (SELECT count(DISTINCT v) AS n_vertices FROM
+      |  (SELECT a AS v FROM u UNION ALL SELECT b FROM u)),
+      |tri AS (SELECT count(*) AS n_triangles
+      |        FROM u e1 JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b
+      |             JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b)
+      |SELECT CAST(verts.n_vertices AS BIGINT) AS n_vertices,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_edges,
+      |       CAST(tri.n_triangles AS BIGINT) AS n_triangles
+      |FROM verts CROSS JOIN tri""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("nn"))
+    val e = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"), col("nn"))
+      .select(col("src"),
+        pmod(col("src") * lit(31L) + col("j") * lit(17L) + lit(7L),
+          col("nn")).as("dst"))
+    Centrality.triangleCount(e)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6267,5 +6304,5 @@ object Catalog {
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
-    q166SchemaEvolution, q167ReleaseManifest)
+    q166SchemaEvolution, q167ReleaseManifest, q168Triangles)
 }

@@ -54,6 +54,22 @@ class CentralitySpec extends SparkSpecBase {
     assert(got(5L) > 0L)
   }
 
+  test("triangleCount: closed-form graphs; dup/directed/self-loop edges canonicalize") {
+    def tri(es: Seq[(Long, Long)]): (Long, Long, Long) =
+      Centrality.triangleCount(es.toDF("src", "dst"))
+        .as[(Long, Long, Long)].head()
+    // one triangle
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === ((3L, 3L, 1L)))
+    // K4: C(4,3) = 4 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) === ((4L, 6L, 4L)))
+    // 4-cycle: no triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) === ((4L, 4L, 0L)))
+    // duplicates, reversals and self-loops change nothing
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (1L, 1L), (1L, 2L))) === ((3L, 3L, 1L)))
+  }
+
   test("every vertex appears in the output, including isolated ones") {
     val lonely = Seq(1L, 2L, 9L).toDF("id")
     val e1 = Seq((1L, 2L)).toDF("src", "dst")

@@ -589,6 +589,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q168 triangles: keyed equi joins only — no window, no cartesian wedges") {
+    val plan = planOf("q168_triangles")
+    assert(!plan.contains("Window"), s"q168:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q168:\n$plan")
+    if (plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("IdentityBroadcastMode"),
+        s"non-scalar nested-loop join crept in:\n$plan")
+  }
+
   test("q167 release manifest: bounded-heap cap, scalar-broadcast manifest row, no window") {
     val plan = planOf("q167_release_manifest")
     assert(!plan.contains("Window"), s"q167 regressed to a window sort:\n$plan")
