@@ -6263,6 +6263,44 @@ object Catalog {
     Centrality.triangleCount(e)
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the path-analysis companion to q133's funnel: which
+    * event follows which, with per-source probabilities. The lag
+    * window partitions by USER (bounded by a user's event count,
+    * never stream-sized — q37's sessionize discipline); transition
+    * counts partial-aggregate and the per-source totals join back as
+    * a ≤|types|²-row broadcast. Probabilities round at 4dp over
+    * exact integer ratios. */
+  val q169Transitions = q("q169_markov_transitions",
+    "Per-user event-sequence transition matrix with per-source probabilities (north star: behavioral analytics)",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+      |              CAST(count(*) AS BIGINT) AS n
+      |       FROM seq WHERE next_type IS NOT NULL
+      |       GROUP BY event_type, next_type),
+      |tot AS (SELECT from_type, sum(n) AS t FROM tr GROUP BY from_type)
+      |SELECT tr.from_type, tr.to_type, tr.n,
+      |       round(CAST(tr.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 4) AS p
+      |FROM tr JOIN tot ON tr.from_type = tot.from_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val seq = ev.select(col("user_id"), col("event_type"),
+      lead(col("event_type"), 1).over(w).as("next_type"))
+    val tr = seq.filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("from_type")).agg(sum(col("n")).as("t"))
+    tr.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("t").cast("double"), 4).as("p"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6304,5 +6342,6 @@ object Catalog {
     q152SnapshotDiff, q153HybridRrf, q154CdcApply, q155Bm25Multi,
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
-    q166SchemaEvolution, q167ReleaseManifest, q168Triangles)
+    q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
+    q169Transitions)
 }

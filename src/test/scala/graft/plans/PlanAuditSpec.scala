@@ -589,6 +589,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q169 transitions: one user-keyed window, totals broadcast back") {
+    val plan = planOf("q169_markov_transitions")
+    // exactly ONE window pass (the per-user lag); totals must come
+    // back as a broadcast, not a second shuffle join
+    assert(occurrences(plan, "Window") == 1, s"q169 window count:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q169 totals join lost its broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q169:\n$plan")
+  }
+
   test("q168 triangles: keyed equi joins only — no window, no cartesian wedges") {
     val plan = planOf("q168_triangles")
     assert(!plan.contains("Window"), s"q168:\n$plan")
