@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
-import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayIntersect, ArrayUnion, CaseWhen, Cast, CreateArray, Divide, ElementAt, EqualTo, Expression, Floor, Greatest, GreaterThan, LambdaFunction, LessThan, LessThanOrEqual, Literal, Log, Multiply, Size, Slice, SortArray, Subtract, UnresolvedNamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayAggregate, ArrayFilter, ArrayIntersect, ArrayUnion, CaseWhen, Cast, Conv, CreateArray, Divide, ElementAt, EqualTo, Expression, Floor, Greatest, GreaterThan, LambdaFunction, Length, LessThan, LessThanOrEqual, Literal, Log, Md5, Multiply, Size, Slice, SortArray, Substring, Subtract, UnresolvedNamedLambdaVariable, ZipWith}
 
 /** SQL-surface registration for the engine's custom expressions, so
   * `spark.sql` queries can use them directly:
@@ -116,6 +116,28 @@ object SqlFunctions {
       Some(raw))
   }
 
+  // Catalyst mirror of Audit.rowHash — the canonical N/V<len>:<value>
+  // encoding + 52-bit md5 prefix, so SQL-first jobs can digest tables
+  // with plain `SELECT sum(graft_row_hash(a, b, c))`-style aggregates
+  // (cast to DECIMAL first — see Audit.tableDigest's overflow note).
+  private def rowHash(cols: Seq[Expression]): Expression = {
+    require(cols.nonEmpty, "graft_row_hash needs at least one column")
+    val strType = org.apache.spark.sql.types.StringType
+    val canon = cols.map { c =>
+      val s = Cast(c, strType)
+      CaseWhen(
+        Seq((org.apache.spark.sql.catalyst.expressions.IsNull(c),
+          Literal("N"))),
+        Some(org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+          Literal("V"), Cast(Length(s), strType), Literal(":"), s))))
+    }
+    Cast(Conv(Substring(
+      Md5(Cast(org.apache.spark.sql.catalyst.expressions.Concat(canon),
+        org.apache.spark.sql.types.BinaryType)),
+      Literal(1), Literal(13)),
+      Literal(16), Literal(10)), org.apache.spark.sql.types.LongType)
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash",
@@ -186,6 +208,8 @@ object SqlFunctions {
     // expression in the plan
     // HLL register algebra over STORED register arrays — merge is
     // element-wise max (closure), estimate replays q158's arithmetic
+    reg.createOrReplaceTempFunction("graft_row_hash",
+      exprs => rowHash(exprs), "built-in")
     reg.createOrReplaceTempFunction("graft_hll_merge",
       exprs => hllMerge(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hll_estimate",

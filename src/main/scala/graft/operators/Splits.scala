@@ -327,4 +327,41 @@ object Splits {
       .agg(count(col("_b")).as("n_feats"),
         round(coalesce(sum(contrib), lit(0.0)), roundTo).as("logw"))
   }
+
+  /** Fixed-size weighted sample WITHOUT replacement — the
+    * Efraimidis–Spirakis A-ES scheme: each row gets key u^(1/w) with
+    * u uniform in (0, 1], the k largest keys are the sample, and
+    * inclusion probability is proportional to weight. This is the
+    * EXACT-k companion to the Bernoulli weighted filter (q73): a
+    * mixture recipe that says "exactly 50M docs, length-weighted"
+    * cannot tolerate Bernoulli's size variance.
+    *
+    * u derives from the row id's md5 (the engine-wide determinism
+    * rule — a rand() sample reshuffles per retry, silently breaking
+    * train/test stability), and the key ROUNDS to `roundTo` dp with
+    * an id tiebreak, so sample MEMBERSHIP is engine-independent
+    * (pow differs at ulp level between libms — q170's oracle replays
+    * the rounded key bit-for-bit).
+    *
+    * Scale shape: the key is a per-row projection; selection is the
+    * bounded-heap [[graft.functions.TopK]] aggregation — every scan
+    * partition reduces to ≤ k candidates map-side, never a global
+    * sort. Non-positive/NULL weights are excluded (they have no
+    * sampling mass).
+    *
+    * @return (idCol, es_key) — the k sampled ids, best-first
+    */
+  def weightedSampleK(df: DataFrame, idCol: String, weight: Column,
+                      k: Int, roundTo: Int = 9): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val u = (Curation.hashOrderKey(col(idCol)) + lit(1)).cast("double") /
+      lit(graft.operators.Cardinality.HashSpace)
+    val key = round(pow(u, lit(1.0) / weight.cast("double")), roundTo)
+    df.filter(weight.isNotNull && weight > 0)
+      .select(col(idCol), key.as("es_key"))
+      .agg(graft.functions.TopK.top_k(k)(col("es_key"), col(idCol))
+        .as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._2").as(idCol), col("t._1").as("es_key"))
+  }
 }

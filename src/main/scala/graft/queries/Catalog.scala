@@ -6301,6 +6301,25 @@ object Catalog {
         round(col("n").cast("double") / col("t").cast("double"), 4).as("p"))
   }
 
+  /** Exact-k weighted sampling ([[Splits.weightedSampleK]]):
+    * Efraimidis–Spirakis keys u^(1/w) over md5-uniform u, top-50 by
+    * rounded key — the fixed-size length-weighted sample a mixture
+    * recipe needs where q73's Bernoulli filter has size variance.
+    * The oracle replays the key arithmetic and the cut. */
+  val q170WeightedK = q("q170_weighted_sample_k",
+    "Fixed-size weighted sample without replacement (A-ES keys, deterministic) (north star: mixture sampling)",
+    """WITH w AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+      |k AS (SELECT doc_id,
+      |  round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+      |            / 4503599627370496.0,
+      |        1.0 / n_chars), 9) AS es_key
+      |  FROM w)
+      |SELECT doc_id, es_key FROM k
+      |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+    Splits.weightedSampleK(Tables.documents(s, d), "doc_id",
+      col("n_chars"), k = 50)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6343,5 +6362,5 @@ object Catalog {
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
-    q169Transitions)
+    q169Transitions, q170WeightedK)
 }

@@ -55,6 +55,19 @@ class AuditSpec extends SparkSpecBase {
       "d4" -> (("only_b", 0L, 1L))))
   }
 
+  test("SQL surface mirrors the Column API: graft_row_hash") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    Seq((1L, Some("a")), (2L, None)).toDF("k", "s")
+      .createOrReplaceTempView("rh_t")
+    val sql = spark.sql("SELECT graft_row_hash(k, s) FROM rh_t ORDER BY k")
+      .as[Long].collect().toSeq
+    val colApi = Seq((1L, Some("a")), (2L, None)).toDF("k", "s")
+      .orderBy("k")
+      .select(Audit.rowHash(Seq(col("k"), col("s"))))
+      .as[Long].collect().toSeq
+    assert(sql === colApi)
+  }
+
   test("grouped digests: per-group rows and checksums") {
     val df = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L)).toDF("g", "v")
     val got = Audit.tableDigest(df, Seq("v"), groupCols = Seq("g"))

@@ -294,4 +294,33 @@ class SplitsContaminationSpec extends SparkSpecBase {
     assert(math.abs(logw - expected) < 2e-4,
       s"unseen-bucket smoothing: got $logw expected ~$expected")
   }
+
+  test("weightedSampleK: closed-form A-ES keys, exact k, weight bias, determinism") {
+    import org.apache.spark.sql.functions.col
+    def key52(i: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
+    def esKey(id: Long, w: Double): Double = BigDecimal(
+      StrictMath.pow((key52(id) + 1).toDouble / 4503599627370496.0, 1.0 / w))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (1L to 100L).map(i => (i, (i % 10 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    val got = Splits.weightedSampleK(df, "id", col("w"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val want = rows.map { case (i, w) => (i, esKey(i, w)) }
+      .sortBy(t => (-t._2, t._1)).take(10)
+    assert(got === want)
+    // exact k; zero/negative/null weights excluded
+    val mixed = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
+    assert(Splits.weightedSampleK(mixed, "id", col("w"), k = 5)
+      .as[(Long, Double)].collect().map(_._1).toSeq === Seq(1L))
+    // heavier rows dominate: weight-1000 ids should crowd out weight-1
+    val biased = (1L to 200L).map(i =>
+      (i, if (i <= 100) 1000.0 else 0.001))
+    val picked = Splits.weightedSampleK(biased.toDF("id", "w"), "id",
+      col("w"), k = 20).as[(Long, Double)].collect().map(_._1)
+    assert(picked.count(_ <= 100) === 20,
+      s"light rows crowded into the sample: ${picked.mkString(",")}")
+  }
 }

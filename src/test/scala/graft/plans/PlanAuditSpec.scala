@@ -589,6 +589,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q170 weighted sample: scan-side keys, bounded-heap cut, no window, no sort") {
+    val plan = planOf("q170_weighted_sample_k")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"q170 regressed to a global sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q170 lost the typed bounded-heap selection:\n$plan")
+    assert(!plan.contains("Join"), s"q170 grew a join:\n$plan")
+  }
+
   test("q169 transitions: one user-keyed window, totals broadcast back") {
     val plan = planOf("q169_markov_transitions")
     // exactly ONE window pass (the per-user lag); totals must come
