@@ -67,6 +67,76 @@ object Audit {
     else hashed.groupBy(groupCols.map(col): _*).agg(agg.head, agg.tail: _*)
   }
 
+  // ---------------- persisted digest store (the incremental shape)
+
+  /** Epoch fold: digests are ADDITIVE over disjoint row sets —
+    * digest(A ∪ B) = (digest(A) + digest(B)) mod 2^61−1, and counts
+    * add — so per-group partials sum (associative, commutative;
+    * mod distributes over the sum). */
+  private def digestFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("group"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        pmod(sum(col("digest").cast("decimal(38,0)")),
+          lit(Mod).cast("decimal(38,0)")).cast("long").as("digest"))
+
+  private val DigestFamily = "table_digest"
+  private[graft] def digestMeta(cols: Seq[String],
+                                groupName: String): IndexMeta =
+    IndexMeta(DigestFamily, "cols" -> cols.mkString(","),
+      "groupName" -> groupName)
+
+  /** Per-group digest partial in the store's schema: (group, n_rows,
+    * digest). `group` is the caller's drill-down unit rendered as a
+    * string (partition value, day, shard). */
+  def digestPartial(df: DataFrame, cols: Seq[String],
+                    group: Column): DataFrame =
+    tableDigest(df.withColumn("_grp", group.cast("string")), cols,
+      groupCols = Seq("_grp"))
+      .select(col("_grp").as("group"), col("n_rows"), col("digest"))
+
+  /** Bootstrap a stored digest ledger: one (group, n_rows, digest)
+    * row per group, the digested column list + group derivation in
+    * the manifest (digesting different columns against a stored
+    * ledger is the silent-divergence class the manifest refuses).
+    * The table is hashed ONCE; every batch appends its own partial
+    * ([[digestIndexAppend]]), and verification against a replica is
+    * a read of ≤ groups × epochs tiny rows — never a table re-scan. */
+  def digestIndexWrite(index: DataFrame, path: String, cols: Seq[String],
+                       groupName: String): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path, digestMeta(cols, groupName))
+  }
+
+  /** Append one batch's per-group digest partial as a new epoch
+    * (idempotent per epoch name; manifest-checked). Contract (shared
+    * with every additive store — CMS): a ROW lands in exactly one
+    * epoch; re-digesting rows double-counts them. */
+  def digestIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                        path: String, partial: DataFrame, epoch: String,
+                        cols: Seq[String], groupName: String): Unit = {
+    IndexMeta.check(spark, path, digestMeta(cols, groupName))
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  /** Checked read: the folded per-group ledger across base and live
+    * epochs — ≡ [[tableDigest]] over the union of the digested row
+    * sets (additivity). */
+  def digestIndexRead(spark: org.apache.spark.sql.SparkSession,
+                      path: String, cols: Seq[String], groupName: String,
+                      excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, digestMeta(cols, groupName))
+    digestFold(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "digestIndexWrite"))
+  }
+
+  /** Fold accumulated epochs behind the atomic `_CURRENT` flip. */
+  def digestIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, DigestFamily)
+    EpochIndex.compact(spark, path, digestFold, keepVersions = keepVersions)
+  }
+
   /** Digest-driven divergence localization — the two-pass shape for
     * comparing 100 TB tables: pass one digests each side PER GROUP
     * (partition key, date, shard) and compares checksums; only the

@@ -58,6 +58,8 @@ object Maintenance {
         Cardinality.hllIndexCompact(spark, root, keepVersions)
       case "cms_counts" =>
         HeavyHitters.cmsIndexCompact(spark, root, keepVersions)
+      case "table_digest" =>
+        Audit.digestIndexCompact(spark, root, keepVersions)
       case "dsir_buckets" =>
         Splits.dsirIndexCompact(spark, root, keepVersions)
       case "bm25_postings" =>

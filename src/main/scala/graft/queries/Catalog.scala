@@ -6320,6 +6320,49 @@ object Catalog {
       col("n_chars"), k = 50)
   }
 
+  /** The audit family's incremental shape: two disjoint lineitem
+    * batches append their per-flag digest partials to a persisted
+    * ledger, compaction folds them behind the `_CURRENT` flip, and
+    * the probe answers per-group checksums from ≤ groups × epochs
+    * tiny rows — modular additivity makes the folded ledger equal
+    * the whole-table q164 digest, which is exactly what the oracle
+    * recomputes. Verification against a replica becomes a ledger
+    * read, never a re-hash of the table. */
+  val q171DigestLedger = q("q171_digest_ledger",
+    "Per-group digests from a persisted two-epoch ledger, compacted then probed (north star: continuous auditing)",
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    ('0x' || substr(md5(
+      |      CASE WHEN l_orderkey IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(l_orderkey AS VARCHAR)) || ':'
+      |                || CAST(l_orderkey AS VARCHAR) END ||
+      |      CASE WHEN l_linenumber IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(l_linenumber AS VARCHAR)) || ':'
+      |                || CAST(l_linenumber AS VARCHAR) END ||
+      |      CASE WHEN l_linestatus IS NULL THEN 'N'
+      |           ELSE 'V' || length(l_linestatus) || ':' || l_linestatus END
+      |    ), 1, 13))::BIGINT AS h
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693951 AS BIGINT) AS digest
+      |FROM c GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val cols = Seq("l_orderkey", "l_linenumber", "l_linestatus")
+    val li = Tables.lineitem(s, d)
+    def partial(r: Int) = Audit.digestPartial(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === r), cols,
+      col("l_returnflag"))
+    val root = scratchDir(s, "q171_ledger")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Audit.digestIndexWrite(partial(0), root, cols, "l_returnflag")
+    Audit.digestIndexAppend(s, root, partial(1), "day-2", cols,
+      "l_returnflag")
+    val stats = Audit.digestIndexCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q171: compaction folded nothing at $root — ledger build failed")
+    Audit.digestIndexRead(s, root, cols, "l_returnflag")
+      .select(col("group").as("l_returnflag"), col("n_rows"), col("digest"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6362,5 +6405,5 @@ object Catalog {
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
-    q169Transitions, q170WeightedK)
+    q169Transitions, q170WeightedK, q171DigestLedger)
 }

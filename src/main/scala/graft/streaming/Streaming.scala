@@ -672,6 +672,47 @@ object Streaming {
       .start()
   }
 
+  /** Streaming digest-ledger maintenance — the audit twin of
+    * [[cmsIngestSink]]: each micro-batch lands in the corpus and
+    * appends its per-group (n_rows, digest) partial; reads fold by
+    * modular addition (`Audit.digestIndexRead`), so the ledger always
+    * equals the digest of everything ingested and replica
+    * verification never re-hashes the corpus. Digests are additive —
+    * NOT idempotent — so the sink carries the same fresh-checkpoint
+    * refusal as the CMS sink (a reset source re-landing rows would
+    * shift every group's checksum). */
+  def digestIngestSink(stream: DataFrame, spark: SparkSession,
+                       corpusPath: String, indexPath: String,
+                       cols: Seq[String], groupCol: String,
+                       checkpoint: String,
+                       allowForeignEpochs: Boolean = false): StreamingQuery = {
+    import graft.operators.{Audit, EpochIndex, IndexMeta}
+    val marker = s"$checkpoint/graft-run-id"
+    require(graft.sources.Fs.exists(spark, marker) ||
+      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs,
+      s"digestIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+        "already holds digest partials. Digests are additive: a reset " +
+        "source re-landing its rows would shift every group's checksum. " +
+        "Restore the original checkpoint, rebuild corpus+ledger from " +
+        "raw sources, or — only if this run ingests strictly new rows — " +
+        "pass allowForeignEpochs = true")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val partial = Audit.digestPartial(batch, cols, col(groupCol))
+          .localCheckpoint(true)
+        try {
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            Audit.digestMeta(cols, groupCol))
+          epochWrite(batch, corpusPath, token, epochId)
+          epochWrite(partial, indexPath, token, epochId)
+        } finally { partial.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Streaming retrieval-index ingest — the continuous form of
     * `Relevance.bm25IndexAppend`, completing the postings family's
     * shapes (batch build / incremental append / streaming): each

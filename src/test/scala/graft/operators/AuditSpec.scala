@@ -68,6 +68,34 @@ class AuditSpec extends SparkSpecBase {
     assert(sql === colApi)
   }
 
+  test("persisted digest ledger: epoch partials fold to the direct digest; compaction preserves; column guard") {
+    val a = Seq(("d1", 1L, "x"), ("d2", 2L, "y"))
+    val b = Seq(("d1", 3L, "z"), ("d3", 4L, "w"))
+    def partial(rows: Seq[(String, Long, String)]) =
+      Audit.digestPartial(rows.toDF("day", "k", "v"), Seq("k", "v"),
+        col("day"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dgst").toString + "/store"
+    Audit.digestIndexWrite(partial(a), root, Seq("k", "v"), "day")
+    Audit.digestIndexAppend(spark, root, partial(b), "day-2",
+      Seq("k", "v"), "day")
+    def stored(): Map[String, (Long, Long)] =
+      Audit.digestIndexRead(spark, root, Seq("k", "v"), "day")
+        .as[(String, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    val direct = partial(a ++ b)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(stored() === direct)
+    val stats = Maintenance.compactStore(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2"))
+    assert(stored() === direct) // probe-after ≡ probe-before
+    val e = intercept[IllegalArgumentException] {
+      Audit.digestIndexRead(spark, root, Seq("k"), "day")
+    }
+    assert(e.getMessage.contains("cols"), e.getMessage)
+  }
+
   test("grouped digests: per-group rows and checksums") {
     val df = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L)).toDF("g", "v")
     val got = Audit.tableDigest(df, Seq("v"), groupCols = Seq("g"))

@@ -589,6 +589,14 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q171 digest ledger probe: folded tiny rows, no window, no joins, never a table re-hash") {
+    val plan = planOf("q171_digest_ledger")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"q171:\n$plan")
+    assert(!plan.contains("lineitem.parquet"),
+      s"q171 probe re-hashed the source table:\n$plan")
+  }
+
   test("q170 weighted sample: scan-side keys, bounded-heap cut, no window, no sort") {
     val plan = planOf("q170_weighted_sample_k")
     assert(!plan.contains("Window") && !plan.contains("Sort "),

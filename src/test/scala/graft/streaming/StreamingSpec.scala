@@ -743,6 +743,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("p:"), e.getMessage)
   }
 
+  test("streaming digest ingest: ledger ≡ direct digest of everything delivered") {
+    import graft.operators.Audit
+    val src = Files.createTempDirectory("graft-dg-src").toString
+    val corpus = Files.createTempDirectory("graft-dg-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-dg-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-dg-ckp").toString
+    val batch1 = Seq(("d1", 1L, "x"), ("d2", 2L, "y"))
+    val batch2 = Seq(("d1", 3L, "z"), ("d3", 4L, "w"))
+    def deliver(name: String, rows: Seq[(String, Long, String)]): Unit =
+      rows.toDF("day", "k", "v").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.digestIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, Seq("k", "v"), "day", ckp)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val stored = Audit.digestIndexRead(spark, index, Seq("k", "v"), "day")
+      .as[(String, Long, Long)].collect().toSet
+    val direct = Audit.digestPartial(
+      (batch1 ++ batch2).toDF("day", "k", "v"), Seq("k", "v"), col("day"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(stored === direct)
+    assert(spark.read.parquet(corpus).count() === 4L)
+  }
+
   test("streaming cms ingest: stored cells ≡ whole-stream sketch; fresh checkpoint refuses") {
     import graft.operators.HeavyHitters
     val src = Files.createTempDirectory("graft-cms-src").toString
