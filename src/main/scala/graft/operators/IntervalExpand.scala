@@ -106,4 +106,69 @@ object IntervalExpand {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_islands"),
         sum(col("island_end") - col("island_start")).as("covered"))
+
+  // --------------- persisted islands store (the incremental shape)
+
+  /** Epoch fold: re-merge the partials' islands. Islands are a
+    * MERGEABLE EXACT SUMMARY — merging is idempotent and associative
+    * on interval sets, so
+    * `islands(A ∪ B) = islands(islands(A) ∪ islands(B))`: each epoch
+    * stores O(islands) rows, never raw intervals, and any read/fold
+    * order gives the same disjoint set. The sketch-store discipline
+    * with zero approximation. */
+  private def islandsFold(keyCol: String)(partials: DataFrame): DataFrame =
+    mergeIntervals(
+      partials.select(col(keyCol), col("island_start"), col("island_end")),
+      keyCol, col("island_start"), col("island_end"))
+
+  private val IslandsFamily = "interval_islands"
+  private[graft] def islandsMeta(keyCol: String): IndexMeta =
+    IndexMeta(IslandsFamily, "keyCol" -> keyCol)
+
+  /** Bootstrap a stored coverage summary: the batch's merged islands
+    * per key, key column recorded in the manifest. Later batches
+    * append their own islands; reads re-merge — coverage questions
+    * over the whole history never re-read raw intervals. */
+  def islandsIndexWrite(intervals: DataFrame, path: String,
+                        keyCol: String, start: Column,
+                        end: Column): Unit = {
+    EpochIndex.bootstrap(mergeIntervals(intervals, keyCol, start, end), path)
+    IndexMeta.write(intervals.sparkSession, path, islandsMeta(keyCol))
+  }
+
+  /** Append one batch's islands as a new epoch (idempotent per epoch
+    * name; manifest-checked; overlap with earlier epochs is FINE —
+    * island merging is idempotent, unlike the additive stores). */
+  def islandsIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame, keyCol: String,
+                         start: Column, end: Column,
+                         epoch: String): Unit = {
+    IndexMeta.check(spark, path, islandsMeta(keyCol))
+    EpochIndex.append(mergeIntervals(batch, keyCol, start, end), path, epoch)
+  }
+
+  /** Checked read: the re-merged islands per key across base and
+    * live epochs — ≡ [[mergeIntervals]] over the union of all raw
+    * intervals ever ingested. */
+  def islandsIndexRead(spark: org.apache.spark.sql.SparkSession,
+                       path: String, keyCol: String,
+                       excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, islandsMeta(keyCol))
+    islandsFold(keyCol)(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "islandsIndexWrite"))
+  }
+
+  /** Fold accumulated epochs behind the atomic `_CURRENT` flip. */
+  def islandsIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, IslandsFamily)
+    val keyCol = IndexMeta.read(spark, path) match {
+      case Some(m) => m.params.getOrElse("keyCol",
+        sys.error(s"islands store $path manifest lacks keyCol"))
+      case None => sys.error(s"islands store $path has no manifest")
+    }
+    EpochIndex.compact(spark, path, islandsFold(keyCol),
+      keepVersions = keepVersions)
+  }
 }

@@ -60,6 +60,8 @@ object Maintenance {
         HeavyHitters.cmsIndexCompact(spark, root, keepVersions)
       case "table_digest" =>
         Audit.digestIndexCompact(spark, root, keepVersions)
+      case "interval_islands" =>
+        IntervalExpand.islandsIndexCompact(spark, root, keepVersions)
       case "dsir_buckets" =>
         Splits.dsirIndexCompact(spark, root, keepVersions)
       case "bm25_postings" =>

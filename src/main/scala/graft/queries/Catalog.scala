@@ -6363,6 +6363,57 @@ object Catalog {
       .select(col("group").as("l_returnflag"), col("n_rows"), col("digest"))
   }
 
+  /** The coverage family's incremental shape: interval islands are a
+    * MERGEABLE EXACT SUMMARY (islands(A∪B) = islands(islands(A) ∪
+    * islands(B))), so q161's per-customer entitlement windows split
+    * across two epochs of a persisted islands store, compact behind
+    * the `_CURRENT` flip, and the probe's coverage report must equal
+    * the all-at-once computation — the q161 oracle replayed against a
+    * store that never kept a raw interval. */
+  val q172IslandsStore = q("q172_islands_store",
+    "Coverage from a persisted two-epoch islands store, compacted then probed (north star: incremental coverage)",
+    """WITH iv AS (
+      |  SELECT o_custkey AS k,
+      |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+      |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |           + o_orderkey % 20 + 1 AS e
+      |  FROM orders),
+      |m AS (SELECT k, s, e,
+      |      max(e) OVER (PARTITION BY k ORDER BY s, e
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |      FROM iv),
+      |fl AS (SELECT k, s, e,
+      |       CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS f FROM m),
+      |isl AS (SELECT k, s, e,
+      |        sum(f) OVER (PARTITION BY k ORDER BY s, e
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+      |        FROM fl),
+      |g AS (SELECT k, isle, min(s) AS st, max(e) AS en FROM isl GROUP BY k, isle)
+      |SELECT k AS o_custkey, CAST(count(*) AS BIGINT) AS n_islands,
+      |       CAST(sum(en - st) AS BIGINT) AS covered
+      |FROM g GROUP BY k""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    def ivs(r: Int) = ord.filter(pmod(col("o_orderkey"), lit(2)) === r)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("s"),
+        (datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long")
+          + pmod(col("o_orderkey"), lit(20)) + lit(1L)).as("e"))
+    val root = scratchDir(s, "q172_islands")
+    graft.sources.Fs.deleteRecursively(s, root)
+    IntervalExpand.islandsIndexWrite(ivs(0), root, "o_custkey",
+      col("s"), col("e"))
+    IntervalExpand.islandsIndexAppend(s, root, ivs(1), "o_custkey",
+      col("s"), col("e"), "day-2")
+    val stats = IntervalExpand.islandsIndexCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q172: compaction folded nothing at $root — store build failed")
+    IntervalExpand.islandsIndexRead(s, root, "o_custkey")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("island_end") - col("island_start")).as("covered"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6405,5 +6456,5 @@ object Catalog {
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
-    q169Transitions, q170WeightedK, q171DigestLedger)
+    q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore)
 }

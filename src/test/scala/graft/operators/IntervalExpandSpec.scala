@@ -72,6 +72,34 @@ class IntervalExpandSpec extends SparkSpecBase {
     assert(cov === Set(("a", 2L, 10L), ("b", 2L, 3L)))
   }
 
+  test("persisted islands store: epochs re-merge to the direct islands; compaction preserves; key guard") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq(("k1", 1L, 5L), ("k1", 10L, 12L), ("k2", 0L, 3L))
+    val b = Seq(("k1", 4L, 11L), ("k2", 2L, 4L), ("k3", 7L, 9L))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-isl").toString + "/store"
+    IntervalExpand.islandsIndexWrite(a.toDF("k", "s", "e"), root, "k",
+      col("s"), col("e"))
+    IntervalExpand.islandsIndexAppend(spark, root, b.toDF("k", "s", "e"),
+      "k", col("s"), col("e"), "day-2")
+    def stored(): Set[(String, Long, Long)] =
+      IntervalExpand.islandsIndexRead(spark, root, "k")
+        .as[(String, Long, Long)].collect().toSet
+    val direct = IntervalExpand.mergeIntervals(
+      (a ++ b).toDF("k", "s", "e"), "k", col("s"), col("e"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(stored() === direct)
+    // the [1,5) ∪ [4,11) ∪ [10,12) chain must have fused across epochs
+    assert(stored().contains(("k1", 1L, 12L)))
+    val stats = Maintenance.compactStore(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2"))
+    assert(stored() === direct) // probe-after ≡ probe-before
+    val e = intercept[IllegalArgumentException] {
+      IntervalExpand.islandsIndexRead(spark, root, "wrong_key")
+    }
+    assert(e.getMessage.contains("keyCol"), e.getMessage)
+  }
+
   test("mergeIntervals: coverage equals the exploded-days ground truth") {
     val ivs = (1 to 60).map { i =>
       val k = s"k${i % 4}"

@@ -589,6 +589,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q172 islands store probe: re-merged summary rows, never raw intervals") {
+    val plan = planOf("q172_islands_store")
+    assert(!plan.contains("Join"), s"q172 probe grew a join:\n$plan")
+    assert(!plan.contains("orders.parquet"),
+      s"q172 probe re-read the raw intervals:\n$plan")
+    // one islands re-merge window over the summary rows is the fold
+    assert(occurrences(plan, "Window") <= 2, s"q172 window count grew:\n$plan")
+  }
+
   test("q171 digest ledger probe: folded tiny rows, no window, no joins, never a table re-hash") {
     val plan = planOf("q171_digest_ledger")
     assert(!plan.contains("Window") && !plan.contains("Join"),
