@@ -388,7 +388,10 @@ object Relevance {
     * terms| rows); corpus statistics ride in as ONE broadcast row;
     * the (query, doc) partial-aggregated sum is the only shuffle and
     * the per-query top-k is the bounded-heap aggregator, never a
-    * window over the corpus.
+    * window over the corpus. The pruned-postings subtree evaluates
+    * twice (once for the per-term document frequencies, once for
+    * scoring) — two passes over the PRUNED set, not the store;
+    * checkpoint it first if the query-term set is ever huge.
     *
     * @param queries (`query_id` long, `terms` array<string>) — terms
     *                distinct within a query
