@@ -672,6 +672,38 @@ object Streaming {
       .start()
   }
 
+  /** Streaming islands maintenance — the coverage twin of
+    * [[hllIngestSink]]: each micro-batch of raw intervals lands in
+    * the corpus and appends its MERGED islands as an epoch partial;
+    * reads re-merge across epochs
+    * (`IntervalExpand.islandsIndexRead`). Island merging is
+    * idempotent — a replayed identical partial re-merges to itself —
+    * so like the HLL sink the store is self-healing under
+    * at-least-once delivery and no fresh-checkpoint refusal is
+    * needed; the corpus write still relies on the epoch-scoped
+    * dynamic overwrite. */
+  def islandsIngestSink(stream: DataFrame, spark: SparkSession,
+                        corpusPath: String, indexPath: String,
+                        keyCol: String, startCol: String, endCol: String,
+                        checkpoint: String): StreamingQuery = {
+    import graft.operators.{IndexMeta, IntervalExpand}
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val partial = IntervalExpand.mergeIntervals(batch, keyCol,
+          col(startCol), col(endCol)).localCheckpoint(true)
+        try {
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            IntervalExpand.islandsMeta(keyCol))
+          epochWrite(batch, corpusPath, token, epochId)
+          epochWrite(partial, indexPath, token, epochId)
+        } finally { partial.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Streaming digest-ledger maintenance — the audit twin of
     * [[cmsIngestSink]]: each micro-batch lands in the corpus and
     * appends its per-group (n_rows, digest) partial; reads fold by

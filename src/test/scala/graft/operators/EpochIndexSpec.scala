@@ -330,4 +330,18 @@ class EpochIndexSpec extends SparkSpecBase {
     assert(st3.head.baseRows > 0L &&
       st3.head.rowsAggregated > st3.head.baseRows)
   }
+
+  test("observed=false reads carry no epoch_probe metric (the pruning-path contract)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-epobs").toString + "/store"
+    EpochIndex.bootstrap(Seq((1L, "a")).toDF("k", "v"), root)
+    val observed = EpochIndex.read(spark, root)
+    observed.collect()
+    assert(EpochIndex.probeStats(observed).nonEmpty,
+      "default read lost its observation")
+    val silent = EpochIndex.read(spark, root, observed = false)
+    silent.filter(col("k") === 1L).collect()
+    assert(EpochIndex.probeStats(silent).isEmpty,
+      "observed=false still attached a CollectMetrics barrier")
+  }
 }

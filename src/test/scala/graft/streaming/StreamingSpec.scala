@@ -743,6 +743,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("p:"), e.getMessage)
   }
 
+  test("streaming islands ingest: stored summary ≡ direct islands over everything delivered") {
+    import graft.operators.IntervalExpand
+    val src = Files.createTempDirectory("graft-isl-src").toString
+    val corpus = Files.createTempDirectory("graft-isl-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-isl-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-isl-ckp").toString
+    val batch1 = Seq(("k1", 1L, 5L), ("k2", 0L, 3L))
+    val batch2 = Seq(("k1", 4L, 9L), ("k2", 10L, 12L))
+    def deliver(name: String, rows: Seq[(String, Long, Long)]): Unit =
+      rows.toDF("k", "s", "e").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.islandsIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "k", "s", "e", ckp)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val stored = IntervalExpand.islandsIndexRead(spark, index, "k")
+      .as[(String, Long, Long)].collect().toSet
+    val direct = IntervalExpand.mergeIntervals(
+      (batch1 ++ batch2).toDF("k", "s", "e"), "k", col("s"), col("e"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(stored === direct)
+    // cross-epoch fusion happened: [1,5) ∪ [4,9) = [1,9)
+    assert(stored.contains(("k1", 1L, 9L)))
+    assert(spark.read.parquet(corpus).count() === 4L)
+  }
+
   test("streaming digest ingest: ledger ≡ direct digest of everything delivered") {
     import graft.operators.Audit
     val src = Files.createTempDirectory("graft-dg-src").toString
