@@ -124,6 +124,19 @@ object Curation {
     capBy(df, key, id, maxPerKey, -id.cast("double"))
   }
 
+  /** Quality-ranked per-key cap: keep the `maxPerKey` HIGHEST-scored
+    * rows per key (ties: smaller id) — "no site dominates, and what
+    * survives is each site's best", the form a curation run uses once
+    * a quality/authority score exists (the md5 cap is unbiased, the
+    * arrival cap is first-come; this one is merit). Same bounded-heap
+    * shape as the other caps — never a per-key window sort. Round
+    * the score first if it must rank engine-independently. */
+  def capPerKeyByScore(df: DataFrame, key: Column, id: Column,
+                       score: Column, maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be > 0")
+    capBy(df, key, id, maxPerKey, score.cast("double"))
+  }
+
   private def capBy(df: DataFrame, key: Column, id: Column,
                     maxPerKey: Int, score: Column): DataFrame =
     df.select(key.as("_key"), score.as("_s"), id.cast("long").as("_id"))

@@ -6414,6 +6414,86 @@ object Catalog {
         sum(col("island_end") - col("island_start")).as("covered"))
   }
 
+  /** Merit-ranked curation, composed: q157's fixed-point PageRank
+    * scores every document, q145's PSL machinery assigns its
+    * registered domain, and [[Curation.capPerKeyByScore]] keeps each
+    * site's THREE most authoritative pages — "no site dominates, and
+    * what survives is each site's best". Authority ranks are exact
+    * longs, so the oracle replays the whole composition: three
+    * PageRank iterations, the real PSL algorithm, and the per-domain
+    * cut. Bounded-heap cap — never a per-domain window sort. */
+  val q173AuthorityCap = q("q173_authority_cap",
+    "Per-domain cap by PageRank authority: keep each site's best pages (north star: merit curation)",
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |v AS (SELECT doc_id FROM documents),
+      |e AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |      FROM documents CROSS JOIN n
+      |           CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |      WHERE doc_id % 10 <> 0),
+      |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+      |pr0 AS (SELECT doc_id, 1000000000000 // nn AS pr FROM v CROSS JOIN n),
+      |dang1 AS (SELECT coalesce(sum(pr), 0) AS dg FROM pr0
+      |          LEFT JOIN outd ON pr0.doc_id = outd.src WHERE od IS NULL),
+      |in1 AS (SELECT e.dst AS doc_id, sum(pr0.pr // outd.od) AS s
+      |        FROM e JOIN pr0 ON e.src = pr0.doc_id
+      |             JOIN outd ON e.src = outd.src GROUP BY e.dst),
+      |pr1 AS (SELECT v.doc_id,
+      |               (15 * (1000000000000 // nn)) // 100
+      |               + (85 * (coalesce(s, 0) + dg // nn)) // 100 AS pr
+      |        FROM v CROSS JOIN n CROSS JOIN dang1
+      |        LEFT JOIN in1 ON v.doc_id = in1.doc_id),
+      |dang2 AS (SELECT coalesce(sum(pr), 0) AS dg FROM pr1
+      |          LEFT JOIN outd ON pr1.doc_id = outd.src WHERE od IS NULL),
+      |in2 AS (SELECT e.dst AS doc_id, sum(pr1.pr // outd.od) AS s
+      |        FROM e JOIN pr1 ON e.src = pr1.doc_id
+      |             JOIN outd ON e.src = outd.src GROUP BY e.dst),
+      |pr2 AS (SELECT v.doc_id,
+      |               (15 * (1000000000000 // nn)) // 100
+      |               + (85 * (coalesce(s, 0) + dg // nn)) // 100 AS pr
+      |        FROM v CROSS JOIN n CROSS JOIN dang2
+      |        LEFT JOIN in2 ON v.doc_id = in2.doc_id),
+      |dang3 AS (SELECT coalesce(sum(pr), 0) AS dg FROM pr2
+      |          LEFT JOIN outd ON pr2.doc_id = outd.src WHERE od IS NULL),
+      |in3 AS (SELECT e.dst AS doc_id, sum(pr2.pr // outd.od) AS s
+      |        FROM e JOIN pr2 ON e.src = pr2.doc_id
+      |             JOIN outd ON e.src = outd.src GROUP BY e.dst),
+      |pr3 AS (SELECT v.doc_id,
+      |               (15 * (1000000000000 // nn)) // 100
+      |               + (85 * (coalesce(s, 0) + dg // nn)) // 100 AS pr
+      |        FROM v CROSS JOIN n CROSS JOIN dang3
+      |        LEFT JOIN in3 ON v.doc_id = in3.doc_id),
+      |${pslHostSql(10)},
+      |$pslDomainSql,
+      |scored AS (SELECT d.domain, d.doc_id, pr3.pr
+      |           FROM d JOIN pr3 ON d.doc_id = pr3.doc_id),
+      |rker AS (SELECT domain, doc_id, pr,
+      |                row_number() OVER (PARTITION BY domain
+      |                                   ORDER BY pr DESC, doc_id) AS rk
+      |         FROM scored)
+      |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk, pr
+      |FROM rker WHERE rk <= 3""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("nn"))
+    val e = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"), col("nn"))
+      .select(col("src"),
+        pmod(col("src") * lit(31L) + col("j") * lit(17L) + lit(7L),
+          col("nn")).as("dst"))
+    val pr = Centrality.pageRankFixedPoint(
+      docs.select(col("doc_id").as("id")), e, iterations = 3)
+      .select(col("id").as("doc_id"), col("pr"))
+    val scored = docs.select(col("doc_id"),
+      Psl.registeredDomain(pslDemoHost(10)).as("domain"))
+      .join(pr, Seq("doc_id"))
+    val kept = Curation.capPerKeyByScore(scored, col("domain"),
+      col("doc_id"), col("pr"), maxPerKey = 3)
+    kept.select(col("key").as("domain"), col("id").as("doc_id"), col("rk"))
+      .join(pr.select(col("doc_id"), col("pr")), Seq("doc_id"))
+      .select(col("domain"), col("doc_id"), col("rk"), col("pr"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6456,5 +6536,6 @@ object Catalog {
     q156HybridMulti, q157PageRank, q158Hll, q159HllStore, q160Erasure,
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
-    q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore)
+    q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
+    q173AuthorityCap)
 }

@@ -75,6 +75,19 @@ class CurationSpec extends SparkSpecBase {
       Seq(1L, 3L, 5L))
   }
 
+  test("capPerKeyByScore: highest scores survive, ranked best-first, ties to smaller id") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)).toDF("dom", "id", "sc")
+    val kept = Curation.capPerKeyByScore(df, col("dom"), col("id"),
+      col("sc"), maxPerKey = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: the two 9.0s win, tie broken by smaller id first
+    assert(kept.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq ===
+      Seq(2L, 3L))
+    assert(kept.filter(_._1 == "b").map(_._2).toSeq === Seq(5L))
+  }
+
   test("incrementalCapPerKey ≡ full arrival cap restricted to the batch; store lifecycle; keyName guard") {
     val history = (1L to 30L).map(i => (s"d${i % 3}", i)).toDF("dom", "id")
     val batch = (31L to 60L).map(i => (s"d${i % 5}", i)).toDF("dom", "id")

@@ -589,6 +589,14 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q173 authority cap: bounded-heap merit cut, no per-domain window sort") {
+    val plan = planOf("q173_authority_cap")
+    assert(!plan.contains("Window"), s"q173 regressed to a window sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q173 lost the typed bounded-heap cap aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q173:\n$plan")
+  }
+
   test("q172 islands store probe: re-merged summary rows, never raw intervals") {
     val plan = planOf("q172_islands_store")
     assert(!plan.contains("Join"), s"q172 probe grew a join:\n$plan")
