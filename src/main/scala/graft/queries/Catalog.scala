@@ -6494,6 +6494,62 @@ object Catalog {
       .select(col("domain"), col("doc_id"), col("rk"), col("pr"))
   }
 
+  /** Incremental entity resolution, block-scoped (q162's incremental
+    * shape): a batch of new records only RE-RESOLVES the blocks it
+    * touches — and because every match edge lives within one block,
+    * that is provably EXACT, not an approximation: a vertex in an
+    * affected block has all its edges inside that block, so the
+    * sub-ER equals the full rebuild restricted to those blocks
+    * (which is precisely what the oracle computes). History blocks a
+    * batch never touches pay nothing. */
+  val q174IncrementalEr = q("q174_incremental_er",
+    "Block-scoped incremental entity resolution == full rebuild on affected blocks (north star: record dedup, incremental)",
+    """WITH RECURSIVE
+      |roster AS (
+      |  SELECT c_custkey AS id,
+      |         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS nm
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000,
+      |         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) || 'x'
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |blk AS (SELECT id, nm, substr(nm, 1, 4) AS b FROM roster),
+      |edges AS (SELECT a.id AS id_a, b.id AS id_b
+      |  FROM blk a JOIN blk b ON a.b = b.b AND a.id < b.id
+      |  WHERE levenshtein(a.nm, b.nm) <= 2),
+      |verts AS (SELECT DISTINCT id FROM
+      |  (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
+      |undirected AS (SELECT id_a AS s2, id_b AS d FROM edges
+      |               UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT reach.id, u.d FROM reach JOIN undirected u ON reach.r = u.s2),
+      |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |affected AS (SELECT DISTINCT b FROM blk WHERE id >= 1000000)
+      |SELECT cl.id, cl.cluster_id
+      |FROM cl JOIN blk ON cl.id = blk.id
+      |JOIN affected ON blk.b = affected.b""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    def nameOf(k: Column) = substring(md5(k.cast("string").cast("binary")), 1, 10)
+    val history = c.select(col("c_custkey").cast("long").as("id"),
+      nameOf(col("c_custkey")).as("nm"))
+    val batch = c.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select((col("c_custkey") + lit(1000000L)).as("id"),
+        concat(substring(nameOf(col("c_custkey")), 1, 9), lit("x")).as("nm"))
+    def withBlk(df: DataFrame) = df.withColumn("blk", substring(col("nm"), 1, 4))
+    val affected = withBlk(batch).select(col("blk")).distinct()
+    // ONLY affected blocks re-resolve: history pays nothing elsewhere
+    val sub = withBlk(history.unionByName(batch))
+      .join(broadcast(affected), Seq("blk"), "left_semi")
+    val edges = sub.alias("a").join(sub.alias("b"),
+      col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+        levenshtein(col("a.nm"), col("b.nm")) <= 2)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    Dedup.connectedComponents(edges)
+      .select(col("id"), col("cluster_id"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6537,5 +6593,5 @@ object Catalog {
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
     q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
-    q173AuthorityCap)
+    q173AuthorityCap, q174IncrementalEr)
 }

@@ -589,6 +589,14 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q174 incremental ER: affected-block semi join prunes history, no cartesian") {
+    val plan = planOf("q174_incremental_er")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q174 pairing regressed to an unblocked product:\n$plan")
+    assert(!plan.contains("Window"), s"q174:\n$plan")
+  }
+
   test("q173 authority cap: bounded-heap merit cut, no per-domain window sort") {
     val plan = planOf("q173_authority_cap")
     assert(!plan.contains("Window"), s"q173 regressed to a window sort:\n$plan")
