@@ -91,7 +91,9 @@ object SqlFunctions {
   }
 
   private def hllEstimate(regs: Expression, p: Int): Expression = {
-    require(p >= 4 && p <= 14, s"HLL precision p must be in [4,14]: $p")
+    // [4,11]: p >= 12 overflows the exact scaled harmonic sum — see
+    // Cardinality.hllSketch
+    require(p >= 4 && p <= 11, s"HLL precision p must be in [4,11]: $p")
     val m = 1 << p
     val remBits = 52 - p
     val pows = CreateArray((0 to remBits + 1).map(r => Literal(1L << (52 - r))))

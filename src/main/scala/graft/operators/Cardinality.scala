@@ -126,7 +126,11 @@ object Cardinality {
     */
   def hllSketch(df: DataFrame, group: Column, value: Column,
                 p: Int = 9): DataFrame = {
-    require(p >= 4 && p <= 14, s"HLL precision p must be in [4,14]: $p")
+    // p caps at 11: the exact scaled harmonic sum is ≤ m·2^52 =
+    // 2^(p+52), which must stay inside a signed Long — p = 12 would
+    // overflow SILENTLY and corrupt every estimate (the failure class
+    // this integer construction exists to prevent)
+    require(p >= 4 && p <= 11, s"HLL precision p must be in [4,11]: $p")
     val m = 1 << p
     val remBits = 52 - p
     val twoRem = 1L << remBits
@@ -157,6 +161,9 @@ object Cardinality {
     * textbook expression — an oracle writing the same expression gets
     * the same double. */
   def hllEstimate(regs: Column, p: Int): Column = {
+    require(p >= 4 && p <= 11,
+      s"HLL precision p must be in [4,11] (p >= 12 overflows the " +
+        s"exact scaled sum): $p")
     val m = 1 << p
     val remBits = 52 - p
     // element_at(pows, rho+1) = 2^(52-rho), exact longs; rho ∈ [0, remBits+1]

@@ -51,6 +51,16 @@ object Diff {
                        keyCols: Seq[String],
                        cmp: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshot diff needs at least one key column")
+    // internal marker/output names must not collide with user columns:
+    // a payload named 'present' would duplicate `_old_present`, a key
+    // named 'change' would be silently overwritten by the verdict
+    val reserved = Seq("change", "changed_cols", "present")
+    val clash = (keyCols ++ cmp).filter(c =>
+      reserved.contains(c) || c.startsWith("_old_") || c.startsWith("_new_"))
+    require(clash.isEmpty,
+      s"snapshotDiff: column names ${clash.mkString(", ")} collide with " +
+        "the diff's internal/output names (change, changed_cols, " +
+        "present, _old_*, _new_*) — rename them first")
     val missing = (keyCols ++ cmp).filterNot(newSnap.columns.contains) ++
       (keyCols ++ cmp).filterNot(oldSnap.columns.contains)
     require(missing.isEmpty,
@@ -153,8 +163,15 @@ object Diff {
       else newSnap.columns.filterNot(keyCols.contains).toSeq
     // hash(col, isnull(col)) per column, folded left-to-right: the
     // null marker keeps NULL indistinguishable only from itself
-    def fp(df: DataFrame, tag: String) = df.select(
-      keyCols.map(col) :+
+    val keyNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    def fp(df: DataFrame, tag: String) = df
+      // same loud NULL-key refusal as the full diff (a NULL key would
+      // silently surface as simultaneous add+remove)
+      .filter(assert_true(keyNotNull, lit(
+        s"snapshotDiffKeys: NULL key in the $tag snapshot — NULL keys " +
+          "cannot be matched across snapshots; filter or key them first"))
+        .isNull)
+      .select(keyCols.map(col) :+
         xxhash64(cmp.flatMap(c =>
           Seq(col(c).cast("string"), col(c).isNull.cast("string"))): _*)
           .as(s"_fp_$tag") :+ lit(true).as(s"_${tag}_present"): _*)

@@ -193,7 +193,16 @@ object Merge {
       .join(broadcast(keys), keyCols, "left_semi")
       .select(col(partitionCol)).distinct()
       .collect().map(r => Option(r.get(0)).map(_.toString).orNull).toSeq
-    val nParts = target.select(col(partitionCol)).distinct().count()
+    // partition census from the DIRECTORY LISTING, not a second table
+    // scan — the same metadata the emptied-directory deletion below
+    // relies on; the one probe scan above is the only data read
+    val nParts = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .listStatus(p).count(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partitionCol="))
+        .toLong
+    }
     if (touched.isEmpty) return DeleteStats(Nil, Nil, nParts)
     val nonNull = touched.filter(_ != null)
     val touchedPred = {

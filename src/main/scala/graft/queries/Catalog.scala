@@ -5834,7 +5834,7 @@ object Catalog {
   val q160Erasure = q("q160_erasure",
     "Targeted key deletion over a partitioned table: rewrite only matched partitions (north star: GDPR erasure)",
     """SELECT event_id, user_id, event_type FROM events
-      |WHERE user_id % 37 <> 0""".stripMargin) { (s, d) =>
+      |WHERE user_id IS NULL OR user_id % 37 <> 0""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     val root = scratchDir(s, "q160_erase")
     graft.sources.Fs.deleteRecursively(s, root)

@@ -569,34 +569,19 @@ object Streaming {
                              valueCol: String, k: Int,
                              checkpoint: String,
                              allowForeignEpochs: Boolean = false): StreamingQuery = {
-    import graft.operators.{EpochIndex, IndexMeta, SampleSketch}
-    val marker = s"$checkpoint/graft-run-id"
-    require(graft.sources.Fs.exists(spark, marker) ||
-      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs,
-      s"sampleSketchIngestSink: fresh checkpoint ($checkpoint) but " +
-        s"$indexPath already holds sketch partials. A reset source would " +
-        "re-land its rows in the corpus (the profile store itself " +
-        "self-heals — identical resampled triples dedup in the fold). " +
-        "Restore the original checkpoint, rebuild corpus+store from raw " +
-        "sources, or — only if this run ingests strictly new rows — " +
-        "pass allowForeignEpochs = true")
-    val token = runToken(spark, checkpoint)
-    stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val partial = SampleSketch.sampleSketch(batch, col(groupCol),
-          col(idCol), col(valueCol), k).localCheckpoint(true)
-        try {
-          IndexMeta.writeIfAbsent(spark, indexPath,
-            SampleSketch.indexMeta(k, groupCol, valueCol))
-          // corpus before store: a crash between them re-runs the
-          // epoch; the dynamic overwrite rewrites both idempotently
-          epochWrite(batch, corpusPath, token, epochId)
-          epochWrite(partial, indexPath, token, epochId)
-        } finally { partial.unpersist(); () }
-      }
-      .start()
+    import graft.operators.SampleSketch
+    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+      SampleSketch.indexMeta(k, groupCol, valueCol),
+      refusal = if (allowForeignEpochs) None else Some(
+        s"sampleSketchIngestSink: fresh checkpoint ($checkpoint) but " +
+          s"$indexPath already holds sketch partials. A reset source would " +
+          "re-land its rows in the corpus (the profile store itself " +
+          "self-heals — identical resampled triples dedup in the fold). " +
+          "Restore the original checkpoint, rebuild corpus+store from raw " +
+          "sources, or — only if this run ingests strictly new rows — " +
+          "pass allowForeignEpochs = true"))(batch =>
+      Seq("" -> SampleSketch.sampleSketch(batch, col(groupCol),
+        col(idCol), col(valueCol), k)))
   }
 
   /** Streaming HLL-profile ingest — the register twin of
@@ -613,22 +598,11 @@ object Streaming {
                     corpusPath: String, indexPath: String,
                     groupCol: String, valueCol: String, p: Int,
                     checkpoint: String): StreamingQuery = {
-    import graft.operators.{Cardinality, IndexMeta}
-    val token = runToken(spark, checkpoint)
-    stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val partial = Cardinality.hllSketch(batch, col(groupCol),
-          col(valueCol), p).localCheckpoint(true)
-        try {
-          IndexMeta.writeIfAbsent(spark, indexPath,
-            Cardinality.hllMeta(p, valueCol))
-          epochWrite(batch, corpusPath, token, epochId)
-          epochWrite(partial, indexPath, token, epochId)
-        } finally { partial.unpersist(); () }
-      }
-      .start()
+    import graft.operators.Cardinality
+    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+      Cardinality.hllMeta(p, valueCol), refusal = None)(batch =>
+      Seq("" -> Cardinality.hllSketch(batch, col(groupCol),
+        col(valueCol), p)))
   }
 
   /** Streaming count-min ingest — the frequency twin of
@@ -645,29 +619,63 @@ object Streaming {
                     itemCol: String, depth: Int, width: Int,
                     checkpoint: String,
                     allowForeignEpochs: Boolean = false): StreamingQuery = {
-    import graft.operators.{EpochIndex, HeavyHitters, IndexMeta}
-    val marker = s"$checkpoint/graft-run-id"
-    require(graft.sources.Fs.exists(spark, marker) ||
-      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs,
-      s"cmsIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
-        "already holds count partials. Counts are additive: a reset " +
-        "source re-landing its rows would double every estimate. " +
-        "Restore the original checkpoint, rebuild corpus+store from " +
-        "raw sources, or — only if this run ingests strictly new " +
-        "rows — pass allowForeignEpochs = true")
+    import graft.operators.HeavyHitters
+    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+      HeavyHitters.cmsMeta(depth, width, itemCol),
+      refusal = if (allowForeignEpochs) None else Some(
+        s"cmsIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+          "already holds count partials. Counts are additive: a reset " +
+          "source re-landing its rows would double every estimate. " +
+          "Restore the original checkpoint, rebuild corpus+store from " +
+          "raw sources, or — only if this run ingests strictly new " +
+          "rows — pass allowForeignEpochs = true"))(batch =>
+      Seq("" -> HeavyHitters.countMinSketch(batch, itemCol, depth, width)))
+  }
+
+  /** THE shared scaffold of the partial-appending profile/index sinks
+    * (sample sketch, HLL, CMS, digest ledger, islands, BM25 postings)
+    * — one copy of the machinery, so a fix lands in every family at
+    * once (the indexedCleaningSink discipline):
+    *  - optional fresh-checkpoint refusal (`refusal` = the family's
+    *    message; None for idempotent-fold families — max-merge HLL,
+    *    re-merge islands — whose stores self-heal under replay, and
+    *    for callers passing allowForeignEpochs);
+    *  - manifest-first `writeIfAbsent`, then corpus before partials,
+    *    all under the `(token, epochId)` dynamic-overwrite unit — an
+    *    at-least-once replay rewrites its own partitions;
+    *  - empty batches write nothing anywhere;
+    *  - `buildPartials` returns (store-subdir → partial) pairs ("" =
+    *    the store root; BM25 splits postings/stats). */
+  private def partialIngestSink(stream: DataFrame, spark: SparkSession,
+                                corpusPath: String, indexPath: String,
+                                checkpoint: String,
+                                meta: graft.operators.IndexMeta,
+                                refusal: Option[String],
+                                storeSubdirs: Seq[String] = Seq(""))(
+      buildPartials: DataFrame => Seq[(String, DataFrame)]): StreamingQuery = {
+    import graft.operators.{EpochIndex, IndexMeta}
+    def sub(p: String) = if (p.isEmpty) indexPath else s"$indexPath/$p"
+    refusal.foreach { msg =>
+      val marker = s"$checkpoint/graft-run-id"
+      require(graft.sources.Fs.exists(spark, marker) ||
+        !storeSubdirs.exists(p => EpochIndex.nonEmpty(spark, sub(p))), msg)
+    }
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val partial = HeavyHitters.countMinSketch(batch, itemCol,
-          depth, width).localCheckpoint(true)
-        try {
-          IndexMeta.writeIfAbsent(spark, indexPath,
-            HeavyHitters.cmsMeta(depth, width, itemCol))
-          epochWrite(batch, corpusPath, token, epochId)
-          epochWrite(partial, indexPath, token, epochId)
-        } finally { partial.unpersist(); () }
+        if (!batch.isEmpty) {
+          val partials = buildPartials(batch)
+            .map { case (p, df) => p -> df.localCheckpoint(true) }
+          try {
+            IndexMeta.writeIfAbsent(spark, indexPath, meta)
+            epochWrite(batch, corpusPath, token, epochId)
+            partials.foreach { case (p, df) =>
+              epochWrite(df, sub(p), token, epochId)
+            }
+          } finally partials.foreach { case (_, df) => df.unpersist(); () }
+        }
       }
       .start()
   }
@@ -686,22 +694,11 @@ object Streaming {
                         corpusPath: String, indexPath: String,
                         keyCol: String, startCol: String, endCol: String,
                         checkpoint: String): StreamingQuery = {
-    import graft.operators.{IndexMeta, IntervalExpand}
-    val token = runToken(spark, checkpoint)
-    stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val partial = IntervalExpand.mergeIntervals(batch, keyCol,
-          col(startCol), col(endCol)).localCheckpoint(true)
-        try {
-          IndexMeta.writeIfAbsent(spark, indexPath,
-            IntervalExpand.islandsMeta(keyCol))
-          epochWrite(batch, corpusPath, token, epochId)
-          epochWrite(partial, indexPath, token, epochId)
-        } finally { partial.unpersist(); () }
-      }
-      .start()
+    import graft.operators.IntervalExpand
+    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+      IntervalExpand.islandsMeta(keyCol), refusal = None)(batch =>
+      Seq("" -> IntervalExpand.mergeIntervals(batch, keyCol,
+        col(startCol), col(endCol))))
   }
 
   /** Streaming digest-ledger maintenance — the audit twin of
@@ -718,31 +715,17 @@ object Streaming {
                        cols: Seq[String], groupCol: String,
                        checkpoint: String,
                        allowForeignEpochs: Boolean = false): StreamingQuery = {
-    import graft.operators.{Audit, EpochIndex, IndexMeta}
-    val marker = s"$checkpoint/graft-run-id"
-    require(graft.sources.Fs.exists(spark, marker) ||
-      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs,
-      s"digestIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
-        "already holds digest partials. Digests are additive: a reset " +
-        "source re-landing its rows would shift every group's checksum. " +
-        "Restore the original checkpoint, rebuild corpus+ledger from " +
-        "raw sources, or — only if this run ingests strictly new rows — " +
-        "pass allowForeignEpochs = true")
-    val token = runToken(spark, checkpoint)
-    stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val partial = Audit.digestPartial(batch, cols, col(groupCol))
-          .localCheckpoint(true)
-        try {
-          IndexMeta.writeIfAbsent(spark, indexPath,
-            Audit.digestMeta(cols, groupCol))
-          epochWrite(batch, corpusPath, token, epochId)
-          epochWrite(partial, indexPath, token, epochId)
-        } finally { partial.unpersist(); () }
-      }
-      .start()
+    import graft.operators.Audit
+    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+      Audit.digestMeta(cols, groupCol),
+      refusal = if (allowForeignEpochs) None else Some(
+        s"digestIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+          "already holds digest partials. Digests are additive: a reset " +
+          "source re-landing its rows would shift every group's checksum. " +
+          "Restore the original checkpoint, rebuild corpus+ledger from " +
+          "raw sources, or — only if this run ingests strictly new rows — " +
+          "pass allowForeignEpochs = true"))(batch =>
+      Seq("" -> Audit.digestPartial(batch, cols, col(groupCol))))
   }
 
   /** Streaming retrieval-index ingest — the continuous form of
@@ -764,34 +747,20 @@ object Streaming {
                      idCol: String, textCol: String,
                      checkpoint: String,
                      allowForeignEpochs: Boolean = false): StreamingQuery = {
-    import graft.operators.{EpochIndex, IndexMeta, Relevance}
-    val marker = s"$checkpoint/graft-run-id"
-    require(graft.sources.Fs.exists(spark, marker) ||
-      !(EpochIndex.nonEmpty(spark, s"$indexPath/postings") ||
-        EpochIndex.nonEmpty(spark, s"$indexPath/stats")) || allowForeignEpochs,
-      s"bm25IngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
-        "already holds postings partials. A reset source would re-land " +
-        "its documents and double-count the corpus statistics (N, avgdl) " +
-        "every score depends on. Restore the original checkpoint, " +
-        "rebuild corpus+store from raw sources, or — only if this run " +
-        "ingests strictly new documents — pass allowForeignEpochs = true")
-    val token = runToken(spark, checkpoint)
-    stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
-          val (postings, stats) = Relevance.bm25Postings(batch, idCol, textCol)
-          IndexMeta.writeIfAbsent(spark, indexPath,
-            Relevance.postingsMeta(idCol, textCol))
-          // corpus before store: a crash between them re-runs the
-          // epoch; the dynamic overwrite rewrites all three idempotently
-          epochWrite(batch, corpusPath, token, epochId)
-          epochWrite(postings, s"$indexPath/postings", token, epochId)
-          epochWrite(stats, s"$indexPath/stats", token, epochId)
-        }
-      }
-      .start()
+    import graft.operators.Relevance
+    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+      Relevance.postingsMeta(idCol, textCol),
+      refusal = if (allowForeignEpochs) None else Some(
+        s"bm25IngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+          "already holds postings partials. A reset source would re-land " +
+          "its documents and double-count the corpus statistics (N, avgdl) " +
+          "every score depends on. Restore the original checkpoint, " +
+          "rebuild corpus+store from raw sources, or — only if this run " +
+          "ingests strictly new documents — pass allowForeignEpochs = true"),
+      storeSubdirs = Seq("postings", "stats")) { batch =>
+      val (postings, stats) = Relevance.bm25Postings(batch, idCol, textCol)
+      Seq("postings" -> postings, "stats" -> stats)
+    }
   }
 
   /** THE shared scaffold of the index-backed cleaning sinks
