@@ -182,6 +182,18 @@ class CardinalitySpec extends SparkSpecBase {
     assert(e.getMessage.contains("p:"), e.getMessage)
   }
 
+  test("HLL p >= 12 refuses (the exact scaled sum would overflow a Long)") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Cardinality.hllSketch(df, col("g"), col("v"), p = 12)
+    }
+    assert(e.getMessage.contains("[4,11]"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Cardinality.hllEstimate(col("regs"), p = 12)
+    }
+    assert(e2.getMessage.contains("overflow"), e2.getMessage)
+  }
+
   test("HLL estimate lands near truth at p=9 on 20k distincts") {
     val n = 20000L
     val df = spark.range(n).select(lit("g").as("g"), col("id").as("v"))

@@ -93,6 +93,21 @@ class DiffSpec extends SparkSpecBase {
     assert(idApplied === oldSnap.as[(Long, String, Double)].collect().toSet)
   }
 
+  test("snapshotDiffKeys refuses NULL keys; reserved column names refuse at plan time") {
+    val bad = Seq((Option.empty[Long], "x")).toDF("k", "s")
+    val e = intercept[Exception] {
+      Diff.snapshotDiffKeys(bad, Seq((1L, "a")).toDF("k", "s"),
+        Seq("k")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("NULL key"),
+      s"got: ${e.getMessage}")
+    val clash = Seq((1L, "a")).toDF("k", "change")
+    val e2 = intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(clash, clash, Seq("k"))
+    }
+    assert(e2.getMessage.contains("collide"), e2.getMessage)
+  }
+
   test("missing compared columns refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       Diff.snapshotDiff(oldSnap.drop("v"), newSnap, Seq("k"))
