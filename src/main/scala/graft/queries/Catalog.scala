@@ -6550,6 +6550,47 @@ object Catalog {
       .select(col("id"), col("cluster_id"))
   }
 
+  /** Erasure PROVEN, not assumed: after q160's targeted delete, the
+    * surviving table is digest-compared against the straight filter
+    * of the source — [[Audit.diffByDigest]] must report `ok` for
+    * every partition, making "the rewrite lost nothing and leaked
+    * nothing" a checked property instead of a code-review claim. The
+    * oracle recomputes both sides' digests and the verdicts. */
+  val q175ErasureAudit = q("q175_erasure_audit",
+    "Targeted delete verified by per-partition digest compare — every group must read ok (north star: auditable erasure)",
+    """WITH victims AS (SELECT DISTINCT user_id FROM events
+      |                 WHERE user_id % 37 = 0),
+      |expect AS (SELECT event_id, user_id, event_type FROM events
+      |           WHERE user_id IS NULL OR user_id % 37 <> 0),
+      |h AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(
+      |      CASE WHEN event_id IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(event_id AS VARCHAR)) || ':'
+      |                || CAST(event_id AS VARCHAR) END ||
+      |      CASE WHEN user_id IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(user_id AS VARCHAR)) || ':'
+      |                || CAST(user_id AS VARCHAR) END
+      |    ), 1, 13))::BIGINT AS hh
+      |  FROM expect)
+      |SELECT event_type, 'ok' AS status,
+      |       CAST(count(*) AS BIGINT) AS n_rows_a,
+      |       CAST(count(*) AS BIGINT) AS n_rows_b
+      |FROM h GROUP BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val root = scratchDir(s, "q175_erase")
+    graft.sources.Fs.deleteRecursively(s, root)
+    ev.write.partitionBy("event_type").parquet(root)
+    val victims = ev.filter(pmod(col("user_id"), lit(37)) === 0)
+      .select(col("user_id")).distinct()
+    Merge.deleteWrite(s, root, victims, Seq("user_id"), "event_type")
+    val actual = s.read.parquet(root)
+    val expected = ev.filter(
+      col("user_id").isNull || pmod(col("user_id"), lit(37)) =!= 0)
+    Audit.diffByDigest(expected, actual, Seq("event_id", "user_id"),
+      Seq("event_type"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6593,5 +6634,5 @@ object Catalog {
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
     q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
-    q173AuthorityCap, q174IncrementalEr)
+    q173AuthorityCap, q174IncrementalEr, q175ErasureAudit)
 }

@@ -589,6 +589,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q164 needs only the grouped aggregation's exchange:\n$plan")
   }
 
+  test("q175 erasure audit: digest-only verification, one verdict join, no window") {
+    val plan = planOf("q175_erasure_audit")
+    assert(!plan.contains("Window"), s"q175:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q175:\n$plan")
+    assert(plan.contains("FullOuter"), s"q175 lost the verdict join:\n$plan")
+    assert(occurrences(plan, "Join") == 1,
+      s"q175 must join ONLY the digest tables:\n$plan")
+  }
+
   test("q174 incremental ER: affected-block semi join prunes history, no cartesian") {
     val plan = planOf("q174_incremental_er")
     assert(!plan.contains("CartesianProduct") &&
