@@ -498,6 +498,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // parquet (postings/stats), and the term filter reaches them
     assert(!plan.contains("documents.parquet"),
       s"q151 probe rescanned the corpus:\n$plan")
+    // the term predicate must be PUSHED into the postings scan
+    // (row-group pruning over the term-sorted layout) — the exact
+    // regression the observed=false contract guards against
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"q151 term filter no longer reaches the postings scan:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"q151 top-k lost its bounded TakeOrdered:\n$plan")
     // corpus stats + per-term dfs ride in as one-row broadcast scalars
