@@ -6,7 +6,11 @@ Usage: python3 scripts/compare.py <sfDir> <verifyOutDir>
 Registers the sfDir parquet tables as DuckDB views, runs each oracle
 from <verifyOutDir>/oracle_sql.json, loads the Spark parquet result,
 sorts both by all columns (columns ordered by name), and compares
-values exactly (hash-compare strictness: floats must be bit-equal).
+values exactly (hash-compare strictness: floats must be bit-equal)
+AND column types as DuckDB reports them (the driver's hash is
+type-sensitive: r08's q157/q173 were value-identical but DuckDB's
+sum() promoted the oracle column to HUGEINT vs Spark's BIGINT and the
+hashes diverged — a Python-value compare alone cannot catch that).
 """
 import json
 import sys
@@ -19,12 +23,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def fetch_sorted(con, sql_source: str):
-    cols = [r[0] for r in con.execute(
-        f"DESCRIBE SELECT * FROM ({sql_source})").fetchall()]
+    desc = con.execute(
+        f"DESCRIBE SELECT * FROM ({sql_source})").fetchall()
+    cols = [r[0] for r in desc]
+    types = {r[0]: r[1] for r in desc}
     sel = ", ".join(f'"{c}"' for c in sorted(cols))
     rows = con.execute(
         f"SELECT {sel} FROM ({sql_source}) ORDER BY ALL NULLS FIRST").fetchall()
-    return sorted(cols), rows
+    return sorted(cols), [types[c] for c in sorted(cols)], rows
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -50,14 +56,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += (not ok)
             continue
         try:
-            ocols, orows = fetch_sorted(con, oracle[name])
-            scols, srows = fetch_sorted(con, spark_src)
+            ocols, otypes, orows = fetch_sorted(con, oracle[name])
+            scols, stypes, srows = fetch_sorted(con, spark_src)
         except Exception as e:
             print(f"FAIL {name}: error: {e}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+        elif stypes != otypes:
+            diff = [(c, s, o) for c, s, o in zip(scols, stypes, otypes) if s != o]
+            print(f"FAIL {name}: column TYPES differ (driver hash would miss): {diff}")
             n_fail += 1
         elif len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")

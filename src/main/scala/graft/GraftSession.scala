@@ -35,4 +35,24 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Unpersist every RDD still pinned in the block manager and return
+    * how many there were.
+    *
+    * Catalog queries checkpoint intermediates (`localCheckpoint` via
+    * stageBarrier / iterative operators); the FINAL result of such a
+    * query stays pinned after the caller's action because nothing
+    * else knows about it. A long-lived session that executes many
+    * catalog queries therefore accumulates pinned blocks — round 8
+    * measured an 8× slowdown on the heaviest shuffle query after ~140
+    * checkpoint-heavy queries had run in the same JVM. Harnesses that
+    * run queries to completion and never re-execute their plans
+    * (Bench, Verify, batch jobs) should sweep between queries; the
+    * swept frames fail loudly if re-executed, they do not silently
+    * recompute. */
+  def sweepPersistedRdds(spark: SparkSession): Int = {
+    val pinned = spark.sparkContext.getPersistentRDDs
+    pinned.values.foreach(_.unpersist(blocking = false))
+    pinned.size
+  }
 }

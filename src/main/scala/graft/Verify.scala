@@ -29,6 +29,13 @@ object Verify {
         catch { case NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        finally {
+          // release the query's pinned checkpoint blocks: a 175-query
+          // dump in one JVM otherwise accumulates them (see
+          // GraftSession.sweepPersistedRdds) and slows progressively
+          GraftSession.sweepPersistedRdds(spark)
+          ()
+        }
       }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }.mkString("{", ",", "}")

@@ -104,7 +104,9 @@ object SqlFunctions {
       LambdaFunction(Add(acc, Cast(ElementAt(pows, Add(x, Literal(1))),
         org.apache.spark.sql.types.LongType)), Seq(acc, x)),
       LambdaFunction(fin, Seq(fin)))
-    val c = Literal(0.7213 / (1.0 + 1.079 / m) * m * m *
+    // hllAlpha, not the inlined asymptotic formula: p = 4/5/6 need the
+    // paper's exact small-m constants (see Cardinality.hllAlpha)
+    val c = Literal(graft.operators.Cardinality.hllAlpha(m) * m * m *
       graft.operators.Cardinality.HashSpace)
     val raw = Divide(c, dbl(sumScaled))
     val z = UnresolvedNamedLambdaVariable(Seq("r"))

@@ -156,6 +156,19 @@ object Cardinality {
   def hllUnion(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => greatest(x, y))
 
+  /** α_m bias-correction constant (Flajolet et al. 2007, fig. 3):
+    * the asymptotic 0.7213/(1 + 1.079/m) holds for m ≥ 128, but the
+    * paper prescribes exact constants for the small register counts —
+    * applying the asymptotic form at m = 16/32/64 (p = 4/5/6) bakes a
+    * few-percent systematic bias into every estimate, which no oracle
+    * can catch when it replays the same wrong constant. */
+  private[graft] def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
   /** Cardinality estimate from a register array. The constant
     * α_m·m²·2^52 folds to ONE double literal at plan time from the
     * textbook expression — an oracle writing the same expression gets
@@ -170,7 +183,7 @@ object Cardinality {
     val pows = array((0 to remBits + 1).map(r => lit(1L << (52 - r))): _*)
     val sumScaled = aggregate(regs, lit(0L),
       (acc, r) => acc + element_at(pows, r + lit(1)))
-    val c = 0.7213 / (1.0 + 1.079 / m) * m * m * HashSpace
+    val c = hllAlpha(m) * m * m * HashSpace
     val rawEst = lit(c) / sumScaled.cast("double")
     val zeros = size(filter(regs, r => r === 0))
     when(rawEst <= lit(2.5 * m) && zeros > 0,

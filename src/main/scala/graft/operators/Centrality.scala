@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions._
   * the dangling mass and N ride as one-row broadcast scalars. Ranks
   * checkpoint per iteration (`freshLeaf`, the connectedComponents
   * discipline) so plan depth and inherited size stats stay bounded
-  * across iterations. Edges must be distinct (dup edges double
+  * across iterations — and each superseded iteration's checkpoint is
+  * unpersisted the moment the next one materializes, so the
+  * block-manager footprint stays at ONE rank generation regardless of
+  * iteration count (the returned final ranks are the caller's to
+  * free). Edges must be distinct (dup edges double
   * contributions — assert upstream); vertices with no edges at all
   * still receive the base + dangling share every iteration.
   */
@@ -61,7 +65,8 @@ object Centrality {
       .select(col("id"), expr(s"${scale}L div n").as("base"), col("n"))
     var pr = withBase.select(col("id"), col("base").as("pr"))
       .localCheckpoint(true)
-    val fresh = org.apache.spark.sql.graftbridge.Bridge.freshLeaf _
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val fresh = bridge.freshLeaf _
     var iterNo = 0
     while (iterNo < iterations) {
       val ranked = pr.join(outd, pr("id") === outd("src"), "left")
@@ -81,7 +86,12 @@ object Centrality {
           (expr("(15L * base) div 100") +
             expr("(85L * (coalesce(insum, 0L) + (dang div n))) div 100"))
             .as("pr"))
+      val superseded = pr
       pr = fresh(next.localCheckpoint(true))
+      // the eager checkpoint above fully materialized iteration i, so
+      // iteration i−1's pinned blocks are dead — free them now instead
+      // of leaking one checkpoint per iteration for the session's life
+      bridge.unpersistCheckpoint(superseded)
       iterNo += 1
     }
     pr

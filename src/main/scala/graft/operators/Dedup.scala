@@ -1120,12 +1120,17 @@ object Dedup {
     * One driver action per round (the emptiness probe) materializes
     * that round's L and contracted edges; the vertex→cluster mapping
     * is NOT materialized per round — it is composed as a lazy join
-    * chain over the (cached) per-round L tables and executes once at
-    * the caller's action. Checkpointing the mapping each round would
-    * re-execute the whole chain from scratch every time (the lazy
-    * checkpoint is only cached by an action, which never came) —
-    * O(rounds²) join executions; measured as a multi-minute stall on
-    * a 40-round chain graph.
+    * chain over the (cached) per-round L tables and executes ONCE, at
+    * the final eager checkpoint after convergence. Checkpointing the
+    * mapping each round would re-execute the whole chain from scratch
+    * every time (the lazy checkpoint is only cached by an action,
+    * which never came) — O(rounds²) join executions; measured as a
+    * multi-minute stall on a 40-round chain graph. The final
+    * materialization also lets the operator FREE every per-round
+    * checkpoint before returning: only the returned mapping's blocks
+    * outlive the call (callers running many CC invocations in one
+    * session previously accumulated O(rounds) pinned block-manager
+    * entries per call).
     *
     * @return (id, cluster_id) for every vertex that appears in a pair
     */
@@ -1166,9 +1171,18 @@ object Dedup {
                           idB: String = "id_b", maxIter: Int = 30): DataFrame = {
     // every per-round checkpoint goes through Bridge.freshLeaf: a bare
     // localCheckpoint leaf inherits the origin plan's size stats, which
-    // compound exponentially across contraction rounds (see freshLeaf)
-    def cp(df: DataFrame, eager: Boolean): DataFrame =
-      Bridge.freshLeaf(df.localCheckpoint(eager))
+    // compound exponentially across contraction rounds (see freshLeaf).
+    // Every checkpoint is HELD and freed before return: the final
+    // mapping materializes eagerly below, after which the per-round
+    // L/edge blocks are dead — leaving them pinned leaked O(rounds)
+    // block-manager entries per call for the session lifetime
+    // (round 8's bench inflation mechanism).
+    val held = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cp(df: DataFrame, eager: Boolean): DataFrame = {
+      val ck = df.localCheckpoint(eager)
+      held += ck
+      Bridge.freshLeaf(ck)
+    }
     var edges = cp(pairs.select(col(idA).as("s"), col(idB).as("d"))
       .unionByName(pairs.select(col(idB).as("s"), col(idA).as("d")))
       .distinct(), eager = true)
@@ -1215,7 +1229,14 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter rounds — " +
         "the graph has components whose contraction needs more rounds " +
         "(long near-dup chains); raise maxIter")
-    mapping.select(col("id"), col("label").as("cluster_id"))
+    // materialize the composed mapping ONCE (the same single execution
+    // the caller's first action used to pay), then release every
+    // per-round checkpoint — the result is self-contained, so the
+    // only blocks that outlive the call are the returned mapping's
+    val out = mapping.select(col("id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    held.foreach(Bridge.unpersistCheckpoint(_))
+    Bridge.freshLeaf(out)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs within a

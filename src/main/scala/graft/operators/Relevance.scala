@@ -235,9 +235,22 @@ object Relevance {
     */
   def bm25Postings(docs: DataFrame, idCol: String,
                    textCol: String): (DataFrame, DataFrame) = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      Sketches.token_counts(TextFunctions.tokens(col(textCol))).as("_tc"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
+    // NULL / uncastable doc ids refuse loudly at execution (the Diff
+    // NULL-key idiom): a silently-null doc_id would land unanswerable
+    // posting rows that still count toward n_docs/sumdl — permanent,
+    // invisible corruption of a persisted index
+    // try_cast probe, not cast: under ANSI an uncastable id must reach
+    // THIS message, not a generic cast error mid-projection
+    val idOk = col(idCol).isNotNull &&
+      expr(s"try_cast(`$idCol` AS long)").isNotNull
+    val base = docs
+      .filter(assert_true(idOk, lit(
+        s"bm25Postings: NULL or non-numeric $idCol — every posting " +
+          "needs a long doc id (a null id would corrupt the stored " +
+          "corpus statistics); filter or key the documents first")).isNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        Sketches.token_counts(TextFunctions.tokens(col(textCol))).as("_tc"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"))
     val postings = base
       .select(explode(col("_tc")).as(Seq("term", "tf")),
         col("doc_id"), col("dl"))

@@ -271,10 +271,13 @@ object Catalog {
     "Window count over partition + ranked top-N per group (W1, W2)",
     """SELECT * FROM (
       |  SELECT o_orderkey,
-      |         year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |         -- INTEGER casts: Spark year()/month()/row_number() emit
+      |         -- 32-bit ints; DuckDB's are BIGINT — pin the engine type
+      |         CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |         CAST(month(o_orderdate) AS INTEGER) AS mo,
       |         count(*) OVER (PARTITION BY year(o_orderdate), month(o_orderdate)) AS n_in_month,
-      |         row_number() OVER (PARTITION BY year(o_orderdate), month(o_orderdate)
-      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |         CAST(row_number() OVER (PARTITION BY year(o_orderdate), month(o_orderdate)
+      |                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
       |  FROM orders)
       |WHERE rn <= 5""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d)
@@ -296,16 +299,18 @@ object Catalog {
       |                                (SELECT max(CAST(o_orderdate AS DATE)) FROM orders),
       |                                INTERVAL 1 DAY))::DATE AS date_day)
       |SELECT date_day,
-      |       year(date_day) AS yr,
-      |       month(date_day) AS mo,
-      |       day(date_day) AS day_of_month,
+      |       -- INTEGER casts: Spark's date parts are 32-bit ints,
+      |       -- DuckDB's BIGINT — pin the engine type
+      |       CAST(year(date_day) AS INTEGER) AS yr,
+      |       CAST(month(date_day) AS INTEGER) AS mo,
+      |       CAST(day(date_day) AS INTEGER) AS day_of_month,
       |       CAST(weekofyear(date_day) AS BIGINT) AS week_of_year,
       |       CAST(floor((dayofyear(date_day)
       |                   + (dayofweek(date_trunc('year', date_day)) + 6) % 7) / 7)
       |            AS BIGINT) AS week_sunday_start,
       |       dayname(date_day) AS day_name,
       |       CAST(quarter(date_day) AS VARCHAR) AS quarter_of_year,
-      |       isodow(date_day) AS iso_dow,
+      |       CAST(isodow(date_day) AS INTEGER) AS iso_dow,
       |       CASE WHEN dayname(date_day) IN ('Saturday','Sunday') THEN FALSE ELSE TRUE END AS is_weekday,
       |       count(*) OVER (PARTITION BY year(date_day), month(date_day)) AS days_in_month,
       |       CASE WHEN count(*) OVER (PARTITION BY year(date_day)) = 365 THEN FALSE ELSE TRUE END AS is_leap_year
@@ -5683,7 +5688,9 @@ object Catalog {
       |               + (85 * (coalesce(s, 0) + dg // nn)) // 100 AS pr
       |        FROM v CROSS JOIN n CROSS JOIN dang3
       |        LEFT JOIN in3 ON v.doc_id = in3.doc_id)
-      |SELECT doc_id, pr FROM pr3""".stripMargin) { (s, d) =>
+      |-- CAST: DuckDB sum()/'//' promote pr to HUGEINT; the driver's
+      |-- hash gate is TYPE-sensitive, so pin the engine's BIGINT
+      |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM pr3""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val nDf = docs.agg(count(lit(1)).as("nn"))
     val e = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
@@ -5709,7 +5716,7 @@ object Catalog {
   private val HllP = 9
   private val HllC: Double = {
     val m = 1 << HllP
-    0.7213 / (1.0 + 1.079 / m) * m * m * Cardinality.HashSpace
+    Cardinality.hllAlpha(m) * m * m * Cardinality.HashSpace
   }
   val q158Hll = q("q158_hll",
     "HyperLogLog distinct-user registers, estimates and sketch-merge ALL row, replayed exactly (north star: corpus profiling)",
@@ -6470,7 +6477,9 @@ object Catalog {
       |                row_number() OVER (PARTITION BY domain
       |                                   ORDER BY pr DESC, doc_id) AS rk
       |         FROM scored)
-      |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk, pr
+      |-- pr CAST: DuckDB sum()/'//' promote it to HUGEINT; the driver's
+      |-- hash gate is TYPE-sensitive, so pin the engine's BIGINT
+      |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk, CAST(pr AS BIGINT) AS pr
       |FROM rker WHERE rk <= 3""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val nDf = docs.agg(count(lit(1)).as("nn"))

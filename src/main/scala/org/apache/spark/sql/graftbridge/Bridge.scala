@@ -35,6 +35,43 @@ object Bridge {
     c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema)
   }
 
+  /** Release the block-manager blocks pinned by a `localCheckpoint`'d
+    * DataFrame (plain or [[freshLeaf]]-wrapped).
+    *
+    * `Dataset.unpersist` only consults the CacheManager, which never
+    * sees checkpoint RDDs — `localCheckpoint` persists the Dataset's
+    * INTERNAL RDD directly, so its blocks stay pinned for the session
+    * lifetime unless someone unpersists that RDD. In an iterative
+    * operator (PageRank, connected components) every superseded
+    * iteration is such a leak; across a long session they accumulate
+    * into real block-manager pressure (round 8 measured an 8× bench
+    * inflation on the heaviest shuffle query purely from accumulated
+    * pinned blocks).
+    *
+    * The persisted RDD is found from the plan's `LogicalRDD` leaves:
+    * for a plain localCheckpoint the leaf's RDD is the persisted one;
+    * for a freshLeaf wrap it is a narrow derivation of it, so walk up
+    * the (narrow, short) dependency chain to the first persisted
+    * ancestor and stop there — everything above a checkpoint is
+    * lineage the checkpoint already severed. Only call this on frames
+    * this code checkpointed and no longer needs; a freed frame fails
+    * loudly on re-execution (blocks gone), it does not recompute. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame,
+                          blocking: Boolean = false): Unit = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    def free(r: RDD[_], depth: Int): Unit =
+      if (depth < 8) {
+        if (r.getStorageLevel != StorageLevel.NONE) { r.unpersist(blocking); () }
+        else r.dependencies.foreach(dep => free(dep.rdd, depth + 1))
+      }
+    val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    c.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => free(l.rdd, 0)
+      case _ => ()
+    }
+  }
+
   /** Observed metrics (`df.observe`) collected from the EXECUTED plan,
     * surviving the adaptive-execution shapes `QueryExecution
     * .observedMetrics` loses:

@@ -103,7 +103,13 @@ class CardinalitySpec extends SparkSpecBase {
       regs(idx) = math.max(regs(idx), rho)
     }
     val sumScaled = regs.map(r => 1L << (52 - r)).sum
-    val c = 0.7213 / (1.0 + 1.079 / m) * m * m * Cardinality.HashSpace
+    // per-m alpha, the paper's small-m constants included (independent
+    // replay of Cardinality.hllAlpha — spelled out, not referenced)
+    val alpha = m match {
+      case 16 => 0.673; case 32 => 0.697; case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val c = alpha * m * m * Cardinality.HashSpace
     val raw = c / sumScaled.toDouble
     val zeros = regs.count(_ == 0)
     // Spark's Log expression evaluates via StrictMath.log, not Math.log
