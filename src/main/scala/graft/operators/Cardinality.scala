@@ -254,6 +254,73 @@ object Cardinality {
       keepVersions = keepVersions)
   }
 
+  // ------------------- persisted KMV store (bottom-k family symmetry)
+
+  /** Epoch fold: per group, the k smallest distinct hashes across the
+    * partials' sketches — the N-ary [[kmvUnionSketch]] (associative,
+    * commutative, and IDEMPOTENT: `array_union` dedupes, so a
+    * replayed identical partial merges to itself and the store
+    * self-heals under at-least-once delivery — the HLL posture, not
+    * the additive-CMS one). Bottom-k closure makes the folded row a
+    * valid sketch of every row ever counted. */
+  private def kmvFold(k: Int)(partials: DataFrame): DataFrame =
+    partials.groupBy(col("group"))
+      .agg(expr(
+        s"slice(array_sort(aggregate(collect_list(sketch), " +
+          s"cast(array() as array<bigint>), " +
+          s"(acc, x) -> array_union(acc, x))), 1, $k)").as("sketch"))
+
+  private val KmvFamily = "kmv_bottom_k"
+  private[graft] def kmvMeta(k: Int, keyName: String): IndexMeta =
+    IndexMeta(KmvFamily, "k" -> k, "keyName" -> keyName)
+
+  /** Bootstrap a stored bottom-k profile: one (group, sketch) row per
+    * group, `k` and the counted-key derivation in the manifest (a
+    * k=128 store probed as k=512 would silently under-estimate — the
+    * manifest refuses instead). The corpus is hashed ONCE; each batch
+    * appends its own sketch partial; the store answers distinct
+    * counts, Jaccard and intersection sizes over the whole history
+    * from k longs per group — no rescan, ever. */
+  def kmvIndexWrite(index: DataFrame, path: String, k: Int,
+                    keyName: String): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path, kmvMeta(k, keyName))
+  }
+
+  /** Append one batch's per-group sketch as a new epoch (idempotent
+    * per epoch name; manifest-checked). */
+  def kmvIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                     path: String, partial: DataFrame, epoch: String,
+                     k: Int, keyName: String): Unit = {
+    IndexMeta.check(spark, path, kmvMeta(k, keyName))
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  /** Checked read: one bottom-k sketch per group across the compacted
+    * base and live epochs — ≡ [[kmvSketch]] over the union of the
+    * counted row sets (bottom-k closure). */
+  def kmvIndexRead(spark: org.apache.spark.sql.SparkSession,
+                   path: String, k: Int, keyName: String,
+                   excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, kmvMeta(k, keyName))
+    kmvFold(k)(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "kmvIndexWrite"))
+  }
+
+  /** Fold accumulated epochs behind the atomic `_CURRENT` flip. */
+  def kmvIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, KmvFamily)
+    val k = IndexMeta.read(spark, path) match {
+      case Some(m) => m.params.get("k").map(_.toInt).getOrElse(
+        sys.error(s"KMV store $path manifest lacks k"))
+      case None => sys.error(s"KMV store $path has no manifest")
+    }
+    EpochIndex.compact(spark, path, kmvFold(k),
+      keepVersions = keepVersions)
+  }
+
   /** Report: per-group exact distinct count (the ground truth a
     * grouped report can afford) next to the KMV estimate — the q131
     * shape, mirroring q125's exact-vs-sketch contract. At 100 TB the

@@ -56,6 +56,8 @@ object Maintenance {
         SampleSketch.sampleSketchIndexCompact(spark, root, keepVersions)
       case "hll_registers" =>
         Cardinality.hllIndexCompact(spark, root, keepVersions)
+      case "kmv_bottom_k" =>
+        Cardinality.kmvIndexCompact(spark, root, keepVersions)
       case "cms_counts" =>
         HeavyHitters.cmsIndexCompact(spark, root, keepVersions)
       case "table_digest" =>

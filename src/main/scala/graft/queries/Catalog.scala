@@ -6600,6 +6600,54 @@ object Catalog {
       Seq("event_type"))
   }
 
+  /** The KMV family's incremental shape (q159's discipline for
+    * bottom-k sketches): profile two disjoint event batches into a
+    * persisted sketch store, compact behind the atomic `_CURRENT`
+    * flip, and answer per-type distinct-user estimates from the
+    * STORE — bottom-k closure makes the union-and-retruncate fold
+    * equal the whole-corpus sketch, so the oracle replays q131's
+    * full-corpus bottom-k arithmetic against the raw events. */
+  val q176KmvStore = q("q176_kmv_store",
+    "Distinct-user estimates from a persisted two-epoch KMV bottom-k store, compacted then probed (north star: incremental profiling)",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events WHERE user_id IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, h52,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY h52) AS rn
+      |  FROM h),
+      |s AS (
+      |  SELECT event_type, count(*) AS n_kept,
+      |         max(CASE WHEN rn = 32 THEN h52 END) AS h_k
+      |  FROM r WHERE rn <= 32 GROUP BY event_type),
+      |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      |      FROM events GROUP BY event_type)
+      |SELECT x.event_type, x.n_exact,
+      |       round(CASE WHEN s.n_kept < 32 THEN CAST(s.n_kept AS DOUBLE)
+      |             ELSE 31.0 / (CAST(s.h_k AS DOUBLE) / 4503599627370496.0)
+      |             END, 4) AS kmv_est
+      |FROM x JOIN s ON x.event_type = s.event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val root = scratchDir(s, "q176_kmv")
+    graft.sources.Fs.deleteRecursively(s, root)
+    def epochSketch(r: Int) = Cardinality.kmvSketch(
+      ev.filter(pmod(col("user_id"), lit(2)) === r),
+      col("event_type"), col("user_id"), k = 32)
+    Cardinality.kmvIndexWrite(epochSketch(0), root, 32, "user_id")
+    Cardinality.kmvIndexAppend(s, root, epochSketch(1), "day-2", 32,
+      "user_id")
+    val stats = Cardinality.kmvIndexCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q176: compaction folded nothing at $root — store build failed")
+    val exact = ev.groupBy(col("event_type").as("group"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    Cardinality.kmvIndexRead(s, root, 32, "user_id")
+      .join(exact, Seq("group"))
+      .select(col("group").as("event_type"), col("n_exact"),
+        round(Cardinality.kmvEstimate(col("sketch"), 32), 4).as("kmv_est"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6643,5 +6691,5 @@ object Catalog {
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
     q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
-    q173AuthorityCap, q174IncrementalEr, q175ErasureAudit)
+    q173AuthorityCap, q174IncrementalEr, q175ErasureAudit, q176KmvStore)
 }

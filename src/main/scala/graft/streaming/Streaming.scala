@@ -605,6 +605,26 @@ object Streaming {
         col(valueCol), p)))
   }
 
+  /** Streaming KMV ingest — the bottom-k twin of [[hllIngestSink]],
+    * completing the cardinality family's shapes: each micro-batch
+    * lands in the corpus and appends its per-group bottom-k sketch
+    * partial; reads union-and-retruncate across epochs
+    * (`Cardinality.kmvIndexRead`). `array_union` dedupes, so a
+    * replayed identical partial merges to itself — idempotent like
+    * HLL's max-merge, hence no fresh-checkpoint refusal for the
+    * STORE (the corpus write still relies on the epoch-scoped
+    * dynamic overwrite). */
+  def kmvIngestSink(stream: DataFrame, spark: SparkSession,
+                    corpusPath: String, indexPath: String,
+                    groupCol: String, valueCol: String, k: Int,
+                    checkpoint: String): StreamingQuery = {
+    import graft.operators.Cardinality
+    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+      Cardinality.kmvMeta(k, valueCol), refusal = None)(batch =>
+      Seq("" -> Cardinality.kmvSketch(batch, col(groupCol),
+        col(valueCol), k)))
+  }
+
   /** Streaming count-min ingest — the frequency twin of
     * [[hllIngestSink]]: each micro-batch lands in the corpus and
     * appends its d×w cell-count partial; reads SUM across epochs

@@ -188,6 +188,32 @@ class CardinalitySpec extends SparkSpecBase {
     assert(e.getMessage.contains("p:"), e.getMessage)
   }
 
+  test("persisted KMV store: epochs merge to the direct sketch; compaction preserves; k guard") {
+    val k = 16
+    val a = (1L to 300L).map(i => (s"g${i % 2}", i))
+    val b = (250L to 600L).map(i => (s"g${i % 2}", i)) // overlapping batch
+    def sk(rows: Seq[(String, Long)]) =
+      Cardinality.kmvSketch(rows.toDF("g", "v"), col("g"), col("v"), k)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-kmvstore").toString + "/store"
+    Cardinality.kmvIndexWrite(sk(a), root, k, "v")
+    Cardinality.kmvIndexAppend(spark, root, sk(b), "day-2", k, "v")
+    def stored(): Map[String, Seq[Long]] =
+      Cardinality.kmvIndexRead(spark, root, k, "v")
+        .as[(String, Seq[Long])].collect().toMap
+    // bottom-k closure: union-and-retruncate across overlapping epochs
+    // equals the sketch of the unioned rows
+    val direct = sk(a ++ b).as[(String, Seq[Long])].collect().toMap
+    assert(stored() === direct)
+    val stats = Maintenance.compactStore(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2"))
+    assert(stored() === direct) // probe-after ≡ probe-before
+    val e = intercept[IllegalArgumentException] {
+      Cardinality.kmvIndexRead(spark, root, k + 1, "v")
+    }
+    assert(e.getMessage.contains("k:"), e.getMessage)
+  }
+
   test("HLL p >= 12 refuses (the exact scaled sum would overflow a Long)") {
     val df = Seq(("g", 1L)).toDF("g", "v")
     val e = intercept[IllegalArgumentException] {

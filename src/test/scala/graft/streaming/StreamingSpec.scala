@@ -743,6 +743,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("p:"), e.getMessage)
   }
 
+  test("streaming kmv ingest: stored sketch ≡ direct sketch over everything delivered") {
+    import graft.operators.Cardinality
+    val src = Files.createTempDirectory("graft-kmv-src").toString
+    val corpus = Files.createTempDirectory("graft-kmv-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-kmv-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-kmv-ckp").toString
+    val k = 16
+    val batch1 = (1L to 200L).map(i => (s"g${i % 2}", i))
+    val batch2 = (150L to 400L).map(i => (s"g${i % 2}", i))
+    def deliver(name: String, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("grp", "v").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.kmvIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "grp", "v", k, ckp)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val stored = Cardinality.kmvIndexRead(spark, index, k, "v")
+      .as[(String, Seq[Long])].collect().toMap
+    val direct = Cardinality.kmvSketch(
+      (batch1 ++ batch2).toDF("grp", "v"), col("grp"), col("v"), k)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(stored === direct)
+    assert(spark.read.parquet(corpus).count() === (batch1.size + batch2.size))
+    // wrong-k probe refuses via the manifest
+    val e = intercept[IllegalArgumentException] {
+      Cardinality.kmvIndexRead(spark, index, k + 1, "v")
+    }
+    assert(e.getMessage.contains("k:"), e.getMessage)
+  }
+
   test("streaming islands ingest: stored summary ≡ direct islands over everything delivered") {
     import graft.operators.IntervalExpand
     val src = Files.createTempDirectory("graft-isl-src").toString
