@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * root/_epoch=base/…             bootstrap partial (family writers)
   * root/_epoch=<token>-<n>/…      one appended partial per batch
+  * root/_commits/<name>           per-epoch commit marker, written LAST
   * root/_base/_CURRENT            live compacted-base version pointer
   * root/_base/v00000001/…parquet  folded rows (no _epoch column)
   * root/_base/v00000001/_FOLDED   epoch names folded into this base
@@ -41,12 +42,17 @@ import org.apache.spark.sql.functions._
   *    folds them: readers holding the PREVIOUS version still need
   *    them. They are garbage-collected one compaction later, when
   *    every retained version's `_FOLDED` excludes them.
-  *  - What compaction cannot defend against is an epoch write MID-
-  *    COMMIT at snapshot time (a filesystem listing cannot tell a
-  *    committed epoch from a half-written one — the gap a transaction
-  *    log would close). Run compaction from the ingest owner between
-  *    batches, never concurrently with an in-flight epoch write to
-  *    the same root.
+  *  - An epoch write MID-COMMIT at snapshot time is fenced by the
+  *    per-epoch commit marker: [[append]] writes the epoch's data
+  *    first and its `_commits/<name>` marker LAST, and [[read]] /
+  *    [[compact]] snapshot only marked epochs — a half-written epoch
+  *    (data present, marker absent) is invisible to probes, never
+  *    folded, never GC'd, and surfaces in `CompactionStats.
+  *    uncommitted` (and through Maintenance) until its writer
+  *    finishes or an operator removes the torn directory. Stores
+  *    written before markers existed have no `_commits/` directory
+  *    and read as before (every listed epoch committed) — the
+  *    discipline attaches at the first marker-writing append.
   *  - A replay that asks to EXCLUDE an epoch already folded into the
   *    base refuses loudly (the partial can no longer be subtracted) —
   *    the silent double-count a replay-across-compaction would cause
@@ -61,6 +67,7 @@ object EpochIndex {
   val CompactedLabel = "_compacted"
   private val BaseDir = "_base"
   private val FoldedFile = "_FOLDED"
+  private val CommitsDir = "_commits"
 
   private def fsOf(spark: SparkSession, path: Path): FileSystem =
     path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -90,6 +97,47 @@ object EpochIndex {
       }
     walk(p, innerPartCols.size).distinct.sorted
   }
+
+  /** The epoch names with a commit marker, or None for a pre-marker
+    * (legacy) store with no `_commits/` directory at all — where every
+    * listed epoch is taken as committed. */
+  private def commitMarkers(spark: SparkSession,
+                            root: String): Option[Set[String]] = {
+    val dir = new Path(root, CommitsDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) None
+    else Some(fs.listStatus(dir).toSeq.filterNot(_.isDirectory)
+      .map(_.getPath.getName).toSet)
+  }
+
+  /** Mark one epoch committed — the LAST write of an append. Also the
+    * operator's repair hook: marking a verified torn epoch makes its
+    * rows visible without rewriting them. */
+  private[graft] def markCommitted(spark: SparkSession, root: String,
+                                   epoch: String): Unit =
+    writeTextFile(fsOf(spark, new Path(root)),
+      new Path(new Path(root, CommitsDir), epoch), "")
+
+  /** Live epochs whose commit marker is present (all of them for a
+    * pre-marker store) — what [[read]] unions and [[compact]]
+    * snapshots. */
+  def committedEpochNames(spark: SparkSession, root: String,
+                          innerPartCols: Seq[String] = Nil): Seq[String] = {
+    val live = liveEpochNames(spark, root, innerPartCols)
+    commitMarkers(spark, root).fold(live)(m => live.filter(m))
+  }
+
+  /** Live epochs WITHOUT a commit marker — data on disk whose append
+    * never finished (or is still in flight). Invisible to reads and
+    * compaction; surfaced so an operator can decide: wait, re-run the
+    * append (idempotent), or delete the torn directory. */
+  def uncommittedEpochNames(spark: SparkSession, root: String,
+                            innerPartCols: Seq[String] = Nil): Seq[String] =
+    commitMarkers(spark, root) match {
+      case None => Nil
+      case Some(m) =>
+        liveEpochNames(spark, root, innerPartCols).filterNot(m)
+    }
 
   private def currentBase(spark: SparkSession,
                           root: String): Option[(String, Set[String])] = {
@@ -137,10 +185,13 @@ object EpochIndex {
     * composes with. Overwrites the whole root (a bootstrap IS a fresh
     * index — any previous base versions go with it). */
   def bootstrap(df: DataFrame, root: String,
-                innerPartCols: Seq[String] = Nil): Unit =
+                innerPartCols: Seq[String] = Nil): Unit = {
     df.withColumn(EpochCol, lit("base"))
       .write.partitionBy(innerPartCols :+ EpochCol: _*)
       .mode("overwrite").parquet(root)
+    // marker last: a crash mid-bootstrap leaves a store no read trusts
+    markCommitted(df.sparkSession, root, "base")
+  }
 
   /** Epoch-scoped dynamic partition overwrite — THE idempotent append
     * unit (one partial per epoch name): a retry of the same epoch
@@ -151,10 +202,22 @@ object EpochIndex {
   def append(df: DataFrame, root: String, epoch: String,
              innerPartCols: Seq[String] = Nil): Unit = {
     if (df.isEmpty) return
+    val spark = df.sparkSession
+    // first marker-writing append over a pre-marker store: backfill
+    // markers for the already-listed epochs (committed under the old
+    // discipline) BEFORE this write — otherwise creating `_commits/`
+    // would retroactively hide them as torn
+    if (commitMarkers(spark, root).isEmpty)
+      liveEpochNames(spark, root, innerPartCols)
+        .foreach(markCommitted(spark, root, _))
     df.withColumn(EpochCol, lit(epoch))
       .write.partitionBy(innerPartCols :+ EpochCol: _*)
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(root)
+    // marker LAST: only now is the epoch visible to read/compact; a
+    // crash above leaves a torn directory that stays invisible and is
+    // reported (never folded, never GC'd) until repaired or re-run
+    markCommitted(spark, root, epoch)
   }
 
   // --------------------------------------------------------------- read
@@ -232,7 +295,12 @@ object EpochIndex {
     currentBase(spark, root) match {
       case None =>
         val raw = spark.read.parquet(root)
-        val live = liveEpochNames(spark, root, innerPartCols)
+        val live = committedEpochNames(spark, root, innerPartCols)
+        // a torn append (data, no marker) must be invisible to probes
+        val committedOnly =
+          if (uncommittedEpochNames(spark, root, innerPartCols).isEmpty) raw
+          else if (live.isEmpty) raw.filter(lit(false))
+          else raw.filter(col(EpochCol).isin(live: _*))
         val out = excludeEpoch match {
           case Some(e) =>
             require(raw.columns.contains(EpochCol),
@@ -241,8 +309,8 @@ object EpochIndex {
                 s"(mixed flat + partitioned layouts break discovery); " +
                 s"bootstrap it with $bootstrapName, which writes the " +
                 s"$EpochCol=base layout")
-            raw.filter(col(EpochCol) =!= lit(e))
-          case None => raw
+            committedOnly.filter(col(EpochCol) =!= lit(e))
+          case None => committedOnly
         }
         val nLive = live.count(n => !excludeEpoch.contains(n))
         if (observed) observeProbe(out, root, nLive,
@@ -259,7 +327,7 @@ object EpochIndex {
         }
         val base = spark.read.parquet(vdir)
           .withColumn(EpochCol, lit(CompactedLabel))
-        val live = liveEpochNames(spark, root, innerPartCols)
+        val live = committedEpochNames(spark, root, innerPartCols)
           .filterNot(folded)
         val all =
           if (live.isEmpty) base
@@ -278,9 +346,13 @@ object EpochIndex {
 
   /** What one [[compact]] run did: the published base version, the
     * epochs folded into it, the previously-folded epochs carried in
-    * its `_FOLDED` manifest awaiting GC, and the ones GC'd now. */
+    * its `_FOLDED` manifest awaiting GC, the ones GC'd now, and any
+    * TORN epochs found (data without a commit marker — excluded from
+    * the fold, left on disk, reported here and via Maintenance until
+    * their writer finishes, re-runs, or an operator removes them). */
   case class CompactionStats(version: String, folded: Seq[String],
-                             carried: Seq[String], gcd: Seq[String])
+                             carried: Seq[String], gcd: Seq[String],
+                             uncommitted: Seq[String] = Nil)
 
   /** Fold the current base plus a snapshot of the live epochs into a
     * new base version and flip `_CURRENT` atomically. `fold` receives
@@ -303,7 +375,10 @@ object EpochIndex {
               keepVersions: Int = 2): CompactionStats = {
     val prev = currentBase(spark, root)
     val prevFolded = prev.map(_._2).getOrElse(Set.empty[String])
-    val liveAll = liveEpochNames(spark, root, innerPartCols)
+    // snapshot COMMITTED epochs only: a torn append must never fold
+    // (its partial could be half the rows its writer intended)
+    val liveAll = committedEpochNames(spark, root, innerPartCols)
+    val uncommitted = uncommittedEpochNames(spark, root, innerPartCols)
     val snapshot = liveAll.filterNot(prevFolded)
     val carried = liveAll.filter(prevFolded)
     require(prev.nonEmpty || snapshot.nonEmpty,
@@ -331,7 +406,12 @@ object EpochIndex {
         manifest.mkString("\n"))
     }
     val gcd = carried.filter(deleteEpochDirs(spark, root, _, innerPartCols))
-    CompactionStats(version, snapshot, carried, gcd)
+    // a GC'd epoch's marker goes with its data (a marker without an
+    // epoch directory is meaningless and would accumulate forever)
+    val markerFs = fsOf(spark, new Path(root))
+    gcd.foreach(e =>
+      markerFs.delete(new Path(new Path(root, CommitsDir), e), false))
+    CompactionStats(version, snapshot, carried, gcd, uncommitted)
   }
 
   /** Delete every `_epoch=name` directory of one epoch (one per inner

@@ -329,6 +329,10 @@ object Similarity {
       .withColumn("_epoch", lit(epochLabel))
       .write.mode("append").partitionBy("cell", "_epoch")
       .parquet(s"$path/assignments")
+    // this is the one epoch writer that bypasses EpochIndex.append
+    // (plain append, not dynamic overwrite) — it still owes the
+    // commit marker, written LAST like every other epoch
+    EpochIndex.markCommitted(spark, s"$path/assignments", epochLabel)
   }
 
   /** Probe a persisted index: identical semantics to [[ivfTopK]] over

@@ -99,6 +99,42 @@ class EpochIndexSpec extends SparkSpecBase {
       "doc_id", "text", "\n")))
   }
 
+  test("torn append (data, no commit marker) is invisible, never folds, and is reported") {
+    val path = tmp("graft-ei-torn")
+    buildThreeEpochStore(path)
+    val before = snap(Dedup.lineFirstOccIndexRead(spark, path))
+    // simulate a crash between the epoch data write and the commit
+    // marker: the first half of EpochIndex.append, verbatim
+    Dedup.lineFirstOccIndex(docs(40L -> "torn line\nshared one"),
+      "doc_id", "text", "\n")
+      .withColumn(EpochIndex.EpochCol, lit("torn-1"))
+      .write.partitionBy(EpochIndex.EpochCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+    assert(new java.io.File(s"$path/_epoch=torn-1").exists())
+    // probes never see the torn rows; the store reports the leftover
+    assert(snap(Dedup.lineFirstOccIndexRead(spark, path)) === before)
+    assert(EpochIndex.uncommittedEpochNames(spark, path) === Seq("torn-1"))
+    // compaction ignores it — not folded, not GC'd — and reports it
+    val s1 = Dedup.lineFirstOccIndexCompact(spark, path)
+    assert(!s1.folded.contains("torn-1") && !s1.gcd.contains("torn-1"))
+    assert(s1.uncommitted === Seq("torn-1"))
+    assert(new java.io.File(s"$path/_epoch=torn-1").exists())
+    assert(snap(Dedup.lineFirstOccIndexRead(spark, path)) === before)
+    // the writer re-runs (idempotent dynamic overwrite) — the marker
+    // lands last and only then does the epoch become visible
+    Dedup.lineFirstOccIndexAppend(spark, path,
+      Dedup.lineFirstOccIndex(docs(40L -> "torn line\nshared one"),
+        "doc_id", "text", "\n"), "torn-1", sep = "\n")
+    assert(EpochIndex.uncommittedEpochNames(spark, path).isEmpty)
+    assert(snap(Dedup.lineFirstOccIndexRead(spark, path)) ===
+      snap(Dedup.lineFirstOccIndex(
+        b1.union(b2).union(b3).union(docs(40L -> "torn line\nshared one")),
+        "doc_id", "text", "\n")))
+    val s2 = Dedup.lineFirstOccIndexCompact(spark, path)
+    assert(s2.folded === Seq("torn-1") && s2.uncommitted.isEmpty)
+  }
+
   test("replay exclusion of an already-folded epoch refuses loudly") {
     val path = tmp("graft-ei-replay")
     buildThreeEpochStore(path)
