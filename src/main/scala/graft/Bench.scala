@@ -190,10 +190,35 @@ object Bench {
     }.mkString(",")
     val stageJson = q42Stages
       .map { case (k, v) => Json.str(k) + ":" + f"$v%.4f" }.mkString(",")
+    // SF-slope flags — the cost-model tripwire: time growing faster
+    // than ~3× linear in the data ratio means a quadratic-ish term
+    // (e.g. LSH's Σ|bucket|² when clique sizes grow with the corpus —
+    // see Dedup.minHashLsh's cost model) dominates. Flagged loudly in
+    // the stats file and on stderr so a breach surfaces as a NAMED
+    // query, never as a mystery headline total; not a hard failure
+    // because single-sample sf2 slopes carry the host's ±30% noise.
+    val sfRatio = {
+      def sfOf(d: String) =
+        "sf([0-9.]+)$".r.findFirstMatchIn(d).map(_.group(1).toDouble)
+      (for { a <- sfOf(sfDir); b <- sf2Dir.flatMap(sfOf) if b > 0 }
+        yield a / b).getOrElse(10.0)
+    }
+    val slopeFlags = ok.flatMap { n =>
+      results2.get(n).filter(_ > 0).map(t2 => n -> stats(n).min / t2)
+    }.filter { case (_, slope) => slope > 3.0 * sfRatio }
+    slopeFlags.foreach { case (n, s) =>
+      System.err.println(
+        f"[bench] SLOPE FLAG $n: ${s}%.1fx time for ${sfRatio}%.0fx data " +
+          "— super-linear; check the operator's cost model")
+    }
+    val slopeFlagsJson = slopeFlags
+      .map { case (n, s) => Json.str(n) + ":" + f"$s%.2f" }
+      .mkString("{", ",", "}")
     val statsJson =
       f"""{"sf":${Json.str(sfDir)},"passes":$Passes,""" +
         sf2Dir.map(d => s""""sf2":${Json.str(d)},""").getOrElse("") +
         (if (results2.nonEmpty) f""""total_sf2_min":${results2.values.sum}%.3f,""" else "") +
+        s""""slope_flags":$slopeFlagsJson,""" +
         f""""total_min":$totalMin%.3f,"total_median":$totalMed%.3f,""" +
         f""""noise_band":{"median_rel_spread":$noiseMed%.3f,"p90_rel_spread":$noiseP90%.3f,"max_rel_spread":$noiseMax%.3f},""" +
         s""""queries":{$perQueryJson},"q42_stages":{$stageJson}}"""

@@ -727,6 +727,25 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
+    * COST MODEL — read before trusting a wall-clock number: the
+    * quadratic step below enumerates pairs inside each band bucket,
+    * so total candidate work is Σ over buckets of |bucket|² (after
+    * the identical-membership collapse and the `maxBucket` skew
+    * guard). That sum is NOT linear in corpus size: buckets are
+    * near-dup cliques, and if clique sizes grow with the corpus —
+    * planted duplicates at a fixed RATE, the common synthetic and
+    * crawl shape — doubling the corpus quadruples Σ|bucket|². The
+    * q93 benchmark measures a ~36× time slope for 10× data at
+    * shingleK=1 for exactly this reason; that is the model working,
+    * not a regression. At 100 TB the knobs, in order: raise
+    * `shingleK` (smaller, more specific buckets), block with
+    * `blockCol`, and keep `maxBucket` tight — a bucket at the cap
+    * contributes maxBucket² no matter how the corpus grows, making
+    * the guard the hard ceiling on per-bucket cost. Bench emits a
+    * per-query SF slope and flags super-linear jumps
+    * (`slope_flags` in bench_stats.json) so a cost-model breach
+    * surfaces as a named flag, not a mystery headline number.
+    *
     * @param blockCol  optional blocking column: when set, the band key
     *                  includes it, so candidates are same-block BY
     *                  CONSTRUCTION. When the dedup unit is a block
@@ -846,6 +865,14 @@ object Dedup {
     * dropped-bucket counter into the executed query's observed metrics
     * — read the total with [[droppedBuckets]]; nonzero on either side
     * near a tight `maxBucket` means candidates were lost asymmetrically.
+    *
+    * Cost model: the batch-internal half inherits [[minHashLsh]]'s
+    * Σ|bucket|² (over BATCH buckets only — the incremental win); the
+    * cross half is one equi join on band keys whose output is bounded
+    * by batch-bucket × corpus-bucket co-membership, again capped by
+    * `maxBucket` per side. Batch cost therefore scales with the
+    * BATCH's clique structure, not the corpus's — see the
+    * [[minHashLsh]] cost-model paragraph for the knobs.
     *
     * @param bandIndex output of [[minHashBandIndex]] built with the
     *                  SAME numHashes/bands/shingleK/blockCol

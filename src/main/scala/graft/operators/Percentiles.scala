@@ -69,9 +69,11 @@ object Percentiles {
       .repartitionByRange(col("_v"))
       .sortWithinPartitions("_v")
       .localCheckpoint(true)
-    val counts = sorted
-      .withColumn("_pid", spark_partition_id())
-      .groupBy("_pid").count().collect()
+    val counts = BoundedRead.boundedDriverRead(
+      sorted.withColumn("_pid", spark_partition_id()).groupBy("_pid").count(),
+      maxRows = sorted.rdd.getNumPartitions max 1,
+      what = "Percentiles.values partition counts",
+      boundWhy = "one row per partition of the checkpointed sort")
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
     require(n > 0, s"no non-null rows in $valueCol")
@@ -137,11 +139,14 @@ object Percentiles {
     // spark_partition_id is nondeterministic so it can't sit in the
     // groupBy clause directly; projecting it first is equivalent (it is
     // evaluated on the checkpointed partitions, before the agg shuffle)
-    val counts = sorted
-      .withColumn("_pid", spark_partition_id())
-      .groupBy(("_pid" +: groupCols).map(col): _*)
-      .count()
-      .collect()
+    val counts = BoundedRead.boundedDriverRead(
+      sorted.withColumn("_pid", spark_partition_id())
+        .groupBy(("_pid" +: groupCols).map(col): _*)
+        .count(),
+      maxRows = 1 << 20,
+      what = "Percentiles.interpolated per-(partition, group) counts",
+      boundWhy = "partitions x groups; this operator's contract is " +
+        "report-scale group counts (use manyGroups for corpus-scale keys)")
       .map(r => (r.getInt(0), r.toSeq.slice(1, 1 + g), r.getLong(1 + g)))
       .sortBy(_._1)
     val totals: Map[Seq[Any], Long] =

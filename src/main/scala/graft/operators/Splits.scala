@@ -111,12 +111,16 @@ object Splits {
       // read the SAME materialized rows, and the input scan runs once
       .localCheckpoint(true))
     // exact global offset per (source, shard): prefix-sum the shard
-    // token masses on the driver — bounded at sources × 16^n rows
-    val masses = base.groupBy(col(sourceCol), col("_shard"))
-      // NULL tokens count zero (matching what sum() skips), so the
-      // driver read below can never hit a NULL group sum
-      .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_mass"))
-      .collect()
+    // token masses on the driver
+    val masses = BoundedRead.boundedDriverRead(
+      base.groupBy(col(sourceCol), col("_shard"))
+        // NULL tokens count zero (matching what sum() skips), so the
+        // driver read below can never hit a NULL group sum
+        .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_mass")),
+      maxRows = budgets.size * math.pow(16, shardHexChars).toInt,
+      what = "Splits.mixtureSample shard masses",
+      boundWhy = s"budgeted sources (${budgets.size}) x 16^shardHexChars " +
+        s"($shardHexChars) possible (source, shard) groups")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val offsets: Map[String, Long] = masses
       .groupBy(_._1)
@@ -156,9 +160,13 @@ object Splits {
     // zero-mass sources get NO entry (not weight 0.0): they cannot
     // contribute tokens, and an explicit 0 would read as "requested
     // but empty" downstream — mixtureSample drops unweighted sources
-    val masses = df.groupBy(col(sourceCol))
-      .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_m"))
-      .collect()
+    val masses = BoundedRead.boundedDriverRead(
+      df.groupBy(col(sourceCol))
+        .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_m")),
+      maxRows = 1 << 20,
+      what = "Splits.temperatureWeights source masses",
+      boundWhy = "one row per source; a mixture recipe names its " +
+        "sources, which are report-scale by construction")
       .map(r => (r.getString(0), math.pow(r.getLong(1).toDouble, alpha)))
       .filter(_._2 > 0.0)
       .sortBy(_._1)
