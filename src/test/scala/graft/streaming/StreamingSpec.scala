@@ -777,6 +777,68 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("k:"), e.getMessage)
   }
 
+  test("continuous pipeline: live ingest interleaved with scheduled compactAll keeps probes exact") {
+    // The end-to-end operational story the pieces support: two store
+    // families ingesting under ONE tree root while a maintenance
+    // schedule compacts every discovered store between batches — the
+    // probe must stay bit-equal to the direct computation after EVERY
+    // (ingest, compact) cycle, across repeated compactions (base
+    // folds, epoch GC one generation late, atomic _CURRENT flips).
+    import graft.operators.{Cardinality, IntervalExpand, Maintenance}
+    val tree = Files.createTempDirectory("graft-cont").toString
+    val src1 = Files.createTempDirectory("graft-cont-src1").toString
+    val src2 = Files.createTempDirectory("graft-cont-src2").toString
+    val ckp1 = Files.createTempDirectory("graft-cont-ckp1").toString
+    val ckp2 = Files.createTempDirectory("graft-cont-ckp2").toString
+    val k = 16
+    var hllRows = Seq.empty[(String, Long)]
+    var islRows = Seq.empty[(String, Long, Long)]
+    def drainHll(): Unit = {
+      val schema = spark.read.parquet(s"$src1/b1").schema
+      Streaming.kmvIngestSink(
+        Streaming.fileStream(spark, schema, s"$src1/*"),
+        spark, s"$tree/corpus_kmv", s"$tree/stores/kmv", "grp", "v", k, ckp1)
+        .awaitTermination()
+    }
+    def drainIslands(): Unit = {
+      val schema = spark.read.parquet(s"$src2/b1").schema
+      Streaming.islandsIngestSink(
+        Streaming.fileStream(spark, schema, s"$src2/*"),
+        spark, s"$tree/corpus_isl", s"$tree/stores/islands", "k", "s", "e", ckp2)
+        .awaitTermination()
+    }
+    def probesExact(): Unit = {
+      val storedKmv = Cardinality.kmvIndexRead(spark, s"$tree/stores/kmv", k, "v")
+        .as[(String, Seq[Long])].collect().toMap
+      val directKmv = Cardinality.kmvSketch(
+        hllRows.toDF("grp", "v"), col("grp"), col("v"), k)
+        .as[(String, Seq[Long])].collect().toMap
+      assert(storedKmv === directKmv, "kmv probe diverged from direct")
+      val storedIsl = IntervalExpand
+        .islandsIndexRead(spark, s"$tree/stores/islands", "k")
+        .as[(String, Long, Long)].collect().toSet
+      val directIsl = IntervalExpand.mergeIntervals(
+        islRows.toDF("k", "s", "e"), "k", col("s"), col("e"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(storedIsl === directIsl, "islands probe diverged from direct")
+    }
+    (1 to 3).foreach { cycle =>
+      val h = (1L to 100L).map(i => (s"g${i % 2}", i * cycle))
+      val iv = (0L until 4L).map(i =>
+        (s"k${i % 2}", i * 3 + cycle, i * 3 + cycle + 2))
+      h.toDF("grp", "v").write.parquet(s"$src1/b$cycle")
+      iv.toDF("k", "s", "e").write.parquet(s"$src2/b$cycle")
+      hllRows ++= h; islRows ++= iv
+      drainHll(); drainIslands()
+      probesExact() // probe BEFORE maintenance: live epochs visible
+      val results = Maintenance.compactAll(spark, s"$tree/stores")
+      assert(results.size === 2 && results.forall(!_.failed),
+        s"cycle $cycle sweep: $results")
+      assert(results.flatMap(_.stats).forall(_.uncommitted.isEmpty))
+      probesExact() // and AFTER: compaction changed nothing observable
+    }
+  }
+
   test("streaming islands ingest: stored summary ≡ direct islands over everything delivered") {
     import graft.operators.IntervalExpand
     val src = Files.createTempDirectory("graft-isl-src").toString
