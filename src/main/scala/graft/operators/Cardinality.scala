@@ -307,6 +307,17 @@ object Cardinality {
       bootstrapName = "kmvIndexWrite"))
   }
 
+  /** Time-travel probe: the per-group sketches EXACTLY as retained
+    * compaction `version` folded them ([[EpochIndex.readAsOf]]) —
+    * "the distinct-count profile release N shipped with", immutable
+    * and bit-replayable however much the live store has grown since. */
+  def kmvIndexReadAsOf(spark: org.apache.spark.sql.SparkSession,
+                       path: String, version: String, k: Int,
+                       keyName: String): DataFrame = {
+    IndexMeta.check(spark, path, kmvMeta(k, keyName))
+    EpochIndex.readAsOf(spark, path, version)
+  }
+
   /** Fold accumulated epochs behind the atomic `_CURRENT` flip. */
   def kmvIndexCompact(spark: org.apache.spark.sql.SparkSession,
                       path: String,

@@ -97,6 +97,75 @@ object Centrality {
     pr
   }
 
+  /** Personalized PageRank — authority RELATIVE to a seed set, the
+    * "more pages like these" signal (seed a few hand-curated reference
+    * sites, rank the whole crawl by proximity to them). Same
+    * fixed-point integer discipline as [[pageRankFixedPoint]]
+    * (bit-exact replay on any engine), with the teleport vector
+    * restricted to the seeds:
+    *
+    * {{{
+    *   base(v)    = scale div |S|   if v ∈ S else 0
+    *   dangShare  = (Σ pr of dangling nodes) div |S|   — to SEEDS only
+    *   pr'(v)     = (15·base(v)) div 100
+    *              + (85·(Σ contrib(u→v) + dangShare·[v ∈ S])) div 100
+    * }}}
+    *
+    * Scale shape: identical to the global variant — one edges⋈ranks
+    * shuffle plus one dst-keyed partial-agg per iteration; the seed
+    * membership is a broadcast-joined 0/1 column (seed sets are
+    * hand-curated, i.e. small), |S| and the dangling mass ride as
+    * one-row broadcast scalars; superseded iteration checkpoints are
+    * freed as the next one materializes.
+    *
+    * @param seeds one `id` column; must be non-empty and a subset of
+    *              `vertices` (ranks teleport nowhere otherwise) */
+  def personalizedPageRankFixedPoint(vertices: DataFrame, edges: DataFrame,
+                                     seeds: DataFrame, iterations: Int,
+                                     scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
+    val v = vertices.select(col("id"))
+    val sd = seeds.select(col("id")).distinct()
+    val e = edges.select(col("src"), col("dst"))
+    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val ns = sd.agg(count(lit(1)).as("ns"))
+    val withBase = v
+      .join(broadcast(sd.withColumn("_s", lit(1L))), Seq("id"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("id"), coalesce(col("_s"), lit(0L)).as("is_seed"),
+        when(col("_s").isNotNull, expr(s"${scale}L div ns"))
+          .otherwise(lit(0L)).as("base"),
+        col("ns"))
+    var pr = withBase.select(col("id"), col("base").as("pr"))
+      .localCheckpoint(true)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    var iterNo = 0
+    while (iterNo < iterations) {
+      val ranked = pr.join(outd, pr("id") === outd("src"), "left")
+        .select(col("id"), col("pr"), col("outd"))
+      val dang = ranked.agg(coalesce(
+        sum(when(col("outd").isNull, col("pr"))), lit(0L)).as("dang"))
+      val contribs = e
+        .join(ranked.filter(col("outd").isNotNull)
+          .select(col("id").as("src"), expr("pr div outd").as("c")),
+          Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
+      val next = withBase
+        .join(contribs, withBase("id") === contribs("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (expr("(15L * base) div 100") +
+            expr("(85L * (coalesce(insum, 0L) + (dang div ns) * is_seed)) div 100"))
+            .as("pr"))
+      val superseded = pr
+      pr = bridge.freshLeaf(next.localCheckpoint(true))
+      bridge.unpersistCheckpoint(superseded)
+      iterNo += 1
+    }
+    pr
+  }
+
   /** Exact triangle count over an undirected graph — the clustering
     * signal (spam farms and scraped mirror rings are triangle-dense;
     * organic link neighborhoods are not). Counting is exact integer

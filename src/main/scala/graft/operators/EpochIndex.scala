@@ -342,6 +342,39 @@ object EpochIndex {
         else out
     }
 
+  // -------------------------------------------------------- time travel
+
+  /** Retained base versions of a store, ascending, plus the current
+    * pointer. The retention horizon is compaction's `keepVersions`,
+    * so this is the [[readAsOf]] window. */
+  def versions(spark: SparkSession,
+               root: String): (Seq[String], Option[String]) =
+    Layout.listVersions(spark, s"$root/$BaseDir")
+
+  /** Time-travel read: the store EXACTLY as one retained compaction
+    * folded it — the folded partial rows of base `version`, ignoring
+    * the current pointer and every epoch appended since. This is the
+    * reproducibility hook the release-manifest flow needs ("score
+    * against the index release N was built with"): each compaction is
+    * a named, immutable snapshot, retained for `keepVersions`
+    * generations behind the atomic pointer flip.
+    *
+    * Output schema is the family partial WITHOUT `_epoch` (a folded
+    * base IS one partial per group — directly usable by the family's
+    * estimate/probe functions). Refuses loudly for a version outside
+    * the retention window, listing what IS retained: a silently-empty
+    * read of a GC'd snapshot would look like an empty corpus. */
+  def readAsOf(spark: SparkSession, root: String,
+               version: String): DataFrame = {
+    val (retained, _) = versions(spark, root)
+    require(retained.contains(version),
+      s"version $version of $root is not retained " +
+        s"(have: ${if (retained.isEmpty) "none — never compacted" else retained.mkString(", ")}) " +
+        "— GC'd snapshots cannot be read; raise keepVersions at " +
+        "compaction time for a longer time-travel window")
+    spark.read.parquet(s"$root/$BaseDir/$version")
+  }
+
   // ------------------------------------------------------------ compact
 
   /** What one [[compact]] run did: the published base version, the

@@ -351,6 +351,20 @@ object Layout {
                     root: String): DataFrame =
     spark.read.parquet(currentVersionPath(spark, root))
 
+  /** Retained version names under a versioned root, ascending (the
+    * GC horizon is `keepVersions` at publish time, so this is the
+    * time-travel window), plus the current pointer — `(versions,
+    * current)`. Empty/None when the root was never published. */
+  def listVersions(spark: org.apache.spark.sql.SparkSession,
+                   root: String): (Seq[String], Option[String]) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return (Nil, None)
+    val versions = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("v\\d{8}")).toSeq.sorted
+    (versions, pointerOf(fs, p))
+  }
+
   /** Write a new version via `write(dir)`, flip the pointer
     * atomically, GC versions beyond `keepVersions`. Returns the new
     * version name. `write` must produce a complete, readable directory

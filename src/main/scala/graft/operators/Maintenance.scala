@@ -83,6 +83,58 @@ object Maintenance {
     }
   }
 
+  /** One epoch subroot's operational state: what a scheduled job or
+    * an operator reads BEFORE deciding to compact — live epoch count
+    * climbing means probes are re-aggregating more partials
+    * (compaction due); `uncommitted` nonEmpty means a torn append
+    * needs its writer re-run or the directory removed; the retained
+    * versions are the [[EpochIndex.readAsOf]] time-travel window. */
+  final case class EpochStoreState(subdir: String, liveEpochs: Seq[String],
+                                   uncommitted: Seq[String],
+                                   retainedVersions: Seq[String],
+                                   currentVersion: Option[String])
+
+  /** One discovered store: manifest identity plus per-subroot state. */
+  final case class StoreInfo(root: String, family: String,
+                             params: Map[String, String],
+                             states: Seq[EpochStoreState])
+
+  /** Where each family keeps its epoch data relative to the manifest
+    * root — the same knowledge the compaction dispatch encodes. */
+  private def epochSubroots(family: String): Seq[(String, Seq[String])] =
+    family match {
+      case "bm25_postings" => Seq("postings" -> Nil, "stats" -> Nil)
+      case "ivf" => Seq("assignments" -> Seq("cell"))
+      case "ivf_pq" => Seq("assignments" -> Seq("cell"), "codes" -> Seq("cell"))
+      case _ => Seq("" -> Nil)
+    }
+
+  /** Read-only sweep: the operational state of every store under
+    * `treeRoot` — live/uncommitted epochs and the retained base
+    * versions per subroot. The observability half of [[compactAll]]:
+    * run it first, compact what the numbers say needs it, and surface
+    * torn appends without touching any data. */
+  def describeStores(spark: SparkSession, treeRoot: String,
+                     maxDepth: Int = 4): Seq[StoreInfo] =
+    discoverStores(spark, treeRoot, maxDepth).map { root =>
+      val meta = IndexMeta.read(spark, root).getOrElse(
+        sys.error(s"manifest vanished under sweep at $root"))
+      val states = epochSubroots(meta.family).flatMap { case (sub, inner) =>
+        val p = if (sub.isEmpty) root else s"$root/$sub"
+        val fs = new Path(p)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(new Path(p))) None
+        else {
+          val (retained, current) = EpochIndex.versions(spark, p)
+          Some(EpochStoreState(sub,
+            EpochIndex.committedEpochNames(spark, p, inner),
+            EpochIndex.uncommittedEpochNames(spark, p, inner),
+            retained, current))
+        }
+      }
+      StoreInfo(root, meta.family, meta.params, states)
+    }
+
   /** Discover every store under `treeRoot` (a directory whose
     * descendants hold `_GRAFT_META` manifests, up to `maxDepth`
     * levels down) and compact each. Descent stops at a manifest: a

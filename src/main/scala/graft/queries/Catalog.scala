@@ -6648,6 +6648,144 @@ object Catalog {
         round(Cardinality.kmvEstimate(col("sketch"), 32), 4).as("kmv_est"))
   }
 
+  /** Personalized PageRank
+    * ([[Centrality.personalizedPageRankFixedPoint]]): authority
+    * relative to a hand-picked seed set (every 25th document) over
+    * q157's planted link graph — "more pages like these". Teleport and
+    * dangling mass go to seeds only; same fixed-point integer
+    * arithmetic, so the oracle unrolls the identical three iterations
+    * and hash-matches the raw longs. */
+  val q177Ppr = q("q177_personalized_pagerank",
+    "Personalized PageRank: seed-restricted teleport, 3 fixed-point iterations, bit-exact (north star: seed-guided curation)",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |sd AS (SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN 1 ELSE 0 END AS is_seed
+      |       FROM documents),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM documents
+      |       WHERE doc_id % 25 = 0),
+      |e AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |      FROM documents CROSS JOIN n
+      |           CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |      WHERE doc_id % 10 <> 0),
+      |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+      |pr0 AS (SELECT doc_id, CASE WHEN is_seed = 1
+      |                            THEN 1000000000000 // ns ELSE 0 END AS pr
+      |        FROM sd CROSS JOIN ns),
+      |dang1 AS (SELECT coalesce(sum(pr), 0) AS dg FROM pr0
+      |          LEFT JOIN outd ON pr0.doc_id = outd.src WHERE od IS NULL),
+      |in1 AS (SELECT e.dst AS doc_id, sum(pr0.pr // outd.od) AS s
+      |        FROM e JOIN pr0 ON e.src = pr0.doc_id
+      |             JOIN outd ON e.src = outd.src GROUP BY e.dst),
+      |pr1 AS (SELECT sd.doc_id,
+      |               (15 * (CASE WHEN is_seed = 1
+      |                           THEN 1000000000000 // ns ELSE 0 END)) // 100
+      |               + (85 * (coalesce(s, 0) + (dg // ns) * is_seed)) // 100 AS pr
+      |        FROM sd CROSS JOIN ns CROSS JOIN dang1
+      |        LEFT JOIN in1 ON sd.doc_id = in1.doc_id),
+      |dang2 AS (SELECT coalesce(sum(pr), 0) AS dg FROM pr1
+      |          LEFT JOIN outd ON pr1.doc_id = outd.src WHERE od IS NULL),
+      |in2 AS (SELECT e.dst AS doc_id, sum(pr1.pr // outd.od) AS s
+      |        FROM e JOIN pr1 ON e.src = pr1.doc_id
+      |             JOIN outd ON e.src = outd.src GROUP BY e.dst),
+      |pr2 AS (SELECT sd.doc_id,
+      |               (15 * (CASE WHEN is_seed = 1
+      |                           THEN 1000000000000 // ns ELSE 0 END)) // 100
+      |               + (85 * (coalesce(s, 0) + (dg // ns) * is_seed)) // 100 AS pr
+      |        FROM sd CROSS JOIN ns CROSS JOIN dang2
+      |        LEFT JOIN in2 ON sd.doc_id = in2.doc_id),
+      |dang3 AS (SELECT coalesce(sum(pr), 0) AS dg FROM pr2
+      |          LEFT JOIN outd ON pr2.doc_id = outd.src WHERE od IS NULL),
+      |in3 AS (SELECT e.dst AS doc_id, sum(pr2.pr // outd.od) AS s
+      |        FROM e JOIN pr2 ON e.src = pr2.doc_id
+      |             JOIN outd ON e.src = outd.src GROUP BY e.dst),
+      |pr3 AS (SELECT sd.doc_id,
+      |               (15 * (CASE WHEN is_seed = 1
+      |                           THEN 1000000000000 // ns ELSE 0 END)) // 100
+      |               + (85 * (coalesce(s, 0) + (dg // ns) * is_seed)) // 100 AS pr
+      |        FROM sd CROSS JOIN ns CROSS JOIN dang3
+      |        LEFT JOIN in3 ON sd.doc_id = in3.doc_id)
+      |-- CAST: DuckDB sum()/'//' promote pr to HUGEINT; the driver's
+      |-- hash gate is TYPE-sensitive, so pin the engine's BIGINT
+      |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM pr3""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("nn"))
+    val e = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"), col("nn"))
+      .select(col("src"),
+        pmod(col("src") * lit(31L) + col("j") * lit(17L) + lit(7L),
+          col("nn")).as("dst"))
+    val seeds = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(col("doc_id").as("id"))
+    Centrality.personalizedPageRankFixedPoint(
+      docs.select(col("doc_id").as("id")), e, seeds, iterations = 3)
+      .select(col("id").as("doc_id"), col("pr"))
+  }
+
+  /** Store time travel ([[EpochIndex.readAsOf]]): compact the KMV
+    * store once on the first batch (version 1), again after a second
+    * batch (version 2, version 1 retained), then probe BOTH — the
+    * as-of-v1 estimates must equal a fresh sketch of batch 1 alone,
+    * however much the live store has grown. The reproducibility story
+    * behind release manifests: every compaction is a named immutable
+    * snapshot inside the retention window. */
+  val q178TimeTravel = q("q178_store_time_travel",
+    "KMV store probed as-of an old compaction version next to the live version (north star: reproducible releases)",
+    """WITH h0 AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events WHERE user_id IS NOT NULL AND user_id % 2 = 0),
+      |r0 AS (SELECT event_type, h52,
+      |       row_number() OVER (PARTITION BY event_type ORDER BY h52) AS rn
+      |       FROM h0),
+      |s0 AS (SELECT event_type, count(*) AS n_kept,
+      |       max(CASE WHEN rn = 32 THEN h52 END) AS h_k
+      |       FROM r0 WHERE rn <= 32 GROUP BY event_type),
+      |e0 AS (SELECT 'v1' AS version, event_type,
+      |       round(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+      |             ELSE 31.0 / (CAST(h_k AS DOUBLE) / 4503599627370496.0)
+      |             END, 4) AS kmv_est
+      |       FROM s0),
+      |h1 AS (
+      |  SELECT DISTINCT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h52
+      |  FROM events WHERE user_id IS NOT NULL),
+      |r1 AS (SELECT event_type, h52,
+      |       row_number() OVER (PARTITION BY event_type ORDER BY h52) AS rn
+      |       FROM h1),
+      |s1 AS (SELECT event_type, count(*) AS n_kept,
+      |       max(CASE WHEN rn = 32 THEN h52 END) AS h_k
+      |       FROM r1 WHERE rn <= 32 GROUP BY event_type),
+      |e1 AS (SELECT 'current' AS version, event_type,
+      |       round(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+      |             ELSE 31.0 / (CAST(h_k AS DOUBLE) / 4503599627370496.0)
+      |             END, 4) AS kmv_est
+      |       FROM s1)
+      |SELECT * FROM e0 UNION ALL SELECT * FROM e1""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val root = scratchDir(s, "q178_tt")
+    graft.sources.Fs.deleteRecursively(s, root)
+    def epochSketch(r: Int) = Cardinality.kmvSketch(
+      ev.filter(pmod(col("user_id"), lit(2)) === r),
+      col("event_type"), col("user_id"), k = 32)
+    Cardinality.kmvIndexWrite(epochSketch(0), root, 32, "user_id")
+    Cardinality.kmvIndexCompact(s, root) // snapshot v1: batch 1 only
+    Cardinality.kmvIndexAppend(s, root, epochSketch(1), "day-2", 32,
+      "user_id")
+    Cardinality.kmvIndexCompact(s, root) // v2 live; v1 retained
+    val (retained, current) = graft.operators.EpochIndex.versions(s, root)
+    require(retained.size == 2 && current.contains(retained.last),
+      s"q178: expected two retained versions with the newest live, " +
+        s"got $retained / $current")
+    def est(df: DataFrame, tag: String) = df.select(
+      lit(tag).as("version"), col("group").as("event_type"),
+      round(Cardinality.kmvEstimate(col("sketch"), 32), 4).as("kmv_est"))
+    est(Cardinality.kmvIndexReadAsOf(s, root, retained.head, 32, "user_id"),
+      "v1")
+      .unionByName(est(
+        Cardinality.kmvIndexRead(s, root, 32, "user_id"), "current"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6691,5 +6829,6 @@ object Catalog {
     q161Islands, q162EntityRes, q163CmsStore, q164Digest, q165DigestDiff,
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
     q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
-    q173AuthorityCap, q174IncrementalEr, q175ErasureAudit, q176KmvStore)
+    q173AuthorityCap, q174IncrementalEr, q175ErasureAudit, q176KmvStore,
+    q177Ppr, q178TimeTravel)
 }

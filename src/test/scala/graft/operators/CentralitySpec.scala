@@ -54,6 +54,44 @@ class CentralitySpec extends SparkSpecBase {
     assert(got(5L) > 0L)
   }
 
+  /** Personalized replay: teleport and dangling mass to seeds only. */
+  private def replayPpr(seeds: Set[Long], iters: Int,
+                        scale: Long): Map[Long, Long] = {
+    val out = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L)
+    val in: Map[Long, Seq[Long]] =
+      Map(1L -> Seq(3L, 4L), 2L -> Seq(1L, 4L), 3L -> Seq(2L))
+    val ns = seeds.size.toLong
+    def base(v: Long) = if (seeds(v)) scale / ns else 0L
+    var pr = (1L to 5L).map(v => v -> base(v)).toMap
+    (1 to iters).foreach { _ =>
+      val dang = pr.collect { case (v, p) if !out.contains(v) => p }.sum
+      val contrib = pr.collect { case (v, p) if out.contains(v) => v -> p / out(v) }
+      pr = (1L to 5L).map { v =>
+        val insum = in.getOrElse(v, Nil).map(contrib).sum
+        val seedShare = if (seeds(v)) dang / ns else 0L
+        v -> ((15L * base(v)) / 100L + (85L * (insum + seedShare)) / 100L)
+      }.toMap
+    }
+    pr
+  }
+
+  test("personalized ranks match the closed-form replay; mass stays near the seeds") {
+    val seeds = Set(1L, 4L)
+    val seedDf = seeds.toSeq.toDF("id")
+    for (iters <- Seq(1, 3)) {
+      val got = Centrality.personalizedPageRankFixedPoint(vs, es, seedDf, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === replayPpr(seeds, iters, 1000000000000L),
+        s"iters=$iters: got $got")
+    }
+    val got3 = Centrality.personalizedPageRankFixedPoint(vs, es, seedDf, 3)
+      .as[(Long, Long)].collect().toMap
+    // 5 is unreachable from the seeds and not a seed: exactly zero —
+    // the personalization property the global variant cannot express
+    assert(got3(5L) === 0L)
+    assert(got3(1L) > 0L && got3(2L) > 0L)
+  }
+
   test("triangleCount: closed-form graphs; dup/directed/self-loop edges canonicalize") {
     def tri(es: Seq[(Long, Long)]): (Long, Long, Long) =
       Centrality.triangleCount(es.toDF("src", "dst"))

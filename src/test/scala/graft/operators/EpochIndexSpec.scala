@@ -135,6 +135,35 @@ class EpochIndexSpec extends SparkSpecBase {
     assert(s2.folded === Seq("torn-1") && s2.uncommitted.isEmpty)
   }
 
+  test("time travel: readAsOf returns an old compaction exactly; GC'd versions refuse") {
+    val path = tmp("graft-ei-tt")
+    // v1 folds batch 1 alone; v2 folds everything
+    Dedup.lineFirstOccIndexWrite(
+      Dedup.lineFirstOccIndex(b1, "doc_id", "text", "\n"), path, sep = "\n")
+    Dedup.lineFirstOccIndexCompact(spark, path)
+    Dedup.lineFirstOccIndexAppend(spark, path,
+      Dedup.lineFirstOccIndex(b2, "doc_id", "text", "\n"), "day-2", sep = "\n")
+    Dedup.lineFirstOccIndexCompact(spark, path)
+    val (retained, current) = EpochIndex.versions(spark, path)
+    assert(retained.size === 2 && current.contains(retained.last))
+    // the old snapshot is exactly the batch-1 index, bit for bit,
+    // even though the live store has folded batch 2 since
+    assert(snap(EpochIndex.readAsOf(spark, path, retained.head)) ===
+      snap(Dedup.lineFirstOccIndex(b1, "doc_id", "text", "\n")))
+    assert(snap(EpochIndex.readAsOf(spark, path, retained.last)) ===
+      snap(Dedup.lineFirstOccIndex(b1.union(b2), "doc_id", "text", "\n")))
+    // a third compaction (keepVersions = 2) GCs v1 — reading it must
+    // refuse with the retained list, never return empty
+    Dedup.lineFirstOccIndexAppend(spark, path,
+      Dedup.lineFirstOccIndex(b3, "doc_id", "text", "\n"), "day-3", sep = "\n")
+    Dedup.lineFirstOccIndexCompact(spark, path)
+    val e = intercept[IllegalArgumentException] {
+      EpochIndex.readAsOf(spark, path, retained.head)
+    }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
+    assert(e.getMessage.contains("keepVersions"), e.getMessage)
+  }
+
   test("replay exclusion of an already-folded epoch refuses loudly") {
     val path = tmp("graft-ei-replay")
     buildThreeEpochStore(path)

@@ -57,6 +57,40 @@ class MaintenanceSpec extends SparkSpecBase {
       .as[(String, Seq[(Long, Long, Double)])].collect().toSet === profBefore)
   }
 
+  test("describeStores: live/uncommitted epochs and retained versions, read-only") {
+    val root = tree()
+    val docsA = Seq((1L, "alpha\nshared"), (2L, "shared\nbeta")).toDF("doc_id", "text")
+    val docsB = Seq((10L, "shared\nnew")).toDF("doc_id", "text")
+    Dedup.lineFirstOccIndexWrite(
+      Dedup.lineFirstOccIndex(docsA, "doc_id", "text", "\n"),
+      s"$root/indexes/lines", sep = "\n")
+    Dedup.lineFirstOccIndexAppend(spark, s"$root/indexes/lines",
+      Dedup.lineFirstOccIndex(docsB, "doc_id", "text", "\n"), "day-2", "\n")
+    val before = Maintenance.describeStores(spark, root)
+    assert(before.size === 1)
+    val st0 = before.head.states.head
+    assert(before.head.family === "line_first_occ")
+    assert(st0.liveEpochs.toSet === Set("base", "day-2"))
+    assert(st0.uncommitted.isEmpty && st0.retainedVersions.isEmpty)
+    // simulate a torn append: epoch data, no commit marker
+    Dedup.lineFirstOccIndex(Seq((20L, "torn")).toDF("doc_id", "text"),
+      "doc_id", "text", "\n")
+      .withColumn(EpochIndex.EpochCol, lit("torn-1"))
+      .write.partitionBy(EpochIndex.EpochCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$root/indexes/lines")
+    Maintenance.compactAll(spark, root)
+    val after = Maintenance.describeStores(spark, root)
+    val st1 = after.head.states.head
+    // compaction folded the committed epochs into v1; the torn epoch
+    // is REPORTED (not folded, not GC'd); the read-only sweep itself
+    // changed nothing (describe is safe to run any time)
+    assert(st1.uncommitted === Seq("torn-1"))
+    assert(st1.liveEpochs.toSet === Set("base", "day-2"))
+    assert(st1.retainedVersions.size === 1 &&
+      st1.currentVersion === st1.retainedVersions.headOption)
+  }
+
   test("discovery stops at a manifest: store internals are never separate stores") {
     val root = tree()
     val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")
