@@ -6786,6 +6786,62 @@ object Catalog {
         Cardinality.kmvIndexRead(s, root, 32, "user_id"), "current"))
   }
 
+  /** Incremental triangle census
+    * ([[Centrality.incrementalTriangles]]): the planted link graph's
+    * canonical edges split edge-wise into a base graph and a daily
+    * batch; the update counts ONLY triangles touching a new edge, and
+    * the oracle proves the exact identity by recounting both graphs
+    * from scratch: `T(base) + delta = T(base ∪ batch)` — all
+    * integers, bit-exact. */
+  val q179IncTriangles = q("q179_incremental_triangles",
+    "Incremental triangle count: batch update equals full recount, exactly (north star: incremental graph analytics)",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |e0 AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |       FROM documents CROSS JOIN n
+      |            CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |       WHERE doc_id % 10 <> 0),
+      |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM e0 WHERE src <> dst),
+      |fresh AS (SELECT a, b FROM u WHERE (a * 7 + b) % 5 = 0),
+      |basee AS (SELECT a, b FROM u WHERE (a * 7 + b) % 5 <> 0),
+      |tb AS (SELECT count(*) AS t
+      |       FROM basee e1 JOIN basee e2 ON e2.a = e1.a AND e2.b > e1.b
+      |            JOIN basee e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |tt AS (SELECT count(*) AS t
+      |       FROM u e1 JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b
+      |            JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b)
+      |SELECT CAST(tb.t AS BIGINT) AS n_base_triangles,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM fresh) AS n_new_edges,
+      |       CAST(tt.t - tb.t AS BIGINT) AS new_triangles,
+      |       CAST(tt.t AS BIGINT) AS n_total_triangles
+      |FROM tb CROSS JOIN tt""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("nn"))
+    val e = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"), col("nn"))
+      .select(col("src"),
+        pmod(col("src") * lit(31L) + col("j") * lit(17L) + lit(7L),
+          col("nn")).as("dst"))
+    val u = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val isFresh = pmod(col("a") * lit(7L) + col("b"), lit(5L)) === 0
+    val base = u.filter(!isFresh).select(col("a").as("src"), col("b").as("dst"))
+    val batch = u.filter(isFresh).select(col("a").as("src"), col("b").as("dst"))
+    // "yesterday's" full census once, then today's batch pays only
+    // for triangles it touches — the oracle recounts both ways
+    val baseTri = Centrality.triangleCount(base)
+      .select(col("n_triangles").as("n_base_triangles"))
+    Centrality.incrementalTriangles(base, batch)
+      .crossJoin(broadcast(baseTri))
+      .select(col("n_base_triangles"), col("n_new_edges"),
+        col("new_triangles"),
+        (col("n_base_triangles") + col("new_triangles"))
+          .as("n_total_triangles"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6830,5 +6886,5 @@ object Catalog {
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
     q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
     q173AuthorityCap, q174IncrementalEr, q175ErasureAudit, q176KmvStore,
-    q177Ppr, q178TimeTravel)
+    q177Ppr, q178TimeTravel, q179IncTriangles)
 }

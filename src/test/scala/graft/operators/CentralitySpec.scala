@@ -108,6 +108,42 @@ class CentralitySpec extends SparkSpecBase {
       (1L, 1L), (1L, 2L))) === ((3L, 3L, 1L)))
   }
 
+  test("incrementalTriangles: closed forms, multi-fresh dedup, idempotent re-delivery") {
+    def inc(base: Seq[(Long, Long)], batch: Seq[(Long, Long)]): (Long, Long) =
+      Centrality.incrementalTriangles(
+        base.toDF("src", "dst"), batch.toDF("src", "dst"))
+        .as[(Long, Long)].head()
+    // triangle closed by two fresh edges (k = 2 incidences dedup to 1)
+    assert(inc(Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq((1L, 4L), (3L, 4L)))
+      === ((2L, 1L)))
+    // fully fresh triangle (k = 3) on a disjoint base
+    assert(inc(Seq((5L, 6L)), Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+      === ((3L, 1L)))
+    // one fresh edge closing two triangles over base wedges (k = 1 each)
+    assert(inc(Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)), Seq((1L, 2L)))
+      === ((1L, 2L)))
+    // batch edges already in the base are dropped: nothing new
+    assert(inc(Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq((2L, 1L), (3L, 2L)))
+      === ((0L, 0L)))
+  }
+
+  test("incrementalTriangles: T(base) + delta equals the full recount, exactly") {
+    // K10 plus a sparse outer ring — plenty of triangles on both
+    // sides of the edge-wise base/batch split
+    val all = (for (i <- 0L until 10L; j <- (i + 1) until 10L) yield (i, j)) ++
+      (10L until 30L).map(i => (i, (i * 7 + 3) % 30))
+        .filter { case (a, b) => a != b }
+    val (batch, base) = all.partition { case (a, b) => (a * 7 + b) % 5 == 0 }
+    def tri(es: Seq[(Long, Long)]): Long =
+      Centrality.triangleCount(es.toDF("src", "dst"))
+        .select("n_triangles").as[Long].head()
+    val (_, delta) = Centrality.incrementalTriangles(
+      base.toDF("src", "dst"), batch.toDF("src", "dst"))
+      .as[(Long, Long)].head()
+    assert(tri(base) + delta === tri(all), s"delta=$delta")
+    assert(delta > 0L, "the split should create at least one new triangle")
+  }
+
   test("every vertex appears in the output, including isolated ones") {
     val lonely = Seq(1L, 2L, 9L).toDF("id")
     val e1 = Seq((1L, 2L)).toDF("src", "dst")
