@@ -46,13 +46,24 @@ import org.apache.spark.sql.functions._
   */
 object Centrality {
 
-  /** @param vertices one `id` column, distinct
-    * @param edges    (`src`, `dst`) columns, distinct pairs
+  /** @param vertices  one `id` column, distinct
+    * @param edges     (`src`, `dst`) columns, distinct pairs
+    * @param initRanks warm start: (id, pr) from a PREVIOUS run's
+    *                  output (persist the returned frame, resume
+    *                  later). Because each iteration is a pure
+    *                  function of the previous ranks, k iterations
+    *                  from a stored j-iteration state are BIT-EQUAL
+    *                  to j+k from scratch — the checkpoint/restart
+    *                  story a 40-iteration job over a 100 TB graph
+    *                  needs (q180 oracle-pins the identity). Must
+    *                  cover every vertex: a missing rank refuses
+    *                  loudly at execution, it does not default.
     * @return (id, pr) — pr is the SCALED long rank (divide by
     *         `scale` for the probability) */
   def pageRankFixedPoint(vertices: DataFrame, edges: DataFrame,
                          iterations: Int,
-                         scale: Long = 1000000000000L): DataFrame = {
+                         scale: Long = 1000000000000L,
+                         initRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(scale >= 1000000L, s"scale too small for meaningful ranks: $scale")
     val spark = vertices.sparkSession
@@ -63,8 +74,21 @@ object Centrality {
     // base = scale div N, attached as a broadcast scalar
     val withBase = v.crossJoin(broadcast(n))
       .select(col("id"), expr(s"${scale}L div n").as("base"), col("n"))
-    var pr = withBase.select(col("id"), col("base").as("pr"))
-      .localCheckpoint(true)
+    var pr = initRanks match {
+      case None =>
+        withBase.select(col("id"), col("base").as("pr"))
+          .localCheckpoint(true)
+      case Some(stored) =>
+        // left join + loud refusal: a vertex the stored ranks missed
+        // would silently restart from zero mass
+        v.join(stored.select(col("id"), col("pr").as("_stored")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("_stored"),
+            raise_error(concat(lit("pageRankFixedPoint warm start: no " +
+              "stored rank for vertex "), col("id").cast("string")))
+              .cast("long")).as("pr"))
+          .localCheckpoint(true)
+    }
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val fresh = bridge.freshLeaf _
     var iterNo = 0

@@ -5645,8 +5645,11 @@ object Catalog {
     * the float-free answer to "PageRank never replays across
     * engines": truncating integral division loses < 10⁻¹² of rank
     * mass per op and buys bit-exact auditability. */
-  val q157PageRank = q("q157_pagerank",
-    "Fixed-point integer PageRank over a planted link graph, 3 iterations, bit-exact (north star: web curation authority)",
+  /** The 3-iteration fixed-point PageRank oracle, shared verbatim by
+    * q157 (from-scratch) and q180 (2 stored + 1 warm-started) — one
+    * SQL text for both is exactly the point: the warm start must
+    * reproduce the from-scratch longs bit for bit. */
+  private val pagerank3IterOracle =
     """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
       |v AS (SELECT doc_id FROM documents),
       |e AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
@@ -5690,18 +5693,26 @@ object Catalog {
       |        LEFT JOIN in3 ON v.doc_id = in3.doc_id)
       |-- CAST: DuckDB sum()/'//' promote pr to HUGEINT; the driver's
       |-- hash gate is TYPE-sensitive, so pin the engine's BIGINT
-      |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM pr3""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
+      |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM pr3""".stripMargin
+
+  /** The q157/q173/q177/q179/q180 planted link graph. */
+  private def plantedEdges(docs: DataFrame): DataFrame = {
     val nDf = docs.agg(count(lit(1)).as("nn"))
-    val e = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .crossJoin(broadcast(nDf))
       .select(col("doc_id").as("src"),
         explode(array(lit(0L), lit(1L), lit(2L))).as("j"), col("nn"))
       .select(col("src"),
         pmod(col("src") * lit(31L) + col("j") * lit(17L) + lit(7L),
           col("nn")).as("dst"))
-    Centrality.pageRankFixedPoint(docs.select(col("doc_id").as("id")), e,
-      iterations = 3)
+  }
+
+  val q157PageRank = q("q157_pagerank",
+    "Fixed-point integer PageRank over a planted link graph, 3 iterations, bit-exact (north star: web curation authority)",
+    pagerank3IterOracle) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Centrality.pageRankFixedPoint(docs.select(col("doc_id").as("id")),
+      plantedEdges(docs), iterations = 3)
       .select(col("id").as("doc_id"), col("pr"))
   }
 
@@ -6842,6 +6853,29 @@ object Catalog {
           .as("n_total_triangles"))
   }
 
+  /** Checkpoint/restart for long graph jobs: two PageRank iterations
+    * run as "yesterday's job" and PERSIST their ranks; today's job
+    * warm-starts one more iteration FROM THE STORED PARQUET. Because
+    * each iteration is a pure integer function of the previous ranks,
+    * the result is bit-equal to three iterations from scratch — the
+    * oracle is q157's 3-iteration SQL, shared verbatim. At 100 TB
+    * this is how a 40-iteration job survives preemption: persist
+    * ranks every k iterations, resume exactly. */
+  val q180WarmStart = q("q180_pagerank_warm_start",
+    "PageRank warm start from persisted ranks == from-scratch iterations, bit-exact (north star: resumable graph jobs)",
+    pagerank3IterOracle) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val v = docs.select(col("doc_id").as("id"))
+    val e = plantedEdges(docs)
+    val root = scratchDir(s, "q180_ranks")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Centrality.pageRankFixedPoint(v, e, iterations = 2)
+      .write.mode("overwrite").parquet(root) // yesterday's job ends
+    Centrality.pageRankFixedPoint(v, e, iterations = 1,
+      initRanks = Some(s.read.parquet(root))) // today resumes
+      .select(col("id").as("doc_id"), col("pr"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6886,5 +6920,5 @@ object Catalog {
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
     q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
     q173AuthorityCap, q174IncrementalEr, q175ErasureAudit, q176KmvStore,
-    q177Ppr, q178TimeTravel, q179IncTriangles)
+    q177Ppr, q178TimeTravel, q179IncTriangles, q180WarmStart)
 }

@@ -144,6 +144,23 @@ class CentralitySpec extends SparkSpecBase {
     assert(delta > 0L, "the split should create at least one new triangle")
   }
 
+  test("warm start from stored ranks is bit-equal to from-scratch; missing ranks refuse") {
+    val full = Centrality.pageRankFixedPoint(vs, es, 4)
+      .as[(Long, Long)].collect().toMap
+    val stored = Centrality.pageRankFixedPoint(vs, es, 3)
+    val resumed = Centrality.pageRankFixedPoint(vs, es, 1,
+      initRanks = Some(stored)).as[(Long, Long)].collect().toMap
+    assert(resumed === full)
+    // a warm start missing a vertex must refuse, not restart it at 0
+    val partial = stored.filter($"id" =!= 5L)
+    val e = intercept[Exception] {
+      Centrality.pageRankFixedPoint(vs, es, 1, initRanks = Some(partial))
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no stored rank"),
+      e.getMessage)
+  }
+
   test("every vertex appears in the output, including isolated ones") {
     val lonely = Seq(1L, 2L, 9L).toDF("id")
     val e1 = Seq((1L, 2L)).toDF("src", "dst")
