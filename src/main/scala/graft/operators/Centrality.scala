@@ -310,4 +310,87 @@ object Centrality {
     fresh.agg(count(lit(1)).as("n_new_edges"))
       .crossJoin(broadcast(deltaTri))
   }
+
+  // ---------------- persisted graph-census store (incremental graph)
+
+  /** The graph family's persisted store: canonical undirected edges
+    * under `path/edges` (disjoint epochs — appends dedup against the
+    * store first) and an EXACT triangle census under `path/census`
+    * (one `(n_edges, n_triangles)` partial per epoch, additive fold
+    * by the [[incrementalTriangles]] identity). The census is
+    * maintained without ever recounting the stored graph: each batch
+    * pays only for the triangles it touches, and the summed partials
+    * equal the from-scratch count bit for bit (q181's oracle).
+    *
+    * Replay safety is the cleaning-sink pattern: an append EXCLUDES
+    * its own epoch from the stored-edges read, so a re-delivered
+    * batch recomputes the identical partial and the epoch-scoped
+    * dynamic overwrite rewrites it in place — at-least-once delivery
+    * can never double-count a triangle. */
+  private val CensusFamily = "graph_census"
+  private[graft] def censusMeta: IndexMeta = IndexMeta(CensusFamily)
+
+  private def censusOf(canonEdges: DataFrame): DataFrame =
+    triangleCount(canonEdges.select(col("a").as("src"), col("b").as("dst")))
+      .select(col("n_edges"), col("n_triangles"))
+
+  /** Bootstrap: canonical edges + one full-count census partial. */
+  def triangleCensusWrite(edges: DataFrame, path: String): Unit = {
+    val canon = canonUndirected(edges)
+    EpochIndex.bootstrap(canon, s"$path/edges")
+    EpochIndex.bootstrap(censusOf(canon), s"$path/census")
+    IndexMeta.write(edges.sparkSession, path, censusMeta)
+  }
+
+  /** Append one edge batch: dedup against the store, count only the
+    * triangles the fresh edges create, land edges + census partial
+    * under the same epoch name (idempotent per epoch). */
+  def triangleCensusAppend(spark: org.apache.spark.sql.SparkSession,
+                           path: String, batch: DataFrame,
+                           epoch: String): Unit = {
+    IndexMeta.check(spark, path, censusMeta)
+    val stored = EpochIndex.read(spark, s"$path/edges",
+      excludeEpoch = Some(epoch), bootstrapName = "triangleCensusWrite")
+      .select(col("a"), col("b"))
+    // checkpoint: the fresh set feeds BOTH the delta count and the
+    // edges append — one computation, and the append cannot race the
+    // stored-edges read it was derived from
+    val fresh = canonUndirected(batch)
+      .join(stored, Seq("a", "b"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      val stats = incrementalTriangles(
+        stored.select(col("a").as("src"), col("b").as("dst")),
+        fresh.select(col("a").as("src"), col("b").as("dst")))
+        .select(col("n_new_edges").as("n_edges"),
+          col("new_triangles").as("n_triangles"))
+      EpochIndex.append(stats, s"$path/census", epoch)
+      EpochIndex.append(fresh, s"$path/edges", epoch)
+    } finally org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(fresh)
+  }
+
+  /** The census: one row `(n_edges, n_triangles)` over everything
+    * ever appended — summed partials, never a recount. */
+  def triangleCensusRead(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    IndexMeta.check(spark, path, censusMeta)
+    EpochIndex.read(spark, s"$path/census",
+      bootstrapName = "triangleCensusWrite")
+      .agg(coalesce(sum(col("n_edges")), lit(0L)).as("n_edges"),
+        coalesce(sum(col("n_triangles")), lit(0L)).as("n_triangles"))
+  }
+
+  /** Fold both substores behind their atomic `_CURRENT` flips. */
+  def triangleCensusCompact(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, CensusFamily)
+    val stats = EpochIndex.compact(spark, s"$path/census",
+      p => p.agg(coalesce(sum(col("n_edges")), lit(0L)).as("n_edges"),
+        coalesce(sum(col("n_triangles")), lit(0L)).as("n_triangles")),
+      keepVersions = keepVersions)
+    EpochIndex.compact(spark, s"$path/edges", identity,
+      keepVersions = keepVersions)
+    stats
+  }
 }

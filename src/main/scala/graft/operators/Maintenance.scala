@@ -58,6 +58,8 @@ object Maintenance {
         Cardinality.hllIndexCompact(spark, root, keepVersions)
       case "kmv_bottom_k" =>
         Cardinality.kmvIndexCompact(spark, root, keepVersions)
+      case "graph_census" =>
+        Centrality.triangleCensusCompact(spark, root, keepVersions)
       case "cms_counts" =>
         HeavyHitters.cmsIndexCompact(spark, root, keepVersions)
       case "table_digest" =>
@@ -104,6 +106,7 @@ object Maintenance {
   private def epochSubroots(family: String): Seq[(String, Seq[String])] =
     family match {
       case "bm25_postings" => Seq("postings" -> Nil, "stats" -> Nil)
+      case "graph_census" => Seq("edges" -> Nil, "census" -> Nil)
       case "ivf" => Seq("assignments" -> Seq("cell"))
       case "ivf_pq" => Seq("assignments" -> Seq("cell"), "codes" -> Seq("cell"))
       case _ => Seq("" -> Nil)

@@ -6876,6 +6876,46 @@ object Catalog {
       .select(col("id").as("doc_id"), col("pr"))
   }
 
+  /** Persisted graph census ([[Centrality.triangleCensusWrite]] +
+    * appends): the planted edges split three ways land as bootstrap +
+    * two epoch batches; each append counts only the triangles its
+    * fresh edges create, partials compact behind the `_CURRENT` flip,
+    * and the summed census must equal the oracle's from-scratch count
+    * of the whole graph — the store-maintained exact census. */
+  val q181CensusStore = q("q181_graph_census_store",
+    "Triangle census from a persisted edge store: summed epoch partials == full recount (north star: graph store)",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |e0 AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |       FROM documents CROSS JOIN n
+      |            CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |       WHERE doc_id % 10 <> 0),
+      |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM e0 WHERE src <> dst),
+      |tri AS (SELECT count(*) AS t
+      |        FROM u e1 JOIN u e2 ON e2.a = e1.a AND e2.b > e1.b
+      |             JOIN u e3 ON e3.a = e1.b AND e3.b = e2.b)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_edges,
+      |       CAST(tri.t AS BIGINT) AS n_triangles
+      |FROM tri""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val u = plantedEdges(docs)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val bucket = pmod(col("a") * lit(7L) + col("b"), lit(5L))
+    def part(p: Column => Column) = u.filter(p(bucket))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val root = scratchDir(s, "q181_census")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Centrality.triangleCensusWrite(part(_ >= 2), root)
+    Centrality.triangleCensusAppend(s, root, part(_ === 0), "day-2")
+    Centrality.triangleCensusAppend(s, root, part(_ === 1), "day-3")
+    val stats = Centrality.triangleCensusCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q181: compaction folded nothing at $root — store build failed")
+    Centrality.triangleCensusRead(s, root)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6920,5 +6960,6 @@ object Catalog {
     q166SchemaEvolution, q167ReleaseManifest, q168Triangles,
     q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
     q173AuthorityCap, q174IncrementalEr, q175ErasureAudit, q176KmvStore,
-    q177Ppr, q178TimeTravel, q179IncTriangles, q180WarmStart)
+    q177Ppr, q178TimeTravel, q179IncTriangles, q180WarmStart,
+    q181CensusStore)
 }

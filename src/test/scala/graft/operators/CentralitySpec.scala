@@ -161,6 +161,32 @@ class CentralitySpec extends SparkSpecBase {
       e.getMessage)
   }
 
+  test("graph-census store: appends maintain the exact count; replays and compaction change nothing") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-census").toString + "/store"
+    val base = (for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i, j))
+      .filter { case (a, b) => (a + b) % 3 != 0 }
+    val batch1 = (for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (i, j))
+      .filter { case (a, b) => (a + b) % 3 == 0 }
+    val batch2 = Seq((0L, 9L), (1L, 9L), (0L, 1L), (5L, 9L)) // (0,1) dup of base
+    def census(): (Long, Long) =
+      Centrality.triangleCensusRead(spark, root).as[(Long, Long)].head()
+    def full(es: Seq[(Long, Long)]): (Long, Long) =
+      Centrality.triangleCount(es.toDF("src", "dst"))
+        .select("n_edges", "n_triangles").as[(Long, Long)].head()
+    Centrality.triangleCensusWrite(base.toDF("src", "dst"), root)
+    Centrality.triangleCensusAppend(spark, root, batch1.toDF("src", "dst"), "day-2")
+    Centrality.triangleCensusAppend(spark, root, batch2.toDF("src", "dst"), "day-3")
+    val expect = full(base ++ batch1 ++ batch2)
+    assert(census() === expect)
+    // replayed epoch: same partial rewrites in place, census unchanged
+    Centrality.triangleCensusAppend(spark, root, batch2.toDF("src", "dst"), "day-3")
+    assert(census() === expect)
+    val stats = Maintenance.compactStore(spark, root)
+    assert(stats.folded.toSet === Set("base", "day-2", "day-3"))
+    assert(census() === expect)
+  }
+
   test("every vertex appears in the output, including isolated ones") {
     val lonely = Seq(1L, 2L, 9L).toDF("id")
     val e1 = Seq((1L, 2L)).toDF("src", "dst")
