@@ -1266,6 +1266,69 @@ object Dedup {
     Bridge.freshLeaf(out)
   }
 
+  /** Exact INCREMENTAL connected components: fold a batch of new
+    * match pairs into yesterday's labeling without re-clustering
+    * history — the general graph-level answer to "today's near-dup
+    * pairs arrived; update the clusters" (q174's block-scoped ER is
+    * the blocked special case; this one needs no blocking column).
+    *
+    * Correctness rests on component contraction: replace each pair
+    * endpoint by its stored label (itself for unseen vertices) and
+    * the stored components become SUPER-VERTICES of a graph whose
+    * size is O(batch). Running [[connectedComponents]] on that mini
+    * graph and composing labels through it yields EXACTLY the full
+    * rebuild's labeling: any path through old+new edges collapses to
+    * a path over super-vertices, and because stored labels are the
+    * min ids of their components, the merged label
+    * min(labels, unseen ids) IS the global min id. Pairs wholly
+    * inside one existing component drop before the mini CC (both
+    * endpoints share a label — nothing to merge).
+    *
+    * Scale shape: two broadcast-or-shuffle equi joins to map
+    * endpoints, one [[connectedComponents]] bounded by the BATCH's
+    * structure (never the corpus's), and one label-composition join
+    * over the stored labeling — the only corpus-sized operation, and
+    * it is a co-partitioned equi join, not an iteration. A year of
+    * daily batches pays a year of O(batch) minis, never a second
+    * full-history contraction.
+    *
+    * @param storedLabels [[connectedComponents]] output over all
+    *                     previous pairs: (id, cluster_id), min-id
+    *                     labels — the labeling this call updates
+    * @param pairs        today's (idA, idB) match pairs
+    * @return the updated complete labeling (id, cluster_id) over
+    *         stored ∪ batch vertices */
+  def incrementalComponents(storedLabels: DataFrame, pairs: DataFrame,
+                            idA: String = "id_a",
+                            idB: String = "id_b"): DataFrame = {
+    val lab = storedLabels.select(col("id"), col("cluster_id"))
+    val mapped = pairs
+      .join(lab.select(col("id").as(idA), col("cluster_id").as("_la")),
+        Seq(idA), "left")
+      .join(lab.select(col("id").as(idB), col("cluster_id").as("_lb")),
+        Seq(idB), "left")
+      .select(coalesce(col("_la"), col(idA)).as("id_a"),
+        coalesce(col("_lb"), col(idB)).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val mini = connectedComponents(mapped)
+      .select(col("id").as("_sv"), col("cluster_id").as("_nl"))
+    val updatedStored = lab
+      .join(mini, lab("cluster_id") === col("_sv"), "left")
+      .select(col("id"), coalesce(col("_nl"), col("cluster_id")).as("cluster_id"))
+    // vertices the batch introduced: they participated in the mini
+    // graph as themselves (or, pair-partnered into an existing
+    // component, took its merged label); isolated-by-filter ones
+    // keep their own id
+    val newIds = pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id")))
+      .distinct()
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+    val newLabels = newIds
+      .join(mini, newIds("id") === col("_sv"), "left")
+      .select(col("id"), coalesce(col("_nl"), col("id")).as("cluster_id"))
+    updatedStored.unionByName(newLabels)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs within a
     * blocking key whose cosine similarity clears `threshold`.
     * Brute force within blocks — the exact verifier; at corpus scale

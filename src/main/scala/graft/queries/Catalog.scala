@@ -6916,6 +6916,45 @@ object Catalog {
     Centrality.triangleCensusRead(s, root)
   }
 
+  /** Incremental connected components
+    * ([[Dedup.incrementalComponents]]): day 1 clusters planted
+    * 7-vertex stars; day 2 delivers bridges that merge star pairs,
+    * plus redundant intra-component pairs — folded into the stored
+    * labeling by contracting components to super-vertices and running
+    * CC on the O(batch) mini graph only. The oracle min-label-
+    * propagates over the UNION of both days from scratch; the
+    * incremental result must match it exactly. */
+  val q182IncCc = q("q182_incremental_components",
+    "Incremental connected components: fold day-2 pairs into day-1 clusters == full rebuild (north star: incremental dedup clustering)",
+    """WITH RECURSIVE
+      |p AS (
+      |  SELECT doc_id AS id_a, doc_id - doc_id % 7 AS id_b
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 7
+      |  FROM documents WHERE doc_id % 7 = 0 AND (doc_id // 7) % 3 = 0),
+      |verts AS (SELECT DISTINCT id FROM
+      |  (SELECT id_a AS id FROM p UNION SELECT id_b FROM p)),
+      |und AS (SELECT id_a AS s2, id_b AS d FROM p
+      |        UNION SELECT id_b, id_a FROM p),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT reach.id, u.d FROM reach JOIN und u ON reach.r = u.s2)
+      |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val stars = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") - pmod(col("doc_id"), lit(7))).as("id_b"))
+    val bridges = docs.filter(pmod(col("doc_id"), lit(7)) === 0 &&
+      pmod(expr("doc_id div 7"), lit(3)) === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + lit(7)).as("id_b"))
+    val redundant = stars.filter(pmod(col("id_a"), lit(7)) === 1)
+    Dedup.incrementalComponents(
+      Dedup.connectedComponents(stars),
+      bridges.unionByName(redundant))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -6961,5 +7000,5 @@ object Catalog {
     q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
     q173AuthorityCap, q174IncrementalEr, q175ErasureAudit, q176KmvStore,
     q177Ppr, q178TimeTravel, q179IncTriangles, q180WarmStart,
-    q181CensusStore)
+    q181CensusStore, q182IncCc)
 }
