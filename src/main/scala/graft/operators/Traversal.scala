@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph traversal and structure operators over link graphs — the
+  * reachability / coreness / co-citation signals a web-curation
+  * pipeline derives next to [[Centrality]]'s rank signals: "how far
+  * is this page from a trusted seed set", "does it sit in a dense
+  * k-core (link farm) or on the periphery", "which uncrawled pages
+  * do crawled ones point at most".
+  *
+  * Everything here is EXACT INTEGER work (hop counts, degrees,
+  * in-link counts) or fixed-point scaled-integer work (HITS), so every
+  * result replays bit-for-bit on any engine — the same determinism
+  * discipline as [[Centrality.pageRankFixedPoint]]: no floats, no
+  * rand(), truncating integral division only.
+  *
+  * Iterative operators follow the house checkpoint discipline: each
+  * round's frontier/state is an eager `localCheckpoint` wrapped in
+  * `Bridge.freshLeaf` (bounded plan depth, reset size stats), and the
+  * superseded round's blocks are unpersisted the moment the next
+  * round materializes — block-manager footprint stays at one
+  * generation regardless of depth.
+  */
+object Traversal {
+
+  private val bridge = org.apache.spark.sql.graftbridge.Bridge
+
+  /** Multi-source BFS hop distances over a DIRECTED graph: minimum
+    * number of edges from ANY source to each reachable vertex, up to
+    * `maxHops`. The standard "distance from trusted seeds" curation
+    * signal (TrustRank's propagation skeleton) and the generic
+    * reachability primitive.
+    *
+    * Scale shape — frontier expansion, not matrix power: each round
+    * joins only the CURRENT frontier (vertices first reached last
+    * round) against the edge list — one equi-join shuffle on `src`
+    * sized by the frontier, not the graph — then one `distinct` and
+    * one anti join against the visited set to keep the frontier
+    * minimal. Cost is Σ over rounds of frontier out-degree — the
+    * optimal BFS work bound; a converged search (empty frontier)
+    * exits early, paying nothing for the remaining hop budget. The
+    * per-round driver touch is a single `isEmpty` (bounded: head(1)).
+    *
+    * @param edges   (`src`, `dst`) directed; duplicates are harmless
+    *                (the frontier dedups) but cost join work —
+    *                distinct upstream if dirty
+    * @param sources one `id` column; the dist-0 seed set
+    * @return (id, dist) for every vertex reachable within `maxHops`,
+    *         dist = exact minimum hop count (sources at 0). Vertices
+    *         never reached do not appear — the caller left-joins if
+    *         "unreachable" needs a row. */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    var visited = bridge.freshLeaf(
+      sources.select(col("id")).distinct()
+        .withColumn("dist", lit(0)).localCheckpoint(true))
+    var frontier = visited
+    var hop = 0
+    var converged = false
+    while (hop < maxHops && !converged) {
+      val expanded = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop + 1))
+      val next = bridge.freshLeaf(expanded.localCheckpoint(true))
+      if (next.isEmpty) {
+        bridge.unpersistCheckpoint(next)
+        converged = true
+      } else {
+        val grown = bridge.freshLeaf(
+          visited.unionByName(next).localCheckpoint(true))
+        // grown materialized: the old visited set and the old
+        // frontier (hop 0 aliases visited — double-free is a no-op)
+        // are dead
+        bridge.unpersistCheckpoint(visited)
+        bridge.unpersistCheckpoint(frontier)
+        visited = grown
+        frontier = next
+        hop += 1
+      }
+    }
+    if (!(frontier eq visited)) bridge.unpersistCheckpoint(frontier)
+    visited
+  }
+
+  /** HITS hubs & authorities (Kleinberg), fixed-point scaled-integer:
+    * the bipartite-reinforcement complement to PageRank — a good HUB
+    * points at good authorities (curated link/index pages), a good
+    * AUTHORITY is pointed at by good hubs (the reference pages worth
+    * boosting). Per iteration, both scores L1-normalize to `scale`:
+    *
+    * {{{
+    *   a_raw(v) = Σ_{u→v} h(u);   a(v) = (a_raw(v)·scale) div Σ a_raw
+    *   h_raw(u) = Σ_{u→v} a(v);   h(u) = (h_raw(u)·scale) div Σ h_raw
+    * }}}
+    *
+    * All arithmetic is integral and exact — the normalize multiply
+    * runs in DECIMAL(38,0) (a_raw ≤ scale·maxInDeg would overflow a
+    * long at web in-degrees; `div` on decimals returns the exact
+    * integral quotient as a long) — so any engine replaying the same
+    * operations reproduces every score bit-for-bit, like the
+    * [[Centrality.pageRankFixedPoint]] oracle does.
+    *
+    * Scale shape: two edge⋈score equi joins + two key-partial
+    * aggregations per iteration (the Pregel shape, once per
+    * direction); the normalizing totals ride as one-row broadcast
+    * scalars; per-iteration checkpoints with superseded-generation
+    * unpersist.
+    *
+    * @return (id, hub, auth) scaled longs for EVERY vertex (vertices
+    *         with no in/out edges carry exact zeros) */
+  def hitsFixedPoint(vertices: DataFrame, edges: DataFrame,
+                     iterations: Int,
+                     scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(scale >= 1000000L, s"scale too small for meaningful scores: $scale")
+    val v = vertices.select(col("id"))
+    val e = edges.select(col("src"), col("dst"))
+    val n = v.agg(count(lit(1)).as("n"))
+    var hub = bridge.freshLeaf(v.crossJoin(broadcast(n))
+      .select(col("id"), expr(s"${scale}L div n").as("h"))
+      .localCheckpoint(true))
+    var auth: DataFrame = null
+    var iterNo = 0
+    while (iterNo < iterations) {
+      // authority pass: sum hub mass over in-edges, L1-normalize
+      val aRaw = e.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("araw"))
+      val aTot = aRaw.agg(coalesce(sum(col("araw")), lit(0L)).as("atot"))
+      val nextAuth = bridge.freshLeaf(
+        v.join(aRaw, v("id") === aRaw("dst"), "left")
+          .crossJoin(broadcast(aTot))
+          .select(col("id"), when(col("atot") > 0,
+            expr(s"(CAST(coalesce(araw, 0L) AS DECIMAL(38,0)) * ${scale}L) div atot"))
+            .otherwise(lit(0L)).as("a"))
+          .localCheckpoint(true))
+      if (auth != null) bridge.unpersistCheckpoint(auth)
+      auth = nextAuth
+      // hub pass: sum authority mass over out-edges, L1-normalize
+      val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hraw"))
+      val hTot = hRaw.agg(coalesce(sum(col("hraw")), lit(0L)).as("htot"))
+      val nextHub = bridge.freshLeaf(
+        v.join(hRaw, v("id") === hRaw("src"), "left")
+          .crossJoin(broadcast(hTot))
+          .select(col("id"), when(col("htot") > 0,
+            expr(s"(CAST(coalesce(hraw, 0L) AS DECIMAL(38,0)) * ${scale}L) div htot"))
+            .otherwise(lit(0L)).as("h"))
+          .localCheckpoint(true))
+      bridge.unpersistCheckpoint(hub)
+      hub = nextHub
+      iterNo += 1
+    }
+    val out = hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+    out
+  }
+
+  /** k-core: the maximal subgraph in which every vertex has degree
+    * ≥ k (undirected) — the density signal that separates organically
+    * linked pages (shallow cores) from link farms and scraped mirror
+    * rings (deep cores), and the classic graph-sparsification
+    * preprocessing step.
+    *
+    * Computed by the standard peel: repeatedly delete vertices of
+    * degree < k until none remain. Each round is one degree
+    * aggregation + two semi joins restricting the edge set; rounds
+    * checkpoint (superseded generation unpersisted) and the loop
+    * exits on the first round that deletes nothing — convergence is
+    * detected from a one-row count aggregate (bounded driver read).
+    * Peel depth is graph-dependent: bounded by the longest "chain of
+    * dependencies" among sub-k vertices, typically a handful of
+    * rounds on web graphs (pendant chains peel one layer per round).
+    *
+    * Input edges may be directed/duplicated — they canonicalize to
+    * distinct undirected pairs (self-loops drop) exactly like
+    * [[Centrality.triangleCount]].
+    *
+    * @return (id, deg) for every vertex IN the k-core, with its
+    *         degree inside the core (≥ k by construction) */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    var und = bridge.freshLeaf(edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true))
+    def degrees(es: DataFrame): DataFrame =
+      es.select(col("a").as("id"))
+        .unionByName(es.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var prevEdges = -1L
+    var curEdges = und.count()
+    while (curEdges != prevEdges && curEdges > 0) {
+      val keep = degrees(und).filter(col("deg") >= k).select(col("id"))
+      val peeled = bridge.freshLeaf(und
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true))
+      bridge.unpersistCheckpoint(und)
+      und = peeled
+      prevEdges = curEdges
+      curEdges = und.count()
+    }
+    // the fixpoint edge set defines the core; its degrees are the
+    // coreness-support degrees (all >= k unless the core is empty)
+    degrees(und).filter(col("deg") >= k)
+  }
+
+  /** Co-citation similarity: pairs of pages frequently linked FROM
+    * the same page — "documents cited together are related", the
+    * link-graph analog of embedding similarity and a classic
+    * related-pages / near-dup-site signal.
+    *
+    * Scale shape: pair enumeration fans out per SOURCE page as
+    * out-degree², so sources above `maxOutDeg` (mega-hub index pages
+    * that co-cite everything and signal nothing) are dropped BEFORE
+    * the self-join — the [[Dedup.minHashLsh]] `maxBucket` discipline
+    * applied to graphs; the cost model is Σ min(outdeg, maxOutDeg)²
+    * over sources. The final cut is a bounded-heap TakeOrdered
+    * (orderBy+limit), never a global sort.
+    *
+    * @return top-`topK` (id_a, id_b, n_shared) with id_a < id_b,
+    *         ordered by (n_shared desc, id_a, id_b) — deterministic
+    *         total order, engine-replayable */
+  def coCitation(edges: DataFrame, maxOutDeg: Int, topK: Int): DataFrame = {
+    require(maxOutDeg >= 2, s"maxOutDeg must be >= 2: $maxOutDeg")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val keptSrc = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .filter(col("od") <= maxOutDeg).select(col("src"))
+    val bounded = e.join(keptSrc, Seq("src"), "left_semi")
+    val pairs = bounded.as("x").join(bounded.as("y"),
+      col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("id_a"), col("y.dst").as("id_b"))
+    pairs.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
+  /** Crawl frontier: link targets NOT in the corpus, ranked by how
+    * many crawled pages point at them — "what to fetch next", the
+    * closing step of the crawl↔curate loop every web-scale corpus
+    * runs.
+    *
+    * Scale shape: one anti join of the edge targets against the
+    * corpus key set (both sides shuffle on the id — or the corpus
+    * side broadcasts when small), one count aggregation with map-side
+    * partials, and a bounded-heap TakeOrdered cut. No text moves —
+    * ids only.
+    *
+    * @param corpus one `id` column: the already-crawled key set
+    * @return top-`topK` (id, n_inlinks) by (n_inlinks desc, id) */
+  def crawlFrontier(edges: DataFrame, corpus: DataFrame,
+                    topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    edges.select(col("src"), col("dst"))
+      .join(corpus.select(col("id")), col("dst") === col("id"), "left_anti")
+      .groupBy(col("dst").as("id")).agg(count(lit(1)).as("n_inlinks"))
+      .orderBy(col("n_inlinks").desc, col("id"))
+      .limit(topK)
+  }
+}

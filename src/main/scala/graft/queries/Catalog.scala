@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Audit, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits}
+import graft.operators.{AsOfJoin, Audit, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits, Traversal}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -6955,6 +6955,176 @@ object Catalog {
       bridges.unionByName(redundant))
   }
 
+  /** Multi-source BFS over the planted link graph from a sparse
+    * trusted-seed set — TrustRank's propagation skeleton: exact
+    * minimum hop distance from any seed, bounded at 4 hops. Hop
+    * counts are exact integers, so the oracle replays them with a
+    * depth-bounded recursive CTE and hash-matches. Frontier
+    * expansion pays Σ frontier-out-degree per round (never a
+    * matrix power), converges early on an exhausted frontier, and
+    * checkpoints per round with superseded-generation unpersist —
+    * see [[Traversal.bfsDistances]]. */
+  val q183Bfs = q("q183_bfs_distances",
+    "Multi-source BFS hop distances from trusted seeds, bounded depth, exact (north star: TrustRank-style seed proximity)",
+    """WITH RECURSIVE
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |e AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |      FROM documents CROSS JOIN n
+      |           CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |      WHERE doc_id % 10 <> 0),
+      |seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+      |reach(id, d) AS (
+      |  SELECT id, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON r.id = e.src
+      |  WHERE r.d < 4)
+      |SELECT id AS doc_id, CAST(min(d) AS INTEGER) AS dist
+      |FROM reach GROUP BY id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Traversal.bfsDistances(plantedEdges(docs),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("id")),
+      maxHops = 4)
+      .select(col("id").as("doc_id"), col("dist"))
+  }
+
+  /** HITS hubs & authorities over the planted link graph, two
+    * iterations of the fixed-point integer recurrence — the
+    * bipartite-reinforcement complement to q157's PageRank. The
+    * L1-normalizing multiply runs in DECIMAL(38,0)/HUGEINT on the
+    * two engines and truncating integral division everywhere, so
+    * the raw scaled longs hash-match. */
+  val q184Hits = q("q184_hits",
+    "HITS hub/authority scores, fixed-point integer, 2 iterations, bit-exact (north star: link-quality curation signal)",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |v AS (SELECT doc_id FROM documents),
+      |e AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |      FROM documents CROSS JOIN n
+      |           CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |      WHERE doc_id % 10 <> 0),
+      |h0 AS (SELECT doc_id, 1000000000000 // nn AS h FROM v CROSS JOIN n),
+      |ar1 AS (SELECT e.dst, sum(h0.h) AS araw FROM e
+      |        JOIN h0 ON e.src = h0.doc_id GROUP BY e.dst),
+      |at1 AS (SELECT sum(araw) AS atot FROM ar1),
+      |a1 AS (SELECT v.doc_id, CASE WHEN atot > 0
+      |         THEN (coalesce(araw, 0) * 1000000000000) // atot
+      |         ELSE 0 END AS a
+      |       FROM v CROSS JOIN at1 LEFT JOIN ar1 ON v.doc_id = ar1.dst),
+      |hr1 AS (SELECT e.src, sum(a1.a) AS hraw FROM e
+      |        JOIN a1 ON e.dst = a1.doc_id GROUP BY e.src),
+      |ht1 AS (SELECT sum(hraw) AS htot FROM hr1),
+      |h1 AS (SELECT v.doc_id, CASE WHEN htot > 0
+      |         THEN (coalesce(hraw, 0) * 1000000000000) // htot
+      |         ELSE 0 END AS h
+      |       FROM v CROSS JOIN ht1 LEFT JOIN hr1 ON v.doc_id = hr1.src),
+      |ar2 AS (SELECT e.dst, sum(h1.h) AS araw FROM e
+      |        JOIN h1 ON e.src = h1.doc_id GROUP BY e.dst),
+      |at2 AS (SELECT sum(araw) AS atot FROM ar2),
+      |a2 AS (SELECT v.doc_id, CASE WHEN atot > 0
+      |         THEN (coalesce(araw, 0) * 1000000000000) // atot
+      |         ELSE 0 END AS a
+      |       FROM v CROSS JOIN at2 LEFT JOIN ar2 ON v.doc_id = ar2.dst),
+      |hr2 AS (SELECT e.src, sum(a2.a) AS hraw FROM e
+      |        JOIN a2 ON e.dst = a2.doc_id GROUP BY e.src),
+      |ht2 AS (SELECT sum(hraw) AS htot FROM hr2),
+      |h2 AS (SELECT v.doc_id, CASE WHEN htot > 0
+      |         THEN (coalesce(hraw, 0) * 1000000000000) // htot
+      |         ELSE 0 END AS h
+      |       FROM v CROSS JOIN ht2 LEFT JOIN hr2 ON v.doc_id = hr2.src)
+      |SELECT h2.doc_id, CAST(h2.h AS BIGINT) AS hub,
+      |       CAST(a2.a AS BIGINT) AS auth
+      |FROM h2 JOIN a2 ON h2.doc_id = a2.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Traversal.hitsFixedPoint(docs.select(col("doc_id").as("id")),
+      plantedEdges(docs), iterations = 2)
+      .select(col("id").as("doc_id"), col("hub"), col("auth"))
+  }
+
+  /** k-core over a planted undirected graph whose core structure is
+    * known in closed form — per 5-id group: a triangle, a 2-chain
+    * tail (peels in two cascading rounds), and on every third group
+    * a chord that pulls one tail vertex INTO the 2-core. The oracle
+    * asserts the analytic core membership and degrees directly —
+    * an INDEPENDENT check of the peel, not a replay of it. */
+  val q185Kcore = q("q185_kcore",
+    "2-core peel of a planted graph vs its closed-form core, exact (north star: link-farm density signal)",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |anc AS (SELECT doc_id AS a, ((doc_id // 5) % 3 = 0) AS chord
+      |        FROM documents CROSS JOIN n
+      |        WHERE doc_id % 5 = 0 AND doc_id + 4 < nn)
+      |SELECT a AS doc_id,
+      |       CAST(CASE WHEN chord THEN 3 ELSE 2 END AS BIGINT) AS deg
+      |FROM anc
+      |UNION ALL SELECT a + 1, CAST(2 AS BIGINT) FROM anc
+      |UNION ALL SELECT a + 2,
+      |  CAST(CASE WHEN chord THEN 3 ELSE 2 END AS BIGINT) FROM anc
+      |UNION ALL SELECT a + 3, CAST(2 AS BIGINT) FROM anc WHERE chord""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val nDf = docs.agg(count(lit(1)).as("nn"))
+    val anchors = docs.crossJoin(broadcast(nDf))
+      .filter(pmod(col("doc_id"), lit(5)) === 0 &&
+        col("doc_id") + 4 < col("nn"))
+      .select(col("doc_id").as("a"))
+    val baseE = anchors.select(explode(array(
+      struct(col("a").as("src"), (col("a") + 1).as("dst")),
+      struct((col("a") + 1).as("src"), (col("a") + 2).as("dst")),
+      struct(col("a").as("src"), (col("a") + 2).as("dst")),
+      struct((col("a") + 2).as("src"), (col("a") + 3).as("dst")),
+      struct((col("a") + 3).as("src"), (col("a") + 4).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val chordE = anchors.filter(pmod(expr("a div 5"), lit(3)) === 0)
+      .select(col("a").as("src"), (col("a") + 3).as("dst"))
+    Traversal.kCore(baseE.unionByName(chordE), k = 2)
+      .select(col("id").as("doc_id"), col("deg"))
+  }
+
+  /** Co-citation similarity over the planted link graph: pairs of
+    * pages the same source links to, counted and top-k cut with a
+    * total (count desc, id, id) order. The mega-hub guard
+    * (`maxOutDeg`) is the LSH maxBucket discipline applied to
+    * graphs — out-degree² fan-out is bounded by construction. */
+  val q186CoCitation = q("q186_cocitation",
+    "Co-citation pair counts, hub-bounded self-join, top-k (north star: related-pages / mirror-site signal)",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |e AS (SELECT DISTINCT doc_id AS src,
+      |             (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |      FROM documents CROSS JOIN n
+      |           CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |      WHERE doc_id % 10 <> 0),
+      |kept AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 3),
+      |eb AS (SELECT e.src, e.dst FROM e
+      |       WHERE e.src IN (SELECT src FROM kept)),
+      |p AS (SELECT x.dst AS id_a, y.dst AS id_b
+      |      FROM eb x JOIN eb y ON x.src = y.src AND x.dst < y.dst)
+      |SELECT id_a, id_b, count(*) AS n_shared FROM p GROUP BY id_a, id_b
+      |ORDER BY n_shared DESC, id_a, id_b LIMIT 100""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Traversal.coCitation(plantedEdges(docs), maxOutDeg = 3, topK = 100)
+  }
+
+  /** Crawl frontier: planted external links (targets past the corpus
+    * id range) ranked by in-link count — "what to fetch next", the
+    * step that closes the crawl↔curate loop. The in-corpus planted
+    * edges ride along and are anti-joined away, exercising the
+    * frontier's corpus-membership check. */
+  val q187Frontier = q("q187_crawl_frontier",
+    "Crawl frontier: uncrawled link targets by in-link count, top-k (north star: crawl scheduling)",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |ext AS (SELECT doc_id AS src,
+      |               nn + (doc_id * 13 + 5) % (nn // 2) AS dst
+      |        FROM documents CROSS JOIN n WHERE doc_id % 4 = 1)
+      |SELECT dst AS id, count(*) AS n_inlinks FROM ext GROUP BY dst
+      |ORDER BY n_inlinks DESC, id LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val nDf = docs.agg(count(lit(1)).as("nn"))
+    val ext = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"),
+        (col("nn") + pmod(col("doc_id") * 13 + 5, expr("nn div 2"))).as("dst"))
+    Traversal.crawlFrontier(plantedEdges(docs).unionByName(ext),
+      docs.select(col("doc_id").as("id")), topK = 50)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7000,5 +7170,6 @@ object Catalog {
     q169Transitions, q170WeightedK, q171DigestLedger, q172IslandsStore,
     q173AuthorityCap, q174IncrementalEr, q175ErasureAudit, q176KmvStore,
     q177Ppr, q178TimeTravel, q179IncTriangles, q180WarmStart,
-    q181CensusStore, q182IncCc)
+    q181CensusStore, q182IncCc, q183Bfs, q184Hits, q185Kcore,
+    q186CoCitation, q187Frontier)
 }
