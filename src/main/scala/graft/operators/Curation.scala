@@ -235,4 +235,88 @@ object Curation {
       .select(col("key"), col("id"),
         (col("_prior") + col("rk")).as("rk"))
   }
+
+  /** Token-budget selection: per source, take documents in QUALITY
+    * order until the source's token budget is spent — the "fill 30B
+    * tokens of web, best-first" mixture-construction step that pairs
+    * with [[Splits.mixtureSample]] (which fills budgets in a
+    * deterministic-SHUFFLE order; this variant fills them
+    * best-first). A document is selected iff the running token total
+    * THROUGH it stays ≤ the budget, in (score desc, id asc) order —
+    * a prefix cut, so the budget is never exceeded and the selected
+    * set is exactly the best-scoring affordable prefix.
+    *
+    * Scale shape — no per-source global sort: scores split into
+    * descending BANDS of width `bandWidth` whose order IS the
+    * selection order; per-(source, band) token masses (one tiny
+    * aggregate, ≤ sources × maxBands rows, [[BoundedRead]]-enforced)
+    * prefix-sum on the driver into exact global offsets; bands whose
+    * offset already exceeds the budget are pruned BEFORE any sort,
+    * and the remaining window sort is per-band — the
+    * [[Splits.mixtureSample]] shard pattern keyed by score instead
+    * of md5.
+    *
+    * Scores must be non-negative longs (a scaled quality score) and
+    * non-null — enforced loudly, since a null/negative score has no
+    * defined place in the descending band order.
+    *
+    * @param budgets per-source token budgets; sources without an
+    *                entry are dropped (not defaulted)
+    * @return input rows that made the cut, plus `cum_tokens` — the
+    *         running per-source total through this row */
+  def budgetedSelectByScore(df: DataFrame, sourceCol: String, idCol: String,
+                            tokenCol: String, scoreCol: String,
+                            budgets: Map[String, Long],
+                            bandWidth: Long = 256L,
+                            maxBands: Int = 4096): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0L),
+      "budgets must be non-negative")
+    require(bandWidth >= 1L, s"bandWidth must be >= 1: $bandWidth")
+    import org.apache.spark.sql.expressions.Window
+    val base = org.apache.spark.sql.graftbridge.Bridge.freshLeaf(df
+      .withColumn("_budget", element_at(typedLit(budgets), col(sourceCol)))
+      .filter(col("_budget").isNotNull && col("_budget") > 0)
+      .withColumn("_score", when(col(scoreCol).isNull ||
+        col(scoreCol) < 0 || col(idCol).isNull,
+        raise_error(lit("budgetedSelectByScore: scores must be non-null " +
+          "and non-negative and ids non-null — the deterministic " +
+          "(score desc, id) selection order is undefined otherwise")))
+        .otherwise(col(scoreCol).cast("long")))
+      // ascending band order == descending score-range order (scores
+      // are non-negative, so div truncation is floor)
+      .withColumn("_band", -expr(s"_score div ${bandWidth}L"))
+      // checkpoint BEFORE the driver offset collect (the
+      // mixtureSample/Percentiles boundary pattern): offsets and the
+      // window pass below must read the SAME materialized rows
+      .localCheckpoint(true))
+    val masses = BoundedRead.boundedDriverRead(
+      base.groupBy(col(sourceCol), col("_band"))
+        .agg(sum(coalesce(col(tokenCol).cast("long"), lit(0L))).as("_mass")),
+      maxRows = budgets.size * maxBands,
+      what = "Curation.budgetedSelectByScore band masses",
+      boundWhy = s"budgeted sources (${budgets.size}) x maxBands " +
+        s"($maxBands) possible (source, band) groups")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets: Map[String, Long] = masses
+      .groupBy(_._1)
+      .flatMap { case (src, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val prefix = sorted.scanLeft(0L)(_ + _._3)
+        sorted.map(_._2).zip(prefix).map { case (b, off) => s"$src|$b" -> off }
+      }
+    base
+      .withColumn("_off", element_at(typedLit(offsets),
+        concat_ws("|", col(sourceCol), col("_band"))))
+      // band-level pruning: a band starting PAST the budget
+      // contributes nothing — drop before the sort. <= not <: a
+      // zero-token row at the band head still satisfies cum <= budget
+      .filter(col("_off") <= col("_budget"))
+      .withColumn("_cum", col("_off") + sum(coalesce(
+        col(tokenCol).cast("long"), lit(0L))).over(
+        Window.partitionBy(col(sourceCol), col("_band"))
+          .orderBy(col("_score").desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_cum") <= col("_budget"))
+      .select(df.columns.map(col) :+ col("_cum").as("cum_tokens"): _*)
+  }
 }

@@ -86,4 +86,53 @@ object Packing {
       .select(col(idCol), col("batch_id"), col("_t").as("n_tokens"),
         col("pad_tokens"))
   }
+
+  /** Curriculum interleave: a global training order that goes
+    * easiest-first WITHIN each source while round-robining ACROSS
+    * sources — rank-r documents of every source precede every
+    * rank-r+1 document, so the curriculum ramps difficulty without
+    * starving any source (the standard multi-source curriculum /
+    * data-ordering recipe).
+    *
+    * The order is emitted as an explicit `pos` KEY, not a global
+    * sort: `pos = (rank − 1) · n_sources + source_index`, with
+    * per-source ranks from [[Rolling.sequenceByKey]] (bucket-local
+    * windows + broadcast offsets — a mega-source never becomes one
+    * sort task) and the source index a bounded driver read of the
+    * distinct sources (≤ `maxSources`, [[BoundedRead]]-enforced)
+    * broadcast as a literal map. Writers range-partition on `pos`;
+    * nothing ever sorts the corpus in one task.
+    *
+    * Determinism: rank order is (difficulty asc, id asc) — exact
+    * integer ordering, engine-replayable; the source index is the
+    * lexicographic source rank, matching SQL's `ORDER BY source`.
+    *
+    * @param bucket monotone-in-difficulty coarse bucket (e.g.
+    *               `expr("n_chars div 100")`) — the sequenceByKey
+    *               shard key; must be non-decreasing in
+    *               (difficulty, id) order
+    * @return (idCol, sourceCol, rank, pos) — pos is a total order
+    *         over the corpus, 0-based, gap-free iff sources are
+    *         equal-sized (gaps are harmless to consumers: order is
+    *         what matters) */
+  def curriculumInterleave(df: DataFrame, sourceCol: String, idCol: String,
+                           difficulty: Column, bucket: Column,
+                           maxSources: Int = 10000): DataFrame = {
+    val ranked = Rolling.sequenceByKey(df, Seq(sourceCol),
+      orderCols = Seq(difficulty, col(idCol)), bucket = bucket, as = "rank")
+    val srcs = BoundedRead.boundedDriverRead(
+      df.select(col(sourceCol)).distinct(),
+      maxRows = maxSources,
+      what = "Packing.curriculumInterleave source index",
+      boundWhy = s"distinct sources are a curated enumerable set " +
+        s"(maxSources=$maxSources)")
+      .map(_.getString(0)).sorted
+    val idx: Map[String, Long] =
+      srcs.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+    val ns = srcs.size.toLong
+    ranked
+      .withColumn("_sidx", element_at(typedLit(idx), col(sourceCol)))
+      .select(col(idCol), col(sourceCol), col("rank"),
+        ((col("rank") - 1L) * lit(ns) + col("_sidx")).as("pos"))
+  }
 }

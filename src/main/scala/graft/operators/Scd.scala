@@ -55,4 +55,58 @@ object Scd {
         lead(col(tsCol), 1).over(w).as("valid_to"): _*)
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incrementally maintain an SCD2 history from a
+    * [[Diff.cdcDelta]] changefeed — the standard warehouse pattern:
+    * nightly snapshots diff into (op, key, payload) rows, and the
+    * history table absorbs them WITHOUT re-deriving itself from the
+    * full change log. Per delta row at effective time `ts`:
+    *
+    *  - `upsert`: the key's current version (if any) closes at `ts`,
+    *    and a new open version `[ts, null)` with the new payload
+    *    opens;
+    *  - `delete`: the key's current version closes at `ts` — and,
+    *    unlike [[scd2FromChangeLog]] (which cannot see
+    *    disappearances, only observations), the key ends with NO
+    *    current row. This is the capability the delta adds.
+    *
+    * Contract: `ts` is strictly later than every touched key's
+    * `valid_from` (snapshots are monotone), and the delta is the
+    * exactly-once diff of two snapshots — [[Diff.cdcDelta]]
+    * guarantees both one row per changed key and upserts that
+    * really changed, so no zero-length or duplicate versions arise.
+    *
+    * Scale shape: closed/untouched rows split with one semi + one
+    * anti join of the CURRENT rows against the delta keys (the
+    * history's closed majority passes through without a join);
+    * opened versions are a projection of the delta. No window, no
+    * full-history rewrite beyond the union-out — at 100 TB the
+    * history lands partitioned by key and the delta touches only
+    * matching partitions.
+    *
+    * @param history keyCols ++ attrCols ++ (valid_from, valid_to,
+    *                is_current) — [[scd2FromChangeLog]]'s shape
+    * @param delta   (keyCols…, op, attrCols…) from [[Diff.cdcDelta]]
+    * @param ts      the new snapshot's effective time
+    */
+  def scd2ApplyCdc(history: DataFrame, delta: DataFrame,
+                   keyCols: Seq[String], attrCols: Seq[String],
+                   ts: Column): DataFrame = {
+    val toT = ts.cast(history.schema("valid_to").dataType)
+    val fromT = ts.cast(history.schema("valid_from").dataType)
+    val dKeys = delta.select(keyCols.map(col): _*)
+    val current = history.filter(col("is_current"))
+    val past = history.filter(!col("is_current"))
+    val closed = current.join(dKeys, keyCols, "left_semi")
+      .withColumn("valid_to", toT)
+      .withColumn("is_current", lit(false))
+    val untouched = current.join(dKeys, keyCols, "left_anti")
+    val opened = delta.filter(col("op") === "upsert")
+      .select((keyCols ++ attrCols).map(col): _*)
+      .withColumn("valid_from", fromT)
+      .withColumn("valid_to", lit(null).cast(history.schema("valid_to").dataType))
+      .withColumn("is_current", lit(true))
+      .select(history.columns.map(col).toIndexedSeq: _*)
+    past.unionByName(untouched).unionByName(closed).unionByName(opened)
+  }
 }

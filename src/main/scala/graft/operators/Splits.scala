@@ -35,6 +35,37 @@ object Splits {
       .otherwise(lit("test"))
   }
 
+  /** Cluster-safe split: route every NEAR-DUP CLUSTER — not every
+    * document — to one split, so a train document's near-duplicate
+    * can never land in test. Hashing raw ids (q49's [[assignSplit]])
+    * silently leaks: two near-identical documents have unrelated ids
+    * and a 10% chance of straddling train/test, which is exactly the
+    * contamination dedup exists to prevent. Hashing the CLUSTER id
+    * closes it structurally: same cluster ⇒ same md5 bucket ⇒ same
+    * split, for any cluster size, by construction.
+    *
+    * @param docs   the corpus; all columns ride through
+    * @param idCol  document id
+    * @param labels (id, cluster_id) from
+    *               [[Dedup.connectedComponents]] over the verified
+    *               near-dup pairs — only documents IN some pair need
+    *               a row; everything else is its own singleton
+    *               cluster (cluster_id = own id, same as what CC
+    *               emits for a vertex with no edges)
+    * @return docs columns + (cluster_id, split) — the split a pure
+    *         engine-portable function of cluster_id, reproducible
+    *         across runs/retries/engines
+    *
+    * Scale shape: one equi join on the id (labels hold only clustered
+    * docs — usually a small fraction, broadcast when small) and a
+    * scan-side md5; no shuffle of the corpus beyond the join. */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, labels: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs.join(labels.select(col("id").as(idCol), col("cluster_id")),
+      Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split", assignSplit(col("cluster_id"), trainPct, valPct))
+
   /** Deterministic stratified sample: per-stratum keep rates in basis
     * points (1/10000), e.g. Map("en" -> 2500) keeps 25% of English
     * rows. The rate table is integer basis points — not a Double — so
