@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{BoundedRead, Cardinality, Contamination, Curation,
+  Dedup, Maintenance, Packing, Splits}
+import graft.sources.{Fs, Tables}
+
+/** The LLM-data-pipeline story as ONE runnable main — the second-half
+  * counterpart to [[graft.pipeline.Demo]]'s reference-parity revenue
+  * flow. Composes only catalog-verified operators (each stage cites
+  * the query whose oracle pins it) over a corpus directory:
+  *
+  *   ingest → exact dedup (q19) → near-dup LSH→verify→CC (q42)
+  *   → decontaminate (q50) → quality filter (q119's signals)
+  *   → cluster-safe split (q189: near-dup clusters never straddle
+  *     train/test) → token-budget mixture (q191) → curriculum
+  *     interleave (q190) → greedy context packing (q55)
+  *   plus a persisted KMV profile store (q176) written, appended,
+  *   and compacted through [[Maintenance.compactAll]], probed for
+  *   per-source distinct-doc estimates after every maintenance step.
+  *
+  * Scale posture inherited from the pieces: banded LSH (never
+  * all-pairs), broadcast benchmark grams, md5 splits (no rand()),
+  * driver reads bounded and asserted, store compaction behind the
+  * atomic `_CURRENT` flip. Stage outputs checkpoint once each
+  * (`localCheckpoint` barrier) exactly like q100 — at 100 TB every
+  * stage output IS a table between jobs.
+  *
+  * `CorpusDemoSpec` pins the sf0.001 stage counts; the driver can run
+  * `sbt "runMain graft.CorpusDemo [sfDir] [outDir]"` — one summary
+  * JSON line on stdout. */
+object CorpusDemo {
+
+  final case class Result(
+      nIngested: Long, nExact: Long, nNear: Long, nClean: Long,
+      nQuality: Long, nClusters: Long, splitCounts: Map[String, Long],
+      nMixture: Long, mixtureTokens: Long, nCurriculum: Long,
+      nPacks: Long, storesCompacted: Int, kmvProbes: Long)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    def barrier(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+    // ---- ingest (with planted exact copies so dedup has real work,
+    //      the q100 pattern: every 10th doc re-arrives under a new id)
+    val base = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val docs = barrier(base.unionByName(
+      base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("text"))))
+
+    // ---- exact dedup: keep the min-id representative per fingerprint
+    val exact = barrier(docs.join(
+      Dedup.exactDedupStats(docs, TextFunctions.fingerprint(col("text")),
+        col("doc_id")).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi"))
+
+    // ---- near dedup: banded LSH candidates → exact Jaccard verify →
+    //      connected components; keep each cluster's min id
+    val pairs = Dedup.ngramJaccardVerify(exact,
+      Dedup.minHashLsh(exact, "doc_id", "text", numHashes = 64, bands = 32,
+        shingleK = 1, threshold = 0.0, maxBucket = 10000,
+        blockCol = Some("source")),
+      "doc_id", "text", k = 1, threshold = 0.5)
+    val labels = barrier(Dedup.connectedComponents(pairs))
+    val near = barrier(exact.join(
+      labels.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti"))
+
+    // ---- decontaminate: held-out docs never pass; probes with > 10%
+    //      verbatim 8-gram overlap against the benchmark drop
+    val probe = near.filter(pmod(col("doc_id"), lit(29)) =!= 0)
+    val clean = barrier(near.join(
+      Contamination.ngramOverlap(probe = probe,
+        benchmark = base.filter(pmod(col("doc_id"), lit(29)) === 0),
+        idCol = "doc_id", textCol = "text", n = 8)
+        .filter(col("overlap_ratio") <= 0.1).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+
+    // ---- quality: codegen'd per-row signals, zero shuffle
+    val quality = barrier(clean.filter(
+      TextFunctions.tokenCount(col("text")) >= 25 &&
+        TextFunctions.alphaRatio(col("text")) >= 0.6))
+
+    // ---- cluster-safe split: hash the NEAR-DUP CLUSTER id, so no
+    //      near-duplicate pair can straddle train/test (q189 — the
+    //      leak q49's raw-id split structurally allows)
+    val split = barrier(Splits.clusterSafeSplit(quality, "doc_id", labels))
+    val splitCounts = BoundedRead.boundedDriverRead(
+      split.groupBy("split").count(), maxRows = 3,
+      what = "CorpusDemo split counts",
+      boundWhy = "split has exactly three values by construction")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val train = barrier(split.filter(col("split") === "train")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long")))
+
+    // ---- token-budget mixture: per source, best-quality-first until
+    //      the source's budget is spent (q191); alpha-ratio scaled to
+    //      integer basis points is the quality score
+    val budgets = BoundedRead.boundedDriverRead(
+      train.select("source").distinct(), maxRows = 10000,
+      what = "CorpusDemo per-source budget index",
+      boundWhy = "distinct sources are a curated enumerable set")
+      .map(_.getString(0) -> 100000L).toMap
+    val mixture = barrier(Curation.budgetedSelectByScore(
+      train.withColumn("score",
+        (TextFunctions.alphaRatio(col("text")) * 10000).cast("long")),
+      "source", "doc_id", "n_tokens", "score", budgets))
+
+    // ---- curriculum: difficulty-ranked round-robin across sources
+    //      (q190) — easy docs first, every batch source-diverse
+    val curriculum = barrier(Packing.curriculumInterleave(
+      mixture, "source", "doc_id",
+      difficulty = col("n_tokens"), bucket = expr("n_tokens div 64")))
+
+    // ---- pack: greedy 512-token bins over 8 hash shards (q55)
+    val packs = Packing.packGreedy(
+      mixture.select(col("doc_id"), col("n_tokens")),
+      "doc_id", "n_tokens", ctxLen = 512, shards = 8)
+      .select("shard", "bin").distinct()
+
+    // ---- persisted profile store: KMV distinct-doc sketches per
+    //      source, written epoch 1, appended epoch 2, compacted via
+    //      the store-tree maintenance sweep, probed from disk (q176)
+    val kmvRoot = s"$outDir/stores/kmv_docs"
+    Fs.deleteRecursively(spark, kmvRoot)
+    def epoch(r: Int) = Cardinality.kmvSketch(
+      docs.filter(pmod(col("doc_id"), lit(2)) === r),
+      col("source"), col("doc_id"), k = 32)
+    Cardinality.kmvIndexWrite(epoch(0), kmvRoot, 32, "doc_id")
+    Cardinality.kmvIndexAppend(spark, kmvRoot, epoch(1), "epoch-2", 32, "doc_id")
+    val compacted = Maintenance.compactAll(spark, s"$outDir/stores")
+    val kmvProbes = Cardinality.kmvIndexRead(spark, kmvRoot, 32, "doc_id").count()
+
+    Result(
+      nIngested = docs.count(), nExact = exact.count(),
+      nNear = near.count(), nClean = clean.count(),
+      nQuality = quality.count(),
+      nClusters = labels.select("cluster_id").distinct().count(),
+      splitCounts = splitCounts,
+      nMixture = mixture.count(),
+      mixtureTokens = mixture.agg(coalesce(sum("n_tokens"), lit(0L)))
+        .head().getLong(0),
+      nCurriculum = curriculum.count(),
+      nPacks = packs.count(),
+      storesCompacted = compacted.size,
+      kmvProbes = kmvProbes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft-corpus-demo")
+    val spark = GraftSession.getOrCreate()
+    val r = run(spark, sfDir, outDir)
+    // one parseable line, Bench-style
+    println(
+      s"""{"demo":"corpus","sf_dir":${Json.str(sfDir)},""" +
+      s""""ingested":${r.nIngested},"exact":${r.nExact},"near":${r.nNear},""" +
+      s""""clean":${r.nClean},"quality":${r.nQuality},"clusters":${r.nClusters},""" +
+      s""""train":${r.splitCounts.getOrElse("train", 0L)},""" +
+      s""""val":${r.splitCounts.getOrElse("val", 0L)},""" +
+      s""""test":${r.splitCounts.getOrElse("test", 0L)},""" +
+      s""""mixture":${r.nMixture},"mixture_tokens":${r.mixtureTokens},""" +
+      s""""curriculum":${r.nCurriculum},"packs":${r.nPacks},""" +
+      s""""stores_compacted":${r.storesCompacted},"kmv_probes":${r.kmvProbes}}""")
+    spark.stop()
+  }
+}

@@ -96,4 +96,44 @@ object Contamination {
       .withColumn("overlap_ratio",
         col("n_contaminated").cast("double") / col("n_ngrams").cast("double"))
   }
+
+  /** Embedding-level (semantic) decontamination — the paraphrase gap
+    * [[ngramOverlap]] cannot see: a benchmark item rewritten in other
+    * words shares no verbatim 8-gram but sits next to the original in
+    * embedding space. For every probe document, the maximum cosine
+    * similarity against ANY benchmark embedding, the benchmark item
+    * achieving it, and the ≥ `tau` contamination verdict.
+    *
+    * Scale shape — same posture as the n-gram family: the benchmark
+    * side broadcasts (eval suites are thousands of vectors), the
+    * probe corpus is scanned once and NEVER shuffles vectors — the
+    * per-probe max is the bounded-heap [[graft.functions.TopK]]
+    * aggregator with k=1, reduced map-side, so the shuffle carries
+    * one (id, sim) pair per probe per partition. Cost is
+    * O(|probe| × |benchmark|) dot products, embarrassingly parallel;
+    * for benchmark sets too big to broadcast, pre-bucket both sides
+    * with [[Similarity.ivfTopK]]'s cell assignment and run this
+    * per cell (the q24 discipline).
+    *
+    * Similarity is rounded to `roundTo` decimals BEFORE ranking
+    * (summation-order stability across engines — the q23 rule); ties
+    * break toward the smallest benchmark id.
+    *
+    * @return (probe_id, nearest_bench_id, max_sim, contaminated) */
+  def semanticOverlap(probe: DataFrame, benchmark: DataFrame,
+                      idCol: String, vecCol: String, tau: Double,
+                      roundTo: Int = 4): DataFrame = {
+    val p = probe.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    val b = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bvec"))
+    p.join(broadcast(b))
+      .select(col("probe_id"), col("bench_id"),
+        round(Similarity.cosine(col("pvec"), col("bvec")), roundTo).as("sim"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopK.top_k(1)(col("sim"), col("bench_id")).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("t"))
+      .select(col("probe_id"),
+        col("t._2").as("nearest_bench_id"),
+        col("t._1").as("max_sim"))
+      .withColumn("contaminated", col("max_sim") >= tau)
+  }
 }

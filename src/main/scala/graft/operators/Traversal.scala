@@ -87,6 +87,74 @@ object Traversal {
     visited
   }
 
+  /** Incremental BFS: fold EDGE APPENDS into a persisted
+    * [[bfsDistances]] fixpoint instead of re-running the full search
+    * — the persisted/incremental variant the store family gives the
+    * other graph operators. Sound because hop distance is MONOTONE
+    * under edge insertion: adding edges can only shorten distances,
+    * so the prior fixpoint is a valid upper bound in the grown graph,
+    * and label-correcting relaxation seeded from just the appended
+    * edges converges to exactly the full re-run's answer — the
+    * equivalence q192 pins against a full recursive-CTE re-BFS.
+    *
+    * Scale shape: the initial improvement frontier is `newEdges ⋈
+    * prior` — sized by the APPEND, not the graph — and every later
+    * round joins only vertices whose distance just improved against
+    * the edge list, so total work is Σ improved-vertex out-degree:
+    * the affected region, not the corpus. An append that shortens
+    * nothing costs one join over the delta and exits. Round count is
+    * bounded by `maxHops` (an improvement surfacing at round r sits
+    * ≥ r hops from an appended edge, so its distance is ≥ r): the
+    * loop cannot run away. Per-round checkpoints free superseded
+    * generations, [[bfsDistances]]-style.
+    *
+    * Deletions are NOT incremental (removal can lengthen distances,
+    * breaking the upper-bound invariant) — rebuild via
+    * [[bfsDistances]], the same posture as
+    * [[Dedup.incrementalComponents]].
+    *
+    * @param prior    (id, dist) — a [[bfsDistances]] fixpoint for the
+    *                 pre-append edge set at the SAME `maxHops`
+    * @param edges    the full post-append edge set (old ∪ new)
+    * @param newEdges the appended edges only
+    * @return (id, dist) — bit-equal to
+    *         `bfsDistances(edges, sources, maxHops)` */
+  def bfsResume(prior: DataFrame, edges: DataFrame, newEdges: DataFrame,
+                maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    // strictly-better candidates from relaxing `front` over `es`
+    def improve(cur: DataFrame, front: DataFrame, es: DataFrame): DataFrame =
+      front.join(es, front("id") === es("src"))
+        .groupBy(col("dst").as("id"))
+        .agg((min(front("dist")) + 1).as("cand"))
+        .filter(col("cand") <= maxHops)
+        .join(cur.select(col("id"), col("dist").as("_old")), Seq("id"), "left")
+        .filter(col("_old").isNull || col("cand") < col("_old"))
+        .select(col("id"), col("cand").as("dist"))
+    var dist = bridge.freshLeaf(
+      prior.select(col("id"), col("dist")).localCheckpoint(true))
+    var frontier = bridge.freshLeaf(
+      improve(dist, dist, newEdges.select(col("src"), col("dst")))
+        .localCheckpoint(true))
+    var round = 0
+    while (!frontier.isEmpty && round <= maxHops) {
+      round += 1
+      // improved rows REPLACE their stale versions (strictly better)
+      val merged = bridge.freshLeaf(
+        dist.join(frontier.select(col("id")), Seq("id"), "left_anti")
+          .unionByName(frontier).localCheckpoint(true))
+      val next = bridge.freshLeaf(
+        improve(merged, frontier, e).localCheckpoint(true))
+      bridge.unpersistCheckpoint(dist)
+      bridge.unpersistCheckpoint(frontier)
+      dist = merged
+      frontier = next
+    }
+    bridge.unpersistCheckpoint(frontier)
+    dist
+  }
+
   /** HITS hubs & authorities (Kleinberg), fixed-point scaled-integer:
     * the bipartite-reinforcement complement to PageRank — a good HUB
     * points at good authorities (curated link/index pages), a good
@@ -172,18 +240,42 @@ object Traversal {
     * checkpoint (superseded generation unpersisted) and the loop
     * exits on the first round that deletes nothing — convergence is
     * detected from a one-row count aggregate (bounded driver read).
-    * Peel depth is graph-dependent: bounded by the longest "chain of
-    * dependencies" among sub-k vertices, typically a handful of
-    * rounds on web graphs (pendant chains peel one layer per round).
+    *
+    * Peel-depth bound (the cost model a 100 TB caller must price):
+    * each round issues one `count()` ACTION, and the number of rounds
+    * is the longest chain of peel dependencies among sub-k vertices —
+    * worst case O(longest induced path): a pendant chain of length L
+    * peels exactly one vertex per round for L rounds. Web graphs
+    * converge in a handful of rounds, but a pathological chain-shaped
+    * graph would run thousands of count() jobs — so the loop carries
+    * a `maxRounds` guard and FAILS LOUDLY (with the round count and
+    * the live edge count) instead of silently looping for hours;
+    * raise the cap only after pricing rounds × (degree-agg + 2 semi
+    * joins) at your edge scale.
     *
     * Input edges may be directed/duplicated — they canonicalize to
     * distinct undirected pairs (self-loops drop) exactly like
     * [[Centrality.triangleCount]].
     *
+    * No persisted/incremental variant — deliberately (the
+    * [[bfsResume]] question, answered the other way): under edge
+    * APPENDS the k-core only grows (degrees are monotone), but the
+    * growth is NOT locally bounded — one inserted edge can lift a
+    * vertex to degree k and cascade re-inclusion through arbitrarily
+    * long chains of previously-peeled vertices, so a sound
+    * incremental fold re-examines an unbounded region (core
+    * maintenance is its own research literature). Unlike BFS there is
+    * no cheap monotone-relaxation shortcut; re-peeling from the
+    * stored edge set costs the same joins the fold would and needs no
+    * correctness argument, so appends rebuild from the persisted
+    * edges (e.g. q181's edge substore), paying bounded rounds each
+    * run.
+    *
     * @return (id, deg) for every vertex IN the k-core, with its
     *         degree inside the core (≥ k by construction) */
-  def kCore(edges: DataFrame, k: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     var und = bridge.freshLeaf(edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b"))
@@ -195,7 +287,15 @@ object Traversal {
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     var prevEdges = -1L
     var curEdges = und.count()
+    var rounds = 0
     while (curEdges != prevEdges && curEdges > 0) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kCore(k=$k) did not converge within maxRounds=$maxRounds " +
+          s"($curEdges live edges after ${rounds - 1} peels) — the graph's " +
+          "peel-dependency chain is longer than the cap (each round costs " +
+          "one count() action + a degree agg + two semi joins); raise " +
+          "maxRounds only after pricing rounds at your edge scale")
       val keep = degrees(und).filter(col("deg") >= k).select(col("id"))
       val peeled = bridge.freshLeaf(und
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")

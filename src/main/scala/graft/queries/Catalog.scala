@@ -7125,6 +7125,261 @@ object Catalog {
       docs.select(col("doc_id").as("id")), topK = 50)
   }
 
+  // ---------------------------------------------------------------- incremental BFS
+  /** [[Traversal.bfsResume]] under the oracle — the persisted/
+    * incremental story for BFS distances, closing the store-symmetry
+    * question the graph family left open: edge APPENDS fold into the
+    * persisted q183 fixpoint by monotone relaxation (insertion only
+    * shortens distances, so the old answer is a valid upper bound and
+    * the improvement frontier — sized by the append's affected
+    * region, never the graph — converges to the full re-run's
+    * answer). The oracle is the full recursive-CTE re-BFS over the
+    * merged edge set: incremental ≡ rebuild, hash-matched. Deletions
+    * rebuild (they break the upper-bound invariant) — the
+    * [[Dedup.incrementalComponents]] posture. */
+  val q192IncBfs = q("q192_incremental_bfs",
+    "Incremental BFS: edge appends fold into persisted distances == full re-BFS (north star: graph store maintenance)",
+    """WITH RECURSIVE
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+      |e AS (SELECT doc_id AS src, (doc_id * 31 + j * 17 + 7) % nn AS dst
+      |      FROM documents CROSS JOIN n
+      |           CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2)) AS t(j)
+      |      WHERE doc_id % 10 <> 0
+      |      UNION ALL
+      |      SELECT doc_id, (doc_id * 13 + 11) % nn
+      |      FROM documents CROSS JOIN n WHERE doc_id % 15 = 3),
+      |seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+      |reach(id, d) AS (
+      |  SELECT id, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON r.id = e.src
+      |  WHERE r.d < 4)
+      |SELECT id AS doc_id, CAST(min(d) AS INTEGER) AS dist
+      |FROM reach GROUP BY id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val seeds = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("id"))
+    val base = plantedEdges(docs)
+    val nDf = docs.agg(count(lit(1)).as("nn"))
+    val appended = docs.filter(pmod(col("doc_id"), lit(15)) === 3)
+      .crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"),
+        pmod(col("doc_id") * lit(13L) + lit(11L), col("nn")).as("dst"))
+    val prior = Traversal.bfsDistances(base, seeds, maxHops = 4)
+    Traversal.bfsResume(prior, base.unionByName(appended), appended, maxHops = 4)
+      .select(col("id").as("doc_id"), col("dist"))
+  }
+
+  // ---------------------------------------------------------------- SCD2 CDC apply
+  /** [[Scd.scd2ApplyCdc]] under the oracle: a one-version-per-key
+    * history (the old snapshot, opened 1995-01-01) absorbs the
+    * [[Diff.cdcDelta]] changefeed of (old → new) at 1996-01-01.
+    * Planted snapshots are q154's shape: keys %17/%13 drop in/out
+    * (adds + deletes), %7 flips priority to RUSH (changes). The
+    * oracle restates the version algebra as set operations over the
+    * two snapshots: untouched keys keep their open 1995 version;
+    * touched keys (changed ∪ deleted) close at 1996; upserted keys
+    * (changed ∪ added) open a current 1996 version — and deleted keys
+    * end with NO current row, the capability [[Scd.scd2FromChangeLog]]
+    * (which only sees observations, never disappearances) cannot
+    * express. Scale shape: one semi + one anti join of CURRENT rows
+    * against delta keys; the closed-history majority never joins. */
+  val q188Scd2Cdc = q("q188_scd2_cdc",
+    "SCD2 history absorbs a CDC changefeed: close/open/delete version algebra (north star: incremental maintenance)",
+    """WITH o AS (
+      |  SELECT o_orderkey AS order_key, o_orderpriority AS priority
+      |  FROM orders WHERE o_orderkey % 17 <> 0),
+      |n AS (
+      |  SELECT o_orderkey AS order_key,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN 'RUSH' ELSE o_orderpriority END AS priority
+      |  FROM orders WHERE o_orderkey % 13 <> 0),
+      |changed AS (SELECT o.order_key FROM o JOIN n USING (order_key)
+      |            WHERE o.priority IS DISTINCT FROM n.priority),
+      |removed AS (SELECT order_key FROM o
+      |            WHERE order_key NOT IN (SELECT order_key FROM n)),
+      |added   AS (SELECT order_key FROM n
+      |            WHERE order_key NOT IN (SELECT order_key FROM o)),
+      |touched AS (SELECT order_key FROM changed UNION ALL SELECT order_key FROM removed)
+      |SELECT order_key, priority, DATE '1995-01-01' AS valid_from,
+      |       CAST(NULL AS DATE) AS valid_to, true AS is_current
+      |FROM o WHERE order_key NOT IN (SELECT order_key FROM touched)
+      |UNION ALL
+      |SELECT order_key, priority, DATE '1995-01-01', DATE '1996-01-01', false
+      |FROM o WHERE order_key IN (SELECT order_key FROM touched)
+      |UNION ALL
+      |SELECT order_key, priority, DATE '1996-01-01', NULL, true
+      |FROM n WHERE order_key IN (SELECT order_key FROM changed
+      |                           UNION ALL SELECT order_key FROM added)""".stripMargin) { (s, d) =>
+    val ord = Tables.orders(s, d)
+    val oldSnap = ord.filter(pmod(col("o_orderkey"), lit(17)) =!= 0)
+      .select(col("o_orderkey").as("order_key"),
+        col("o_orderpriority").as("priority"))
+    val newSnap = ord.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .select(col("o_orderkey").as("order_key"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("RUSH"))
+          .otherwise(col("o_orderpriority")).as("priority"))
+    val history = oldSnap
+      .withColumn("valid_from", to_date(lit("1995-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    Scd.scd2ApplyCdc(history,
+      Diff.cdcDelta(oldSnap, newSnap, Seq("order_key")),
+      Seq("order_key"), Seq("priority"), to_date(lit("1996-01-01")))
+  }
+
+  // ---------------------------------------------------------------- cluster-safe split
+  /** [[Splits.clusterSafeSplit]] under the oracle — the contamination
+    * story q49 leaves open: q49 hashes RAW ids, so two near-identical
+    * documents (unrelated ids) straddle train/test with ~10%
+    * probability — exactly the leak dedup exists to prevent. Routing
+    * the q42-verified near-dup CLUSTER id through the same md5
+    * arithmetic closes it structurally: same cluster ⇒ same bucket ⇒
+    * same split, for any cluster size, by construction (the spec
+    * property-tests the no-straddle invariant over random
+    * clusterings). The oracle replays q42's recursive-CC labels and
+    * q49's md5 split arithmetic over the cluster id. */
+  val q189ClusterSafeSplit = q("q189_cluster_safe_split",
+    "Cluster-safe train/val/test split: near-dup clusters never straddle splits (north star: decontamination)",
+    """WITH RECURSIVE
+      |t AS (SELECT source, doc_id,
+      |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS sh
+      |      FROM documents),
+      |edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+      |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END >= 0.5),
+      |verts AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
+      |undirected AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT reach.id, u.d FROM reach JOIN undirected u ON reach.r = u.s),
+      |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |assigned AS (
+      |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN labels l USING (doc_id))
+      |SELECT doc_id, cluster_id,
+      |       CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+      |            WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM assigned""".stripMargin) { (s, d) =>
+    // Same scale-safe cluster derivation as q42 (banded LSH → exact
+    // verify → CC); the split itself adds ONE left join (labels hold
+    // only clustered docs — broadcast-small) + a scan-side md5.
+    val docs = Tables.documents(s, d)
+    val cands = Dedup.minHashLsh(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
+      maxBucket = 10000, blockCol = Some("source"))
+    val pairs = Dedup.ngramJaccardVerify(docs, cands, "doc_id", "text",
+      k = 1, threshold = 0.5)
+    Splits.clusterSafeSplit(docs, "doc_id", Dedup.connectedComponents(pairs))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
+  // ---------------------------------------------------------------- curriculum interleave
+  /** [[Packing.curriculumInterleave]] under the oracle: per-source
+    * difficulty ranks (n_chars asc, doc_id tiebreak) interleaved
+    * round-robin into one global curriculum position — easy documents
+    * first, every batch source-diverse. The rank is
+    * [[Rolling.sequenceByKey]]'s sharded row_number (no per-source
+    * global sort at scale); the source index is a bounded driver read
+    * broadcast as a literal map. The oracle restates both as plain
+    * window arithmetic: pos = (rank−1)·n_sources + source_index. */
+  val q190Curriculum = q("q190_curriculum_interleave",
+    "Curriculum interleave: difficulty-ranked round-robin position across sources (north star: training-order construction)",
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS "rank"
+      |  FROM documents),
+      |idx AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+      |        FROM (SELECT DISTINCT source FROM documents)),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx)
+      |SELECT r.doc_id, r.source, r."rank",
+      |       (r."rank" - 1) * ns.n + i.sidx AS pos
+      |FROM ranked r JOIN idx i USING (source) CROSS JOIN ns""".stripMargin) { (s, d) =>
+    Packing.curriculumInterleave(Tables.documents(s, d),
+      sourceCol = "source", idCol = "doc_id",
+      difficulty = col("n_chars"), bucket = expr("n_chars div 100"))
+  }
+
+  // ---------------------------------------------------------------- token-budget selection
+  /** [[Curation.budgetedSelectByScore]] under the oracle: per source,
+    * take documents best-score-first until the source's token budget
+    * is spent — a prefix cut in (score desc, id) order, so the budget
+    * is never exceeded and the selected set is exactly the
+    * best-scoring affordable prefix. The engine side sorts only
+    * per-(source, score-band) shards with driver prefix-summed band
+    * offsets (the mixtureSample pattern keyed by score); the oracle
+    * states the straight per-source running-sum window. Budgets:
+    * sources without an entry drop; cum is CAST back to BIGINT
+    * (DuckDB's window sum promotes to HUGEINT). */
+  val q191BudgetedSelect = q("q191_budgeted_select",
+    "Token-budget best-first selection per source: running total prefix cut (north star: mixture construction)",
+    """WITH s AS (
+      |  SELECT doc_id, source, n_chars AS toks, doc_id % 1000 AS score
+      |  FROM documents),
+      |b AS (SELECT * FROM (VALUES ('src0', 3000), ('src3', 1500),
+      |                            ('src7', 5000), ('src12', 800)) v(source, budget)),
+      |c AS (
+      |  SELECT s.doc_id, s.source, s.toks, s.score, b.budget,
+      |         sum(s.toks) OVER (PARTITION BY s.source
+      |                           ORDER BY s.score DESC, s.doc_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM s JOIN b USING (source))
+      |SELECT doc_id, source, toks, score, CAST(cum AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum <= budget""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      col("n_chars").as("toks"),
+      pmod(col("doc_id"), lit(1000L)).as("score"))
+    Curation.budgetedSelectByScore(base,
+      sourceCol = "source", idCol = "doc_id",
+      tokenCol = "toks", scoreCol = "score",
+      budgets = Map("src0" -> 3000L, "src3" -> 1500L,
+        "src7" -> 5000L, "src12" -> 800L))
+  }
+
+  // ---------------------------------------------------------------- semantic decontamination
+  /** [[Contamination.semanticOverlap]] under the oracle — the
+    * paraphrase gap in the n-gram decontamination family (q50/q111):
+    * per probe embedding, the max cosine against any benchmark
+    * embedding (held-out = every 29th vector, the q50 convention),
+    * its argmax benchmark id, and the ≥ τ verdict. Benchmark
+    * broadcasts; the per-probe max is the bounded-heap TopK
+    * aggregator (map-side k=1), so probes never shuffle vectors.
+    * Similarity rounds to 4dp before ranking (the q23 rule); the
+    * oracle replays the same cross product, rounding, and
+    * (sim desc, bench_id) tie-break. */
+  val q193SemanticContamination = q("q193_semantic_contamination",
+    "Embedding-level decontamination: max benchmark cosine per probe + verdict (north star: decontamination)",
+    """WITH b AS (
+      |  SELECT vec_id AS bench_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bvec
+      |  FROM embeddings WHERE vec_id % 29 = 0),
+      |p AS (
+      |  SELECT vec_id AS probe_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvec
+      |  FROM embeddings WHERE vec_id % 29 <> 0),
+      |s AS (
+      |  SELECT probe_id, bench_id,
+      |         round(list_cosine_similarity(pvec, bvec), 4) AS sim
+      |  FROM p CROSS JOIN b),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                               ORDER BY sim DESC, bench_id) AS rk
+      |  FROM s)
+      |SELECT probe_id, bench_id AS nearest_bench_id, sim AS max_sim,
+      |       sim >= 0.5 AS contaminated
+      |FROM r WHERE rk = 1""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Contamination.semanticOverlap(
+      probe = e.filter(pmod(col("vec_id"), lit(29)) =!= 0),
+      benchmark = e.filter(pmod(col("vec_id"), lit(29)) === 0),
+      idCol = "vec_id", vecCol = "embedding", tau = 0.5)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7171,5 +7426,7 @@ object Catalog {
     q173AuthorityCap, q174IncrementalEr, q175ErasureAudit, q176KmvStore,
     q177Ppr, q178TimeTravel, q179IncTriangles, q180WarmStart,
     q181CensusStore, q182IncCc, q183Bfs, q184Hits, q185Kcore,
-    q186CoCitation, q187Frontier)
+    q186CoCitation, q187Frontier, q188Scd2Cdc, q189ClusterSafeSplit,
+    q190Curriculum, q191BudgetedSelect, q192IncBfs,
+    q193SemanticContamination)
 }

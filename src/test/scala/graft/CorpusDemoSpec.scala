@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the end-to-end corpus demo at sf0.001: stage counts obey the
+  * pipeline algebra, the split is cluster-safe, the mixture respects
+  * its budgets, and the store survives compaction. */
+class CorpusDemoSpec extends SparkSpecBase {
+
+  private lazy val sfDir = "/root/testdata/sf0.001"
+  private lazy val outDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft-corpus-demo-spec"
+
+  test("corpus demo: stage algebra, split totals, budget ceiling, store probes") {
+    val nBase = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val r = CorpusDemo.run(spark, sfDir, outDir)
+    // ingest plants one exact copy per id%10==0 doc...
+    assert(r.nIngested === nBase + (nBase + 9) / 10)
+    // ...and exact dedup removes exactly those copies (min-id keeps
+    // the original; synthetic texts are otherwise distinct)
+    assert(r.nExact === nBase)
+    // monotone pipeline: each stage only drops
+    assert(r.nExact >= r.nNear && r.nNear >= r.nClean && r.nClean >= r.nQuality)
+    // every operator in the chain is deterministic (md5 splits, seeded
+    // hashes, exact verify) — the sf0.001 stage counts are pinned
+    // exactly; a change here means an operator changed semantics
+    assert((r.nNear, r.nClean, r.nQuality, r.nClusters) === ((58L, 57L, 19L, 21L)),
+      s"stage counts moved: $r")
+    assert(r.splitCounts === Map("train" -> 16L, "val" -> 2L, "test" -> 1L))
+    assert((r.nMixture, r.mixtureTokens, r.nPacks) === ((16L, 848L, 7L)))
+    // split partitions the quality set exactly
+    assert(r.splitCounts.values.sum === r.nQuality)
+    assert(r.splitCounts.keySet.subsetOf(Set("train", "val", "test")))
+    // mixture selects from train only, never exceeds the per-source
+    // budget sum; curriculum is a reordering of the mixture
+    assert(r.nMixture <= r.splitCounts.getOrElse("train", 0L))
+    assert(r.nCurriculum === r.nMixture)
+    assert(r.nPacks >= 1L)
+    // store: one KMV store compacted, one probe row per source
+    assert(r.storesCompacted === 1)
+    assert(r.kmvProbes ===
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("source").distinct().count())
+    GraftSession.sweepPersistedRdds(spark)
+    ()
+  }
+}

@@ -210,4 +210,46 @@ class CurationSpec extends SparkSpecBase {
       (1L, "para one\n\nshared tail", 0L),
       (2L, "para two\n", 1L)), s"got ${out.mkString("; ")}")
   }
+
+  test("budgetedSelectByScore: exact best-first prefix cut, budget never exceeded") {
+    val rows = (0L until 300L).map(i =>
+      (s"s${i % 3}", i, 10L + i % 17, (i * 31) % 200))  // (source, id, toks, score)
+    val df = rows.toDF("src", "id", "toks", "score")
+    val budgets = Map("s0" -> 700L, "s1" -> 350L, "s2" -> 10000L)
+    val out = Curation.budgetedSelectByScore(df, "src", "id", "toks", "score",
+      budgets, bandWidth = 16L)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+    // reference: per source, sort (score desc, id asc), keep while cum <= budget
+    val want = rows.groupBy(_._1).flatMap { case (src, rs) =>
+      val ordered = rs.sortBy(r => (-r._4, r._2))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).takeWhile(_._2 <= budgets(src))
+        .map { case ((s, id, t, sc), cum) => (s, id, t, sc, cum) }
+    }.toArray.sortBy(_._2)
+    assert(out === want)
+    // budget is a hard ceiling per source
+    out.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._5).max <= budgets(src))
+    }
+    // s2's budget covers everything: whole source selected
+    assert(out.count(_._1 == "s2") === 100)
+    // band width is an internal knob, not a semantics knob
+    for (bw <- Seq(1L, 7L, 256L)) {
+      val alt = Curation.budgetedSelectByScore(df, "src", "id", "toks", "score",
+        budgets, bandWidth = bw)
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2)
+      assert(alt === want, s"bandWidth=$bw diverges")
+    }
+    // sources without a budget entry are dropped, not defaulted
+    val partial = Curation.budgetedSelectByScore(df, "src", "id", "toks", "score",
+      Map("s1" -> 350L))
+    assert(partial.select("src").distinct().as[String].collect().toSeq === Seq("s1"))
+    // negative scores fail loudly (selection order undefined)
+    val bad = Seq(("s0", 1L, 5L, -3L)).toDF("src", "id", "toks", "score")
+    val err = intercept[Exception] {
+      Curation.budgetedSelectByScore(bad, "src", "id", "toks", "score",
+        Map("s0" -> 100L)).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

@@ -72,4 +72,42 @@ class PackingSpec extends SparkSpecBase {
     assert(out.map(_._4).sum < randomPad,
       s"sorted padding ${out.map(_._4).sum} not below random $randomPad")
   }
+
+  test("curriculumInterleave: pos = (rank-1)*n_sources + source_index, round-robin by difficulty") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 sources, uneven sizes, difficulty with duplicates (id tiebreak)
+    val rows = Seq(
+      ("b", 10L, 30L), ("b", 11L, 10L), ("b", 12L, 30L), ("b", 13L, 5L),
+      ("a", 20L, 7L), ("a", 21L, 7L), ("a", 22L, 100L),
+      ("c", 30L, 1L))
+    val df = rows.toDF("src", "id", "difficulty")
+    val out = Packing.curriculumInterleave(df, "src", "id",
+      difficulty = $"difficulty", bucket = expr("difficulty div 20"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // reference: rank = row_number per source in (difficulty, id) order
+    val wantRank = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case ((s, id, _), i) => id -> (i + 1L, s) }
+    }
+    val sidx = Map("a" -> 0L, "b" -> 1L, "c" -> 2L)
+    out.foreach { case (id, src, rank, pos) =>
+      assert(rank === wantRank(id)._1, s"rank of $id")
+      assert(pos === (rank - 1) * 3 + sidx(src), s"pos of $id")
+    }
+    // pos is a total order (all distinct), easy-first within each source
+    assert(out.map(_._4).distinct.length === out.length)
+    // first full round-robin cycle: rank-1 docs of each source, source order a,b,c
+    val firstCycle = out.sortBy(_._4).take(3).map(_._2).toSeq
+    assert(firstCycle === Seq("a", "b", "c"))
+    // sharded rank equals the single-window reference for a bigger corpus
+    val big = (0L until 400L).map(i =>
+      (s"s${i % 4}", i, (i * 37 % 91))).toDF("src", "id", "difficulty")
+    val bigOut = Packing.curriculumInterleave(big, "src", "id",
+      difficulty = $"difficulty", bucket = expr("difficulty div 10"))
+    val ref = big.withColumn("rank", row_number().over(
+        Window.partitionBy($"src").orderBy($"difficulty", $"id")).cast("long"))
+      .select($"id", $"rank")
+    val diverged = bigOut.select($"id", $"rank").exceptAll(ref).count()
+    assert(diverged === 0L, s"sharded rank diverges from single-window reference")
+  }
 }

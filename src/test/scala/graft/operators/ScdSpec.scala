@@ -79,4 +79,57 @@ class ScdSpec extends SparkSpecBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected 1 exchange, plan:\n$plan")
   }
+
+  // ------------------------------------------------------- scd2ApplyCdc
+  private val d1 = d("2024-01-01")
+  private val d2 = d("2024-02-01")
+
+  private def openHistory(snap: Seq[(Long, String)]) =
+    snap.toDF("k", "status")
+      .withColumn("valid_from", lit(d1))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+
+  test("scd2ApplyCdc: change closes+opens, delete closes with NO current row, add opens") {
+    val s1 = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    val s2 = Seq((1L, "a"), (2L, "B"), (4L, "d"))   // 2 changed, 3 deleted, 4 added
+    val delta = Diff.cdcDelta(s1.toDF("k", "status"), s2.toDF("k", "status"), Seq("k"))
+    val out = Scd.scd2ApplyCdc(openHistory(s1), delta,
+      Seq("k"), Seq("status"), lit(d2))
+      .orderBy("k", "valid_from")
+      .as[(Long, String, java.sql.Date, Option[java.sql.Date], Boolean)]
+      .collect()
+    assert(out === Array(
+      (1L, "a", d1, None, true),          // untouched: open 2024-01 version rides through
+      (2L, "b", d1, Some(d2), false),     // changed: old version closes at ts...
+      (2L, "B", d2, None, true),          //          ...new payload opens current
+      (3L, "c", d1, Some(d2), false),     // deleted: closes — and NO current row follows
+      (4L, "d", d2, None, true)))         // added: opens current at ts
+    // the delete capability: key 3 must have zero current rows
+    assert(out.count(r => r._1 == 3L && r._5) === 0)
+  }
+
+  test("scd2ApplyCdc: agrees with scd2FromChangeLog on non-deleted keys") {
+    val s1 = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    val s2 = Seq((1L, "a"), (2L, "B"), (4L, "d"))
+    val applied = Scd.scd2ApplyCdc(openHistory(s1),
+      Diff.cdcDelta(s1.toDF("k", "status"), s2.toDF("k", "status"), Seq("k")),
+      Seq("k"), Seq("status"), lit(d2))
+      .filter(col("k") =!= 3L)   // deletion is the capability the change log CANNOT see
+    val log = (s1.map { case (k, v) => (k, d1, 1L, v) } ++
+      s2.map { case (k, v) => (k, d2, 2L, v) }).toDF("k", "ts", "seq", "status")
+    val replayed = Scd.scd2FromChangeLog(log, Seq("k"), "ts", "seq", Seq("status"))
+      .filter(col("k") =!= 3L)
+      .select(applied.columns.map(col).toIndexedSeq: _*)
+    assert(applied.exceptAll(replayed).isEmpty && replayed.exceptAll(applied).isEmpty,
+      s"apply-CDC diverges from change-log replay:\n" +
+        s"applied=${applied.collect().mkString(";")}\nreplayed=${replayed.collect().mkString(";")}")
+  }
+
+  test("scd2ApplyCdc: empty delta returns the history unchanged") {
+    val h = openHistory(Seq((1L, "a"), (2L, "b")))
+    val empty = Seq.empty[(Long, String, String)].toDF("k", "op", "status")
+    val out = Scd.scd2ApplyCdc(h, empty, Seq("k"), Seq("status"), lit(d2))
+    assert(out.exceptAll(h).isEmpty && h.exceptAll(out).isEmpty)
+  }
 }

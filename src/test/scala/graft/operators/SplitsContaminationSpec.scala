@@ -323,4 +323,77 @@ class SplitsContaminationSpec extends SparkSpecBase {
     assert(picked.count(_ <= 100) === 20,
       s"light rows crowded into the sample: ${picked.mkString(",")}")
   }
+
+  test("semanticOverlap: exact argmax benchmark, paraphrase caught, tie toward smaller bench id") {
+    // orthogonal axes + a diagonal: sims are closed-form
+    val bench = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f))).toDF("id", "vec")
+    val probe = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),     // identical to bench 100 → sim 1.0
+      (2L, Array(1f, 1f, 0f, 0f)),     // equidistant (0.7071) → tie → bench 100
+      (3L, Array(0f, 0.6f, 0.8f, 0f)), // 0.6 to bench 101
+      (4L, Array(0f, 0f, 0f, 1f))      // orthogonal to both → 0.0
+    ).toDF("id", "vec")
+    val out = Contamination.semanticOverlap(probe, bench, "id", "vec", tau = 0.6)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 100L, 1.0, true),
+      (2L, 100L, 0.7071, true),
+      (3L, 101L, 0.6, true),
+      (4L, 100L, 0.0, false)))
+    // the paraphrase case n-grams miss: identical embedding, zero
+    // shared text — semanticOverlap flags it at any tau <= 1.0
+    assert(out.head._3 === 1.0 && out.head._4)
+    // benchmark side broadcasts: no shuffle of the probe vectors
+    val plan = Contamination.semanticOverlap(probe, bench, "id", "vec", 0.6)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side not broadcast:\n$plan")
+  }
+
+  test("clusterSafeSplit: no near-dup pair ever straddles splits, over random clusterings") {
+    val rng = new scala.util.Random(20260814L)
+    val docs = (0L until 500L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    for (_ <- 1 to 5) {
+      // random clustering: each doc joins a random cluster whose id is
+      // one of its members (CC's contract: cluster_id = min member id)
+      val nClusters = 1 + rng.nextInt(120)
+      val assign = (0L until 500L).map(i => (i, rng.nextInt(nClusters)))
+      val byCluster = assign.groupBy(_._2).values.toSeq
+      val labels = byCluster.flatMap { members =>
+        val cid = members.map(_._1).min
+        members.map { case (id, _) => (id, cid) }
+      }.toDF("id", "cluster_id")
+      val out = Splits.clusterSafeSplit(docs, "doc_id", labels)
+      // THE invariant: same cluster => same split (so no intra-cluster
+      // near-dup pair can cross train/test)
+      val straddling = out.groupBy("cluster_id")
+        .agg(countDistinct("split").as("n_splits"))
+        .filter(col("n_splits") > 1).count()
+      assert(straddling === 0L, s"clusters straddling splits: $straddling")
+      // split is the md5 bucket of the CLUSTER id, not the doc id
+      val wrong = out.filter(
+        Splits.assignSplit(col("cluster_id")) =!= col("split")).count()
+      assert(wrong === 0L)
+    }
+    // unlabeled docs are their own singleton cluster: split == q49's id split
+    val fewLabels = Seq((7L, 3L), (3L, 3L)).toDF("id", "cluster_id")
+    val out = Splits.clusterSafeSplit(docs, "doc_id", fewLabels)
+    val solo = out.filter(!col("doc_id").isin(3L, 7L))
+    assert(solo.filter(col("cluster_id") =!= col("doc_id")).count() === 0L)
+    assert(solo.filter(
+      Splits.assignSplit(col("doc_id")) =!= col("split")).count() === 0L)
+    // raw-id hashing (q49) DOES leak on the same clusterings — the
+    // failure clusterSafeSplit exists to close: find any 2-doc cluster
+    // whose members' raw-id splits differ
+    val leaky = (0L until 500L).grouped(2).map(_.toSeq).toSeq
+      .flatMap { case Seq(a, b) => Seq((a, a), (b, a)); case _ => Nil }
+      .toDF("id", "cluster_id")
+    val rawLeaks = docs
+      .join(leaky.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .select(col("cluster_id"), Splits.assignSplit(col("doc_id")).as("raw_split"))
+      .groupBy("cluster_id").agg(countDistinct("raw_split").as("n")).filter(col("n") > 1)
+    assert(rawLeaks.count() > 0L, "expected raw-id splits to straddle some pair")
+  }
 }

@@ -109,6 +109,46 @@ class TraversalSpec extends SparkSpecBase {
     assert(core2.values.forall(_ === 3L))
   }
 
+  test("bfsResume: appends fold into the prior fixpoint == full re-BFS") {
+    val oldE = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L)).toDF("src", "dst") // 10-chain unreachable from seed
+    val seeds = Seq(1L).toDF("id")
+    val prior = Traversal.bfsDistances(oldE, seeds, maxHops = 6)
+    // appends: a shortcut (1→4 shortens 4,5,6), a bridge into the
+    // unreached region (3→10 opens 10,11,12), and a no-op (2→1)
+    val appended = Seq((1L, 4L), (3L, 10L), (2L, 1L)).toDF("src", "dst")
+    val full = oldE.unionByName(appended)
+    val got = Traversal.bfsResume(prior, full, appended, maxHops = 6)
+      .as[(Long, Int)].collect().toMap
+    val want = Traversal.bfsDistances(full, seeds, maxHops = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(got === want)
+    assert(got(4L) === 1 && got(5L) === 2 && got(12L) === 5) // improved + opened
+    // a no-op append returns the prior distances unchanged
+    val noop = Traversal.bfsResume(prior, oldE.unionByName(
+      Seq((2L, 1L)).toDF("src", "dst")), Seq((2L, 1L)).toDF("src", "dst"),
+      maxHops = 6).as[(Long, Int)].collect().toMap
+    assert(noop === prior.as[(Long, Int)].collect().toMap)
+    // the hop bound still binds: improvements past maxHops don't leak in
+    val bounded = Traversal.bfsResume(
+      Traversal.bfsDistances(oldE, seeds, maxHops = 3),
+      full, appended, maxHops = 3).as[(Long, Int)].collect().toMap
+    assert(bounded === Traversal.bfsDistances(full, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap)
+  }
+
+  test("kCore: maxRounds guard fails loudly on a chain that out-peels the cap") {
+    // a pure chain peels ONE vertex per round from each end — the
+    // worst-case shape the scaladoc prices. 30-chain, cap of 3: must
+    // throw, not loop; with an adequate cap it converges to empty.
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val err = intercept[IllegalArgumentException] {
+      Traversal.kCore(chain, 2, maxRounds = 3)
+    }
+    assert(err.getMessage.contains("did not converge within maxRounds=3"))
+    assert(Traversal.kCore(chain, 2, maxRounds = 50).isEmpty)
+  }
+
   test("coCitation: shared-source pairs count exactly; mega-hubs drop; top-k order is total") {
     //  s1 → {a, b, c};  s2 → {a, b};  hub → everything (dropped)
     val e = (Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L)) ++
