@@ -319,4 +319,43 @@ object Curation {
       .filter(col("_cum") <= col("_budget"))
       .select(df.columns.map(col) :+ col("_cum").as("cum_tokens"): _*)
   }
+
+  /** Per-document pipeline attrition: for every document in the
+    * universe, the FIRST stage that dropped it (null = survived the
+    * whole pipeline) — the "why is my document gone" record-level
+    * provenance every production curation pipeline ends up logging,
+    * and the per-stage funnel report in one derived aggregate
+    * (`groupBy(dropped_at).count`). Debugging a 100 TB curation run
+    * without this means re-running the pipeline stage by stage for
+    * every complaint.
+    *
+    * Stages are the pipeline's stage OUTPUTS in order (id column
+    * each); a document's `dropped_at` is the first stage whose output
+    * no longer contains it. Outputs of a real pipeline are nested
+    * subsets, but the operator doesn't require it — "first missing in
+    * stage order" is well-defined regardless (a doc absent from stage
+    * i but present in stage i+1 still reports stage i: it WAS dropped
+    * there; reappearance is the bug this report would surface).
+    *
+    * Scale shape: one left join per stage on the id (each stage
+    * output carries only ids — co-partitioned narrow shuffles that
+    * AQE coalesces; no stage's payload moves), then a scan-side
+    * CASE. K stages = K joins over id-only tables, not K passes over
+    * the corpus text. */
+  def attrition(universe: DataFrame, idCol: String,
+                stages: Seq[(String, DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "attrition needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"duplicate stage names: ${stages.map(_._1)}")
+    val flagged = stages.foldLeft(universe.select(col(idCol))) {
+      case (acc, (name, stage)) =>
+        acc.join(stage.select(col(idCol)).distinct()
+          .withColumn(s"_in_$name", lit(true)), Seq(idCol), "left")
+    }
+    val firstMissing = stages.foldRight(lit(null).cast("string")) {
+      case ((name, _), rest) =>
+        when(col(s"_in_$name").isNull, lit(name)).otherwise(rest)
+    }
+    flagged.select(col(idCol), firstMissing.as("dropped_at"))
+  }
 }

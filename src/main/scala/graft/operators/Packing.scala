@@ -135,4 +135,38 @@ object Packing {
       .select(col(idCol), col(sourceCol), col("rank"),
         ((col("rank") - 1L) * lit(ns) + col("_sidx")).as("pos"))
   }
+
+  /** Deterministic per-epoch corpus shuffle: a 0-based training-order
+    * position from ranking documents by `md5(seed || ':' || id)` — a
+    * reproducible, engine-portable permutation that is completely
+    * different for every epoch seed yet bit-stable across
+    * runs/retries/engines, the anti-rand() property every sampler
+    * here shares (q49's discipline applied to ORDER instead of
+    * membership). rand()-based shuffles silently break exactly where
+    * it hurts: a retried stage re-draws, a resumed run re-orders, and
+    * two engines disagree on what "epoch 3" was.
+    *
+    * Scale shape — no global sort task: the md5 hex's LEADING 2 chars
+    * are the [[Rolling.sequenceByKey]] shard bucket (256 ranges whose
+    * lexicographic order IS the hash order — the mixtureSample shard
+    * pattern), so ranking runs as 256 bucket-local windows plus one
+    * tiny broadcast offset table. Writers range-partition on `pos`;
+    * nothing sorts the corpus in one task.
+    *
+    * @param epochSeed any string naming the epoch ("epoch-3"); the
+    *                  whole permutation changes with it
+    * @return df columns + `pos` (0-based, gap-free: exactly
+    *         0..count-1) */
+  def epochShuffle(df: DataFrame, idCol: String, epochSeed: String,
+                   as: String = "pos"): DataFrame = {
+    val h = md5(concat(lit(epochSeed), lit(":"),
+      col(idCol).cast("string")).cast("binary"))
+    val withH = df.withColumn("_eshuf_h", h)
+    Rolling.sequenceByKey(withH, Seq.empty,
+      orderCols = Seq(col("_eshuf_h"), col(idCol)),
+      bucket = conv(substring(col("_eshuf_h"), 1, 2), 16, 10).cast("long"),
+      as = as)
+      .withColumn(as, col(as) - 1L)
+      .drop("_eshuf_h")
+  }
 }

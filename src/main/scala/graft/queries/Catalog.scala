@@ -7380,6 +7380,122 @@ object Catalog {
       idCol = "vec_id", vecCol = "embedding", tau = 0.5)
   }
 
+  // ---------------------------------------------------------------- epoch shuffle
+  /** [[Packing.epochShuffle]] under the oracle: the deterministic
+    * per-epoch training order — rank by md5(seed:id), 0-based — that
+    * rand() shuffles cannot give (retries re-draw, resumes re-order,
+    * engines disagree). Engine side ranks in 256 md5-prefix shards
+    * with broadcast offsets (never a one-task corpus sort); the
+    * oracle states the straight global window. */
+  val q194EpochShuffle = q("q194_epoch_shuffle",
+    "Deterministic per-epoch corpus shuffle: md5-ranked 0-based position (north star: training-order reproducibility)",
+    """SELECT doc_id,
+      |       row_number() OVER (
+      |         ORDER BY md5('epoch-1:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |       - 1 AS pos
+      |FROM documents""".stripMargin) { (s, d) =>
+    Packing.epochShuffle(
+      Tables.documents(s, d).select("doc_id"), "doc_id", "epoch-1")
+  }
+
+  // ---------------------------------------------------------------- pipeline attrition
+  /** [[Curation.attrition]] over the q100 curation chain: per
+    * ingested document, the FIRST stage that dropped it — the
+    * record-level provenance behind q100's aggregate funnel counts.
+    * Same stage derivations as q100 (exact dedup → near dedup →
+    * decontaminate → quality); the oracle replays the identical CTE
+    * chain and reports first-missing membership per doc. */
+  val q195Attrition = q("q195_pipeline_attrition",
+    "Record-level curation attrition: first stage that dropped each document (north star: pipeline observability)",
+    """WITH ingest AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 10 = 0),
+      |fp AS (
+      |  SELECT doc_id, source, text,
+      |         md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint
+      |  FROM ingest),
+      |exact AS (
+      |  SELECT doc_id, source, text FROM fp
+      |  QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1),
+      |t AS (SELECT source, doc_id,
+      |             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS sh
+      |      FROM exact),
+      |near_drop AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 1.0
+      |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END >= 0.5),
+      |near AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+      |tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |       FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |                     i -> array_to_string(toks[i:i+7], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS ngs
+      |  FROM tk),
+      |bench AS (
+      |  SELECT DISTINCT unnest(ngs) AS ng FROM grams WHERE doc_id % 29 = 0),
+      |probe AS (
+      |  SELECT g.doc_id, unnest(g.ngs) AS ng FROM grams g
+      |  JOIN near ON near.doc_id = g.doc_id WHERE g.doc_id % 29 <> 0),
+      |overlap AS (
+      |  SELECT probe.doc_id,
+      |         CAST(count(bench.ng) AS DOUBLE) / count(*) AS overlap_ratio
+      |  FROM probe LEFT JOIN bench ON probe.ng = bench.ng
+      |  GROUP BY probe.doc_id),
+      |clean AS (
+      |  SELECT near.* FROM near JOIN overlap ON near.doc_id = overlap.doc_id
+      |  WHERE overlap.overlap_ratio <= 0.1),
+      |quality AS (
+      |  SELECT doc_id, text FROM clean
+      |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 25
+      |    AND CASE WHEN length(lower(text)) = 0 THEN 0.0
+      |             ELSE CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+      |                  / length(lower(text)) END >= 0.6)
+      |SELECT i.doc_id,
+      |       CASE WHEN e.doc_id IS NULL THEN 'exact_dedup'
+      |            WHEN nr.doc_id IS NULL THEN 'near_dedup'
+      |            WHEN c.doc_id IS NULL THEN 'decontaminate'
+      |            WHEN qy.doc_id IS NULL THEN 'quality'
+      |            ELSE NULL END AS dropped_at
+      |FROM ingest i
+      |LEFT JOIN (SELECT doc_id FROM exact) e USING (doc_id)
+      |LEFT JOIN (SELECT doc_id FROM near) nr USING (doc_id)
+      |LEFT JOIN (SELECT doc_id FROM clean) c USING (doc_id)
+      |LEFT JOIN (SELECT doc_id FROM quality) qy USING (doc_id)""".stripMargin) { (s, d) =>
+    // identical stage derivations to q100 (whose oracle pins the
+    // aggregate counts); this query pins the per-record attribution
+    val base = Tables.documents(s, d).select("doc_id", "source", "text")
+    val docs = base.unionByName(
+      base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
+    val keepIds = Dedup.exactDedupStats(docs,
+      TextFunctions.fingerprint(col("text")), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val exact = stageBarrier(docs.join(keepIds, Seq("doc_id"), "left_semi"))
+    val nearDrop = Dedup.ngramJaccardPairs(exact, "doc_id", "text",
+      blockCol = "source", k = 1, threshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    val near = stageBarrier(exact.join(nearDrop, Seq("doc_id"), "left_anti"))
+    val probe = near.filter(pmod(col("doc_id"), lit(29)) =!= 0)
+    val overlap = Contamination.ngramOverlap(
+      probe = probe, benchmark = base.filter(pmod(col("doc_id"), lit(29)) === 0),
+      idCol = "doc_id", textCol = "text", n = 8)
+    val clean = stageBarrier(near.join(
+      overlap.filter(col("overlap_ratio") <= 0.1).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    val quality = clean.filter(
+      TextFunctions.tokenCount(col("text")) >= 25 &&
+        TextFunctions.alphaRatio(col("text")) >= 0.6)
+    Curation.attrition(docs, "doc_id", Seq(
+      "exact_dedup" -> exact, "near_dedup" -> near,
+      "decontaminate" -> clean, "quality" -> quality))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7428,5 +7544,5 @@ object Catalog {
     q181CensusStore, q182IncCc, q183Bfs, q184Hits, q185Kcore,
     q186CoCitation, q187Frontier, q188Scd2Cdc, q189ClusterSafeSplit,
     q190Curriculum, q191BudgetedSelect, q192IncBfs,
-    q193SemanticContamination)
+    q193SemanticContamination, q194EpochShuffle, q195Attrition)
 }

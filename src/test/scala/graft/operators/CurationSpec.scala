@@ -252,4 +252,30 @@ class CurationSpec extends SparkSpecBase {
     }
     assert(err.getMessage != null)
   }
+
+  test("attrition: first dropping stage per doc, survivors null, reappearance reports the drop") {
+    val universe = (1L to 10L).toDF("doc_id")
+    val a = (1L to 10L).filter(_ % 2 == 0).toDF("doc_id")       // evens survive A
+    val b = Seq(4L, 8L, 7L).toDF("doc_id")                      // 7 reappears (bug case)
+    val out = Curation.attrition(universe, "doc_id",
+      Seq("stage_a" -> a, "stage_b" -> b))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toMap
+    // odds dropped at A — including 7, which "reappears" in B but WAS
+    // dropped at A (the anomaly this report exists to surface)
+    (1L to 10L by 2).foreach(i => assert(out(i) === Some("stage_a"), s"doc $i"))
+    // evens not in B dropped at B; 4 and 8 survive everything
+    Seq(2L, 6L, 10L).foreach(i => assert(out(i) === Some("stage_b")))
+    Seq(4L, 8L).foreach(i => assert(out(i) === None))
+    // the funnel aggregate falls out of one groupBy
+    val funnel = Curation.attrition(universe, "doc_id",
+      Seq("stage_a" -> a, "stage_b" -> b))
+      .groupBy("dropped_at").count()
+      .as[(Option[String], Long)].collect().toMap
+    assert(funnel === Map(Some("stage_a") -> 5L, Some("stage_b") -> 3L, None -> 2L))
+    // duplicate stage names fail loudly
+    val dup = intercept[IllegalArgumentException] {
+      Curation.attrition(universe, "doc_id", Seq("s" -> a, "s" -> b))
+    }
+    assert(dup.getMessage.contains("duplicate stage names"))
+  }
 }

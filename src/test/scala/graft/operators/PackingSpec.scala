@@ -110,4 +110,27 @@ class PackingSpec extends SparkSpecBase {
     val diverged = bigOut.select($"id", $"rank").exceptAll(ref).count()
     assert(diverged === 0L, s"sharded rank diverges from single-window reference")
   }
+
+  test("epochShuffle: exact 0..n-1 permutation, seed-dependent, run-stable, matches global sort") {
+    import org.apache.spark.sql.expressions.Window
+    val ids = spark.range(0, 1000).toDF("id")
+    val e1 = Packing.epochShuffle(ids, "id", "epoch-1")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // gap-free permutation
+    assert(e1.map(_._2).sorted.toSeq === (0L until 1000L).toSeq)
+    // bit-stable across runs
+    val again = Packing.epochShuffle(ids, "id", "epoch-1")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(e1.toSeq === again.toSeq)
+    // a different seed is a different permutation
+    val e2 = Packing.epochShuffle(ids, "id", "epoch-2")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(e1.map(_._2).toSeq !== e2.map(_._2).toSeq)
+    // sharded rank == single-window reference
+    val ref = ids.withColumn("pos", row_number().over(Window.orderBy(
+        md5(concat(lit("epoch-1:"), $"id".cast("string")).cast("binary")), $"id"))
+        .cast("long") - 1L)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(e1.toSeq === ref.toSeq)
+  }
 }
