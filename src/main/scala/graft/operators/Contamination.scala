@@ -122,9 +122,14 @@ object Contamination {
     * @return (probe_id, nearest_bench_id, max_sim, contaminated) */
   def semanticOverlap(probe: DataFrame, benchmark: DataFrame,
                       idCol: String, vecCol: String, tau: Double,
-                      roundTo: Int = 4): DataFrame = {
-    val p = probe.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
-    val b = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bvec"))
+                      roundTo: Int = 4): DataFrame =
+    semanticCore(
+      probe.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")),
+      benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bvec")),
+      tau, roundTo)
+
+  private def semanticCore(p: DataFrame, b: DataFrame,
+                           tau: Double, roundTo: Int): DataFrame =
     p.join(broadcast(b))
       .select(col("probe_id"), col("bench_id"),
         round(Similarity.cosine(col("pvec"), col("bvec")), roundTo).as("sim"))
@@ -135,5 +140,31 @@ object Contamination {
         col("t._2").as("nearest_bench_id"),
         col("t._1").as("max_sim"))
       .withColumn("contaminated", col("max_sim") >= tau)
-  }
+
+  /** Persisted benchmark-embedding index — [[benchmarkGramIndexWrite]]'s
+    * semantic sibling, the daily-batch shape: embed the eval suites
+    * ONCE, then probe every incoming batch against the store without
+    * re-reading benchmark text (q111's discipline at the embedding
+    * level). The index is a plain overwrite parquet (eval suites are
+    * small and versioned wholesale, nothing to fold incrementally —
+    * the epoch machinery would be weight without work here). */
+  def benchmarkVecIndexWrite(benchmark: DataFrame, idCol: String,
+                             vecCol: String, path: String): Unit =
+    benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bvec"))
+      .write.mode("overwrite").parquet(path)
+
+  def benchmarkVecIndexRead(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe a persisted benchmark-embedding index: identical output
+    * contract to [[semanticOverlap]] (spec-pinned equivalence) with
+    * the benchmark side loaded from the store. */
+  def semanticOverlapStored(probe: DataFrame, index: DataFrame,
+                            idCol: String, vecCol: String, tau: Double,
+                            roundTo: Int = 4): DataFrame =
+    semanticCore(
+      probe.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")),
+      index.select(col("bench_id"), col("bvec")),
+      tau, roundTo)
 }

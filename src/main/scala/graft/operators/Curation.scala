@@ -358,4 +358,38 @@ object Curation {
     }
     flagged.select(col(idCol), firstMissing.as("dropped_at"))
   }
+
+  /** CCNet-style rank tiers: per group, bucket rows into `nBuckets`
+    * equal-rank slices of the score order — the head/middle/tail
+    * perplexity split (keep head, sample middle, drop tail) that
+    * filters RELATIVE to each source's own distribution instead of
+    * one absolute threshold a heterogeneous corpus can't share.
+    *
+    * `tier = ((rank − 1) · nBuckets) div n` — pure integer
+    * arithmetic on the rank, NOT interpolated quantile thresholds:
+    * a value-threshold split puts every document whose score sits
+    * within one ulp of the cut at the mercy of engine summation
+    * order, while rank arithmetic is exactly replayable (ties broken
+    * by `tieCol`). Tier sizes differ by at most one row.
+    *
+    * Scale shape: ranks from [[Rolling.sequenceByKey]] (bucket-local
+    * windows + broadcast offsets — no one-task source sort); group
+    * sizes join back as a broadcast aggregate.
+    *
+    * @param shardBucket monotone-in-score coarse shard for the rank
+    *                    windows (e.g. `expr("score div 100")`)
+    * @return df columns + `tier` (0-based, 0 = lowest scores) */
+  def rankTiers(df: DataFrame, groupCols: Seq[String], score: Column,
+                tieCol: String, shardBucket: Column, nBuckets: Int,
+                as: String = "tier"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val ranked = Rolling.sequenceByKey(df, groupCols,
+      orderCols = Seq(score, col(tieCol)), bucket = shardBucket,
+      as = "_rt_rank")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_rt_n"))
+    ranked.join(broadcast(counts), groupCols)
+      .withColumn(as, expr(s"((_rt_rank - 1) * $nBuckets) div _rt_n"))
+      .select(df.columns.map(col) :+ col(as): _*)
+  }
 }

@@ -7496,6 +7496,70 @@ object Catalog {
       "decontaminate" -> clean, "quality" -> quality))
   }
 
+  // ------------------------------------------- semantic decontamination, stored index
+  /** q193's daily-batch shape: the benchmark embeddings land in a
+    * persisted index once ([[Contamination.benchmarkVecIndexWrite]]),
+    * and the probe batch runs against the STORE — benchmark text and
+    * vectors never recompute per batch (the q111 discipline at the
+    * embedding level). Same oracle as q193: probing the store must
+    * equal probing the live benchmark, bit-for-bit. */
+  val q196SemanticStore = q("q196_semantic_contamination_store",
+    "Embedding decontamination from a persisted benchmark index == live probe (north star: incremental decontamination)",
+    """WITH b AS (
+      |  SELECT vec_id AS bench_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bvec
+      |  FROM embeddings WHERE vec_id % 29 = 0),
+      |p AS (
+      |  SELECT vec_id AS probe_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvec
+      |  FROM embeddings WHERE vec_id % 29 <> 0),
+      |s AS (
+      |  SELECT probe_id, bench_id,
+      |         round(list_cosine_similarity(pvec, bvec), 4) AS sim
+      |  FROM p CROSS JOIN b),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                               ORDER BY sim DESC, bench_id) AS rk
+      |  FROM s)
+      |SELECT probe_id, bench_id AS nearest_bench_id, sim AS max_sim,
+      |       sim >= 0.5 AS contaminated
+      |FROM r WHERE rk = 1""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val root = scratchDir(s, "q196_bench_vecs")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Contamination.benchmarkVecIndexWrite(
+      e.filter(pmod(col("vec_id"), lit(29)) === 0), "vec_id", "embedding", root)
+    Contamination.semanticOverlapStored(
+      probe = e.filter(pmod(col("vec_id"), lit(29)) =!= 0),
+      index = Contamination.benchmarkVecIndexRead(s, root),
+      idCol = "vec_id", vecCol = "embedding", tau = 0.5)
+  }
+
+  // ---------------------------------------------------------------- rank tiers
+  /** [[Curation.rankTiers]] under the oracle: per-source head/middle/
+    * tail thirds of the length distribution (the CCNet perplexity-
+    * bucket shape with n_chars standing in for the score) — rank
+    * arithmetic, not value thresholds, so the split is exactly
+    * engine-replayable. The oracle restates the sharded rank as one
+    * window + integer division. */
+  val q197RankTiers = q("q197_rank_tiers",
+    "CCNet-style per-source rank tiers: head/middle/tail by score rank (north star: relative quality filtering)",
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars,
+      |       ((rk - 1) * 3) // n AS tier
+      |FROM r""".stripMargin) { (s, d) =>
+    Curation.rankTiers(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      groupCols = Seq("source"), score = col("n_chars"),
+      tieCol = "doc_id", shardBucket = expr("n_chars div 100"),
+      nBuckets = 3)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7544,5 +7608,6 @@ object Catalog {
     q181CensusStore, q182IncCc, q183Bfs, q184Hits, q185Kcore,
     q186CoCitation, q187Frontier, q188Scd2Cdc, q189ClusterSafeSplit,
     q190Curriculum, q191BudgetedSelect, q192IncBfs,
-    q193SemanticContamination, q194EpochShuffle, q195Attrition)
+    q193SemanticContamination, q194EpochShuffle, q195Attrition,
+    q196SemanticStore, q197RankTiers)
 }

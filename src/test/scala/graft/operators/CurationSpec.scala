@@ -278,4 +278,37 @@ class CurationSpec extends SparkSpecBase {
     }
     assert(dup.getMessage.contains("duplicate stage names"))
   }
+
+  test("rankTiers: exact thirds by rank, balanced sizes, matches single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    // two groups, sizes 10 and 7 (remainder case), score with ties
+    val rows = (0L until 17L).map(i =>
+      (if (i < 10) "g1" else "g2", i, (i * 13 % 5)))
+    val df = rows.toDF("src", "id", "score")
+    val out = Curation.rankTiers(df, Seq("src"), col("score"), "id",
+      shardBucket = expr("score div 2"), nBuckets = 3)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    val want = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"src").orderBy($"score", $"id")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"src")))
+      .withColumn("tier", expr("((rk - 1) * 3) div n"))
+      .select($"src", $"id", $"score", $"tier")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out === want)
+    // tier sizes within each group differ by at most one
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_._4).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced tiers: $sizes")
+      assert(rs.map(_._4).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+    }
+    // tier order follows score order: max score of tier t <= min of t+1
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val byTier = rs.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.map(_._3))
+      byTier.sliding(2).foreach {
+        case Seq(lo, hi) => assert(lo.max <= hi.min)
+        case _ =>
+      }
+    }
+  }
 }

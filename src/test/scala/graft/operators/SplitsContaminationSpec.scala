@@ -350,6 +350,13 @@ class SplitsContaminationSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"benchmark side not broadcast:\n$plan")
+    // stored-index probe == live probe, bit-for-bit
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-bench-vec-spec"
+    Contamination.benchmarkVecIndexWrite(bench, "id", "vec", root)
+    val stored = Contamination.semanticOverlapStored(probe,
+      Contamination.benchmarkVecIndexRead(spark, root), "id", "vec", tau = 0.6)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(stored === out)
   }
 
   test("clusterSafeSplit: no near-dup pair ever straddles splits, over random clusterings") {
