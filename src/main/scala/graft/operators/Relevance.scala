@@ -607,4 +607,57 @@ object Relevance {
       col("top_bigram_frac"), col("en_score"), col("avg_logprob"),
       (reasons === "").as("keep"), reasons.as("reasons"))
   }
+
+  /** Retrieval-quality metrics — nDCG@k and MRR per query, the
+    * evaluation loop for the BM25/dense/hybrid rankers (q126/q23/
+    * q153): a retrieval stack without its metrics harness can't tell
+    * an index regression from noise.
+    *
+    * {{{
+    *   DCG@k  = Σ_{rank ≤ k} (2^rel − 1) / log2(rank + 1)
+    *   nDCG@k = DCG@k / IDCG@k   (0 when the query has no relevant)
+    *   MRR    = 1 / first relevant rank   (0 when none retrieved)
+    * }}}
+    *
+    * Scale shape: the ranked lists are per-query k-row sets (the
+    * rankers' own output contract), so the DCG join touches
+    * queries × k rows; the IDEAL ranking never sorts the label set —
+    * IDCG's top-k relevance values come from the bounded-heap
+    * [[graft.functions.TopK]] aggregator (map-side ≤ k per
+    * partition). Labels are SPARSE (only judged-relevant pairs need
+    * rows — the real judgment-file shape); unlabeled retrieved docs
+    * count rel = 0.
+    *
+    * Metrics are rounded to `roundTo` decimals: DCG sums ≤ k doubles
+    * whose summation order differs across engines (the q65 rule).
+    *
+    * @param ranked (query_id, doc_id, rank) — rank 1-based, from any
+    *               ranker
+    * @param labels (query_id, doc_id, rel) — graded relevance > 0
+    * @return (query_id, ndcg, mrr) */
+  def rankingMetrics(ranked: DataFrame, labels: DataFrame, k: Int,
+                     roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val lab = labels.select(col("query_id"), col("doc_id"),
+      col("rel").cast("double").as("rel"))
+    val gain = ranked.filter(col("rank") <= k)
+      .join(lab, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0.0)))
+    val dcg = gain.groupBy(col("query_id")).agg(
+      sum((pow(lit(2.0), col("rel")) - 1.0) /
+        log2(col("rank").cast("double") + 1.0)).as("dcg"),
+      min(when(col("rel") > 0, col("rank"))).as("first_rel"))
+    val idcg = lab.filter(col("rel") > 0)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.top_k(k)(col("rel"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).as("irk"), col("t._1").as("rel"))
+      .groupBy(col("query_id"))
+      .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
+        log2(col("irk").cast("double") + 1.0)).as("idcg"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg") / col("idcg"), lit(0.0)), roundTo).as("ndcg"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), roundTo).as("mrr"))
+  }
 }

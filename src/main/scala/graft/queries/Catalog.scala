@@ -7560,6 +7560,66 @@ object Catalog {
       nBuckets = 3)
   }
 
+  // ---------------------------------------------------------------- retrieval metrics
+  /** [[Relevance.rankingMetrics]] under the oracle: nDCG@20 and MRR
+    * for the dense retriever (q23's brute-force cosine top-k) with
+    * label-agreement relevance — retrieved doc sharing the query
+    * vector's label counts rel 1. The evaluation loop the retrieval
+    * family (BM25 q126 / dense q23 / hybrid q153) was missing: an
+    * index regression becomes a metric delta, not an anecdote. The
+    * oracle replays the ranking, the sparse relevance join, and the
+    * DCG/IDCG/MRR arithmetic (metrics rounded 6dp — the q65 rule). */
+  val q198RankingMetrics = q("q198_ranking_metrics",
+    "nDCG@20 + MRR of dense retrieval vs label-agreement relevance (north star: retrieval evaluation)",
+    """WITH q AS (
+      |  SELECT vec_id AS query_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec,
+      |         label AS qlab
+      |  FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS doc_id,
+      |         round(list_cosine_similarity(
+      |           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qvec), 4) AS cos,
+      |         CASE WHEN e.label = q.qlab THEN 1.0 ELSE 0.0 END AS rel
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, doc_id) AS rk
+      |  FROM scored),
+      |d AS (
+      |  SELECT query_id,
+      |         sum((pow(2.0, rel) - 1) / log2(rk + 1)) AS dcg,
+      |         min(CASE WHEN rel > 0 THEN rk END) AS first_rel
+      |  FROM ranked WHERE rk <= 20 GROUP BY query_id),
+      |ideal AS (
+      |  SELECT query_id, sum((pow(2.0, rel) - 1) / log2(irk + 1)) AS idcg
+      |  FROM (SELECT query_id, rel,
+      |               row_number() OVER (PARTITION BY query_id
+      |                                  ORDER BY rel DESC, doc_id) AS irk
+      |        FROM scored WHERE rel > 0)
+      |  WHERE irk <= 20 GROUP BY query_id)
+      |SELECT d.query_id,
+      |       round(coalesce(d.dcg / i.idcg, 0), 6) AS ndcg,
+      |       round(coalesce(CAST(1.0 AS DOUBLE) / d.first_rel, 0), 6) AS mrr
+      |FROM d LEFT JOIN ideal i USING (query_id)""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+    // rank from the ranker's own top-k output: 20-row per-query lists,
+    // so the window is benign (the q153 RRF pattern)
+    val ranked = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding",
+      k = 20, roundTo = 4)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val qlab = queries.select(col("vec_id").as("query_id"), col("label").as("_qlab"))
+    val labels = e.select(col("vec_id").as("doc_id"), col("label"))
+      .join(broadcast(qlab),
+        col("label") === col("_qlab") && col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), lit(1.0).as("rel"))
+    Relevance.rankingMetrics(ranked, labels, k = 20)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7609,5 +7669,5 @@ object Catalog {
     q186CoCitation, q187Frontier, q188Scd2Cdc, q189ClusterSafeSplit,
     q190Curriculum, q191BudgetedSelect, q192IncBfs,
     q193SemanticContamination, q194EpochShuffle, q195Attrition,
-    q196SemanticStore, q197RankTiers)
+    q196SemanticStore, q197RankTiers, q198RankingMetrics)
 }

@@ -256,4 +256,33 @@ class RelevanceSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("cols"), e.getMessage)
   }
+
+  test("rankingMetrics: hand-computed nDCG/MRR, unlabeled = 0, no-relevant query = 0s") {
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // q1: relevant docs 10 (rank 1) and 30 (rank 3); one judged doc 99 unretrieved
+    // q2: relevant doc 20 at rank 2 only
+    // q3: nothing relevant anywhere
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 10L, 1), (2L, 20L, 2), (2L, 30L, 3),
+      (3L, 10L, 1), (3L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val labels = Seq(
+      (1L, 10L, 1.0), (1L, 30L, 1.0), (1L, 99L, 1.0),
+      (2L, 20L, 1.0)).toDF("query_id", "doc_id", "rel")
+    val got = Relevance.rankingMetrics(ranked, labels, k = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val dcg1 = 1.0 / lg2(2) + 1.0 / lg2(4)
+    val idcg1 = 1.0 / lg2(2) + 1.0 / lg2(3) + 1.0 / lg2(4) // 3 judged docs
+    val exp1 = BigDecimal(dcg1 / idcg1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal((1.0 / lg2(3)) / (1.0 / lg2(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Array(
+      (1L, exp1, 1.0),       // first relevant at rank 1
+      (2L, exp2, 0.5),       // first relevant at rank 2
+      (3L, 0.0, 0.0)))       // nothing relevant: both metrics zero
+    // k truncation: with k = 1, q1's rank-3 hit stops counting
+    val k1 = Relevance.rankingMetrics(ranked, labels, k = 1)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(k1.head === ((1L, 1.0, 1.0))) // dcg = idcg = 1/log2(2)
+  }
 }
