@@ -37,7 +37,9 @@ object CorpusDemo {
       nIngested: Long, nExact: Long, nNear: Long, nClean: Long,
       nQuality: Long, nClusters: Long, splitCounts: Map[String, Long],
       nMixture: Long, mixtureTokens: Long, nCurriculum: Long,
-      nPacks: Long, storesCompacted: Int, kmvProbes: Long)
+      nPacks: Long, storesCompacted: Int, kmvProbes: Long,
+      attrition: Map[String, Long], tierCounts: Map[Long, Long],
+      nShuffled: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
     def barrier(df: DataFrame): DataFrame = df.localCheckpoint(true)
@@ -109,11 +111,32 @@ object CorpusDemo {
         (TextFunctions.alphaRatio(col("text")) * 10000).cast("long")),
       "source", "doc_id", "n_tokens", "score", budgets))
 
+    // ---- relative-quality report: CCNet-style head/middle/tail
+    //      thirds of the mixture's token-length distribution (q197)
+    val tierCounts = BoundedRead.boundedDriverRead(
+      Curation.rankTiers(mixture.select("doc_id", "source", "n_tokens"),
+        Seq("source"), col("n_tokens"), "doc_id",
+        shardBucket = expr("n_tokens div 64"), nBuckets = 3)
+        .groupBy("tier").count(), maxRows = 3,
+      what = "CorpusDemo tier counts",
+      boundWhy = "three tiers by construction")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
     // ---- curriculum: difficulty-ranked round-robin across sources
     //      (q190) — easy docs first, every batch source-diverse
     val curriculum = barrier(Packing.curriculumInterleave(
       mixture, "source", "doc_id",
       difficulty = col("n_tokens"), bucket = expr("n_tokens div 64")))
+
+    // ---- per-epoch order: deterministic shuffle of the mixture
+    //      (q194), written range-partitioned by position — the
+    //      training-shard writer path (readers stream pos order
+    //      without any consumer-side sort)
+    val shuffled = Packing.epochShuffle(
+      mixture.select("doc_id", "source", "n_tokens"), "doc_id", "epoch-1")
+    shuffled.repartitionByRange(4, col("pos"))
+      .write.mode("overwrite").parquet(s"$outDir/train_order/epoch-1")
+    val nShuffled = spark.read.parquet(s"$outDir/train_order/epoch-1").count()
 
     // ---- pack: greedy 512-token bins over 8 hash shards (q55)
     val packs = Packing.packGreedy(
@@ -134,6 +157,19 @@ object CorpusDemo {
     val compacted = Maintenance.compactAll(spark, s"$outDir/stores")
     val kmvProbes = Cardinality.kmvIndexRead(spark, kmvRoot, 32, "doc_id").count()
 
+    // ---- record-level attrition (q195): why each ingested doc is
+    //      gone, as the per-stage funnel
+    val attrition = BoundedRead.boundedDriverRead(
+      Curation.attrition(docs, "doc_id", Seq(
+        "exact_dedup" -> exact, "near_dedup" -> near,
+        "decontaminate" -> clean, "quality" -> quality,
+        "split" -> train, "mixture" -> mixture))
+        .groupBy("dropped_at").count(), maxRows = 8,
+      what = "CorpusDemo attrition funnel",
+      boundWhy = "one row per pipeline stage + survivors")
+      .map(r => Option(r.getString(0)).getOrElse("survived") -> r.getLong(1))
+      .toMap
+
     Result(
       nIngested = docs.count(), nExact = exact.count(),
       nNear = near.count(), nClean = clean.count(),
@@ -146,7 +182,10 @@ object CorpusDemo {
       nCurriculum = curriculum.count(),
       nPacks = packs.count(),
       storesCompacted = compacted.size,
-      kmvProbes = kmvProbes)
+      kmvProbes = kmvProbes,
+      attrition = attrition,
+      tierCounts = tierCounts,
+      nShuffled = nShuffled)
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,7 +204,10 @@ object CorpusDemo {
       s""""test":${r.splitCounts.getOrElse("test", 0L)},""" +
       s""""mixture":${r.nMixture},"mixture_tokens":${r.mixtureTokens},""" +
       s""""curriculum":${r.nCurriculum},"packs":${r.nPacks},""" +
-      s""""stores_compacted":${r.storesCompacted},"kmv_probes":${r.kmvProbes}}""")
+      s""""stores_compacted":${r.storesCompacted},"kmv_probes":${r.kmvProbes},""" +
+      s""""shuffled":${r.nShuffled},""" +
+      s""""attrition":{${r.attrition.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${Json.str(k)}:$v" }.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -36,6 +36,18 @@ class CorpusDemoSpec extends SparkSpecBase {
     assert(r.nMixture <= r.splitCounts.getOrElse("train", 0L))
     assert(r.nCurriculum === r.nMixture)
     assert(r.nPacks >= 1L)
+    // attrition funnel is exactly the stage algebra, per record
+    assert(r.attrition.values.sum === r.nIngested)
+    assert(r.attrition.getOrElse("exact_dedup", 0L) === r.nIngested - r.nExact)
+    assert(r.attrition.getOrElse("near_dedup", 0L) === r.nExact - r.nNear)
+    assert(r.attrition.getOrElse("decontaminate", 0L) === r.nNear - r.nClean)
+    assert(r.attrition.getOrElse("quality", 0L) === r.nClean - r.nQuality)
+    assert(r.attrition.getOrElse("survived", 0L) === r.nMixture)
+    // tier report covers the mixture, three balanced-ish tiers
+    assert(r.tierCounts.values.sum === r.nMixture)
+    assert(r.tierCounts.keySet.subsetOf(Set(0L, 1L, 2L)))
+    // the written epoch order holds the whole mixture
+    assert(r.nShuffled === r.nMixture)
     // store: one KMV store compacted, one probe row per source
     assert(r.storesCompacted === 1)
     assert(r.kmvProbes ===

@@ -743,4 +743,62 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(plan.contains("IdentityBroadcastMode"),
         s"non-scalar nested-loop join crept in:\n$plan")
   }
+
+  test("q188 scd2-cdc apply: semi/anti split of current rows, no window, no rewrite of past") {
+    val plan = planOf("q188_scd2_cdc")
+    assert(!plan.contains("Window"),
+      s"q188 regressed to a history-wide window:\n$plan")
+    assert(occurrences(plan, "LeftSemi") >= 1 && occurrences(plan, "LeftAnti") >= 1,
+      s"q188 lost the semi/anti current-row split:\n$plan")
+  }
+
+  test("q190/q194/q197 sharded ranks: every rank window is bucket-local, never whole-corpus") {
+    for (name <- Seq("q190_curriculum_interleave", "q194_epoch_shuffle",
+        "q197_rank_tiers")) {
+      val plan = planOf(name)
+      // the corpus-sized rank windows must partition by the shard
+      // bucket; the only partition-free window allowed is the tiny
+      // per-(key,bucket) offsets aggregate (bounded rows)
+      val windowLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+      val corpusWide = windowLines.filterNot(l =>
+        l.contains("_rseq_bucket") || l.contains("_rseq_cnt"))
+      assert(corpusWide.isEmpty,
+        s"$name has a non-bucket-local rank window:\n${corpusWide.mkString("\n")}\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"$name plans a global sort:\n$plan")
+    }
+  }
+
+  test("q193/q196 semantic contamination: benchmark broadcasts, probe max is one heap agg") {
+    for (name <- Seq("q193_semantic_contamination",
+        "q196_semantic_contamination_store")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name benchmark side stopped broadcasting:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost the bounded-heap top-1 aggregation:\n$plan")
+      assert(!plan.contains("Window"), s"$name ranks via a window:\n$plan")
+      assert(shuffles(plan) <= 2,
+        s"$name shuffles more than the probe-id aggregate:\n$plan")
+    }
+  }
+
+  test("q195 attrition: stage membership joins carry ids only, scan-side CASE") {
+    val plan = planOf("q195_pipeline_attrition")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"q195:\n$plan")
+    // the flag joins must not drag stage text payloads through the
+    // shuffle: every join in the final assembly is on doc_id alone
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("text#")),
+      s"q195 joins carry text payloads:\n$plan")
+  }
+
+  test("q198 ranking metrics: IDCG is a bounded heap, DCG windows only k-row lists") {
+    val plan = planOf("q198_ranking_metrics")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q198 lost the bounded-heap IDCG/top-k aggregations:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"q198 plans a global sort:\n$plan")
+  }
 }
