@@ -246,16 +246,37 @@ object Bench {
     // (rounds 1-3 failed the same way for line length / stderr-after-stdout
     // flushing). Everything except the metric line therefore goes to FILES
     // (target/bench_stats.json has full names and precision), and the line
-    // itself degrades until it provably fits: per-query seconds from 3 to
-    // 2 to 1 decimals, then keys from "qNN" to bare "NN" (flagged by
-    // "keys":"qN" so a reader maps them back). The require fails the run
-    // loudly if even the leanest form overflows — catalog growth must
-    // surface as a build break, never as a silently unparsed round.
+    // itself degrades until it provably fits — see buildMetricLine's
+    // ladder (decimals → bare keys → top-spenders prefix).
+    val metricLine = buildMetricLine(results, totalMin, sfDir, failed.distinct)
+    spark.stop()
+    System.out.println(metricLine)
+    System.out.flush()
+    System.err.println(metricLine)
+    System.err.flush()
+  }
+
+  private def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  /** Build the ONE metric line the driver parses from the last 2000
+    * chars of output, degrading until it provably fits (≤ 1950):
+    * per-query seconds at 3→2→1 decimals, keys from "qNN" to bare
+    * "NN" (flagged by "keys":"qN"), and finally — once the catalog
+    * outgrows even that (~190 queries did, round 10) — a TOP-SPENDERS
+    * prefix of the (time desc) ordering with the cheap tail folded
+    * into explicit {"q_omitted":count,"q_omitted_sec":sum} so the
+    * line still reconciles to "value". Full names and full precision
+    * always live in target/bench_stats.json. Only an overflowing
+    * FIXED HEADER can still throw — catalog growth alone no longer
+    * can ([[graft.BenchLineSpec]] pins this at 1000 queries). */
+  private[graft] def buildMetricLine(results: Seq[(String, Double)],
+                                     totalMin: Double, sfDir: String,
+                                     failed: Seq[String]): String = {
     def fmt(v: Double, dp: Int): String =
       dp match { case 3 => f"$v%.3f"; case 2 => f"$v%.2f"; case _ => f"$v%.1f" }
     val failedJson =
       if (failed.isEmpty) ""
-      else s""","failed":${failed.distinct.sorted.map(n => Json.str(shortKey(n))).mkString("[", ",", "]")}"""
+      else s""","failed":${failed.sorted.map(n => Json.str(shortKey(n))).mkString("[", ",", "]")}"""
     def mkLine(dp: Int, bareKeys: Boolean): String = {
       val qs = results.map { case (k, v) =>
         val key = if (bareKeys) shortKey(k).drop(1) else shortKey(k)
@@ -266,19 +287,35 @@ object Bench {
         (if (bareKeys) s""","keys":"qN"""" else "") +
         s""","queries":$qs,"sf":${Json.str(sfDir)}$failedJson}"""
     }
-    val metricLine = Seq((3, false), (2, false), (2, true), (1, true)).iterator
-      .map { case (dp, bare) => mkLine(dp, bare) }
+    def mkTopLine(dp: Int): String = {
+      val header =
+        f"""{"metric":"total","value":$totalMin%.3f,"unit":"sec",""" +
+          s""""stats":"target/bench_stats.json","keys":"qN","queries":{"""
+      val tailFixed = s"""},"sf":${Json.str(sfDir)}$failedJson}"""
+      val omittedReserve = 60 // ,"q_omitted":NNN,"q_omitted_sec":NNNNN.N
+      val budget = 1950 - header.length - tailFixed.length - omittedReserve
+      val sortedQ = results.sortBy { case (k, v) => (-v, k) }
+      var used = 0
+      val taken = sortedQ.takeWhile { case (k, v) =>
+        val len = Json.str(shortKey(k).drop(1)).length + 1 + fmt(v, dp).length + 1
+        val fits = used + len <= budget
+        if (fits) used += len
+        fits
+      }
+      val omitted = sortedQ.drop(taken.size)
+      val qs = taken.map { case (k, v) =>
+        Json.str(shortKey(k).drop(1)) + ":" + fmt(v, dp)
+      }.mkString(",")
+      header + qs + "}" +
+        f""","q_omitted":${omitted.size},"q_omitted_sec":${omitted.map(_._2).sum}%.1f""" +
+        s""","sf":${Json.str(sfDir)}$failedJson}"""
+    }
+    (Seq((3, false), (2, false), (2, true), (1, true)).iterator
+      .map { case (dp, bare) => mkLine(dp, bare) } ++ Iterator(mkTopLine(1)))
       .find(_.length <= 1950)
       .getOrElse(throw new IllegalStateException(
         s"metric line cannot fit the driver's 2000-char tail window even " +
-          s"at 1-decimal bare keys (${names.size} queries) — split the " +
-          "catalog's bench reporting before adding more queries"))
-    spark.stop()
-    System.out.println(metricLine)
-    System.out.flush()
-    System.err.println(metricLine)
-    System.err.flush()
+          s"as a top-spenders summary (${results.size} queries) — the " +
+          "fixed header alone overflows; shrink it"))
   }
-
-  private def shortKey(name: String): String = name.takeWhile(_ != '_')
 }

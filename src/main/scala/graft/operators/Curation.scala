@@ -383,6 +383,9 @@ object Curation {
                 tieCol: String, shardBucket: Column, nBuckets: Int,
                 as: String = "tier"): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(groupCols.nonEmpty,
+      "rankTiers needs at least one group column (for a global split, " +
+        "add a literal group: df.withColumn(\"g\", lit(1)))")
     val ranked = Rolling.sequenceByKey(df, groupCols,
       orderCols = Seq(score, col(tieCol)), bucket = shardBucket,
       as = "_rt_rank")

@@ -299,4 +299,44 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("property: attrition ≡ first-missing-stage on random (non-nested) stage chains") {
+    val stagesGen: Gen[(List[Long], List[Set[Long]])] = for {
+      n <- Gen.choose(1, 40)
+      k <- Gen.choose(1, 5)
+      stages <- Gen.listOfN(k, Gen.listOfN(n, Gen.oneOf(true, false)))
+    } yield ((0L until n.toLong).toList,
+      stages.map(keep => (0L until n.toLong).filter(i => keep(i.toInt)).toSet))
+    forAllSeeded(stagesGen, 12) { case (ids, stageSets) =>
+      val universe = ids.toDF("id")
+      val named = stageSets.zipWithIndex.map { case (s, i) =>
+        s"st$i" -> s.toSeq.toDF("id")
+      }
+      val got = Curation.attrition(universe, "id", named)
+        .as[(Long, Option[String])].collect().toMap
+      ids.foreach { id =>
+        val want = stageSets.zipWithIndex
+          .collectFirst { case (s, i) if !s.contains(id) => s"st$i" }
+        assert(got(id) === want, s"doc $id, stages=$stageSets")
+      }
+    }
+  }
+
+  test("property: epochShuffle is a permutation agreeing with the naive order, any n") {
+    val nGen = Gen.choose(0, 120)
+    forAllSeeded(nGen, 6) { n =>
+      val ids = (0L until n.toLong).toDF("id")
+      val got = Packing.epochShuffle(ids, "id", s"seed-$n")
+        .as[(Long, Long)].collect().sortBy(_._2)
+      val want = (0L until n.toLong)
+        .sortBy { i =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"seed-$n:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (h, i)
+        }
+      assert(got.map(_._1).toSeq === want.toSeq, s"n=$n")
+      assert(got.map(_._2).toSeq === (0L until n.toLong).toSeq)
+    }
+  }
 }
