@@ -7620,6 +7620,60 @@ object Catalog {
     Relevance.rankingMetrics(ranked, labels, k = 20)
   }
 
+  // ---------------------------------------------------------------- corpus data card
+  /** One-row corpus "data card": the release-note profile every
+    * published dataset ships — sizes, source/language mix, exact-dup
+    * rate, length percentiles, mean quality — as ONE oracle-pinned
+    * query (and `graft.DataCard`'s main). Composes the pinned
+    * primitives: q19's fingerprint for dup rate, q33's exact
+    * interpolated percentiles, q26's alpha-ratio quality signal.
+    * Distinct-counts shuffle 8-byte hashes/strings, never text;
+    * percentiles use the distributed rank-offset sort; the top-lang
+    * cut is a bounded TakeOrdered. */
+  val q199CorpusCard = q("q199_corpus_card",
+    "Corpus data card: sizes, mix, dup rate, length percentiles, quality (north star: dataset release reporting)",
+    """WITH base AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |         CAST(count(*) - count(DISTINCT md5(array_to_string(
+      |           regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))) AS BIGINT)
+      |           AS n_exact_dup_docs,
+      |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |         round(avg(CASE WHEN length(lower(text)) = 0 THEN 0.0
+      |               ELSE CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+      |                    / length(lower(text)) END), 4) AS avg_alpha_ratio
+      |  FROM documents),
+      |pct AS (
+      |  SELECT round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+      |         round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+      |  FROM documents),
+      |top AS (
+      |  SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs
+      |  FROM documents GROUP BY lang
+      |  ORDER BY count(*) DESC, lang LIMIT 1)
+      |SELECT * FROM base CROSS JOIN pct CROSS JOIN top""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pct = Percentiles.interpolated(
+      docs.withColumn("_g", lit(1)), Seq("_g"), "n_chars",
+      Seq("p50_chars" -> 0.5, "p90_chars" -> 0.9))
+      .select(round(col("p50_chars"), 4).as("p50_chars"),
+        round(col("p90_chars"), 4).as("p90_chars"))
+    val alpha = TextFunctions.alphaRatio(col("text"))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("total_chars"),
+      (count(lit(1)) - countDistinct(TextFunctions.fingerprint(col("text"))))
+        .as("n_exact_dup_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      round(avg(alpha), 4).as("avg_alpha_ratio"))
+    val top = docs.groupBy(col("lang")).agg(count(lit(1)).as("top_lang_docs"))
+      .orderBy(col("top_lang_docs").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("top_lang_docs"))
+    base.crossJoin(broadcast(pct)).crossJoin(broadcast(top))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7669,5 +7723,6 @@ object Catalog {
     q186CoCitation, q187Frontier, q188Scd2Cdc, q189ClusterSafeSplit,
     q190Curriculum, q191BudgetedSelect, q192IncBfs,
     q193SemanticContamination, q194EpochShuffle, q195Attrition,
-    q196SemanticStore, q197RankTiers, q198RankingMetrics)
+    q196SemanticStore, q197RankTiers, q198RankingMetrics,
+    q199CorpusCard)
 }
