@@ -172,6 +172,34 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** ANN recall@k: per query, how much of the EXACT top-k an
+    * approximate neighbor list recovered — the acceptance gate for
+    * every IVF/PQ/LSH parameter choice (nProbe, cells, bands): an
+    * index whose recall is unmeasured is a recall regression waiting
+    * to ship. Pairs with [[Relevance.rankingMetrics]] (which grades
+    * relevance; this grades faithfulness to brute force).
+    *
+    * Both inputs are (query_id, neighbor_id, …) top-k lists from the
+    * rankers' own contracts ([[bruteForceTopK]] / [[ivfTopK]] /
+    * [[ivfProbeStored]] — deterministic tie-breaks make the sets
+    * well-defined). Cost: one semi join + two aggregations over
+    * queries × k rows — evaluation never touches vectors.
+    *
+    * @return (query_id, n_exact, n_hit, recall) with
+    *         recall = n_hit / n_exact rounded to 4dp */
+  def annRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact"), 4).as("recall"))
+  }
+
   /** Top-nProbe (query_id, qvec, cell) probe assignments against a
     * (cell, cent_vec) centroid table — the ONE probe-selection
     * definition, shared by [[ivfTopK]] and [[ivfProbeStored]] so the

@@ -7674,6 +7674,66 @@ object Catalog {
     base.crossJoin(broadcast(pct)).crossJoin(broadcast(top))
   }
 
+  // ---------------------------------------------------------------- ANN recall
+  /** [[Similarity.annRecall]] under the oracle: recall@5 of q24's
+    * IVF (nProbe=3) against q23's exact brute-force top-5 for the
+    * same queries — the acceptance gate for ANN parameter choices,
+    * emitted as data. The oracle replays BOTH rankings (the already-
+    * pinned q23/q24 CTEs) and the set-intersection arithmetic. */
+  val q200AnnRecall = q("q200_ann_recall",
+    "ANN recall@5: IVF(nProbe=3) vs exact top-5 per query (north star: similarity evaluation)",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, ct.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM corpus c CROSS JOIN cents ct) WHERE rk = 1),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+      |probes AS (
+      |  SELECT query_id, qvec, cell FROM (
+      |    SELECT q.query_id, q.qvec, ct.cell,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |                              ORDER BY list_cosine_similarity(q.qvec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM q CROSS JOIN cents ct) WHERE rk <= 3),
+      |ivf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(p.qvec, a.vec), 4) DESC,
+      |                      a.vec_id) AS rk
+      |    FROM probes p JOIN assign a ON a.cell = p.cell
+      |    WHERE a.vec_id <> p.query_id) WHERE rk <= 5),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY round(list_cosine_similarity(q.qvec, c.vec), 4) DESC,
+      |                      c.vec_id) AS rk
+      |    FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.query_id) WHERE rk <= 5),
+      |hit AS (
+      |  SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM ivf i JOIN exact e USING (query_id, neighbor_id)
+      |  GROUP BY i.query_id)
+      |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+      |       coalesce(any_value(h.n_hit), 0) AS n_hit,
+      |       round(CAST(coalesce(any_value(h.n_hit), 0) AS DOUBLE) / count(*), 4) AS recall
+      |FROM exact e LEFT JOIN hit h ON e.query_id = h.query_id
+      |GROUP BY e.query_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val centroids = e.filter(col("vec_id") % 50 === 0)
+    val cells = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 5)
+    Similarity.annRecall(
+      approx = Similarity.ivfTopK(cells, centroids, queries,
+        "vec_id", "embedding", k = 5, nProbe = 3, roundTo = 4),
+      exact = Similarity.bruteForceTopK(e, queries,
+        "vec_id", "embedding", k = 5, roundTo = 4))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7724,5 +7784,5 @@ object Catalog {
     q190Curriculum, q191BudgetedSelect, q192IncBfs,
     q193SemanticContamination, q194EpochShuffle, q195Attrition,
     q196SemanticStore, q197RankTiers, q198RankingMetrics,
-    q199CorpusCard)
+    q199CorpusCard, q200AnnRecall)
 }

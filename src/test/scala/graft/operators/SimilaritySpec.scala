@@ -419,4 +419,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.forall(_._2 >= 10L), s"same-label leak: ${out.toSeq}")
     assert(out(0)._3 > out(1)._3)
   }
+
+  test("annRecall: exact set arithmetic, zero-overlap queries, missing-approx queries") {
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+      (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 99L), // 4/5
+      (2L, 98L), (2L, 97L)                                    // 0/2
+      // query 3: approx returned nothing at all
+    ).toDF("query_id", "neighbor_id")
+    val got = Similarity.annRecall(approx, exact)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 5L, 4L, 0.8),
+      (2L, 2L, 0L, 0.0),
+      (3L, 2L, 0L, 0.0)))
+    // perfect approximation: recall exactly 1.0 everywhere
+    val perfect = Similarity.annRecall(exact, exact)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(perfect.forall(r => r._4 === 1.0 && r._2 === r._3))
+  }
 }
