@@ -157,6 +157,22 @@ object Contamination {
                             path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The reverse view of [[semanticOverlap]] — the report the
+    * EVAL-SET owner asks for: per benchmark item, how many training
+    * documents it "burned" (contaminated), including the zero rows
+    * that prove an item is clean. Attribution is by NEAREST benchmark
+    * item only (each contaminated probe counts toward its argmax), so
+    * the counts partition the contaminated probes — sum(n_burned) =
+    * total contaminated. One aggregation over the overlap output plus
+    * one left join against the (small) benchmark id list. */
+  def burnReport(overlap: DataFrame, benchmark: DataFrame,
+                 idCol: String): DataFrame =
+    benchmark.select(col(idCol).as("bench_id"))
+      .join(overlap.filter(col("contaminated"))
+        .groupBy(col("nearest_bench_id").as("bench_id"))
+        .agg(count(lit(1)).as("n_burned")), Seq("bench_id"), "left")
+      .select(col("bench_id"), coalesce(col("n_burned"), lit(0L)).as("n_burned"))
+
   /** Probe a persisted benchmark-embedding index: identical output
     * contract to [[semanticOverlap]] (spec-pinned equivalence) with
     * the benchmark side loaded from the store. */

@@ -48,6 +48,29 @@ object Packing {
       .select("doc_id", "shard", "seq_in_shard", "cum_tokens", "bin")
   }
 
+  /** [[packGreedy]] plus the SAMPLE-LOADER contract: where each
+    * document STARTS inside its (shard, bin) context window —
+    * `offset = (cum − n) mod ctxLen` — so a training reader can
+    * materialize token windows without replaying the packing scan.
+    * Same deterministic md5 order, same shard-local windows; one
+    * extra scan-side subtraction. A document whose tokens straddle
+    * the bin boundary starts at `offset` and wraps into bin+1 —
+    * the standard packed-sequence convention (the reader splits at
+    * ctxLen; nothing here re-chunks). */
+  def packWithOffsets(df: DataFrame, idCol: String, tokenCol: String,
+                      ctxLen: Int, shards: Int = 1024): DataFrame = {
+    val h = Splits.splitBucket(col(idCol), Int.MaxValue)
+    val shard = pmod(h, lit(shards))
+    val w = Window.partitionBy("shard").orderBy(col("_h"), col("doc_id"))
+    df.select(col(idCol).as("doc_id"), col(tokenCol).as("n_tokens"),
+      h.as("_h"), shard.as("shard"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("_cum") - col("n_tokens")) / ctxLen))
+      .withColumn("offset",
+        (col("_cum") - col("n_tokens")) - col("bin") * ctxLen)
+      .select("doc_id", "shard", "bin", "offset", "n_tokens")
+  }
+
   /** Length-bucketed batch assignment — the padding-minimization
     * counterpart of [[packGreedy]]: sort the corpus by
     * (token count, md5(id), id), cut consecutive runs of `batchSize`

@@ -7734,6 +7734,74 @@ object Catalog {
         "vec_id", "embedding", k = 5, roundTo = 4))
   }
 
+  // ---------------------------------------------------------------- packed offsets
+  /** [[Packing.packWithOffsets]] under the oracle: q55's greedy
+    * packing emitted as the sample-loader contract — (shard, bin,
+    * offset) per document, where offset is the document's start
+    * inside its context window. The oracle replays q55's windowed
+    * arithmetic plus the closed-form offset subtraction. */
+  val q201PackedOffsets = q("q201_packed_offsets",
+    "Packed-sequence offsets: (shard, bin, start offset) per document (north star: training-shard reader contract)",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2147483647 AS _h
+      |  FROM documents),
+      |s AS (SELECT *, _h % 8 AS shard FROM h),
+      |p AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |         CAST(sum(n_tokens) OVER w AS BIGINT) AS cum
+      |  FROM s WINDOW w AS (PARTITION BY shard ORDER BY _h, doc_id))
+      |SELECT doc_id, shard,
+      |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+      |       (cum - n_tokens) - CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) * 512 AS offset,
+      |       n_tokens
+      |FROM p""".stripMargin) { (s, d) =>
+    Packing.packWithOffsets(
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", ctxLen = 512, shards = 8)
+  }
+
+  // ---------------------------------------------------------------- contamination burn report
+  /** [[Contamination.burnReport]] under the oracle: q193's semantic
+    * contamination regrouped per BENCHMARK item — how many training
+    * docs each eval item burned, zeros included (the clean-item
+    * proof). The oracle replays q193's argmax attribution and the
+    * left-join count. */
+  val q202BurnReport = q("q202_contamination_burn_report",
+    "Per-benchmark-item contamination burn counts, zeros included (north star: eval-set stewardship)",
+    """WITH b AS (
+      |  SELECT vec_id AS bench_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bvec
+      |  FROM embeddings WHERE vec_id % 29 = 0),
+      |p AS (
+      |  SELECT vec_id AS probe_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvec
+      |  FROM embeddings WHERE vec_id % 29 <> 0),
+      |sc AS (
+      |  SELECT probe_id, bench_id,
+      |         round(list_cosine_similarity(pvec, bvec), 4) AS sim
+      |  FROM p CROSS JOIN b),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                               ORDER BY sim DESC, bench_id) AS rk
+      |  FROM sc),
+      |hits AS (
+      |  SELECT bench_id, CAST(count(*) AS BIGINT) AS n_burned
+      |  FROM r WHERE rk = 1 AND sim >= 0.5 GROUP BY bench_id)
+      |SELECT b.bench_id, coalesce(h.n_burned, 0) AS n_burned
+      |FROM b LEFT JOIN hits h USING (bench_id)""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val bench = e.filter(pmod(col("vec_id"), lit(29)) === 0)
+    Contamination.burnReport(
+      Contamination.semanticOverlap(
+        probe = e.filter(pmod(col("vec_id"), lit(29)) =!= 0),
+        benchmark = bench, idCol = "vec_id", vecCol = "embedding",
+        tau = 0.5),
+      bench, "vec_id")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7784,5 +7852,5 @@ object Catalog {
     q190Curriculum, q191BudgetedSelect, q192IncBfs,
     q193SemanticContamination, q194EpochShuffle, q195Attrition,
     q196SemanticStore, q197RankTiers, q198RankingMetrics,
-    q199CorpusCard, q200AnnRecall)
+    q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport)
 }

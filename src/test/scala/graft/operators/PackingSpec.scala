@@ -111,6 +111,39 @@ class PackingSpec extends SparkSpecBase {
     assert(diverged === 0L, s"sharded rank diverges from single-window reference")
   }
 
+  test("packWithOffsets: offsets agree with packGreedy bins and tile the windows") {
+    val out = Packing.packWithOffsets(docs, "id", "n_tok", ctxLen = 100, shards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val bins = Packing.packGreedy(docs, "id", "n_tok", ctxLen = 100, shards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap // doc_id -> bin
+    out.foreach { case (id, _, bin, offset, n) =>
+      assert(bin === bins(id), s"bin mismatch for $id")
+      assert(offset >= 0 && offset < 100, s"offset out of window: $offset")
+      assert(n === docs.filter($"id" === id).head().getLong(1))
+    }
+    // within a (shard, bin), consecutive docs tile exactly:
+    // offset_{i+1} = offset_i + n_i (starts advance by token count,
+    // and same-bin starts all lie inside one window)
+    out.groupBy(r => (r._2, r._3)).foreach { case (key, rs) =>
+      rs.sortBy(_._4).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 === a._4 + a._5, s"gap inside bin $key: $a -> $b")
+        case _ =>
+      }
+    }
+    // the whole shard tiles from zero: offsets reconstruct from the
+    // shard's own cumulative token stream
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(r => (r._3, r._4)) // (bin, offset) = scan order
+      var cum = 0L
+      inOrder.foreach { case (_, _, bin, offset, n) =>
+        assert(bin === cum / 100 && offset === cum % 100)
+        cum += n
+      }
+    }
+  }
+
   test("epochShuffle: exact 0..n-1 permutation, seed-dependent, run-stable, matches global sort") {
     import org.apache.spark.sql.expressions.Window
     val ids = spark.range(0, 1000).toDF("id")

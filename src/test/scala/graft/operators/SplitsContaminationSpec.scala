@@ -357,6 +357,16 @@ class SplitsContaminationSpec extends SparkSpecBase {
       Contamination.benchmarkVecIndexRead(spark, root), "id", "vec", tau = 0.6)
       .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
     assert(stored === out)
+    // burn report: argmax attribution partitions the contaminated set,
+    // clean benchmark items keep explicit zero rows
+    val bench3 = bench.unionByName(
+      Seq((102L, Array(0f, 0f, 0f, -1f))).toDF("id", "vec")) // burns nothing
+    val report = Contamination.burnReport(
+      Contamination.semanticOverlap(probe, bench3, "id", "vec", tau = 0.6),
+      bench3, "id").as[(Long, Long)].collect().toMap
+    // probes 1 (sim 1.0 → 100), 2 (tie → 100), 3 (0.6 → 101); 102 clean
+    assert(report === Map(100L -> 2L, 101L -> 1L, 102L -> 0L))
+    assert(report.values.sum === out.count(_._4))
   }
 
   test("clusterSafeSplit: no near-dup pair ever straddles splits, over random clusterings") {
