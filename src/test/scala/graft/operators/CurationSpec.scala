@@ -279,6 +279,16 @@ class CurationSpec extends SparkSpecBase {
     assert(dup.getMessage.contains("duplicate stage names"))
   }
 
+  test("budgetedSelectByScore and rankTiers: empty inputs yield empty outputs, not errors") {
+    val empty = Seq.empty[(String, Long, Long, Long)].toDF("src", "id", "toks", "score")
+    assert(Curation.budgetedSelectByScore(empty, "src", "id", "toks", "score",
+      Map("s0" -> 100L)).count() === 0L)
+    assert(Curation.rankTiers(empty, Seq("src"), col("score"), "id",
+      expr("score div 2"), 3).count() === 0L)
+    assert(Curation.attrition(empty.select("id"), "id",
+      Seq("a" -> empty.select("id"))).count() === 0L)
+  }
+
   test("rankTiers: exact thirds by rank, balanced sizes, matches single-window reference") {
     import org.apache.spark.sql.expressions.Window
     // two groups, sizes 10 and 7 (remainder case), score with ties
