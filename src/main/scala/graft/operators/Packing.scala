@@ -159,6 +159,55 @@ object Packing {
         ((col("rank") - 1L) * lit(ns) + col("_sidx")).as("pos"))
   }
 
+  /** Annealed training order: a weighted blend of the CURRICULUM
+    * rank (easy-first) and the per-epoch SHUFFLE rank — the standard
+    * curriculum-annealing schedule, where early epochs run
+    * difficulty-ordered (α high) and later epochs decay toward a
+    * plain deterministic shuffle (α → 0) without ever re-deriving
+    * either ingredient:
+    *
+    * {{{ key = α·rank_difficulty + (10000−α)·rank_shuffle  (α in bps) }}}
+    *
+    * and `pos` is the rank of `key` (id tiebreak) — pure integer
+    * arithmetic end-to-end, so the whole schedule is engine-
+    * replayable (q203's oracle restates it as three window ranks).
+    * α = 10000 degenerates to the pure curriculum, α = 0 to
+    * [[epochShuffle]]'s order.
+    *
+    * Scale shape: all three ranks are [[Rolling.sequenceByKey]]
+    * sharded ranks (difficulty buckets, md5-prefix buckets, and
+    * key-range buckets of width ≈ 10000·n / `orderShards` — one
+    * count() action sizes them); nothing sorts the corpus in one
+    * task, and the only driver touch is that count.
+    *
+    * @param diffBucket monotone-in-difficulty shard (e.g.
+    *                   `expr("n_chars div 100")`)
+    * @return (idCol, key, pos) — pos 0-based total order */
+  def annealedOrder(df: DataFrame, idCol: String, difficulty: Column,
+                    diffBucket: Column, epochSeed: String, alphaBps: Int,
+                    orderShards: Int = 256): DataFrame = {
+    require(alphaBps >= 0 && alphaBps <= 10000,
+      s"alphaBps must be in [0, 10000]: $alphaBps")
+    val rc = Rolling.sequenceByKey(df, Seq.empty,
+      orderCols = Seq(difficulty, col(idCol)), bucket = diffBucket,
+      as = "_rc")
+    val h = md5(concat(lit(epochSeed), lit(":"),
+      col(idCol).cast("string")).cast("binary"))
+    val rs = Rolling.sequenceByKey(rc.withColumn("_ao_h", h), Seq.empty,
+      orderCols = Seq(col("_ao_h"), col(idCol)),
+      bucket = conv(substring(col("_ao_h"), 1, 2), 16, 10).cast("long"),
+      as = "_rs")
+    val keyed = rs.withColumn("key",
+      lit(alphaBps.toLong) * col("_rc") + lit(10000L - alphaBps) * col("_rs"))
+    val n = math.max(1L, df.count())
+    val width = math.max(1L, (10000L * n) / orderShards)
+    Rolling.sequenceByKey(keyed, Seq.empty,
+      orderCols = Seq(col("key"), col(idCol)),
+      bucket = expr(s"key div ${width}L"), as = "pos")
+      .withColumn("pos", col("pos") - 1L)
+      .select(col(idCol), col("key"), col("pos"))
+  }
+
   /** Deterministic per-epoch corpus shuffle: a 0-based training-order
     * position from ranking documents by `md5(seed || ':' || id)` — a
     * reproducible, engine-portable permutation that is completely

@@ -7802,6 +7802,36 @@ object Catalog {
       bench, "vec_id")
   }
 
+  // ---------------------------------------------------------------- annealed order
+  /** [[Packing.annealedOrder]] under the oracle: the curriculum-
+    * annealing schedule at α = 30% — early-epoch difficulty order
+    * blended with the epoch shuffle by integer rank arithmetic
+    * (`key = 3000·rank_difficulty + 7000·rank_shuffle`). Every rank
+    * is a sharded sequenceByKey on the engine side; the oracle
+    * restates all three as plain windows. */
+  val q203AnnealedOrder = q("q203_annealed_order",
+    "Annealed training order: rank-blend of curriculum and epoch shuffle (north star: curriculum scheduling)",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY n_chars, doc_id) AS rc
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (
+      |           ORDER BY md5('epoch-1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rs
+      |  FROM documents),
+      |k AS (SELECT doc_id, 3000 * rc + 7000 * rs AS key
+      |      FROM c JOIN s USING (doc_id))
+      |SELECT doc_id, key,
+      |       row_number() OVER (ORDER BY key, doc_id) - 1 AS pos
+      |FROM k""".stripMargin) { (s, d) =>
+    Packing.annealedOrder(
+      Tables.documents(s, d).select("doc_id", "n_chars"),
+      "doc_id", difficulty = col("n_chars"),
+      diffBucket = expr("n_chars div 100"),
+      epochSeed = "epoch-1", alphaBps = 3000)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7852,5 +7882,6 @@ object Catalog {
     q190Curriculum, q191BudgetedSelect, q192IncBfs,
     q193SemanticContamination, q194EpochShuffle, q195Attrition,
     q196SemanticStore, q197RankTiers, q198RankingMetrics,
-    q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport)
+    q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport,
+    q203AnnealedOrder)
 }

@@ -144,6 +144,40 @@ class PackingSpec extends SparkSpecBase {
     }
   }
 
+  test("annealedOrder: alpha endpoints recover curriculum and shuffle; blend is a permutation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 300L).map(i => (i, (i * 37) % 91)).toDF("id", "difficulty")
+    def order(alpha: Int) = Packing.annealedOrder(df, "id", $"difficulty",
+      expr("difficulty div 10"), "epoch-1", alpha)
+      .as[(Long, Long, Long)].collect().sortBy(_._3).map(_._1).toSeq
+    // alpha = 10000: pure curriculum (difficulty asc, id tiebreak)
+    val curriculum = df.orderBy($"difficulty", $"id").as[(Long, Long)]
+      .collect().map(_._1).toSeq
+    assert(order(10000) === curriculum)
+    // alpha = 0: exactly the epoch shuffle's order
+    val shuffle = Packing.epochShuffle(df.select("id"), "id", "epoch-1")
+      .as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(order(0) === shuffle)
+    // a real blend is a full permutation distinct from both endpoints
+    val blend = order(3000)
+    assert(blend.sorted === (0L until 300L))
+    assert(blend !== curriculum)
+    assert(blend !== shuffle)
+    // rank-sum reference: key ordering matches a direct window replay
+    val got = Packing.annealedOrder(df, "id", $"difficulty",
+      expr("difficulty div 10"), "epoch-1", 3000)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val want = df
+      .withColumn("rc", row_number().over(Window.orderBy($"difficulty", $"id")).cast("long"))
+      .withColumn("rs", row_number().over(Window.orderBy(
+        md5(concat(lit("epoch-1:"), $"id".cast("string")).cast("binary")), $"id")).cast("long"))
+      .withColumn("key", lit(3000L) * $"rc" + lit(7000L) * $"rs")
+      .withColumn("pos", row_number().over(Window.orderBy($"key", $"id")).cast("long") - 1L)
+      .select($"id", $"key", $"pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === want)
+  }
+
   test("epochShuffle: exact 0..n-1 permutation, seed-dependent, run-stable, matches global sort") {
     import org.apache.spark.sql.expressions.Window
     val ids = spark.range(0, 1000).toDF("id")
