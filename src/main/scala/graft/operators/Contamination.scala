@@ -129,7 +129,17 @@ object Contamination {
       tau, roundTo)
 
   private def semanticCore(p: DataFrame, b: DataFrame,
-                           tau: Double, roundTo: Int): DataFrame =
+                           tau: Double, roundTo: Int): DataFrame = {
+    // An EMPTY benchmark side (an empty — or mis-pathed — persisted
+    // index read by semanticOverlapStored) would make the cross join
+    // produce zero rows: a caller joining probes back through the
+    // output would silently drop the entire corpus, the worst possible
+    // failure mode for a decontamination gate. Fail loudly instead —
+    // the check is one limit(1) action on the side that broadcasts.
+    require(!b.isEmpty,
+      "semanticOverlap: benchmark side is EMPTY — a missing or " +
+        "mis-pathed benchmark/index must fail loudly, not return an " +
+        "empty verdict set that reads as a fully clean corpus")
     p.join(broadcast(b))
       .select(col("probe_id"), col("bench_id"),
         round(Similarity.cosine(col("pvec"), col("bvec")), roundTo).as("sim"))
@@ -140,6 +150,7 @@ object Contamination {
         col("t._2").as("nearest_bench_id"),
         col("t._1").as("max_sim"))
       .withColumn("contaminated", col("max_sim") >= tau)
+  }
 
   /** Persisted benchmark-embedding index — [[benchmarkGramIndexWrite]]'s
     * semantic sibling, the daily-batch shape: embed the eval suites

@@ -347,14 +347,19 @@ object Curation {
     require(stages.nonEmpty, "attrition needs at least one stage")
     require(stages.map(_._1).distinct.size == stages.size,
       s"duplicate stage names: ${stages.map(_._1)}")
-    val flagged = stages.foldLeft(universe.select(col(idCol))) {
-      case (acc, (name, stage)) =>
+    // Flag columns are POSITIONAL (_in_0.._in_k), never interpolated
+    // from the caller's stage names: a name containing '.' or a
+    // backtick would otherwise resolve as a nested-field path (or not
+    // at all). The name appears only as the emitted dropped_at VALUE.
+    val indexed = stages.zipWithIndex
+    val flagged = indexed.foldLeft(universe.select(col(idCol))) {
+      case (acc, ((_, stage), i)) =>
         acc.join(stage.select(col(idCol)).distinct()
-          .withColumn(s"_in_$name", lit(true)), Seq(idCol), "left")
+          .withColumn(s"_in_$i", lit(true)), Seq(idCol), "left")
     }
-    val firstMissing = stages.foldRight(lit(null).cast("string")) {
-      case ((name, _), rest) =>
-        when(col(s"_in_$name").isNull, lit(name)).otherwise(rest)
+    val firstMissing = indexed.foldRight(lit(null).cast("string")) {
+      case (((name, _), i), rest) =>
+        when(col(s"_in_$i").isNull, lit(name)).otherwise(rest)
     }
     flagged.select(col(idCol), firstMissing.as("dropped_at"))
   }

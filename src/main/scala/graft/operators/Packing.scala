@@ -133,16 +133,29 @@ object Packing {
     * @param bucket monotone-in-difficulty coarse bucket (e.g.
     *               `expr("n_chars div 100")`) — the sequenceByKey
     *               shard key; must be non-decreasing in
-    *               (difficulty, id) order
+    *               (difficulty, id) order. '''This is the one
+    *               caller-supplied bucket in the catalog''': unlike
+    *               the md5-prefix buckets of [[epochShuffle]] /
+    *               [[annealedOrder]] it is NOT uniform by
+    *               construction — a corpus where half the documents
+    *               share one difficulty band makes that band a single
+    *               window task per source. Set `skewGuardFrac` (e.g.
+    *               `Some(0.5)`) to turn that silent stall into an
+    *               in-plan raise_error naming the offending band;
+    *               [[Rolling.bucketSkew]] gives the histogram view.
+    * @param skewGuardFrac armed tripwire for degenerate difficulty
+    *               bands — see [[Rolling.sequenceByKey]]'s skew caveat
     * @return (idCol, sourceCol, rank, pos) — pos is a total order
     *         over the corpus, 0-based, gap-free iff sources are
     *         equal-sized (gaps are harmless to consumers: order is
     *         what matters) */
   def curriculumInterleave(df: DataFrame, sourceCol: String, idCol: String,
                            difficulty: Column, bucket: Column,
-                           maxSources: Int = 10000): DataFrame = {
+                           maxSources: Int = 10000,
+                           skewGuardFrac: Option[Double] = None): DataFrame = {
     val ranked = Rolling.sequenceByKey(df, Seq(sourceCol),
-      orderCols = Seq(difficulty, col(idCol)), bucket = bucket, as = "rank")
+      orderCols = Seq(difficulty, col(idCol)), bucket = bucket, as = "rank",
+      skewGuardFrac = skewGuardFrac)
     val srcs = BoundedRead.boundedDriverRead(
       df.select(col(sourceCol)).distinct(),
       maxRows = maxSources,
@@ -182,12 +195,23 @@ object Packing {
     *
     * @param diffBucket monotone-in-difficulty shard (e.g.
     *                   `expr("n_chars div 100")`)
+    * @param totalCount corpus row count, if the caller already knows
+    *                   it — a multi-epoch schedule calls this once
+    *                   per epoch over the SAME corpus, and passing
+    *                   the count forward skips the one full-corpus
+    *                   count() action each call would otherwise
+    *                   spend (the q181-family `asOfDate` pattern).
+    *                   Only shard WIDTHS depend on it, so an
+    *                   approximate count changes the plan's task
+    *                   sizing, never the output order.
     * @return (idCol, key, pos) — pos 0-based total order */
   def annealedOrder(df: DataFrame, idCol: String, difficulty: Column,
                     diffBucket: Column, epochSeed: String, alphaBps: Int,
-                    orderShards: Int = 256): DataFrame = {
+                    orderShards: Int = 256,
+                    totalCount: Option[Long] = None): DataFrame = {
     require(alphaBps >= 0 && alphaBps <= 10000,
       s"alphaBps must be in [0, 10000]: $alphaBps")
+    require(totalCount.forall(_ >= 0), s"totalCount must be >= 0: $totalCount")
     val rc = Rolling.sequenceByKey(df, Seq.empty,
       orderCols = Seq(difficulty, col(idCol)), bucket = diffBucket,
       as = "_rc")
@@ -199,7 +223,7 @@ object Packing {
       as = "_rs")
     val keyed = rs.withColumn("key",
       lit(alphaBps.toLong) * col("_rc") + lit(10000L - alphaBps) * col("_rs"))
-    val n = math.max(1L, df.count())
+    val n = math.max(1L, totalCount.getOrElse(df.count()))
     val width = math.max(1L, (10000L * n) / orderShards)
     Rolling.sequenceByKey(keyed, Seq.empty,
       orderCols = Seq(col("key"), col(idCol)),

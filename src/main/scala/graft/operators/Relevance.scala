@@ -634,7 +634,9 @@ object Relevance {
     * @param ranked (query_id, doc_id, rank) — rank 1-based, from any
     *               ranker
     * @param labels (query_id, doc_id, rel) — graded relevance > 0
-    * @return (query_id, ndcg, mrr) */
+    * @return (query_id, ndcg, mrr) — one row per query appearing in
+    *         EITHER input: a judged query the ranker returned nothing
+    *         for scores (0, 0) rather than vanishing */
   def rankingMetrics(ranked: DataFrame, labels: DataFrame, k: Int,
                      roundTo: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -655,7 +657,12 @@ object Relevance {
       .groupBy(col("query_id"))
       .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
         log2(col("irk").cast("double") + 1.0)).as("idcg"))
-    dcg.join(idcg, Seq("query_id"), "left")
+    // FULL outer, not left: a judged query whose ranker returned ZERO
+    // rows exists only on the idcg (label) side — a left join would
+    // silently drop it, and macro-averaging the output would overstate
+    // the retriever exactly when it fails hardest. With dcg NULL both
+    // metrics coalesce to 0, the score such a query earned.
+    dcg.join(idcg, Seq("query_id"), "full_outer")
       .select(col("query_id"),
         round(coalesce(col("dcg") / col("idcg"), lit(0.0)), roundTo).as("ndcg"),
         round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), roundTo).as("mrr"))

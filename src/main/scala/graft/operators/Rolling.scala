@@ -47,10 +47,29 @@ object Rolling {
     * order, computed without ever sorting a whole key group in one
     * task. `bucket` must be a monotone function of the leading
     * ordering column (e.g. `date_trunc("hour", ts)`): rows in a
-    * lower bucket must sort strictly before rows in a higher one. */
+    * lower bucket must sort strictly before rows in a higher one.
+    *
+    * '''Skew caveat''': parallelism here is bounded by the bucket
+    * histogram, not the key cardinality — a degenerate bucketing
+    * (half the corpus in one bucket value) silently collapses that
+    * bucket into ONE window task, the exact failure this operator
+    * exists to avoid. md5-derived buckets are uniform by
+    * construction; CALLER-SUPPLIED buckets (a difficulty band, an
+    * hour-of-day) are not. `skewGuardFrac` arms an in-plan tripwire:
+    * the run FAILS (raise_error, named bucket in the message) if any
+    * bucket holds more than that fraction of its key group — checked
+    * on the tiny O(keys × buckets) offsets aggregate, zero extra
+    * actions, zero cost on the fact-table path. Groups smaller than
+    * `skewGuardMinRows` are exempt (a 100-row group in one bucket is
+    * one healthy task, not skew). [[bucketSkew]] is the read-only
+    * histogram view of the same question. */
   def sequenceByKey(df: DataFrame, keyCols: Seq[String],
                     orderCols: Seq[Column], bucket: Column,
-                    as: String = "rn"): DataFrame = {
+                    as: String = "rn",
+                    skewGuardFrac: Option[Double] = None,
+                    skewGuardMinRows: Long = 10000L): DataFrame = {
+    require(skewGuardFrac.forall(f => f > 0.0 && f <= 1.0),
+      s"skewGuardFrac must be in (0, 1]: $skewGuardFrac")
     val key = keyCols.map(col)
     val withBucket = df.withColumn("_rseq_bucket", bucket)
     val wLocal = Window.partitionBy((key :+ col("_rseq_bucket")): _*)
@@ -60,14 +79,52 @@ object Rolling {
     // this aggregate, not the fact table
     val wCum = Window.partitionBy(key: _*).orderBy(col("_rseq_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withBucket.groupBy((key :+ col("_rseq_bucket")): _*)
+    val counts = withBucket.groupBy((key :+ col("_rseq_bucket")): _*)
       .agg(count(lit(1)).as("_rseq_cnt"))
-      .withColumn("_rseq_offset", coalesce(sum("_rseq_cnt").over(wCum), lit(0L)))
+    val offsetExpr = coalesce(sum("_rseq_cnt").over(wCum), lit(0L))
+    val guarded = skewGuardFrac match {
+      case None => offsetExpr
+      case Some(frac) =>
+        val total = sum("_rseq_cnt").over(Window.partitionBy(key: _*))
+        when(col("_rseq_cnt").cast("double") > lit(frac) * total &&
+            total >= lit(skewGuardMinRows),
+          raise_error(concat(
+            lit(s"sequenceByKey bucket skew: bucket "),
+            col("_rseq_bucket").cast("string"),
+            lit(" holds "), col("_rseq_cnt").cast("string"),
+            lit(" of "), total.cast("long").cast("string"),
+            lit(s" rows in its key group (> ${frac * 100}% — one " +
+              "window task at scale); choose a finer bucket function"))))
+          .otherwise(offsetExpr)
+    }
+    val offsets = counts
+      .withColumn("_rseq_offset", guarded)
       .drop("_rseq_cnt")
     local
       .join(broadcast(offsets), keyCols :+ "_rseq_bucket")
       .withColumn(as, col("_rseq_offset") + col("_rseq_lrn"))
       .drop("_rseq_bucket", "_rseq_lrn", "_rseq_offset")
+  }
+
+  /** Bucket-histogram diagnostic for [[sequenceByKey]]'s skew caveat:
+    * per key group, how many rows, how many distinct buckets, and the
+    * largest bucket's share — the number a caller compares against a
+    * task-size budget before trusting a hand-rolled bucket function.
+    * One row per key group (one global row for `keyCols = Nil`);
+    * cost is the same O(keys × buckets) aggregate sequenceByKey
+    * builds anyway. */
+  def bucketSkew(df: DataFrame, keyCols: Seq[String],
+                 bucket: Column): DataFrame = {
+    val key = keyCols.map(col)
+    val counts = df.withColumn("_bs_bucket", bucket)
+      .groupBy((key :+ col("_bs_bucket")): _*)
+      .agg(count(lit(1)).as("_bs_cnt"))
+    counts.groupBy(key: _*)
+      .agg(sum("_bs_cnt").as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max("_bs_cnt").as("max_bucket_rows"))
+      .withColumn("max_bucket_frac",
+        round(col("max_bucket_rows").cast("double") / col("n_rows"), 4))
   }
 
   /** Distinct count of `valueCol` over the trailing `n` rows

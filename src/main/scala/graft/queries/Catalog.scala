@@ -7598,10 +7598,10 @@ object Catalog {
       |                                  ORDER BY rel DESC, doc_id) AS irk
       |        FROM scored WHERE rel > 0)
       |  WHERE irk <= 20 GROUP BY query_id)
-      |SELECT d.query_id,
+      |SELECT query_id,
       |       round(coalesce(d.dcg / i.idcg, 0), 6) AS ndcg,
       |       round(coalesce(CAST(1.0 AS DOUBLE) / d.first_rel, 0), 6) AS mrr
-      |FROM d LEFT JOIN ideal i USING (query_id)""".stripMargin) { (s, d) =>
+      |FROM d FULL OUTER JOIN ideal i USING (query_id)""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < 5)
     // rank from the ranker's own top-k output: 20-row per-query lists,
@@ -7832,6 +7832,30 @@ object Catalog {
       epochSeed = "epoch-1", alphaBps = 3000)
   }
 
+  /** [[Rolling.bucketSkew]] under the oracle: the bucket-histogram
+    * diagnostic behind sequenceByKey's skew tripwire — per source,
+    * how many rows, how many difficulty-band buckets, and the
+    * largest band's share. The number an operator (or a pipeline
+    * author) checks BEFORE trusting a caller-supplied bucket function
+    * like q190's `n_chars div 100`: parallelism of every sharded rank
+    * is bounded by exactly this histogram. One aggregation pass, one
+    * tiny re-aggregation — nothing else moves. */
+  val q204BucketSkew = q("q204_bucket_skew",
+    "Bucket-skew histogram per source for caller-supplied rank shards (north star: skew diagnostics)",
+    """WITH c AS (
+      |  SELECT source, n_chars // 100 AS b, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source,
+      |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_buckets,
+      |       CAST(max(cnt) AS BIGINT) AS max_bucket_rows,
+      |       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS max_bucket_frac
+      |FROM c GROUP BY source""".stripMargin) { (s, d) =>
+    Rolling.bucketSkew(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      Seq("source"), bucket = expr("n_chars div 100"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7883,5 +7907,5 @@ object Catalog {
     q193SemanticContamination, q194EpochShuffle, q195Attrition,
     q196SemanticStore, q197RankTiers, q198RankingMetrics,
     q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport,
-    q203AnnealedOrder)
+    q203AnnealedOrder, q204BucketSkew)
 }

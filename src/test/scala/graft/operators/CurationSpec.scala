@@ -279,6 +279,19 @@ class CurationSpec extends SparkSpecBase {
     assert(dup.getMessage.contains("duplicate stage names"))
   }
 
+  test("attrition: stage names with dots/backticks are data, never column paths") {
+    // flag columns are positional, so a release-tag-style stage name
+    // ("v1.0-dedup") or one with a backtick cannot break resolution
+    val universe = (1L to 4L).toDF("doc_id")
+    val survivors = Seq(2L, 4L).toDF("doc_id")
+    for (name <- Seq("v1.0-dedup", "stage`tick", "a.b.c")) {
+      val out = Curation.attrition(universe, "doc_id", Seq(name -> survivors))
+        .as[(Long, Option[String])].collect().toMap
+      assert(out === Map(1L -> Some(name), 2L -> None,
+        3L -> Some(name), 4L -> None), s"stage name: $name")
+    }
+  }
+
   test("budgetedSelectByScore and rankTiers: empty inputs yield empty outputs, not errors") {
     val empty = Seq.empty[(String, Long, Long, Long)].toDF("src", "id", "toks", "score")
     assert(Curation.budgetedSelectByScore(empty, "src", "id", "toks", "score",

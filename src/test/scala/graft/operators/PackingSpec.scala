@@ -200,4 +200,53 @@ class PackingSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(e1.toSeq === ref.toSeq)
   }
+
+  test("curriculumInterleave: armed skew guard trips on a degenerate difficulty band") {
+    // 12k rows, one source, 90% in difficulty band 0 (all n_chars < 100):
+    // that band would be ONE window task at scale
+    val degenerate = (0L until 12000L)
+      .map(i => ("web", i, if (i % 10 != 0) i % 90 else 100L + i % 900))
+      .toDF("src", "id", "n_chars")
+    val guarded = Packing.curriculumInterleave(degenerate, "src", "id",
+      difficulty = $"n_chars", bucket = expr("n_chars div 100"),
+      skewGuardFrac = Some(0.5))
+    val e = intercept[Throwable] { guarded.collect() }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("bucket skew"), s"expected bucket-skew error, got: $msg")
+    // unarmed (the default) computes the same corpus fine
+    assert(Packing.curriculumInterleave(degenerate, "src", "id",
+      difficulty = $"n_chars", bucket = expr("n_chars div 100"))
+      .count() === 12000L)
+  }
+
+  test("annealedOrder: supplied totalCount runs no job at build time and keeps the order") {
+    val df = (0L until 300L).map(i => (i, (i * 37) % 91)).toDF("id", "difficulty")
+    val base = Packing.annealedOrder(df, "id", $"difficulty",
+      expr("difficulty div 10"), "epoch-2", 4000)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val cached =
+      try {
+        val plan = Packing.annealedOrder(df, "id", $"difficulty",
+          expr("difficulty div 10"), "epoch-2", 4000,
+          totalCount = Some(300L))
+        Thread.sleep(500) // listener bus is async; a count() job would land well inside this
+        assert(jobs === 0,
+          s"construction with totalCount supplied must not run the count job (saw $jobs)")
+        plan.as[(Long, Long, Long)].collect().sortBy(_._1)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(cached.toSeq === base.toSeq)
+    // an approximate count only re-sizes shards — order is unchanged
+    val approx = Packing.annealedOrder(df, "id", $"difficulty",
+      expr("difficulty div 10"), "epoch-2", 4000, totalCount = Some(10L))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(approx.toSeq === base.toSeq)
+  }
 }

@@ -285,4 +285,18 @@ class RelevanceSpec extends SparkSpecBase {
       .as[(Long, Double, Double)].collect().sortBy(_._1)
     assert(k1.head === ((1L, 1.0, 1.0))) // dcg = idcg = 1/log2(2)
   }
+
+  test("rankingMetrics: a judged query the ranker returned nothing for scores (0,0), not absence") {
+    // q9 is judged but the ranker produced ZERO rows for it — the
+    // total-failure case. A left join would drop it and macro-averaging
+    // would overstate the retriever; the full-outer contract keeps it.
+    val ranked = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val labels = Seq(
+      (1L, 10L, 1.0), (9L, 77L, 1.0)).toDF("query_id", "doc_id", "rel")
+    val got = Relevance.rankingMetrics(ranked, labels, k = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 1.0, 1.0),
+      (9L, 0.0, 0.0))) // present, scored zero — not silently missing
+  }
 }

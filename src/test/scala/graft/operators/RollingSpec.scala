@@ -72,4 +72,58 @@ class RollingSpec extends SparkSpecBase {
         "user", n = 100, chunkSize = 50)
     }
   }
+
+  // one source, 1000 rows, band 5 holds 90% of them — the degenerate
+  // caller-supplied bucketing the skew guard exists to catch
+  private lazy val skewed = (0L until 1000L)
+    .map(i => (i, if (i < 900) 5L else 50L + i % 10))
+    .toDF("id", "band")
+
+  private def rootMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("skew guard: degenerate bucket fails loudly, naming the bucket") {
+    val guarded = Rolling.sequenceByKey(skewed, Seq.empty,
+      Seq(col("band"), col("id")), bucket = col("band"),
+      skewGuardFrac = Some(0.5), skewGuardMinRows = 100)
+    val e = intercept[Throwable] { guarded.collect() }
+    val msg = rootMessages(e)
+    assert(msg.contains("bucket skew") && msg.contains("900"),
+      s"expected a named bucket-skew error, got: $msg")
+  }
+
+  test("skew guard: exempt below minRows, silent on healthy buckets, off by default") {
+    // same distribution but group smaller than skewGuardMinRows: exempt
+    val small = Rolling.sequenceByKey(skewed, Seq.empty,
+      Seq(col("band"), col("id")), bucket = col("band"),
+      skewGuardFrac = Some(0.5), skewGuardMinRows = 10000)
+    assert(small.count() === 1000L)
+    // healthy md5-prefix bucket under the same armed guard: passes,
+    // and ranks are still exactly 1..n
+    val h = md5(col("id").cast("string").cast("binary"))
+    val healthy = Rolling.sequenceByKey(skewed.withColumn("_h", h), Seq.empty,
+      Seq(col("_h"), col("id")),
+      bucket = conv(substring(col("_h"), 1, 1), 16, 10).cast("long"),
+      skewGuardFrac = Some(0.5), skewGuardMinRows = 100)
+    assert(healthy.agg(min("rn"), max("rn"), count(lit(1)))
+      .as[(Long, Long, Long)].head() === ((1L, 1000L, 1000L)))
+    // default (None): the degenerate bucketing still COMPUTES correctly
+    val unguarded = Rolling.sequenceByKey(skewed, Seq.empty,
+      Seq(col("band"), col("id")), bucket = col("band"))
+    assert(unguarded.agg(min("rn"), max("rn"), count(lit(1)))
+      .as[(Long, Long, Long)].head() === ((1L, 1000L, 1000L)))
+  }
+
+  test("bucketSkew reports the histogram the guard trips on") {
+    val got = Rolling.bucketSkew(skewed, Seq.empty, col("band"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(got === ((1000L, 11L, 900L, 0.9)))
+    // per-key view over the events fixture agrees with a direct replay
+    val byKey = Rolling.bucketSkew(events, Seq("key"),
+      date_trunc("day", col("ts")))
+      .select(col("key"), col("n_rows")).as[(String, Long)]
+      .collect().toMap
+    assert(byKey === Map("a" -> 500L, "b" -> 350L, "c" -> 350L))
+  }
 }

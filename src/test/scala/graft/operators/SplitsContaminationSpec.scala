@@ -369,6 +369,25 @@ class SplitsContaminationSpec extends SparkSpecBase {
     assert(report.values.sum === out.count(_._4))
   }
 
+  test("semanticOverlap: an empty benchmark fails loudly, not as an empty verdict set") {
+    val probe = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
+    val emptyBench = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Contamination.semanticOverlap(probe, emptyBench, "id", "vec", tau = 0.5)
+    }
+    assert(e.getMessage.contains("EMPTY"), e.getMessage)
+    // the stored path — the mis-pathed/empty-index case the guard is
+    // really for: an index persisted from an empty benchmark refuses
+    // at probe time instead of declaring the whole corpus clean
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-bench-vec-empty-spec"
+    Contamination.benchmarkVecIndexWrite(emptyBench, "id", "vec", root)
+    val stored = intercept[IllegalArgumentException] {
+      Contamination.semanticOverlapStored(probe,
+        Contamination.benchmarkVecIndexRead(spark, root), "id", "vec", tau = 0.5)
+    }
+    assert(stored.getMessage.contains("EMPTY"), stored.getMessage)
+  }
+
   test("clusterSafeSplit: no near-dup pair ever straddles splits, over random clusterings") {
     val rng = new scala.util.Random(20260814L)
     val docs = (0L until 500L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
