@@ -84,6 +84,19 @@ object Contamination {
   def incrementalNgramOverlap(probe: DataFrame, index: DataFrame,
                               idCol: String, textCol: String,
                               n: Int = 8): DataFrame = {
+    // Same loud-failure contract as semanticCore: an empty (or
+    // mis-pathed) persisted gram index would left-join to zero hits
+    // and report overlap_ratio = 0 for EVERY probe doc — the silent
+    // "fully clean corpus" verdict that is the worst possible failure
+    // for a decontamination gate. The index is a cheap parquet read
+    // (fixed-width fingerprints), so the limit(1) probe costs one
+    // footer scan, and unlike ngramOverlap's inline benchmark there
+    // is no caller-visible DataFrame whose emptiness the caller
+    // could have checked themselves.
+    require(!index.isEmpty,
+      "incrementalNgramOverlap: benchmark gram index is EMPTY — a " +
+        "missing or mis-pathed persisted index must fail loudly, not " +
+        "report overlap_ratio=0 for every probe document")
     val probeGrams = probe
       .select(col(idCol).as("doc_id"), explode(ngrams(textCol, n)).as("_ng"))
       .select(col("doc_id"), md5(col("_ng").cast("binary")).as("gram_fp"))
@@ -136,6 +149,13 @@ object Contamination {
     // output would silently drop the entire corpus, the worst possible
     // failure mode for a decontamination gate. Fail loudly instead —
     // the check is one limit(1) action on the side that broadcasts.
+    // Cost note: this makes PLAN CONSTRUCTION eager, and for a
+    // COMPUTED (non-stored) benchmark the upstream plan runs twice —
+    // once for this probe, once in the join. Acceptable here because
+    // benchmark sides are eval suites (thousands of rows, one embed
+    // scan); a caller with an expensive computed benchmark should
+    // cache()/localCheckpoint it before calling, which collapses the
+    // double evaluation to one.
     require(!b.isEmpty,
       "semanticOverlap: benchmark side is EMPTY — a missing or " +
         "mis-pathed benchmark/index must fail loudly, not return an " +

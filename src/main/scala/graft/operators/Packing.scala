@@ -139,12 +139,20 @@ object Packing {
     *               [[annealedOrder]] it is NOT uniform by
     *               construction — a corpus where half the documents
     *               share one difficulty band makes that band a single
-    *               window task per source. Set `skewGuardFrac` (e.g.
-    *               `Some(0.5)`) to turn that silent stall into an
-    *               in-plan raise_error naming the offending band;
-    *               [[Rolling.bucketSkew]] gives the histogram view.
-    * @param skewGuardFrac armed tripwire for degenerate difficulty
-    *               bands — see [[Rolling.sequenceByKey]]'s skew caveat
+    *               window task per source. The tripwire is therefore
+    *               ARMED BY DEFAULT here (`Some(0.5)`): a band holding
+    *               more than half of a ≥ 10k-row source fails in-plan
+    *               with a raise_error naming the offending band,
+    *               instead of silently stalling on one window task.
+    *               The `skewGuardMinRows = 10000` exemption inside
+    *               [[Rolling.sequenceByKey]] makes this free for
+    *               small/healthy workloads; [[Rolling.bucketSkew]]
+    *               gives the histogram view for tuning a bucket
+    *               function that trips it.
+    * @param skewGuardFrac armed-by-default tripwire for degenerate
+    *               difficulty bands — see [[Rolling.sequenceByKey]]'s
+    *               skew caveat; pass `None` to disarm (accepting the
+    *               single-task stall) after reviewing the histogram
     * @return (idCol, sourceCol, rank, pos) — pos is a total order
     *         over the corpus, 0-based, gap-free iff sources are
     *         equal-sized (gaps are harmless to consumers: order is
@@ -152,7 +160,7 @@ object Packing {
   def curriculumInterleave(df: DataFrame, sourceCol: String, idCol: String,
                            difficulty: Column, bucket: Column,
                            maxSources: Int = 10000,
-                           skewGuardFrac: Option[Double] = None): DataFrame = {
+                           skewGuardFrac: Option[Double] = Some(0.5)): DataFrame = {
     val ranked = Rolling.sequenceByKey(df, Seq(sourceCol),
       orderCols = Seq(difficulty, col(idCol)), bucket = bucket, as = "rank",
       skewGuardFrac = skewGuardFrac)

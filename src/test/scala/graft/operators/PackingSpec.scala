@@ -201,23 +201,33 @@ class PackingSpec extends SparkSpecBase {
     assert(e1.toSeq === ref.toSeq)
   }
 
-  test("curriculumInterleave: armed skew guard trips on a degenerate difficulty band") {
+  test("curriculumInterleave: skew guard trips BY DEFAULT on a degenerate difficulty band") {
     // 12k rows, one source, 90% in difficulty band 0 (all n_chars < 100):
     // that band would be ONE window task at scale
     val degenerate = (0L until 12000L)
       .map(i => ("web", i, if (i % 10 != 0) i % 90 else 100L + i % 900))
       .toDF("src", "id", "n_chars")
+    // no skewGuardFrac argument: the DEFAULT must fail loudly — the
+    // silent one-task stall is never the out-of-the-box behavior
     val guarded = Packing.curriculumInterleave(degenerate, "src", "id",
-      difficulty = $"n_chars", bucket = expr("n_chars div 100"),
-      skewGuardFrac = Some(0.5))
+      difficulty = $"n_chars", bucket = expr("n_chars div 100"))
     val e = intercept[Throwable] { guarded.collect() }
     val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msg.contains("bucket skew"), s"expected bucket-skew error, got: $msg")
-    // unarmed (the default) computes the same corpus fine
+    // explicitly DISARMED (None) computes the same corpus fine — the
+    // caller's reviewed opt-out, not the default
     assert(Packing.curriculumInterleave(degenerate, "src", "id",
-      difficulty = $"n_chars", bucket = expr("n_chars div 100"))
+      difficulty = $"n_chars", bucket = expr("n_chars div 100"),
+      skewGuardFrac = None)
       .count() === 12000L)
+    // a small (< 10k rows) equally-degenerate source is exempt under
+    // the armed default — one healthy task, not skew
+    val small = (0L until 5000L)
+      .map(i => ("web", i, i % 90)).toDF("src", "id", "n_chars")
+    assert(Packing.curriculumInterleave(small, "src", "id",
+      difficulty = $"n_chars", bucket = expr("n_chars div 100"))
+      .count() === 5000L)
   }
 
   test("annealedOrder: supplied totalCount runs no job at build time and keeps the order") {
@@ -231,13 +241,20 @@ class PackingSpec extends SparkSpecBase {
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs += 1
     }
+    // drain events from the base collect() above BEFORE registering,
+    // so a backlogged async bus can't deliver stale job-starts inside
+    // the measurement window (false failure)
+    org.apache.spark.graftspark.TestListenerBus.waitUntilEmpty(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
     val cached =
       try {
         val plan = Packing.annealedOrder(df, "id", $"difficulty",
           expr("difficulty div 10"), "epoch-2", 4000,
           totalCount = Some(300L))
-        Thread.sleep(500) // listener bus is async; a count() job would land well inside this
+        // deterministic drain: if construction ran ANY job, its event
+        // has been delivered by the time this returns (a fixed sleep
+        // could also miss a late delivery — false pass)
+        org.apache.spark.graftspark.TestListenerBus.waitUntilEmpty(spark.sparkContext)
         assert(jobs === 0,
           s"construction with totalCount supplied must not run the count job (saw $jobs)")
         plan.as[(Long, Long, Long)].collect().sortBy(_._1)

@@ -104,6 +104,18 @@ class SplitsContaminationSpec extends SparkSpecBase {
     }
   }
 
+  test("incrementalNgramOverlap: an EMPTY persisted index fails loudly, not all-clean") {
+    val probe = Seq((1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // an empty index is what a mis-pathed read produces: right schema,
+    // zero rows — must never yield a "fully clean" verdict set
+    val empty = Seq.empty[String].toDF("gram_fp")
+    val e = intercept[IllegalArgumentException] {
+      Contamination.incrementalNgramOverlap(probe, empty, "doc_id", "text", n = 8)
+    }
+    assert(e.getMessage.contains("EMPTY"))
+  }
+
   test("stratifiedSample: per-stratum rates, unlisted strata use the default, rerun-stable") {
     val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
       .toDF("id", "stratum")
