@@ -43,8 +43,66 @@ import scala.util.control.NonFatal
   * Scoped mode: `Bench <queryName…>` (full names, as in Verify) runs
   * only those queries — the single-query reproduction loop that
   * localizing q93 took a full round without.
+  *
+  * Self-adjudicating record (vs `BASELINE_PERF.json`): when a
+  * committed per-query baseline exists for this run's scale factor,
+  * any query whose min-of-3 exceeds [[RetryFactor]]× its baseline min
+  * gets ONE extra timed pass before being recorded (a transient host
+  * stall rarely hits the same query four interleaved times), and
+  * queries STILL over the threshold after the retry are emitted in
+  * the metric line's "regressions" field — so an apparent regression
+  * is adjudicated by the harness at measurement time instead of by a
+  * judge rerun a round later (round 11 recorded q93 at 29.6 s, 7.5×
+  * its baseline, that a manual rerun proved was pure host noise at
+  * 4.56 s). The [[AbsFloorSec]] floor keeps micro-queries (where 3×
+  * is milliseconds) out of both the retry and the regression list.
   */
 object Bench {
+  /** Retry + regression threshold vs the committed baseline min. */
+  private[graft] val RetryFactor = 3.0
+  /** Minimum ABSOLUTE excess (sec) over baseline before a query is
+    * retried/flagged — 3× of a 30 ms query is host jitter, not signal. */
+  private[graft] val AbsFloorSec = 0.5
+  /** SF-slope tripwire: flag time growing faster than this multiple of
+    * linear in the data ratio. 1.5× (was 3.0×) — tight enough to catch
+    * quadratic creep early now that the baseline diff + retry loop
+    * absorbs host noise instead of the threshold having to. */
+  private[graft] val SlopeFactor = 1.5
+
+  /** Parse the committed BASELINE_PERF.json: its recorded "sf" tag and
+    * the per-query baseline min seconds. Regex-based on the exact shape
+    * scripts/make_baseline.py writes ({"min":…[,"slope":…]}); tolerant
+    * of whitespace, ignores unknown fields. */
+  private[graft] def parseBaseline(text: String): (Option[String], Map[String, Double]) = {
+    val sf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+    val mins = """"([A-Za-z][A-Za-z0-9_]*)"\s*:\s*\{\s*"min"\s*:\s*([0-9.eE+\-]+)""".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    (sf, mins)
+  }
+
+  /** Queries whose current min exceeds `factor`× their baseline min by
+    * more than `absFloorSec` absolute — used twice: to pick the retry
+    * candidates after the main passes, and to emit the regressions
+    * field after the retry. Returns name → ratio (current / baseline).
+    * Queries absent from the baseline (new this round) never flag. */
+  private[graft] def overBaseline(mins: Map[String, Double],
+                                  baseline: Map[String, Double],
+                                  factor: Double = RetryFactor,
+                                  absFloorSec: Double = AbsFloorSec): Map[String, Double] =
+    mins.flatMap { case (n, v) =>
+      baseline.get(n).collect {
+        case b if v > factor * b && v - b > absFloorSec =>
+          n -> v / math.max(b, 1e-9)
+      }
+    }
+
+  /** SF-slope flags: slope (= t_primary / t_secondary) faster than
+    * `factor`× linear in the data ratio. Pure so the tripwire level is
+    * spec-pinned. */
+  private[graft] def flagSlopes(slopes: Map[String, Double], sfRatio: Double,
+                                factor: Double = SlopeFactor): Map[String, Double] =
+    slopes.filter { case (_, s) => s > factor * sfRatio }
   private def run(spark: SparkSession, name: String, sfDir: String): Boolean =
     try {
       SparkEntry.queries(name)(spark, sfDir)
@@ -78,8 +136,9 @@ object Bench {
     // warmup (untimed)
     names.foreach { n => run(spark, n, sfDir); GraftSession.sweepPersistedRdds(spark) }
     var failed = List.empty[String]
-    def timedPass(dir: String, onFail: String => Unit): Map[String, Double] =
-      names.map { name =>
+    def timedPass(qnames: Seq[String], dir: String,
+                  onFail: String => Unit): Map[String, Double] =
+      qnames.map { name =>
         val t0 = System.nanoTime()
         if (!run(spark, name, dir)) onFail(name)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -89,7 +148,7 @@ object Bench {
         name -> dt
       }.toMap
     val Passes = 3
-    val passes = (1 to Passes).map(_ => timedPass(sfDir, failed ::= _))
+    val passes = (1 to Passes).map(_ => timedPass(names, sfDir, failed ::= _))
     // failed queries go to the "failed" list ONLY — summing their
     // ~0s fast-fail timings into the headline total would read as a
     // speedup exactly when something broke
@@ -103,8 +162,49 @@ object Bench {
       // min-denominator; median is the stable center
       val rel: Double = if (med > 0) spread / med else 0.0
     }
-    val stats: Map[String, Stat] = ok.map(n => n -> Stat(passes.map(_(n)))).toMap
+    val stats3: Map[String, Stat] = ok.map(n => n -> Stat(passes.map(_(n)))).toMap
+
+    // ---- committed baseline: load, adjudicate outliers by retry ----
+    // Only diffed when the baseline's recorded SF matches this run's
+    // (a scoped sf0.01 debug run must not "regress" against sf0.1).
+    def sfTag(d: String): Option[String] =
+      "sf([0-9.]+)/*$".r.findFirstMatchIn(d).map(_.group(1))
+    val baselineFile = new java.io.File("BASELINE_PERF.json")
+    val (baseSf, baselineRaw) =
+      if (baselineFile.isFile)
+        parseBaseline(new String(
+          java.nio.file.Files.readAllBytes(baselineFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else (None, Map.empty[String, Double])
+    val sfMatched = baseSf.flatMap(sfTag).isDefined &&
+      baseSf.flatMap(sfTag) == sfTag(sfDir)
+    val baseline = if (sfMatched) baselineRaw else Map.empty[String, Double]
+    val retryCands = overBaseline(ok.map(n => n -> stats3(n).min).toMap, baseline)
+      .keys.toSeq.sorted
+    retryCands.foreach { n =>
+      System.err.println(f"[bench] RETRY $n: min-of-$Passes%d " +
+        f"${stats3(n).min}%.2fs > ${RetryFactor}%.0fx baseline " +
+        f"${baseline(n)}%.2fs — one extra pass before recording")
+    }
+    // one extra interleaved pass over the outliers only: a transient
+    // host stall rarely hits the same query in all four passes. A
+    // retry-pass FAILURE (the query already succeeded warmup + 3
+    // passes) is logged but must not poison the record with a
+    // fast-fail ~0s sample — drop that retry sample instead.
+    var retryFailed = Set.empty[String]
+    val retryPass: Map[String, Double] =
+      if (retryCands.isEmpty) Map.empty
+      else timedPass(retryCands, sfDir, retryFailed += _) -- retryFailed
+    val stats: Map[String, Stat] = stats3.map { case (n, s) =>
+      n -> retryPass.get(n).map(v => Stat(s.samples :+ v)).getOrElse(s)
+    }
     val results = ok.map(n => n -> stats(n).min)
+    // still over threshold after the retry → on-record regression
+    val regressions = overBaseline(results.toMap, baseline)
+    regressions.toSeq.sorted.foreach { case (n, r) =>
+      System.err.println(f"[bench] REGRESSION $n: ${r}%.2fx committed " +
+        "baseline after retry — diff the plan, not the weather")
+    }
 
     // q42 internal stage split (LSH / exact verify / connected
     // components), isolated via localCheckpoint barriers — persisted
@@ -138,6 +238,21 @@ object Bench {
       Seq.empty
     }
 
+    // q181 internal stage split (bootstrap / append day-2 / append
+    // day-3 / compact / read) — the bench's most expensive legitimate
+    // line times five store actions as one number; the staged build
+    // (shared ingredients with the official query, Catalog.q181Stages)
+    // makes per-stage drift visible round-over-round like q42's.
+    val q181Stages: Seq[(String, Double)] = try {
+      val s = graft.queries.Catalog.q181Stages(spark, sfDir)
+      GraftSession.sweepPersistedRdds(spark)
+      s
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[bench] q181 stage split failed: ${e.getMessage}")
+      GraftSession.sweepPersistedRdds(spark)
+      Seq.empty
+    }
+
     // secondary scale factor: the same catalog timed at a second SF
     // gives the per-query scaling slope — the closest local[32] proxy
     // for "would this survive 100×" that numbers (not plans) provide.
@@ -155,8 +270,8 @@ object Bench {
     var failedSf2 = Set.empty[String]
     val results2: Map[String, Double] = sf2Dir.map { d2 =>
       names.foreach(run(spark, _, d2)) // warmup (plans recompile per path)
-      val q1 = timedPass(d2, failedSf2 += _)
-      val q2 = timedPass(d2, failedSf2 += _)
+      val q1 = timedPass(names, d2, failedSf2 += _)
+      val q2 = timedPass(names, d2, failedSf2 += _)
       names.filterNot(failedSf2).map(n => n -> math.min(q1(n), q2(n))).toMap
     }.getOrElse(Map.empty)
 
@@ -183,12 +298,17 @@ object Bench {
       val slope = results2.get(n)
         .filter(_ > 0).map(t2 => f""","sf2_min":${results2(n)}%.4f,"slope":${s.min / t2}%.3f""")
         .getOrElse(if (failedSf2(n)) ""","sf2":"FAILED"""" else "")
+      // committed-baseline diff per query: the lossless record of what
+      // the retry/regression machinery saw
+      val base = baseline.get(n)
+        .map(b => f""","base":$b%.4f,"vs_base":${s.min / math.max(b, 1e-9)}%.3f""")
+        .getOrElse("")
       Json.str(n) + ":" +
         f"""{"samples":[${s.samples.map(v => f"$v%.4f").mkString(",")}],""" +
         f""""min":${s.min}%.4f,"median":${s.med}%.4f,"spread":${s.spread}%.4f,""" +
-        f""""rel_spread":${s.rel}%.4f$slope}"""
+        f""""rel_spread":${s.rel}%.4f$slope$base}"""
     }.mkString(",")
-    val stageJson = q42Stages
+    val stageJson = (q42Stages ++ q181Stages)
       .map { case (k, v) => Json.str(k) + ":" + f"$v%.4f" }.mkString(",")
     // SF-slope flags — the cost-model tripwire: time growing faster
     // than ~3× linear in the data ratio means a quadratic-ish term
@@ -203,9 +323,10 @@ object Bench {
       (for { a <- sfOf(sfDir); b <- sf2Dir.flatMap(sfOf) if b > 0 }
         yield a / b).getOrElse(10.0)
     }
-    val slopeFlags = ok.flatMap { n =>
+    val slopes = ok.flatMap { n =>
       results2.get(n).filter(_ > 0).map(t2 => n -> stats(n).min / t2)
-    }.filter { case (_, slope) => slope > 3.0 * sfRatio }
+    }.toMap
+    val slopeFlags = flagSlopes(slopes, sfRatio).toSeq.sorted
     slopeFlags.foreach { case (n, s) =>
       System.err.println(
         f"[bench] SLOPE FLAG $n: ${s}%.1fx time for ${sfRatio}%.0fx data " +
@@ -214,16 +335,41 @@ object Bench {
     val slopeFlagsJson = slopeFlags
       .map { case (n, s) => Json.str(n) + ":" + f"$s%.2f" }
       .mkString("{", ",", "}")
+    val baselineJson =
+      if (baseline.isEmpty)
+        s""""baseline":${if (baselineFile.isFile) "\"sf_mismatch\"" else "\"none\""},"""
+      else {
+        val retried = retryCands
+          .map(n => Json.str(n) + ":" + f"${retryPass.getOrElse(n, -1.0)}%.4f")
+          .mkString("{", ",", "}")
+        val regr = regressions.toSeq.sorted
+          .map { case (n, r) =>
+            Json.str(n) +
+              f""":{"min":${results.toMap.apply(n)}%.4f,"base":${baseline(n)}%.4f,"ratio":$r%.2f}"""
+          }.mkString("{", ",", "}")
+        f""""baseline":{"file":"BASELINE_PERF.json","n":${baseline.size}%d,""" +
+          f""""retry_factor":$RetryFactor%.1f,"abs_floor_sec":$AbsFloorSec%.1f,""" +
+          s""""retried":$retried,"regressions":$regr},"""
+      }
     val statsJson =
       f"""{"sf":${Json.str(sfDir)},"passes":$Passes,""" +
         sf2Dir.map(d => s""""sf2":${Json.str(d)},""").getOrElse("") +
         (if (results2.nonEmpty) f""""total_sf2_min":${results2.values.sum}%.3f,""" else "") +
+        baselineJson +
         s""""slope_flags":$slopeFlagsJson,""" +
         f""""total_min":$totalMin%.3f,"total_median":$totalMed%.3f,""" +
         f""""noise_band":{"median_rel_spread":$noiseMed%.3f,"p90_rel_spread":$noiseP90%.3f,"max_rel_spread":$noiseMax%.3f},""" +
-        s""""queries":{$perQueryJson},"q42_stages":{$stageJson}}"""
+        s""""queries":{$perQueryJson},"stages":{$stageJson}}"""
     java.nio.file.Files.write(statsPath,
       statsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // lossless ON-RECORD copy: target/ is never committed, so the full
+    // per-query stats also land under docs/ where the round-end
+    // snapshot commit puts them at HEAD — every query has an on-record
+    // number even after the metric line's top-spenders fold.
+    val recordPath = java.nio.file.Paths.get("docs", "BENCH_FULL_latest.json")
+    if (java.nio.file.Files.isDirectory(recordPath.getParent))
+      java.nio.file.Files.write(recordPath,
+        statsJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // human-oriented details file kept for continuity with prior rounds
     val detailPath = java.nio.file.Paths.get("target", "bench_details.txt")
     val detailLines =
@@ -231,7 +377,7 @@ object Bench {
         val s = stats(n)
         f"$n min=${s.min}%.4f med=${s.med}%.4f spread=${s.spread}%.4f rel=${s.rel}%.3f"
       } ++
-        q42Stages.map { case (k, v) => f"$k $v%.3f" } ++
+        (q42Stages ++ q181Stages).map { case (k, v) => f"$k $v%.3f" } ++
         sf2Dir.toSeq.map(d2 => s"sf2 $d2") ++
         results2.toSeq.sortBy(_._1).map { case (k, v) => s"$k@sf2 $v" } ++
         failedSf2.toSeq.sorted.map(n => s"$n@sf2 FAILED")
@@ -248,7 +394,8 @@ object Bench {
     // (target/bench_stats.json has full names and precision), and the line
     // itself degrades until it provably fits — see buildMetricLine's
     // ladder (decimals → bare keys → top-spenders prefix).
-    val metricLine = buildMetricLine(results, totalMin, sfDir, failed.distinct)
+    val metricLine = buildMetricLine(results, totalMin, sfDir, failed.distinct,
+      baselineDiff = if (baseline.isEmpty) None else Some(regressions))
     spark.stop()
     System.out.println(metricLine)
     System.out.flush()
@@ -268,15 +415,36 @@ object Bench {
     * line still reconciles to "value". Full names and full precision
     * always live in target/bench_stats.json. Only an overflowing
     * FIXED HEADER can still throw — catalog growth alone no longer
-    * can ([[graft.BenchLineSpec]] pins this at 1000 queries). */
+    * can ([[graft.BenchLineSpec]] pins this at 1000 queries).
+    *
+    * `baselineDiff`: Some(post-retry regressions vs BASELINE_PERF
+    * .json, name → ratio) when a matching baseline was loaded — rides
+    * the line as "regressions":{"qNN":ratio} (normally {}), so the
+    * official record adjudicates itself; None (no baseline / SF
+    * mismatch) rides as "baseline":"none" so the absence is explicit,
+    * never ambiguous with "no regressions". */
   private[graft] def buildMetricLine(results: Seq[(String, Double)],
                                      totalMin: Double, sfDir: String,
-                                     failed: Seq[String]): String = {
+                                     failed: Seq[String],
+                                     baselineDiff: Option[Map[String, Double]] = None): String = {
     def fmt(v: Double, dp: Int): String =
       dp match { case 3 => f"$v%.3f"; case 2 => f"$v%.2f"; case _ => f"$v%.1f" }
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":${failed.sorted.map(n => Json.str(shortKey(n))).mkString("[", ",", "]")}"""
+    val regrJson = baselineDiff match {
+      case None => s""","baseline":"none""""
+      case Some(r) =>
+        // worst-ratio-first, capped so a pathological run (everything
+        // regressed) can never overflow the fixed header — the full
+        // list always lives in the stats file's baseline.regressions
+        val shown = r.toSeq.sortBy { case (n, v) => (-v, n) }.take(20)
+        val omitted =
+          if (r.size > shown.size) s""","regr_omitted":${r.size - shown.size}""" else ""
+        s""","regressions":${shown
+          .map { case (n, v) => Json.str(shortKey(n)) + ":" + f"$v%.2f" }
+          .mkString("{", ",", "}")}$omitted"""
+    }
     def mkLine(dp: Int, bareKeys: Boolean): String = {
       val qs = results.map { case (k, v) =>
         val key = if (bareKeys) shortKey(k).drop(1) else shortKey(k)
@@ -285,12 +453,13 @@ object Bench {
       f"""{"metric":"total","value":$totalMin%.3f,"unit":"sec",""" +
         s""""stats":"target/bench_stats.json"""" +
         (if (bareKeys) s""","keys":"qN"""" else "") +
+        regrJson +
         s""","queries":$qs,"sf":${Json.str(sfDir)}$failedJson}"""
     }
     def mkTopLine(dp: Int): String = {
       val header =
         f"""{"metric":"total","value":$totalMin%.3f,"unit":"sec",""" +
-          s""""stats":"target/bench_stats.json","keys":"qN","queries":{"""
+          s""""stats":"target/bench_stats.json","keys":"qN"$regrJson,"queries":{"""
       val tailFixed = s"""},"sf":${Json.str(sfDir)}$failedJson}"""
       val omittedReserve = 60 // ,"q_omitted":NNN,"q_omitted_sec":NNNNN.N
       val budget = 1950 - header.length - tailFixed.length - omittedReserve

@@ -6897,6 +6897,22 @@ object Catalog {
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_edges,
       |       CAST(tri.t AS BIGINT) AS n_triangles
       |FROM tri""".stripMargin) { (s, d) =>
+    val (root, parts) = q181Parts(s, d, "q181_census")
+    Centrality.triangleCensusWrite(parts(0), root)
+    Centrality.triangleCensusAppend(s, root, parts(1), "day-2")
+    Centrality.triangleCensusAppend(s, root, parts(2), "day-3")
+    val stats = Centrality.triangleCensusCompact(s, root)
+    require(stats.folded.nonEmpty,
+      s"q181: compaction folded nothing at $root — store build failed")
+    Centrality.triangleCensusRead(s, root)
+  }
+
+  /** q181's store-build ingredients — the cleared scratch root plus
+    * the three undirected edge partitions (bootstrap, day-2, day-3) of
+    * the planted graph — shared by the official query above and the
+    * bench's staged attribution so the two can never drift. */
+  private def q181Parts(s: SparkSession, d: String,
+                        scratch: String): (String, IndexedSeq[DataFrame]) = {
     val docs = Tables.documents(s, d)
     val u = plantedEdges(docs)
       .select(least(col("src"), col("dst")).as("a"),
@@ -6905,15 +6921,37 @@ object Catalog {
     val bucket = pmod(col("a") * lit(7L) + col("b"), lit(5L))
     def part(p: Column => Column) = u.filter(p(bucket))
       .select(col("a").as("src"), col("b").as("dst"))
-    val root = scratchDir(s, "q181_census")
+    val root = scratchDir(s, scratch)
     graft.sources.Fs.deleteRecursively(s, root)
-    Centrality.triangleCensusWrite(part(_ >= 2), root)
-    Centrality.triangleCensusAppend(s, root, part(_ === 0), "day-2")
-    Centrality.triangleCensusAppend(s, root, part(_ === 1), "day-3")
-    val stats = Centrality.triangleCensusCompact(s, root)
-    require(stats.folded.nonEmpty,
-      s"q181: compaction folded nothing at $root — store build failed")
-    Centrality.triangleCensusRead(s, root)
+    (root, IndexedSeq(part(_ >= 2), part(_ === 0), part(_ === 1)))
+  }
+
+  /** q181's five store-lifecycle actions timed individually for the
+    * bench's stage attribution (the q42_stages mechanism): the catalog
+    * line times bootstrap + two appends + compact + read as ONE number
+    * — the bench's most expensive un-attributed entry — so per-stage
+    * drift was invisible round-over-round. Uses a separate scratch
+    * name so an interleaved official q181 run is never clobbered.
+    * Returns (stage, seconds) in lifecycle order. */
+  private[graft] def q181Stages(s: SparkSession, d: String): Seq[(String, Double)] = {
+    val (root, parts) = q181Parts(s, d, "q181_census_staged")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tBoot = timed(Centrality.triangleCensusWrite(parts(0), root))
+    val tApp2 = timed(Centrality.triangleCensusAppend(s, root, parts(1), "day-2"))
+    val tApp3 = timed(Centrality.triangleCensusAppend(s, root, parts(2), "day-3"))
+    val tCompact = timed {
+      val st = Centrality.triangleCensusCompact(s, root)
+      require(st.folded.nonEmpty,
+        s"q181Stages: compaction folded nothing at $root — store build failed")
+    }
+    val tRead = timed(Centrality.triangleCensusRead(s, root)
+      .write.format("noop").mode("overwrite").save())
+    graft.sources.Fs.deleteRecursively(s, root)
+    Seq("q181_stage_bootstrap" -> tBoot, "q181_stage_append_day2" -> tApp2,
+      "q181_stage_append_day3" -> tApp3, "q181_stage_compact" -> tCompact,
+      "q181_stage_read" -> tRead)
   }
 
   /** Incremental connected components
