@@ -39,24 +39,35 @@ object CorpusDemo {
       nMixture: Long, mixtureTokens: Long, nCurriculum: Long,
       nPacks: Long, storesCompacted: Int, kmvProbes: Long,
       attrition: Map[String, Long], tierCounts: Map[Long, Long],
-      nShuffled: Long)
+      nShuffled: Long, stageSec: Seq[(String, Double)] = Nil)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
     def barrier(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // per-stage wall clock: every stage below ends in an EAGER action
+    // (localCheckpoint barrier, store write, bounded driver read), so
+    // wrapping the block times the stage's real work — the number that
+    // shows whether any stage goes super-linear between scale factors
+    val stageSec = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    def staged[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      stageSec += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
 
     // ---- ingest (with planted exact copies so dedup has real work,
     //      the q100 pattern: every 10th doc re-arrives under a new id)
     val base = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
-    val docs = barrier(base.unionByName(
+    val docs = staged("ingest")(barrier(base.unionByName(
       base.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-          col("text"))))
+          col("text")))))
 
     // ---- exact dedup: keep the min-id representative per fingerprint
-    val exact = barrier(docs.join(
+    val exact = staged("exact_dedup")(barrier(docs.join(
       Dedup.exactDedupStats(docs, TextFunctions.fingerprint(col("text")),
         col("doc_id")).select(col("keep_id").as("doc_id")),
-      Seq("doc_id"), "left_semi"))
+      Seq("doc_id"), "left_semi")))
 
     // ---- near dedup: banded LSH candidates → exact Jaccard verify →
     //      connected components; keep each cluster's min id
@@ -65,31 +76,32 @@ object CorpusDemo {
         shingleK = 1, threshold = 0.0, maxBucket = 10000,
         blockCol = Some("source")),
       "doc_id", "text", k = 1, threshold = 0.5)
-    val labels = barrier(Dedup.connectedComponents(pairs))
-    val near = barrier(exact.join(
+    val labels = staged("near_dedup_cc")(barrier(Dedup.connectedComponents(pairs)))
+    val near = staged("near_dedup_filter")(barrier(exact.join(
       labels.filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id")),
-      Seq("doc_id"), "left_anti"))
+      Seq("doc_id"), "left_anti")))
 
     // ---- decontaminate: held-out docs never pass; probes with > 10%
     //      verbatim 8-gram overlap against the benchmark drop
     val probe = near.filter(pmod(col("doc_id"), lit(29)) =!= 0)
-    val clean = barrier(near.join(
+    val clean = staged("decontaminate")(barrier(near.join(
       Contamination.ngramOverlap(probe = probe,
         benchmark = base.filter(pmod(col("doc_id"), lit(29)) === 0),
         idCol = "doc_id", textCol = "text", n = 8)
         .filter(col("overlap_ratio") <= 0.1).select("doc_id"),
-      Seq("doc_id"), "left_semi"))
+      Seq("doc_id"), "left_semi")))
 
     // ---- quality: codegen'd per-row signals, zero shuffle
-    val quality = barrier(clean.filter(
+    val quality = staged("quality_filter")(barrier(clean.filter(
       TextFunctions.tokenCount(col("text")) >= 25 &&
-        TextFunctions.alphaRatio(col("text")) >= 0.6))
+        TextFunctions.alphaRatio(col("text")) >= 0.6)))
 
     // ---- cluster-safe split: hash the NEAR-DUP CLUSTER id, so no
     //      near-duplicate pair can straddle train/test (q189 — the
     //      leak q49's raw-id split structurally allows)
-    val split = barrier(Splits.clusterSafeSplit(quality, "doc_id", labels))
+    val split = staged("cluster_safe_split")(
+      barrier(Splits.clusterSafeSplit(quality, "doc_id", labels)))
     val splitCounts = BoundedRead.boundedDriverRead(
       split.groupBy("split").count(), maxRows = 3,
       what = "CorpusDemo split counts",
@@ -106,43 +118,45 @@ object CorpusDemo {
       what = "CorpusDemo per-source budget index",
       boundWhy = "distinct sources are a curated enumerable set")
       .map(_.getString(0) -> 100000L).toMap
-    val mixture = barrier(Curation.budgetedSelectByScore(
+    val mixture = staged("budgeted_mixture")(barrier(Curation.budgetedSelectByScore(
       train.withColumn("score",
         (TextFunctions.alphaRatio(col("text")) * 10000).cast("long")),
-      "source", "doc_id", "n_tokens", "score", budgets))
+      "source", "doc_id", "n_tokens", "score", budgets)))
 
     // ---- relative-quality report: CCNet-style head/middle/tail
     //      thirds of the mixture's token-length distribution (q197)
-    val tierCounts = BoundedRead.boundedDriverRead(
+    val tierCounts = staged("rank_tiers")(BoundedRead.boundedDriverRead(
       Curation.rankTiers(mixture.select("doc_id", "source", "n_tokens"),
         Seq("source"), col("n_tokens"), "doc_id",
         shardBucket = expr("n_tokens div 64"), nBuckets = 3)
         .groupBy("tier").count(), maxRows = 3,
       what = "CorpusDemo tier counts",
       boundWhy = "three tiers by construction")
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
 
     // ---- curriculum: difficulty-ranked round-robin across sources
     //      (q190) — easy docs first, every batch source-diverse
-    val curriculum = barrier(Packing.curriculumInterleave(
+    val curriculum = staged("curriculum")(barrier(Packing.curriculumInterleave(
       mixture, "source", "doc_id",
-      difficulty = col("n_tokens"), bucket = expr("n_tokens div 64")))
+      difficulty = col("n_tokens"), bucket = expr("n_tokens div 64"))))
 
     // ---- per-epoch order: deterministic shuffle of the mixture
     //      (q194), written range-partitioned by position — the
     //      training-shard writer path (readers stream pos order
     //      without any consumer-side sort)
-    val shuffled = Packing.epochShuffle(
-      mixture.select("doc_id", "source", "n_tokens"), "doc_id", "epoch-1")
-    shuffled.repartitionByRange(4, col("pos"))
-      .write.mode("overwrite").parquet(s"$outDir/train_order/epoch-1")
-    val nShuffled = spark.read.parquet(s"$outDir/train_order/epoch-1").count()
+    val nShuffled = staged("epoch_order_write") {
+      val shuffled = Packing.epochShuffle(
+        mixture.select("doc_id", "source", "n_tokens"), "doc_id", "epoch-1")
+      shuffled.repartitionByRange(4, col("pos"))
+        .write.mode("overwrite").parquet(s"$outDir/train_order/epoch-1")
+      spark.read.parquet(s"$outDir/train_order/epoch-1").count()
+    }
 
     // ---- pack: greedy 512-token bins over 8 hash shards (q55)
-    val packs = Packing.packGreedy(
+    val nPacks = staged("pack")(Packing.packGreedy(
       mixture.select(col("doc_id"), col("n_tokens")),
       "doc_id", "n_tokens", ctxLen = 512, shards = 8)
-      .select("shard", "bin").distinct()
+      .select("shard", "bin").distinct().count())
 
     // ---- persisted profile store: KMV distinct-doc sketches per
     //      source, written epoch 1, appended epoch 2, compacted via
@@ -152,14 +166,16 @@ object CorpusDemo {
     def epoch(r: Int) = Cardinality.kmvSketch(
       docs.filter(pmod(col("doc_id"), lit(2)) === r),
       col("source"), col("doc_id"), k = 32)
-    Cardinality.kmvIndexWrite(epoch(0), kmvRoot, 32, "doc_id")
-    Cardinality.kmvIndexAppend(spark, kmvRoot, epoch(1), "epoch-2", 32, "doc_id")
-    val compacted = Maintenance.compactAll(spark, s"$outDir/stores")
-    val kmvProbes = Cardinality.kmvIndexRead(spark, kmvRoot, 32, "doc_id").count()
+    val (compacted, kmvProbes) = staged("kmv_store") {
+      Cardinality.kmvIndexWrite(epoch(0), kmvRoot, 32, "doc_id")
+      Cardinality.kmvIndexAppend(spark, kmvRoot, epoch(1), "epoch-2", 32, "doc_id")
+      val c = Maintenance.compactAll(spark, s"$outDir/stores")
+      (c, Cardinality.kmvIndexRead(spark, kmvRoot, 32, "doc_id").count())
+    }
 
     // ---- record-level attrition (q195): why each ingested doc is
     //      gone, as the per-stage funnel
-    val attrition = BoundedRead.boundedDriverRead(
+    val attrition = staged("attrition")(BoundedRead.boundedDriverRead(
       Curation.attrition(docs, "doc_id", Seq(
         "exact_dedup" -> exact, "near_dedup" -> near,
         "decontaminate" -> clean, "quality" -> quality,
@@ -168,7 +184,7 @@ object CorpusDemo {
       what = "CorpusDemo attrition funnel",
       boundWhy = "one row per pipeline stage + survivors")
       .map(r => Option(r.getString(0)).getOrElse("survived") -> r.getLong(1))
-      .toMap
+      .toMap)
 
     Result(
       nIngested = docs.count(), nExact = exact.count(),
@@ -180,12 +196,13 @@ object CorpusDemo {
       mixtureTokens = mixture.agg(coalesce(sum("n_tokens"), lit(0L)))
         .head().getLong(0),
       nCurriculum = curriculum.count(),
-      nPacks = packs.count(),
+      nPacks = nPacks,
       storesCompacted = compacted.size,
       kmvProbes = kmvProbes,
       attrition = attrition,
       tierCounts = tierCounts,
-      nShuffled = nShuffled)
+      nShuffled = nShuffled,
+      stageSec = stageSec.toList)
   }
 
   def main(args: Array[String]): Unit = {
@@ -207,7 +224,9 @@ object CorpusDemo {
       s""""stores_compacted":${r.storesCompacted},"kmv_probes":${r.kmvProbes},""" +
       s""""shuffled":${r.nShuffled},""" +
       s""""attrition":{${r.attrition.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${Json.str(k)}:$v" }.mkString(",")}}}""")
+        .map { case (k, v) => s"${Json.str(k)}:$v" }.mkString(",")}},""" +
+      s""""stage_sec":{${r.stageSec
+        .map { case (k, v) => f"${Json.str(k)}:$v%.2f" }.mkString(",")}}}""")
     spark.stop()
   }
 }

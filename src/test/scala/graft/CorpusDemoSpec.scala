@@ -48,6 +48,14 @@ class CorpusDemoSpec extends SparkSpecBase {
     assert(r.tierCounts.keySet.subsetOf(Set(0L, 1L, 2L)))
     // the written epoch order holds the whole mixture
     assert(r.nShuffled === r.nMixture)
+    // per-stage wall clock: every pipeline stage reports a positive
+    // timing, in pipeline order (the sf0.1 scaling record's raw data)
+    assert(r.stageSec.map(_._1) === Seq("ingest", "exact_dedup",
+      "near_dedup_cc", "near_dedup_filter", "decontaminate",
+      "quality_filter", "cluster_safe_split", "budgeted_mixture",
+      "rank_tiers", "curriculum", "epoch_order_write", "pack",
+      "kmv_store", "attrition"))
+    assert(r.stageSec.forall(_._2 > 0.0))
     // store: one KMV store compacted, one probe row per source
     assert(r.storesCompacted === 1)
     assert(r.kmvProbes ===
