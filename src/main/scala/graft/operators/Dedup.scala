@@ -1556,4 +1556,95 @@ object Dedup {
         Sketches.jaccard_sorted_long(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // -------------------------------------------------------------------
+  // Cross-document gram repetition: corpus-level duplicated n-gram signal
+
+  /** Cross-document duplicated n-gram fraction — the corpus-level twin
+    * of the within-document repetition signals (q51): for every
+    * document, the share of its DISTINCT word n-grams that also occur
+    * in at least one OTHER document. High values mark templated /
+    * boilerplate-heavy content that survives exact and near-dup
+    * removal (every copy differs somewhere) yet still floods training
+    * with repeated text — the MassiveText-style repetition filters
+    * applied ACROSS documents instead of within one.
+    *
+    * Shape: one full-width exchange. Grams explode per doc (DISTINCT
+    * within a doc, so a gram's row count IS its document frequency),
+    * md5-fingerprinted so the shuffle carries fixed-width 16-byte keys
+    * however long the grams are, and a window COUNT over the
+    * fingerprint partition attaches each gram's corpus df in place —
+    * no second aggregate, no join back. The per-doc rollup after it is
+    * map-side partial, so its exchange moves one small row per
+    * (doc, partition), never the grams.
+    *
+    * @return one row per doc: n_grams, n_shared (corpus df >= 2),
+    *         shared_frac (rounded to 4 decimals) */
+  def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("_ng"))
+      .select(col("doc_id"), md5(col("_ng").cast("binary")).as("gram_fp"))
+    grams
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("gram_fp"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_grams"), 4))
+  }
+
+  /** Persisted corpus gram-frequency index: (gram_fp, n_docs), one
+    * fixed-width row per DISTINCT n-gram in the corpus — md5
+    * fingerprints, never text (the gram-granularity sibling of
+    * [[boilerplateIndex]]). [[incrementalDupGramFraction]] probes it;
+    * [[gramFreqIndexMerge]] folds a disjoint batch's counts in. */
+  def gramFreqIndex(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("_ng"))
+      .select(md5(col("_ng").cast("binary")).as("gram_fp"))
+      .groupBy(col("gram_fp"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Counts ADD across disjoint-doc batches (grams are per-doc
+    * DISTINCT, so no document is counted twice). Associative:
+    * per-shard builds merged equal one corpus-wide build
+    * (spec-pinned). */
+  def gramFreqIndexMerge(index: DataFrame, batchIndex: DataFrame): DataFrame =
+    index.unionByName(batchIndex)
+      .groupBy(col("gram_fp")).agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Batch novelty probe against a persisted corpus gram index — the
+    * daily-batch shape of [[dupGramFraction]]: for each incoming doc,
+    * the share of its distinct n-grams ALREADY present in the corpus.
+    * seen_frac ≈ 1 means the doc is assembled from text the corpus
+    * already has even if no single existing document near-dups it —
+    * the remix/boilerplate case banded LSH is blind to.
+    *
+    * The index does NOT broadcast: unlike a benchmark gram index
+    * (thousands of eval docs), the corpus index is the BIG side, so
+    * this is a shuffled equi-join on 16-byte fingerprints with the
+    * batch as the small side — AQE picks the cheap build side.
+    * Same loud-failure contract as [[Contamination.incrementalNgramOverlap]]:
+    * an empty or mis-pathed index would report seen_frac = 0 for
+    * every doc — the silent "everything is novel" verdict a curation
+    * gate must never emit. */
+  def incrementalDupGramFraction(batch: DataFrame, index: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int = 8): DataFrame = {
+    require(!index.isEmpty,
+      "incrementalDupGramFraction: corpus gram index is EMPTY — a " +
+        "missing or mis-pathed persisted index must fail loudly, not " +
+        "report seen_frac=0 for every batch document")
+    batch.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("_ng"))
+      .select(col("doc_id"), md5(col("_ng").cast("binary")).as("gram_fp"))
+      .join(index.select(col("gram_fp"), lit(1).as("_hit")),
+        Seq("gram_fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_seen"))
+      .withColumn("seen_frac",
+        round(col("n_seen").cast("double") / col("n_grams"), 4))
+  }
 }

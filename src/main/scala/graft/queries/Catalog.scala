@@ -7894,6 +7894,74 @@ object Catalog {
       Seq("source"), bucket = expr("n_chars div 100"))
   }
 
+  // --------------------------------------- cross-document gram repetition
+  /** [[Dedup.dupGramFraction]] under the oracle: per doc, the share of
+    * its distinct 8-grams occurring in >= 2 documents corpus-wide —
+    * the cross-document twin of q51's within-doc repetition. Spark
+    * counts df with one window over md5 fingerprints (single
+    * full-width exchange); the oracle recomputes it the explode +
+    * group-by + join-back way on gram STRINGS, so fingerprinting is
+    * cross-checked for free. */
+  val q205DupGramFraction = q("q205_dup_gram_fraction",
+    "Cross-document duplicated n-gram fraction per doc (north star: repetition filtering)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |                     i -> array_to_string(toks[i:i+7], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS ngs
+      |  FROM tk),
+      |g AS (SELECT doc_id, unnest(ngs) AS ng FROM grams),
+      |df AS (SELECT ng, count(*) AS df FROM g GROUP BY ng)
+      |SELECT g.doc_id,
+      |       count(*) AS n_grams,
+      |       count(CASE WHEN df.df >= 2 THEN 1 END) AS n_shared,
+      |       round(CAST(count(CASE WHEN df.df >= 2 THEN 1 END) AS DOUBLE)
+      |             / count(*), 4) AS shared_frac
+      |FROM g JOIN df USING (ng)
+      |GROUP BY g.doc_id""".stripMargin) { (s, d) =>
+    Dedup.dupGramFraction(
+      Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 8)
+  }
+
+  /** [[Dedup.incrementalDupGramFraction]] under the oracle: docs with
+    * id % 5 = 2 play the incoming batch, probed for gram-level novelty
+    * against a (gram_fp, n_docs) index built from the REST of the
+    * corpus — the daily-batch shape of q205. The index side is the
+    * big one (corpus-wide gram table), so the probe is a shuffled
+    * equi-join on fingerprints, never a broadcast. */
+  val q206IncrementalDupGram = q("q206_incremental_dup_gram",
+    "Batch gram-novelty probe against a persisted corpus gram index (north star: incremental curation)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |                     i -> array_to_string(toks[i:i+7], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS ngs
+      |  FROM tk),
+      |g AS (SELECT doc_id, unnest(ngs) AS ng FROM grams),
+      |corpus AS (SELECT DISTINCT ng FROM g WHERE doc_id % 5 <> 2),
+      |probe AS (SELECT doc_id, ng FROM g WHERE doc_id % 5 = 2)
+      |SELECT probe.doc_id,
+      |       count(*) AS n_grams,
+      |       count(corpus.ng) AS n_seen,
+      |       round(CAST(count(corpus.ng) AS DOUBLE) / count(*), 4) AS seen_frac
+      |FROM probe LEFT JOIN corpus ON probe.ng = corpus.ng
+      |GROUP BY probe.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val index = Dedup.gramFreqIndex(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 2), "doc_id", "text", n = 8)
+    Dedup.incrementalDupGramFraction(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2), index,
+      "doc_id", "text", n = 8)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -7945,5 +8013,6 @@ object Catalog {
     q193SemanticContamination, q194EpochShuffle, q195Attrition,
     q196SemanticStore, q197RankTiers, q198RankingMetrics,
     q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport,
-    q203AnnealedOrder, q204BucketSkew)
+    q203AnnealedOrder, q204BucketSkew, q205DupGramFraction,
+    q206IncrementalDupGram)
 }

@@ -536,4 +536,47 @@ class DedupSpec extends SparkSpecBase {
     assert(survivors.length === 12, s"expected all 12, got ${survivors.length}")
     assert(Dedup.droppedBuckets(out) === 3)
   }
+
+  test("dupGramFraction: shared bigrams counted across docs, unique docs at zero") {
+    val corpus = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupGramFraction(corpus, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_shared", "shared_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    // bigrams: doc1 {a b, b c}, doc2 {a b, b d}, doc3 {x y, y z};
+    // only "a b" has corpus df >= 2
+    assert(out === Array((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0)))
+  }
+
+  test("incrementalDupGramFraction: seen fraction vs corpus index; empty index fails loudly") {
+    val corpus = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val index = Dedup.gramFreqIndex(corpus, "doc_id", "text", n = 2)
+    // index rows: a b → 2 docs, b c → 1, b d → 1
+    assert(index.orderBy("gram_fp").count() === 3)
+    val batch = Seq((10L, "a b c q")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDupGramFraction(batch, index, "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "n_seen", "seen_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    // batch bigrams {a b, b c, c q}: two already in the corpus
+    assert(out === Array((10L, 3L, 2L, 0.6667)))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalDupGramFraction(batch, index.limit(0), "doc_id", "text", n = 2)
+    }
+    assert(e.getMessage.contains("EMPTY"))
+  }
+
+  test("gramFreqIndexMerge: per-shard builds merge to the corpus-wide index") {
+    val a = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b e"), (4L, "x y z")).toDF("doc_id", "text")
+    val merged = Dedup.gramFreqIndexMerge(
+      Dedup.gramFreqIndex(a, "doc_id", "text", n = 2),
+      Dedup.gramFreqIndex(b, "doc_id", "text", n = 2))
+      .as[(String, Long)].collect().toMap
+    val direct = Dedup.gramFreqIndex(a.unionByName(b), "doc_id", "text", n = 2)
+      .as[(String, Long)].collect().toMap
+    assert(merged === direct)
+    assert(merged.values.max === 3L)  // "a b" appears in docs 1, 2, 3
+  }
 }
