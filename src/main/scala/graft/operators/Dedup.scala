@@ -1630,6 +1630,63 @@ object Dedup {
     * an empty or mis-pathed index would report seen_frac = 0 for
     * every doc — the silent "everything is novel" verdict a curation
     * gate must never emit. */
+  private val GramFamily = "gram_freq"
+  private[graft] def gramFreqIndexMeta(n: Int): IndexMeta =
+    IndexMeta(GramFamily, "n" -> n)
+
+  /** THE gram-count fold — counts ADD across disjoint-doc partials
+    * (same contract as [[gramFreqIndexMerge]]); shared by the stored
+    * read and [[gramFreqIndexCompact]]. */
+  private def gramCountsFold(partials: DataFrame): DataFrame =
+    partials.groupBy(col("gram_fp")).agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Bootstrap a STORED corpus gram-frequency index from a batch-built
+    * one ([[gramFreqIndex]]) in the epoch-partitioned layout the
+    * whole store family shares (`_epoch=base` + later appends, atomic
+    * `_CURRENT` compaction) — the gram-granularity sibling of
+    * [[boilerplateIndexWrite]]. Records the gram size `n` in the
+    * `_GRAFT_META` manifest: probing an n=8 index with n=5 grams
+    * would silently report near-zero seen_frac for everything. */
+  def gramFreqIndexWrite(index: DataFrame, path: String, n: Int): Unit = {
+    EpochIndex.bootstrap(index, path)
+    IndexMeta.write(index.sparkSession, path, gramFreqIndexMeta(n))
+  }
+
+  /** Append one disjoint batch's gram-count partial as a new epoch
+    * (manifest-checked; idempotent under a repeated epoch name). */
+  def gramFreqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                          path: String, partial: DataFrame,
+                          epoch: String, n: Int): Unit = {
+    IndexMeta.check(spark, path, gramFreqIndexMeta(n))
+    EpochIndex.append(partial, path, epoch)
+  }
+
+  /** Read a stored gram-frequency index: epoch partials (plus the
+    * compacted base, if any) summed per fingerprint. `excludeEpoch`
+    * is the replay-idempotency hook the store family shares. */
+  def gramFreqIndexRead(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        excludeEpoch: Option[String] = None): DataFrame =
+    gramCountsFold(EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "gramFreqIndexWrite"))
+
+  /** Checked read: manifest-verifies the gram size before probing. */
+  def gramFreqIndexRead(spark: org.apache.spark.sql.SparkSession,
+                        path: String, excludeEpoch: Option[String],
+                        n: Int): DataFrame = {
+    IndexMeta.check(spark, path, gramFreqIndexMeta(n))
+    gramFreqIndexRead(spark, path, excludeEpoch)
+  }
+
+  /** Fold accumulated gram-count epochs into a compacted base (atomic
+    * `_CURRENT` publish — see [[EpochIndex.compact]]). */
+  def gramFreqIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, GramFamily)
+    EpochIndex.compact(spark, path, gramCountsFold, keepVersions = keepVersions)
+  }
+
   def incrementalDupGramFraction(batch: DataFrame, index: DataFrame,
                                  idCol: String, textCol: String,
                                  n: Int = 8): DataFrame = {

@@ -7962,6 +7962,50 @@ object Catalog {
       "doc_id", "text", n = 8)
   }
 
+  /** The gram index's full store lifecycle under the oracle —
+    * bootstrap from one corpus shard, append the other shard's
+    * partial as an epoch, compact, manifest-checked read, probe:
+    * counts ADD across disjoint shards, so the stored probe must
+    * equal q206's inline computation exactly (same oracle SQL). The
+    * probe never re-reads corpus text — only the summed
+    * (gram_fp, n_docs) table. */
+  val q207GramFreqStore = q("q207_gram_freq_store",
+    "Batch gram-novelty probe via stored index lifecycle: bootstrap+append+compact+read (north star: index stores)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |                     i -> array_to_string(toks[i:i+7], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS ngs
+      |  FROM tk),
+      |g AS (SELECT doc_id, unnest(ngs) AS ng FROM grams),
+      |corpus AS (SELECT DISTINCT ng FROM g WHERE doc_id % 5 <> 2),
+      |probe AS (SELECT doc_id, ng FROM g WHERE doc_id % 5 = 2)
+      |SELECT probe.doc_id,
+      |       count(*) AS n_grams,
+      |       count(corpus.ng) AS n_seen,
+      |       round(CAST(count(corpus.ng) AS DOUBLE) / count(*), 4) AS seen_frac
+      |FROM probe LEFT JOIN corpus ON probe.ng = corpus.ng
+      |GROUP BY probe.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val root = scratchDir(s, "q207_gram_index")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Dedup.gramFreqIndexWrite(
+      Dedup.gramFreqIndex(docs.filter(pmod(col("doc_id"), lit(5)).isin(0, 1)),
+        "doc_id", "text", n = 8), root, n = 8)
+    Dedup.gramFreqIndexAppend(s, root,
+      Dedup.gramFreqIndex(docs.filter(pmod(col("doc_id"), lit(5)).isin(3, 4)),
+        "doc_id", "text", n = 8), epoch = "day2", n = 8)
+    Dedup.gramFreqIndexCompact(s, root)
+    Dedup.incrementalDupGramFraction(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2),
+      Dedup.gramFreqIndexRead(s, root, None, n = 8),
+      "doc_id", "text", n = 8)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8014,5 +8058,5 @@ object Catalog {
     q196SemanticStore, q197RankTiers, q198RankingMetrics,
     q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport,
     q203AnnealedOrder, q204BucketSkew, q205DupGramFraction,
-    q206IncrementalDupGram)
+    q206IncrementalDupGram, q207GramFreqStore)
 }

@@ -567,6 +567,35 @@ class DedupSpec extends SparkSpecBase {
     assert(e.getMessage.contains("EMPTY"))
   }
 
+  test("gramFreqIndex store: bootstrap+append+compact read ≡ direct build; mismatched n refused") {
+    val a = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b e"), (4L, "x y z")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-gramidx").toString + "/store"
+    Dedup.gramFreqIndexWrite(Dedup.gramFreqIndex(a, "doc_id", "text", n = 2), root, n = 2)
+    Dedup.gramFreqIndexAppend(spark, root,
+      Dedup.gramFreqIndex(b, "doc_id", "text", n = 2), epoch = "day2", n = 2)
+    // replay-idempotency hook (pre-compaction, while day2 is a live
+    // epoch): excluding it leaves exactly shard a's counts
+    val excluded = Dedup.gramFreqIndexRead(spark, root, Some("day2"))
+      .as[(String, Long)].collect().toMap
+    val aOnly = Dedup.gramFreqIndex(a, "doc_id", "text", n = 2)
+      .as[(String, Long)].collect().toMap
+    assert(excluded === aOnly)
+    val stats = Dedup.gramFreqIndexCompact(spark, root)
+    assert(stats.folded.toSet === Set("base", "day2"))
+    val stored = Dedup.gramFreqIndexRead(spark, root, None, n = 2)
+      .as[(String, Long)].collect().toMap
+    val direct = Dedup.gramFreqIndex(a.unionByName(b), "doc_id", "text", n = 2)
+      .as[(String, Long)].collect().toMap
+    assert(stored === direct)
+    // a probe built with the wrong gram size must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.gramFreqIndexRead(spark, root, None, n = 8)
+    }
+    assert(e.getMessage.toLowerCase.contains("n"))
+  }
+
   test("gramFreqIndexMerge: per-shard builds merge to the corpus-wide index") {
     val a = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
     val b = Seq((3L, "a b e"), (4L, "x y z")).toDF("doc_id", "text")
