@@ -748,6 +748,36 @@ object Streaming {
       Seq("" -> Audit.digestPartial(batch, cols, col(groupCol))))
   }
 
+  /** Streaming corpus gram-frequency maintenance — the gram-
+    * granularity sibling of [[boilerplateIngestSink]], minus the
+    * cleaning step (novelty is an ANNOTATION probed on demand, not a
+    * rewrite of the ingested text): each micro-batch of documents
+    * lands in the corpus and appends its `(gram_fp, n_docs)` count
+    * partial; reads sum across epochs
+    * (`Dedup.gramFreqIndexRead`), so a later
+    * `Dedup.incrementalDupGramFraction` probe sees every document
+    * ever ingested while the corpus text is tokenized exactly once,
+    * at ingest. Counts are additive — NOT idempotent — so the sink
+    * carries the same fresh-checkpoint refusal as the digest/CMS
+    * sinks: a reset source re-ingesting its documents would double
+    * every gram's count; presence-based probes would survive that,
+    * but any df-thresholded consumer of the index would not. */
+  def gramFreqIngestSink(stream: DataFrame, spark: SparkSession,
+                         corpusPath: String, indexPath: String,
+                         idCol: String, textCol: String,
+                         checkpoint: String, n: Int = 8,
+                         allowForeignEpochs: Boolean = false): StreamingQuery =
+    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+      Dedup.gramFreqIndexMeta(n),
+      refusal = if (allowForeignEpochs) None else Some(
+        s"gramFreqIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+          "already holds gram-count partials. Counts are additive: a reset " +
+          "source re-ingesting its documents would double every gram's " +
+          "count. Restore the original checkpoint, rebuild corpus+index " +
+          "from raw sources, or — only if this run ingests strictly new " +
+          "documents — pass allowForeignEpochs = true"))(batch =>
+      Seq("" -> Dedup.gramFreqIndex(batch, idCol, textCol, n)))
+
   /** Streaming retrieval-index ingest — the continuous form of
     * `Relevance.bm25IndexAppend`, completing the postings family's
     * shapes (batch build / incremental append / streaming): each

@@ -936,6 +936,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
   }
 
+  test("streaming gram-freq ingest: stored probe ≡ inline index over everything delivered; fresh checkpoint refuses") {
+    import graft.operators.Dedup
+    val src = Files.createTempDirectory("graft-gf-src").toString
+    val corpus = Files.createTempDirectory("graft-gf-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-gf-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-gf-ckp").toString
+    val batch1 = Seq((1L, "a b c"), (2L, "a b d"))
+    val batch2 = Seq((3L, "a b e"), (4L, "x y z"))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.gramFreqIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", ckp, n = 2)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val stored = Dedup.gramFreqIndexRead(spark, index, None, n = 2)
+      .as[(String, Long)].collect().toMap
+    val direct = Dedup.gramFreqIndex(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .as[(String, Long)].collect().toMap
+    assert(stored === direct)
+    assert(spark.read.parquet(corpus).count() === 4L)
+    // the stored index answers the novelty probe over everything ingested
+    val probe = Dedup.incrementalDupGramFraction(
+      Seq((10L, "a b c q")).toDF("doc_id", "text"),
+      Dedup.gramFreqIndexRead(spark, index, None, n = 2),
+      "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "n_seen", "seen_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(probe === Array((10L, 3L, 2L, 0.6667)))
+    val freshCkp = Files.createTempDirectory("graft-gf-ckp2").toString
+    val e = intercept[IllegalArgumentException] {
+      Streaming.gramFreqIngestSink(
+        Streaming.fileStream(spark,
+          spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", freshCkp, n = 2)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
+
   test("streaming bm25 ingest: stored probe ≡ full-corpus scoring over everything delivered") {
     import graft.operators.Relevance
     val src = Files.createTempDirectory("graft-bm-src").toString
