@@ -13,7 +13,8 @@ import graft.sources.{Fs, Tables}
   * the query whose oracle pins it) over a corpus directory:
   *
   *   ingest → exact dedup (q19) → near-dup LSH→verify→CC (q42)
-  *   → decontaminate (q50) → quality filter (q119's signals)
+  *   → decontaminate (q50) → cross-doc repetition filter (q205)
+  *   → quality filter (q119's signals)
   *   → cluster-safe split (q189: near-dup clusters never straddle
   *     train/test) → token-budget mixture (q191) → curriculum
   *     interleave (q190) → greedy context packing (q55)
@@ -35,6 +36,7 @@ object CorpusDemo {
 
   final case class Result(
       nIngested: Long, nExact: Long, nNear: Long, nClean: Long,
+      nFresh: Long,
       nQuality: Long, nClusters: Long, splitCounts: Map[String, Long],
       nMixture: Long, mixtureTokens: Long, nCurriculum: Long,
       nPacks: Long, storesCompacted: Int, kmvProbes: Long,
@@ -92,8 +94,19 @@ object CorpusDemo {
         .filter(col("overlap_ratio") <= 0.1).select("doc_id"),
       Seq("doc_id"), "left_semi")))
 
+    // ---- cross-doc repetition filter (q205): drop gram-level
+    //      remixes — docs mostly assembled from 8-grams other
+    //      surviving docs already carry. Near-dedup's pairwise
+    //      Jaccard floor is structurally blind to them: a doc
+    //      stitched from five different sources shares < 0.5 with
+    //      EACH of them yet contributes nothing new to training.
+    val fresh = staged("repetition_filter")(barrier(clean.join(
+      Dedup.dupGramFraction(clean, "doc_id", "text", n = 8)
+        .filter(col("shared_frac") <= 0.5).select("doc_id"),
+      Seq("doc_id"), "left_semi")))
+
     // ---- quality: codegen'd per-row signals, zero shuffle
-    val quality = staged("quality_filter")(barrier(clean.filter(
+    val quality = staged("quality_filter")(barrier(fresh.filter(
       TextFunctions.tokenCount(col("text")) >= 25 &&
         TextFunctions.alphaRatio(col("text")) >= 0.6)))
 
@@ -178,7 +191,8 @@ object CorpusDemo {
     val attrition = staged("attrition")(BoundedRead.boundedDriverRead(
       Curation.attrition(docs, "doc_id", Seq(
         "exact_dedup" -> exact, "near_dedup" -> near,
-        "decontaminate" -> clean, "quality" -> quality,
+        "decontaminate" -> clean, "repetition" -> fresh,
+        "quality" -> quality,
         "split" -> train, "mixture" -> mixture))
         .groupBy("dropped_at").count(), maxRows = 8,
       what = "CorpusDemo attrition funnel",
@@ -189,6 +203,7 @@ object CorpusDemo {
     Result(
       nIngested = docs.count(), nExact = exact.count(),
       nNear = near.count(), nClean = clean.count(),
+      nFresh = fresh.count(),
       nQuality = quality.count(),
       nClusters = labels.select("cluster_id").distinct().count(),
       splitCounts = splitCounts,
@@ -215,7 +230,7 @@ object CorpusDemo {
     println(
       s"""{"demo":"corpus","sf_dir":${Json.str(sfDir)},""" +
       s""""ingested":${r.nIngested},"exact":${r.nExact},"near":${r.nNear},""" +
-      s""""clean":${r.nClean},"quality":${r.nQuality},"clusters":${r.nClusters},""" +
+      s""""clean":${r.nClean},"fresh":${r.nFresh},"quality":${r.nQuality},"clusters":${r.nClusters},""" +
       s""""train":${r.splitCounts.getOrElse("train", 0L)},""" +
       s""""val":${r.splitCounts.getOrElse("val", 0L)},""" +
       s""""test":${r.splitCounts.getOrElse("test", 0L)},""" +

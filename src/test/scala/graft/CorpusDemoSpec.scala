@@ -20,14 +20,17 @@ class CorpusDemoSpec extends SparkSpecBase {
     // the original; synthetic texts are otherwise distinct)
     assert(r.nExact === nBase)
     // monotone pipeline: each stage only drops
-    assert(r.nExact >= r.nNear && r.nNear >= r.nClean && r.nClean >= r.nQuality)
+    assert(r.nExact >= r.nNear && r.nNear >= r.nClean &&
+      r.nClean >= r.nFresh && r.nFresh >= r.nQuality)
     // every operator in the chain is deterministic (md5 splits, seeded
     // hashes, exact verify) — the sf0.001 stage counts are pinned
-    // exactly; a change here means an operator changed semantics
-    assert((r.nNear, r.nClean, r.nQuality, r.nClusters) === ((58L, 57L, 19L, 21L)),
-      s"stage counts moved: $r")
-    assert(r.splitCounts === Map("train" -> 16L, "val" -> 2L, "test" -> 1L))
-    assert((r.nMixture, r.mixtureTokens, r.nPacks) === ((16L, 848L, 7L)))
+    // exactly; a change here means an operator changed semantics.
+    // repetition_filter drops exactly the 6 gram-level remixes
+    // (shared_frac > 0.5) that survive pairwise near-dedup
+    assert((r.nNear, r.nClean, r.nFresh, r.nQuality, r.nClusters) ===
+      ((58L, 57L, 51L, 17L, 21L)), s"stage counts moved: $r")
+    assert(r.splitCounts === Map("train" -> 15L, "val" -> 2L))
+    assert((r.nMixture, r.mixtureTokens, r.nPacks) === ((15L, 770L, 7L)))
     // split partitions the quality set exactly
     assert(r.splitCounts.values.sum === r.nQuality)
     assert(r.splitCounts.keySet.subsetOf(Set("train", "val", "test")))
@@ -41,7 +44,8 @@ class CorpusDemoSpec extends SparkSpecBase {
     assert(r.attrition.getOrElse("exact_dedup", 0L) === r.nIngested - r.nExact)
     assert(r.attrition.getOrElse("near_dedup", 0L) === r.nExact - r.nNear)
     assert(r.attrition.getOrElse("decontaminate", 0L) === r.nNear - r.nClean)
-    assert(r.attrition.getOrElse("quality", 0L) === r.nClean - r.nQuality)
+    assert(r.attrition.getOrElse("repetition", 0L) === r.nClean - r.nFresh)
+    assert(r.attrition.getOrElse("quality", 0L) === r.nFresh - r.nQuality)
     assert(r.attrition.getOrElse("survived", 0L) === r.nMixture)
     // tier report covers the mixture, three balanced-ish tiers
     assert(r.tierCounts.values.sum === r.nMixture)
@@ -52,9 +56,9 @@ class CorpusDemoSpec extends SparkSpecBase {
     // timing, in pipeline order (the sf0.1 scaling record's raw data)
     assert(r.stageSec.map(_._1) === Seq("ingest", "exact_dedup",
       "near_dedup_cc", "near_dedup_filter", "decontaminate",
-      "quality_filter", "cluster_safe_split", "budgeted_mixture",
-      "rank_tiers", "curriculum", "epoch_order_write", "pack",
-      "kmv_store", "attrition"))
+      "repetition_filter", "quality_filter", "cluster_safe_split",
+      "budgeted_mixture", "rank_tiers", "curriculum",
+      "epoch_order_write", "pack", "kmv_store", "attrition"))
     assert(r.stageSec.forall(_._2 > 0.0))
     // store: one KMV store compacted, one probe row per source
     assert(r.storesCompacted === 1)
