@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Audit, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits, Traversal}
+import graft.operators.{AsOfJoin, Audit, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, LmFilter, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits, Traversal}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -8006,6 +8006,105 @@ object Catalog {
       "doc_id", "text", n = 8)
   }
 
+  // -------------------------------------------- hashed bigram LM filter
+  /** [[LmFilter.lmPerplexity]] under the oracle — the CCNet-style
+    * quality gate: a hashed bigram LM trained on the lang='en'
+    * reference subset scores EVERY document by mean bigram NLL and
+    * perplexity. md5 buckets (the DSIR convention) make every count
+    * and score oracle-replayable; the model is ≤ 4096 + 32768 rows
+    * whatever the reference size, broadcast onto the candidates'
+    * bigram stream — candidate text never shuffles. */
+  val q208LmPerplexity = q("q208_lm_perplexity",
+    "Hashed-bigram LM perplexity vs an in-language reference model (north star: CCNet quality filter)",
+    """WITH tk AS (
+      |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |         unnest(CASE WHEN len(toks) >= 2
+      |                THEN list_transform(range(1, len(toks)),
+      |                       i -> toks[i] || ' ' || toks[i+1])
+      |                ELSE [] END) AS f
+      |  FROM tk),
+      |feats AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5(split_part(f, ' ', 1)), 1, 8))::BIGINT % 4096 AS b1,
+      |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 32768 AS b2
+      |  FROM f),
+      |ctx AS (SELECT b1, count(*) AS c1 FROM feats WHERE lang = 'en' GROUP BY b1),
+      |bgc AS (SELECT b2, count(*) AS c2 FROM feats WHERE lang = 'en' GROUP BY b2),
+      |sc AS (
+      |  SELECT f.doc_id, count(*) AS n_bigrams,
+      |         avg(ln(CAST(coalesce(c.c1, 0) + 4096 AS DOUBLE)
+      |                / CAST(coalesce(g.c2, 0) + 1 AS DOUBLE))) AS nll0
+      |  FROM feats f LEFT JOIN ctx c ON f.b1 = c.b1
+      |               LEFT JOIN bgc g ON f.b2 = g.b2
+      |  GROUP BY f.doc_id)
+      |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+      |       round(coalesce(s.nll0, 0.0), 4) AS nll,
+      |       round(exp(coalesce(s.nll0, 0.0)), 4) AS ppl
+      |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    LmFilter.lmPerplexity(docs.select("doc_id", "text"), "doc_id", "text",
+      LmFilter.lmIndex(docs.filter(col("lang") === "en"), "doc_id", "text"))
+  }
+
+  /** The LM store's full persisted lifecycle under the SAME oracle
+    * shape — reference shard doc_id%5≠2 trains the model (bootstrap
+    * one half, append the other as an epoch, compact, manifest-
+    * checked read); the %5=2 batch scores against the summed counts
+    * without the reference ever being re-read. Counts ADD across
+    * disjoint shards, so the stored score must equal the inline
+    * computation exactly. */
+  val q209LmStore = q("q209_lm_store",
+    "Batch LM-perplexity scoring via stored model lifecycle: bootstrap+append+compact+read (north star: index stores)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |         unnest(CASE WHEN len(toks) >= 2
+      |                THEN list_transform(range(1, len(toks)),
+      |                       i -> toks[i] || ' ' || toks[i+1])
+      |                ELSE [] END) AS f
+      |  FROM tk),
+      |feats AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(split_part(f, ' ', 1)), 1, 8))::BIGINT % 4096 AS b1,
+      |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 32768 AS b2
+      |  FROM f),
+      |ctx AS (SELECT b1, count(*) AS c1 FROM feats WHERE doc_id % 5 <> 2 GROUP BY b1),
+      |bgc AS (SELECT b2, count(*) AS c2 FROM feats WHERE doc_id % 5 <> 2 GROUP BY b2),
+      |probe AS (SELECT * FROM feats WHERE doc_id % 5 = 2),
+      |sc AS (
+      |  SELECT f.doc_id, count(*) AS n_bigrams,
+      |         avg(ln(CAST(coalesce(c.c1, 0) + 4096 AS DOUBLE)
+      |                / CAST(coalesce(g.c2, 0) + 1 AS DOUBLE))) AS nll0
+      |  FROM probe f LEFT JOIN ctx c ON f.b1 = c.b1
+      |               LEFT JOIN bgc g ON f.b2 = g.b2
+      |  GROUP BY f.doc_id)
+      |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+      |       round(coalesce(s.nll0, 0.0), 4) AS nll,
+      |       round(exp(coalesce(s.nll0, 0.0)), 4) AS ppl
+      |FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+      |WHERE d.doc_id % 5 = 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val root = scratchDir(s, "q209_lm_index")
+    graft.sources.Fs.deleteRecursively(s, root)
+    val ref = docs.filter(pmod(col("doc_id"), lit(5)) =!= 2)
+    LmFilter.lmIndexWrite(
+      LmFilter.lmIndex(ref.filter(pmod(col("doc_id"), lit(5)).isin(0, 1)),
+        "doc_id", "text"), root, ctxBuckets = 4096, bigramBuckets = 32768)
+    LmFilter.lmIndexAppend(s, root,
+      LmFilter.lmIndex(ref.filter(pmod(col("doc_id"), lit(5)).isin(3, 4)),
+        "doc_id", "text"), epoch = "day2",
+      ctxBuckets = 4096, bigramBuckets = 32768)
+    LmFilter.lmIndexCompact(s, root)
+    LmFilter.lmPerplexity(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2), "doc_id", "text",
+      LmFilter.lmIndexRead(s, root, ctxBuckets = 4096, bigramBuckets = 32768))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8058,5 +8157,6 @@ object Catalog {
     q196SemanticStore, q197RankTiers, q198RankingMetrics,
     q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport,
     q203AnnealedOrder, q204BucketSkew, q205DupGramFraction,
-    q206IncrementalDupGram, q207GramFreqStore)
+    q206IncrementalDupGram, q207GramFreqStore, q208LmPerplexity,
+    q209LmStore)
 }
