@@ -256,6 +256,126 @@ object Similarity {
       .select(col("cell"), col(vecCol))
   }
 
+  // ------------------------------------------------- k-means refinement
+
+  /** One spherical-k-means (Lloyd) refinement step over the cosine
+    * assignment: assign every corpus vector to its nearest centroid
+    * ([[assignCells]] — broadcast argmax, ties to the smaller cell),
+    * then move each centroid to the per-dimension MEAN of its members
+    * (the spherical-k-means centroid direction; cosine is scale-
+    * invariant, so the mean is not renormalized). Seed centroids from
+    * [[pickCentroids]] and iterate with [[kmeansRefine]] — this is how
+    * the IVF coarse quantizer ([[ivfIndex]]) gets TRAINED centroids
+    * instead of raw seed vectors, which directly tightens cells and
+    * lifts [[annRecall]] at the same nProbe.
+    *
+    * Determinism: member means are rounded to `roundTo` dp and cast
+    * back to float, so the refined centroids — and every later
+    * assignment made against them — are engine-portable (the q210
+    * oracle replays the step bit-for-bit). Cells that captured no
+    * members keep their previous centroid with n_members = 0; losing
+    * them would silently shrink k.
+    *
+    * Scale shape: assignment is the [[assignCells]] broadcast argmax
+    * (no corpus shuffle beyond the per-id partial agg); the mean is a
+    * posexplode + groupBy(cell, dim) aggregate — map-side combined, so
+    * the shuffle carries ≤ partitions × k × dims partial rows, never
+    * the corpus. Output is k tiny rows.
+    *
+    * @param centroids (cell, vecCol) — [[pickCentroids]]' contract
+    * @return (cell, n_members, vecCol) */
+  def lloydStep(corpus: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String,
+                roundTo: Int = 4): DataFrame = {
+    val assigned = assignCells(corpus,
+      centroids.select(col("cell").as(idCol), col(vecCol)), idCol, vecCol)
+    val sums = assigned
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("_i", "_x")))
+      .groupBy(col("cell"), col("_i"))
+      .agg(sum(col("_x").cast("double")).as("_s"), count(lit(1)).as("_n"))
+    val refined = sums
+      .select(col("cell"), col("_n"),
+        struct(col("_i"),
+          round(col("_s") / col("_n"), roundTo).cast("float").as("_m"))
+          .as("_p"))
+      .groupBy(col("cell"))
+      .agg(max(col("_n")).as("n_members"),
+        transform(array_sort(collect_list(col("_p"))),
+          p => p.getField("_m")).as(vecCol))
+    centroids.select(col("cell"), col(vecCol).as("_old"))
+      .join(refined, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col(vecCol), col("_old")).as(vecCol))
+  }
+
+  /** `steps` Lloyd iterations from a deterministic init — k-means
+    * training for the IVF quantizer. Each step's k-row centroid table
+    * is eagerly checkpointed (and the superseded one freed, the
+    * [[Centrality.pageRankFixedPoint]] discipline) so step N's plan
+    * reads a k-row leaf instead of stacking N corpus scans; only the
+    * RETURNED frame's checkpoint outlives the call (harness sweeps
+    * free it between queries).
+    *
+    * @return (cell, n_members, vecCol) after the final step */
+  def kmeansRefine(corpus: DataFrame, init: DataFrame, idCol: String,
+                   vecCol: String, steps: Int,
+                   roundTo: Int = 4): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    var pinned = bridge.freshLeaf(
+      lloydStep(corpus, init, idCol, vecCol, roundTo).localCheckpoint(true))
+    var i = 1
+    while (i < steps) {
+      val superseded = pinned
+      pinned = bridge.freshLeaf(
+        lloydStep(corpus, pinned.select(col("cell"), col(vecCol)),
+          idCol, vecCol, roundTo).localCheckpoint(true))
+      bridge.unpersistCheckpoint(superseded)
+      i += 1
+    }
+    pinned
+  }
+
+  /** Cluster quality profile under a centroid set: per cell, member
+    * count, mean member-to-centroid cosine (the spherical k-means
+    * objective — rises as [[kmeansRefine]] converges), and label
+    * purity (majority label + its share) when the corpus carries a
+    * label column. The SemDeDup-shaped diagnostic: semantic dedup and
+    * cluster-balanced sampling both stand on "cells are coherent",
+    * and this is the table that says whether they are.
+    *
+    * Scale shape: one [[assignCells]] pass, one broadcast join back
+    * to the k centroids for the member cosine, and two map-side-
+    * combined aggregates (cell × label is bounded by k × |labels|).
+    * Ties in the majority label break to the smaller label.
+    *
+    * @return (cell, n_members, mean_cos, top_label, purity) */
+  def clusterProfile(corpus: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String, labelCol: String,
+                     roundTo: Int = 4): DataFrame = {
+    val assigned = assignCells(corpus,
+      centroids.select(col("cell").as(idCol), col(vecCol)), idCol, vecCol)
+    val cents = broadcast(centroids.select(col("cell"), col(vecCol).as("_cv")))
+    val withLab = assigned.join(cents, Seq("cell"))
+      .select(col(idCol), col("cell"), cosine(col(vecCol), col("_cv")).as("_sim"))
+      .join(corpus.select(col(idCol), col(labelCol).as("_lab")), Seq(idCol))
+    val prof = withLab.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("_sim")), roundTo).as("mean_cos"))
+    val lab = withLab.groupBy(col("cell"), col("_lab"))
+      .agg(count(lit(1)).as("_lc"))
+      .groupBy(col("cell"))
+      .agg(max_by(col("_lab"), struct(col("_lc"), -col("_lab")))
+        .as("top_label"),
+        max(col("_lc")).as("_top"))
+    prof.join(lab, Seq("cell"))
+      .select(col("cell"), col("n_members"), col("mean_cos"),
+        col("top_label"),
+        round(col("_top").cast("double") / col("n_members").cast("double"),
+          roundTo).as("purity"))
+  }
+
   /** Build the index in-memory: assignments carry (idCol, vecCol,
     * cell). Callers persist via [[ivfIndexWrite]]; catalog queries and
     * specs can use the DataFrames directly. Centroids must expose

@@ -8105,6 +8105,114 @@ object Catalog {
       LmFilter.lmIndexRead(s, root, ctxBuckets = 4096, bigramBuckets = 32768))
   }
 
+  // ------------------------------------------------- k-means refinement
+  /** [[Similarity.lloydStep]] under the oracle: one spherical-k-means
+    * step from the q24 seed centroids (vec_id % 50), emitted per
+    * (cell, dim) so the oracle checks every refined coordinate. The
+    * 4dp-round + float-cast inside the step is what makes each
+    * coordinate engine-portable. Empty cells (which keep their seed
+    * centroid, n_members = 0 — spec-pinned) are filtered HERE because
+    * the oracle's GROUP BY never sees them. */
+  val q210KmeansStep = q("q210_kmeans_step",
+    "One Lloyd refinement step over cosine cells, per-dim centroid means (north star: IVF centroid training)",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, ct.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM corpus c CROSS JOIN cents ct) WHERE rk = 1)
+      |SELECT a.cell, count(*) AS n_members,
+      |       CAST(t.i - 1 AS INTEGER) AS dim,
+      |       CAST(round(avg(a.vec[t.i]), 4) AS FLOAT) AS c
+      |FROM assign a, UNNEST(generate_series(1, len(a.vec))) AS t(i)
+      |GROUP BY a.cell, t.i""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val init = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell"), col("embedding"))
+    Similarity.lloydStep(e, init, "vec_id", "embedding")
+      .filter(col("n_members") > 0)
+      .select(col("cell"), col("n_members"),
+        posexplode(col("embedding")).as(Seq("dim", "c")))
+  }
+
+  /** [[Similarity.kmeansRefine]] (two Lloyd steps, exercising the
+    * checkpointed iteration path) + [[Similarity.clusterProfile]]
+    * under the oracle: per cell after training — member count, mean
+    * member-to-centroid cosine (the k-means objective), majority
+    * label and purity. The oracle unrolls both steps, replaying the
+    * keep-empty-cell fallback (coalesce to the seed centroid) and the
+    * 4dp float-cast centroid coordinates, so every downstream
+    * assignment decision is engine-identical. */
+  val q211KmeansProfile = q("q211_kmeans_profile",
+    "Two-step k-means refinement + cluster profile: objective, majority label, purity (north star: SemDeDup prep)",
+    """WITH corpus AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, vec AS cvec FROM corpus WHERE vec_id % 50 = 0),
+      |a1 AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c0 t) WHERE rk = 1),
+      |m1 AS (
+      |  SELECT a.cell, t.i AS i,
+      |         CAST(CAST(round(avg(a.vec[t.i]), 4) AS FLOAT) AS DOUBLE) AS v
+      |  FROM a1 a, UNNEST(generate_series(1, len(a.vec))) AS t(i)
+      |  GROUP BY a.cell, t.i),
+      |c1 AS (
+      |  SELECT c0.cell, coalesce(m.cvec, c0.cvec) AS cvec
+      |  FROM c0 LEFT JOIN (SELECT cell, list(v ORDER BY i) AS cvec
+      |                     FROM m1 GROUP BY cell) m USING (cell)),
+      |a2 AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c1 t) WHERE rk = 1),
+      |m2 AS (
+      |  SELECT a.cell, t.i AS i,
+      |         CAST(CAST(round(avg(a.vec[t.i]), 4) AS FLOAT) AS DOUBLE) AS v
+      |  FROM a2 a, UNNEST(generate_series(1, len(a.vec))) AS t(i)
+      |  GROUP BY a.cell, t.i),
+      |c2 AS (
+      |  SELECT c1.cell, coalesce(m.cvec, c1.cvec) AS cvec
+      |  FROM c1 LEFT JOIN (SELECT cell, list(v ORDER BY i) AS cvec
+      |                     FROM m2 GROUP BY cell) m USING (cell)),
+      |a3 AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c2 t) WHERE rk = 1),
+      |sims AS (
+      |  SELECT a.vec_id, a.cell,
+      |         list_cosine_similarity(a.vec, t.cvec) AS sim, c.label
+      |  FROM a3 a JOIN c2 t USING (cell) JOIN corpus c ON a.vec_id = c.vec_id),
+      |prof AS (
+      |  SELECT cell, count(*) AS n_members, round(avg(sim), 4) AS mean_cos
+      |  FROM sims GROUP BY cell),
+      |lab AS (
+      |  SELECT cell, label AS top_label, lc AS top_c FROM (
+      |    SELECT cell, label, count(*) AS lc,
+      |           row_number() OVER (PARTITION BY cell
+      |                              ORDER BY count(*) DESC, label) AS rk
+      |    FROM sims GROUP BY cell, label) WHERE rk = 1)
+      |SELECT p.cell, p.n_members, p.mean_cos, l.top_label,
+      |       round(CAST(l.top_c AS DOUBLE) / p.n_members, 4) AS purity
+      |FROM prof p JOIN lab l USING (cell)""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val init = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell"), col("embedding"))
+    val trained = Similarity.kmeansRefine(e, init, "vec_id", "embedding",
+      steps = 2)
+    Similarity.clusterProfile(e, trained, "vec_id", "embedding", "label")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8158,5 +8266,5 @@ object Catalog {
     q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport,
     q203AnnealedOrder, q204BucketSkew, q205DupGramFraction,
     q206IncrementalDupGram, q207GramFreqStore, q208LmPerplexity,
-    q209LmStore)
+    q209LmStore, q210KmeansStep, q211KmeansProfile)
 }

@@ -441,4 +441,71 @@ class SimilaritySpec extends SparkSpecBase {
       .as[(Long, Long, Long, Double)].collect()
     assert(perfect.forall(r => r._4 === 1.0 && r._2 === r._3))
   }
+
+  // ---- k-means refinement; float-exact coordinates so test-side
+  // double math reproduces the engine's bit-for-bit
+  private def kmCorpus = Seq(
+    (0L, Array(1.0f, 0.0f), 1),
+    (1L, Array(0.75f, 0.25f), 1),
+    (2L, Array(0.0f, 1.0f), 2),
+    (3L, Array(0.25f, 0.75f), 3),
+    (4L, Array(0.5f, 0.75f), 3)
+  ).toDF("vec_id", "embedding", "label")
+
+  private def kmInit = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f)),
+    (9L, Array(-1.0f, -1.0f))  // captures nothing: all corpus is positive-quadrant
+  ).toDF("cell", "embedding")
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("lloydStep: per-dim member means; empty cell keeps its seed centroid at n_members 0") {
+    val out = Similarity.lloydStep(kmCorpus, kmInit, "vec_id", "embedding")
+      .orderBy("cell")
+      .as[(Long, Long, Array[Float])].collect()
+    // cell 0 ← {0, 1}: mean (0.875, 0.125); cell 1 ← {2, 3, 4}:
+    // mean (0.25, round4(2.5/3)); cell 9 ← {}: seed kept, 0 members
+    assert(out(0)._1 === 0L && out(0)._2 === 2L)
+    assert(out(0)._3 === Array(0.875f, 0.125f))
+    assert(out(1)._1 === 1L && out(1)._2 === 3L)
+    assert(out(1)._3 === Array(0.25f, round4(2.5 / 3).toFloat))
+    assert(out(2)._1 === 9L && out(2)._2 === 0L)
+    assert(out(2)._3 === Array(-1.0f, -1.0f))
+  }
+
+  test("kmeansRefine: converged input is a fixed point; superseded checkpoints freed") {
+    graft.GraftSession.sweepPersistedRdds(spark)
+    val one = Similarity.lloydStep(kmCorpus, kmInit, "vec_id", "embedding")
+      .select($"cell", $"embedding")
+    // assignments don't change after step 1 here, so steps 2 and 3
+    // recompute the same means — refine(3) must equal a single step
+    val three = Similarity.kmeansRefine(kmCorpus, kmInit, "vec_id",
+      "embedding", steps = 3)
+    val a = one.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val b = three.select($"cell", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(a.map(_._1) === b.map(_._1))
+    a.zip(b).foreach { case ((_, x), (_, y)) => assert(x === y) }
+    // only the RETURNED frame's checkpoint may outlive the call
+    assert(spark.sparkContext.getPersistentRDDs.size === 1,
+      "superseded per-step checkpoints must be freed")
+    graft.GraftSession.sweepPersistedRdds(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("clusterProfile: member count, mean cosine to centroid, majority label and purity") {
+    val cents = kmInit.filter($"cell" < 9)
+    val out = Similarity.clusterProfile(kmCorpus, cents, "vec_id",
+      "embedding", "label")
+      .orderBy("cell")
+      .as[(Long, Long, Double, Int, Double)].collect()
+    // cell 0 ← {0 (lab 1), 1 (lab 1)}: purity 1.0;
+    // cell 1 ← {2 (lab 2), 3 (lab 3), 4 (lab 3)}: majority 3, 2/3
+    val cos0 = (1.0 + 0.75 / math.sqrt(0.625)) / 2
+    val cos1 = (1.0 + 0.75 / math.sqrt(0.625) + 0.75 / math.sqrt(0.8125)) / 3
+    assert(out(0) === ((0L, 2L, round4(cos0), 1, 1.0)))
+    assert(out(1) === ((1L, 3L, round4(cos1), 3, round4(2.0 / 3))))
+  }
 }
