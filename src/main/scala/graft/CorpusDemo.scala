@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{BoundedRead, Cardinality, Contamination, Curation,
-  Dedup, Maintenance, Packing, Splits}
+  Dedup, LmFilter, Maintenance, Packing, Splits}
 import graft.sources.{Fs, Tables}
 
 /** The LLM-data-pipeline story as ONE runnable main — the second-half
@@ -14,7 +14,7 @@ import graft.sources.{Fs, Tables}
   *
   *   ingest → exact dedup (q19) → near-dup LSH→verify→CC (q42)
   *   → decontaminate (q50) → cross-doc repetition filter (q205)
-  *   → quality filter (q119's signals)
+  *   → LM perplexity filter (q208) → quality filter (q119's signals)
   *   → cluster-safe split (q189: near-dup clusters never straddle
   *     train/test) → token-budget mixture (q191) → curriculum
   *     interleave (q190) → greedy context packing (q55)
@@ -36,7 +36,7 @@ object CorpusDemo {
 
   final case class Result(
       nIngested: Long, nExact: Long, nNear: Long, nClean: Long,
-      nFresh: Long,
+      nFresh: Long, nLm: Long,
       nQuality: Long, nClusters: Long, splitCounts: Map[String, Long],
       nMixture: Long, mixtureTokens: Long, nCurriculum: Long,
       nPacks: Long, storesCompacted: Int, kmvProbes: Long,
@@ -105,8 +105,34 @@ object CorpusDemo {
         .filter(col("shared_frac") <= 0.5).select("doc_id"),
       Seq("doc_id"), "left_semi")))
 
+    // ---- LM perplexity filter (q208): CCNet-style — score every
+    //      surviving doc under a hashed bigram LM trained on the
+    //      in-language (lang='en') slice of the raw table; drop the
+    //      high-perplexity tail. Catches what the lexical quality
+    //      signals below cannot: gibberish assembled from real
+    //      tokens scores high ppl because its TRANSITIONS are
+    //      unseen, while alpha ratio and token count look fine.
+    //      CCNet keeps the head/middle of the ppl distribution, so
+    //      the cut is the scored batch's own 75th percentile (exact,
+    //      one single-column aggregate, broadcast back as a scalar)
+    //      rather than an absolute number — an absolute cut silently
+    //      stops biting when a bigger reference corpus re-scales the
+    //      smoothed probabilities.
+    val lmRef = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").select("doc_id", "text")
+    val lmKept = staged("lm_filter") {
+      val scored = barrier(LmFilter.lmPerplexity(fresh, "doc_id", "text",
+        LmFilter.lmIndex(lmRef, "doc_id", "text")))
+      val cut = broadcast(scored.agg(
+        expr("percentile(ppl, 0.75)").as("_cut")))
+      barrier(fresh.join(
+        scored.crossJoin(cut).filter(col("ppl") <= col("_cut"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    }
+
     // ---- quality: codegen'd per-row signals, zero shuffle
-    val quality = staged("quality_filter")(barrier(fresh.filter(
+    val quality = staged("quality_filter")(barrier(lmKept.filter(
       TextFunctions.tokenCount(col("text")) >= 25 &&
         TextFunctions.alphaRatio(col("text")) >= 0.6)))
 
@@ -192,7 +218,7 @@ object CorpusDemo {
       Curation.attrition(docs, "doc_id", Seq(
         "exact_dedup" -> exact, "near_dedup" -> near,
         "decontaminate" -> clean, "repetition" -> fresh,
-        "quality" -> quality,
+        "lm_ppl" -> lmKept, "quality" -> quality,
         "split" -> train, "mixture" -> mixture))
         .groupBy("dropped_at").count(), maxRows = 8,
       what = "CorpusDemo attrition funnel",
@@ -203,7 +229,7 @@ object CorpusDemo {
     Result(
       nIngested = docs.count(), nExact = exact.count(),
       nNear = near.count(), nClean = clean.count(),
-      nFresh = fresh.count(),
+      nFresh = fresh.count(), nLm = lmKept.count(),
       nQuality = quality.count(),
       nClusters = labels.select("cluster_id").distinct().count(),
       splitCounts = splitCounts,
@@ -230,7 +256,7 @@ object CorpusDemo {
     println(
       s"""{"demo":"corpus","sf_dir":${Json.str(sfDir)},""" +
       s""""ingested":${r.nIngested},"exact":${r.nExact},"near":${r.nNear},""" +
-      s""""clean":${r.nClean},"fresh":${r.nFresh},"quality":${r.nQuality},"clusters":${r.nClusters},""" +
+      s""""clean":${r.nClean},"fresh":${r.nFresh},"lm":${r.nLm},"quality":${r.nQuality},"clusters":${r.nClusters},""" +
       s""""train":${r.splitCounts.getOrElse("train", 0L)},""" +
       s""""val":${r.splitCounts.getOrElse("val", 0L)},""" +
       s""""test":${r.splitCounts.getOrElse("test", 0L)},""" +

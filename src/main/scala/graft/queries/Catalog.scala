@@ -8213,6 +8213,112 @@ object Catalog {
     Similarity.clusterProfile(e, trained, "vec_id", "embedding", "label")
   }
 
+  /** The acceptance test for centroid TRAINING: per query, IVF
+    * recall@5 (nProbe=3) under the raw seed centroids vs under one
+    * Lloyd step of [[Similarity.kmeansRefine]] — same index layout,
+    * same probe budget, only the quantizer changes. This is the
+    * measurement that justifies (or vetoes) retraining the IVF
+    * coarse quantizer before a corpus re-index; shipping retrained
+    * centroids without it is a recall regression waiting to happen.
+    * Oracle: the q200 recall replay twice, with the trained-centroid
+    * branch replaying q211's rounded float means (and empty-cell
+    * fallback) so every assignment is engine-identical. */
+  val q212TrainedRecall = q("q212_trained_recall",
+    "IVF recall@5 under seed vs Lloyd-trained centroids, per query (north star: quantizer training acceptance)",
+    """WITH corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, vec AS cvec FROM corpus WHERE vec_id % 50 = 0),
+      |a1 AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c0 t) WHERE rk = 1),
+      |m1 AS (
+      |  SELECT a.cell, t.i AS i,
+      |         CAST(CAST(round(avg(a.vec[t.i]), 4) AS FLOAT) AS DOUBLE) AS v
+      |  FROM a1 a, UNNEST(generate_series(1, len(a.vec))) AS t(i)
+      |  GROUP BY a.cell, t.i),
+      |c1 AS (
+      |  SELECT c0.cell, coalesce(m.cvec, c0.cvec) AS cvec
+      |  FROM c0 LEFT JOIN (SELECT cell, list(v ORDER BY i) AS cvec
+      |                     FROM m1 GROUP BY cell) m USING (cell)),
+      |a2 AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c1 t) WHERE rk = 1),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+      |p0 AS (
+      |  SELECT query_id, qvec, cell FROM (
+      |    SELECT q.query_id, q.qvec, t.cell,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |                              ORDER BY list_cosine_similarity(q.qvec, t.cvec) DESC, t.cell) AS rk
+      |    FROM q CROSS JOIN c0 t) WHERE rk <= 3),
+      |p1 AS (
+      |  SELECT query_id, qvec, cell FROM (
+      |    SELECT q.query_id, q.qvec, t.cell,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |                              ORDER BY list_cosine_similarity(q.qvec, t.cvec) DESC, t.cell) AS rk
+      |    FROM q CROSS JOIN c1 t) WHERE rk <= 3),
+      |ivf0 AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(p.qvec, a.vec), 4) DESC,
+      |                      a.vec_id) AS rk
+      |    FROM p0 p JOIN a1 a ON a.cell = p.cell
+      |    WHERE a.vec_id <> p.query_id) WHERE rk <= 5),
+      |ivf1 AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(p.qvec, a.vec), 4) DESC,
+      |                      a.vec_id) AS rk
+      |    FROM p1 p JOIN a2 a ON a.cell = p.cell
+      |    WHERE a.vec_id <> p.query_id) WHERE rk <= 5),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY round(list_cosine_similarity(q.qvec, c.vec), 4) DESC,
+      |                      c.vec_id) AS rk
+      |    FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.query_id) WHERE rk <= 5),
+      |h0 AS (
+      |  SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM ivf0 i JOIN exact e USING (query_id, neighbor_id)
+      |  GROUP BY i.query_id),
+      |h1 AS (
+      |  SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM ivf1 i JOIN exact e USING (query_id, neighbor_id)
+      |  GROUP BY i.query_id)
+      |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+      |       round(CAST(coalesce(any_value(h0.n_hit), 0) AS DOUBLE) / count(*), 4) AS recall_seed,
+      |       round(CAST(coalesce(any_value(h1.n_hit), 0) AS DOUBLE) / count(*), 4) AS recall_trained
+      |FROM exact e LEFT JOIN h0 ON e.query_id = h0.query_id
+      |             LEFT JOIN h1 ON e.query_id = h1.query_id
+      |GROUP BY e.query_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val seedCents = e.filter(col("vec_id") % 50 === 0)
+    val init = seedCents.select(col("vec_id").as("cell"), col("embedding"))
+    val trained = Similarity.kmeansRefine(e, init, "vec_id", "embedding",
+      steps = 1)
+    val trainedCents = trained.select(col("cell").as("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, queries,
+      "vec_id", "embedding", k = 5, roundTo = 4)
+    def recallOf(cents: DataFrame) = Similarity.annRecall(
+      approx = Similarity.ivfTopK(
+        Similarity.assignCells(e, cents, "vec_id", "embedding"), cents,
+        queries, "vec_id", "embedding", k = 5, nProbe = 3, roundTo = 4),
+      exact = exact)
+    recallOf(seedCents)
+      .select(col("query_id"), col("n_exact"), col("recall").as("recall_seed"))
+      .join(recallOf(trainedCents)
+        .select(col("query_id"), col("recall").as("recall_trained")),
+        Seq("query_id"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8266,5 +8372,5 @@ object Catalog {
     q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport,
     q203AnnealedOrder, q204BucketSkew, q205DupGramFraction,
     q206IncrementalDupGram, q207GramFreqStore, q208LmPerplexity,
-    q209LmStore, q210KmeansStep, q211KmeansProfile)
+    q209LmStore, q210KmeansStep, q211KmeansProfile, q212TrainedRecall)
 }

@@ -21,16 +21,18 @@ class CorpusDemoSpec extends SparkSpecBase {
     assert(r.nExact === nBase)
     // monotone pipeline: each stage only drops
     assert(r.nExact >= r.nNear && r.nNear >= r.nClean &&
-      r.nClean >= r.nFresh && r.nFresh >= r.nQuality)
+      r.nClean >= r.nFresh && r.nFresh >= r.nLm && r.nLm >= r.nQuality)
     // every operator in the chain is deterministic (md5 splits, seeded
     // hashes, exact verify) — the sf0.001 stage counts are pinned
     // exactly; a change here means an operator changed semantics.
     // repetition_filter drops exactly the 6 gram-level remixes
-    // (shared_frac > 0.5) that survive pairwise near-dedup
-    assert((r.nNear, r.nClean, r.nFresh, r.nQuality, r.nClusters) ===
-      ((58L, 57L, 51L, 17L, 21L)), s"stage counts moved: $r")
-    assert(r.splitCounts === Map("train" -> 15L, "val" -> 2L))
-    assert((r.nMixture, r.mixtureTokens, r.nPacks) === ((15L, 770L, 7L)))
+    // (shared_frac > 0.5) that survive pairwise near-dedup;
+    // lm_filter drops the 13 docs whose bigram perplexity under the
+    // lang='en' reference model exceeds 380
+    assert((r.nNear, r.nClean, r.nFresh, r.nLm, r.nQuality, r.nClusters) ===
+      ((58L, 57L, 51L, 38L, 13L, 21L)), s"stage counts moved: $r")
+    assert(r.splitCounts === Map("train" -> 11L, "val" -> 2L))
+    assert((r.nMixture, r.mixtureTokens, r.nPacks) === ((11L, 553L, 6L)))
     // split partitions the quality set exactly
     assert(r.splitCounts.values.sum === r.nQuality)
     assert(r.splitCounts.keySet.subsetOf(Set("train", "val", "test")))
@@ -45,7 +47,8 @@ class CorpusDemoSpec extends SparkSpecBase {
     assert(r.attrition.getOrElse("near_dedup", 0L) === r.nExact - r.nNear)
     assert(r.attrition.getOrElse("decontaminate", 0L) === r.nNear - r.nClean)
     assert(r.attrition.getOrElse("repetition", 0L) === r.nClean - r.nFresh)
-    assert(r.attrition.getOrElse("quality", 0L) === r.nFresh - r.nQuality)
+    assert(r.attrition.getOrElse("lm_ppl", 0L) === r.nFresh - r.nLm)
+    assert(r.attrition.getOrElse("quality", 0L) === r.nLm - r.nQuality)
     assert(r.attrition.getOrElse("survived", 0L) === r.nMixture)
     // tier report covers the mixture, three balanced-ish tiers
     assert(r.tierCounts.values.sum === r.nMixture)
@@ -56,7 +59,8 @@ class CorpusDemoSpec extends SparkSpecBase {
     // timing, in pipeline order (the sf0.1 scaling record's raw data)
     assert(r.stageSec.map(_._1) === Seq("ingest", "exact_dedup",
       "near_dedup_cc", "near_dedup_filter", "decontaminate",
-      "repetition_filter", "quality_filter", "cluster_safe_split",
+      "repetition_filter", "lm_filter", "quality_filter",
+      "cluster_safe_split",
       "budgeted_mixture", "rank_tiers", "curriculum",
       "epoch_order_write", "pack", "kmv_store", "attrition"))
     assert(r.stageSec.forall(_._2 > 0.0))
