@@ -130,7 +130,7 @@ object LmFilter {
 
   // ------------------------------------------------ persisted LM store
   private val LmFamily = "lm_bigram"
-  private def lmMeta(ctxBuckets: Int, bigramBuckets: Int): IndexMeta =
+  private[graft] def lmMeta(ctxBuckets: Int, bigramBuckets: Int): IndexMeta =
     IndexMeta(LmFamily,
       "ctx_buckets" -> ctxBuckets, "bigram_buckets" -> bigramBuckets)
 

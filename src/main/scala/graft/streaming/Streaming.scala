@@ -778,6 +778,40 @@ object Streaming {
           "documents — pass allowForeignEpochs = true"))(batch =>
       Seq("" -> Dedup.gramFreqIndex(batch, idCol, textCol, n)))
 
+  /** Streaming reference-LM maintenance — the language-model sibling
+    * of [[gramFreqIngestSink]]: each micro-batch of REFERENCE
+    * documents lands in the corpus and appends its hashed
+    * context/bigram count partial; reads sum across epochs
+    * (`LmFilter.lmIndexRead`), so a later `LmFilter.lmPerplexity`
+    * scores candidates against every reference document ever
+    * ingested while the reference text is tokenized exactly once, at
+    * ingest — the model stays a bounded table however long the
+    * stream runs. Counts are additive — NOT idempotent — so the sink
+    * carries the fresh-checkpoint refusal: a reset source
+    * re-ingesting its documents would double every count and
+    * silently shift every later perplexity score (and any quantile
+    * cut derived from it). */
+  def lmIngestSink(stream: DataFrame, spark: SparkSession,
+                   corpusPath: String, indexPath: String,
+                   idCol: String, textCol: String,
+                   checkpoint: String, ctxBuckets: Int = 4096,
+                   bigramBuckets: Int = 32768,
+                   allowForeignEpochs: Boolean = false): StreamingQuery = {
+    import graft.operators.LmFilter
+    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+      LmFilter.lmMeta(ctxBuckets, bigramBuckets),
+      refusal = if (allowForeignEpochs) None else Some(
+        s"lmIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+          "already holds LM count partials. Counts are additive: a reset " +
+          "source re-ingesting its documents would double every count and " +
+          "shift every later perplexity. Restore the original checkpoint, " +
+          "rebuild corpus+model from raw sources, or — only if this run " +
+          "ingests strictly new documents — pass " +
+          "allowForeignEpochs = true"))(batch =>
+      Seq("" -> LmFilter.lmIndex(batch, idCol, textCol,
+        ctxBuckets, bigramBuckets)))
+  }
+
   /** Streaming retrieval-index ingest — the continuous form of
     * `Relevance.bm25IndexAppend`, completing the postings family's
     * shapes (batch build / incremental append / streaming): each

@@ -980,6 +980,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
   }
 
+  test("streaming LM ingest: stored model ≡ inline train over everything delivered; fresh checkpoint refuses") {
+    import graft.operators.LmFilter
+    val src = Files.createTempDirectory("graft-lm-src").toString
+    val corpus = Files.createTempDirectory("graft-lm-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-lm-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-lm-ckp").toString
+    val batch1 = Seq((1L, "a b c"), (2L, "a b d"))
+    val batch2 = Seq((3L, "a b e"), (4L, "x y z"))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.lmIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", ckp)
+        .awaitTermination()
+    }
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    val stored = LmFilter.lmIndexRead(spark, index, 4096, 32768)
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = LmFilter.lmIndex(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(stored === direct)
+    assert(spark.read.parquet(corpus).count() === 4L)
+    // the stored model scores a candidate identically to inline train
+    val cand = Seq((10L, "a b c q")).toDF("doc_id", "text")
+    val viaStore = LmFilter.lmPerplexity(cand, "doc_id", "text",
+      LmFilter.lmIndexRead(spark, index, 4096, 32768))
+      .as[(Long, Long, Double, Double)].collect()
+    val inline = LmFilter.lmPerplexity(cand, "doc_id", "text",
+      LmFilter.lmIndex((batch1 ++ batch2).toDF("doc_id", "text"),
+        "doc_id", "text"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(viaStore === inline)
+    val freshCkp = Files.createTempDirectory("graft-lm-ckp2").toString
+    val e = intercept[IllegalArgumentException] {
+      Streaming.lmIngestSink(
+        Streaming.fileStream(spark,
+          spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", freshCkp)
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
+
   test("streaming bm25 ingest: stored probe ≡ full-corpus scoring over everything delivered") {
     import graft.operators.Relevance
     val src = Files.createTempDirectory("graft-bm-src").toString
