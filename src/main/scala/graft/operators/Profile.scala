@@ -18,6 +18,50 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Zipf power-law fit of the token-frequency distribution, per
+    * group (source/language): least-squares slope and R² of
+    * ln(frequency) against ln(rank) over the top `maxRank` vocabulary
+    * entries. Natural text sits near slope −1 (Zipf's law); a corpus
+    * slice that deviates hard — too flat (template/boilerplate
+    * floods) or too steep (tiny effective vocabulary, repetition) —
+    * is the data-card-level smell this statistic exists to surface.
+    *
+    * Determinism: ranks order by (count DESC, token) — total order,
+    * engine-independent; the regression inputs are therefore
+    * identical everywhere and the 4dp rounding absorbs summation-
+    * order ulps (the q213 oracle replays the fit in DuckDB's own
+    * regr_slope/regr_r2).
+    *
+    * Scale shape: the token-count aggregate is map-side combined (the
+    * shuffle carries ≤ partitions × vocab partial rows); the rank
+    * window sorts each group's VOCABULARY table, bounded by distinct
+    * tokens, never the corpus; the regression consumes ≤ maxRank rows
+    * per group.
+    *
+    * @return (groupCol, n_distinct, zipf_slope, r2) — slope is
+    *         negative for Zipf-like text */
+  def zipfFit(df: DataFrame, groupCol: String, textCol: String,
+              maxRank: Int = 1000, roundTo: Int = 4): DataFrame = {
+    require(maxRank >= 2, s"maxRank must be >= 2 for a fit: $maxRank")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.select(col(groupCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("_t"))
+      .groupBy(col(groupCol), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+    val ranked = cnt
+      .withColumn("_r", row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(col("_c").desc, col("_t"))))
+      .withColumn("_nd",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    ranked.filter(col("_r") <= maxRank)
+      .groupBy(col(groupCol))
+      .agg(max(col("_nd")).as("n_distinct"),
+        round(regr_slope(log(col("_c").cast("double")),
+          log(col("_r").cast("double"))), roundTo).as("zipf_slope"),
+        round(regr_r2(log(col("_c").cast("double")),
+          log(col("_r").cast("double"))), roundTo).as("r2"))
+  }
+
   def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
     val metrics = cols.flatMap { c =>
       Seq(

@@ -376,6 +376,36 @@ object Similarity {
           roundTo).as("purity"))
   }
 
+  /** Cluster-balanced sample: up to `perCell` docs per k-means cell,
+    * ordered by md5(id) — the diversity-sampling move (uniform
+    * coverage of the EMBEDDING SPACE, not of the row population): a
+    * density-blind uniform sample re-creates the corpus's mode
+    * collapse, while sampling per cell caps every semantic
+    * neighborhood at the same budget. The md5 order is the engine-
+    * wide deterministic-reservoir rule (no rand(); every run, retry
+    * and engine draws the same docs — the q79 contract, applied to
+    * semantic strata instead of metadata strata).
+    *
+    * Scale shape: one [[assignCells]] broadcast argmax, then a window
+    * that partitions by cell — each partition ranks one cell,
+    * parallel across cells; with assignments persisted cell-
+    * partitioned ([[ivfIndexWrite]]) the rank never re-shuffles.
+    *
+    * @return (idCol, cell, rk) for the sampled docs, rk in
+    *         [1, perCell] */
+  def clusterBalancedSample(corpus: DataFrame, centroids: DataFrame,
+                            idCol: String, vecCol: String,
+                            perCell: Int): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1: $perCell")
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    assignCells(corpus,
+      centroids.select(col("cell").as(idCol), col(vecCol)), idCol, vecCol)
+      .select(col(idCol), col("cell"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= perCell)
+  }
+
   /** Build the index in-memory: assignments carry (idCol, vecCol,
     * cell). Callers persist via [[ivfIndexWrite]]; catalog queries and
     * specs can use the DataFrames directly. Centroids must expose

@@ -8319,6 +8319,61 @@ object Catalog {
         Seq("query_id"))
   }
 
+  // ------------------------------------------------- corpus statistics: Zipf fit
+  /** [[Profile.zipfFit]] under the oracle: per-source least-squares
+    * fit of ln(freq) vs ln(rank) over the top-1000 vocabulary — the
+    * data-card statistic that flags template floods (too flat) and
+    * repetition collapse (too steep). Ranks order by (count DESC,
+    * token), a total order, so both engines regress over identical
+    * points; 4dp rounding absorbs the summation-order ulps in the
+    * covariance sums. */
+  val q213ZipfFit = q("q213_zipf_fit",
+    "Zipf power-law fit of token frequencies per source: slope + R2 (north star: corpus data card)",
+    """WITH tok AS (
+      |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+      |rk AS (
+      |  SELECT source, t, c,
+      |         row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS r,
+      |         count(*) OVER (PARTITION BY source) AS nd
+      |  FROM cnt)
+      |SELECT source, CAST(max(nd) AS BIGINT) AS n_distinct,
+      |       round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS zipf_slope,
+      |       round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS r2
+      |FROM rk WHERE r <= 1000
+      |GROUP BY source""".stripMargin) { (s, d) =>
+    Profile.zipfFit(Tables.documents(s, d), "source", "text", maxRank = 1000)
+  }
+
+  /** [[Similarity.clusterBalancedSample]] under the oracle: up to 3
+    * docs per k-means cell, md5-ordered — diversity sampling over
+    * SEMANTIC strata (q79's deterministic reservoir applied to
+    * embedding-space cells instead of metadata groups). */
+  val q214ClusterSample = q("q214_cluster_sample",
+    "Cluster-balanced diversity sample: md5-ordered k-per-cell over embedding cells (north star: SemDeDup-style coverage)",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT c.vec_id, ct.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM corpus c CROSS JOIN cents ct) WHERE rk = 1)
+      |SELECT vec_id, cell, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT vec_id, cell,
+      |         row_number() OVER (PARTITION BY cell
+      |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |  FROM assign) WHERE rk <= 3""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.clusterBalancedSample(e,
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cell"), col("embedding")),
+      "vec_id", "embedding", perCell = 3)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8372,5 +8427,6 @@ object Catalog {
     q199CorpusCard, q200AnnRecall, q201PackedOffsets, q202BurnReport,
     q203AnnealedOrder, q204BucketSkew, q205DupGramFraction,
     q206IncrementalDupGram, q207GramFreqStore, q208LmPerplexity,
-    q209LmStore, q210KmeansStep, q211KmeansProfile, q212TrainedRecall)
+    q209LmStore, q210KmeansStep, q211KmeansProfile, q212TrainedRecall,
+    q213ZipfFit, q214ClusterSample)
 }

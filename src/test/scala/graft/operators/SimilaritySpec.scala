@@ -508,4 +508,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(0) === ((0L, 2L, round4(cos0), 1, 1.0)))
     assert(out(1) === ((1L, 3L, round4(cos1), 3, round4(2.0 / 3))))
   }
+
+  test("clusterBalancedSample: per-cell cap, md5 determinism, full coverage under a big cap") {
+    val cents = kmInit.filter($"cell" < 9)
+    val one = Similarity.clusterBalancedSample(kmCorpus, cents,
+      "vec_id", "embedding", perCell = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    // exactly one doc per populated cell, always rank 1
+    assert(one.map(_._2) === Array(0L, 1L) && one.forall(_._3 === 1L))
+    val again = Similarity.clusterBalancedSample(kmCorpus, cents,
+      "vec_id", "embedding", perCell = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(one === again, "md5 order must be run-stable")
+    // a cap above every cell size returns the whole corpus
+    val all = Similarity.clusterBalancedSample(kmCorpus, cents,
+      "vec_id", "embedding", perCell = 100)
+    assert(all.count() === kmCorpus.count())
+  }
 }
