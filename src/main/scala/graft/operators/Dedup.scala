@@ -1525,6 +1525,94 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT all-pairs similarity join via prefix filtering (the
+    * AllPairs/PPJoin family, Bayardo et al., WWW 2007): every pair of
+    * documents with token-set Jaccard ≥ `threshold` is returned —
+    * zero false negatives, the guarantee [[minHashLsh]] trades away
+    * for speed. This is the join a DEDUP CERTIFICATION pass runs
+    * (prove the shipped corpus has no surviving pair above t);
+    * banded LSH remains the right candidate generator when a
+    * bounded miss rate is acceptable.
+    *
+    * Candidate generation: tokens get a GLOBAL order (document
+    * frequency ASC, token — rarest first); a doc whose distinct-token
+    * set has size n indexes only its first n − ⌈t·n⌉ + 1 tokens in
+    * that order (its PREFIX). The prefix-filter lemma: two sets with
+    * Jaccard ≥ t must share at least one token inside both prefixes,
+    * so the equi-join on prefix tokens loses nothing. The PPJoin
+    * length filter (t·|A| ≤ |B| ≤ |A|/t) rides the join; exact
+    * verification is the codegen'd sorted-hash merge
+    * ([[ngramJaccardVerify]]'s scorer). The ⌈·⌉ computes with a 1e-9
+    * slack so binary rounding of t·n can only LENGTHEN a prefix
+    * (more candidates — safe), never shorten it (false negatives).
+    *
+    * Scale shape: prefixes hold the RAREST tokens, so candidate
+    * buckets are small by construction on natural text — that
+    * df-ascending order is the entire trick; cost is
+    * O(Σ prefix-bucket²), not O(docs²). A pathological token (a
+    * boilerplate string shared corpus-wide that survives into
+    * prefixes) still explodes a bucket, so `maxBucket` arms an
+    * in-plan tripwire (raise_error naming the token, the
+    * sequenceByKey discipline) — it FAILS rather than silently
+    * dropping candidates, because dropping would break the exactness
+    * contract this operator exists to provide.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
+    *         threshold (filtered unrounded, displayed at 4dp)
+    */
+  def exactJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.5, shingleK: Int = 3,
+                       maxBucket: Int = 100000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    // the shingle granularity is the selectivity dial: unigram sets
+    // (k=1) treat every same-vocabulary template as a near-dup;
+    // k-shingles demand shared WORD ORDER (the q20/q21 convention)
+    val shingleCol =
+      if (shingleK == 1) array_distinct(TextFunctions.tokens(col(textCol)))
+      else shingles(col(textCol), shingleK)
+    val sets = df.select(col(idCol).as("id"), shingleCol.as("_s"))
+      .filter(size(col("_s")) > 0)
+      .repartition(col("id"))
+    val toks = sets.select(col("id"), size(col("_s")).cast("long").as("_n"),
+      explode(col("_s")).as("_t"))
+    val dfreq = toks.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    def neededOverlap(n: Column) =
+      ceil(n.cast("double") * lit(threshold) - lit(1e-9))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("_df"), col("_t"))
+    val prefix = toks.join(dfreq, Seq("_t"))
+      .withColumn("_pos", row_number().over(wDoc))
+      .filter(col("_pos") <= col("_n") - neededOverlap(col("_n")) + 1)
+    // bucket tripwire: counted on the (small) prefix table, evaluated
+    // in-plan on the carried length column — zero extra actions
+    val guarded = prefix
+      .withColumn("_bkt", count(lit(1)).over(Window.partitionBy(col("_t"))))
+      .withColumn("_gn",
+        when(col("_bkt") > maxBucket, raise_error(concat(
+          lit("exactJaccardJoin prefix bucket overflow: token '"),
+          col("_t"),
+          lit("' appears in "), col("_bkt").cast("string"),
+          lit(s" prefixes (> $maxBucket) — quadratic candidate blow-up; " +
+            "raise maxBucket only with the cost understood, or strip the " +
+            "offending boilerplate token upstream"))).cast("long"))
+          .otherwise(col("_n")))
+    val ca = guarded.select(col("id").as("id_a"), col("_t"),
+      col("_gn").as("_na"))
+    val cb = guarded.select(col("id").as("id_b"), col("_t"),
+      col("_gn").as("_nb"))
+    val cand = ca.join(cb, Seq("_t"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("_nb") >= neededOverlap(col("_na")) &&
+        col("_na") >= neededOverlap(col("_nb")))
+      .select("id_a", "id_b").distinct()
+    ngramJaccardVerify(df, cand, idCol, textCol, k = shingleK,
+      threshold = threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact n-gram (word-shingle) Jaccard for all pairs within a
     * blocking key — the exact verifier for LSH candidates. Pair
     * scoring uses the codegen'd JaccardStr expression (hash-set

@@ -8374,6 +8374,38 @@ object Catalog {
       "vec_id", "embedding", perCell = 3)
   }
 
+  /** [[Dedup.exactJaccardJoin]] under the oracle: EVERY pair with
+    * 3-shingle-set Jaccard ≥ 0.5 — corpus-wide, NO blocking key
+    * (q21 is the blocked unigram sibling) — via prefix filtering in
+    * Spark vs brute force in DuckDB, so the oracle directly
+    * certifies the prefix-filter lemma's zero-false-negative claim
+    * on real data: a dropped candidate shows up as a missing row.
+    * The threshold compares UNROUNDED rationals in both engines;
+    * only the displayed jaccard rounds. */
+  val q215ExactJaccard = q("q215_exact_jaccard_join",
+    "Exact corpus-wide Jaccard join over 3-shingles (prefix filtering, zero false negatives) (north star: dedup certification)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN list_transform(range(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |           ELSE [array_to_string(toks, ' ')] END) AS s
+      |  FROM tk),
+      |ne AS (SELECT * FROM t WHERE len(s) > 0),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(jac, 4) AS jaccard
+      |FROM p WHERE jac >= 0.5""".stripMargin) { (s, d) =>
+    Dedup.exactJaccardJoin(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.5, shingleK = 3)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8428,5 +8460,5 @@ object Catalog {
     q203AnnealedOrder, q204BucketSkew, q205DupGramFraction,
     q206IncrementalDupGram, q207GramFreqStore, q208LmPerplexity,
     q209LmStore, q210KmeansStep, q211KmeansProfile, q212TrainedRecall,
-    q213ZipfFit, q214ClusterSample)
+    q213ZipfFit, q214ClusterSample, q215ExactJaccard)
 }

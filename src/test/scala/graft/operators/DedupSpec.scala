@@ -537,6 +537,47 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.droppedBuckets(out) === 3)
   }
 
+  test("exactJaccardJoin equals within-block brute force (zero false negatives); tripwire fires") {
+    // corpus engineered so candidates need the length filter AND the
+    // rare-token prefix to work together; brute force is the judge
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),      // J(1,2) = 3/5 = 0.6
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // longer: J(1,3)=4/8
+      (4L, "iota kappa lambda mu"),
+      (5L, "iota kappa lambda mu"),          // exact dup of 4: J = 1
+      (6L, "nu xi omicron pi rho sigma")     // unrelated
+    ).toDF("doc_id", "text")
+    val brute = Dedup.ngramJaccardPairs(
+      corpus.withColumn("blk", lit(1)), "doc_id", "text", "blk",
+      k = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fast = Dedup.exactJaccardJoin(corpus, "doc_id", "text",
+      threshold = 0.5, shingleK = 1)
+    val fastPairs = fast.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(fastPairs === brute, s"prefix filter missed/added pairs: " +
+      s"fast=$fastPairs brute=$brute")
+    // jaccard values are the exact rationals
+    val j = fast.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(j((1L, 2L)) === 0.6 && j((4L, 5L)) === 1.0)
+    // a token flooding the prefixes trips the in-plan guard loudly
+    val flood = Seq.tabulate(8)(i => (100L + i, s"shared u$i")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.exactJaccardJoin(flood, "doc_id", "text",
+        threshold = 0.5, shingleK = 1, maxBucket = 3).collect()
+    }
+    assert(e.getMessage.contains("prefix bucket overflow"), e.getMessage)
+    // default 3-shingle granularity: the exact dup still surfaces,
+    // the same-vocabulary-different-order pair does not
+    val k3 = Dedup.exactJaccardJoin(corpus, "doc_id", "text",
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(k3.contains((4L, 5L)))
+    assert(!k3.contains((1L, 2L)))  // J on 3-shingles: 2/4 common? engineered below threshold
+  }
+
   test("dupGramFraction: shared bigrams counted across docs, unique docs at zero") {
     val corpus = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
       .toDF("doc_id", "text")
