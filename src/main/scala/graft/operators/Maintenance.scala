@@ -68,6 +68,10 @@ object Maintenance {
         IntervalExpand.islandsIndexCompact(spark, root, keepVersions)
       case "dsir_buckets" =>
         Splits.dsirIndexCompact(spark, root, keepVersions)
+      case "gram_freq" =>
+        Dedup.gramFreqIndexCompact(spark, root, keepVersions)
+      case "lm_bigram" =>
+        LmFilter.lmIndexCompact(spark, root, keepVersions)
       case "bm25_postings" =>
         Relevance.bm25IndexCompact(spark, root, keepVersions)
       case "ivf" =>

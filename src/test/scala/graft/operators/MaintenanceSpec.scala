@@ -32,6 +32,18 @@ class MaintenanceSpec extends SparkSpecBase {
     SampleSketch.sampleSketchIndexWrite(
       SampleSketch.sampleSketch(prof, col("g"), col("id"), col("v"), 8),
       s"$root/indexes/profile", 8, "g", "v")
+    // gram-frequency count store, two epochs
+    Dedup.gramFreqIndexWrite(
+      Dedup.gramFreqIndex(docsA, "doc_id", "text", n = 2),
+      s"$root/indexes/grams", n = 2)
+    Dedup.gramFreqIndexAppend(spark, s"$root/indexes/grams",
+      Dedup.gramFreqIndex(docsB, "doc_id", "text", n = 2), "day-2", n = 2)
+    // bigram-LM count store, two epochs
+    LmFilter.lmIndexWrite(
+      LmFilter.lmIndex(docsA, "doc_id", "text"),
+      s"$root/indexes/lm", 4096, 32768)
+    LmFilter.lmIndexAppend(spark, s"$root/indexes/lm",
+      LmFilter.lmIndex(docsB, "doc_id", "text"), "day-2", 4096, 32768)
 
     val lineBefore = Dedup.lineFirstOccIndexRead(spark, s"$root/indexes/lines")
       .as[(String, Long, Int)].collect().toSet
@@ -40,11 +52,16 @@ class MaintenanceSpec extends SparkSpecBase {
     val profBefore = SampleSketch
       .sampleSketchIndexRead(spark, s"$root/indexes/profile", 8, "g", "v")
       .as[(String, Seq[(Long, Long, Double)])].collect().toSet
+    val gramsBefore = Dedup.gramFreqIndexRead(spark, s"$root/indexes/grams",
+      None, n = 2).as[(String, Long)].collect().toSet
+    val lmBefore = LmFilter.lmIndexRead(spark, s"$root/indexes/lm",
+      4096, 32768).as[(Int, Long, Long)].collect().toSet
 
     val results = Maintenance.compactAll(spark, root)
-    assert(results.map(_.root).size === 3)
+    assert(results.map(_.root).size === 5)
     assert(results.map(_.family).sorted ===
-      Seq("domain_cap_counts", "line_first_occ", "sample_sketch"))
+      Seq("domain_cap_counts", "gram_freq", "line_first_occ",
+        "lm_bigram", "sample_sketch"))
     assert(results.forall(r => !r.failed && r.stats.isDefined), results)
 
     // probe-after ≡ probe-before, per family fold
@@ -55,6 +72,10 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(SampleSketch
       .sampleSketchIndexRead(spark, s"$root/indexes/profile", 8, "g", "v")
       .as[(String, Seq[(Long, Long, Double)])].collect().toSet === profBefore)
+    assert(Dedup.gramFreqIndexRead(spark, s"$root/indexes/grams", None, n = 2)
+      .as[(String, Long)].collect().toSet === gramsBefore)
+    assert(LmFilter.lmIndexRead(spark, s"$root/indexes/lm", 4096, 32768)
+      .as[(Int, Long, Long)].collect().toSet === lmBefore)
   }
 
   test("describeStores: live/uncommitted epochs and retained versions, read-only") {
