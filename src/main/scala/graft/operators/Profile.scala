@@ -62,6 +62,42 @@ object Profile {
           log(col("_r").cast("double"))), roundTo).as("r2"))
   }
 
+  /** Vocabulary growth curve across ingest epochs (the Heaps'-law
+    * view): per epoch, token occurrences, NEW types (tokens whose
+    * FIRST occurrence is that epoch), cumulative vocabulary, and the
+    * novelty rate new_types / occurrences. The curve every data card
+    * should carry: novelty decaying on schedule is healthy Heaps
+    * behavior; novelty collapsing to ~0 early says further ingest is
+    * re-buying the same vocabulary (dedup/curation should gate it);
+    * a novelty SPIKE in a late epoch says the source mix shifted.
+    *
+    * Scale shape: one map-side-combined occurrence aggregate and one
+    * first-occurrence aggregate, both keyed by token — shuffles are
+    * bounded by vocabulary, never corpus size; the cumulative window
+    * runs over the (tiny) per-epoch summary.
+    *
+    * @param epochCol the ingest-epoch key (a date, a batch number —
+    *                 any orderable column)
+    * @return (epoch, n_occurrences, new_types, cum_types, novelty)
+    *         ordered by epoch */
+  def vocabGrowth(df: DataFrame, textCol: String, epochCol: Column,
+                  roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(epochCol.as("epoch"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("_t"))
+    val occ = toks.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val news = toks.groupBy(col("_t")).agg(min(col("epoch")).as("epoch"))
+      .groupBy(col("epoch")).agg(count(lit(1)).as("new_types"))
+    occ.join(news, Seq("epoch"), "left")
+      .select(col("epoch"), col("n_occurrences"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types",
+        sum(col("new_types")).over(Window.orderBy(col("epoch"))))
+      .withColumn("novelty", round(col("new_types").cast("double") /
+        col("n_occurrences").cast("double"), roundTo))
+  }
+
   def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
     val metrics = cols.flatMap { c =>
       Seq(

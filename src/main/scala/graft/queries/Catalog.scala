@@ -8406,6 +8406,26 @@ object Catalog {
       threshold = 0.5, shingleK = 3)
   }
 
+  /** [[Profile.vocabGrowth]] under the oracle: Heaps'-law vocabulary
+    * novelty per ingest epoch (doc_id % 5 plays the daily batch). */
+  val q216VocabGrowth = q("q216_vocab_growth",
+    "Vocabulary growth across ingest epochs: new types, cumulative vocab, novelty rate (north star: corpus data card)",
+    """WITH tok AS (
+      |  SELECT doc_id % 5 AS epoch,
+      |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |  FROM documents),
+      |occ AS (SELECT epoch, count(*) AS n_occurrences FROM tok GROUP BY epoch),
+      |fst AS (SELECT t, min(epoch) AS epoch FROM tok GROUP BY t),
+      |nw AS (SELECT epoch, count(*) AS new_types FROM fst GROUP BY epoch)
+      |SELECT o.epoch, o.n_occurrences,
+      |       coalesce(n.new_types, 0) AS new_types,
+      |       CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY o.epoch) AS BIGINT) AS cum_types,
+      |       round(CAST(coalesce(n.new_types, 0) AS DOUBLE) / o.n_occurrences, 4) AS novelty
+      |FROM occ o LEFT JOIN nw n ON o.epoch = n.epoch""".stripMargin) { (s, d) =>
+    Profile.vocabGrowth(Tables.documents(s, d), "text",
+      pmod(col("doc_id"), lit(5)))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8460,5 +8480,5 @@ object Catalog {
     q203AnnealedOrder, q204BucketSkew, q205DupGramFraction,
     q206IncrementalDupGram, q207GramFreqStore, q208LmPerplexity,
     q209LmStore, q210KmeansStep, q211KmeansProfile, q212TrainedRecall,
-    q213ZipfFit, q214ClusterSample, q215ExactJaccard)
+    q213ZipfFit, q214ClusterSample, q215ExactJaccard, q216VocabGrowth)
 }

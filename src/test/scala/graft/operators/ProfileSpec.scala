@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions.col
 
 class ProfileSpec extends SparkSpecBase {
   import spark.implicits._
@@ -53,6 +54,21 @@ class ProfileSpec extends SparkSpecBase {
     val out = Profile.tokenDistributionDrift(df, df, "text")
       .as[(String, Long, Long, Double, Double, Double)].collect()
     assert(out.forall(r => r._6 === 0.0 && r._4 === r._5))
+  }
+
+  test("vocabGrowth: first-occurrence attribution, cumulative vocab, novelty") {
+    val df = Seq(
+      (0L, "a b a"),      // epoch 0: 3 occ, new {a, b}
+      (1L, "b c"),        // epoch 1: 2 occ, new {c}
+      (2L, "a b c")       // epoch 2: 3 occ, new {}
+    ).toDF("epoch", "text")
+    val out = Profile.vocabGrowth(df, "text", col("epoch"))
+      .orderBy("epoch")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out === Array(
+      (0L, 3L, 2L, 2L, 0.6667),
+      (1L, 2L, 1L, 3L, 0.5),
+      (2L, 3L, 0L, 3L, 0.0)))
   }
 
   test("zipfFit: closed-form least squares on a hand-made frequency ladder") {
