@@ -339,4 +339,30 @@ class PropertySpec extends SparkSpecBase {
       assert(got.map(_._2).toSeq === (0L until n.toLong).toSeq)
     }
   }
+
+  private val jaccardCorpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 12)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 8)
+      ws <- Gen.listOfN(len, Gen.oneOf(
+        "apple", "banana", "cherry", "dates", "elder", "figs"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("property: exactJaccardJoin ≡ brute force on random corpora and thresholds (zero false negatives)") {
+    // small vocab forces heavy set overlap — the adversarial case for
+    // prefix filtering (prefixes collide constantly, the length and
+    // verify stages must carry the exactness)
+    forAllSeeded(Gen.zip(jaccardCorpusGen, Gen.oneOf(0.3, 0.5, 0.8)), 8) {
+      case (rows, t) =>
+        val df = rows.toDF("doc_id", "text")
+        val brute = Dedup.ngramJaccardPairs(df.withColumn("blk", lit(1)),
+          "doc_id", "text", "blk", k = 1, threshold = t)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val fast = Dedup.exactJaccardJoin(df, "doc_id", "text",
+          threshold = t, shingleK = 1)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(fast === brute, s"t=$t rows=$rows")
+    }
+  }
 }

@@ -509,6 +509,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out(1) === ((1L, 3L, round4(cos1), 3, round4(2.0 / 3))))
   }
 
+  test("trained centroids drop into the IVF index/store path unchanged") {
+    val corpus = gaussianVecs(60, 8, 7).toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansRefine(corpus,
+      Similarity.pickCentroids(corpus, "vec_id", "embedding", 5),
+      "vec_id", "embedding", steps = 2)
+      .select($"cell", $"embedding")
+    val idx = Similarity.ivfIndex(corpus, trained, "vec_id", "embedding")
+    val path = new java.io.File("target/tmp/ivf-trained-spec").getAbsolutePath
+    Similarity.ivfIndexWrite(idx, path)
+    val queries = corpus.filter($"vec_id" < 3)
+    val stored = Similarity.ivfProbeStored(spark, path, queries,
+      "vec_id", "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "neighbor_id").collect()
+    val inMem = Similarity.ivfProbe(queries, idx, "vec_id", "embedding",
+      k = 4, nProbe = 2).orderBy("query_id", "neighbor_id").collect()
+    assert(stored.nonEmpty && stored === inMem)
+    graft.GraftSession.sweepPersistedRdds(spark)
+  }
+
   test("clusterBalancedSample: per-cell cap, md5 determinism, full coverage under a big cap") {
     val cents = kmInit.filter($"cell" < 9)
     val one = Similarity.clusterBalancedSample(kmCorpus, cents,

@@ -801,4 +801,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("rangepartitioning"),
       s"q198 plans a global sort:\n$plan")
   }
+
+  test("q208 LM perplexity: bounded model broadcasts onto the feature stream, equi joins only") {
+    val plan = planOf("q208_lm_perplexity")
+    // both count tables (≤ ctx+bigram buckets rows) must ride as
+    // broadcast hash joins — a sort-merge here would shuffle the
+    // candidates' full bigram stream by bucket
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"LM model join degraded to SMJ (model should broadcast):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q210 k-means step: centroids broadcast against the corpus, never the reverse") {
+    val plan = planOf("q210_kmeans_step")
+    // assignCells joins the corpus to the unconditioned broadcast
+    // centroid table (the q23 shape); the corpus itself must stream
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"a k-row centroid join degraded to SMJ:\n$plan")
+  }
+
+  test("q215 exact Jaccard join: equi joins only — the exactness never buys a nested loop") {
+    val plan = planOf("q215_exact_jaccard_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering degraded to a nested loop:\n$plan")
+  }
+
+  test("q213/q216 corpus statistics: aggregates are vocabulary-bounded, no corpus-wide window") {
+    val p213 = planOf("q213_zipf_fit")
+    // the rank window partitions by source over the VOCAB table; the
+    // regression is a plain aggregate — no nested loops anywhere
+    assert(!p213.contains("BroadcastNestedLoopJoin"), p213)
+    val p216 = planOf("q216_vocab_growth")
+    assert(!p216.contains("BroadcastNestedLoopJoin"), p216)
+    assert(!p216.contains("SortMergeJoin"),
+      s"the tiny per-epoch summary join degraded to SMJ:\n$p216")
+  }
 }
