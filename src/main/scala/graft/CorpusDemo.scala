@@ -123,8 +123,10 @@ object CorpusDemo {
     val lmKept = staged("lm_filter") {
       val scored = barrier(LmFilter.lmPerplexity(fresh, "doc_id", "text",
         LmFilter.lmIndex(lmRef, "doc_id", "text")))
-      val cut = broadcast(scored.agg(
-        expr("percentile(ppl, 0.75)").as("_cut")))
+      // the distributed exact percentile (q80's operator), NOT the
+      // built-in percentile() whose value buffer lands on one reducer
+      val cut = broadcast(graft.operators.Percentiles.interpolated(
+        scored, Seq.empty, "ppl", Seq("_cut" -> 0.75)))
       barrier(fresh.join(
         scored.crossJoin(cut).filter(col("ppl") <= col("_cut"))
           .select("doc_id"),
