@@ -8426,6 +8426,119 @@ object Catalog {
       pmod(col("doc_id"), lit(5)))
   }
 
+  /** Matryoshka-style dimension-truncation recall: per prefix width
+    * d ∈ {8, 16, 32, 64}, how much of the full-dimension exact top-5
+    * a brute-force search over only the FIRST d dimensions recovers.
+    * The measurement behind every "store a 16-dim prefix, re-rank
+    * the shortlist at full width" ANN cost cut — shipping truncated
+    * vectors without it is a recall regression on faith. Composed
+    * entirely from [[Similarity.bruteForceTopK]] + [[Similarity.annRecall]]
+    * over sliced arrays (slice is a zero-shuffle projection). */
+  val q217TruncationRecall = q("q217_truncation_recall",
+    "Embedding-prefix truncation recall@5 per width (north star: ANN storage-cost acceptance)",
+    """WITH corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY round(list_cosine_similarity(q.qvec, c.vec), 4) DESC,
+      |                      c.vec_id) AS rk
+      |    FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.query_id) WHERE rk <= 5),
+      |dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+      |approx AS (
+      |  SELECT d, query_id, neighbor_id FROM (
+      |    SELECT dm.d, q.query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY dm.d, q.query_id
+      |             ORDER BY round(list_cosine_similarity(q.qvec[1:dm.d], c.vec[1:dm.d]), 4) DESC,
+      |                      c.vec_id) AS rk
+      |    FROM corpus c CROSS JOIN q CROSS JOIN dims dm
+      |    WHERE c.vec_id <> q.query_id) WHERE rk <= 5),
+      |hit AS (
+      |  SELECT a.d, a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+      |  GROUP BY a.d, a.query_id)
+      |SELECT CAST(dm.d AS INTEGER) AS dims, e.query_id,
+      |       CAST(count(*) AS BIGINT) AS n_exact,
+      |       coalesce(any_value(h.n_hit), 0) AS n_hit,
+      |       round(CAST(coalesce(any_value(h.n_hit), 0) AS DOUBLE) / count(*), 4) AS recall
+      |FROM exact e CROSS JOIN dims dm
+      |LEFT JOIN hit h ON h.d = dm.d AND h.query_id = e.query_id
+      |GROUP BY dm.d, e.query_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, queries,
+      "vec_id", "embedding", k = 5, roundTo = 4)
+    Seq(8, 16, 32, 64).map { dd =>
+      val sliced = e.select(col("vec_id"), slice(col("embedding"), 1, dd).as("embedding"))
+      Similarity.annRecall(
+        approx = Similarity.bruteForceTopK(sliced,
+          sliced.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, roundTo = 4),
+        exact = exact).withColumn("dims", lit(dd))
+    }.reduce(_.unionByName(_))
+      .select(col("dims"), col("query_id"), col("n_exact"), col("n_hit"),
+        col("recall"))
+  }
+
+  /** Int8-quantization recall: the q68 storage path's acceptance
+    * test — exact top-5 over RECONSTRUCTED (code × scale) vectors vs
+    * the float originals. Reconstruction round-trips through float
+    * in both engines so every cosine is bit-identical. */
+  val q218QuantRecall = q("q218_quant_recall",
+    "Int8 scalar-quantization recall@5 vs float exact (north star: similarity storage acceptance)",
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |         list_aggregate(list_transform(embedding,
+      |           x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+      |  FROM embeddings),
+      |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM base),
+      |recon AS (
+      |  SELECT vec_id,
+      |         CASE WHEN m IS NULL OR m = 0
+      |              THEN list_transform(embedding, x -> 0.0)
+      |              ELSE list_transform(embedding,
+      |                x -> CAST(CAST(CAST(round(CAST(x AS DOUBLE) / (m / 127.0)) AS INTEGER)
+      |                               * (m / 127.0) AS FLOAT) AS DOUBLE)) END AS rvec
+      |  FROM base),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+      |rq AS (SELECT vec_id AS query_id, rvec AS qvec FROM recon WHERE vec_id < 5),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, c.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY round(list_cosine_similarity(q.qvec, c.vec), 4) DESC,
+      |                      c.vec_id) AS rk
+      |    FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.query_id) WHERE rk <= 5),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, r.vec_id AS neighbor_id,
+      |           row_number() OVER (PARTITION BY q.query_id
+      |             ORDER BY round(list_cosine_similarity(q.qvec, r.rvec), 4) DESC,
+      |                      r.vec_id) AS rk
+      |    FROM recon r CROSS JOIN rq q WHERE r.vec_id <> q.query_id) WHERE rk <= 5),
+      |hit AS (
+      |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+      |  GROUP BY a.query_id)
+      |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+      |       coalesce(any_value(h.n_hit), 0) AS n_hit,
+      |       round(CAST(coalesce(any_value(h.n_hit), 0) AS DOUBLE) / count(*), 4) AS recall
+      |FROM exact e LEFT JOIN hit h ON e.query_id = h.query_id
+      |GROUP BY e.query_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val scale = coalesce(Similarity.int8Scale(col("embedding")), lit(0.0))
+    val recon = e.select(col("vec_id"),
+      transform(Similarity.quantizeInt8(col("embedding")),
+        c => (c.cast("double") * scale).cast("float")).as("embedding"))
+    Similarity.annRecall(
+      approx = Similarity.bruteForceTopK(recon,
+        recon.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, roundTo = 4),
+      exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, roundTo = 4))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8480,5 +8593,6 @@ object Catalog {
     q203AnnealedOrder, q204BucketSkew, q205DupGramFraction,
     q206IncrementalDupGram, q207GramFreqStore, q208LmPerplexity,
     q209LmStore, q210KmeansStep, q211KmeansProfile, q212TrainedRecall,
-    q213ZipfFit, q214ClusterSample, q215ExactJaccard, q216VocabGrowth)
+    q213ZipfFit, q214ClusterSample, q215ExactJaccard, q216VocabGrowth,
+    q217TruncationRecall, q218QuantRecall)
 }
