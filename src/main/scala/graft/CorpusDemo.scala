@@ -13,6 +13,7 @@ import graft.sources.{Fs, Tables}
   * the query whose oracle pins it) over a corpus directory:
   *
   *   ingest → exact dedup (q19) → near-dup LSH→verify→CC (q42)
+  *   → dedup certification (q215: exact residual-pair count)
   *   → decontaminate (q50) → cross-doc repetition filter (q205)
   *   → LM perplexity filter (q208) → quality filter (q119's signals)
   *   → cluster-safe split (q189: near-dup clusters never straddle
@@ -35,8 +36,9 @@ import graft.sources.{Fs, Tables}
 object CorpusDemo {
 
   final case class Result(
-      nIngested: Long, nExact: Long, nNear: Long, nClean: Long,
-      nFresh: Long, nLm: Long,
+      nIngested: Long, nExact: Long, nNear: Long,
+      nResidualWithin: Long, nResidualCross: Long,
+      nClean: Long, nFresh: Long, nLm: Long,
       nQuality: Long, nClusters: Long, splitCounts: Map[String, Long],
       nMixture: Long, mixtureTokens: Long, nCurriculum: Long,
       nPacks: Long, storesCompacted: Int, kmvProbes: Long,
@@ -83,6 +85,33 @@ object CorpusDemo {
       labels.filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id")),
       Seq("doc_id"), "left_anti")))
+
+    // ---- dedup certification (q215): the EXACT all-pairs join over
+    //      the survivors, same granularity/threshold as the verify
+    //      stage above, split by the dedup stage's own scope. The
+    //      near-dedup above is source-BLOCKED, so its claim is "no
+    //      within-source pair ≥ t survives" — residual_within
+    //      certifies exactly that claim (0 = proven, and it also
+    //      catches LSH banding misses, which are probabilistic).
+    //      residual_cross QUANTIFIES what the blocking choice leaves
+    //      behind — the number a corpus card must carry so the
+    //      blocking tradeoff is a recorded decision, not a surprise.
+    val (nResidualWithin, nResidualCross) = staged("certify_dedup") {
+      val src = near.select(col("doc_id"), col("source"))
+      val split = Dedup.exactJaccardJoin(near, "doc_id", "text",
+          threshold = 0.5, shingleK = 1)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")),
+          Seq("id_b"))
+        .agg(
+          coalesce(sum(when(col("_sa") === col("_sb"), 1L).otherwise(0L)),
+            lit(0L)).as("w"),
+          coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)),
+            lit(0L)).as("c"))
+        .head()
+      (split.getLong(0), split.getLong(1))
+    }
 
     // ---- decontaminate: held-out docs never pass; probes with > 10%
     //      verbatim 8-gram overlap against the benchmark drop
@@ -230,7 +259,9 @@ object CorpusDemo {
 
     Result(
       nIngested = docs.count(), nExact = exact.count(),
-      nNear = near.count(), nClean = clean.count(),
+      nNear = near.count(),
+      nResidualWithin = nResidualWithin, nResidualCross = nResidualCross,
+      nClean = clean.count(),
       nFresh = fresh.count(), nLm = lmKept.count(),
       nQuality = quality.count(),
       nClusters = labels.select("cluster_id").distinct().count(),
@@ -258,6 +289,7 @@ object CorpusDemo {
     println(
       s"""{"demo":"corpus","sf_dir":${Json.str(sfDir)},""" +
       s""""ingested":${r.nIngested},"exact":${r.nExact},"near":${r.nNear},""" +
+      s""""residual_within":${r.nResidualWithin},"residual_cross":${r.nResidualCross},""" +
       s""""clean":${r.nClean},"fresh":${r.nFresh},"lm":${r.nLm},"quality":${r.nQuality},"clusters":${r.nClusters},""" +
       s""""train":${r.splitCounts.getOrElse("train", 0L)},""" +
       s""""val":${r.splitCounts.getOrElse("val", 0L)},""" +

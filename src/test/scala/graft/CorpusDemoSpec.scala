@@ -31,6 +31,12 @@ class CorpusDemoSpec extends SparkSpecBase {
     // lang='en' reference model exceeds 380
     assert((r.nNear, r.nClean, r.nFresh, r.nLm, r.nQuality, r.nClusters) ===
       ((58L, 57L, 51L, 38L, 13L, 21L)), s"stage counts moved: $r")
+    // dedup certification: the source-blocked dedup's own claim (no
+    // within-source pair ≥ t survives) is exactly proven; the cross-
+    // source residual quantifies the blocking tradeoff on this
+    // template-heavy corpus
+    assert(r.nResidualWithin === 0L, s"blocked-dedup claim broken: $r")
+    assert(r.nResidualCross === 181L, s"blocking-tradeoff count moved: $r")
     assert(r.splitCounts === Map("train" -> 11L, "val" -> 2L))
     assert((r.nMixture, r.mixtureTokens, r.nPacks) === ((11L, 553L, 6L)))
     // split partitions the quality set exactly
@@ -58,7 +64,7 @@ class CorpusDemoSpec extends SparkSpecBase {
     // per-stage wall clock: every pipeline stage reports a positive
     // timing, in pipeline order (the sf0.1 scaling record's raw data)
     assert(r.stageSec.map(_._1) === Seq("ingest", "exact_dedup",
-      "near_dedup_cc", "near_dedup_filter", "decontaminate",
+      "near_dedup_cc", "near_dedup_filter", "certify_dedup", "decontaminate",
       "repetition_filter", "lm_filter", "quality_filter",
       "cluster_safe_split",
       "budgeted_mixture", "rank_tiers", "curriculum",
