@@ -214,4 +214,56 @@ object Contamination {
       probe.select(col(idCol).as("probe_id"), col(vecCol).as("pvec")),
       index.select(col("bench_id"), col("bvec")),
       tau, roundTo)
+
+  /** Contamination PROPAGATED through near-duplicate clusters — the
+    * hole direct n-gram overlap leaves open: a contaminated doc's
+    * near-duplicate (a light paraphrase of the same benchmark item)
+    * can clear the verbatim-gram threshold itself, and when dedup
+    * keeps THAT copy as the cluster representative, the benchmark
+    * leaks into training through the back door. The fix is
+    * structural: contamination is a property of the near-dup
+    * CLUSTER, not the document — every member inherits the cluster's
+    * maximum overlap ratio (the same cluster-level reasoning
+    * [[Splits.clusterSafeSplit]] applies to train/test assignment).
+    *
+    * Cluster edges come from [[Dedup.exactJaccardJoin]] (the q215
+    * exact join — deterministic and oracle-replayable, where
+    * LSH-seeded edges would not be) and collapse via
+    * [[Dedup.connectedComponents]]. Docs not in any pair are their
+    * own singleton cluster. Only PROBE docs are scored and
+    * propagated; the benchmark side contributes grams, never rows.
+    *
+    * Scale shape: the exact join is prefix-filtered (never
+    * all-pairs), CC runs on the (sparse) pair set, the gram overlap
+    * is the [[ngramOverlap]] broadcast shape, and the propagation is
+    * one cluster-keyed window over the per-doc ratio table.
+    *
+    * @return flagged docs only (cluster_ratio > flagThreshold):
+    *         (doc_id, own_ratio, cluster_ratio, flagged_by_neighbor)
+    *         — flagged_by_neighbor marks docs that would have
+    *         SURVIVED the direct check */
+  def propagatedOverlap(docs: DataFrame, benchFilter: org.apache.spark.sql.Column,
+                        idCol: String, textCol: String, n: Int = 8,
+                        pairThreshold: Double = 0.5, shingleK: Int = 3,
+                        flagThreshold: Double = 0.1,
+                        roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.exactJaccardJoin(docs, idCol, textCol,
+      pairThreshold, shingleK).select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs)
+    val ratios = ngramOverlap(docs.filter(!benchFilter),
+        docs.filter(benchFilter), idCol, textCol, n)
+      .select(col("doc_id"), col("overlap_ratio").as("_own"))
+    ratios
+      .join(cc.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("cluster_ratio",
+        max(col("_own")).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("cluster_ratio") > flagThreshold)
+      .select(col("doc_id"),
+        round(col("_own"), roundTo).as("own_ratio"),
+        round(col("cluster_ratio"), roundTo).as("cluster_ratio"),
+        (col("_own") <= flagThreshold).as("flagged_by_neighbor"))
+  }
 }

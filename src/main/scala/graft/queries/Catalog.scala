@@ -8539,6 +8539,67 @@ object Catalog {
         "vec_id", "embedding", k = 5, roundTo = 4))
   }
 
+  /** [[Contamination.propagatedOverlap]] under the oracle:
+    * contamination inherited through near-dup clusters — edges from
+    * the exact Jaccard join (oracle-replayable, unlike LSH-seeded
+    * edges), components via the q42 recursive-CTE replay, overlap
+    * per q50, cluster max propagated to every member.
+    * `flagged_by_neighbor` rows are the leak the direct check
+    * misses: docs under the verbatim threshold whose near-duplicate
+    * is contaminated. */
+  val q219PropagatedContamination = q("q219_propagated_contamination",
+    "Contamination propagated through near-dup clusters: per-member inherited overlap (north star: decontamination soundness)",
+    """WITH RECURSIVE
+      |tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN list_transform(range(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |           ELSE [array_to_string(toks, ' ')] END) AS s
+      |  FROM tk),
+      |ne AS (SELECT * FROM sh WHERE len(s) > 0),
+      |edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |verts AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM edges UNION SELECT id_b FROM edges)),
+      |undirected AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT reach.id, u.d FROM reach JOIN undirected u ON reach.r = u.s),
+      |cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |                     i -> array_to_string(toks[i:i+7], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS ngs
+      |  FROM tk),
+      |bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM grams WHERE doc_id % 29 = 0),
+      |probe AS (SELECT doc_id, unnest(ngs) AS ng FROM grams WHERE doc_id % 29 <> 0),
+      |ratio AS (
+      |  SELECT probe.doc_id, CAST(count(bench.ng) AS DOUBLE) / count(*) AS own
+      |  FROM probe LEFT JOIN bench ON probe.ng = bench.ng
+      |  GROUP BY probe.doc_id),
+      |lab AS (
+      |  SELECT r.doc_id, coalesce(cc.cluster_id, r.doc_id) AS cluster_id, r.own
+      |  FROM ratio r LEFT JOIN cc ON r.doc_id = cc.doc_id),
+      |prop AS (
+      |  SELECT doc_id, own,
+      |         max(own) OVER (PARTITION BY cluster_id) AS cluster_ratio
+      |  FROM lab)
+      |SELECT doc_id, round(own, 4) AS own_ratio,
+      |       round(cluster_ratio, 4) AS cluster_ratio,
+      |       own <= 0.1 AS flagged_by_neighbor
+      |FROM prop WHERE cluster_ratio > 0.1""".stripMargin) { (s, d) =>
+    Contamination.propagatedOverlap(Tables.documents(s, d),
+      benchFilter = pmod(col("doc_id"), lit(29)) === 0,
+      idCol = "doc_id", textCol = "text", n = 8)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8594,5 +8655,5 @@ object Catalog {
     q206IncrementalDupGram, q207GramFreqStore, q208LmPerplexity,
     q209LmStore, q210KmeansStep, q211KmeansProfile, q212TrainedRecall,
     q213ZipfFit, q214ClusterSample, q215ExactJaccard, q216VocabGrowth,
-    q217TruncationRecall, q218QuantRecall)
+    q217TruncationRecall, q218QuantRecall, q219PropagatedContamination)
 }

@@ -444,4 +444,25 @@ class SplitsContaminationSpec extends SparkSpecBase {
       .groupBy("cluster_id").agg(countDistinct("raw_split").as("n")).filter(col("n") > 1)
     assert(rawLeaks.count() > 0L, "expected raw-id splits to straddle some pair")
   }
+
+  test("propagatedOverlap: a paraphrased near-dup of a contaminated doc is flagged by its neighbor") {
+    // doc 1 verbatim-contains the benchmark 8-gram (own 1/5 = 0.2);
+    // doc 2 is its near-dup (3-shingle J = 7/13 ≈ 0.54) with the gram
+    // broken — own 0.0, invisible to the direct check, caught only
+    // through the cluster; doc 3 is unrelated and absent
+    val docs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta xx yy zz ww"),
+      (2L, "alpha beta gamma delta epsilon zeta eta nope xx yy zz ww"),
+      (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val out = Contamination.propagatedOverlap(docs,
+      benchFilter = col("doc_id") === 100L,
+      idCol = "doc_id", textCol = "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Boolean)].collect()
+    assert(out === Array(
+      (1L, 0.2, 0.2, false),
+      (2L, 0.0, 0.2, true)), s"got ${out.mkString("; ")}")
+  }
 }
