@@ -273,4 +273,66 @@ object Packing {
       .withColumn(as, col(as) - 1L)
       .drop("_eshuf_h")
   }
+
+  /** Serialize each packed (shard, bin) into ONE self-describing
+    * binary payload — the loader-ready shard format: a training
+    * reader fetches a (shard, bin) row, decodes the blob, and has its
+    * context window's documents in pack order with zero joins at
+    * read time. Layout (all integers big-endian):
+    *
+    *   [n_docs: int32] then per document, in pack order:
+    *   [doc_id: int64][byte_len: int32][utf-8 text bytes]
+    *
+    * [[readPackedPayload]] is the reference decoder (spec-pinned
+    * round-trip). Pack order inside a bin is (offset, doc_id) — the
+    * same order [[packWithOffsets]] defined; zero-token documents
+    * sharing an offset tiebreak by id.
+    *
+    * Scale shape: the record bytes are a pure codegen'd projection
+    * (hex/unhex/concat); assembly is one (shard, bin)-keyed
+    * aggregation whose output width is the context window's text —
+    * bounded by ctxLen tokens per bin, never a corpus-scale row.
+    * Write the result partitioned by shard and the loader's fetch is
+    * one pruned-partition point read.
+    *
+    * @param packed [[packWithOffsets]] output (doc_id, shard, bin, offset)
+    * @param docs   (idCol, textCol) — text joined back by id
+    * @return (shard, bin, n_docs, payload: binary) */
+  def packedPayloads(packed: DataFrame, docs: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    def be4(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    def be8(c: Column) = unhex(lpad(hex(c), 16, "0"))
+    val body = docs.select(col(idCol).as("doc_id"),
+      col(textCol).cast("binary").as("_b"))
+    packed.select(col("doc_id"), col("shard"), col("bin"), col("offset"))
+      .join(body, Seq("doc_id"))
+      .select(col("shard"), col("bin"),
+        struct(col("offset"), col("doc_id"),
+          concat(be8(col("doc_id")), be4(length(col("_b"))), col("_b"))
+            .as("_rec")).as("_r"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        collect_list(col("_r")).as("_rs"))
+      .select(col("shard"), col("bin"), col("n_docs"),
+        concat(be4(col("n_docs")),
+          aggregate(
+            transform(array_sort(col("_rs")), r => r.getField("_rec")),
+            lit(Array.emptyByteArray),
+            (acc, x) => concat(acc, x))).as("payload"))
+  }
+
+  /** Reference decoder for [[packedPayloads]] blobs — the contract a
+    * training loader implements; kept here so the round-trip is
+    * spec-pinned against the writer. */
+  def readPackedPayload(bytes: Array[Byte]): Seq[(Long, String)] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    (1 to n).map { _ =>
+      val id = buf.getLong
+      val len = buf.getInt
+      val arr = new Array[Byte](len)
+      buf.get(arr)
+      (id, new String(arr, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
 }

@@ -111,6 +111,34 @@ class PackingSpec extends SparkSpecBase {
     assert(diverged === 0L, s"sharded rank diverges from single-window reference")
   }
 
+  test("packedPayloads: every blob round-trips through the reference decoder in pack order") {
+    val corpus = (0L until 40L).map(i => (i, s"doc $i body ${"x" * (i % 5).toInt}"))
+      .toDF("doc_id", "text")
+      .withColumn("n_tok", graft.functions.TextFunctions.tokenCount($"text").cast("long"))
+    val packed = Packing.packWithOffsets(corpus, "doc_id", "n_tok",
+      ctxLen = 12, shards = 3)
+    val blobs = Packing.packedPayloads(packed, corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Array[Byte])].collect()
+    val want = packed.select($"doc_id", $"shard", $"bin", $"offset")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._2, r._3))
+      .map { case (k, rs) => k -> rs.sortBy(r => (r._4, r._1)).map(_._1).toSeq }
+    val texts = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    assert(blobs.map(b => (b._1, b._2)).toSet === want.keySet)
+    blobs.foreach { case (shard, bin, nDocs, payload) =>
+      val decoded = Packing.readPackedPayload(payload)
+      assert(decoded.length.toLong === nDocs)
+      assert(decoded.map(_._1) === want((shard, bin)), s"order in ($shard,$bin)")
+      decoded.foreach { case (id, text) => assert(text === texts(id)) }
+      // layout is exactly self-describing: no trailing bytes
+      assert(payload.length === 4 + decoded.map(d => 12 + d._2.getBytes("UTF-8").length).sum)
+    }
+    // every input doc lands in exactly one blob
+    val allIds = blobs.flatMap(b => Packing.readPackedPayload(b._4).map(_._1))
+    assert(allIds.sorted === (0L until 40L).toArray)
+  }
+
   test("packWithOffsets: offsets agree with packGreedy bins and tile the windows") {
     val out = Packing.packWithOffsets(docs, "id", "n_tok", ctxLen = 100, shards = 4)
       .as[(Long, Long, Long, Long, Long)].collect()
