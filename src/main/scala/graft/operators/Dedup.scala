@@ -1657,14 +1657,23 @@ object Dedup {
     * with repeated text — the MassiveText-style repetition filters
     * applied ACROSS documents instead of within one.
     *
-    * Shape: one full-width exchange. Grams explode per doc (DISTINCT
-    * within a doc, so a gram's row count IS its document frequency),
-    * md5-fingerprinted so the shuffle carries fixed-width 16-byte keys
-    * however long the grams are, and a window COUNT over the
-    * fingerprint partition attaches each gram's corpus df in place —
-    * no second aggregate, no join back. The per-doc rollup after it is
-    * map-side partial, so its exchange moves one small row per
-    * (doc, partition), never the grams.
+    * Shape: grams explode per doc (DISTINCT within a doc, so a gram's
+    * row count IS its document frequency), md5-fingerprinted so every
+    * shuffle carries fixed-width 16-byte keys however long the grams
+    * are. Corpus df comes from `groupBy(gram_fp).count()` + an
+    * equi-join back on the fingerprint — NOT a
+    * `count over (partition by gram_fp)` window. The distinction is
+    * the whole 100 TB contract: a corpus-wide boilerplate gram
+    * (df ≈ N docs) physically colocates all N of its rows in ONE
+    * window task that nothing can split, whereas the groupBy's
+    * map-side partials crush the hot key to one row per input
+    * partition, and the residual join-side skew is exactly the shape
+    * AQE's skew-join splitter handles. The join re-derives the gram
+    * frame on both sides (two scans of the text) — deliberately: at
+    * corpus scale, persisting the exploded gram table to avoid a
+    * second pass costs far more than the rescan. The per-doc rollup
+    * after it is map-side partial, so its exchange moves one small
+    * row per (doc, partition), never the grams.
     *
     * @return one row per doc: n_grams, n_shared (corpus df >= 2),
     *         shared_frac (rounded to 4 decimals) */
@@ -1673,8 +1682,9 @@ object Dedup {
     val grams = docs.select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), n)).as("_ng"))
       .select(col("doc_id"), md5(col("_ng").cast("binary")).as("gram_fp"))
-    grams
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("gram_fp"))))
+    val dfCounts = grams.groupBy(col("gram_fp"))
+      .agg(count(lit(1)).as("_df"))
+    grams.join(dfCounts, Seq("gram_fp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_shared"))

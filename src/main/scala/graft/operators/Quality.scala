@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quality-score composition and calibration — the layer that turns
+  * the engine's independent per-document quality signals (hashed-LM
+  * perplexity [[LmFilter.lmPerplexity]], DSIR importance
+  * [[Splits.dsirLogWeights]], the heuristic screens of
+  * [[Relevance.qualityFilter]]) into ONE keep/drop decision with
+  * per-source thresholds.
+  *
+  * The calibration primitive is CCNet's head/middle/tail bucketing
+  * (reference: the `stripe_sync` pipeline has no analog — this is
+  * north-star surface): a raw score threshold that is right for one
+  * source is wrong for another (web text and reference text have
+  * different perplexity ranges), so CCNet cuts each source's score
+  * distribution at fixed QUANTILES and applies the keep policy to the
+  * bucket, not the score. [[qualityBuckets]] is that operator for any
+  * score column; [[gateReasons]] folds any set of named boolean gates
+  * into the keep + named-reasons verdict shape every filter in this
+  * engine reports ([[Relevance.qualityFilter]]'s contract, made
+  * reusable).
+  *
+  * Scale shape (100 TB posture): thresholds come from
+  * [[Percentiles.interpolated]] — two bounded passes over the scores,
+  * never a per-source sort window — and the resulting cut table is
+  * one row per source (report-scale), broadcast back onto the score
+  * stream. The corpus never shuffles for calibration; only the
+  * fixed-width (source, score) projection does, inside the percentile
+  * machinery.
+  */
+object Quality {
+
+  /** Per-group quantile bucketing of a score column — CCNet
+    * head/middle/tail, generalized: cut each `byCols` group's score
+    * distribution at `cuts` (interpolated quantiles, SQL
+    * `quantile_cont` semantics, bit-identical to DuckDB's) and label
+    * each row by the bucket its score falls in: `score <= cut(0)` →
+    * `labels(0)`, `<= cut(1)` → `labels(1)`, …, else `labels.last`.
+    *
+    * For an ascending badness score (perplexity), the defaults give
+    * CCNet's exact semantics: head = the third of the source that
+    * looks most like the reference corpus.
+    *
+    * Rows with a NULL score get a NULL bucket (no score is not the
+    * same as a bad score — the caller's gate decides what to do with
+    * unscored docs, the way [[Relevance.qualityFilter]]'s `lm` check
+    * fails unknowable fluency explicitly). Bucketing compares the
+    * score EXACTLY as passed — calibrate on the rounded, emitted
+    * signal (the engine-portable convention all oracle-checked
+    * signals follow), not a private unrounded twin.
+    *
+    * @param as output bucket column name
+    * @return `scores` + the `as` label column (threshold columns are
+    *         internal and dropped) */
+  def qualityBuckets(scores: DataFrame, scoreCol: String, byCols: Seq[String],
+                     cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                     labels: Seq[String] = Seq("head", "middle", "tail"),
+                     as: String = "bucket"): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(p => p > 0.0 && p < 1.0),
+      s"cuts must lie strictly inside (0, 1): $cuts")
+    require(cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be strictly ascending: $cuts")
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts, got ${labels.size}")
+    val names = cuts.indices.map(i => s"_qb_c$i")
+    val thresholds = Percentiles
+      .interpolated(scores, byCols, scoreCol, names.zip(cuts))
+      .drop("n")
+    // one row per group — broadcast; the score stream never reshuffles
+    val joined = scores.join(broadcast(thresholds), byCols, "left")
+    val bucket = cuts.indices.reverse.foldLeft(lit(labels.last): Column) {
+      (acc, i) => when(col(scoreCol) <= col(names(i)), lit(labels(i))).otherwise(acc)
+    }
+    joined
+      .withColumn(as,
+        when(col(scoreCol).isNotNull, bucket).otherwise(lit(null)))
+      .drop(names: _*)
+  }
+
+  /** Fold named boolean gates into the engine's standard filter
+    * verdict: `reasons` = comma-joined names of FAILED checks (in the
+    * given order, '' when all pass), `keep` = no check failed. A NULL
+    * check outcome counts as failed (an unscorable doc must not pass
+    * the gate that couldn't score it — [[Relevance.qualityFilter]]'s
+    * `lm` convention). Pure per-row expression work: nothing
+    * shuffles, nothing leaves whole-stage codegen. */
+  def gateReasons(df: DataFrame, checks: Seq[(String, Column)],
+                  keepCol: String = "keep",
+                  reasonsCol: String = "reasons"): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    // concat_ws skips nulls: passed checks vanish from the report
+    val reasons = concat_ws(",",
+      checks.map { case (n, ok) => when(!coalesce(ok, lit(false)), lit(n)) }: _*)
+    df.withColumn(reasonsCol, reasons)
+      .withColumn(keepCol, col(reasonsCol) === "")
+  }
+}

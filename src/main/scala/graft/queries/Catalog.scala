@@ -7898,10 +7898,11 @@ object Catalog {
   /** [[Dedup.dupGramFraction]] under the oracle: per doc, the share of
     * its distinct 8-grams occurring in >= 2 documents corpus-wide —
     * the cross-document twin of q51's within-doc repetition. Spark
-    * counts df with one window over md5 fingerprints (single
-    * full-width exchange); the oracle recomputes it the explode +
-    * group-by + join-back way on gram STRINGS, so fingerprinting is
-    * cross-checked for free. */
+    * counts df with a skew-proof groupBy over md5 fingerprints and
+    * equi-joins it back (map-side partials absorb a corpus-wide
+    * boilerplate gram a window partition cannot); the oracle
+    * recomputes it the same group-by + join-back way on gram STRINGS,
+    * so fingerprinting is cross-checked for free. */
   val q205DupGramFraction = q("q205_dup_gram_fraction",
     "Cross-document duplicated n-gram fraction per doc (north star: repetition filtering)",
     """WITH tk AS (

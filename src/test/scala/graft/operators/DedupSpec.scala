@@ -591,6 +591,25 @@ class DedupSpec extends SparkSpecBase {
       (3L, 2L, 0L, 0.0)))
   }
 
+  test("dupGramFraction: a gram shared by EVERY doc (corpus-wide boilerplate) counts correctly") {
+    // the 100 TB failure shape the groupBy+join formulation exists
+    // for: one bigram ("sig line") present in all N docs — a
+    // count-over-fingerprint window would colocate all N of its rows
+    // in one task; the groupBy's map-side partials crush it. Here we
+    // pin the SEMANTICS: the hot gram is shared for everyone, the
+    // private grams are not.
+    val n = 50
+    val corpus = (1 to n).map(i => (i.toLong, s"sig line u$i v$i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupGramFraction(corpus, "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "n_shared", "shared_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === n)
+    // per doc bigrams: {sig line, line u$i, u$i v$i} — only the
+    // boilerplate gram has df >= 2
+    assert(out.forall { case (_, g, s, f) => g == 3L && s == 1L && f == 0.3333 })
+  }
+
   test("incrementalDupGramFraction: seen fraction vs corpus index; empty index fails loudly") {
     val corpus = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
     val index = Dedup.gramFreqIndex(corpus, "doc_id", "text", n = 2)

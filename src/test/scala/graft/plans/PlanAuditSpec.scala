@@ -828,6 +828,18 @@ class PlanAuditSpec extends SparkSpecBase {
       s"prefix filtering degraded to a nested loop:\n$plan")
   }
 
+  test("q205 dup-gram fraction: corpus df via skew-proof groupBy+join, never a fingerprint window") {
+    val plan = planOf("q205_dup_gram_fraction")
+    // a corpus-wide boilerplate gram (df ≈ N docs) colocates all its
+    // rows in one window task nothing can split; the groupBy's
+    // map-side partials crush that key and AQE can split the residual
+    // join skew — so any Window surviving in this plan is a regression
+    assert(!plan.contains("Window"),
+      s"q205 regressed to a count-over-fingerprint window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q213/q216 corpus statistics: aggregates are vocabulary-bounded, no corpus-wide window") {
     val p213 = planOf("q213_zipf_fit")
     // the rank window partitions by source over the VOCAB table; the
