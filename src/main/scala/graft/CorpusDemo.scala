@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{BoundedRead, Cardinality, Contamination, Curation,
-  Dedup, LmFilter, Maintenance, Packing, Splits}
+  Dedup, LmFilter, Maintenance, Packing, Quality, Splits}
 import graft.sources.{Fs, Tables}
 
 /** The LLM-data-pipeline story as ONE runnable main — the second-half
@@ -14,8 +14,11 @@ import graft.sources.{Fs, Tables}
   *
   *   ingest → exact dedup (q19) → near-dup LSH→verify→CC (q42)
   *   → dedup certification (q215: exact residual-pair count)
-  *   → decontaminate (q50) → cross-doc repetition filter (q205)
-  *   → LM perplexity filter (q208) → quality filter (q119's signals)
+  *   → cluster-propagated decontamination (q219: paraphrase
+  *     neighbors of contaminated docs drop too, counted)
+  *   → cross-doc repetition filter (q205)
+  *   → composed quality gate (q220/q221: per-source CCNet ppl
+  *     bucketing + heuristic floors, named drop reasons)
   *   → cluster-safe split (q189: near-dup clusters never straddle
   *     train/test) → token-budget mixture (q191) → curriculum
   *     interleave (q190) → greedy context packing (q55)
@@ -38,8 +41,9 @@ object CorpusDemo {
   final case class Result(
       nIngested: Long, nExact: Long, nNear: Long,
       nResidualWithin: Long, nResidualCross: Long,
-      nClean: Long, nFresh: Long, nLm: Long,
-      nQuality: Long, nClusters: Long, splitCounts: Map[String, Long],
+      nClean: Long, nFlaggedByNeighbor: Long, nFresh: Long,
+      nQuality: Long, gateReasons: Map[String, Long],
+      nClusters: Long, splitCounts: Map[String, Long],
       nMixture: Long, mixtureTokens: Long, nCurriculum: Long,
       nPacks: Long, storesCompacted: Int, kmvProbes: Long,
       attrition: Map[String, Long], tierCounts: Map[Long, Long],
@@ -113,15 +117,24 @@ object CorpusDemo {
       (split.getLong(0), split.getLong(1))
     }
 
-    // ---- decontaminate: held-out docs never pass; probes with > 10%
-    //      verbatim 8-gram overlap against the benchmark drop
-    val probe = near.filter(pmod(col("doc_id"), lit(29)) =!= 0)
-    val clean = staged("decontaminate")(barrier(near.join(
-      Contamination.ngramOverlap(probe = probe,
-        benchmark = base.filter(pmod(col("doc_id"), lit(29)) === 0),
-        idCol = "doc_id", textCol = "text", n = 8)
-        .filter(col("overlap_ratio") <= 0.1).select("doc_id"),
-      Seq("doc_id"), "left_semi")))
+    // ---- decontaminate (q219, upgraded from the direct q50 check):
+    //      contamination is a property of the near-dup CLUSTER, not
+    //      the document — a light paraphrase of a benchmark item can
+    //      itself clear the verbatim 8-gram threshold, and the direct
+    //      check would wave it through. propagatedOverlap gives every
+    //      doc its cluster's MAX overlap; anything in a contaminated
+    //      cluster drops, and flagged_by_neighbor counts exactly the
+    //      paraphrases the direct check would have missed — the
+    //      number the corpus card carries. Held-out (%29==0) docs
+    //      never pass regardless.
+    val (clean, nFlaggedByNeighbor) = staged("decontaminate") {
+      val flagged = barrier(Contamination.propagatedOverlap(near,
+        benchFilter = pmod(col("doc_id"), lit(29)) === 0,
+        idCol = "doc_id", textCol = "text", n = 8))
+      (barrier(near.filter(pmod(col("doc_id"), lit(29)) =!= 0)
+          .join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")),
+        flagged.filter(col("flagged_by_neighbor")).count())
+    }
 
     // ---- cross-doc repetition filter (q205): drop gram-level
     //      remixes — docs mostly assembled from 8-grams other
@@ -134,38 +147,41 @@ object CorpusDemo {
         .filter(col("shared_frac") <= 0.5).select("doc_id"),
       Seq("doc_id"), "left_semi")))
 
-    // ---- LM perplexity filter (q208): CCNet-style — score every
-    //      surviving doc under a hashed bigram LM trained on the
-    //      in-language (lang='en') slice of the raw table; drop the
-    //      high-perplexity tail. Catches what the lexical quality
-    //      signals below cannot: gibberish assembled from real
-    //      tokens scores high ppl because its TRANSITIONS are
-    //      unseen, while alpha ratio and token count look fine.
-    //      CCNet keeps the head/middle of the ppl distribution, so
-    //      the cut is the scored batch's own 75th percentile (exact,
-    //      one single-column aggregate, broadcast back as a scalar)
-    //      rather than an absolute number — an absolute cut silently
-    //      stops biting when a bigger reference corpus re-scales the
-    //      smoothed probabilities.
+    // ---- quality gate (q220/q221): ONE composed keep/drop decision
+    //      replacing the former serial lm_filter → quality_filter
+    //      stages. The LM signal is calibrated PER SOURCE the CCNet
+    //      way ([[Quality.qualityBuckets]]): each source's ppl
+    //      distribution is cut at its own 1/3 and 2/3 quantiles and
+    //      the tail third drops — a global percentile cut (the old
+    //      shape) silently over-prunes whichever source naturally
+    //      scores higher ppl. The heuristic floors ride the same
+    //      [[Quality.gateReasons]] verdict, so every dropped doc
+    //      names WHICH gate killed it — per-reason counts are what a
+    //      curation run reports, and the funnel stops hiding the
+    //      overlap between gates.
     val lmRef = Tables.documents(spark, sfDir)
       .filter(col("lang") === "en").select("doc_id", "text")
-    val lmKept = staged("lm_filter") {
-      val scored = barrier(LmFilter.lmPerplexity(fresh, "doc_id", "text",
-        LmFilter.lmIndex(lmRef, "doc_id", "text")))
-      // the distributed exact percentile (q80's operator), NOT the
-      // built-in percentile() whose value buffer lands on one reducer
-      val cut = broadcast(graft.operators.Percentiles.interpolated(
-        scored, Seq.empty, "ppl", Seq("_cut" -> 0.75)))
-      barrier(fresh.join(
-        scored.crossJoin(cut).filter(col("ppl") <= col("_cut"))
-          .select("doc_id"),
-        Seq("doc_id"), "left_semi"))
+    val (quality, gateReasons) = staged("quality_gate") {
+      val scored = barrier(fresh.join(
+        LmFilter.lmPerplexity(fresh, "doc_id", "text",
+          LmFilter.lmIndex(lmRef, "doc_id", "text"))
+          .select("doc_id", "ppl"),
+        Seq("doc_id")))
+      val gated = barrier(Quality.gateReasons(
+        Quality.qualityBuckets(scored, "ppl", Seq("source"),
+          as = "_ppl_bucket"),
+        Seq(
+          "lm" -> (col("_ppl_bucket") =!= "tail"),
+          "length" -> (TextFunctions.tokenCount(col("text")) >= 25),
+          "alpha" -> (TextFunctions.alphaRatio(col("text")) >= 0.6))))
+      val reasonCounts = BoundedRead.boundedDriverRead(
+        gated.filter(!col("keep")).groupBy("reasons").count(), maxRows = 8,
+        what = "CorpusDemo gate reason counts",
+        boundWhy = "at most 2^3 - 1 failed-gate combinations")
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (barrier(gated.filter(col("keep"))
+        .select("doc_id", "source", "text")), reasonCounts)
     }
-
-    // ---- quality: codegen'd per-row signals, zero shuffle
-    val quality = staged("quality_filter")(barrier(lmKept.filter(
-      TextFunctions.tokenCount(col("text")) >= 25 &&
-        TextFunctions.alphaRatio(col("text")) >= 0.6)))
 
     // ---- cluster-safe split: hash the NEAR-DUP CLUSTER id, so no
     //      near-duplicate pair can straddle train/test (q189 — the
@@ -249,7 +265,7 @@ object CorpusDemo {
       Curation.attrition(docs, "doc_id", Seq(
         "exact_dedup" -> exact, "near_dedup" -> near,
         "decontaminate" -> clean, "repetition" -> fresh,
-        "lm_ppl" -> lmKept, "quality" -> quality,
+        "quality_gate" -> quality,
         "split" -> train, "mixture" -> mixture))
         .groupBy("dropped_at").count(), maxRows = 8,
       what = "CorpusDemo attrition funnel",
@@ -261,9 +277,9 @@ object CorpusDemo {
       nIngested = docs.count(), nExact = exact.count(),
       nNear = near.count(),
       nResidualWithin = nResidualWithin, nResidualCross = nResidualCross,
-      nClean = clean.count(),
-      nFresh = fresh.count(), nLm = lmKept.count(),
-      nQuality = quality.count(),
+      nClean = clean.count(), nFlaggedByNeighbor = nFlaggedByNeighbor,
+      nFresh = fresh.count(),
+      nQuality = quality.count(), gateReasons = gateReasons,
       nClusters = labels.select("cluster_id").distinct().count(),
       splitCounts = splitCounts,
       nMixture = mixture.count(),
@@ -290,7 +306,11 @@ object CorpusDemo {
       s"""{"demo":"corpus","sf_dir":${Json.str(sfDir)},""" +
       s""""ingested":${r.nIngested},"exact":${r.nExact},"near":${r.nNear},""" +
       s""""residual_within":${r.nResidualWithin},"residual_cross":${r.nResidualCross},""" +
-      s""""clean":${r.nClean},"fresh":${r.nFresh},"lm":${r.nLm},"quality":${r.nQuality},"clusters":${r.nClusters},""" +
+      s""""clean":${r.nClean},"flagged_by_neighbor":${r.nFlaggedByNeighbor},""" +
+      s""""fresh":${r.nFresh},"quality":${r.nQuality},""" +
+      s""""gate_reasons":{${r.gateReasons.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${Json.str(k)}:$v" }.mkString(",")}},""" +
+      s""""clusters":${r.nClusters},""" +
       s""""train":${r.splitCounts.getOrElse("train", 0L)},""" +
       s""""val":${r.splitCounts.getOrElse("val", 0L)},""" +
       s""""test":${r.splitCounts.getOrElse("test", 0L)},""" +

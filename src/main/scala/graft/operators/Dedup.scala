@@ -1557,6 +1557,13 @@ object Dedup {
     * dropping candidates, because dropping would break the exactness
     * contract this operator exists to provide.
     *
+    * Degenerate docs: documents with ZERO tokens certify nothing and
+    * are excluded at EVERY shingle granularity — one convention for
+    * all k, so certification counts never shift with `shingleK` on
+    * empty/whitespace docs (at k ≥ 2 the short-doc fallback shingle
+    * would otherwise pair two empty docs at jaccard 1.0 while k = 1
+    * dropped them).
+    *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
     *         threshold (filtered unrounded, displayed at 4dp)
     */
@@ -1573,7 +1580,9 @@ object Dedup {
     val shingleCol =
       if (shingleK == 1) array_distinct(TextFunctions.tokens(col(textCol)))
       else shingles(col(textCol), shingleK)
-    val sets = df.select(col(idCol).as("id"), shingleCol.as("_s"))
+    val sets = df
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"), shingleCol.as("_s"))
       .filter(size(col("_s")) > 0)
       .repartition(col("id"))
     val toks = sets.select(col("id"), size(col("_s")).cast("long").as("_n"),
@@ -1611,6 +1620,124 @@ object Dedup {
       threshold = threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** EXACT all-pairs cosine join — [[exactJaccardJoin]]'s twin on the
+    * EMBEDDING side: every pair of vectors with cosine ≥ `threshold`
+    * is returned, zero false negatives. This is the join a SEMANTIC
+    * dedup certification pass runs (prove the shipped corpus has no
+    * surviving pair above τ — the guarantee [[semanticDedup]]'s
+    * cell-blocked scoring and [[embeddingLshPairs]]'s SRP banding
+    * trade away for speed; q200 measures their recall against
+    * sampled queries, this operator CERTIFIES the whole corpus).
+    *
+    * Blocking is pivot-angle banding (the generalized-hyperplane /
+    * pivot bound of the metric-space join literature — Jacox & Samet
+    * TODS 2008, MRSimJoin ICDE 2012 — specialized to the sphere):
+    * `nPivots` deterministic pivots come from the md5 rule
+    * ([[graft.operators.Similarity.pickCentroids]] — blocking choice
+    * never affects the RESULT, which is what the oracle replays);
+    * every vector gets, per pivot, the band
+    * ⌊angle(vec, pivot) / θ⌋ with θ = acos(threshold) + 1e-3. The
+    * spherical triangle inequality |angle(x,p) − angle(y,p)| ≤
+    * angle(x,y) ≤ acos(threshold) < θ means a qualifying pair's
+    * bands differ by AT MOST 1 on every pivot — the 1e-3 widening
+    * absorbs float noise in the band boundary, turning "≤" into "<"
+    * (a wider band only ever ADDS candidates: safe). Each vector
+    * replicates to {b, b+1} on the first two pivots (4×, fixed);
+    * a qualifying pair then meets at EXACTLY the canonical cell
+    * (max(b0ₐ,b0ᵦ), max(b1ₐ,b1ᵦ)) — one equi-join match per pair,
+    * no post-hoc distinct. Remaining pivots prune as in-plan
+    * |Δband| ≤ 1 integer checks before the exact cosine verify,
+    * which alone decides membership (round to `roundTo` dp — the
+    * q34 engine/oracle convention — then ≥ threshold).
+    *
+    * Pruning power is θ-bound: π/θ bands per pivot, so a τ = 0.9
+    * certification (θ ≈ 0.45) blocks the sphere into ~7² cells per
+    * key pair while τ ≤ 0.5 (θ > 1 rad) degrades toward all-pairs —
+    * inherent to EXACT joins at wide angles, not a defect; the
+    * certification thresholds that matter sit high. Cost is
+    * O(Σ cell²), and a mass-collapsed cell (every vector at the same
+    * angle to both blocking pivots — the concentration shape of very
+    * high dimensions) trips the in-plan `maxCell` raise_error
+    * (groupBy+join-back on the cell key, NOT a window — the q205
+    * hot-key lesson) rather than silently degrading: failing is the
+    * right contract for a certification op.
+    *
+    * Degenerate vectors: zero-norm vectors have no defined angle and
+    * certify nothing — excluded, the [[exactJaccardJoin]]
+    * empty-doc convention.
+    *
+    * @return (id_a, id_b, cos) with id_a < id_b, round(cos, roundTo)
+    *         ≥ threshold */
+  def exactCosineJoin(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nPivots: Int = 4,
+                      maxCell: Long = 100000L,
+                      roundTo: Int = 4): DataFrame = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold must be in (-1, 1): $threshold")
+    require(nPivots >= 2 && nPivots <= 16,
+      s"nPivots must be in [2, 16] (two block the join, the rest prefilter): $nPivots")
+    val theta = math.acos(threshold) + 1e-3
+    // bounded metadata read: the pivot VECTORS become plan literals,
+    // so band assignment is pure codegen'd row math — the corpus
+    // never shuffles (or broadcasts) for it
+    val pivots = BoundedRead.boundedDriverRead(
+      Sim.pickCentroids(df, idCol, vecCol, nPivots).orderBy("cell"),
+      nPivots, "exactCosineJoin pivots",
+      s"pickCentroids emits at most nPivots = $nPivots rows")
+      .map(_.getSeq[Float](1).toArray)
+    def band(p: Array[Float]) =
+      floor(acos(greatest(lit(-1.0), least(lit(1.0),
+        Sim.cosine(col("_v"), typedLit(p))))) / lit(theta)).cast("int")
+    val bandCols = pivots.zipWithIndex.map { case (p, i) => band(p).as(s"_b$i") }
+    val pts = df
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      // cosine(v, v) is 1 for any nonzero vector and 0 (the engine's
+      // zero-denominator convention) for a zero-norm one — the
+      // degenerate-vector exclusion as one codegen'd predicate
+      .filter(Sim.cosine(col("_v"), col("_v")) > 0.0)
+      .select(col("_id") +: col("_v") +: bandCols: _*)
+    val rep = pts
+      .withColumn("_k0", explode(array(col("_b0"), col("_b0") + 1)))
+      .withColumn("_k1", explode(array(col("_b1"), col("_b1") + 1)))
+    // cell tripwire: counts via groupBy (map-side partials crush a
+    // hot cell; a window could not), joined back on the two ints.
+    // Cell COUNT is θ-bounded (≤ (π/θ + 2)²) — the count table
+    // broadcasts whatever the corpus size.
+    val sizes = broadcast(rep.groupBy(col("_k0"), col("_k1"))
+      .agg(count(lit(1)).as("_cn")))
+    val guarded = rep.join(sizes, Seq("_k0", "_k1"))
+      .withColumn("_g",
+        when(col("_cn") > maxCell, raise_error(concat(
+          lit("exactCosineJoin cell overflow: band cell ("),
+          col("_k0").cast("string"), lit(","),
+          col("_k1").cast("string"),
+          lit(") holds "), col("_cn").cast("string"),
+          lit(s" replicas (> $maxCell) — quadratic pair blow-up; raise " +
+            "maxCell only with the O(cell²) cost understood, or certify " +
+            "at a tighter threshold (more, narrower bands)"))).cast("long"))
+          .otherwise(col("_cn")))
+      .drop("_cn")
+    val prefixChecks = (2 until nPivots).map(i =>
+      abs(col(s"_b$i") - col(s"_xb$i")) <= 1)
+    val rightCols = Seq(col("_k0"), col("_k1"),
+      col("_id").as("_xid"), col("_v").as("_xv"),
+      col("_g").as("_xg")) ++
+      (0 until nPivots).map(i => col(s"_b$i").as(s"_xb$i"))
+    val right = guarded.select(rightCols: _*)
+    guarded.join(right, Seq("_k0", "_k1"))
+      .filter(col("_id") < col("_xid"))
+      // canonical meet cell: each qualifying pair joins exactly once
+      .filter(col("_k0") === greatest(col("_b0"), col("_xb0")) &&
+        col("_k1") === greatest(col("_b1"), col("_xb1")))
+      .filter(prefixChecks.reduce(_ && _))
+      // the guard columns are load-bearing (always-true on healthy
+      // cells): column pruning must not drop the raise_error branch
+      .filter(col("_g") > 0L && col("_xg") > 0L)
+      .select(col("_id").as("id_a"), col("_xid").as("id_b"),
+        round(Sim.cosine(col("_v"), col("_xv")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Exact n-gram (word-shingle) Jaccard for all pairs within a

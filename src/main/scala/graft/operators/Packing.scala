@@ -302,8 +302,17 @@ object Packing {
                      idCol: String, textCol: String): DataFrame = {
     def be4(c: Column) = unhex(lpad(hex(c), 8, "0"))
     def be8(c: Column) = unhex(lpad(hex(c), 16, "0"))
+    // NULL-text tripwire (the exactJaccardJoin discipline): concat is
+    // null-propagating, so ONE null record would null the ENTIRE bin
+    // payload while n_docs stays positive — the silent-corruption
+    // shape a loader then NPEs on. Fail loudly, naming the doc.
     val body = docs.select(col(idCol).as("doc_id"),
-      col(textCol).cast("binary").as("_b"))
+      when(col(textCol).isNull, raise_error(concat(
+        lit("packedPayloads: NULL text for doc_id "),
+        col(idCol).cast("string"),
+        lit(" — one null record nulls its whole bin payload; drop or " +
+          "coalesce null texts upstream"))).cast("binary"))
+        .otherwise(col(textCol).cast("binary")).as("_b"))
     packed.select(col("doc_id"), col("shard"), col("bin"), col("offset"))
       .join(body, Seq("doc_id"))
       .select(col("shard"), col("bin"),

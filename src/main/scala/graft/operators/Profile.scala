@@ -96,6 +96,10 @@ object Profile {
         sum(col("new_types")).over(Window.orderBy(col("epoch"))))
       .withColumn("novelty", round(col("new_types").cast("double") /
         col("n_occurrences").cast("double"), roundTo))
+      // the final orderBy makes the "ordered by epoch" return claim
+      // real (collect order is otherwise engine-dependent) — free on
+      // the per-epoch summary, whose row count is the epoch count
+      .orderBy(col("epoch"))
   }
 
   def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {

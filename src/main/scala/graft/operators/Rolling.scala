@@ -61,12 +61,16 @@ object Rolling {
     * on the tiny O(keys × buckets) offsets aggregate, zero extra
     * actions, zero cost on the fact-table path. Groups smaller than
     * `skewGuardMinRows` are exempt (a 100-row group in one bucket is
-    * one healthy task, not skew). [[bucketSkew]] is the read-only
-    * histogram view of the same question. */
+    * one healthy task, not skew), which makes the ARMED default free
+    * on report-scale groups — the guard only ever fires where the
+    * skew would actually serialize a corpus-scale window. Pass `None`
+    * to opt OUT (a caller that has proven its bucketing uniform),
+    * not to opt in. [[bucketSkew]] is the read-only histogram view
+    * of the same question. */
   def sequenceByKey(df: DataFrame, keyCols: Seq[String],
                     orderCols: Seq[Column], bucket: Column,
                     as: String = "rn",
-                    skewGuardFrac: Option[Double] = None,
+                    skewGuardFrac: Option[Double] = Some(0.5),
                     skewGuardMinRows: Long = 10000L): DataFrame = {
     require(skewGuardFrac.forall(f => f > 0.0 && f <= 1.0),
       s"skewGuardFrac must be in (0, 1]: $skewGuardFrac")

@@ -337,6 +337,128 @@ object Similarity {
     pinned
   }
 
+  /** k-means|| initialization (Bahmani et al., VLDB 2012 — public
+    * literature), deterministic: the sharded, few-round replacement
+    * for both sequential k-means++ (k driver round-trips) and the
+    * md5-seed pick ([[pickCentroids]] — O(1) passes but cost-blind).
+    * Three phases, all corpus-parallel:
+    *
+    *  1. Start from the single [[pickCentroids]]-rule vector (min
+    *     (md5(id), id)).
+    *  2. `rounds` oversampling rounds: every point computes its
+    *     spherical cost to the CURRENT candidate set
+    *     (cost = max(0, 1 − max cosine), rounded to 6dp), and joins
+    *     the candidates independently with probability
+    *     min(1, l·cost/φ) where l = oversample·k and φ = Σcost —
+    *     decided by comparing a deterministic md5 uniform
+    *     u = md5("kmpar:round:id")[0,8) / 2³² against the rounded
+    *     ratio, the engine-wide no-`rand()` rule (every run, retry,
+    *     and the DuckDB oracle draw the same sample).
+    *  3. Weigh each candidate by how many corpus points it is
+    *     nearest to (ties to the smaller candidate id), then keep
+    *     the k heaviest (weight desc, id) as cells 0..k−1 — a
+    *     deterministic, SQL-replayable stand-in for the paper's
+    *     weighted recluster; [[kmeansRefine]] does the actual Lloyd
+    *     polishing either way.
+    *
+    * What it buys: candidates are COST-BIASED, so far-from-center
+    * mass gets representation the hash-uniform seed pick misses —
+    * [[kmeansObjective]] is strictly lower on the synthetic corpus
+    * at both test SFs, before and after refinement (the paper's
+    * O(log k)-competitive guarantee is about exactly this
+    * objective, not any single query's recall).
+    *
+    * Scale shape: per round, one broadcast of the (bounded,
+    * ≈ l·rounds-row) candidate set against the streaming corpus, one
+    * map-side-combined per-id aggregate, one scalar-broadcast φ; the
+    * corpus never shuffles by candidate. Each round's candidate
+    * table is checkpoint-pinned and the superseded one freed (the
+    * [[kmeansRefine]] discipline).
+    *
+    * @return (cell 0..k−1, seed_id, weight, vecCol) — fewer than k
+    *         rows only if the corpus yields fewer candidates than k
+    *         (degenerate: corpus smaller than k or φ = 0) */
+  def kmeansParallelInit(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, rounds: Int = 3, oversample: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(oversample >= 1, s"oversample must be >= 1: $oversample")
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val l = oversample.toDouble * k
+    val base = corpus.select(col(idCol).cast("long").as("_cid"),
+      col(vecCol).as("_cv"))
+    var cands = bridge.freshLeaf(base
+      .withColumn("_h", md5(col("_cid").cast("string").cast("binary")))
+      .orderBy(col("_h"), col("_cid")).limit(1)
+      .select(col("_cid"), col("_cv")).localCheckpoint(true))
+    var r = 1
+    while (r <= rounds) {
+      val costs = corpus
+        .select(col(idCol).cast("long").as("_id"), col(vecCol))
+        .join(broadcast(cands))
+        .select(col("_id"), cosine(col(vecCol), col("_cv")).as("_sim"))
+        .groupBy(col("_id"))
+        .agg(round(greatest(lit(0.0), lit(1.0) - max(col("_sim"))), 6)
+          .as("_cost"))
+      val phi = costs.agg(sum(col("_cost")).as("_phi"))
+      val u = round(
+        conv(substring(md5(concat(lit(s"kmpar:$r:"),
+          col("_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0), 6)
+      val sel = costs.crossJoin(broadcast(phi))
+        .filter(col("_phi") > 0.0 &&
+          u < round(lit(l) * col("_cost") / col("_phi"), 6))
+        .select(col("_id").as("_cid"))
+      val next = bridge.freshLeaf(cands
+        .unionByName(base.join(sel, Seq("_cid"), "left_semi"))
+        .dropDuplicates("_cid").localCheckpoint(true))
+      bridge.unpersistCheckpoint(cands)
+      cands = next
+      r += 1
+    }
+    val weights = corpus
+      .select(col(idCol).cast("long").as("_id"), col(vecCol))
+      .join(broadcast(cands))
+      .select(col("_id"), col("_cid"),
+        cosine(col(vecCol), col("_cv")).as("_sim"))
+      .groupBy(col("_id"))
+      .agg(max_by(col("_cid"), struct(col("_sim"), -col("_cid"))).as("_cid"))
+      .groupBy(col("_cid")).agg(count(lit(1)).as("weight"))
+    // ≤ k rows after the bounded-heap cut: the relabeling window sorts
+    // a driver-sized set, never the corpus
+    cands.join(weights, Seq("_cid"), "left")
+      .select(col("_cid"), coalesce(col("weight"), lit(0L)).as("weight"),
+        col("_cv"))
+      .orderBy(col("weight").desc, col("_cid"))
+      .limit(k)
+      .withColumn("cell", row_number().over(
+        Window.orderBy(col("weight").desc, col("_cid"))).cast("long") - 1L)
+      .select(col("cell"), col("_cid").as("seed_id"), col("weight"),
+        col("_cv").as(vecCol))
+  }
+
+  /** Mean spherical k-means cost of a corpus under a centroid set —
+    * THE quantizer acceptance number: cost(x) = max(0, 1 − max
+    * cosine to any centroid), averaged corpus-wide. Lower is better;
+    * [[kmeansRefine]] should decrease it monotonically-ish and a
+    * better init ([[kmeansParallelInit]] vs [[pickCentroids]]) shows
+    * up here directly, where a 5-query recall probe is noise.
+    * One broadcast argmax pass + one scalar aggregate; never a
+    * corpus shuffle.
+    *
+    * @return one row: (n_vectors, mean_cost rounded to `roundTo`) */
+  def kmeansObjective(corpus: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String,
+                      roundTo: Int = 6): DataFrame =
+    corpus.select(col(idCol).as("_id"), col(vecCol))
+      .join(broadcast(centroids.select(col("cell"), col(vecCol).as("_cv"))))
+      .select(col("_id"), cosine(col(vecCol), col("_cv")).as("_sim"))
+      .groupBy(col("_id"))
+      .agg(greatest(lit(0.0), lit(1.0) - max(col("_sim"))).as("_cost"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("_cost")), roundTo).as("mean_cost"))
+
   /** Cluster quality profile under a centroid set: per cell, member
     * count, mean member-to-centroid cosine (the spherical k-means
     * objective — rises as [[kmeansRefine]] converges), and label
@@ -348,7 +470,8 @@ object Similarity {
     * Scale shape: one [[assignCells]] pass, one broadcast join back
     * to the k centroids for the member cosine, and two map-side-
     * combined aggregates (cell × label is bounded by k × |labels|).
-    * Ties in the majority label break to the smaller label.
+    * Ties in the majority label break to the smaller label under the
+    * label type's own ordering (numeric or string alike).
     *
     * @return (cell, n_members, mean_cos, top_label, purity) */
   def clusterProfile(corpus: DataFrame, centroids: DataFrame,
@@ -363,10 +486,15 @@ object Similarity {
     val prof = withLab.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         round(avg(col("_sim")), roundTo).as("mean_cos"))
+    // min_by over (-count, label) is the type-agnostic tie-break:
+    // biggest count first, ties to the SMALLEST label under the label
+    // type's own ordering — works for string labels too, where a
+    // max_by over (count, -label) would need numeric negation
     val lab = withLab.groupBy(col("cell"), col("_lab"))
       .agg(count(lit(1)).as("_lc"))
       .groupBy(col("cell"))
-      .agg(max_by(col("_lab"), struct(col("_lc"), -col("_lab")))
+      .agg(min_by(col("_lab"),
+          struct((-col("_lc")).as("_nc"), col("_lab").as("_l")))
         .as("top_label"),
         max(col("_lc")).as("_top"))
     prof.join(lab, Seq("cell"))

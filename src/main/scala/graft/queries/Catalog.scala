@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Audit, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, LmFilter, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits, Traversal}
+import graft.operators.{AsOfJoin, Audit, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, LmFilter, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Quality, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits, Traversal}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -8394,7 +8394,7 @@ object Catalog {
       |           THEN list_transform(range(1, len(toks) - 1),
       |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |           ELSE [array_to_string(toks, ' ')] END) AS s
-      |  FROM tk),
+      |  FROM tk WHERE len(toks) > 0),
       |ne AS (SELECT * FROM t WHERE len(s) > 0),
       |p AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -8558,7 +8558,7 @@ object Catalog {
       |           THEN list_transform(range(1, len(toks) - 1),
       |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |           ELSE [array_to_string(toks, ' ')] END) AS s
-      |  FROM tk),
+      |  FROM tk WHERE len(toks) > 0),
       |ne AS (SELECT * FROM sh WHERE len(s) > 0),
       |edges AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -8599,6 +8599,292 @@ object Catalog {
     Contamination.propagatedOverlap(Tables.documents(s, d),
       benchFilter = pmod(col("doc_id"), lit(29)) === 0,
       idCol = "doc_id", textCol = "text", n = 8)
+  }
+
+  // ------------------------------------------- quality calibration
+  /** [[Quality.qualityBuckets]] under the oracle — CCNet's
+    * head/middle/tail: each source's q208 perplexity distribution is
+    * cut at its own 1/3 and 2/3 interpolated quantiles
+    * (`quantile_cont` semantics, bit-identical across engines via
+    * [[Percentiles.interpolated]]), and every doc is labeled by the
+    * bucket its ROUNDED emitted ppl falls in. Per-source calibration
+    * is the point: an absolute ppl threshold right for one source is
+    * wrong for another. Thresholds are one row per source, broadcast
+    * back; the corpus never sorts. */
+  val q220QualityBuckets = q("q220_quality_buckets",
+    "CCNet head/middle/tail perplexity bucketing per source (north star: quality calibration)",
+    """WITH tk AS (
+      |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |         unnest(CASE WHEN len(toks) >= 2
+      |                THEN list_transform(range(1, len(toks)),
+      |                       i -> toks[i] || ' ' || toks[i+1])
+      |                ELSE [] END) AS f
+      |  FROM tk),
+      |feats AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5(split_part(f, ' ', 1)), 1, 8))::BIGINT % 4096 AS b1,
+      |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 32768 AS b2
+      |  FROM f),
+      |ctx AS (SELECT b1, count(*) AS c1 FROM feats WHERE lang = 'en' GROUP BY b1),
+      |bgc AS (SELECT b2, count(*) AS c2 FROM feats WHERE lang = 'en' GROUP BY b2),
+      |sc AS (
+      |  SELECT f.doc_id,
+      |         avg(ln(CAST(coalesce(c.c1, 0) + 4096 AS DOUBLE)
+      |                / CAST(coalesce(g.c2, 0) + 1 AS DOUBLE))) AS nll0
+      |  FROM feats f LEFT JOIN ctx c ON f.b1 = c.b1
+      |               LEFT JOIN bgc g ON f.b2 = g.b2
+      |  GROUP BY f.doc_id),
+      |scored AS (
+      |  SELECT d.doc_id, d.source, round(exp(coalesce(s.nll0, 0.0)), 4) AS ppl
+      |  FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id),
+      |cuts AS (
+      |  SELECT source, quantile_cont(ppl, 1.0/3) AS c1,
+      |         quantile_cont(ppl, 2.0/3) AS c2
+      |  FROM scored GROUP BY source)
+      |SELECT s.doc_id, s.source, s.ppl,
+      |       CASE WHEN s.ppl <= c.c1 THEN 'head'
+      |            WHEN s.ppl <= c.c2 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM scored s JOIN cuts c USING (source)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ppl = LmFilter.lmPerplexity(docs.select("doc_id", "text"),
+        "doc_id", "text",
+        LmFilter.lmIndex(docs.filter(col("lang") === "en"), "doc_id", "text"))
+      .select(col("doc_id"), col("ppl"))
+    // barrier the scored table once: calibration reads it twice (the
+    // percentile pass + the labeling join), and at corpus scale the
+    // scored signals are a persisted table, not a recomputed lineage
+    Quality.qualityBuckets(
+      docs.select("doc_id", "source").join(ppl, Seq("doc_id"))
+        .localCheckpoint(true),
+      "ppl", Seq("source"))
+  }
+
+  /** [[Quality.gateReasons]] composing the engine's three independent
+    * quality families into ONE per-source-calibrated keep/drop — the
+    * composition surface the serial CorpusDemo gates lacked:
+    * `lm` = not in the source's perplexity tail (q208 score, q220
+    * bucketing), `dsir` = above the source's median importance
+    * weight (q139 score), `alpha` = the absolute q119 heuristic
+    * floor. Reasons are named per failed gate, '' when kept —
+    * per-reason counts are what a curation run reports. */
+  val q221QualityGate = q("q221_quality_gate",
+    "Composite per-source-calibrated quality gate: LM tail + DSIR median + heuristic floor (north star: quality filtering)",
+    """WITH tk AS (
+      |  SELECT doc_id, lang, source, lower(coalesce(text, '')) AS lt,
+      |         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |         unnest(CASE WHEN len(toks) >= 2
+      |                THEN list_transform(range(1, len(toks)),
+      |                       i -> toks[i] || ' ' || toks[i+1])
+      |                ELSE [] END) AS f
+      |  FROM tk),
+      |lmfeats AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5(split_part(f, ' ', 1)), 1, 8))::BIGINT % 4096 AS b1,
+      |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 32768 AS b2
+      |  FROM f),
+      |ctx AS (SELECT b1, count(*) AS c1 FROM lmfeats WHERE lang = 'en' GROUP BY b1),
+      |bgc AS (SELECT b2, count(*) AS c2 FROM lmfeats WHERE lang = 'en' GROUP BY b2),
+      |lmsc AS (
+      |  SELECT f.doc_id,
+      |         avg(ln(CAST(coalesce(c.c1, 0) + 4096 AS DOUBLE)
+      |                / CAST(coalesce(g.c2, 0) + 1 AS DOUBLE))) AS nll0
+      |  FROM lmfeats f LEFT JOIN ctx c ON f.b1 = c.b1
+      |                 LEFT JOIN bgc g ON f.b2 = g.b2
+      |  GROUP BY f.doc_id),
+      |dfeats AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+      |  FROM f),
+      |dcounts AS (
+      |  SELECT b, count(*) AS cr, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+      |  FROM dfeats GROUP BY b),
+      |dtot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM dcounts),
+      |dsc AS (
+      |  SELECT f.doc_id,
+      |         round(sum(ln(CAST((c.ct + 1) * (t.nr + 1024) AS DOUBLE)
+      |                      / CAST((c.cr + 1) * (t.nt + 1024) AS DOUBLE))), 4) AS logw
+      |  FROM dfeats f JOIN dcounts c ON f.b = c.b, dtot t
+      |  GROUP BY f.doc_id),
+      |scored AS (
+      |  SELECT tk.doc_id, tk.source,
+      |         round(exp(coalesce(l.nll0, 0.0)), 4) AS ppl,
+      |         coalesce(d.logw, 0.0) AS logw,
+      |         round(CASE WHEN length(lt) = 0 THEN 0.0
+      |               ELSE CAST(length(regexp_replace(lt, '[^a-z ]', '', 'g')) AS DOUBLE)
+      |                    / length(lt) END, 4) AS alpha_ratio
+      |  FROM tk LEFT JOIN lmsc l ON tk.doc_id = l.doc_id
+      |          LEFT JOIN dsc d ON tk.doc_id = d.doc_id),
+      |cuts AS (
+      |  SELECT source, quantile_cont(ppl, 2.0/3) AS ppl_c2,
+      |         quantile_cont(logw, 0.5) AS logw_med
+      |  FROM scored GROUP BY source),
+      |r AS (
+      |  SELECT s.*,
+      |         coalesce(array_to_string(list_filter([
+      |           CASE WHEN NOT (s.ppl <= c.ppl_c2) THEN 'lm' END,
+      |           CASE WHEN NOT (s.logw > c.logw_med) THEN 'dsir' END,
+      |           CASE WHEN NOT (s.alpha_ratio >= 0.6) THEN 'alpha' END
+      |         ], x -> x IS NOT NULL), ','), '') AS reasons
+      |  FROM scored s JOIN cuts c USING (source))
+      |SELECT doc_id, source, ppl, logw, alpha_ratio,
+      |       reasons = '' AS keep, reasons
+      |FROM r""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val ppl = LmFilter.lmPerplexity(docs.select("doc_id", "text"),
+        "doc_id", "text",
+        LmFilter.lmIndex(docs.filter(col("lang") === "en"), "doc_id", "text"))
+      .select(col("doc_id"), col("ppl"))
+    val dsir = Splits.dsirLogWeights(docs, "doc_id", "text",
+        targetFilter = col("lang") === "en", buckets = 1024)
+      .select(col("doc_id"), col("logw"))
+    val alpha = docs.select(col("doc_id"),
+      round(graft.functions.TextFunctions.alphaRatio(
+        coalesce(col("text"), lit(""))), 4).as("alpha_ratio"))
+    // one barrier on the joined signal table: three scoring families
+    // otherwise recompute per calibration pass (2 percentile reads +
+    // the final labeling) — at corpus scale the scored signals are a
+    // persisted table, and this is its single-node stand-in
+    val signals = docs.select("doc_id", "source")
+      .join(ppl, Seq("doc_id")).join(dsir, Seq("doc_id"))
+      .join(alpha, Seq("doc_id"))
+      .localCheckpoint(true)
+    val bucketed = Quality.qualityBuckets(
+      Quality.qualityBuckets(signals, "ppl", Seq("source"),
+        as = "_ppl_bucket"),
+      "logw", Seq("source"), cuts = Seq(0.5), labels = Seq("lo", "hi"),
+      as = "_logw_half")
+    Quality.gateReasons(bucketed, Seq(
+        "lm" -> (col("_ppl_bucket") =!= "tail"),
+        "dsir" -> (col("_logw_half") === "hi"),
+        "alpha" -> (col("alpha_ratio") >= 0.6)))
+      .select(col("doc_id"), col("source"), col("ppl"), col("logw"),
+        col("alpha_ratio"), col("keep"), col("reasons"))
+  }
+
+  // ------------------------------------------- k-means|| initialization
+  /** The deterministic k-means|| CTE chain shared by q222/q223:
+    * min-md5 start, three oversampling rounds (cost-biased
+    * md5-uniform selection, l = 20), nearest-candidate weights, top-k
+    * recluster — the exact [[Similarity.kmeansParallelInit]]
+    * semantics, replayed in SQL. */
+  private val kmeansParCte =
+    """corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, vec FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+      |k1 AS (
+      |  SELECT c.vec_id, round(greatest(0.0, 1.0 - max(list_cosine_similarity(c.vec, t.vec))), 6) AS cost
+      |  FROM corpus c CROSS JOIN c0 t GROUP BY c.vec_id),
+      |p1 AS (SELECT sum(cost) AS phi FROM k1),
+      |s1 AS (
+      |  SELECT k1.vec_id FROM k1, p1
+      |  WHERE p1.phi > 0 AND
+      |    round(('0x' || substr(md5('kmpar:1:' || CAST(k1.vec_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0, 6)
+      |      < round(20 * k1.cost / p1.phi, 6)),
+      |cand1 AS (SELECT cid, vec FROM c0 UNION
+      |          SELECT c.vec_id, c.vec FROM corpus c JOIN s1 ON c.vec_id = s1.vec_id),
+      |k2 AS (
+      |  SELECT c.vec_id, round(greatest(0.0, 1.0 - max(list_cosine_similarity(c.vec, t.vec))), 6) AS cost
+      |  FROM corpus c CROSS JOIN cand1 t GROUP BY c.vec_id),
+      |p2 AS (SELECT sum(cost) AS phi FROM k2),
+      |s2 AS (
+      |  SELECT k2.vec_id FROM k2, p2
+      |  WHERE p2.phi > 0 AND
+      |    round(('0x' || substr(md5('kmpar:2:' || CAST(k2.vec_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0, 6)
+      |      < round(20 * k2.cost / p2.phi, 6)),
+      |cand2 AS (SELECT cid, vec FROM cand1 UNION
+      |          SELECT c.vec_id, c.vec FROM corpus c JOIN s2 ON c.vec_id = s2.vec_id),
+      |k3 AS (
+      |  SELECT c.vec_id, round(greatest(0.0, 1.0 - max(list_cosine_similarity(c.vec, t.vec))), 6) AS cost
+      |  FROM corpus c CROSS JOIN cand2 t GROUP BY c.vec_id),
+      |p3 AS (SELECT sum(cost) AS phi FROM k3),
+      |s3 AS (
+      |  SELECT k3.vec_id FROM k3, p3
+      |  WHERE p3.phi > 0 AND
+      |    round(('0x' || substr(md5('kmpar:3:' || CAST(k3.vec_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0, 6)
+      |      < round(20 * k3.cost / p3.phi, 6)),
+      |cand3 AS (SELECT cid, vec FROM cand2 UNION
+      |          SELECT c.vec_id, c.vec FROM corpus c JOIN s3 ON c.vec_id = s3.vec_id),
+      |w AS (
+      |  SELECT cid, count(*) AS weight FROM (
+      |    SELECT c.vec_id, t.cid,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |             ORDER BY list_cosine_similarity(c.vec, t.vec) DESC, t.cid) AS rk
+      |    FROM corpus c CROSS JOIN cand3 t) WHERE rk = 1 GROUP BY cid),
+      |init AS (
+      |  SELECT row_number() OVER (ORDER BY w.weight DESC, w.cid) - 1 AS cell,
+      |         w.cid, w.weight, c.vec
+      |  FROM w JOIN cand3 c ON w.cid = c.cid
+      |  ORDER BY w.weight DESC, w.cid LIMIT 10)""".stripMargin
+
+  /** [[Similarity.kmeansParallelInit]] under the oracle — the
+    * Bahmani k-means|| init with every random draw replaced by the
+    * engine-wide md5 convention, so the full three-round
+    * cost-biased sample is replayed draw-for-draw in DuckDB. */
+  val q222KmeansParInit = q("q222_kmeans_par_init",
+    "k-means|| initialization: cost-biased oversampling rounds, weighted top-k recluster (north star: quantizer training)",
+    s"""WITH $kmeansParCte
+      |SELECT cell, cid AS seed_id, weight FROM init""".stripMargin) { (s, d) =>
+    Similarity.kmeansParallelInit(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 10)
+      .select("cell", "seed_id", "weight")
+  }
+
+  /** [[Similarity.kmeansObjective]] as the init acceptance test:
+    * mean spherical cost of the corpus under the md5-seed pick vs
+    * the k-means|| init at the same k — the number the Bahmani
+    * guarantee is ABOUT (a 5-query recall probe is noise; the
+    * objective separates the inits at every test SF). The par row's
+    * mean_cost is strictly below the seed row's on this corpus —
+    * the acceptance is IN the hashed record. */
+  val q223KmeansObjective = q("q223_kmeans_objective",
+    "Init acceptance: mean spherical k-means cost, md5-seed vs k-means|| at equal k (north star: quantizer training)",
+    s"""WITH $kmeansParCte,
+      |seedi AS (SELECT vec_id AS cid, vec FROM corpus
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10),
+      |costseed AS (
+      |  SELECT c.vec_id, greatest(0.0, 1.0 - max(list_cosine_similarity(c.vec, t.vec))) AS cost
+      |  FROM corpus c CROSS JOIN seedi t GROUP BY c.vec_id),
+      |costpar AS (
+      |  SELECT c.vec_id, greatest(0.0, 1.0 - max(list_cosine_similarity(c.vec, t.vec))) AS cost
+      |  FROM corpus c CROSS JOIN init t GROUP BY c.vec_id)
+      |SELECT 'seed' AS init, CAST(count(*) AS BIGINT) AS n_vectors,
+      |       round(avg(cost), 6) AS mean_cost FROM costseed
+      |UNION ALL
+      |SELECT 'par' AS init, CAST(count(*) AS BIGINT) AS n_vectors,
+      |       round(avg(cost), 6) AS mean_cost FROM costpar""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val seed = Similarity.pickCentroids(e, "vec_id", "embedding", 10)
+    val par = Similarity.kmeansParallelInit(e, "vec_id", "embedding", k = 10)
+    Similarity.kmeansObjective(e, seed, "vec_id", "embedding")
+      .select(lit("seed").as("init"), col("n_vectors"), col("mean_cost"))
+      .unionByName(
+        Similarity.kmeansObjective(e, par, "vec_id", "embedding")
+          .select(lit("par").as("init"), col("n_vectors"), col("mean_cost")))
+  }
+
+  /** [[Dedup.exactCosineJoin]] — q215's twin on the embedding side:
+    * EVERY pair with cosine ≥ τ, exactly (pivot-angle banding, zero
+    * false negatives by the spherical triangle inequality). The
+    * oracle is deliberately BRUTE FORCE: an exact join's result is
+    * blocking-independent, so the O(n²) cross join is the strongest
+    * possible check of the banded plan — any pair the bands lost
+    * would hash-mismatch. */
+  val q224ExactCosine = q("q224_exact_cosine_join",
+    "Exact all-pairs cosine join via pivot-angle banding — semantic dedup certification (north star: dedup)",
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4""".stripMargin) { (s, d) =>
+    Dedup.exactCosineJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4)
   }
 
   val all: Seq[CatalogQuery] = Seq(
@@ -8656,5 +8942,7 @@ object Catalog {
     q206IncrementalDupGram, q207GramFreqStore, q208LmPerplexity,
     q209LmStore, q210KmeansStep, q211KmeansProfile, q212TrainedRecall,
     q213ZipfFit, q214ClusterSample, q215ExactJaccard, q216VocabGrowth,
-    q217TruncationRecall, q218QuantRecall, q219PropagatedContamination)
+    q217TruncationRecall, q218QuantRecall, q219PropagatedContamination,
+    q220QualityBuckets, q221QualityGate, q222KmeansParInit,
+    q223KmeansObjective, q224ExactCosine)
 }

@@ -21,27 +21,45 @@ class CorpusDemoSpec extends SparkSpecBase {
     assert(r.nExact === nBase)
     // monotone pipeline: each stage only drops
     assert(r.nExact >= r.nNear && r.nNear >= r.nClean &&
-      r.nClean >= r.nFresh && r.nFresh >= r.nLm && r.nLm >= r.nQuality)
+      r.nClean >= r.nFresh && r.nFresh >= r.nQuality)
     // every operator in the chain is deterministic (md5 splits, seeded
     // hashes, exact verify) — the sf0.001 stage counts are pinned
     // exactly; a change here means an operator changed semantics.
-    // repetition_filter drops exactly the 6 gram-level remixes
-    // (shared_frac > 0.5) that survive pairwise near-dedup;
-    // lm_filter drops the 13 docs whose bigram perplexity under the
-    // lang='en' reference model exceeds 380
-    assert((r.nNear, r.nClean, r.nFresh, r.nLm, r.nQuality, r.nClusters) ===
-      ((58L, 57L, 51L, 38L, 13L, 21L)), s"stage counts moved: $r")
+    // decontaminate is the q219 cluster-propagated gate (paraphrase
+    // neighbors of contaminated docs drop with them);
+    // repetition_filter drops the gram-level remixes (shared_frac >
+    // 0.5) that survive pairwise near-dedup; quality_gate composes
+    // the per-source CCNet ppl tail cut with the heuristic floors
+    assert((r.nNear, r.nClean, r.nFresh, r.nQuality, r.nClusters) ===
+      ((58L, 57L, 51L, 13L, 21L)), s"stage counts moved: $r")
+    // at sf0.001 no paraphrase-only contamination exists: the
+    // propagated gate flags nothing beyond the direct check (the
+    // sf0.1 run in docs/BENCH_NOTES.md is where neighbors appear)
+    assert(r.nFlaggedByNeighbor === 0L, s"neighbor flags moved: $r")
     // dedup certification: the source-blocked dedup's own claim (no
     // within-source pair ≥ t survives) is exactly proven; the cross-
     // source residual quantifies the blocking tradeoff on this
     // template-heavy corpus
     assert(r.nResidualWithin === 0L, s"blocked-dedup claim broken: $r")
     assert(r.nResidualCross === 181L, s"blocking-tradeoff count moved: $r")
-    assert(r.splitCounts === Map("train" -> 11L, "val" -> 2L))
-    assert((r.nMixture, r.mixtureTokens, r.nPacks) === ((11L, 553L, 6L)))
+    // every dropped doc names which gate killed it; the funnel total
+    // is exactly the stage delta
+    assert(r.gateReasons.values.sum === r.nFresh - r.nQuality,
+      s"gate reasons don't cover the quality_gate drop: $r")
+    assert(r.gateReasons.keys.forall(
+      _.split(",").forall(Set("lm", "length", "alpha").contains)),
+      s"unknown gate name: ${r.gateReasons}")
+    // the per-reason breakdown is pinned: the lm gate (per-source ppl
+    // tail) and the length floor overlap on 11 docs — exactly the
+    // overlap the serial-gate funnel could not see
+    assert(r.gateReasons ===
+      Map("length" -> 23L, "lm" -> 4L, "lm,length" -> 11L),
+      s"gate reasons moved: $r")
     // split partitions the quality set exactly
     assert(r.splitCounts.values.sum === r.nQuality)
     assert(r.splitCounts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(r.splitCounts === Map("train" -> 11L, "val" -> 2L))
+    assert((r.nMixture, r.mixtureTokens, r.nPacks) === ((11L, 617L, 6L)))
     // mixture selects from train only, never exceeds the per-source
     // budget sum; curriculum is a reordering of the mixture
     assert(r.nMixture <= r.splitCounts.getOrElse("train", 0L))
@@ -53,8 +71,7 @@ class CorpusDemoSpec extends SparkSpecBase {
     assert(r.attrition.getOrElse("near_dedup", 0L) === r.nExact - r.nNear)
     assert(r.attrition.getOrElse("decontaminate", 0L) === r.nNear - r.nClean)
     assert(r.attrition.getOrElse("repetition", 0L) === r.nClean - r.nFresh)
-    assert(r.attrition.getOrElse("lm_ppl", 0L) === r.nFresh - r.nLm)
-    assert(r.attrition.getOrElse("quality", 0L) === r.nLm - r.nQuality)
+    assert(r.attrition.getOrElse("quality_gate", 0L) === r.nFresh - r.nQuality)
     assert(r.attrition.getOrElse("survived", 0L) === r.nMixture)
     // tier report covers the mixture, three balanced-ish tiers
     assert(r.tierCounts.values.sum === r.nMixture)
@@ -65,7 +82,7 @@ class CorpusDemoSpec extends SparkSpecBase {
     // timing, in pipeline order (the sf0.1 scaling record's raw data)
     assert(r.stageSec.map(_._1) === Seq("ingest", "exact_dedup",
       "near_dedup_cc", "near_dedup_filter", "certify_dedup", "decontaminate",
-      "repetition_filter", "lm_filter", "quality_filter",
+      "repetition_filter", "quality_gate",
       "cluster_safe_split",
       "budgeted_mixture", "rank_tiers", "curriculum",
       "epoch_order_write", "pack", "kmv_store", "attrition"))

@@ -578,6 +578,70 @@ class DedupSpec extends SparkSpecBase {
     assert(!k3.contains((1L, 2L)))  // J on 3-shingles: 2/4 common? engineered below threshold
   }
 
+  test("exactJaccardJoin: zero-token docs are excluded at every shingle granularity") {
+    // the one-convention rule: empty/whitespace docs certify nothing
+    // at ANY k — before it, k >= 2 paired two empty docs at 1.0 via
+    // the short-doc fallback shingle while k = 1 dropped them, so
+    // certification counts shifted with shingleK on degenerate rows
+    val corpus = Seq((1L, ""), (2L, "   "), (3L, "a b c d"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val pairs = Dedup.exactJaccardJoin(corpus, "doc_id", "text",
+        threshold = 0.5, shingleK = k)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(!pairs.contains((1L, 2L)), s"empty docs paired at k=$k")
+      assert(pairs.contains((3L, 4L)), s"real dup missed at k=$k")
+    }
+  }
+
+  test("exactCosineJoin equals brute force at low AND high tau; deterministic; tripwire fires") {
+    val rnd = new scala.util.Random(17)
+    def noise(dim: Int) = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def near(base: Array[Float]) =
+      base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    // two tight clusters (high-tau pairs exist, bands have something
+    // to prune) plus background noise (low-tau pairs exist)
+    val c1 = noise(8); val c2 = noise(8)
+    val vecs = (0 until 20).map(i => (i.toLong, near(c1))) ++
+      (20 until 40).map(i => (i.toLong, near(c2))) ++
+      (40 until 100).map(i => (i.toLong, noise(8)))
+    val df = vecs.toDF("vec_id", "embedding")
+    for (tau <- Seq(0.4, 0.9)) {
+      val brute = Dedup.embeddingNearDup(df.withColumn("blk", lit(1)),
+        "vec_id", "embedding", "blk", tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val fast = Dedup.exactCosineJoin(df, "vec_id", "embedding", tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast === brute,
+        s"tau=$tau: banding missed/added pairs (miss=${brute -- fast}, " +
+          s"extra=${fast -- brute})")
+      assert(brute.nonEmpty, s"tau=$tau: degenerate test corpus")
+    }
+    val again = Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val first = Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again === first)
+    // a mass-collapsed band cell trips the in-plan guard loudly
+    val e = intercept[Exception] {
+      Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.4,
+        maxCell = 10).collect()
+    }
+    assert(e.getMessage.contains("cell overflow"), e.getMessage)
+  }
+
+  test("exactCosineJoin: zero-norm vectors certify nothing") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))) :+
+      (100L, Array.fill(8)(0f)) :+ (101L, Array.fill(8)(0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L),
+      s"zero-norm vector paired: ${pairs.mkString(", ")}")
+  }
+
   test("dupGramFraction: shared bigrams counted across docs, unique docs at zero") {
     val corpus = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
       .toDF("doc_id", "text")

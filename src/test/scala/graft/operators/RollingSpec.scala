@@ -93,7 +93,7 @@ class RollingSpec extends SparkSpecBase {
       s"expected a named bucket-skew error, got: $msg")
   }
 
-  test("skew guard: exempt below minRows, silent on healthy buckets, off by default") {
+  test("skew guard: exempt below minRows, silent on healthy buckets, explicit opt-out computes") {
     // same distribution but group smaller than skewGuardMinRows: exempt
     val small = Rolling.sequenceByKey(skewed, Seq.empty,
       Seq(col("band"), col("id")), bucket = col("band"),
@@ -108,11 +108,29 @@ class RollingSpec extends SparkSpecBase {
       skewGuardFrac = Some(0.5), skewGuardMinRows = 100)
     assert(healthy.agg(min("rn"), max("rn"), count(lit(1)))
       .as[(Long, Long, Long)].head() === ((1L, 1000L, 1000L)))
-    // default (None): the degenerate bucketing still COMPUTES correctly
+    // explicit opt-out (None): the degenerate bucketing still
+    // COMPUTES correctly — the guard is a contract, not a semantic
     val unguarded = Rolling.sequenceByKey(skewed, Seq.empty,
-      Seq(col("band"), col("id")), bucket = col("band"))
+      Seq(col("band"), col("id")), bucket = col("band"),
+      skewGuardFrac = None)
     assert(unguarded.agg(min("rn"), max("rn"), count(lit(1)))
       .as[(Long, Long, Long)].head() === ((1L, 1000L, 1000L)))
+  }
+
+  test("skew guard: armed by default — a corpus-scale degenerate bucket fails with NO opt-in") {
+    // 12k rows (over the 10k default exemption), 90% in one bucket:
+    // the pure-defaults call must fail loudly — the round-13 default
+    // flip; before it, this silently serialized into one window task
+    val big = (0L until 12000L)
+      .map(i => (i, if (i < 10800) 5L else 50L + i % 10))
+      .toDF("id", "band")
+    val e = intercept[Throwable] {
+      Rolling.sequenceByKey(big, Seq.empty,
+        Seq(col("band"), col("id")), bucket = col("band")).collect()
+    }
+    val msg = rootMessages(e)
+    assert(msg.contains("bucket skew") && msg.contains("10800"),
+      s"expected the default-armed guard to fire, got: $msg")
   }
 
   test("bucketSkew reports the histogram the guard trips on") {

@@ -495,6 +495,43 @@ class SimilaritySpec extends SparkSpecBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("kmeansParallelInit: deterministic, dense cells, beats the seed pick on the objective") {
+    graft.GraftSession.sweepPersistedRdds(spark)
+    val df = gaussianVecs(200, 8, 11).toDF("vec_id", "embedding")
+    val a = Similarity.kmeansParallelInit(df, "vec_id", "embedding", k = 8)
+      .orderBy("cell").as[(Long, Long, Long, Array[Float])].collect()
+    val b = Similarity.kmeansParallelInit(df, "vec_id", "embedding", k = 8)
+      .orderBy("cell").as[(Long, Long, Long, Array[Float])].collect()
+    // deterministic draw-for-draw (md5 uniforms, no rand()), dense
+    // cell ids, weights non-increasing in cell order, seeds distinct
+    assert(a.map(_._1).toSeq === (0L until 8L))
+    assert(a.map(t => (t._2, t._3)) === b.map(t => (t._2, t._3)))
+    assert(a.map(_._3).toSeq === a.map(_._3).toSeq.sorted.reverse)
+    assert(a.map(_._2).distinct.length === 8)
+    // the acceptance the Bahmani guarantee is about: the cost-biased
+    // init covers the corpus strictly better than the hash-uniform
+    // seed pick at equal k
+    val seed = Similarity.pickCentroids(df, "vec_id", "embedding", 8)
+    val par = Similarity.kmeansParallelInit(df, "vec_id", "embedding", k = 8)
+    def cost(c: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansObjective(df, c, "vec_id", "embedding")
+        .as[(Long, Double)].head()
+    val (nS, costSeed) = cost(seed)
+    val (nP, costPar) = cost(par)
+    assert(nS === 200L && nP === 200L)
+    assert(costPar < costSeed,
+      s"k-means|| init should lower the objective: par=$costPar seed=$costSeed")
+    graft.GraftSession.sweepPersistedRdds(spark)
+  }
+
+  test("kmeansObjective: zero for a corpus that IS the centroid set") {
+    val df = gaussianVecs(20, 4, 3).toDF("vec_id", "embedding")
+    val perfect = df.select($"vec_id".as("cell"), $"embedding")
+    val (n, c) = Similarity.kmeansObjective(df, perfect, "vec_id", "embedding")
+      .as[(Long, Double)].head()
+    assert(n === 20L && c === 0.0)
+  }
+
   test("clusterProfile: member count, mean cosine to centroid, majority label and purity") {
     val cents = kmInit.filter($"cell" < 9)
     val out = Similarity.clusterProfile(kmCorpus, cents, "vec_id",

@@ -840,6 +840,19 @@ class PlanAuditSpec extends SparkSpecBase {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q224 exact cosine join: band assignment is literal row math, pairing an equi join") {
+    val plan = planOf("q224_exact_cosine_join")
+    // pivots are plan LITERALS (bounded driver read), so banding is
+    // codegen'd per-row math — no window, no corpus broadcast; the
+    // cell tripwire counts via groupBy+join-back (the q205 lesson)
+    // and pairing is an equi join on the two band ints
+    assert(!plan.contains("Window"),
+      s"q224 grew a corpus window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"exactness never buys a nested loop:\n$plan")
+  }
+
   test("q213/q216 corpus statistics: aggregates are vocabulary-bounded, no corpus-wide window") {
     val p213 = planOf("q213_zipf_fit")
     // the rank window partitions by source over the VOCAB table; the

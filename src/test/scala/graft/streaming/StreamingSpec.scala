@@ -980,6 +980,66 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
   }
 
+  test("gram-freq sink vs concurrent compaction: replayed epoch never doubles, post-compact epoch never drops") {
+    import graft.operators.{Dedup, EpochIndex, Maintenance}
+    val src = Files.createTempDirectory("graft-gfc-src").toString
+    val corpus = Files.createTempDirectory("graft-gfc-corpus").toString + "/c"
+    val index = Files.createTempDirectory("graft-gfc-idx").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-gfc-ckp").toString
+    val batch1 = Seq((1L, "a b c"), (2L, "a b d"))
+    val batch2 = Seq((3L, "a b e"), (4L, "x y z"))
+    val batch3 = Seq((5L, "a b q"), (6L, "x y w"))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.gramFreqIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", ckp, n = 2)
+        .awaitTermination()
+    }
+    def counts() = Dedup.gramFreqIndexRead(spark, index, None, n = 2)
+      .as[(String, Long)].collect().toMap
+    def truth(rows: Seq[(Long, String)]) = Dedup.gramFreqIndex(
+      rows.toDF("doc_id", "text"), "doc_id", "text", n = 2)
+      .as[(String, Long)].collect().toMap
+    deliver("b1", batch1); drain()
+    deliver("b2", batch2); drain()
+    // compact mid-stream: every committed epoch folds into base v1
+    val stats = Maintenance.compactStore(spark, index)
+    assert(stats.folded.nonEmpty && stats.uncommitted.isEmpty)
+    // at-least-once REPLAY across the compaction boundary: a restarted
+    // foreachBatch re-runs an already-folded micro-batch, and its write
+    // unit — EpochIndex.append under the same <runToken>-<epochId>
+    // name — recreates the folded epoch directory on disk
+    val replayed = stats.folded.head
+    EpochIndex.append(Dedup.gramFreqIndex(
+      batch1.toDF("doc_id", "text"), "doc_id", "text", n = 2),
+      index, replayed)
+    assert(EpochIndex.committedEpochNames(spark, index).contains(replayed))
+    // the replayed directory is live on disk but listed in the base's
+    // _FOLDED manifest: reads skip it — counts identical, NOT doubled
+    assert(counts() === truth(batch1 ++ batch2),
+      "replay across compaction double-counted")
+    // the replay-idempotency hook refuses the folded epoch loudly: its
+    // partial is merged into the base and can no longer be subtracted
+    val e = intercept[IllegalArgumentException] {
+      Dedup.gramFreqIndexRead(spark, index, Some(replayed), n = 2).collect()
+    }
+    assert(e.getMessage.contains("already compacted"), e.getMessage)
+    // an epoch landing AFTER the compaction snapshot is neither folded
+    // nor in _FOLDED: reads union it on top — never dropped
+    deliver("b3", batch3); drain()
+    assert(counts() === truth(batch1 ++ batch2 ++ batch3),
+      "post-compaction epoch dropped")
+    // the NEXT compaction folds the straggler and GCs the replayed
+    // directory one generation late — still no double, no drop
+    val stats2 = Maintenance.compactStore(spark, index)
+    assert(stats2.gcd.contains(replayed),
+      s"replayed epoch not GC'd: ${stats2.gcd}")
+    assert(counts() === truth(batch1 ++ batch2 ++ batch3))
+  }
+
   test("streaming LM ingest: stored model ≡ inline train over everything delivered; fresh checkpoint refuses") {
     import graft.operators.LmFilter
     val src = Files.createTempDirectory("graft-lm-src").toString
