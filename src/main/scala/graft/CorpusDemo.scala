@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{BoundedRead, Cardinality, Contamination, Curation,
-  Dedup, LmFilter, Maintenance, Packing, Quality, Splits}
+  Dedup, LmFilter, Maintenance, Packing, Quality, Similarity, Splits}
 import graft.sources.{Fs, Tables}
 
 /** The LLM-data-pipeline story as ONE runnable main — the second-half
@@ -14,6 +14,9 @@ import graft.sources.{Fs, Tables}
   *
   *   ingest → exact dedup (q19) → near-dup LSH→verify→CC (q42)
   *   → dedup certification (q215: exact residual-pair count)
+  *   → semantic dedup certification (q101 + q224: SemDeDup's
+  *     cell-local guarantee proven by the exact cosine join,
+  *     cross-cell recall gap counted)
   *   → cluster-propagated decontamination (q219: paraphrase
   *     neighbors of contaminated docs drop too, counted)
   *   → cross-doc repetition filter (q205)
@@ -41,6 +44,7 @@ object CorpusDemo {
   final case class Result(
       nIngested: Long, nExact: Long, nNear: Long,
       nResidualWithin: Long, nResidualCross: Long,
+      nSemKept: Long, nSemResidualWithin: Long, nSemResidualCross: Long,
       nClean: Long, nFlaggedByNeighbor: Long, nFresh: Long,
       nQuality: Long, gateReasons: Map[String, Long],
       nClusters: Long, splitCounts: Map[String, Long],
@@ -116,6 +120,41 @@ object CorpusDemo {
         .head()
       (split.getLong(0), split.getLong(1))
     }
+
+    // ---- certify_semantic (q101 + q224): the embedding-side twin of
+    //      certify_dedup. SemDeDup's guarantee is cell-LOCAL — no
+    //      surviving within-cell pair ≥ τ — and its recall gap is the
+    //      cross-cell pairs the cell blocking never scores. The exact
+    //      cosine join then DEMONSTRATES both: residual_within = 0
+    //      proves the claim (zero false negatives, so a nonzero here
+    //      is a bug, not bad luck), residual_cross quantifies the
+    //      blocking tradeoff — the number the corpus card carries so
+    //      a denser centroid set is a recorded decision.
+    val (nSemKept, nSemResidualWithin, nSemResidualCross) =
+      staged("certify_semantic") {
+        val emb = Tables.embeddings(spark, sfDir)
+        // semanticDedup keys centroids by idCol (q101 convention)
+        val cents = Similarity.pickCentroids(emb, "vec_id", "embedding", 16)
+          .select(col("cell").as("vec_id"), col("embedding"))
+        val kept = barrier(Dedup.semanticDedup(
+          emb, cents, "vec_id", "embedding", tau = 0.4))
+        val keptVecs = barrier(emb.join(
+          kept.select("vec_id", "cell"), Seq("vec_id")))
+        val cells = keptVecs.select(col("vec_id"), col("cell"))
+        val split = Dedup.exactCosineJoin(
+            keptVecs, "vec_id", "embedding", threshold = 0.4)
+          .join(cells.select(col("vec_id").as("id_a"),
+            col("cell").as("_ca")), Seq("id_a"))
+          .join(cells.select(col("vec_id").as("id_b"),
+            col("cell").as("_cb")), Seq("id_b"))
+          .agg(
+            coalesce(sum(when(col("_ca") === col("_cb"), 1L)
+              .otherwise(0L)), lit(0L)).as("w"),
+            coalesce(sum(when(col("_ca") =!= col("_cb"), 1L)
+              .otherwise(0L)), lit(0L)).as("c"))
+          .head()
+        (kept.count(), split.getLong(0), split.getLong(1))
+      }
 
     // ---- decontaminate (q219, upgraded from the direct q50 check):
     //      contamination is a property of the near-dup CLUSTER, not
@@ -277,6 +316,8 @@ object CorpusDemo {
       nIngested = docs.count(), nExact = exact.count(),
       nNear = near.count(),
       nResidualWithin = nResidualWithin, nResidualCross = nResidualCross,
+      nSemKept = nSemKept, nSemResidualWithin = nSemResidualWithin,
+      nSemResidualCross = nSemResidualCross,
       nClean = clean.count(), nFlaggedByNeighbor = nFlaggedByNeighbor,
       nFresh = fresh.count(),
       nQuality = quality.count(), gateReasons = gateReasons,
@@ -306,6 +347,8 @@ object CorpusDemo {
       s"""{"demo":"corpus","sf_dir":${Json.str(sfDir)},""" +
       s""""ingested":${r.nIngested},"exact":${r.nExact},"near":${r.nNear},""" +
       s""""residual_within":${r.nResidualWithin},"residual_cross":${r.nResidualCross},""" +
+      s""""sem_kept":${r.nSemKept},"sem_residual_within":${r.nSemResidualWithin},""" +
+      s""""sem_residual_cross":${r.nSemResidualCross},""" +
       s""""clean":${r.nClean},"flagged_by_neighbor":${r.nFlaggedByNeighbor},""" +
       s""""fresh":${r.nFresh},"quality":${r.nQuality},""" +
       s""""gate_reasons":{${r.gateReasons.toSeq.sortBy(_._1)

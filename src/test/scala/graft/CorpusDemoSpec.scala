@@ -32,9 +32,12 @@ class CorpusDemoSpec extends SparkSpecBase {
     // the per-source CCNet ppl tail cut with the heuristic floors
     assert((r.nNear, r.nClean, r.nFresh, r.nQuality, r.nClusters) ===
       ((58L, 57L, 51L, 13L, 21L)), s"stage counts moved: $r")
-    // at sf0.001 no paraphrase-only contamination exists: the
-    // propagated gate flags nothing beyond the direct check (the
-    // sf0.1 run in docs/BENCH_NOTES.md is where neighbors appear)
+    // the synthetic corpus holds no paraphrase-only contamination at
+    // EITHER test SF (near-dup clusters that touch the %29 holdout
+    // always trip the direct check too), so the propagated gate
+    // structurally flags nothing here — an honest zero, recorded at
+    // both SFs in docs/BENCH_NOTES.md; the nonzero path is pinned
+    // with planted paraphrases in SplitsContaminationSpec
     assert(r.nFlaggedByNeighbor === 0L, s"neighbor flags moved: $r")
     // dedup certification: the source-blocked dedup's own claim (no
     // within-source pair ≥ t survives) is exactly proven; the cross-
@@ -42,6 +45,14 @@ class CorpusDemoSpec extends SparkSpecBase {
     // template-heavy corpus
     assert(r.nResidualWithin === 0L, s"blocked-dedup claim broken: $r")
     assert(r.nResidualCross === 181L, s"blocking-tradeoff count moved: $r")
+    // semantic certification (q101 + q224): SemDeDup's cell-local
+    // guarantee is exactly proven by the exact cosine join (zero
+    // false negatives, so any nonzero within-cell residual is a BUG);
+    // the cross-cell residual quantifies what the 16-cell blocking
+    // leaves unscored on this corpus
+    assert(r.nSemResidualWithin === 0L, s"semantic-dedup claim broken: $r")
+    assert((r.nSemKept, r.nSemResidualCross) === ((490L, 52L)),
+      s"semantic certification counts moved: $r")
     // every dropped doc names which gate killed it; the funnel total
     // is exactly the stage delta
     assert(r.gateReasons.values.sum === r.nFresh - r.nQuality,
@@ -81,7 +92,8 @@ class CorpusDemoSpec extends SparkSpecBase {
     // per-stage wall clock: every pipeline stage reports a positive
     // timing, in pipeline order (the sf0.1 scaling record's raw data)
     assert(r.stageSec.map(_._1) === Seq("ingest", "exact_dedup",
-      "near_dedup_cc", "near_dedup_filter", "certify_dedup", "decontaminate",
+      "near_dedup_cc", "near_dedup_filter", "certify_dedup",
+      "certify_semantic", "decontaminate",
       "repetition_filter", "quality_gate",
       "cluster_safe_split",
       "budgeted_mixture", "rank_tiers", "curriculum",
