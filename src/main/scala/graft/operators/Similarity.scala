@@ -459,6 +459,97 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(col("_cost")), roundTo).as("mean_cost"))
 
+  /** Elbow surface: [[kmeansObjective]] swept over candidate k's,
+    * each k trained from its own [[pickCentroids]] seed through
+    * `steps` Lloyd iterations — the "how many cells should the IVF
+    * quantizer have" curve. The elbow (where marginal cost drop
+    * flattens) is read off the returned table; this operator
+    * deliberately does NOT pick it (an automated kneedle on 3–6
+    * points is false precision — the capacity choice belongs in the
+    * corpus card with the curve attached).
+    *
+    * Scale shape: the k-sweep is a driver loop bounded by `ks.length`
+    * (each iteration is fully distributed: broadcast-argmax Lloyd
+    * steps + one scalar objective aggregate); cost is ≈ Σ ks × steps
+    * corpus passes, so sweep coarsely (powers of two) at corpus
+    * scale.
+    *
+    * @return one row per k: (k, n_vectors, mean_cost), ordered by k */
+  def kmeansElbow(corpus: DataFrame, idCol: String, vecCol: String,
+                  ks: Seq[Int], steps: Int = 1,
+                  roundTo: Int = 6): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"ks must be non-empty positive: $ks")
+    require(ks.distinct.size == ks.size, s"duplicate k in sweep: $ks")
+    ks.sorted.map { k =>
+      val trained = kmeansRefine(corpus,
+        pickCentroids(corpus, idCol, vecCol, k), idCol, vecCol, steps)
+      kmeansObjective(corpus, trained, idCol, vecCol, roundTo)
+        .select(lit(k).as("k"), col("n_vectors"), col("mean_cost"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Simplified silhouette (Hruschka et al.'s centroid-based variant
+    * of Rousseeuw 1987 — the O(n·k) form; the classic pairwise
+    * silhouette is O(n²) and cannot price a corpus): per vector,
+    * a = cosine distance to its OWN centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a) / max(a, b) ∈ [−1, 1]
+    * (defined 0 when both distances are 0). Positive = the vector
+    * sits with the right centroid; negative = the clustering is
+    * wrong for it. Per-cell means localize WHICH cells are mush —
+    * the diagnosis [[kmeansElbow]]'s single number cannot give.
+    *
+    * Determinism: a and b round to 6dp BEFORE the ratio (the
+    * [[kmeansParallelInit]] cost convention) so the division never
+    * amplifies sub-ulp engine noise past the 4dp output round.
+    *
+    * Scale shape: one broadcast of the k centroids against the
+    * corpus (n×k fixed-width sim rows), two map-side-combined per-id
+    * aggregates, one k-row output aggregate; the corpus never
+    * shuffles by cell.
+    *
+    * @return per cell: (cell, n_members, mean_silhouette), plus one
+    *         (-1, n, corpus mean) summary row; requires ≥ 2 centroids */
+  def simplifiedSilhouette(corpus: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String,
+                           roundTo: Int = 4): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col("cell"), col(vecCol).as("_cv")))
+    val sims = corpus.select(col(idCol).as("_id"), col(vecCol))
+      .join(cents)
+      .select(col("_id"), col("cell"),
+        cosine(col(vecCol), col("_cv")).as("_sim"))
+    val own = sims.groupBy(col("_id"))
+      .agg(max_by(col("cell"), struct(col("_sim"), -col("cell")))
+        .as("_own"),
+        round(lit(1.0) - max(col("_sim")), 6).as("_a"))
+    val other = sims.join(own.select(col("_id"), col("_own")), Seq("_id"))
+      .filter(col("cell") =!= col("_own"))
+      .groupBy(col("_id"))
+      .agg(round(lit(1.0) - max(col("_sim")), 6).as("_b"))
+    // LEFT join + in-plan tripwire: with a single centroid there is
+    // no "other" row for ANY vector and the silhouette is undefined —
+    // fail loudly rather than return the silently-empty frame an
+    // inner join would produce
+    val sil = own.join(other, Seq("_id"), "left")
+      .select(col("_own").cast("long").as("cell"), col("_a"),
+        when(col("_b").isNull, raise_error(lit(
+          "simplifiedSilhouette: fewer than 2 centroids — separation " +
+            "(distance to the nearest OTHER centroid) is undefined"))
+          .cast("double")).otherwise(col("_b")).as("_b"))
+      .select(col("cell"),
+        when(greatest(col("_a"), col("_b")) === 0.0, lit(0.0))
+          .otherwise((col("_b") - col("_a")) /
+            greatest(col("_a"), col("_b"))).as("_s"))
+    sil.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("_s")), roundTo).as("mean_silhouette"))
+      .unionByName(sil.agg(count(lit(1)).as("n_members"),
+        round(avg(col("_s")), roundTo).as("mean_silhouette"))
+        .select(lit(-1L).as("cell"), col("n_members"),
+          col("mean_silhouette")))
+  }
+
   /** Cluster quality profile under a centroid set: per cell, member
     * count, mean member-to-centroid cosine (the spherical k-means
     * objective — rises as [[kmeansRefine]] converges), and label

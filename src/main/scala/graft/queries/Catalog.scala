@@ -8887,6 +8887,99 @@ object Catalog {
       threshold = 0.4)
   }
 
+  /** Per-k CTE block for the q225 elbow oracle: md5-rule seed pick,
+    * one Lloyd step (4dp float-cast means + empty-cell fallback),
+    * spherical cost — the q210/q223 replay shapes parameterized by
+    * k. Cell labels differ from Spark's dense 0..k−1 (the oracle
+    * uses seed vec_ids) — deliberately irrelevant: no output column
+    * depends on the label, only on the assignment partition. */
+  private def elbowCte(k: Int): String =
+    s"""s$k AS (SELECT vec_id AS cell, vec AS cvec FROM corpus
+      |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+      |a$k AS (SELECT vec_id, vec, cell FROM (
+      |   SELECT c.vec_id, c.vec, t.cell,
+      |          row_number() OVER (PARTITION BY c.vec_id
+      |                             ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |   FROM corpus c CROSS JOIN s$k t) WHERE rk = 1),
+      |m$k AS (SELECT a.cell, t.i AS i,
+      |          CAST(CAST(round(avg(a.vec[t.i]), 4) AS FLOAT) AS DOUBLE) AS v
+      |        FROM a$k a, UNNEST(generate_series(1, len(a.vec))) AS t(i)
+      |        GROUP BY a.cell, t.i),
+      |c$k AS (SELECT s.cell, coalesce(m.cvec, s.cvec) AS cvec
+      |        FROM s$k s LEFT JOIN (SELECT cell, list(v ORDER BY i) AS cvec
+      |                              FROM m$k GROUP BY cell) m USING (cell)),
+      |cost$k AS (SELECT c.vec_id,
+      |             greatest(0.0, 1.0 - max(list_cosine_similarity(c.vec, t.cvec))) AS cost
+      |           FROM corpus c CROSS JOIN c$k t GROUP BY c.vec_id)""".stripMargin
+
+  private val elbowKs = Seq(5, 10, 20)
+
+  /** [[Similarity.kmeansElbow]] — the quantizer-capacity curve the
+    * judge of "how many IVF cells" reads: objective after one Lloyd
+    * step per candidate k. The oracle replays every k branch
+    * (seed pick, rounded-mean step, cost) and unions the sweep. */
+  val q225KmeansElbow = q("q225_kmeans_elbow",
+    "k-means elbow sweep: spherical objective vs k after one Lloyd step per k (north star: IVF capacity choice)",
+    s"""WITH corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |${elbowKs.map(elbowCte).mkString(",\n")}
+      |${elbowKs.map(k =>
+        s"SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_vectors, round(avg(cost), 6) AS mean_cost FROM cost$k")
+        .mkString("\nUNION ALL\n")}""".stripMargin) { (s, d) =>
+    Similarity.kmeansElbow(Tables.embeddings(s, d), "vec_id", "embedding",
+      ks = elbowKs, steps = 1)
+  }
+
+  /** [[Similarity.simplifiedSilhouette]] under the oracle — the
+    * O(n·k) centroid-based silhouette over one-step-trained cells:
+    * per-cell cohesion-vs-separation plus the corpus summary row.
+    * Localizes WHICH cells are mush, which the elbow's single
+    * number cannot. */
+  val q226Silhouette = q("q226_silhouette",
+    "Simplified silhouette per trained cell + corpus mean (north star: cluster quality diagnosis)",
+    """WITH corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, vec AS cvec FROM corpus WHERE vec_id % 50 = 0),
+      |a1 AS (SELECT vec_id, vec, cell FROM (
+      |   SELECT c.vec_id, c.vec, t.cell,
+      |          row_number() OVER (PARTITION BY c.vec_id
+      |                             ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |   FROM corpus c CROSS JOIN c0 t) WHERE rk = 1),
+      |m1 AS (SELECT a.cell, t.i AS i,
+      |         CAST(CAST(round(avg(a.vec[t.i]), 4) AS FLOAT) AS DOUBLE) AS v
+      |       FROM a1 a, UNNEST(generate_series(1, len(a.vec))) AS t(i)
+      |       GROUP BY a.cell, t.i),
+      |c1 AS (SELECT c0.cell, coalesce(m.cvec, c0.cvec) AS cvec
+      |       FROM c0 LEFT JOIN (SELECT cell, list(v ORDER BY i) AS cvec
+      |                          FROM m1 GROUP BY cell) m USING (cell)),
+      |sims AS (SELECT c.vec_id, t.cell,
+      |           list_cosine_similarity(c.vec, t.cvec) AS sim
+      |         FROM corpus c CROSS JOIN c1 t),
+      |own AS (SELECT vec_id, cell AS own_cell, round(1.0 - sim, 6) AS a FROM (
+      |   SELECT vec_id, cell, sim,
+      |          row_number() OVER (PARTITION BY vec_id
+      |                             ORDER BY sim DESC, cell) AS rk
+      |   FROM sims) WHERE rk = 1),
+      |oth AS (SELECT s.vec_id, round(1.0 - max(s.sim), 6) AS b
+      |        FROM sims s JOIN own o
+      |          ON s.vec_id = o.vec_id AND s.cell <> o.own_cell
+      |        GROUP BY s.vec_id),
+      |sil AS (SELECT o.own_cell AS cell,
+      |          CASE WHEN greatest(o.a, t.b) = 0 THEN 0.0
+      |               ELSE (t.b - o.a) / greatest(o.a, t.b) END AS s
+      |        FROM own o JOIN oth t USING (vec_id))
+      |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+      |       round(avg(s), 4) AS mean_silhouette
+      |FROM sil GROUP BY cell
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+      |       round(avg(s), 4) FROM sil""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val init = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell"), col("embedding"))
+    val trained = Similarity.kmeansRefine(e, init, "vec_id", "embedding",
+      steps = 1)
+    Similarity.simplifiedSilhouette(e, trained, "vec_id", "embedding")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -8944,5 +9037,5 @@ object Catalog {
     q213ZipfFit, q214ClusterSample, q215ExactJaccard, q216VocabGrowth,
     q217TruncationRecall, q218QuantRecall, q219PropagatedContamination,
     q220QualityBuckets, q221QualityGate, q222KmeansParInit,
-    q223KmeansObjective, q224ExactCosine)
+    q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette)
 }

@@ -524,6 +524,59 @@ class SimilaritySpec extends SparkSpecBase {
     graft.GraftSession.sweepPersistedRdds(spark)
   }
 
+  test("kmeansElbow: objective non-increasing in k, sweep ordered, deterministic") {
+    graft.GraftSession.sweepPersistedRdds(spark)
+    val df = gaussianVecs(200, 8, 31).toDF("vec_id", "embedding")
+    val sweep = Similarity.kmeansElbow(df, "vec_id", "embedding",
+      ks = Seq(4, 8, 16), steps = 1)
+      .as[(Int, Long, Double)].collect()
+    assert(sweep.map(_._1).toSeq === Seq(4, 8, 16))
+    assert(sweep.forall(_._2 === 200L))
+    // more cells can only cover the sphere better after a Lloyd step
+    // on this corpus — the curve the capacity choice reads
+    assert(sweep.map(_._3).toSeq === sweep.map(_._3).toSeq.sorted.reverse,
+      s"objective rose with k: ${sweep.mkString(", ")}")
+    val again = Similarity.kmeansElbow(df, "vec_id", "embedding",
+      ks = Seq(4, 8, 16), steps = 1).as[(Int, Long, Double)].collect()
+    assert(again === sweep)
+    graft.GraftSession.sweepPersistedRdds(spark)
+  }
+
+  test("simplifiedSilhouette: tight planted clusters score high, summary row aggregates, k=1 fails loudly") {
+    graft.GraftSession.sweepPersistedRdds(spark)
+    val rnd = new scala.util.Random(41)
+    // three well-separated orthogonal-ish clusters
+    def planted(center: Int, ids: Range) = ids.map { i =>
+      val v = Array.fill(12)(0.02f * rnd.nextGaussian().toFloat)
+      v(center) = 1f; (i.toLong, v)
+    }
+    val df = (planted(0, 0 until 30) ++ planted(5, 30 until 60) ++
+      planted(10, 60 until 90)).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array.tabulate(12)(i => if (i == 0) 1f else 0f)),
+      (1L, Array.tabulate(12)(i => if (i == 5) 1f else 0f)),
+      (2L, Array.tabulate(12)(i => if (i == 10) 1f else 0f)))
+      .toDF("cell", "embedding")
+    val out = Similarity.simplifiedSilhouette(df, cents,
+      "vec_id", "embedding").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.keySet === Set(-1L, 0L, 1L, 2L))
+    assert(Seq(0L, 1L, 2L).forall(c => out(c)._1 === 30L))
+    assert(Seq(0L, 1L, 2L).forall(c => out(c)._2 > 0.9),
+      s"planted clusters should score near 1: $out")
+    // summary row: corpus count and the (equal-sized-cell) mean
+    assert(out(-1L)._1 === 90L)
+    val cellMean = Seq(0L, 1L, 2L).map(out(_)._2).sum / 3.0
+    assert(math.abs(out(-1L)._2 - cellMean) < 0.001)
+    // one centroid: separation undefined — loud, not silently empty
+    val e = intercept[Exception] {
+      Similarity.simplifiedSilhouette(df, cents.filter($"cell" === 0L),
+        "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("fewer than 2 centroids"), e.getMessage)
+    graft.GraftSession.sweepPersistedRdds(spark)
+  }
+
   test("kmeansObjective: zero for a corpus that IS the centroid set") {
     val df = gaussianVecs(20, 4, 3).toDF("vec_id", "embedding")
     val perfect = df.select($"vec_id".as("cell"), $"embedding")

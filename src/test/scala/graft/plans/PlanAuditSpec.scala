@@ -853,6 +853,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"exactness never buys a nested loop:\n$plan")
   }
 
+  test("q225/q226 cluster-quality surfaces: broadcast argmax + keyed aggregates, no corpus window") {
+    for (name <- Seq("q225_kmeans_elbow", "q226_silhouette")) {
+      val plan = planOf(name)
+      // assignment/silhouette passes are broadcast-centroid argmaxes
+      // feeding map-side-combined aggregates; a Window here would mean
+      // a corpus-wide rank crept in
+      assert(!plan.contains("Window"), s"$name grew a corpus window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
+
   test("q213/q216 corpus statistics: aggregates are vocabulary-bounded, no corpus-wide window") {
     val p213 = planOf("q213_zipf_fit")
     // the rank window partitions by source over the VOCAB table; the
