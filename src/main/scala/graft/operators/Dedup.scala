@@ -1740,6 +1740,173 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Batch-vs-corpus EXACT Jaccard join — the INCREMENTAL form of
+    * [[exactJaccardJoin]]: every (corpus doc, batch doc) pair with
+    * token-set Jaccard ≥ `threshold`, zero false negatives. This is
+    * how certification stays affordable on a growing corpus: the
+    * corpus×corpus pass ([[exactJaccardJoin]]) runs once, then every
+    * arriving batch certifies R×S against the corpus — cost scales
+    * with the BATCH, not with corpus², and a clean result plus the
+    * batch's own self-join certifies the merged corpus by induction.
+    *
+    * Same prefix-filter machinery (Bayardo et al., WWW 2007): one
+    * global token order (document frequency ASC over corpus ∪ batch —
+    * the order only shapes bucket sizes, never the result), prefixes
+    * of length n − ⌈t·n⌉ + 1 on BOTH sides, candidates from the
+    * prefix-token equi-join, PPJoin length filter both ways, exact
+    * codegen'd sorted-hash verify. The corpus-side prefix buckets
+    * carry the `maxBucket` raise_error tripwire (groupBy+join-back on
+    * the token — the q205 hot-key shape, NOT a window: the corpus
+    * prefix table is corpus-scale). Degenerate (zero-token) docs are
+    * excluded on both sides at every `shingleK`, the
+    * [[exactJaccardJoin]] convention.
+    *
+    * @return (id_corpus, id_batch, jaccard), jaccard ≥ threshold
+    *         (filtered unrounded, displayed at 4dp); a doc present on
+    *         both sides pairs with itself at 1.0 — that IS the
+    *         re-ingestion signal a certification exists to raise */
+  def exactJaccardJoinAgainst(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double, shingleK: Int = 1,
+                              maxBucket: Int = 100000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(shingleK >= 1, s"shingleK must be >= 1: $shingleK")
+    def sets(df: DataFrame) = {
+      val shingleCol =
+        if (shingleK == 1) array_distinct(TextFunctions.tokens(col(textCol)))
+        else shingles(col(textCol), shingleK)
+      df.filter(size(TextFunctions.tokens(col(textCol))) > 0)
+        .select(col(idCol).as("id"), shingleCol.as("_s"))
+        .filter(size(col("_s")) > 0)
+        .repartition(col("id"))
+    }
+    def toks(s: DataFrame) = s.select(col("id"),
+      size(col("_s")).cast("long").as("_n"), explode(col("_s")).as("_t"))
+    val cSets = sets(corpus); val bSets = sets(batch)
+    val cToks = toks(cSets); val bToks = toks(bSets)
+    // ONE global order for both sides' prefixes (the lemma needs a
+    // consistent total order, nothing more)
+    val dfreq = cToks.unionByName(bToks)
+      .groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    def neededOverlap(n: Column) =
+      ceil(n.cast("double") * lit(threshold) - lit(1e-9))
+    def prefix(t: DataFrame) = {
+      val w = Window.partitionBy(col("id")).orderBy(col("_df"), col("_t"))
+      t.join(dfreq, Seq("_t"))
+        .withColumn("_pos", row_number().over(w))
+        .filter(col("_pos") <= col("_n") - neededOverlap(col("_n")) + 1)
+        .select(col("id"), col("_t"), col("_n"))
+    }
+    val cPrefix = prefix(cToks)
+    // corpus-side bucket tripwire via groupBy + equi-join back — the
+    // corpus prefix table is the big side, a count window over it
+    // would colocate a boilerplate token's whole bucket in one task
+    val buckets = cPrefix.groupBy(col("_t")).agg(count(lit(1)).as("_bkt"))
+    val cGuarded = cPrefix.join(buckets, Seq("_t"))
+      .withColumn("_gn",
+        when(col("_bkt") > maxBucket, raise_error(concat(
+          lit("exactJaccardJoinAgainst corpus prefix bucket overflow: " +
+            "token '"), col("_t"),
+          lit("' appears in "), col("_bkt").cast("string"),
+          lit(s" corpus prefixes (> $maxBucket) — quadratic candidate " +
+            "blow-up; strip the boilerplate token upstream or raise " +
+            "maxBucket with the cost understood"))).cast("long"))
+          .otherwise(col("_n")))
+    val cand = cGuarded.select(col("id").as("id_corpus"), col("_t"),
+        col("_gn").as("_nc"))
+      .join(prefix(bToks).select(col("id").as("id_batch"), col("_t"),
+        col("_n").as("_nb")), Seq("_t"))
+      .filter(col("_nb") >= neededOverlap(col("_nc")) &&
+        col("_nc") >= neededOverlap(col("_nb")))
+      .select("id_corpus", "id_batch").distinct()
+    // exact verify: hash each side's shingle set once, linear merge
+    val cHash = cSets.select(col("id").as("id_corpus"),
+      Sketches.hashed_token_set(col("_s")).as("_ha"))
+    val bHash = bSets.select(col("id").as("id_batch"),
+      Sketches.hashed_token_set(col("_s")).as("_hb"))
+    cand.join(cHash, Seq("id_corpus")).join(bHash, Seq("id_batch"))
+      .select(col("id_corpus"), col("id_batch"),
+        Sketches.jaccard_sorted_long(col("_ha"), col("_hb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_corpus"), col("id_batch"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Batch-vs-corpus EXACT cosine join — [[exactCosineJoin]]'s
+    * incremental form and [[exactJaccardJoinAgainst]]'s embedding
+    * twin: every (corpus vector, batch vector) pair with cosine ≥
+    * `threshold`, zero false negatives, at batch-proportional cost.
+    *
+    * Same pivot-angle bands (pivots from the CORPUS md5 rule — the
+    * blocking choice never affects the result). The asymmetry does
+    * the scaling work: the CORPUS keys by its own (b0, b1) bands,
+    * unreplicated — only the BATCH replicates, to the 3×3
+    * {b−1, b, b+1}² neighborhood (9×, trivial on a batch) — so every
+    * |Δband| ≤ 1 pair meets at the corpus row's own cell exactly
+    * once, no dedup pass, and the corpus never explodes. Remaining
+    * pivots prune as |Δband| ≤ 1 integer checks before the exact
+    * verify; the corpus-side cell tripwire (groupBy + join-back)
+    * fails loudly on mass collapse.
+    *
+    * @return (id_corpus, id_batch, cos), round(cos, roundTo) ≥
+    *         threshold; zero-norm vectors excluded on both sides */
+  def exactCosineJoinAgainst(corpus: DataFrame, batch: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double, nPivots: Int = 4,
+                             maxCell: Long = 100000L,
+                             roundTo: Int = 4): DataFrame = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold must be in (-1, 1): $threshold")
+    require(nPivots >= 2 && nPivots <= 16,
+      s"nPivots must be in [2, 16]: $nPivots")
+    val theta = math.acos(threshold) + 1e-3
+    val pivots = BoundedRead.boundedDriverRead(
+      Sim.pickCentroids(corpus, idCol, vecCol, nPivots).orderBy("cell"),
+      nPivots, "exactCosineJoinAgainst pivots",
+      s"pickCentroids emits at most nPivots = $nPivots rows")
+      .map(_.getSeq[Float](1).toArray)
+    def band(p: Array[Float]) =
+      floor(acos(greatest(lit(-1.0), least(lit(1.0),
+        Sim.cosine(col("_v"), typedLit(p))))) / lit(theta)).cast("int")
+    def pts(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"_id$side"), col(vecCol).as("_v"))
+      .filter(Sim.cosine(col("_v"), col("_v")) > 0.0)
+      .select(col(s"_id$side") +: col("_v").as(s"_v$side") +:
+        pivots.zipWithIndex.map { case (p, i) => band(p).as(s"_b$i$side") }: _*)
+    val cPts = pts(corpus, "c")
+    // corpus-side cell tripwire on the UNREPLICATED (b0, b1) key
+    val sizes = broadcast(cPts.groupBy(col("_b0c"), col("_b1c"))
+      .agg(count(lit(1)).as("_cn")))
+    val cGuarded = cPts.join(sizes, Seq("_b0c", "_b1c"))
+      .withColumn("_g",
+        when(col("_cn") > maxCell, raise_error(concat(
+          lit("exactCosineJoinAgainst corpus cell overflow: band cell ("),
+          col("_b0c").cast("string"), lit(","),
+          col("_b1c").cast("string"), lit(") holds "),
+          col("_cn").cast("string"),
+          lit(s" corpus vectors (> $maxCell) — certify at a tighter " +
+            "threshold (narrower bands) or raise maxCell with the " +
+            "O(cell × batch-neighborhood) cost understood"))).cast("long"))
+          .otherwise(col("_cn")))
+      .drop("_cn")
+    // batch replicates to the 3×3 band neighborhood — the batch is
+    // the small side by contract, 9× of small is still small
+    val bRep = pts(batch, "b")
+      .withColumn("_b0c", explode(array(col("_b0b") - 1, col("_b0b"),
+        col("_b0b") + 1)))
+      .withColumn("_b1c", explode(array(col("_b1b") - 1, col("_b1b"),
+        col("_b1b") + 1)))
+    val prefixChecks = (2 until nPivots).map(i =>
+      abs(col(s"_b${i}c") - col(s"_b${i}b")) <= 1)
+    cGuarded.join(bRep, Seq("_b0c", "_b1c"))
+      .filter(prefixChecks.reduce(_ && _))
+      .filter(col("_g") > 0L)
+      .select(col("_idc").as("id_corpus"), col("_idb").as("id_batch"),
+        round(Sim.cosine(col("_vc"), col("_vb")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact n-gram (word-shingle) Jaccard for all pairs within a
     * blocking key — the exact verifier for LSH candidates. Pair
     * scoring uses the codegen'd JaccardStr expression (hash-set

@@ -8980,6 +8980,51 @@ object Catalog {
     Similarity.simplifiedSilhouette(e, trained, "vec_id", "embedding")
   }
 
+  /** [[Dedup.exactJaccardJoinAgainst]] — incremental certification:
+    * the arriving batch (doc_id % 13 = 0 plays the day's ingest)
+    * certified against the standing corpus at batch-proportional
+    * cost. Oracle is the blocking-independent brute-force R×S. */
+  val q227JaccardAgainst = q("q227_jaccard_against",
+    "Batch-vs-corpus exact Jaccard join — incremental dedup certification at batch cost (north star: dedup)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |t AS (SELECT doc_id, list_distinct(toks) AS s
+      |      FROM tk WHERE len(toks) > 0),
+      |c AS (SELECT * FROM t WHERE doc_id % 13 <> 0 AND len(s) > 0),
+      |b AS (SELECT * FROM t WHERE doc_id % 13 = 0 AND len(s) > 0),
+      |p AS (
+      |  SELECT c.doc_id AS id_corpus, b.doc_id AS id_batch,
+      |         CAST(len(list_intersect(c.s, b.s)) AS DOUBLE)
+      |           / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) AS jac
+      |  FROM c CROSS JOIN b)
+      |SELECT id_corpus, id_batch, round(jac, 4) AS jaccard
+      |FROM p WHERE jac >= 0.85""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.exactJaccardJoinAgainst(
+      docs.filter(pmod(col("doc_id"), lit(13)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(13)) === 0),
+      "doc_id", "text", threshold = 0.85, shingleK = 1)
+  }
+
+  /** [[Dedup.exactCosineJoinAgainst]] — the embedding twin of q227:
+    * new vectors certified against the standing corpus, corpus
+    * unreplicated, batch carrying the 9× band neighborhood. */
+  val q228CosineAgainst = q("q228_cosine_against",
+    "Batch-vs-corpus exact cosine join — incremental semantic certification at batch cost (north star: dedup)",
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings)
+      |SELECT c.vec_id AS id_corpus, b.vec_id AS id_batch,
+      |       round(list_cosine_similarity(c.vec, b.vec), 4) AS cos
+      |FROM v c JOIN v b ON c.vec_id % 7 <> 0 AND b.vec_id % 7 = 0
+      |WHERE round(list_cosine_similarity(c.vec, b.vec), 4) >= 0.4""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Dedup.exactCosineJoinAgainst(
+      e.filter(pmod(col("vec_id"), lit(7)) =!= 0),
+      e.filter(pmod(col("vec_id"), lit(7)) === 0),
+      "vec_id", "embedding", threshold = 0.4)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -9037,5 +9082,6 @@ object Catalog {
     q213ZipfFit, q214ClusterSample, q215ExactJaccard, q216VocabGrowth,
     q217TruncationRecall, q218QuantRecall, q219PropagatedContamination,
     q220QualityBuckets, q221QualityGate, q222KmeansParInit,
-    q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette)
+    q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette,
+    q227JaccardAgainst, q228CosineAgainst)
 }

@@ -642,6 +642,78 @@ class DedupSpec extends SparkSpecBase {
       s"zero-norm vector paired: ${pairs.mkString(", ")}")
   }
 
+  test("exactJaccardJoinAgainst equals brute force; re-ingested doc surfaces at 1.0; tripwire fires") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "iota kappa lambda mu"),
+      (4L, "nu xi omicron pi rho sigma")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "alpha beta gamma delta"),        // re-ingested copy of 1
+      (102L, "alpha beta gamma zeta"),         // J(.,1) = 3/5
+      (103L, "tau upsilon phi chi")            // novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactJaccardJoinAgainst(corpus, batch,
+      "doc_id", "text", threshold = 0.5, shingleK = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the cross product is the judge
+    val brute = (for {
+      (ci, ct) <- Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"),
+        (3L, "iota kappa lambda mu"), (4L, "nu xi omicron pi rho sigma"))
+      (bi, bt) <- Seq((101L, "alpha beta gamma delta"), (102L, "alpha beta gamma zeta"),
+        (103L, "tau upsilon phi chi"))
+      cs = ct.split(" ").toSet; bs = bt.split(" ").toSet
+      j = cs.intersect(bs).size.toDouble / cs.union(bs).size
+      if j >= 0.5
+    } yield (ci, bi, math.rint(j * 10000) / 10000)).toSet
+    assert(got === brute, s"got=$got brute=$brute")
+    assert(got.contains((1L, 101L, 1.0)), "re-ingestion signal missing")
+    // corpus-side boilerplate token floods the prefix buckets: loud
+    val flood = Seq.tabulate(8)(i => (200L + i, s"shared u$i"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.exactJaccardJoinAgainst(flood, batch, "doc_id", "text",
+        threshold = 0.5, shingleK = 1, maxBucket = 3).collect()
+    }
+    assert(e.getMessage.contains("corpus prefix bucket overflow"),
+      e.getMessage)
+  }
+
+  test("exactCosineJoinAgainst equals brute force at low and high tau; corpus never replicates") {
+    val rnd = new scala.util.Random(53)
+    def noise(dim: Int) = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def near(base: Array[Float]) =
+      base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val c1 = noise(8)
+    val corpus = ((0 until 15).map(i => (i.toLong, near(c1))) ++
+      (15 until 60).map(i => (i.toLong, noise(8)))).toDF("vec_id", "embedding")
+    val batchRows = (100 until 105).map(i => (i.toLong, near(c1))) ++
+      (105 until 120).map(i => (i.toLong, noise(8)))
+    val batch = batchRows.toDF("vec_id", "embedding")
+    for (tau <- Seq(0.4, 0.9)) {
+      // brute force: tag sides, block on a constant, keep cross-side pairs
+      val brute = Dedup.embeddingNearDup(
+        corpus.withColumn("blk", lit(1))
+          .unionByName(batch.withColumn("blk", lit(1))),
+        "vec_id", "embedding", "blk", tau)
+        .filter(col("id_a") < 100L && col("id_b") >= 100L)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.exactCosineJoinAgainst(corpus, batch,
+        "vec_id", "embedding", tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === brute,
+        s"tau=$tau: miss=${brute -- got} extra=${got -- brute}")
+      assert(brute.nonEmpty, s"tau=$tau: degenerate test corpus")
+    }
+    // the corpus-side cell tripwire fails loudly on mass collapse
+    val e = intercept[Exception] {
+      Dedup.exactCosineJoinAgainst(corpus, batch, "vec_id", "embedding",
+        0.4, maxCell = 5).collect()
+    }
+    assert(e.getMessage.contains("corpus cell overflow"), e.getMessage)
+  }
+
   test("dupGramFraction: shared bigrams counted across docs, unique docs at zero") {
     val corpus = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
       .toDF("doc_id", "text")

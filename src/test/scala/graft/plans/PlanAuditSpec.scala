@@ -864,6 +864,19 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q227/q228 batch-vs-corpus certification: equi joins only, no corpus window") {
+    val p227 = planOf("q227_jaccard_against")
+    assert(!p227.contains("BroadcastNestedLoopJoin") &&
+      !p227.contains("CartesianProduct"),
+      s"incremental certification degraded to a nested loop:\n$p227")
+    val p228 = planOf("q228_cosine_against")
+    // the cosine variant is fully window-free (bands are literal row
+    // math; the tripwire counts via groupBy+join-back)
+    assert(!p228.contains("Window"), s"q228 grew a corpus window:\n$p228")
+    assert(!p228.contains("BroadcastNestedLoopJoin") &&
+      !p228.contains("CartesianProduct"), s"q228:\n$p228")
+  }
+
   test("q213/q216 corpus statistics: aggregates are vocabulary-bounded, no corpus-wide window") {
     val p213 = planOf("q213_zipf_fit")
     // the rank window partitions by source over the VOCAB table; the
