@@ -78,6 +78,14 @@ object Maintenance {
         Similarity.ivfIndexCompact(spark, root, keepVersions)
       case "ivf_pq" =>
         Similarity.ivfPqIndexCompact(spark, root, keepVersions)
+      case "quality_cuts" =>
+        // versioned calibration snapshot, not an epoch-additive store:
+        // each freeze IS a compacted base (publishVersion retention
+        // GCs superseded versions) — compactAll treats this message
+        // as the benign fresh-store skip
+        sys.error(s"nothing to compact at $root: quality_cuts is a " +
+          "versioned calibration snapshot with no epoch partials; " +
+          "retention is publishVersion's keepVersions at freeze time")
       case f if f.endsWith("_bands") =>
         // banding families (minhash/simhash/srp/hamming64) share the
         // identity fold — disjoint rows, compaction bounds file count

@@ -32,6 +32,33 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Store-family tag of the frozen-calibration snapshots
+    * ([[qualityCutsWrite]]). */
+  val CutsFamily = "quality_cuts"
+
+  private def validateCuts(cuts: Seq[Double]): Unit = {
+    require(cuts.nonEmpty && cuts.forall(p => p > 0.0 && p < 1.0),
+      s"cuts must lie strictly inside (0, 1): $cuts")
+    require(cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be strictly ascending: $cuts")
+  }
+
+  /** The calibration TABLE alone: per `byCols` group, the
+    * interpolated quantile thresholds of `scoreCol` (SQL
+    * `quantile_cont` semantics, bit-identical to DuckDB's), one row
+    * per group with threshold columns `c0..c(n-1)`. This is what
+    * [[qualityCutsWrite]] freezes and [[qualityBucketsWith]]
+    * applies — computing it once on the calibration slice and
+    * re-using it for every later batch is the CCNet production
+    * shape (recalibrating per batch silently shifts thresholds with
+    * the batch mix, making keep/drop decisions irreproducible). */
+  def qualityCuts(scores: DataFrame, scoreCol: String, byCols: Seq[String],
+                  cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)): DataFrame = {
+    validateCuts(cuts)
+    Percentiles.interpolated(scores, byCols, scoreCol,
+      cuts.indices.map(i => s"c$i").zip(cuts)).drop("n")
+  }
+
   /** Per-group quantile bucketing of a score column — CCNet
     * head/middle/tail, generalized: cut each `byCols` group's score
     * distribution at `cuts` (interpolated quantiles, SQL
@@ -42,6 +69,12 @@ object Quality {
     * For an ascending badness score (perplexity), the defaults give
     * CCNet's exact semantics: head = the third of the source that
     * looks most like the reference corpus.
+    *
+    * Calibrates on `scores` ITSELF — the one-shot shape. For the
+    * incremental pipeline (freeze calibration once, apply to every
+    * batch) compute [[qualityCuts]] on the calibration slice, persist
+    * with [[qualityCutsWrite]], and bucket batches through
+    * [[qualityBucketsWith]] against the stored table.
     *
     * Rows with a NULL score get a NULL bucket (no score is not the
     * same as a bad score — the caller's gate decides what to do with
@@ -57,26 +90,76 @@ object Quality {
   def qualityBuckets(scores: DataFrame, scoreCol: String, byCols: Seq[String],
                      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
                      labels: Seq[String] = Seq("head", "middle", "tail"),
-                     as: String = "bucket"): DataFrame = {
-    require(cuts.nonEmpty && cuts.forall(p => p > 0.0 && p < 1.0),
-      s"cuts must lie strictly inside (0, 1): $cuts")
-    require(cuts == cuts.sorted && cuts.distinct == cuts,
-      s"cuts must be strictly ascending: $cuts")
-    require(labels.size == cuts.size + 1,
-      s"need ${cuts.size + 1} labels for ${cuts.size} cuts, got ${labels.size}")
-    val names = cuts.indices.map(i => s"_qb_c$i")
-    val thresholds = Percentiles
-      .interpolated(scores, byCols, scoreCol, names.zip(cuts))
-      .drop("n")
-    // one row per group — broadcast; the score stream never reshuffles
+                     as: String = "bucket"): DataFrame =
+    qualityBucketsWith(scores, scoreCol, byCols,
+      qualityCuts(scores, scoreCol, byCols, cuts), labels, as)
+
+  /** [[qualityBuckets]] against a PRE-COMPUTED (usually stored —
+    * [[qualityCutsRead]]) threshold table: groups absent from the
+    * calibration get NULL buckets (an uncalibrated source is
+    * unknowable, not head — the NULL-score convention extended), and
+    * the threshold table must carry exactly `labels.size - 1`
+    * threshold columns `c0..c(n-1)` beside `byCols`.
+    *
+    * Scale shape: the cut table is one row per group (report-scale),
+    * broadcast onto the score stream; the corpus never shuffles. */
+  def qualityBucketsWith(scores: DataFrame, scoreCol: String,
+                         byCols: Seq[String], thresholds: DataFrame,
+                         labels: Seq[String] = Seq("head", "middle", "tail"),
+                         as: String = "bucket"): DataFrame = {
+    val names = thresholds.columns.filterNot(byCols.contains).sorted.toSeq
+    require(names == (0 until names.size).map(i => s"c$i"),
+      s"threshold table must carry c0..c(n-1) beside $byCols, got: $names")
+    require(labels.size == names.size + 1,
+      s"need ${names.size + 1} labels for ${names.size} thresholds, " +
+        s"got ${labels.size}")
     val joined = scores.join(broadcast(thresholds), byCols, "left")
-    val bucket = cuts.indices.reverse.foldLeft(lit(labels.last): Column) {
+    val bucket = names.indices.reverse.foldLeft(lit(labels.last): Column) {
       (acc, i) => when(col(scoreCol) <= col(names(i)), lit(labels(i))).otherwise(acc)
     }
     joined
       .withColumn(as,
-        when(col(scoreCol).isNotNull, bucket).otherwise(lit(null)))
+        when(col(scoreCol).isNotNull && col(names.head).isNotNull,
+          bucket).otherwise(lit(null)))
       .drop(names: _*)
+  }
+
+  private def cutsMeta(scoreCol: String, byCols: Seq[String],
+                       cuts: Seq[Double]) =
+    IndexMeta(CutsFamily, "score" -> scoreCol,
+      "by" -> byCols.mkString(","),
+      "cuts" -> cuts.map(c => f"$c%.6f").mkString(","))
+
+  /** Freeze a calibration: publish the [[qualityCuts]] table as an
+    * atomically-versioned snapshot (the [[Layout.publishVersion]]
+    * pointer flip — readers never see a half-written calibration,
+    * and the retained versions are the "which calibration did shard
+    * N ship under" time-travel window). Unlike the count stores this
+    * family is NOT epoch-additive — each freeze supersedes the last
+    * whole — so there is nothing to compact, ever; retention is
+    * publishVersion's own GC. Returns the published version name. */
+  def qualityCutsWrite(spark: org.apache.spark.sql.SparkSession,
+                       root: String, thresholds: DataFrame,
+                       scoreCol: String, byCols: Seq[String],
+                       cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                       keepVersions: Int = 2): String = {
+    validateCuts(cuts)
+    val version = Layout.publishVersion(spark, s"$root/cuts", keepVersions)(
+      dir => thresholds.write.mode("overwrite").parquet(dir))
+    IndexMeta.writeIfAbsent(spark, root, cutsMeta(scoreCol, byCols, cuts))
+    version
+  }
+
+  /** Read the LIVE frozen calibration, manifest-checked: the store
+    * must have been written for the same score column, grouping, and
+    * quantiles — silently bucketing a perplexity batch against a
+    * DSIR calibration is exactly the mixup the manifest exists to
+    * refuse. */
+  def qualityCutsRead(spark: org.apache.spark.sql.SparkSession,
+                      root: String, scoreCol: String, byCols: Seq[String],
+                      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)): DataFrame = {
+    IndexMeta.check(spark, root, cutsMeta(scoreCol, byCols, cuts))
+    Layout.readVersioned(spark, s"$root/cuts")
   }
 
   /** Fold named boolean gates into the engine's standard filter

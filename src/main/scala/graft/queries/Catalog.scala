@@ -9025,6 +9025,50 @@ object Catalog {
       "vec_id", "embedding", threshold = 0.4)
   }
 
+  /** Frozen quality calibration ([[Quality.qualityCutsWrite]] /
+    * [[Quality.qualityBucketsWith]]): the CCNet production shape —
+    * cuts computed ONCE on the standing corpus (doc_id % 9 ≠ 0),
+    * persisted as an atomically-versioned snapshot, then an arriving
+    * batch (% 9 = 0) bucketed against the STORED table. The batch's
+    * own score mix never shifts the thresholds — the reproducibility
+    * property per-batch recalibration silently lacks. The store
+    * round-trip sits IN the checked lineage (the q207/q209 pattern);
+    * the oracle computes the cuts from the calibration slice only
+    * and buckets the batch, with uncalibrated sources going to NULL
+    * (unknowable, not head). */
+  val q229FrozenCalibration = q("q229_frozen_calibration",
+    "Frozen per-source quality calibration: freeze cuts on the corpus, bucket the arriving batch against the store (north star: reproducible curation)",
+    """WITH sc AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS score
+      |  FROM documents),
+      |cal AS (
+      |  SELECT source, quantile_cont(score, 1.0/3) AS c0,
+      |         quantile_cont(score, 2.0/3) AS c1
+      |  FROM sc WHERE doc_id % 9 <> 0 GROUP BY source),
+      |b AS (SELECT * FROM sc WHERE doc_id % 9 = 0)
+      |SELECT b.doc_id, b.source, b.score,
+      |       CASE WHEN c.c0 IS NULL THEN NULL
+      |            WHEN b.score <= c.c0 THEN 'head'
+      |            WHEN b.score <= c.c1 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM b LEFT JOIN cal c USING (source)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def scored(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("double").as("score"))
+    val root = scratchDir(s, "q229_quality_cuts")
+    Quality.qualityCutsWrite(s, root,
+      Quality.qualityCuts(scored(docs.filter(pmod(col("doc_id"), lit(9)) =!= 0)),
+        "score", Seq("source")),
+      "score", Seq("source"))
+    Quality.qualityBucketsWith(
+      scored(docs.filter(pmod(col("doc_id"), lit(9)) === 0)),
+      "score", Seq("source"),
+      Quality.qualityCutsRead(s, root, "score", Seq("source")))
+      .select("doc_id", "source", "score", "bucket")
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -9083,5 +9127,5 @@ object Catalog {
     q217TruncationRecall, q218QuantRecall, q219PropagatedContamination,
     q220QualityBuckets, q221QualityGate, q222KmeansParInit,
     q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette,
-    q227JaccardAgainst, q228CosineAgainst)
+    q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration)
 }

@@ -68,4 +68,49 @@ class QualitySpec extends SparkSpecBase {
     assert(m(3L) === ((false, "score")))
     assert(m(4L) === ((false, "flag")))
   }
+
+  test("frozen calibration: stored cuts ≡ inline, batch mix never shifts thresholds, manifest refuses mixups") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-qcuts").toString + "/store"
+    val calib = ((1 to 9).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 9).map(i => ("b", 100L + i, 100.0 + i)))
+      .toDF("source", "doc_id", "score")
+    val cuts = Quality.qualityCuts(calib, "score", Seq("source"))
+    val v1 = Quality.qualityCutsWrite(spark, root, cuts, "score", Seq("source"))
+    val stored = Quality.qualityCutsRead(spark, root, "score", Seq("source"))
+    assert(stored.orderBy("source").as[(String, Double, Double)].collect()
+      === cuts.orderBy("source").as[(String, Double, Double)].collect())
+    // a batch whose mix is ALL high scores: frozen cuts still label it
+    // tail — per-batch recalibration would have relabeled a third head
+    val batch = (7 to 9).map(i => ("a", 200L + i, i.toDouble))
+      .toDF("source", "doc_id", "score")
+    val got = Quality.qualityBucketsWith(batch, "score", Seq("source"), stored)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(got.values.toSet === Set("tail"),
+      s"frozen thresholds moved with the batch: $got")
+    // an uncalibrated source is unknowable, not head
+    val foreign = Seq(("zz", 1L, 5.0)).toDF("source", "doc_id", "score")
+    val nb = Quality.qualityBucketsWith(foreign, "score", Seq("source"), stored)
+      .select("bucket").as[Option[String]].head()
+    assert(nb.isEmpty, s"uncalibrated source bucketed: $nb")
+    // a second freeze supersedes atomically (new version name)
+    val v2 = Quality.qualityCutsWrite(spark, root,
+      Quality.qualityCuts(calib.filter($"source" === "a"), "score",
+        Seq("source")), "score", Seq("source"))
+    assert(v2 > v1)
+    assert(Quality.qualityCutsRead(spark, root, "score", Seq("source"))
+      .count() === 1L)
+    // scoring a batch against a calibration frozen for a DIFFERENT
+    // score column refuses loudly — the mixup the manifest exists for
+    val e = intercept[IllegalArgumentException] {
+      Quality.qualityCutsRead(spark, root, "ppl", Seq("source"))
+    }
+    assert(e.getMessage.toLowerCase.contains("meta") ||
+      e.getMessage.contains("score"), e.getMessage)
+    // the maintenance sweep treats the snapshot family as the benign
+    // nothing-to-compact skip, never a failure
+    val swept = Maintenance.compactAll(spark,
+      root.stripSuffix("/store"))
+    assert(swept.exists(r => r.family == Quality.CutsFamily && !r.failed))
+  }
 }
