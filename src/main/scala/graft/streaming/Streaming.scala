@@ -812,6 +812,80 @@ object Streaming {
         ctxBuckets, bigramBuckets)))
   }
 
+  /** Streaming quality gate — the round-trip of the engine's two
+    * FROZEN quality artifacts applied to a live ingest: each
+    * micro-batch of documents is scored against the STORED reference
+    * LM (`LmFilter.lmIndexRead` — trained once, maintained by
+    * [[lmIngestSink]]) and bucketed against the STORED per-source
+    * calibration (`Quality.qualityCutsRead` — frozen once, versioned),
+    * then split: kept docs land in the corpus, rejected docs land in
+    * a rejects audit table carrying their NAMED gate reasons (the
+    * [[graft.operators.Quality.gateReasons]] verdict — a curation
+    * stream that silently drops is undebuggable). The `lm` gate is
+    * "not in the source's perplexity tail"; a source ABSENT from the
+    * calibration gets a NULL bucket and fails the gate (unknowable is
+    * not head — the engine-wide unscorable convention). `extraChecks`
+    * rides additional named gates (heuristic floors etc.) through the
+    * same verdict.
+    *
+    * Both writes are epoch-scoped dynamic overwrites: an
+    * at-least-once replay rewrites its own partitions, and because
+    * the gate reads FROZEN stores the re-scored verdicts are
+    * identical — PROVIDED the stores did not move between delivery
+    * and replay. That is the operational discipline this sink
+    * assumes and the calibration store makes auditable: freeze
+    * before ingest, re-freeze between runs (the version pointer
+    * names which calibration any shard shipped under); growing the
+    * LM store mid-stream shifts later scores exactly as retraining
+    * a real reference LM would.
+    *
+    * No fresh-checkpoint refusal: unlike the additive count sinks,
+    * this sink's writes are pure per-epoch functions of the batch
+    * and the frozen stores — a reset source re-landing documents
+    * rewrites the same rows into the same epoch partitions. */
+  def qualityGateIngestSink(stream: DataFrame, spark: SparkSession,
+                            corpusPath: String, rejectsPath: String,
+                            lmStorePath: String, cutsStorePath: String,
+                            idCol: String, textCol: String,
+                            sourceCol: String, checkpoint: String,
+                            ctxBuckets: Int = 4096,
+                            bigramBuckets: Int = 32768,
+                            extraChecks: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : StreamingQuery = {
+    import graft.operators.{LmFilter, Quality}
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val lm = LmFilter.lmIndexRead(spark, lmStorePath,
+            ctxBuckets, bigramBuckets)
+          val cuts = Quality.qualityCutsRead(spark, cutsStorePath,
+            "ppl", Seq(sourceCol))
+          val scored = batch.join(
+            LmFilter.lmPerplexity(batch, idCol, textCol, lm,
+              ctxBuckets = ctxBuckets, bigramBuckets = bigramBuckets)
+              .select(col(idCol), col("ppl")), Seq(idCol))
+          val gated = Quality.gateReasons(
+            Quality.qualityBucketsWith(scored, "ppl", Seq(sourceCol),
+              cuts, as = "_qg_bucket"),
+            Seq("lm" -> (col("_qg_bucket").isNotNull &&
+              col("_qg_bucket") =!= "tail")) ++ extraChecks)
+            .localCheckpoint(true)
+          try {
+            epochWrite(gated.filter(col("keep"))
+              .select(batch.columns.map(col).toIndexedSeq: _*),
+              corpusPath, token, epochId)
+            epochWrite(gated.filter(!col("keep"))
+              .select(col(idCol), col(sourceCol), col("reasons")),
+              rejectsPath, token, epochId)
+          } finally { gated.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   /** Streaming retrieval-index ingest — the continuous form of
     * `Relevance.bm25IndexAppend`, completing the postings family's
     * shapes (batch build / incremental append / streaming): each

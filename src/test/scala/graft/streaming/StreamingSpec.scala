@@ -1086,6 +1086,91 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
   }
 
+  test("streaming quality gate: kept corpus ≡ inline gate against the frozen stores, rejects carry named reasons") {
+    import graft.operators.{LmFilter, Quality}
+    val src = Files.createTempDirectory("graft-qg-src").toString
+    val corpus = Files.createTempDirectory("graft-qg-corpus").toString + "/c"
+    val rejects = Files.createTempDirectory("graft-qg-rej").toString + "/r"
+    val lmStore = Files.createTempDirectory("graft-qg-lm").toString + "/lm"
+    val cutsStore = Files.createTempDirectory("graft-qg-cuts").toString + "/q"
+    val ckp = Files.createTempDirectory("graft-qg-ckp").toString
+    // frozen artifact 1: reference LM trained on fluent bigrams
+    val ref = (0 until 20).map(i =>
+      (i.toLong, "alpha beta gamma delta alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    LmFilter.lmIndexWrite(
+      LmFilter.lmIndex(ref, "doc_id", "text"), lmStore, 4096, 32768)
+    // frozen artifact 2: per-source ppl cuts from a calibration slice
+    // (6 fluent + 3 gibberish per source → the tail third is gibberish)
+    val calib = (for {
+      s <- Seq("web", "ref"); i <- 0 until 9
+    } yield {
+      val base = if (s == "web") 1000L else 2000L
+      val text =
+        if (i < 6) "alpha beta gamma delta alpha beta"
+        else s"zeta$i eta$i theta$i iota$i kappa$i"
+      (base + i, s, text)
+    }).toDF("doc_id", "source", "text")
+    val calibScored = calib.join(
+      LmFilter.lmPerplexity(calib, "doc_id", "text",
+        LmFilter.lmIndexRead(spark, lmStore, 4096, 32768))
+        .select("doc_id", "ppl"), Seq("doc_id"))
+    Quality.qualityCutsWrite(spark,
+      cutsStore, Quality.qualityCuts(calibScored, "ppl", Seq("source")),
+      "ppl", Seq("source"))
+    // the stream: fluent docs, gibberish, a short doc, an
+    // uncalibrated source (must fail the lm gate: unknowable ≠ head)
+    val batch = Seq(
+      (1L, "web", "alpha beta gamma delta alpha beta gamma"),
+      (2L, "web", "omega psi chi phi upsilon tau sigma rho"),
+      (3L, "ref", "alpha beta gamma delta"),
+      (4L, "ref", "alpha beta"),
+      (5L, "mystery", "alpha beta gamma delta alpha beta gamma"))
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "source", "text").write.parquet(s"$src/$name")
+    deliver("b1", batch)
+    def lengthFloor = "length" ->
+      (graft.functions.TextFunctions.tokenCount(col("text")) >= 3)
+    Streaming.qualityGateIngestSink(
+      Streaming.fileStream(spark,
+        spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+      spark, corpus, rejects, lmStore, cutsStore,
+      "doc_id", "text", "source", ckp,
+      extraChecks = Seq(lengthFloor))
+      .awaitTermination()
+    // the judge: the same gate run inline against the same frozen stores
+    val inline = Quality.gateReasons(
+      Quality.qualityBucketsWith(
+        batch.toDF("doc_id", "source", "text").join(
+          LmFilter.lmPerplexity(batch.toDF("doc_id", "source", "text"),
+            "doc_id", "text",
+            LmFilter.lmIndexRead(spark, lmStore, 4096, 32768))
+            .select("doc_id", "ppl"), Seq("doc_id")),
+        "ppl", Seq("source"),
+        Quality.qualityCutsRead(spark, cutsStore, "ppl", Seq("source")),
+        as = "_qg_bucket"),
+      Seq("lm" -> (col("_qg_bucket").isNotNull &&
+        col("_qg_bucket") =!= "tail"), lengthFloor))
+    val keptExpected = inline.filter(col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val kept = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === keptExpected, s"stream gate diverged from inline")
+    assert(kept.nonEmpty && kept.size < batch.size,
+      s"degenerate gate (kept $kept of ${batch.map(_._1)})")
+    // fluent calibrated docs pass; the uncalibrated source must not
+    assert(kept.contains(1L) && !kept.contains(5L))
+    val rej = spark.read.parquet(rejects)
+      .select("doc_id", "reasons").as[(Long, String)].collect().toMap
+    assert(rej.keySet === batch.map(_._1).toSet -- kept)
+    assert(rej.values.forall(r => r.nonEmpty &&
+      r.split(",").forall(Set("lm", "length").contains)),
+      s"unnamed or unknown reject reasons: $rej")
+    // gibberish fails the lm gate by name; the short doc names length
+    assert(rej(2L).contains("lm") && rej(4L).contains("length"))
+    assert(rej(5L).contains("lm"), "uncalibrated source must fail lm")
+  }
+
   test("streaming bm25 ingest: stored probe ≡ full-corpus scoring over everything delivered") {
     import graft.operators.Relevance
     val src = Files.createTempDirectory("graft-bm-src").toString
