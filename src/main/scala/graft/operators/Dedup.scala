@@ -1907,6 +1907,65 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  // -------------------------------------------------- certification ledger
+
+  private val CertFamily = "cert_pairs"
+  private[graft] def certLedgerMeta(metric: String,
+                                    threshold: Double): IndexMeta =
+    IndexMeta(CertFamily, "metric" -> metric,
+      "threshold" -> f"$threshold%.4f")
+
+  /** Bootstrap a certification ledger with the one-time full
+    * corpus×corpus pass ([[exactJaccardJoin]] / [[exactCosineJoin]]
+    * output — any `(id_a, id_b, <score>)` pair frame). The ledger is
+    * the OPERATIONAL form of the incremental certification story:
+    * after this bootstrap, every arriving batch appends its
+    * batch-vs-corpus pairs ([[exactJaccardJoinAgainst]], canonicalized
+    * to `id_a < id_b`) plus its own self-join, and by induction the
+    * ledger always equals the full join over everything ingested —
+    * the release-audit artifact ("these, exactly, are the surviving
+    * ≥ τ pairs of shipped corpus N") without ever re-running
+    * corpus². Rows are disjoint across epochs BY CONSTRUCTION (a
+    * batch's pairs all touch that batch's ids; one epoch per
+    * certified batch is the caller's append contract), so compaction
+    * is the identity fold and reads are epoch-unions. The manifest
+    * records metric + threshold: appending cosine pairs into a
+    * Jaccard ledger — or τ = 0.8 pairs into a τ = 0.85 ledger — is
+    * refused, not merged. */
+  def certLedgerWrite(pairs: DataFrame, path: String, metric: String,
+                      threshold: Double): Unit = {
+    EpochIndex.bootstrap(pairs, path)
+    IndexMeta.write(pairs.sparkSession, path,
+      certLedgerMeta(metric, threshold))
+  }
+
+  /** Append one certified batch's pairs as one epoch (an
+    * at-least-once replay of the same epoch name rewrites its own
+    * partition — idempotent). */
+  def certLedgerAppend(spark: org.apache.spark.sql.SparkSession,
+                       path: String, pairs: DataFrame, epoch: String,
+                       metric: String, threshold: Double): Unit = {
+    IndexMeta.check(spark, path, certLedgerMeta(metric, threshold))
+    EpochIndex.append(pairs, path, epoch)
+  }
+
+  /** Manifest-checked read of the full ledger (base ∪ live epochs). */
+  def certLedgerRead(spark: org.apache.spark.sql.SparkSession,
+                     path: String, metric: String,
+                     threshold: Double): DataFrame = {
+    IndexMeta.check(spark, path, certLedgerMeta(metric, threshold))
+    EpochIndex.read(spark, path, bootstrapName = "certLedgerWrite")
+      .drop(EpochIndex.EpochCol)
+  }
+
+  /** Identity-fold compaction (disjoint rows — see the class doc). */
+  def certLedgerCompact(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, CertFamily)
+    EpochIndex.compact(spark, path, identity, keepVersions = keepVersions)
+  }
+
   /** Exact n-gram (word-shingle) Jaccard for all pairs within a
     * blocking key — the exact verifier for LSH candidates. Pair
     * scoring uses the codegen'd JaccardStr expression (hash-set

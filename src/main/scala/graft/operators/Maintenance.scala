@@ -78,6 +78,8 @@ object Maintenance {
         Similarity.ivfIndexCompact(spark, root, keepVersions)
       case "ivf_pq" =>
         Similarity.ivfPqIndexCompact(spark, root, keepVersions)
+      case "cert_pairs" =>
+        Dedup.certLedgerCompact(spark, root, keepVersions)
       case "quality_cuts" =>
         // versioned calibration snapshot, not an epoch-additive store:
         // each freeze IS a compacted base (publishVersion retention

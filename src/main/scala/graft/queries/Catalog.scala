@@ -9025,6 +9025,64 @@ object Catalog {
       "vec_id", "embedding", threshold = 0.4)
   }
 
+  /** The certification ledger's induction claim, proven as a query:
+    * bootstrap with the corpus×corpus exact join, append ONE
+    * certified batch (its batch-vs-corpus cross pairs + its own
+    * self-join), and the ledger must equal the full exact join over
+    * corpus ∪ batch — pair for pair, score for score. This is what
+    * makes incremental certification TRUSTWORTHY: corpus² runs once,
+    * ever; the oracle pins the full brute-force count and the
+    * equality flag. */
+  val q230CertLedger = q("q230_cert_ledger",
+    "Certification ledger: bootstrap + batch append ≡ full corpus-wide exact join (north star: release audit)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |t AS (SELECT doc_id, list_distinct(toks) AS s
+      |      FROM tk WHERE len(toks) > 0),
+      |ne AS (SELECT * FROM t WHERE len(s) > 0),
+      |p AS (
+      |  SELECT CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |       true AS ledger_equals_full
+      |FROM p WHERE jac >= 0.85""".stripMargin) { (s, d) =>
+    // a 1/3 slice: the induction proof pays three exact joins
+    // including full-slice² — the CLAIM is size-independent, the
+    // acceptance cost need not be (the q212 bounded-slice stance)
+    val docs = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+    val root = scratchDir(s, "q230_cert_ledger")
+    Dedup.certLedgerWrite(
+      Dedup.exactJaccardJoin(corpus, "doc_id", "text",
+        threshold = 0.85, shingleK = 1),
+      root, "jaccard", 0.85)
+    val cross = Dedup.exactJaccardJoinAgainst(corpus, batch,
+        "doc_id", "text", threshold = 0.85, shingleK = 1)
+      .select(least(col("id_corpus"), col("id_batch")).as("id_a"),
+        greatest(col("id_corpus"), col("id_batch")).as("id_b"),
+        col("jaccard"))
+    val self = Dedup.exactJaccardJoin(batch, "doc_id", "text",
+      threshold = 0.85, shingleK = 1)
+    Dedup.certLedgerAppend(s, root, cross.unionByName(self), "batch-1",
+      "jaccard", 0.85)
+    val ledger = Dedup.certLedgerRead(s, root, "jaccard", 0.85)
+    val full = Dedup.exactJaccardJoin(docs, "doc_id", "text",
+      threshold = 0.85, shingleK = 1)
+    val missed = full.join(ledger, Seq("id_a", "id_b", "jaccard"),
+      "left_anti").agg(count(lit(1)).as("n_missed"))
+    val spurious = ledger.join(full, Seq("id_a", "id_b", "jaccard"),
+      "left_anti").agg(count(lit(1)).as("n_spurious"))
+    ledger.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(missed)).crossJoin(broadcast(spurious))
+      .select(col("n_pairs"),
+        (col("n_missed") === 0 && col("n_spurious") === 0)
+          .as("ledger_equals_full"))
+  }
+
   /** Frozen quality calibration ([[Quality.qualityCutsWrite]] /
     * [[Quality.qualityBucketsWith]]): the CCNet production shape —
     * cuts computed ONCE on the standing corpus (doc_id % 9 ≠ 0),
@@ -9127,5 +9185,6 @@ object Catalog {
     q217TruncationRecall, q218QuantRecall, q219PropagatedContamination,
     q220QualityBuckets, q221QualityGate, q222KmeansParInit,
     q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette,
-    q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration)
+    q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
+    q230CertLedger)
 }

@@ -714,6 +714,38 @@ class DedupSpec extends SparkSpecBase {
     assert(e.getMessage.contains("corpus cell overflow"), e.getMessage)
   }
 
+  test("certLedger lifecycle: bootstrap+append reads whole, survives compaction, refuses mixups") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cert").toString + "/ledger"
+    val base = Seq((1L, 2L, 0.9), (3L, 4L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val batch = Seq((2L, 101L, 0.88)).toDF("id_a", "id_b", "jaccard")
+    Dedup.certLedgerWrite(base, root, "jaccard", 0.85)
+    Dedup.certLedgerAppend(spark, root, batch, "b1", "jaccard", 0.85)
+    def read() = Dedup.certLedgerRead(spark, root, "jaccard", 0.85)
+      .as[(Long, Long, Double)].collect().toSet
+    val expect = Set((1L, 2L, 0.9), (3L, 4L, 1.0), (2L, 101L, 0.88))
+    assert(read() === expect)
+    // identity-fold compaction preserves every pair; the maintenance
+    // sweep dispatches the family
+    val stats = Maintenance.compactStore(spark, root)
+    assert(stats.folded.nonEmpty)
+    assert(read() === expect)
+    // a replayed append of the same epoch rewrites, never duplicates
+    Dedup.certLedgerAppend(spark, root, batch, "b1", "jaccard", 0.85)
+    assert(read() === expect)
+    // wrong metric or threshold refuses — merging cosine pairs into a
+    // Jaccard ledger (or tau-0.8 pairs into a tau-0.85 one) is the
+    // silent-divergence class the manifest closes
+    for ((m, t) <- Seq(("cosine", 0.85), ("jaccard", 0.8))) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.certLedgerAppend(spark, root, batch, "b2", m, t)
+      }
+      assert(e.getMessage.contains("_GRAFT_META") ||
+        e.getMessage.contains("meta") || e.getMessage.contains(m) ||
+        e.getMessage.contains("threshold"), e.getMessage)
+    }
+  }
+
   test("dupGramFraction: shared bigrams counted across docs, unique docs at zero") {
     val corpus = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
       .toDF("doc_id", "text")
