@@ -206,11 +206,22 @@ object CorpusDemo {
           LmFilter.lmIndex(lmRef, "doc_id", "text"))
           .select("doc_id", "ppl"),
         Seq("doc_id")))
+      // FREEZE the calibration (q229) rather than bucketing inline:
+      // same cuts, same buckets, but the thresholds any later batch
+      // (or a rerun) scores against are a named, versioned artifact —
+      // the corpus card can cite WHICH calibration this funnel ran
+      // under, and the maintenance sweep below sees the store
+      val cutsRoot = s"$outDir/stores/quality_cuts"
+      Quality.qualityCutsWrite(spark, cutsRoot,
+        Quality.qualityCuts(scored, "ppl", Seq("source")),
+        "ppl", Seq("source"))
       val gated = barrier(Quality.gateReasons(
-        Quality.qualityBuckets(scored, "ppl", Seq("source"),
+        Quality.qualityBucketsWith(scored, "ppl", Seq("source"),
+          Quality.qualityCutsRead(spark, cutsRoot, "ppl", Seq("source")),
           as = "_ppl_bucket"),
         Seq(
-          "lm" -> (col("_ppl_bucket") =!= "tail"),
+          "lm" -> (col("_ppl_bucket").isNotNull &&
+            col("_ppl_bucket") =!= "tail"),
           "length" -> (TextFunctions.tokenCount(col("text")) >= 25),
           "alpha" -> (TextFunctions.alphaRatio(col("text")) >= 0.6))))
       val reasonCounts = BoundedRead.boundedDriverRead(

@@ -100,7 +100,9 @@ class CorpusDemoSpec extends SparkSpecBase {
       "epoch_order_write", "pack", "kmv_store", "attrition"))
     assert(r.stageSec.forall(_._2 > 0.0))
     // store: one KMV store compacted, one probe row per source
-    assert(r.storesCompacted === 1)
+    // two stores under the sweep now: the kmv counts (folded) and the
+    // frozen quality-cuts snapshot (benign nothing-to-compact skip)
+    assert(r.storesCompacted === 2)
     assert(r.kmvProbes ===
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select("source").distinct().count())
