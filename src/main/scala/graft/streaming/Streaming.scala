@@ -886,6 +886,74 @@ object Streaming {
       .start()
   }
 
+  /** Streaming dedup certification — q230's induction claim run as a
+    * LIVE loop: each micro-batch is exact-joined against the standing
+    * corpus ([[graft.operators.Dedup.exactJaccardJoinAgainst]] —
+    * batch-proportional, the corpus never re-joins itself) and
+    * against itself, the pairs land in the certification ledger as
+    * one epoch, and the batch lands in the corpus — so after every
+    * activation the ledger equals the full corpus-wide exact join
+    * over everything ever ingested, by induction, with corpus² never
+    * having run here at all (bootstrap the ledger from the one-time
+    * [[graft.operators.Dedup.exactJaccardJoin]] pass, or from empty
+    * for a corpus born under this sink).
+    *
+    * Ordering: ledger epoch BEFORE corpus epoch, both epoch-scoped
+    * dynamic overwrites — a crash between them replays the epoch
+    * with the corpus still excluding the batch, so the cross join
+    * re-certifies against exactly the same standing corpus and
+    * rewrites the same rows. The manifest carries metric + threshold
+    * (appends at a different τ are refused, not merged). */
+  def certIngestSink(stream: DataFrame, spark: SparkSession,
+                     corpusPath: String, ledgerPath: String,
+                     idCol: String, textCol: String,
+                     checkpoint: String, threshold: Double,
+                     shingleK: Int = 1,
+                     maxBucket: Int = 100000): StreamingQuery = {
+    import graft.operators.{Dedup, IndexMeta}
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          IndexMeta.writeIfAbsent(spark, ledgerPath,
+            Dedup.certLedgerMeta("jaccard", threshold))
+          val self = Dedup.exactJaccardJoin(batch, idCol, textCol,
+            threshold, shingleK, maxBucket)
+          val pairs =
+            if (graft.sources.Fs.exists(spark, corpusPath)) {
+              // exclude THIS epoch from the standing corpus: a replay
+              // after both writes landed must re-certify against the
+              // same corpus the first attempt saw, not one already
+              // containing the batch (which would re-emit every self
+              // pair as a cross pair under canonicalized ids)
+              val raw = spark.read.parquet(corpusPath)
+              val corpus = (if (raw.columns.contains(
+                  graft.operators.EpochIndex.EpochCol))
+                raw.filter(col(graft.operators.EpochIndex.EpochCol)
+                  =!= lit(s"$token-$epochId"))
+              else raw)
+                .select(col(idCol), col(textCol))
+              Dedup.exactJaccardJoinAgainst(corpus, batch, idCol, textCol,
+                  threshold, shingleK, maxBucket)
+                .select(least(col("id_corpus"), col("id_batch")).as("id_a"),
+                  greatest(col("id_corpus"), col("id_batch")).as("id_b"),
+                  col("jaccard"))
+                .unionByName(self)
+            } else self
+          val pinned = pairs.localCheckpoint(true)
+          try {
+            // ledger first: a crash here replays with the corpus still
+            // excluding this batch — same standing corpus, same rows
+            epochWrite(pinned, ledgerPath, token, epochId)
+            epochWrite(batch, corpusPath, token, epochId)
+          } finally { pinned.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   /** Streaming retrieval-index ingest — the continuous form of
     * `Relevance.bm25IndexAppend`, completing the postings family's
     * shapes (batch build / incremental append / streaming): each

@@ -1086,6 +1086,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
   }
 
+  test("streaming certification: ledger equals the full exact join after every activation, through a mid-stream compaction") {
+    import graft.operators.{Dedup, Maintenance}
+    val src = Files.createTempDirectory("graft-cert-src").toString
+    val corpus = Files.createTempDirectory("graft-cert-corpus").toString + "/c"
+    val ledger = Files.createTempDirectory("graft-cert-led").toString + "/l"
+    val ckp = Files.createTempDirectory("graft-cert-ckp").toString
+    val b1 = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"), (3L, "iota kappa lambda mu"))
+    val b2 = Seq((11L, "alpha beta gamma delta"),
+      (12L, "nu xi omicron pi"), (13L, "iota kappa lambda mu"))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.certIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, ledger, "doc_id", "text", ckp, threshold = 0.5)
+        .awaitTermination()
+    }
+    def ledgerPairs() = Dedup.certLedgerRead(spark, ledger, "jaccard", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    def fullPairs(rows: Seq[(Long, String)]) =
+      Dedup.exactJaccardJoin(rows.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, shingleK = 1)
+        .as[(Long, Long, Double)].collect().toSet
+    deliver("b1", b1); drain()
+    // the live induction: after every activation the ledger IS the
+    // full exact join over everything ever ingested — corpus² never ran
+    assert(ledgerPairs() === fullPairs(b1))
+    assert(ledgerPairs().contains((1L, 2L, 0.6)))
+    // compact mid-stream (identity fold) — nothing doubles or drops
+    assert(Maintenance.compactStore(spark, ledger).folded.nonEmpty)
+    assert(ledgerPairs() === fullPairs(b1))
+    deliver("b2", b2); drain()
+    val expect = fullPairs(b1 ++ b2)
+    assert(ledgerPairs() === expect,
+      s"miss=${expect -- ledgerPairs()} extra=${ledgerPairs() -- expect}")
+    // the cross-batch re-ingestions surfaced at 1.0 (the signal a
+    // certification exists to raise)
+    assert(ledgerPairs().contains((1L, 11L, 1.0)) &&
+      ledgerPairs().contains((3L, 13L, 1.0)))
+    assert(spark.read.parquet(corpus).count() === 6L)
+  }
+
   test("streaming quality gate: kept corpus ≡ inline gate against the frozen stores, rejects carry named reasons") {
     import graft.operators.{LmFilter, Quality}
     val src = Files.createTempDirectory("graft-qg-src").toString
