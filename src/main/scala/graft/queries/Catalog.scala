@@ -9083,6 +9083,53 @@ object Catalog {
           .as("ledger_equals_full"))
   }
 
+  /** q230's induction on the EMBEDDING side — same ledger family,
+    * metric "cosine": bootstrap with the corpus exact cosine join,
+    * append one batch's cross ([[Dedup.exactCosineJoinAgainst]]) +
+    * self pairs, assert pair-for-pair equality with the full join.
+    * Together with q230 this pins that the certification ledger is
+    * metric-agnostic in PRACTICE, not just by schema. */
+  val q231CertLedgerCos = q("q231_cert_ledger_cos",
+    "Certification ledger, cosine metric: bootstrap + batch append ≡ full exact cosine join (north star: release audit)",
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |           FROM embeddings WHERE vec_id % 3 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |       true AS ledger_equals_full
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4""".stripMargin) { (s, d) =>
+    // 1/3 slice — the q230 acceptance-cost stance: three exact joins
+    // including full-slice², claim size-independent
+    val e = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(3)) === 0)
+    val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val root = scratchDir(s, "q231_cert_ledger_cos")
+    Dedup.certLedgerWrite(
+      Dedup.exactCosineJoin(corpus, "vec_id", "embedding", threshold = 0.4),
+      root, "cosine", 0.4)
+    val cross = Dedup.exactCosineJoinAgainst(corpus, batch,
+        "vec_id", "embedding", threshold = 0.4)
+      .select(least(col("id_corpus"), col("id_batch")).as("id_a"),
+        greatest(col("id_corpus"), col("id_batch")).as("id_b"),
+        col("cos"))
+    val self = Dedup.exactCosineJoin(batch, "vec_id", "embedding",
+      threshold = 0.4)
+    Dedup.certLedgerAppend(s, root, cross.unionByName(self), "batch-1",
+      "cosine", 0.4)
+    val ledger = Dedup.certLedgerRead(s, root, "cosine", 0.4)
+    val full = Dedup.exactCosineJoin(e, "vec_id", "embedding",
+      threshold = 0.4)
+    val missed = full.join(ledger, Seq("id_a", "id_b", "cos"),
+      "left_anti").agg(count(lit(1)).as("n_missed"))
+    val spurious = ledger.join(full, Seq("id_a", "id_b", "cos"),
+      "left_anti").agg(count(lit(1)).as("n_spurious"))
+    ledger.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(missed)).crossJoin(broadcast(spurious))
+      .select(col("n_pairs"),
+        (col("n_missed") === 0 && col("n_spurious") === 0)
+          .as("ledger_equals_full"))
+  }
+
   /** Frozen quality calibration ([[Quality.qualityCutsWrite]] /
     * [[Quality.qualityBucketsWith]]): the CCNet production shape —
     * cuts computed ONCE on the standing corpus (doc_id % 9 ≠ 0),
@@ -9186,5 +9233,5 @@ object Catalog {
     q220QualityBuckets, q221QualityGate, q222KmeansParInit,
     q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette,
     q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
-    q230CertLedger)
+    q230CertLedger, q231CertLedgerCos)
 }
