@@ -167,7 +167,15 @@ object CorpusDemo {
     //      number the corpus card carries. Held-out (%29==0) docs
     //      never pass regardless.
     val (clean, nFlaggedByNeighbor) = staged("decontaminate") {
-      val flagged = barrier(Contamination.propagatedOverlap(near,
+      // the benchmark side must be the PRE-dedup holdout: a benchmark
+      // doc whose near-dup twin has a smaller id gets dropped by the
+      // dedup stages, and drawing grams from `near` alone would let
+      // its paraphrases sail through — screen against every holdout
+      // doc that ever existed, probe only the survivors
+      val screened = near.filter(pmod(col("doc_id"), lit(29)) =!= 0)
+        .unionByName(base.filter(pmod(col("doc_id"), lit(29)) === 0)
+          .select(near.columns.map(col).toIndexedSeq: _*))
+      val flagged = barrier(Contamination.propagatedOverlap(screened,
         benchFilter = pmod(col("doc_id"), lit(29)) === 0,
         idCol = "doc_id", textCol = "text", n = 8))
       (barrier(near.filter(pmod(col("doc_id"), lit(29)) =!= 0)

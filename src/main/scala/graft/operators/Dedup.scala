@@ -1678,7 +1678,13 @@ object Dedup {
       s"threshold must be in (-1, 1): $threshold")
     require(nPivots >= 2 && nPivots <= 16,
       s"nPivots must be in [2, 16] (two block the join, the rest prefilter): $nPivots")
-    val theta = math.acos(threshold) + 1e-3
+    // band width covers the ROUNDED contract, not just true cos ≥ τ:
+    // the output filter admits any pair with round(cos, roundTo) ≥ τ,
+    // i.e. true cos ≥ τ − 0.5·10^-roundTo — the bands must too, or
+    // the borderline pairs the brute-force oracle returns would be
+    // exactly the ones the blocking loses
+    val theta = math.acos(math.max(-1.0,
+      threshold - 0.5 * math.pow(10, -roundTo))) + 1e-3
     // bounded metadata read: the pivot VECTORS become plan literals,
     // so band assignment is pure codegen'd row math — the corpus
     // never shuffles (or broadcasts) for it
@@ -1731,7 +1737,7 @@ object Dedup {
       // canonical meet cell: each qualifying pair joins exactly once
       .filter(col("_k0") === greatest(col("_b0"), col("_xb0")) &&
         col("_k1") === greatest(col("_b1"), col("_xb1")))
-      .filter(prefixChecks.reduce(_ && _))
+      .filter(prefixChecks.foldLeft(lit(true))(_ && _))
       // the guard columns are load-bearing (always-true on healthy
       // cells): column pruning must not drop the raise_error branch
       .filter(col("_g") > 0L && col("_xg") > 0L)
@@ -1860,7 +1866,9 @@ object Dedup {
       s"threshold must be in (-1, 1): $threshold")
     require(nPivots >= 2 && nPivots <= 16,
       s"nPivots must be in [2, 16]: $nPivots")
-    val theta = math.acos(threshold) + 1e-3
+    // same rounded-contract band widening as exactCosineJoin
+    val theta = math.acos(math.max(-1.0,
+      threshold - 0.5 * math.pow(10, -roundTo))) + 1e-3
     val pivots = BoundedRead.boundedDriverRead(
       Sim.pickCentroids(corpus, idCol, vecCol, nPivots).orderBy("cell"),
       nPivots, "exactCosineJoinAgainst pivots",
@@ -1900,7 +1908,7 @@ object Dedup {
     val prefixChecks = (2 until nPivots).map(i =>
       abs(col(s"_b${i}c") - col(s"_b${i}b")) <= 1)
     cGuarded.join(bRep, Seq("_b0c", "_b1c"))
-      .filter(prefixChecks.reduce(_ && _))
+      .filter(prefixChecks.foldLeft(lit(true))(_ && _))
       .filter(col("_g") > 0L)
       .select(col("_idc").as("id_corpus"), col("_idb").as("id_batch"),
         round(Sim.cosine(col("_vc"), col("_vb")), roundTo).as("cos"))

@@ -107,7 +107,12 @@ object Quality {
                          byCols: Seq[String], thresholds: DataFrame,
                          labels: Seq[String] = Seq("head", "middle", "tail"),
                          as: String = "bucket"): DataFrame = {
-    val names = thresholds.columns.filterNot(byCols.contains).sorted.toSeq
+    // numeric order, not lexicographic: "c10" must follow "c9", and a
+    // non-c* stray column is rejected rather than mis-sorted
+    val raw = thresholds.columns.filterNot(byCols.contains).toSeq
+    require(raw.forall(_.matches("c\\d+")),
+      s"threshold table must carry only c0..c(n-1) beside $byCols, got: $raw")
+    val names = raw.sortBy(_.drop(1).toInt)
     require(names == (0 until names.size).map(i => s"c$i"),
       s"threshold table must carry c0..c(n-1) beside $byCols, got: $names")
     require(labels.size == names.size + 1,
@@ -144,9 +149,22 @@ object Quality {
                        cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
                        keepVersions: Int = 2): String = {
     validateCuts(cuts)
+    val meta = cutsMeta(scoreCol, byCols, cuts)
+    // a re-freeze under DIFFERENT parameters must refuse BEFORE any
+    // data lands: a write-if-absent manifest would publish the new
+    // thresholds behind the old contract, and every later
+    // manifest-checked read would silently return quantiles computed
+    // at the wrong cuts — the exact mixup the manifest exists for
+    IndexMeta.read(spark, root).foreach { existing =>
+      require(existing == meta,
+        s"qualityCutsWrite: $root is already a frozen calibration for " +
+          s"different parameters (${existing.params}) — one store is one " +
+          "calibration contract; freeze changed score/grouping/quantiles " +
+          "under a NEW root")
+    }
     val version = Layout.publishVersion(spark, s"$root/cuts", keepVersions)(
       dir => thresholds.write.mode("overwrite").parquet(dir))
-    IndexMeta.writeIfAbsent(spark, root, cutsMeta(scoreCol, byCols, cuts))
+    IndexMeta.writeIfAbsent(spark, root, meta)
     version
   }
 

@@ -8817,10 +8817,14 @@ object Catalog {
       |             ORDER BY list_cosine_similarity(c.vec, t.vec) DESC, t.cid) AS rk
       |    FROM corpus c CROSS JOIN cand3 t) WHERE rk = 1 GROUP BY cid),
       |init AS (
-      |  SELECT row_number() OVER (ORDER BY w.weight DESC, w.cid) - 1 AS cell,
-      |         w.cid, w.weight, c.vec
-      |  FROM w JOIN cand3 c ON w.cid = c.cid
-      |  ORDER BY w.weight DESC, w.cid LIMIT 10)""".stripMargin
+      |  -- LEFT join + coalesce(weight, 0): a candidate that is
+      |  -- nobody's argmax (a duplicate embedding's larger-id copy)
+      |  -- still competes for the top-k, matching the engine's
+      |  -- keep-zero-weight semantics
+      |  SELECT row_number() OVER (ORDER BY coalesce(w.weight, 0) DESC, c.cid) - 1 AS cell,
+      |         c.cid, coalesce(w.weight, 0) AS weight, c.vec
+      |  FROM cand3 c LEFT JOIN w ON w.cid = c.cid
+      |  ORDER BY coalesce(w.weight, 0) DESC, c.cid LIMIT 10)""".stripMargin
 
   /** [[Similarity.kmeansParallelInit]] under the oracle — the
     * Bahmani k-means|| init with every random draw replaced by the

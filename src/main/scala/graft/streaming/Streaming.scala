@@ -923,17 +923,20 @@ object Streaming {
             threshold, shingleK, maxBucket)
           val pairs =
             if (graft.sources.Fs.exists(spark, corpusPath)) {
-              // exclude THIS epoch from the standing corpus: a replay
-              // after both writes landed must re-certify against the
-              // same corpus the first attempt saw, not one already
-              // containing the batch (which would re-emit every self
-              // pair as a cross pair under canonicalized ids)
-              val raw = spark.read.parquet(corpusPath)
-              val corpus = (if (raw.columns.contains(
-                  graft.operators.EpochIndex.EpochCol))
-                raw.filter(col(graft.operators.EpochIndex.EpochCol)
-                  =!= lit(s"$token-$epochId"))
-              else raw)
+              // the standing corpus through the STORE read, not a raw
+              // parquet scan: committed epochs only (a torn writer's
+              // half-epoch must not certify anything), compacted-base
+              // rows included (a raw scan skips _base and would
+              // silently certify against a shrunken corpus after any
+              // corpus compaction), and THIS epoch excluded — a replay
+              // after both writes landed re-certifies against exactly
+              // the corpus the first attempt saw (otherwise every self
+              // pair re-emits as a cross pair under canonicalized
+              // ids); a replay across a corpus compaction refuses
+              // loudly inside the read rather than double-certifying
+              val corpus = graft.operators.EpochIndex.read(spark,
+                  corpusPath, excludeEpoch = Some(s"$token-$epochId"),
+                  bootstrapName = "certIngestSink", observed = false)
                 .select(col(idCol), col(textCol))
               Dedup.exactJaccardJoinAgainst(corpus, batch, idCol, textCol,
                   threshold, shingleK, maxBucket)

@@ -622,6 +622,12 @@ class DedupSpec extends SparkSpecBase {
     val first = Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.9)
       .as[(Long, Long, Double)].collect().toSet
     assert(again === first)
+    // nPivots = 2 (blocking pivots only, zero prefilters) is a valid
+    // documented configuration — regression: the prefilter conjunction
+    // used to empty-reduce here
+    val minimal = Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.9,
+      nPivots = 2).as[(Long, Long, Double)].collect().toSet
+    assert(minimal === first)
     // a mass-collapsed band cell trips the in-plan guard loudly
     val e = intercept[Exception] {
       Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.4,

@@ -107,6 +107,21 @@ class QualitySpec extends SparkSpecBase {
     }
     assert(e.getMessage.toLowerCase.contains("meta") ||
       e.getMessage.contains("score"), e.getMessage)
+    // RE-FREEZING under changed parameters refuses BEFORE any data
+    // lands — regression: a write-if-absent manifest used to publish
+    // the new thresholds behind the stale contract, so later
+    // manifest-checked reads silently returned wrong-quantile cuts
+    val e2 = intercept[IllegalArgumentException] {
+      Quality.qualityCutsWrite(spark, root,
+        Quality.qualityCuts(calib, "score", Seq("source"),
+          cuts = Seq(0.25, 0.75)),
+        "score", Seq("source"), cuts = Seq(0.25, 0.75))
+    }
+    assert(e2.getMessage.contains("one calibration contract"),
+      e2.getMessage)
+    // and the live version is still the ORIGINAL contract's table
+    assert(Quality.qualityCutsRead(spark, root, "score", Seq("source"))
+      .count() === 1L)
     // the maintenance sweep treats the snapshot family as the benign
     // nothing-to-compact skip, never a failure
     val swept = Maintenance.compactAll(spark,
