@@ -365,4 +365,80 @@ class PropertySpec extends SparkSpecBase {
         assert(fast === brute, s"t=$t rows=$rows")
     }
   }
+
+  private val vecCorpusGen: Gen[(List[(Long, Array[Float])], Double)] = for {
+    n <- Gen.choose(6, 36)
+    dim <- Gen.choose(2, 10)
+    seed <- Gen.choose(0, 10000)
+    t <- Gen.oneOf(0.3, 0.6, 0.9, 0.99)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = (0 until n).map { i =>
+      val v =
+        if (i % 7 == 6) Array.fill(dim)(0f)                  // zero-norm
+        else if (i % 5 == 4 && i > 0) base.clone()           // exact dup
+        else if (i % 3 == 0)                                  // near-dup
+          base.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+        else Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }.toList
+    (rows, t)
+  }
+
+  test("property: exactCosineJoin ≡ brute force on random corpora, thresholds, pivot counts") {
+    forAllSeeded(vecCorpusGen, 6) { case (rows, t) =>
+      val df = rows.toDF("vec_id", "embedding")
+      // the judge: block-local brute force over a constant block
+      val brute = Dedup.embeddingNearDup(df.withColumn("blk", lit(1)),
+        "vec_id", "embedding", "blk", t)
+        .as[(Long, Long, Double)].collect().toSet
+      for (p <- Seq(2, 4)) {
+        val fast = Dedup.exactCosineJoin(df, "vec_id", "embedding", t,
+          nPivots = p).as[(Long, Long, Double)].collect().toSet
+        assert(fast === brute,
+          s"t=$t nPivots=$p miss=${brute -- fast} extra=${fast -- brute}")
+      }
+    }
+  }
+
+  test("property: batch-vs-corpus exact joins ≡ brute force on random splits") {
+    forAllSeeded(vecCorpusGen, 4) { case (rows, t) =>
+      val corpus = rows.filter(_._1 % 3 != 0).toDF("vec_id", "embedding")
+      val batch = rows.filter(_._1 % 3 == 0)
+        .map { case (i, v) => (1000L + i, v) }.toDF("vec_id", "embedding")
+      val brute = Dedup.embeddingNearDup(
+        corpus.withColumn("blk", lit(1))
+          .unionByName(batch.withColumn("blk", lit(1))),
+        "vec_id", "embedding", "blk", t)
+        .filter(col("id_a") < 1000L && col("id_b") >= 1000L)
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.exactCosineJoinAgainst(corpus, batch,
+        "vec_id", "embedding", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === brute,
+        s"t=$t miss=${brute -- got} extra=${got -- brute}")
+    }
+    forAllSeeded(jaccardCorpusGen, 4) { rows =>
+      val corpus = rows.filter(_._1 % 3 != 0).toDF("doc_id", "text")
+      val batch = rows.filter(_._1 % 3 == 0)
+        .map { case (i, txt) => (1000L + i, txt) }.toDF("doc_id", "text")
+      val t = 0.5
+      val naive = (for {
+        (ci, ct) <- rows.filter(_._1 % 3 != 0)
+        (bi, bt) <- rows.filter(_._1 % 3 == 0)
+        cs = ct.split("\\s+").filter(_.nonEmpty).toSet
+        bs = bt.split("\\s+").filter(_.nonEmpty).toSet
+        if cs.nonEmpty && bs.nonEmpty
+        j = cs.intersect(bs).size.toDouble / cs.union(bs).size
+        if j >= t
+      } yield (ci, 1000L + bi)).toSet
+      val got = Dedup.exactJaccardJoinAgainst(corpus, batch,
+        "doc_id", "text", threshold = t, shingleK = 1)
+        .select("id_corpus", "id_batch")
+        .as[(Long, Long)].collect().toSet
+      assert(got === naive,
+        s"miss=${naive -- got} extra=${got -- naive} rows=$rows")
+    }
+  }
 }
