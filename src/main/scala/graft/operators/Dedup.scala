@@ -1693,6 +1693,14 @@ object Dedup {
       nPivots, "exactCosineJoin pivots",
       s"pickCentroids emits at most nPivots = $nPivots rows")
       .map(_.getSeq[Float](1).toArray)
+    // a corpus smaller than nPivots yields fewer pivots — degrade to
+    // what exists (more pivots only ever NARROW candidates, so fewer
+    // is still exact; < 2 cannot block the join at all)
+    val nP = pivots.length
+    require(nP >= 2,
+      s"exactCosineJoin needs >= 2 pivot vectors to block the join; " +
+        s"the corpus supplied only $nP nonempty vectors — a corpus this " +
+        "small certifies faster by brute force (crossJoin + filter)")
     def band(p: Array[Float]) =
       floor(acos(greatest(lit(-1.0), least(lit(1.0),
         Sim.cosine(col("_v"), typedLit(p))))) / lit(theta)).cast("int")
@@ -1725,12 +1733,12 @@ object Dedup {
             "at a tighter threshold (more, narrower bands)"))).cast("long"))
           .otherwise(col("_cn")))
       .drop("_cn")
-    val prefixChecks = (2 until nPivots).map(i =>
+    val prefixChecks = (2 until nP).map(i =>
       abs(col(s"_b$i") - col(s"_xb$i")) <= 1)
     val rightCols = Seq(col("_k0"), col("_k1"),
       col("_id").as("_xid"), col("_v").as("_xv"),
       col("_g").as("_xg")) ++
-      (0 until nPivots).map(i => col(s"_b$i").as(s"_xb$i"))
+      (0 until nP).map(i => col(s"_b$i").as(s"_xb$i"))
     val right = guarded.select(rightCols: _*)
     guarded.join(right, Seq("_k0", "_k1"))
       .filter(col("_id") < col("_xid"))
@@ -1874,6 +1882,14 @@ object Dedup {
       nPivots, "exactCosineJoinAgainst pivots",
       s"pickCentroids emits at most nPivots = $nPivots rows")
       .map(_.getSeq[Float](1).toArray)
+    // degrade to the pivots the corpus can supply — the
+    // exactCosineJoin convention (fewer pivots = fewer prefilters,
+    // never a missed pair)
+    val nP = pivots.length
+    require(nP >= 2,
+      s"exactCosineJoinAgainst needs >= 2 corpus pivot vectors; the " +
+        s"corpus supplied only $nP nonempty vectors — a corpus this " +
+        "small certifies faster by brute force (crossJoin + filter)")
     def band(p: Array[Float]) =
       floor(acos(greatest(lit(-1.0), least(lit(1.0),
         Sim.cosine(col("_v"), typedLit(p))))) / lit(theta)).cast("int")
@@ -1905,7 +1921,7 @@ object Dedup {
         col("_b0b") + 1)))
       .withColumn("_b1c", explode(array(col("_b1b") - 1, col("_b1b"),
         col("_b1b") + 1)))
-    val prefixChecks = (2 until nPivots).map(i =>
+    val prefixChecks = (2 until nP).map(i =>
       abs(col(s"_b${i}c") - col(s"_b${i}b")) <= 1)
     cGuarded.join(bRep, Seq("_b0c", "_b1c"))
       .filter(prefixChecks.foldLeft(lit(true))(_ && _))
@@ -1971,6 +1987,352 @@ object Dedup {
                         path: String,
                         keepVersions: Int = 2): EpochIndex.CompactionStats = {
     IndexMeta.requireFamily(spark, path, CertFamily)
+    EpochIndex.compact(spark, path, identity, keepVersions = keepVersions)
+  }
+
+  // ------------------------------------------- certification index stores
+
+  private val CertTextFamily = "cert_text"
+  private[graft] def certTextMeta(threshold: Double, shingleK: Int,
+                                  maxBucket: Int): IndexMeta =
+    IndexMeta(CertTextFamily, "threshold" -> f"$threshold%.4f",
+      "shingleK" -> shingleK, "maxBucket" -> maxBucket)
+
+  /** One document slice → its certification index rows:
+    * `(id, n, prefix, hset)` — set size, xxhash64'd prefix shingles,
+    * and the sorted hashed shingle set the exact verify consumes.
+    * Fingerprints only: the index never carries text, so a probe
+    * against it never re-reads or re-tokenizes the corpus.
+    *
+    * The prefix is the first `n − ⌈t·n⌉ + 1` shingles under a
+    * document-frequency-ascending order over THIS slice. Any total
+    * order keeps the prefix-filter lemma exact (see
+    * [[certTextIndexProbe]] — the probe matches corpus prefixes
+    * against batch FULL sets, which is order-free); df-ascending is
+    * purely the bucket-size optimization, so append epochs ordering
+    * by their own slice's df — the corpus-wide order is long frozen —
+    * cost at most extra candidates, never a missed pair. */
+  private def certTextRows(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, shingleK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingleCol =
+      if (shingleK == 1) array_distinct(TextFunctions.tokens(col(textCol)))
+      else shingles(col(textCol), shingleK)
+    val sets = df
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"), shingleCol.as("_s"))
+      .filter(size(col("_s")) > 0)
+      .repartition(col("id"))
+    val toks = sets.select(col("id"), size(col("_s")).cast("long").as("_n"),
+      explode(col("_s")).as("_t"))
+    val dfreq = toks.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    def needed(n: Column) =
+      ceil(n.cast("double") * lit(threshold) - lit(1e-9))
+    val w = Window.partitionBy(col("id")).orderBy(col("_df"), col("_t"))
+    val pref = toks.join(dfreq, Seq("_t"))
+      .withColumn("_pos", row_number().over(w))
+      .filter(col("_pos") <= col("_n") - needed(col("_n")) + 1)
+      .groupBy(col("id"))
+      .agg(max(col("_n")).as("n"),
+        collect_list(xxhash64(col("_t"))).as("prefix"))
+    sets.select(col("id"), Sketches.hashed_token_set(col("_s")).as("hset"))
+      .join(pref, Seq("id"))
+      .select(col("id"), col("n"), col("prefix"), col("hset"))
+  }
+
+  /** Bootstrap the persisted Jaccard certification index — the store
+    * that makes [[exactJaccardJoinAgainst]]'s "cost ∝ batch" claim
+    * true for SCANS, not just joins: the corpus is tokenized, df-
+    * ordered, and prefix-cut exactly ONCE, here; every later batch
+    * probes `(id, n, prefix, hset)` fingerprint rows
+    * ([[certTextIndexProbe]]) and appends its own
+    * ([[certTextIndexAppend]]), so an ingest lifetime of N batches
+    * pays O(N · batch) text work instead of O(N · corpus) — the
+    * q93/q97/q107 incremental contract, extended to the EXACT
+    * certification family. The manifest pins threshold + shingleK +
+    * maxBucket: a probe at a different τ or granularity refuses
+    * loudly (prefix lengths are τ-specific — probing across τ would
+    * silently miss pairs). */
+  def certTextIndexWrite(corpus: DataFrame, idCol: String, textCol: String,
+                         path: String, threshold: Double, shingleK: Int = 1,
+                         maxBucket: Int = 100000): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(shingleK >= 1, s"shingleK must be >= 1: $shingleK")
+    EpochIndex.bootstrap(
+      certTextRows(corpus, idCol, textCol, threshold, shingleK), path)
+    IndexMeta.write(corpus.sparkSession, path,
+      certTextMeta(threshold, shingleK, maxBucket))
+  }
+
+  /** Append one certified batch's index rows as one epoch (idempotent
+    * under at-least-once replay — the EpochIndex append unit). The
+    * caller's contract is the ledger's: probe first, then append, so
+    * by induction the store always mirrors everything certified. */
+  def certTextIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batch: DataFrame, idCol: String,
+                          textCol: String, epoch: String, threshold: Double,
+                          shingleK: Int = 1, maxBucket: Int = 100000): Unit = {
+    IndexMeta.check(spark, path, certTextMeta(threshold, shingleK, maxBucket))
+    EpochIndex.append(
+      certTextRows(batch, idCol, textCol, threshold, shingleK), path, epoch)
+  }
+
+  /** Batch-vs-corpus EXACT Jaccard join THROUGH the persisted index —
+    * [[exactJaccardJoinAgainst]]'s store-backed form, same output
+    * contract (every (corpus, batch) pair with Jaccard ≥ τ, zero
+    * false negatives), but the corpus side is `(id, n, prefix, hset)`
+    * fingerprint rows read from `path`: corpus TEXT is never re-read,
+    * re-tokenized, or re-df-counted per batch.
+    *
+    * Exactness under a one-sided prefix: candidates are corpus
+    * PREFIX hashes equi-joined against the batch's FULL shingle-hash
+    * sets. For any qualifying pair, |A∩B| ≥ ⌈t·|A|⌉ while A's
+    * non-prefix suffix holds only ⌈t·|A|⌉ − 1 shingles — so some
+    * shared shingle lands in A's prefix, whatever total order cut it
+    * (Bayardo et al. WWW 2007, the R×S corollary). One-sided means
+    * the store needs no frozen global token order to stay exact
+    * across appends; the PPJoin length filter still applies both ways
+    * (carried `n` vs batch `n`). xxhash64 candidate keys can collide
+    * — a collision only ADDS a candidate, and the exact sorted-hash
+    * verify decides membership.
+    *
+    * The corpus-side `maxBucket` tripwire counts prefix-bucket sizes
+    * over the INDEX (groupBy + equi-join-back, the q205 hot-key
+    * shape) — one aggregation over fixed-width fingerprint rows, the
+    * same rows the candidate join reads; it fails loudly on a
+    * boilerplate token instead of silently exploding.
+    *
+    * @param excludeEpoch the streaming replay hook: drop one live
+    *                     epoch's rows ([[EpochIndex.read]] refuses if
+    *                     it was already compacted into the base)
+    * @return (id_corpus, id_batch, jaccard), jaccard ≥ threshold
+    *         (filtered unrounded, displayed at 4dp) */
+  def certTextIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame, idCol: String,
+                         textCol: String, threshold: Double,
+                         shingleK: Int = 1, maxBucket: Int = 100000,
+                         excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, certTextMeta(threshold, shingleK, maxBucket))
+    val idx = EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "certTextIndexWrite").drop(EpochIndex.EpochCol)
+    def needed(n: Column) =
+      ceil(n.cast("double") * lit(threshold) - lit(1e-9))
+    // corpus prefixes, exploded from the stored arrays — column
+    // pruning keeps hset out of this scan
+    val cPref = idx.select(col("id").as("id_corpus"),
+      col("n").as("_nc"), explode(col("prefix")).as("_t"))
+    val buckets = cPref.groupBy(col("_t")).agg(count(lit(1)).as("_bkt"))
+    val cGuarded = cPref.join(buckets, Seq("_t"))
+      .withColumn("_gnc",
+        when(col("_bkt") > maxBucket, raise_error(concat(
+          lit("certTextIndexProbe corpus prefix bucket overflow: hash "),
+          col("_t").cast("string"),
+          lit(" appears in "), col("_bkt").cast("string"),
+          lit(s" corpus prefixes (> $maxBucket) — quadratic candidate " +
+            "blow-up; strip the boilerplate token upstream or rebuild " +
+            "the index with the cost understood"))).cast("long"))
+          .otherwise(col("_nc")))
+      .select(col("id_corpus"), col("_t"), col("_gnc").as("_nc"))
+    // batch side: FULL shingle-hash sets (the one-sided lemma needs no
+    // batch prefix, hence no order agreement with the store)
+    val shingleCol =
+      if (shingleK == 1) array_distinct(TextFunctions.tokens(col(textCol)))
+      else shingles(col(textCol), shingleK)
+    val bSets = batch
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id_batch"), shingleCol.as("_s"))
+      .filter(size(col("_s")) > 0)
+      .repartition(col("id_batch"))
+    val bToks = bSets.select(col("id_batch"),
+      size(col("_s")).cast("long").as("_nb"),
+      explode(col("_s")).as("_tt"))
+      .select(col("id_batch"), col("_nb"), xxhash64(col("_tt")).as("_t"))
+    val cand = cGuarded.join(bToks, Seq("_t"))
+      .filter(col("_nb") >= needed(col("_nc")) &&
+        col("_nc") >= needed(col("_nb")))
+      .select("id_corpus", "id_batch").distinct()
+    val bHash = bSets.select(col("id_batch"),
+      Sketches.hashed_token_set(col("_s")).as("_hb"))
+    cand.join(idx.select(col("id").as("id_corpus"), col("hset").as("_ha")),
+        Seq("id_corpus"))
+      .join(bHash, Seq("id_batch"))
+      .select(col("id_corpus"), col("id_batch"),
+        Sketches.jaccard_sorted_long(col("_ha"), col("_hb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_corpus"), col("id_batch"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Identity-fold compaction — index rows are disjoint across epochs
+    * (one row per document, documents partitioned by arrival batch). */
+  def certTextIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, CertTextFamily)
+    EpochIndex.compact(spark, path, identity, keepVersions = keepVersions)
+  }
+
+  private val CertVecFamily = "cert_vec"
+  private[graft] def certVecMeta(threshold: Double, roundTo: Int,
+                                 maxCell: Long,
+                                 pivots: Seq[Array[Float]]): IndexMeta =
+    IndexMeta(CertVecFamily, "threshold" -> f"$threshold%.4f",
+      "roundTo" -> roundTo, "maxCell" -> maxCell,
+      "nPivots" -> pivots.length,
+      "pivots" -> pivots.map(_.mkString(",")).mkString(";"))
+
+  /** Manifest check for the cosine certification store that also
+    * RETURNS the frozen pivot geometry: scalar parameters must match
+    * the probe's exactly (refuse loudly), while the pivots are read
+    * back from the manifest — they were frozen at bootstrap and are
+    * not the caller's to supply. Float round-trip via
+    * `Float.toString`/`toFloat` is exact, so the parsed pivots are
+    * bit-identical to the frozen ones. */
+  private def certVecPivots(spark: org.apache.spark.sql.SparkSession,
+                            path: String, threshold: Double, roundTo: Int,
+                            maxCell: Long): Array[Array[Float]] = {
+    val stored = IndexMeta.read(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"cosine certification store at $path has no _GRAFT_META " +
+          "manifest — bootstrap it with certVecIndexWrite"))
+    require(stored.family == CertVecFamily,
+      s"index family mismatch at $path: stored '${stored.family}', " +
+        s"probe expects '$CertVecFamily' — wrong index path?")
+    val pivots = stored.params.getOrElse("pivots", sys.error(
+      s"manifest at $path records no frozen pivots — not a " +
+        "certVecIndexWrite store"))
+      .split(";").map(_.split(",").map(_.toFloat))
+    IndexMeta.check(spark, path, certVecMeta(threshold, roundTo, maxCell,
+      pivots.toIndexedSeq))
+    pivots
+  }
+
+  private def certVecTheta(threshold: Double, roundTo: Int): Double =
+    math.acos(math.max(-1.0,
+      threshold - 0.5 * math.pow(10, -roundTo))) + 1e-3
+
+  /** `(id, vec, b0..b{p-1})` band rows under a FIXED pivot set — the
+    * shared front end of the cosine store's bootstrap and appends, so
+    * every epoch's bands are byte-identical by construction. */
+  private def certVecRows(df: DataFrame, idCol: String, vecCol: String,
+                          pivots: Array[Array[Float]],
+                          theta: Double): DataFrame = {
+    def band(p: Array[Float]) =
+      floor(acos(greatest(lit(-1.0), least(lit(1.0),
+        Sim.cosine(col("_v"), typedLit(p))))) / lit(theta)).cast("int")
+    df.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .filter(Sim.cosine(col("_v"), col("_v")) > 0.0)
+      .select(col("id") +: col("_v").as("vec") +:
+        pivots.zipWithIndex.toIndexedSeq
+          .map { case (p, i) => band(p).as(s"b$i") }: _*)
+  }
+
+  /** Bootstrap the persisted cosine certification index —
+    * [[certTextIndexWrite]]'s embedding twin: corpus vectors banded
+    * ONCE under pivots FROZEN into the manifest. Freezing is what
+    * makes appends sound: [[exactCosineJoinAgainst]] re-picks pivots
+    * from the current corpus per call, so bands computed yesterday
+    * would not line up with a probe computed today — here the
+    * geometry is a manifest constant, every epoch's bands are
+    * mutually consistent, and a probe reads pivots back instead of
+    * re-deriving them from data. Pivot QUALITY never affects
+    * exactness (bands only block; the cosine verify decides), so a
+    * frozen, gradually-staler pivot set costs at most candidate
+    * counts. */
+  def certVecIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                        path: String, threshold: Double, nPivots: Int = 4,
+                        maxCell: Long = 100000L, roundTo: Int = 4): Unit = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold must be in (-1, 1): $threshold")
+    require(nPivots >= 2 && nPivots <= 16,
+      s"nPivots must be in [2, 16]: $nPivots")
+    val spark = corpus.sparkSession
+    val pivots = BoundedRead.boundedDriverRead(
+      Sim.pickCentroids(corpus, idCol, vecCol, nPivots).orderBy("cell"),
+      nPivots, "certVecIndexWrite pivots",
+      s"pickCentroids emits at most nPivots = $nPivots rows")
+      .map(_.getSeq[Float](1).toArray)
+    require(pivots.length >= 2,
+      s"certVecIndexWrite needs >= 2 pivot vectors; the corpus " +
+        s"supplied only ${pivots.length} nonempty vectors")
+    val theta = certVecTheta(threshold, roundTo)
+    EpochIndex.bootstrap(
+      certVecRows(corpus, idCol, vecCol, pivots, theta), path)
+    IndexMeta.write(spark, path,
+      certVecMeta(threshold, roundTo, maxCell, pivots.toIndexedSeq))
+  }
+
+  /** Append one certified batch's band rows as one epoch, banded
+    * under the manifest's FROZEN pivots (never re-picked). */
+  def certVecIndexAppend(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame, idCol: String,
+                         vecCol: String, epoch: String, threshold: Double,
+                         maxCell: Long = 100000L, roundTo: Int = 4): Unit = {
+    val pivots = certVecPivots(spark, path, threshold, roundTo, maxCell)
+    EpochIndex.append(
+      certVecRows(batch, idCol, vecCol, pivots,
+        certVecTheta(threshold, roundTo)), path, epoch)
+  }
+
+  /** Batch-vs-corpus EXACT cosine join THROUGH the persisted index —
+    * [[exactCosineJoinAgainst]]'s store-backed form, same output
+    * contract, but the corpus side is `(id, vec, bands)` rows read
+    * from `path` and the pivots come frozen from the manifest: no
+    * per-batch corpus banding, no per-batch pivot re-pick. The
+    * corpus stays unreplicated (cell tripwire on its own (b0, b1)
+    * key via groupBy + broadcast join-back); the batch carries the
+    * 3×3 band neighborhood; remaining pivots prune as |Δband| ≤ 1
+    * integer checks before the exact verify. */
+  def certVecIndexProbe(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame, idCol: String,
+                        vecCol: String, threshold: Double,
+                        maxCell: Long = 100000L, roundTo: Int = 4,
+                        excludeEpoch: Option[String] = None): DataFrame = {
+    val pivots = certVecPivots(spark, path, threshold, roundTo, maxCell)
+    val nP = pivots.length
+    val theta = certVecTheta(threshold, roundTo)
+    val idx = EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "certVecIndexWrite").drop(EpochIndex.EpochCol)
+    val cPts = idx.select(col("id").as("_idc") +: col("vec").as("_vc") +:
+      (0 until nP).map(i => col(s"b$i").as(s"_b${i}c")): _*)
+    val sizes = broadcast(cPts.groupBy(col("_b0c"), col("_b1c"))
+      .agg(count(lit(1)).as("_cn")))
+    val cGuarded = cPts.join(sizes, Seq("_b0c", "_b1c"))
+      .withColumn("_g",
+        when(col("_cn") > maxCell, raise_error(concat(
+          lit("certVecIndexProbe corpus cell overflow: band cell ("),
+          col("_b0c").cast("string"), lit(","),
+          col("_b1c").cast("string"), lit(") holds "),
+          col("_cn").cast("string"),
+          lit(s" corpus vectors (> $maxCell) — certify at a tighter " +
+            "threshold (narrower bands) or rebuild with the " +
+            "O(cell × batch-neighborhood) cost understood"))).cast("long"))
+          .otherwise(col("_cn")))
+      .drop("_cn")
+    val bRows = certVecRows(batch, idCol, vecCol, pivots, theta)
+    val bPts = bRows.select(col("id").as("_idb") +: col("vec").as("_vb") +:
+      (0 until nP).map(i => col(s"b$i").as(s"_b${i}b")): _*)
+    val bRep = bPts
+      .withColumn("_b0c", explode(array(col("_b0b") - 1, col("_b0b"),
+        col("_b0b") + 1)))
+      .withColumn("_b1c", explode(array(col("_b1b") - 1, col("_b1b"),
+        col("_b1b") + 1)))
+    val prefixChecks = (2 until nP).map(i =>
+      abs(col(s"_b${i}c") - col(s"_b${i}b")) <= 1)
+    cGuarded.join(bRep, Seq("_b0c", "_b1c"))
+      .filter(prefixChecks.foldLeft(lit(true))(_ && _))
+      .filter(col("_g") > 0L)
+      .select(col("_idc").as("id_corpus"), col("_idb").as("id_batch"),
+        round(Sim.cosine(col("_vc"), col("_vb")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Identity-fold compaction (disjoint rows across epochs). */
+  def certVecIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, CertVecFamily)
     EpochIndex.compact(spark, path, identity, keepVersions = keepVersions)
   }
 

@@ -58,6 +58,15 @@ import org.apache.spark.sql.functions._
   *    the silent double-count a replay-across-compaction would cause
   *    becomes an explicit error.
   */
+/** The TYPED "benign skip" of the maintenance protocol: a compaction
+  * entry point that finds no partials to fold throws this, and
+  * [[Maintenance.compactAll]] counts the store as skipped instead of
+  * failed. A dedicated type, not a message-substring convention — a
+  * GENUINE failure whose message happens to contain "nothing to
+  * compact" must still fail the sweep (silent skips are the forbidden
+  * failure class). */
+final class NothingToCompact(msg: String) extends RuntimeException(msg)
+
 object EpochIndex {
 
   val EpochCol = "_epoch"
@@ -414,7 +423,7 @@ object EpochIndex {
     val uncommitted = uncommittedEpochNames(spark, root, innerPartCols)
     val snapshot = liveAll.filterNot(prevFolded)
     val carried = liveAll.filter(prevFolded)
-    require(prev.nonEmpty || snapshot.nonEmpty,
+    if (prev.isEmpty && snapshot.isEmpty) throw new NothingToCompact(
       s"nothing to compact at $root: no live epochs and no existing base")
     val liveDf =
       if (snapshot.isEmpty) None

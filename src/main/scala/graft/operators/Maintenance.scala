@@ -80,14 +80,19 @@ object Maintenance {
         Similarity.ivfPqIndexCompact(spark, root, keepVersions)
       case "cert_pairs" =>
         Dedup.certLedgerCompact(spark, root, keepVersions)
+      case "cert_text" =>
+        Dedup.certTextIndexCompact(spark, root, keepVersions)
+      case "cert_vec" =>
+        Dedup.certVecIndexCompact(spark, root, keepVersions)
       case "quality_cuts" =>
         // versioned calibration snapshot, not an epoch-additive store:
         // each freeze IS a compacted base (publishVersion retention
-        // GCs superseded versions) — compactAll treats this message
-        // as the benign fresh-store skip
-        sys.error(s"nothing to compact at $root: quality_cuts is a " +
-          "versioned calibration snapshot with no epoch partials; " +
-          "retention is publishVersion's keepVersions at freeze time")
+        // GCs superseded versions) — the typed skip compactAll counts
+        // as benign
+        throw new NothingToCompact(s"nothing to compact at $root: " +
+          "quality_cuts is a versioned calibration snapshot with no " +
+          "epoch partials; retention is publishVersion's keepVersions " +
+          "at freeze time")
       case f if f.endsWith("_bands") =>
         // banding families (minhash/simhash/srp/hamming64) share the
         // identity fold — disjoint rows, compaction bounds file count
@@ -184,8 +189,7 @@ object Maintenance {
       try StoreResult(root, family,
         Some(compactStore(spark, root, keepVersions)), None)
       catch {
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.contains("nothing to compact") =>
+        case _: NothingToCompact =>
           StoreResult(root, family, None, None) // fresh store: skip, not fail
         case scala.util.control.NonFatal(e) =>
           StoreResult(root, family, None, Some(e.getMessage))

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The persisted certification index stores: probes must equal the
+  * text-scanning against-joins EXACTLY (both are exact, so equality is
+  * set equality on (id, id, score)), appends must stay consistent with
+  * the frozen geometry, and the store round-trip must survive
+  * compaction and refuse parameter mixups — the properties that make
+  * "cost ∝ batch" true for scans, not just joins. */
+class CertStoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(name: String) = java.nio.file.Files
+    .createTempDirectory("graft-certstore").toString + "/" + name
+
+  // ------------------------------------------------------- jaccard side
+
+  private val corpusDocs = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "alpha beta gamma epsilon"),
+    (3L, "iota kappa lambda mu"),
+    (4L, "nu xi omicron pi rho sigma"),
+    (5L, "alpha beta gamma delta epsilon zeta eta theta"))
+  private val batch1Docs = Seq(
+    (101L, "alpha beta gamma delta"),   // re-ingested copy of 1
+    (102L, "alpha beta gamma zeta"),    // J(.,1) = 3/5
+    (103L, "tau upsilon phi chi"),      // novel
+    (104L, "   "))                      // degenerate: certifies nothing
+  private val batch2Docs = Seq(
+    (201L, "alpha beta gamma zeta"),    // copy of 102 (batch1, appended)
+    (202L, "iota kappa lambda mu"),     // copy of 3 (bootstrap corpus)
+    (203L, "psi omega aleph bet"))
+
+  private def jaccardAgainst(corpus: Seq[(Long, String)],
+                             batch: Seq[(Long, String)], t: Double) =
+    Dedup.exactJaccardJoinAgainst(corpus.toDF("doc_id", "text"),
+      batch.toDF("doc_id", "text"), "doc_id", "text", threshold = t,
+      shingleK = 1).as[(Long, Long, Double)].collect().toSet
+
+  test("certTextIndex: probe ≡ exactJaccardJoinAgainst; appended epochs join the standing corpus") {
+    val root = tmp("jac")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    Dedup.certTextIndexWrite(corpus, "doc_id", "text", root,
+      threshold = 0.5, shingleK = 1)
+    def probe(batch: Seq[(Long, String)]) =
+      Dedup.certTextIndexProbe(spark, root, batch.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, shingleK = 1)
+        .as[(Long, Long, Double)].collect().toSet
+    val got1 = probe(batch1Docs)
+    assert(got1 === jaccardAgainst(corpusDocs, batch1Docs, 0.5))
+    assert(got1.contains((1L, 101L, 1.0)), "re-ingestion signal missing")
+    assert(got1.nonEmpty)
+    // append batch1, probe batch2: the standing corpus now includes
+    // batch1 — prefix rows cut under batch1's OWN df order (the
+    // one-sided lemma is order-free, so this stays exact)
+    Dedup.certTextIndexAppend(spark, root,
+      batch1Docs.toDF("doc_id", "text"), "doc_id", "text", "b1",
+      threshold = 0.5, shingleK = 1)
+    val got2 = probe(batch2Docs)
+    assert(got2 === jaccardAgainst(corpusDocs ++ batch1Docs.take(3),
+      batch2Docs, 0.5))
+    assert(got2.contains((102L, 201L, 1.0)),
+      "pair against an APPENDED doc missing — epochs not probed")
+    assert(got2.contains((3L, 202L, 1.0)),
+      "pair against a BOOTSTRAP doc missing")
+    // replayed append of the same epoch rewrites, never duplicates
+    Dedup.certTextIndexAppend(spark, root,
+      batch1Docs.toDF("doc_id", "text"), "doc_id", "text", "b1",
+      threshold = 0.5, shingleK = 1)
+    assert(probe(batch2Docs) === got2)
+    // the streaming replay hook: excluding b1 probes the pre-append corpus
+    val excl = Dedup.certTextIndexProbe(spark, root,
+      batch2Docs.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, shingleK = 1, excludeEpoch = Some("b1"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(excl === jaccardAgainst(corpusDocs, batch2Docs, 0.5))
+    // identity-fold compaction via the maintenance dispatch preserves
+    // the probe output bit for bit
+    val stats = Maintenance.compactStore(spark, root)
+    assert(stats.folded.nonEmpty)
+    assert(probe(batch2Docs) === got2)
+    // parameter mixups refuse loudly: a probe at another tau or
+    // granularity would silently miss pairs (prefix lengths are
+    // tau-specific), so the manifest check is load-bearing
+    for ((t, k) <- Seq((0.8, 1), (0.5, 3))) {
+      val e = intercept[Exception] {
+        Dedup.certTextIndexProbe(spark, root,
+          batch2Docs.toDF("doc_id", "text"), "doc_id", "text",
+          threshold = t, shingleK = k)
+      }
+      assert(e.getMessage.contains("do not match") ||
+        e.getMessage.contains("mismatch"), e.getMessage)
+    }
+  }
+
+  test("certTextIndex probe: corpus-side boilerplate bucket trips the guard loudly") {
+    val root = tmp("jacflood")
+    val flood = Seq.tabulate(8)(i => (200L + i, s"shared u$i"))
+      .toDF("doc_id", "text")
+    Dedup.certTextIndexWrite(flood, "doc_id", "text", root,
+      threshold = 0.5, shingleK = 1, maxBucket = 3)
+    val e = intercept[Exception] {
+      Dedup.certTextIndexProbe(spark, root,
+        batch1Docs.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.5, shingleK = 1, maxBucket = 3).collect()
+    }
+    assert(e.getMessage.contains("prefix bucket overflow"), e.getMessage)
+  }
+
+  // -------------------------------------------------------- cosine side
+
+  test("certVecIndex: frozen pivots; probe ≡ exactCosineJoinAgainst across appends") {
+    val rnd = new scala.util.Random(97)
+    def noise(dim: Int) = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def near(base: Array[Float]) =
+      base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val c1 = noise(8)
+    val corpusRows = (0 until 15).map(i => (i.toLong, near(c1))) ++
+      (15 until 60).map(i => (i.toLong, noise(8)))
+    val b1Rows = (100 until 105).map(i => (i.toLong, near(c1))) ++
+      (105 until 115).map(i => (i.toLong, noise(8))) :+
+      (115L, Array.fill(8)(0f)) // zero-norm: certifies nothing
+    val b2Rows = (200 until 204).map(i => (i.toLong, near(c1))) ++
+      (204 until 210).map(i => (i.toLong, noise(8)))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    def against(c: Seq[(Long, Array[Float])], b: Seq[(Long, Array[Float])],
+                t: Double) =
+      Dedup.exactCosineJoinAgainst(c.toDF("vec_id", "embedding"),
+        b.toDF("vec_id", "embedding"), "vec_id", "embedding", t)
+        .as[(Long, Long, Double)].collect().toSet
+    for (tau <- Seq(0.4, 0.9)) {
+      val root = tmp(s"vec$tau")
+      Dedup.certVecIndexWrite(corpus, "vec_id", "embedding", root,
+        threshold = tau)
+      def probe(b: Seq[(Long, Array[Float])]) =
+        Dedup.certVecIndexProbe(spark, root,
+          b.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = tau).as[(Long, Long, Double)].collect().toSet
+      val got1 = probe(b1Rows)
+      assert(got1 === against(corpusRows, b1Rows, tau),
+        s"tau=$tau bootstrap probe diverged")
+      assert(got1.nonEmpty, s"tau=$tau: degenerate test corpus")
+      assert(!got1.exists(p => p._1 == 115L || p._2 == 115L),
+        "zero-norm vector certified")
+      // append batch1 (banded under the FROZEN pivots), probe batch2
+      // against the grown corpus: the against-join re-picks pivots
+      // from the grown corpus, the store never does — both exact, so
+      // outputs must still coincide
+      Dedup.certVecIndexAppend(spark, root,
+        b1Rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "b1", threshold = tau)
+      val got2 = probe(b2Rows)
+      assert(got2 === against(corpusRows ++ b1Rows, b2Rows, tau),
+        s"tau=$tau post-append probe diverged")
+      assert(got2.exists(_._1 >= 100L),
+        s"tau=$tau: no pair against an appended vector — epochs not probed")
+      // compaction via the maintenance dispatch preserves the probe
+      val stats = Maintenance.compactStore(spark, root)
+      assert(stats.folded.nonEmpty)
+      assert(probe(b2Rows) === got2)
+      // probing at another tau refuses loudly (bands are theta-specific)
+      val e = intercept[Exception] {
+        Dedup.certVecIndexProbe(spark, root,
+          b2Rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = if (tau == 0.4) 0.9 else 0.4)
+      }
+      assert(e.getMessage.contains("do not match"), e.getMessage)
+    }
+  }
+
+  test("certVecIndex probe: corpus cell mass-collapse trips the guard loudly") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val batch = (100 until 105).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val root = tmp("veccollapse")
+    Dedup.certVecIndexWrite(corpus, "vec_id", "embedding", root,
+      threshold = 0.4, maxCell = 5L)
+    val e = intercept[Exception] {
+      Dedup.certVecIndexProbe(spark, root, batch, "vec_id", "embedding",
+        threshold = 0.4, maxCell = 5L).collect()
+    }
+    assert(e.getMessage.contains("corpus cell overflow"), e.getMessage)
+  }
+
+  test("cosine joins degrade to the pivots a tiny corpus can supply; < 2 refuses with guidance") {
+    val rnd = new scala.util.Random(7)
+    def v() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val three = Seq((1L, v()), (2L, v()), (3L, v()))
+    val tiny = three.toDF("vec_id", "embedding")
+    // 3 vectors, nPivots = 4: degrade to 3 pivots, no unresolved-column crash
+    val brute = Dedup.embeddingNearDup(tiny.withColumn("blk", lit(1)),
+      "vec_id", "embedding", "blk", 0.0 - 0.9999)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.exactCosineJoin(tiny, "vec_id", "embedding",
+      threshold = -0.9999, nPivots = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === brute)
+    val cross = Dedup.exactCosineJoinAgainst(tiny,
+      Seq((10L, v())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = -0.9999, nPivots = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(cross.length === 3)
+    // a single-vector corpus cannot block at all: loud, with guidance
+    val one = Seq((1L, v())).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Dedup.exactCosineJoin(one, "vec_id", "embedding", threshold = 0.4)
+    }
+    assert(e.getMessage.contains("brute force"), e.getMessage)
+  }
+}

@@ -159,4 +159,45 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(results.size === 1)
     assert(!results.head.failed && results.head.stats.isEmpty)
   }
+
+  test("benign skip is TYPED: a genuine failure whose message contains the phrase still fails") {
+    val root = tree()
+    // an unknown family whose NAME smuggles the old magic substring
+    // into the error message — under the retired message-substring
+    // protocol this was silently skipped; it must fail the sweep
+    IndexMeta.write(spark, s"$root/evil",
+      IndexMeta("martian nothing to compact", "x" -> 1))
+    val e = intercept[RuntimeException] {
+      Maintenance.compactAll(spark, root)
+    }
+    assert(e.getMessage.contains("FAILED"), e.getMessage)
+    // while the honest typed skip stays benign
+    IndexMeta.write(spark, s"$root/evil",
+      IndexMeta("quality_cuts", "score" -> "ppl"))
+    val results = Maintenance.compactAll(spark, root)
+    assert(results.size === 1)
+    assert(!results.head.failed && results.head.stats.isEmpty)
+  }
+
+  test("certification index families dispatch through the sweep") {
+    val root = tree()
+    import spark.implicits._
+    Dedup.certTextIndexWrite(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/cert_text", threshold = 0.8)
+    Dedup.certTextIndexAppend(spark, s"$root/cert_text",
+      Seq((2L, "delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", "b1", threshold = 0.8)
+    val rnd = new scala.util.Random(3)
+    def v() = Array.fill(4)(rnd.nextGaussian().toFloat)
+    Dedup.certVecIndexWrite(
+      Seq((1L, v()), (2L, v()), (3L, v())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/cert_vec", threshold = 0.8)
+    Dedup.certVecIndexAppend(spark, s"$root/cert_vec",
+      Seq((4L, v())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "b1", threshold = 0.8)
+    val results = Maintenance.compactAll(spark, root)
+    assert(results.size === 2)
+    assert(results.forall(r => !r.failed && r.stats.exists(_.folded.nonEmpty)))
+  }
 }
