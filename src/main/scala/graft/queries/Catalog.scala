@@ -8984,12 +8984,17 @@ object Catalog {
     Similarity.simplifiedSilhouette(e, trained, "vec_id", "embedding")
   }
 
-  /** [[Dedup.exactJaccardJoinAgainst]] — incremental certification:
-    * the arriving batch (doc_id % 13 = 0 plays the day's ingest)
-    * certified against the standing corpus at batch-proportional
-    * cost. Oracle is the blocking-independent brute-force R×S. */
+  /** [[Dedup.certTextIndexProbe]] — incremental certification THROUGH
+    * the persisted index: the corpus's `(id, n, prefix, hset)`
+    * fingerprint rows are written once ([[Dedup.certTextIndexWrite]],
+    * the store round-trip sitting IN the checked lineage — the
+    * q207/q209/q229 pattern), then the arriving batch (doc_id % 13 =
+    * 0 plays the day's ingest) probes the STORE: corpus text is never
+    * re-read, re-tokenized, or re-df-counted per batch, so N batches
+    * cost O(N · batch) scan work, not O(N · corpus). Oracle is the
+    * blocking-independent brute-force R×S. */
   val q227JaccardAgainst = q("q227_jaccard_against",
-    "Batch-vs-corpus exact Jaccard join — incremental dedup certification at batch cost (north star: dedup)",
+    "Batch-vs-corpus exact Jaccard join via the persisted certification index — probe cost ∝ batch (north star: dedup)",
     """WITH tk AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
       |  FROM documents),
@@ -9005,17 +9010,23 @@ object Catalog {
       |SELECT id_corpus, id_batch, round(jac, 4) AS jaccard
       |FROM p WHERE jac >= 0.85""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    Dedup.exactJaccardJoinAgainst(
+    val root = scratchDir(s, "q227_jaccard_against")
+    Dedup.certTextIndexWrite(
       docs.filter(pmod(col("doc_id"), lit(13)) =!= 0),
+      "doc_id", "text", root, threshold = 0.85, shingleK = 1)
+    Dedup.certTextIndexProbe(s, root,
       docs.filter(pmod(col("doc_id"), lit(13)) === 0),
       "doc_id", "text", threshold = 0.85, shingleK = 1)
   }
 
-  /** [[Dedup.exactCosineJoinAgainst]] — the embedding twin of q227:
-    * new vectors certified against the standing corpus, corpus
-    * unreplicated, batch carrying the 9× band neighborhood. */
+  /** [[Dedup.certVecIndexProbe]] — the embedding twin of q227, also
+    * store-backed: corpus vectors banded ONCE under pivots FROZEN in
+    * the manifest ([[Dedup.certVecIndexWrite]]), then the batch
+    * probes the store — corpus unreplicated, batch carrying the 9×
+    * band neighborhood, no per-batch corpus banding or pivot
+    * re-pick. */
   val q228CosineAgainst = q("q228_cosine_against",
-    "Batch-vs-corpus exact cosine join — incremental semantic certification at batch cost (north star: dedup)",
+    "Batch-vs-corpus exact cosine join via the persisted certification index — frozen pivots, probe cost ∝ batch (north star: dedup)",
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       |           FROM embeddings)
       |SELECT c.vec_id AS id_corpus, b.vec_id AS id_batch,
@@ -9023,8 +9034,11 @@ object Catalog {
       |FROM v c JOIN v b ON c.vec_id % 7 <> 0 AND b.vec_id % 7 = 0
       |WHERE round(list_cosine_similarity(c.vec, b.vec), 4) >= 0.4""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    Dedup.exactCosineJoinAgainst(
+    val root = scratchDir(s, "q228_cosine_against")
+    Dedup.certVecIndexWrite(
       e.filter(pmod(col("vec_id"), lit(7)) =!= 0),
+      "vec_id", "embedding", root, threshold = 0.4)
+    Dedup.certVecIndexProbe(s, root,
       e.filter(pmod(col("vec_id"), lit(7)) === 0),
       "vec_id", "embedding", threshold = 0.4)
   }

@@ -887,69 +887,75 @@ object Streaming {
   }
 
   /** Streaming dedup certification — q230's induction claim run as a
-    * LIVE loop: each micro-batch is exact-joined against the standing
-    * corpus ([[graft.operators.Dedup.exactJaccardJoinAgainst]] —
-    * batch-proportional, the corpus never re-joins itself) and
-    * against itself, the pairs land in the certification ledger as
-    * one epoch, and the batch lands in the corpus — so after every
-    * activation the ledger equals the full corpus-wide exact join
-    * over everything ever ingested, by induction, with corpus² never
-    * having run here at all (bootstrap the ledger from the one-time
-    * [[graft.operators.Dedup.exactJaccardJoin]] pass, or from empty
+    * LIVE loop, store-backed: each micro-batch probes the PERSISTED
+    * certification index ([[graft.operators.Dedup.certTextIndexProbe]]
+    * — fingerprint rows, so corpus text is never re-read, re-tokenized
+    * or re-df-counted per micro-batch; scan cost ∝ batch) and
+    * exact-joins against itself; the pairs land in the certification
+    * ledger as one epoch, the batch's own `(id, n, prefix, hset)` rows
+    * land in the index, and the batch lands in the corpus — so after
+    * every activation the ledger equals the full corpus-wide exact
+    * join over everything ever ingested, by induction, with corpus²
+    * never having run here at all (bootstrap ledger + index from the
+    * one-time [[graft.operators.Dedup.exactJaccardJoin]] /
+    * [[graft.operators.Dedup.certTextIndexWrite]] pass, or from empty
     * for a corpus born under this sink).
     *
-    * Ordering: ledger epoch BEFORE corpus epoch, both epoch-scoped
-    * dynamic overwrites — a crash between them replays the epoch
-    * with the corpus still excluding the batch, so the cross join
-    * re-certifies against exactly the same standing corpus and
-    * rewrites the same rows. The manifest carries metric + threshold
-    * (appends at a different τ are refused, not merged). */
+    * Ordering: ledger epoch BEFORE index epoch BEFORE corpus epoch,
+    * all epoch-scoped dynamic overwrites, and the probe EXCLUDES this
+    * epoch's own index partial — a crash (or an at-least-once replay)
+    * anywhere in the sequence re-certifies against exactly the
+    * standing index the first attempt saw and rewrites the same rows;
+    * a replay across an index compaction refuses loudly inside the
+    * store read rather than double-certifying. Both manifests are
+    * checked, not just recorded: a PRE-EXISTING ledger or index at a
+    * different metric/τ/shingleK refuses before any write lands
+    * (appends at a different τ are refused, not merged — a silently
+    * mixed ledger would void the release-audit guarantee). */
   def certIngestSink(stream: DataFrame, spark: SparkSession,
                      corpusPath: String, ledgerPath: String,
+                     indexPath: String,
                      idCol: String, textCol: String,
                      checkpoint: String, threshold: Double,
                      shingleK: Int = 1,
                      maxBucket: Int = 100000): StreamingQuery = {
-    import graft.operators.{Dedup, IndexMeta}
+    import graft.operators.{Dedup, EpochIndex, IndexMeta}
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
+          // manifest-first AND manifest-checked: first batch records,
+          // later batches verify; a ledger bootstrapped elsewhere at
+          // another τ (or a cosine ledger path) refuses loudly here
+          // instead of silently absorbing incompatible appends
           IndexMeta.writeIfAbsent(spark, ledgerPath,
             Dedup.certLedgerMeta("jaccard", threshold))
+          IndexMeta.check(spark, ledgerPath,
+            Dedup.certLedgerMeta("jaccard", threshold))
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            Dedup.certTextMeta(threshold, shingleK, maxBucket))
+          val epoch = s"$token-$epochId"
           val self = Dedup.exactJaccardJoin(batch, idCol, textCol,
             threshold, shingleK, maxBucket)
           val pairs =
-            if (graft.sources.Fs.exists(spark, corpusPath)) {
-              // the standing corpus through the STORE read, not a raw
-              // parquet scan: committed epochs only (a torn writer's
-              // half-epoch must not certify anything), compacted-base
-              // rows included (a raw scan skips _base and would
-              // silently certify against a shrunken corpus after any
-              // corpus compaction), and THIS epoch excluded — a replay
-              // after both writes landed re-certifies against exactly
-              // the corpus the first attempt saw (otherwise every self
-              // pair re-emits as a cross pair under canonicalized
-              // ids); a replay across a corpus compaction refuses
-              // loudly inside the read rather than double-certifying
-              val corpus = graft.operators.EpochIndex.read(spark,
-                  corpusPath, excludeEpoch = Some(s"$token-$epochId"),
-                  bootstrapName = "certIngestSink", observed = false)
-                .select(col(idCol), col(textCol))
-              Dedup.exactJaccardJoinAgainst(corpus, batch, idCol, textCol,
-                  threshold, shingleK, maxBucket)
+            if (EpochIndex.nonEmpty(spark, indexPath))
+              Dedup.certTextIndexProbe(spark, indexPath, batch,
+                  idCol, textCol, threshold, shingleK, maxBucket,
+                  excludeEpoch = Some(epoch))
                 .select(least(col("id_corpus"), col("id_batch")).as("id_a"),
                   greatest(col("id_corpus"), col("id_batch")).as("id_b"),
                   col("jaccard"))
                 .unionByName(self)
-            } else self
+            else self
           val pinned = pairs.localCheckpoint(true)
           try {
-            // ledger first: a crash here replays with the corpus still
+            // ledger first: a crash here replays with the index still
             // excluding this batch — same standing corpus, same rows
             epochWrite(pinned, ledgerPath, token, epochId)
+            Dedup.certTextIndexAppend(spark, indexPath, batch,
+              idCol, textCol, epoch, threshold, shingleK, maxBucket)
             epochWrite(batch, corpusPath, token, epochId)
           } finally { pinned.unpersist(); () }
         }

@@ -95,6 +95,42 @@ class CertStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("probes never touch corpus sources: both stores answer after the corpus is DELETED") {
+    // the q107 "never re-read" contract, proven structurally: build
+    // each store from a corpus parquet, delete the parquet, probe —
+    // if any probe lineage reached back to corpus text/vectors it
+    // would fail on the missing files
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-certsrc").toString
+    corpusDocs.toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    val jacRoot = tmp("jacdel"); val vecRoot = tmp("vecdel")
+    Dedup.certTextIndexWrite(spark.read.parquet(s"$dir/docs"),
+      "doc_id", "text", jacRoot, threshold = 0.5, shingleK = 1)
+    Dedup.certVecIndexWrite(spark.read.parquet(s"$dir/vecs"),
+      "vec_id", "embedding", vecRoot, threshold = 0.4)
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles.foreach(c => rmrf(c.getPath))
+      f.delete(); ()
+    }
+    rmrf(s"$dir/docs"); rmrf(s"$dir/vecs")
+    val jac = Dedup.certTextIndexProbe(spark, jacRoot,
+      batch1Docs.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, shingleK = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(jac === jaccardAgainst(corpusDocs, batch1Docs, 0.5))
+    val cos = Dedup.certVecIndexProbe(spark, vecRoot,
+      vecs.take(5).map { case (i, v) => (i + 100L, v) }
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(cos.nonEmpty, "re-ingested vectors must certify against the store")
+  }
+
   test("certTextIndex probe: corpus-side boilerplate bucket trips the guard loudly") {
     val root = tmp("jacflood")
     val flood = Seq.tabulate(8)(i => (200L + i, s"shared u$i"))

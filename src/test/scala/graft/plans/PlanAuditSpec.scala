@@ -864,17 +864,29 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
-  test("q227/q228 batch-vs-corpus certification: equi joins only, no corpus window") {
+  test("q227/q228 store-backed certification probes: no corpus text scan, no window, equi joins only") {
     val p227 = planOf("q227_jaccard_against")
     assert(!p227.contains("BroadcastNestedLoopJoin") &&
       !p227.contains("CartesianProduct"),
       s"incremental certification degraded to a nested loop:\n$p227")
+    // the probe reads STORED fingerprint rows: the per-doc prefix
+    // window lives only in the one-time index build — a Window here
+    // means the probe regressed to re-deriving corpus state
+    assert(!p227.contains("Window"),
+      s"q227 probe re-grew the prefix window:\n$p227")
+    // the corpus side must come from the store, never documents.parquet
+    // — only the BATCH side scans the source table
+    assert(p227.contains("graft-scratch"),
+      s"q227 probe lost the store read:\n$p227")
     val p228 = planOf("q228_cosine_against")
     // the cosine variant is fully window-free (bands are literal row
-    // math; the tripwire counts via groupBy+join-back)
+    // math under manifest-frozen pivots; the tripwire counts via
+    // groupBy+join-back over the stored rows)
     assert(!p228.contains("Window"), s"q228 grew a corpus window:\n$p228")
     assert(!p228.contains("BroadcastNestedLoopJoin") &&
       !p228.contains("CartesianProduct"), s"q228:\n$p228")
+    assert(p228.contains("graft-scratch"),
+      s"q228 probe lost the store read:\n$p228")
   }
 
   test("q213/q216 corpus statistics: aggregates are vocabulary-bounded, no corpus-wide window") {

@@ -1086,24 +1086,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
   }
 
-  test("streaming certification: ledger equals the full exact join after every activation, through a mid-stream compaction") {
-    import graft.operators.{Dedup, Maintenance}
+  test("streaming certification: ledger equals the full exact join after every activation, through a mid-stream compaction of ledger AND index") {
+    import graft.operators.{Dedup, IndexMeta, Maintenance}
     val src = Files.createTempDirectory("graft-cert-src").toString
     val corpus = Files.createTempDirectory("graft-cert-corpus").toString + "/c"
     val ledger = Files.createTempDirectory("graft-cert-led").toString + "/l"
+    val index = Files.createTempDirectory("graft-cert-idx").toString + "/i"
     val ckp = Files.createTempDirectory("graft-cert-ckp").toString
     val b1 = Seq((1L, "alpha beta gamma delta"),
       (2L, "alpha beta gamma epsilon"), (3L, "iota kappa lambda mu"))
     val b2 = Seq((11L, "alpha beta gamma delta"),
       (12L, "nu xi omicron pi"), (13L, "iota kappa lambda mu"))
+    val b3 = Seq((21L, "alpha beta gamma epsilon"),
+      (22L, "nu xi omicron pi rho"))
     def deliver(name: String, rows: Seq[(Long, String)]): Unit =
       rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
     def drain(): Unit = {
       val schema = spark.read.parquet(s"$src/b1").schema
       Streaming.certIngestSink(
         Streaming.fileStream(spark, schema, s"$src/*"),
-        spark, corpus, ledger, "doc_id", "text", ckp, threshold = 0.5)
-        .awaitTermination()
+        spark, corpus, ledger, index, "doc_id", "text", ckp,
+        threshold = 0.5).awaitTermination()
     }
     def ledgerPairs() = Dedup.certLedgerRead(spark, ledger, "jaccard", 0.5)
       .as[(Long, Long, Double)].collect().toSet
@@ -1116,8 +1119,10 @@ class StreamingSpec extends SparkSpecBase {
     // full exact join over everything ever ingested — corpus² never ran
     assert(ledgerPairs() === fullPairs(b1))
     assert(ledgerPairs().contains((1L, 2L, 0.6)))
-    // compact mid-stream (identity fold) — nothing doubles or drops
+    // compact mid-stream (identity folds) — nothing doubles or drops,
+    // and the NEXT batch probes the compacted index exactly
     assert(Maintenance.compactStore(spark, ledger).folded.nonEmpty)
+    assert(Maintenance.compactStore(spark, index).folded.nonEmpty)
     assert(ledgerPairs() === fullPairs(b1))
     deliver("b2", b2); drain()
     val expect = fullPairs(b1 ++ b2)
@@ -1128,6 +1133,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(ledgerPairs().contains((1L, 11L, 1.0)) &&
       ledgerPairs().contains((3L, 13L, 1.0)))
     assert(spark.read.parquet(corpus).count() === 6L)
+    // third batch rides a mixed base+epoch index; induction holds
+    deliver("b3", b3); drain()
+    assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
+    // the index mirrors everything certified (one row per nonempty doc)
+    assert(graft.operators.EpochIndex.read(spark, index,
+      bootstrapName = "certTextIndexWrite").count() === 8L)
+    // a sink pointed at this ledger with ANOTHER tau refuses before
+    // writing anything — the checked-manifest contract (a pre-existing
+    // mismatched ledger must never silently absorb appends)
+    val ckp2 = Files.createTempDirectory("graft-cert-ckp2").toString
+    val schema = spark.read.parquet(s"$src/b1").schema
+    val e = intercept[Throwable] {
+      Streaming.certIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, ledger, index, "doc_id", "text", ckp2,
+        threshold = 0.85).awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("do not match")),
+      chain(e).mkString(" | "))
+    // nothing landed under the refused run
+    assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
   }
 
   test("streaming quality gate: kept corpus ≡ inline gate against the frozen stores, rejects carry named reasons") {
