@@ -1659,10 +1659,19 @@ object Dedup {
     * certification thresholds that matter sit high. Cost is
     * O(Σ cell²), and a mass-collapsed cell (every vector at the same
     * angle to both blocking pivots — the concentration shape of very
-    * high dimensions) trips the in-plan `maxCell` raise_error
-    * (groupBy+join-back on the cell key, NOT a window — the q205
-    * hot-key lesson) rather than silently degrading: failing is the
-    * right contract for a certification op.
+    * high dimensions) is handled by ADAPTIVE RE-BLOCKING: pairs whose
+    * canonical meet cell exceeds `maxCell` are re-joined one level
+    * deeper, on pivots 2/3 as extra {b, b+1}-replicated key columns
+    * (exactness preserved — more pivots only ever NARROW candidates,
+    * and the deeper canonical cell is still a single meet). Only the
+    * overflow cells' rows pay the extra 4× replication; healthy cells
+    * never notice. A cell that STILL overflows at the deeper key
+    * (mass-collapsed on all four pivots, or nPivots = 2 with no
+    * spare pivots to split on) trips the in-plan `maxCell`
+    * raise_error backstop (groupBy+join-back on the cell key, NOT a
+    * window — the q205 hot-key lesson) rather than silently
+    * degrading: failing is the final contract for a certification
+    * op, but it now takes a collapse the re-blocking cannot spread.
     *
     * Degenerate vectors: zero-norm vectors have no defined angle and
     * certify nothing — excluded, the [[exactJaccardJoin]]
@@ -1715,43 +1724,87 @@ object Dedup {
     val rep = pts
       .withColumn("_k0", explode(array(col("_b0"), col("_b0") + 1)))
       .withColumn("_k1", explode(array(col("_b1"), col("_b1") + 1)))
-    // cell tripwire: counts via groupBy (map-side partials crush a
-    // hot cell; a window could not), joined back on the two ints.
-    // Cell COUNT is θ-bounded (≤ (π/θ + 2)²) — the count table
-    // broadcasts whatever the corpus size.
+    // cell counts via groupBy (map-side partials crush a hot cell; a
+    // window could not), joined back on the key ints. Cell COUNT is
+    // θ-bounded (≤ (π/θ + 2)²) — the count table broadcasts whatever
+    // the corpus size.
     val sizes = broadcast(rep.groupBy(col("_k0"), col("_k1"))
       .agg(count(lit(1)).as("_cn")))
-    val guarded = rep.join(sizes, Seq("_k0", "_k1"))
-      .withColumn("_g",
-        when(col("_cn") > maxCell, raise_error(concat(
-          lit("exactCosineJoin cell overflow: band cell ("),
-          col("_k0").cast("string"), lit(","),
-          col("_k1").cast("string"),
-          lit(") holds "), col("_cn").cast("string"),
+    val flagged = rep.join(sizes, Seq("_k0", "_k1"))
+    // the canonical-meet self-join over one replicated key set: each
+    // qualifying pair joins exactly once, at the cell where every key
+    // column equals the pairwise band max. `canonical` holds the key
+    // indices the join equates (and therefore implies |Δband| ≤ 1
+    // for); every OTHER pivot prunes as an explicit |Δ| ≤ 1 check.
+    def pairJoin(side: DataFrame, key: Seq[String],
+                 canonical: Seq[Int]): DataFrame = {
+      val checks = (2 until nP).filterNot(canonical.contains).map(i =>
+        abs(col(s"_b$i") - col(s"_xb$i")) <= 1)
+      val rightCols = key.map(col) ++ Seq(
+        col("_id").as("_xid"), col("_v").as("_xv"),
+        col("_g").as("_xg")) ++
+        (0 until nP).map(i => col(s"_b$i").as(s"_xb$i"))
+      side.join(side.select(rightCols: _*), key)
+        .filter(col("_id") < col("_xid"))
+        .filter(canonical.map(i =>
+          col(s"_k$i") === greatest(col(s"_b$i"), col(s"_xb$i")))
+          .foldLeft(lit(true))(_ && _))
+        .filter(checks.foldLeft(lit(true))(_ && _))
+        // the guard columns are load-bearing (always-true on healthy
+        // cells): column pruning must not drop the raise_error branch
+        .filter(col("_g") > 0L && col("_xg") > 0L)
+        .select(col("_id").as("id_a"), col("_xid").as("id_b"),
+          round(Sim.cosine(col("_v"), col("_xv")), roundTo).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
+    def overflowError(key: Seq[String], what: String) = {
+      val cell = key.flatMap(k => Seq(col(k).cast("string"), lit(","))).init
+      raise_error(concat(
+        (Seq(lit(s"exactCosineJoin cell overflow: ${what}band cell (")) ++
+          cell ++ Seq(lit(") holds "), col("_cn").cast("string"),
           lit(s" replicas (> $maxCell) — quadratic pair blow-up; raise " +
             "maxCell only with the O(cell²) cost understood, or certify " +
-            "at a tighter threshold (more, narrower bands)"))).cast("long"))
+            "at a tighter threshold (more, narrower bands)"))): _*))
+    }
+    // pivots 2/3 (those that exist) are the re-blocking reserve
+    val deepPivots = Seq(2, 3).filter(_ < nP)
+    if (deepPivots.isEmpty) {
+      // nPivots = 2: nothing to split on — the tripwire is the guard
+      val guarded = flagged
+        .withColumn("_g", when(col("_cn") > maxCell,
+          overflowError(Seq("_k0", "_k1"), "nPivots=2 ").cast("long"))
           .otherwise(col("_cn")))
-      .drop("_cn")
-    val prefixChecks = (2 until nP).map(i =>
-      abs(col(s"_b$i") - col(s"_xb$i")) <= 1)
-    val rightCols = Seq(col("_k0"), col("_k1"),
-      col("_id").as("_xid"), col("_v").as("_xv"),
-      col("_g").as("_xg")) ++
-      (0 until nP).map(i => col(s"_b$i").as(s"_xb$i"))
-    val right = guarded.select(rightCols: _*)
-    guarded.join(right, Seq("_k0", "_k1"))
-      .filter(col("_id") < col("_xid"))
-      // canonical meet cell: each qualifying pair joins exactly once
-      .filter(col("_k0") === greatest(col("_b0"), col("_xb0")) &&
-        col("_k1") === greatest(col("_b1"), col("_xb1")))
-      .filter(prefixChecks.foldLeft(lit(true))(_ && _))
-      // the guard columns are load-bearing (always-true on healthy
-      // cells): column pruning must not drop the raise_error branch
-      .filter(col("_g") > 0L && col("_xg") > 0L)
-      .select(col("_id").as("id_a"), col("_xid").as("id_b"),
-        round(Sim.cosine(col("_v"), col("_xv")), roundTo).as("cos"))
-      .filter(col("cos") >= threshold)
+        .drop("_cn")
+      pairJoin(guarded, Seq("_k0", "_k1"), canonical = Seq(0, 1))
+    } else {
+      // pass A: pairs whose canonical meet cell is healthy — both
+      // members' replicas in an overflow cell route to pass B, so the
+      // split is BY PAIR (each pair has exactly one meet cell) and
+      // the union below is disjoint by construction
+      val healthy = flagged.filter(col("_cn") <= maxCell)
+        .withColumn("_g", col("_cn")).drop("_cn")
+      val passA = pairJoin(healthy, Seq("_k0", "_k1"),
+        canonical = Seq(0, 1))
+      // pass B: overflow cells re-block one level deeper — the same
+      // {b, b+1} replication on the reserve pivots, the same
+      // canonical-max single meet, now on 3-4 key ints
+      val ovRep = deepPivots.foldLeft(
+        flagged.filter(col("_cn") > maxCell).drop("_cn")) {
+        case (d, i) => d.withColumn(s"_k$i",
+          explode(array(col(s"_b$i"), col(s"_b$i") + 1)))
+      }
+      val deepKey = Seq("_k0", "_k1") ++ deepPivots.map(i => s"_k$i")
+      val deepSizes = broadcast(ovRep.groupBy(deepKey.map(col): _*)
+        .agg(count(lit(1)).as("_cn")))
+      val ovGuarded = ovRep.join(deepSizes, deepKey)
+        .withColumn("_g", when(col("_cn") > maxCell,
+          overflowError(deepKey, "re-blocked ").cast("long"))
+          .otherwise(col("_cn")))
+        .drop("_cn")
+      val passB = pairJoin(ovGuarded, deepKey,
+        canonical = Seq(0, 1) ++ deepPivots)
+      passA.unionByName(passB)
+    }
   }
 
   /** Batch-vs-corpus EXACT Jaccard join — the INCREMENTAL form of

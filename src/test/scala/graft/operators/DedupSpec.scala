@@ -628,12 +628,39 @@ class DedupSpec extends SparkSpecBase {
     val minimal = Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.9,
       nPivots = 2).as[(Long, Long, Double)].collect().toSet
     assert(minimal === first)
-    // a mass-collapsed band cell trips the in-plan guard loudly
-    val e = intercept[Exception] {
-      Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.4,
+    // a (b0, b1) cell over maxCell USED to trip the guard here;
+    // adaptive re-blocking now splits the overflow cells one level
+    // deeper on pivots 2/3 and COMPLETES, equal to brute force. On
+    // this corpus at tau = 0.9 the largest base cell holds 46
+    // replicas while the largest re-blocked cell holds 37 — so
+    // maxCell = 40 is exactly the planted regime: overflowing
+    // before, completing after
+    val brute09 = Dedup.embeddingNearDup(df.withColumn("blk", lit(1)),
+      "vec_id", "embedding", "blk", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val reblocked = Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.9,
+      maxCell = 40).as[(Long, Long, Double)].collect().toSet
+    assert(reblocked === brute09,
+      s"re-blocked join diverged (miss=${brute09 -- reblocked}, " +
+        s"extra=${reblocked -- brute09})")
+    // nPivots = 2 leaves no reserve pivots to split on: the same
+    // maxCell trips the tripwire in that configuration — proof the
+    // completion above went through the re-blocking, not slack
+    val e2 = intercept[Exception] {
+      Dedup.exactCosineJoin(df, "vec_id", "embedding", 0.9,
+        nPivots = 2, maxCell = 40).collect()
+    }
+    assert(e2.getMessage.contains("cell overflow"), e2.getMessage)
+    // collapse on ALL pivots (a clone cohort: every angle identical,
+    // so re-blocking cannot spread it) exhausts the reserve — the
+    // final backstop fires, naming the re-blocked cell
+    val clones = (0 until 15).map(i => (i.toLong, c1))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      Dedup.exactCosineJoin(clones, "vec_id", "embedding", 0.9,
         maxCell = 10).collect()
     }
-    assert(e.getMessage.contains("cell overflow"), e.getMessage)
+    assert(e3.getMessage.contains("re-blocked"), e3.getMessage)
   }
 
   test("exactCosineJoin: zero-norm vectors certify nothing") {
