@@ -45,6 +45,8 @@ object CorpusDemo {
       nIngested: Long, nExact: Long, nNear: Long,
       nResidualWithin: Long, nResidualCross: Long,
       nSemKept: Long, nSemResidualWithin: Long, nSemResidualCross: Long,
+      nSemRepairKept: Long, nSemResidualAfterRepair: Long,
+      semCapacityK: Int,
       nClean: Long, nFlaggedByNeighbor: Long, nFresh: Long,
       nQuality: Long, gateReasons: Map[String, Long],
       nClusters: Long, splitCounts: Map[String, Long],
@@ -130,11 +132,23 @@ object CorpusDemo {
     //      is a bug, not bad luck), residual_cross quantifies the
     //      blocking tradeoff — the number the corpus card carries so
     //      a denser centroid set is a recorded decision.
-    val (nSemKept, nSemResidualWithin, nSemResidualCross) =
-      staged("certify_semantic") {
+    val (nSemKept, nSemResidualWithin, nSemResidualCross, semKeptVecs,
+      semCapacityK) = staged("certify_semantic") {
         val emb = Tables.embeddings(spark, sfDir)
+        // IVF capacity from the elbow knee (q225 + q233), not a
+        // constant: sweep a coarse power-of-two curve, pick the max
+        // second difference — the choice lands in the corpus card as
+        // a recorded heuristic WITH its curve, and the demo stops
+        // hard-coding the one knob the engine can measure
+        val chosenK = BoundedRead.boundedDriverRead(
+          Similarity.pickK(Similarity.kmeansElbow(
+            emb, "vec_id", "embedding", ks = Seq(4, 8, 16, 32),
+            steps = 1)),
+          1, "semantic-dedup capacity pick",
+          "pickK emits exactly one row").head.getInt(0)
         // semanticDedup keys centroids by idCol (q101 convention)
-        val cents = Similarity.pickCentroids(emb, "vec_id", "embedding", 16)
+        val cents = Similarity.pickCentroids(
+            emb, "vec_id", "embedding", chosenK)
           .select(col("cell").as("vec_id"), col("embedding"))
         val kept = barrier(Dedup.semanticDedup(
           emb, cents, "vec_id", "embedding", tau = 0.4))
@@ -153,7 +167,25 @@ object CorpusDemo {
             coalesce(sum(when(col("_ca") =!= col("_cb"), 1L)
               .otherwise(0L)), lit(0L)).as("c"))
           .head()
-        (kept.count(), split.getLong(0), split.getLong(1))
+        (kept.count(), split.getLong(0), split.getLong(1), keptVecs,
+          chosenK)
+      }
+
+    // ---- repair_semantic (q232): the engine CONSUMING its own
+    //      certification. certify_semantic just MEASURED the
+    //      cross-cell residual the cell blocking left behind; the
+    //      repair closes it — connected components over exactly those
+    //      residual edges, canonical (min-id) keep per component —
+    //      and the re-certification proves the repaired survivors
+    //      carry ZERO pairs ≥ τ, cross-cell included. The corpus card
+    //      now carries a closed gap, not just a quantified one.
+    val (nSemRepairKept, nSemResidualAfterRepair) =
+      staged("repair_semantic") {
+        val repaired = barrier(Dedup.semanticRepair(
+          semKeptVecs, "vec_id", "embedding", threshold = 0.4))
+        (repaired.count(),
+          Dedup.exactCosineJoin(repaired, "vec_id", "embedding",
+            threshold = 0.4).count())
       }
 
     // ---- decontaminate (q219, upgraded from the direct q50 check):
@@ -337,6 +369,9 @@ object CorpusDemo {
       nResidualWithin = nResidualWithin, nResidualCross = nResidualCross,
       nSemKept = nSemKept, nSemResidualWithin = nSemResidualWithin,
       nSemResidualCross = nSemResidualCross,
+      nSemRepairKept = nSemRepairKept,
+      nSemResidualAfterRepair = nSemResidualAfterRepair,
+      semCapacityK = semCapacityK,
       nClean = clean.count(), nFlaggedByNeighbor = nFlaggedByNeighbor,
       nFresh = fresh.count(),
       nQuality = quality.count(), gateReasons = gateReasons,
@@ -368,6 +403,9 @@ object CorpusDemo {
       s""""residual_within":${r.nResidualWithin},"residual_cross":${r.nResidualCross},""" +
       s""""sem_kept":${r.nSemKept},"sem_residual_within":${r.nSemResidualWithin},""" +
       s""""sem_residual_cross":${r.nSemResidualCross},""" +
+      s""""sem_capacity_k":${r.semCapacityK},""" +
+      s""""sem_repair_kept":${r.nSemRepairKept},""" +
+      s""""sem_residual_after_repair":${r.nSemResidualAfterRepair},""" +
       s""""clean":${r.nClean},"flagged_by_neighbor":${r.nFlaggedByNeighbor},""" +
       s""""fresh":${r.nFresh},"quality":${r.nQuality},""" +
       s""""gate_reasons":{${r.gateReasons.toSeq.sortBy(_._1)

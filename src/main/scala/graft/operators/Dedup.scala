@@ -1411,6 +1411,42 @@ object Dedup {
       .select(col(idCol), col("cell"))
   }
 
+  /** Certified-REPAIR semantic dedup: close the cross-cell recall gap
+    * [[semanticDedup]] trades away, using the certification join's
+    * own output. SemDeDup's keep rule is cell-LOCAL, so pairs whose
+    * members landed in different IVF cells survive it — the exact
+    * residual [[exactCosineJoin]] measures (the corpus-card
+    * `sem_residual_cross` number). This operator CONSUMES that
+    * certification: the residual edges over the survivors feed
+    * [[connectedComponents]] (min-id labels, the q42 machinery), one
+    * canonical member (the component min id — deterministic,
+    * replayable) is kept per component, and the returned survivor set
+    * provably contains NO pair ≥ `threshold` at all — re-certifying
+    * it returns zero rows, cross-cell included.
+    *
+    * Scale shape: one exact cosine join over the (already-deduped)
+    * survivors — banded, adaptively re-blocked, tripwired — plus a CC
+    * whose graph is the RESIDUAL (near-empty when the cell blocking
+    * was dense enough; the iteration is bounded by residual cluster
+    * diameter, not corpus size), and one anti join back. The corpus
+    * never shuffles beyond the certification join it was already
+    * paying for the audit.
+    *
+    * @param survivors one row per surviving vector, carrying `idCol`
+    *                  and `vecCol` (any other columns ride through)
+    * @return `survivors` minus every non-canonical member of each
+    *         residual component */
+  def semanticRepair(survivors: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nPivots: Int = 4,
+                     maxCell: Long = 100000L, roundTo: Int = 4): DataFrame = {
+    val edges = exactCosineJoin(survivors, idCol, vecCol, threshold,
+      nPivots, maxCell, roundTo).select(col("id_a"), col("id_b"))
+    val drops = connectedComponents(edges)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    survivors.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs via SRP-LSH — the sub-quadratic
     * scale path embeddingNearDup's block-local brute force documents
     * as missing: 64-bit signed-random-projection signatures (codegen'd

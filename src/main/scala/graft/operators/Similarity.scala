@@ -489,6 +489,44 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Knee pick over a [[kmeansElbow]] curve: the k with the MAXIMUM
+    * second difference d(kᵢ) = cost(kᵢ₋₁) − 2·cost(kᵢ) + cost(kᵢ₊₁)
+    * over the k-ordered curve (the discrete max-curvature heuristic —
+    * the kneedle idea at the resolution a 3-6 point sweep actually
+    * supports), ties to the SMALLER k. This closes the elbow loop:
+    * q225 emits the curve, this picks the capacity — but the pick is
+    * a RECORDED heuristic, not an oracle of cluster truth; ship the
+    * curve alongside it in the corpus card (the [[kmeansElbow]]
+    * caveat stands: on a coarse sweep the knee is a default, not a
+    * discovery).
+    *
+    * Scale shape: the input is the |ks|-row sweep table — the
+    * unpartitioned lag/lead window is bounded by the sweep length,
+    * never the corpus; the argmax is one max-of-struct aggregate
+    * (negated-k tiebreak), not a second sort.
+    *
+    * @return one row: (k, second_diff); raises if the curve has
+    *         fewer than 3 points (no interior second difference) */
+  def pickK(elbow: DataFrame, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("k"))
+    val d = elbow.select(col("k"), col("mean_cost"))
+      .withColumn("_prev", lag(col("mean_cost"), 1).over(w))
+      .withColumn("_next", lead(col("mean_cost"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_next").isNotNull)
+      .select(col("k"),
+        round(col("_prev") - lit(2.0) * col("mean_cost") + col("_next"),
+          roundTo).as("second_diff"))
+    d.agg(max(struct(col("second_diff"),
+        (-col("k")).cast("long").as("nk"))).as("_best"))
+      .select(
+        when(col("_best").isNull, raise_error(lit(
+          "pickK needs an elbow curve with >= 3 points — fewer leaves " +
+            "no interior point to take a second difference at")))
+          .otherwise((-col("_best.nk")).cast("int")).as("k"),
+        col("_best.second_diff").as("second_diff"))
+  }
+
   /** Simplified silhouette (Hruschka et al.'s centroid-based variant
     * of Rousseeuw 1987 — the O(n·k) form; the classic pairwise
     * silhouette is O(n²) and cannot price a corpus): per vector,

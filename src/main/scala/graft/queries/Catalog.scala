@@ -8933,6 +8933,31 @@ object Catalog {
       ks = elbowKs, steps = 1)
   }
 
+  /** [[Similarity.pickK]] — the elbow loop CLOSED: q225 emits the
+    * objective-vs-k curve, this picks the capacity by max second
+    * difference (discrete max curvature, ties to smaller k). The
+    * sweep adds k = 2 below q225's so BOTH interior points carry a
+    * real second difference; the oracle replays the full curve and
+    * the argmax. The pick is a recorded heuristic — the curve still
+    * ships in the corpus card next to it. */
+  private val pickKs = Seq(2, 5, 10, 20)
+  val q233PickK = q("q233_pick_k",
+    "Elbow knee pick: max second difference over the k-sweep objective curve (north star: IVF capacity choice)",
+    s"""WITH corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |${pickKs.map(elbowCte).mkString(",\n")},
+      |curve AS (${pickKs.map(k =>
+        s"SELECT $k AS k, round(avg(cost), 6) AS mean_cost FROM cost$k")
+        .mkString("\nUNION ALL\n")}),
+      |d AS (SELECT k,
+      |        round(lag(mean_cost) OVER (ORDER BY k) - 2 * mean_cost
+      |              + lead(mean_cost) OVER (ORDER BY k), 6) AS second_diff
+      |      FROM curve)
+      |SELECT k, second_diff FROM d WHERE second_diff IS NOT NULL
+      |ORDER BY second_diff DESC, k ASC LIMIT 1""".stripMargin) { (s, d) =>
+    Similarity.pickK(Similarity.kmeansElbow(Tables.embeddings(s, d),
+      "vec_id", "embedding", ks = pickKs, steps = 1))
+  }
+
   /** [[Similarity.simplifiedSilhouette]] under the oracle — the
     * O(n·k) centroid-based silhouette over one-step-trained cells:
     * per-cell cohesion-vs-separation plus the corpus summary row.
@@ -9148,6 +9173,54 @@ object Catalog {
           .as("ledger_equals_full"))
   }
 
+  /** [[Dedup.semanticRepair]] — the engine CONSUMING its own
+    * certification: SemDeDup survivors (the q101 pipeline) still
+    * carry cross-cell pairs ≥ τ (the blocking recall gap q224
+    * measures as `sem_residual_cross`); the repair runs connected
+    * components over exactly those residual edges and keeps the
+    * min-id member per component, so the output provably contains NO
+    * pair ≥ τ at all. Oracle replays the full chain: SemDeDup keep →
+    * brute-force residual pairs → recursive-CTE transitive closure →
+    * min-id keep. */
+  val q232SemanticRepair = q("q232_semantic_repair",
+    "Certified-repair semantic dedup: CC over the exact residual edges, canonical keep — zero pairs >= tau survive (north star: dedup)",
+    """WITH RECURSIVE cents AS (
+      |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |assign AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, ct.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM corpus c CROSS JOIN cents ct) WHERE rk = 1),
+      |drops AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4),
+      |surv AS (
+      |  SELECT s.vec_id, s.cell, s.vec FROM assign s
+      |  WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)),
+      |e AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS d
+      |  FROM surv a JOIN surv b ON a.vec_id <> b.vec_id
+      |  WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4),
+      |nodes AS (SELECT DISTINCT s AS id FROM e),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.d FROM reach r JOIN e ON e.s = r.dst),
+      |comp AS (SELECT src AS vec_id, min(dst) AS lbl FROM reach GROUP BY src)
+      |SELECT s.vec_id, s.cell FROM surv s LEFT JOIN comp c USING (vec_id)
+      |WHERE c.lbl IS NULL OR c.lbl = s.vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val kept = Dedup.semanticDedup(e, e.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", tau = 0.4)
+    val keptVecs = e.join(kept.select("vec_id", "cell"), Seq("vec_id"))
+    Dedup.semanticRepair(keptVecs, "vec_id", "embedding", threshold = 0.4)
+      .select("vec_id", "cell")
+  }
+
   /** Frozen quality calibration ([[Quality.qualityCutsWrite]] /
     * [[Quality.qualityBucketsWith]]): the CCNet production shape —
     * cuts computed ONCE on the standing corpus (doc_id % 9 ≠ 0),
@@ -9251,5 +9324,5 @@ object Catalog {
     q220QualityBuckets, q221QualityGate, q222KmeansParInit,
     q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette,
     q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
-    q230CertLedger, q231CertLedgerCos)
+    q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK)
 }

@@ -51,8 +51,19 @@ class CorpusDemoSpec extends SparkSpecBase {
     // the cross-cell residual quantifies what the 16-cell blocking
     // leaves unscored on this corpus
     assert(r.nSemResidualWithin === 0L, s"semantic-dedup claim broken: $r")
-    assert((r.nSemKept, r.nSemResidualCross) === ((490L, 52L)),
+    // capacity comes from the elbow knee (q233), not a constant — at
+    // sf0.001 the max second difference lands on k = 8
+    assert(r.semCapacityK === 8, s"elbow knee moved: $r")
+    assert((r.nSemKept, r.nSemResidualCross) === ((485L, 49L)),
       s"semantic certification counts moved: $r")
+    // certified repair (q232): the measured cross-cell gap is CLOSED —
+    // re-certifying the repaired survivors finds zero pairs >= tau,
+    // and the drop is bounded by the residual edge count
+    assert(r.nSemResidualAfterRepair === 0L,
+      s"repair left residual pairs: $r")
+    assert(r.nSemRepairKept < r.nSemKept &&
+      r.nSemRepairKept >= r.nSemKept - r.nSemResidualCross,
+      s"repair drop out of bounds: $r")
     // every dropped doc names which gate killed it; the funnel total
     // is exactly the stage delta
     assert(r.gateReasons.values.sum === r.nFresh - r.nQuality,
@@ -93,7 +104,7 @@ class CorpusDemoSpec extends SparkSpecBase {
     // timing, in pipeline order (the sf0.1 scaling record's raw data)
     assert(r.stageSec.map(_._1) === Seq("ingest", "exact_dedup",
       "near_dedup_cc", "near_dedup_filter", "certify_dedup",
-      "certify_semantic", "decontaminate",
+      "certify_semantic", "repair_semantic", "decontaminate",
       "repetition_filter", "quality_gate",
       "cluster_safe_split",
       "budgeted_mixture", "rank_tiers", "curriculum",

@@ -634,4 +634,25 @@ class SimilaritySpec extends SparkSpecBase {
       "vec_id", "embedding", perCell = 100)
     assert(all.count() === kmCorpus.count())
   }
+
+  test("pickK: max second difference, smaller-k tiebreak, < 3 points refuses") {
+    def curve(rows: (Int, Double)*) =
+      rows.toSeq.toDF("k", "mean_cost")
+        .withColumn("n_vectors", lit(10L))
+    // classic elbow: steep drop to k=4, flat after — knee at 4
+    // (second diffs: k=4 -> 0.3 - 2*0.1 + 0.08 = 0.18; k=8 -> 0.1 -
+    // 0.16 + 0.07 = 0.01)
+    val knee = Similarity.pickK(curve(2 -> 0.3, 4 -> 0.1, 8 -> 0.08,
+      16 -> 0.07)).as[(Int, Double)].head()
+    assert(knee === ((4, 0.18)))
+    // equal curvature everywhere (linear curve): tie goes to smaller k
+    val tie = Similarity.pickK(curve(2 -> 0.4, 4 -> 0.3, 8 -> 0.2,
+      16 -> 0.1)).as[(Int, Double)].head()
+    assert(tie === ((4, 0.0)))
+    // fewer than 3 points: no interior second difference — loud
+    val e = intercept[Exception] {
+      Similarity.pickK(curve(2 -> 0.3, 4 -> 0.1)).collect()
+    }
+    assert(e.getMessage.contains(">= 3"), e.getMessage)
+  }
 }
