@@ -383,17 +383,25 @@ object Curation {
     *
     * @param shardBucket monotone-in-score coarse shard for the rank
     *                    windows (e.g. `expr("score div 100")`)
+    * @param skewGuardFrac the [[Rolling.sequenceByKey]] skew guard,
+    *                      armed by default since round 13 — a score
+    *                      distribution that legitimately concentrates
+    *                      > 50% of a ≥ 10k-row group in one shard
+    *                      (a spiky difficulty metric) can opt out
+    *                      with `None` after confirming the bucket is
+    *                      the intended tradeoff
     * @return df columns + `tier` (0-based, 0 = lowest scores) */
   def rankTiers(df: DataFrame, groupCols: Seq[String], score: Column,
                 tieCol: String, shardBucket: Column, nBuckets: Int,
-                as: String = "tier"): DataFrame = {
+                as: String = "tier",
+                skewGuardFrac: Option[Double] = Some(0.5)): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     require(groupCols.nonEmpty,
       "rankTiers needs at least one group column (for a global split, " +
         "add a literal group: df.withColumn(\"g\", lit(1)))")
     val ranked = Rolling.sequenceByKey(df, groupCols,
       orderCols = Seq(score, col(tieCol)), bucket = shardBucket,
-      as = "_rt_rank")
+      as = "_rt_rank", skewGuardFrac = skewGuardFrac)
     val counts = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_rt_n"))
     ranked.join(broadcast(counts), groupCols)

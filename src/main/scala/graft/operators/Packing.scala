@@ -212,17 +212,24 @@ object Packing {
     *                   Only shard WIDTHS depend on it, so an
     *                   approximate count changes the plan's task
     *                   sizing, never the output order.
+    * @param skewGuardFrac the [[Rolling.sequenceByKey]] skew guard on
+    *                      the DIFFICULTY shard (armed by default since
+    *                      round 13; the hash and key shards are
+    *                      uniform by construction) — a legitimately
+    *                      spiky difficulty distribution opts out with
+    *                      `None` once the concentration is understood
     * @return (idCol, key, pos) — pos 0-based total order */
   def annealedOrder(df: DataFrame, idCol: String, difficulty: Column,
                     diffBucket: Column, epochSeed: String, alphaBps: Int,
                     orderShards: Int = 256,
-                    totalCount: Option[Long] = None): DataFrame = {
+                    totalCount: Option[Long] = None,
+                    skewGuardFrac: Option[Double] = Some(0.5)): DataFrame = {
     require(alphaBps >= 0 && alphaBps <= 10000,
       s"alphaBps must be in [0, 10000]: $alphaBps")
     require(totalCount.forall(_ >= 0), s"totalCount must be >= 0: $totalCount")
     val rc = Rolling.sequenceByKey(df, Seq.empty,
       orderCols = Seq(difficulty, col(idCol)), bucket = diffBucket,
-      as = "_rc")
+      as = "_rc", skewGuardFrac = skewGuardFrac)
     val h = md5(concat(lit(epochSeed), lit(":"),
       col(idCol).cast("string")).cast("binary"))
     val rs = Rolling.sequenceByKey(rc.withColumn("_ao_h", h), Seq.empty,

@@ -7669,7 +7669,7 @@ object Catalog {
     * percentiles use the distributed rank-offset sort; the top-lang
     * cut is a bounded TakeOrdered. */
   val q199CorpusCard = q("q199_corpus_card",
-    "Corpus data card: sizes, mix, dup rate, length percentiles, quality (north star: dataset release reporting)",
+    "Corpus data card: sizes, mix, dup rate, percentiles, quality + certification/calibration audit citations (north star: dataset release reporting)",
     """WITH base AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
@@ -7689,8 +7689,54 @@ object Catalog {
       |top AS (
       |  SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs
       |  FROM documents GROUP BY lang
-      |  ORDER BY count(*) DESC, lang LIMIT 1)
-      |SELECT * FROM base CROSS JOIN pct CROSS JOIN top""".stripMargin) { (s, d) =>
+      |  ORDER BY count(*) DESC, lang LIMIT 1),
+      |tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN list_transform(range(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |           ELSE [array_to_string(toks, ' ')] END) AS s
+      |  FROM tk WHERE len(toks) > 0),
+      |ne AS (SELECT * FROM sh WHERE len(s) > 0),
+      |certj AS (
+      |  SELECT CAST(0.85 AS DOUBLE) AS cert_jaccard_tau,
+      |         CAST(count(*) AS BIGINT) AS cert_jaccard_pairs
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85),
+      |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |vpairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4),
+      |certc AS (
+      |  SELECT CAST(0.4 AS DOUBLE) AS cert_cosine_tau,
+      |         CAST(count(*) AS BIGINT) AS cert_cosine_pairs FROM vpairs),
+      |cents AS (SELECT vec_id AS cell, vec AS cvec FROM corpus WHERE vec_id % 50 = 0),
+      |assign AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, ct.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cell) AS rk
+      |    FROM corpus c CROSS JOIN cents ct) WHERE rk = 1),
+      |drops AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4),
+      |surv AS (SELECT s.vec_id, s.cell FROM assign s
+      |         WHERE s.vec_id NOT IN (SELECT vec_id FROM drops)),
+      |sem AS (
+      |  SELECT coalesce(CAST(sum(CASE WHEN sa.cell = sb.cell THEN 1 ELSE 0 END) AS BIGINT), 0) AS sem_residual_within,
+      |         coalesce(CAST(sum(CASE WHEN sa.cell <> sb.cell THEN 1 ELSE 0 END) AS BIGINT), 0) AS sem_residual_cross
+      |  FROM vpairs p JOIN surv sa ON sa.vec_id = p.id_a
+      |                JOIN surv sb ON sb.vec_id = p.id_b),
+      |cal AS (SELECT 'alpha_ratio' AS calibration_score,
+      |               true AS calibration_version_matches)
+      |SELECT * FROM base CROSS JOIN pct CROSS JOIN top
+      |CROSS JOIN certj CROSS JOIN certc CROSS JOIN sem CROSS JOIN cal""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val pct = Percentiles.interpolated(
       docs.withColumn("_g", lit(1)), Seq("_g"), "n_chars",
@@ -7709,7 +7755,62 @@ object Catalog {
     val top = docs.groupBy(col("lang")).agg(count(lit(1)).as("top_lang_docs"))
       .orderBy(col("top_lang_docs").desc, col("lang")).limit(1)
       .select(col("lang").as("top_lang"), col("top_lang_docs"))
+    // ---- audit citations: the card CITES the release's certification
+    // and calibration artifacts through the stores themselves (the
+    // "which certification did shard N ship under" answer, emitted as
+    // card columns). Both pair counts round-trip the cert_pairs
+    // ledger — the count a release auditor reads IS a ledger read.
+    val root = scratchDir(s, "q199_corpus_card")
+    Dedup.certLedgerWrite(Dedup.exactJaccardJoin(docs, "doc_id", "text",
+      threshold = 0.85, shingleK = 3), s"$root/jac", "jaccard", 0.85)
+    val certj = Dedup.certLedgerRead(s, s"$root/jac", "jaccard", 0.85)
+      .agg(count(lit(1)).as("cert_jaccard_pairs"))
+      .select(lit(0.85).as("cert_jaccard_tau"), col("cert_jaccard_pairs"))
+    val emb = Tables.embeddings(s, d)
+    Dedup.certLedgerWrite(Dedup.exactCosineJoin(emb, "vec_id", "embedding",
+      threshold = 0.4), s"$root/cos", "cosine", 0.4)
+    val cosLedger = Dedup.certLedgerRead(s, s"$root/cos", "cosine", 0.4)
+    val certc = cosLedger.agg(count(lit(1)).as("cert_cosine_pairs"))
+      .select(lit(0.4).as("cert_cosine_tau"), col("cert_cosine_pairs"))
+    // semantic residuals REUSE the cosine ledger: the exact join ran
+    // once, for the certification — restricting its pairs to SemDeDup
+    // survivors and splitting by cell is pure arithmetic on it
+    val cells = Dedup.semanticDedup(emb,
+      emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+      tau = 0.4).select(col("vec_id"), col("cell"))
+    val sem = cosLedger
+      .join(cells.select(col("vec_id").as("id_a"), col("cell").as("_ca")),
+        Seq("id_a"))
+      .join(cells.select(col("vec_id").as("id_b"), col("cell").as("_cb")),
+        Seq("id_b"))
+      .agg(
+        coalesce(sum(when(col("_ca") === col("_cb"), 1L).otherwise(0L)),
+          lit(0L)).as("sem_residual_within"),
+        coalesce(sum(when(col("_ca") =!= col("_cb"), 1L).otherwise(0L)),
+          lit(0L)).as("sem_residual_cross"))
+    // calibration citation: freeze the per-source alpha-ratio cuts,
+    // then verify the pointer round-trip — the returned version IS
+    // the store's current version and the re-read table equals the
+    // computed one bit for bit (the reproducibility claim a card
+    // makes when it names a calibration version)
+    val scored = docs.select(col("source"), alpha.as("alpha_ratio"))
+    val cuts = Quality.qualityCuts(scored, "alpha_ratio", Seq("source"))
+    val version = Quality.qualityCutsWrite(s, s"$root/cuts", cuts,
+      "alpha_ratio", Seq("source"))
+    val (_, current) = graft.operators.Layout.listVersions(s, s"$root/cuts/cuts")
+    val reread = Quality.qualityCutsRead(s, s"$root/cuts",
+      "alpha_ratio", Seq("source"))
+    val storedScore = graft.operators.IndexMeta.read(s, s"$root/cuts")
+      .map(_.params("score")).getOrElse("<missing>")
+    val cal = reread.exceptAll(cuts).agg(count(lit(1)).as("_d1"))
+      .crossJoin(broadcast(
+        cuts.exceptAll(reread).agg(count(lit(1)).as("_d2"))))
+      .select(lit(storedScore).as("calibration_score"),
+        (col("_d1") === 0 && col("_d2") === 0 &&
+          lit(current.contains(version))).as("calibration_version_matches"))
     base.crossJoin(broadcast(pct)).crossJoin(broadcast(top))
+      .crossJoin(broadcast(certj)).crossJoin(broadcast(certc))
+      .crossJoin(broadcast(sem)).crossJoin(broadcast(cal))
   }
 
   // ---------------------------------------------------------------- ANN recall
