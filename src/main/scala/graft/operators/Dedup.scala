@@ -1447,6 +1447,28 @@ object Dedup {
     survivors.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** The repair KEEP rule over a component labeling — the second half
+    * of [[semanticRepair]], exposed for the INCREMENTAL loop: given
+    * min-id labels over every certified pair so far
+    * ([[connectedComponents]] at bootstrap,
+    * [[incrementalComponents]] folded with each batch's
+    * [[certVecIndexProbe]]/[[certTextIndexProbe]] cross pairs + self
+    * join), the repaired survivor set is every ingested id whose
+    * label is ITSELF — non-canonical members drop, ids that never
+    * appeared in a pair are kept by construction (absent from the
+    * labeling). Because the incremental labeling provably equals the
+    * full rebuild's (the super-vertex contraction argument), the
+    * survivor set of an ever-GROWING corpus stays equal to
+    * [[semanticRepair]]-over-everything at batch cost — q234 pins the
+    * equality against a full-rebuild oracle.
+    *
+    * Scale shape: one anti equi-join of the id set against the
+    * labeling's non-canonical rows. */
+  def repairSurvivors(ids: DataFrame, labels: DataFrame,
+                      idCol: String): DataFrame =
+    ids.join(labels.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+
   /** Embedding near-duplicate pairs via SRP-LSH — the sub-quadratic
     * scale path embeddingNearDup's block-local brute force documents
     * as missing: 64-bit signed-random-projection signatures (codegen'd
@@ -2350,6 +2372,41 @@ object Dedup {
       certVecRows(corpus, idCol, vecCol, pivots, theta), path)
     IndexMeta.write(spark, path,
       certVecMeta(threshold, roundTo, maxCell, pivots.toIndexedSeq))
+  }
+
+  /** Freeze the cosine certification manifest WITHOUT a bootstrap
+    * base — the streaming sink's first-batch hook: a store born under
+    * `certVecIngestSink` has no corpus yet, so the pivots freeze from
+    * the FIRST batch (the deterministic md5 rule — an at-least-once
+    * replay of that batch re-derives the identical pivots, and
+    * writeIfAbsent semantics make the record idempotent) and every
+    * epoch append then bands under them. An existing manifest is
+    * checked, never clobbered. Pivot QUALITY never affects exactness
+    * (bands only block); a skewed first batch costs candidates, not
+    * pairs — bootstrap with [[certVecIndexWrite]] over a real corpus
+    * when one exists. */
+  private[graft] def certVecMetaWriteIfAbsent(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      firstBatch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPivots: Int, maxCell: Long,
+      roundTo: Int): Unit = {
+    if (IndexMeta.read(spark, path).isEmpty) {
+      val pivots = BoundedRead.boundedDriverRead(
+        Sim.pickCentroids(firstBatch, idCol, vecCol, nPivots)
+          .orderBy("cell"),
+        nPivots, "certVecMetaWriteIfAbsent pivots",
+        s"pickCentroids emits at most nPivots = $nPivots rows")
+        .map(_.getSeq[Float](1).toArray)
+      require(pivots.length >= 2,
+        s"cannot freeze a cosine certification geometry from a " +
+          s"${pivots.length}-vector first batch — bootstrap the store " +
+          "with certVecIndexWrite over a real corpus first")
+      IndexMeta.write(spark, path,
+        certVecMeta(threshold, roundTo, maxCell, pivots.toIndexedSeq))
+    } else {
+      certVecPivots(spark, path, threshold, roundTo, maxCell)
+      ()
+    }
   }
 
   /** Append one certified batch's band rows as one epoch, banded

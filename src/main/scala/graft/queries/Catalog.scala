@@ -9059,6 +9059,57 @@ object Catalog {
       "vec_id", "embedding", ks = pickKs, steps = 1))
   }
 
+  /** INCREMENTAL certified repair ([[Dedup.repairSurvivors]] over
+    * [[Dedup.incrementalComponents]]): maintain the repaired
+    * (zero-pairs-≥-τ) survivor set of a GROWING corpus at batch cost.
+    * The engine runs the incremental loop — bootstrap labels from the
+    * corpus's certified edges, probe the batch through the persisted
+    * cert_vec store (frozen pivots, corpus vectors never re-banded),
+    * fold cross + self pairs via super-vertex contraction — while the
+    * ORACLE rebuilds from scratch: brute-force pairs over
+    * corpus ∪ batch, recursive-CTE transitive closure, min-id keep.
+    * Hash equality IS the incremental-equals-full proof. */
+  val q234IncrementalRepair = q("q234_incremental_repair",
+    "Incremental certified repair: batch folds into the repaired survivor set at batch cost, equal to a full rebuild (north star: dedup)",
+    """WITH RECURSIVE corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      |  FROM embeddings WHERE vec_id % 3 = 0),
+      |e AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS d
+      |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+      |  WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4),
+      |nodes AS (SELECT DISTINCT s AS id FROM e),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.d FROM reach r JOIN e ON e.s = r.dst),
+      |comp AS (SELECT src AS vec_id, min(dst) AS lbl FROM reach GROUP BY src)
+      |SELECT c.vec_id FROM corpus c LEFT JOIN comp m USING (vec_id)
+      |WHERE m.lbl IS NULL OR m.lbl = c.vec_id""".stripMargin) { (s, d) =>
+    // 1/3 slice — the q230 acceptance-cost stance: the bootstrap pays
+    // corpus-slice² + CC; the CLAIM (incremental ≡ full rebuild) is
+    // size-independent
+    val e = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(3)) === 0)
+    val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val root = scratchDir(s, "q234_incremental_repair")
+    Dedup.certVecIndexWrite(corpus, "vec_id", "embedding", root,
+      threshold = 0.4)
+    val labels = Dedup.connectedComponents(
+      Dedup.exactCosineJoin(corpus, "vec_id", "embedding", threshold = 0.4)
+        .select("id_a", "id_b"))
+    val cross = Dedup.certVecIndexProbe(s, root, batch,
+        "vec_id", "embedding", threshold = 0.4)
+      .select(least(col("id_corpus"), col("id_batch")).as("id_a"),
+        greatest(col("id_corpus"), col("id_batch")).as("id_b"))
+    val self = Dedup.exactCosineJoin(batch, "vec_id", "embedding",
+      threshold = 0.4).select("id_a", "id_b")
+    val updated = Dedup.incrementalComponents(labels,
+      cross.unionByName(self))
+    Dedup.repairSurvivors(e.select("vec_id"), updated, "vec_id")
+  }
+
   /** [[Similarity.simplifiedSilhouette]] under the oracle — the
     * O(n·k) centroid-based silhouette over one-step-trained cells:
     * per-cell cohesion-vs-separation plus the corpus summary row.
@@ -9425,5 +9476,6 @@ object Catalog {
     q220QualityBuckets, q221QualityGate, q222KmeansParInit,
     q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette,
     q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
-    q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK)
+    q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK,
+    q234IncrementalRepair)
 }

@@ -963,6 +963,77 @@ object Streaming {
       .start()
   }
 
+  /** [[certIngestSink]]'s EMBEDDING twin — streaming SEMANTIC
+    * certification over the cert_vec store: each micro-batch of
+    * vectors probes the persisted banded index (frozen pivots, corpus
+    * vectors never re-banded per batch), exact-joins against itself,
+    * lands its pairs in a metric="cosine" ledger and its band rows in
+    * the index — so the ledger equals the full corpus-wide exact
+    * cosine join over everything ingested, by induction, after every
+    * activation. With [[graft.operators.Dedup.repairSurvivors]] over
+    * an incrementally-maintained labeling (q234), this is the live
+    * form of certified-repair semantic dedup.
+    *
+    * A store born under this sink freezes its pivot geometry from the
+    * FIRST batch ([[graft.operators.Dedup.certVecMetaWriteIfAbsent]]
+    * — deterministic, replay-idempotent); bootstrap with
+    * `certVecIndexWrite` + `certLedgerWrite` when a corpus predates
+    * the stream. Ordering, replay idempotency, and the
+    * checked-manifest refusals are exactly [[certIngestSink]]'s. */
+  def certVecIngestSink(stream: DataFrame, spark: SparkSession,
+                        corpusPath: String, ledgerPath: String,
+                        indexPath: String,
+                        idCol: String, vecCol: String,
+                        checkpoint: String, threshold: Double,
+                        nPivots: Int = 4, maxCell: Long = 100000L,
+                        roundTo: Int = 4): StreamingQuery = {
+    import graft.operators.{Dedup, EpochIndex, IndexMeta}
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          IndexMeta.writeIfAbsent(spark, ledgerPath,
+            Dedup.certLedgerMeta("cosine", threshold))
+          IndexMeta.check(spark, ledgerPath,
+            Dedup.certLedgerMeta("cosine", threshold))
+          Dedup.certVecMetaWriteIfAbsent(spark, indexPath, batch,
+            idCol, vecCol, threshold, nPivots, maxCell, roundTo)
+          val epoch = s"$token-$epochId"
+          // a 1-row batch cannot supply exactCosineJoin's 2 blocking
+          // pivots; its self-pair set is trivially computable by the
+          // block-local brute verifier instead (0 or tiny rows)
+          val self =
+            if (batch.limit(2).count() >= 2)
+              Dedup.exactCosineJoin(batch, idCol, vecCol, threshold,
+                nPivots, maxCell, roundTo)
+            else
+              Dedup.embeddingNearDup(batch.withColumn("_one", lit(1)),
+                idCol, vecCol, "_one", threshold, roundTo)
+                .select(col("id_a"), col("id_b"), col("cos"))
+          val pairs =
+            if (EpochIndex.nonEmpty(spark, indexPath))
+              Dedup.certVecIndexProbe(spark, indexPath, batch,
+                  idCol, vecCol, threshold, maxCell, roundTo,
+                  excludeEpoch = Some(epoch))
+                .select(least(col("id_corpus"), col("id_batch")).as("id_a"),
+                  greatest(col("id_corpus"), col("id_batch")).as("id_b"),
+                  col("cos"))
+                .unionByName(self)
+            else self
+          val pinned = pairs.localCheckpoint(true)
+          try {
+            epochWrite(pinned, ledgerPath, token, epochId)
+            Dedup.certVecIndexAppend(spark, indexPath, batch,
+              idCol, vecCol, epoch, threshold, maxCell, roundTo)
+            epochWrite(batch, corpusPath, token, epochId)
+          } finally { pinned.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   /** Streaming retrieval-index ingest — the continuous form of
     * `Relevance.bm25IndexAppend`, completing the postings family's
     * shapes (batch build / incremental append / streaming): each

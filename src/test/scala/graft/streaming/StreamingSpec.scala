@@ -1159,6 +1159,79 @@ class StreamingSpec extends SparkSpecBase {
     assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
   }
 
+  test("streaming SEMANTIC certification: cosine ledger ≡ full exact join after every activation, frozen first-batch pivots, compaction-safe") {
+    import graft.operators.{Dedup, Maintenance}
+    val src = Files.createTempDirectory("graft-vcert-src").toString
+    val corpus = Files.createTempDirectory("graft-vcert-c").toString + "/c"
+    val ledger = Files.createTempDirectory("graft-vcert-l").toString + "/l"
+    val index = Files.createTempDirectory("graft-vcert-i").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-vcert-ckp").toString
+    val rnd = new scala.util.Random(61)
+    def noise() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def near(b: Array[Float]) =
+      b.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val c1 = noise()
+    val b1 = (0 until 10).map(i => (i.toLong, near(c1))) ++
+      (10 until 25).map(i => (i.toLong, noise()))
+    val b2 = (100 until 105).map(i => (i.toLong, near(c1))) ++
+      (105 until 115).map(i => (i.toLong, noise()))
+    val b3 = (200 until 203).map(i => (i.toLong, near(c1)))
+    def deliver(name: String, rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.certVecIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, ledger, index, "vec_id", "embedding", ckp,
+        threshold = 0.9).awaitTermination()
+    }
+    def ledgerPairs() = Dedup.certLedgerRead(spark, ledger, "cosine", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    def fullPairs(rows: Seq[(Long, Array[Float])]) =
+      Dedup.exactCosineJoin(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+    deliver("b1", b1); drain()
+    assert(ledgerPairs() === fullPairs(b1))
+    assert(ledgerPairs().nonEmpty, "degenerate test corpus")
+    // compact BOTH stores mid-stream; the next batch probes the
+    // compacted index under the same frozen pivots
+    assert(Maintenance.compactStore(spark, ledger).folded.nonEmpty)
+    assert(Maintenance.compactStore(spark, index).folded.nonEmpty)
+    deliver("b2", b2); drain()
+    val expect = fullPairs(b1 ++ b2)
+    assert(ledgerPairs() === expect,
+      s"miss=${expect -- ledgerPairs()} extra=${ledgerPairs() -- expect}")
+    assert(ledgerPairs().exists(p => p._1 < 100L && p._2 >= 100L),
+      "no cross-batch pair — the probe path never ran")
+    deliver("b3", b3); drain()
+    assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
+    // the live repair view (q234's rule over the live ledger): CC +
+    // canonical keep leaves zero pairs >= tau among survivors
+    val labels = Dedup.connectedComponents(
+      Dedup.certLedgerRead(spark, ledger, "cosine", 0.9)
+        .select(col("id_a"), col("id_b")))
+    val kept = Dedup.repairSurvivors(
+      spark.read.parquet(corpus).select("vec_id", "embedding"),
+      labels, "vec_id")
+    assert(Dedup.exactCosineJoin(kept, "vec_id", "embedding",
+      threshold = 0.9).count() === 0L, "repair left residual pairs")
+    // another tau refuses before writing anything
+    val ckp2 = Files.createTempDirectory("graft-vcert-ckp2").toString
+    val schema = spark.read.parquet(s"$src/b1").schema
+    val e = intercept[Throwable] {
+      Streaming.certVecIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, ledger, index, "vec_id", "embedding", ckp2,
+        threshold = 0.4).awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("do not match")),
+      chain(e).mkString(" | "))
+  }
+
   test("streaming quality gate: kept corpus ≡ inline gate against the frozen stores, rejects carry named reasons") {
     import graft.operators.{LmFilter, Quality}
     val src = Files.createTempDirectory("graft-qg-src").toString
