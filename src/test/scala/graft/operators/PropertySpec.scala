@@ -441,4 +441,99 @@ class PropertySpec extends SparkSpecBase {
         s"miss=${naive -- got} extra=${got -- naive} rows=$rows")
     }
   }
+
+  private def tmpStore(name: String): String = java.nio.file.Files
+    .createTempDirectory("graft-prop-cert").toString + "/" + name
+
+  test("property: store-backed certification probes ≡ brute force across appends (random corpora/splits)") {
+    // the Jaccard side: bootstrap from the corpus slice, probe batch1,
+    // APPEND batch1 (prefixes cut under its own df order — the
+    // one-sided lemma is order-free), probe batch2 against the grown
+    // corpus; every probe must equal naive brute force exactly
+    forAllSeeded(Gen.zip(jaccardCorpusGen, Gen.oneOf(0.3, 0.5, 0.8)), 4) {
+      case (rows, t) =>
+        val corpus = rows.filter(_._1 % 3 == 1)
+        val b1 = rows.filter(_._1 % 3 == 2)
+          .map { case (i, txt) => (1000L + i, txt) }
+        val b2 = rows.filter(_._1 % 3 == 0)
+          .map { case (i, txt) => (2000L + i, txt) }
+        def naive(c: List[(Long, String)], b: List[(Long, String)]) =
+          (for {
+            (ci, ct) <- c; (bi, bt) <- b
+            cs = ct.split("\\s+").filter(_.nonEmpty).toSet
+            bs = bt.split("\\s+").filter(_.nonEmpty).toSet
+            if cs.nonEmpty && bs.nonEmpty
+            j = cs.intersect(bs).size.toDouble / cs.union(bs).size
+            if j >= t
+          } yield (ci, bi)).toSet
+        val root = tmpStore(s"jac$t")
+        Dedup.certTextIndexWrite(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", root, threshold = t, shingleK = 1)
+        def probe(b: List[(Long, String)]) =
+          Dedup.certTextIndexProbe(spark, root, b.toDF("doc_id", "text"),
+            "doc_id", "text", threshold = t, shingleK = 1)
+            .select("id_corpus", "id_batch")
+            .as[(Long, Long)].collect().toSet
+        assert(probe(b1) === naive(corpus, b1), s"t=$t rows=$rows")
+        Dedup.certTextIndexAppend(spark, root, b1.toDF("doc_id", "text"),
+          "doc_id", "text", "b1", threshold = t, shingleK = 1)
+        assert(probe(b2) === naive(corpus ++ b1, b2),
+          s"post-append t=$t rows=$rows")
+    }
+    // the cosine side: pivots freeze at bootstrap; appends band under
+    // them and must stay probe-consistent on the grown corpus
+    forAllSeeded(vecCorpusGen, 3) { case (rows, t) =>
+      val corpus = rows.filter(_._1 % 3 == 1)
+      val b1 = rows.filter(_._1 % 3 == 2)
+        .map { case (i, v) => (1000L + i, v) }
+      val b2 = rows.filter(_._1 % 3 == 0)
+        .map { case (i, v) => (2000L + i, v) }
+      // cross pairs only: ids are constructed so the store side is
+      // always numerically below the probe side's boundary
+      def brute(all: List[(Long, Array[Float])], boundary: Long) =
+        Dedup.embeddingNearDup(
+          all.toDF("vec_id", "embedding").withColumn("blk", lit(1)),
+          "vec_id", "embedding", "blk", t)
+          .filter(col("id_a") < boundary && col("id_b") >= boundary)
+          .as[(Long, Long, Double)].collect().toSet
+      if (corpus.size >= 2) {
+        val root = tmpStore(s"vec$t")
+        Dedup.certVecIndexWrite(corpus.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", root, threshold = t)
+        def probe(b: List[(Long, Array[Float])]) =
+          Dedup.certVecIndexProbe(spark, root,
+            b.toDF("vec_id", "embedding"), "vec_id", "embedding",
+            threshold = t).as[(Long, Long, Double)].collect().toSet
+        assert(probe(b1) === brute(corpus ++ b1, 1000L), s"t=$t")
+        Dedup.certVecIndexAppend(spark, root,
+          b1.toDF("vec_id", "embedding"), "vec_id", "embedding", "b1",
+          threshold = t)
+        assert(probe(b2) === brute(corpus ++ b1 ++ b2, 2000L),
+          s"post-append t=$t")
+      }
+    }
+  }
+
+  test("property: adaptive re-blocking completes equal to brute force or raises loudly — never silently wrong") {
+    forAllSeeded(Gen.zip(vecCorpusGen, Gen.oneOf(5L, 20L, 100L)), 6) {
+      case ((rows, t), maxCell) =>
+        val df = rows.toDF("vec_id", "embedding")
+        val brute = Dedup.embeddingNearDup(df.withColumn("blk", lit(1)),
+          "vec_id", "embedding", "blk", t)
+          .as[(Long, Long, Double)].collect().toSet
+        try {
+          val fast = Dedup.exactCosineJoin(df, "vec_id", "embedding", t,
+            maxCell = maxCell).as[(Long, Long, Double)].collect().toSet
+          assert(fast === brute, s"t=$t maxCell=$maxCell " +
+            s"miss=${brute -- fast} extra=${fast -- brute}")
+        } catch {
+          case e: Exception =>
+            // the only acceptable failure is the LOUD backstop
+            assert(Option(e.getMessage).exists(_.contains("cell overflow")) ||
+              Seq(e.getCause).flatMap(c => Option(c).flatMap(x =>
+                Option(x.getMessage))).exists(_.contains("cell overflow")),
+              s"unexpected failure class: $e")
+        }
+    }
+  }
 }
