@@ -889,6 +889,22 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q228 probe lost the store read:\n$p228")
   }
 
+  test("q232/q234 certified repair: anti-join keep over checkpointed labels, no nested loop") {
+    // the CC phases run at construction (checkpointed driver loops —
+    // the q99/q101 stage-barrier note in the class doc); the PLAN
+    // under audit is the keep: survivors anti-joined against the
+    // labeling's non-canonical rows — an equi anti join, never a
+    // nested loop, and no window anywhere in the final stage
+    for (name <- Seq("q232_semantic_repair", "q234_incremental_repair")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      assert(plan.contains("LeftAnti"),
+        s"$name lost the anti-join keep rule:\n$plan")
+      assert(!plan.contains("Window"), s"$name grew a window:\n$plan")
+    }
+  }
+
   test("q213/q216 corpus statistics: aggregates are vocabulary-bounded, no corpus-wide window") {
     val p213 = planOf("q213_zipf_fit")
     // the rank window partitions by source over the VOCAB table; the
