@@ -58,13 +58,50 @@ object IndexMeta {
       throw new java.io.IOException(s"could not publish $dst")
   }
 
-  /** Write the manifest only if none exists — the per-batch hook of
-    * the streaming sinks (first batch records, later batches no-op;
-    * an existing manifest is checked, not clobbered). */
+  /** Publish the manifest only if none exists — the per-batch hook of
+    * the streaming sinks (first batch records, later batches no-op; an
+    * existing manifest is checked, not clobbered). ATOMIC: the
+    * candidate is written to a uniquely-named temp and renamed WITHOUT
+    * delete-first, and a Hadoop `FileSystem.rename` onto an existing
+    * destination fails — so of N concurrent first activations exactly
+    * one manifest can ever win. The plain exists-then-[[write]] race
+    * would let two first writers both observe "absent" and clobber
+    * each other last-writer-wins — fatal when the manifest carries
+    * DERIVED state (the cert_vec frozen pivots: epochs banded under
+    * the clobbered geometry go silently inconsistent with every later
+    * probe). Losers (and every later batch) must CHECK the surviving
+    * manifest, not assume their own candidate won — this returns
+    * whether THIS call published, so the caller knows to re-read.
+    *
+    * Local-filesystem caveat: POSIX rename REPLACES an existing
+    * destination (HDFS-class filesystems refuse), so "won" is decided
+    * by reading the surviving content back, not by the rename's return
+    * value — on any filesystem, the caller's view of who won matches
+    * what is actually on disk at that read. The unclosable residue
+    * (two first writers interleaving rename + read-back on a replacing
+    * filesystem) only narrows the window; every later manifest READ
+    * (probes/appends re-read per call) still sees one single surviving
+    * manifest, so derived state stays consistent with it.
+    *
+    * @return true iff this call's manifest is the one on disk */
   def writeIfAbsent(spark: SparkSession, root: String,
-                    meta: IndexMeta): Unit = {
-    val f = new Path(root, FileName)
-    if (!fsOf(spark, f).exists(f)) write(spark, root, meta)
+                    meta: IndexMeta): Boolean = {
+    val dir = new Path(root)
+    val fs = fsOf(spark, dir)
+    val dst = new Path(dir, FileName)
+    if (fs.exists(dst)) return false
+    fs.mkdirs(dir)
+    val tmp = new Path(dir,
+      s".$FileName.${java.util.UUID.randomUUID().toString}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(meta.render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // a concurrent winner may have published between the exists check
+    // and here — renaming over it would clobber; re-check, then decide
+    // the race by surviving CONTENT (exact on replacing filesystems)
+    if (fs.exists(dst)) { fs.delete(tmp, false); return false }
+    if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); return false }
+    read(spark, root).exists(_.render == meta.render)
   }
 
   def read(spark: SparkSession, root: String): Option[IndexMeta] = {

@@ -505,6 +505,15 @@ object Similarity {
     * never the corpus; the argmax is one max-of-struct aggregate
     * (negated-k tiebreak), not a second sort.
     *
+    * Degenerate-curve CONTRACT (not an accident of argmax order): on
+    * a flat or affine curve every interior second difference is
+    * equal (0 for flat), so the negated-k tiebreak returns the
+    * SMALLEST interior k — the conservative capacity when the sweep
+    * shows no curvature to exploit. `second_diff` rides in the
+    * output precisely so a caller can tell a discovered knee
+    * (positive curvature) from this tiebreak default (≈ 0) and widen
+    * the sweep instead of shipping it blind.
+    *
     * @return one row: (k, second_diff); raises if the curve has
     *         fewer than 3 points (no interior second difference) */
   def pickK(elbow: DataFrame, roundTo: Int = 6): DataFrame = {

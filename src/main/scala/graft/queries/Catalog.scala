@@ -9162,7 +9162,7 @@ object Catalog {
   }
 
   /** [[Dedup.certTextIndexProbe]] — incremental certification THROUGH
-    * the persisted index: the corpus's `(id, n, prefix, hset)`
+    * the persisted index: the corpus's postings + `(id, n, hset)`
     * fingerprint rows are written once ([[Dedup.certTextIndexWrite]],
     * the store round-trip sitting IN the checked lineage — the
     * q207/q209/q229 pattern), then the arriving batch (doc_id % 13 =

@@ -892,7 +892,7 @@ object Streaming {
     * — fingerprint rows, so corpus text is never re-read, re-tokenized
     * or re-df-counted per micro-batch; scan cost ∝ batch) and
     * exact-joins against itself; the pairs land in the certification
-    * ledger as one epoch, the batch's own `(id, n, prefix, hset)` rows
+    * ledger as one epoch, the batch's own fingerprint/postings/stats rows
     * land in the index, and the batch lands in the corpus — so after
     * every activation the ledger equals the full corpus-wide exact
     * join over everything ever ingested, by induction, with corpus²
@@ -918,8 +918,24 @@ object Streaming {
                      idCol: String, textCol: String,
                      checkpoint: String, threshold: Double,
                      shingleK: Int = 1,
-                     maxBucket: Int = 100000): StreamingQuery = {
-    import graft.operators.{Dedup, EpochIndex, IndexMeta}
+                     maxBucket: Int = 100000,
+                     buckets: Int = 64): StreamingQuery = {
+    import graft.operators.{Dedup, IndexMeta}
+    // corpus-ahead-of-index refusal: a standing corpus whose
+    // certification index is EMPTY means every probe below would
+    // match nothing and the ledger would silently stop equaling the
+    // full exact join — the induction this sink exists to maintain.
+    // Mirror of the fresh-checkpoint refusals: refuse at activation,
+    // before any write lands.
+    require(!graft.sources.Fs.exists(spark, corpusPath) ||
+      Dedup.certTextIndexNonEmpty(spark, indexPath),
+      s"certIngestSink: corpus at $corpusPath already holds data but " +
+        s"the certification index at $indexPath is empty — probing " +
+        "would certify only self-pairs and the ledger would silently " +
+        "diverge from the full corpus-wide exact join. Bootstrap the " +
+        "index over the standing corpus with certTextIndexWrite (and " +
+        "the ledger with certLedgerWrite) first, or point the sink at " +
+        "a fresh corpusPath")
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -935,14 +951,14 @@ object Streaming {
           IndexMeta.check(spark, ledgerPath,
             Dedup.certLedgerMeta("jaccard", threshold))
           IndexMeta.writeIfAbsent(spark, indexPath,
-            Dedup.certTextMeta(threshold, shingleK, maxBucket))
+            Dedup.certTextMeta(threshold, shingleK, maxBucket, buckets))
           val epoch = s"$token-$epochId"
           val self = Dedup.exactJaccardJoin(batch, idCol, textCol,
             threshold, shingleK, maxBucket)
           val pairs =
-            if (EpochIndex.nonEmpty(spark, indexPath))
+            if (Dedup.certTextIndexNonEmpty(spark, indexPath))
               Dedup.certTextIndexProbe(spark, indexPath, batch,
-                  idCol, textCol, threshold, shingleK, maxBucket,
+                  idCol, textCol, threshold, shingleK, maxBucket, buckets,
                   excludeEpoch = Some(epoch))
                 .select(least(col("id_corpus"), col("id_batch")).as("id_a"),
                   greatest(col("id_corpus"), col("id_batch")).as("id_b"),
@@ -955,7 +971,8 @@ object Streaming {
             // excluding this batch — same standing corpus, same rows
             epochWrite(pinned, ledgerPath, token, epochId)
             Dedup.certTextIndexAppend(spark, indexPath, batch,
-              idCol, textCol, epoch, threshold, shingleK, maxBucket)
+              idCol, textCol, epoch, threshold, shingleK, maxBucket,
+              buckets)
             epochWrite(batch, corpusPath, token, epochId)
           } finally { pinned.unpersist(); () }
         }
@@ -987,7 +1004,17 @@ object Streaming {
                         checkpoint: String, threshold: Double,
                         nPivots: Int = 4, maxCell: Long = 100000L,
                         roundTo: Int = 4): StreamingQuery = {
-    import graft.operators.{Dedup, EpochIndex, IndexMeta}
+    import graft.operators.{Dedup, IndexMeta}
+    // corpus-ahead-of-index refusal — certIngestSink's, cosine twin
+    require(!graft.sources.Fs.exists(spark, corpusPath) ||
+      Dedup.certVecIndexNonEmpty(spark, indexPath),
+      s"certVecIngestSink: corpus at $corpusPath already holds data " +
+        s"but the certification index at $indexPath is empty — probing " +
+        "would certify only self-pairs and the ledger would silently " +
+        "diverge from the full corpus-wide exact join. Bootstrap the " +
+        "index over the standing corpus with certVecIndexWrite (and " +
+        "the ledger with certLedgerWrite) first, or point the sink at " +
+        "a fresh corpusPath")
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -1013,7 +1040,7 @@ object Streaming {
                 idCol, vecCol, "_one", threshold, roundTo)
                 .select(col("id_a"), col("id_b"), col("cos"))
           val pairs =
-            if (EpochIndex.nonEmpty(spark, indexPath))
+            if (Dedup.certVecIndexNonEmpty(spark, indexPath))
               Dedup.certVecIndexProbe(spark, indexPath, batch,
                   idCol, vecCol, threshold, maxCell, roundTo,
                   excludeEpoch = Some(epoch))

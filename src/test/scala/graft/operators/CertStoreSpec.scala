@@ -131,6 +131,71 @@ class CertStoreSpec extends SparkSpecBase {
     assert(cos.nonEmpty, "re-ingested vectors must certify against the store")
   }
 
+  test("probe scans are PARTITION-PRUNED and guard-aggregation-free: postings by batch buckets, bands by neighborhood cells") {
+    // the round-15 scan contract: a probe reads only the store
+    // partitions its batch can possibly pair with (postings pruned by
+    // pb = pmod(token hash, buckets); bands pruned by the 3×3 (b0,b1)
+    // neighborhood), and the maxBucket/maxCell guard is a PRE-PAID
+    // driver-side read of the stats substore — no aggregation over
+    // the index ever appears in the probe plan. Inspect the static
+    // plan (AQE wraps scans in opaque stages — the PlanAuditSpec
+    // convention) and evaluate its partition filters, the
+    // SimilaritySpec IVF technique.
+    def scansOf(df: org.apache.spark.sql.DataFrame, frag: String) =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(frag)) => s
+      }
+    def partsRead(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.relation.location.listFiles(s.partitionFilters, Nil).size
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // ---- text side: one-doc batch touches ≤ its-tokens buckets
+      val jacRoot = tmp("jacprune")
+      Dedup.certTextIndexWrite(corpusDocs.toDF("doc_id", "text"),
+        "doc_id", "text", jacRoot, threshold = 0.5, shingleK = 1,
+        buckets = 8)
+      val oneDoc = Seq((900L, "alpha beta")).toDF("doc_id", "text")
+      val jProbe = Dedup.certTextIndexProbe(spark, jacRoot, oneDoc,
+        "doc_id", "text", threshold = 0.5, shingleK = 1, buckets = 8)
+      val post = scansOf(jProbe, "/postings")
+      assert(post.nonEmpty, "no postings scan in the probe plan")
+      assert(post.forall(_.partitionFilters.nonEmpty),
+        "postings scan lost its partition filter")
+      // ≤ 2 distinct tokens → ≤ 2 pb partitions of the 1-epoch store
+      assert(post.map(partsRead).max <= 2,
+        s"postings scan read ${post.map(partsRead).max} pb partitions")
+      // the guard reads stats DRIVER-SIDE before the plan exists: no
+      // stats scan, and no aggregate over postings, in the probe plan
+      assert(scansOf(jProbe, "/stats").isEmpty,
+        "guard stats re-entered the probe plan")
+      // ---- vec side: one-vector batch touches ≤ 9 neighborhood cells
+      val rnd = new scala.util.Random(23)
+      def v() = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val vecRoot = tmp("vecprune")
+      val corpus = (0 until 60).map(i => (i.toLong, v()))
+      Dedup.certVecIndexWrite(corpus.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", vecRoot, threshold = 0.9)
+      val vProbe = Dedup.certVecIndexProbe(spark, vecRoot,
+        Seq((900L, v())).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9)
+      val bands = scansOf(vProbe, "/bands")
+      assert(bands.nonEmpty, "no band scan in the probe plan")
+      assert(bands.forall(_.partitionFilters.nonEmpty),
+        "band scan lost its partition filter")
+      assert(bands.map(partsRead).max <= 9,
+        s"band scan read ${bands.map(partsRead).max} cell partitions")
+      // the store holds MORE populated cells than the probe reads —
+      // the bound above is pruning, not a tiny store
+      val allCells = spark.read.parquet(s"$vecRoot/bands")
+        .select("b0", "b1").distinct().count()
+      assert(allCells > 9, s"test corpus too concentrated: $allCells cells")
+      assert(scansOf(vProbe, "/stats").isEmpty,
+        "guard stats re-entered the probe plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("certTextIndex probe: corpus-side boilerplate bucket trips the guard loudly") {
     val root = tmp("jacflood")
     val flood = Seq.tabulate(8)(i => (200L + i, s"shared u$i"))

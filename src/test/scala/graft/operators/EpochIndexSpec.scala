@@ -242,13 +242,18 @@ class EpochIndexSpec extends SparkSpecBase {
   test("writeIfAbsent records once and never clobbers; nonEmpty ignores bookkeeping") {
     val path = tmp("graft-ei-wia")
     val meta = IndexMeta("line_first_occ", "sep" -> "\n", "minLineLen" -> 1)
-    IndexMeta.writeIfAbsent(spark, path, meta)
+    // the first publish WINS (atomic temp + rename, content-verified)…
+    assert(IndexMeta.writeIfAbsent(spark, path, meta))
     assert(IndexMeta.read(spark, path) === Some(
       IndexMeta("line_first_occ", Map("sep" -> "\n", "minLineLen" -> "1"))))
     // meta-only root: no stored index yet
     assert(!EpochIndex.nonEmpty(spark, path))
-    IndexMeta.writeIfAbsent(spark, path,
-      IndexMeta("line_first_occ", "sep" -> "ZZZ", "minLineLen" -> 9))
+    // …and every later candidate LOSES: return false, winner intact —
+    // the signal that tells a racing first activation to re-read the
+    // surviving manifest instead of assuming its own (the cert_vec
+    // frozen-pivot freeze rides on exactly this)
+    assert(!IndexMeta.writeIfAbsent(spark, path,
+      IndexMeta("line_first_occ", "sep" -> "ZZZ", "minLineLen" -> 9)))
     assert(IndexMeta.read(spark, path).get.params("sep") === "\n")
     EpochIndex.append(
       Dedup.lineFirstOccIndex(b1, "doc_id", "text", "\n"), path, "e1")

@@ -649,6 +649,13 @@ class SimilaritySpec extends SparkSpecBase {
     val tie = Similarity.pickK(curve(2 -> 0.4, 4 -> 0.3, 8 -> 0.2,
       16 -> 0.1)).as[(Int, Double)].head()
     assert(tie === ((4, 0.0)))
+    // DEGENERATE flat curve (all-equal costs — a sweep that learned
+    // nothing): the contract is the smallest interior k with
+    // second_diff 0, so a caller can detect the no-curvature default
+    // from the emitted second_diff instead of trusting the pick blind
+    val flat = Similarity.pickK(curve(2 -> 0.25, 4 -> 0.25, 8 -> 0.25,
+      16 -> 0.25)).as[(Int, Double)].head()
+    assert(flat === ((4, 0.0)))
     // fewer than 3 points: no interior second difference — loud
     val e = intercept[Exception] {
       Similarity.pickK(curve(2 -> 0.3, 4 -> 0.1)).collect()

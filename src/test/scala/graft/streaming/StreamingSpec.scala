@@ -1137,7 +1137,7 @@ class StreamingSpec extends SparkSpecBase {
     deliver("b3", b3); drain()
     assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
     // the index mirrors everything certified (one row per nonempty doc)
-    assert(graft.operators.EpochIndex.read(spark, index,
+    assert(graft.operators.EpochIndex.read(spark, s"$index/fps",
       bootstrapName = "certTextIndexWrite").count() === 8L)
     // a sink pointed at this ledger with ANOTHER tau refuses before
     // writing anything — the checked-manifest contract (a pre-existing
@@ -1157,6 +1157,72 @@ class StreamingSpec extends SparkSpecBase {
       chain(e).mkString(" | "))
     // nothing landed under the refused run
     assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
+  }
+
+  test("cert sinks: a standing corpus with an EMPTY certification index refuses at activation") {
+    import graft.operators.Dedup
+    // the silent-divergence shape: a corpus bootstrapped elsewhere
+    // (or under a previous sink signature) pointed at a FRESH index
+    // path would probe nothing and certify only self-pairs — the
+    // ledger stops equaling the full exact join with no error. The
+    // sink must refuse before any write lands.
+    val src = Files.createTempDirectory("graft-certref-src").toString
+    val corpus = Files.createTempDirectory("graft-certref-c").toString + "/c"
+    val ledger = Files.createTempDirectory("graft-certref-l").toString + "/l"
+    val index = Files.createTempDirectory("graft-certref-i").toString + "/i"
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+    rows.toDF("doc_id", "text").write.parquet(s"$src/b1")
+    // a pre-existing corpus at corpusPath, no index anywhere
+    graft.operators.EpochIndex.bootstrap(rows.toDF("doc_id", "text"), corpus)
+    val schema = spark.read.parquet(s"$src/b1").schema
+    val e = intercept[IllegalArgumentException] {
+      Streaming.certIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, ledger, index, "doc_id", "text",
+        Files.createTempDirectory("graft-certref-ckp").toString,
+        threshold = 0.5)
+    }
+    assert(e.getMessage.contains("certTextIndexWrite"), e.getMessage)
+    // nothing landed under the refused activation
+    assert(!graft.sources.Fs.exists(spark, ledger) &&
+      !graft.sources.Fs.exists(spark, index))
+    // the cosine twin refuses identically
+    val vrows = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+    val vcorpus = Files.createTempDirectory("graft-certref-vc").toString + "/c"
+    vrows.toDF("vec_id", "embedding").write.parquet(s"$src/v1")
+    graft.operators.EpochIndex.bootstrap(
+      vrows.toDF("vec_id", "embedding"), vcorpus)
+    val vschema = spark.read.parquet(s"$src/v1").schema
+    val e2 = intercept[IllegalArgumentException] {
+      Streaming.certVecIngestSink(
+        Streaming.fileStream(spark, vschema, s"$src/v*"),
+        spark, vcorpus, ledger, index, "vec_id", "embedding",
+        Files.createTempDirectory("graft-certref-vckp").toString,
+        threshold = 0.4)
+    }
+    assert(e2.getMessage.contains("certVecIndexWrite"), e2.getMessage)
+    // bootstrapping the index over the standing corpus clears the
+    // refusal — the sink then runs and the induction holds
+    Dedup.certTextIndexWrite(rows.toDF("doc_id", "text"), "doc_id",
+      "text", index, threshold = 0.5, shingleK = 1)
+    Dedup.certLedgerWrite(Dedup.exactJaccardJoin(rows.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5, shingleK = 1), ledger,
+      "jaccard", 0.5)
+    Streaming.certIngestSink(
+      Streaming.fileStream(spark, schema, s"$src/b*"),
+      spark, corpus, ledger, index, "doc_id", "text",
+      Files.createTempDirectory("graft-certref-ckp2").toString,
+      threshold = 0.5).awaitTermination()
+    val pairs = Dedup.certLedgerRead(spark, ledger, "jaccard", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // bootstrap pair (1,2)@1.0 + stream re-ingestions vs the standing
+    // corpus: the ledger equals the full exact join over corpus ∪ batch
+    val expect = Dedup.exactJaccardJoin(
+      (rows ++ rows).distinct.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5, shingleK = 1)
+      .as[(Long, Long, Double)].collect().toSet ++
+      Set((1L, 1L, 1.0), (2L, 2L, 1.0), (1L, 2L, 1.0))
+    assert(pairs === expect, s"got $pairs")
   }
 
   test("streaming SEMANTIC certification: cosine ledger ≡ full exact join after every activation, frozen first-batch pivots, compaction-safe") {
