@@ -2132,6 +2132,136 @@ object Dedup {
     EpochIndex.compact(spark, path, identity, keepVersions = keepVersions)
   }
 
+  // ------------------------------------------- persisted repair labels
+
+  private val CcLabelsFamily = "cc_labels"
+  private[graft] def ccLabelsMeta(metric: String,
+                                  threshold: Double): IndexMeta =
+    IndexMeta(CcLabelsFamily, "metric" -> metric,
+      "threshold" -> f"$threshold%.4f")
+
+  /** Persisted connected-component labeling over everything the
+    * certification ledger has certified — the state
+    * [[incrementalComponents]] maintains, made a STORE so a production
+    * ingest loop never re-derives bootstrap labels per run (the
+    * verdict-named gap: every other incremental family persists its
+    * state; the labeling is what [[repairSurvivors]] reads).
+    *
+    * THE FOLD IS MIN, AND THAT IS A THEOREM, NOT A CONVENTION: labels
+    * are component MIN-IDS, and components only ever MERGE as new
+    * certified pairs arrive — a merge relabels every member to the
+    * min of the merged labels, so an id's label is monotonically
+    * NON-INCREASING across folds. The store therefore keeps per-epoch
+    * DELTA rows `(id, cluster_id)` (changed + new ids only) and reads
+    * back `min(cluster_id)` per id: min over all deltas IS the latest
+    * label, with no sequence numbers, no ordering requirement across
+    * epochs, and replay idempotency for free (re-appending any old
+    * delta cannot change a min). Compaction is the same min fold —
+    * associative, so base-as-one-partial stays exact.
+    *
+    * Scale shape: the labeling holds only ids that ever appeared in a
+    * certified pair (never the corpus); each fold's delta is bounded
+    * by the batch's structure; reads are one co-partitioned
+    * aggregation over delta rows. Manifest pins metric + τ so labels
+    * derived from one certification can never silently absorb folds
+    * from another. */
+  def ccLabelsWrite(labels: DataFrame, path: String, metric: String,
+                    threshold: Double): Unit = {
+    require(!labels.isEmpty,
+      s"ccLabelsWrite at $path: refusing to bootstrap from an EMPTY " +
+        "labeling (a zero-row bootstrap bricks later reads); for a " +
+        "pipeline with no certified pairs yet, start folding with " +
+        "ccLabelsFold — it bootstraps from the first nonempty fold")
+    EpochIndex.bootstrap(labels.select(col("id"), col("cluster_id")), path)
+    IndexMeta.write(labels.sparkSession, path,
+      ccLabelsMeta(metric, threshold))
+  }
+
+  /** Append one fold's label DELTA as one epoch (manifest-checked,
+    * idempotent per epoch name; empty deltas are a no-op). Callers
+    * normally use [[ccLabelsFold]], which computes the delta. */
+  def ccLabelsAppend(spark: org.apache.spark.sql.SparkSession,
+                     path: String, delta: DataFrame, epoch: String,
+                     metric: String, threshold: Double): Unit = {
+    IndexMeta.check(spark, path, ccLabelsMeta(metric, threshold))
+    EpochIndex.append(delta.select(col("id"), col("cluster_id")),
+      path, epoch)
+  }
+
+  /** The current complete labeling: min per id over every delta ever
+    * folded (see the class doc's monotonicity argument) —
+    * (id, cluster_id), directly consumable by [[repairSurvivors]]. */
+  def ccLabelsRead(spark: org.apache.spark.sql.SparkSession,
+                   path: String, metric: String, threshold: Double,
+                   excludeEpoch: Option[String] = None): DataFrame = {
+    IndexMeta.check(spark, path, ccLabelsMeta(metric, threshold))
+    EpochIndex.read(spark, path, excludeEpoch,
+      bootstrapName = "ccLabelsWrite")
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
+  /** Fold one batch of certified pairs into the stored labeling — the
+    * production loop's one call: read the store, run the super-vertex
+    * contraction ([[incrementalComponents]] — O(batch) mini-CC, never
+    * a corpus recontraction), append only the CHANGED/NEW rows as this
+    * epoch's delta, and return the updated complete labeling.
+    *
+    * An EMPTY store bootstraps from this fold's own
+    * [[connectedComponents]] (the first nonempty fold IS the
+    * bootstrap — no separate empty-store write that would brick
+    * reads). `excludeEpoch = Some(epoch)` makes an at-least-once
+    * replay recompute against exactly the standing labels the first
+    * attempt saw and rewrite the identical delta. */
+  def ccLabelsFold(spark: org.apache.spark.sql.SparkSession,
+                   path: String, pairs: DataFrame, epoch: String,
+                   metric: String, threshold: Double): DataFrame = {
+    // manifest-first (the streaming-sink discipline): the first fold
+    // records build parameters before any delta lands; every later
+    // fold verifies them — folding τ=0.8 pairs into a τ=0.85 labeling
+    // refuses, never merges
+    IndexMeta.writeIfAbsent(spark, path, ccLabelsMeta(metric, threshold))
+    IndexMeta.check(spark, path, ccLabelsMeta(metric, threshold))
+    if (!EpochIndex.nonEmpty(spark, path)) {
+      val labels = connectedComponents(pairs)
+      EpochIndex.append(labels.select(col("id"), col("cluster_id")),
+        path, epoch)
+      labels
+    } else {
+      val stored = ccLabelsRead(spark, path, metric, threshold,
+        excludeEpoch = Some(epoch))
+      val updated = Bridge.freshLeaf(
+        incrementalComponents(stored, pairs).localCheckpoint(true))
+      val delta = updated
+        .join(stored.withColumnRenamed("cluster_id", "_old"),
+          Seq("id"), "left")
+        .filter(col("_old").isNull || col("_old") =!= col("cluster_id"))
+        .select(col("id"), col("cluster_id"))
+      EpochIndex.append(delta, path, epoch)
+      updated
+    }
+  }
+
+  /** The live certified-repair view FROM the store:
+    * [[repairSurvivors]] over [[ccLabelsRead]] — every ingested id
+    * whose stored label is itself (or that never certified a pair).
+    * What a release pipeline reads instead of recomputing q232's CC. */
+  def repairSurvivorsFromStore(spark: org.apache.spark.sql.SparkSession,
+                               ids: DataFrame, idCol: String,
+                               labelsPath: String, metric: String,
+                               threshold: Double): DataFrame =
+    repairSurvivors(ids,
+      ccLabelsRead(spark, labelsPath, metric, threshold), idCol)
+
+  /** Min-fold compaction (the family merge — see the class doc). */
+  def ccLabelsCompact(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, CcLabelsFamily)
+    EpochIndex.compact(spark, path,
+      p => p.groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id")),
+      keepVersions = keepVersions)
+  }
+
   // ------------------------------------------- certification index stores
 
   private val CertTextFamily = "cert_text"

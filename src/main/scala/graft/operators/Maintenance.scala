@@ -84,6 +84,8 @@ object Maintenance {
         Dedup.certTextIndexCompact(spark, root, keepVersions)
       case "cert_vec" =>
         Dedup.certVecIndexCompact(spark, root, keepVersions)
+      case "cc_labels" =>
+        Dedup.ccLabelsCompact(spark, root, keepVersions)
       case "quality_cuts" =>
         // versioned calibration snapshot, not an epoch-additive store:
         // each freeze IS a compacted base (publishVersion retention

@@ -996,14 +996,28 @@ object Streaming {
     * — deterministic, replay-idempotent); bootstrap with
     * `certVecIndexWrite` + `certLedgerWrite` when a corpus predates
     * the stream. Ordering, replay idempotency, and the
-    * checked-manifest refusals are exactly [[certIngestSink]]'s. */
+    * checked-manifest refusals are exactly [[certIngestSink]]'s.
+    *
+    * `labelsPath` (optional) keeps the PERSISTED repair labeling
+    * ([[graft.operators.Dedup.ccLabelsFold]]) current with every
+    * certified batch: after the ledger epoch lands, the epoch's pairs
+    * fold into the `cc_labels` store (super-vertex contraction —
+    * O(batch) work), so the live certified-repair view is a STORE
+    * READ ([[graft.operators.Dedup.repairSurvivorsFromStore]]), never
+    * a recomputation of the CC over the ledger. A labels store that
+    * is EMPTY while the ledger already holds epochs self-heals: the
+    * first fold bootstraps from the FULL ledger (prior pairs ∪ this
+    * epoch), so mid-life adoption and a crash between ledger and
+    * labels writes both converge — the fold's min-label monotonicity
+    * makes any replay idempotent. */
   def certVecIngestSink(stream: DataFrame, spark: SparkSession,
                         corpusPath: String, ledgerPath: String,
                         indexPath: String,
                         idCol: String, vecCol: String,
                         checkpoint: String, threshold: Double,
                         nPivots: Int = 4, maxCell: Long = 100000L,
-                        roundTo: Int = 4): StreamingQuery = {
+                        roundTo: Int = 4,
+                        labelsPath: Option[String] = None): StreamingQuery = {
     import graft.operators.{Dedup, IndexMeta}
     // corpus-ahead-of-index refusal — certIngestSink's, cosine twin
     require(!graft.sources.Fs.exists(spark, corpusPath) ||
@@ -1052,6 +1066,26 @@ object Streaming {
           val pinned = pairs.localCheckpoint(true)
           try {
             epochWrite(pinned, ledgerPath, token, epochId)
+            // repair labels AFTER the ledger (the ledger is the source
+            // of truth; labels are its derived view). An empty labels
+            // store folds the FULL ledger minus this epoch plus this
+            // epoch's pairs — so mid-life adoption over a standing
+            // ledger, and a crash landing between ledger and labels
+            // writes, both converge to the complete labeling; the
+            // min-label fold makes every replay idempotent.
+            labelsPath.foreach { lp =>
+              val foldPairs =
+                if (graft.operators.EpochIndex.nonEmpty(spark, lp))
+                  pinned.select("id_a", "id_b")
+                else graft.operators.EpochIndex
+                  .read(spark, ledgerPath, excludeEpoch = Some(epoch),
+                    bootstrapName = "certLedgerWrite")
+                  .select("id_a", "id_b")
+                  .unionByName(pinned.select("id_a", "id_b"))
+              Dedup.ccLabelsFold(spark, lp, foldPairs, epoch,
+                "cosine", threshold)
+              ()
+            }
             Dedup.certVecIndexAppend(spark, indexPath, batch,
               idCol, vecCol, epoch, threshold, maxCell, roundTo)
             epochWrite(batch, corpusPath, token, epochId)

@@ -289,6 +289,64 @@ class CertStoreSpec extends SparkSpecBase {
     assert(e.getMessage.contains("corpus cell overflow"), e.getMessage)
   }
 
+  test("cc_labels store: min-fold deltas equal a full CC rebuild across folds, replay, and compaction; cross-tau folds refuse") {
+    import spark.implicits._
+    val root = tmp("cclabels")
+    def cc(pairs: Seq[(Long, Long)]) =
+      Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toSet
+    def stored() = Dedup.ccLabelsRead(spark, root, "cosine", 0.4)
+      .as[(Long, Long)].collect().toSet
+    // bootstrap: two components {1,2,3} and {10,11}
+    val p0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    Dedup.ccLabelsWrite(Dedup.connectedComponents(p0.toDF("id_a", "id_b")),
+      root, "cosine", 0.4)
+    assert(stored() === cc(p0))
+    // fold a batch that MERGES the two components (3-10) and adds a
+    // new one (20-21): labels can only DECREASE (10/11 -> 1), which is
+    // exactly why min over delta rows is the read
+    val p1 = Seq((3L, 10L), (20L, 21L))
+    val updated = Dedup.ccLabelsFold(spark, root, p1.toDF("id_a", "id_b"),
+      "e1", "cosine", 0.4).as[(Long, Long)].collect().toSet
+    val full1 = cc(p0 ++ p1)
+    assert(updated === full1 && stored() === full1)
+    // the delta epoch holds ONLY changed + new ids (10, 11 relabeled;
+    // 20, 21 new) — never a corpus-sized rewrite
+    val e1Rows = spark.read.parquet(root)
+      .filter(col("_epoch") === "e1").select("id").as[Long].collect().toSet
+    assert(e1Rows === Set(10L, 11L, 20L, 21L), s"delta was $e1Rows")
+    // replay of the same fold rewrites the identical delta — no change
+    Dedup.ccLabelsFold(spark, root, p1.toDF("id_a", "id_b"),
+      "e1", "cosine", 0.4)
+    assert(stored() === full1)
+    // compaction is the same min fold; dispatched via Maintenance
+    assert(Maintenance.compactStore(spark, root).folded.nonEmpty)
+    assert(stored() === full1)
+    // fold after compaction still equals the rebuild
+    val p2 = Seq((21L, 1L))
+    Dedup.ccLabelsFold(spark, root, p2.toDF("id_a", "id_b"),
+      "e2", "cosine", 0.4)
+    assert(stored() === cc(p0 ++ p1 ++ p2))
+    // survivors from the store: every id whose label is itself, plus
+    // ids that never certified a pair
+    val kept = Dedup.repairSurvivorsFromStore(spark,
+      Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 99L).toDF("id"), "id",
+      root, "cosine", 0.4).as[Long].collect().toSet
+    assert(kept === Set(1L, 99L), s"kept $kept")
+    // a fold at another tau refuses before writing anything
+    val e = intercept[Exception] {
+      Dedup.ccLabelsFold(spark, root, p2.toDF("id_a", "id_b"),
+        "e3", "cosine", 0.9)
+    }
+    assert(e.getMessage.contains("do not match"), e.getMessage)
+    // empty-store path: the first nonempty fold IS the bootstrap
+    val root2 = tmp("cclabels2")
+    Dedup.ccLabelsFold(spark, root2, p0.toDF("id_a", "id_b"),
+      "b0", "cosine", 0.4)
+    assert(Dedup.ccLabelsRead(spark, root2, "cosine", 0.4)
+      .as[(Long, Long)].collect().toSet === cc(p0))
+  }
+
   test("cosine joins degrade to the pivots a tiny corpus can supply; < 2 refuses with guidance") {
     val rnd = new scala.util.Random(7)
     def v() = Array.fill(8)(rnd.nextGaussian().toFloat)

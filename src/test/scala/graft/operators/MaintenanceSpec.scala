@@ -196,8 +196,10 @@ class MaintenanceSpec extends SparkSpecBase {
     Dedup.certVecIndexAppend(spark, s"$root/cert_vec",
       Seq((4L, v())).toDF("vec_id", "embedding"),
       "vec_id", "embedding", "b1", threshold = 0.8)
+    Dedup.ccLabelsFold(spark, s"$root/cc_labels",
+      Seq((1L, 2L)).toDF("id_a", "id_b"), "b1", "cosine", 0.8)
     val results = Maintenance.compactAll(spark, root)
-    assert(results.size === 2)
+    assert(results.size === 3)
     assert(results.forall(r => !r.failed && r.stats.exists(_.folded.nonEmpty)))
   }
 }

@@ -895,7 +895,8 @@ class PlanAuditSpec extends SparkSpecBase {
     // under audit is the keep: survivors anti-joined against the
     // labeling's non-canonical rows — an equi anti join, never a
     // nested loop, and no window anywhere in the final stage
-    for (name <- Seq("q232_semantic_repair", "q234_incremental_repair")) {
+    for (name <- Seq("q232_semantic_repair", "q234_incremental_repair",
+        "q235_repair_labels_store")) {
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")

@@ -1231,6 +1231,7 @@ class StreamingSpec extends SparkSpecBase {
     val corpus = Files.createTempDirectory("graft-vcert-c").toString + "/c"
     val ledger = Files.createTempDirectory("graft-vcert-l").toString + "/l"
     val index = Files.createTempDirectory("graft-vcert-i").toString + "/i"
+    val labels = Files.createTempDirectory("graft-vcert-lb").toString + "/lb"
     val ckp = Files.createTempDirectory("graft-vcert-ckp").toString
     val rnd = new scala.util.Random(61)
     def noise() = Array.fill(8)(rnd.nextGaussian().toFloat)
@@ -1244,13 +1245,24 @@ class StreamingSpec extends SparkSpecBase {
     val b3 = (200 until 203).map(i => (i.toLong, near(c1)))
     def deliver(name: String, rows: Seq[(Long, Array[Float])]): Unit =
       rows.toDF("vec_id", "embedding").write.parquet(s"$src/$name")
-    def drain(): Unit = {
+    def drain(lp: String = labels): Unit = {
       val schema = spark.read.parquet(s"$src/b1").schema
       Streaming.certVecIngestSink(
         Streaming.fileStream(spark, schema, s"$src/*"),
         spark, corpus, ledger, index, "vec_id", "embedding", ckp,
-        threshold = 0.9).awaitTermination()
+        threshold = 0.9, labelsPath = Some(lp)).awaitTermination()
     }
+    // the live repaired set, read FROM THE STORE (never a CC recompute)
+    def storeKept(lp: String = labels) = Dedup.repairSurvivorsFromStore(
+      spark, spark.read.parquet(corpus).select("vec_id", "embedding"),
+      "vec_id", lp, "cosine", 0.9)
+    // the from-scratch arbiter: CC over the full ledger, canonical keep
+    def rebuiltKeptIds() = Dedup.repairSurvivors(
+      spark.read.parquet(corpus).select("vec_id"),
+      Dedup.connectedComponents(
+        Dedup.certLedgerRead(spark, ledger, "cosine", 0.9)
+          .select(col("id_a"), col("id_b"))), "vec_id")
+      .as[Long].collect().toSet
     def ledgerPairs() = Dedup.certLedgerRead(spark, ledger, "cosine", 0.9)
       .as[(Long, Long, Double)].collect().toSet
     def fullPairs(rows: Seq[(Long, Array[Float])]) =
@@ -1260,28 +1272,42 @@ class StreamingSpec extends SparkSpecBase {
     deliver("b1", b1); drain()
     assert(ledgerPairs() === fullPairs(b1))
     assert(ledgerPairs().nonEmpty, "degenerate test corpus")
-    // compact BOTH stores mid-stream; the next batch probes the
-    // compacted index under the same frozen pivots
+    assert(storeKept().select("vec_id").as[Long].collect().toSet ===
+      rebuiltKeptIds(), "store-read repaired set diverged after b1")
+    // compact ALL THREE stores mid-stream (ledger/index identity
+    // folds, labels MIN fold); the next batch probes the compacted
+    // index under the same frozen pivots and folds into the
+    // compacted labeling
     assert(Maintenance.compactStore(spark, ledger).folded.nonEmpty)
     assert(Maintenance.compactStore(spark, index).folded.nonEmpty)
+    assert(Maintenance.compactStore(spark, labels).folded.nonEmpty)
     deliver("b2", b2); drain()
     val expect = fullPairs(b1 ++ b2)
     assert(ledgerPairs() === expect,
       s"miss=${expect -- ledgerPairs()} extra=${ledgerPairs() -- expect}")
     assert(ledgerPairs().exists(p => p._1 < 100L && p._2 >= 100L),
       "no cross-batch pair — the probe path never ran")
+    // the live repaired set survives the mid-stream labels compaction
+    assert(storeKept().select("vec_id").as[Long].collect().toSet ===
+      rebuiltKeptIds(),
+      "store-read repaired set diverged across the labels compaction")
     deliver("b3", b3); drain()
     assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
-    // the live repair view (q234's rule over the live ledger): CC +
-    // canonical keep leaves zero pairs >= tau among survivors
-    val labels = Dedup.connectedComponents(
-      Dedup.certLedgerRead(spark, ledger, "cosine", 0.9)
-        .select(col("id_a"), col("id_b")))
-    val kept = Dedup.repairSurvivors(
-      spark.read.parquet(corpus).select("vec_id", "embedding"),
-      labels, "vec_id")
+    // the live repair view FROM THE STORE: zero pairs >= tau among the
+    // store-kept survivors, cross-cell included (q232's contract, live)
+    val kept = storeKept()
+    assert(kept.select("vec_id").as[Long].collect().toSet ===
+      rebuiltKeptIds(), "store-read repaired set diverged after b3")
     assert(Dedup.exactCosineJoin(kept, "vec_id", "embedding",
       threshold = 0.9).count() === 0L, "repair left residual pairs")
+    // MID-LIFE ADOPTION self-heal: a labels store introduced only now,
+    // over a ledger three activations deep, bootstraps from the FULL
+    // ledger at its first fold — no manual CC bootstrap step
+    val late = Files.createTempDirectory("graft-vcert-lb2").toString + "/lb2"
+    deliver("b4", Seq((300L, near(c1)), (301L, noise()))); drain(late)
+    assert(storeKept(late).select("vec_id").as[Long].collect().toSet ===
+      rebuiltKeptIds(),
+      "late-adopted labels store failed to bootstrap from the ledger")
     // another tau refuses before writing anything
     val ckp2 = Files.createTempDirectory("graft-vcert-ckp2").toString
     val schema = spark.read.parquet(s"$src/b1").schema
