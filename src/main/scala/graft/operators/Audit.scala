@@ -166,4 +166,69 @@ object Audit {
         coalesce(col("n_rows_a"), lit(0L)).as("n_rows_a") :+
         coalesce(col("n_rows_b"), lit(0L)).as("n_rows_b"): _*)
   }
+
+  /** READ-ONLY release audit card — q199's citation columns WITHOUT
+    * re-paying the exact joins: every certification/repair/calibration
+    * number is a read of a store a long-running ingest has been
+    * feeding all along (the `cert_pairs` ledgers, the `cc_labels`
+    * repair labeling, the frozen quality calibration), plus one
+    * aggregate pass over the released documents for the base profile.
+    * This is the card a release PIPELINE emits after
+    * `certIngestSink`/`certVecIngestSink` have maintained the stores
+    * batch by batch: corpus² ran once, at certification — the
+    * auditor's read is O(stores), and the count an auditor reads IS
+    * a ledger read.
+    *
+    * Refusals are the stores' own checked manifests (refuse-loudly,
+    * never cite-the-wrong-artifact): an absent ledger, a τ/metric
+    * mismatch, a labeling folded under another τ, or a calibration
+    * frozen for another score/key-set all refuse before any column
+    * is emitted; a calibration store with no published version
+    * refuses here.
+    *
+    * @return one row: (n_docs, n_exact_dup_docs, cert_jaccard_tau,
+    *         cert_jaccard_pairs, cert_cosine_tau, cert_cosine_pairs,
+    *         repair_components, repair_dropped, calibration_score,
+    *         calibration_version) */
+  def cardFromStores(spark: org.apache.spark.sql.SparkSession,
+                     docs: DataFrame, textCol: String,
+                     jaccardLedger: String, jaccardTau: Double,
+                     cosineLedger: String, cosineTau: Double,
+                     labelsPath: String, cutsPath: String,
+                     cutsScore: String, cutsBy: Seq[String]): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) -
+        countDistinct(TextFunctions.fingerprint(col(textCol))))
+        .as("n_exact_dup_docs"))
+    val certj = Dedup.certLedgerRead(spark, jaccardLedger, "jaccard",
+        jaccardTau)
+      .agg(count(lit(1)).as("cert_jaccard_pairs"))
+      .select(lit(jaccardTau).as("cert_jaccard_tau"),
+        col("cert_jaccard_pairs"))
+    val certc = Dedup.certLedgerRead(spark, cosineLedger, "cosine",
+        cosineTau)
+      .agg(count(lit(1)).as("cert_cosine_pairs"))
+      .select(lit(cosineTau).as("cert_cosine_tau"),
+        col("cert_cosine_pairs"))
+    val rep = Dedup.ccLabelsRead(spark, labelsPath, "cosine", cosineTau)
+      .agg(countDistinct(col("cluster_id")).as("repair_components"),
+        coalesce(sum(when(col("id") =!= col("cluster_id"), 1L)
+          .otherwise(0L)), lit(0L)).as("repair_dropped"))
+    // calibration citation: the read performs the manifest check (the
+    // frame itself is not needed); the version string is the store's
+    // CURRENT pointer — what "release N scored under calibration vX"
+    // names
+    Quality.qualityCutsRead(spark, cutsPath, cutsScore, cutsBy)
+    val (_, current) = Layout.listVersions(spark, s"$cutsPath/cuts")
+    require(current.isDefined,
+      s"calibration store at $cutsPath has no published version — " +
+        "freeze one with qualityCutsWrite before citing it in a card")
+    base.crossJoin(broadcast(certj))
+      .crossJoin(broadcast(certc))
+      .crossJoin(broadcast(rep))
+      .withColumn("calibration_score", lit(cutsScore))
+      .withColumn("calibration_version", lit(current.get))
+  }
 }

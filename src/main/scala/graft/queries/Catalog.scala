@@ -9179,6 +9179,91 @@ object Catalog {
       s"$root/labels", "cosine", 0.4)
   }
 
+  /** [[graft.operators.Audit.cardFromStores]] — the READ-ONLY release
+    * card: q199 proves the citation numbers by recomputing them
+    * in-lineage (right for the once-per-release acceptance); THIS
+    * query is the form a long-running pipeline actually runs — every
+    * certification/repair/calibration column is a read of a standing
+    * store, and the card's own plan contains no exact join at all
+    * (PlanAuditSpec pins it join-shape-free). The stores are built
+    * once at the top (the ingest loop's job, paid here so there is
+    * something to cite); the ORACLE replays what the stores must
+    * hold from first principles — brute-force pair counts, a
+    * recursive-CTE component count — so hash equality proves the
+    * cited numbers equal recomputation. */
+  val q236CardFromStores = q("q236_card_from_stores",
+    "Read-only audit card: certification, repair and calibration numbers cited from standing stores, no in-query exact joins (north star: release reporting)",
+    """WITH RECURSIVE base AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(count(*) - count(DISTINCT md5(array_to_string(
+      |           regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))) AS BIGINT)
+      |           AS n_exact_dup_docs
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN list_transform(range(1, len(toks) - 1),
+      |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |           ELSE [array_to_string(toks, ' ')] END) AS s
+      |  FROM tk WHERE len(toks) > 0),
+      |ne AS (SELECT * FROM sh WHERE len(s) > 0),
+      |certj AS (
+      |  SELECT CAST(0.85 AS DOUBLE) AS cert_jaccard_tau,
+      |         CAST(count(*) AS BIGINT) AS cert_jaccard_pairs
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85),
+      |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |vp AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS d
+      |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+      |  WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.4),
+      |certc AS (
+      |  SELECT CAST(0.4 AS DOUBLE) AS cert_cosine_tau,
+      |         CAST(count(*) // 2 AS BIGINT) AS cert_cosine_pairs FROM vp),
+      |nodes AS (SELECT DISTINCT s AS id FROM vp),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT r.src, vp.d FROM reach r JOIN vp ON vp.s = r.dst),
+      |comp AS (SELECT src, min(dst) AS lbl FROM reach GROUP BY src),
+      |rep AS (
+      |  SELECT CAST(count(DISTINCT lbl) AS BIGINT) AS repair_components,
+      |         CAST(coalesce(sum(CASE WHEN lbl <> src THEN 1 ELSE 0 END), 0)
+      |           AS BIGINT) AS repair_dropped
+      |  FROM comp),
+      |cal AS (SELECT 'alpha_ratio' AS calibration_score,
+      |               'v00000001' AS calibration_version)
+      |SELECT * FROM base CROSS JOIN certj CROSS JOIN certc
+      |CROSS JOIN rep CROSS JOIN cal""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val root = scratchDir(s, "q236_card_from_stores")
+    graft.sources.Fs.deleteRecursively(s, root)
+    // one-time certification (the ingest loop's standing job, paid
+    // here so there are stores to cite): both ledgers, the repair
+    // labeling folded FROM the cosine ledger, the frozen calibration
+    Dedup.certLedgerWrite(Dedup.exactJaccardJoin(docs, "doc_id", "text",
+      threshold = 0.85, shingleK = 3), s"$root/jac", "jaccard", 0.85)
+    Dedup.certLedgerWrite(Dedup.exactCosineJoin(emb, "vec_id",
+      "embedding", threshold = 0.4), s"$root/cos", "cosine", 0.4)
+    Dedup.ccLabelsFold(s, s"$root/labels",
+      Dedup.certLedgerRead(s, s"$root/cos", "cosine", 0.4)
+        .select("id_a", "id_b"), "base", "cosine", 0.4)
+    Quality.qualityCutsWrite(s, s"$root/cuts",
+      Quality.qualityCuts(docs.select(col("source"),
+        TextFunctions.alphaRatio(col("text")).as("alpha_ratio")),
+        "alpha_ratio", Seq("source")),
+      "alpha_ratio", Seq("source"))
+    // THE CARD: store reads + one docs profile pass, nothing else
+    graft.operators.Audit.cardFromStores(s, docs, "text",
+      s"$root/jac", 0.85, s"$root/cos", 0.4, s"$root/labels",
+      s"$root/cuts", "alpha_ratio", Seq("source"))
+  }
+
   /** [[Similarity.simplifiedSilhouette]] under the oracle — the
     * O(n·k) centroid-based silhouette over one-step-trained cells:
     * per-cell cohesion-vs-separation plus the corpus summary row.
@@ -9546,5 +9631,5 @@ object Catalog {
     q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette,
     q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
     q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK,
-    q234IncrementalRepair, q235RepairLabelsStore)
+    q234IncrementalRepair, q235RepairLabelsStore, q236CardFromStores)
 }

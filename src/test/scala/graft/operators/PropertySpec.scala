@@ -514,6 +514,39 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: cc_labels fold sequence ≡ full CC rebuild at EVERY step, through a compaction (random edge batches)") {
+    // the min-fold theorem under fire: random edge sets arrive in
+    // random batch splits; after every fold the store's min-per-id
+    // read must equal connectedComponents over everything so far —
+    // merges only ever LOWER labels, which is exactly what makes the
+    // delta store order-free
+    val edgesGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(1, 30)
+      es <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 20L)))
+    } yield es.filter(p => p._1 != p._2)
+    forAllSeeded(edgesGen, 4) { edges =>
+      if (edges.nonEmpty) {
+        val root = tmpStore("cclab")
+        val batches = edges.grouped(math.max(1, edges.size / 3)).toList
+        var sofar = List.empty[(Long, Long)]
+        def full() = Dedup.connectedComponents(sofar.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toSet
+        batches.zipWithIndex.foreach { case (b, i) =>
+          sofar = sofar ++ b
+          Dedup.ccLabelsFold(spark, root, b.toDF("id_a", "id_b"),
+            s"e$i", "cosine", 0.4)
+          val stored = Dedup.ccLabelsRead(spark, root, "cosine", 0.4)
+            .as[(Long, Long)].collect().toSet
+          assert(stored === full(), s"after batch $i: edges=$sofar")
+        }
+        Maintenance.compactStore(spark, root)
+        assert(Dedup.ccLabelsRead(spark, root, "cosine", 0.4)
+          .as[(Long, Long)].collect().toSet === full(),
+          s"compaction changed the labeling: edges=$sofar")
+      }
+    }
+  }
+
   test("property: adaptive re-blocking completes equal to brute force or raises loudly — never silently wrong") {
     forAllSeeded(Gen.zip(vecCorpusGen, Gen.oneOf(5L, 20L, 100L)), 6) {
       case ((rows, t), maxCell) =>

@@ -906,6 +906,21 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q236 read-only card: store reads + one profile pass — no exact join, no window, no shuffle join") {
+    val plan = planOf("q236_card_from_stores")
+    // the whole point of cardFromStores: the card's own lineage holds
+    // ledger/labels/calibration READS and one docs aggregate — the
+    // exact joins ran at certification time, never here. The only
+    // joins are the one-row broadcast scalar assemblies (q199's
+    // blessed shape).
+    assert(plan.contains("graft-scratch"),
+      s"q236 card lost its store reads:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q236 card grew a shuffle join — an exact join crept back in:\n$plan")
+    assert(!plan.contains("Window"), s"q236 card grew a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q236:\n$plan")
+  }
+
   test("q213/q216 corpus statistics: aggregates are vocabulary-bounded, no corpus-wide window") {
     val p213 = planOf("q213_zipf_fit")
     // the rank window partitions by source over the VOCAB table; the
