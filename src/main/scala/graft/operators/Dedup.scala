@@ -2282,8 +2282,11 @@ object Dedup {
     *    partials, sum-folded — the maxBucket guard reads THESE (a
     *    one-row-per-distinct-token table) instead of re-aggregating
     *    the postings per probe;
-    *  - `fps/`: `(id, n, hset)` fingerprint rows, the exact-verify
-    *    side. */
+    *  - `fps/`: `(ib, id, n, hset)` fingerprint rows, the exact-verify
+    *    side, inner-partitioned by `ib = pmod(xxhash64(id), buckets)`
+    *    so the verify scan prunes to the CANDIDATES' id buckets —
+    *    with postings and bands pruned too, no probe path scans any
+    *    substore whole. */
   private val CertTextPostings = "postings"
   private val CertTextStats = "stats"
   private val CertTextFps = "fps"
@@ -2357,7 +2360,9 @@ object Dedup {
       .groupBy(pmod(col("pt"), lit(buckets.toLong)).cast("int").as("pb"),
         col("pt"))
       .agg(count(lit(1)).as("cnt"))
-    val fps = sets.select(col("id"), size(col("_s")).cast("long").as("n"),
+    val fps = sets.select(
+      pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int").as("ib"),
+      col("id"), size(col("_s")).cast("long").as("n"),
       Sketches.hashed_token_set(col("_s")).as("hset"))
     (fps, postings, stats)
   }
@@ -2388,7 +2393,8 @@ object Dedup {
       innerPartCols = Seq("pb"))
     EpochIndex.bootstrap(postings, s"$path/$CertTextPostings",
       innerPartCols = Seq("pb"))
-    EpochIndex.bootstrap(fps, s"$path/$CertTextFps")
+    EpochIndex.bootstrap(fps, s"$path/$CertTextFps",
+      innerPartCols = Seq("ib"))
     IndexMeta.write(corpus.sparkSession, path,
       certTextMeta(threshold, shingleK, maxBucket, buckets))
   }
@@ -2413,7 +2419,8 @@ object Dedup {
       innerPartCols = Seq("pb"))
     EpochIndex.append(postings, s"$path/$CertTextPostings", epoch,
       innerPartCols = Seq("pb"))
-    EpochIndex.append(fps, s"$path/$CertTextFps", epoch)
+    EpochIndex.append(fps, s"$path/$CertTextFps", epoch,
+      innerPartCols = Seq("ib"))
   }
 
   /** Batch-vs-corpus EXACT Jaccard join THROUGH the persisted index —
@@ -2464,7 +2471,7 @@ object Dedup {
     IndexMeta.check(spark, path,
       certTextMeta(threshold, shingleK, maxBucket, buckets))
     requireAlignedCertEpochs(spark, path, Seq(
-      CertTextFps -> Nil, CertTextPostings -> Seq("pb"),
+      CertTextFps -> Seq("ib"), CertTextPostings -> Seq("pb"),
       CertTextStats -> Seq("pb")))
     def needed(n: Column) =
       ceil(n.cast("double") * lit(threshold) - lit(1e-9))
@@ -2525,16 +2532,31 @@ object Dedup {
           "boilerplate token upstream or rebuild the index with the " +
           "cost understood")
     }
-    val cand = postings
+    // candidates, materialized ONCE (they were always computed once;
+    // the checkpoint additionally lets the verify scan below prune):
+    // their id buckets are ≤ `buckets` distinct values by construction,
+    // so the fingerprint read becomes a partition-filtered scan too —
+    // no probe path scans any substore whole
+    val cand = Bridge.freshLeaf(postings
       .select(col("pt"), col("id").as("id_corpus"), col("n").as("_nc"))
       .join(bToks, Seq("pt"))
       .filter(col("_nb") >= needed(col("_nc")) &&
         col("_nc") >= needed(col("_nb")))
       .select("id_corpus", "id_batch").distinct()
+      .localCheckpoint(true))
+    val ibs = BoundedRead.boundedDriverRead(
+      cand.select(pmod(xxhash64(col("id_corpus")), lit(buckets.toLong))
+        .cast("int").as("ib")).distinct(),
+      buckets, "certTextIndexProbe candidate id buckets",
+      s"ib = pmod(hash, $buckets) has at most $buckets distinct values")
+      .map(_.getInt(0))
     val bHash = bSets.select(col("id_batch"),
       Sketches.hashed_token_set(col("_s")).as("_hb"))
     val fps = EpochIndex.read(spark, s"$path/$CertTextFps", excludeEpoch,
-      bootstrapName = "certTextIndexWrite").drop(EpochIndex.EpochCol)
+      innerPartCols = Seq("ib"),
+      bootstrapName = "certTextIndexWrite", observed = false)
+      .filter(col("ib").isin(ibs.map(Int.box).toIndexedSeq: _*))
+      .drop(EpochIndex.EpochCol)
     cand.join(fps.select(col("id").as("id_corpus"), col("hset").as("_ha")),
         Seq("id_corpus"))
       .join(bHash, Seq("id_batch"))
@@ -2551,7 +2573,8 @@ object Dedup {
     * diverge from what [[certTextIndexProbe]] actually reads. */
   def certTextIndexNonEmpty(spark: org.apache.spark.sql.SparkSession,
                             path: String): Boolean =
-    EpochIndex.nonEmpty(spark, s"$path/$CertTextFps")
+    EpochIndex.nonEmpty(spark, s"$path/$CertTextFps",
+      innerPartCols = Seq("ib"))
 
   /** Compaction: fingerprint and postings rows are disjoint across
     * epochs (identity fold — one row per document/prefix token,
@@ -2568,7 +2591,7 @@ object Dedup {
     EpochIndex.compact(spark, s"$path/$CertTextPostings", identity,
       innerPartCols = Seq("pb"), keepVersions = keepVersions)
     EpochIndex.compact(spark, s"$path/$CertTextFps", identity,
-      keepVersions = keepVersions)
+      innerPartCols = Seq("ib"), keepVersions = keepVersions)
   }
 
   private val CertVecFamily = "cert_vec"

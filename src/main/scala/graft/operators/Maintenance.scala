@@ -130,7 +130,7 @@ object Maintenance {
       case "graph_census" => Seq("edges" -> Nil, "census" -> Nil)
       case "ivf" => Seq("assignments" -> Seq("cell"))
       case "ivf_pq" => Seq("assignments" -> Seq("cell"), "codes" -> Seq("cell"))
-      case "cert_text" => Seq("fps" -> Nil, "postings" -> Seq("pb"),
+      case "cert_text" => Seq("fps" -> Seq("ib"), "postings" -> Seq("pb"),
         "stats" -> Seq("pb"))
       case "cert_vec" => Seq("bands" -> Seq("b0", "b1"), "stats" -> Nil)
       case _ => Seq("" -> Nil)

@@ -150,26 +150,76 @@ class CertStoreSpec extends SparkSpecBase {
       s.relation.location.listFiles(s.partitionFilters, Nil).size
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // the candidate stage executes EAGERLY at probe construction (the
+    // checkpoint that lets the verify scan prune on the candidates'
+    // id buckets) — its postings scan therefore lives in the eager
+    // execution, not the returned plan. Capture executed plans via a
+    // QueryExecutionListener (async bus: poll until the scan shows).
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.execution.FileSourceScanExec]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        qe.executedPlan.foreach {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            seen.add(s); ()
+          case _ => ()
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     try {
       // ---- text side: one-doc batch touches ≤ its-tokens buckets
       val jacRoot = tmp("jacprune")
       Dedup.certTextIndexWrite(corpusDocs.toDF("doc_id", "text"),
         "doc_id", "text", jacRoot, threshold = 0.5, shingleK = 1,
         buckets = 8)
+      seen.clear()
       val oneDoc = Seq((900L, "alpha beta")).toDF("doc_id", "text")
       val jProbe = Dedup.certTextIndexProbe(spark, jacRoot, oneDoc,
         "doc_id", "text", threshold = 0.5, shingleK = 1, buckets = 8)
-      val post = scansOf(jProbe, "/postings")
-      assert(post.nonEmpty, "no postings scan in the probe plan")
+      def eagerScans(frag: String) = {
+        import scala.jdk.CollectionConverters._
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        def grab() = seen.asScala.toList.filter(
+          _.relation.location.rootPaths.exists(_.toString.contains(frag)))
+        var got = grab()
+        while (got.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(100); got = grab()
+        }
+        got
+      }
+      val post = eagerScans("/postings")
+      assert(post.nonEmpty,
+        "no postings scan observed in the probe's candidate stage")
       assert(post.forall(_.partitionFilters.nonEmpty),
         "postings scan lost its partition filter")
       // ≤ 2 distinct tokens → ≤ 2 pb partitions of the 1-epoch store
       assert(post.map(partsRead).max <= 2,
         s"postings scan read ${post.map(partsRead).max} pb partitions")
       // the guard reads stats DRIVER-SIDE before the plan exists: no
-      // stats scan, and no aggregate over postings, in the probe plan
+      // stats scan, and no aggregate over postings, in the FINAL plan
       assert(scansOf(jProbe, "/stats").isEmpty,
         "guard stats re-entered the probe plan")
+      assert(scansOf(jProbe, "/postings").isEmpty,
+        "candidate generation re-entered the final plan — it must be " +
+          "pre-paid exactly once (the checkpoint)")
+      // the VERIFY scan prunes too: fps is partitioned by the id-hash
+      // bucket and the checkpointed candidates' bucket list is its
+      // partition filter — with postings and bands pruned, no probe
+      // path scans any substore whole
+      val fps = scansOf(jProbe, "/fps")
+      assert(fps.nonEmpty, "no fps scan in the probe plan")
+      assert(fps.forall(_.partitionFilters.nonEmpty),
+        "fps verify scan lost its partition filter")
+      // the one-doc batch pairs with ≤ a handful of corpus docs — far
+      // fewer ib partitions than the 8-bucket store can hold
+      assert(fps.map(partsRead).max <= 4,
+        s"fps scan read ${fps.map(partsRead).max} ib partitions")
       // ---- vec side: one-vector batch touches ≤ 9 neighborhood cells
       val rnd = new scala.util.Random(23)
       def v() = Array.fill(8)(rnd.nextGaussian().toFloat)
@@ -193,7 +243,10 @@ class CertStoreSpec extends SparkSpecBase {
       assert(allCells > 9, s"test corpus too concentrated: $allCells cells")
       assert(scansOf(vProbe, "/stats").isEmpty,
         "guard stats re-entered the probe plan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
   }
 
   test("certTextIndex probe: corpus-side boilerplate bucket trips the guard loudly") {

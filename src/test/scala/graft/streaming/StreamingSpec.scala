@@ -1138,6 +1138,7 @@ class StreamingSpec extends SparkSpecBase {
     assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
     // the index mirrors everything certified (one row per nonempty doc)
     assert(graft.operators.EpochIndex.read(spark, s"$index/fps",
+      innerPartCols = Seq("ib"),
       bootstrapName = "certTextIndexWrite").count() === 8L)
     // a sink pointed at this ledger with ANOTHER tau refuses before
     // writing anything — the checked-manifest contract (a pre-existing
