@@ -2132,6 +2132,100 @@ object Dedup {
     EpochIndex.compact(spark, path, identity, keepVersions = keepVersions)
   }
 
+  /** Erase every pair touching `ids` from a certification ledger —
+    * disk-level removal ([[EpochIndex.eraseRewrite]]: after it
+    * returns, no retained version, epoch directory or marker holds a
+    * pair referencing an erased id). The ledger then equals the full
+    * exact join over the corpus WITHOUT the erased documents — the
+    * induction restarts from the erased state, so run the store
+    * erasers ([[certTextIndexErase]]/[[certVecIndexErase]]) in the
+    * same maintenance window or the next probe would re-certify
+    * against fingerprints of documents the ledger no longer admits.
+    *
+    * @param ids one-column frame of ids to erase (any column name) */
+  def certLedgerErase(spark: org.apache.spark.sql.SparkSession,
+                      path: String, ids: DataFrame, metric: String,
+                      threshold: Double): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, certLedgerMeta(metric, threshold))
+    val victims = ids.select(col(ids.columns.head).as("_vid")).distinct()
+    EpochIndex.eraseRewrite(spark, path, p => p
+      .join(victims.select(col("_vid").as("id_a")), Seq("id_a"), "left_anti")
+      .join(victims.select(col("_vid").as("id_b")), Seq("id_b"), "left_anti"))
+  }
+
+  /** Rebuild the labeling from scratch over `pairs` (normally the
+    * post-erasure ledger read) — the ERASURE form for `cc_labels`:
+    * a filter cannot erase an id from a labeling, because min-id
+    * LABELS are identifiers too (an erased id that was its
+    * component's min would survive as every other member's
+    * cluster_id). The only erased-state labeling is the one recomputed
+    * from the erased edge set; [[EpochIndex.eraseRewrite]] with a
+    * constant fold makes the rewrite disk-clean (no delta epoch or
+    * retained base version still names the erased ids). */
+  def ccLabelsRebuild(spark: org.apache.spark.sql.SparkSession,
+                      path: String, pairs: DataFrame, metric: String,
+                      threshold: Double): DataFrame = {
+    IndexMeta.check(spark, path, ccLabelsMeta(metric, threshold))
+    val labels = connectedComponents(pairs)
+    EpochIndex.eraseRewrite(spark, path,
+      _ => labels.select(col("id"), col("cluster_id")))
+    labels
+  }
+
+  /** Erase documents from the text certification store — all three
+    * substores, disk-level: fingerprints and postings drop the ids'
+    * rows through [[EpochIndex.eraseRewrite]]'s filtering fold, and
+    * the stats partials are REBUILT from the retained postings (a
+    * count cannot be filtered per-document — it must be recomputed;
+    * the rebuild rides the same two-pass rewrite so no stale count
+    * survives on disk and the substores stay epoch-aligned). After
+    * this, every probe answers exactly as if the documents had never
+    * been ingested — q237 pins that against brute force over the
+    * retained corpus. */
+  def certTextIndexErase(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame, threshold: Double,
+                         shingleK: Int = 1, maxBucket: Int = 100000,
+                         buckets: Int = 64): Unit = {
+    IndexMeta.check(spark, path,
+      certTextMeta(threshold, shingleK, maxBucket, buckets))
+    val victims = ids.select(col(ids.columns.head).as("_vid")).distinct()
+    def keepIds(p: DataFrame) = p.join(
+      victims.select(col("_vid").as("id")), Seq("id"), "left_anti")
+    EpochIndex.eraseRewrite(spark, s"$path/$CertTextFps", keepIds,
+      innerPartCols = Seq("ib"))
+    EpochIndex.eraseRewrite(spark, s"$path/$CertTextPostings", keepIds,
+      innerPartCols = Seq("pb"))
+    val rebuilt = EpochIndex.read(spark, s"$path/$CertTextPostings",
+      innerPartCols = Seq("pb"), bootstrapName = "certTextIndexWrite",
+      observed = false)
+      .drop(EpochIndex.EpochCol)
+      .groupBy(col("pb"), col("pt")).agg(count(lit(1)).as("cnt"))
+    EpochIndex.eraseRewrite(spark, s"$path/$CertTextStats",
+      _ => rebuilt, innerPartCols = Seq("pb"))
+  }
+
+  /** [[certTextIndexErase]]'s cosine twin: band rows drop by id, the
+    * cell-count stats rebuild from the retained bands. The frozen
+    * pivot geometry is untouched — pivots are aggregate directions,
+    * not records of any document, and keeping them is what lets
+    * already-banded epochs stay consistent. */
+  def certVecIndexErase(spark: org.apache.spark.sql.SparkSession,
+                        path: String, ids: DataFrame, threshold: Double,
+                        maxCell: Long = 100000L, roundTo: Int = 4): Unit = {
+    certVecPivots(spark, path, threshold, roundTo, maxCell)
+    val victims = ids.select(col(ids.columns.head).as("_vid")).distinct()
+    EpochIndex.eraseRewrite(spark, s"$path/$CertVecBands",
+      p => p.join(victims.select(col("_vid").as("id")), Seq("id"),
+        "left_anti"),
+      innerPartCols = Seq("b0", "b1"))
+    val rebuilt = EpochIndex.read(spark, s"$path/$CertVecBands",
+      innerPartCols = Seq("b0", "b1"),
+      bootstrapName = "certVecIndexWrite", observed = false)
+      .drop(EpochIndex.EpochCol)
+      .groupBy(col("b0"), col("b1")).agg(count(lit(1)).as("cnt"))
+    EpochIndex.eraseRewrite(spark, s"$path/$CertVecStats", _ => rebuilt)
+  }
+
   // ------------------------------------------- persisted repair labels
 
   private val CcLabelsFamily = "cc_labels"

@@ -191,15 +191,37 @@ object EpochIndex {
 
   /** Bootstrap a store from a batch-built index: one `_epoch=base`
     * partition, the layout every later epoch append and compaction
-    * composes with. Overwrites the whole root (a bootstrap IS a fresh
-    * index — any previous base versions go with it). */
+    * composes with. A bootstrap IS a fresh index, and that is
+    * ENFORCED, not assumed: every prior epoch directory, the whole
+    * compacted `_base` tree and the commit markers are deleted
+    * explicitly before the write. Spark's static overwrite replaces
+    * only the partition directories it writes — so without the
+    * explicit sweep, a re-bootstrap over a previously-compacted store
+    * would leave the stale `_base` (and any epoch name the new write
+    * does not produce) in place, and every later [[read]] would
+    * silently UNION the old index into the new one. (Caught by the
+    * q235 bench loop: a second pass's bootstrap met the first pass's
+    * base and the replay-exclusion refusal fired — the loud symptom
+    * of what would elsewhere have been silent double-reads.) Other
+    * root files (`_GRAFT_META` manifests written by single-subroot
+    * families) are preserved; family writers re-record them after the
+    * bootstrap anyway. */
   def bootstrap(df: DataFrame, root: String,
                 innerPartCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val p = new Path(root)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) {
+      liveEpochNames(spark, root, innerPartCols)
+        .foreach(deleteEpochDirs(spark, root, _, innerPartCols))
+      fs.delete(new Path(p, BaseDir), true)
+      fs.delete(new Path(p, CommitsDir), true)
+    }
     df.withColumn(EpochCol, lit("base"))
       .write.partitionBy(innerPartCols :+ EpochCol: _*)
       .mode("overwrite").parquet(root)
     // marker last: a crash mid-bootstrap leaves a store no read trusts
-    markCommitted(df.sparkSession, root, "base")
+    markCommitted(spark, root, "base")
   }
 
   /** Epoch-scoped dynamic partition overwrite — THE idempotent append
@@ -454,6 +476,59 @@ object EpochIndex {
     gcd.foreach(e =>
       markerFs.delete(new Path(new Path(root, CommitsDir), e), false))
     CompactionStats(version, snapshot, carried, gcd, uncommitted)
+  }
+
+  /** Targeted ERASURE rewrite — the right-to-be-forgotten primitive
+    * for log-structured stores: rewrite the store as `keep`(partial
+    * rows), with the erased rows REMOVED FROM DISK, not just filtered
+    * at read time (the q160/q175 deleteWrite discipline, extended to
+    * the epoch/base layout). Two compactions do it with the existing
+    * crash-safe machinery:
+    *
+    *  1. fold base ∪ live epochs THROUGH `keep` into a fresh base
+    *     version at `keepVersions = 1` — the prior versions, which
+    *     still hold the erased rows, are GC'd at the publish;
+    *  2. an identity re-compaction whose only job is to GC the
+    *     now-carried epoch directories (the first pass leaves them on
+    *     disk for one generation, per the compaction contract — an
+    *     erasure cannot).
+    *
+    * After it returns, every epoch directory, every retained base
+    * version and every commit marker on disk is erased-row-free.
+    * Refuses loudly when a TORN append is present: its data is
+    * invisible to the fold, so an unreachable copy of erased rows
+    * would survive in the torn directory — repair or remove it first.
+    * Runs under the same single-writer maintenance-window assumption
+    * as compaction; a replay across it refuses for the same reason
+    * (the epochs are folded). */
+  def eraseRewrite(spark: SparkSession, root: String,
+                   keep: DataFrame => DataFrame,
+                   innerPartCols: Seq[String] = Nil): CompactionStats = {
+    val torn = uncommittedEpochNames(spark, root, innerPartCols)
+    require(torn.isEmpty,
+      s"eraseRewrite at $root: torn (uncommitted) epochs ${torn.mkString(", ")} " +
+        "hold data the fold cannot see — an erasure that left them " +
+        "behind would retain unreachable copies of the erased rows; " +
+        "re-run their append (idempotent) or remove the directories, " +
+        "then erase")
+    // column order is load-bearing (parquet round-trips by position,
+    // and family reads map rows positionally): a keep built from
+    // USING-joins silently moves join keys to the front, so the fold
+    // output is re-selected into the INPUT's column order here, once,
+    // for every caller
+    val first = compact(spark, root, p => {
+      val kept = keep(p)
+      require(kept.columns.toSet == p.columns.toSet,
+        s"eraseRewrite keep must preserve the partial schema at $root: " +
+          s"got ${kept.columns.mkString(",")}, " +
+          s"store has ${p.columns.mkString(",")}")
+      kept.select(p.columns.map(col).toIndexedSeq: _*)
+    }, innerPartCols, keepVersions = 1)
+    // pass 2 folds the just-published base alone (identity is exact on
+    // one partial, whatever the family fold) and GCs the carried
+    // epoch directories + the superseded version
+    compact(spark, root, identity, innerPartCols, keepVersions = 1)
+    first
   }
 
   /** Delete every `_epoch=name` directory of one epoch (one per inner

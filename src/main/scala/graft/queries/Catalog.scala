@@ -9264,6 +9264,57 @@ object Catalog {
       s"$root/cuts", "alpha_ratio", Seq("source"))
   }
 
+  /** [[Dedup.certTextIndexErase]] + [[Dedup.certLedgerErase]] — the
+    * right-to-be-forgotten arm of the certification family (q160/q175
+    * reach tables; this reaches the PERSISTED INDEX artifacts): build
+    * the store and ledger over the corpus, erase the %11 documents
+    * disk-level (two-pass filtering compaction — no retained version,
+    * epoch directory or marker keeps their rows; stats partials are
+    * REBUILT, not filtered, because counts cannot drop per-document),
+    * then probe the day's batch. The ORACLE is brute force over the
+    * corpus WITHOUT the erased documents — hash equality proves the
+    * store answers exactly as if they had never been ingested, the
+    * contract an erasure owes. CertStoreSpec additionally proves the
+    * disk holds no surviving reference and that the erased ledger
+    * equals the retained corpus's full exact join. */
+  val q237CertErasure = q("q237_cert_erasure",
+    "Certification-store erasure: probe after a disk-level erase equals brute force over the retained corpus (north star: GDPR over persisted indexes)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |t AS (SELECT doc_id, list_distinct(toks) AS s
+      |      FROM tk WHERE len(toks) > 0),
+      |c AS (SELECT * FROM t
+      |      WHERE doc_id % 3 = 1 AND doc_id % 11 <> 0 AND len(s) > 0),
+      |b AS (SELECT * FROM t WHERE doc_id % 13 = 0 AND len(s) > 0),
+      |p AS (
+      |  SELECT c.doc_id AS id_corpus, b.doc_id AS id_batch,
+      |         CAST(len(list_intersect(c.s, b.s)) AS DOUBLE)
+      |           / (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) AS jac
+      |  FROM c CROSS JOIN b)
+      |SELECT id_corpus, id_batch, round(jac, 4) AS jaccard
+      |FROM p WHERE jac >= 0.85""".stripMargin) { (s, d) =>
+    // 1/3-slice corpus (the acceptance-cost stance): the claim —
+    // post-erase probe ≡ never-ingested — is size-independent, and
+    // the erase itself is six compaction rewrites by construction.
+    // The ledger/labels erasure halves are CertStoreSpec's unit
+    // ground (ledger ≡ retained full join; rebuilt labels name no
+    // victim, as id or as label).
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val root = scratchDir(s, "q237_cert_erasure")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Dedup.certTextIndexWrite(corpus, "doc_id", "text", s"$root/idx",
+      threshold = 0.85, shingleK = 1)
+    val victims = corpus.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select("doc_id")
+    Dedup.certTextIndexErase(s, s"$root/idx", victims, threshold = 0.85,
+      shingleK = 1)
+    Dedup.certTextIndexProbe(s, s"$root/idx",
+      docs.filter(pmod(col("doc_id"), lit(13)) === 0),
+      "doc_id", "text", threshold = 0.85, shingleK = 1)
+  }
+
   /** [[Similarity.simplifiedSilhouette]] under the oracle — the
     * O(n·k) centroid-based silhouette over one-step-trained cells:
     * per-cell cohesion-vs-separation plus the corpus summary row.
@@ -9631,5 +9682,6 @@ object Catalog {
     q223KmeansObjective, q224ExactCosine, q225KmeansElbow, q226Silhouette,
     q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
     q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK,
-    q234IncrementalRepair, q235RepairLabelsStore, q236CardFromStores)
+    q234IncrementalRepair, q235RepairLabelsStore, q236CardFromStores,
+    q237CertErasure)
 }

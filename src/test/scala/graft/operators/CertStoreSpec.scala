@@ -400,6 +400,105 @@ class CertStoreSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toSet === cc(p0))
   }
 
+  test("certification erasure: probes answer as if the erased docs never existed; no reference survives on disk") {
+    import spark.implicits._
+    val dir = tmp("erase")
+    val idx = s"$dir/idx"; val led = s"$dir/led"; val lab = s"$dir/lab"
+    val full = corpusDocs ++ batch1Docs.take(3)
+    // a store with a compacted-spanning history: bootstrap + one epoch
+    Dedup.certTextIndexWrite(corpusDocs.toDF("doc_id", "text"),
+      "doc_id", "text", idx, threshold = 0.5, shingleK = 1)
+    Dedup.certTextIndexAppend(spark, idx,
+      batch1Docs.toDF("doc_id", "text"), "doc_id", "text", "b1",
+      threshold = 0.5, shingleK = 1)
+    Dedup.certLedgerWrite(Dedup.exactJaccardJoin(
+      full.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5,
+      shingleK = 1), led, "jaccard", 0.5)
+    Dedup.ccLabelsFold(spark, lab,
+      Dedup.certLedgerRead(spark, led, "jaccard", 0.5)
+        .select("id_a", "id_b"), "base", "jaccard", 0.5)
+    // victim 1 is its component's MIN-ID — it survives a naive filter
+    // as every clustermate's LABEL, which is why labels REBUILD
+    val victims = Seq(1L, 102L).toDF("doc_id")
+    Dedup.certTextIndexErase(spark, idx, victims, threshold = 0.5,
+      shingleK = 1)
+    Dedup.certLedgerErase(spark, led, victims, "jaccard", 0.5)
+    Dedup.ccLabelsRebuild(spark, lab,
+      Dedup.certLedgerRead(spark, led, "jaccard", 0.5)
+        .select("id_a", "id_b"), "jaccard", 0.5)
+    val retained = full.filterNot(r => r._1 == 1L || r._1 == 102L)
+    // the probe answers exactly as if the victims never ingested
+    val got = Dedup.certTextIndexProbe(spark, idx,
+      batch2Docs.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, shingleK = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === jaccardAgainst(retained, batch2Docs, 0.5))
+    assert(got.nonEmpty, "degenerate erasure test")
+    // the erased ledger equals the retained corpus's full exact join
+    assert(Dedup.certLedgerRead(spark, led, "jaccard", 0.5)
+      .as[(Long, Long, Double)].collect().toSet ===
+      Dedup.exactJaccardJoin(retained.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, shingleK = 1)
+        .as[(Long, Long, Double)].collect().toSet)
+    // the rebuilt labeling names no victim — as an ID or as a LABEL
+    val labeled = Dedup.ccLabelsRead(spark, lab, "jaccard", 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(labeled.nonEmpty)
+    assert(labeled.forall { case (i, l) =>
+      !Set(1L, 102L)(i) && !Set(1L, 102L)(l) }, s"victim survives: $labeled")
+    // DISK-LEVEL: walk every parquet file under every root (including
+    // the _-prefixed base trees Spark readers skip — exactly where a
+    // stale copy would hide) and assert no victim id anywhere
+    def parquetFiles(f: java.io.File): Seq[String] =
+      Option(f.listFiles).toSeq.flatten.flatMap { c =>
+        if (c.isDirectory) parquetFiles(c)
+        else if (c.getName.endsWith(".parquet")) Seq(c.getPath) else Nil
+      }
+    for ((sub, idCols) <- Seq(
+        s"$idx/fps" -> Seq("id"), s"$idx/postings" -> Seq("id"),
+        led -> Seq("id_a", "id_b"), lab -> Seq("id", "cluster_id"))) {
+      val files = parquetFiles(new java.io.File(sub))
+      assert(files.nonEmpty, s"nothing on disk under $sub")
+      val onDisk = spark.read.parquet(files: _*)
+      for (c <- idCols) {
+        val hit = onDisk.filter(col(c).isin(1L, 102L)).count()
+        assert(hit === 0L, s"$hit rows under $sub still reference a victim via $c")
+      }
+    }
+  }
+
+  test("cosine erasure: probe after certVecIndexErase equals the against-join over the retained corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    def noise() = Array.fill(8)(rnd.nextGaussian().toFloat)
+    def near(b: Array[Float]) =
+      b.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val c1 = noise()
+    val corpus = (0 until 12).map(i => (i.toLong, near(c1))) ++
+      (12 until 50).map(i => (i.toLong, noise()))
+    val b1 = (100 until 110).map(i => (i.toLong, noise()))
+    val probeRows = (200 until 206).map(i => (i.toLong, near(c1)))
+    val root = tmp("erasevec")
+    Dedup.certVecIndexWrite(corpus.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, threshold = 0.4)
+    Dedup.certVecIndexAppend(spark, root, b1.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "b1", threshold = 0.4)
+    val victimIds = Set(0L, 3L, 104L)
+    Dedup.certVecIndexErase(spark, root,
+      victimIds.toSeq.toDF("vec_id"), threshold = 0.4)
+    val retained = (corpus ++ b1).filterNot(r => victimIds(r._1))
+    val got = Dedup.certVecIndexProbe(spark, root,
+      probeRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.4).as[(Long, Long, Double)].collect().toSet
+    val expect = Dedup.exactCosineJoinAgainst(
+      retained.toDF("vec_id", "embedding"),
+      probeRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.4).as[(Long, Long, Double)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty && !got.exists(p => victimIds(p._1)),
+      s"erased vector certified: $got")
+  }
+
   test("cosine joins degrade to the pivots a tiny corpus can supply; < 2 refuses with guidance") {
     val rnd = new scala.util.Random(7)
     def v() = Array.fill(8)(rnd.nextGaussian().toFloat)

@@ -239,6 +239,77 @@ class EpochIndexSpec extends SparkSpecBase {
     assert(Dedup.lineFirstOccIndexRead(spark, bare).count() > 0)
   }
 
+  test("bootstrap over a previously-compacted store removes the stale base and epochs — a bootstrap IS a fresh index") {
+    // the silent-staleness hazard the round-15 q235 bench loop caught:
+    // Spark's static overwrite replaces only the partition directories
+    // it writes, so without bootstrap's explicit sweep a re-bootstrap
+    // would leave the old compacted base (and any epoch name it does
+    // not write) in place — and every later read would UNION the old
+    // index into the new one
+    val path = tmp("graft-ei-reboot")
+    EpochIndex.bootstrap(Seq((1L, "a")).toDF("id", "v"), path)
+    EpochIndex.append(Seq((2L, "b")).toDF("id", "v"), path, "e1")
+    EpochIndex.compact(spark, path, identity)
+    // re-bootstrap with DIFFERENT rows: only they may survive
+    EpochIndex.bootstrap(Seq((100L, "z")).toDF("id", "v"), path)
+    val got = EpochIndex.read(spark, path).select("id")
+      .as[Long].collect().toSet
+    assert(got === Set(100L), s"stale rows survived the re-bootstrap: $got")
+    // the old base versions are gone, not just unread
+    val (retained, current) = EpochIndex.versions(spark, path)
+    assert(retained.isEmpty && current.isEmpty,
+      s"stale base versions survived: $retained / $current")
+    // and the fresh store composes normally with appends + compaction
+    EpochIndex.append(Seq((101L, "y")).toDF("id", "v"), path, "e1")
+    EpochIndex.compact(spark, path, identity)
+    assert(EpochIndex.read(spark, path).select("id")
+      .as[Long].collect().toSet === Set(100L, 101L))
+  }
+
+  test("eraseRewrite: erased rows leave the DISK (every version, epoch and marker), reads stay exact; torn appends refuse") {
+    val path = tmp("graft-ei-erase")
+    EpochIndex.bootstrap(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    EpochIndex.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), path, "e1")
+    EpochIndex.compact(spark, path, identity)
+    EpochIndex.append(Seq((5L, "e"), (2L, "b2")).toDF("id", "v"), path, "e2")
+    EpochIndex.eraseRewrite(spark, path,
+      p => p.filter(!col("id").isin(2L, 4L)))
+    assert(EpochIndex.read(spark, path).select("id")
+      .as[Long].collect().toSet === Set(1L, 3L, 5L))
+    // disk-level: walk EVERY parquet file under the root (including
+    // retained base versions — Spark readers skip _-prefixed paths,
+    // which is exactly where stale copies would hide) and assert no
+    // erased id survives anywhere
+    def parquetFiles(dir: java.io.File): Seq[String] =
+      Option(dir.listFiles).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Nil
+      }
+    val files = parquetFiles(new java.io.File(path))
+    assert(files.nonEmpty, "nothing left on disk after erase")
+    val onDisk = spark.read.parquet(files: _*).select("id")
+      .as[Long].collect().toSet
+    assert(!onDisk.contains(2L) && !onDisk.contains(4L),
+      s"erased ids survive on disk: $onDisk in $files")
+    // exactly one retained version — the erased one
+    val (retained, _) = EpochIndex.versions(spark, path)
+    assert(retained.size === 1, s"stale versions retained: $retained")
+    // the store remains a normal store: append + read compose
+    EpochIndex.append(Seq((6L, "f")).toDF("id", "v"), path, "e3")
+    assert(EpochIndex.read(spark, path).select("id")
+      .as[Long].collect().toSet === Set(1L, 3L, 5L, 6L))
+    // a torn append (data, no marker) refuses the erase loudly: its
+    // rows are invisible to the fold and would survive as an
+    // unreachable copy
+    Seq((7L, "g")).toDF("id", "v").withColumn("_epoch", lit("torn"))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("_epoch").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      EpochIndex.eraseRewrite(spark, path, identity)
+    }
+    assert(e.getMessage.contains("torn"), e.getMessage)
+  }
+
   test("writeIfAbsent records once and never clobbers; nonEmpty ignores bookkeeping") {
     val path = tmp("graft-ei-wia")
     val meta = IndexMeta("line_first_occ", "sep" -> "\n", "minLineLen" -> 1)

@@ -878,6 +878,14 @@ class PlanAuditSpec extends SparkSpecBase {
     // — only the BATCH side scans the source table
     assert(p227.contains("graft-scratch"),
       s"q227 probe lost the store read:\n$p227")
+    // the post-erasure probe is the same store-backed shape — the
+    // erase must not have degraded the plan (q237)
+    val p237 = planOf("q237_cert_erasure")
+    assert(!p237.contains("BroadcastNestedLoopJoin") &&
+      !p237.contains("CartesianProduct") && !p237.contains("Window"),
+      s"q237 post-erasure probe degraded:\n$p237")
+    assert(p237.contains("graft-scratch"),
+      s"q237 probe lost the store read:\n$p237")
     val p228 = planOf("q228_cosine_against")
     // the cosine variant is fully window-free (bands are literal row
     // math under manifest-frozen pivots; the tripwire counts via
