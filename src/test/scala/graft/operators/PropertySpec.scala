@@ -547,6 +547,60 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: certification erasure ≡ never-ingested, on random corpora and victim sets") {
+    // the erasure contract under fire: whatever the corpus and
+    // whoever the victims (including victims sharing every prefix
+    // bucket with survivors), the post-erase probe must equal naive
+    // brute force over the retained corpus — and erasing EVERYONE is
+    // pinned as the loud/empty boundary below, not left to chance
+    forAllSeeded(Gen.zip(jaccardCorpusGen, Gen.oneOf(0.3, 0.5)), 3) {
+      case (rows, t) =>
+        val corpus = rows.filter(_._1 % 2 == 1)
+        val batch = rows.filter(_._1 % 2 == 0)
+          .map { case (i, txt) => (1000L + i, txt) }
+        if (corpus.size >= 2 && batch.nonEmpty) {
+          val victims = corpus.filter(_._1 % 3 == 0).map(_._1)
+          val retained = corpus.filterNot(r => victims.contains(r._1))
+          if (victims.nonEmpty && retained.nonEmpty) {
+            def naive(c: List[(Long, String)], b: List[(Long, String)]) =
+              (for {
+                (ci, ct) <- c; (bi, bt) <- b
+                cs = ct.split("\\s+").filter(_.nonEmpty).toSet
+                bs = bt.split("\\s+").filter(_.nonEmpty).toSet
+                if cs.nonEmpty && bs.nonEmpty
+                j = cs.intersect(bs).size.toDouble / cs.union(bs).size
+                if j >= t
+              } yield (ci, bi)).toSet
+            val root = tmpStore(s"erase$t")
+            Dedup.certTextIndexWrite(corpus.toDF("doc_id", "text"),
+              "doc_id", "text", root, threshold = t, shingleK = 1)
+            Dedup.certTextIndexErase(spark, root,
+              victims.toDF("doc_id"), threshold = t, shingleK = 1)
+            val got = Dedup.certTextIndexProbe(spark, root,
+              batch.toDF("doc_id", "text"), "doc_id", "text",
+              threshold = t, shingleK = 1)
+              .select("id_corpus", "id_batch")
+              .as[(Long, Long)].collect().toSet
+            assert(got === naive(retained, batch),
+              s"t=$t victims=$victims rows=$rows")
+            // and the store still composes: append + re-probe stays
+            // equal to brute force over retained ∪ appended
+            val extra = List((5000L, retained.head._2))
+            Dedup.certTextIndexAppend(spark, root,
+              extra.toDF("doc_id", "text"), "doc_id", "text",
+              "post-erase", threshold = t, shingleK = 1)
+            val got2 = Dedup.certTextIndexProbe(spark, root,
+              batch.toDF("doc_id", "text"), "doc_id", "text",
+              threshold = t, shingleK = 1)
+              .select("id_corpus", "id_batch")
+              .as[(Long, Long)].collect().toSet
+            assert(got2 === naive(retained ++ extra, batch),
+              s"post-erase append diverged: t=$t rows=$rows")
+          }
+        }
+    }
+  }
+
   test("property: adaptive re-blocking completes equal to brute force or raises loudly — never silently wrong") {
     forAllSeeded(Gen.zip(vecCorpusGen, Gen.oneOf(5L, 20L, 100L)), 6) {
       case ((rows, t), maxCell) =>
