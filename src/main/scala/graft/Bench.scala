@@ -30,6 +30,27 @@ import scala.util.control.NonFatal
   * on stderr and in the JSON's "failed" list (fatal errors — OOM,
   * linkage — propagate; timings from a corrupted JVM are worthless).
   *
+  * NOISE-ATTRIBUTION PROTOCOL (the q88/q93 convention): any query
+  * whose official ratio exceeds ~1.5× its committed baseline min is
+  * settled by a SCOPED min-of-3 on the same binary —
+  * `Bench <query_name>` at the official SF — never by a single rerun
+  * (this host throws single-sample ~2× spikes routinely; observed
+  * same-code drift is ±30%/query and one r15 window hit rel_spread
+  * 12.7×). Alongside it, run 2–3 UNCHANGED queries as a control group:
+  * control-at-baseline + target-elevated means the target genuinely
+  * regressed (or its baseline window was unrepresentative);
+  * control-elevated-too means host weather. Outcomes, both recorded in
+  * `docs/BENCH_NOTES.md`: (a) scoped min within ~1.2× of baseline →
+  * host noise CONFIRMED, baseline kept, attribution paragraph added;
+  * (b) scoped min persistently above with clean controls → an HONEST
+  * RE-RECORD via `scripts/make_baseline.py` with the reason stated
+  * (accepted precedent: a deliberate store-shape change with improved
+  * sf-slope — r14/r15 q227/q228). Baselines live in
+  * `BASELINE_PERF.json` (per-query min + slope, provenance in its
+  * "recorded" field); full-run records in `docs/BENCH_FULL_*.json`
+  * (note: a SCOPED run clobbers `docs/BENCH_FULL_latest.json` —
+  * `git restore` it before committing).
+  *
   * Between queries the harness sweeps every still-pinned RDD
   * ([[GraftSession.sweepPersistedRdds]], outside the timed window):
   * catalog queries localCheckpoint intermediates and their FINAL

@@ -63,6 +63,9 @@ object CorpusDemo {
       nPacks: Long, storesCompacted: Int, kmvProbes: Long,
       attrition: Map[String, Long], tierCounts: Map[Long, Long],
       nShuffled: Long, card: Seq[(String, String)] = Nil,
+      nVictims: Long = 0L, erasedJacPairs: Long = 0L,
+      erasedCosPairs: Long = 0L,
+      cardAfterErase: Seq[(String, String)] = Nil,
       stageSec: Seq[(String, Double)] = Nil)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
@@ -413,6 +416,54 @@ object CorpusDemo {
         n -> String.valueOf(row.get(i)) }
     }
 
+    // ---- erase (q237/q238 + the round-16 family erasers): right-to-
+    //      be-forgotten END-TO-END. A small deterministic victim set
+    //      leaves every store this run wrote — both cert ledgers
+    //      (filter by id), the cc_labels labeling (REBUILD from the
+    //      erased ledger: min-id labels are identifiers too), and the
+    //      KMV profile (REBUILD: bottom-k cannot re-admit what a
+    //      victim displaced) — all disk-level rewrites. The final
+    //      card then re-emits FROM THE REWRITTEN STORES: its pair
+    //      counts drop by exactly the victims' contribution (counted
+    //      from the ledgers BEFORE the erase — a store read), and the
+    //      card's new erasure columns cite the rewrite history, so a
+    //      release can prove both WHAT it certified and WHAT it
+    //      forgot. CorpusDemoSpec pins the exact arithmetic.
+    val (nVictims, erasedJacPairs, erasedCosPairs, cardAfterErase) =
+      staged("erase") {
+        // deterministic, nonempty at every SF: the two smallest
+        // released ids play the data-subject request (orderBy+limit
+        // is TakeOrdered — bounded, never a global sort)
+        val victims = barrier(quality.select("doc_id")
+          .orderBy(col("doc_id")).limit(2))
+        def touching(path: String, metric: String, tau: Double): Long =
+          Dedup.certLedgerRead(spark, path, metric, tau)
+            .join(victims.select(col("doc_id").as("id_a")), Seq("id_a"),
+              "left_semi")
+            .unionByName(Dedup.certLedgerRead(spark, path, metric, tau)
+              .join(victims.select(col("doc_id").as("id_b")), Seq("id_b"),
+                "left_semi"))
+            .distinct().count()
+        val jacTouch = touching(certJacRoot, "jaccard", 0.5)
+        val cosTouch = touching(certCosRoot, "cosine", 0.4)
+        Dedup.certLedgerErase(spark, certJacRoot, victims, "jaccard", 0.5)
+        Dedup.certLedgerErase(spark, certCosRoot, victims, "cosine", 0.4)
+        Dedup.ccLabelsRebuild(spark, ccRoot,
+          Dedup.certLedgerRead(spark, certCosRoot, "cosine", 0.4)
+            .select("id_a", "id_b"), "cosine", 0.4)
+        Cardinality.kmvIndexErase(spark, kmvRoot,
+          Cardinality.kmvSketch(docs.join(victims, Seq("doc_id"),
+            "left_anti"), col("source"), col("doc_id"), k = 32),
+          32, "doc_id")
+        val after = graft.operators.Audit.cardFromStores(spark,
+          quality.join(victims, Seq("doc_id"), "left_anti"), "text",
+          certJacRoot, 0.5, certCosRoot, 0.4, ccRoot,
+          s"$outDir/stores/quality_cuts", "ppl", Seq("source")).head()
+        (victims.count(), jacTouch, cosTouch,
+          after.schema.fieldNames.toSeq.zipWithIndex.map { case (n, i) =>
+            n -> String.valueOf(after.get(i)) })
+      }
+
     // ---- record-level attrition (q195): why each ingested doc is
     //      gone, as the per-stage funnel
     val attrition = staged("attrition")(BoundedRead.boundedDriverRead(
@@ -454,6 +505,9 @@ object CorpusDemo {
       tierCounts = tierCounts,
       nShuffled = nShuffled,
       card = card,
+      nVictims = nVictims, erasedJacPairs = erasedJacPairs,
+      erasedCosPairs = erasedCosPairs,
+      cardAfterErase = cardAfterErase,
       stageSec = stageSec.toList)
   }
 
@@ -489,6 +543,12 @@ object CorpusDemo {
       s""""attrition":{${r.attrition.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${Json.str(k)}:$v" }.mkString(",")}},""" +
       s""""card":{${r.card
+        .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
+        .mkString(",")}},""" +
+      s""""erase_victims":${r.nVictims},""" +
+      s""""erased_jac_pairs":${r.erasedJacPairs},""" +
+      s""""erased_cos_pairs":${r.erasedCosPairs},""" +
+      s""""card_after_erase":{${r.cardAfterErase
         .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
         .mkString(",")}},""" +
       s""""stage_sec":{${r.stageSec

@@ -225,10 +225,27 @@ object Audit {
     require(current.isDefined,
       s"calibration store at $cutsPath has no published version — " +
         "freeze one with qualityCutsWrite before citing it in a card")
+    // erasure citation — the GDPR side of the audit loop: how many
+    // disk-level erasure rewrites the cited certification/repair
+    // stores have absorbed, and the last rewrite's published version
+    // (store-qualified). Read from the _ERASURES logs the rewrites
+    // themselves maintain — a store read like every other number on
+    // this card, never a maintenance-history replay. Zero/"none" is
+    // itself a statement: these stores still contain every document
+    // ever certified.
+    val erasureLogs = Seq(
+      "cert_pairs_jaccard" -> jaccardLedger,
+      "cert_pairs_cosine" -> cosineLedger,
+      "cc_labels" -> labelsPath)
+      .flatMap { case (name, p) =>
+        EpochIndex.erasures(spark, p).map(v => s"$name:$v") }
+    val lastErasure = erasureLogs.lastOption.getOrElse("none")
     base.crossJoin(broadcast(certj))
       .crossJoin(broadcast(certc))
       .crossJoin(broadcast(rep))
       .withColumn("calibration_score", lit(cutsScore))
       .withColumn("calibration_version", lit(current.get))
+      .withColumn("erasure_rewrites", lit(erasureLogs.size.toLong))
+      .withColumn("last_erasure", lit(lastErasure))
   }
 }

@@ -229,6 +229,21 @@ object Cardinality {
     EpochIndex.append(partial, path, epoch)
   }
 
+  /** ERASURE form — a REBUILD, never a filter (the cert-stats
+    * precedent): HLL registers are max-folds, so a document's
+    * contribution cannot be subtracted out of them; the only exact
+    * erased state is the sketch recomputed over the retained corpus.
+    * Callers build `rebuilt` with the same [[hllSketch]] derivation
+    * over the corpus minus the victims; the constant fold rides
+    * [[EpochIndex.eraseRewrite]], so no epoch directory or retained
+    * version still carries a register the victims raised. */
+  def hllIndexErase(spark: org.apache.spark.sql.SparkSession,
+                    path: String, rebuilt: DataFrame, p: Int,
+                    keyName: String): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, hllMeta(p, keyName))
+    EpochIndex.eraseRewrite(spark, path, _ => rebuilt)
+  }
+
   /** Checked read: one merged register array per group across the
     * compacted base and live epochs — ≡ [[hllSketch]] over the union
     * of the counted row sets (max-merge closure). */
@@ -294,6 +309,17 @@ object Cardinality {
                      k: Int, keyName: String): Unit = {
     IndexMeta.check(spark, path, kmvMeta(k, keyName))
     EpochIndex.append(partial, path, epoch)
+  }
+
+  /** ERASURE form — a REBUILD ([[hllIndexErase]]'s rationale): a
+    * bottom-k sketch cannot re-admit the (k+1)-th smallest hash a
+    * victim displaced, so subtraction is impossible; recompute over
+    * the retained corpus and rewrite disk-clean. */
+  def kmvIndexErase(spark: org.apache.spark.sql.SparkSession,
+                    path: String, rebuilt: DataFrame, k: Int,
+                    keyName: String): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, kmvMeta(k, keyName))
+    EpochIndex.eraseRewrite(spark, path, _ => rebuilt)
   }
 
   /** Checked read: one bottom-k sketch per group across the compacted

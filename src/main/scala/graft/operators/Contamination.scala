@@ -74,6 +74,20 @@ object Contamination {
                              path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Erase benchmark items from the persisted gram index — a
+    * wholesale REBUILD over the retained benchmark, because the
+    * stored rows are corpus-wide DISTINCT fingerprints that carry no
+    * item id to filter by (a gram shared by a victim and a retained
+    * item must survive; one unique to the victim must not — only the
+    * rebuild distinguishes them). Overwrite-mode parquet deletes the
+    * old files, so nothing of the victims' grams remains on disk —
+    * the store's own "versioned wholesale" model doubling as its
+    * erasure form. */
+  def benchmarkGramIndexErase(retainedBenchmark: DataFrame, textCol: String,
+                              path: String, n: Int = 8): Unit =
+    benchmarkGramIndexWrite(
+      benchmarkGramIndex(retainedBenchmark, textCol, n), path)
+
   /** Probe a persisted benchmark index: identical output contract to
     * [[ngramOverlap]] (ContaminationSpec pins the equivalence), but
     * the benchmark corpus is never re-tokenized — the daily-batch
@@ -187,6 +201,16 @@ object Contamination {
   def benchmarkVecIndexRead(spark: org.apache.spark.sql.SparkSession,
                             path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Erase benchmark items from the persisted embedding index —
+    * rebuild-by-overwrite from the retained benchmark (the
+    * [[benchmarkGramIndexErase]] model; rows here DO carry bench_id,
+    * but an in-place filtered self-overwrite of the parquet dir being
+    * read is the classic self-read corruption, and the store's write
+    * form is wholesale anyway). */
+  def benchmarkVecIndexErase(retainedBenchmark: DataFrame, idCol: String,
+                             vecCol: String, path: String): Unit =
+    benchmarkVecIndexWrite(retainedBenchmark, idCol, vecCol, path)
 
   /** The reverse view of [[semanticOverlap]] — the report the
     * EVAL-SET owner asks for: per benchmark item, how many training

@@ -389,6 +389,25 @@ object Dedup {
     EpochIndex.compact(spark, path, firstOccFold, keepVersions = keepVersions)
   }
 
+  /** ERASURE form for the first-occurrence store — a REBUILD, not a
+    * filter (the cc_labels precedent): compaction's min-fold already
+    * discarded every LATER occurrence of a line whose first holder is
+    * now a victim, so dropping the victim's rows would lose lines the
+    * retained corpus still contains — the only exact erased state is
+    * recomputed from the retained corpus. Callers build it with
+    * [[lineFirstOccIndex]] over the corpus minus the victims and pass
+    * it here; the constant fold rides [[EpochIndex.eraseRewrite]] so
+    * no epoch directory or retained version still names a victim as
+    * a first-occurrence witness. */
+  def lineFirstOccIndexRebuild(spark: org.apache.spark.sql.SparkSession,
+                               path: String, rebuilt: DataFrame,
+                               sep: String,
+                               minLineLen: Int = 1): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, lineIndexMeta(sep, minLineLen))
+    EpochIndex.eraseRewrite(spark, path,
+      _ => rebuilt.select(col("fp"), col("wid"), col("wpos")))
+  }
+
   /** Persisted line-frequency index for boilerplate removal — the
     * table a 100 TB pipeline writes once at corpus-build time:
     * (fp, n_docs), one fixed-width row per DISTINCT line, never the
@@ -470,6 +489,23 @@ object Dedup {
                               keepVersions: Int = 2): EpochIndex.CompactionStats = {
     IndexMeta.requireFamily(spark, path, BoilerFamily)
     EpochIndex.compact(spark, path, countsFold, keepVersions = keepVersions)
+  }
+
+  /** Erase documents from a persisted line-frequency index — exact
+    * count subtraction (the [[gramFreqIndexErase]] discipline at line
+    * granularity): after it returns the store equals
+    * [[boilerplateIndex]] over the corpus WITHOUT the victims, and
+    * lines unique to the victims survive in no retained version or
+    * epoch. Victim documents (id + text) are required because their
+    * count partial must be recomputed to be subtracted. */
+  def boilerplateIndexErase(spark: org.apache.spark.sql.SparkSession,
+                            path: String, victimDocs: DataFrame,
+                            idCol: String, textCol: String, sep: String,
+                            minLineLen: Int = 1): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, boilerplateIndexMeta(sep, minLineLen))
+    countSubtractErase(spark, path,
+      boilerplateIndex(victimDocs, idCol, textCol, sep, minLineLen),
+      "fp", "n_docs", "boilerplateIndexErase")
   }
 
   /** Incremental boilerplate removal — the daily-batch shape
@@ -882,20 +918,72 @@ object Dedup {
                             numHashes: Int = 64, bands: Int = 16,
                             shingleK: Int = 3, maxBucket: Int = 200,
                             blockCol: Option[String] = None): DataFrame = {
-    val blockKey = blockCol.toSeq
-    val joinKey = blockKey ++ Seq("band", "bh")
     val internal = minHashLsh(newDocs, idCol, textCol, numHashes, bands,
       shingleK, threshold = 0.0, maxBucket, blockCol)
       .select(col("id_a"), col("id_b"))
     val batchBanded = bandedKeys(newDocs, idCol, textCol, numHashes, bands,
       shingleK, blockCol)
-    val cross = batchBanded
-      .join(bandIndex.withColumnRenamed("id", "corpus_id"), joinKey)
+    internal.unionByName(minHashCross(batchBanded, bandIndex, blockCol))
+      .distinct()
+  }
+
+  /** The batch×corpus half of [[incrementalMinHashLsh]] — one
+    * definition for the in-memory and store-backed probes. */
+  private def minHashCross(batchBanded: DataFrame, bandIndex: DataFrame,
+                           blockCol: Option[String]): DataFrame =
+    batchBanded
+      .join(bandIndex.withColumnRenamed("id", "corpus_id"),
+        blockCol.toSeq ++ Seq("band", "bh"))
       .filter(col("id") =!= col("corpus_id"))
       .select(least(col("id"), col("corpus_id")).as("id_a"),
         greatest(col("id"), col("corpus_id")).as("id_b"))
       .distinct()
-    internal.unionByName(cross).distinct()
+
+  private[graft] def minHashBandsMeta(numHashes: Int, bands: Int,
+                                      shingleK: Int, maxBucket: Int,
+                                      blockCol: Option[String]): IndexMeta =
+    IndexMeta("minhash_bands", "numHashes" -> numHashes, "bands" -> bands,
+      "shingleK" -> shingleK, "maxBucket" -> maxBucket,
+      "blockCol" -> blockCol.getOrElse("-"))
+
+  /** Persist a [[minHashBandIndex]] to the bucketed band store — the
+    * disk form the daily-batch probe ([[incrementalMinHashLshFromStore]])
+    * reads with a parquet partition filter. */
+  def minHashBandIndexWrite(corpus: DataFrame, idCol: String, textCol: String,
+                            path: String, numHashes: Int = 64,
+                            bands: Int = 16, shingleK: Int = 3,
+                            maxBucket: Int = 200,
+                            blockCol: Option[String] = None,
+                            buckets: Int = 64): Unit =
+    bandIndexStoreWrite(
+      minHashBandIndex(corpus, idCol, textCol, numHashes, bands, shingleK,
+        maxBucket, blockCol),
+      path, minHashBandsMeta(numHashes, bands, shingleK, maxBucket, blockCol),
+      buckets)
+
+  /** [[incrementalMinHashLsh]] against the PERSISTED store: the
+    * batch's band keys are computed once (pinned), their bucket set
+    * becomes the store read's parquet partition filter, and the
+    * manifest check refuses a probe banded differently. Scan cost is
+    * ∝ the batch's bucket set — at 100 TB the corpus index is never
+    * scanned whole per batch. */
+  def incrementalMinHashLshFromStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucket: Int = 200, blockCol: Option[String] = None,
+      buckets: Int = 64, excludeEpoch: Option[String] = None): DataFrame = {
+    val batchBanded = Bridge.freshLeaf(
+      bandedKeys(newDocs, idCol, textCol, numHashes, bands, shingleK,
+        blockCol).localCheckpoint(true))
+    val idx = bandIndexStoreProbeRead(spark, path,
+      minHashBandsMeta(numHashes, bands, shingleK, maxBucket, blockCol),
+      batchBanded, excludeEpoch, buckets)
+    val internal = minHashLsh(newDocs, idCol, textCol, numHashes, bands,
+      shingleK, threshold = 0.0, maxBucket, blockCol)
+      .select(col("id_a"), col("id_b"))
+    internal.unionByName(minHashCross(batchBanded, idx, blockCol))
+      .distinct()
   }
 
   /** Shared banding front end: (id, [block,] band, bh) keys from the
@@ -1063,7 +1151,59 @@ object Dedup {
     internal.unionByName(cross).distinct()
   }
 
+  private[graft] def hamming64BandsMeta(family: String,
+                                        maxBucket: Int): IndexMeta =
+    IndexMeta(family, "maxBucket" -> maxBucket)
+
+  /** Persist a [[simHashBandIndex]] to the bucketed band store. */
+  def simHashBandIndexWrite(corpus: DataFrame, idCol: String,
+                            textCol: String, path: String,
+                            maxBucket: Int = 5000, buckets: Int = 64): Unit =
+    bandIndexStoreWrite(simHashBandIndex(corpus, idCol, textCol, maxBucket),
+      path, hamming64BandsMeta("simhash_bands", maxBucket), buckets)
+
+  /** [[incrementalSimHash]] against the PERSISTED store: batch
+    * signatures computed once (pinned), the store read pruned to the
+    * batch's band-key buckets by parquet partition filter. */
+  def incrementalSimHashFromStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 5000, buckets: Int = 64,
+      excludeEpoch: Option[String] = None): DataFrame =
+    incrementalHamming64FromStore(spark, path,
+      textSigs(newDocs, idCol, textCol), "simhash_bands", maxHamming,
+      maxBucket, buckets, excludeEpoch, family = "simhash")
+
+  /** Store-backed [[incrementalHamming64]] — the signature-level
+    * engine under the SimHash and image-hash probes. */
+  def incrementalHamming64FromStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchSigs: DataFrame, metaFamily: String, maxHamming: Int = 3,
+      maxBucket: Int = 5000, buckets: Int = 64,
+      excludeEpoch: Option[String] = None,
+      family: String = "hamming64"): DataFrame = {
+    val sigs = Bridge.freshLeaf(batchSigs.localCheckpoint(true))
+    val idx = bandIndexStoreProbeRead(spark, path,
+      hamming64BandsMeta(metaFamily, maxBucket), band64(sigs, carry = Nil),
+      excludeEpoch, buckets)
+    incrementalHamming64(sigs, idx, maxHamming, maxBucket, family)
+  }
+
   // --------------------------------------------- persisted band stores
+  /** Inner-partition bucket of a band key: every band-store row and
+    * every probe derive it from the SAME expression, so the probe's
+    * candidate-bucket set is a valid parquet partition filter by
+    * construction. */
+  private[graft] def bandBucket(buckets: Int): Column =
+    pmod(xxhash64(col("band"), col("bh")), lit(buckets.toLong)).cast("int")
+
+  /** The stored manifest carries the bucket count alongside the
+    * caller's banding geometry — a probe at a different bucketing
+    * refuses instead of silently scanning partitions that cannot
+    * match its filter expression. */
+  private def bandMetaWithBuckets(meta: IndexMeta, buckets: Int): IndexMeta =
+    IndexMeta(meta.family, meta.params + ("bb_buckets" -> buckets.toString))
+
   /** Persisted, epoch-structured store for the banding families'
     * indexes ([[minHashBandIndex]], [[simHashBandIndex]],
     * [[srpBandIndex]], [[hamming64BandIndex]]): band-key rows are
@@ -1076,32 +1216,127 @@ object Dedup {
     * "shingleK" -> 3, "maxBucket" -> 200)`, …): reads and appends
     * check it, so a probe banded differently refuses loudly instead
     * of silently missing candidates — the persisted-level enforcement
-    * of the byte-identical-band-keys contracts (q93/q97/q98). */
+    * of the byte-identical-band-keys contracts (q93/q97/q98).
+    *
+    * Layout (round 16 — the cert-store discipline applied here): rows
+    * are inner-partitioned by `bb = pmod(xxhash64(band, bh), buckets)`
+    * so a batch probe reads ONLY its own band keys' buckets as a
+    * parquet partition filter ([[bandIndexStoreProbeRead]]) — at
+    * 100 TB the probe's scan cost is ∝ the batch's bucket set, not
+    * the corpus index. FORMAT BREAK vs rounds ≤ 15: the old flat
+    * layout (no `bb`, no `bb_buckets` manifest key) is refused by the
+    * manifest check with no migration path — rebuild the store with
+    * [[bandIndexStoreWrite]]; nothing long-lived used the old layout. */
   def bandIndexStoreWrite(index: DataFrame, path: String,
-                          meta: IndexMeta): Unit = {
-    EpochIndex.bootstrap(index, path)
-    IndexMeta.write(index.sparkSession, path, meta)
+                          meta: IndexMeta, buckets: Int = 64): Unit = {
+    EpochIndex.bootstrap(index.withColumn("bb", bandBucket(buckets)),
+      path, innerPartCols = Seq("bb"))
+    IndexMeta.write(index.sparkSession, path,
+      bandMetaWithBuckets(meta, buckets))
   }
 
   def bandIndexStoreRead(spark: org.apache.spark.sql.SparkSession,
                          path: String, meta: IndexMeta,
-                         excludeEpoch: Option[String] = None): DataFrame = {
-    IndexMeta.check(spark, path, meta)
+                         excludeEpoch: Option[String] = None,
+                         buckets: Int = 64): DataFrame = {
+    IndexMeta.check(spark, path, bandMetaWithBuckets(meta, buckets))
     EpochIndex.read(spark, path, excludeEpoch,
-      bootstrapName = "bandIndexStoreWrite").drop(EpochIndex.EpochCol)
+      innerPartCols = Seq("bb"),
+      bootstrapName = "bandIndexStoreWrite")
+      .drop(EpochIndex.EpochCol).drop("bb")
+  }
+
+  /** Partition-pruned probe read: only the buckets the batch's own
+    * band keys hash into are scanned — `batchBands` carries (band,
+    * bh) rows (any extra columns ignored), the distinct bucket set is
+    * bounded by `buckets` (driver-read under that bound), and the
+    * returned frame is exactly [[bandIndexStoreRead]] restricted to
+    * those buckets — which, joined on the full band key, loses no
+    * candidate because every index row a batch key can match carries
+    * the batch key's own bucket. */
+  def bandIndexStoreProbeRead(spark: org.apache.spark.sql.SparkSession,
+                              path: String, meta: IndexMeta,
+                              batchBands: DataFrame,
+                              excludeEpoch: Option[String] = None,
+                              buckets: Int = 64): DataFrame = {
+    IndexMeta.check(spark, path, bandMetaWithBuckets(meta, buckets))
+    val bbs = BoundedRead.boundedDriverRead(
+      batchBands.select(bandBucket(buckets).as("bb")).distinct(),
+      buckets, "bandIndexStoreProbeRead buckets",
+      s"distinct pmod values are bounded by buckets = $buckets")
+      .map(_.getInt(0))
+    // observed = false: the probe's whole value is the bucket-pruned
+    // scan, and a CollectMetrics barrier above the store read would
+    // block the bb filter from reaching partition pruning (the
+    // ivfIndexRead precedent — see EpochIndex.read's scaladoc)
+    EpochIndex.read(spark, path, excludeEpoch,
+      innerPartCols = Seq("bb"),
+      bootstrapName = "bandIndexStoreWrite", observed = false)
+      .filter(col("bb").isin(bbs: _*))
+      .drop(EpochIndex.EpochCol).drop("bb")
   }
 
   def bandIndexStoreAppend(spark: org.apache.spark.sql.SparkSession,
                            path: String, partial: DataFrame, epoch: String,
-                           meta: IndexMeta): Unit = {
-    IndexMeta.check(spark, path, meta)
-    EpochIndex.append(partial, path, epoch)
+                           meta: IndexMeta, buckets: Int = 64): Unit = {
+    IndexMeta.check(spark, path, bandMetaWithBuckets(meta, buckets))
+    EpochIndex.append(partial.withColumn("bb", bandBucket(buckets)),
+      path, epoch, innerPartCols = Seq("bb"))
   }
 
   def bandIndexStoreCompact(spark: org.apache.spark.sql.SparkSession,
                             path: String,
                             keepVersions: Int = 2): EpochIndex.CompactionStats =
-    EpochIndex.compact(spark, path, identity, keepVersions = keepVersions)
+    EpochIndex.compact(spark, path, identity,
+      innerPartCols = Seq("bb"), keepVersions = keepVersions)
+
+  /** Erase documents from a band-index store — disk-level (the q237
+    * discipline extended to the legacy band families): band rows are
+    * per-document, so the erased store is exactly the retained
+    * documents' index, and after the rewrite no retained version,
+    * epoch directory or marker holds an erased id (q238 pins
+    * post-erase probe ≡ never-ingested against a from-scratch index
+    * over the retained corpus). Total erasure tears the store down
+    * ([[EpochIndex.eraseRewrite]]'s empty-keep path).
+    *
+    * @param ids one-column frame of victim ids (any column name) */
+  def bandIndexStoreErase(spark: org.apache.spark.sql.SparkSession,
+                          path: String, ids: DataFrame, meta: IndexMeta,
+                          buckets: Int = 64): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, bandMetaWithBuckets(meta, buckets))
+    val victims = ids.select(col(ids.columns.head).as("_vid")).distinct()
+    EpochIndex.eraseRewrite(spark, path,
+      p => p.join(victims.select(col("_vid").as("id")), Seq("id"),
+        "left_anti"),
+      innerPartCols = Seq("bb"))
+  }
+
+  /** [[bandIndexStoreErase]] under the MinHash family manifest. */
+  def minHashBandIndexErase(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: DataFrame,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleK: Int = 3, maxBucket: Int = 200,
+                            blockCol: Option[String] = None,
+                            buckets: Int = 64): EpochIndex.CompactionStats =
+    bandIndexStoreErase(spark, path, ids,
+      minHashBandsMeta(numHashes, bands, shingleK, maxBucket, blockCol),
+      buckets)
+
+  /** [[bandIndexStoreErase]] under the SimHash family manifest. */
+  def simHashBandIndexErase(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: DataFrame,
+                            maxBucket: Int = 5000,
+                            buckets: Int = 64): EpochIndex.CompactionStats =
+    bandIndexStoreErase(spark, path, ids,
+      hamming64BandsMeta("simhash_bands", maxBucket), buckets)
+
+  /** [[bandIndexStoreErase]] under the SRP family manifest. */
+  def srpBandIndexErase(spark: org.apache.spark.sql.SparkSession,
+                        path: String, ids: DataFrame,
+                        maxBucket: Int = 5000,
+                        buckets: Int = 64): EpochIndex.CompactionStats =
+    bandIndexStoreErase(spark, path, ids,
+      hamming64BandsMeta("srp_bands", maxBucket), buckets)
 
   /** 4×16-bit banding of a materialized 64-bit `sig` column — the ONE
     * implementation behind SimHash and SRP banding, so the
@@ -1530,7 +1765,16 @@ object Dedup {
                               roundTo: Int = 4): DataFrame = {
     val internal = embeddingLshPairs(newDocs, idCol, vecCol, threshold,
       maxBucket, roundTo).select("id_a", "id_b", "cos")
-    val cross = srpBanded(newDocs, idCol, vecCol)
+    internal.unionByName(
+      srpCross(srpBanded(newDocs, idCol, vecCol), bandIndex, threshold,
+        roundTo)).distinct()
+  }
+
+  /** The batch×corpus half of [[incrementalEmbeddingLsh]] — one
+    * definition for the in-memory and store-backed probes. */
+  private def srpCross(batchBanded: DataFrame, bandIndex: DataFrame,
+                       threshold: Double, roundTo: Int): DataFrame =
+    batchBanded
       .join(bandIndex
           .withColumnRenamed("id", "corpus_id")
           .withColumnRenamed("vec", "corpus_vec"),
@@ -1541,7 +1785,31 @@ object Dedup {
         round(Sim.cosine(col("vec"), col("corpus_vec")), roundTo).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
-    internal.unionByName(cross).distinct()
+
+  /** Persist an [[srpBandIndex]] to the bucketed band store. */
+  def srpBandIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                        path: String, maxBucket: Int = 5000,
+                        buckets: Int = 64): Unit =
+    bandIndexStoreWrite(srpBandIndex(corpus, idCol, vecCol, maxBucket),
+      path, hamming64BandsMeta("srp_bands", maxBucket), buckets)
+
+  /** [[incrementalEmbeddingLsh]] against the PERSISTED store: batch
+    * SRP banding computed once (pinned), store read pruned to the
+    * batch's band-key buckets by parquet partition filter. */
+  def incrementalEmbeddingLshFromStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxBucket: Int = 5000, buckets: Int = 64,
+      roundTo: Int = 4, excludeEpoch: Option[String] = None): DataFrame = {
+    val batchBanded = Bridge.freshLeaf(
+      srpBanded(newDocs, idCol, vecCol).localCheckpoint(true))
+    val idx = bandIndexStoreProbeRead(spark, path,
+      hamming64BandsMeta("srp_bands", maxBucket), batchBanded,
+      excludeEpoch, buckets)
+    val internal = embeddingLshPairs(newDocs, idCol, vecCol, threshold,
+      maxBucket, roundTo).select("id_a", "id_b", "cos")
+    internal.unionByName(srpCross(batchBanded, idx, threshold, roundTo))
+      .distinct()
   }
 
   /** Shared SRP banding front end ([[band64]] carrying the vector for
@@ -2193,15 +2461,26 @@ object Dedup {
       victims.select(col("_vid").as("id")), Seq("id"), "left_anti")
     EpochIndex.eraseRewrite(spark, s"$path/$CertTextFps", keepIds,
       innerPartCols = Seq("ib"))
-    EpochIndex.eraseRewrite(spark, s"$path/$CertTextPostings", keepIds,
-      innerPartCols = Seq("pb"))
-    val rebuilt = EpochIndex.read(spark, s"$path/$CertTextPostings",
-      innerPartCols = Seq("pb"), bootstrapName = "certTextIndexWrite",
-      observed = false)
-      .drop(EpochIndex.EpochCol)
-      .groupBy(col("pb"), col("pt")).agg(count(lit(1)).as("cnt"))
-    EpochIndex.eraseRewrite(spark, s"$path/$CertTextStats",
-      _ => rebuilt, innerPartCols = Seq("pb"))
+    val post = EpochIndex.eraseRewrite(spark, s"$path/$CertTextPostings",
+      keepIds, innerPartCols = Seq("pb"))
+    // TOTAL erasure (every document a victim): the postings store was
+    // torn down, so there is nothing to rebuild counts from — tear
+    // the stats substore down the same way (a schema-preserving empty
+    // keep takes eraseRewrite's teardown path) instead of reading a
+    // store that no longer exists
+    if (post.version == EpochIndex.TornDownVersion)
+      EpochIndex.eraseRewrite(spark, s"$path/$CertTextStats",
+        _.limit(0), innerPartCols = Seq("pb"))
+    else {
+      val rebuilt = EpochIndex.read(spark, s"$path/$CertTextPostings",
+        innerPartCols = Seq("pb"), bootstrapName = "certTextIndexWrite",
+        observed = false)
+        .drop(EpochIndex.EpochCol)
+        .groupBy(col("pb"), col("pt")).agg(count(lit(1)).as("cnt"))
+      EpochIndex.eraseRewrite(spark, s"$path/$CertTextStats",
+        _ => rebuilt, innerPartCols = Seq("pb"))
+      ()
+    }
   }
 
   /** [[certTextIndexErase]]'s cosine twin: band rows drop by id, the
@@ -2214,16 +2493,23 @@ object Dedup {
                         maxCell: Long = 100000L, roundTo: Int = 4): Unit = {
     certVecPivots(spark, path, threshold, roundTo, maxCell)
     val victims = ids.select(col(ids.columns.head).as("_vid")).distinct()
-    EpochIndex.eraseRewrite(spark, s"$path/$CertVecBands",
+    val bands = EpochIndex.eraseRewrite(spark, s"$path/$CertVecBands",
       p => p.join(victims.select(col("_vid").as("id")), Seq("id"),
         "left_anti"),
       innerPartCols = Seq("b0", "b1"))
-    val rebuilt = EpochIndex.read(spark, s"$path/$CertVecBands",
-      innerPartCols = Seq("b0", "b1"),
-      bootstrapName = "certVecIndexWrite", observed = false)
-      .drop(EpochIndex.EpochCol)
-      .groupBy(col("b0"), col("b1")).agg(count(lit(1)).as("cnt"))
-    EpochIndex.eraseRewrite(spark, s"$path/$CertVecStats", _ => rebuilt)
+    // total erasure: band store torn down → tear the stats down too
+    // (certTextIndexErase's branch, cosine twin)
+    if (bands.version == EpochIndex.TornDownVersion)
+      EpochIndex.eraseRewrite(spark, s"$path/$CertVecStats", _.limit(0))
+    else {
+      val rebuilt = EpochIndex.read(spark, s"$path/$CertVecBands",
+        innerPartCols = Seq("b0", "b1"),
+        bootstrapName = "certVecIndexWrite", observed = false)
+        .drop(EpochIndex.EpochCol)
+        .groupBy(col("b0"), col("b1")).agg(count(lit(1)).as("cnt"))
+      EpochIndex.eraseRewrite(spark, s"$path/$CertVecStats", _ => rebuilt)
+      ()
+    }
   }
 
   // ------------------------------------------- persisted repair labels
@@ -2669,6 +2955,37 @@ object Dedup {
                             path: String): Boolean =
     EpochIndex.nonEmpty(spark, s"$path/$CertTextFps",
       innerPartCols = Seq("ib"))
+
+  /** Does `corpus` hold at least one row the text certification index
+    * would carry — a non-empty shingle set at this granularity (the
+    * exact [[certTextParts]] filters)? The activation predicate that
+    * lets the streaming sink tell a WRONGLY-empty index under a
+    * standing indexable corpus (refuse — probes would silently miss
+    * pairs) from a LEGITIMATELY empty one (every ingested text empty
+    * at this shingleK: no probe could ever match, and the suggested
+    * repair `certTextIndexWrite` cannot produce index rows from such
+    * a corpus either — refusing would brick the pipeline forever).
+    * `limit(1)` under the filter: the scan stops at the first
+    * indexable row, so the common refusal check stays cheap even when
+    * this rare empty-index branch is taken. */
+  def certTextHasIndexable(corpus: DataFrame, textCol: String,
+                           shingleK: Int = 1): Boolean = {
+    val shingleCol =
+      if (shingleK == 1) array_distinct(TextFunctions.tokens(col(textCol)))
+      else shingles(col(textCol), shingleK)
+    !corpus
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .filter(size(shingleCol) > 0)
+      .limit(1).isEmpty
+  }
+
+  /** [[certTextHasIndexable]]'s cosine twin: any non-zero-norm vector
+    * ([[certVecRows]] drops zero-norm rows — they cannot band, so a
+    * corpus of only zero-norm vectors legitimately yields an empty
+    * band store). */
+  def certVecHasIndexable(corpus: DataFrame, vecCol: String): Boolean =
+    !corpus.filter(Sim.cosine(col(vecCol), col(vecCol)) > 0.0)
+      .limit(1).isEmpty
 
   /** Compaction: fingerprint and postings rows are disjoint across
     * epochs (identity fold — one row per document/prefix token,
@@ -3152,6 +3469,57 @@ object Dedup {
                            keepVersions: Int = 2): EpochIndex.CompactionStats = {
     IndexMeta.requireFamily(spark, path, GramFamily)
     EpochIndex.compact(spark, path, gramCountsFold, keepVersions = keepVersions)
+  }
+
+  /** Shared count-subtraction erase fold for the additive count
+    * stores (gram_freq, boilerplate line counts): counts ADD over
+    * disjoint-doc partials, so erasing documents = folding in the
+    * victims' OWN partial negated — exact (the partial is a
+    * deterministic function of the victim text, so it is bitwise the
+    * contribution ingest added) and O(victims), not O(corpus). Rows
+    * whose count reaches zero leave the disk (grams/lines unique to
+    * the victims survive nowhere); a NEGATIVE count refuses loudly —
+    * it means a "victim" was never ingested (or was ingested with
+    * different text), and dropping the row would silently erase a
+    * retained document's contribution too. */
+  private def countSubtractErase(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      victimPartial: DataFrame, keyCol: String,
+      cntCol: String, op: String): EpochIndex.CompactionStats = {
+    val negated = victimPartial.select(col(keyCol),
+      (-col(cntCol)).as(cntCol))
+    EpochIndex.eraseRewrite(spark, path, p =>
+      p.unionByName(negated)
+        .groupBy(col(keyCol)).agg(sum(col(cntCol)).as(cntCol))
+        .filter(col(cntCol) =!= 0L)
+        .withColumn(cntCol,
+          when(col(cntCol) < 0L,
+            raise_error(concat(
+              lit(s"$op: negative $cntCol for "), col(keyCol).cast("string"),
+              lit(" — a victim document was never ingested here (or was " +
+                "ingested with different text); erase only documents " +
+                "this store actually indexed"))).cast("long"))
+          .otherwise(col(cntCol)))
+        .select(col(keyCol), col(cntCol)))
+  }
+
+  /** Erase documents from a persisted gram-frequency index —
+    * disk-level, by exact count subtraction ([[countSubtractErase]]):
+    * after it returns the store equals [[gramFreqIndex]] over the
+    * corpus WITHOUT the victims, and grams unique to the victims
+    * survive in no retained version or epoch.
+    *
+    * @param victimDocs the victim documents (id + text — the RTBF
+    *                   request payload; their gram partial must be
+    *                   recomputable to be subtractable) */
+  def gramFreqIndexErase(spark: org.apache.spark.sql.SparkSession,
+                         path: String, victimDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, gramFreqIndexMeta(n))
+    countSubtractErase(spark, path,
+      gramFreqIndex(victimDocs, idCol, textCol, n),
+      "gram_fp", "n_docs", "gramFreqIndexErase")
   }
 
   def incrementalDupGramFraction(batch: DataFrame, index: DataFrame,

@@ -216,6 +216,11 @@ object EpochIndex {
         .foreach(deleteEpochDirs(spark, root, _, innerPartCols))
       fs.delete(new Path(p, BaseDir), true)
       fs.delete(new Path(p, CommitsDir), true)
+      // the erasure log describes THIS store's content lineage — a
+      // bootstrap replaces that lineage wholesale, so the log resets
+      // with it (a re-bootstrapped demo/test store must not inherit a
+      // prior life's erasure citations)
+      fs.delete(new Path(p, ErasuresFile), false)
     }
     df.withColumn(EpochCol, lit("base"))
       .write.partitionBy(innerPartCols :+ EpochCol: _*)
@@ -418,6 +423,51 @@ object EpochIndex {
                              carried: Seq[String], gcd: Seq[String],
                              uncommitted: Seq[String] = Nil)
 
+  /** Version sentinel in [[CompactionStats]] when [[eraseRewrite]]
+    * tore the store down because `keep` removed every row — family
+    * erasers branch on it to skip rebuild reads of a store that no
+    * longer exists. Starts with `_` so it can never collide with a
+    * real `v=N` version directory name. */
+  val TornDownVersion = "_torn_down"
+
+  /** Control-flow signal inside [[eraseRewrite]]'s fold: the kept set
+    * is empty, so abort the publish (before the `_CURRENT` flip) and
+    * tear the store down instead. Never escapes eraseRewrite. */
+  private final class EraseLeavesNothing extends RuntimeException
+
+  private val ErasuresFile = "_ERASURES"
+
+  /** The store's erasure history — one line per completed
+    * [[eraseRewrite]], oldest first: the version the rewrite
+    * published (`v=N`) or [[TornDownVersion]] for a total erasure.
+    * This is what a release card cites ("N erasure rewrites applied,
+    * last at version V") without replaying any maintenance history —
+    * the erasure counterpart of the `_CURRENT` calibration pointer.
+    * Empty for a store never erased (including stores written before
+    * the log existed — absence of evidence is recorded as zero, the
+    * conservative reading for an audit). */
+  def erasures(spark: SparkSession, root: String): Seq[String] = {
+    val f = new Path(root, ErasuresFile)
+    val fs = fsOf(spark, f)
+    if (!fs.exists(f)) Nil
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Append one line to the erasure log (read + rewrite — local and
+    * object-store FS need no append support; erasures run inside the
+    * same single-writer maintenance window as the rewrite itself). */
+  private def logErasure(spark: SparkSession, root: String,
+                         line: String): Unit = {
+    val prior = erasures(spark, root)
+    writeTextFile(fsOf(spark, new Path(root)),
+      new Path(root, ErasuresFile), (prior :+ line).mkString("\n"))
+  }
+
   /** Fold the current base plus a snapshot of the live epochs into a
     * new base version and flip `_CURRENT` atomically. `fold` receives
     * the unioned partial rows WITHOUT `_epoch` and must return one
@@ -500,7 +550,20 @@ object EpochIndex {
     * would survive in the torn directory — repair or remove it first.
     * Runs under the same single-writer maintenance-window assumption
     * as compaction; a replay across it refuses for the same reason
-    * (the epochs are folded). */
+    * (the epochs are folded).
+    *
+    * TOTAL erasure (keep removes every row) is handled by TEARDOWN,
+    * not publish: Spark writes no parquet files for an empty
+    * partitioned frame, so publishing the empty fold would flip
+    * `_CURRENT` to a file-less base that bricks every later read
+    * (including pass 2's own identity compaction) at schema
+    * inference. And refusing would be worse — the erased rows would
+    * STAY on disk. So when the kept set is empty the store's data
+    * trees (epochs, `_base`, `_commits`, inner-partition branches)
+    * are deleted outright; root-level manifests survive, the store
+    * reads as empty ([[nonEmpty]] false) and a later bootstrap or
+    * append starts it cleanly. Returned stats carry
+    * [[TornDownVersion]] as the version sentinel. */
   def eraseRewrite(spark: SparkSession, root: String,
                    keep: DataFrame => DataFrame,
                    innerPartCols: Seq[String] = Nil): CompactionStats = {
@@ -516,18 +579,45 @@ object EpochIndex {
     // USING-joins silently moves join keys to the front, so the fold
     // output is re-selected into the INPUT's column order here, once,
     // for every caller
-    val first = compact(spark, root, p => {
-      val kept = keep(p)
-      require(kept.columns.toSet == p.columns.toSet,
-        s"eraseRewrite keep must preserve the partial schema at $root: " +
-          s"got ${kept.columns.mkString(",")}, " +
-          s"store has ${p.columns.mkString(",")}")
-      kept.select(p.columns.map(col).toIndexedSeq: _*)
-    }, innerPartCols, keepVersions = 1)
+    val first = try {
+      compact(spark, root, p => {
+        val kept = keep(p)
+        require(kept.columns.toSet == p.columns.toSet,
+          s"eraseRewrite keep must preserve the partial schema at $root: " +
+            s"got ${kept.columns.mkString(",")}, " +
+            s"store has ${p.columns.mkString(",")}")
+        val out = kept.select(p.columns.map(col).toIndexedSeq: _*)
+        // the emptiness probe runs INSIDE the fold, before
+        // publishVersion — aborting here leaves the store on its old
+        // base (the compaction crash-safety contract), and the catch
+        // below tears it down instead
+        if (out.isEmpty) throw new EraseLeavesNothing
+        out
+      }, innerPartCols, keepVersions = 1)
+    } catch {
+      case _: EraseLeavesNothing =>
+        val folded = committedEpochNames(spark, root, innerPartCols)
+        val p = new Path(root)
+        val fs = fsOf(spark, p)
+        // delete every data tree: `_base`, `_commits`, and every
+        // partition directory (inner-partition branches and top-level
+        // `_epoch=` dirs both carry '='); manifests and other root
+        // files survive so family meta checks still hold
+        fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && {
+            val n = st.getPath.getName
+            n == BaseDir || n == CommitsDir || n.contains("=")
+          })
+          .foreach(st => fs.delete(st.getPath, true))
+        logErasure(spark, root, TornDownVersion)
+        return CompactionStats(TornDownVersion, folded, Nil, folded)
+    }
     // pass 2 folds the just-published base alone (identity is exact on
     // one partial, whatever the family fold) and GCs the carried
     // epoch directories + the superseded version
-    compact(spark, root, identity, innerPartCols, keepVersions = 1)
+    val second = compact(spark, root, identity, innerPartCols,
+      keepVersions = 1)
+    logErasure(spark, root, second.version)
     first
   }
 

@@ -105,6 +105,20 @@ object HeavyHitters {
     EpochIndex.append(partial, path, epoch)
   }
 
+  /** ERASURE form — a REBUILD (the sketch-store convention, even
+    * though CMS cells are additive in principle): recompute over the
+    * retained stream and rewrite disk-clean via
+    * [[EpochIndex.eraseRewrite]]'s constant fold, so no epoch or
+    * retained version still carries cells the victims raised. One
+    * convention across all four sketch families beats a per-family
+    * subtract-vs-rebuild split an operator must memorize. */
+  def cmsIndexErase(spark: org.apache.spark.sql.SparkSession,
+                    path: String, rebuilt: DataFrame, depth: Int,
+                    width: Int, itemName: String): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, cmsMeta(depth, width, itemName))
+    EpochIndex.eraseRewrite(spark, path, _ => rebuilt)
+  }
+
   /** Checked read: the summed cells across base and live epochs —
     * ≡ [[countMinSketch]] over the concatenated streams. */
   def cmsIndexRead(spark: org.apache.spark.sql.SparkSession,

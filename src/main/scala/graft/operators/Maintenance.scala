@@ -133,6 +133,7 @@ object Maintenance {
       case "cert_text" => Seq("fps" -> Seq("ib"), "postings" -> Seq("pb"),
         "stats" -> Seq("pb"))
       case "cert_vec" => Seq("bands" -> Seq("b0", "b1"), "stats" -> Nil)
+      case f if f.endsWith("_bands") => Seq("" -> Seq("bb"))
       case _ => Seq("" -> Nil)
     }
 

@@ -311,6 +311,73 @@ object Relevance {
     stats
   }
 
+  /** Erase documents from a stored retrieval index — disk-level, both
+    * substores: posting rows are per-document (filter), and the
+    * corpus statistics SUBTRACT the victims' exact partial (N and
+    * Σdl are additive over disjoint doc sets, and the partial is the
+    * same deterministic [[bm25Postings]] computation ingest ran — so
+    * the erased stats are bitwise the retained corpus's, including
+    * zero-token victims, which carry no postings but did count toward
+    * N). After it returns, every probe scores exactly as if the
+    * victims were never ingested, and no retained version, epoch or
+    * marker holds a victim's posting. Requires the victim DOCUMENTS
+    * (id + text — the RTBF request payload) and the same ingest
+    * contract every append relies on: a doc id lands in exactly one
+    * epoch, so erase only documents this index actually ingested
+    * (subtracting a never-ingested doc would corrupt N/avgdl for
+    * every retained document's score — same failure class the
+    * fresh-checkpoint refusal guards on the streaming side). */
+  def bm25IndexErase(spark: org.apache.spark.sql.SparkSession,
+                     path: String, victimDocs: DataFrame, idCol: String,
+                     textCol: String): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, postingsMeta(idCol, textCol))
+    val (_, victimStats) = bm25Postings(victimDocs, idCol, textCol)
+    val negated = victimStats.select((-col("n_docs")).as("n_docs"),
+      (-col("sumdl")).as("sumdl"))
+    val victims = victimDocs
+      .select(col(idCol).cast("long").as("doc_id")).distinct()
+    // membership check BEFORE any rewrite: a tokenized victim that has
+    // no posting row was never ingested here — subtracting its stats
+    // partial would corrupt N/avgdl for every retained score with no
+    // loud symptom (the negative-stats guard below only catches gross
+    // overshoot). Zero-token victims have no postings by construction
+    // and cannot be membership-checked — their mis-erase remains the
+    // caller's ingest-contract responsibility (scaladoc).
+    val tokenized = victimDocs
+      .filter(graft.functions.TextFunctions.tokenCount(col(textCol)) > 0)
+      .select(col(idCol).cast("long").as("doc_id")).distinct()
+    val missing = tokenized.join(
+      EpochIndex.read(spark, s"$path/postings",
+        bootstrapName = "bm25IndexWrite", observed = false)
+        .select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti").limit(6).collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"bm25IndexErase: victim ids ${missing.mkString(", ")} have no " +
+        "posting rows — they were never ingested here (or were ingested " +
+        "with different text); erasing them would silently corrupt the " +
+        "corpus statistics. Erase only documents this index ingested")
+    val postings = EpochIndex.eraseRewrite(spark, s"$path/postings",
+      p => p.join(victims, Seq("doc_id"), "left_anti"))
+    EpochIndex.eraseRewrite(spark, s"$path/stats", p =>
+      p.unionByName(negated)
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("sumdl")), lit(0L)).as("sumdl"))
+        // the negative check runs BEFORE the zero-row drop — a
+        // subtraction that overshoots must refuse, not tear down
+        .withColumn("n_docs",
+          when(col("n_docs") < 0L || col("sumdl") < 0L,
+            raise_error(lit(
+              "bm25IndexErase: negative corpus statistics after the " +
+                "subtraction — a victim document was never ingested " +
+                "here (or was ingested with different text); erase " +
+                "only documents this index actually ingested"))
+              .cast("long"))
+          .otherwise(col("n_docs")))
+        .filter(col("n_docs") > 0L)
+        .select(col("n_docs"), col("sumdl")))
+    postings
+  }
+
   /** BM25 top-k from the STORED index — bit-identical to
     * [[bm25TopDocs]] over the union of the indexed document sets,
     * without touching a single document:

@@ -159,6 +159,18 @@ object SampleSketch {
     EpochIndex.append(partial, path, epoch)
   }
 
+  /** ERASURE form — a REBUILD (`Cardinality.hllIndexErase`'s
+    * rationale): a bottom-k value sample cannot re-admit the entries
+    * a victim displaced, so recompute over the retained corpus and
+    * rewrite disk-clean via the constant fold. */
+  def sampleSketchIndexErase(spark: org.apache.spark.sql.SparkSession,
+                             path: String, rebuilt: DataFrame, k: Int,
+                             keyName: String,
+                             valueName: String): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, indexMeta(k, keyName, valueName))
+    EpochIndex.eraseRewrite(spark, path, _ => rebuilt)
+  }
+
   /** Checked read: one merged sketch per group across the compacted
     * base and live epochs — ≡ [[sampleSketch]] over the union of the
     * profiled row sets (bottom-k closure). */

@@ -739,6 +739,27 @@ object Similarity {
       innerPartCols = Seq("cell"), keepVersions = keepVersions)
   }
 
+  /** Erase vectors from a stored IVF index — disk-level (the q237
+    * discipline): assignment rows are per-vector, so the erased store
+    * is exactly the retained vectors' index and every probe answers
+    * as if the victims never ingested. The centroids are UNTOUCHED —
+    * like the cert_vec pivots, they are aggregate directions, not
+    * records of any document, and keeping them is what lets already-
+    * assigned epochs stay consistent. Total erasure tears the
+    * assignments store down ([[EpochIndex.eraseRewrite]]).
+    *
+    * @param ids one-column frame of victim ids (any column name) */
+  def ivfIndexErase(spark: org.apache.spark.sql.SparkSession,
+                    path: String, ids: DataFrame,
+                    idCol: String): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, IvfFamily)
+    val victims = ids.select(col(ids.columns.head).as("_vid")).distinct()
+    EpochIndex.eraseRewrite(spark, s"$path/assignments",
+      p => p.join(victims.select(col("_vid").as(idCol)), Seq(idCol),
+        "left_anti"),
+      innerPartCols = Seq("cell"))
+  }
+
   /** Incremental append: assign ONLY the new vectors to the existing
     * centroids — the corpus pays nothing. Returns the appended-to
     * index; for a STORED index use [[ivfAppendWrite]] (a hand-rolled
@@ -1041,6 +1062,21 @@ object Similarity {
     IndexMeta.requireFamily(spark, path, IvfPqFamily)
     EpochIndex.compact(spark, s"$path/codes", identity,
       innerPartCols = Seq("cell"), keepVersions = keepVersions)
+  }
+
+  /** [[ivfIndexErase]]'s PQ twin: code rows are per-vector, so they
+    * filter; centroids AND codebooks stay — both are aggregate
+    * quantizer geometry (the frozen-pivot rationale), and keeping
+    * them is what keeps already-encoded epochs decodable. */
+  def ivfPqIndexErase(spark: org.apache.spark.sql.SparkSession,
+                      path: String, ids: DataFrame,
+                      idCol: String): EpochIndex.CompactionStats = {
+    IndexMeta.requireFamily(spark, path, IvfPqFamily)
+    val victims = ids.select(col(ids.columns.head).as("_vid")).distinct()
+    EpochIndex.eraseRewrite(spark, s"$path/codes",
+      p => p.join(victims.select(col("_vid").as(idCol)), Seq(idCol),
+        "left_anti"),
+      innerPartCols = Seq("cell"))
   }
 
   /** Probe a stored IVF+PQ index: [[ivfPqTopK]] semantics with the

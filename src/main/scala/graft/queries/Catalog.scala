@@ -2626,11 +2626,16 @@ object Catalog {
     val docs = Tables.documents(s, d)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-    val index = Dedup.minHashBandIndex(corpus, "doc_id", "text",
+    // the index is a PERSISTED bucketed store (round 16): the probe
+    // reads only the batch's band-key buckets as a parquet partition
+    // filter — PlanAuditSpec gates partitionFilters.nonEmpty on it
+    val root = scratchDir(s, "q93_lshidx")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Dedup.minHashBandIndexWrite(corpus, "doc_id", "text", root,
       numHashes = 64, bands = 32, shingleK = 1,
       maxBucket = 10000, blockCol = Some("source"))
-    val incremental = Dedup.incrementalMinHashLsh(batch, "doc_id", "text", index,
-      numHashes = 64, bands = 32, shingleK = 1,
+    val incremental = Dedup.incrementalMinHashLshFromStore(s, root, batch,
+      "doc_id", "text", numHashes = 64, bands = 32, shingleK = 1,
       maxBucket = 10000, blockCol = Some("source"))
     val full = Dedup.minHashLsh(docs, "doc_id", "text",
       numHashes = 64, bands = 32, shingleK = 1, threshold = 0.0,
@@ -2824,10 +2829,13 @@ object Catalog {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-    val index = Dedup.simHashBandIndex(corpus, "doc_id", "text",
+    // persisted bucketed store + partition-pruned probe (round 16)
+    val root = scratchDir(s, "q97_shidx")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Dedup.simHashBandIndexWrite(corpus, "doc_id", "text", root,
       maxBucket = 10000)
-    val incremental = Dedup.incrementalSimHash(batch, "doc_id", "text", index,
-      maxHamming = 3, maxBucket = 10000)
+    val incremental = Dedup.incrementalSimHashFromStore(s, root, batch,
+      "doc_id", "text", maxHamming = 3, maxBucket = 10000)
     val full = Dedup.simHashPairs(docs, "doc_id", "text",
       maxHamming = 3, maxBucket = 10000).select("id_a", "id_b")
     restrictedEquivalence(batch, batch.select(col("doc_id").as("id_a")),
@@ -2861,10 +2869,13 @@ object Catalog {
       .unionByName(planted)
     val corpus = vecs.filter(pmod(col("vec_id"), lit(3)) =!= 0)
     val threshold = 0.99
-    val index = Dedup.srpBandIndex(corpus, "vec_id", "embedding",
+    // persisted bucketed store + partition-pruned probe (round 16)
+    val root = scratchDir(s, "q98_srpidx")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Dedup.srpBandIndexWrite(corpus, "vec_id", "embedding", root,
       maxBucket = 10000)
-    val incremental = Dedup.incrementalEmbeddingLsh(batch, "vec_id", "embedding",
-      index, threshold, maxBucket = 10000)
+    val incremental = Dedup.incrementalEmbeddingLshFromStore(s, root, batch,
+      "vec_id", "embedding", threshold, maxBucket = 10000)
       .select("id_a", "id_b")
     val full = Dedup.embeddingLshPairs(vecs.unionByName(planted),
       "vec_id", "embedding", threshold, maxBucket = 10000)
@@ -9236,7 +9247,9 @@ object Catalog {
       |           AS BIGINT) AS repair_dropped
       |  FROM comp),
       |cal AS (SELECT 'alpha_ratio' AS calibration_score,
-      |               'v00000001' AS calibration_version)
+      |               'v00000001' AS calibration_version,
+      |               CAST(0 AS BIGINT) AS erasure_rewrites,
+      |               'none' AS last_erasure)
       |SELECT * FROM base CROSS JOIN certj CROSS JOIN certc
       |CROSS JOIN rep CROSS JOIN cal""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
@@ -9313,6 +9326,59 @@ object Catalog {
     Dedup.certTextIndexProbe(s, s"$root/idx",
       docs.filter(pmod(col("doc_id"), lit(13)) === 0),
       "doc_id", "text", threshold = 0.85, shingleK = 1)
+  }
+
+  /** q237's discipline extended to the LEGACY band-index families
+    * (the round-16 task): erase documents from the persisted
+    * (bucketed) SimHash band store with [[Dedup.simHashBandIndexErase]]
+    * — a disk-level [[EpochIndex.eraseRewrite]] — then prove, in one
+    * result the oracle pins, that (a) the partition-pruned probe
+    * against the erased store equals the probe against a FROM-SCRATCH
+    * index built over the corpus minus the victims (post-erase ≡
+    * never-ingested, the only erasure contract that means anything),
+    * and (b) a full store read references zero victim ids. The
+    * equality is set equality on (id_a, id_b), computed in-engine
+    * because minhash/simhash band keys are not SQL-expressible — the
+    * q93/q97 oracle pattern (DuckDB re-derives the batch size; the
+    * booleans/zeros are the in-engine proof surfaced as data). */
+  val q238BandErasure = q("q238_band_erasure",
+    "Band-index store erasure: pruned probe after a disk-level erase equals a from-scratch index over the retained corpus (north star: GDPR over persisted indexes)",
+    """SELECT count(*) AS n_batch_docs, TRUE AS sets_match,
+      |       CAST(0 AS BIGINT) AS n_victim_refs
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val victims = corpus.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .select("doc_id")
+    val root = scratchDir(s, "q238_bandidx")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Dedup.simHashBandIndexWrite(corpus, "doc_id", "text", root,
+      maxBucket = 10000)
+    Dedup.simHashBandIndexErase(s, root, victims, maxBucket = 10000)
+    val erased = Dedup.incrementalSimHashFromStore(s, root, batch,
+      "doc_id", "text", maxHamming = 3, maxBucket = 10000)
+      .select("id_a", "id_b")
+    val retained = corpus.join(victims, Seq("doc_id"), "left_anti")
+    val fresh = Dedup.incrementalSimHash(batch, "doc_id", "text",
+      Dedup.simHashBandIndex(retained, "doc_id", "text",
+        maxBucket = 10000), maxHamming = 3, maxBucket = 10000)
+      .select("id_a", "id_b")
+    val missed = fresh.join(erased, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val spurious = erased.join(fresh, Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_spurious"))
+    val victimRefs = Dedup.bandIndexStoreRead(s, root,
+      Dedup.hamming64BandsMeta("simhash_bands", 10000))
+      .join(victims.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .agg(count(lit(1)).as("n_victim_refs"))
+    batch.agg(count(lit(1)).as("n_batch_docs"))
+      .crossJoin(broadcast(missed))
+      .crossJoin(broadcast(spurious))
+      .crossJoin(broadcast(victimRefs))
+      .select(col("n_batch_docs"),
+        (col("n_missed") === 0 && col("n_spurious") === 0).as("sets_match"),
+        col("n_victim_refs"))
   }
 
   /** [[Similarity.simplifiedSilhouette]] under the oracle — the
@@ -9683,5 +9749,5 @@ object Catalog {
     q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
     q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK,
     q234IncrementalRepair, q235RepairLabelsStore, q236CardFromStores,
-    q237CertErasure)
+    q237CertErasure, q238BandErasure)
 }

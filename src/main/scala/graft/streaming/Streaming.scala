@@ -911,7 +911,16 @@ object Streaming {
     * checked, not just recorded: a PRE-EXISTING ledger or index at a
     * different metric/τ/shingleK refuses before any write lands
     * (appends at a different τ are refused, not merged — a silently
-    * mixed ledger would void the release-audit guarantee). */
+    * mixed ledger would void the release-audit guarantee).
+    *
+    * `labelsPath` (optional) keeps the PERSISTED repair labeling
+    * current with every certified batch — the cosine sink's
+    * `cc_labels` fold, here under metric="jaccard": after the ledger
+    * epoch lands, the epoch's pairs min-fold into the store, so the
+    * live certified-repair view is a STORE READ
+    * ([[graft.operators.Dedup.repairSurvivorsFromStore]]), never a CC
+    * recomputation over the ledger. Same self-heal as the cosine
+    * twin: an empty labels store bootstraps from the full ledger. */
   def certIngestSink(stream: DataFrame, spark: SparkSession,
                      corpusPath: String, ledgerPath: String,
                      indexPath: String,
@@ -919,23 +928,32 @@ object Streaming {
                      checkpoint: String, threshold: Double,
                      shingleK: Int = 1,
                      maxBucket: Int = 100000,
-                     buckets: Int = 64): StreamingQuery = {
-    import graft.operators.{Dedup, IndexMeta}
+                     buckets: Int = 64,
+                     labelsPath: Option[String] = None): StreamingQuery = {
+    import graft.operators.{Dedup, EpochIndex, IndexMeta}
     // corpus-ahead-of-index refusal: a standing corpus whose
     // certification index is EMPTY means every probe below would
     // match nothing and the ledger would silently stop equaling the
     // full exact join — the induction this sink exists to maintain.
     // Mirror of the fresh-checkpoint refusals: refuse at activation,
-    // before any write lands.
-    require(!graft.sources.Fs.exists(spark, corpusPath) ||
-      Dedup.certTextIndexNonEmpty(spark, indexPath),
-      s"certIngestSink: corpus at $corpusPath already holds data but " +
-        s"the certification index at $indexPath is empty — probing " +
-        "would certify only self-pairs and the ledger would silently " +
-        "diverge from the full corpus-wide exact join. Bootstrap the " +
-        "index over the standing corpus with certTextIndexWrite (and " +
-        "the ledger with certLedgerWrite) first, or point the sink at " +
-        "a fresh corpusPath")
+    // before any write lands. An index that is empty because the
+    // standing corpus itself has no indexable row (every text empty
+    // at this shingleK) is LEGITIMATE, not torn — certTextIndexWrite
+    // could not produce index rows from it either, so refusing would
+    // brick the pipeline forever; the (rare) empty-index branch pays
+    // one limit(1)-bounded corpus scan to tell the two apart.
+    require(!EpochIndex.nonEmpty(spark, corpusPath) ||
+      Dedup.certTextIndexNonEmpty(spark, indexPath) ||
+      !Dedup.certTextHasIndexable(
+        EpochIndex.read(spark, corpusPath, observed = false,
+          bootstrapName = "certIngestSink"), textCol, shingleK),
+      s"certIngestSink: corpus at $corpusPath already holds indexable " +
+        s"documents but the certification index at $indexPath is empty " +
+        "— probing would certify only self-pairs and the ledger would " +
+        "silently diverge from the full corpus-wide exact join. " +
+        "Bootstrap the index over the standing corpus with " +
+        "certTextIndexWrite (and the ledger with certLedgerWrite) " +
+        "first, or point the sink at a fresh corpusPath")
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -970,6 +988,27 @@ object Streaming {
             // ledger first: a crash here replays with the index still
             // excluding this batch — same standing corpus, same rows
             epochWrite(pinned, ledgerPath, token, epochId)
+            // live repair labels — certVecIngestSink's fold, the
+            // jaccard twin (ledger first, labels as its derived view;
+            // empty labels bootstrap from the full ledger when one
+            // exists, this epoch alone when it does not; min-label
+            // monotonicity makes every replay idempotent)
+            labelsPath.foreach { lp =>
+              val foldPairs =
+                if (graft.operators.EpochIndex.nonEmpty(spark, lp))
+                  pinned.select("id_a", "id_b")
+                else if (graft.operators.EpochIndex.nonEmpty(spark,
+                    ledgerPath))
+                  graft.operators.EpochIndex
+                    .read(spark, ledgerPath, excludeEpoch = Some(epoch),
+                      bootstrapName = "certLedgerWrite")
+                    .select("id_a", "id_b")
+                    .unionByName(pinned.select("id_a", "id_b"))
+                else pinned.select("id_a", "id_b")
+              Dedup.ccLabelsFold(spark, lp, foldPairs, epoch,
+                "jaccard", threshold)
+              ()
+            }
             Dedup.certTextIndexAppend(spark, indexPath, batch,
               idCol, textCol, epoch, threshold, shingleK, maxBucket,
               buckets)
@@ -1018,17 +1057,23 @@ object Streaming {
                         nPivots: Int = 4, maxCell: Long = 100000L,
                         roundTo: Int = 4,
                         labelsPath: Option[String] = None): StreamingQuery = {
-    import graft.operators.{Dedup, IndexMeta}
-    // corpus-ahead-of-index refusal — certIngestSink's, cosine twin
-    require(!graft.sources.Fs.exists(spark, corpusPath) ||
-      Dedup.certVecIndexNonEmpty(spark, indexPath),
-      s"certVecIngestSink: corpus at $corpusPath already holds data " +
-        s"but the certification index at $indexPath is empty — probing " +
-        "would certify only self-pairs and the ledger would silently " +
-        "diverge from the full corpus-wide exact join. Bootstrap the " +
-        "index over the standing corpus with certVecIndexWrite (and " +
-        "the ledger with certLedgerWrite) first, or point the sink at " +
-        "a fresh corpusPath")
+    import graft.operators.{Dedup, EpochIndex, IndexMeta}
+    // corpus-ahead-of-index refusal — certIngestSink's, cosine twin;
+    // same legitimately-empty-index tolerance (a standing corpus of
+    // only zero-norm vectors cannot band, so an empty band store is
+    // the truthful index of it)
+    require(!EpochIndex.nonEmpty(spark, corpusPath) ||
+      Dedup.certVecIndexNonEmpty(spark, indexPath) ||
+      !Dedup.certVecHasIndexable(
+        EpochIndex.read(spark, corpusPath, observed = false,
+          bootstrapName = "certVecIngestSink"), vecCol),
+      s"certVecIngestSink: corpus at $corpusPath already holds " +
+        s"bandable vectors but the certification index at $indexPath " +
+        "is empty — probing would certify only self-pairs and the " +
+        "ledger would silently diverge from the full corpus-wide " +
+        "exact join. Bootstrap the index over the standing corpus " +
+        "with certVecIndexWrite (and the ledger with certLedgerWrite) " +
+        "first, or point the sink at a fresh corpusPath")
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -1074,14 +1119,25 @@ object Streaming {
             // writes, both converge to the complete labeling; the
             // min-label fold makes every replay idempotent.
             labelsPath.foreach { lp =>
+              // the bootstrap branch reads the FULL ledger — but a
+              // fresh pipeline whose batches have all certified zero
+              // pairs has no ledger data yet (empty epoch appends are
+              // no-ops), and an unconditional read would throw and
+              // crash-loop every replay of this batch. An absent/empty
+              // ledger means there is nothing prior to bootstrap from:
+              // fold this epoch's pairs alone (ccLabelsFold treats an
+              // empty first fold as a no-op).
               val foldPairs =
                 if (graft.operators.EpochIndex.nonEmpty(spark, lp))
                   pinned.select("id_a", "id_b")
-                else graft.operators.EpochIndex
-                  .read(spark, ledgerPath, excludeEpoch = Some(epoch),
-                    bootstrapName = "certLedgerWrite")
-                  .select("id_a", "id_b")
-                  .unionByName(pinned.select("id_a", "id_b"))
+                else if (graft.operators.EpochIndex.nonEmpty(spark,
+                    ledgerPath))
+                  graft.operators.EpochIndex
+                    .read(spark, ledgerPath, excludeEpoch = Some(epoch),
+                      bootstrapName = "certLedgerWrite")
+                    .select("id_a", "id_b")
+                    .unionByName(pinned.select("id_a", "id_b"))
+                else pinned.select("id_a", "id_b")
               Dedup.ccLabelsFold(spark, lp, foldPairs, epoch,
                 "cosine", threshold)
               ()

@@ -119,7 +119,7 @@ class CorpusDemoSpec extends SparkSpecBase {
       "cluster_safe_split",
       "budgeted_mixture", "rank_tiers", "curriculum",
       "epoch_order_write", "pack", "kmv_store", "final_card",
-      "attrition"))
+      "erase", "attrition"))
     assert(r.stageSec.forall(_._2 > 0.0))
     // five stores under the sweep now: kmv counts (folded), the frozen
     // quality-cuts snapshot (benign typed skip), BOTH cert_pairs
@@ -146,6 +146,32 @@ class CorpusDemoSpec extends SparkSpecBase {
     assert(r.kmvProbes ===
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select("source").distinct().count())
+    // ---- erase stage (round 16): right-to-be-forgotten end-to-end.
+    // The re-emitted card's pair counts drop by EXACTLY the victims'
+    // ledger contribution (counted from the standing ledgers before
+    // the rewrite — the arithmetic that proves the erase removed the
+    // victims' pairs and nothing else), its released-docs count drops
+    // by the victim count, and the erasure columns cite the rewrite
+    // history the fresh card called "none".
+    val after = r.cardAfterErase.toMap
+    assert(r.nVictims === 2L, s"victim pick moved: $r")
+    assert(card("erasure_rewrites") === "0" &&
+      card("last_erasure") === "none", s"pre-erase card: $card")
+    assert(after("cert_jaccard_pairs").toLong ===
+      card("cert_jaccard_pairs").toLong - r.erasedJacPairs,
+      s"jaccard erase arithmetic: $card -> $after (${r.erasedJacPairs})")
+    assert(after("cert_cosine_pairs").toLong ===
+      card("cert_cosine_pairs").toLong - r.erasedCosPairs,
+      s"cosine erase arithmetic: $card -> $after (${r.erasedCosPairs})")
+    assert(r.erasedJacPairs > 0L,
+      s"degenerate erase stage — victim touched no ledger pair: $r")
+    assert(after("n_docs").toLong === r.nQuality - r.nVictims,
+      s"released-docs count: $after")
+    // three cited stores were rewritten (jac ledger, cos ledger,
+    // labels rebuild); the last citation is store-qualified
+    assert(after("erasure_rewrites") === "3", s"after: $after")
+    assert(after("last_erasure").startsWith("cc_labels:"),
+      s"after: $after")
     GraftSession.sweepPersistedRdds(spark)
     ()
   }

@@ -467,6 +467,47 @@ class CertStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("TOTAL erasure (every document a victim) tears the substores down instead of bricking them") {
+    import spark.implicits._
+    // pre-fix, a keep() that removed every row published a base
+    // version with ZERO parquet files — and the _CURRENT flip landed
+    // before pass 2's identity compaction failed schema inference, so
+    // the store was bricked with the manifest still claiming it live
+    val idx = tmp("eraseall")
+    Dedup.certTextIndexWrite(corpusDocs.toDF("doc_id", "text"),
+      "doc_id", "text", idx, threshold = 0.5, shingleK = 1)
+    Dedup.certTextIndexErase(spark, idx,
+      corpusDocs.map(_._1).toDF("doc_id"), threshold = 0.5, shingleK = 1)
+    assert(!Dedup.certTextIndexNonEmpty(spark, idx))
+    def parquetFiles(f: java.io.File): Seq[String] =
+      Option(f.listFiles).toSeq.flatten.flatMap { c =>
+        if (c.isDirectory) parquetFiles(c)
+        else if (c.getName.endsWith(".parquet")) Seq(c.getPath) else Nil
+      }
+    assert(parquetFiles(new java.io.File(idx)).isEmpty,
+      "parquet survives a total text-store erasure")
+    // the torn-down store starts a clean new life under the same root
+    Dedup.certTextIndexWrite(batch1Docs.take(3).toDF("doc_id", "text"),
+      "doc_id", "text", idx, threshold = 0.5, shingleK = 1)
+    assert(Dedup.certTextIndexProbe(spark, idx,
+      batch2Docs.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, shingleK = 1)
+      .as[(Long, Long, Double)].collect().toSet ===
+      jaccardAgainst(batch1Docs.take(3), batch2Docs, 0.5))
+    // cosine twin
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val root = tmp("eraseallvec")
+    Dedup.certVecIndexWrite(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, threshold = 0.4)
+    Dedup.certVecIndexErase(spark, root,
+      vecs.map(_._1).toDF("vec_id"), threshold = 0.4)
+    assert(!Dedup.certVecIndexNonEmpty(spark, root))
+    assert(parquetFiles(new java.io.File(root)).isEmpty,
+      "parquet survives a total vec-store erasure")
+  }
+
   test("cosine erasure: probe after certVecIndexErase equals the against-join over the retained corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(83)

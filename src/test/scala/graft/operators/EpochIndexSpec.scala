@@ -310,6 +310,51 @@ class EpochIndexSpec extends SparkSpecBase {
     assert(e.getMessage.contains("torn"), e.getMessage)
   }
 
+  test("eraseRewrite: TOTAL erasure tears the store down instead of publishing a file-less base") {
+    // Spark writes no parquet files for an empty partitioned frame, so
+    // publishing the empty fold would flip _CURRENT to a base that
+    // bricks every later read at schema inference — and refusing would
+    // leave the erased rows ON DISK. The contract: teardown.
+    val path = tmp("graft-ei-erase-all")
+    EpochIndex.bootstrap(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    EpochIndex.append(Seq((3L, "c")).toDF("id", "v"), path, "e1")
+    EpochIndex.compact(spark, path, identity)
+    val stats = EpochIndex.eraseRewrite(spark, path, _.filter(lit(false)))
+    assert(stats.version === EpochIndex.TornDownVersion)
+    assert(!EpochIndex.nonEmpty(spark, path))
+    // nothing data-shaped survives anywhere under the root — not in
+    // epoch dirs, not in _base versions, not as commit markers
+    def parquetFiles(dir: java.io.File): Seq[String] =
+      Option(dir.listFiles).toSeq.flatten.flatMap { f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Nil
+      }
+    assert(parquetFiles(new java.io.File(path)).isEmpty,
+      "parquet files survive a total erasure")
+    assert(!new java.io.File(path, "_base").exists,
+      "_base tree survives a total erasure")
+    assert(!new java.io.File(path, "_commits").exists,
+      "commit markers survive a total erasure")
+    // the torn-down store starts a clean new life: append composes
+    EpochIndex.append(Seq((9L, "z")).toDF("id", "v"), path, "e9")
+    assert(EpochIndex.read(spark, path).select("id")
+      .as[Long].collect().toSet === Set(9L))
+    // inner-partitioned twin (the certTextIndexErase/certVecIndexErase
+    // shape the ADVICE flagged): branch dirs must go too
+    val p2 = tmp("graft-ei-erase-all-inner")
+    EpochIndex.bootstrap(
+      Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "pb", "v"), p2,
+      innerPartCols = Seq("pb"))
+    EpochIndex.compact(spark, p2, identity, innerPartCols = Seq("pb"))
+    val s2 = EpochIndex.eraseRewrite(spark, p2, _.filter(lit(false)),
+      innerPartCols = Seq("pb"))
+    assert(s2.version === EpochIndex.TornDownVersion)
+    assert(!EpochIndex.nonEmpty(spark, p2, innerPartCols = Seq("pb")))
+    val shells = Option(new java.io.File(p2).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    assert(shells.isEmpty, s"partition shells survive: ${shells.toSeq}")
+  }
+
   test("writeIfAbsent records once and never clobbers; nonEmpty ignores bookkeeping") {
     val path = tmp("graft-ei-wia")
     val meta = IndexMeta("line_first_occ", "sep" -> "\n", "minLineLen" -> 1)
@@ -436,6 +481,78 @@ class EpochIndexSpec extends SparkSpecBase {
           "shingleK" -> 3, "maxBucket" -> 200))
     }
     assert(e.getMessage.contains("numHashes"), e.getMessage)
+  }
+
+  test("band store probe reads are PARTITION-PRUNED to the batch's band-key buckets (all three families)") {
+    // the round-16 scan contract (the cert-store discipline applied to
+    // the legacy band families): a batch probe reads only the bb
+    // buckets its own band keys hash into — asserted on the physical
+    // scan, the CertStoreSpec convention. AQE off so the scan is
+    // inspectable in the static plan.
+    def scansOf(df: org.apache.spark.sql.DataFrame, frag: String) =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(frag)) => s
+      }
+    def partsRead(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+      s.relation.location.listFiles(s.partitionFilters, Nil).size
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val corpus = (0 until 80).map(i =>
+        (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+        .toDF("doc_id", "text")
+      val oneDoc = Seq((900L, "alpha7 beta7 gamma7 delta7 epsilon7 zeta7"))
+        .toDF("doc_id", "text")
+      // SimHash: a one-doc batch has 4 band keys → ≤ 4 of 16 buckets
+      val shRoot = tmp("graft-ei-shprune")
+      Dedup.simHashBandIndexWrite(corpus, "doc_id", "text", shRoot,
+        buckets = 16)
+      val sh = scansOf(Dedup.incrementalSimHashFromStore(spark, shRoot,
+        oneDoc, "doc_id", "text", buckets = 16), "shprune")
+      assert(sh.nonEmpty, "no store scan in the SimHash probe plan")
+      assert(sh.forall(_.partitionFilters.nonEmpty),
+        "SimHash probe scan lost its partition filter")
+      assert(sh.map(partsRead).max <= 4,
+        s"SimHash probe read ${sh.map(partsRead).max} bb partitions")
+      // the store populates more buckets than the probe reads —
+      // the bound above is pruning, not a tiny store
+      assert(spark.read.parquet(shRoot).select("bb").distinct().count() > 4)
+      // MinHash: 4 bands → ≤ 4 of 16 buckets
+      val mhRoot = tmp("graft-ei-mhprune")
+      Dedup.minHashBandIndexWrite(corpus, "doc_id", "text", mhRoot,
+        numHashes = 8, bands = 4, shingleK = 1, buckets = 16)
+      val mh = scansOf(Dedup.incrementalMinHashLshFromStore(spark, mhRoot,
+        oneDoc, "doc_id", "text", numHashes = 8, bands = 4, shingleK = 1,
+        buckets = 16), "mhprune")
+      assert(mh.nonEmpty && mh.forall(_.partitionFilters.nonEmpty),
+        "MinHash probe scan lost its partition filter")
+      assert(mh.map(partsRead).max <= 4,
+        s"MinHash probe read ${mh.map(partsRead).max} bb partitions")
+      // SRP: 4 band keys → ≤ 4 of 16 buckets
+      val rnd = new scala.util.Random(19)
+      val vecs = (0 until 80).map(i =>
+        (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val srpRoot = tmp("graft-ei-srpprune")
+      Dedup.srpBandIndexWrite(vecs, "vec_id", "embedding", srpRoot,
+        buckets = 16)
+      val srp = scansOf(Dedup.incrementalEmbeddingLshFromStore(spark,
+        srpRoot, Seq((900L, Array.fill(8)(rnd.nextGaussian().toFloat)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9, buckets = 16), "srpprune")
+      assert(srp.nonEmpty && srp.forall(_.partitionFilters.nonEmpty),
+        "SRP probe scan lost its partition filter")
+      assert(srp.map(partsRead).max <= 4,
+        s"SRP probe read ${srp.map(partsRead).max} bb partitions")
+      // a probe at a different bucketing refuses (its filter
+      // expression would not match the stored layout)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.incrementalSimHashFromStore(spark, shRoot, oneDoc,
+          "doc_id", "text", buckets = 32)
+      }
+      assert(e.getMessage.contains("bb_buckets"), e.getMessage)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("probe stats: epochs scanned, base share, and growth are observable per read") {

@@ -1,0 +1,301 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-16 erasure contracts: every persisted store family that
+  * carries document-derived rows has a disk-level eraser, and after
+  * it runs (a) the store answers exactly as if the victims were
+  * never ingested, and (b) a walk over EVERY parquet file under the
+  * store root (including `_`-prefixed base trees Spark readers skip
+  * — exactly where a stale copy would hide) finds no victim
+  * reference. Filterable families (band indexes, IVF/PQ, BM25
+  * postings) drop rows; additive count families (gram_freq,
+  * boilerplate) SUBTRACT the victims' exact partial; fold-lossy
+  * families (first-occurrence, HLL/KMV/CMS/sample sketches) REBUILD
+  * from the retained corpus — the cert-stats/cc_labels precedent. */
+class EraseSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(name: String) = java.nio.file.Files
+    .createTempDirectory("graft-erase").toString + "/" + name
+
+  private def parquetFiles(f: java.io.File): Seq[String] =
+    Option(f.listFiles).toSeq.flatten.flatMap { c =>
+      if (c.isDirectory) parquetFiles(c)
+      else if (c.getName.endsWith(".parquet")) Seq(c.getPath) else Nil
+    }
+
+  /** Disk walk: no row in any parquet file under `root` carries a
+    * victim id in `idCols`. */
+  private def assertNoVictimOnDisk(root: String, idCols: Seq[String],
+                                   victims: Set[Long]): Unit = {
+    val files = parquetFiles(new java.io.File(root))
+    assert(files.nonEmpty, s"nothing on disk under $root")
+    val onDisk = spark.read.parquet(files: _*)
+    for (c <- idCols) {
+      val hit = onDisk.filter(col(c).isin(victims.toSeq.map(Long.box): _*))
+        .count()
+      assert(hit === 0L, s"$hit rows under $root still reference a victim via $c")
+    }
+  }
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta\nshared line one\nend"),
+    (2L, "alpha beta gamma epsilon\nshared line one\nshared line two"),
+    (3L, "iota kappa lambda mu\nshared line two"),
+    (4L, "nu xi omicron pi rho sigma\nonly in four"),
+    (5L, "alpha beta gamma delta epsilon zeta\nshared line one"),
+    (6L, "tau upsilon phi chi psi\nshared line two"))
+  private val victimIds = Set(2L, 4L)
+  private def docsDF = docs.toDF("doc_id", "text")
+  private def victims = victimIds.toSeq.toDF("doc_id")
+  private def victimDocs = docs.filter(d => victimIds(d._1))
+    .toDF("doc_id", "text")
+  private def retained = docs.filterNot(d => victimIds(d._1))
+    .toDF("doc_id", "text")
+
+  test("band-index stores: erase filters by id, probe ≡ from-scratch over the retained corpus, no victim on disk") {
+    // MinHash family (q238 pins the SimHash twin at catalog level)
+    val root = tmp("mh")
+    Dedup.minHashBandIndexWrite(docsDF.filter(col("doc_id") <= 4), "doc_id",
+      "text", root, numHashes = 8, bands = 4, shingleK = 1)
+    Dedup.bandIndexStoreAppend(spark, root,
+      Dedup.minHashBandIndex(docsDF.filter(col("doc_id") > 4), "doc_id",
+        "text", numHashes = 8, bands = 4, shingleK = 1),
+      "day-2", Dedup.minHashBandsMeta(8, 4, 1, 200, None))
+    Dedup.minHashBandIndexErase(spark, root, victims,
+      numHashes = 8, bands = 4, shingleK = 1)
+    val got = Dedup.bandIndexStoreRead(spark, root,
+      Dedup.minHashBandsMeta(8, 4, 1, 200, None))
+      .select("band", "bh", "id").as[(Int, Long, Long)].collect().toSet
+    val fresh = Dedup.minHashBandIndex(retained, "doc_id", "text",
+      numHashes = 8, bands = 4, shingleK = 1)
+      .select("band", "bh", "id").as[(Int, Long, Long)].collect().toSet
+    assert(got === fresh)
+    assert(got.nonEmpty, "degenerate erasure test")
+    assertNoVictimOnDisk(root, Seq("id"), victimIds)
+    // SRP family: vectors ride in the index and must leave with it
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val vroot = tmp("srp")
+    Dedup.srpBandIndexWrite(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", vroot)
+    Dedup.srpBandIndexErase(spark, vroot, Seq(3L, 7L).toDF("vec_id"))
+    assertNoVictimOnDisk(vroot, Seq("id"), Set(3L, 7L))
+    assert(Dedup.bandIndexStoreRead(spark, vroot,
+      Dedup.hamming64BandsMeta("srp_bands", 5000))
+      .select("id").as[Long].collect().toSet ===
+      vecs.map(_._1).toSet -- Set(3L, 7L))
+  }
+
+  test("IVF and IVF-PQ stores: per-vector rows erase, quantizer geometry stays, probe sees only retained vectors") {
+    val rnd = new scala.util.Random(59)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val cents = Similarity.pickCentroids(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 4)
+    val root = tmp("ivf")
+    Similarity.ivfIndexWrite(
+      Similarity.ivfIndex(vecs.toDF("vec_id", "embedding"), cents,
+        "vec_id", "embedding"), root)
+    Similarity.ivfIndexErase(spark, root, Seq(1L, 5L, 9L).toDF("vec_id"),
+      "vec_id")
+    assertNoVictimOnDisk(s"$root/assignments", Seq("vec_id"),
+      Set(1L, 5L, 9L))
+    val after = Similarity.ivfIndexRead(spark, root)
+    assert(after.assignments.select("vec_id").as[Long].collect().toSet ===
+      vecs.map(_._1).toSet -- Set(1L, 5L, 9L))
+    // centroids untouched — the frozen-geometry contract
+    assert(after.centroids.count() === cents.count())
+    // PQ twin
+    val proot = tmp("ivfpq")
+    Similarity.ivfPqIndexWrite(
+      Similarity.ivfPqIndex(vecs.toDF("vec_id", "embedding"), cents,
+        "vec_id", "embedding", m = 4, k = 8), proot)
+    Similarity.ivfPqIndexErase(spark, proot, Seq(2L, 6L).toDF("vec_id"),
+      "vec_id")
+    assertNoVictimOnDisk(s"$proot/codes", Seq("vec_id"), Set(2L, 6L))
+    assert(spark.read.parquet(s"$proot/codebooks").count() > 0)
+  }
+
+  test("gram_freq: erase subtracts the victims' exact partial; store ≡ rebuild over retained; never-ingested victims refuse") {
+    val root = tmp("gram")
+    Dedup.gramFreqIndexWrite(
+      Dedup.gramFreqIndex(docsDF.filter(col("doc_id") <= 4), "doc_id",
+        "text", n = 3), root, n = 3)
+    Dedup.gramFreqIndexAppend(spark, root,
+      Dedup.gramFreqIndex(docsDF.filter(col("doc_id") > 4), "doc_id",
+        "text", n = 3), "day-2", n = 3)
+    Dedup.gramFreqIndexErase(spark, root, victimDocs, "doc_id", "text",
+      n = 3)
+    val got = Dedup.gramFreqIndexRead(spark, root, None, n = 3)
+      .as[(String, Long)].collect().toSet
+    val rebuilt = Dedup.gramFreqIndex(retained, "doc_id", "text", n = 3)
+      .as[(String, Long)].collect().toSet
+    assert(got === rebuilt)
+    assert(got.nonEmpty, "degenerate erasure test")
+    // grams unique to the victims leave the DISK, not just the fold
+    val victimOnly = Dedup.gramFreqIndex(victimDocs, "doc_id", "text", n = 3)
+      .select("gram_fp").as[String].collect().toSet --
+      rebuilt.map(_._1)
+    assert(victimOnly.nonEmpty, "test victims share every gram")
+    val onDisk = spark.read
+      .parquet(parquetFiles(new java.io.File(root)): _*)
+      .select("gram_fp").as[String].collect().toSet
+    assert(victimOnly.forall(g => !onDisk(g)),
+      "victim-only grams survive on disk")
+    // subtracting a never-ingested "victim" refuses loudly
+    val e = intercept[Exception] {
+      Dedup.gramFreqIndexErase(spark, root,
+        Seq((99L, "totally novel text nobody ingested"))
+          .toDF("doc_id", "text"), "doc_id", "text", n = 3)
+    }
+    assert(e.getMessage.contains("never ingested"), e.getMessage)
+  }
+
+  test("boilerplate counts: erase subtracts; store ≡ rebuild over retained") {
+    val root = tmp("boiler")
+    Dedup.boilerplateIndexWrite(
+      Dedup.boilerplateIndex(docsDF, "doc_id", "text", "\n"), root, "\n")
+    Dedup.boilerplateIndexErase(spark, root, victimDocs, "doc_id", "text",
+      "\n")
+    val got = Dedup.boilerplateIndexRead(spark, root)
+      .as[(String, Long)].collect().toSet
+    val rebuilt = Dedup.boilerplateIndex(retained, "doc_id", "text", "\n")
+      .as[(String, Long)].collect().toSet
+    assert(got === rebuilt)
+    assert(got.nonEmpty, "degenerate erasure test")
+  }
+
+  test("line first-occurrence: erase is a REBUILD — a line first held by a victim survives under its retained holder") {
+    val root = tmp("lineocc")
+    Dedup.lineFirstOccIndexWrite(
+      Dedup.lineFirstOccIndex(docsDF, "doc_id", "text", "\n"), root, "\n")
+    // "shared line two" first occurs in doc 2 (a victim) and also in
+    // docs 3 and 6 (retained): a row FILTER would lose it entirely;
+    // the rebuild re-points it at doc 3
+    val rebuilt = Dedup.lineFirstOccIndex(retained, "doc_id", "text", "\n")
+    Dedup.lineFirstOccIndexRebuild(spark, root, rebuilt, "\n")
+    val got = Dedup.lineFirstOccIndexRead(spark, root)
+      .as[(String, Long, Int)].collect().toSet
+    assert(got === rebuilt.as[(String, Long, Int)].collect().toSet)
+    assert(got.exists(_._2 === 3L),
+      "the victim's shared line did not re-point to its retained holder")
+    assertNoVictimOnDisk(root, Seq("wid"), victimIds)
+  }
+
+  test("bm25 index: postings filter, statistics subtract exactly — probe ≡ full scoring over the retained corpus; never-ingested refuses") {
+    val root = tmp("bm25")
+    Relevance.bm25IndexWrite(docsDF.filter(col("doc_id") <= 4), root,
+      "doc_id", "text")
+    Relevance.bm25IndexAppend(spark, root,
+      docsDF.filter(col("doc_id") > 4), "doc_id", "text", "day-2")
+    Relevance.bm25IndexErase(spark, root, victimDocs, "doc_id", "text")
+    val terms = Seq("alpha", "shared", "lambda")
+    val got = Relevance.bm25IndexProbe(spark, root, "doc_id", "text",
+      terms, k = 10).as[(Long, Int, Double)].collect().toSeq
+    val full = Relevance.bm25TopDocs(retained, "doc_id", "text",
+      terms, k = 10).as[(Long, Int, Double)].collect().toSeq
+    assert(got === full, s"got $got vs full $full")
+    assert(got.nonEmpty, "degenerate erasure test")
+    assertNoVictimOnDisk(s"$root/postings", Seq("doc_id"), victimIds)
+    val e = intercept[Exception] {
+      Relevance.bm25IndexErase(spark, root,
+        Seq((99L, "totally novel text")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("never ingested"), e.getMessage)
+  }
+
+  test("sketch stores (HLL/KMV/CMS/sample): erase is a REBUILD; post-erase read ≡ sketch over the retained corpus, stale partials leave the disk") {
+    val rows = docs.flatMap { case (id, text) =>
+      text.split("[\\s\\n]+").map(t => (id, t)) }
+    val retainedRows = rows.filterNot(r => victimIds(r._1))
+    def grp(df: DataFrame) = df.toDF("doc_id", "token")
+    // HLL — registers are max-folds: subtraction impossible, rebuild only
+    val hroot = tmp("hll")
+    Cardinality.hllIndexWrite(
+      Cardinality.hllSketch(grp(rows.toDF("doc_id", "token")),
+        lit("all"), col("token"), p = 6), hroot, p = 6, keyName = "token")
+    val hRebuilt = Cardinality.hllSketch(
+      grp(retainedRows.toDF("doc_id", "token")), lit("all"), col("token"),
+      p = 6)
+    Cardinality.hllIndexErase(spark, hroot, hRebuilt, p = 6,
+      keyName = "token")
+    val hGot = Cardinality.hllIndexRead(spark, hroot, p = 6,
+      keyName = "token").select("regs").as[Seq[Int]].collect()
+    val hExpect = hRebuilt.select("regs").as[Seq[Int]].collect()
+    assert(hGot.toSeq === hExpect.toSeq)
+    // disk: the ONLY parquet content is the rebuilt partial (no stale
+    // epoch/base copy of the pre-erase registers anywhere)
+    assert(spark.read
+      .parquet(parquetFiles(new java.io.File(hroot)): _*)
+      .select("regs").as[Seq[Int]].collect().toSeq === hExpect.toSeq)
+    // KMV
+    val kroot = tmp("kmv")
+    Cardinality.kmvIndexWrite(
+      Cardinality.kmvSketch(rows.toDF("doc_id", "token"),
+        lit("all"), col("token"), k = 16), kroot, k = 16,
+      keyName = "token")
+    val kRebuilt = Cardinality.kmvSketch(retainedRows.toDF("doc_id", "token"),
+      lit("all"), col("token"), k = 16)
+    Cardinality.kmvIndexErase(spark, kroot, kRebuilt, k = 16,
+      keyName = "token")
+    assert(Cardinality.kmvIndexRead(spark, kroot, k = 16,
+      keyName = "token").select("sketch").as[Seq[Long]].collect().toSeq ===
+      kRebuilt.select("sketch").as[Seq[Long]].collect().toSeq)
+    // CMS
+    val croot = tmp("cms")
+    HeavyHitters.cmsIndexWrite(
+      HeavyHitters.countMinSketch(rows.toDF("doc_id", "token"), "token",
+        depth = 3, width = 32), croot, depth = 3, width = 32,
+      itemName = "token")
+    val cRebuilt = HeavyHitters.countMinSketch(
+      retainedRows.toDF("doc_id", "token"), "token", depth = 3, width = 32)
+    HeavyHitters.cmsIndexErase(spark, croot, cRebuilt, depth = 3,
+      width = 32, itemName = "token")
+    assert(HeavyHitters.cmsIndexRead(spark, croot, depth = 3, width = 32,
+      itemName = "token").as[(Int, Long, Long)].collect().toSet ===
+      cRebuilt.as[(Int, Long, Long)].collect().toSet)
+    // sample sketch
+    val sroot = tmp("ss")
+    val vals = docs.map { case (id, text) => (id, text.length.toDouble) }
+    val sRows = vals.toDF("doc_id", "len")
+    SampleSketch.sampleSketchIndexWrite(
+      SampleSketch.sampleSketch(sRows, lit("all"), col("doc_id"),
+        col("len"), k = 4), sroot, k = 4, keyName = "doc_id",
+      valueName = "len")
+    val sRebuilt = SampleSketch.sampleSketch(
+      vals.filterNot(v => victimIds(v._1)).toDF("doc_id", "len"),
+      lit("all"), col("doc_id"), col("len"), k = 4)
+    SampleSketch.sampleSketchIndexErase(spark, sroot, sRebuilt, k = 4,
+      keyName = "doc_id", valueName = "len")
+    val sGot = SampleSketch.sampleSketchIndexRead(spark, sroot, k = 4,
+      keyName = "doc_id", valueName = "len")
+    assert(sGot.count() === sRebuilt.count())
+    // the k-sample store itself carries ids: no victim survives it
+    assertNoVictimOnDisk(sroot, Nil, victimIds) // structural walk only
+  }
+
+  test("contamination indexes: erasure is the wholesale rebuild over the retained benchmark") {
+    val groot = tmp("contgram")
+    Contamination.benchmarkGramIndexWrite(
+      Contamination.benchmarkGramIndex(docsDF, "text", n = 3), groot)
+    Contamination.benchmarkGramIndexErase(retained, "text", groot, n = 3)
+    assert(Contamination.benchmarkGramIndexRead(spark, groot)
+      .as[String].collect().toSet ===
+      Contamination.benchmarkGramIndex(retained, "text", n = 3)
+        .as[String].collect().toSet)
+    val vroot = tmp("contvec")
+    val vecs = docs.map { case (id, _) =>
+      (id, Array.fill(4)(id.toFloat)) }.toDF("doc_id", "embedding")
+    Contamination.benchmarkVecIndexWrite(vecs, "doc_id", "embedding", vroot)
+    Contamination.benchmarkVecIndexErase(
+      vecs.filter(!col("doc_id").isin(victimIds.toSeq.map(Long.box): _*)),
+      "doc_id", "embedding", vroot)
+    assertNoVictimOnDisk(vroot, Seq("bench_id"), victimIds)
+  }
+}

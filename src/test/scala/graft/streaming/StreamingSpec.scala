@@ -1092,6 +1092,7 @@ class StreamingSpec extends SparkSpecBase {
     val corpus = Files.createTempDirectory("graft-cert-corpus").toString + "/c"
     val ledger = Files.createTempDirectory("graft-cert-led").toString + "/l"
     val index = Files.createTempDirectory("graft-cert-idx").toString + "/i"
+    val labels = Files.createTempDirectory("graft-cert-lb").toString + "/lb"
     val ckp = Files.createTempDirectory("graft-cert-ckp").toString
     val b1 = Seq((1L, "alpha beta gamma delta"),
       (2L, "alpha beta gamma epsilon"), (3L, "iota kappa lambda mu"))
@@ -1106,8 +1107,20 @@ class StreamingSpec extends SparkSpecBase {
       Streaming.certIngestSink(
         Streaming.fileStream(spark, schema, s"$src/*"),
         spark, corpus, ledger, index, "doc_id", "text", ckp,
-        threshold = 0.5).awaitTermination()
+        threshold = 0.5, labelsPath = Some(labels)).awaitTermination()
     }
+    // the live TEXT-metric repaired set, read FROM THE STORE — the
+    // jaccard twin of the cosine sink's cc_labels view
+    def storeKeptIds() = Dedup.repairSurvivorsFromStore(
+      spark, spark.read.parquet(corpus).select("doc_id"),
+      "doc_id", labels, "jaccard", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    def rebuiltKeptIds() = Dedup.repairSurvivors(
+      spark.read.parquet(corpus).select("doc_id"),
+      Dedup.connectedComponents(
+        Dedup.certLedgerRead(spark, ledger, "jaccard", 0.5)
+          .select(col("id_a"), col("id_b"))), "doc_id")
+      .as[Long].collect().toSet
     def ledgerPairs() = Dedup.certLedgerRead(spark, ledger, "jaccard", 0.5)
       .as[(Long, Long, Double)].collect().toSet
     def fullPairs(rows: Seq[(Long, String)]) =
@@ -1119,10 +1132,14 @@ class StreamingSpec extends SparkSpecBase {
     // full exact join over everything ever ingested — corpus² never ran
     assert(ledgerPairs() === fullPairs(b1))
     assert(ledgerPairs().contains((1L, 2L, 0.6)))
-    // compact mid-stream (identity folds) — nothing doubles or drops,
-    // and the NEXT batch probes the compacted index exactly
+    assert(storeKeptIds() === rebuiltKeptIds(),
+      "store-read repaired set diverged after b1")
+    // compact ALL THREE stores mid-stream (ledger/index identity
+    // folds, labels MIN fold) — nothing doubles or drops, and the
+    // NEXT batch probes the compacted index exactly
     assert(Maintenance.compactStore(spark, ledger).folded.nonEmpty)
     assert(Maintenance.compactStore(spark, index).folded.nonEmpty)
+    assert(Maintenance.compactStore(spark, labels).folded.nonEmpty)
     assert(ledgerPairs() === fullPairs(b1))
     deliver("b2", b2); drain()
     val expect = fullPairs(b1 ++ b2)
@@ -1133,6 +1150,11 @@ class StreamingSpec extends SparkSpecBase {
     assert(ledgerPairs().contains((1L, 11L, 1.0)) &&
       ledgerPairs().contains((3L, 13L, 1.0)))
     assert(spark.read.parquet(corpus).count() === 6L)
+    // the live repaired set survives the mid-stream labels compaction
+    // (the fold lands ACROSS the compaction boundary) and equals the
+    // from-scratch CC rebuild — the round-16 jaccard-labels contract
+    assert(storeKeptIds() === rebuiltKeptIds(),
+      "store-read repaired set diverged across the labels compaction")
     // third batch rides a mixed base+epoch index; induction holds
     deliver("b3", b3); drain()
     assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
@@ -1224,6 +1246,106 @@ class StreamingSpec extends SparkSpecBase {
       .as[(Long, Long, Double)].collect().toSet ++
       Set((1L, 1L, 1.0), (2L, 2L, 1.0), (1L, 2L, 1.0))
     assert(pairs === expect, s"got $pairs")
+  }
+
+  test("cert sinks: a standing corpus with NO indexable rows tolerates an empty index (legitimate, not torn)") {
+    import graft.operators.Dedup
+    // the refusal's false positive: a corpus whose every text is
+    // empty (or every vector zero-norm) legitimately produces an
+    // EMPTY index — certTextIndexWrite could not make index rows from
+    // it either, so refusing would brick the pipeline forever with a
+    // repair instruction that cannot work
+    val src = Files.createTempDirectory("graft-certtol-src").toString
+    val corpus = Files.createTempDirectory("graft-certtol-c").toString + "/c"
+    val ledger = Files.createTempDirectory("graft-certtol-l").toString + "/l"
+    val index = Files.createTempDirectory("graft-certtol-i").toString + "/i"
+    graft.operators.EpochIndex.bootstrap(
+      Seq((900L, "   "), (901L, "")).toDF("doc_id", "text"), corpus)
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+    rows.toDF("doc_id", "text").write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    Streaming.certIngestSink(
+      Streaming.fileStream(spark, schema, s"$src/b*"),
+      spark, corpus, ledger, index, "doc_id", "text",
+      Files.createTempDirectory("graft-certtol-ckp").toString,
+      threshold = 0.5).awaitTermination()
+    // the unindexable standing docs contribute nothing; the ledger is
+    // exactly the batch's own exact join
+    assert(Dedup.certLedgerRead(spark, ledger, "jaccard", 0.5)
+      .as[(Long, Long, Double)].collect().toSet ===
+      Dedup.exactJaccardJoin(rows.toDF("doc_id", "text"), "doc_id",
+        "text", threshold = 0.5, shingleK = 1)
+        .as[(Long, Long, Double)].collect().toSet)
+    // cosine twin: zero-norm standing corpus cannot band — tolerated
+    val vcorpus = Files.createTempDirectory("graft-certtol-vc").toString + "/c"
+    val vledger = Files.createTempDirectory("graft-certtol-vl").toString + "/l"
+    val vindex = Files.createTempDirectory("graft-certtol-vi").toString + "/i"
+    graft.operators.EpochIndex.bootstrap(
+      Seq((900L, Array(0f, 0f)), (901L, Array(0f, 0f)))
+        .toDF("vec_id", "embedding"), vcorpus)
+    val vrows = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)))
+    vrows.toDF("vec_id", "embedding").write.parquet(s"$src/v1")
+    val vschema = spark.read.parquet(s"$src/v1").schema
+    Streaming.certVecIngestSink(
+      Streaming.fileStream(spark, vschema, s"$src/v*"),
+      spark, vcorpus, vledger, vindex, "vec_id", "embedding",
+      Files.createTempDirectory("graft-certtol-vckp").toString,
+      threshold = 0.9).awaitTermination()
+    assert(Dedup.certLedgerRead(spark, vledger, "cosine", 0.9)
+      .as[(Long, Long, Double)].collect().toSet ===
+      Dedup.exactCosineJoin(vrows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.9)
+        .as[(Long, Long, Double)].collect().toSet)
+  }
+
+  test("certVecIngestSink + labelsPath: a first batch certifying ZERO pairs does not crash-loop the labels bootstrap") {
+    import graft.operators.Dedup
+    // pre-fix: the labels bootstrap read the ledger unconditionally
+    // when the labels store was empty — but a zero-pair epoch append
+    // is a no-op, so on a fresh pipeline the ledger held no data and
+    // EpochIndex.read threw BEFORE the index/corpus writes, failing
+    // the micro-batch and every at-least-once replay of it identically
+    val src = Files.createTempDirectory("graft-lbz-src").toString
+    val corpus = Files.createTempDirectory("graft-lbz-c").toString + "/c"
+    val ledger = Files.createTempDirectory("graft-lbz-l").toString + "/l"
+    val index = Files.createTempDirectory("graft-lbz-i").toString + "/i"
+    val labels = Files.createTempDirectory("graft-lbz-lb").toString + "/lb"
+    val ckp = Files.createTempDirectory("graft-lbz-ckp").toString
+    // far-apart vectors: nothing certifies at 0.99
+    val b1 = Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)))
+    b1.toDF("vec_id", "embedding").write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    def drain(): Unit = Streaming.certVecIngestSink(
+      Streaming.fileStream(spark, schema, s"$src/*"),
+      spark, corpus, ledger, index, "vec_id", "embedding", ckp,
+      threshold = 0.99, labelsPath = Some(labels)).awaitTermination()
+    drain()
+    // the batch landed (index + corpus) even though no pair certified
+    assert(Dedup.certVecIndexNonEmpty(spark, index))
+    assert(spark.read.parquet(corpus).count() === 3L)
+    // a later batch WITH pairs folds normally and the store-read
+    // repair view equals the from-scratch rebuild. The pair sits
+    // BETWEEN b1's axes (cos ≈ 0.71 to each — below τ), so only the
+    // batch-internal pair certifies and exactly one of (10, 11) is
+    // repaired away.
+    val b2 = Seq((10L, Array(0.7f, 0.701f, 0.0f)),
+      (11L, Array(0.7f, 0.702f, 0.0f)))
+    b2.toDF("vec_id", "embedding").write.parquet(s"$src/b2")
+    drain()
+    val keptIds = Dedup.repairSurvivorsFromStore(
+      spark, spark.read.parquet(corpus).select("vec_id", "embedding"),
+      "vec_id", labels, "cosine", 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    val rebuilt = Dedup.repairSurvivors(
+      spark.read.parquet(corpus).select("vec_id"),
+      Dedup.connectedComponents(
+        Dedup.certLedgerRead(spark, ledger, "cosine", 0.99)
+          .select(col("id_a"), col("id_b"))), "vec_id")
+      .as[Long].collect().toSet
+    assert(keptIds === rebuilt, s"store $keptIds vs rebuilt $rebuilt")
+    assert(keptIds.size === 4, s"expected one of (10,11) repaired: $keptIds")
   }
 
   test("streaming SEMANTIC certification: cosine ledger ≡ full exact join after every activation, frozen first-batch pivots, compaction-safe") {
