@@ -380,6 +380,36 @@ object Centrality {
         coalesce(sum(col("n_triangles")), lit(0L)).as("n_triangles"))
   }
 
+  /** Erase NODES from a census store — disk-level, both substores:
+    * every edge touching a victim leaves the edges store (filter),
+    * and the census partials REBUILD from the retained edges (a
+    * triangle count cannot drop per-node: a victim's triangles also
+    * counted its retained co-members). After it returns the census
+    * equals a from-scratch count over the retained graph and no
+    * retained version or epoch holds a victim edge. Total erasure
+    * tears both substores down.
+    *
+    * @param ids one-column frame of victim node ids (any column name) */
+  def triangleCensusErase(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          ids: DataFrame): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, censusMeta)
+    val victims = ids.select(col(ids.columns.head).as("_vid")).distinct()
+    val edges = EpochIndex.eraseRewrite(spark, s"$path/edges", p => p
+      .join(victims.select(col("_vid").as("a")), Seq("a"), "left_anti")
+      .join(victims.select(col("_vid").as("b")), Seq("b"), "left_anti"))
+    if (edges.version == EpochIndex.TornDownVersion)
+      EpochIndex.eraseRewrite(spark, s"$path/census", _.limit(0))
+    else {
+      val rebuilt = censusOf(EpochIndex.read(spark, s"$path/edges",
+        bootstrapName = "triangleCensusWrite", observed = false)
+        .select(col("a"), col("b")))
+      EpochIndex.eraseRewrite(spark, s"$path/census", _ => rebuilt)
+      ()
+    }
+    edges
+  }
+
   /** Fold both substores behind their atomic `_CURRENT` flips. */
   def triangleCensusCompact(spark: org.apache.spark.sql.SparkSession,
                             path: String,

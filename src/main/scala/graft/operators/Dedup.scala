@@ -1201,7 +1201,8 @@ object Dedup {
     * caller's banding geometry — a probe at a different bucketing
     * refuses instead of silently scanning partitions that cannot
     * match its filter expression. */
-  private def bandMetaWithBuckets(meta: IndexMeta, buckets: Int): IndexMeta =
+  private[graft] def bandMetaWithBuckets(meta: IndexMeta,
+                                         buckets: Int): IndexMeta =
     IndexMeta(meta.family, meta.params + ("bb_buckets" -> buckets.toString))
 
   /** Persisted, epoch-structured store for the banding families'
@@ -1227,9 +1228,21 @@ object Dedup {
     * layout (no `bb`, no `bb_buckets` manifest key) is refused by the
     * manifest check with no migration path — rebuild the store with
     * [[bandIndexStoreWrite]]; nothing long-lived used the old layout. */
+  /** One exchange on the bucket key before the partitioned write:
+    * without it every input task writes a file into every bucket
+    * directory (tasks × buckets small files — listing and probe-read
+    * poison at scale); with it each bucket is one task's output, and
+    * the within-partition (band, bh) sort gives the probe's equi-join
+    * key row-group min/max pruning inside each bucket file — the
+    * certTextParts postings discipline. */
+  private def bandBucketed(index: DataFrame, buckets: Int): DataFrame =
+    index.withColumn("bb", bandBucket(buckets))
+      .repartition(col("bb"))
+      .sortWithinPartitions(col("bb"), col("band"), col("bh"))
+
   def bandIndexStoreWrite(index: DataFrame, path: String,
                           meta: IndexMeta, buckets: Int = 64): Unit = {
-    EpochIndex.bootstrap(index.withColumn("bb", bandBucket(buckets)),
+    EpochIndex.bootstrap(bandBucketed(index, buckets),
       path, innerPartCols = Seq("bb"))
     IndexMeta.write(index.sparkSession, path,
       bandMetaWithBuckets(meta, buckets))
@@ -1280,7 +1293,7 @@ object Dedup {
                            path: String, partial: DataFrame, epoch: String,
                            meta: IndexMeta, buckets: Int = 64): Unit = {
     IndexMeta.check(spark, path, bandMetaWithBuckets(meta, buckets))
-    EpochIndex.append(partial.withColumn("bb", bandBucket(buckets)),
+    EpochIndex.append(bandBucketed(partial, buckets),
       path, epoch, innerPartCols = Seq("bb"))
   }
 

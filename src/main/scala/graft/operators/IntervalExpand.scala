@@ -158,6 +158,22 @@ object IntervalExpand {
       bootstrapName = "islandsIndexWrite"))
   }
 
+  /** ERASURE form for the islands store — a REBUILD, never a filter
+    * (the `lineFirstOccIndexRebuild` rationale): island merging is
+    * lossy — an island that absorbed a victim's interval cannot be
+    * un-merged, so the only exact erased state is re-merged from the
+    * retained raw intervals. Callers pass them; the constant fold
+    * rides `EpochIndex.eraseRewrite` so no epoch or retained version
+    * still carries an island a victim's interval widened. */
+  def islandsIndexRebuild(spark: org.apache.spark.sql.SparkSession,
+                          path: String, retainedIntervals: DataFrame,
+                          keyCol: String, start: Column,
+                          end: Column): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, islandsMeta(keyCol))
+    val rebuilt = mergeIntervals(retainedIntervals, keyCol, start, end)
+    EpochIndex.eraseRewrite(spark, path, _ => rebuilt)
+  }
+
   /** Fold accumulated epochs behind the atomic `_CURRENT` flip. */
   def islandsIndexCompact(spark: org.apache.spark.sql.SparkSession,
                           path: String,

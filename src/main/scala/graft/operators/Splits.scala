@@ -337,6 +337,37 @@ object Splits {
     EpochIndex.append(partial, path, epoch)
   }
 
+  /** Erase documents from a stored DSIR bucket index — exact count
+    * subtraction (the `gramFreqIndexErase` discipline over (cr, ct)):
+    * bucket counts ADD over disjoint batches, so erasing = folding in
+    * the victims' own feature partial negated; scores afterwards
+    * equal an index built without the victims. `targetFilter` must be
+    * the SAME predicate the store was built under (it decides ct) —
+    * pass the victims through it exactly as ingest did. Buckets that
+    * would go negative refuse loudly. */
+  def dsirIndexErase(spark: org.apache.spark.sql.SparkSession,
+                     path: String, victimDocs: DataFrame, idCol: String,
+                     textCol: String, targetFilter: Column,
+                     buckets: Int = 1024): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, dsirMeta(buckets))
+    val negated = dsirIndex(victimDocs, idCol, textCol, targetFilter,
+      buckets).select(col("_b"), (-col("cr")).as("cr"),
+      (-col("ct")).as("ct"))
+    EpochIndex.eraseRewrite(spark, path, p =>
+      dsirFold(p.unionByName(negated))
+        .withColumn("cr",
+          when(col("cr") < 0L || col("ct") < 0L,
+            raise_error(concat(
+              lit("dsirIndexErase: negative count for bucket "),
+              col("_b").cast("string"),
+              lit(" — a victim document was never ingested here (or " +
+                "was ingested with different text/target flag); erase " +
+                "only documents this index ingested"))).cast("long"))
+          .otherwise(col("cr")))
+        .filter(col("cr") =!= 0L || col("ct") =!= 0L)
+        .select(col("_b"), col("cr"), col("ct")))
+  }
+
   /** Fold accumulated count epochs into a compacted base (atomic
     * `_CURRENT` publish — see [[EpochIndex.compact]]). */
   def dsirIndexCompact(spark: org.apache.spark.sql.SparkSession,

@@ -9381,6 +9381,57 @@ object Catalog {
         col("n_victim_refs"))
   }
 
+  /** Count-store erasure under a VALUE-EXACT oracle — q238's boolean
+    * proves set equality in-engine; here DuckDB itself recomputes the
+    * erased state, because gram counts (unlike minhash band keys) are
+    * SQL-expressible: the corpus gram store is built over ALL non-
+    * batch docs (two epochs), the %7==1 docs are erased by exact
+    * count subtraction ([[Dedup.gramFreqIndexErase]] — the victims'
+    * own partial folded in negated, zero rows leaving the disk), and
+    * the batch's novelty probe against the ERASED store must match,
+    * number for number, DuckDB's computation over a corpus that
+    * simply never contained the victims. */
+  val q239GramErasure = q("q239_gram_erasure",
+    "gram-store erasure by exact count subtraction: post-erase novelty probe == DuckDB over the never-ingested corpus (north star: GDPR over count stores)",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(toks) >= 8
+      |              THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |                     i -> array_to_string(toks[i:i+7], ' ')))
+      |              ELSE [array_to_string(toks, ' ')] END AS ngs
+      |  FROM tk),
+      |g AS (SELECT doc_id, unnest(ngs) AS ng FROM grams),
+      |corpus AS (SELECT DISTINCT ng FROM g
+      |           WHERE doc_id % 5 <> 2 AND doc_id % 7 <> 1),
+      |probe AS (SELECT doc_id, ng FROM g WHERE doc_id % 5 = 2)
+      |SELECT probe.doc_id,
+      |       count(*) AS n_grams,
+      |       count(corpus.ng) AS n_seen,
+      |       round(CAST(count(corpus.ng) AS DOUBLE) / count(*), 4) AS seen_frac
+      |FROM probe LEFT JOIN corpus ON probe.ng = corpus.ng
+      |GROUP BY probe.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 2)
+    val root = scratchDir(s, "q239_gram_erasure")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Dedup.gramFreqIndexWrite(
+      Dedup.gramFreqIndex(corpus.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", n = 8), root, n = 8)
+    Dedup.gramFreqIndexAppend(s, root,
+      Dedup.gramFreqIndex(corpus.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", n = 8), epoch = "day2", n = 8)
+    Dedup.gramFreqIndexErase(s, root,
+      corpus.filter(pmod(col("doc_id"), lit(7)) === 1),
+      "doc_id", "text", n = 8)
+    Dedup.incrementalDupGramFraction(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2),
+      Dedup.gramFreqIndexRead(s, root, None, n = 8),
+      "doc_id", "text", n = 8)
+  }
+
   /** [[Similarity.simplifiedSilhouette]] under the oracle — the
     * O(n·k) centroid-based silhouette over one-step-trained cells:
     * per-cell cohesion-vs-separation plus the corpus summary row.
@@ -9749,5 +9800,5 @@ object Catalog {
     q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
     q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK,
     q234IncrementalRepair, q235RepairLabelsStore, q236CardFromStores,
-    q237CertErasure, q238BandErasure)
+    q237CertErasure, q238BandErasure, q239GramErasure)
 }

@@ -1151,6 +1151,90 @@ object Streaming {
       .start()
   }
 
+  /** Streaming NEAR-dup ingest over the persisted (bucketed) SimHash
+    * band store — the near-duplicate completion of
+    * [[dedupIngestSink]]'s exact shape and the streaming form of the
+    * q97/q238 family: each micro-batch probes the STORED index
+    * (partition-pruned to the batch's own band-key buckets,
+    * [[graft.operators.Dedup.incrementalSimHashFromStore]]), keeps
+    * only docs whose near-dup component touches no standing corpus
+    * doc AND whose id is the component's minimum among batch members
+    * (the q42 canonical-keep policy, per batch), then lands the
+    * SURVIVORS' band rows in the index and the survivors in the
+    * corpus. Dropped docs never pollute either store — the exact
+    * sink's accepted-only contract.
+    *
+    * Replay idempotency is the cert-sink argument: the probe EXCLUDES
+    * this epoch's own index partial, within-batch pairs are a pure
+    * function of the batch, and both writes are epoch-scoped dynamic
+    * overwrites — an at-least-once redelivery recomputes the
+    * identical survivor set and rewrites its own partitions. A
+    * standing corpus with an EMPTY index refuses at activation
+    * (every document produces a signature row, so an empty index
+    * under a standing corpus is always torn state, never legitimate
+    * — no tolerance case, unlike the text-cert sink). */
+  def nearDupIngestSink(stream: DataFrame, spark: SparkSession,
+                        corpusPath: String, indexPath: String,
+                        idCol: String, textCol: String,
+                        checkpoint: String, maxHamming: Int = 3,
+                        maxBucket: Int = 5000,
+                        buckets: Int = 64): StreamingQuery = {
+    import graft.operators.{Dedup, EpochIndex, IndexMeta}
+    val meta = Dedup.hamming64BandsMeta("simhash_bands", maxBucket)
+    require(!EpochIndex.nonEmpty(spark, corpusPath) ||
+      EpochIndex.nonEmpty(spark, indexPath, innerPartCols = Seq("bb")),
+      s"nearDupIngestSink: corpus at $corpusPath already holds data " +
+        s"but the band index at $indexPath is empty — probing would " +
+        "re-admit near-duplicates of the whole standing corpus. " +
+        "Bootstrap the index with simHashBandIndexWrite over the " +
+        "standing corpus first, or point the sink at a fresh corpusPath")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            Dedup.bandMetaWithBuckets(meta, buckets))
+          val epoch = s"$token-$epochId"
+          val pairs =
+            if (EpochIndex.nonEmpty(spark, indexPath,
+                innerPartCols = Seq("bb")))
+              Dedup.incrementalSimHashFromStore(spark, indexPath, batch,
+                idCol, textCol, maxHamming, maxBucket, buckets,
+                excludeEpoch = Some(epoch))
+            else Dedup.simHashPairs(batch, idCol, textCol, maxHamming,
+              maxBucket).select("id_a", "id_b")
+          // canonical keep per component: a batch doc survives iff its
+          // near-dup component holds no corpus doc and it is the min
+          // batch id of the component; unpaired docs survive trivially
+          val comp = Dedup.connectedComponents(pairs)
+          val bIds = batch.select(col(idCol).cast("long").as("id"))
+          val batchComp = comp.join(bIds, Seq("id"), "left_semi")
+          val corpusTouched = comp.join(bIds, Seq("id"), "left_anti")
+            .select("cluster_id").distinct().withColumn("_corpus", lit(1))
+          val minBatch = batchComp.groupBy(col("cluster_id"))
+            .agg(min(col("id")).as("_min"))
+          val dropIds = batchComp
+            .join(minBatch, Seq("cluster_id"))
+            .join(corpusTouched, Seq("cluster_id"), "left")
+            .filter(col("_corpus").isNotNull || col("id") =!= col("_min"))
+            .select(col("id").cast(batch.schema(idCol).dataType).as(idCol))
+          val accepted = batch.join(dropIds, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          try {
+            if (!accepted.isEmpty) {
+              Dedup.bandIndexStoreAppend(spark, indexPath,
+                Dedup.simHashBandIndex(accepted, idCol, textCol,
+                  maxBucket), epoch, meta, buckets)
+              epochWrite(accepted, corpusPath, token, epochId)
+            }
+          } finally { accepted.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   /** Streaming retrieval-index ingest — the continuous form of
     * `Relevance.bm25IndexAppend`, completing the postings family's
     * shapes (batch build / incremental append / streaming): each

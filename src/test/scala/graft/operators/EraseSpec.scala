@@ -280,6 +280,82 @@ class EraseSpec extends SparkSpecBase {
     assertNoVictimOnDisk(sroot, Nil, victimIds) // structural walk only
   }
 
+  test("lm_bigram and dsir_buckets: erase subtracts the victims' exact count partial; scores ≡ never-trained") {
+    // LM: train over all docs (two epochs), erase the victims, and the
+    // perplexity of a probe batch must equal scoring under a model
+    // trained only on the retained reference
+    val root = tmp("lm")
+    LmFilter.lmIndexWrite(
+      LmFilter.lmIndex(docsDF.filter(col("doc_id") <= 4), "doc_id",
+        "text"), root, 4096, 32768)
+    LmFilter.lmIndexAppend(spark, root,
+      LmFilter.lmIndex(docsDF.filter(col("doc_id") > 4), "doc_id",
+        "text"), "day-2", 4096, 32768)
+    LmFilter.lmIndexErase(spark, root, victimDocs, "doc_id", "text")
+    val probe = Seq((50L, "alpha beta gamma shared line one")).toDF(
+      "doc_id", "text")
+    val got = LmFilter.lmPerplexity(probe, "doc_id", "text",
+      LmFilter.lmIndexRead(spark, root, 4096, 32768))
+      .select("ppl").as[Double].collect().toSeq
+    val fresh = LmFilter.lmPerplexity(probe, "doc_id", "text",
+      LmFilter.lmIndex(retained, "doc_id", "text"))
+      .select("ppl").as[Double].collect().toSeq
+    assert(got === fresh)
+    // DSIR: same contract on (cr, ct) bucket counts
+    val droot = tmp("dsir")
+    val tgt = col("doc_id") % 2 === 1
+    Splits.dsirIndexWrite(
+      Splits.dsirIndex(docsDF, "doc_id", "text", tgt), droot, 1024)
+    Splits.dsirIndexErase(spark, droot, victimDocs, "doc_id", "text", tgt)
+    assert(Splits.dsirIndexRead(spark, droot, 1024)
+      .as[(Long, Long, Long)].collect().toSet ===
+      Splits.dsirIndex(retained, "doc_id", "text", tgt)
+        .as[(Long, Long, Long)].collect().toSet)
+    // a never-ingested victim refuses in both families
+    val phantom = Seq((99L, "totally novel text nobody ingested"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      LmFilter.lmIndexErase(spark, root, phantom, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("never trained"), e.getMessage)
+  }
+
+  test("interval islands: erase is a REBUILD — an island a victim's interval widened re-splits") {
+    val root = tmp("islands")
+    // key 1: victim interval [5,10] BRIDGES [1,6] and [9,14] — after
+    // its owner is erased the island must split back in two, which a
+    // row filter over merged islands can never produce
+    val all = Seq((1L, 10L, 1L, 6L), (2L, 10L, 5L, 10L),
+      (3L, 10L, 9L, 14L), (4L, 20L, 0L, 3L))
+      .toDF("owner", "k", "s", "e")
+    IntervalExpand.islandsIndexWrite(all.select("k", "s", "e"), root,
+      "k", col("s"), col("e"))
+    val kept = all.filter(col("owner") =!= 2L)
+    IntervalExpand.islandsIndexRebuild(spark, root,
+      kept.select("k", "s", "e"), "k", col("s"), col("e"))
+    val got = IntervalExpand.islandsIndexRead(spark, root, "k")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L, 6L), (10L, 9L, 14L), (20L, 0L, 3L)),
+      s"islands did not re-split: $got")
+  }
+
+  test("graph census: victim nodes' edges leave the disk, triangle counts rebuild from the retained graph") {
+    val root = tmp("census")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L)).toDF("src", "dst")
+    Centrality.triangleCensusWrite(
+      edges.filter(col("src") <= 2), root)
+    Centrality.triangleCensusAppend(spark, root,
+      edges.filter(col("src") > 2), "day-2")
+    // node 1 is in triangle (1,2,3); erasing it must drop that
+    // triangle but keep (3,4,5)
+    Centrality.triangleCensusErase(spark, root, Seq(1L).toDF("node"))
+    val census = Centrality.triangleCensusRead(spark, root)
+      .as[(Long, Long)].head()
+    assert(census === ((4L, 1L)), s"census after erase: $census")
+    assertNoVictimOnDisk(s"$root/edges", Seq("a", "b"), Set(1L))
+  }
+
   test("contamination indexes: erasure is the wholesale rebuild over the retained benchmark") {
     val groot = tmp("contgram")
     Contamination.benchmarkGramIndexWrite(

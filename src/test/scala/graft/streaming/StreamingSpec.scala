@@ -1182,6 +1182,63 @@ class StreamingSpec extends SparkSpecBase {
     assert(ledgerPairs() === fullPairs(b1 ++ b2 ++ b3))
   }
 
+  test("streaming NEAR-dup ingest: canonical keep per component, store-probe rejection, accepted-only stores") {
+    import graft.operators.Dedup
+    val src = Files.createTempDirectory("graft-ndup-src").toString
+    val corpus = Files.createTempDirectory("graft-ndup-c").toString + "/c"
+    val index = Files.createTempDirectory("graft-ndup-i").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-ndup-ckp").toString
+    // b1: 2 is an exact copy of 1 (within-batch component, non-min);
+    // b2: 11 copies 1 (corpus-touching component), 12 is novel;
+    // b3: 21 copies 12 (corpus-touching), 22 is novel
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "completely different tokens appear here now"))
+    val b2 = Seq((11L, "alpha beta gamma delta epsilon"),
+      (12L, "novel twelve document payload words"))
+    val b3 = Seq((21L, "novel twelve document payload words"),
+      (22L, "another fresh unique document entirely"))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.nearDupIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", ckp)
+        .awaitTermination()
+    }
+    deliver("b1", b1); drain()
+    def corpusIds() = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds() === Set(1L, 3L),
+      s"within-batch canonical keep broke: ${corpusIds()}")
+    deliver("b2", b2); drain()
+    assert(corpusIds() === Set(1L, 3L, 12L),
+      s"corpus-touching rejection broke: ${corpusIds()}")
+    deliver("b3", b3); drain()
+    assert(corpusIds() === Set(1L, 3L, 12L, 22L), s"got ${corpusIds()}")
+    // accepted-only stores: the index holds exactly the survivors'
+    // band rows — dropped docs polluted nothing
+    assert(Dedup.bandIndexStoreRead(spark, index,
+      Dedup.hamming64BandsMeta("simhash_bands", 5000))
+      .select("id").as[Long].collect().toSet === Set(1L, 3L, 12L, 22L))
+    // survivors are pairwise non-near-dup — the sink's whole claim
+    assert(Dedup.simHashPairs(
+      spark.read.parquet(corpus).select("doc_id", "text"),
+      "doc_id", "text").count() === 0L)
+    // a standing corpus with a FRESH index path refuses at activation
+    val e = intercept[IllegalArgumentException] {
+      Streaming.nearDupIngestSink(
+        Streaming.fileStream(spark,
+          spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+        spark, corpus,
+        Files.createTempDirectory("graft-ndup-i2").toString + "/i",
+        "doc_id", "text",
+        Files.createTempDirectory("graft-ndup-ckp2").toString)
+    }
+    assert(e.getMessage.contains("simHashBandIndexWrite"), e.getMessage)
+  }
+
   test("cert sinks: a standing corpus with an EMPTY certification index refuses at activation") {
     import graft.operators.Dedup
     // the silent-divergence shape: a corpus bootstrapped elsewhere
