@@ -356,6 +356,83 @@ class EraseSpec extends SparkSpecBase {
     assertNoVictimOnDisk(s"$root/edges", Seq("a", "b"), Set(1L))
   }
 
+  test("property: band-store erase ≡ from-scratch index over the retained corpus, for random corpora and victim sets") {
+    // the q238 contract as an algebra, not one example: for randomized
+    // doc sets and victim subsets, erase(write(all), victims) must read
+    // bit-equal to write(all minus victims) — including the empty-
+    // victims identity and the all-victims teardown
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val gen = for {
+      n <- Gen.choose(1, 14)
+      texts <- Gen.listOfN(n, Gen.listOfN(6, Gen.oneOf(words)))
+      vs <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t.mkString(" ")) } -> vs.zipWithIndex.collect {
+        case (true, i) => i.toLong }
+    (1 to 6).foreach { i =>
+      val (corpus, vict) =
+        gen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val root = tmp(s"prop$i")
+      Dedup.simHashBandIndexWrite(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", root)
+      Dedup.simHashBandIndexErase(spark, root,
+        (vict :+ -1L).toDF("doc_id")) // -1: erasing absent ids is a no-op
+      val meta = Dedup.hamming64BandsMeta("simhash_bands", 5000)
+      val kept = corpus.filterNot(d => vict.contains(d._1))
+      if (kept.isEmpty)
+        assert(!EpochIndex.nonEmpty(spark, root, innerPartCols = Seq("bb")),
+          s"seed ${7 + i}: all-victims erase did not tear down")
+      else {
+        val got = Dedup.bandIndexStoreRead(spark, root, meta)
+          .select("band", "bh", "id", "sig")
+          .as[(Int, Long, Long, Long)].collect().toSet
+        val fresh = Dedup.simHashBandIndex(kept.toDF("doc_id", "text"),
+          "doc_id", "text")
+          .select("band", "bh", "id", "sig")
+          .as[(Int, Long, Long, Long)].collect().toSet
+        assert(got === fresh, s"seed ${7 + i}: erase ≠ rebuild")
+      }
+    }
+  }
+
+  test("property: count-store erase ≡ rebuild over the retained corpus, for random corpora and victim sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      texts <- Gen.listOfN(n, Gen.listOfN(8, Gen.oneOf(words)))
+      vs <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t.mkString(" ")) } -> vs.zipWithIndex.collect {
+        case (true, i) => i.toLong }
+    (1 to 6).foreach { i =>
+      val (corpus, vict) =
+        gen.pureApply(Gen.Parameters.default, Seed(19L + i))
+      val root = tmp(s"propg$i")
+      val all = corpus.toDF("doc_id", "text")
+      Dedup.gramFreqIndexWrite(
+        Dedup.gramFreqIndex(all, "doc_id", "text", n = 3), root, n = 3)
+      val victimDocs = corpus.filter(d => vict.contains(d._1))
+        .toDF("doc_id", "text")
+      val kept = corpus.filterNot(d => vict.contains(d._1))
+      Dedup.gramFreqIndexErase(spark, root, victimDocs, "doc_id",
+        "text", n = 3)
+      if (kept.isEmpty)
+        assert(!EpochIndex.nonEmpty(spark, root),
+          s"seed ${19 + i}: all-victims erase did not tear down")
+      else
+        assert(Dedup.gramFreqIndexRead(spark, root, None, n = 3)
+          .as[(String, Long)].collect().toSet ===
+          Dedup.gramFreqIndex(kept.toDF("doc_id", "text"), "doc_id",
+            "text", n = 3).as[(String, Long)].collect().toSet,
+          s"seed ${19 + i}: subtraction ≠ rebuild")
+    }
+  }
+
   test("contamination indexes: erasure is the wholesale rebuild over the retained benchmark") {
     val groot = tmp("contgram")
     Contamination.benchmarkGramIndexWrite(
