@@ -346,11 +346,17 @@ object Relevance {
     val tokenized = victimDocs
       .filter(graft.functions.TextFunctions.tokenCount(col(textCol)) > 0)
       .select(col(idCol).cast("long").as("doc_id")).distinct()
-    val missing = tokenized.join(
-      EpochIndex.read(spark, s"$path/postings",
+    // semi-join BEFORE distinct: the scan over postings is unavoidable
+    // (ids are not the sort key), but only victim-matching rows should
+    // reach a shuffle — a distinct over every posting's doc_id would
+    // shuffle the whole store to answer a |victims|-sized question
+    val present = EpochIndex.read(spark, s"$path/postings",
         bootstrapName = "bm25IndexWrite", observed = false)
-        .select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti").limit(6).collect().map(_.getLong(0))
+      .select("doc_id")
+      .join(broadcast(tokenized), Seq("doc_id"), "left_semi")
+      .distinct()
+    val missing = tokenized.join(present, Seq("doc_id"), "left_anti")
+      .limit(6).collect().map(_.getLong(0))
     require(missing.isEmpty,
       s"bm25IndexErase: victim ids ${missing.mkString(", ")} have no " +
         "posting rows — they were never ingested here (or were ingested " +
