@@ -117,10 +117,15 @@ object Maintenance {
                                    retainedVersions: Seq[String],
                                    currentVersion: Option[String])
 
-  /** One discovered store: manifest identity plus per-subroot state. */
+  /** One discovered store: manifest identity plus per-subroot state.
+    * `erasures` is the per-subroot `_ERASURES` history (oldest first,
+    * subroot-prefixed when the family has several) — the operational
+    * view of the right-to-be-forgotten rewrites this store has
+    * absorbed, the same record `Audit.cardFromStores` cites. */
   final case class StoreInfo(root: String, family: String,
                              params: Map[String, String],
-                             states: Seq[EpochStoreState])
+                             states: Seq[EpochStoreState],
+                             erasures: Seq[String] = Nil)
 
   /** Where each family keeps its epoch data relative to the manifest
     * root — the same knowledge the compaction dispatch encodes. */
@@ -160,7 +165,12 @@ object Maintenance {
             retained, current))
         }
       }
-      StoreInfo(root, meta.family, meta.params, states)
+      val erasures = epochSubroots(meta.family).flatMap { case (sub, _) =>
+        val p = if (sub.isEmpty) root else s"$root/$sub"
+        EpochIndex.erasures(spark, p)
+          .map(v => if (sub.isEmpty) v else s"$sub:$v")
+      }
+      StoreInfo(root, meta.family, meta.params, states, erasures)
     }
 
   /** Discover every store under `treeRoot` (a directory whose

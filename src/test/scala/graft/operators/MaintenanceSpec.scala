@@ -110,6 +110,18 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(st1.liveEpochs.toSet === Set("base", "day-2"))
     assert(st1.retainedVersions.size === 1 &&
       st1.currentVersion === st1.retainedVersions.headOption)
+    // erasure history is part of the operational view: never erased
+    // reads as empty, and a rewrite surfaces its published version
+    assert(after.head.erasures.isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(s"$root/indexes/lines/_epoch=torn-1")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/indexes/lines/_epoch=torn-1"), true)
+    Dedup.lineFirstOccIndexRebuild(spark, s"$root/indexes/lines",
+      Dedup.lineFirstOccIndex(docsA, "doc_id", "text", "\n"), "\n")
+    val erased = Maintenance.describeStores(spark, root).head.erasures
+    assert(erased.size === 1 && erased.head.startsWith("v"),
+      s"erasure history not surfaced: $erased")
   }
 
   test("discovery stops at a manifest: store internals are never separate stores") {
