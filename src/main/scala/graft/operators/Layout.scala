@@ -554,10 +554,52 @@ object Layout {
     * LayoutSpec pins that it READS strictly fewer files on a
     * range-laid-out table. An empty overlap set degenerates to a
     * never-true filter over the table root (Catalyst folds it to an
-    * empty scan — no file content is read). */
+    * empty scan — no file content is read).
+    *
+    * STALENESS GUARD (`verifyCoverage`, default on): a manifest
+    * missing files that exist under `dir` would silently drop their
+    * rows from every pruned read — exactly what happens after a
+    * partition rewrite (`Merge.deleteWrite`, small-file compaction)
+    * replaces file names under a table whose manifest was built
+    * earlier. Deleted-path staleness already fails loudly at scan
+    * time; MISSING-file staleness is the silent half, so the read
+    * verifies every data file under `dir` appears in the manifest
+    * and refuses with a rebuild instruction otherwise. Cost: one
+    * recursive directory listing (which an unpruned `read.parquet(dir)`
+    * pays anyway — zone maps exist to skip FOOTER reads, not the
+    * listing) plus the manifest's bounded one-row-per-file collect.
+    * Pass `verifyCoverage = false` only on a path where the caller
+    * already owns manifest/table consistency (the streaming sink's
+    * epoch-tracked manifests, a read immediately after a build). */
   def zoneMapRead(spark: org.apache.spark.sql.SparkSession, dir: String,
                   manifest: DataFrame, c: String,
-                  lo: Column, hi: Column): DataFrame = {
+                  lo: Column, hi: Column,
+                  verifyCoverage: Boolean = true): DataFrame = {
+    if (verifyCoverage) {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      def norm(s: String): String = new Path(s).toUri.getPath
+      def walk(d: Path): Seq[String] =
+        fs.listStatus(d).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) walk(st.getPath)
+          else Seq(norm(st.getPath.toString))
+        }
+      val listed = if (fs.exists(root)) walk(root) else Nil
+      val known = manifest.select(col("file")).collect()
+        .map(r => norm(r.getString(0))).toSet
+      val missing = listed.filterNot(known)
+      require(missing.isEmpty,
+        s"zone-map manifest is STALE for $dir: ${missing.size} data " +
+          s"file(s) on disk are not in the manifest (first: " +
+          s"${missing.take(3).mkString(", ")}) — a partition rewrite " +
+          "(deleteWrite, compaction) replaced file names after the " +
+          "manifest was built; rebuild it with Layout.zoneMap over " +
+          "the rewritten table (a pruned read against this manifest " +
+          "would silently drop those files' rows)")
+    }
     val files = pruneFiles(manifest, c, lo, hi)
     val base = if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
     else spark.read.parquet(files: _*)

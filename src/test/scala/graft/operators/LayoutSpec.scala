@@ -394,6 +394,37 @@ class LayoutSpec extends SparkSpecBase {
       s"new-range predicate should hit only appended files: $hit")
   }
 
+  test("zone map: a STALE manifest (files on disk it never saw) refuses instead of silently dropping rows") {
+    // the deleteWrite/compaction hazard: a partition rewrite replaces
+    // file names, and a pruned read against the old manifest would
+    // silently omit every rewritten file's rows — deleted paths fail
+    // loudly at scan time, but missing files fail SILENTLY, so the
+    // read's coverage guard must catch them
+    val dir = new java.io.File("target/tmp/layout-zonemap-stale").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, dir)
+    spark.range(0, 200).toDF("id")
+      .repartitionByRange(2, col("id")).write.parquet(dir)
+    val manifest = Layout.zoneMap(spark.read.parquet(dir), Seq("id"))
+      .localCheckpoint(true)
+    // new files land after the manifest was built (an append the
+    // manifest maintenance missed, or a rewrite's new names)
+    spark.range(200, 300).toDF("id").write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.zoneMapRead(spark, dir, manifest, "id", lit(0L), lit(500L))
+        .count()
+    }
+    assert(e.getMessage.contains("STALE") &&
+      e.getMessage.contains("zoneMap"), e.getMessage)
+    // rebuilding the manifest clears the refusal and reads exactly
+    val rebuilt = Layout.zoneMap(spark.read.parquet(dir), Seq("id"))
+    assert(Layout.zoneMapRead(spark, dir, rebuilt, "id",
+      lit(0L), lit(500L)).count() === 300L)
+    // the explicit opt-out keeps the pre-guard behavior for callers
+    // that own manifest/table consistency
+    assert(Layout.zoneMapRead(spark, dir, manifest, "id",
+      lit(0L), lit(99L), verifyCoverage = false).count() === 100L)
+  }
+
   test("zone map: empty overlap yields an empty result, not an error") {
     val dir = new java.io.File("target/tmp/layout-zonemap-empty").getAbsolutePath
     graft.sources.Fs.deleteRecursively(spark, dir)
