@@ -50,6 +50,16 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("default gate is the judge's 2x bar: a r16-q98-shaped 2.42x line flags, 1.9x does not") {
+    assert(Bench.RetryFactor === 2.0)
+    // the exact shape that survived the round-16 official record
+    // unflagged under the old 3.0 factor: 10.7 s vs a 4.43 s baseline
+    val out = Bench.overBaseline(Map("q98" -> 10.7, "q97" -> 8.5),
+      Map("q98" -> 4.43, "q97" -> 4.40))
+    assert(out.keySet === Set("q98"))
+    assert(math.abs(out("q98") - 10.7 / 4.43) < 1e-9)
+  }
+
   test("flagSlopes: the 1.5x-linear tripwire catches what 3.0x let through") {
     // round 11's q93 recorded slope 17.3 at a 10x data ratio sailed
     // under the old 30x threshold; at 1.5x-linear (=15x) it flags
