@@ -212,6 +212,34 @@ object Curation {
     EpochIndex.compact(spark, path, capCountFold, keepVersions = keepVersions)
   }
 
+  /** Erase documents from a persisted per-key count index —
+    * disk-level, by exact count subtraction (the
+    * [[graft.operators.Dedup.gramFreqIndexErase]] discipline: counts
+    * ADD over disjoint-doc partials, so erasing = folding in the
+    * victims' OWN partial negated — exact and O(victims), never a
+    * corpus re-count). After it returns the store equals
+    * [[capCountIndex]] over the corpus WITHOUT the victims; keys only
+    * the victims contributed to leave the disk in every retained
+    * version and epoch, and a "victim" this store never counted (or
+    * counted under a different key derivation) refuses loudly rather
+    * than silently subtracting a retained document's contribution.
+    *
+    * RTBF caveat the caller owns: counts already CONSUMED by a
+    * published cap decision are not undone here — erasure fixes what
+    * FUTURE batches rank against; re-opening past quota slots is a
+    * re-publication decision, not an index operation.
+    *
+    * @param victims the victim documents with their key derivation —
+    *                the same (key, id) the ingest partials used */
+  def capCountIndexErase(spark: org.apache.spark.sql.SparkSession,
+                         path: String, victims: DataFrame,
+                         key: Column, id: Column,
+                         keyName: String): EpochIndex.CompactionStats = {
+    IndexMeta.check(spark, path, capIndexMeta(keyName))
+    Dedup.countSubtractErase(spark, path, capCountIndex(victims, key, id),
+      "key", "n", "capCountIndexErase")
+  }
+
   /** Batch arrival-order cap against persisted history:
     * `incrementalCapPerKey(batch, …, priorCounts)` ≡
     * [[capPerKeyArrival]] over (history ∪ batch) restricted to the

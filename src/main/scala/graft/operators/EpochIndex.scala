@@ -187,6 +187,37 @@ object EpochIndex {
     liveEpochNames(spark, root, innerPartCols).nonEmpty ||
       currentBase(spark, root).nonEmpty
 
+  /** First data file under `root` that NO epoch-store read can see:
+    * not inside an `_epoch=` partition and not inside the compacted
+    * `_base` tree. A flat (non-epoch) parquet table at the path —
+    * `df.write.parquet(root)`, a table the sink was mis-pointed at —
+    * reads as EMPTY through [[nonEmpty]]/[[read]], so an activation
+    * guard keyed on nonEmpty alone would silently pass over standing
+    * data and the sink would interleave `_epoch=` partitions into a
+    * layout its own reads then half-see. The streaming sinks refuse
+    * on this instead. Bounded: a directory walk that descends neither
+    * `_base` nor `_epoch=` subtrees (the trees reads DO see) and
+    * stops at the first foreign file; hidden/bookkeeping entries
+    * (`_GRAFT_META`, `_SUCCESS`, `.crc`, `_ERASURES`, `_commits`)
+    * never count. */
+  def foreignDataFile(spark: SparkSession, root: String): Option[String] = {
+    val p = new Path(root)
+    val fs = fsOf(spark, p)
+    // every store-visible tree is `_`-prefixed (`_epoch=`, `_base`),
+    // as is every bookkeeping file — so anything NOT `_`/`.`-prefixed
+    // that bottoms out in a file is foreign (inner-partition dirs like
+    // `bb=3` are descended: their store-visible content is again
+    // `_epoch=` subtrees)
+    def walk(d: Path): Option[String] =
+      fs.listStatus(d).iterator.map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) None
+        else if (st.isDirectory) walk(st.getPath)
+        else Some(st.getPath.toString)
+      }.collectFirst { case Some(f) => f }
+    if (!fs.exists(p)) None else walk(p)
+  }
+
   // ------------------------------------------------------------- append
 
   /** Bootstrap a store from a batch-built index: one `_epoch=base`
@@ -460,9 +491,15 @@ object EpochIndex {
 
   /** Append one line to the erasure log (read + rewrite — local and
     * object-store FS need no append support; erasures run inside the
-    * same single-writer maintenance window as the rewrite itself). */
-  private def logErasure(spark: SparkSession, root: String,
-                         line: String): Unit = {
+    * same single-writer maintenance window as the rewrite itself).
+    * `private[graft]` for the non-epoch erasure paths that must still
+    * land on the audit surface — [[graft.operators.Quality
+    * .qualityCutsRefreeze]] replaces a versioned calibration snapshot
+    * rather than rewriting epochs, but the RTBF record it leaves is
+    * the same `_ERASURES` line `describeStores` and the release card
+    * read. */
+  private[graft] def logErasure(spark: SparkSession, root: String,
+                                line: String): Unit = {
     val prior = erasures(spark, root)
     writeTextFile(fsOf(spark, new Path(root)),
       new Path(root, ErasuresFile), (prior :+ line).mkString("\n"))
@@ -618,7 +655,11 @@ object EpochIndex {
     val second = compact(spark, root, identity, innerPartCols,
       keepVersions = 1)
     logErasure(spark, root, second.version)
-    first
+    // the returned stats carry pass 1's fold/GC work but pass 2's
+    // version — the base the store actually sits on after the rewrite
+    // — so CompactionStats.version and the `_ERASURES` line an audit
+    // card cites as last_erasure always name the same `v=N`
+    first.copy(version = second.version)
   }
 
   /** Delete every `_epoch=name` directory of one epoch (one per inner

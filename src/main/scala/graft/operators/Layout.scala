@@ -205,7 +205,11 @@ object Layout {
     * original is removed, and a crash between the two leaves the
     * `.compact-tmp` copy to recover from. For concurrent readers, put
     * the table behind a versioned root and use [[compactVersioned]]:
-    * its publish is one atomic pointer flip. */
+    * its publish is one atomic pointer flip.
+    *
+    * A zone map built over this table is STALE after the rewrite
+    * (every compacted leaf's file names changed — [[zoneMapRead]]
+    * refuses on it); rebuild it in one call with [[zoneMapRebuild]]. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil): CompactionStats = {
@@ -575,7 +579,12 @@ object Layout {
                   manifest: DataFrame, c: String,
                   lo: Column, hi: Column,
                   verifyCoverage: Boolean = true): DataFrame = {
-    if (verifyCoverage) {
+    // a not-yet-materialized manifest (the streaming sink before its
+    // first non-empty batch) has NO columns at all — pruneFiles below
+    // already tolerates it as "no files"; running the coverage guard
+    // on it would throw an unresolved-column error on `file` instead
+    // of returning the empty scan that state means
+    if (verifyCoverage && manifest.columns.contains("file")) {
       import org.apache.hadoop.fs.Path
       val root = new Path(dir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -596,13 +605,27 @@ object Layout {
           s"file(s) on disk are not in the manifest (first: " +
           s"${missing.take(3).mkString(", ")}) — a partition rewrite " +
           "(deleteWrite, compaction) replaced file names after the " +
-          "manifest was built; rebuild it with Layout.zoneMap over " +
-          "the rewritten table (a pruned read against this manifest " +
-          "would silently drop those files' rows)")
+          "manifest was built; rebuild it in one call with " +
+          "Layout.zoneMapRebuild(spark, dir, cols) (a pruned read " +
+          "against this manifest would silently drop those files' rows)")
     }
     val files = pruneFiles(manifest, c, lo, hi)
     val base = if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
     else spark.read.parquet(files: _*)
     base.filter(col(c) >= lo && col(c) <= hi)
   }
+
+  /** One-call repair for a stale zone map — what [[zoneMapRead]]'s
+    * staleness refusal tells the operator to run: rebuild the
+    * manifest from the table as it stands NOW (one scan, the same
+    * cost [[zoneMap]] paid at build time) and return it. This is the
+    * whole repair: zone-map manifests carry no history, so "rebuild"
+    * and "repair" coincide — unlike the epoch stores, where a stale
+    * manifest means torn state to adjudicate. Callers that persist
+    * the manifest overwrite their copy with the result; the rewrite
+    * paths that INVALIDATE a manifest ([[Merge.deleteWrite]],
+    * [[compact]]) point here from their scaladoc. */
+  def zoneMapRebuild(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     cols: Seq[String]): DataFrame =
+    zoneMap(spark.read.parquet(dir), cols)
 }

@@ -177,7 +177,12 @@ object Merge {
     * `__HIVE_DEFAULT_PARTITION__`), and the stats report them.
     *
     * Idempotent: re-running with the same keys finds no matches and
-    * touches nothing. */
+    * touches nothing.
+    *
+    * A zone map built over this table is STALE after the rewrite (the
+    * rewritten partitions' file names changed — [[Layout.zoneMapRead]]
+    * refuses on it); rebuild it in one call with
+    * [[Layout.zoneMapRebuild]]. */
   def deleteWrite(spark: org.apache.spark.sql.SparkSession, path: String,
                   deleteKeys: DataFrame, keyCols: Seq[String],
                   partitionCol: String,

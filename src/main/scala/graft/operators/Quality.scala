@@ -168,6 +168,41 @@ object Quality {
     version
   }
 
+  /** The erasure arm of the quality_cuts family — a RE-FREEZE, not a
+    * filter: the frozen thresholds are quantiles FITTED on the
+    * calibration slice, so victim rows' influence cannot be filtered
+    * out of the table (every threshold is a function of every score).
+    * The only exact erasure is recomputation over the retained
+    * calibration slice — this is the fold-lossy families' REBUILD
+    * discipline (sketches, first-occurrence) applied to a versioned
+    * snapshot. The caller passes the RETAINED scores (calibration
+    * slice minus victims); the new calibration publishes behind the
+    * same atomic pointer flip as any freeze, with `keepVersions = 1`
+    * deliberately forced: retaining the superseded victim-fitted
+    * version would keep the erased rows' statistical influence
+    * readable on disk, which is exactly what the request revokes (the
+    * time-travel window is the price of the erasure — same trade
+    * every eraseRewrite makes). The `_ERASURES` line lands at the
+    * store root, so `Maintenance.describeStores` and the audit card
+    * cite this re-freeze like any other family's rewrite.
+    *
+    * Returns the published version name. Manifest-checked: a
+    * re-freeze under different score/grouping/cuts is a different
+    * CONTRACT, not an erasure — it refuses (change parameters via a
+    * new root, as ever). */
+  def qualityCutsRefreeze(spark: org.apache.spark.sql.SparkSession,
+                          root: String, retainedScores: DataFrame,
+                          scoreCol: String, byCols: Seq[String],
+                          cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)): String = {
+    IndexMeta.check(spark, root, cutsMeta(scoreCol, byCols, cuts))
+    val thresholds = qualityCuts(retainedScores, scoreCol, byCols, cuts)
+    val version = Layout.publishVersion(spark, s"$root/cuts",
+      keepVersions = 1)(dir =>
+      thresholds.write.mode("overwrite").parquet(dir))
+    EpochIndex.logErasure(spark, root, version)
+    version
+  }
+
   /** Read the LIVE frozen calibration, manifest-checked: the store
     * must have been written for the same score column, grouping, and
     * quantiles — silently bucketing a perplexity batch against a

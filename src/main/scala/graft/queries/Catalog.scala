@@ -9432,6 +9432,58 @@ object Catalog {
       "doc_id", "text", n = 8)
   }
 
+  /** Cap-count-store erasure under a VALUE-EXACT oracle — the
+    * domain_cap_counts family joining q239's discipline (per-key
+    * accept counts are SQL-expressible, so DuckDB itself recomputes
+    * the erased state): the per-domain count store is built over the
+    * history in two epochs, the %7==1 history docs are erased by
+    * exact count subtraction ([[Curation.capCountIndexErase]] — the
+    * victims' own partial folded in negated), and the batch's
+    * arrival-order cap against the ERASED store must match, rank for
+    * rank, DuckDB's cap over a history that simply never contained
+    * the victims. The erasure-semantics point q146 cannot make: a
+    * victim's erased quota slot RE-OPENS — batch docs rank against
+    * retained history only. */
+  val q240CapErasure = q("q240_cap_erasure",
+    "cap-count-store erasure by exact subtraction: post-erase batch cap == DuckDB over the never-ingested history (north star: GDPR over curation state)",
+    s"""WITH t AS (SELECT max(doc_id) * 7 // 10 AS cut FROM documents),
+      |${pslHostSql(10)},
+      |$pslDomainSql,
+      |kept AS (
+      |  SELECT domain, doc_id FROM d, t
+      |  WHERE doc_id <= t.cut AND doc_id % 7 <> 1
+      |  UNION ALL
+      |  SELECT domain, doc_id FROM d, t WHERE doc_id > t.cut),
+      |r2 AS (
+      |  SELECT domain, doc_id,
+      |         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk
+      |  FROM kept)
+      |SELECT domain, doc_id, CAST(rk AS BIGINT) AS rk
+      |FROM r2, t WHERE doc_id > t.cut AND rk <= 5""".stripMargin) { (s, d) =>
+    val keyName = "psl_registered_domain_mod10"
+    val dom = Psl.registeredDomain(pslDemoHost(10))
+    val docs = Tables.documents(s, d).select(col("doc_id"), dom.as("domain"))
+    val withCut = docs.crossJoin(
+      broadcast(docs.agg(expr("max(doc_id) * 7 div 10").as("_cut"))))
+    val history = withCut.filter(col("doc_id") <= col("_cut")).drop("_cut")
+    val batch = withCut.filter(col("doc_id") > col("_cut")).drop("_cut")
+    val root = scratchDir(s, "q240_capidx")
+    graft.sources.Fs.deleteRecursively(s, root)
+    def partial(r: Int): DataFrame = Curation.capCountIndex(
+      history.filter(pmod(col("doc_id"), lit(2)) === r),
+      col("domain"), col("doc_id"))
+    Curation.capCountIndexWrite(partial(0), root, keyName)
+    Curation.capCountIndexAppend(s, root, partial(1), "day-2", keyName)
+    val stats = Curation.capCountIndexErase(s, root,
+      history.filter(pmod(col("doc_id"), lit(7)) === 1),
+      col("domain"), col("doc_id"), keyName)
+    require(stats.folded.nonEmpty,
+      s"q240: erasure folded nothing at $root — store build failed")
+    Curation.incrementalCapPerKey(batch, col("domain"), col("doc_id"),
+      maxPerKey = 5, Curation.capCountIndexRead(s, root, keyName))
+      .select(col("key").as("domain"), col("id").as("doc_id"), col("rk"))
+  }
+
   /** [[Similarity.simplifiedSilhouette]] under the oracle — the
     * O(n·k) centroid-based silhouette over one-step-trained cells:
     * per-cell cohesion-vs-separation plus the corpus summary row.
@@ -9800,5 +9852,5 @@ object Catalog {
     q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
     q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK,
     q234IncrementalRepair, q235RepairLabelsStore, q236CardFromStores,
-    q237CertErasure, q238BandErasure, q239GramErasure)
+    q237CertErasure, q238BandErasure, q239GramErasure, q240CapErasure)
 }

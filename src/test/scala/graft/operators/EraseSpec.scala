@@ -451,4 +451,151 @@ class EraseSpec extends SparkSpecBase {
       "doc_id", "embedding", vroot)
     assertNoVictimOnDisk(vroot, Seq("bench_id"), victimIds)
   }
+
+  // ---- round 17: the last three families gain their erasure arm ----
+
+  private def domainOf = concat(lit("d"),
+    pmod(col("doc_id"), lit(3)).cast("string"))
+
+  test("domain_cap_counts: erase subtracts the victims' exact partial; store ≡ rebuild over retained; keys unique to victims leave the disk; never-ingested refuses") {
+    val root = tmp("capcounts")
+    // doc_id % 4 keying over docs {1..6} with victims {2, 4}: key
+    // k0 = {4} is victim-ONLY (must leave the disk), k2 = {2, 6}
+    // keeps a survivor (must subtract to 1); two epochs so the erase
+    // folds across base + partials
+    val capKey = concat(lit("k"), pmod(col("doc_id"), lit(4)).cast("string"))
+    def partial(f: DataFrame) =
+      Curation.capCountIndex(f, capKey, col("doc_id"))
+    Curation.capCountIndexWrite(
+      partial(docsDF.filter(col("doc_id") <= 3)), root, "mod4")
+    Curation.capCountIndexAppend(spark, root,
+      partial(docsDF.filter(col("doc_id") > 3)), "day-2", "mod4")
+    val stats = Curation.capCountIndexErase(spark, root, victimDocs,
+      capKey, col("doc_id"), "mod4")
+    val got = Curation.capCountIndexRead(spark, root, "mod4")
+      .as[(String, Long)].collect().toSet
+    val rebuilt = partial(retained).as[(String, Long)].collect().toSet
+    assert(got === rebuilt)
+    assert(got.nonEmpty, "degenerate erasure test")
+    // the erasure is on the audit surface, version-consistent
+    assert(EpochIndex.erasures(spark, root) === Seq(stats.version))
+    // the victim-only key left the disk outright
+    val victimOnlyKeys = partial(victimDocs).select("key")
+      .as[String].collect().toSet -- rebuilt.map(_._1)
+    assert(victimOnlyKeys === Set("k0"), "test geometry drifted")
+    val onDisk = spark.read
+      .parquet(parquetFiles(new java.io.File(root)): _*)
+      .select("key").as[String].collect().toSet
+    assert(victimOnlyKeys.forall(k => !onDisk(k)),
+      "victim-only keys survive on disk")
+    // subtracting a never-counted "victim" refuses loudly
+    val e = intercept[Exception] {
+      Curation.capCountIndexErase(spark, root,
+        Seq((99L, "x"), (100L, "x"), (101L, "x")).toDF("doc_id", "text"),
+        lit("k99"), col("doc_id"), "mod4")
+    }
+    assert(e.getMessage.contains("never ingested"), e.getMessage)
+  }
+
+  test("table_digest: erase is exact modular subtraction; ledger ≡ digest over retained; emptied groups leave the disk; bad payloads refuse") {
+    val root = tmp("digest")
+    val cols = Seq("doc_id", "text")
+    def part(f: DataFrame) = Audit.digestPartial(f, cols, domainOf)
+    Audit.digestIndexWrite(part(docsDF.filter(col("doc_id") <= 3)),
+      root, cols, "mod3")
+    Audit.digestIndexAppend(spark, root,
+      part(docsDF.filter(col("doc_id") > 3)), "day-2", cols, "mod3")
+    val stats = Audit.digestIndexErase(spark, root, victimDocs, cols,
+      "mod3", domainOf)
+    val got = Audit.digestIndexRead(spark, root, cols, "mod3")
+      .as[(String, Long, Long)].collect().toSet
+    val rebuilt = part(retained).as[(String, Long, Long)].collect().toSet
+    assert(got === rebuilt, "subtracted ledger ≠ digest of retained rows")
+    assert(got.nonEmpty, "degenerate erasure test")
+    assert(EpochIndex.erasures(spark, root) === Seq(stats.version))
+    // a group whose every row is erased leaves the disk: erase the
+    // remaining holders of one group and walk the files
+    val g = retained.withColumn("_g", domainOf)
+      .select("_g").as[String].head()
+    val rest = retained.withColumn("_g", domainOf).filter(col("_g") === g)
+      .drop("_g")
+    Audit.digestIndexErase(spark, root, rest, cols, "mod3", domainOf)
+    val onDisk = spark.read
+      .parquet(parquetFiles(new java.io.File(root)): _*)
+      .select("group").as[String].collect().toSet
+    assert(!onDisk(g), s"emptied group $g survives on disk")
+    // a never-digested "victim" row refuses (negative count) — pinned
+    // on a store where the victims' whole GROUP is absent, so the
+    // negative-count check is the one that must fire (a wrong payload
+    // in a SURVIVING group is the documented undetectable case)
+    val root3 = tmp("digest3")
+    Audit.digestIndexWrite(
+      part(docsDF.filter(pmod(col("doc_id"), lit(3)) =!= 2)),
+      root3, cols, "mod3")
+    val e1 = intercept[Exception] {
+      Audit.digestIndexErase(spark, root3,
+        Seq((5L, "never here"), (8L, "nor this"), (11L, "nope"))
+          .toDF("doc_id", "text"), cols, "mod3", domainOf)
+    }
+    assert(e1.getMessage.contains("never digested"), e1.getMessage)
+    // right ids, WRONG bytes: the emptying-group residual-digest
+    // check refuses instead of leaving an unverifiable ledger
+    val root2 = tmp("digest2")
+    Audit.digestIndexWrite(part(docsDF), root2, cols, "mod3")
+    val e2 = intercept[Exception] {
+      Audit.digestIndexErase(spark, root2,
+        docsDF.withColumn("text", upper(col("text"))), cols, "mod3",
+        domainOf)
+    }
+    assert(e2.getMessage.contains("residual digest"), e2.getMessage)
+  }
+
+  test("quality_cuts: erasure is a RE-FREEZE over the retained slice — thresholds recompute, the victim-fitted version is GC'd, the erasure is logged") {
+    val root = tmp("qcuts")
+    val scores = docsDF.select(col("doc_id"),
+      lit("web").as("source"), (col("doc_id") * 10.0).as("ppl"))
+    val v1 = Quality.qualityCutsWrite(spark, root,
+      Quality.qualityCuts(scores, "ppl", Seq("source")), "ppl",
+      Seq("source"))
+    val retainedScores = scores
+      .filter(!col("doc_id").isin(victimIds.toSeq.map(Long.box): _*))
+    val v2 = Quality.qualityCutsRefreeze(spark, root, retainedScores,
+      "ppl", Seq("source"))
+    assert(v2 !== v1)
+    // the live calibration equals a fresh fit on the retained slice
+    val got = Quality.qualityCutsRead(spark, root, "ppl", Seq("source"))
+      .as[(String, Double, Double)].collect().toSet
+    val want = Quality.qualityCuts(retainedScores, "ppl", Seq("source"))
+      .as[(String, Double, Double)].collect().toSet
+    assert(got === want)
+    assert(got !== Quality.qualityCuts(scores, "ppl", Seq("source"))
+      .as[(String, Double, Double)].collect().toSet,
+      "victims didn't move the thresholds — degenerate test")
+    // keepVersions = 1 forced: the victim-fitted version is GONE
+    val (versions, current) = Layout.listVersions(spark, s"$root/cuts")
+    assert(versions === Seq(v2) && current === Some(v2),
+      s"victim-fitted calibration still retained: $versions")
+    // on the audit surface like every other family's rewrite
+    assert(EpochIndex.erasures(spark, root) === Seq(v2))
+    // a re-freeze under a different contract is refused, not absorbed
+    val e = intercept[Exception] {
+      Quality.qualityCutsRefreeze(spark, root, retainedScores, "ppl",
+        Seq("source"), cuts = Seq(0.25, 0.5, 0.75))
+    }
+    assert(e.getMessage.contains("do not match"), e.getMessage)
+  }
+
+  test("eraseRewrite returns the version its _ERASURES line cites (stats/audit cross-reference)") {
+    val root = tmp("vagree")
+    Dedup.gramFreqIndexWrite(
+      Dedup.gramFreqIndex(docsDF, "doc_id", "text", n = 3), root, n = 3)
+    val stats = Dedup.gramFreqIndexErase(spark, root, victimDocs,
+      "doc_id", "text", n = 3)
+    assert(EpochIndex.erasures(spark, root).lastOption ===
+      Some(stats.version),
+      "CompactionStats.version and the logged last_erasure diverge")
+    // and the returned version is the base the store actually sits on
+    val (_, current) = EpochIndex.versions(spark, root)
+    assert(current === Some(stats.version))
+  }
 }

@@ -435,4 +435,42 @@ class LayoutSpec extends SparkSpecBase {
     assert(Layout.zoneMapRead(spark, dir, manifest, "id",
       lit(5000L), lit(6000L)).count() === 0L)
   }
+
+  test("zone map: rewrite → refusal → one-call zoneMapRebuild → pruned read returns the rewritten rows") {
+    // the full operator loop the staleness refusal prescribes: a
+    // deleteWrite-style partition rewrite invalidates the manifest,
+    // the read refuses, zoneMapRebuild is the whole repair
+    val dir = new java.io.File("target/tmp/layout-zonemap-rebuild").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, dir)
+    spark.range(0, 300).toDF("id")
+      .withColumn("part", (col("id") / 100).cast("int"))
+      .write.partitionBy("part").parquet(dir)
+    val manifest = Layout.zoneMap(spark.read.parquet(dir), Seq("id"))
+      .localCheckpoint(true)
+    // rewrite one partition under new file names (drop the odd ids)
+    Merge.deleteWrite(spark, dir,
+      spark.range(0, 100).toDF("id").filter(col("id") % 2 === 1),
+      Seq("id"), "part")
+    intercept[IllegalArgumentException] {
+      Layout.zoneMapRead(spark, dir, manifest, "id", lit(0L), lit(99L))
+        .count()
+    }
+    val repaired = Layout.zoneMapRebuild(spark, dir, Seq("id"))
+    val got = Layout.zoneMapRead(spark, dir, repaired, "id",
+      lit(0L), lit(99L)).select("id").as[Long].collect().toSet
+    assert(got === (0L until 100L by 2).toSet,
+      "pruned read after rebuild must see exactly the rewritten rows")
+  }
+
+  test("zone map: a column-less EMPTY manifest (streaming sink pre-first-batch) reads as empty, guard included") {
+    // pruneFiles already tolerated this state as "no files"; the
+    // coverage guard must not turn it into an unresolved-column error
+    // on `file` — the pre-guard behavior (empty scan) is the contract
+    val dir = new java.io.File("target/tmp/layout-zonemap-nocol").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, dir)
+    spark.range(0, 10).toDF("id").write.parquet(dir)
+    val empty = spark.emptyDataFrame
+    assert(Layout.zoneMapRead(spark, dir, empty, "id",
+      lit(0L), lit(10L)).isEmpty)
+  }
 }
