@@ -221,7 +221,13 @@ object Dedup {
       private[operators] val minLineLen: Int) {
     private[graft] def localCheckpoint(eager: Boolean): LinePartial =
       new LinePartial(frame.localCheckpoint(eager), family, sep, minLineLen)
-    private[graft] def unpersist(): Unit = { frame.unpersist(); () }
+    // Bridge.unpersistCheckpoint, not Dataset.unpersist: the latter
+    // only consults the CacheManager, which never sees the checkpoint
+    // RDD a localCheckpoint'd partial pins (a sink releasing partials
+    // through this in foreachBatch would otherwise leak one pinned
+    // RDD per micro-batch). No-op on a never-checkpointed partial.
+    private[graft] def unpersist(): Unit =
+      org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(frame)
     private[operators] def requireMatches(expFamily: String, expSep: String,
                                           expMinLineLen: Int): Unit =
       require(family == expFamily && sep == expSep &&
@@ -972,7 +978,22 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       maxBucket: Int = 200, blockCol: Option[String] = None,
-      buckets: Int = 64, excludeEpoch: Option[String] = None): DataFrame = {
+      buckets: Int = 64, excludeEpoch: Option[String] = None): DataFrame =
+    incrementalMinHashLshFromStorePinned(spark, path, newDocs, idCol,
+      textCol, numHashes, bands, shingleK, maxBucket, blockCol, buckets,
+      excludeEpoch)._1
+
+  /** [[incrementalMinHashLshFromStore]] with caller-managed release
+    * of the internal band-key checkpoint — for foreachBatch callers
+    * with no harness sweep (see [[incrementalSimHashFromStore]]'s
+    * pin-lifecycle note). */
+  private[graft] def incrementalMinHashLshFromStorePinned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+      maxBucket: Int = 200, blockCol: Option[String] = None,
+      buckets: Int = 64,
+      excludeEpoch: Option[String] = None): (DataFrame, () => Unit) = {
     val batchBanded = Bridge.freshLeaf(
       bandedKeys(newDocs, idCol, textCol, numHashes, bands, shingleK,
         blockCol).localCheckpoint(true))
@@ -982,8 +1003,9 @@ object Dedup {
     val internal = minHashLsh(newDocs, idCol, textCol, numHashes, bands,
       shingleK, threshold = 0.0, maxBucket, blockCol)
       .select(col("id_a"), col("id_b"))
-    internal.unionByName(minHashCross(batchBanded, idx, blockCol))
-      .distinct()
+    (internal.unionByName(minHashCross(batchBanded, idx, blockCol))
+      .distinct(),
+      () => Bridge.unpersistCheckpoint(batchBanded))
   }
 
   /** Shared banding front end: (id, [block,] band, bh) keys from the
@@ -1164,29 +1186,59 @@ object Dedup {
 
   /** [[incrementalSimHash]] against the PERSISTED store: batch
     * signatures computed once (pinned), the store read pruned to the
-    * batch's band-key buckets by parquet partition filter. */
+    * batch's band-key buckets by parquet partition filter.
+    *
+    * The internal signature pin outlives the call (it backs the
+    * returned plan); batch/bench callers rely on the harness sweep to
+    * free it. A caller inside a LONG-LIVED loop with no sweep — a
+    * streaming sink's foreachBatch — must use the `Pinned` variant
+    * and release the pin itself, or it leaks one pinned RDD per
+    * batch for the session lifetime. */
   def incrementalSimHashFromStore(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 5000, buckets: Int = 64,
       excludeEpoch: Option[String] = None): DataFrame =
-    incrementalHamming64FromStore(spark, path,
+    incrementalSimHashFromStorePinned(spark, path, newDocs, idCol, textCol,
+      maxHamming, maxBucket, buckets, excludeEpoch)._1
+
+  /** [[incrementalSimHashFromStore]] with caller-managed release: the
+    * second element frees the internal batch-signature checkpoint
+    * (call it only after the pairs are consumed or themselves
+    * pinned — the pin backs the returned plan). */
+  private[graft] def incrementalSimHashFromStorePinned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 5000, buckets: Int = 64,
+      excludeEpoch: Option[String] = None): (DataFrame, () => Unit) =
+    incrementalHamming64FromStorePinned(spark, path,
       textSigs(newDocs, idCol, textCol), "simhash_bands", maxHamming,
       maxBucket, buckets, excludeEpoch, family = "simhash")
 
   /** Store-backed [[incrementalHamming64]] — the signature-level
-    * engine under the SimHash and image-hash probes. */
+    * engine under the SimHash and image-hash probes. Pin lifecycle:
+    * see [[incrementalSimHashFromStore]]. */
   def incrementalHamming64FromStore(
       spark: org.apache.spark.sql.SparkSession, path: String,
       batchSigs: DataFrame, metaFamily: String, maxHamming: Int = 3,
       maxBucket: Int = 5000, buckets: Int = 64,
       excludeEpoch: Option[String] = None,
-      family: String = "hamming64"): DataFrame = {
+      family: String = "hamming64"): DataFrame =
+    incrementalHamming64FromStorePinned(spark, path, batchSigs, metaFamily,
+      maxHamming, maxBucket, buckets, excludeEpoch, family)._1
+
+  private[graft] def incrementalHamming64FromStorePinned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchSigs: DataFrame, metaFamily: String, maxHamming: Int = 3,
+      maxBucket: Int = 5000, buckets: Int = 64,
+      excludeEpoch: Option[String] = None,
+      family: String = "hamming64"): (DataFrame, () => Unit) = {
     val sigs = Bridge.freshLeaf(batchSigs.localCheckpoint(true))
     val idx = bandIndexStoreProbeRead(spark, path,
       hamming64BandsMeta(metaFamily, maxBucket), band64(sigs, carry = Nil),
       excludeEpoch, buckets)
-    incrementalHamming64(sigs, idx, maxHamming, maxBucket, family)
+    (incrementalHamming64(sigs, idx, maxHamming, maxBucket, family),
+      () => Bridge.unpersistCheckpoint(sigs))
   }
 
   // --------------------------------------------- persisted band stores
@@ -1813,7 +1865,20 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxBucket: Int = 5000, buckets: Int = 64,
-      roundTo: Int = 4, excludeEpoch: Option[String] = None): DataFrame = {
+      roundTo: Int = 4, excludeEpoch: Option[String] = None): DataFrame =
+    incrementalEmbeddingLshFromStorePinned(spark, path, newDocs, idCol,
+      vecCol, threshold, maxBucket, buckets, roundTo, excludeEpoch)._1
+
+  /** [[incrementalEmbeddingLshFromStore]] with caller-managed release
+    * of the internal SRP-banding checkpoint — for foreachBatch
+    * callers with no harness sweep (see
+    * [[incrementalSimHashFromStore]]'s pin-lifecycle note). */
+  private[graft] def incrementalEmbeddingLshFromStorePinned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxBucket: Int = 5000, buckets: Int = 64,
+      roundTo: Int = 4,
+      excludeEpoch: Option[String] = None): (DataFrame, () => Unit) = {
     val batchBanded = Bridge.freshLeaf(
       srpBanded(newDocs, idCol, vecCol).localCheckpoint(true))
     val idx = bandIndexStoreProbeRead(spark, path,
@@ -1821,8 +1886,9 @@ object Dedup {
       excludeEpoch, buckets)
     val internal = embeddingLshPairs(newDocs, idCol, vecCol, threshold,
       maxBucket, roundTo).select("id_a", "id_b", "cos")
-    internal.unionByName(srpCross(batchBanded, idx, threshold, roundTo))
-      .distinct()
+    (internal.unionByName(srpCross(batchBanded, idx, threshold, roundTo))
+      .distinct(),
+      () => Bridge.unpersistCheckpoint(batchBanded))
   }
 
   /** Shared SRP banding front end ([[band64]] carrying the vector for
@@ -3495,7 +3561,7 @@ object Dedup {
     * it means a "victim" was never ingested (or was ingested with
     * different text), and dropping the row would silently erase a
     * retained document's contribution too. */
-  private def countSubtractErase(
+  private[graft] def countSubtractErase(
       spark: org.apache.spark.sql.SparkSession, path: String,
       victimPartial: DataFrame, keyCol: String,
       cntCol: String, op: String): EpochIndex.CompactionStats = {

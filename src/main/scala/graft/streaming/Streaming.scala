@@ -27,6 +27,36 @@ import graft.operators.{Dedup, Merge}
   */
 object Streaming {
 
+  /** Release a `localCheckpoint`'s pinned block-manager blocks inside
+    * a sink's per-batch `finally`. `Dataset.unpersist` is NOT this:
+    * it only consults the CacheManager, which never sees checkpoint
+    * RDDs (probed empirically on this Spark: blocks stay pinned
+    * through `unpersist()`), so a sink relying on it leaks one pinned
+    * RDD per micro-batch for the session lifetime — the round-8
+    * bench-inflation mechanism, in the one JVM (a long-lived
+    * streaming app) that has no harness sweep to save it. */
+  private def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.unpersistCheckpoint(df)
+
+  /** Secondary activation guard behind every corpus-ahead-of-index
+    * refusal: those refusals key on `EpochIndex.nonEmpty`, which a
+    * standing corpus in a FLAT (non-epoch) parquet layout reads as
+    * empty — the guard would silently pass, the sink would interleave
+    * `_epoch=` partitions into the flat directory, and the ledger
+    * would diverge from a corpus the epoch-scoped reads half-see.
+    * Refuse on any data file an epoch read cannot reach instead. */
+  private def requireEpochLayout(spark: SparkSession, path: String,
+                                 sink: String, role: String): Unit =
+    graft.operators.EpochIndex.foreignDataFile(spark, path).foreach { f =>
+      throw new IllegalArgumentException(
+        s"$sink: the $role at $path holds data files outside the " +
+          s"epoch layout (e.g. $f) — a flat parquet table this sink's " +
+          "epoch-scoped reads and activation guards cannot see. " +
+          "Re-ingest that data through an epoch write " +
+          "(EpochIndex.bootstrap, or the family's IndexWrite) or point " +
+          s"the sink at a fresh $role path")
+    }
+
   /** File-based streaming source with an explicit schema (never infer
     * on a stream). `maxFilesPerTrigger` bounds micro-batch size so a
     * backlog replay cannot OOM an executor. */
@@ -253,7 +283,7 @@ object Streaming {
           // overwrite with zero rows touches nothing.
           epochWrite(accepted.drop("fingerprint"), corpusPath, token, epochId)
           epochWrite(accepted.select("fingerprint"), indexPath, token, epochId)
-        } finally { accepted.unpersist(); () }
+        } finally release(accepted)
       }
       .start()
   }
@@ -545,8 +575,8 @@ object Streaming {
             // epoch with the index still excluding it
             epochWrite(kept, corpusPath, token, epochId)
             epochWrite(partial, indexPath, token, epochId)
-          } finally { kept.unpersist(); () }
-        } finally { partial.unpersist(); () }
+          } finally release(kept)
+        } finally release(partial)
       }
       .start()
   }
@@ -694,7 +724,7 @@ object Streaming {
             partials.foreach { case (p, df) =>
               epochWrite(df, sub(p), token, epochId)
             }
-          } finally partials.foreach { case (_, df) => df.unpersist(); () }
+          } finally partials.foreach { case (_, df) => release(df) }
         }
       }
       .start()
@@ -880,7 +910,7 @@ object Streaming {
             epochWrite(gated.filter(!col("keep"))
               .select(col(idCol), col(sourceCol), col("reasons")),
               rejectsPath, token, epochId)
-          } finally { gated.unpersist(); () }
+          } finally release(gated)
         }
       }
       .start()
@@ -931,6 +961,7 @@ object Streaming {
                      buckets: Int = 64,
                      labelsPath: Option[String] = None): StreamingQuery = {
     import graft.operators.{Dedup, EpochIndex, IndexMeta}
+    requireEpochLayout(spark, corpusPath, "certIngestSink", "corpus")
     // corpus-ahead-of-index refusal: a standing corpus whose
     // certification index is EMPTY means every probe below would
     // match nothing and the ledger would silently stop equaling the
@@ -1013,7 +1044,7 @@ object Streaming {
               idCol, textCol, epoch, threshold, shingleK, maxBucket,
               buckets)
             epochWrite(batch, corpusPath, token, epochId)
-          } finally { pinned.unpersist(); () }
+          } finally release(pinned)
         }
       }
       .start()
@@ -1058,6 +1089,7 @@ object Streaming {
                         roundTo: Int = 4,
                         labelsPath: Option[String] = None): StreamingQuery = {
     import graft.operators.{Dedup, EpochIndex, IndexMeta}
+    requireEpochLayout(spark, corpusPath, "certVecIngestSink", "corpus")
     // corpus-ahead-of-index refusal — certIngestSink's, cosine twin;
     // same legitimately-empty-index tolerance (a standing corpus of
     // only zero-norm vectors cannot band, so an empty band store is
@@ -1145,7 +1177,7 @@ object Streaming {
             Dedup.certVecIndexAppend(spark, indexPath, batch,
               idCol, vecCol, epoch, threshold, maxCell, roundTo)
             epochWrite(batch, corpusPath, token, epochId)
-          } finally { pinned.unpersist(); () }
+          } finally release(pinned)
         }
       }
       .start()
@@ -1181,13 +1213,8 @@ object Streaming {
                         buckets: Int = 64): StreamingQuery = {
     import graft.operators.{Dedup, EpochIndex, IndexMeta}
     val meta = Dedup.hamming64BandsMeta("simhash_bands", maxBucket)
-    require(!EpochIndex.nonEmpty(spark, corpusPath) ||
-      EpochIndex.nonEmpty(spark, indexPath, innerPartCols = Seq("bb")),
-      s"nearDupIngestSink: corpus at $corpusPath already holds data " +
-        s"but the band index at $indexPath is empty — probing would " +
-        "re-admit near-duplicates of the whole standing corpus. " +
-        "Bootstrap the index with simHashBandIndexWrite over the " +
-        "standing corpus first, or point the sink at a fresh corpusPath")
+    nearDupActivationChecks(stream, spark, corpusPath, indexPath, idCol,
+      "nearDupIngestSink", "simHashBandIndexWrite")
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -1197,31 +1224,15 @@ object Streaming {
           IndexMeta.writeIfAbsent(spark, indexPath,
             Dedup.bandMetaWithBuckets(meta, buckets))
           val epoch = s"$token-$epochId"
-          val pairs =
+          val (pairs, freePin) =
             if (EpochIndex.nonEmpty(spark, indexPath,
                 innerPartCols = Seq("bb")))
-              Dedup.incrementalSimHashFromStore(spark, indexPath, batch,
-                idCol, textCol, maxHamming, maxBucket, buckets,
+              Dedup.incrementalSimHashFromStorePinned(spark, indexPath,
+                batch, idCol, textCol, maxHamming, maxBucket, buckets,
                 excludeEpoch = Some(epoch))
-            else Dedup.simHashPairs(batch, idCol, textCol, maxHamming,
-              maxBucket).select("id_a", "id_b")
-          // canonical keep per component: a batch doc survives iff its
-          // near-dup component holds no corpus doc and it is the min
-          // batch id of the component; unpaired docs survive trivially
-          val comp = Dedup.connectedComponents(pairs)
-          val bIds = batch.select(col(idCol).cast("long").as("id"))
-          val batchComp = comp.join(bIds, Seq("id"), "left_semi")
-          val corpusTouched = comp.join(bIds, Seq("id"), "left_anti")
-            .select("cluster_id").distinct().withColumn("_corpus", lit(1))
-          val minBatch = batchComp.groupBy(col("cluster_id"))
-            .agg(min(col("id")).as("_min"))
-          val dropIds = batchComp
-            .join(minBatch, Seq("cluster_id"))
-            .join(corpusTouched, Seq("cluster_id"), "left")
-            .filter(col("_corpus").isNotNull || col("id") =!= col("_min"))
-            .select(col("id").cast(batch.schema(idCol).dataType).as(idCol))
-          val accepted = batch.join(dropIds, Seq(idCol), "left_anti")
-            .localCheckpoint(true)
+            else (Dedup.simHashPairs(batch, idCol, textCol, maxHamming,
+              maxBucket).select("id_a", "id_b"), () => ())
+          val accepted = nearDupAccepted(batch, idCol, pairs, freePin)
           try {
             if (!accepted.isEmpty) {
               Dedup.bandIndexStoreAppend(spark, indexPath,
@@ -1229,7 +1240,137 @@ object Streaming {
                   maxBucket), epoch, meta, buckets)
               epochWrite(accepted, corpusPath, token, epochId)
             }
-          } finally { accepted.unpersist(); () }
+          } finally release(accepted)
+        }
+      }
+      .start()
+  }
+
+  /** Shared activation refusals of the near-dup ingest sinks: the
+    * flat-layout check, the corpus-ahead-of-index check (every
+    * document yields a signature/banding row, so an empty index under
+    * a standing corpus is always torn state — no tolerance case,
+    * unlike the text-cert sink), and the id-type check. The last one
+    * exists because the keep policy below classifies component
+    * membership through `cast("long")`: on a string/decimal id column
+    * that cast yields NULLs, every batch doc falls out of the
+    * membership joins, and near-duplicates would be ADMITTED with no
+    * error — a silent violation of the dedup contract, refused here
+    * at activation instead (the selectRepresentatives precedent:
+    * id-shape constraints fail loudly). */
+  private def nearDupActivationChecks(stream: DataFrame,
+                                      spark: SparkSession,
+                                      corpusPath: String, indexPath: String,
+                                      idCol: String, sink: String,
+                                      bootstrapName: String): Unit = {
+    import graft.operators.EpochIndex
+    import org.apache.spark.sql.types.{ByteType, ShortType}
+    requireEpochLayout(spark, corpusPath, sink, "corpus")
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(stream.schema(idCol).dataType),
+      s"$sink: id column '$idCol' is ${stream.schema(idCol).dataType
+        .simpleString}, not an integral type — the canonical-keep " +
+        "component classification casts ids to long, which on this " +
+        "type yields NULLs and silently ADMITS near-duplicates; map " +
+        "ids to a stable integral key upstream (e.g. xxhash64 of the " +
+        "natural key) before the sink")
+    require(!EpochIndex.nonEmpty(spark, corpusPath) ||
+      EpochIndex.nonEmpty(spark, indexPath, innerPartCols = Seq("bb")),
+      s"$sink: corpus at $corpusPath already holds data " +
+        s"but the band index at $indexPath is empty — probing would " +
+        s"re-admit near-duplicates of the whole standing corpus. " +
+        s"Bootstrap the index with $bootstrapName over the " +
+        "standing corpus first, or point the sink at a fresh corpusPath")
+  }
+
+  /** Shared keep policy of the near-dup ingest sinks: a batch doc
+    * survives iff its near-dup component touches no standing-corpus
+    * doc AND its id is the component's minimum among batch members
+    * (the q42 canonical-keep policy, per batch); unpaired docs
+    * survive trivially. Returns the PINNED accepted set (the caller
+    * releases it after its writes); `freePin` — the probe's internal
+    * checkpoint release — is called as soon as the connected
+    * components have materialized, and the CC mapping's own
+    * checkpoint is released once the accepted set is pinned, so
+    * nothing this helper touched stays in the block manager across
+    * micro-batches. */
+  private def nearDupAccepted(batch: DataFrame, idCol: String,
+                              pairs: DataFrame,
+                              freePin: () => Unit): DataFrame = {
+    import graft.operators.Dedup
+    // connectedComponents materializes eagerly, so the probe's pin is
+    // dead the moment it returns
+    val comp = try Dedup.connectedComponents(pairs) finally freePin()
+    try {
+      val bIds = batch.select(col(idCol).cast("long").as("id"))
+      val batchComp = comp.join(bIds, Seq("id"), "left_semi")
+      val corpusTouched = comp.join(bIds, Seq("id"), "left_anti")
+        .select("cluster_id").distinct().withColumn("_corpus", lit(1))
+      val minBatch = batchComp.groupBy(col("cluster_id"))
+        .agg(min(col("id")).as("_min"))
+      val dropIds = batchComp
+        .join(minBatch, Seq("cluster_id"))
+        .join(corpusTouched, Seq("cluster_id"), "left")
+        .filter(col("_corpus").isNotNull || col("id") =!= col("_min"))
+        .select(col("id").cast(batch.schema(idCol).dataType).as(idCol))
+      batch.join(dropIds, Seq(idCol), "left_anti").localCheckpoint(true)
+    } finally release(comp)
+  }
+
+  /** Streaming near-dup ingest over the persisted (bucketed) MinHash
+    * band store — [[nearDupIngestSink]]'s text-shingle (Jaccard)
+    * twin: the Hamming sink catches telescoped/typo-level near-dups;
+    * this one catches shingle-overlap near-dups (boilerplate
+    * recombination, partial copies), probing the STORED minhash index
+    * partition-pruned to the batch's own band-key buckets
+    * ([[graft.operators.Dedup.incrementalMinHashLshFromStore]]).
+    * Keep policy, replay idempotency, accepted-only writes and every
+    * activation refusal are the SimHash sink's, shared above. LSH
+    * recall caveat carried from the batch operator: candidates are
+    * banded, so pairs missed by every band are admitted — same
+    * probability bound as [[graft.operators.Dedup.minHashLsh]] at the
+    * given (numHashes, bands). */
+  def nearDupTextIngestSink(stream: DataFrame, spark: SparkSession,
+                            corpusPath: String, indexPath: String,
+                            idCol: String, textCol: String,
+                            checkpoint: String, numHashes: Int = 64,
+                            bands: Int = 16, shingleK: Int = 3,
+                            maxBucket: Int = 200,
+                            buckets: Int = 64): StreamingQuery = {
+    import graft.operators.{Dedup, EpochIndex, IndexMeta}
+    val meta = Dedup.minHashBandsMeta(numHashes, bands, shingleK,
+      maxBucket, blockCol = None)
+    nearDupActivationChecks(stream, spark, corpusPath, indexPath, idCol,
+      "nearDupTextIngestSink", "minHashBandIndexWrite")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            Dedup.bandMetaWithBuckets(meta, buckets))
+          val epoch = s"$token-$epochId"
+          val (pairs, freePin) =
+            if (EpochIndex.nonEmpty(spark, indexPath,
+                innerPartCols = Seq("bb")))
+              Dedup.incrementalMinHashLshFromStorePinned(spark, indexPath,
+                batch, idCol, textCol, numHashes, bands, shingleK,
+                maxBucket, blockCol = None, buckets,
+                excludeEpoch = Some(epoch))
+            else (Dedup.minHashLsh(batch, idCol, textCol, numHashes,
+              bands, shingleK, threshold = 0.0, maxBucket)
+              .select("id_a", "id_b"), () => ())
+          val accepted = nearDupAccepted(batch, idCol, pairs, freePin)
+          try {
+            if (!accepted.isEmpty) {
+              Dedup.bandIndexStoreAppend(spark, indexPath,
+                Dedup.minHashBandIndex(accepted, idCol, textCol,
+                  numHashes, bands, shingleK, maxBucket), epoch, meta,
+                buckets)
+              epochWrite(accepted, corpusPath, token, epochId)
+            }
+          } finally release(accepted)
         }
       }
       .start()
@@ -1325,8 +1466,8 @@ object Streaming {
           try {
             epochWrite(cleaned, corpusPath, token, epochId)
             epochWrite(partial.frame, indexPath, token, epochId)
-          } finally { cleaned.unpersist(); () }
-        } finally { partial.unpersist(); () }
+          } finally release(cleaned)
+        } finally partial.unpersist()
       }
       .start()
   }

@@ -1239,6 +1239,132 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("simHashBandIndexWrite"), e.getMessage)
   }
 
+  test("streaming near-dup TEXT ingest (MinHash twin): canonical keep, store-probe rejection, accepted-only, compaction-safe, zero leaked pins") {
+    import graft.operators.Dedup
+    graft.GraftSession.sweepPersistedRdds(spark)
+    val src = Files.createTempDirectory("graft-ndt-src").toString
+    val corpus = Files.createTempDirectory("graft-ndt-c").toString + "/c"
+    val index = Files.createTempDirectory("graft-ndt-i").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-ndt-ckp").toString
+    // b1: 2 is an exact copy of 1 (within-batch, non-min id);
+    // b2: 11 copies 1 (corpus-touching), 12 is novel;
+    // b3 (after a mid-stream index compaction): 21 copies 12, 22 novel
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different tokens appear here now truly"))
+    val b2 = Seq((11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "novel twelve document payload words arrive here"))
+    val b3 = Seq((21L, "novel twelve document payload words arrive here"),
+      (22L, "another fresh unique document entirely again"))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.nearDupTextIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "doc_id", "text", ckp)
+        .awaitTermination()
+    }
+    deliver("b1", b1); drain()
+    def corpusIds() = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds() === Set(1L, 3L),
+      s"within-batch canonical keep broke: ${corpusIds()}")
+    deliver("b2", b2); drain()
+    assert(corpusIds() === Set(1L, 3L, 12L),
+      s"corpus-touching rejection broke: ${corpusIds()}")
+    // replay idempotency across activations: nothing new delivered,
+    // a re-drain changes neither store
+    drain()
+    assert(corpusIds() === Set(1L, 3L, 12L))
+    // mid-stream compaction folds the accumulated epochs; the next
+    // batch's probe reads the compacted base + its own exclusions
+    val stats = Dedup.bandIndexStoreCompact(spark, index)
+    assert(stats.folded.nonEmpty, "compaction folded nothing")
+    deliver("b3", b3); drain()
+    assert(corpusIds() === Set(1L, 3L, 12L, 22L), s"got ${corpusIds()}")
+    // accepted-only stores: the index holds exactly the survivors'
+    // band rows — dropped docs polluted nothing
+    assert(Dedup.bandIndexStoreRead(spark, index,
+      Dedup.minHashBandsMeta(64, 16, 3, 200, None))
+      .select("id").as[Long].collect().toSet === Set(1L, 3L, 12L, 22L))
+    // survivors are pairwise non-near-dup at the sink's banding
+    assert(Dedup.minHashLsh(
+      spark.read.parquet(corpus).select("doc_id", "text"),
+      "doc_id", "text", threshold = 0.0).count() === 0L)
+    // the foreachBatch loop released every checkpoint it pinned —
+    // probe pin, CC mapping, accepted set (a long-lived streaming
+    // JVM has no harness sweep; the sink must not leak per batch)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"sink leaked ${spark.sparkContext.getPersistentRDDs.size} pinned RDDs")
+    // a standing corpus with a FRESH index path refuses at activation
+    val e = intercept[IllegalArgumentException] {
+      Streaming.nearDupTextIngestSink(
+        Streaming.fileStream(spark,
+          spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+        spark, corpus,
+        Files.createTempDirectory("graft-ndt-i2").toString + "/i",
+        "doc_id", "text",
+        Files.createTempDirectory("graft-ndt-ckp2").toString)
+    }
+    assert(e.getMessage.contains("minHashBandIndexWrite"), e.getMessage)
+  }
+
+  test("near-dup sinks refuse non-integral id columns and flat (non-epoch) corpus layouts at activation") {
+    val src = Files.createTempDirectory("graft-ndrf-src").toString
+    // non-integral id: the keep policy's cast("long") would NULL every
+    // membership row and silently ADMIT near-duplicates
+    Seq(("a", "alpha beta")).toDF("doc_id", "text")
+      .write.parquet(s"$src/s1")
+    val sschema = spark.read.parquet(s"$src/s1").schema
+    val e1 = intercept[IllegalArgumentException] {
+      Streaming.nearDupIngestSink(
+        Streaming.fileStream(spark, sschema, s"$src/s*"), spark,
+        Files.createTempDirectory("graft-ndrf-c1").toString + "/c",
+        Files.createTempDirectory("graft-ndrf-i1").toString + "/i",
+        "doc_id", "text",
+        Files.createTempDirectory("graft-ndrf-ckp1").toString)
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val e1t = intercept[IllegalArgumentException] {
+      Streaming.nearDupTextIngestSink(
+        Streaming.fileStream(spark, sschema, s"$src/s*"), spark,
+        Files.createTempDirectory("graft-ndrf-c2").toString + "/c",
+        Files.createTempDirectory("graft-ndrf-i2").toString + "/i",
+        "doc_id", "text",
+        Files.createTempDirectory("graft-ndrf-ckp2").toString)
+    }
+    assert(e1t.getMessage.contains("integral"), e1t.getMessage)
+    // flat corpus layout: EpochIndex.nonEmpty reads it as empty, so
+    // the corpus-ahead-of-index guard would silently pass over
+    // standing data — the layout check refuses first
+    Seq((1L, "alpha beta")).toDF("doc_id", "text")
+      .write.parquet(s"$src/l1")
+    val flat = Files.createTempDirectory("graft-ndrf-flat").toString + "/c"
+    Seq((9L, "standing flat corpus")).toDF("doc_id", "text")
+      .write.parquet(flat)
+    val lschema = spark.read.parquet(s"$src/l1").schema
+    val e2 = intercept[IllegalArgumentException] {
+      Streaming.nearDupIngestSink(
+        Streaming.fileStream(spark, lschema, s"$src/l*"), spark, flat,
+        Files.createTempDirectory("graft-ndrf-i3").toString + "/i",
+        "doc_id", "text",
+        Files.createTempDirectory("graft-ndrf-ckp3").toString)
+    }
+    assert(e2.getMessage.contains("epoch layout"), e2.getMessage)
+    // the cert sinks share the layout guard
+    val e3 = intercept[IllegalArgumentException] {
+      Streaming.certIngestSink(
+        Streaming.fileStream(spark, lschema, s"$src/l*"), spark, flat,
+        Files.createTempDirectory("graft-ndrf-l4").toString + "/l",
+        Files.createTempDirectory("graft-ndrf-i4").toString + "/i",
+        "doc_id", "text",
+        Files.createTempDirectory("graft-ndrf-ckp4").toString,
+        threshold = 0.5)
+    }
+    assert(e3.getMessage.contains("epoch layout"), e3.getMessage)
+  }
+
   test("cert sinks: a standing corpus with an EMPTY certification index refuses at activation") {
     import graft.operators.Dedup
     // the silent-divergence shape: a corpus bootstrapped elsewhere
