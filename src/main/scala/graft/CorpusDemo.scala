@@ -65,6 +65,8 @@ object CorpusDemo {
       nShuffled: Long, card: Seq[(String, String)] = Nil,
       nVictims: Long = 0L, erasedJacPairs: Long = 0L,
       erasedCosPairs: Long = 0L,
+      bpLineRefs: Long = 0L, erasedBpLineRefs: Long = 0L,
+      bpLineRefsAfterErase: Long = 0L,
       cardAfterErase: Seq[(String, String)] = Nil,
       stageSec: Seq[(String, Double)] = Nil)
 
@@ -386,6 +388,25 @@ object CorpusDemo {
       "doc_id", "n_tokens", ctxLen = 512, shards = 8)
       .select("shard", "bin").distinct().count())
 
+    // ---- persisted line-frequency store over the RELEASE (the
+    //      q102/q107 family): the standing boilerplate index future
+    //      ingest batches clean against (incrementalRemoveBoilerplate)
+    //      — built in two epochs, folded by the maintenance sweep
+    //      below, and the erase stage's SUBTRACT-erase target (the
+    //      cert ledgers exercise filter-erase, the kmv profile
+    //      rebuild-erase; this store completes the mechanism set)
+    val bpRoot = s"$outDir/stores/boilerplate"
+    val bpLineRefs = staged("boilerplate_store") {
+      Fs.deleteRecursively(spark, bpRoot)
+      def bpart(r: Int) = Dedup.boilerplateIndex(
+        quality.filter(pmod(col("doc_id"), lit(2)) === r),
+        "doc_id", "text", "\n")
+      Dedup.boilerplateIndexWrite(bpart(0), bpRoot, "\n")
+      Dedup.boilerplateIndexAppend(spark, bpRoot, bpart(1), "epoch-2", "\n")
+      Dedup.boilerplateIndexRead(spark, bpRoot)
+        .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+    }
+
     // ---- persisted profile store: KMV distinct-doc sketches per
     //      source, written epoch 1, appended epoch 2, compacted via
     //      the store-tree maintenance sweep, probed from disk (q176)
@@ -429,7 +450,8 @@ object CorpusDemo {
     //      card's new erasure columns cite the rewrite history, so a
     //      release can prove both WHAT it certified and WHAT it
     //      forgot. CorpusDemoSpec pins the exact arithmetic.
-    val (nVictims, erasedJacPairs, erasedCosPairs, cardAfterErase) =
+    val (nVictims, erasedJacPairs, erasedCosPairs,
+      erasedBpLineRefs, bpAfterErase, cardAfterErase) =
       staged("erase") {
         // deterministic, nonempty at every SF: the two smallest
         // released ids play the data-subject request (orderBy+limit
@@ -455,11 +477,28 @@ object CorpusDemo {
           Cardinality.kmvSketch(docs.join(victims, Seq("doc_id"),
             "left_anti"), col("source"), col("doc_id"), k = 32),
           32, "doc_id")
+        // SUBTRACT-erase through the boilerplate count store: the
+        // victims' own line partial folds in negated (exact,
+        // O(victims)); the post-erase total must drop by exactly that
+        // partial — the count-store arithmetic q239/q240 pin at the
+        // oracle, proven here live on the funnel's own store
+        val victimDocs = barrier(
+          quality.join(victims, Seq("doc_id"), "left_semi"))
+        val bpVictimRefs = Dedup.boilerplateIndex(victimDocs,
+          "doc_id", "text", "\n")
+          .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+        Dedup.boilerplateIndexErase(spark, bpRoot, victimDocs,
+          "doc_id", "text", "\n")
+        val bpAfter = Dedup.boilerplateIndexRead(spark, bpRoot)
+          .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+        require(bpAfter == bpLineRefs - bpVictimRefs,
+          s"boilerplate subtract-erase arithmetic broke: " +
+            s"$bpLineRefs - $bpVictimRefs != $bpAfter")
         val after = graft.operators.Audit.cardFromStores(spark,
           quality.join(victims, Seq("doc_id"), "left_anti"), "text",
           certJacRoot, 0.5, certCosRoot, 0.4, ccRoot,
           s"$outDir/stores/quality_cuts", "ppl", Seq("source")).head()
-        (victims.count(), jacTouch, cosTouch,
+        (victims.count(), jacTouch, cosTouch, bpVictimRefs, bpAfter,
           after.schema.fieldNames.toSeq.zipWithIndex.map { case (n, i) =>
             n -> String.valueOf(after.get(i)) })
       }
@@ -507,6 +546,8 @@ object CorpusDemo {
       card = card,
       nVictims = nVictims, erasedJacPairs = erasedJacPairs,
       erasedCosPairs = erasedCosPairs,
+      bpLineRefs = bpLineRefs, erasedBpLineRefs = erasedBpLineRefs,
+      bpLineRefsAfterErase = bpAfterErase,
       cardAfterErase = cardAfterErase,
       stageSec = stageSec.toList)
   }
@@ -548,6 +589,9 @@ object CorpusDemo {
       s""""erase_victims":${r.nVictims},""" +
       s""""erased_jac_pairs":${r.erasedJacPairs},""" +
       s""""erased_cos_pairs":${r.erasedCosPairs},""" +
+      s""""bp_line_refs":${r.bpLineRefs},""" +
+      s""""erased_bp_line_refs":${r.erasedBpLineRefs},""" +
+      s""""bp_line_refs_after_erase":${r.bpLineRefsAfterErase},""" +
       s""""card_after_erase":{${r.cardAfterErase
         .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
         .mkString(",")}},""" +

@@ -118,13 +118,14 @@ class CorpusDemoSpec extends SparkSpecBase {
       "repetition_filter", "quality_gate",
       "cluster_safe_split",
       "budgeted_mixture", "rank_tiers", "curriculum",
-      "epoch_order_write", "pack", "kmv_store", "final_card",
-      "erase", "attrition"))
+      "epoch_order_write", "pack", "boilerplate_store", "kmv_store",
+      "final_card", "erase", "attrition"))
     assert(r.stageSec.forall(_._2 > 0.0))
-    // five stores under the sweep now: kmv counts (folded), the frozen
-    // quality-cuts snapshot (benign typed skip), BOTH cert_pairs
-    // ledgers, and the cc_labels repair labeling (min-folded)
-    assert(r.storesCompacted === 5)
+    // six stores under the sweep now: kmv counts (folded), the release
+    // boilerplate line counts (summed), the frozen quality-cuts
+    // snapshot (benign typed skip), BOTH cert_pairs ledgers, and the
+    // cc_labels repair labeling (min-folded)
+    assert(r.storesCompacted === 6)
     // the final card is emitted FROM the stores, after the sweep:
     // every citation must equal the number the funnel measured
     val card = r.card.toMap
@@ -172,6 +173,14 @@ class CorpusDemoSpec extends SparkSpecBase {
     assert(after("erasure_rewrites") === "3", s"after: $after")
     assert(after("last_erasure").startsWith("cc_labels:"),
       s"after: $after")
+    // subtract-erase through the boilerplate count store (round 17):
+    // the post-erase line-ref total drops by EXACTLY the victims'
+    // partial — and the victims contributed at least their own lines,
+    // so the test cannot pass vacuously
+    assert(r.bpLineRefsAfterErase === r.bpLineRefs - r.erasedBpLineRefs,
+      s"boilerplate subtract-erase arithmetic: $r")
+    assert(r.erasedBpLineRefs >= r.nVictims && r.bpLineRefs > 0L,
+      s"degenerate boilerplate erase: $r")
     GraftSession.sweepPersistedRdds(spark)
     ()
   }
