@@ -1317,6 +1317,66 @@ object Streaming {
     } finally release(comp)
   }
 
+  /** Streaming near-dup ingest over the persisted (bucketed) SRP band
+    * store — the EMBEDDING member of the near-dup ingest family
+    * ([[nearDupIngestSink]] = Hamming over text SimHash,
+    * [[nearDupTextIngestSink]] = Jaccard over shingle MinHash, this =
+    * cosine over signed-random-projection signatures): each batch of
+    * (id, vector) rows probes the stored SRP index partition-pruned
+    * to its own band-key buckets
+    * ([[graft.operators.Dedup.incrementalEmbeddingLshFromStore]]),
+    * cosine-verifies candidates at `threshold`, and lands only the
+    * canonical survivors — semantic dedup at the door for an
+    * embedding stream. Keep policy, replay idempotency, accepted-only
+    * writes and every activation refusal are shared with the other
+    * two (every vector yields an SRP signature — zero-norm vectors
+    * band too, they just verify cosine 0 — so the empty-index-under-
+    * standing-corpus refusal has no tolerance case here either). LSH
+    * recall caveat: a true pair whose signatures disagree on all 4
+    * bands is admitted — the [[graft.operators.Dedup
+    * .embeddingLshPairs]] bound at Hamming-banding granularity. */
+  def nearDupVecIngestSink(stream: DataFrame, spark: SparkSession,
+                           corpusPath: String, indexPath: String,
+                           idCol: String, vecCol: String,
+                           checkpoint: String, threshold: Double,
+                           maxBucket: Int = 5000,
+                           buckets: Int = 64): StreamingQuery = {
+    import graft.operators.{Dedup, EpochIndex, IndexMeta}
+    val meta = Dedup.hamming64BandsMeta("srp_bands", maxBucket)
+    nearDupActivationChecks(stream, spark, corpusPath, indexPath, idCol,
+      "nearDupVecIngestSink", "srpBandIndexWrite")
+    val token = runToken(spark, checkpoint)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          IndexMeta.writeIfAbsent(spark, indexPath,
+            Dedup.bandMetaWithBuckets(meta, buckets))
+          val epoch = s"$token-$epochId"
+          val (pairs, freePin) =
+            if (EpochIndex.nonEmpty(spark, indexPath,
+                innerPartCols = Seq("bb")))
+              Dedup.incrementalEmbeddingLshFromStorePinned(spark,
+                indexPath, batch, idCol, vecCol, threshold, maxBucket,
+                buckets, excludeEpoch = Some(epoch))
+            else (Dedup.embeddingLshPairs(batch, idCol, vecCol,
+              threshold, maxBucket), () => ())
+          val accepted = nearDupAccepted(batch, idCol,
+            pairs.select("id_a", "id_b"), freePin)
+          try {
+            if (!accepted.isEmpty) {
+              Dedup.bandIndexStoreAppend(spark, indexPath,
+                Dedup.srpBandIndex(accepted, idCol, vecCol, maxBucket),
+                epoch, meta, buckets)
+              epochWrite(accepted, corpusPath, token, epochId)
+            }
+          } finally release(accepted)
+        }
+      }
+      .start()
+  }
+
   /** Streaming near-dup ingest over the persisted (bucketed) MinHash
     * band store — [[nearDupIngestSink]]'s text-shingle (Jaccard)
     * twin: the Hamming sink catches telescoped/typo-level near-dups;

@@ -1310,6 +1310,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("minHashBandIndexWrite"), e.getMessage)
   }
 
+  test("streaming near-dup VECTOR ingest (SRP twin): canonical keep, store-probe rejection, accepted-only, zero leaked pins") {
+    import graft.operators.Dedup
+    graft.GraftSession.sweepPersistedRdds(spark)
+    val src = Files.createTempDirectory("graft-ndv-src").toString
+    val corpus = Files.createTempDirectory("graft-ndv-c").toString + "/c"
+    val index = Files.createTempDirectory("graft-ndv-i").toString + "/i"
+    val ckp = Files.createTempDirectory("graft-ndv-ckp").toString
+    // orthogonal basis directions are never near-dups at 0.8; exact
+    // copies always are (cosine 1.0, identical SRP signature)
+    def v(x: Float, y: Float, z: Float) = Array(x, y, z)
+    val b1 = Seq((1L, v(1f, 0f, 0f)), (2L, v(1f, 0f, 0f)),
+      (3L, v(0f, 1f, 0f)))
+    val b2 = Seq((11L, v(1f, 0f, 0f)), (12L, v(0f, 0f, 1f)))
+    def deliver(name: String, rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").write.parquet(s"$src/$name")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$src/b1").schema
+      Streaming.nearDupVecIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/*"),
+        spark, corpus, index, "vec_id", "embedding", ckp,
+        threshold = 0.8).awaitTermination()
+    }
+    deliver("b1", b1); drain()
+    def corpusIds() = spark.read.parquet(corpus)
+      .select("vec_id").as[Long].collect().toSet
+    assert(corpusIds() === Set(1L, 3L),
+      s"within-batch canonical keep broke: ${corpusIds()}")
+    deliver("b2", b2); drain()
+    assert(corpusIds() === Set(1L, 3L, 12L),
+      s"corpus-touching rejection broke: ${corpusIds()}")
+    // accepted-only: the SRP index holds exactly the survivors
+    assert(Dedup.bandIndexStoreRead(spark, index,
+      Dedup.hamming64BandsMeta("srp_bands", 5000))
+      .select("id").as[Long].collect().toSet === Set(1L, 3L, 12L))
+    // survivors are pairwise below threshold
+    assert(Dedup.embeddingLshPairs(
+      spark.read.parquet(corpus).select("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8).count() === 0L)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"sink leaked ${spark.sparkContext.getPersistentRDDs.size} pinned RDDs")
+    // standing corpus + fresh index path refuses at activation
+    val e = intercept[IllegalArgumentException] {
+      Streaming.nearDupVecIngestSink(
+        Streaming.fileStream(spark,
+          spark.read.parquet(s"$src/b1").schema, s"$src/*"),
+        spark, corpus,
+        Files.createTempDirectory("graft-ndv-i2").toString + "/i",
+        "vec_id", "embedding",
+        Files.createTempDirectory("graft-ndv-ckp2").toString,
+        threshold = 0.8)
+    }
+    assert(e.getMessage.contains("srpBandIndexWrite"), e.getMessage)
+  }
+
   test("near-dup sinks refuse non-integral id columns and flat (non-epoch) corpus layouts at activation") {
     val src = Files.createTempDirectory("graft-ndrf-src").toString
     // non-integral id: the keep policy's cast("long") would NULL every
