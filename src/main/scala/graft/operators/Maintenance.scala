@@ -219,4 +219,105 @@ object Maintenance {
           .mkString("; "))
     results
   }
+
+  // ------------------------------------------------- erasure audit
+
+  /** One surviving victim reference found by [[erasureAudit]]: the
+    * store, the schema group of files it was read from, the id
+    * column it appeared in, and how many rows carry it. */
+  final case class ErasureHit(root: String, subroot: String,
+                              column: String, nRows: Long)
+
+  /** Id-bearing columns the audit scans when present — the engine's
+    * store schemas' id vocabulary. A store whose schema carries none
+    * of these (count stores keyed by fingerprints, calibration
+    * tables) is skipped: it holds no per-document identifiers. */
+  val ErasureAuditIdCols: Seq[String] = Seq(
+    "id", "doc_id", "vec_id", "id_a", "id_b", "corpus_id", "keep_id",
+    "cluster_id", "bench_id", "node", "src", "dst")
+
+  /** Right-to-be-forgotten VERIFICATION sweep — the operational
+    * closure after the erasers run: walk EVERY parquet file under
+    * every discovered store (including `_base` version trees and
+    * torn epoch directories Spark readers skip — exactly where a
+    * stale copy of an erased row would hide) and report every row
+    * that still carries a victim id in any known id column. Empty
+    * result = the request is certifiably complete across the store
+    * tree; the disk-walk contract `EraseSpec` pins per family,
+    * productized as the single call an auditor runs.
+    *
+    * Cost model: one full scan of every store's files — that is what
+    * an audit IS, and store bytes are index-scale (fingerprints,
+    * counts, band keys), not corpus-scale. The scan batches files by
+    * (store, subroot) so each schema group is one distributed read,
+    * and only the id columns are projected (column-pruned at the
+    * parquet footer). Files are enumerated from the LISTING, not the
+    * store's own read path, so torn/retained/stale data cannot hide
+    * behind a `_CURRENT` pointer.
+    *
+    * Caveat an auditor must know: this proves no ROW carries a
+    * victim ID. Derived state without ids (count deltas, digest
+    * residues, calibration thresholds) is covered by the family
+    * erasers' own contracts (subtract-exactness, re-freeze), not by
+    * this scan — the audit is the id-level half of the proof. */
+  def erasureAudit(spark: SparkSession, treeRoot: String,
+                   victimIds: Seq[Long],
+                   idCols: Seq[String] = ErasureAuditIdCols,
+                   maxDepth: Int = 4): Seq[ErasureHit] = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    require(victimIds.nonEmpty, "erasureAudit needs at least one victim id")
+    val conf = spark.sessionState.newHadoopConf()
+    def files(dir: Path): Seq[Path] = {
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory) files(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    }
+    discoverStores(spark, treeRoot, maxDepth).flatMap { root =>
+      val rootPath = new Path(root)
+      // schema group = path segments below the store root before the
+      // first partition (`c=v`) or version (`_base`) component: one
+      // family writer per subroot, so each group reads as one schema
+      def subrootOf(f: Path): String = {
+        val rel = f.toString.stripPrefix(rootPath.toString).stripPrefix("/")
+        rel.split('/').dropRight(1)
+          .takeWhile(s => !s.contains("=") && s != "_base")
+          .mkString("/")
+      }
+      files(rootPath).groupBy(subrootOf).toSeq.sortBy(_._1)
+        .flatMap { case (sub, fs) =>
+          val df = spark.read.parquet(fs.map(_.toString): _*)
+          val present = idCols.filter(df.columns.contains)
+          if (present.isEmpty) Nil
+          else {
+            val aggs = present.map(c => count(when(
+              col(c).isin(victimIds.map(Long.box): _*), lit(1))).as(c))
+            val row = df.agg(aggs.head, aggs.tail: _*).head()
+            present.zipWithIndex.collect {
+              case (c, i) if row.getLong(i) > 0 =>
+                ErasureHit(root, sub, c, row.getLong(i))
+            }
+          }
+        }
+    }
+  }
+
+  /** [[erasureAudit]] that REFUSES on any surviving reference — the
+    * form an automated RTBF pipeline calls between "erasers ran" and
+    * "request closed". */
+  def requireErased(spark: SparkSession, treeRoot: String,
+                    victimIds: Seq[Long],
+                    idCols: Seq[String] = ErasureAuditIdCols,
+                    maxDepth: Int = 4): Unit = {
+    val hits = erasureAudit(spark, treeRoot, victimIds, idCols, maxDepth)
+    require(hits.isEmpty,
+      s"erasure INCOMPLETE under $treeRoot: " +
+        hits.map(h => s"${h.root}${if (h.subroot.isEmpty) ""
+          else "/" + h.subroot}.${h.column} still holds ${h.nRows} " +
+          "victim row(s)").mkString("; ") +
+        " — a family eraser was skipped, or ran before a torn epoch " +
+        "was repaired; re-run the missing erasers and audit again")
+  }
 }

@@ -585,6 +585,45 @@ class EraseSpec extends SparkSpecBase {
     assert(e.getMessage.contains("do not match"), e.getMessage)
   }
 
+  test("erasureAudit: the RTBF verification sweep finds survivors only where an eraser was skipped, then certifies completeness") {
+    // one store tree, three stores: a band index (per-doc id rows), a
+    // cert ledger (id_a/id_b rows), and a gram count store (no id
+    // columns at all — must be SKIPPED, not false-positived)
+    val tree = java.nio.file.Files
+      .createTempDirectory("graft-erase-audit").toString
+    val band = s"$tree/band"
+    val ledger = s"$tree/ledger"
+    val grams = s"$tree/grams"
+    Dedup.simHashBandIndexWrite(docsDF, "doc_id", "text", band)
+    Dedup.certLedgerWrite(Dedup.exactJaccardJoin(docsDF, "doc_id",
+      "text", threshold = 0.3, shingleK = 1), ledger, "jaccard", 0.3)
+    Dedup.gramFreqIndexWrite(
+      Dedup.gramFreqIndex(docsDF, "doc_id", "text", n = 3), grams, n = 3)
+    // victims must actually appear in the ledger or the test is vacuous
+    assert(Dedup.certLedgerRead(spark, ledger, "jaccard", 0.3)
+      .filter(col("id_a").isin(victimIds.toSeq.map(Long.box): _*) ||
+        col("id_b").isin(victimIds.toSeq.map(Long.box): _*))
+      .count() > 0)
+    // erase the band store ONLY — the sweep must localize the misses
+    Dedup.simHashBandIndexErase(spark, band, victims)
+    val hits = Maintenance.erasureAudit(spark, tree, victimIds.toSeq)
+    // discovered roots come back as filesystem URIs — compare by suffix
+    assert(hits.nonEmpty && hits.forall(_.root.endsWith("/ledger")),
+      s"sweep mislocalized: $hits")
+    assert(hits.map(_.column).toSet === Set("id_a", "id_b"), s"$hits")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.requireErased(spark, tree, victimIds.toSeq)
+    }
+    assert(e.getMessage.contains("INCOMPLETE") &&
+      e.getMessage.contains("id_"), e.getMessage)
+    // the gram store never surfaces: no id-bearing column
+    assert(!hits.exists(_.root.endsWith("/grams")))
+    // finish the request: erase the ledger too, audit certifies
+    Dedup.certLedgerErase(spark, ledger, victims, "jaccard", 0.3)
+    assert(Maintenance.erasureAudit(spark, tree, victimIds.toSeq).isEmpty)
+    Maintenance.requireErased(spark, tree, victimIds.toSeq)
+  }
+
   test("eraseRewrite returns the version its _ERASURES line cites (stats/audit cross-reference)") {
     val root = tmp("vagree")
     Dedup.gramFreqIndexWrite(
