@@ -494,6 +494,13 @@ object CorpusDemo {
         require(bpAfter == bpLineRefs - bpVictimRefs,
           s"boilerplate subtract-erase arithmetic broke: " +
             s"$bpLineRefs - $bpVictimRefs != $bpAfter")
+        // certify: ONE verification sweep over the whole store tree —
+        // every parquet file of every discovered store (retained
+        // versions and torn epochs included) free of victim ids, the
+        // call an RTBF pipeline makes between "erasers ran" and
+        // "request closed" (refuses loudly otherwise)
+        Maintenance.requireErased(spark, s"$outDir/stores",
+          victims.select("doc_id").collect().map(_.getLong(0)).toSeq)
         val after = graft.operators.Audit.cardFromStores(spark,
           quality.join(victims, Seq("doc_id"), "left_anti"), "text",
           certJacRoot, 0.5, certCosRoot, 0.4, ccRoot,

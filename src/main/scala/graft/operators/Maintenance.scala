@@ -289,7 +289,12 @@ object Maintenance {
       files(rootPath).groupBy(subrootOf).toSeq.sortBy(_._1)
         .flatMap { case (sub, fs) =>
           val df = spark.read.parquet(fs.map(_.toString): _*)
-          val present = idCols.filter(df.columns.contains)
+          // integral-typed only: an id-NAMED column of another type
+          // (a hashed array, a string label) is not a victim-id cell,
+          // and an isin over it would fail analysis
+          val present = idCols.filter(c => df.schema.fields.exists(f =>
+            f.name == c && Seq("byte", "short", "int", "bigint")
+              .contains(f.dataType.simpleString)))
           if (present.isEmpty) Nil
           else {
             val aggs = present.map(c => count(when(
