@@ -294,7 +294,11 @@ object Audit {
     val erasureLogs = Seq(
       "cert_pairs_jaccard" -> jaccardLedger,
       "cert_pairs_cosine" -> cosineLedger,
-      "cc_labels" -> labelsPath)
+      "cc_labels" -> labelsPath,
+      // the calibration is cited by version above, so its RTBF
+      // re-freezes ([[Quality.qualityCutsRefreeze]] — logged to the
+      // same _ERASURES) are part of this card's erasure story too
+      "quality_cuts" -> cutsPath)
       .flatMap { case (name, p) =>
         EpochIndex.erasures(spark, p).map(v => s"$name:$v") }
     val lastErasure = erasureLogs.lastOption.getOrElse("none")
