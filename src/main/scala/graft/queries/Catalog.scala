@@ -9484,6 +9484,104 @@ object Catalog {
       .select(col("key").as("domain"), col("id").as("doc_id"), col("rk"))
   }
 
+  /** Calibration re-freeze under the oracle — the quality_cuts
+    * erasure arm (a fitted quantile table cannot FILTER victims out;
+    * the only exact erasure is recomputation over the retained
+    * calibration slice, [[Quality.qualityCutsRefreeze]]): q229's
+    * frozen-calibration shape with an RTBF in the middle. Cuts
+    * freeze on the full calibration slice, the %7==1 calibration
+    * docs are then erased by re-freeze (victim-fitted version GC'd,
+    * the re-freeze logged to `_ERASURES`), and the arriving batch
+    * bucketed against the STORE must match DuckDB bucketing against
+    * quantiles that were simply never fitted on the victims —
+    * VALUE-EXACT because [[Percentiles.interpolated]] is
+    * bit-identical to `quantile_cont`. */
+  val q241CutsRefreeze = q("q241_cuts_refreeze",
+    "quality-cuts erasure by re-freeze: post-refreeze batch bucketing == DuckDB against never-victim-fitted quantiles (north star: GDPR over fitted calibrations)",
+    """WITH sc AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS score
+      |  FROM documents),
+      |cal AS (
+      |  SELECT source, quantile_cont(score, 1.0/3) AS c0,
+      |         quantile_cont(score, 2.0/3) AS c1
+      |  FROM sc WHERE doc_id % 9 <> 0 AND doc_id % 7 <> 1
+      |  GROUP BY source),
+      |b AS (SELECT * FROM sc WHERE doc_id % 9 = 0)
+      |SELECT b.doc_id, b.source, b.score,
+      |       CASE WHEN c.c0 IS NULL THEN NULL
+      |            WHEN b.score <= c.c0 THEN 'head'
+      |            WHEN b.score <= c.c1 THEN 'middle'
+      |            ELSE 'tail' END AS bucket,
+      |       TRUE AS refrozen
+      |FROM b LEFT JOIN cal c USING (source)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def scored(df: DataFrame) = df.select(
+      col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).cast("double").as("score"))
+    val calSlice = docs.filter(pmod(col("doc_id"), lit(9)) =!= 0)
+    val root = scratchDir(s, "q241_cuts_refreeze")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Quality.qualityCutsWrite(s, root,
+      Quality.qualityCuts(scored(calSlice), "score", Seq("source")),
+      "score", Seq("source"))
+    Quality.qualityCutsRefreeze(s, root,
+      scored(calSlice.filter(pmod(col("doc_id"), lit(7)) =!= 1)),
+      "score", Seq("source"))
+    Quality.qualityBucketsWith(
+      scored(docs.filter(pmod(col("doc_id"), lit(9)) === 0)),
+      "score", Seq("source"),
+      Quality.qualityCutsRead(s, root, "score", Seq("source")))
+      .select(col("doc_id"), col("source"), col("score"), col("bucket"),
+        lit(graft.operators.EpochIndex.erasures(s, root).size == 1)
+          .as("refrozen"))
+  }
+
+  /** Digest-ledger erasure under the oracle — the table_digest
+    * erasure arm ([[Audit.digestIndexErase]]): digests are sums of
+    * per-row hashes mod 2^61−1, so erasure is exact MODULAR
+    * subtraction, never a table re-scan. q171's two-epoch ledger over
+    * lineitem, the %7==1 orders' rows erased by subtracting their own
+    * negated partial, and the post-erase read must match, digest for
+    * digest, DuckDB computing the ledger over rows that were simply
+    * never digested. */
+  val q242DigestErasure = q("q242_digest_erasure",
+    "digest-ledger erasure by exact modular subtraction: post-erase read == DuckDB over the never-digested rows (north star: GDPR over audit ledgers)",
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    ('0x' || substr(md5(
+      |      CASE WHEN l_orderkey IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(l_orderkey AS VARCHAR)) || ':'
+      |                || CAST(l_orderkey AS VARCHAR) END ||
+      |      CASE WHEN l_linenumber IS NULL THEN 'N'
+      |           ELSE 'V' || length(CAST(l_linenumber AS VARCHAR)) || ':'
+      |                || CAST(l_linenumber AS VARCHAR) END ||
+      |      CASE WHEN l_linestatus IS NULL THEN 'N'
+      |           ELSE 'V' || length(l_linestatus) || ':' || l_linestatus END
+      |    ), 1, 13))::BIGINT AS h
+      |  FROM lineitem WHERE l_orderkey % 7 <> 1)
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(CAST(sum(h) AS HUGEINT) % 2305843009213693951 AS BIGINT) AS digest
+      |FROM c GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val cols = Seq("l_orderkey", "l_linenumber", "l_linestatus")
+    val li = Tables.lineitem(s, d)
+    def partial(r: Int) = Audit.digestPartial(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === r), cols,
+      col("l_returnflag"))
+    val root = scratchDir(s, "q242_digest_erasure")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Audit.digestIndexWrite(partial(0), root, cols, "l_returnflag")
+    Audit.digestIndexAppend(s, root, partial(1), "day-2", cols,
+      "l_returnflag")
+    val stats = Audit.digestIndexErase(s, root,
+      li.filter(pmod(col("l_orderkey"), lit(7)) === 1), cols,
+      "l_returnflag", col("l_returnflag"))
+    require(stats.folded.nonEmpty,
+      s"q242: erasure folded nothing at $root — ledger build failed")
+    Audit.digestIndexRead(s, root, cols, "l_returnflag")
+      .select(col("group").as("l_returnflag"), col("n_rows"), col("digest"))
+  }
+
   /** [[Similarity.simplifiedSilhouette]] under the oracle — the
     * O(n·k) centroid-based silhouette over one-step-trained cells:
     * per-cell cohesion-vs-separation plus the corpus summary row.
@@ -9852,5 +9950,6 @@ object Catalog {
     q227JaccardAgainst, q228CosineAgainst, q229FrozenCalibration,
     q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK,
     q234IncrementalRepair, q235RepairLabelsStore, q236CardFromStores,
-    q237CertErasure, q238BandErasure, q239GramErasure, q240CapErasure)
+    q237CertErasure, q238BandErasure, q239GramErasure, q240CapErasure,
+    q241CutsRefreeze, q242DigestErasure)
 }
