@@ -2682,8 +2682,7 @@ object Dedup {
     IndexMeta.check(spark, path, ccLabelsMeta(metric, threshold))
     if (!EpochIndex.nonEmpty(spark, path)) {
       val labels = connectedComponents(pairs)
-      EpochIndex.append(labels.select(col("id"), col("cluster_id")),
-        path, epoch)
+      ccLabelsAppend(spark, path, labels, epoch, metric, threshold)
       labels
     } else {
       val stored = ccLabelsRead(spark, path, metric, threshold,
@@ -2695,7 +2694,7 @@ object Dedup {
           Seq("id"), "left")
         .filter(col("_old").isNull || col("_old") =!= col("cluster_id"))
         .select(col("id"), col("cluster_id"))
-      EpochIndex.append(delta, path, epoch)
+      ccLabelsAppend(spark, path, delta, epoch, metric, threshold)
       updated
     }
   }

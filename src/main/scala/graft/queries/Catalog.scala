@@ -4013,15 +4013,21 @@ object Catalog {
   }
 
   /** Incremental image near-dup — the q93/q97/q98 daily-batch shape
-    * for the IMAGE family: a batch of new images probes the corpus's
-    * persisted dHash band index ([[Dedup.hamming64BandIndex]]); the
-    * corpus is never re-decoded or re-hashed. Proof in-engine, pinned
-    * by the oracle: probe output ≡ full-corpus [[Dedup.hammingPairs64]]
-    * restricted to pairs touching the batch. Groups of 4 planted
-    * variants span the batch/corpus split (doc_id % 3), so cross
-    * pairs genuinely exercise the index join. */
+    * for the IMAGE family, through the PERSISTED bucketed band store
+    * (round 17: the image family joins the text families' store
+    * discipline — corpus dHash band rows land once in a
+    * `bb`-bucketed [[Dedup.bandIndexStoreWrite]] store, and the
+    * batch's probe reads ONLY its own band-key buckets as a parquet
+    * partition filter via [[Dedup.incrementalHamming64FromStore]]);
+    * the corpus is never re-decoded or re-hashed, and at 100 TB the
+    * probe's scan cost is ∝ the batch's bucket set, not the corpus
+    * index. Proof in-engine, pinned by the oracle: probe output ≡
+    * full-corpus [[Dedup.hammingPairs64]] restricted to pairs
+    * touching the batch. Groups of 4 planted variants span the
+    * batch/corpus split (doc_id % 3), so cross pairs genuinely
+    * exercise the store join. */
   val q124IncrementalImage = q("q124_incremental_image_neardup",
-    "Incremental image near-dup: batch vs persisted dHash band index equals full run restricted to batch (north star: multimodal dedup)",
+    "Incremental image near-dup: batch vs persisted bucketed dHash band store equals full run restricted to batch (north star: multimodal dedup)",
     """SELECT count(*) AS n_batch_images, TRUE AS sets_match
       |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0""".stripMargin) { (s, d) =>
     val sigs = Multimodal.extractImageHash(s, plantedDhashAssets(s, d)).toDF()
@@ -4030,9 +4036,13 @@ object Catalog {
       .localCheckpoint() // hash once; index build, probe and full run reuse it
     val batch = sigs.filter(pmod(col("id"), lit(3)) === 0)
     val corpus = sigs.filter(pmod(col("id"), lit(3)) =!= 0)
-    val index = Dedup.hamming64BandIndex(corpus, family = "image_dhash_index")
-    val incremental = Dedup.incrementalHamming64(batch, index,
-      maxHamming = 3, family = "image_dhash")
+    val root = scratchDir(s, "q124_dhash_store")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Dedup.bandIndexStoreWrite(
+      Dedup.hamming64BandIndex(corpus, family = "image_dhash_index"),
+      root, Dedup.hamming64BandsMeta("image_dhash_bands", 5000))
+    val incremental = Dedup.incrementalHamming64FromStore(s, root, batch,
+      "image_dhash_bands", maxHamming = 3, family = "image_dhash")
     val full = Dedup.hammingPairs64(sigs, maxHamming = 3,
       family = "image_dhash").select("id_a", "id_b")
     restrictedEquivalence(batch, batch.select(col("id").as("id_a")),
