@@ -760,6 +760,95 @@ object Similarity {
       innerPartCols = Seq("cell"))
   }
 
+  /** Cell-occupancy skew of a stored IVF index — the number that says
+    * when [[ivfRecluster]] is due: months of [[ivfAppendWrite]] under
+    * distribution drift pile new vectors into whichever bootstrap
+    * cells sit nearest the drifted mass, so probe cost (rows scanned
+    * per probed cell) and recall (nProbe cells cover less of the true
+    * neighborhood) both degrade while the store itself stays
+    * "healthy" by every file-level metric. One row:
+    * (n_rows, n_buckets, max_bucket_rows, max_bucket_frac) — the q204
+    * diagnostic ([[Rolling.bucketSkew]]) over the cell assignment; a
+    * balanced k-cell index sits near 1/k, and a `max_bucket_frac` many
+    * multiples of that is the recluster trigger. Cost: one
+    * map-side-combined aggregate over the assignments (id, cell)
+    * columns — never the vectors. */
+  def ivfCellSkew(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame = {
+    IndexMeta.requireFamily(spark, path, IvfFamily)
+    Rolling.bucketSkew(ivfIndexRead(spark, path).assignments,
+      Nil, col("cell"))
+  }
+
+  /** Recluster-on-drift maintenance arm — the answer to [[ivfCellSkew]]
+    * flagging a skewed store: re-fit the coarse quantizer over the
+    * STORED vectors (the assignments table carries them; no external
+    * corpus is needed or accepted — what is in the store is, by the
+    * erasure contract, exactly what may be reclustered), reassign
+    * every stored vector to the new centroids, and publish the
+    * reassignment as a new base version under the same
+    * crash-safe compaction discipline as [[ivfIndexCompact]]
+    * (`_CURRENT` flip, retained versions, epoch GC).
+    *
+    * The re-fit is FROM SCRATCH — [[pickCentroids]] seeds over the
+    * stored vectors polished by `steps` Lloyd iterations
+    * ([[kmeansRefine]]) — NOT warm-started from the drifted
+    * centroids: both are deterministic, but only the cold re-fit
+    * makes recluster ≡ a fresh [[ivfIndexWrite]] over the same
+    * vectors, centroid for centroid (the q243 oracle pins exactly
+    * that), and a warm start from degenerate centroids (many empty
+    * cells) can never repopulate them.
+    *
+    * Ordering/crash posture: the reassigned base publishes first
+    * (atomic), then `centroids` is overwritten — recluster runs in
+    * the same single-writer maintenance window as compaction, and a
+    * crash between the two writes leaves a probe-consistent-but-
+    * degraded store that RE-RUNNING recluster repairs exactly,
+    * because the new centroids are a pure function of the stored
+    * (id, vec) rows and those rows are invariant under reassignment.
+    *
+    * Scale shape: seeds are one bounded TakeOrdered pass; each Lloyd
+    * step is [[lloydStep]]'s broadcast argmax + bounded-width mean
+    * aggregate; the rewrite itself is one compaction pass re-
+    * partitioned by the new cells. The corpus vectors stream from the
+    * store each pass — nothing corpus-sized is ever pinned.
+    *
+    * @param k cells to re-fit; defaults (0) to the stored centroid
+    *          count, so plain drift repair keeps the index capacity
+    * @return the published base version's [[EpochIndex.CompactionStats]] */
+  def ivfRecluster(spark: org.apache.spark.sql.SparkSession, path: String,
+                   steps: Int = 2, k: Int = 0,
+                   keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    IndexMeta.requireFamily(spark, path, IvfFamily)
+    val meta = IndexMeta.read(spark, path).getOrElse(sys.error(
+      s"no _GRAFT_META manifest at $path — not an IVF store"))
+    val cols = meta.params.getOrElse("cols", sys.error(
+      s"IVF manifest at $path records no cols")).split(",")
+    require(cols.length == 2,
+      s"IVF manifest cols at $path is not 'id,vec': ${cols.mkString(",")}")
+    val (idCol, vecCol) = (cols(0), cols(1))
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val index = ivfIndexRead(spark, path)
+    // the centroid table is k rows by construction — counting it is a
+    // bounded driver read, the maxCells contract
+    val kEff = if (k > 0) k else index.centroids.count().toInt
+    require(kEff >= 1, s"ivfRecluster at $path: no centroids and no k")
+    val vectors = index.assignments.select(col(idCol), col(vecCol))
+    val refined = kmeansRefine(vectors,
+      pickCentroids(vectors, idCol, vecCol, kEff), idCol, vecCol, steps)
+    try {
+      val cents = refined.select(col("cell").as(idCol), col(vecCol))
+      val stats = EpochIndex.compact(spark, s"$path/assignments",
+        p => assignCells(p.drop("cell"), cents, idCol, vecCol)
+          .select(p.columns.map(col).toIndexedSeq: _*),
+        innerPartCols = Seq("cell"), keepVersions = keepVersions)
+      refined.select(col("cell"), col(vecCol))
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      stats
+    } finally bridge.unpersistCheckpoint(refined)
+  }
+
   /** Incremental append: assign ONLY the new vectors to the existing
     * centroids — the corpus pays nothing. Returns the appended-to
     * index; for a STORED index use [[ivfAppendWrite]] (a hand-rolled
@@ -1077,6 +1166,75 @@ object Similarity {
       p => p.join(victims.select(col("_vid").as(idCol)), Seq(idCol),
         "left_anti"),
       innerPartCols = Seq("cell"))
+  }
+
+  /** [[ivfRecluster]]'s IVF+PQ twin — the maintenance arm that
+    * re-fits BOTH quantizer levels (coarse cells AND the per-subspace
+    * PQ codebooks) and rewrites the codes table as a new base version
+    * under the store's compaction/erasure discipline. Unlike the flat
+    * IVF store, the codes table holds NO corpus floats (that is its
+    * whole point), so the vectors must be re-supplied: `corpus` is
+    * the caller's (id, vec) table, and the rewrite REFUSES unless its
+    * id set equals the stored id set exactly — the RTBF guard: a
+    * recluster fed the original pre-erasure corpus would silently
+    * resurrect every erased victim's codes, and one fed a grown
+    * corpus would smuggle an append past the epoch discipline.
+    *
+    * Re-fit is from scratch like [[ivfRecluster]] ([[pickCentroids]]
+    * seeds + `steps` Lloyd iterations for the cells;
+    * [[pqCodebooks]]' own deterministic seed/refine for the
+    * codebooks), so the rewritten store is value-identical to a
+    * fresh [[ivfPqIndexWrite]] over the same corpus — the q244
+    * oracle's claim. Same write ordering and crash posture as
+    * [[ivfRecluster]]: codes base publishes atomically first, then
+    * the tiny `centroids`/`codebooks` tables are overwritten;
+    * re-running repairs a crash between them exactly.
+    *
+    * @param nCells coarse cells to re-fit; defaults (0) to the stored
+    *               centroid count */
+  def ivfPqRecluster(spark: org.apache.spark.sql.SparkSession, path: String,
+                     corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, k: Int, iters: Int = 1, steps: Int = 1,
+                     nCells: Int = 0,
+                     keepVersions: Int = 2): EpochIndex.CompactionStats = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    IndexMeta.check(spark, path,
+      IndexMeta(IvfPqFamily, "cols" -> s"$idCol,sub,code"))
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val index = ivfPqIndexRead(spark, path)
+    val kCells = if (nCells > 0) nCells else index.centroids.count().toInt
+    require(kCells >= 1, s"ivfPqRecluster at $path: no centroids and no nCells")
+    // RTBF guard: stored ids and corpus ids must be the SAME set —
+    // two anti-join counts over id columns, never the vectors
+    val storedIds = index.codes.select(col(idCol)).distinct()
+    val corpusIds = corpus.select(col(idCol)).distinct()
+    val resurrected = corpusIds.join(storedIds, Seq(idCol), "left_anti").count()
+    val vanished = storedIds.join(corpusIds, Seq(idCol), "left_anti").count()
+    require(resurrected == 0 && vanished == 0,
+      s"ivfPqRecluster at $path: corpus ids do not match the stored id " +
+        s"set ($resurrected corpus-only — re-encoding them would " +
+        "resurrect erased or never-ingested vectors past the epoch " +
+        s"discipline; $vanished store-only — their codes would silently " +
+        "vanish). Recluster over exactly the stored ids; append or erase " +
+        "through the family writers first")
+    val refined = kmeansRefine(corpus,
+      pickCentroids(corpus, idCol, vecCol, kCells), idCol, vecCol, steps)
+    try {
+      val cents = refined.select(col("cell").as(idCol), col(vecCol))
+      val cells = assignCells(corpus, cents, idCol, vecCol)
+        .select(col(idCol), col("cell"))
+      val books = pqCodebooks(corpus, idCol, vecCol, m, k, iters)
+      val newCodes = pqEncode(corpus, books, idCol, vecCol, m)
+        .select(col(idCol), col("sub"), col("code"))
+        .join(cells, Seq(idCol))
+      val stats = EpochIndex.compact(spark, s"$path/codes",
+        p => newCodes.select(p.columns.map(col).toIndexedSeq: _*),
+        innerPartCols = Seq("cell"), keepVersions = keepVersions)
+      refined.select(col("cell"), col(vecCol))
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      books.write.mode("overwrite").parquet(s"$path/codebooks")
+      stats
+    } finally bridge.unpersistCheckpoint(refined)
   }
 
   /** Probe a stored IVF+PQ index: [[ivfPqTopK]] semantics with the

@@ -9899,6 +9899,163 @@ object Catalog {
       .select("doc_id", "source", "score", "bucket")
   }
 
+  /** [[Similarity.ivfRecluster]] under the oracle — the IVF store's
+    * drift-maintenance arm: bootstrap over the %4≠1 slice, drift-
+    * append the %4=1 batch (assigned to the STALE bootstrap
+    * centroids — exactly the skew [[Similarity.ivfCellSkew]] is for),
+    * then recluster in place. Because the re-fit is from scratch over
+    * the stored vectors (md5 seed pick + one Lloyd step), the
+    * rewritten store must equal a FRESH build over corpus ∪ batch,
+    * centroid for centroid and member count for member count — which
+    * is exactly what the oracle computes, never having seen the
+    * drifted intermediate state (the q241 re-freeze pattern: erase/
+    * maintain in the engine, recompute the final state in SQL). The
+    * reassignment publishes behind the `_CURRENT` flip with the
+    * bootstrap base retained (time travel to the pre-recluster
+    * index), and every later probe partition-prunes on the NEW cells
+    * (plan-gated in SimilaritySpec). */
+  val q243IvfRecluster = q("q243_ivf_recluster",
+    "IVF recluster-on-drift: re-fit + reassign in place == fresh build over the same vectors, centroid for centroid (north star: ANN store maintenance)",
+    """WITH corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+      |         vec AS cvec
+      |  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |a1 AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c0 t) WHERE rk = 1),
+      |m1 AS (
+      |  SELECT a.cell, t.i AS i,
+      |         CAST(CAST(round(avg(a.vec[t.i]), 4) AS FLOAT) AS DOUBLE) AS v
+      |  FROM a1 a, UNNEST(generate_series(1, len(a.vec))) AS t(i)
+      |  GROUP BY a.cell, t.i),
+      |c1 AS (
+      |  SELECT c0.cell, coalesce(m.cvec, c0.cvec) AS cvec
+      |  FROM c0 LEFT JOIN (SELECT cell, list(v ORDER BY i) AS cvec
+      |                     FROM m1 GROUP BY cell) m USING (cell)),
+      |a2 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT c.vec_id, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c1 t) WHERE rk = 1),
+      |n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY cell)
+      |SELECT c1.cell, CAST(coalesce(n.n_members, 0) AS BIGINT) AS n_members,
+      |       CAST(t.i - 1 AS INTEGER) AS dim, CAST(c1.cvec[t.i] AS FLOAT) AS c
+      |FROM c1 LEFT JOIN n USING (cell),
+      |     UNNEST(generate_series(1, len(c1.cvec))) AS t(i)""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val corpus = e.filter(pmod(col("vec_id"), lit(4)) =!= 1)
+    val batch = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val root = scratchDir(s, "q243_ivf_recluster")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Similarity.ivfIndexWrite(Similarity.ivfIndex(corpus,
+      Similarity.pickCentroids(corpus, "vec_id", "embedding", 16),
+      "vec_id", "embedding"), root)
+    Similarity.ivfAppendWrite(s, root, batch, "vec_id", "embedding")
+    val stats = Similarity.ivfRecluster(s, root, steps = 1)
+    require(stats.folded.nonEmpty,
+      s"q243: recluster folded nothing at $root — store build failed")
+    val index = Similarity.ivfIndexRead(s, root)
+    val members = index.assignments.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    index.centroids
+      .join(members, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        posexplode(col("embedding")).as(Seq("dim", "c")))
+  }
+
+  /** [[Similarity.ivfPqRecluster]] under the oracle — both quantizer
+    * levels re-fit and the codes table rewritten in place: bootstrap
+    * under a DELIBERATELY different geometry (8 raw seed cells,
+    * unrefined seed codebooks), then recluster to 4 Lloyd-trained
+    * cells with 1-iteration codebooks over the SAME vectors. The
+    * post-recluster store must equal a fresh build under the new
+    * geometry, code for code and cell for cell — the oracle computes
+    * exactly that fresh build (q115's PQ chain + the q243 cell
+    * chain, sharing the md5 seed pick), never seeing the bootstrap
+    * state. The corpus-ids-equal-stored-ids refusal (the RTBF guard)
+    * is spec-tested in SimilaritySpec. */
+  val q244IvfPqRecluster = q("q244_ivfpq_recluster",
+    "IVF+PQ recluster: re-fit cells + codebooks, rewrite codes in place == fresh build over the same vectors (north star: ANN store maintenance)",
+    """WITH corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |sr AS (
+      |  SELECT vec, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS pick
+      |  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |c0 AS (SELECT pick AS cell, vec AS cvec FROM sr),
+      |ca1 AS (
+      |  SELECT vec_id, vec, cell FROM (
+      |    SELECT c.vec_id, c.vec, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c0 t) WHERE rk = 1),
+      |cm1 AS (
+      |  SELECT a.cell, t.i AS i,
+      |         CAST(CAST(round(avg(a.vec[t.i]), 4) AS FLOAT) AS DOUBLE) AS v
+      |  FROM ca1 a, UNNEST(generate_series(1, len(a.vec))) AS t(i)
+      |  GROUP BY a.cell, t.i),
+      |c1 AS (
+      |  SELECT c0.cell, coalesce(m.cvec, c0.cvec) AS cvec
+      |  FROM c0 LEFT JOIN (SELECT cell, list(v ORDER BY i) AS cvec
+      |                     FROM cm1 GROUP BY cell) m USING (cell)),
+      |cells AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT c.vec_id, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c1 t) WHERE rk = 1),
+      |subs AS (SELECT s AS sub FROM (VALUES (0),(1),(2),(3)) t(s)),
+      |sv AS (
+      |  SELECT c.vec_id, s.sub, c.vec[s.sub*16+1 : s.sub*16+16] AS sv
+      |  FROM corpus c, subs s),
+      |seed AS (
+      |  SELECT s.sub, r.pick AS code, r.vec[s.sub*16+1 : s.sub*16+16] AS cv
+      |  FROM sr r, subs s),
+      |d1 AS (
+      |  SELECT v.vec_id, v.sub, se.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - se.cv[j]) * (v.sv[j] - se.cv[j]))), 6) AS rd
+      |  FROM sv v JOIN seed se USING (sub)),
+      |pa1 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd, code) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |cent AS (
+      |  SELECT sub, code, list(mv ORDER BY pos) AS cv FROM (
+      |    SELECT a.sub, a.code, j AS pos, round(avg(v.sv[j]), 6) AS mv
+      |    FROM pa1 a JOIN sv v ON a.vec_id = v.vec_id AND a.sub = v.sub,
+      |         UNNEST(generate_series(1, 16)) AS t(j)
+      |    GROUP BY a.sub, a.code, j)
+      |  GROUP BY sub, code),
+      |d2 AS (
+      |  SELECT v.vec_id, v.sub, c.code,
+      |         round(list_sum(list_transform(range(1, 17),
+      |           j -> (v.sv[j] - c.cv[j]) * (v.sv[j] - c.cv[j]))), 6) AS rd
+      |  FROM sv v JOIN cent c USING (sub)),
+      |pa2 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY rd, code) AS rk
+      |    FROM d2) WHERE rk = 1)
+      |SELECT p.vec_id, CAST(p.sub AS BIGINT) AS sub, p.code, cl.cell
+      |FROM pa2 p JOIN cells cl USING (vec_id)""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val root = scratchDir(s, "q244_ivfpq_recluster")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Similarity.ivfPqIndexWrite(Similarity.ivfPqIndex(e,
+      Similarity.pickCentroids(e, "vec_id", "embedding", 8),
+      "vec_id", "embedding", m = 4, k = 4, iters = 0), root)
+    val stats = Similarity.ivfPqRecluster(s, root, e, "vec_id", "embedding",
+      m = 4, k = 4, iters = 1, steps = 1, nCells = 4)
+    require(stats.folded.nonEmpty,
+      s"q244: recluster folded nothing at $root — store build failed")
+    Similarity.ivfPqIndexRead(s, root).codes
+      .select(col("vec_id"), col("sub"), col("code"), col("cell"))
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -9961,5 +10118,6 @@ object Catalog {
     q230CertLedger, q231CertLedgerCos, q232SemanticRepair, q233PickK,
     q234IncrementalRepair, q235RepairLabelsStore, q236CardFromStores,
     q237CertErasure, q238BandErasure, q239GramErasure, q240CapErasure,
-    q241CutsRefreeze, q242DigestErasure)
+    q241CutsRefreeze, q242DigestErasure, q243IvfRecluster,
+    q244IvfPqRecluster)
 }

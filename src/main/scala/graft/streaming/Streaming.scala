@@ -1288,33 +1288,37 @@ object Streaming {
     * doc AND its id is the component's minimum among batch members
     * (the q42 canonical-keep policy, per batch); unpaired docs
     * survive trivially. Returns the PINNED accepted set (the caller
-    * releases it after its writes); `freePin` — the probe's internal
-    * checkpoint release — is called as soon as the connected
-    * components have materialized, and the CC mapping's own
-    * checkpoint is released once the accepted set is pinned, so
+    * releases it after its writes). `freePin` — the probe's internal
+    * checkpoint release — and the CC mapping's own checkpoint are
+    * both released only AFTER the accepted set's eager
+    * `localCheckpoint` has materialized (or the attempt failed), so
     * nothing this helper touched stays in the block manager across
-    * micro-batches. */
+    * micro-batches and no release ever depends on an upstream
+    * function happening to materialize eagerly: even if
+    * `connectedComponents` grew a lazy path, every plan that reads
+    * the probe's pinned blocks is either materialized or abandoned
+    * by the time the pin is freed. */
   private def nearDupAccepted(batch: DataFrame, idCol: String,
                               pairs: DataFrame,
                               freePin: () => Unit): DataFrame = {
     import graft.operators.Dedup
-    // connectedComponents materializes eagerly, so the probe's pin is
-    // dead the moment it returns
-    val comp = try Dedup.connectedComponents(pairs) finally freePin()
     try {
-      val bIds = batch.select(col(idCol).cast("long").as("id"))
-      val batchComp = comp.join(bIds, Seq("id"), "left_semi")
-      val corpusTouched = comp.join(bIds, Seq("id"), "left_anti")
-        .select("cluster_id").distinct().withColumn("_corpus", lit(1))
-      val minBatch = batchComp.groupBy(col("cluster_id"))
-        .agg(min(col("id")).as("_min"))
-      val dropIds = batchComp
-        .join(minBatch, Seq("cluster_id"))
-        .join(corpusTouched, Seq("cluster_id"), "left")
-        .filter(col("_corpus").isNotNull || col("id") =!= col("_min"))
-        .select(col("id").cast(batch.schema(idCol).dataType).as(idCol))
-      batch.join(dropIds, Seq(idCol), "left_anti").localCheckpoint(true)
-    } finally release(comp)
+      val comp = Dedup.connectedComponents(pairs)
+      try {
+        val bIds = batch.select(col(idCol).cast("long").as("id"))
+        val batchComp = comp.join(bIds, Seq("id"), "left_semi")
+        val corpusTouched = comp.join(bIds, Seq("id"), "left_anti")
+          .select("cluster_id").distinct().withColumn("_corpus", lit(1))
+        val minBatch = batchComp.groupBy(col("cluster_id"))
+          .agg(min(col("id")).as("_min"))
+        val dropIds = batchComp
+          .join(minBatch, Seq("cluster_id"))
+          .join(corpusTouched, Seq("cluster_id"), "left")
+          .filter(col("_corpus").isNotNull || col("id") =!= col("_min"))
+          .select(col("id").cast(batch.schema(idCol).dataType).as(idCol))
+        batch.join(dropIds, Seq(idCol), "left_anti").localCheckpoint(true)
+      } finally release(comp)
+    } finally freePin()
   }
 
   /** Streaming near-dup ingest over the persisted (bucketed) SRP band

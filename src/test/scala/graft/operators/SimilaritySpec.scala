@@ -635,6 +635,130 @@ class SimilaritySpec extends SparkSpecBase {
     assert(all.count() === kmCorpus.count())
   }
 
+  test("ivfRecluster: drift repair — equals fresh build, skew drops, recall recovers, probe stays pruned") {
+    // bootstrap region: gaussian cloud; drift region: the NEGATED
+    // vectors under shifted ids — mass the bootstrap centroids never
+    // saw, so every appended vector crowds whichever stale cells sit
+    // least-far away (the exact degradation ivfCellSkew flags)
+    val baseRows = gaussianVecs(80, 8, 61)
+    val corpus = baseRows.toDF("vec_id", "embedding")
+    // two drift shapes: a TIGHT pack around one corpus direction
+    // (everything lands in that vector's stale cell together — the
+    // occupancy-skew shape) and the NEGATED cloud (nearest neighbors
+    // scatter across cells the stale centroids never separate — the
+    // recall-damage shape)
+    val packDir = baseRows.head._2
+    val pack = (0 until 20).map { i =>
+      (2000L + i, packDir.zipWithIndex.map { case (x, j) =>
+        if (j == i % packDir.length) x + 0.05f * (i % 3 + 1) else x })
+    }
+    val negated = baseRows.take(20)
+      .map { case (id, v) => (id + 1000L, v.map(x => -x)) }
+    val drift = (negated ++ pack).toDF("vec_id", "embedding")
+    val all = corpus.unionByName(drift)
+    val path = new java.io.File("target/tmp/ivf-recluster-spec").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, path)
+    Similarity.ivfIndexWrite(Similarity.ivfIndex(corpus,
+      Similarity.pickCentroids(corpus, "vec_id", "embedding", 8),
+      "vec_id", "embedding"), path)
+    Similarity.ivfAppendWrite(spark, path, drift, "vec_id", "embedding")
+    val queries = drift.filter($"vec_id" < 1010L)
+    val exact = Similarity.bruteForceTopK(all, queries,
+      "vec_id", "embedding", k = 3)
+    def meanRecall(): Double = Similarity.annRecall(
+      Similarity.ivfProbeStored(spark, path, queries,
+        "vec_id", "embedding", k = 3, nProbe = 2), exact)
+      .agg(avg($"recall")).as[Double].head()
+    def maxCellFrac(): Double = Similarity.ivfCellSkew(spark, path)
+      .select($"max_bucket_frac").as[Double].head()
+    val (recallBefore, skewBefore) = (meanRecall(), maxCellFrac())
+    val stats = Similarity.ivfRecluster(spark, path, steps = 1)
+    assert(stats.folded.contains("append"), s"got $stats")
+    // recluster ≡ fresh build over the same vectors (the q243 claim,
+    // here at the (id, cell) and centroid level in-engine)
+    val freshCents = Similarity.kmeansRefine(all,
+      Similarity.pickCentroids(all, "vec_id", "embedding", 8),
+      "vec_id", "embedding", steps = 1)
+    val storedCents = Similarity.ivfIndexRead(spark, path).centroids
+      .orderBy("cell").as[(Long, Array[Float])].collect()
+    assert(storedCents.map { case (c, v) => (c, v.toSeq) } ===
+      freshCents.select($"cell", $"embedding").orderBy("cell")
+        .as[(Long, Array[Float])].collect()
+        .map { case (c, v) => (c, v.toSeq) })
+    val storedAsn = Similarity.ivfIndexRead(spark, path).assignments
+      .select("vec_id", "cell").orderBy("vec_id").as[(Long, Long)].collect()
+    assert(storedAsn === Similarity.assignCells(all,
+      freshCents.select($"cell".as("vec_id"), $"embedding"),
+      "vec_id", "embedding")
+      .select("vec_id", "cell").orderBy("vec_id").as[(Long, Long)].collect())
+    graft.GraftSession.sweepPersistedRdds(spark)
+    // drift repaired: occupancy skew drops, drift-region recall recovers
+    val (recallAfter, skewAfter) = (meanRecall(), maxCellFrac())
+    assert(skewAfter < skewBefore,
+      s"recluster did not reduce cell skew: $skewBefore -> $skewAfter")
+    assert(recallAfter >= recallBefore,
+      s"recluster regressed recall: $recallBefore -> $recallAfter")
+    // the probe stays partition-pruned on the NEW cells (the stored-
+    // index plan gate, re-asserted post-recluster)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val staticProbe = Similarity.ivfProbeStored(spark, path, queries,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      val scans = staticProbe.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("assignments")) => s
+      }
+      assert(scans.nonEmpty, "no file scan over assignments found in the plan")
+      val partsRead = scans.map(s =>
+        s.relation.location.listFiles(s.partitionFilters, Nil).size).max
+      assert(partsRead <= queries.count() * 2,
+        s"post-recluster probe scanned $partsRead cell partitions")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("ivfPqRecluster: RTBF guard — corpus ids must equal the stored id set exactly") {
+    val rows = gaussianVecs(60, 8, 43)
+    val corpus = rows.filter(_._1 % 5 != 0).toDF("vec_id", "embedding")
+    val path = new java.io.File("target/tmp/ivfpq-recluster-guard").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, path)
+    Similarity.ivfPqIndexWrite(Similarity.ivfPqIndex(corpus,
+      Similarity.pickCentroids(corpus, "vec_id", "embedding", 4),
+      "vec_id", "embedding", m = 2, k = 4, iters = 0), path)
+    // superset corpus (the erased-victim resurrection shape) refuses
+    val eSuper = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRecluster(spark, path,
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        m = 2, k = 4)
+    }
+    assert(eSuper.getMessage.contains("resurrect"), eSuper.getMessage)
+    // subset corpus (codes silently vanishing) refuses too
+    val eSub = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRecluster(spark, path,
+        corpus.filter($"vec_id" % 3 =!= 0), "vec_id", "embedding",
+        m = 2, k = 4)
+    }
+    assert(eSub.getMessage.contains("vanish"), eSub.getMessage)
+    // the exact stored id set reclusters cleanly and the store now
+    // equals a fresh build under the new geometry
+    val stats = Similarity.ivfPqRecluster(spark, path, corpus,
+      "vec_id", "embedding", m = 2, k = 4, iters = 1, steps = 1,
+      nCells = 4)
+    assert(stats.folded.nonEmpty)
+    val fresh = Similarity.ivfPqIndex(corpus,
+      Similarity.kmeansRefine(corpus,
+        Similarity.pickCentroids(corpus, "vec_id", "embedding", 4),
+        "vec_id", "embedding", steps = 1)
+        .select($"cell", $"embedding"),
+      "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val stored = Similarity.ivfPqIndexRead(spark, path).codes
+      .select("vec_id", "sub", "code", "cell")
+      .orderBy("vec_id", "sub").as[(Long, Long, Long, Long)].collect()
+    assert(stored === fresh.codes.select("vec_id", "sub", "code", "cell")
+      .orderBy("vec_id", "sub").as[(Long, Long, Long, Long)].collect())
+    graft.GraftSession.sweepPersistedRdds(spark)
+  }
+
   test("pickK: max second difference, smaller-k tiebreak, < 3 points refuses") {
     def curve(rows: (Int, Double)*) =
       rows.toSeq.toDF("k", "mean_cost")
