@@ -68,6 +68,8 @@ object CorpusDemo {
       bpLineRefs: Long = 0L, erasedBpLineRefs: Long = 0L,
       bpLineRefsAfterErase: Long = 0L,
       cardAfterErase: Seq[(String, String)] = Nil,
+      auditFilesTotal: Long = 0L, auditFilesScanned: Long = 0L,
+      auditUnverified: Seq[String] = Nil,
       stageSec: Seq[(String, Double)] = Nil)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
@@ -451,7 +453,7 @@ object CorpusDemo {
     //      release can prove both WHAT it certified and WHAT it
     //      forgot. CorpusDemoSpec pins the exact arithmetic.
     val (nVictims, erasedJacPairs, erasedCosPairs,
-      erasedBpLineRefs, bpAfterErase, cardAfterErase) =
+      erasedBpLineRefs, bpAfterErase, cardAfterErase, eraseAudit) =
       staged("erase") {
         // deterministic, nonempty at every SF: the two smallest
         // released ids play the data-subject request (orderBy+limit
@@ -498,8 +500,11 @@ object CorpusDemo {
         // every parquet file of every discovered store (retained
         // versions and torn epochs included) free of victim ids, the
         // call an RTBF pipeline makes between "erasers ran" and
-        // "request closed" (refuses loudly otherwise)
-        Maintenance.requireErased(spark, s"$outDir/stores",
+        // "request closed" (refuses loudly otherwise). The returned
+        // certificate is recorded whole: footer-stats pruning ratio
+        // and any id column the sweep could NOT verify (this funnel's
+        // stores are all integral-keyed, so that list pins empty)
+        val audit = Maintenance.requireErased(spark, s"$outDir/stores",
           victims.select("doc_id").collect().map(_.getLong(0)).toSeq)
         val after = graft.operators.Audit.cardFromStores(spark,
           quality.join(victims, Seq("doc_id"), "left_anti"), "text",
@@ -507,7 +512,7 @@ object CorpusDemo {
           s"$outDir/stores/quality_cuts", "ppl", Seq("source")).head()
         (victims.count(), jacTouch, cosTouch, bpVictimRefs, bpAfter,
           after.schema.fieldNames.toSeq.zipWithIndex.map { case (n, i) =>
-            n -> String.valueOf(after.get(i)) })
+            n -> String.valueOf(after.get(i)) }, audit)
       }
 
     // ---- record-level attrition (q195): why each ingested doc is
@@ -556,6 +561,10 @@ object CorpusDemo {
       bpLineRefs = bpLineRefs, erasedBpLineRefs = erasedBpLineRefs,
       bpLineRefsAfterErase = bpAfterErase,
       cardAfterErase = cardAfterErase,
+      auditFilesTotal = eraseAudit.filesTotal,
+      auditFilesScanned = eraseAudit.filesScanned,
+      auditUnverified = eraseAudit.unverified.map(u =>
+        s"${u.root.split('/').last}.${u.column}:${u.dataType}"),
       stageSec = stageSec.toList)
   }
 
@@ -602,6 +611,10 @@ object CorpusDemo {
       s""""card_after_erase":{${r.cardAfterErase
         .map { case (k, v) => s"${Json.str(k)}:${Json.str(v)}" }
         .mkString(",")}},""" +
+      s""""audit_files_total":${r.auditFilesTotal},""" +
+      s""""audit_files_scanned":${r.auditFilesScanned},""" +
+      s""""audit_unverified":[${r.auditUnverified
+        .map(Json.str).mkString(",")}],""" +
       s""""stage_sec":{${r.stageSec
         .map { case (k, v) => f"${Json.str(k)}:$v%.2f" }.mkString(",")}}}""")
     spark.stop()

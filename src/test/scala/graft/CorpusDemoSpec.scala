@@ -181,6 +181,15 @@ class CorpusDemoSpec extends SparkSpecBase {
       s"boilerplate subtract-erase arithmetic: $r")
     assert(r.erasedBpLineRefs >= r.nVictims && r.bpLineRefs > 0L,
       s"degenerate boilerplate erase: $r")
+    // the RTBF certificate (round 18): every id column in the
+    // funnel's stores is integral-keyed, so the unverifiable list
+    // pins EMPTY — and the footer-stats pruning is load-bearing on
+    // the demo tree (strictly fewer files read than walked)
+    assert(r.auditUnverified.isEmpty, s"audit blind spots: $r")
+    assert(r.auditFilesTotal > 0L &&
+      r.auditFilesScanned < r.auditFilesTotal,
+      s"audit pruning not load-bearing: scanned ${r.auditFilesScanned}" +
+        s" of ${r.auditFilesTotal}")
     GraftSession.sweepPersistedRdds(spark)
     ()
   }

@@ -606,11 +606,16 @@ class EraseSpec extends SparkSpecBase {
       .count() > 0)
     // erase the band store ONLY — the sweep must localize the misses
     Dedup.simHashBandIndexErase(spark, band, victims)
-    val hits = Maintenance.erasureAudit(spark, tree, victimIds.toSeq)
+    val report = Maintenance.erasureAudit(spark, tree, victimIds.toSeq)
+    val hits = report.hits
     // discovered roots come back as filesystem URIs — compare by suffix
     assert(hits.nonEmpty && hits.forall(_.root.endsWith("/ledger")),
       s"sweep mislocalized: $hits")
     assert(hits.map(_.column).toSet === Set("id_a", "id_b"), s"$hits")
+    // every id column in this tree is integral — nothing unverifiable
+    assert(report.unverified.isEmpty, s"${report.unverified}")
+    assert(report.filesTotal > 0 &&
+      report.filesScanned <= report.filesTotal, s"$report")
     val e = intercept[IllegalArgumentException] {
       Maintenance.requireErased(spark, tree, victimIds.toSeq)
     }
@@ -620,7 +625,16 @@ class EraseSpec extends SparkSpecBase {
     assert(!hits.exists(_.root.endsWith("/grams")))
     // finish the request: erase the ledger too, audit certifies
     Dedup.certLedgerErase(spark, ledger, victims, "jaccard", 0.3)
-    assert(Maintenance.erasureAudit(spark, tree, victimIds.toSeq).isEmpty)
+    val clean = Maintenance.erasureAudit(spark, tree, victimIds.toSeq)
+    assert(clean.hits.isEmpty)
+    // footer-stats pruning never changes the verdict, only the bytes
+    // (the strictly-fewer-files case is MaintenanceSpec's, where the
+    // victim/file ranges are controlled)
+    val unpruned = Maintenance.erasureAudit(spark, tree, victimIds.toSeq,
+      footerPrune = false)
+    assert(clean.hits === unpruned.hits)
+    assert(clean.filesTotal === unpruned.filesTotal)
+    assert(clean.filesScanned <= unpruned.filesScanned, s"$clean")
     Maintenance.requireErased(spark, tree, victimIds.toSeq)
   }
 

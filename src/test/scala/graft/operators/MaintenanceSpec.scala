@@ -214,4 +214,86 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(results.size === 3)
     assert(results.forall(r => !r.failed && r.stats.exists(_.folded.nonEmpty)))
   }
+  test("erasureAudit: non-integral id columns and partition-dir ids are REPORTED, partition values audited from the path") {
+    val root = tree()
+    // store 1: string-keyed ids — the sweep must DISCLOSE it cannot
+    // verify, never silently narrow the certificate
+    Seq(("u-2", "x"), ("u-9", "y")).toDF("doc_id", "text")
+      .write.parquet(s"$root/strid/data")
+    IndexMeta.write(spark, s"$root/strid", IndexMeta("planted", Map.empty[String, String]))
+    // store 2: the id lives in the partition DIRECTORY NAME — an
+    // explicit-file read never materializes it, so only the path
+    // audit can see the victim; plus a string-valued partition
+    // column with an id name (unverifiable from the path)
+    Seq((2L, "s0", "a"), (4L, "s1", "b"), (9L, "s0", "c"), (9L, "s1", "d"))
+      .toDF("doc_id", "corpus_id", "text")
+      .write.partitionBy("doc_id", "corpus_id").parquet(s"$root/partid/data")
+    IndexMeta.write(spark, s"$root/partid", IndexMeta("planted", Map.empty[String, String]))
+    val report = Maintenance.erasureAudit(spark, root, Seq(9L))
+    assert(report.hits.map(h =>
+      (h.root.endsWith("/partid"), h.column, h.nRows)) === Seq((true, "doc_id", 2L)),
+      s"$report")
+    val unv = report.unverified.map(u =>
+      (u.root.split('/').last, u.column, u.dataType)).toSet
+    assert(unv === Set(
+      ("strid", "doc_id", "string"),
+      ("partid", "corpus_id", "partition-dir(non-long values)")), s"$report")
+    // requireErased names the hits AND the blind spots
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.requireErased(spark, root, Seq(9L))
+    }
+    assert(e.getMessage.contains("INCOMPLETE") &&
+      e.getMessage.contains("NOT VERIFIABLE") &&
+      e.getMessage.contains("strid"), e.getMessage)
+    // a victim id that appears nowhere certifies cleanly — and the
+    // certificate still carries the unverifiable columns
+    val ok = Maintenance.requireErased(spark, root, Seq(12345L))
+    assert(ok.hits.isEmpty && ok.unverified === report.unverified)
+  }
+
+  test("erasureAudit: footer min/max pruning scans strictly fewer files with identical hits; mergeSchema audits late-epoch columns") {
+    val root = tree()
+    // two disjoint id ranges in separate files, plus a third file
+    // that ADDS an id column the first two lack (the schema-drift
+    // case a sampled-schema read would miss)
+    Seq.tabulate(50)(i => (i + 1L, s"t$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$root/store/data")
+    Seq.tabulate(50)(i => (i + 1001L, s"t$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$root/store/data")
+    Seq((5000L, "t", 77L)).toDF("doc_id", "text", "corpus_id")
+      .coalesce(1).write.mode("append").parquet(s"$root/store/data")
+    IndexMeta.write(spark, s"$root/store", IndexMeta("planted", Map.empty[String, String]))
+    // victim 1005 lives only in the second file's range; victim 77
+    // only in the THIRD file's late-added corpus_id column
+    val pruned = Maintenance.erasureAudit(spark, root, Seq(1005L, 77L))
+    val full = Maintenance.erasureAudit(spark, root, Seq(1005L, 77L),
+      footerPrune = false)
+    assert(pruned.hits.toSet === full.hits.toSet, s"$pruned vs $full")
+    assert(pruned.hits.map(h => (h.column, h.nRows)).toSet ===
+      Set(("doc_id", 1L), ("corpus_id", 1L)), s"$pruned")
+    assert(full.filesTotal === 3L && full.filesScanned === 3L)
+    assert(pruned.filesTotal === 3L && pruned.filesScanned === 2L,
+      s"pruning did not skip the out-of-range file: $pruned")
+    // a victim outside every range scans NOTHING yet still certifies
+    val none = Maintenance.erasureAudit(spark, root, Seq(999999L))
+    assert(none.hits.isEmpty && none.filesScanned === 0L, s"$none")
+  }
+
+  test("erasureAudit refuses when store discovery bottoms out at maxDepth with unexplored directories") {
+    val root = tree()
+    Seq((1L, "x")).toDF("doc_id", "text")
+      .write.parquet(s"$root/a/b/c/d/deep/data")
+    IndexMeta.write(spark, s"$root/a/b/c/d/deep", IndexMeta("planted", Map.empty[String, String]))
+    assert(Maintenance.unexploredDirs(spark, root, maxDepth = 2).nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.erasureAudit(spark, root, Seq(1L), maxDepth = 2)
+    }
+    assert(e.getMessage.contains("unexplored") ||
+      e.getMessage.contains("bottomed out"), e.getMessage)
+    // deep enough, the walk completes and finds the store
+    val report = Maintenance.erasureAudit(spark, root, Seq(1L), maxDepth = 6)
+    assert(report.hits.map(_.column) === Seq("doc_id"))
+    assert(Maintenance.unexploredDirs(spark, root, maxDepth = 6).isEmpty)
+  }
+
 }
