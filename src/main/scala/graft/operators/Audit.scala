@@ -291,6 +291,12 @@ object Audit {
     // this card, never a maintenance-history replay. Zero/"none" is
     // itself a statement: these stores still contain every document
     // ever certified.
+    // entries from all four logs ordered CHRONOLOGICALLY (each line
+    // carries its wall-clock stamp — [[EpochIndex.erasureLog]]), so
+    // `last_erasure` names the latest rewrite across stores, not the
+    // last store in this listing; pre-timestamp lines read as epoch 0
+    // and the sort is stable, so a legacy log degrades to the old
+    // listing-order behavior instead of misordering
     val erasureLogs = Seq(
       "cert_pairs_jaccard" -> jaccardLedger,
       "cert_pairs_cosine" -> cosineLedger,
@@ -300,7 +306,9 @@ object Audit {
       // same _ERASURES) are part of this card's erasure story too
       "quality_cuts" -> cutsPath)
       .flatMap { case (name, p) =>
-        EpochIndex.erasures(spark, p).map(v => s"$name:$v") }
+        EpochIndex.erasureLog(spark, p).map { case (ts, v) =>
+          (ts, s"$name:$v") } }
+      .sortBy(_._1).map(_._2)
     val lastErasure = erasureLogs.lastOption.getOrElse("none")
     base.crossJoin(broadcast(certj))
       .crossJoin(broadcast(certc))

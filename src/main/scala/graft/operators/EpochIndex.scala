@@ -468,7 +468,7 @@ object EpochIndex {
 
   private val ErasuresFile = "_ERASURES"
 
-  /** The store's erasure history — one line per completed
+  /** The store's erasure history — one entry per completed
     * [[eraseRewrite]], oldest first: the version the rewrite
     * published (`v=N`) or [[TornDownVersion]] for a total erasure.
     * This is what a release card cites ("N erasure rewrites applied,
@@ -476,8 +476,32 @@ object EpochIndex {
     * the erasure counterpart of the `_CURRENT` calibration pointer.
     * Empty for a store never erased (including stores written before
     * the log existed — absence of evidence is recorded as zero, the
-    * conservative reading for an audit). */
-  def erasures(spark: SparkSession, root: String): Seq[String] = {
+    * conservative reading for an audit). On disk each line is
+    * `<epochMillis>\t<version>` (see [[erasureLog]]); this accessor
+    * returns the versions alone, in log (= per-store chronological)
+    * order. */
+  def erasures(spark: SparkSession, root: String): Seq[String] =
+    erasureLog(spark, root).map(_._2)
+
+  /** The erasure history WITH wall-clock order: (epochMillis,
+    * version), oldest-logged first. The timestamp is what lets a
+    * card that cites SEVERAL stores' logs name the chronologically
+    * latest rewrite rather than the last store in its own listing
+    * order ([[graft.operators.Audit.cardFromStores]]'s
+    * `last_erasure`). Lines written before the timestamp existed
+    * read as epoch 0 — ordered before every timestamped entry, the
+    * conservative reading ("older than anything we can date"). */
+  def erasureLog(spark: SparkSession, root: String): Seq[(Long, String)] =
+    rawErasureLines(spark, root).map { l =>
+      l.indexOf('\t') match {
+        case -1 => (0L, l)
+        case i => (scala.util.Try(l.substring(0, i).toLong).getOrElse(0L),
+          l.substring(i + 1))
+      }
+    }
+
+  private def rawErasureLines(spark: SparkSession,
+                              root: String): Seq[String] = {
     val f = new Path(root, ErasuresFile)
     val fs = fsOf(spark, f)
     if (!fs.exists(f)) Nil
@@ -491,7 +515,9 @@ object EpochIndex {
 
   /** Append one line to the erasure log (read + rewrite — local and
     * object-store FS need no append support; erasures run inside the
-    * same single-writer maintenance window as the rewrite itself).
+    * same single-writer maintenance window as the rewrite itself),
+    * stamped with wall-clock millis so multi-store consumers can
+    * order entries ACROSS logs ([[erasureLog]]).
     * `private[graft]` for the non-epoch erasure paths that must still
     * land on the audit surface — [[graft.operators.Quality
     * .qualityCutsRefreeze]] replaces a versioned calibration snapshot
@@ -500,9 +526,10 @@ object EpochIndex {
     * read. */
   private[graft] def logErasure(spark: SparkSession, root: String,
                                 line: String): Unit = {
-    val prior = erasures(spark, root)
+    val prior = rawErasureLines(spark, root)
     writeTextFile(fsOf(spark, new Path(root)),
-      new Path(root, ErasuresFile), (prior :+ line).mkString("\n"))
+      new Path(root, ErasuresFile),
+      (prior :+ s"${System.currentTimeMillis()}\t$line").mkString("\n"))
   }
 
   /** Fold the current base plus a snapshot of the live epochs into a

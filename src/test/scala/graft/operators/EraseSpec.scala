@@ -650,5 +650,23 @@ class EraseSpec extends SparkSpecBase {
     // and the returned version is the base the store actually sits on
     val (_, current) = EpochIndex.versions(spark, root)
     assert(current === Some(stats.version))
+    // the log line carries a wall-clock stamp (what lets a card
+    // citing SEVERAL stores order entries chronologically), and a
+    // legacy stampless line still parses — as epoch 0, ordered
+    // before anything datable
+    val logged = EpochIndex.erasureLog(spark, root)
+    assert(logged.map(_._2) === Seq(stats.version))
+    assert(logged.head._1 > 0L, s"unstamped erasure line: $logged")
+    val raw = new java.io.File(root, "_ERASURES")
+    val pw = new java.io.PrintWriter(raw)
+    try pw.write("v=legacy\n" + logged.map { case (t, v) => s"$t\t$v" }
+      .mkString("\n"))
+    finally pw.close()
+    // hand-editing behind Hadoop's local FS leaves a stale checksum
+    new java.io.File(root, "._ERASURES.crc").delete()
+    assert(EpochIndex.erasureLog(spark, root) ===
+      Seq((0L, "v=legacy"), logged.head))
+    assert(EpochIndex.erasures(spark, root) ===
+      Seq("v=legacy", stats.version))
   }
 }
