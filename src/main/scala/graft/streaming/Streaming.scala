@@ -57,6 +57,58 @@ object Streaming {
           s"the sink at a fresh $role path")
     }
 
+  /** THE shared activation preamble — every ingest sink's start-time
+    * guards routed through one call, so a new sink cannot forget one
+    * (the partialIngestSink/indexedCleaningSink discipline applied
+    * to activation itself). Three guard classes, each refusing
+    * BEFORE any write lands:
+    *
+    *  1. **Epoch layout** on every path the sink epoch-writes or
+    *     epoch-reads (`epochPaths` — (role, path) pairs): data files
+    *     outside the `_epoch=` layout mean a flat parquet table the
+    *     sink's epoch-scoped reads and standing-state guards
+    *     half-see — interleaving `_epoch=` partitions into it would
+    *     silently fork the table into two half-visible halves.
+    *  2. **Integral ids** (`integralIdCols`): any id column the
+    *     sink's keep/erase policy casts to long — min-id canonical
+    *     keeps, cap-quota joins, and every RTBF path
+    *     (`certLedgerErase` victim filters, `Maintenance
+    *     .erasureAudit`'s id sweep) key on integral ids; a string id
+    *     casts to NULL and silently corrupts the policy instead of
+    *     failing. The refusal prints the keying recipe (docs/
+    *     DEPLOYMENT.md "Streaming ingest" has the full contract).
+    *  3. **Fresh checkpoint vs standing state** (`standing` +
+    *     `refusal`, both lazy — only evaluated when the checkpoint
+    *     has no run token yet): a reset checkpoint against kept
+    *     tables re-delivers ingested rows, which doubles additive
+    *     state and re-admits deduped documents; the family message
+    *     says what breaks and how to recover. Families whose folds
+    *     are idempotent under replay pass the default `false`. */
+  private def ingestActivation(spark: SparkSession, sink: String,
+                               stream: DataFrame, checkpoint: String,
+                               epochPaths: Seq[(String, String)] = Nil,
+                               integralIdCols: Seq[String] = Nil,
+                               standing: => Boolean = false,
+                               refusal: => String = ""): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType}
+    epochPaths.foreach { case (role, p) =>
+      requireEpochLayout(spark, p, sink, role) }
+    integralIdCols.foreach { c =>
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(stream.schema(c).dataType),
+        s"$sink: id column '$c' is ${stream.schema(c).dataType
+          .simpleString}, not an integral type — the sink's keep/erase " +
+          "policies (canonical-keep classification, cap quotas, victim-id " +
+          "erasure and the RTBF audit sweep) cast ids to long, which on " +
+          "this type yields NULLs and silently corrupts the decision; " +
+          "map ids to a stable integral key upstream (e.g. xxhash64 of " +
+          "the natural key) before the sink — see docs/DEPLOYMENT.md, " +
+          "\"Streaming ingest: the id contract\"")
+    }
+    if (!graft.sources.Fs.exists(spark, s"$checkpoint/graft-run-id"))
+      require(!standing, refusal)
+  }
+
   /** File-based streaming source with an explicit schema (never infer
     * on a stream). `maxFilesPerTrigger` bounds micro-batch size so a
     * backlog replay cannot OOM an executor. */
@@ -246,6 +298,11 @@ object Streaming {
     // checkpoint mints a new one (old partitions become permanent
     // data, and the still-read index keeps rejecting their
     // fingerprints).
+    // no fresh-checkpoint refusal: the content-keyed index makes a
+    // re-delivered source self-healing — but both tables must be in
+    // the epoch layout for the replay contract to see them whole
+    ingestActivation(spark, "dedupIngestSink", stream, checkpoint,
+      epochPaths = Seq("corpus" -> corpusPath, "index" -> indexPath))
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -356,6 +413,14 @@ object Streaming {
   def ivfIngestSink(stream: DataFrame, spark: SparkSession,
                     indexPath: String, idCol: String, vecCol: String,
                     checkpoint: String): StreamingQuery = {
+    ingestActivation(spark, "ivfIngestSink", stream, checkpoint,
+      epochPaths = Seq("assignments" -> s"$indexPath/assignments"),
+      // erasure (ivfIndexErase) and recluster key on integral ids
+      integralIdCols = Seq(idCol))
+    require(graft.sources.Fs.exists(spark, s"$indexPath/centroids"),
+      s"ivfIngestSink: no centroids at $indexPath — bootstrap the " +
+        "index with Similarity.ivfIndexWrite before streaming appends " +
+        "(assigning to centroids that do not exist yet cannot work)")
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -412,6 +477,8 @@ object Streaming {
                         statCols: Seq[String],
                         checkpoint: String): StreamingQuery = {
     require(statCols.nonEmpty, "zoneMapIngestSink needs stat columns")
+    ingestActivation(spark, "zoneMapIngestSink", stream, checkpoint,
+      epochPaths = Seq("corpus" -> corpusPath, "manifest" -> manifestPath))
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -460,7 +527,8 @@ object Streaming {
                           checkpoint: String, sep: String,
                           minLineLen: Int = 1,
                           allowForeignEpochs: Boolean = false): StreamingQuery = {
-    indexedCleaningSink(stream, spark, corpusPath, indexPath, checkpoint,
+    indexedCleaningSink(stream, spark, "lineDedupIngestSink",
+      corpusPath, indexPath, checkpoint,
       allowForeignEpochs,
       refusal = s"lineDedupIngestSink: fresh checkpoint ($checkpoint) but " +
         s"$indexPath already holds first-occurrence partials. If the source " +
@@ -494,7 +562,8 @@ object Streaming {
     // silently doubles every count and over-removes forever after.
     // Refuse the ambiguous shape loudly; a caller whose new run
     // genuinely ingests only NEW documents may override.
-    indexedCleaningSink(stream, spark, corpusPath, indexPath, checkpoint,
+    indexedCleaningSink(stream, spark, "boilerplateIngestSink",
+      corpusPath, indexPath, checkpoint,
       allowForeignEpochs,
       refusal = s"boilerplateIngestSink: fresh checkpoint ($checkpoint) but " +
         s"$indexPath already holds count partials. If the source re-delivers " +
@@ -537,15 +606,19 @@ object Streaming {
                           keyName: String,
                           allowForeignEpochs: Boolean = false): StreamingQuery = {
     import graft.operators.{Curation, EpochIndex, IndexMeta}
-    val marker = s"$checkpoint/graft-run-id"
-    require(graft.sources.Fs.exists(spark, marker) ||
-      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs,
-      s"domainCapIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
-        "already holds count partials. If the source re-delivers ingested " +
-        "rows, every count doubles and later arrivals are starved of " +
-        "quota. Restore the original checkpoint, rebuild corpus+index " +
-        "from raw sources, or — only if this run ingests strictly new " +
-        "rows — pass allowForeignEpochs = true")
+    ingestActivation(spark, "domainCapIngestSink", stream, checkpoint,
+      epochPaths = Seq("corpus" -> corpusPath, "index" -> indexPath),
+      // the quota keep rejoins kept ids to the batch through a long
+      // cast — the canonical-keep hazard, so the id contract applies
+      integralIdCols = Seq(idCol),
+      standing = !allowForeignEpochs && EpochIndex.nonEmpty(spark, indexPath),
+      refusal =
+        s"domainCapIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
+          "already holds count partials. If the source re-delivers ingested " +
+          "rows, every count doubles and later arrivals are starved of " +
+          "quota. Restore the original checkpoint, rebuild corpus+index " +
+          "from raw sources, or — only if this run ingests strictly new " +
+          "rows — pass allowForeignEpochs = true")
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -600,7 +673,8 @@ object Streaming {
                              checkpoint: String,
                              allowForeignEpochs: Boolean = false): StreamingQuery = {
     import graft.operators.SampleSketch
-    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+    partialIngestSink(stream, spark, "sampleSketchIngestSink",
+      corpusPath, indexPath, checkpoint,
       SampleSketch.indexMeta(k, groupCol, valueCol),
       refusal = if (allowForeignEpochs) None else Some(
         s"sampleSketchIngestSink: fresh checkpoint ($checkpoint) but " +
@@ -629,7 +703,8 @@ object Streaming {
                     groupCol: String, valueCol: String, p: Int,
                     checkpoint: String): StreamingQuery = {
     import graft.operators.Cardinality
-    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+    partialIngestSink(stream, spark, "hllIngestSink",
+      corpusPath, indexPath, checkpoint,
       Cardinality.hllMeta(p, valueCol), refusal = None)(batch =>
       Seq("" -> Cardinality.hllSketch(batch, col(groupCol),
         col(valueCol), p)))
@@ -649,7 +724,8 @@ object Streaming {
                     groupCol: String, valueCol: String, k: Int,
                     checkpoint: String): StreamingQuery = {
     import graft.operators.Cardinality
-    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+    partialIngestSink(stream, spark, "kmvIngestSink",
+      corpusPath, indexPath, checkpoint,
       Cardinality.kmvMeta(k, valueCol), refusal = None)(batch =>
       Seq("" -> Cardinality.kmvSketch(batch, col(groupCol),
         col(valueCol), k)))
@@ -670,7 +746,8 @@ object Streaming {
                     checkpoint: String,
                     allowForeignEpochs: Boolean = false): StreamingQuery = {
     import graft.operators.HeavyHitters
-    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+    partialIngestSink(stream, spark, "cmsIngestSink",
+      corpusPath, indexPath, checkpoint,
       HeavyHitters.cmsMeta(depth, width, itemCol),
       refusal = if (allowForeignEpochs) None else Some(
         s"cmsIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
@@ -697,6 +774,7 @@ object Streaming {
     *  - `buildPartials` returns (store-subdir → partial) pairs ("" =
     *    the store root; BM25 splits postings/stats). */
   private def partialIngestSink(stream: DataFrame, spark: SparkSession,
+                                sink: String,
                                 corpusPath: String, indexPath: String,
                                 checkpoint: String,
                                 meta: graft.operators.IndexMeta,
@@ -705,11 +783,12 @@ object Streaming {
       buildPartials: DataFrame => Seq[(String, DataFrame)]): StreamingQuery = {
     import graft.operators.{EpochIndex, IndexMeta}
     def sub(p: String) = if (p.isEmpty) indexPath else s"$indexPath/$p"
-    refusal.foreach { msg =>
-      val marker = s"$checkpoint/graft-run-id"
-      require(graft.sources.Fs.exists(spark, marker) ||
-        !storeSubdirs.exists(p => EpochIndex.nonEmpty(spark, sub(p))), msg)
-    }
+    ingestActivation(spark, sink, stream, checkpoint,
+      epochPaths = ("corpus" -> corpusPath) +:
+        storeSubdirs.map(p => "store" -> sub(p)),
+      standing = refusal.isDefined &&
+        storeSubdirs.exists(p => EpochIndex.nonEmpty(spark, sub(p))),
+      refusal = refusal.getOrElse(""))
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -745,7 +824,8 @@ object Streaming {
                         keyCol: String, startCol: String, endCol: String,
                         checkpoint: String): StreamingQuery = {
     import graft.operators.IntervalExpand
-    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+    partialIngestSink(stream, spark, "islandsIngestSink",
+      corpusPath, indexPath, checkpoint,
       IntervalExpand.islandsMeta(keyCol), refusal = None)(batch =>
       Seq("" -> IntervalExpand.mergeIntervals(batch, keyCol,
         col(startCol), col(endCol))))
@@ -766,7 +846,8 @@ object Streaming {
                        checkpoint: String,
                        allowForeignEpochs: Boolean = false): StreamingQuery = {
     import graft.operators.Audit
-    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+    partialIngestSink(stream, spark, "digestIngestSink",
+      corpusPath, indexPath, checkpoint,
       Audit.digestMeta(cols, groupCol),
       refusal = if (allowForeignEpochs) None else Some(
         s"digestIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
@@ -797,7 +878,8 @@ object Streaming {
                          idCol: String, textCol: String,
                          checkpoint: String, n: Int = 8,
                          allowForeignEpochs: Boolean = false): StreamingQuery =
-    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+    partialIngestSink(stream, spark, "gramFreqIngestSink",
+      corpusPath, indexPath, checkpoint,
       Dedup.gramFreqIndexMeta(n),
       refusal = if (allowForeignEpochs) None else Some(
         s"gramFreqIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
@@ -828,7 +910,8 @@ object Streaming {
                    bigramBuckets: Int = 32768,
                    allowForeignEpochs: Boolean = false): StreamingQuery = {
     import graft.operators.LmFilter
-    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+    partialIngestSink(stream, spark, "lmIngestSink",
+      corpusPath, indexPath, checkpoint,
       LmFilter.lmMeta(ctxBuckets, bigramBuckets),
       refusal = if (allowForeignEpochs) None else Some(
         s"lmIngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
@@ -883,6 +966,8 @@ object Streaming {
                             extraChecks: Seq[(String, org.apache.spark.sql.Column)] = Nil)
       : StreamingQuery = {
     import graft.operators.{LmFilter, Quality}
+    ingestActivation(spark, "qualityGateIngestSink", stream, checkpoint,
+      epochPaths = Seq("corpus" -> corpusPath, "rejects" -> rejectsPath))
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -961,7 +1046,11 @@ object Streaming {
                      buckets: Int = 64,
                      labelsPath: Option[String] = None): StreamingQuery = {
     import graft.operators.{Dedup, EpochIndex, IndexMeta}
-    requireEpochLayout(spark, corpusPath, "certIngestSink", "corpus")
+    ingestActivation(spark, "certIngestSink", stream, checkpoint,
+      epochPaths = Seq("corpus" -> corpusPath),
+      // certLedgerErase / the RTBF audit sweep filter id_a/id_b as
+      // longs — string-keyed pairs would be silently un-erasable
+      integralIdCols = Seq(idCol))
     // corpus-ahead-of-index refusal: a standing corpus whose
     // certification index is EMPTY means every probe below would
     // match nothing and the ledger would silently stop equaling the
@@ -1089,7 +1178,9 @@ object Streaming {
                         roundTo: Int = 4,
                         labelsPath: Option[String] = None): StreamingQuery = {
     import graft.operators.{Dedup, EpochIndex, IndexMeta}
-    requireEpochLayout(spark, corpusPath, "certVecIngestSink", "corpus")
+    ingestActivation(spark, "certVecIngestSink", stream, checkpoint,
+      epochPaths = Seq("corpus" -> corpusPath),
+      integralIdCols = Seq(idCol))
     // corpus-ahead-of-index refusal — certIngestSink's, cosine twin;
     // same legitimately-empty-index tolerance (a standing corpus of
     // only zero-norm vectors cannot band, so an empty band store is
@@ -1204,7 +1295,15 @@ object Streaming {
     * standing corpus with an EMPTY index refuses at activation
     * (every document produces a signature row, so an empty index
     * under a standing corpus is always torn state, never legitimate
-    * — no tolerance case, unlike the text-cert sink). */
+    * — no tolerance case, unlike the text-cert sink).
+    *
+    * Id contract: `idCol` must be integral — the canonical keep and
+    * every RTBF path cast ids to long, and a string id NULLs out of
+    * the membership joins, silently ADMITTING near-duplicates; key
+    * upstream with `xxhash64(natural_key)` (the activation refusal
+    * prints the recipe; docs/DEPLOYMENT.md "Streaming ingest: the id
+    * contract" has the full rationale, including why the min-id keep
+    * needs ids STABLE across re-deliveries). */
   def nearDupIngestSink(stream: DataFrame, spark: SparkSession,
                         corpusPath: String, indexPath: String,
                         idCol: String, textCol: String,
@@ -1214,6 +1313,7 @@ object Streaming {
     import graft.operators.{Dedup, EpochIndex, IndexMeta}
     val meta = Dedup.hamming64BandsMeta("simhash_bands", maxBucket)
     nearDupActivationChecks(stream, spark, corpusPath, indexPath, idCol,
+      checkpoint,
       "nearDupIngestSink", "simHashBandIndexWrite")
     val token = runToken(spark, checkpoint)
     stream.writeStream
@@ -1261,19 +1361,13 @@ object Streaming {
   private def nearDupActivationChecks(stream: DataFrame,
                                       spark: SparkSession,
                                       corpusPath: String, indexPath: String,
-                                      idCol: String, sink: String,
+                                      idCol: String, checkpoint: String,
+                                      sink: String,
                                       bootstrapName: String): Unit = {
     import graft.operators.EpochIndex
-    import org.apache.spark.sql.types.{ByteType, ShortType}
-    requireEpochLayout(spark, corpusPath, sink, "corpus")
-    require(Seq(ByteType, ShortType, IntegerType, LongType)
-      .contains(stream.schema(idCol).dataType),
-      s"$sink: id column '$idCol' is ${stream.schema(idCol).dataType
-        .simpleString}, not an integral type — the canonical-keep " +
-        "component classification casts ids to long, which on this " +
-        "type yields NULLs and silently ADMITS near-duplicates; map " +
-        "ids to a stable integral key upstream (e.g. xxhash64 of the " +
-        "natural key) before the sink")
+    ingestActivation(spark, sink, stream, checkpoint,
+      epochPaths = Seq("corpus" -> corpusPath),
+      integralIdCols = Seq(idCol))
     require(!EpochIndex.nonEmpty(spark, corpusPath) ||
       EpochIndex.nonEmpty(spark, indexPath, innerPartCols = Seq("bb")),
       s"$sink: corpus at $corpusPath already holds data " +
@@ -1338,7 +1432,9 @@ object Streaming {
     * standing-corpus refusal has no tolerance case here either). LSH
     * recall caveat: a true pair whose signatures disagree on all 4
     * bands is admitted — the [[graft.operators.Dedup
-    * .embeddingLshPairs]] bound at Hamming-banding granularity. */
+    * .embeddingLshPairs]] bound at Hamming-banding granularity. Same
+    * id contract as the SimHash sink: integral `idCol` only
+    * (docs/DEPLOYMENT.md "Streaming ingest: the id contract"). */
   def nearDupVecIngestSink(stream: DataFrame, spark: SparkSession,
                            corpusPath: String, indexPath: String,
                            idCol: String, vecCol: String,
@@ -1348,6 +1444,7 @@ object Streaming {
     import graft.operators.{Dedup, EpochIndex, IndexMeta}
     val meta = Dedup.hamming64BandsMeta("srp_bands", maxBucket)
     nearDupActivationChecks(stream, spark, corpusPath, indexPath, idCol,
+      checkpoint,
       "nearDupVecIngestSink", "srpBandIndexWrite")
     val token = runToken(spark, checkpoint)
     stream.writeStream
@@ -1393,7 +1490,9 @@ object Streaming {
     * recall caveat carried from the batch operator: candidates are
     * banded, so pairs missed by every band are admitted — same
     * probability bound as [[graft.operators.Dedup.minHashLsh]] at the
-    * given (numHashes, bands). */
+    * given (numHashes, bands). Same id contract as the SimHash sink:
+    * integral `idCol` only (docs/DEPLOYMENT.md "Streaming ingest:
+    * the id contract"). */
   def nearDupTextIngestSink(stream: DataFrame, spark: SparkSession,
                             corpusPath: String, indexPath: String,
                             idCol: String, textCol: String,
@@ -1405,6 +1504,7 @@ object Streaming {
     val meta = Dedup.minHashBandsMeta(numHashes, bands, shingleK,
       maxBucket, blockCol = None)
     nearDupActivationChecks(stream, spark, corpusPath, indexPath, idCol,
+      checkpoint,
       "nearDupTextIngestSink", "minHashBandIndexWrite")
     val token = runToken(spark, checkpoint)
     stream.writeStream
@@ -1460,7 +1560,8 @@ object Streaming {
                      checkpoint: String,
                      allowForeignEpochs: Boolean = false): StreamingQuery = {
     import graft.operators.Relevance
-    partialIngestSink(stream, spark, corpusPath, indexPath, checkpoint,
+    partialIngestSink(stream, spark, "bm25IngestSink",
+      corpusPath, indexPath, checkpoint,
       Relevance.postingsMeta(idCol, textCol),
       refusal = if (allowForeignEpochs) None else Some(
         s"bm25IngestSink: fresh checkpoint ($checkpoint) but $indexPath " +
@@ -1494,6 +1595,7 @@ object Streaming {
     *    corpus before index, so a crash between them re-runs the
     *    epoch with the index still excluding it. */
   private def indexedCleaningSink(stream: DataFrame, spark: SparkSession,
+                                  sink: String,
                                   corpusPath: String, indexPath: String,
                                   checkpoint: String,
                                   allowForeignEpochs: Boolean,
@@ -1504,12 +1606,14 @@ object Streaming {
       readIndex: String => DataFrame,
       clean: (DataFrame, DataFrame, Dedup.LinePartial) => DataFrame): StreamingQuery = {
     import graft.operators.{EpochIndex, IndexMeta}
-    val marker = s"$checkpoint/graft-run-id"
     // "index already exists" means stored PARTIALS (live epochs or a
     // compacted base) — a root holding only the `_GRAFT_META` written
     // ahead of a crashed first batch is not one
-    require(graft.sources.Fs.exists(spark, marker) ||
-      !EpochIndex.nonEmpty(spark, indexPath) || allowForeignEpochs, refusal)
+    ingestActivation(spark, sink, stream, checkpoint,
+      epochPaths = Seq("corpus" -> corpusPath, "index" -> indexPath),
+      standing = !allowForeignEpochs &&
+        EpochIndex.nonEmpty(spark, indexPath),
+      refusal = refusal)
     val token = runToken(spark, checkpoint)
     stream.writeStream
       .trigger(Trigger.AvailableNow())

@@ -1419,6 +1419,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("epoch layout"), e3.getMessage)
   }
 
+  test("unified activation preamble: count/cleaning/cap sinks refuse flat corpus layouts, cap sink refuses non-integral ids") {
+    val src = Files.createTempDirectory("graft-uact-src").toString
+    Seq((1L, "alpha beta")).toDF("doc_id", "text")
+      .write.parquet(s"$src/s1")
+    val schema = spark.read.parquet(s"$src/s1").schema
+    // a standing FLAT corpus: before round 18 every partialIngestSink
+    // family would silently interleave _epoch= partitions into it —
+    // now the shared preamble refuses at activation, same as the
+    // cert/near-dup sinks always did
+    val flat = Files.createTempDirectory("graft-uact-flat").toString + "/c"
+    Seq((9L, "standing flat corpus")).toDF("doc_id", "text")
+      .write.parquet(flat)
+    val eGram = intercept[IllegalArgumentException] {
+      Streaming.gramFreqIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/s*"), spark, flat,
+        Files.createTempDirectory("graft-uact-i1").toString + "/i",
+        "doc_id", "text",
+        Files.createTempDirectory("graft-uact-ckp1").toString)
+    }
+    assert(eGram.getMessage.contains("epoch layout"), eGram.getMessage)
+    val eBp = intercept[IllegalArgumentException] {
+      Streaming.boilerplateIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/s*"), spark, flat,
+        Files.createTempDirectory("graft-uact-i2").toString + "/i",
+        "text", "doc_id",
+        Files.createTempDirectory("graft-uact-ckp2").toString,
+        sep = "\n", minDocs = 2)
+    }
+    assert(eBp.getMessage.contains("epoch layout"), eBp.getMessage)
+    val eZm = intercept[IllegalArgumentException] {
+      Streaming.zoneMapIngestSink(
+        Streaming.fileStream(spark, schema, s"$src/s*"), spark, flat,
+        Files.createTempDirectory("graft-uact-m3").toString + "/m",
+        Seq("doc_id"),
+        Files.createTempDirectory("graft-uact-ckp3").toString)
+    }
+    assert(eZm.getMessage.contains("epoch layout"), eZm.getMessage)
+    // the cap sink's quota keep rejoins kept ids through cast("long")
+    // — a string id would NULL the join and silently drop every row;
+    // the shared integral-id refusal now covers it
+    Seq(("a", "d1")).toDF("doc_id", "domain").write.parquet(s"$src/t1")
+    val tschema = spark.read.parquet(s"$src/t1").schema
+    val eCap = intercept[IllegalArgumentException] {
+      Streaming.domainCapIngestSink(
+        Streaming.fileStream(spark, tschema, s"$src/t*"), spark,
+        Files.createTempDirectory("graft-uact-c4").toString + "/c",
+        Files.createTempDirectory("graft-uact-i4").toString + "/i",
+        "domain", "doc_id",
+        Files.createTempDirectory("graft-uact-ckp4").toString,
+        maxPerKey = 2, keyName = "domain")
+    }
+    assert(eCap.getMessage.contains("integral"), eCap.getMessage)
+  }
+
   test("cert sinks: a standing corpus with an EMPTY certification index refuses at activation") {
     import graft.operators.Dedup
     // the silent-divergence shape: a corpus bootstrapped elsewhere
