@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{BoundedRead, Cardinality, Contamination, Curation,
-  Dedup, LmFilter, Maintenance, Packing, Quality, Similarity, Splits}
+  Dedup, LmFilter, Maintenance, Merge, Packing, Quality, Similarity, Splits}
 import graft.sources.{Fs, Tables}
 
 /** The LLM-data-pipeline story as ONE runnable main — the second-half
@@ -70,6 +70,9 @@ object CorpusDemo {
       cardAfterErase: Seq[(String, String)] = Nil,
       auditFilesTotal: Long = 0L, auditFilesScanned: Long = 0L,
       auditUnverified: Seq[String] = Nil,
+      streamDelivered: Long = 0L, streamAccepted: Long = 0L,
+      streamPlantedSurvivors: Long = 0L,
+      streamAcceptedAfterReplay: Long = 0L, streamGated: Long = 0L,
       stageSec: Seq[(String, Double)] = Nil)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Result = {
@@ -409,6 +412,86 @@ object CorpusDemo {
         .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
     }
 
+    // ---- streaming ingest (round 18): the near-dup TEXT sink run
+    //      LIVE as a funnel stage — a slice of the released corpus
+    //      arrives as two micro-batch file drops (the second carrying
+    //      planted exact copies of the first under new ids), deduped
+    //      AT THE DOOR against the sink's persisted MinHash band
+    //      store, then the whole delivery is REPLAYED to show
+    //      activation idempotency: re-delivered content is a near-dup
+    //      of the standing corpus and nothing lands twice. The band
+    //      store lives under the demo's store tree, so the
+    //      maintenance sweep compacts it, the erase stage erases the
+    //      victims from it, and the RTBF audit covers it; the
+    //      accepted corpus is handed to the SAME frozen quality
+    //      calibration the batch funnel froze above — streamed docs
+    //      score and gate store-for-store like any batch.
+    val streamBandsRoot = s"$outDir/stores/stream_bands"
+    val streamCorpus = s"$outDir/stream/corpus"
+    val (streamDelivered, streamAccepted, streamPlantedSurvivors,
+      streamAcceptedAfterReplay, streamGated) = staged("stream_ingest") {
+      val srcDir = s"$outDir/stream/src"
+      val ckp = s"$outDir/stream/ckp"
+      Fs.deleteRecursively(spark, s"$outDir/stream")
+      Fs.deleteRecursively(spark, streamBandsRoot)
+      // the slice: a deterministic ninth of the released corpus PLUS
+      // the erase stage's victims-to-be (the two smallest released
+      // ids), so the stream stores demonstrably absorb the RTBF
+      // request later
+      val slice = barrier(quality
+        .filter(pmod(col("doc_id"), lit(9)) === 4)
+        .unionByName(quality.orderBy(col("doc_id")).limit(2))
+        .select("doc_id", "source", "text").distinct())
+      val b1 = slice.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val b2real = slice.filter(pmod(col("doc_id"), lit(2)) === 1)
+      // planted copies: b1's docs re-arrive under new ids — every one
+      // must be rejected (its component touches the standing corpus)
+      val planted = b1.select((col("doc_id") + 3000000L).as("doc_id"),
+        col("source"), col("text"))
+      val b2 = b2real.unionByName(planted)
+      b1.select("doc_id", "text").write.parquet(s"$srcDir/b1")
+      def drain(): Unit = {
+        val schema = spark.read.parquet(s"$srcDir/b1").schema
+        graft.streaming.Streaming.nearDupTextIngestSink(
+          graft.streaming.Streaming.fileStream(spark, schema,
+            s"$srcDir/*"),
+          spark, streamCorpus, streamBandsRoot, "doc_id", "text", ckp)
+          .awaitTermination()
+      }
+      drain()
+      b2.select("doc_id", "text").write.parquet(s"$srcDir/b2")
+      drain()
+      // RAW row count, not distinct: a re-delivered doc landing a
+      // second row under the same id must show up here
+      def corpusCount() = spark.read.parquet(streamCorpus).count()
+      val accepted = corpusCount()
+      val plantedSurvivors = spark.read.parquet(streamCorpus)
+        .filter(col("doc_id") >= 3000000L).count()
+      // replay: the same content re-arrives as a NEW file drop — every
+      // row is now a near-dup of the standing corpus, nothing lands
+      b2.select("doc_id", "text").write.parquet(s"$srcDir/b2replay")
+      drain()
+      val afterReplay = corpusCount()
+      // hand the sink-built corpus to the frozen calibration: scored
+      // against the same reference LM, bucketed against the store the
+      // quality stage froze — a streamed doc gates exactly like a
+      // batch doc (the qualityGateIngestSink contract, shown on the
+      // near-dup sink's output)
+      val streamed = spark.read.parquet(streamCorpus)
+        .select("doc_id", "text")
+        .join(slice.select("doc_id", "source"), Seq("doc_id"))
+      val scored = streamed.join(
+        LmFilter.lmPerplexity(streamed, "doc_id", "text",
+          LmFilter.lmIndex(lmRef, "doc_id", "text"))
+          .select("doc_id", "ppl"), Seq("doc_id"))
+      val gated = Quality.qualityBucketsWith(scored, "ppl", Seq("source"),
+        Quality.qualityCutsRead(spark, s"$outDir/stores/quality_cuts",
+          "ppl", Seq("source")), as = "_b")
+        .filter(col("_b").isNotNull && col("_b") =!= "tail").count()
+      (b1.count() + b2.count(), accepted, plantedSurvivors,
+        afterReplay, gated)
+    }
+
     // ---- persisted profile store: KMV distinct-doc sketches per
     //      source, written epoch 1, appended epoch 2, compacted via
     //      the store-tree maintenance sweep, probed from disk (q176)
@@ -496,6 +579,14 @@ object CorpusDemo {
         require(bpAfter == bpLineRefs - bpVictimRefs,
           s"boilerplate subtract-erase arithmetic broke: " +
             s"$bpLineRefs - $bpVictimRefs != $bpAfter")
+        // the STREAMING stores absorb the same request: the sink's
+        // band store by the q238 filter arm (the victims were in the
+        // streamed slice by construction), the stream corpus by the
+        // q160 table-level delete — the RTBF audit below covers the
+        // band store like every other store in the tree
+        Dedup.minHashBandIndexErase(spark, streamBandsRoot, victims)
+        Merge.deleteWrite(spark, streamCorpus, victims,
+          Seq("doc_id"), "_epoch")
         // certify: ONE verification sweep over the whole store tree —
         // every parquet file of every discovered store (retained
         // versions and torn epochs included) free of victim ids, the
@@ -565,6 +656,10 @@ object CorpusDemo {
       auditFilesScanned = eraseAudit.filesScanned,
       auditUnverified = eraseAudit.unverified.map(u =>
         s"${u.root.split('/').last}.${u.column}:${u.dataType}"),
+      streamDelivered = streamDelivered, streamAccepted = streamAccepted,
+      streamPlantedSurvivors = streamPlantedSurvivors,
+      streamAcceptedAfterReplay = streamAcceptedAfterReplay,
+      streamGated = streamGated,
       stageSec = stageSec.toList)
   }
 
@@ -615,6 +710,11 @@ object CorpusDemo {
       s""""audit_files_scanned":${r.auditFilesScanned},""" +
       s""""audit_unverified":[${r.auditUnverified
         .map(Json.str).mkString(",")}],""" +
+      s""""stream_delivered":${r.streamDelivered},""" +
+      s""""stream_accepted":${r.streamAccepted},""" +
+      s""""stream_planted_survivors":${r.streamPlantedSurvivors},""" +
+      s""""stream_accepted_after_replay":${r.streamAcceptedAfterReplay},""" +
+      s""""stream_gated":${r.streamGated},""" +
       s""""stage_sec":{${r.stageSec
         .map { case (k, v) => f"${Json.str(k)}:$v%.2f" }.mkString(",")}}}""")
     spark.stop()

@@ -936,11 +936,12 @@ object Dedup {
   /** The batch×corpus half of [[incrementalMinHashLsh]] — one
     * definition for the in-memory and store-backed probes. */
   private def minHashCross(batchBanded: DataFrame, bandIndex: DataFrame,
-                           blockCol: Option[String]): DataFrame =
+                           blockCol: Option[String],
+                           keepSelf: Boolean = false): DataFrame =
     batchBanded
       .join(bandIndex.withColumnRenamed("id", "corpus_id"),
         blockCol.toSeq ++ Seq("band", "bh"))
-      .filter(col("id") =!= col("corpus_id"))
+      .filter(if (keepSelf) lit(true) else col("id") =!= col("corpus_id"))
       .select(least(col("id"), col("corpus_id")).as("id_a"),
         greatest(col("id"), col("corpus_id")).as("id_b"))
       .distinct()
@@ -992,8 +993,8 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
       maxBucket: Int = 200, blockCol: Option[String] = None,
-      buckets: Int = 64,
-      excludeEpoch: Option[String] = None): (DataFrame, () => Unit) = {
+      buckets: Int = 64, excludeEpoch: Option[String] = None,
+      keepSelf: Boolean = false): (DataFrame, () => Unit) = {
     val batchBanded = Bridge.freshLeaf(
       bandedKeys(newDocs, idCol, textCol, numHashes, bands, shingleK,
         blockCol).localCheckpoint(true))
@@ -1003,7 +1004,8 @@ object Dedup {
     val internal = minHashLsh(newDocs, idCol, textCol, numHashes, bands,
       shingleK, threshold = 0.0, maxBucket, blockCol)
       .select(col("id_a"), col("id_b"))
-    (internal.unionByName(minHashCross(batchBanded, idx, blockCol))
+    (internal.unionByName(minHashCross(batchBanded, idx, blockCol,
+        keepSelf))
       .distinct(),
       () => Bridge.unpersistCheckpoint(batchBanded))
   }
@@ -1157,7 +1159,8 @@ object Dedup {
     * (q97 pins the text family, q124 the image family). */
   def incrementalHamming64(batchSigs: DataFrame, bandIndex: DataFrame,
                            maxHamming: Int = 3, maxBucket: Int = 5000,
-                           family: String = "hamming64"): DataFrame = {
+                           family: String = "hamming64",
+                           keepSelf: Boolean = false): DataFrame = {
     val internal = hammingPairs64(batchSigs, maxHamming, maxBucket, family)
       .select("id_a", "id_b")
     val cross = band64(batchSigs, carry = Nil)
@@ -1165,7 +1168,8 @@ object Dedup {
           .withColumnRenamed("id", "corpus_id")
           .withColumnRenamed("sig", "corpus_sig"),
         Seq("band", "bh"))
-      .filter(col("id") =!= col("corpus_id") &&
+      .filter((if (keepSelf) lit(true)
+               else col("id") =!= col("corpus_id")) &&
         bit_count(col("sig").bitwiseXOR(col("corpus_sig"))) <= maxHamming)
       .select(least(col("id"), col("corpus_id")).as("id_a"),
         greatest(col("id"), col("corpus_id")).as("id_b"))
@@ -1210,10 +1214,12 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 5000, buckets: Int = 64,
-      excludeEpoch: Option[String] = None): (DataFrame, () => Unit) =
+      excludeEpoch: Option[String] = None,
+      keepSelf: Boolean = false): (DataFrame, () => Unit) =
     incrementalHamming64FromStorePinned(spark, path,
       textSigs(newDocs, idCol, textCol), "simhash_bands", maxHamming,
-      maxBucket, buckets, excludeEpoch, family = "simhash")
+      maxBucket, buckets, excludeEpoch, family = "simhash",
+      keepSelf = keepSelf)
 
   /** Store-backed [[incrementalHamming64]] — the signature-level
     * engine under the SimHash and image-hash probes. Pin lifecycle:
@@ -1232,12 +1238,14 @@ object Dedup {
       batchSigs: DataFrame, metaFamily: String, maxHamming: Int = 3,
       maxBucket: Int = 5000, buckets: Int = 64,
       excludeEpoch: Option[String] = None,
-      family: String = "hamming64"): (DataFrame, () => Unit) = {
+      family: String = "hamming64",
+      keepSelf: Boolean = false): (DataFrame, () => Unit) = {
     val sigs = Bridge.freshLeaf(batchSigs.localCheckpoint(true))
     val idx = bandIndexStoreProbeRead(spark, path,
       hamming64BandsMeta(metaFamily, maxBucket), band64(sigs, carry = Nil),
       excludeEpoch, buckets)
-    (incrementalHamming64(sigs, idx, maxHamming, maxBucket, family),
+    (incrementalHamming64(sigs, idx, maxHamming, maxBucket, family,
+      keepSelf),
       () => Bridge.unpersistCheckpoint(sigs))
   }
 
@@ -1838,13 +1846,14 @@ object Dedup {
   /** The batch×corpus half of [[incrementalEmbeddingLsh]] — one
     * definition for the in-memory and store-backed probes. */
   private def srpCross(batchBanded: DataFrame, bandIndex: DataFrame,
-                       threshold: Double, roundTo: Int): DataFrame =
+                       threshold: Double, roundTo: Int,
+                       keepSelf: Boolean = false): DataFrame =
     batchBanded
       .join(bandIndex
           .withColumnRenamed("id", "corpus_id")
           .withColumnRenamed("vec", "corpus_vec"),
         Seq("band", "bh"))
-      .filter(col("id") =!= col("corpus_id"))
+      .filter(if (keepSelf) lit(true) else col("id") =!= col("corpus_id"))
       .select(least(col("id"), col("corpus_id")).as("id_a"),
         greatest(col("id"), col("corpus_id")).as("id_b"),
         round(Sim.cosine(col("vec"), col("corpus_vec")), roundTo).as("cos"))
@@ -1877,8 +1886,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxBucket: Int = 5000, buckets: Int = 64,
-      roundTo: Int = 4,
-      excludeEpoch: Option[String] = None): (DataFrame, () => Unit) = {
+      roundTo: Int = 4, excludeEpoch: Option[String] = None,
+      keepSelf: Boolean = false): (DataFrame, () => Unit) = {
     val batchBanded = Bridge.freshLeaf(
       srpBanded(newDocs, idCol, vecCol).localCheckpoint(true))
     val idx = bandIndexStoreProbeRead(spark, path,
@@ -1886,7 +1895,8 @@ object Dedup {
       excludeEpoch, buckets)
     val internal = embeddingLshPairs(newDocs, idCol, vecCol, threshold,
       maxBucket, roundTo).select("id_a", "id_b", "cos")
-    (internal.unionByName(srpCross(batchBanded, idx, threshold, roundTo))
+    (internal.unionByName(srpCross(batchBanded, idx, threshold, roundTo,
+        keepSelf))
       .distinct(),
       () => Bridge.unpersistCheckpoint(batchBanded))
   }

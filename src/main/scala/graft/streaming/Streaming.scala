@@ -1329,7 +1329,7 @@ object Streaming {
                 innerPartCols = Seq("bb")))
               Dedup.incrementalSimHashFromStorePinned(spark, indexPath,
                 batch, idCol, textCol, maxHamming, maxBucket, buckets,
-                excludeEpoch = Some(epoch))
+                excludeEpoch = Some(epoch), keepSelf = true)
             else (Dedup.simHashPairs(batch, idCol, textCol, maxHamming,
               maxBucket).select("id_a", "id_b"), () => ())
           val accepted = nearDupAccepted(batch, idCol, pairs, freePin)
@@ -1397,9 +1397,25 @@ object Streaming {
                               freePin: () => Unit): DataFrame = {
     import graft.operators.Dedup
     try {
-      val comp = Dedup.connectedComponents(pairs)
+      // a SELF pair (id_a == id_b: the store probe matched a batch
+      // doc to a standing-corpus row under the SAME id — the probes
+      // run keepSelf for exactly this) is a RE-DELIVERY: the id is
+      // already in the corpus with near-identical content, so the doc
+      // drops outright — without this, a source that re-sends old
+      // files under new names would land every known doc a second
+      // time (pair generation used to discard self-matches, and a
+      // re-delivered doc sailed through as "unpaired"). Detection is
+      // banding-granularity like everything here: a same-id arrival
+      // whose content no longer bands with its stored signature is an
+      // upstream id-contract violation this door cannot see.
+      val known = pairs.filter(col("id_a") === col("id_b"))
+        .select(col("id_a")
+          .cast(batch.schema(idCol).dataType).as(idCol)).distinct()
+      val live = batch.join(known, Seq(idCol), "left_anti")
+      val comp = Dedup.connectedComponents(
+        pairs.filter(col("id_a") =!= col("id_b")))
       try {
-        val bIds = batch.select(col(idCol).cast("long").as("id"))
+        val bIds = live.select(col(idCol).cast("long").as("id"))
         val batchComp = comp.join(bIds, Seq("id"), "left_semi")
         val corpusTouched = comp.join(bIds, Seq("id"), "left_anti")
           .select("cluster_id").distinct().withColumn("_corpus", lit(1))
@@ -1410,7 +1426,7 @@ object Streaming {
           .join(corpusTouched, Seq("cluster_id"), "left")
           .filter(col("_corpus").isNotNull || col("id") =!= col("_min"))
           .select(col("id").cast(batch.schema(idCol).dataType).as(idCol))
-        batch.join(dropIds, Seq(idCol), "left_anti").localCheckpoint(true)
+        live.join(dropIds, Seq(idCol), "left_anti").localCheckpoint(true)
       } finally release(comp)
     } finally freePin()
   }
@@ -1460,7 +1476,7 @@ object Streaming {
                 innerPartCols = Seq("bb")))
               Dedup.incrementalEmbeddingLshFromStorePinned(spark,
                 indexPath, batch, idCol, vecCol, threshold, maxBucket,
-                buckets, excludeEpoch = Some(epoch))
+                buckets, excludeEpoch = Some(epoch), keepSelf = true)
             else (Dedup.embeddingLshPairs(batch, idCol, vecCol,
               threshold, maxBucket), () => ())
           val accepted = nearDupAccepted(batch, idCol,
@@ -1521,7 +1537,7 @@ object Streaming {
               Dedup.incrementalMinHashLshFromStorePinned(spark, indexPath,
                 batch, idCol, textCol, numHashes, bands, shingleK,
                 maxBucket, blockCol = None, buckets,
-                excludeEpoch = Some(epoch))
+                excludeEpoch = Some(epoch), keepSelf = true)
             else (Dedup.minHashLsh(batch, idCol, textCol, numHashes,
               bands, shingleK, threshold = 0.0, maxBucket)
               .select("id_a", "id_b"), () => ())

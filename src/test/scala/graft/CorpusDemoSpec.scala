@@ -118,14 +118,33 @@ class CorpusDemoSpec extends SparkSpecBase {
       "repetition_filter", "quality_gate",
       "cluster_safe_split",
       "budgeted_mixture", "rank_tiers", "curriculum",
-      "epoch_order_write", "pack", "boilerplate_store", "kmv_store",
+      "epoch_order_write", "pack", "boilerplate_store", "stream_ingest",
+      "kmv_store",
       "final_card", "erase", "attrition"))
     assert(r.stageSec.forall(_._2 > 0.0))
-    // six stores under the sweep now: kmv counts (folded), the release
-    // boilerplate line counts (summed), the frozen quality-cuts
-    // snapshot (benign typed skip), BOTH cert_pairs ledgers, and the
-    // cc_labels repair labeling (min-folded)
-    assert(r.storesCompacted === 6)
+    // seven stores under the sweep now: kmv counts (folded), the
+    // release boilerplate line counts (summed), the frozen
+    // quality-cuts snapshot (benign typed skip), BOTH cert_pairs
+    // ledgers, the cc_labels repair labeling (min-folded), and the
+    // streaming sink's MinHash band store (round 18)
+    assert(r.storesCompacted === 7)
+    // ---- streaming ingest stage (round 18): accepted-only at the
+    // door, replay-idempotent, handed to the frozen calibration
+    assert(r.streamDelivered > 0L && r.streamAccepted > 0L,
+      s"degenerate stream stage: $r")
+    // every planted copy re-arriving under a new id was rejected
+    assert(r.streamPlantedSurvivors === 0L, s"planted copies landed: $r")
+    // the planted copies are why accepted < delivered here
+    assert(r.streamAccepted < r.streamDelivered, s"stream stage: $r")
+    // re-delivering the whole second drop changed NOTHING — the
+    // activation-replay idempotency arithmetic
+    assert(r.streamAcceptedAfterReplay === r.streamAccepted,
+      s"replay was not idempotent: $r")
+    // the sink-built corpus gates against the frozen calibration the
+    // batch funnel froze: the slice came FROM the gated corpus, so
+    // most of it re-passes the lm gate (and none of it is unscorable)
+    assert(r.streamGated > 0L && r.streamGated <= r.streamAccepted,
+      s"stream quality handoff: $r")
     // the final card is emitted FROM the stores, after the sweep:
     // every citation must equal the number the funnel measured
     val card = r.card.toMap

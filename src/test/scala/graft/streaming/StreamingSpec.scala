@@ -1277,6 +1277,15 @@ class StreamingSpec extends SparkSpecBase {
     // a re-drain changes neither store
     drain()
     assert(corpusIds() === Set(1L, 3L, 12L))
+    // RE-DELIVERY idempotency (round 18): the same content arrives
+    // again as a NEW file — every row is either a known id (the
+    // keepSelf self-match: drop outright) or a near-dup of the
+    // standing corpus; nothing lands twice, not even a second row
+    // under the same id
+    deliver("b2redeliver", b2); drain()
+    assert(corpusIds() === Set(1L, 3L, 12L))
+    assert(spark.read.parquet(corpus).count() === 3L,
+      "re-delivered known ids landed duplicate corpus rows")
     // mid-stream compaction folds the accumulated epochs; the next
     // batch's probe reads the compacted base + its own exclusions
     val stats = Dedup.bandIndexStoreCompact(spark, index)
