@@ -780,6 +780,38 @@ object Similarity {
       Nil, col("cell"))
   }
 
+  /** The skew TRIGGER: recluster iff [[ivfCellSkew]] says the store
+    * needs it — the call a scheduled maintenance job makes, so the
+    * recluster (a full index rewrite) only runs when drift actually
+    * skewed the cells. `maxFrac` is the occupancy bar in multiples
+    * of the balanced share: with k cells a balanced index has every
+    * cell near 1/k of the rows, so the default 4.0 fires when some
+    * cell holds over 4/k of the store — well past append jitter,
+    * well before the one-hot-cell degeneracy q204's diagnostic is
+    * built to catch. Returns None (with the measured skew available
+    * via [[ivfCellSkew]]) when the store is healthy; Some(stats) when
+    * it reclustered. The skew read is one map-side-combined aggregate
+    * over the assignments' (cell) column — cheap enough to run every
+    * maintenance window; the rewrite only happens on a trigger. */
+  def ivfReclusterIfSkewed(spark: org.apache.spark.sql.SparkSession,
+                           path: String, maxFrac: Double = 4.0,
+                           steps: Int = 2, k: Int = 0,
+                           keepVersions: Int = 2)
+      : Option[EpochIndex.CompactionStats] = {
+    require(maxFrac > 1.0,
+      s"maxFrac is a multiple of the balanced 1/k share and must " +
+        s"exceed 1.0: $maxFrac (a balanced index sits AT 1.0)")
+    // the multiple is against the store's CAPACITY (the centroid
+    // count), not the occupied-cell count — drift that empties cells
+    // is part of the skew, not a discount on it; the centroid table
+    // is k rows by construction, a bounded driver read
+    val kStored = ivfIndexRead(spark, path).centroids.count()
+    val frac = ivfCellSkew(spark, path)
+      .select(col("max_bucket_frac")).head().getDouble(0)
+    if (frac * kStored <= maxFrac) None
+    else Some(ivfRecluster(spark, path, steps, k, keepVersions))
+  }
+
   /** Recluster-on-drift maintenance arm — the answer to [[ivfCellSkew]]
     * flagging a skewed store: re-fit the coarse quantizer over the
     * STORED vectors (the assignments table carries them; no external

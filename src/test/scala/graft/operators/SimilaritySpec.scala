@@ -717,6 +717,52 @@ class SimilaritySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("ivfReclusterIfSkewed: healthy store is a no-op, directional drift fires the trigger, recluster rebalances") {
+    // three directional clusters with the SAME internal jitter: the
+    // bootstrap sees A+B (k-means subdivides each across cells), the
+    // drift appends C — whose 40 vectors all crowd whichever stale
+    // cells sit nearest its direction, the fixable skew shape (a
+    // TIGHT pack is irreducibly one-cell and recluster rightly
+    // leaves it there; a jittered cluster subdivides like A and B
+    // did once the centroids are re-fit over it)
+    val rnd = new scala.util.Random(131)
+    def cluster(n: Int, base: Long): Seq[(Long, Array[Float])] = {
+      val c = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (0 until n).map(i => (base + i,
+        c.map(x => x + 0.4f * rnd.nextGaussian().toFloat)))
+    }
+    val a = cluster(40, 0L); val b = cluster(40, 100L)
+    val c = cluster(40, 200L)
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val path = new java.io.File("target/tmp/ivf-trigger-spec").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, path)
+    Similarity.ivfIndexWrite(Similarity.ivfIndex(corpus,
+      Similarity.kmeansRefine(corpus,
+        Similarity.pickCentroids(corpus, "vec_id", "embedding", 8),
+        "vec_id", "embedding", steps = 2).select($"cell", $"embedding"),
+      "vec_id", "embedding"), path)
+    def skewMultiple(): Double = {
+      val f = Similarity.ivfCellSkew(spark, path)
+        .select($"max_bucket_frac").as[Double].head()
+      f * Similarity.ivfIndexRead(spark, path).centroids.count()
+    }
+    // a Lloyd-trained index over its own corpus is healthy: no rewrite
+    assert(Similarity.ivfReclusterIfSkewed(spark, path,
+      maxFrac = 3.0).isEmpty, s"healthy store fired at ${skewMultiple()}")
+    Similarity.ivfAppendWrite(spark, path,
+      c.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(skewMultiple() > 3.0, s"drift did not skew: ${skewMultiple()}")
+    val stats = Similarity.ivfReclusterIfSkewed(spark, path,
+      maxFrac = 3.0)
+    assert(stats.nonEmpty, "trigger did not fire on a skewed store")
+    assert(skewMultiple() <= 3.0,
+      s"recluster left the store over the bar: ${skewMultiple()}")
+    // and the repaired store is healthy for the NEXT window: no-op
+    assert(Similarity.ivfReclusterIfSkewed(spark, path,
+      maxFrac = 3.0).isEmpty)
+    graft.GraftSession.sweepPersistedRdds(spark)
+  }
+
   test("ivfPqRecluster: RTBF guard — corpus ids must equal the stored id set exactly") {
     val rows = gaussianVecs(60, 8, 43)
     val corpus = rows.filter(_._1 % 5 != 0).toDF("vec_id", "embedding")
