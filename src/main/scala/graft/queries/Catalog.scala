@@ -10056,6 +10056,49 @@ object Catalog {
       .select(col("vec_id"), col("sub"), col("code"), col("cell"))
   }
 
+  /** [[Similarity.ivfCellSkew]] under the oracle — the drift
+    * DIAGNOSTIC that fires [[Similarity.ivfReclusterIfSkewed]]:
+    * bootstrap over the %4≠1 slice (raw md5 seed pick, q243's
+    * geometry), drift-append the %4=1 batch onto the STALE
+    * centroids, and read the store's cell-occupancy skew. The
+    * assignment chain is fully SQL-replayable (argmax cosine against
+    * the seed centroids, the q243 `a1` pattern restricted to
+    * slice-picked seeds), so the one-row skew summary —
+    * (n_rows, n_buckets, max_bucket_rows, max_bucket_frac) — is
+    * VALUE-EXACT against DuckDB. One map-side-combined aggregate
+    * over the assignments' cell column; the vectors are never read. */
+  val q245IvfCellSkew = q("q245_ivf_cell_skew",
+    "IVF cell-occupancy skew after a drift append: the recluster trigger's diagnostic, value-exact (north star: ANN store maintenance)",
+    """WITH corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+      |         vec AS cvec
+      |  FROM corpus WHERE vec_id % 4 <> 1
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |a1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT c.vec_id, t.cell,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |                              ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cell) AS rk
+      |    FROM corpus c CROSS JOIN c0 t) WHERE rk = 1),
+      |n AS (SELECT cell, count(*) AS cnt FROM a1 GROUP BY cell)
+      |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_buckets,
+      |       CAST(max(cnt) AS BIGINT) AS max_bucket_rows,
+      |       round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS max_bucket_frac
+      |FROM n""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val corpus = e.filter(pmod(col("vec_id"), lit(4)) =!= 1)
+    val batch = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val root = scratchDir(s, "q245_ivf_cell_skew")
+    graft.sources.Fs.deleteRecursively(s, root)
+    Similarity.ivfIndexWrite(Similarity.ivfIndex(corpus,
+      Similarity.pickCentroids(corpus, "vec_id", "embedding", 16),
+      "vec_id", "embedding"), root)
+    Similarity.ivfAppendWrite(s, root, batch, "vec_id", "embedding")
+    Similarity.ivfCellSkew(s, root)
+  }
+
   val all: Seq[CatalogQuery] = Seq(
     q1Agg, q2FilterProject, q3HwmFilter, q4StarPlus, q5NullFilter,
     q6BroadcastJoin, q7FactJoin, q8IntervalExpand, q9RangeJoin, q10Tokens,
@@ -10119,5 +10162,5 @@ object Catalog {
     q234IncrementalRepair, q235RepairLabelsStore, q236CardFromStores,
     q237CertErasure, q238BandErasure, q239GramErasure, q240CapErasure,
     q241CutsRefreeze, q242DigestErasure, q243IvfRecluster,
-    q244IvfPqRecluster)
+    q244IvfPqRecluster, q245IvfCellSkew)
 }
