@@ -763,6 +763,51 @@ class SimilaritySpec extends SparkSpecBase {
     graft.GraftSession.sweepPersistedRdds(spark)
   }
 
+  test("ivfRecluster: a crash between the base publish and the centroid overwrite repairs EXACTLY on re-run") {
+    // the scaladoc's crash contract, pinned: the reassigned base
+    // publishes first (atomic), then centroids overwrite — a crash
+    // between the two leaves new assignments under stale centroids,
+    // and RE-RUNNING recluster lands the identical final state
+    // because the re-fit is a pure function of the stored (id, vec)
+    // rows, which reassignment never touches
+    val rows = gaussianVecs(70, 8, 211)
+    val corpus = rows.filter(_._1 % 3 != 0).toDF("vec_id", "embedding")
+    val drift = rows.filter(_._1 % 3 == 0)
+      .map { case (id, v) => (id + 500L, v.map(x => -x)) }
+      .toDF("vec_id", "embedding")
+    val path = new java.io.File("target/tmp/ivf-crash-spec").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, path)
+    Similarity.ivfIndexWrite(Similarity.ivfIndex(corpus,
+      Similarity.pickCentroids(corpus, "vec_id", "embedding", 8),
+      "vec_id", "embedding"), path)
+    Similarity.ivfAppendWrite(spark, path, drift, "vec_id", "embedding")
+    val staleCents = Similarity.ivfIndexRead(spark, path).centroids
+      .orderBy("cell").as[(Long, Array[Float])].collect()
+    Similarity.ivfRecluster(spark, path, steps = 1)
+    def cents() = Similarity.ivfIndexRead(spark, path).centroids
+      .orderBy("cell").as[(Long, Array[Float])].collect()
+      .map { case (c, v) => (c, v.toSeq) }
+    def asn() = Similarity.ivfIndexRead(spark, path).assignments
+      .select("vec_id", "cell").orderBy("vec_id")
+      .as[(Long, Long)].collect().toSeq
+    val (cleanCents, cleanAsn) = (cents(), asn())
+    // simulate the crash: the centroid overwrite never happened —
+    // put the STALE centroid table back over the reassigned base
+    staleCents.toSeq.map { case (c, v) => (c, v) }
+      .toDF("cell", "embedding")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // mid-crash the store stays probe-CONSISTENT (stale centroids
+    // route to cells that all exist; recall is degraded, reads work)
+    val probe = Similarity.ivfProbeStored(spark, path,
+      corpus.limit(2), "vec_id", "embedding", k = 2, nProbe = 2)
+    assert(probe.count() > 0L)
+    // re-running the maintenance window repairs exactly
+    Similarity.ivfRecluster(spark, path, steps = 1)
+    assert(cents() === cleanCents, "re-run centroids diverged")
+    assert(asn() === cleanAsn, "re-run assignments diverged")
+    graft.GraftSession.sweepPersistedRdds(spark)
+  }
+
   test("ivfPqRecluster: RTBF guard — corpus ids must equal the stored id set exactly") {
     val rows = gaussianVecs(60, 8, 43)
     val corpus = rows.filter(_._1 % 5 != 0).toDF("vec_id", "embedding")
