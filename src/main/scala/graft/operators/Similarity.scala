@@ -780,6 +780,21 @@ object Similarity {
       Nil, col("cell"))
   }
 
+  /** [[ivfCellSkew]]'s IVF+PQ twin — same one-row occupancy summary,
+    * read from the codes table's cell column (per-document, so the
+    * per-subspace code rows are first collapsed to one row per id).
+    * The PQ store's recluster ([[ivfPqRecluster]]) needs the caller's
+    * corpus (codes hold no floats), so there is no automatic trigger
+    * arm here: a maintenance job reads this diagnostic and schedules
+    * the recluster with the corpus in hand. */
+  def ivfPqCellSkew(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    IndexMeta.requireFamily(spark, path, IvfPqFamily)
+    Rolling.bucketSkew(
+      ivfPqIndexRead(spark, path).codes
+        .filter(col("sub") === 0), Nil, col("cell"))
+  }
+
   /** The skew TRIGGER: recluster iff [[ivfCellSkew]] says the store
     * needs it — the call a scheduled maintenance job makes, so the
     * recluster (a full index rewrite) only runs when drift actually

@@ -763,6 +763,30 @@ class SimilaritySpec extends SparkSpecBase {
     graft.GraftSession.sweepPersistedRdds(spark)
   }
 
+  test("ivfPqCellSkew: per-document occupancy over the codes table, sub-rows collapsed") {
+    val rows = gaussianVecs(40, 8, 57)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val path = new java.io.File("target/tmp/ivfpq-skew-spec").getAbsolutePath
+    graft.sources.Fs.deleteRecursively(spark, path)
+    Similarity.ivfPqIndexWrite(Similarity.ivfPqIndex(corpus,
+      Similarity.pickCentroids(corpus, "vec_id", "embedding", 4),
+      "vec_id", "embedding", m = 2, k = 4, iters = 0), path)
+    val skew = Similarity.ivfPqCellSkew(spark, path)
+      .select($"n_rows", $"n_buckets", $"max_bucket_frac")
+      .as[(Long, Long, Double)].head()
+    // per-DOCUMENT: the m=2 sub-rows never double-count
+    assert(skew._1 === 40L, s"skew counted sub rows: $skew")
+    assert(skew._2 <= 4L && skew._3 <= 1.0 && skew._3 >= 0.25, s"$skew")
+    // cross-checks the flat diagnostic's contract: occupancy equals
+    // a direct per-cell count over distinct (id, cell)
+    val direct = Similarity.ivfPqIndexRead(spark, path).codes
+      .select("vec_id", "cell").distinct()
+      .groupBy($"cell").count().agg(max($"count")).as[Long].head()
+    assert(skew._3 === math.rint(10000.0 * direct / 40L) / 10000.0,
+      s"$skew vs max cell $direct")
+    graft.GraftSession.sweepPersistedRdds(spark)
+  }
+
   test("ivfRecluster: a crash between the base publish and the centroid overwrite repairs EXACTLY on re-run") {
     // the scaladoc's crash contract, pinned: the reassigned base
     // publishes first (atomic), then centroids overwrite — a crash
