@@ -48,9 +48,15 @@ object JobProfile {
       val i = s.stageInfo
       val dt = (for {a <- i.completionTime; b <- i.submissionTime} yield (a - b) / 1e3)
         .getOrElse(0.0)
-      stageLog.add((i.name.takeWhile(_ != '\n'), dt))
+      stageLog.add((i.name.takeWhile(_ != '\n'), dt,
+        stageTasks.getOrDefault(i.stageId, (0, 0L))))
     }
-    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val stageLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, (Int, Long))]()
+    /** per-stage (task count, summed deser ms) — attributes the
+      * deserialization anomaly to the stage (= call site) causing it */
+    private val stageTasks =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
       tasks += 1
       val m = t.taskMetrics
@@ -61,6 +67,8 @@ object JobProfile {
         shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
         resultSerMs += m.resultSerializationTime
         deserMs += m.executorDeserializeTime
+        stageTasks.merge(t.stageId, (1, m.executorDeserializeTime),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
       }
     }
     def reset(): Unit = synchronized {
@@ -68,6 +76,7 @@ object JobProfile {
       shuffleReadB = 0; shuffleWriteB = 0; resultSerMs = 0; deserMs = 0
       jobLog.clear()
       stageLog.clear()
+      stageTasks.clear()
     }
   }
 
@@ -108,10 +117,15 @@ object JobProfile {
         // aggregate stage submit→complete time by call-site name: where
         // the action count (and its fixed overhead) actually comes from
         acc.stageLog.asScala.toSeq.groupBy(_._1).toSeq
-          .map { case (k, vs) => (k, vs.size, vs.map(_._2).sum) }
+          .map { case (k, vs) =>
+            (k, vs.size, vs.map(_._2).sum,
+              vs.map(_._3._1).sum, vs.map(_._3._2).sum)
+          }
           .sortBy(-_._3)
-          .foreach { case (k, cnt, tot) =>
-            System.err.println(f"[profile]   stage ${tot}%7.3fs n=$cnt%-3d $k")
+          .foreach { case (k, cnt, tot, nt, deser) =>
+            System.err.println(
+              f"[profile]   stage ${tot}%7.3fs n=$cnt%-3d tasks=$nt%-4d " +
+                f"deser=${deser / 1000.0}%6.2fs $k")
           }
       }
     }

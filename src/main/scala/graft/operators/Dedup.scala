@@ -1020,19 +1020,24 @@ object Dedup {
     bandKeysOf(minHashSigs(df, idCol, textCol, numHashes, shingleK, blockCol),
       numHashes, bands, blockCol)
 
-  /** (id, sig, [block]) MinHash signatures behind an exchange: the
-    * repartition is a materialization barrier as much as a
-    * partitioning choice — without it CollapseProject inlines the
-    * signature expression into the pair stage and recomputes it per
-    * banded row / per candidate pair instead of once per doc. */
+  /** (id, sig, [block]) MinHash signatures, computed at full width:
+    * the exchange sits BELOW the signature projection ([[Par.widen]],
+    * scale-adaptive — a no-op on a scan with enough splits), so the
+    * expensive sketch runs on every core instead of serially on a
+    * narrow scan, and nothing re-shuffles the computed signatures.
+    * Recompute safety without the old post-projection barrier:
+    * CollapseProject's cheapness guard refuses to duplicate a
+    * non-trivial expression into multiple consumers, and the single
+    * downstream consumer (banding) references `sig` through one
+    * explode — plan-gated by [[graft.PlanAuditSpec]]'s single-
+    * signature-node checks. */
   private def minHashSigs(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int, shingleK: Int,
                           blockCol: Option[String]): DataFrame =
-    df.select(
+    Par.widen(df, col(idCol)).select(
       col(idCol).as("id") +: Sketches.minhash_shingled(
         TextFunctions.tokens(col(textCol)), shingleK, numHashes).as("sig") +:
         blockCol.toSeq.map(col): _*)
-      .repartition(col("id"))
 
   /** Band keys from materialized signatures. Signatures are dropped
     * immediately: every shuffle from here to pair generation carries
@@ -1427,13 +1432,14 @@ object Dedup {
       .select(keep :+ col("bk.band") :+ col("bk.bh"): _*)
   }
 
-  /** Shared SimHash signature front end: codegen'd signature behind a
-    * materialization barrier, in the (id, sig) shape the signature-
-    * level Hamming engine consumes. */
+  /** Shared SimHash signature front end: codegen'd signature computed
+    * at full width (exchange below the projection, [[Par.widen]] —
+    * scale-adaptive no-op on a wide scan), in the (id, sig) shape the
+    * signature-level Hamming engine consumes. */
   private def textSigs(df: DataFrame, idCol: String,
                        textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-      .repartition(col("id"))
+    Par.widen(df, col(idCol))
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
 
   /** Connected components over a near-duplicate pair list: the final
     * dedup stage that turns pairwise matches into clusters with one
@@ -1547,13 +1553,19 @@ object Dedup {
       if ((i + 1) % 8 == 0) mapping = cp(mapping, eager = true)
       // contract: edges between vertices that chose different labels
       // survive (in both directions — symmetric by construction of
-      // the input), intra-cluster edges become self-loops and drop
+      // the input), intra-cluster edges become self-loops and drop.
+      // No per-round distinct: duplicate contracted edges collapse in
+      // the NEXT round's map-side partial agg (groupBy s) at zero
+      // extra shuffles, each original edge contributes at most one
+      // row per round (so rows stay bounded by the symmetrized |E|),
+      // and l-joins cannot fan out (l is unique per vertex) — the
+      // distinct bought earlier shrinkage for a full extra exchange
+      // per round, the wrong trade at any scale
       edges = cp(edges
         .join(l.select(col("s"), col("l").as("ls")), Seq("s"))
         .join(l.select(col("s").as("d"), col("l").as("ld")), Seq("d"))
         .filter(col("ls") =!= col("ld"))
-        .select(col("ls").as("s"), col("ld").as("d"))
-        .distinct(), eager = false)
+        .select(col("ls").as("s"), col("ld").as("d")), eager = false)
       done = edges.isEmpty // the round's single driver action
       i += 1
     }
@@ -1905,9 +1917,10 @@ object Dedup {
     * downstream cosine verification). */
   private def srpBanded(df: DataFrame, idCol: String,
                         vecCol: String): DataFrame =
-    band64(df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Sketches.srp_signature(col(vecCol)).as("sig"))
-      .repartition(col("id")), carry = Seq("vec"))
+    band64(Par.widen(df, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        Sketches.srp_signature(col(vecCol)).as("sig")),
+      carry = Seq("vec"))
 
   /** Exact n-gram Jaccard over an EXPLICIT candidate pair list — the
     * scale-safe verifier stage: candidates come from a sub-quadratic
@@ -1928,9 +1941,13 @@ object Dedup {
       if (k == 1) TextFunctions.tokens(col(textCol))
       else shingles(col(textCol), k)
     // same materialization barrier as the other generators: hash each
-    // doc's shingle set once, not once per candidate pair it appears in
-    val toks = df.select(col(idCol).as("id"),
-      Sketches.hashed_token_set(shingleCol).as("sh"))
+    // doc's shingle set once, not once per candidate pair it appears
+    // in — the exchange is REUSED by both joins below, so it stays
+    // (unlike the single-consumer sig front ends); widen below it so
+    // the hashing itself runs at full width on a narrow scan
+    val toks = Par.widen(df, col(idCol))
+      .select(col(idCol).as("id"),
+        Sketches.hashed_token_set(shingleCol).as("sh"))
       .repartition(col("id"))
     candidates.select("id_a", "id_b")
       .join(toks.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -1995,7 +2012,7 @@ object Dedup {
     val shingleCol =
       if (shingleK == 1) array_distinct(TextFunctions.tokens(col(textCol)))
       else shingles(col(textCol), shingleK)
-    val sets = df
+    val sets = Par.widen(df, col(idCol))
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"), shingleCol.as("_s"))
       .filter(size(col("_s")) > 0)
@@ -2133,7 +2150,10 @@ object Dedup {
       floor(acos(greatest(lit(-1.0), least(lit(1.0),
         Sim.cosine(col("_v"), typedLit(p))))) / lit(theta)).cast("int")
     val bandCols = pivots.zipWithIndex.map { case (p, i) => band(p).as(s"_b$i") }
-    val pts = df
+    // widen the scan before the per-row band math: every self-join
+    // branch below re-derives from this lineage, so a narrow scan
+    // would run the acos banding serially once per branch
+    val pts = Par.widen(df, col(idCol))
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
       // cosine(v, v) is 1 for any nonzero vector and 0 (the engine's
       // zero-denominator convention) for a zero-norm one — the
@@ -2273,7 +2293,8 @@ object Dedup {
       val shingleCol =
         if (shingleK == 1) array_distinct(TextFunctions.tokens(col(textCol)))
         else shingles(col(textCol), shingleK)
-      df.filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      Par.widen(df, col(idCol))
+        .filter(size(TextFunctions.tokens(col(textCol))) > 0)
         .select(col(idCol).as("id"), shingleCol.as("_s"))
         .filter(size(col("_s")) > 0)
         .repartition(col("id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Audit, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, LmFilter, Merge, Multimodal, Packing, Percentiles, Profile, Psl, Quality, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits, Traversal}
+import graft.operators.{AsOfJoin, Audit, BandJoin, Cardinality, Centrality, Chunking, Contamination, Curation, Dedup, Diff, GapFill, HeavyHitters, Incremental, IntervalExpand, Layout, LmFilter, Merge, Multimodal, Packing, Par, Percentiles, Profile, Psl, Quality, Relevance, Rolling, SampleSketch, Scd, Similarity, Skew, Splits, Traversal}
 import graft.functions.{Bpe, TextFunctions}
 
 /** The operator catalog: one named query per SURVEY.md §2 operator
@@ -926,7 +926,7 @@ object Catalog {
       unhex(lpad(hex(hPix), 4, "0")), unhex(lpad(hex(wPix), 4, "0")),
       unhex(lit("01011100")))
     val sevMod = pmod(col("doc_id"), lit(7))
-    val assets = docs.select(
+    val assets = Par.widen(docs, "doc_id").select(
       col("doc_id").as("asset_id"),
       when(sevMod === 0, lit("text")).otherwise(lit("image")).as("modality"),
       when(sevMod === 0, col("text").cast("binary"))
@@ -2361,7 +2361,7 @@ object Catalog {
       unhex(lit("64617461")),                 // "data"
       le(dataSize, 4))                        // declared sample bytes (none follow)
     val sevMod = pmod(col("doc_id"), lit(7))
-    val assets = docs.select(
+    val assets = Par.widen(docs, "doc_id").select(
       col("doc_id").as("asset_id"),
       when(sevMod === 0, lit("text")).otherwise(lit("audio")).as("modality"),
       when(sevMod === 0, col("text").cast("binary")).otherwise(wav).as("payload"))
@@ -2426,7 +2426,7 @@ object Catalog {
       be(lit(100L), 4), unhex(lit("7472616B")),       // trak = 8 + 92
       tkhd)
     val sevMod = pmod(col("doc_id"), lit(7))
-    val assets = docs.select(
+    val assets = Par.widen(docs, "doc_id").select(
       col("doc_id").as("asset_id"),
       when(sevMod === 0, lit("text")).otherwise(lit("video")).as("modality"),
       when(sevMod === 0, col("text").cast("binary")).otherwise(mp4).as("payload"))
@@ -2535,7 +2535,7 @@ object Catalog {
       lpad(hex(crc32(unhex(concat(lit("49444154"), zlibHex)))), 8, "0"),
       lit("0000000049454E44AE426082"))
     val sevMod = pmod(did, lit(7))
-    val assets = docs.select(
+    val assets = Par.widen(docs, "doc_id").select(
       did.as("asset_id"),
       when(sevMod === 0, lit("text")).otherwise(lit("image")).as("modality"),
       when(sevMod === 0, col("text").cast("binary")).otherwise(unhex(pngHex)).as("payload"))
@@ -2598,7 +2598,7 @@ object Catalog {
       unhex(lit("64617461")), le(dataSize, 4),
       unhex(sampleHex))
     val sevMod = pmod(did, lit(7))
-    val assets = docs.select(
+    val assets = Par.widen(docs, "doc_id").select(
       did.as("asset_id"),
       when(sevMod === 0, lit("text")).otherwise(lit("audio")).as("modality"),
       when(sevMod === 0, col("text").cast("binary")).otherwise(wav).as("payload"))
@@ -2729,7 +2729,7 @@ object Catalog {
     val aviHex = concat(lit("52494646"), le32hex(totalLen - 8L),
       lit("41564920"), hdrlHex, moviHex) // 'RIFF' … 'AVI '
     val sevMod = pmod(did, lit(7))
-    val assets = docs.select(
+    val assets = Par.widen(docs, "doc_id").select(
       did.as("asset_id"),
       when(sevMod === 0, lit("text")).otherwise(lit("video")).as("modality"),
       when(sevMod === 0, col("text").cast("binary")).otherwise(unhex(aviHex)).as("payload"))
@@ -2808,8 +2808,14 @@ object Catalog {
          |SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
          |       ($terms) AS zkey
          |FROM z""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      // widen before the per-row bucket trees + interleave (the zkey
+      // expression is hundreds of codegen'd comparisons per row) and
+      // the two exact-percentile passes — all scan-side on a narrow
+      // input otherwise
+      val li = Par.widen(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"),
+        "l_orderkey")
       Layout.zorderKeyEqualDepth(li, Seq("l_extendedprice", "l_quantity"), bits)
     }
   }
@@ -3910,7 +3916,7 @@ object Catalog {
     val wav = graft.functions.PlantedPng.planted_tone_wav(
       array(freq), lit(10000.0), perSeg = 160)
     val sevMod = pmod(did, lit(7))
-    val assets = docs.select(
+    val assets = Par.widen(docs, "doc_id").select(
       did.as("asset_id"),
       when(sevMod === 0, lit("text")).otherwise(lit("audio")).as("modality"),
       when(sevMod === 0, col("text").cast("binary")).otherwise(wav).as("payload"))
@@ -3939,7 +3945,7 @@ object Catalog {
   private def plantedDhashAssets(s: SparkSession, d: String): DataFrame = {
     val did = col("doc_id")
     val sevMod = pmod(did, lit(7))
-    Tables.documents(s, d).select(
+    Par.widen(Tables.documents(s, d), "doc_id").select(
       did.as("asset_id"),
       when(sevMod === 0, lit("text")).otherwise(lit("image")).as("modality"),
       when(sevMod === 0, col("text").cast("binary"))
@@ -4506,7 +4512,7 @@ object Catalog {
     val wav = graft.functions.PlantedPng.planted_tone_wav(
       freqs, amp, perSeg = 80)
     val sevMod = pmod(did, lit(7))
-    val assets = docs.select(
+    val assets = Par.widen(docs, "doc_id").select(
       did.as("asset_id"),
       when(sevMod === 0, lit("text")).otherwise(lit("audio")).as("modality"),
       when(sevMod === 0, col("text").cast("binary")).otherwise(wav).as("payload"))
